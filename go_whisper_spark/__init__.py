@@ -1,0 +1,24 @@
+"""go_whisper_spark — a PySpark-native engine with the query and
+data-processing capabilities of robyoung/go-whisper (a Graphite Whisper
+round-robin TSDB), re-expressed Spark-first.
+
+Layers:
+
+- ``model``               pure-Python catalog (retention DSL, validation, agg enum)
+- ``functions.bucketing`` interval alignment / LWW / xff-gated agg expressions
+- ``engine``              batch engine: ingest → rollup cascade → fetch
+- ``streaming``           Structured Streaming rollup (watermark = maxRetention)
+- ``operators``           relational + LLM-pipeline query layer (driver contract)
+- ``sources``             parquet/points IO + .wsp compat reader
+"""
+
+from go_whisper_spark.model import (  # noqa: F401
+    AggregationMethod,
+    Retention,
+    SeriesConfig,
+    parse_retention_def,
+    parse_retention_defs,
+    validate_retentions,
+)
+
+__version__ = "0.1.0"

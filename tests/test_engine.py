@@ -1,0 +1,210 @@
+"""Operator-unit + golden-model tests for the batch engine (SURVEY.md §5.2-3).
+
+Covers: alignment mod semantics, LWW dedup, xff boundary (>= passes),
+all five aggregation methods, dense gap-fill fetch, bound alignment
+(+spp start-exclusive), retention bounds rejection, multi-metric
+isolation, and seeded-random streams vs the pure-Python whisper model.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_whisper_spark.engine import WhisperEngine
+from go_whisper_spark.model import AggregationMethod, SeriesConfig
+from tests.whisper_model import PyWhisper
+
+NOW = 1_700_000_000 - (1_700_000_000 % 3600)  # aligned epoch for stable buckets
+PTS_SCHEMA = "metric string, ts long, value double, write_seq long"
+
+
+def make_engine(spark, defs="10s:1h,60s:6h,300s:1d", agg="average", xff=0.5):
+    return WhisperEngine(spark, SeriesConfig.from_defs(defs, agg, xff))
+
+
+def ingest(spark, engine, rows, now=NOW):
+    df = spark.createDataFrame(rows, PTS_SCHEMA)
+    return engine.update_many(df, now)
+
+
+def fetch_values(engine, metric, from_t, until_t, now=NOW):
+    res = engine.fetch(from_t, until_t, now, metrics=[metric])
+    rows = res.frame.orderBy("interval").collect()
+    return res, [r["value"] for r in rows]
+
+
+# ---- bounds: future + too-old rejected (p_late) -------------------------
+def test_update_bounds(spark):
+    eng = make_engine(spark)
+    accepted = ingest(
+        spark,
+        eng,
+        [
+            ("m", NOW + 10, 1.0, 1),              # future → reject
+            ("m", NOW - 86400, 2.0, 2),           # age == maxRetention → reject
+            ("m", NOW - 86400 + 1, 3.0, 3),       # just inside → accept
+            ("m", NOW - 5, 4.0, 4),               # fresh → accept
+        ],
+    )
+    assert sorted(r.value for r in accepted.collect()) == [3.0, 4.0]
+
+
+# ---- LWW per interval (p_dup_interval) ----------------------------------
+def test_last_writer_wins(spark):
+    eng = make_engine(spark)
+    ingest(
+        spark,
+        eng,
+        [
+            ("m", NOW - 15, 1.0, 1),
+            ("m", NOW - 12, 2.0, 2),   # same 10s bucket as above → wins
+            ("m", NOW - 11, 9.0, 1),   # lower seq, same bucket → loses
+        ],
+    )
+    arch0 = eng.archive_frame(0, NOW).collect()
+    assert len(arch0) == 1
+    assert arch0[0]["value"] == 2.0
+    assert arch0[0]["interval"] == NOW - 20
+
+
+# ---- alignment mod semantics --------------------------------------------
+def test_interval_alignment(spark):
+    eng = make_engine(spark, defs="60s:1h,300s:1d")
+    ingest(spark, eng, [("m", NOW - 61, 5.0, 1)])
+    arch0 = eng.archive_frame(0, NOW).collect()
+    assert arch0[0]["interval"] == NOW - 120  # (NOW-61) - (NOW-61) % 60
+
+
+# ---- xff gate boundary: known/total == xff passes (>=) ------------------
+def test_xff_boundary(spark):
+    # 60s→300s: 5 slots per bucket; xff=0.4 → exactly 2 known passes.
+    eng = make_engine(spark, defs="60s:1h,300s:1d", agg="sum", xff=0.4)
+    base = NOW - 3000
+    ingest(spark, eng, [("m", base + 0, 1.0, 1), ("m", base + 60, 2.0, 2)])
+    arch1 = eng.archive_frame(1, NOW).collect()
+    assert len(arch1) == 1 and arch1[0]["value"] == 3.0
+
+    # xff just above 2/5 → bucket dropped.
+    eng2 = make_engine(spark, defs="60s:1h,300s:1d", agg="sum", xff=0.4001)
+    ingest(spark, eng2, [("m", base + 0, 1.0, 1), ("m", base + 60, 2.0, 2)])
+    assert eng2.archive_frame(1, NOW).count() == 0
+
+
+# ---- the five aggregation methods (p_dense rollup) ----------------------
+@pytest.mark.parametrize(
+    "agg,expected",
+    [
+        ("average", 2.5),
+        ("sum", 10.0),
+        ("last", 4.0),   # value at the latest fine interval
+        ("max", 4.0),
+        ("min", 1.0),
+    ],
+)
+def test_aggregation_methods(spark, agg, expected):
+    eng = make_engine(spark, defs="60s:1h,300s:1d", agg=agg, xff=0.0)
+    base = NOW - 3000
+    rows = [("m", base + i * 60, float(v), i) for i, v in enumerate([1, 2, 3, 4])]
+    ingest(spark, eng, rows)
+    arch1 = eng.archive_frame(1, NOW).collect()
+    assert len(arch1) == 1
+    assert arch1[0]["value"] == pytest.approx(expected)
+
+
+def test_last_uses_interval_not_write_order(spark):
+    # LAST = value at the max interval, even if written first.
+    eng = make_engine(spark, defs="60s:1h,300s:1d", agg="last", xff=0.0)
+    base = NOW - 3000
+    ingest(spark, eng, [("m", base + 120, 7.0, 1), ("m", base + 0, 1.0, 2)])
+    arch1 = eng.archive_frame(1, NOW).collect()
+    assert arch1[0]["value"] == 7.0
+
+
+# ---- fetch: dense output, gaps → NULL, +spp bounds (p_gap_fetch) --------
+def test_fetch_dense_gap_fill(spark):
+    eng = make_engine(spark, defs="60s:1h,300s:6h")
+    ingest(spark, eng, [("m", NOW - 180, 1.0, 1), ("m", NOW - 60, 3.0, 2)])
+    res, vals = fetch_values(eng, "m", NOW - 300, NOW)
+    # bounds: from' = NOW-300+60 (start-exclusive), until' = NOW+60 → 5 slots
+    assert res.from_interval == NOW - 240 and res.until_interval == NOW + 60
+    assert res.step == 60
+    # slots: NOW-240, NOW-180, NOW-120, NOW-60, NOW
+    assert vals == [None, 1.0, None, 3.0, None]
+
+
+def test_fetch_unaligned_bounds(spark):
+    eng = make_engine(spark, defs="60s:1h,300s:6h")
+    ingest(spark, eng, [("m", NOW - 180, 1.0, 1)])
+    res, _ = fetch_values(eng, "m", NOW - 299, NOW - 1)
+    # from'=(NOW-299) - (NOW-299)%60 + 60 = NOW-240-(NOW%60... NOW aligned)→NOW-240+1? no:
+    # NOW is 3600-aligned so (NOW-299)%60 == 1 → from' = NOW-300+60 = NOW-240.
+    assert res.from_interval == NOW - 240
+    assert res.until_interval == NOW
+
+
+def test_fetch_empty_archive_all_nulls(spark):
+    eng = make_engine(spark, defs="60s:1h,300s:6h")
+    ingest(spark, eng, [("other_metric", NOW - 60, 1.0, 1)])
+    _, vals = fetch_values(eng, "m", NOW - 300, NOW)
+    assert vals == [None] * 5
+
+
+def test_fetch_archive_routing(spark):
+    # from-age beyond archive-0 retention → coarser archive step.
+    eng = make_engine(spark, defs="60s:1h,300s:6h")
+    ingest(spark, eng, [("m", NOW - 7000, 2.0, 1), ("m", NOW - 60, 3.0, 2)])
+    res, _ = fetch_values(eng, "m", NOW - 7200, NOW)     # 2h ago > 1h ret
+    assert res.step == 300
+    res2, _ = fetch_values(eng, "m", NOW - 3600, NOW)    # exactly 1h → finest (>=)
+    assert res2.step == 60
+
+
+def test_fetch_clamps_to_max_retention(spark):
+    eng = make_engine(spark, defs="60s:1h,300s:6h")
+    ingest(spark, eng, [("m", NOW - 60, 3.0, 1)])
+    res, _ = fetch_values(eng, "m", NOW - 10 * 86400, NOW)
+    assert res.from_interval == NOW - 6 * 3600 + 300
+    with pytest.raises(ValueError):
+        eng.fetch(NOW, NOW - 100, NOW)
+
+
+# ---- multi-metric isolation (p_multi_metric) ----------------------------
+def test_multi_metric_isolation(spark):
+    eng = make_engine(spark, defs="60s:1h,300s:6h", agg="sum", xff=0.0)
+    rows = []
+    for m in ["a", "b", "c"]:
+        rows += [(m, NOW - 240 + i * 60, float(ord(m)), i) for i in range(3)]
+    ingest(spark, eng, rows)
+    arch1 = {r["metric"]: r["value"] for r in eng.archive_frame(1, NOW).collect()}
+    assert arch1 == {"a": 3 * 97.0, "b": 3 * 98.0, "c": 3 * 99.0}
+
+
+# ---- golden model: seeded random streams vs PyWhisper (p_random) --------
+@pytest.mark.parametrize("agg", ["average", "sum", "last", "max", "min"])
+@pytest.mark.parametrize("seed", [42, 7])
+def test_random_stream_matches_python_model(spark, agg, seed):
+    rng = random.Random(seed)
+    cfg = SeriesConfig.from_defs("30s:30m,300s:3h,900s:12h", agg, 0.3)
+    eng = WhisperEngine(spark, cfg)
+    model = PyWhisper(cfg)
+
+    rows = []
+    for seq in range(300):
+        metric = rng.choice(["m1", "m2"])
+        ts = NOW - rng.randrange(0, 13 * 3600)   # some beyond retention
+        rows.append((metric, ts, round(rng.uniform(-100, 100), 3), seq))
+    ingest(spark, eng, rows)
+    model.update_many(rows, NOW)
+
+    for from_age, until_age in [(1800, 0), (3 * 3600, 600), (12 * 3600, 0)]:
+        for metric in ["m1", "m2"]:
+            res, got = fetch_values(eng, metric, NOW - from_age, NOW - until_age)
+            f, u, step, want = model.fetch(metric, NOW - from_age, NOW - until_age, NOW)
+            assert (res.from_interval, res.until_interval, res.step) == (f, u, step)
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                if w is None:
+                    assert g is None
+                else:
+                    assert g == pytest.approx(w, rel=1e-9)
