@@ -1,0 +1,354 @@
+"""Whisper-semantics queries over the ``events`` table (driver contract).
+
+Each query re-expresses one reference operator (SURVEY.md §2A) as a
+declarative Spark plan over the points view of ``events``
+(metric=event_type, ts=epoch-seconds, write_seq=event_id), paired with
+a DuckDB oracle SQL string implementing the same pinned semantics:
+
+- ``w_lww_1h``          LWW slot overwrite   [ref: whisper.go (Update — ring WriteAt)]
+- ``w_rollup_6h``       one propagate step   [ref: whisper.go (func propagate)]
+- ``w_cascade_1d``      two-level cascade    [ref: whisper.go (Update — cascade loop)]
+- ``w_agg_methods_1d``  the five agg methods [ref: whisper.go (func aggregate)]
+- ``w_fetch_dense_3d``  dense gap-fill fetch [ref: whisper.go (func Fetch)]
+- ``w_fetch_coarse_30d`` coarse-archive fetch (archive router output)
+- ``w_retention_7d``    update bounds check  [ref: whisper.go (Update — bounds)]
+
+``now`` is pinned to ``max(ts)`` of the table (deterministic across
+engines); whisper's wall-clock enters only as this scalar.
+
+Scale notes: every aggregate below is a partial-aggregating
+``groupBy(metric, interval)`` — map-side combine shrinks the shuffle to
+one row per slot; the fetch spine is a generated tiny relation joined
+on the same (metric, interval) key; nothing collects.  Floating-point
+outputs that involve re-associated arithmetic (avg/sum) are rounded
+(6/4 dp) identically on both sides so value hashes are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_whisper_spark.sources.tables import events_points
+
+HOUR, DAY = 3600, 86400
+
+# Shared DuckDB CTE: events → whisper points (exact integer-seconds).
+PTS_CTE = """pts AS (
+  SELECT event_type AS metric,
+         epoch_ns(ts) // 1000000000 AS ts_sec,
+         value,
+         event_id AS write_seq
+  FROM events
+)"""
+
+LWW_1H_CTE = """lww1h AS (
+  SELECT metric,
+         ts_sec - ts_sec % 3600 AS interval,
+         arg_max(value, write_seq) AS value
+  FROM pts
+  GROUP BY 1, 2
+)"""
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_points(spark, sf_dir)
+
+
+def _lww(df: DataFrame, spp: int) -> DataFrame:
+    """LWW at step ``spp``: one row per (metric, interval), max write_seq wins."""
+    return (
+        df.withColumn("interval", (F.col("ts") - F.col("ts") % F.lit(spp)).cast("long"))
+        .groupBy("metric", "interval")
+        .agg(F.max_by("value", "write_seq").alias("value"))
+    )
+
+
+# ---------------------------------------------------------------- w_lww_1h
+def w_lww_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lww(_points(spark, sf_dir), HOUR).select("metric", "interval", "value")
+
+
+W_LWW_1H_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval, value FROM lww1h
+"""
+
+
+# -------------------------------------------------------------- w_rollup_6h
+def w_rollup_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One propagate step: 1h archive → 6h, Average, xff=0.5 (>= passes)."""
+    lww = _lww(_points(spark, sf_dir), HOUR)
+    return (
+        lww.withColumn(
+            "interval6", (F.col("interval") - F.col("interval") % F.lit(6 * HOUR)).cast("long")
+        )
+        .groupBy("metric", "interval6")
+        .agg(
+            F.count("value").alias("known"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .where((F.col("known").cast("double") / F.lit(6.0)) >= F.lit(0.5))
+        .select(
+            "metric", F.col("interval6").alias("interval"), "known", "avg_value"
+        )
+    )
+
+
+W_ROLLUP_6H_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric,
+       interval - interval % 21600 AS interval,
+       count(value) AS known,
+       round(avg(value), 6) AS avg_value
+FROM lww1h
+GROUP BY 1, 2
+HAVING CAST(count(value) AS DOUBLE) / 6.0 >= 0.5
+"""
+
+
+# -------------------------------------------------------------- w_cascade_1d
+def w_cascade_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level cascade 1h→6h→1d (Average, xff=0.5 at each level).
+
+    Mirrors propagate() recursing archive-by-archive: the 1d bucket
+    averages the six 6h values (avg-of-avgs, exactly as whisper
+    consolidates consolidated values), each level gated separately.
+    """
+    lww = _lww(_points(spark, sf_dir), HOUR)
+    l6 = (
+        lww.withColumn(
+            "interval", (F.col("interval") - F.col("interval") % F.lit(6 * HOUR)).cast("long")
+        )
+        .groupBy("metric", "interval")
+        .agg(F.avg("value").alias("value"), F.count("value").alias("known"))
+        .where((F.col("known").cast("double") / F.lit(6.0)) >= F.lit(0.5))
+        .drop("known")
+    )
+    return (
+        l6.withColumn("interval1d", (F.col("interval") - F.col("interval") % F.lit(DAY)).cast("long"))
+        .groupBy("metric", "interval1d")
+        .agg(F.count("value").alias("known"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .where((F.col("known").cast("double") / F.lit(4.0)) >= F.lit(0.5))
+        .select("metric", F.col("interval1d").alias("interval"), "known", "avg_value")
+    )
+
+
+W_CASCADE_1D_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+l6 AS (
+  SELECT metric,
+         interval - interval % 21600 AS interval,
+         avg(value) AS value
+  FROM lww1h
+  GROUP BY 1, 2
+  HAVING CAST(count(value) AS DOUBLE) / 6.0 >= 0.5
+)
+SELECT metric,
+       interval - interval % 86400 AS interval,
+       count(value) AS known,
+       round(avg(value), 6) AS avg_value
+FROM l6
+GROUP BY 1, 2
+HAVING CAST(count(value) AS DOUBLE) / 4.0 >= 0.5
+"""
+
+
+# ---------------------------------------------------------- w_agg_methods_1d
+def w_agg_methods_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five whisper aggregation methods, 1h archive → 1d buckets.
+
+    ``last`` = value at the greatest fine interval (max_by), matching
+    aggregate(Last) over the ordered known values.
+    """
+    lww = _lww(_points(spark, sf_dir), HOUR)
+    return (
+        lww.withColumn("interval1d", (F.col("interval") - F.col("interval") % F.lit(DAY)).cast("long"))
+        .groupBy("metric", "interval1d")
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.max_by("value", "interval").alias("last_value"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+            F.count("value").alias("known"),
+        )
+        .select(
+            "metric", F.col("interval1d").alias("interval"),
+            "avg_value", "sum_value", "last_value", "max_value", "min_value", "known",
+        )
+    )
+
+
+W_AGG_METHODS_1D_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric,
+       interval - interval % 86400 AS interval,
+       round(avg(value), 6) AS avg_value,
+       round(sum(value), 4) AS sum_value,
+       arg_max(value, interval) AS last_value,
+       max(value) AS max_value,
+       min(value) AS min_value,
+       count(value) AS known
+FROM lww1h
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------- w_fetch_dense_3d
+def w_fetch_dense_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch(now-3d, now) at the 1h archive: dense spine, gaps → NULL.
+
+    Bound alignment ``t - t%spp + spp`` (start-exclusive), one row per
+    (metric, slot).  The spine is generated from the scalar ``now``
+    lazily (cross join with a 1-row aggregate — broadcast, no collect).
+    """
+    pts = _points(spark, sf_dir)
+    lww = _lww(pts, HOUR)
+    bounds = pts.agg(F.max("ts").alias("now")).select(
+        ((F.col("now") - 3 * DAY) - (F.col("now") - 3 * DAY) % HOUR + HOUR).alias("from_iv"),
+        (F.col("now") - F.col("now") % HOUR + HOUR).alias("until_iv"),
+    )
+    metrics = pts.select("metric").distinct()
+    spine = metrics.crossJoin(F.broadcast(bounds)).select(
+        "metric",
+        F.explode(
+            F.sequence(F.col("from_iv"), F.col("until_iv") - HOUR, F.lit(HOUR))
+        ).alias("interval"),
+    )
+    return spine.join(lww, ["metric", "interval"], "left").select(
+        "metric", "interval", "value"
+    )
+
+
+W_FETCH_DENSE_3D_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+bounds AS (
+  SELECT (max(ts_sec) - 259200) - (max(ts_sec) - 259200) % 3600 + 3600 AS from_iv,
+         max(ts_sec) - max(ts_sec) % 3600 + 3600 AS until_iv
+  FROM pts
+),
+spine AS (
+  SELECT m.metric, s.interval
+  FROM (SELECT DISTINCT metric FROM pts) m
+  CROSS JOIN (
+    SELECT unnest(generate_series(from_iv, until_iv - 3600, 3600)) AS interval
+    FROM bounds
+  ) s
+)
+SELECT spine.metric, spine.interval, lww1h.value
+FROM spine LEFT JOIN lww1h
+  ON lww1h.metric = spine.metric AND lww1h.interval = spine.interval
+"""
+
+
+# -------------------------------------------------------- w_fetch_coarse_30d
+def w_fetch_coarse_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch(now-30d, now) routed to a 6h archive (from-age > 1h-archive
+    retention), Average consolidation with xff=0.0: the coarse read path.
+    """
+    pts = _points(spark, sf_dir)
+    step = 6 * HOUR
+    lww = _lww(pts, HOUR)
+    arch = (
+        lww.withColumn("interval", (F.col("interval") - F.col("interval") % F.lit(step)).cast("long"))
+        .groupBy("metric", "interval")
+        .agg(F.round(F.avg("value"), 6).alias("value"))
+    )
+    bounds = pts.agg(F.max("ts").alias("now")).select(
+        ((F.col("now") - 30 * DAY) - (F.col("now") - 30 * DAY) % step + step).alias("from_iv"),
+        (F.col("now") - F.col("now") % step + step).alias("until_iv"),
+    )
+    metrics = pts.select("metric").distinct()
+    spine = metrics.crossJoin(F.broadcast(bounds)).select(
+        "metric",
+        F.explode(
+            F.sequence(F.col("from_iv"), F.col("until_iv") - step, F.lit(step))
+        ).alias("interval"),
+    )
+    return spine.join(arch, ["metric", "interval"], "left").select(
+        "metric", "interval", "value"
+    )
+
+
+W_FETCH_COARSE_30D_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+arch AS (
+  SELECT metric,
+         interval - interval % 21600 AS interval,
+         round(avg(value), 6) AS value
+  FROM lww1h
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT (max(ts_sec) - 2592000) - (max(ts_sec) - 2592000) % 21600 + 21600 AS from_iv,
+         max(ts_sec) - max(ts_sec) % 21600 + 21600 AS until_iv
+  FROM pts
+),
+spine AS (
+  SELECT m.metric, s.interval
+  FROM (SELECT DISTINCT metric FROM pts) m
+  CROSS JOIN (
+    SELECT unnest(generate_series(from_iv, until_iv - 21600, 21600)) AS interval
+    FROM bounds
+  ) s
+)
+SELECT spine.metric, spine.interval, arch.value
+FROM spine LEFT JOIN arch
+  ON arch.metric = spine.metric AND arch.interval = spine.interval
+"""
+
+
+# ---------------------------------------------------------- w_retention_7d
+def w_retention_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update() bounds check as a filter: keep ts <= now and
+    now - ts < 7d (maxRetention); report accepted counts per metric.
+    """
+    pts = _points(spark, sf_dir)
+    now_df = pts.agg(F.max("ts").alias("now"))
+    return (
+        pts.crossJoin(F.broadcast(now_df))
+        .where((F.col("ts") <= F.col("now")) & (F.col("now") - F.col("ts") < F.lit(7 * DAY)))
+        .groupBy("metric")
+        .agg(
+            F.count("*").alias("accepted"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("ts").alias("oldest_ts"),
+            F.max("ts").alias("newest_ts"),
+        )
+    )
+
+
+W_RETENTION_7D_SQL = f"""
+WITH {PTS_CTE},
+params AS (SELECT max(ts_sec) AS now FROM pts)
+SELECT metric,
+       count(*) AS accepted,
+       round(sum(value), 4) AS sum_value,
+       min(ts_sec) AS oldest_ts,
+       max(ts_sec) AS newest_ts
+FROM pts, params
+WHERE ts_sec <= now AND now - ts_sec < 604800
+GROUP BY metric
+"""
+
+
+QUERIES = {
+    "w_lww_1h": w_lww_1h,
+    "w_rollup_6h": w_rollup_6h,
+    "w_cascade_1d": w_cascade_1d,
+    "w_agg_methods_1d": w_agg_methods_1d,
+    "w_fetch_dense_3d": w_fetch_dense_3d,
+    "w_fetch_coarse_30d": w_fetch_coarse_30d,
+    "w_retention_7d": w_retention_7d,
+}
+
+ORACLES = {
+    "w_lww_1h": W_LWW_1H_SQL,
+    "w_rollup_6h": W_ROLLUP_6H_SQL,
+    "w_cascade_1d": W_CASCADE_1D_SQL,
+    "w_agg_methods_1d": W_AGG_METHODS_1D_SQL,
+    "w_fetch_dense_3d": W_FETCH_DENSE_3D_SQL,
+    "w_fetch_coarse_30d": W_FETCH_COARSE_30D_SQL,
+    "w_retention_7d": W_RETENTION_7D_SQL,
+}
