@@ -1,0 +1,427 @@
+"""Relational query layer over the TPC-H-ish tables (SURVEY.md §2B).
+
+The reference implements no relational algebra — these queries document
+that every standard category is covered by Spark built-ins, and give
+the driver's DuckDB oracle a surface to check: scan+filter+project,
+inner/semi/anti joins (broadcast where the dim side is small),
+aggregation, ranking and analytic windows, sort/limit/top-k, set ops,
+rollup/grouping sets, and scalar string/date/JSON functions.
+
+Determinism rules applied throughout (the driver hash-compares values):
+- top-k sorts always carry a unique integer tiebreak column;
+- floats produced by re-associated arithmetic (sum/avg) are rounded
+  identically on both sides (4 dp for sums, 6 dp for avgs); raw column
+  values pass through un-rounded (bit-exact in both engines);
+- ``count``/``row_number`` outputs are cast to matching integer types.
+
+Scale notes: dimension joins (region/nation/customer) are explicit
+``F.broadcast``; fact-fact joins shuffle on their natural keys; every
+aggregate is a partial-aggregating hash aggregate. At 100 TB the same
+plans hold — the broadcast dims stay tiny, and AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_whisper_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------------------ r_q1_pricing
+def r_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter pushdown + wide hash aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+R_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------ r_q3_revenue
+def r_q3_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: broadcast dim join + fact join + aggregate."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1997-01-01"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1997-01-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+R_Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------- r_q5_nation_rev
+def r_q5_nation_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: snowflake dim chain (region→nation→customer), all broadcast."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+R_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# ------------------------------------------------------------ r_topk_orders
+def r_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: sort on a raw column with unique integer tiebreak."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+R_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ------------------------------------------------------ r_window_topk_cust
+def r_window_topk_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top 3 orders per customer (row_number <= k)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+R_WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS INTEGER) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------- r_window_running
+def r_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running sum + lag delta per customer.
+
+    This is the Graphite derivative/integral analog on order history.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            4,
+        ).alias("running_total"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w), 4
+        ).alias("delta_prev"),
+    )
+
+
+R_WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 4) AS running_total,
+       round(o_totalprice - lag(o_totalprice, 1) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ), 4) AS delta_prev
+FROM orders
+"""
+
+
+# ------------------------------------------------------------ r_semi_anti
+def r_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join shape: customers with vs without orders, per segment."""
+    cust = _t(spark, sf_dir, "customer")
+    ocust = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ok")
+    ).distinct()
+    return (
+        cust.join(ocust, cust.c_custkey == ocust.ok, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("ok").alias("with_orders"),
+            (F.count("*") - F.count("ok")).alias("without_orders"),
+        )
+    )
+
+
+R_SEMI_ANTI_SQL = """
+WITH ocust AS (SELECT DISTINCT o_custkey FROM orders)
+SELECT c_mktsegment,
+       count(o_custkey) AS with_orders,
+       count(*) - count(o_custkey) AS without_orders
+FROM customer LEFT JOIN ocust ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# -------------------------------------------------------------- r_setops
+def r_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct set semantics in both engines)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    machinery = cust.where(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big_buyers = orders.where(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    inter = machinery.intersect(big_buyers).select(
+        F.lit("machinery_and_big").alias("op"), "custkey"
+    )
+    minus = machinery.subtract(big_buyers).select(
+        F.lit("machinery_not_big").alias("op"), "custkey"
+    )
+    return inter.unionByName(minus)
+
+
+R_SETOPS_SQL = """
+WITH machinery AS (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+), big_buyers AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+)
+SELECT 'machinery_and_big' AS op, custkey
+FROM (SELECT custkey FROM machinery INTERSECT SELECT custkey FROM big_buyers)
+UNION ALL
+SELECT 'machinery_not_big' AS op, custkey
+FROM (SELECT custkey FROM machinery EXCEPT SELECT custkey FROM big_buyers)
+"""
+
+
+# ------------------------------------------------------------ r_rollup_orders
+def r_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over (status, priority)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_total"),
+    )
+
+
+R_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS sum_total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# ------------------------------------------------------------ r_json_props
+def r_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON extraction over the events.props JSON-string column."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+R_JSON_SQL = """
+SELECT event_type,
+       count(k) AS n,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       round(avg(k), 6) AS avg_k
+FROM (
+  SELECT event_type, CAST(props->>'k' AS INTEGER) AS k FROM events
+)
+GROUP BY event_type
+"""
+
+
+# ------------------------------------------------------------ r_scalar_funcs
+def r_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level string/math scalar functions (exact, no rounding needed)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_type").alias("upper_type"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        (F.col("p_size") - F.col("p_size") % 10).cast("int").alias("size_bucket"),
+        F.round(F.col("p_retailprice") * 1.1, 4).alias("marked_up"),
+    )
+
+
+R_SCALAR_SQL = """
+SELECT p_partkey,
+       upper(p_type) AS upper_type,
+       substring(p_name, 1, 8) AS name_prefix,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       CAST(p_size - p_size % 10 AS INTEGER) AS size_bucket,
+       round(p_retailprice * 1.1, 4) AS marked_up
+FROM part
+"""
+
+
+# ------------------------------------------------------------ r_date_parts
+def r_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar functions + aggregate by calendar parts."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("long"))
+        .withColumn("order_month", F.month("o_orderdate").cast("long"))
+        .groupBy("order_year", "order_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_total"),
+        )
+    )
+
+
+R_DATE_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       count(*) AS n_orders,
+       round(avg(o_totalprice), 6) AS avg_total
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "r_q1_pricing": r_q1_pricing,
+    "r_q3_revenue": r_q3_revenue,
+    "r_q5_nation_rev": r_q5_nation_rev,
+    "r_topk_orders": r_topk_orders,
+    "r_window_topk_cust": r_window_topk_cust,
+    "r_window_running": r_window_running,
+    "r_semi_anti": r_semi_anti,
+    "r_setops": r_setops,
+    "r_rollup_orders": r_rollup_orders,
+    "r_json_props": r_json_props,
+    "r_scalar_funcs": r_scalar_funcs,
+    "r_date_parts": r_date_parts,
+}
+
+ORACLES = {
+    "r_q1_pricing": R_Q1_SQL,
+    "r_q3_revenue": R_Q3_SQL,
+    "r_q5_nation_rev": R_Q5_SQL,
+    "r_topk_orders": R_TOPK_SQL,
+    "r_window_topk_cust": R_WINDOW_TOPK_SQL,
+    "r_window_running": R_WINDOW_RUNNING_SQL,
+    "r_semi_anti": R_SEMI_ANTI_SQL,
+    "r_setops": R_SETOPS_SQL,
+    "r_rollup_orders": R_ROLLUP_SQL,
+    "r_json_props": R_JSON_SQL,
+    "r_scalar_funcs": R_SCALAR_SQL,
+    "r_date_parts": R_DATE_SQL,
+}
