@@ -1,0 +1,731 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2C — mandated scope).
+
+Deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine), similarity search (brute-force cosine top-k), and
+text analysis (token stats, stopword language-ID, quality scoring,
+rolling-hash fingerprints, corpus word frequencies) over the
+``documents`` and ``embeddings`` tables — each as a declarative Spark
+plan paired with a DuckDB oracle.
+
+Cross-engine determinism: every hash is derived from ``md5`` hex
+(identical in both engines) parsed to integers — Spark
+``conv(substr(md5(x),1,k),16,10)`` ≡ DuckDB
+``CAST('0x' || substring(md5(x),1,k) AS BIGINT)`` (verified
+bit-for-bit).  MinHash permutations are fixed affine maps
+``(a·x + b) mod p`` with seeded constants inlined into both sides.
+Cosine similarities are ranked by ``(round(sim,6), vec_id)`` in both
+engines so top-k membership can't flip on last-ulp differences.
+
+Scale notes (100 TB): all dedup ops key their shuffles by
+content-derived columns (shingle, band signature, simhash), never by
+doc_id alone — LSH banding turns the quadratic all-pairs problem into
+per-bucket joins; the brute-force cosine top-k is the *correctness
+baseline* whose scale path is the LSH/banded variant; token pipelines
+are pure narrow maps until the final aggregate.  No Python UDFs — all
+of this is Catalyst expressions (whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_whisper_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------- hashing
+MERSENNE61 = (1 << 61) - 1
+N_MINHASH = 16
+N_BANDS = 4  # 4 bands x 4 rows
+_rng = random.Random(0x5EED)
+MINHASH_COEFFS = [
+    (_rng.randrange(1, 1 << 31), _rng.randrange(0, 1 << 31)) for _ in range(N_MINHASH)
+]
+
+SIMHASH_BITS = 60  # 15 md5 hex chars — stays positive in signed int64
+
+TOKEN_RE = "[a-z0-9]+"
+
+# Stopword lexicon for language ID: (token, language).
+LANG_LEXICON = [
+    ("the", "en"), ("and", "en"), ("of", "en"), ("to", "en"), ("a", "en"),
+    ("la", "es"), ("el", "es"), ("de", "es"), ("que", "es"), ("los", "es"),
+    ("der", "de"), ("die", "de"), ("und", "de"), ("das", "de"), ("ist", "de"),
+    ("le", "fr"), ("les", "fr"), ("est", "fr"), ("une", "fr"), ("dans", "fr"),
+]
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _tokens_col():
+    """lower → extract [a-z0-9]+ runs (identical RE semantics both engines)."""
+    return F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
+
+
+_TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# 3-gram word shingles (1-based element_at to mirror DuckDB list indexing).
+_SHINGLES_EXPR = """
+CASE WHEN size(tokens) >= 3 THEN
+  transform(sequence(1, size(tokens) - 2),
+            i -> concat_ws(' ', element_at(tokens, i),
+                                element_at(tokens, i + 1),
+                                element_at(tokens, i + 2)))
+ELSE array() END
+"""
+
+_SHINGLES_SQL = """
+list_transform(generate_series(1, len(tokens) - 2),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
+"""
+
+# doc_id → distinct shingles, as a reusable CTE (DuckDB) / DataFrame (Spark).
+_SHINGLE_CTE = f"""tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents
+),
+shingle AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL.strip()}) AS sh
+  FROM tok
+)"""
+
+
+def _shingles_df(spark, sf_dir) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", _tokens_col())
+        .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("sh"))
+        .distinct()
+    )
+
+
+# Spark/DuckDB expression pair: shingle text → 32-bit base hash.
+def _x32(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+_X32_SQL = "CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT)"
+
+
+# ---------------------------------------------------------- d_exact_dedup
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting: docs vs distinct text-hashes per source.
+
+    The canonical-keeper rule (min doc_id per identical text) is the
+    ``dropDuplicates`` semantics expressed deterministically.
+    """
+    d = _docs(spark, sf_dir)
+    per_text = d.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count("*").alias("copies"), F.min("doc_id").alias("keeper")
+    )
+    return per_text.groupBy("source").agg(
+        F.sum("copies").alias("n_docs"),
+        F.count("*").alias("n_unique"),
+        (F.sum("copies") - F.count("*")).alias("n_dropped"),
+        F.sum(F.col("keeper")).alias("keeper_idsum"),
+    )
+
+
+D_EXACT_SQL = """
+WITH per_text AS (
+  SELECT source, md5(text) AS h, count(*) AS copies, min(doc_id) AS keeper
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       sum(copies) AS n_docs,
+       count(*) AS n_unique,
+       sum(copies) - count(*) AS n_dropped,
+       sum(keeper) AS keeper_idsum
+FROM per_text GROUP BY source
+"""
+
+
+# ------------------------------------------------------ d_jaccard_pairs
+def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs via shingle-inverted-index join.
+
+    Candidate generation = equi-join on shingle (the scale path: work
+    is proportional to shared shingles, never |docs|²); pairs kept at
+    jaccard >= 0.2.
+    """
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+D_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) >= 0.2
+"""
+
+
+# ---------------------------------------------------------- d_minhash_sigs
+def _minhash_aggs():
+    x = F.col("x32")
+    return [
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE61)).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+
+
+def _minhash_sql_terms():
+    return ",\n       ".join(
+        f"min(({a} * x32 + {b}) % {MERSENNE61}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+
+
+def d_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16 affine permutations over 32-bit shingle
+    hashes, mod 2^61-1) — the shingle→minhash step of MinHash+LSH dedup.
+    """
+    sh = _shingles_df(spark, sf_dir).withColumn("x32", _x32(F.col("sh")))
+    return sh.groupBy("doc_id").agg(*_minhash_aggs())
+
+
+D_MINHASH_SQL = f"""
+WITH {_SHINGLE_CTE},
+hashed AS (SELECT doc_id, {_X32_SQL} AS x32 FROM shingle)
+SELECT doc_id,
+       {_minhash_sql_terms()}
+FROM hashed GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------------ d_lsh_pairs
+def d_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the k=16 signature into 4 bands
+    of 4 rows, bucket-join on (band, band-signature), verify with true
+    Jaccard.  This is the 100 TB dedup path: the only join key is the
+    band signature, so work scales with bucket sizes, not |docs|².
+    """
+    sigs = d_minhash_sigs(spark, sf_dir)
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = []
+    for band in range(N_BANDS):
+        cols = [f"h{band * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.concat_ws("-", *[F.col(c).cast("string") for c in cols]).alias("sig"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    a, bb = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard over shingle sets.
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a2, b2 = sh.alias("sa"), sh.alias("sb")
+    shared = (
+        a2.join(b2, (F.col("sa.sh") == F.col("sb.sh")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        cand.join(shared, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.coalesce(F.col("shared"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("shared"), F.lit(0))),
+                6,
+            ),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+D_LSH_SQL = f"""
+WITH {_SHINGLE_CTE},
+hashed AS (SELECT doc_id, {_X32_SQL} AS x32 FROM shingle),
+sigs AS (
+  SELECT doc_id,
+         {_minhash_sql_terms()}
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band, h0::VARCHAR || '-' || h1::VARCHAR || '-' || h2::VARCHAR || '-' || h3::VARCHAR AS sig FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, h4::VARCHAR || '-' || h5::VARCHAR || '-' || h6::VARCHAR || '-' || h7::VARCHAR FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, h8::VARCHAR || '-' || h9::VARCHAR || '-' || h10::VARCHAR || '-' || h11::VARCHAR FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, h12::VARCHAR || '-' || h13::VARCHAR || '-' || h14::VARCHAR || '-' || h15::VARCHAR FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY 1),
+shared AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS shared
+  FROM shingle sa JOIN shingle sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT cand.doc_a, cand.doc_b,
+       round(CAST(coalesce(shared.shared, 0) AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - coalesce(shared.shared, 0)), 6) AS jaccard
+FROM cand
+LEFT JOIN shared ON shared.doc_a = cand.doc_a AND shared.doc_b = cand.doc_b
+JOIN sizes sa ON sa.doc_id = cand.doc_a
+JOIN sizes sb ON sb.doc_id = cand.doc_b
+"""
+
+
+# -------------------------------------------------------------- d_simhash
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (60-bit) per document over token hashes: per bit j, sum
+    ±1 across tokens (weighted by occurrence), bit set iff sum > 0.
+    """
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    tok = d.select("doc_id", F.explode("tokens").alias("token"))
+    tok = tok.withColumn(
+        "x", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    )
+    bits = tok.crossJoin(
+        spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("j"))
+    )
+    # shiftright/shiftleft Python wrappers need a literal shift count;
+    # the SQL forms accept a column.
+    per_bit = bits.groupBy("doc_id", "j").agg(
+        F.sum(
+            F.when(F.expr("shiftright(x, j) & 1") == 1, 1).otherwise(-1)
+        ).alias("s")
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+D_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) AS x FROM tok
+),
+per_bit AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+# -------------------------------------------------------- d_simhash_pairs
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance (popcount of XOR) <= 8.
+
+    At scale the all-pairs comparison is replaced by bucketing on
+    simhash chunks (same banding idea as LSH); the threshold query
+    pins the hamming semantics.
+    """
+    sig = d_simhash(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+D_SIMHASH_PAIRS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) AS x FROM tok
+),
+per_bit AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS j)
+  GROUP BY doc_id, j
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+  FROM per_bit GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+# ---------------------------------------------------------- s_cosine_topk
+def _cos_frames(spark, sf_dir):
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "label",
+    )
+    return e.withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    )
+
+
+def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 10).
+
+    Ranking key is (round(sim,6) DESC, vec_id ASC) in BOTH engines so
+    set membership is ulp-stable.  This is the exact baseline; the
+    banded/LSH variant is the scale path.
+    """
+    e = _cos_frames(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    pairs = q.crossJoin(e.select("vec_id", "v", "norm")).where(
+        F.col("vec_id") != F.col("qid")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    sim = pairs.withColumn("sim", F.round(dot / (F.col("qn") * F.col("norm")), 6))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("qid", F.col("vec_id").alias("neighbor"), "sim", "rank")
+    )
+
+
+S_COSINE_TOPK_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e
+),
+sims AS (
+  SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+         round(list_sum(list_transform(generate_series(1, 64),
+                                       i -> q.v[i] * c.v[i])) / (q.norm * c.norm), 6) AS sim
+  FROM n q JOIN n c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT qid, neighbor, sim, rank FROM (
+  SELECT qid, neighbor, sim,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor ASC) AS INTEGER) AS rank
+  FROM sims
+)
+WHERE rank <= 5
+"""
+
+
+# ------------------------------------------------------ s_cosine_nearpairs
+def s_cosine_nearpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= 0.35 (all-pairs exact)."""
+    e = _cos_frames(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
+    )
+    return (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .withColumn("sim", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .where(F.col("sim") >= 0.35)
+        .select("ida", "idb", "sim")
+    )
+
+
+S_COSINE_PAIRS_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e
+)
+SELECT a.vec_id AS ida, b.vec_id AS idb,
+       round(list_sum(list_transform(generate_series(1, 64),
+                                     i -> a.v[i] * b.v[i])) / (a.norm * b.norm), 6) AS sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(generate_series(1, 64),
+                                    i -> a.v[i] * b.v[i])) / (a.norm * b.norm), 6) >= 0.35
+"""
+
+
+# ---------------------------------------------------------- t_token_stats
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document, aggregated per (lang, source)."""
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    per_doc = d.select(
+        "lang",
+        "source",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_m"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.avg("n_chars_m"), 6).alias("avg_chars"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+T_TOKEN_STATS_SQL = f"""
+WITH per_doc AS (
+  SELECT lang, source,
+         CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_m
+  FROM documents
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       round(avg(n_tokens), 6) AS avg_tokens,
+       round(avg(n_chars_m), 6) AS avg_chars,
+       max(n_tokens) AS max_tokens
+FROM per_doc GROUP BY lang, source
+"""
+
+
+# ------------------------------------------------------------ t_lang_id
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language ID: per doc, count lexicon hits per
+    language; prediction = max hits (ties and no-hits → 'unknown' /
+    lexicographic first).  The n-gram heuristic of the mandate, with a
+    broadcast-join lexicon (the 100 TB shape: lexicon is a tiny dim).
+    """
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    tok = d.select("doc_id", "lang", F.explode("tokens").alias("token"))
+    lex = spark.createDataFrame(LANG_LEXICON, "token string, cand string")
+    hits = (
+        tok.join(F.broadcast(lex), "token")
+        .groupBy("doc_id", "lang", "cand")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand"))
+    best = hits.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        d.select("doc_id", "lang")
+        .join(best.select("doc_id", "cand", "hits"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("cand"), F.lit("unknown")).alias("predicted"),
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+        )
+    )
+
+
+_LEX_VALUES = ", ".join(f"('{t}', '{l}')" for t, l in LANG_LEXICON)
+
+T_LANG_ID_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS token FROM documents
+),
+lex(token, cand) AS (VALUES {_LEX_VALUES}),
+hits AS (
+  SELECT doc_id, lang, cand, count(*) AS hits
+  FROM tok JOIN lex USING (token)
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, cand, hits FROM (
+    SELECT doc_id, cand, hits,
+           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand ASC) AS rn
+    FROM hits
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, d.lang,
+       coalesce(best.cand, 'unknown') AS predicted,
+       coalesce(best.hits, 0) AS hits
+FROM documents d LEFT JOIN best ON best.doc_id = d.doc_id
+"""
+
+
+# ------------------------------------------------------------ t_quality
+def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword ratios + a combined
+    score — the heuristic-filter stage of a training-data pipeline.
+    """
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    n_char = F.length("text").cast("double")
+    n_punct = (F.length("text") - F.length(F.regexp_replace("text", r"[.!?,;:]", ""))).cast(
+        "double"
+    )
+    n_tok = F.size("tokens").cast("double")
+    stop = F.size(
+        F.filter("tokens", lambda t: t.isin([w for w, _ in LANG_LEXICON]))
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(n_punct / n_char, 6).alias("punct_ratio"),
+        F.round(stop / F.greatest(n_tok, F.lit(1.0)), 6).alias("stopword_ratio"),
+        F.round(n_char / F.greatest(n_tok, F.lit(1.0)), 6).alias("chars_per_token"),
+        F.round(
+            F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
+            + (stop / F.greatest(n_tok, F.lit(1.0))) * 0.5,
+            6,
+        ).alias("quality_score"),
+    )
+
+
+_STOPLIST_SQL = ", ".join(f"'{t}'" for t, _ in LANG_LEXICON)
+
+T_QUALITY_SQL = f"""
+SELECT doc_id, lang,
+       round(CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS punct_ratio,
+       round(CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ({_STOPLIST_SQL}))) AS DOUBLE)
+             / greatest(CAST(len({_TOKENS_SQL}) AS DOUBLE), 1.0), 6) AS stopword_ratio,
+       round(CAST(length(text) AS DOUBLE)
+             / greatest(CAST(len({_TOKENS_SQL}) AS DOUBLE), 1.0), 6) AS chars_per_token,
+       round(least(CAST(len({_TOKENS_SQL}) AS DOUBLE) / 100.0, 1.0) * 0.5
+             + CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ({_STOPLIST_SQL}))) AS DOUBLE)
+               / greatest(CAST(len({_TOKENS_SQL}) AS DOUBLE), 1.0) * 0.5, 6) AS quality_score
+FROM documents
+"""
+
+
+# ---------------------------------------------------------- t_fingerprint
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint over token hashes:
+    ``h = fold(tokens, (acc*31 + x32(token)) mod 1e9+7)`` — an
+    order-sensitive document fingerprint (vs order-free minhash).
+    """
+    P = 1_000_000_007
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    hashed = F.transform(
+        "tokens", lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    fp = F.aggregate(
+        hashed, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % F.lit(P)
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+T_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform({_TOKENS_SQL},
+                          t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007
+       ) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------- t_word_freq
+def t_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequencies: top 20 tokens (count desc, token asc)."""
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    return (
+        d.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+T_WORD_FREQ_SQL = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "d_exact_dedup": d_exact_dedup,
+    "d_jaccard_pairs": d_jaccard_pairs,
+    "d_minhash_sigs": d_minhash_sigs,
+    "d_lsh_pairs": d_lsh_pairs,
+    "d_simhash": d_simhash,
+    "d_simhash_pairs": d_simhash_pairs,
+    "s_cosine_topk": s_cosine_topk,
+    "s_cosine_nearpairs": s_cosine_nearpairs,
+    "t_token_stats": t_token_stats,
+    "t_lang_id": t_lang_id,
+    "t_quality": t_quality,
+    "t_fingerprint": t_fingerprint,
+    "t_word_freq": t_word_freq,
+}
+
+ORACLES = {
+    "d_exact_dedup": D_EXACT_SQL,
+    "d_jaccard_pairs": D_JACCARD_SQL,
+    "d_minhash_sigs": D_MINHASH_SQL,
+    "d_lsh_pairs": D_LSH_SQL,
+    "d_simhash": D_SIMHASH_SQL,
+    "d_simhash_pairs": D_SIMHASH_PAIRS_SQL,
+    "s_cosine_topk": S_COSINE_TOPK_SQL,
+    "s_cosine_nearpairs": S_COSINE_PAIRS_SQL,
+    "t_token_stats": T_TOKEN_STATS_SQL,
+    "t_lang_id": T_LANG_ID_SQL,
+    "t_quality": T_QUALITY_SQL,
+    "t_fingerprint": T_FINGERPRINT_SQL,
+    "t_word_freq": T_WORD_FREQ_SQL,
+}
