@@ -1,0 +1,211 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed by Arrow-batched Pandas UDFs over ``mapInPandas``.
+
+The mandate (BASELINE.json north_star): treat image/audio/video as
+``binary`` columns; make the Spark-side plumbing — schema, partitioning,
+UDF signature, batch shape — real and tested, while the actual codec
+calls are STUBBED (image/audio libraries are not in this container).
+
+Design: one ``media`` DataFrame
+
+    media_id BIGINT, kind STRING ('image'|'audio'|'video'),
+    payload BINARY, meta STRUCT<width INT, height INT,
+    sample_rate INT, duration_ms INT>
+
+and three operators, each a ``mapInPandas`` stage (Arrow batches, never
+per-row Python):
+
+- ``decode_media``     — payload → decoded dims + byte stats.  Real
+  decode is behind ``USE_REAL_CODECS`` (raises NotImplementedError);
+  the default deterministic fake derives stats from the bytes so tests
+  pin the full pipeline shape.
+- ``extract_features`` — payload → fixed-dim float vector (deterministic
+  byte-histogram features; swap point for a real encoder).
+- ``sample_frames``    — video payload → frame-offset rows (1:N
+  explode-shaped output), the frame-sampling stage.
+
+Scale notes: ``mapInPandas`` preserves partitioning — partition by
+``media_id`` bucket upstream and no shuffle is introduced; batch size
+rides ``spark.sql.execution.arrow.maxRecordsPerBatch``.  Feature
+vectors come back as ``array<float>`` ready for the §2C similarity ops.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+USE_REAL_CODECS = False  # flip when PIL/ffmpeg-style libs exist
+FEATURE_DIM = 16
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>"
+)
+
+DECODED_SCHEMA = (
+    "media_id bigint, kind string, n_bytes bigint, "
+    "width int, height int, checksum bigint"
+)
+
+FEATURES_SCHEMA = f"media_id bigint, kind string, features array<float>"
+
+FRAMES_SCHEMA = "media_id bigint, frame_idx int, byte_offset bigint"
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for an image/audio decoder: stats derived
+    purely from the payload bytes (stable across engines/runs)."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    n = int(arr.size)
+    return {
+        "n_bytes": n,
+        "width": int(arr[:16].sum()) % 1024 if n else 0,
+        "height": int(arr[-16:].sum()) % 1024 if n else 0,
+        "checksum": int(arr.astype(np.uint64).sum()),
+    }
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """payload → decoded stats. [stubbed codec; real plumbing]"""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if USE_REAL_CODECS:
+            raise NotImplementedError(
+                "real image/audio decode requires codec libraries not "
+                "present in this environment"
+            )
+        for pdf in batches:
+            stats = pdf["payload"].map(lambda p: _fake_decode(bytes(p)))
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": stats.map(lambda s: s["n_bytes"]),
+                    "width": stats.map(lambda s: s["width"]),
+                    "height": stats.map(lambda s: s["height"]),
+                    "checksum": stats.map(lambda s: s["checksum"]),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(fn, schema=DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """payload → FEATURE_DIM float vector (byte histogram, L1-normalized).
+
+    Deterministic fake encoder; the output column is a regular
+    ``array<float>`` embedding compatible with the similarity ops.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+                total = max(hist.sum(), 1)
+                feats.append((hist / total).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "features": feats}
+            )
+
+    return df.mapInPandas(fn, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """video payload → one row per sampled frame offset (1:N output).
+
+    Real frame extraction would seek keyframes; the deterministic fake
+    emits offsets every ``every_n_bytes`` so the explode-shaped batch
+    contract (input row → many output rows) is exercised for real.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                n = len(bytes(p))
+                for i, off in enumerate(range(0, n, every_n_bytes)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    offs.append(off)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "byte_offset": offs}
+            )
+
+    return df.where(F.col("kind") == "video").mapInPandas(fn, schema=FRAMES_SCHEMA)
+
+
+def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media table from ``documents`` (text bytes as payload)
+    so the multimodal pipeline has a runnable, deterministic input in
+    this container."""
+    from go_whisper_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+# Driver-contract entries (rows-only: mapInPandas is not SQL-expressible).
+def m_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(spark, sf_dir)
+    return (
+        decode_media(media)
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("checksum").alias("checksum_sum"),
+        )
+    )
+
+
+def m_feature_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(spark, sf_dir)
+    feats = extract_features(media)
+    l1 = F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double"))
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.round(F.avg(l1), 4).alias("avg_l1"),
+        F.lit(FEATURE_DIM).alias("dim"),
+    )
+
+
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(spark, sf_dir)
+    return sample_frames(media).groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("byte_offset").alias("last_offset"),
+    )
+
+
+QUERIES = {
+    "m_decode_stats": m_decode_stats,
+    "m_feature_norms": m_feature_norms,
+    "m_frame_sample": m_frame_sample,
+}
+
+# Rows-only checks: mapInPandas pipelines have no DuckDB-SQL equivalent.
+ORACLES: dict = {}

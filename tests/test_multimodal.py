@@ -1,0 +1,75 @@
+"""Multimodal plumbing tests: schema, batch shape, determinism of the
+Pandas-UDF pipelines (the codec itself is a documented stub)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_whisper_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", bytearray(b"\x01\x02\x03\x04" * 40), (4, 4, 0, 0)),
+        (2, "audio", bytearray(b"\xff\x00" * 100), (0, 0, 16000, 1000)),
+        (3, "video", bytearray(bytes(range(256))), (0, 0, 0, 5000)),
+        (4, "video", bytearray(b""), (0, 0, 0, 0)),
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_decode_schema_and_determinism(media):
+    out = mm.decode_media(media)
+    assert dict(out.dtypes) == {
+        "media_id": "bigint", "kind": "string", "n_bytes": "bigint",
+        "width": "int", "height": "int", "checksum": "bigint",
+    }
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows[1]["n_bytes"] == 160
+    assert rows[4]["n_bytes"] == 0
+    # deterministic across runs
+    again = {r["media_id"]: r for r in mm.decode_media(media).collect()}
+    assert {k: v.asDict() for k, v in rows.items()} == {
+        k: v.asDict() for k, v in again.items()
+    }
+
+
+def test_decode_real_codec_gate(media):
+    mm.USE_REAL_CODECS = True
+    try:
+        with pytest.raises(Exception) as ei:
+            mm.decode_media(media).collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )
+    finally:
+        mm.USE_REAL_CODECS = False
+
+
+def test_features_shape(media):
+    out = mm.extract_features(media).collect()
+    for r in out:
+        assert len(r["features"]) == mm.FEATURE_DIM
+        total = sum(r["features"])
+        if r["media_id"] != 4:
+            assert total == pytest.approx(1.0, abs=1e-3)  # L1-normalized
+
+
+def test_frame_sampling_one_to_many(media):
+    frames = mm.sample_frames(media, every_n_bytes=64).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # only video rows; id=3 has 256 bytes → offsets 0,64,128,192
+    assert set(by_id) == {3}
+    assert [f["byte_offset"] for f in sorted(by_id[3], key=lambda x: x["frame_idx"])] == [
+        0, 64, 128, 192,
+    ]
+
+
+def test_documents_as_media_pipeline(spark, sf_dir):
+    media = mm.documents_as_media(spark, sf_dir)
+    assert dict(media.dtypes)["payload"] == "binary"
+    stats = mm.m_decode_stats(spark, sf_dir).collect()
+    assert {r["kind"] for r in stats} == {"image", "audio", "video"}
+    assert all(r["total_bytes"] > 0 for r in stats)

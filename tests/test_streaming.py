@@ -1,0 +1,112 @@
+"""Streaming rollup tests (SURVEY.md §5.2 item 5).
+
+File-source micro-batches (one file per trigger so the watermark
+advances between batches) → tumbling-window LWW rollup; asserts
+(a) windows emit correct LWW values once the watermark passes,
+(b) points later than the lateness bound are dropped — the streaming
+analog of whisper's maxRetention rejection, (c) the xff gate filters
+under-filled windows.
+"""
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_whisper_spark.model import SeriesConfig
+from go_whisper_spark.streaming.rollup import streaming_rollup
+
+BASE = 1_700_000_000 - (1_700_000_000 % 3600)
+SCHEMA = "metric string, ts timestamp, value double, write_seq long"
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "metric string, ts_sec long, value double, write_seq long"
+    ).select("metric", F.timestamp_seconds("ts_sec").alias("ts"), "value", "write_seq")
+    df.coalesce(1).write.mode("append").parquet(path)
+    time.sleep(0.05)  # distinct mtimes → stable file-source ordering
+
+
+def _run(spark, src, cfg, out, checkpoint, **kwargs):
+    """One availableNow pass into a parquet sink; the checkpoint persists
+    the watermark so a later pass over new files sees the advanced
+    watermark (this is how a production incremental rollup runs, too)."""
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        streaming_rollup(stream, cfg, **kwargs)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return {
+        (r["metric"], r["interval"]): (r["value"], r["known"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+
+@pytest.fixture
+def srcdir(tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    yield src
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_streaming_lww_and_late_drop(spark, srcdir, tmp_path):
+    cfg = SeriesConfig.from_defs("60s:1h,300s:6h", "average", 0.0)
+    ckpt = str(tmp_path / "ckpt")
+    # Pass 1: LWW pair in slot BASE + a pusher that advances the
+    # watermark to BASE+7200-600 once the batch commits.
+    _write_batch(
+        spark,
+        srcdir,
+        [("m", BASE + 0, 1.0, 1), ("m", BASE + 30, 2.0, 2), ("m", BASE + 7200, 9.0, 3)],
+    )
+    got1 = _run(spark, srcdir, cfg, str(tmp_path / "out"), ckpt, archive_index=0, lateness_seconds=600)
+
+    # Pass 2 (same checkpoint → watermark persisted): a late write into
+    # slot BASE (behind the watermark → dropped) + a pusher past
+    # BASE+7260 so slot BASE+7200 flushes.
+    _write_batch(spark, srcdir, [("m", BASE + 31, 99.0, 9), ("m", BASE + 9000, 7.0, 10)])
+    got2 = _run(spark, srcdir, cfg, str(tmp_path / "out"), ckpt, archive_index=0, lateness_seconds=600)
+
+    got = {**got1, **got2}
+    # Slot BASE: LWW of seq 1,2 → 2.0; the late 99.0 (seq 9) was dropped.
+    assert got[("m", BASE)] == (2.0, 2)
+    assert got[("m", BASE + 7200)] == (9.0, 1)
+
+
+def test_streaming_xff_gate(spark, srcdir, tmp_path):
+    cfg = SeriesConfig.from_defs("60s:1h,300s:6h", "sum", 0.5)
+    ckpt = str(tmp_path / "ckpt")
+    # 5 fine slots per 300s window; xff 0.5 → need known/5 >= 0.5.
+    _write_batch(
+        spark,
+        srcdir,
+        [
+            ("a", BASE + 0, 1.0, 1),
+            ("a", BASE + 60, 2.0, 2),
+            ("a", BASE + 120, 3.0, 3),   # 3/5 → passes
+            ("b", BASE + 0, 5.0, 4),     # 1/5 → gated out
+            ("a", BASE + 7200, 1.0, 5),  # watermark pusher
+        ],
+    )
+    got1 = _run(
+        spark, srcdir, cfg, str(tmp_path / "out"), ckpt,
+        archive_index=1, lateness_seconds=600, expected_points_per_window=5,
+    )
+    _write_batch(spark, srcdir, [("a", BASE + 9000, 1.0, 6)])  # flush pusher
+    got2 = _run(
+        spark, srcdir, cfg, str(tmp_path / "out"), ckpt,
+        archive_index=1, lateness_seconds=600, expected_points_per_window=5,
+    )
+    got = {**got1, **got2}
+    assert got[("a", BASE)] == (6.0, 3)
+    assert ("b", BASE) not in got
