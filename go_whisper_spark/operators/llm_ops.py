@@ -521,6 +521,93 @@ WHERE round(list_sum(list_transform(generate_series(1, 64),
 """
 
 
+# ------------------------------------------------------------ s_cosine_ann
+# Random-hyperplane LSH: 4 seeded hyperplanes → 16 buckets; queries only
+# scan their own bucket.  This is the IVF/LSH scale path of the
+# brute-force s_cosine_topk baseline: at 100 TB the bucket id is the
+# shuffle key and each query touches ~1/16 of the corpus.
+N_PLANES = 4
+_prng = random.Random(0xA11CE)
+HYPERPLANES = [
+    [round(_prng.gauss(0.0, 1.0), 8) for _ in range(64)] for _ in range(N_PLANES)
+]
+
+
+def _bucket_expr_spark():
+    total = F.lit(0)
+    for i, plane in enumerate(HYPERPLANES):
+        arr = F.array(*[F.lit(float(c)) for c in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), arr, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        )
+        total = total + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return total
+
+
+def _bucket_expr_sql():
+    terms = []
+    for i, plane in enumerate(HYPERPLANES):
+        lit = "[" + ", ".join(repr(float(c)) for c in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+            f"i -> v[i] * ({lit}::DOUBLE[])[i])) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def s_cosine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-3 neighbors for queries (vec_id < 50):
+    candidates restricted to the query's hyperplane-sign bucket."""
+    e = _cos_frames(spark, sf_dir).withColumn("bucket", _bucket_expr_spark())
+    q = e.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.col("bucket").alias("qb"),
+    )
+    cand = e.select("vec_id", "v", "norm", "bucket")
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    sims = (
+        q.join(cand, (F.col("qb") == F.col("bucket")) & (F.col("vec_id") != F.col("qid")))
+        .withColumn("sim", F.round(dot / (F.col("qn") * F.col("norm")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("qid", F.col("vec_id").alias("neighbor"), "sim", "rank")
+    )
+
+
+def _s_cosine_ann_sql():
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+b AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+         {_bucket_expr_sql()} AS bucket
+  FROM e
+),
+sims AS (
+  SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+         round(list_sum(list_transform(generate_series(1, 64),
+                                       i -> q.v[i] * c.v[i])) / (q.norm * c.norm), 6) AS sim
+  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+  WHERE q.vec_id < 50
+)
+SELECT qid, neighbor, sim, rank FROM (
+  SELECT qid, neighbor, sim,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor ASC) AS INTEGER) AS rank
+  FROM sims
+)
+WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------- t_token_stats
 def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per document, aggregated per (lang, source)."""
@@ -717,6 +804,7 @@ QUERIES = {
     "d_simhash_pairs": d_simhash_pairs,
     "s_cosine_topk": s_cosine_topk,
     "s_cosine_nearpairs": s_cosine_nearpairs,
+    "s_cosine_ann": s_cosine_ann,
     "t_token_stats": t_token_stats,
     "t_lang_id": t_lang_id,
     "t_quality": t_quality,
@@ -733,6 +821,7 @@ ORACLES = {
     "d_simhash_pairs": D_SIMHASH_PAIRS_SQL,
     "s_cosine_topk": S_COSINE_TOPK_SQL,
     "s_cosine_nearpairs": S_COSINE_PAIRS_SQL,
+    "s_cosine_ann": _s_cosine_ann_sql(),
     "t_token_stats": T_TOKEN_STATS_SQL,
     "t_lang_id": T_LANG_ID_SQL,
     "t_quality": T_QUALITY_SQL,

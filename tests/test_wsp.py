@@ -1,0 +1,99 @@
+""".wsp compat source tests: byte-layout round-trip through the
+binaryFile + mapInPandas reader (SURVEY.md §2A #13, §7.8)."""
+
+import os
+import struct
+
+import pytest
+
+from go_whisper_spark.model import SeriesConfig
+from go_whisper_spark.sources.wsp import (
+    METADATA_SIZE,
+    ARCHIVE_SIZE,
+    POINT_SIZE,
+    create_wsp,
+    read_wsp,
+    read_wsp_headers,
+    wsp_update_many,
+)
+
+NOW = 1_700_000_000 - (1_700_000_000 % 60)
+
+
+@pytest.fixture
+def wsp_tree(tmp_path):
+    root = str(tmp_path / "whisper")
+    os.makedirs(os.path.join(root, "servers", "web1"), exist_ok=True)
+    cfg = SeriesConfig.from_defs("60s:1h,300s:6h", "sum", 0.5)
+    p1 = os.path.join(root, "servers", "web1", "cpu.wsp")
+    p2 = os.path.join(root, "mem.wsp")
+    create_wsp(p1, cfg)
+    create_wsp(p2, cfg)
+    wsp_update_many(p1, [(NOW - 120, 1.5), (NOW - 60, 2.5), (NOW - 61, 9.9)], NOW)
+    wsp_update_many(p2, [(NOW - 300, 7.0)], NOW)
+    return root, cfg
+
+
+def test_file_layout_exact(wsp_tree):
+    root, cfg = wsp_tree
+    p = os.path.join(root, "mem.wsp")
+    size = os.path.getsize(p)
+    expected = (
+        METADATA_SIZE
+        + ARCHIVE_SIZE * 2
+        + (cfg.retentions[0].points + cfg.retentions[1].points) * POINT_SIZE
+    )
+    assert size == expected
+    with open(p, "rb") as f:
+        agg, max_ret, xff, n_arch = struct.unpack(">LLfL", f.read(16))
+    assert (agg, max_ret, n_arch) == (2, 6 * 3600, 2)  # Sum=2
+    assert xff == pytest.approx(0.5)
+
+
+def test_read_wsp_points(spark, wsp_tree):
+    root, _ = wsp_tree
+    df = read_wsp(spark, root, root=root).cache()
+    rows = {
+        (r["metric"], r["interval"]): (r["value"], r["archive_id"])
+        for r in df.collect()
+    }
+    # LWW within the NOW-120 slot: 9.9 (ts NOW-61 → slot NOW-120) overwrote 1.5.
+    assert rows[("servers.web1.cpu", NOW - 120)] == (9.9, 0)
+    assert rows[("servers.web1.cpu", NOW - 60)] == (2.5, 0)
+    assert rows[("mem", NOW - 300)][0] == 7.0
+    # zero-interval (never-written) slots excluded
+    assert df.count() == 3
+
+
+def test_read_wsp_headers(spark, wsp_tree):
+    root, _ = wsp_tree
+    hdr = {r["metric"]: r for r in read_wsp_headers(spark, root, root=root).collect()}
+    assert hdr["mem"]["aggregation_method"] == "sum"
+    assert hdr["mem"]["max_retention"] == 6 * 3600
+    assert hdr["mem"]["n_archives"] == 2
+    assert hdr["servers.web1.cpu"]["x_files_factor"] == pytest.approx(0.5)
+
+
+def test_wsp_to_engine_roundtrip(spark, wsp_tree):
+    """Ingest .wsp points into the Spark engine and fetch."""
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.engine import WhisperEngine
+    from go_whisper_spark.model import SeriesConfig
+
+    root, cfg = wsp_tree
+    pts = (
+        read_wsp(spark, root, root=root)
+        .where(F.col("archive_id") == 0)
+        .select(
+            "metric",
+            F.col("interval").alias("ts"),
+            "value",
+            F.col("interval").alias("write_seq"),
+        )
+    )
+    eng = WhisperEngine(spark, cfg)
+    eng.update_many(pts, NOW)
+    res = eng.fetch(NOW - 300, NOW, NOW, metrics=["servers.web1.cpu"])
+    vals = [r["value"] for r in res.frame.orderBy("interval").collect()]
+    assert vals == [None, None, 9.9, 2.5, None]
