@@ -1,0 +1,138 @@
+"""Materialized archive storage + retention reaper.
+
+The reference's fixed-size ring gives it free expiry: new laps
+overwrite old epochs [ref: whisper.go (ring offset math)].  Columnar
+storage replaces that with:
+
+- **layout**: one parquet table per archive, partitioned by
+  ``day = date(interval)`` — so retention enforcement and time-range
+  fetches are partition PRUNING, not data rewrites;
+- **reaper**: drop whole partition directories older than the
+  archive's retention [SURVEY.md §4 custom #5].  Dropping a partition
+  is an O(1) filesystem/metastore operation per day — the 100 TB
+  equivalent of the ring lap.
+
+``MaterializedRollups`` is the archive-router face of the store: fetch
+picks the coarsest sufficient archive table (materialized-view routing,
+[SURVEY.md §4]) and gap-fills densely, reading only pruned partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime, timezone
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_whisper_spark.engine import WhisperEngine, FetchResult
+from go_whisper_spark.functions.bucketing import fetch_bounds
+from go_whisper_spark.model import SeriesConfig
+
+
+def archive_path(base: str, archive_index: int) -> str:
+    return os.path.join(base, f"archive={archive_index}")
+
+
+def write_archives(engine: WhisperEngine, base: str, now: int) -> List[str]:
+    """Materialize every archive level as a day-partitioned parquet table."""
+    paths = []
+    for i in range(len(engine.config.retentions)):
+        frame = engine.archive_frame(i, now).withColumn(
+            "day", F.to_date(F.timestamp_seconds(F.col("interval")))
+        )
+        path = archive_path(base, i)
+        (
+            frame.repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
+        paths.append(path)
+    return paths
+
+
+def reap(base: str, config: SeriesConfig, now: int) -> List[str]:
+    """Drop day-partitions entirely older than each archive's retention.
+
+    A day partition is reaped only when its *entire* day lies before the
+    cutoff (conservative: day end < now - retention).  Returns removed
+    partition dirs.  Driver-side filesystem metadata work only — never
+    touches row data.
+    """
+    removed = []
+    for i, r in enumerate(config.retentions):
+        cutoff = now - r.retention
+        path = archive_path(base, i)
+        if not os.path.isdir(path):
+            continue
+        for entry in sorted(os.listdir(path)):
+            if not entry.startswith("day="):
+                continue
+            day = datetime.strptime(entry[4:], "%Y-%m-%d").replace(tzinfo=timezone.utc)
+            day_end = int(day.timestamp()) + 86400
+            if day_end <= cutoff:
+                shutil.rmtree(os.path.join(path, entry))
+                removed.append(os.path.join(path, entry))
+    return removed
+
+
+class MaterializedRollups:
+    """Read-side facade over a written archive store: router + gap-fill.
+
+    The fetch path never recomputes rollups — it scans the one archive
+    table the from-age routes to, with day-partition pruning doing the
+    ring-offset's job.
+    """
+
+    def __init__(self, spark: SparkSession, base: str, config: SeriesConfig):
+        self.spark = spark
+        self.base = base
+        self.config = config
+
+    def archive(self, archive_index: int) -> DataFrame:
+        return self.spark.read.parquet(archive_path(self.base, archive_index))
+
+    def fetch(
+        self,
+        from_time: int,
+        until_time: int,
+        now: int,
+        metrics: Optional[List[str]] = None,
+    ) -> FetchResult:
+        cfg = self.config
+        oldest = now - cfg.max_retention
+        from_time = max(from_time, oldest)
+        until_time = min(until_time, now)
+        idx = cfg.archive_for_fetch(now - from_time)
+        step = cfg.retentions[idx].seconds_per_point
+        from_iv, until_iv = fetch_bounds(from_time, until_time, step)
+
+        # day predicate → partition pruning on the scan
+        day_lo = F.to_date(F.timestamp_seconds(F.lit(from_iv)))
+        day_hi = F.to_date(F.timestamp_seconds(F.lit(until_iv)))
+        arch = self.archive(idx).where(
+            (F.col("day") >= day_lo)
+            & (F.col("day") <= day_hi)
+            & (F.col("interval") >= F.lit(from_iv))
+            & (F.col("interval") < F.lit(until_iv))
+        )
+        if metrics is not None:
+            arch = arch.where(F.col("metric").isin(metrics))
+            metric_dim = self.spark.createDataFrame(
+                [(m,) for m in metrics], "metric string"
+            )
+        else:
+            metric_dim = arch.select("metric").distinct()
+        spine = metric_dim.select(
+            "metric",
+            F.explode(
+                F.sequence(F.lit(from_iv), F.lit(until_iv - step), F.lit(step))
+            ).alias("interval"),
+        )
+        dense = spine.join(
+            arch.select("metric", "interval", "value"), ["metric", "interval"], "left"
+        )
+        return FetchResult(from_iv, until_iv, step, dense)

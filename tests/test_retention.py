@@ -1,0 +1,84 @@
+"""Storage layout + reaper tests: day-partitioned archives, partition
+pruning on fetch, and O(1) partition-drop expiry."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_whisper_spark.engine import WhisperEngine
+from go_whisper_spark.model import SeriesConfig
+from go_whisper_spark.retention import (
+    MaterializedRollups,
+    archive_path,
+    reap,
+    write_archives,
+)
+
+DAY = 86400
+NOW = 1_700_000_000 - (1_700_000_000 % DAY)  # midnight-aligned
+PTS_SCHEMA = "metric string, ts long, value double, write_seq long"
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    cfg = SeriesConfig.from_defs("1h:2d,6h:10d", "sum", 0.0)
+    eng = WhisperEngine(spark, cfg)
+    rows = []
+    for d in range(9):  # nine days of hourly points
+        for h in range(0, 24, 2):
+            ts = NOW - d * DAY + h * 3600
+            if ts <= NOW:
+                rows.append(("m", ts, 1.0, ts))
+    eng.update_many(spark.createDataFrame(rows, PTS_SCHEMA), NOW)
+    base = str(tmp_path / "store")
+    write_archives(eng, base, NOW)
+    return base, cfg
+
+
+def test_layout_day_partitions(store):
+    base, cfg = store
+    for i in range(2):
+        p = archive_path(base, i)
+        days = [e for e in os.listdir(p) if e.startswith("day=")]
+        assert days, f"archive {i} has no day partitions"
+    # archive 0 keeps only 2d of data → at most 3 day dirs
+    a0_days = [e for e in os.listdir(archive_path(base, 0)) if e.startswith("day=")]
+    assert len(a0_days) <= 3
+
+
+def test_store_fetch_routes_and_prunes(spark, store):
+    base, cfg = store
+    mr = MaterializedRollups(spark, base, cfg)
+    res = mr.fetch(NOW - DAY, NOW, NOW, metrics=["m"])
+    assert res.step == 3600
+    vals = [r["value"] for r in res.frame.orderBy("interval").collect()]
+    assert len(vals) == 24
+    assert sum(v is not None for v in vals) == 12  # every-2h fill
+    # partition filters reach the scan
+    plan = res.frame._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    res2 = mr.fetch(NOW - 5 * DAY, NOW, NOW, metrics=["m"])
+    assert res2.step == 6 * 3600  # routed to coarse archive
+
+
+def test_reaper_drops_old_partitions(spark, store):
+    base, cfg = store
+    a0 = archive_path(base, 0)
+    before = sorted(e for e in os.listdir(a0) if e.startswith("day="))
+    # advance one day: archive 0 (2d retention) loses exactly its oldest day
+    later = NOW + DAY
+    removed = reap(base, cfg, later)
+    assert removed and all("archive=0" in p for p in removed)
+    after = sorted(e for e in os.listdir(a0) if e.startswith("day="))
+    assert after == before[1:]
+    # table still readable after the partition drop
+    df = spark.read.parquet(a0)
+    assert df.count() > 0
+    assert set(str(r["day"]) for r in df.select("day").distinct().collect()) == {
+        e[4:] for e in after
+    }
+    # archive 1 (10d retention) untouched at +1d
+    a1_days = [e for e in os.listdir(archive_path(base, 1)) if e.startswith("day=")]
+    assert a1_days
