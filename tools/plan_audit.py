@@ -1,0 +1,79 @@
+"""Physical-plan audit: verify each headline query compiles to the plan
+we want at scale — filters pushed to scans, pruned read schemas, dim
+joins broadcast, aggregates partial (map-side combine), whole-stage
+codegen coverage.
+
+Usage: python tools/plan_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+CHECKS = {
+    "r_q1_pricing": dict(
+        require=["PushedFilters: [IsNotNull(l_shipdate)", "partial_sum"],
+        forbid=["CartesianProduct"],
+        pruned=8,  # ReadSchema column budget (lineitem has 11)
+    ),
+    "r_q3_revenue": dict(require=["BroadcastHashJoin", "PushedFilters"], forbid=["CartesianProduct"]),
+    "r_q5_nation_rev": dict(require=["BroadcastHashJoin"], forbid=["SortMergeJoin"]),
+    "w_lww_1h": dict(require=["partial_max_by"], forbid=["CartesianProduct"]),
+    "w_fetch_dense_3d": dict(require=["partial_max_by"], forbid=["CartesianProduct"]),
+    "s_cosine_topk": dict(require=[], forbid=[]),
+    "d_lsh_pairs": dict(require=["partial_min"], forbid=["CartesianProduct"]),
+    "t_quality": dict(require=[], forbid=["Exchange"]),  # pure narrow map
+}
+
+
+def main():
+    import __spark_entry__ as e
+    from go_whisper_spark.session import get_spark
+
+    spark = get_spark("plan_audit", cpus=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+    only = set(sys.argv[1:])
+    bad = 0
+    for name, spec in CHECKS.items():
+        if only and name not in only:
+            continue
+        df = qs[name](spark, SF_DIR)
+        qe = df._jdf.queryExecution()
+        text = qe.explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        problems = []
+        for r in spec.get("require", []):
+            if r not in text:
+                problems.append(f"missing: {r}")
+        for f in spec.get("forbid", []):
+            if f in text:
+                problems.append(f"present: {f}")
+        max_cols = spec.get("pruned")
+        if max_cols:
+            m = re.search(r"ReadSchema: struct<([^>]*)>", text)
+            if m:
+                ncols = m.group(1).count(":")
+                if ncols > max_cols:
+                    problems.append(f"scan reads {ncols} cols (> {max_cols})")
+        n_codegen = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", text)))
+        status = "OK" if not problems else "ISSUES"
+        print(f"{name}: {status}  codegen_spans={n_codegen}")
+        for p in problems:
+            print(f"    - {p}")
+        if problems:
+            bad += 1
+            if only:
+                print(text[:4000])
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
