@@ -645,58 +645,68 @@ FROM per_doc GROUP BY lang, source
 
 
 # ------------------------------------------------------------ t_lang_id
+def _langs_sorted():
+    return sorted({lang for _, lang in LANG_LEXICON})
+
+
 def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-lexicon language ID: per doc, count lexicon hits per
-    language; prediction = max hits (ties and no-hits → 'unknown' /
-    lexicographic first).  The n-gram heuristic of the mandate, with a
-    broadcast-join lexicon (the 100 TB shape: lexicon is a tiny dim).
+    language; prediction = max hits, ties broken alphabetically, zero
+    hits → 'unknown'.
+
+    Implemented as a narrow per-row map — ``size(filter(tokens, ...))``
+    per language — with NO explode/join/shuffle: at 100 TB this runs
+    entirely inside whole-stage codegen over the scan.  (The first cut
+    exploded 60 tokens/doc and broadcast-joined a lexicon: correct, but
+    a shuffle of |tokens| rows for what a narrow map can do.)
     """
     d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
-    tok = d.select("doc_id", "lang", F.explode("tokens").alias("token"))
-    lex = spark.createDataFrame(LANG_LEXICON, "token string, cand string")
-    hits = (
-        tok.join(F.broadcast(lex), "token")
-        .groupBy("doc_id", "lang", "cand")
-        .agg(F.count("*").alias("hits"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand"))
-    best = hits.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    return (
-        d.select("doc_id", "lang")
-        .join(best.select("doc_id", "cand", "hits"), "doc_id", "left")
-        .select(
-            "doc_id",
-            "lang",
-            F.coalesce(F.col("cand"), F.lit("unknown")).alias("predicted"),
-            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+    langs = _langs_sorted()
+    hit_cols = []
+    for lang in langs:
+        words = [w for w, l in LANG_LEXICON if l == lang]
+        hit_cols.append(
+            F.size(F.filter("tokens", lambda t: t.isin(words))).cast("long").alias(f"hits_{lang}")
         )
+    d = d.select("doc_id", "lang", *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    predicted = F.lit("unknown")
+    # alphabetically-first max: build the CASE from last lang to first
+    for lang in reversed(langs):
+        predicted = F.when(F.col(f"hits_{lang}") == best, F.lit(lang)).otherwise(predicted)
+    predicted = F.when(best > 0, predicted).otherwise(F.lit("unknown"))
+    return d.select(
+        "doc_id", "lang", predicted.alias("predicted"), best.alias("hits")
     )
 
 
-_LEX_VALUES = ", ".join(f"('{t}', '{l}')" for t, l in LANG_LEXICON)
-
-T_LANG_ID_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS token FROM documents
-),
-lex(token, cand) AS (VALUES {_LEX_VALUES}),
-hits AS (
-  SELECT doc_id, lang, cand, count(*) AS hits
-  FROM tok JOIN lex USING (token)
-  GROUP BY 1, 2, 3
-),
-best AS (
-  SELECT doc_id, cand, hits FROM (
-    SELECT doc_id, cand, hits,
-           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand ASC) AS rn
-    FROM hits
-  ) WHERE rn = 1
+def _t_lang_id_sql():
+    langs = _langs_sorted()
+    hit_defs = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w, l in LANG_LEXICON if l == lang)
+        hit_defs.append(
+            f"CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ({words}))) AS BIGINT) AS hits_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    cases = "\n         ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang, {", ".join(hit_defs)}
+  FROM documents
 )
-SELECT d.doc_id, d.lang,
-       coalesce(best.cand, 'unknown') AS predicted,
-       coalesce(best.hits, 0) AS hits
-FROM documents d LEFT JOIN best ON best.doc_id = d.doc_id
+SELECT doc_id, lang,
+       CASE WHEN {best} = 0 THEN 'unknown'
+         {cases}
+         ELSE 'unknown' END AS predicted,
+       {best} AS hits
+FROM h
 """
+
+
+T_LANG_ID_SQL = _t_lang_id_sql()
 
 
 # ------------------------------------------------------------ t_quality

@@ -333,8 +333,34 @@ GROUP BY metric
 """
 
 
+# ------------------------------------------------------------ w_derivative
+def w_derivative_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graphite ``derivative()`` analog: per-metric delta between
+    consecutive 1h LWW slots (counter-rate over the fetched series).
+    Window ordered by interval (unique per metric) — deterministic.
+    """
+    from pyspark.sql import Window
+
+    lww = _lww(_points(spark, sf_dir), HOUR)
+    w = Window.partitionBy("metric").orderBy("interval")
+    return lww.select(
+        "metric",
+        "interval",
+        F.round(F.col("value") - F.lag("value", 1).over(w), 6).alias("delta"),
+    )
+
+
+W_DERIVATIVE_1H_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       round(value - lag(value, 1) OVER (PARTITION BY metric ORDER BY interval), 6) AS delta
+FROM lww1h
+"""
+
+
 QUERIES = {
     "w_lww_1h": w_lww_1h,
+    "w_derivative_1h": w_derivative_1h,
     "w_rollup_6h": w_rollup_6h,
     "w_cascade_1d": w_cascade_1d,
     "w_agg_methods_1d": w_agg_methods_1d,
@@ -345,6 +371,7 @@ QUERIES = {
 
 ORACLES = {
     "w_lww_1h": W_LWW_1H_SQL,
+    "w_derivative_1h": W_DERIVATIVE_1H_SQL,
     "w_rollup_6h": W_ROLLUP_6H_SQL,
     "w_cascade_1d": W_CASCADE_1D_SQL,
     "w_agg_methods_1d": W_AGG_METHODS_1D_SQL,
