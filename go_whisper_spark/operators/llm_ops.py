@@ -263,7 +263,14 @@ def d_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Verify candidates with exact Jaccard over shingle sets.
+    # Verify candidates with exact Jaccard over shingle sets.  The
+    # shared-count join deliberately does NOT depend on `cand`: keeping
+    # the subtree independent lets Spark reuse the shingle exchange
+    # across sigs/sizes/shared (ReusedExchange) instead of re-running
+    # the signature pipeline per reference.  (In a persisted production
+    # pipeline you would materialize `cand` and semi-join shingles to
+    # candidate docs before verifying; measured here, the semi-join
+    # variant recomputes candidate generation 3x and is 2x slower.)
     sh = _shingles_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a2, b2 = sh.alias("sa"), sh.alias("sb")
