@@ -790,6 +790,60 @@ FROM documents
 """
 
 
+# ------------------------------------------------------------ t_tfidf
+def t_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, token); top-3 terms per doc ranked by
+    (round(tfidf,6) DESC, token ASC).  idf = ln(N / df) with exact
+    integer N/df — the HashingTF+IDF pipeline expressed relationally
+    (shuffle keys: token for df, doc_id for the final rank).
+    """
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    tok = d.select("doc_id", F.explode("tokens").alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = d.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
+T_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (
+  SELECT token, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token
+),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (token), n
+)
+SELECT doc_id, token, tf, df, tfidf, rank FROM (
+  SELECT doc_id, token, tf, df, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------- t_word_freq
 def t_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus word frequencies: top 20 tokens (count desc, token asc)."""
@@ -826,6 +880,7 @@ QUERIES = {
     "t_lang_id": t_lang_id,
     "t_quality": t_quality,
     "t_fingerprint": t_fingerprint,
+    "t_tfidf_top3": t_tfidf_top3,
     "t_word_freq": t_word_freq,
 }
 
@@ -843,5 +898,6 @@ ORACLES = {
     "t_lang_id": T_LANG_ID_SQL,
     "t_quality": T_QUALITY_SQL,
     "t_fingerprint": T_FINGERPRINT_SQL,
+    "t_tfidf_top3": T_TFIDF_SQL,
     "t_word_freq": T_WORD_FREQ_SQL,
 }

@@ -396,8 +396,34 @@ GROUP BY 1, 2
 """
 
 
+# -------------------------------------------------------------- r_pivot
+def r_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: linestatus values become columns (conditional-agg shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+        .select(
+            "l_returnflag",
+            F.round(F.col("O"), 4).alias("qty_open"),
+            F.round(F.col("F"), 4).alias("qty_filled"),
+        )
+    )
+
+
+R_PIVOT_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "r_q1_pricing": r_q1_pricing,
+    "r_pivot": r_pivot,
     "r_q3_revenue": r_q3_revenue,
     "r_q5_nation_rev": r_q5_nation_rev,
     "r_topk_orders": r_topk_orders,
@@ -413,6 +439,7 @@ QUERIES = {
 
 ORACLES = {
     "r_q1_pricing": R_Q1_SQL,
+    "r_pivot": R_PIVOT_SQL,
     "r_q3_revenue": R_Q3_SQL,
     "r_q5_nation_rev": R_Q5_SQL,
     "r_topk_orders": R_TOPK_SQL,

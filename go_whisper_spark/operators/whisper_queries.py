@@ -358,9 +358,52 @@ FROM lww1h
 """
 
 
+# ---------------------------------------------------------- w_sliding
+def w_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (1h width, 30m slide) over raw points —
+    the batch shape of Spark's sliding ``F.window``: each point lands in
+    width/slide = 2 windows (explode over slide offsets, then a normal
+    partial-aggregating groupBy).
+    """
+    pts = _points(spark, sf_dir)
+    slide, width = 1800, 3600
+    exploded = pts.select(
+        "metric",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(width // slide - 1))).alias("k"),
+        F.col("ts"),
+    ).withColumn(
+        "win_start",
+        ((F.col("ts") - F.col("k") * slide) - (F.col("ts") - F.col("k") * slide) % slide).cast("long"),
+    )
+    return (
+        exploded.groupBy("metric", "win_start")
+        .agg(
+            F.count("value").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+W_SLIDING_SQL = f"""
+WITH {PTS_CTE},
+exploded AS (
+  SELECT metric, value, k,
+         (ts_sec - k * 1800) - (ts_sec - k * 1800) % 1800 AS win_start
+  FROM pts, (SELECT unnest(generate_series(0, 1)) AS k)
+)
+SELECT metric, win_start,
+       count(value) AS n,
+       round(avg(value), 6) AS avg_value
+FROM exploded
+GROUP BY metric, win_start
+"""
+
+
 QUERIES = {
     "w_lww_1h": w_lww_1h,
     "w_derivative_1h": w_derivative_1h,
+    "w_sliding_1h_30m": w_sliding_1h_30m,
     "w_rollup_6h": w_rollup_6h,
     "w_cascade_1d": w_cascade_1d,
     "w_agg_methods_1d": w_agg_methods_1d,
@@ -372,6 +415,7 @@ QUERIES = {
 ORACLES = {
     "w_lww_1h": W_LWW_1H_SQL,
     "w_derivative_1h": W_DERIVATIVE_1H_SQL,
+    "w_sliding_1h_30m": W_SLIDING_SQL,
     "w_rollup_6h": W_ROLLUP_6H_SQL,
     "w_cascade_1d": W_CASCADE_1D_SQL,
     "w_agg_methods_1d": W_AGG_METHODS_1D_SQL,
