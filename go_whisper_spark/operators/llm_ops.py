@@ -239,19 +239,21 @@ def d_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sigs = d_minhash_sigs(spark, sf_dir)
     rows_per_band = N_MINHASH // N_BANDS
-    bands = []
+    # Explode to (doc_id, band, sig) rows in ONE pass over the signature
+    # pipeline — a 4-way union would re-evaluate the shingle+minhash
+    # subtree once per band.
+    band_structs = []
     for band in range(N_BANDS):
         cols = [f"h{band * rows_per_band + r}" for r in range(rows_per_band)]
-        bands.append(
-            sigs.select(
-                "doc_id",
+        band_structs.append(
+            F.struct(
                 F.lit(band).alias("band"),
                 F.concat_ws("-", *[F.col(c).cast("string") for c in cols]).alias("sig"),
             )
         )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a, bb = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
