@@ -237,7 +237,13 @@ def d_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard.  This is the 100 TB dedup path: the only join key is the
     band signature, so work scales with bucket sizes, not |docs|².
     """
-    sigs = d_minhash_sigs(spark, sf_dir)
+    # Signature + shingle-set-size in ONE aggregate: n_sh rides the same
+    # groupBy(doc_id) shuffle as the 16 mins, so verification needs no
+    # second shingle pass for sizes.
+    sh0 = _shingles_df(spark, sf_dir).withColumn("x32", _x32(F.col("sh")))
+    sigs = sh0.groupBy("doc_id").agg(
+        *_minhash_aggs(), F.count("*").alias("n_sh")
+    )
     rows_per_band = N_MINHASH // N_BANDS
     # Explode to (doc_id, band, sig) rows in ONE pass over the signature
     # pipeline — a 4-way union would re-evaluate the shingle+minhash
@@ -274,7 +280,7 @@ def d_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate docs before verifying; measured here, the semi-join
     # variant recomputes candidate generation 3x and is 2x slower.)
     sh = _shingles_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes = sigs.select("doc_id", "n_sh")
     a2, b2 = sh.alias("sa"), sh.alias("sb")
     shared = (
         a2.join(b2, (F.col("sa.sh") == F.col("sb.sh")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
