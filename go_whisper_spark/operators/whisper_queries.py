@@ -400,10 +400,108 @@ GROUP BY metric, win_start
 """
 
 
+# ---------------------------------------------------------- w_percentiles
+def w_percentiles_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graphite percentileOfSeries analog: exact interpolated p50/p95
+    per metric per day (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    parity verified).  At scale: exact percentile shuffles values per
+    group; the approximate path is ``approx_percentile`` (engine-
+    specific sketch, so the exact form is the oracle-checked one).
+    """
+    pts = _points(spark, sf_dir)
+    return (
+        pts.withColumn("interval", (F.col("ts") - F.col("ts") % F.lit(DAY)).cast("long"))
+        .groupBy("metric", "interval")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.count("value").alias("n"),
+        )
+    )
+
+
+W_PERCENTILES_SQL = f"""
+WITH {PTS_CTE}
+SELECT metric,
+       ts_sec - ts_sec % 86400 AS interval,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       count(value) AS n
+FROM pts
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------- w_sessionize
+def w_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30m inactivity) per user — the batch
+    form of a session window: new-session flag via lag, session id via
+    running sum, then per-session rollup.  Shuffle key: user_id.
+    """
+    from pyspark.sql import Window
+
+    from go_whisper_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts_sec").alias("ts"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts") - F.lag("ts", 1).over(w)) > F.lit(1800), 1
+        ).otherwise(F.when(F.lag("ts", 1).over(w).isNull(), 1).otherwise(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            (F.max("ts") - F.min("ts")).alias("duration_s"),
+        )
+    )
+
+
+W_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000000000 AS ts, event_id FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts, 1) OVER w IS NULL THEN 1
+              WHEN ts - lag(ts, 1) OVER w > 1800 THEN 1
+              ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       max(ts) - min(ts) AS duration_s
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
 QUERIES = {
     "w_lww_1h": w_lww_1h,
     "w_derivative_1h": w_derivative_1h,
     "w_sliding_1h_30m": w_sliding_1h_30m,
+    "w_percentiles_1d": w_percentiles_1d,
+    "w_sessionize_30m": w_sessionize_30m,
     "w_rollup_6h": w_rollup_6h,
     "w_cascade_1d": w_cascade_1d,
     "w_agg_methods_1d": w_agg_methods_1d,
@@ -422,4 +520,6 @@ ORACLES = {
     "w_fetch_dense_3d": W_FETCH_DENSE_3D_SQL,
     "w_fetch_coarse_30d": W_FETCH_COARSE_30D_SQL,
     "w_retention_7d": W_RETENTION_7D_SQL,
+    "w_percentiles_1d": W_PERCENTILES_SQL,
+    "w_sessionize_30m": W_SESSIONIZE_SQL,
 }
