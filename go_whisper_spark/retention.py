@@ -79,6 +79,39 @@ def reap(base: str, config: SeriesConfig, now: int) -> List[str]:
     return removed
 
 
+def write_archives_bucketed(
+    engine: WhisperEngine,
+    table_prefix: str,
+    base: str,
+    now: int,
+    n_buckets: int = 8,
+) -> List[str]:
+    """Materialize archives as metric-bucketed, interval-sorted tables.
+
+    Bucketing by ``metric`` co-locates every archive level of a metric
+    in the same bucket file: cross-archive joins (series alignment, a
+    fetch union over levels, archive-vs-archive comparisons) become
+    exchange-free at any scale — the 100 TB replacement for the ring
+    file's "one metric, one file" locality.  Requires ``saveAsTable``
+    (bucket metadata lives in the catalog).
+    """
+    names = []
+    spark = engine.spark
+    for i in range(len(engine.config.retentions)):
+        name = f"{table_prefix}_archive_{i}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            engine.archive_frame(i, now)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "metric")
+            .sortBy("interval")
+            .option("path", archive_path(base, i))
+            .saveAsTable(name)
+        )
+        names.append(name)
+    return names
+
+
 class MaterializedRollups:
     """Read-side facade over a written archive store: router + gap-fill.
 

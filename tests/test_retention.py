@@ -82,3 +82,30 @@ def test_reaper_drops_old_partitions(spark, store):
     # archive 1 (10d retention) untouched at +1d
     a1_days = [e for e in os.listdir(archive_path(base, 1)) if e.startswith("day=")]
     assert a1_days
+
+
+def test_bucketed_archives_join_without_exchange(spark, store, tmp_path):
+    """Metric-bucketed archive tables join on metric with no shuffle."""
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.engine import WhisperEngine
+    from go_whisper_spark.model import SeriesConfig
+    from go_whisper_spark.plans.audit import explain_formatted
+    from go_whisper_spark.retention import write_archives_bucketed
+
+    cfg = SeriesConfig.from_defs("1h:2d,6h:10d", "sum", 0.0)
+    eng = WhisperEngine(spark, cfg)
+    rows = [("m%d" % (i % 4), NOW - i * 3600, 1.0, i) for i in range(48)]
+    eng.update_many(spark.createDataFrame(rows, PTS_SCHEMA), NOW)
+    names = write_archives_bucketed(eng, "t_buck", str(tmp_path / "buck"), NOW)
+    try:
+        a = spark.table(names[0]).groupBy("metric").agg(F.sum("value").alias("v0"))
+        b = spark.table(names[1]).groupBy("metric").agg(F.sum("value").alias("v1"))
+        joined = a.join(b, "metric")
+        plan = explain_formatted(joined)
+        # bucketed-by-metric: aggregates and join need no hash exchange
+        assert "Exchange hashpartitioning(metric" not in plan
+        assert joined.count() > 0
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")

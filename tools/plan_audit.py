@@ -44,11 +44,10 @@ def main():
     for name, spec in CHECKS.items():
         if only and name not in only:
             continue
+        from go_whisper_spark.plans.audit import explain_formatted
+
         df = qs[name](spark, SF_DIR)
-        qe = df._jdf.queryExecution()
-        text = qe.explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-        )
+        text = explain_formatted(df)
         problems = []
         for r in spec.get("require", []):
             if r not in text:
