@@ -346,31 +346,30 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (60-bit) per document over token hashes: per bit j, sum
     ±1 across tokens (weighted by occurrence), bit set iff sum > 0.
 
-    Implemented as a single narrow expression fold per document (no
-    explode, no shuffle): tokens → 60-bit hashes → per-bit ±1 counter
-    array → sign bits recombined.  At 100 TB this is a pure map stage
-    inside whole-stage codegen; the naive explode-per-bit formulation
-    shuffles 60× the token count and was measurably 6× slower.
+    Implemented as one explode + one hash aggregate with the BIT
+    DIMENSION AS 60 COLUMNS (``sum(case (x>>j)&1 ...)`` per j): every
+    expression stays inside whole-stage codegen.  Two prior shapes
+    measured slower: explode-per-bit (60× row blowup through the
+    shuffle) and a narrow array fold (higher-order functions
+    ``aggregate``/``zip_with`` are *interpreted*, not codegen'd — the
+    fold was 18M boxed lambda evals).
     """
     d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
-    expr = f"""
-    aggregate(
-      zip_with(
-        aggregate(
-          transform(tokens, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)),
-          array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}),
-          (acc, x) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
-                               (a, j) -> a + CASE WHEN (shiftright(x, j) & 1) = 1
-                                               THEN 1 ELSE -1 END)
-        ),
-        sequence(0, {SIMHASH_BITS - 1}),
-        (s, j) -> CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j)
-                       ELSE CAST(0 AS BIGINT) END
-      ),
-      CAST(0 AS BIGINT), (a, b) -> a + b
+    tok = d.select("doc_id", F.explode("tokens").alias("token")).withColumn(
+        "x", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
     )
-    """
-    return d.select("doc_id", F.expr(expr).alias("simhash"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("x"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sig = tok.groupBy("doc_id").agg(*bit_aggs)
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return sig.select("doc_id", simhash.alias("simhash"))
 
 
 D_SIMHASH_SQL = f"""

@@ -17,10 +17,15 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "go_whisper_spark", cpus: "int | None" = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    # Shuffle partitions: local benches run MB-scale inputs where task-
+    # scheduling overhead dominates — 8 post-shuffle partitions measured
+    # ~3x faster than 32 on the dedup joins.  On a real cluster size
+    # this to 2-3x total cores (or rely on AQE initialPartitionNum);
+    # AQE still coalesces/splits at runtime either way.
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
