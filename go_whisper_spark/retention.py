@@ -79,6 +79,93 @@ def reap(base: str, config: SeriesConfig, now: int) -> List[str]:
     return removed
 
 
+def write_points(points: DataFrame, base: str, mode: str = "append") -> str:
+    """Bronze points table, day-partitioned on the raw timestamp."""
+    path = os.path.join(base, "points")
+    (
+        points.withColumn("day", F.to_date(F.timestamp_seconds(F.col("ts"))))
+        .repartition("day")
+        .write.mode(mode)
+        .partitionBy("day")
+        .parquet(path)
+    )
+    return path
+
+
+def incremental_rollup(
+    spark: SparkSession,
+    base: str,
+    config: SeriesConfig,
+    new_points: DataFrame,
+    now: int,
+) -> dict:
+    """Incremental archive maintenance — the batch form of whisper's
+    per-write propagate cascade [ref: whisper.go (func (*Whisper)
+    Update — cascade loop)]:
+
+    1. append the new batch to the bronze points table;
+    2. per archive level, find the day partitions its touched intervals
+       fall in (a batch usually touches the current day, not history);
+    3. recompute ONLY those days from the points table (partition
+       pruning makes the read proportional to touched days) and
+       dynamic-partition-overwrite them in the archive table.
+
+    At 100 TB the work per batch is O(batch ∪ touched-days), never
+    O(history).  Requires every archive's step to divide a day (true
+    for all practical Graphite retentions up to "1d:..."); coarser
+    steps fall back to full recompute of that level.
+
+    Returns {archive_index: [touched day strings]}.
+    """
+    accepted = new_points.where(
+        (F.col("ts") <= F.lit(now))
+        & (F.lit(now) - F.col("ts") < F.lit(config.max_retention))
+    )
+    write_points(accepted, base, mode="append")
+    points_path = os.path.join(base, "points")
+
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    touched_by_level = {}
+    try:
+        # Touched days per level, from the batch alone (tiny aggregate).
+        batch_days = [
+            r["day"]
+            for r in accepted.select(
+                F.to_date(F.timestamp_seconds(F.col("ts"))).alias("day")
+            )
+            .distinct()
+            .collect()
+        ]
+        for i, r in enumerate(config.retentions):
+            if 86400 % r.seconds_per_point != 0:
+                raise ValueError(
+                    f"archive {i} step {r.seconds_per_point}s does not divide a "
+                    "day; use full write_archives for this config"
+                )
+            day_strs = sorted(str(d) for d in batch_days)
+            touched_by_level[i] = day_strs
+            all_points = spark.read.parquet(points_path).where(
+                F.col("day").isin(batch_days)
+            )
+            eng = WhisperEngine(spark, config)
+            eng.set_points(all_points.select("metric", "ts", "value", "write_seq"))
+            frame = (
+                eng.archive_frame(i, now)
+                .withColumn("day", F.to_date(F.timestamp_seconds(F.col("interval"))))
+                .where(F.col("day").isin(batch_days))
+            )
+            (
+                frame.repartition("day")
+                .write.mode("overwrite")
+                .partitionBy("day")
+                .parquet(archive_path(base, i))
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    return touched_by_level
+
+
 def write_archives_bucketed(
     engine: WhisperEngine,
     table_prefix: str,

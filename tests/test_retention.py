@@ -109,3 +109,50 @@ def test_bucketed_archives_join_without_exchange(spark, store, tmp_path):
     finally:
         for n in names:
             spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
+    """Incremental propagate (dynamic partition overwrite of touched
+    days) must equal a full recompute over all points."""
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.engine import WhisperEngine
+    from go_whisper_spark.model import SeriesConfig
+    from go_whisper_spark.retention import incremental_rollup, write_archives
+
+    cfg = SeriesConfig.from_defs("1h:3d,6h:10d", "average", 0.0)
+    base = str(tmp_path / "inc")
+    batch1 = [("m", NOW - 2 * DAY + h * 3600, float(h), h) for h in range(0, 24, 3)]
+    batch2 = [
+        ("m", NOW - 3600, 42.0, 100),            # current day
+        ("m", NOW - 2 * DAY + 3600, 99.0, 101),  # late point, old day, same slot as h=1? (h=1 not in batch1 since step 3)
+    ]
+    df1 = spark.createDataFrame(batch1, PTS_SCHEMA)
+    df2 = spark.createDataFrame(batch2, PTS_SCHEMA)
+
+    t1 = incremental_rollup(spark, base, cfg, df1, NOW)
+    t2 = incremental_rollup(spark, base, cfg, df2, NOW)
+    assert t1 and t2
+    # batch2 touched exactly two days
+    assert all(len(days) == 2 for days in t2.values())
+
+    # full recompute reference
+    eng = WhisperEngine(spark, cfg)
+    eng.update_many(df1.unionByName(df2), NOW)
+    ref_base = str(tmp_path / "ref")
+    write_archives(eng, ref_base, NOW)
+
+    for i in range(2):
+        got = {
+            (r["metric"], r["interval"]): r["value"]
+            for r in spark.read.parquet(f"{base}/archive={i}").collect()
+        }
+        want = {
+            (r["metric"], r["interval"]): r["value"]
+            for r in spark.read.parquet(f"{ref_base}/archive={i}").collect()
+        }
+        assert got == want, f"archive {i} mismatch"
+    # the late point landed (LWW by write_seq in its slot)
+    a0 = spark.read.parquet(f"{base}/archive=0")
+    v = a0.where(F.col("interval") == NOW - 2 * DAY + 3600).collect()
+    assert v and v[0]["value"] == 99.0
