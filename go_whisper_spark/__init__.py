@@ -21,4 +21,23 @@ from go_whisper_spark.model import (  # noqa: F401
     validate_retentions,
 )
 
+
+def __getattr__(name):
+    # Lazy exports for the Spark-dependent layers so `import
+    # go_whisper_spark` stays cheap for pure-config use.
+    if name == "WhisperEngine":
+        from go_whisper_spark.engine import WhisperEngine
+
+        return WhisperEngine
+    if name == "SeriesCatalog":
+        from go_whisper_spark.catalog import SeriesCatalog
+
+        return SeriesCatalog
+    if name == "get_spark":
+        from go_whisper_spark.session import get_spark
+
+        return get_spark
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"

@@ -98,6 +98,26 @@ class WhisperEngine:
         )
         return accepted
 
+    def update(self, metric: str, value: float, timestamp: int, now: int) -> bool:
+        """Single-point upsert [ref: whisper.go (func (*Whisper) Update)].
+
+        Returns False (instead of whisper's error) for out-of-bounds
+        timestamps.  Exists for API parity — batch ingest via
+        :meth:`update_many` is the real path; a one-row DataFrame per
+        point would be absurd at scale, so this buffers through the
+        same bounds check.
+        """
+        if timestamp > now or now - timestamp >= self.config.max_retention:
+            return False
+        seq = getattr(self, "_seq", 0) + 1
+        self._seq = seq
+        df = self.spark.createDataFrame(
+            [(metric, int(timestamp), float(value), seq)],
+            "metric string, ts long, value double, write_seq long",
+        )
+        self.update_many(df, now)
+        return True
+
     def set_points(self, points: DataFrame) -> None:
         """Attach an existing (already-ingested) points DataFrame."""
         self._points = points.select(*POINTS_COLUMNS)

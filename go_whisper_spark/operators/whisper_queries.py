@@ -496,12 +496,35 @@ GROUP BY user_id, session_seq
 """
 
 
+# ---------------------------------------------------------- w_approx_stats
+def w_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates per metric: approx_count_distinct (HLL++)
+    on users and approx_percentile (t-digest-style) on value.  Sketches
+    are engine-specific so this is a rows-only contract entry; at
+    100 TB these replace the exact forms when a bounded error is
+    acceptable (no per-group value shuffle).
+    """
+    from go_whisper_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("event_type").alias("metric"), "approx_users", "approx_p50", "n")
+    )
+
+
 QUERIES = {
     "w_lww_1h": w_lww_1h,
     "w_derivative_1h": w_derivative_1h,
     "w_sliding_1h_30m": w_sliding_1h_30m,
     "w_percentiles_1d": w_percentiles_1d,
     "w_sessionize_30m": w_sessionize_30m,
+    "w_approx_stats": w_approx_stats,
     "w_rollup_6h": w_rollup_6h,
     "w_cascade_1d": w_cascade_1d,
     "w_agg_methods_1d": w_agg_methods_1d,

@@ -208,3 +208,12 @@ def test_random_stream_matches_python_model(spark, agg, seed):
                     assert g is None
                 else:
                     assert g == pytest.approx(w, rel=1e-9)
+
+
+def test_single_update_api(spark):
+    eng = make_engine(spark, defs="60s:1h,300s:6h")
+    assert eng.update("m", 5.0, NOW - 30, NOW) is True
+    assert eng.update("m", 1.0, NOW + 10, NOW) is False     # future
+    assert eng.update("m", 1.0, NOW - 7 * 3600, NOW) is False  # too old
+    arch0 = eng.archive_frame(0, NOW).collect()
+    assert len(arch0) == 1 and arch0[0]["value"] == 5.0
