@@ -441,16 +441,31 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
 
 
 # ---------------------------------------------------------- s_cosine_topk
+DIM = 64
+
+
+def _dot_expr(a: str, b: str):
+    """Unrolled 64-term dot product: flat Add chain stays inside
+    whole-stage codegen (higher-order folds are interpreted and were
+    the bottleneck on the all-pairs join).  FP-identical to the fold:
+    ``0.0 + x`` is exact, so both shapes add in the same order.
+    """
+    terms = [
+        F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(DIM)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def _cos_frames(spark, sf_dir):
     e = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         "label",
     )
-    return e.withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
-    )
+    return e.withColumn("norm", F.sqrt(_dot_expr("v", "v")))
 
 
 def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,9 +482,7 @@ def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q.crossJoin(e.select("vec_id", "v", "norm")).where(
         F.col("vec_id") != F.col("qid")
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
-    )
+    dot = _dot_expr("qv", "v")
     sim = pairs.withColumn("sim", F.round(dot / (F.col("qn") * F.col("norm")), 6))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -506,11 +519,18 @@ WHERE rank <= 5
 def s_cosine_nearpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= 0.35 (all-pairs exact)."""
     e = _cos_frames(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"), F.col("norm").alias("na"))
-    b = e.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
+    # All-pairs layouts measured at sf0.1 (2000 vecs, 2M pairs):
+    # interpreted fold 42s → unrolled element_at chain 15s; widening to
+    # 64 scalar columns per side blew past the codegen method limit and
+    # regressed 10x — arrays + flat Add chain is the sweet spot.  This
+    # exact quadratic op is the correctness baseline; s_cosine_ann is
+    # the scale path.  Non-equi pair join = nested loop; repartition
+    # gives the streamed side its parallelism.
+    a = e.repartition(32).select(
+        F.col("vec_id").alias("ida"), F.col("v").alias("va"), F.col("norm").alias("na")
     )
+    b = e.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = _dot_expr("va", "vb")
     return (
         a.join(b, F.col("ida") < F.col("idb"))
         .withColumn("sim", F.round(dot / (F.col("na") * F.col("nb")), 6))
@@ -550,10 +570,10 @@ HYPERPLANES = [
 def _bucket_expr_spark():
     total = F.lit(0)
     for i, plane in enumerate(HYPERPLANES):
-        arr = F.array(*[F.lit(float(c)) for c in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col("v"), arr, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
-        )
+        terms = [F.element_at("v", j + 1) * F.lit(float(c)) for j, c in enumerate(plane)]
+        dot = terms[0]
+        for t in terms[1:]:
+            dot = dot + t
         total = total + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return total
 
@@ -580,9 +600,7 @@ def s_cosine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("qb"),
     )
     cand = e.select("vec_id", "v", "norm", "bucket")
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
-    )
+    dot = _dot_expr("qv", "v")
     sims = (
         q.join(cand, (F.col("qb") == F.col("bucket")) & (F.col("vec_id") != F.col("qid")))
         .withColumn("sim", F.round(dot / (F.col("qn") * F.col("norm")), 6))
