@@ -46,7 +46,7 @@ def _registry():
     from go_whisper_spark.operators import whisper_queries
 
     modules = [whisper_queries]
-    for name in ("relational", "llm_ops", "multimodal"):
+    for name in ("relational", "llm_ops", "multimodal", "graphite_funcs"):
         try:
             mod = __import__(f"go_whisper_spark.operators.{name}", fromlist=[name])
             modules.append(mod)

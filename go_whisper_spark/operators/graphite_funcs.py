@@ -1,0 +1,175 @@
+"""Graphite render-API function analogs over whisper series.
+
+go-whisper is the storage engine under Graphite; the queries its users
+actually run go through Graphite's function library (movingAverage,
+integral, keepLastValue, summarize, derivative — derivative lives in
+``whisper_queries``).  Re-expressed over the 1h LWW series as window /
+re-bucketing aggregates, each with a DuckDB oracle.
+
+All are per-metric windows ordered by interval (unique within metric →
+deterministic), shuffle key = metric: at 100 TB each metric's series
+streams through one window partition, which is exactly the reference's
+one-file-per-metric access pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_whisper_spark.operators.whisper_queries import (
+    HOUR,
+    LWW_1H_CTE,
+    PTS_CTE,
+    _lww,
+    _points,
+)
+
+
+def _lww1h(spark, sf_dir):
+    return _lww(_points(spark, sf_dir), HOUR)
+
+
+# ---------------------------------------------------------- g_moving_avg
+def g_moving_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """movingAverage(series, 3): mean of the current + 2 preceding
+    known slots (Graphite computes over fetched points)."""
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("interval")
+        .rowsBetween(-2, 0)
+    )
+    return _lww1h(spark, sf_dir).select(
+        "metric",
+        "interval",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+        F.count("value").over(w).alias("window_n"),
+    )
+
+
+G_MOVING_AVG_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       round(avg(value) OVER w, 6) AS moving_avg,
+       count(value) OVER w AS window_n
+FROM lww1h
+WINDOW w AS (PARTITION BY metric ORDER BY interval
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ------------------------------------------------------------ g_integral
+def g_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """integral(series): running sum per metric from the series start."""
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("interval")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return _lww1h(spark, sf_dir).select(
+        "metric",
+        "interval",
+        F.round(F.sum("value").over(w), 4).alias("running_sum"),
+    )
+
+
+G_INTEGRAL_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       round(sum(value) OVER (PARTITION BY metric ORDER BY interval
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum
+FROM lww1h
+"""
+
+
+# ---------------------------------------------------------- g_keep_last
+def g_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keepLastValue(): fill NULL slots of the dense last-3-days series
+    with the most recent known value (forward fill)."""
+    from go_whisper_spark.operators.whisper_queries import w_fetch_dense_3d
+
+    dense = w_fetch_dense_3d(spark, sf_dir)
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("interval")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dense.select(
+        "metric",
+        "interval",
+        F.last("value", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+G_KEEP_LAST_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+bounds AS (
+  SELECT (max(ts_sec) - 259200) - (max(ts_sec) - 259200) % 3600 + 3600 AS from_iv,
+         max(ts_sec) - max(ts_sec) % 3600 + 3600 AS until_iv
+  FROM pts
+),
+spine AS (
+  SELECT m.metric, s.interval
+  FROM (SELECT DISTINCT metric FROM pts) m
+  CROSS JOIN (
+    SELECT unnest(generate_series(from_iv, until_iv - 3600, 3600)) AS interval
+    FROM bounds
+  ) s
+),
+dense AS (
+  SELECT spine.metric, spine.interval, lww1h.value
+  FROM spine LEFT JOIN lww1h
+    ON lww1h.metric = spine.metric AND lww1h.interval = spine.interval
+)
+SELECT metric, interval,
+       last_value(value IGNORE NULLS) OVER (
+         PARTITION BY metric ORDER BY interval
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled
+FROM dense
+"""
+
+
+# ---------------------------------------------------------- g_summarize
+def g_summarize_4h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """summarize(series, "4h", "sum"): re-bucket the 1h series into 4h
+    buckets — the query-time counterpart of archive propagation."""
+    lww = _lww1h(spark, sf_dir)
+    return (
+        lww.withColumn(
+            "interval4h",
+            (F.col("interval") - F.col("interval") % F.lit(4 * HOUR)).cast("long"),
+        )
+        .groupBy("metric", "interval4h")
+        .agg(
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count("value").alias("known"),
+        )
+        .select("metric", F.col("interval4h").alias("interval"), "sum_value", "known")
+    )
+
+
+G_SUMMARIZE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric,
+       interval - interval % 14400 AS interval,
+       round(sum(value), 4) AS sum_value,
+       count(value) AS known
+FROM lww1h
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "g_moving_avg_3": g_moving_avg_3,
+    "g_integral": g_integral,
+    "g_keep_last": g_keep_last,
+    "g_summarize_4h": g_summarize_4h,
+}
+
+ORACLES = {
+    "g_moving_avg_3": G_MOVING_AVG_SQL,
+    "g_integral": G_INTEGRAL_SQL,
+    "g_keep_last": G_KEEP_LAST_SQL,
+    "g_summarize_4h": G_SUMMARIZE_SQL,
+}
