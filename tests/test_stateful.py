@@ -1,0 +1,54 @@
+"""applyInPandasWithState derivative: state must survive across
+micro-batches (two availableNow passes sharing a checkpoint)."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_whisper_spark.streaming.stateful import streaming_derivative
+
+BASE = 1_700_000_000
+SCHEMA = "metric string, ts long, value double, write_seq long"
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+    time.sleep(0.05)
+
+
+def _run(spark, src, out, ckpt):
+    q = (
+        streaming_derivative(spark.readStream.schema(SCHEMA).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return {
+        (r["metric"], r["ts"]): (r["delta"], r["dt"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+
+def test_stateful_derivative_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    _write(spark, src, [("m", BASE, 10.0, 1), ("m", BASE + 60, 25.0, 2), ("n", BASE, 5.0, 3)])
+    got1 = _run(spark, src, out, ckpt)
+    assert got1[("m", BASE)] == (None, None)          # first point: no predecessor
+    assert got1[("m", BASE + 60)] == (15.0, 60)
+    assert got1[("n", BASE)] == (None, None)
+
+    # second micro-batch: delta computed against state from pass 1
+    _write(spark, src, [("m", BASE + 180, 20.0, 4), ("n", BASE + 30, 8.0, 5)])
+    got2 = _run(spark, src, out, ckpt)
+    assert got2[("m", BASE + 180)] == (-5.0, 120)
+    assert got2[("n", BASE + 30)] == (3.0, 30)
