@@ -66,6 +66,7 @@ def _lww(df: DataFrame, spp: int) -> DataFrame:
 
 # ---------------------------------------------------------------- w_lww_1h
 def w_lww_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins slot state at the 1h archive (ring overwrite)."""
     return _lww(_points(spark, sf_dir), HOUR).select("metric", "interval", "value")
 
 

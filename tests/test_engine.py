@@ -217,3 +217,40 @@ def test_single_update_api(spark):
     assert eng.update("m", 1.0, NOW - 7 * 3600, NOW) is False  # too old
     arch0 = eng.archive_frame(0, NOW).collect()
     assert len(arch0) == 1 and arch0[0]["value"] == 5.0
+
+
+# ---- random archive CONFIGS (not just random streams) -------------------
+@pytest.mark.parametrize("seed", [3, 11])
+def test_random_config_matches_python_model(spark, seed):
+    """Engine ≡ PyWhisper for randomized retention ladders too."""
+    rng = random.Random(seed)
+    # build a valid 2-3 level ladder: fine spp divides coarse spp,
+    # coarser covers strictly more, fine holds >= one coarse bucket
+    spp0 = rng.choice([10, 30, 60])
+    mult1 = rng.choice([5, 6, 10])
+    spp1 = spp0 * mult1
+    pts0 = rng.randrange(mult1 * 2, 500)
+    pts1 = pts0 // mult1 + rng.randrange(2, 50)
+    defs = f"{spp0}s:{pts0},{spp1}s:{pts1}"
+    agg = rng.choice(["average", "sum", "last", "max", "min"])
+    xff = rng.choice([0.0, 0.25, 0.5])
+    cfg = SeriesConfig.from_defs(defs, agg, xff)
+
+    eng = WhisperEngine(spark, cfg)
+    model = PyWhisper(cfg)
+    rows = [
+        ("m", NOW - rng.randrange(0, cfg.max_retention + spp1), round(rng.uniform(-50, 50), 3), seq)
+        for seq in range(150)
+    ]
+    ingest(spark, eng, rows)
+    model.update_many(rows, NOW)
+
+    for from_age in [cfg.retentions[0].retention // 2, cfg.max_retention]:
+        res, got = fetch_values(eng, "m", NOW - from_age, NOW)
+        f, u, step, want = model.fetch("m", NOW - from_age, NOW, NOW)
+        assert (res.from_interval, res.until_interval, res.step) == (f, u, step)
+        for g, w in zip(got, want):
+            if w is None:
+                assert g is None
+            else:
+                assert g == pytest.approx(w, rel=1e-9)
