@@ -197,6 +197,30 @@ WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) >= 0.2
 """
 
 
+
+# ---------------------------------------------------------- d_dedup_keepers
+def d_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup itself (not just the accounting): keep the minimum
+    doc_id per identical text hash — ``dropDuplicates(["text"])`` with a
+    pinned deterministic keeper."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(d.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+D_KEEPERS_SQL = """
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM keep JOIN documents d USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------- d_minhash_sigs
 def _minhash_aggs():
     x = F.col("x32")
@@ -893,6 +917,7 @@ LIMIT 20
 
 QUERIES = {
     "d_exact_dedup": d_exact_dedup,
+    "d_dedup_keepers": d_dedup_keepers,
     "d_jaccard_pairs": d_jaccard_pairs,
     "d_minhash_sigs": d_minhash_sigs,
     "d_lsh_pairs": d_lsh_pairs,
@@ -911,6 +936,7 @@ QUERIES = {
 
 ORACLES = {
     "d_exact_dedup": D_EXACT_SQL,
+    "d_dedup_keepers": D_KEEPERS_SQL,
     "d_jaccard_pairs": D_JACCARD_SQL,
     "d_minhash_sigs": D_MINHASH_SQL,
     "d_lsh_pairs": D_LSH_SQL,

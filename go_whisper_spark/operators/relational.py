@@ -296,6 +296,44 @@ FROM (SELECT custkey FROM machinery EXCEPT SELECT custkey FROM big_buyers)
 """
 
 
+# ------------------------------------------------------------ r_exists_sql
+def r_exists_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the ``spark.sql`` surface
+    (temp views) — same Catalyst plan as the DataFrame semi/anti form;
+    registered to pin the SQL entry point of the engine.
+    """
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM v_customer c
+        WHERE EXISTS (
+                SELECT 1 FROM v_orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM v_orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+              )
+        """
+    )
+
+
+R_EXISTS_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      )
+"""
+
+
 # ------------------------------------------------------------ r_rollup_orders
 def r_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over (status, priority)."""
@@ -431,6 +469,7 @@ QUERIES = {
     "r_window_running": r_window_running,
     "r_semi_anti": r_semi_anti,
     "r_setops": r_setops,
+    "r_exists_sql": r_exists_sql,
     "r_rollup_orders": r_rollup_orders,
     "r_json_props": r_json_props,
     "r_scalar_funcs": r_scalar_funcs,
@@ -447,6 +486,7 @@ ORACLES = {
     "r_window_running": R_WINDOW_RUNNING_SQL,
     "r_semi_anti": R_SEMI_ANTI_SQL,
     "r_setops": R_SETOPS_SQL,
+    "r_exists_sql": R_EXISTS_SQL,
     "r_rollup_orders": R_ROLLUP_SQL,
     "r_json_props": R_JSON_SQL,
     "r_scalar_funcs": R_SCALAR_SQL,
