@@ -664,6 +664,53 @@ WHERE rank <= 3
 """
 
 
+# ------------------------------------------------------ d_embed_neardup_lsh
+def d_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs, LSH-bucketed (the scale form of
+    ``s_cosine_nearpairs``): only pairs sharing a hyperplane-sign bucket
+    are compared, so the join key is the bucket and work scales with
+    bucket sizes, not |vectors|².  Recall note: cos >= 0.35 pairs can
+    straddle a hyperplane — this is the documented approximation
+    trade-off of the banded path (the exact op remains the baseline).
+    """
+    e = _cos_frames(spark, sf_dir).withColumn("bucket", _bucket_expr_spark())
+    a = e.select(
+        F.col("vec_id").alias("ida"), F.col("v").alias("va"),
+        F.col("norm").alias("na"), F.col("bucket").alias("ba"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("idb"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"), F.col("bucket").alias("bb"),
+    )
+    dot = _dot_expr("va", "vb")
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("ida") < F.col("idb")))
+        .withColumn("sim", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .where(F.col("sim") >= 0.35)
+        .select("ida", "idb", "sim")
+    )
+
+
+def _d_embed_neardup_lsh_sql():
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+b AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+         {_bucket_expr_sql()} AS bucket
+  FROM e
+)
+SELECT a.vec_id AS ida, c.vec_id AS idb,
+       round(list_sum(list_transform(generate_series(1, 64),
+                                     i -> a.v[i] * c.v[i])) / (a.norm * c.norm), 6) AS sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_sum(list_transform(generate_series(1, 64),
+                                    i -> a.v[i] * c.v[i])) / (a.norm * c.norm), 6) >= 0.35
+"""
+
+
 # ---------------------------------------------------------- t_token_stats
 def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per document, aggregated per (lang, source)."""
@@ -926,6 +973,7 @@ QUERIES = {
     "s_cosine_topk": s_cosine_topk,
     "s_cosine_nearpairs": s_cosine_nearpairs,
     "s_cosine_ann": s_cosine_ann,
+    "d_embed_neardup_lsh": d_embed_neardup_lsh,
     "t_token_stats": t_token_stats,
     "t_lang_id": t_lang_id,
     "t_quality": t_quality,
@@ -945,6 +993,7 @@ ORACLES = {
     "s_cosine_topk": S_COSINE_TOPK_SQL,
     "s_cosine_nearpairs": S_COSINE_PAIRS_SQL,
     "s_cosine_ann": _s_cosine_ann_sql(),
+    "d_embed_neardup_lsh": _d_embed_neardup_lsh_sql(),
     "t_token_stats": T_TOKEN_STATS_SQL,
     "t_lang_id": T_LANG_ID_SQL,
     "t_quality": T_QUALITY_SQL,
