@@ -18,9 +18,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_whisper_spark.operators.whisper_queries import (
+    CENTS_SQL,
     HOUR,
     LWW_1H_CTE,
     PTS_CTE,
+    _avg6,
+    _cents,
     _lww,
     _points,
 )
@@ -39,10 +42,13 @@ def g_moving_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("interval")
         .rowsBetween(-2, 0)
     )
-    return _lww1h(spark, sf_dir).select(
+    # exact integer (cent) arithmetic: window sums of doubles can differ
+    # by a ulp between engines (segment-tree vs sequential accumulation)
+    # and /2^k counts land exactly on rounding boundaries
+    return _lww1h(spark, sf_dir).withColumn("cents", _cents()).select(
         "metric",
         "interval",
-        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+        _avg6(F.sum("cents").over(w), F.count("value").over(w)).alias("moving_avg"),
         F.count("value").over(w).alias("window_n"),
     )
 
@@ -50,7 +56,8 @@ def g_moving_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
 G_MOVING_AVG_SQL = f"""
 WITH {PTS_CTE}, {LWW_1H_CTE}
 SELECT metric, interval,
-       round(avg(value) OVER w, 6) AS moving_avg,
+       floor(CAST(sum({CENTS_SQL}) OVER w AS DOUBLE) * 10000
+             / (count(value) OVER w)) / 1000000.0 AS moving_avg,
        count(value) OVER w AS window_n
 FROM lww1h
 WINDOW w AS (PARTITION BY metric ORDER BY interval

@@ -721,12 +721,19 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tokens").cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars_m"),
     )
-    return per_doc.groupBy("lang", "source").agg(
+    agged = per_doc.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
-        F.round(F.avg("n_chars_m"), 6).alias("avg_chars"),
+        F.sum("n_chars_m").alias("total_chars"),
         F.max("n_tokens").alias("max_tokens"),
+    )
+    n = F.col("n_docs")
+    # integer-exact averages (see whisper_queries._avg6 rationale)
+    return agged.select(
+        "lang", "source", "n_docs", "total_tokens",
+        (F.floor(F.col("total_tokens").cast("double") * 1_000_000 / n) / 1_000_000.0).alias("avg_tokens"),
+        (F.floor(F.col("total_chars").cast("double") * 1_000_000 / n) / 1_000_000.0).alias("avg_chars"),
+        "max_tokens",
     )
 
 
@@ -740,8 +747,8 @@ WITH per_doc AS (
 SELECT lang, source,
        count(*) AS n_docs,
        sum(n_tokens) AS total_tokens,
-       round(avg(n_tokens), 6) AS avg_tokens,
-       round(avg(n_chars_m), 6) AS avg_chars,
+       floor(CAST(sum(n_tokens) AS DOUBLE) * 1000000 / count(*)) / 1000000.0 AS avg_tokens,
+       floor(CAST(sum(n_chars_m) AS DOUBLE) * 1000000 / count(*)) / 1000000.0 AS avg_chars,
        max(n_tokens) AS max_tokens
 FROM per_doc GROUP BY lang, source
 """

@@ -36,7 +36,15 @@ def _t(spark, sf_dir, name):
 def r_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan + filter pushdown + wide hash aggregate."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    # Averages and the 6-decimal charge sum use exact integer (cent /
+    # micro-unit) arithmetic: all inputs are exact 2-decimal numbers, so
+    # true averages land exactly on round() boundaries whenever the
+    # group count is 2^a*5^b and the engines' ulp-different double sums
+    # round apart.  Grid-aligned 2/4-decimal sums keep plain round().
+    charge_micro = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 1_000_000
+    ).cast("long")
+    agged = (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -45,19 +53,21 @@ def r_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                4,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.sum(charge_micro).alias("charge_micro"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_c"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("price_c"),
+            F.sum(F.round(F.col("l_discount") * 100).cast("long")).alias("disc_c"),
             F.count("*").alias("count_order"),
         )
+    )
+    n = F.col("count_order")
+    return agged.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price",
+        (F.expr("charge_micro div 100").cast("double") / 10000.0).alias("sum_charge"),
+        (F.floor(F.col("qty_c").cast("double") * 10000 / n) / 1_000_000.0).alias("avg_qty"),
+        (F.floor(F.col("price_c").cast("double") * 10000 / n) / 1_000_000.0).alias("avg_price"),
+        (F.floor(F.col("disc_c").cast("double") * 10000 / n) / 1_000_000.0).alias("avg_disc"),
+        "count_order",
     )
 
 
@@ -66,10 +76,10 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
        round(sum(l_extendedprice), 4) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) // 100 AS DOUBLE) / 10000.0 AS sum_charge,
+       floor(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) * 10000 / count(*)) / 1000000.0 AS avg_qty,
+       floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) * 10000 / count(*)) / 1000000.0 AS avg_price,
+       floor(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) * 10000 / count(*)) / 1000000.0 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -364,7 +374,11 @@ def r_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("k").alias("n"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
-            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .select(
+            "event_type", "n", "min_k", "max_k",
+            (F.floor(F.col("sum_k").cast("double") * 1_000_000 / F.col("n")) / 1_000_000.0).alias("avg_k"),
         )
     )
 
@@ -374,7 +388,7 @@ SELECT event_type,
        count(k) AS n,
        min(k) AS min_k,
        max(k) AS max_k,
-       round(avg(k), 6) AS avg_k
+       floor(CAST(sum(k) AS DOUBLE) * 1000000 / count(k)) / 1000000.0 AS avg_k
 FROM (
   SELECT event_type, CAST(props->>'k' AS INTEGER) AS k FROM events
 )
@@ -419,7 +433,11 @@ def r_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("order_year", "order_month")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 6).alias("avg_total"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("tp_c"),
+        )
+        .select(
+            "order_year", "order_month", "n_orders",
+            (F.floor(F.col("tp_c").cast("double") * 10000 / F.col("n_orders")) / 1_000_000.0).alias("avg_total"),
         )
     )
 
@@ -428,7 +446,7 @@ R_DATE_SQL = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
        CAST(month(o_orderdate) AS BIGINT) AS order_month,
        count(*) AS n_orders,
-       round(avg(o_totalprice), 6) AS avg_total
+       floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) * 10000 / count(*)) / 1000000.0 AS avg_total
 FROM orders
 GROUP BY 1, 2
 """

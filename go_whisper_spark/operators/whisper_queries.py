@@ -55,6 +55,25 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_points(spark, sf_dir)
 
 
+# -- exact-integer averaging ------------------------------------------------
+# round(avg(double), 6) is NOT cross-engine stable: group sums accumulate in
+# different orders (ulp differences) and true averages of 2-decimal inputs
+# land EXACTLY on 6-dp rounding boundaries whenever the divisor is of the
+# form 2^a*5^b (observed: /32 window counts flipped the 6th digit between
+# Spark and DuckDB).  All value columns are exact 2-decimal numbers, so the
+# stable form is integer cents: sum(cents) is exact in both engines and the
+# average is floor-truncated to 6 dp in exact arithmetic.
+def _cents(col: str = "value"):
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _avg6(sum_cents, count_col):
+    return F.floor(sum_cents.cast("double") * 10000 / count_col) / F.lit(1000000.0)
+
+
+CENTS_SQL = "CAST(round(value * 100) AS BIGINT)"
+
+
 def _lww(df: DataFrame, spp: int) -> DataFrame:
     """LWW at step ``spp``: one row per (metric, interval), max write_seq wins."""
     return (
@@ -79,7 +98,7 @@ SELECT metric, interval, value FROM lww1h
 # -------------------------------------------------------------- w_rollup_6h
 def w_rollup_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One propagate step: 1h archive → 6h, Average, xff=0.5 (>= passes)."""
-    lww = _lww(_points(spark, sf_dir), HOUR)
+    lww = _lww(_points(spark, sf_dir), HOUR).withColumn("cents", _cents())
     return (
         lww.withColumn(
             "interval6", (F.col("interval") - F.col("interval") % F.lit(6 * HOUR)).cast("long")
@@ -87,11 +106,14 @@ def w_rollup_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("metric", "interval6")
         .agg(
             F.count("value").alias("known"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.sum("cents").alias("sc"),
         )
         .where((F.col("known").cast("double") / F.lit(6.0)) >= F.lit(0.5))
         .select(
-            "metric", F.col("interval6").alias("interval"), "known", "avg_value"
+            "metric",
+            F.col("interval6").alias("interval"),
+            "known",
+            _avg6(F.col("sc"), F.col("known")).alias("avg_value"),
         )
     )
 
@@ -101,7 +123,7 @@ WITH {PTS_CTE}, {LWW_1H_CTE}
 SELECT metric,
        interval - interval % 21600 AS interval,
        count(value) AS known,
-       round(avg(value), 6) AS avg_value
+       floor(CAST(sum({CENTS_SQL}) AS DOUBLE) * 10000 / count(value)) / 1000000.0 AS avg_value
 FROM lww1h
 GROUP BY 1, 2
 HAVING CAST(count(value) AS DOUBLE) / 6.0 >= 0.5
@@ -116,22 +138,34 @@ def w_cascade_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     averages the six 6h values (avg-of-avgs, exactly as whisper
     consolidates consolidated values), each level gated separately.
     """
-    lww = _lww(_points(spark, sf_dir), HOUR)
+    lww = _lww(_points(spark, sf_dir), HOUR).withColumn("cents", _cents())
     l6 = (
         lww.withColumn(
             "interval", (F.col("interval") - F.col("interval") % F.lit(6 * HOUR)).cast("long")
         )
         .groupBy("metric", "interval")
-        .agg(F.avg("value").alias("value"), F.count("value").alias("known"))
+        .agg(F.sum("cents").alias("sc"), F.count("value").alias("known"))
         .where((F.col("known").cast("double") / F.lit(6.0)) >= F.lit(0.5))
-        .drop("known")
+        .select(
+            "metric",
+            "interval",
+            # level-1 average kept as an exact micro-unit integer so the
+            # level-2 average (avg of avgs, whisper's consolidated
+            # consolidation) also stays in exact arithmetic
+            F.floor(F.col("sc").cast("double") * 10000 / F.col("known")).cast("long").alias("vmicro"),
+        )
     )
     return (
         l6.withColumn("interval1d", (F.col("interval") - F.col("interval") % F.lit(DAY)).cast("long"))
         .groupBy("metric", "interval1d")
-        .agg(F.count("value").alias("known"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(F.count("vmicro").alias("known"), F.sum("vmicro").alias("sm"))
         .where((F.col("known").cast("double") / F.lit(4.0)) >= F.lit(0.5))
-        .select("metric", F.col("interval1d").alias("interval"), "known", "avg_value")
+        .select(
+            "metric",
+            F.col("interval1d").alias("interval"),
+            "known",
+            (F.floor(F.col("sm").cast("double") / F.col("known")) / F.lit(1000000.0)).alias("avg_value"),
+        )
     )
 
 
@@ -140,18 +174,18 @@ WITH {PTS_CTE}, {LWW_1H_CTE},
 l6 AS (
   SELECT metric,
          interval - interval % 21600 AS interval,
-         avg(value) AS value
+         CAST(floor(CAST(sum({CENTS_SQL}) AS DOUBLE) * 10000 / count(value)) AS BIGINT) AS vmicro
   FROM lww1h
   GROUP BY 1, 2
   HAVING CAST(count(value) AS DOUBLE) / 6.0 >= 0.5
 )
 SELECT metric,
        interval - interval % 86400 AS interval,
-       count(value) AS known,
-       round(avg(value), 6) AS avg_value
+       count(vmicro) AS known,
+       floor(CAST(sum(vmicro) AS DOUBLE) / count(vmicro)) / 1000000.0 AS avg_value
 FROM l6
 GROUP BY 1, 2
-HAVING CAST(count(value) AS DOUBLE) / 4.0 >= 0.5
+HAVING CAST(count(vmicro) AS DOUBLE) / 4.0 >= 0.5
 """
 
 
@@ -162,12 +196,12 @@ def w_agg_methods_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``last`` = value at the greatest fine interval (max_by), matching
     aggregate(Last) over the ordered known values.
     """
-    lww = _lww(_points(spark, sf_dir), HOUR)
+    lww = _lww(_points(spark, sf_dir), HOUR).withColumn("cents", _cents())
     return (
         lww.withColumn("interval1d", (F.col("interval") - F.col("interval") % F.lit(DAY)).cast("long"))
         .groupBy("metric", "interval1d")
         .agg(
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.sum("cents").alias("sc"),
             F.round(F.sum("value"), 4).alias("sum_value"),
             F.max_by("value", "interval").alias("last_value"),
             F.max("value").alias("max_value"),
@@ -176,7 +210,8 @@ def w_agg_methods_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "metric", F.col("interval1d").alias("interval"),
-            "avg_value", "sum_value", "last_value", "max_value", "min_value", "known",
+            _avg6(F.col("sc"), F.col("known")).alias("avg_value"),
+            "sum_value", "last_value", "max_value", "min_value", "known",
         )
     )
 
@@ -185,7 +220,7 @@ W_AGG_METHODS_1D_SQL = f"""
 WITH {PTS_CTE}, {LWW_1H_CTE}
 SELECT metric,
        interval - interval % 86400 AS interval,
-       round(avg(value), 6) AS avg_value,
+       floor(CAST(sum({CENTS_SQL}) AS DOUBLE) * 10000 / count(value)) / 1000000.0 AS avg_value,
        round(sum(value), 4) AS sum_value,
        arg_max(value, interval) AS last_value,
        max(value) AS max_value,
@@ -250,11 +285,12 @@ def w_fetch_coarse_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pts = _points(spark, sf_dir)
     step = 6 * HOUR
-    lww = _lww(pts, HOUR)
+    lww = _lww(pts, HOUR).withColumn("cents", _cents())
     arch = (
         lww.withColumn("interval", (F.col("interval") - F.col("interval") % F.lit(step)).cast("long"))
         .groupBy("metric", "interval")
-        .agg(F.round(F.avg("value"), 6).alias("value"))
+        .agg(F.sum("cents").alias("sc"), F.count("value").alias("known"))
+        .select("metric", "interval", _avg6(F.col("sc"), F.col("known")).alias("value"))
     )
     bounds = pts.agg(F.max("ts").alias("now")).select(
         ((F.col("now") - 30 * DAY) - (F.col("now") - 30 * DAY) % step + step).alias("from_iv"),
@@ -277,7 +313,7 @@ WITH {PTS_CTE}, {LWW_1H_CTE},
 arch AS (
   SELECT metric,
          interval - interval % 21600 AS interval,
-         round(avg(value), 6) AS value
+         floor(CAST(sum({CENTS_SQL}) AS DOUBLE) * 10000 / count(value)) / 1000000.0 AS value
   FROM lww1h
   GROUP BY 1, 2
 ),
@@ -378,10 +414,12 @@ def w_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("ts") - F.col("k") * slide) - (F.col("ts") - F.col("k") * slide) % slide).cast("long"),
     )
     return (
-        exploded.groupBy("metric", "win_start")
-        .agg(
-            F.count("value").alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+        exploded.withColumn("cents", _cents())
+        .groupBy("metric", "win_start")
+        .agg(F.count("value").alias("n"), F.sum("cents").alias("sc"))
+        .select(
+            "metric", "win_start", "n",
+            _avg6(F.col("sc"), F.col("n")).alias("avg_value"),
         )
     )
 
@@ -395,7 +433,7 @@ exploded AS (
 )
 SELECT metric, win_start,
        count(value) AS n,
-       round(avg(value), 6) AS avg_value
+       floor(CAST(sum({CENTS_SQL}) AS DOUBLE) * 10000 / count(value)) / 1000000.0 AS avg_value
 FROM exploded
 GROUP BY metric, win_start
 """
