@@ -9,9 +9,10 @@ rollup/grouping sets, and scalar string/date/JSON functions.
 
 Determinism rules applied throughout (the driver hash-compares values):
 - top-k sorts always carry a unique integer tiebreak column;
-- floats produced by re-associated arithmetic (sum/avg) are rounded
-  identically on both sides (4 dp for sums, 6 dp for avgs); raw column
-  values pass through un-rounded (bit-exact in both engines);
+- sums whose true value sits on a 2/4-decimal grid are rounded (4 dp);
+  averages (and any 6-decimal-grid sums) use exact integer cent/micro
+  arithmetic with a floor-truncated quotient — see whisper_queries
+  for the boundary analysis; raw column values pass through un-rounded;
 - ``count``/``row_number`` outputs are cast to matching integer types.
 
 Scale notes: dimension joins (region/nation/customer) are explicit

@@ -19,9 +19,9 @@ engines); whisper's wall-clock enters only as this scalar.
 Scale notes: every aggregate below is a partial-aggregating
 ``groupBy(metric, interval)`` — map-side combine shrinks the shuffle to
 one row per slot; the fetch spine is a generated tiny relation joined
-on the same (metric, interval) key; nothing collects.  Floating-point
-outputs that involve re-associated arithmetic (avg/sum) are rounded
-(6/4 dp) identically on both sides so value hashes are stable.
+on the same (metric, interval) key; nothing collects.  Grid-aligned
+sums round at 4 dp; averages use exact integer cent arithmetic (see
+``_avg6``) because round(avg(double)) is not cross-engine stable.
 """
 
 from __future__ import annotations
