@@ -478,8 +478,28 @@ GROUP BY l_returnflag
 """
 
 
+# -------------------------------------------------------------- r_cube
+def r_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 2^2 combinations of (status, priority)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_total"),
+    )
+
+
+R_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS sum_total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 QUERIES = {
     "r_q1_pricing": r_q1_pricing,
+    "r_cube_orders": r_cube_orders,
     "r_pivot": r_pivot,
     "r_q3_revenue": r_q3_revenue,
     "r_q5_nation_rev": r_q5_nation_rev,
@@ -497,6 +517,7 @@ QUERIES = {
 
 ORACLES = {
     "r_q1_pricing": R_Q1_SQL,
+    "r_cube_orders": R_CUBE_SQL,
     "r_pivot": R_PIVOT_SQL,
     "r_q3_revenue": R_Q3_SQL,
     "r_q5_nation_rev": R_Q5_SQL,
