@@ -167,8 +167,81 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------ g_nonneg_derivative
+def g_nonneg_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nonNegativeDerivative()/perSecond(): counter rate with reset
+    handling — a negative delta means the counter wrapped/reset and
+    yields NULL; per_second divides by the (possibly multi-slot) gap.
+    Division of identical doubles is IEEE-deterministic, so round(,6)
+    is stable here (no re-associated accumulation).
+    """
+    w = Window.partitionBy("metric").orderBy("interval")
+    lww = _lww1h(spark, sf_dir)
+    delta = F.col("value") - F.lag("value", 1).over(w)
+    dt = (F.col("interval") - F.lag("interval", 1).over(w)).cast("double")
+    nn = F.when(delta >= 0, delta)
+    return lww.select(
+        "metric",
+        "interval",
+        F.round(nn, 6).alias("nn_delta"),
+        F.round(nn / dt, 6).alias("per_second"),
+    )
+
+
+G_NONNEG_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+d AS (
+  SELECT metric, interval,
+         value - lag(value, 1) OVER w AS delta,
+         CAST(interval - lag(interval, 1) OVER w AS DOUBLE) AS dt
+  FROM lww1h
+  WINDOW w AS (PARTITION BY metric ORDER BY interval)
+)
+SELECT metric, interval,
+       round(CASE WHEN delta >= 0 THEN delta END, 6) AS nn_delta,
+       round(CASE WHEN delta >= 0 THEN delta END / dt, 6) AS per_second
+FROM d
+"""
+
+
+# ---------------------------------------------------------- g_sum_series
+def g_sum_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sumSeries()/averageSeries(): combine all metrics into one series
+    per interval (cross-series math on aligned slots — the whisper-
+    native 'join': series align by interval).
+    """
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    return (
+        lww.groupBy("interval")
+        .agg(
+            F.count("value").alias("n_series"),
+            F.round(F.sum("value"), 4).alias("sum_all"),
+            F.sum("cents").alias("sc"),
+        )
+        .select(
+            "interval",
+            "n_series",
+            "sum_all",
+            _avg6(F.col("sc"), F.col("n_series")).alias("avg_all"),
+        )
+    )
+
+
+G_SUM_SERIES_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT interval,
+       count(value) AS n_series,
+       round(sum(value), 4) AS sum_all,
+       floor(CAST(sum({CENTS_SQL}) AS DOUBLE) * 10000 / count(value)) / 1000000.0 AS avg_all
+FROM lww1h
+GROUP BY interval
+"""
+
+
 QUERIES = {
     "g_moving_avg_3": g_moving_avg_3,
+    "g_nonneg_derivative": g_nonneg_derivative,
+    "g_sum_series": g_sum_series,
     "g_integral": g_integral,
     "g_keep_last": g_keep_last,
     "g_summarize_4h": g_summarize_4h,
@@ -176,6 +249,8 @@ QUERIES = {
 
 ORACLES = {
     "g_moving_avg_3": G_MOVING_AVG_SQL,
+    "g_nonneg_derivative": G_NONNEG_SQL,
+    "g_sum_series": G_SUM_SERIES_SQL,
     "g_integral": G_INTEGRAL_SQL,
     "g_keep_last": G_KEEP_LAST_SQL,
     "g_summarize_4h": G_SUMMARIZE_SQL,
