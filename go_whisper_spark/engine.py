@@ -209,7 +209,11 @@ class WhisperEngine:
                 [(m,) for m in metrics], "metric string"
             )
         else:
-            metric_dim = archive.select("metric").distinct()
+            # All known metrics, NOT just those in the fetched range: a
+            # whisper file with no data in range still yields a dense
+            # all-NaN series [ref: whisper.go (Fetch — baseInterval==0
+            # early return)], so the spine must cover every series.
+            metric_dim = self._points.select("metric").distinct()
 
         # Dense spine: every (metric, slot) pair.  A LEFT join preserves the
         # spine; Spark can only broadcast the build (right) side of a left

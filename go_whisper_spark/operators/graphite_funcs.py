@@ -172,19 +172,20 @@ def g_nonneg_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nonNegativeDerivative()/perSecond(): counter rate with reset
     handling — a negative delta means the counter wrapped/reset and
     yields NULL; per_second divides by the (possibly multi-slot) gap.
-    Division of identical doubles is IEEE-deterministic, so round(,6)
-    is stable here (no re-associated accumulation).
     """
     w = Window.partitionBy("metric").orderBy("interval")
-    lww = _lww1h(spark, sf_dir)
-    delta = F.col("value") - F.lag("value", 1).over(w)
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    delta_c = F.col("cents") - F.lag("cents", 1).over(w)
     dt = (F.col("interval") - F.lag("interval", 1).over(w)).cast("double")
-    nn = F.when(delta >= 0, delta)
+    nn_c = F.when(delta_c >= 0, delta_c)
+    # exact integer deltas; the rate is floor-truncated at 1e-6 in exact
+    # arithmetic (cents*10000/dt hits .5 micro-boundaries exactly when
+    # dt divides the cent delta — round() there is engine-divergent)
     return lww.select(
         "metric",
         "interval",
-        F.round(nn, 6).alias("nn_delta"),
-        F.round(nn / dt, 6).alias("per_second"),
+        (nn_c.cast("double") / F.lit(100.0)).alias("nn_delta"),
+        (F.floor(nn_c.cast("double") * 10000 / dt) / F.lit(1000000.0)).alias("per_second"),
     )
 
 
@@ -192,14 +193,14 @@ G_NONNEG_SQL = f"""
 WITH {PTS_CTE}, {LWW_1H_CTE},
 d AS (
   SELECT metric, interval,
-         value - lag(value, 1) OVER w AS delta,
+         {CENTS_SQL} - lag({CENTS_SQL}, 1) OVER w AS delta_c,
          CAST(interval - lag(interval, 1) OVER w AS DOUBLE) AS dt
   FROM lww1h
   WINDOW w AS (PARTITION BY metric ORDER BY interval)
 )
 SELECT metric, interval,
-       round(CASE WHEN delta >= 0 THEN delta END, 6) AS nn_delta,
-       round(CASE WHEN delta >= 0 THEN delta END / dt, 6) AS per_second
+       CAST(CASE WHEN delta_c >= 0 THEN delta_c END AS DOUBLE) / 100.0 AS nn_delta,
+       floor(CAST(CASE WHEN delta_c >= 0 THEN delta_c END AS DOUBLE) * 10000 / dt) / 1000000.0 AS per_second
 FROM d
 """
 

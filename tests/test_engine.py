@@ -254,3 +254,23 @@ def test_random_config_matches_python_model(spark, seed):
                 assert g is None
             else:
                 assert g == pytest.approx(w, rel=1e-9)
+
+
+def test_fetch_all_metrics_dense_even_when_range_empty(spark):
+    """fetch(metrics=None) spans every known metric — a series with no
+    points in range still yields its dense all-NULL slots (whisper's
+    empty-archive all-NaN result)."""
+    eng = make_engine(spark, defs="60s:1h,300s:6h")
+    ingest(spark, eng, [
+        ("recent", NOW - 60, 1.0, 1),
+        ("stale", NOW - 5 * 3600, 2.0, 2),   # nothing in the last 5 min
+    ])
+    res = eng.fetch(NOW - 300, NOW, NOW)
+    rows = res.frame.collect()
+    by_metric = {}
+    for r in rows:
+        by_metric.setdefault(r["metric"], []).append(r["value"])
+    assert set(by_metric) == {"recent", "stale"}
+    assert len(by_metric["stale"]) == 5
+    assert all(v is None for v in by_metric["stale"])
+    assert any(v is not None for v in by_metric["recent"])
