@@ -239,10 +239,76 @@ GROUP BY interval
 """
 
 
+# ---------------------------------------------------------- g_timeshift
+def g_timeshift_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeShift(series, "-1d") compared to the unshifted series:
+    day-over-day slot delta via a self-join on (metric, interval+86400)
+    — the whisper-native join is alignment on interval.
+    """
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    prev = lww.select(
+        "metric",
+        (F.col("interval") + F.lit(86400)).cast("long").alias("interval"),
+        F.col("cents").alias("prev_cents"),
+    )
+    return (
+        lww.join(prev, ["metric", "interval"], "inner")
+        .select(
+            "metric",
+            "interval",
+            (F.col("cents").cast("double") / 100.0).alias("value"),
+            (F.col("prev_cents").cast("double") / 100.0).alias("value_1d_ago"),
+            ((F.col("cents") - F.col("prev_cents")).cast("double") / 100.0).alias("dod_delta"),
+        )
+    )
+
+
+G_TIMESHIFT_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+c AS (SELECT metric, interval, {CENTS_SQL} AS cents FROM lww1h)
+SELECT a.metric, a.interval,
+       CAST(a.cents AS DOUBLE) / 100.0 AS value,
+       CAST(b.cents AS DOUBLE) / 100.0 AS value_1d_ago,
+       CAST(a.cents - b.cents AS DOUBLE) / 100.0 AS dod_delta
+FROM c a JOIN c b ON a.metric = b.metric AND a.interval = b.interval + 86400
+"""
+
+
+# ---------------------------------------------------------- g_as_percent
+def g_as_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asPercent(): each metric's share of the cross-series total per
+    interval, in exact integer arithmetic (cents/total_cents hits .5
+    boundaries whenever the total divides the scaled numerator).
+    """
+    w = Window.partitionBy("interval")
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    total = F.sum("cents").over(w)
+    pct_micro = F.floor(F.col("cents").cast("double") * 100_000_000 / total)
+    return lww.select(
+        "metric",
+        "interval",
+        F.count("*").over(w).alias("n_series"),
+        (pct_micro / F.lit(1_000_000.0)).alias("pct"),
+    )
+
+
+G_AS_PERCENT_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+c AS (SELECT metric, interval, {CENTS_SQL} AS cents FROM lww1h)
+SELECT metric, interval,
+       count(*) OVER (PARTITION BY interval) AS n_series,
+       floor(CAST(cents AS DOUBLE) * 100000000
+             / (sum(cents) OVER (PARTITION BY interval))) / 1000000.0 AS pct
+FROM c
+"""
+
+
 QUERIES = {
     "g_moving_avg_3": g_moving_avg_3,
     "g_nonneg_derivative": g_nonneg_derivative,
     "g_sum_series": g_sum_series,
+    "g_timeshift_1d": g_timeshift_1d,
+    "g_as_percent": g_as_percent,
     "g_integral": g_integral,
     "g_keep_last": g_keep_last,
     "g_summarize_4h": g_summarize_4h,
@@ -252,6 +318,8 @@ ORACLES = {
     "g_moving_avg_3": G_MOVING_AVG_SQL,
     "g_nonneg_derivative": G_NONNEG_SQL,
     "g_sum_series": G_SUM_SERIES_SQL,
+    "g_timeshift_1d": G_TIMESHIFT_SQL,
+    "g_as_percent": G_AS_PERCENT_SQL,
     "g_integral": G_INTEGRAL_SQL,
     "g_keep_last": G_KEEP_LAST_SQL,
     "g_summarize_4h": G_SUMMARIZE_SQL,
