@@ -86,7 +86,12 @@ list_transform(generate_series(1, len(tokens) - 2),
                i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
 """
 
-# doc_id → distinct shingles, as a reusable CTE (DuckDB) / DataFrame (Spark).
+# doc_id → distinct shingles, as a reusable CTE (DuckDB) / DataFrame
+# (Spark).  The explicit DISTINCT looks like a removable shuffle
+# (array_distinct before the explode is semantically equal and narrow),
+# but measured slower: the distinct's exchange is REUSED by every
+# branch of the self-join/sizes/signature consumers, while the narrow
+# form recomputes the tokenize+shingle+md5 pipeline per branch.
 _SHINGLE_CTE = f"""tok AS (
   SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents
 ),
