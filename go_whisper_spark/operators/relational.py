@@ -345,6 +345,39 @@ WHERE EXISTS (
 """
 
 
+# ---------------------------------------------------------- r_salted_topk
+def r_salted_topk_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase top-k (functions.salting.salted_window_topk)
+    — the salt is internal, so the result is identical to the plain
+    window top-k, and the PLAIN form is the oracle: the correctness of
+    the skew path is checked against an engine that never salted.
+    """
+    from go_whisper_spark.functions.salting import salted_window_topk
+
+    orders = _t(spark, sf_dir, "orders")
+    out = salted_window_topk(
+        orders,
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+        n_salts=8,
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+R_SALTED_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS INTEGER) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
 # ------------------------------------------------------------ r_rollup_orders
 def r_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over (status, priority)."""
@@ -509,6 +542,7 @@ QUERIES = {
     "r_semi_anti": r_semi_anti,
     "r_setops": r_setops,
     "r_exists_sql": r_exists_sql,
+    "r_salted_topk_cust": r_salted_topk_cust,
     "r_rollup_orders": r_rollup_orders,
     "r_json_props": r_json_props,
     "r_scalar_funcs": r_scalar_funcs,
@@ -527,6 +561,7 @@ ORACLES = {
     "r_semi_anti": R_SEMI_ANTI_SQL,
     "r_setops": R_SETOPS_SQL,
     "r_exists_sql": R_EXISTS_SQL,
+    "r_salted_topk_cust": R_SALTED_TOPK_SQL,
     "r_rollup_orders": R_ROLLUP_SQL,
     "r_json_props": R_JSON_SQL,
     "r_scalar_funcs": R_SCALAR_SQL,

@@ -97,3 +97,31 @@ def test_wsp_to_engine_roundtrip(spark, wsp_tree):
     res = eng.fetch(NOW - 300, NOW, NOW, metrics=["servers.web1.cpu"])
     vals = [r["value"] for r in res.frame.orderBy("interval").collect()]
     assert vals == [None, None, 9.9, 2.5, None]
+
+
+def test_wsp_ring_wraparound(spark, tmp_path):
+    """Writing more intervals than the archive holds laps the ring: only
+    the newest `points` slots survive (automatic expiry by overwrite)."""
+    import os
+
+    from go_whisper_spark.model import SeriesConfig
+    from go_whisper_spark.sources.wsp import create_wsp, read_wsp, wsp_update_many
+
+    root = str(tmp_path / "w")
+    os.makedirs(root, exist_ok=True)
+    # archive 0: 60s x 5 slots (300s of history), coarse level to satisfy
+    # validation
+    cfg = SeriesConfig.from_defs("60s:5,300s:1h", "sum", 0.5)
+    p = os.path.join(root, "lap.wsp")
+    create_wsp(p, cfg)
+    # 8 sequential minutes -> 3 slots overwritten by the second lap
+    pts = [(NOW - (7 - i) * 60, float(i)) for i in range(8)]
+    wsp_update_many(p, pts, NOW)
+    rows = {
+        r["interval"]: r["value"]
+        for r in read_wsp(spark, p, root=root).where("archive_id = 0").collect()
+    }
+    assert len(rows) == 5
+    # newest five intervals survive with their values
+    for i in range(3, 8):
+        assert rows[NOW - (7 - i) * 60] == float(i)
