@@ -246,6 +246,38 @@ FROM orders
 """
 
 
+# ------------------------------------------------------------ r_rank_funcs
+def r_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function family on one deterministic ordering:
+    dense_rank, ntile(4), percent_rank, cume_dist.  The rational
+    outputs ((k-1)/(n-1), k/n) are single divisions of identical
+    integers in both engines — bit-exact, no rounding needed.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+R_RANK_FUNCS_SQL = """
+SELECT o_orderstatus, o_orderkey,
+       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
 # ------------------------------------------------------------ r_semi_anti
 def r_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti-join shape: customers with vs without orders, per segment."""
@@ -539,6 +571,7 @@ QUERIES = {
     "r_topk_orders": r_topk_orders,
     "r_window_topk_cust": r_window_topk_cust,
     "r_window_running": r_window_running,
+    "r_rank_funcs": r_rank_funcs,
     "r_semi_anti": r_semi_anti,
     "r_setops": r_setops,
     "r_exists_sql": r_exists_sql,
@@ -558,6 +591,7 @@ ORACLES = {
     "r_topk_orders": R_TOPK_SQL,
     "r_window_topk_cust": R_WINDOW_TOPK_SQL,
     "r_window_running": R_WINDOW_RUNNING_SQL,
+    "r_rank_funcs": R_RANK_FUNCS_SQL,
     "r_semi_anti": R_SEMI_ANTI_SQL,
     "r_setops": R_SETOPS_SQL,
     "r_exists_sql": R_EXISTS_SQL,
