@@ -170,6 +170,20 @@ class WhisperEngine:
             F.col("interval") > F.lit(now - cfg.retentions[archive_index].retention)
         )
 
+    # -- schema evolution ------------------------------------------------
+    def resize(self, new_config: SeriesConfig) -> "WhisperEngine":
+        """Change the retention ladder / aggregation — the whisper-resize
+        operation the reference does NOT implement (SURVEY.md §2A note:
+        changing retention requires the external whisper-resize tool and
+        a full file rewrite).  Here archives are derived views over the
+        points table, so a resize is just a new config over the same
+        points: no data rewrite, next rollup/fetch uses the new ladder.
+        """
+        out = WhisperEngine(self.spark, new_config)
+        if self._points is not None:
+            out._points = self._points
+        return out
+
     # -- read path -------------------------------------------------------
     def fetch(
         self,

@@ -274,3 +274,20 @@ def test_fetch_all_metrics_dense_even_when_range_empty(spark):
     assert len(by_metric["stale"]) == 5
     assert all(v is None for v in by_metric["stale"])
     assert any(v is not None for v in by_metric["recent"])
+
+
+def test_resize_changes_ladder_without_rewrite(spark):
+    """resize(): same points, new retention ladder — finer fetch step and
+    different aggregation, no re-ingest (the reference needs an external
+    whisper-resize tool + full file rewrite for this)."""
+    eng = make_engine(spark, defs="300s:1h,900s:6h", agg="average", xff=0.0)
+    rows = [("m", NOW - i * 60, float(i), i) for i in range(10)]
+    ingest(spark, eng, rows)
+    res, _ = fetch_values(eng, "m", NOW - 1800, NOW)
+    assert res.step == 300
+
+    resized = eng.resize(SeriesConfig.from_defs("60s:1h,300s:6h", "sum", 0.0))
+    res2, vals2 = fetch_values(resized, "m", NOW - 600, NOW)
+    assert res2.step == 60
+    # per-60s slots now hold individual points (LWW), not 300s averages
+    assert sum(v is not None for v in vals2) == 10
