@@ -716,6 +716,42 @@ WHERE round(list_sum(list_transform(generate_series(1, 64),
 """
 
 
+# ------------------------------------------------------------ s_cosine_ivf
+def s_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-3 neighbors: coarse quantization via k-means-learned
+    centroids (pyspark.ml KMeans, fixed seed), search restricted to the
+    query's cell.  The learned-centroid counterpart of the random-
+    hyperplane ``s_cosine_ann``; rows-only (the trained model is
+    engine-specific, so no DuckDB oracle).
+
+    Scale: training samples a bounded set; assignment is one broadcast-
+    model map; the search join keys on the cell id — same asymptotics
+    as the LSH path with better cell balance on clustered data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = _cos_frames(spark, sf_dir).withColumn("fv", array_to_vector("v"))
+    km = KMeans(k=8, seed=42, featuresCol="fv", predictionCol="cell", maxIter=5)
+    model = km.fit(e.select("fv"))
+    cells = model.transform(e).select("vec_id", "v", "norm", "cell")
+
+    q = cells.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("norm").alias("qn"), F.col("cell").alias("qcell"),
+    )
+    dot = _dot_expr("qv", "v")
+    sims = q.join(
+        cells, (F.col("qcell") == F.col("cell")) & (F.col("vec_id") != F.col("qid"))
+    ).withColumn("sim", F.round(dot / (F.col("qn") * F.col("norm")), 6))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("qid", F.col("vec_id").alias("neighbor"), "sim", "rank")
+    )
+
+
 # ---------------------------------------------------------- t_token_stats
 def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per document, aggregated per (lang, source)."""
@@ -986,6 +1022,7 @@ QUERIES = {
     "s_cosine_nearpairs": s_cosine_nearpairs,
     "s_cosine_ann": s_cosine_ann,
     "d_embed_neardup_lsh": d_embed_neardup_lsh,
+    "s_cosine_ivf": s_cosine_ivf,
     "t_token_stats": t_token_stats,
     "t_lang_id": t_lang_id,
     "t_quality": t_quality,
