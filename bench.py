@@ -36,8 +36,17 @@ HEADLINE = [
     "d_lsh_pairs",
     "d_simhash_pairs",
     "s_cosine_topk",
+    "s_cosine_ann",
+    "d_embed_neardup_lsh",
     "t_lang_id",
     "t_quality",
+    "t_tfidf_top3",
+    "w_sessionize_30m",
+    "w_percentiles_1d",
+    "g_moving_avg_3",
+    "g_as_percent",
+    "r_rank_funcs",
+    "r_exists_sql",
 ]
 
 

@@ -29,6 +29,11 @@ CHECKS = {
     "s_cosine_topk": dict(require=[], forbid=[]),
     "d_lsh_pairs": dict(require=["partial_min"], forbid=["CartesianProduct"]),
     "t_quality": dict(require=[], forbid=["Exchange"]),  # pure narrow map
+    "t_lang_id": dict(require=[], forbid=["Exchange", "BroadcastHashJoin"]),  # narrow after rewrite
+    "w_sessionize_30m": dict(require=["Window"], forbid=["CartesianProduct"]),
+    "g_moving_avg_3": dict(require=["Window", "partial_max_by"], forbid=["CartesianProduct"]),
+    "r_rank_funcs": dict(require=["Window"], forbid=["CartesianProduct"]),
+    "s_cosine_ann": dict(require=["Window"], forbid=["CartesianProduct"]),
 }
 
 
