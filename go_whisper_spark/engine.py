@@ -52,6 +52,20 @@ class FetchResult:
     step: int
     frame: DataFrame  # columns: metric, interval (long), value (double|NULL)
 
+    def points(self, metric: Optional[str] = None):
+        """Materialize ``[(interval, value), ...]`` in slot order — the
+        ``TimeSeries.Points()`` API shim [ref: whisper.go (func
+        (*TimeSeries) Points)].  Driver-side by definition (the caller
+        asked for a Python list); the distributed form is ``frame``.
+        """
+        df = self.frame
+        if metric is not None:
+            from pyspark.sql import functions as F  # local: shim-only
+
+            df = df.where(F.col("metric") == metric)
+        rows = df.orderBy("metric", "interval").collect()
+        return [(r["interval"], r["value"]) for r in rows]
+
 
 class WhisperEngine:
     """One series family (shared :class:`SeriesConfig`) over a points table.

@@ -291,3 +291,17 @@ def test_resize_changes_ladder_without_rewrite(spark):
     assert res2.step == 60
     # per-60s slots now hold individual points (LWW), not 300s averages
     assert sum(v is not None for v in vals2) == 10
+
+
+def test_fetch_result_points_shim(spark):
+    """TimeSeries.Points() parity: ordered (interval, value) pairs."""
+    eng = make_engine(spark, defs="60s:1h,300s:6h")
+    ingest(spark, eng, [("m", NOW - 120, 5.0, 1)])
+    res = eng.fetch(NOW - 300, NOW, NOW, metrics=["m"])
+    pts = res.points("m")
+    assert len(pts) == 5
+    assert pts[0][0] == res.from_interval
+    assert [v for _, v in pts] == [None, None, 5.0, None, None]
+    assert [t for t, _ in pts] == list(
+        range(res.from_interval, res.until_interval, res.step)
+    )
