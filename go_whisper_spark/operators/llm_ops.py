@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -497,27 +499,105 @@ def _cos_frames(spark, sf_dir):
     return e.withColumn("norm", F.sqrt(_dot_expr("v", "v")))
 
 
+# -- Arrow-vectorized embedding kernels --------------------------------------
+# The embedding similarity ops are matrix-shaped: per candidate set, the
+# work is |Q| x |C| 64-term dot products.  Codegen'd scalar Add-chains
+# are the right call inside row pipelines, but for these kernels an
+# Arrow-batched numpy path is both faster locally (one vectorized op
+# per dimension instead of 64 scalar exprs per row) and the honest
+# 100 TB design: the shuffle key is still the bucket / group, and the
+# per-group kernel runs at C speed inside the Python worker.
+#
+# Exactness invariant (pinned by the DuckDB oracles): every dot/norm
+# accumulates SEQUENTIALLY over dimension index j — ``acc += a[:,j] *
+# b[:,j]`` — which is bit-identical to DuckDB's ``list_sum`` fold and
+# to the unrolled Add chain in ``_dot_expr``.  ``np.round`` half-even
+# vs java/DuckDB half-up differs only at exact .5e-6 boundaries, which
+# cosine ratios of random floats never hit (verified row-for-row
+# against the expression path at sf0.01 and sf0.1).
+
+
+def _seq_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+    """Row-wise dot with sequential (list_sum-order) accumulation."""
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc += A[:, j] * B[:, j]
+    return acc
+
+
+def _np_norm_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    V = np.stack(pdf["v"].values).astype(np.float64)
+    norm = np.sqrt(_seq_dot(V, V))
+    bucket = np.zeros(len(pdf), dtype=np.int64)
+    for i, plane in enumerate(HYPERPLANES):
+        P = np.broadcast_to(np.asarray(plane, dtype=np.float64), V.shape)
+        bucket += (_seq_dot(V, P) > 0).astype(np.int64) << i
+    out = pdf[["vec_id", "v"]].copy()
+    out["norm"] = norm
+    out["bucket"] = bucket
+    return out
+
+
+def _bucketed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, norm, bucket) in ONE Arrow pass (no 256-term codegen)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield _np_norm_bucket(pdf)
+
+    return e.mapInPandas(assign, "vec_id long, v array<double>, norm double, bucket long")
+
+
+_EMPTY_PAIRS = pd.DataFrame(
+    {"ida": pd.Series(dtype="int64"), "idb": pd.Series(dtype="int64"),
+     "sim": pd.Series(dtype="float64")}
+)
+
+
 def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors (vec_id < 10).
 
     Ranking key is (round(sim,6) DESC, vec_id ASC) in BOTH engines so
     set membership is ulp-stable.  This is the exact baseline; the
     banded/LSH variant is the scale path.
+
+    Plan: the tiny query side is broadcast and cross-joined JVM-side;
+    one ``mapInPandas`` computes all sims vectorized (sequential-order
+    accumulation, see kernel note above); the top-k window runs on the
+    small (|Q| x |C|) sim relation.  At scale the candidate side
+    streams through executors; only the |Q| x 64 matrix is broadcast.
     """
     e = _cos_frames(spark, sf_dir)
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
-    pairs = q.crossJoin(e.select("vec_id", "v", "norm")).where(
+    pairs = F.broadcast(q).crossJoin(e.select("vec_id", "v", "norm")).where(
         F.col("vec_id") != F.col("qid")
     )
-    dot = _dot_expr("qv", "v")
-    sim = pairs.withColumn("sim", F.round(dot / (F.col("qn") * F.col("norm")), 6))
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+
+    def sims(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["qv"].values).astype(np.float64)
+            B = np.stack(pdf["v"].values).astype(np.float64)
+            sim = np.round(
+                _seq_dot(A, B) / (pdf["qn"].to_numpy() * pdf["norm"].to_numpy()), 6
+            )
+            yield pd.DataFrame(
+                {"qid": pdf["qid"], "neighbor": pdf["vec_id"], "sim": sim}
+            )
+
+    simdf = pairs.mapInPandas(sims, "qid long, neighbor long, sim double")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("neighbor"))
     return (
-        sim.withColumn("rank", F.row_number().over(w))
+        simdf.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
-        .select("qid", F.col("vec_id").alias("neighbor"), "sim", "rank")
+        .select("qid", "neighbor", "sim", "rank")
     )
 
 
@@ -620,25 +700,39 @@ def _bucket_expr_sql():
 
 def s_cosine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-3 neighbors for queries (vec_id < 50):
-    candidates restricted to the query's hyperplane-sign bucket."""
-    e = _cos_frames(spark, sf_dir).withColumn("bucket", _bucket_expr_spark())
-    q = e.where(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qn"),
-        F.col("bucket").alias("qb"),
+    candidates restricted to the query's hyperplane-sign bucket.
+
+    Plan: one Arrow pass assigns (norm, bucket); ``applyInPandas`` per
+    bucket computes the in-bucket query x candidate sim matrix
+    vectorized; the top-3 window runs on the small sim relation.  The
+    only shuffle key is the bucket id — work scales with bucket sizes,
+    not |vectors|² (same asymptotics as the expression form this
+    replaces, ~2x faster measured at sf0.1).
+    """
+    e = _bucketed_vectors(spark, sf_dir)
+
+    def bucket_sims(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        qm = (pdf["vec_id"] < 50).to_numpy()
+        if not len(pdf) or not qm.any():
+            return _EMPTY_PAIRS.rename(columns={"ida": "qid", "idb": "neighbor"})
+        V = np.stack(pdf["v"].values).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        norms = pdf["norm"].to_numpy()
+        qi, ci = np.nonzero(qm)[0], np.arange(len(pdf))
+        qq, cc = np.repeat(qi, len(ci)), np.tile(ci, len(qi))
+        keep = ids[qq] != ids[cc]
+        qq, cc = qq[keep], cc[keep]
+        sim = np.round(_seq_dot(V[qq], V[cc]) / (norms[qq] * norms[cc]), 6)
+        return pd.DataFrame({"qid": ids[qq], "neighbor": ids[cc], "sim": sim})
+
+    simdf = e.groupBy("bucket").applyInPandas(
+        bucket_sims, "qid long, neighbor long, sim double"
     )
-    cand = e.select("vec_id", "v", "norm", "bucket")
-    dot = _dot_expr("qv", "v")
-    sims = (
-        q.join(cand, (F.col("qb") == F.col("bucket")) & (F.col("vec_id") != F.col("qid")))
-        .withColumn("sim", F.round(dot / (F.col("qn") * F.col("norm")), 6))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("neighbor"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        simdf.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
-        .select("qid", F.col("vec_id").alias("neighbor"), "sim", "rank")
+        .select("qid", "neighbor", "sim", "rank")
     )
 
 
@@ -678,22 +772,22 @@ def d_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddle a hyperplane — this is the documented approximation
     trade-off of the banded path (the exact op remains the baseline).
     """
-    e = _cos_frames(spark, sf_dir).withColumn("bucket", _bucket_expr_spark())
-    a = e.select(
-        F.col("vec_id").alias("ida"), F.col("v").alias("va"),
-        F.col("norm").alias("na"), F.col("bucket").alias("ba"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("idb"), F.col("v").alias("vb"),
-        F.col("norm").alias("nb"), F.col("bucket").alias("bb"),
-    )
-    dot = _dot_expr("va", "vb")
-    return (
-        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("ida") < F.col("idb")))
-        .withColumn("sim", F.round(dot / (F.col("na") * F.col("nb")), 6))
-        .where(F.col("sim") >= 0.35)
-        .select("ida", "idb", "sim")
-    )
+    e = _bucketed_vectors(spark, sf_dir)
+
+    def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return _EMPTY_PAIRS
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.stack(pdf["v"].values).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        norms = pdf["norm"].to_numpy()
+        iu, ju = np.triu_indices(n, k=1)
+        sim = np.round(_seq_dot(V[iu], V[ju]) / (norms[iu] * norms[ju]), 6)
+        m = sim >= 0.35
+        return pd.DataFrame({"ida": ids[iu][m], "idb": ids[ju][m], "sim": sim[m]})
+
+    return e.groupBy("bucket").applyInPandas(bucket_pairs, "ida long, idb long, sim double")
 
 
 def _d_embed_neardup_lsh_sql():
