@@ -21,8 +21,15 @@ content-derived columns (shingle, band signature, simhash), never by
 doc_id alone — LSH banding turns the quadratic all-pairs problem into
 per-bucket joins; the brute-force cosine top-k is the *correctness
 baseline* whose scale path is the LSH/banded variant; token pipelines
-are pure narrow maps until the final aggregate.  No Python UDFs — all
-of this is Catalyst expressions (whole-stage codegen).
+are pure narrow maps until the final aggregate.  Two execution tiers:
+relational shapes (joins, aggregates, windows) are Catalyst
+expressions inside whole-stage codegen; per-row signature/vector
+kernels (shingle→minhash, simhash bit-folds, cosine dot products) are
+Arrow-batched pandas passes — narrow maps with numpy math, never
+row-at-a-time Python UDFs — because a 64-dim dot or 60-bit fold is
+matrix-shaped work that vectorizes better than a scalar Add-chain.
+Exactness invariants for oracle parity are pinned at each kernel
+(sequential accumulation order, integer-exact hashing).
 """
 
 from __future__ import annotations
@@ -73,16 +80,8 @@ def _tokens_col():
 
 _TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
-# 3-gram word shingles (1-based element_at to mirror DuckDB list indexing).
-_SHINGLES_EXPR = """
-CASE WHEN size(tokens) >= 3 THEN
-  transform(sequence(1, size(tokens) - 2),
-            i -> concat_ws(' ', element_at(tokens, i),
-                                element_at(tokens, i + 1),
-                                element_at(tokens, i + 2)))
-ELSE array() END
-"""
-
+# 3-gram word shingles (oracle-side; Spark computes them in the narrow
+# pandas features pass, see ``_doc_features``).
 _SHINGLES_SQL = """
 list_transform(generate_series(1, len(tokens) - 2),
                i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
@@ -103,21 +102,99 @@ shingle AS (
 )"""
 
 
-def _shingles_df(spark, sf_dir) -> DataFrame:
-    return (
-        _docs(spark, sf_dir)
-        .withColumn("tokens", _tokens_col())
-        .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("sh"))
-        .distinct()
-    )
-
-
-# Spark/DuckDB expression pair: shingle text → 32-bit base hash.
-def _x32(col):
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
-
-
 _X32_SQL = "CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT)"
+
+
+# -- Arrow-vectorized text kernels -------------------------------------------
+# Per-document signature computation (tokenize → hash → fold) has no
+# cross-row dependency: it is a NARROW map, and the honest 100 TB shape
+# is zero shuffles until the candidate join.  The pandas pass below
+# replaces an explode + groupBy(doc_id) (a |tokens|-row shuffle) with
+# in-worker numpy; every hash is hashlib md5 == JVM md5 == DuckDB md5,
+# and all arithmetic is exact integer (uint64 wide enough for
+# (a*x + b) with a,b < 2^31, x < 2^32), so parity is bit-level.
+
+import hashlib
+import re as _re
+
+_TOKEN_PAT = _re.compile(TOKEN_RE)
+
+
+def _py_tokens(text: str) -> list:
+    return _TOKEN_PAT.findall(text.lower())
+
+
+def _md5_prefix_int(s: str, nhex: int) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:nhex], 16)
+
+
+def _doc_features(spark: SparkSession, sf_dir: str, materialize: bool = False) -> DataFrame:
+    """One narrow pass over documents → per-doc dedup features:
+    distinct 3-gram shingles, shingle-set size, MinHash signature
+    (k=16), LSH band signatures, and the 60-bit SimHash.  No shuffle.
+
+    ``materialize=True`` computes the pass once and truncates lineage
+    (localCheckpoint): queries that consume the features in several
+    subtrees (banding + verification + sizes) would otherwise re-run
+    the Python pass per subtree.  This is the signature-index table a
+    production pipeline persists; the explicit repartition spreads the
+    single-file scan across workers (at 100 TB the source is already
+    many splits and both knobs are no-ops).
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    if materialize:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
+    coeffs = np.array(MINHASH_COEFFS, dtype=np.uint64)  # (16, 2)
+    m61 = np.uint64(MERSENNE61)
+    rows_per_band = N_MINHASH // N_BANDS
+    jbits = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def feats(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = _py_tokens(text)
+                # SimHash over token occurrences (with multiplicity)
+                if toks:
+                    xs = np.array(
+                        [_md5_prefix_int(t, 15) for t in toks], dtype=np.int64
+                    )
+                    bits = (xs[:, None] >> jbits) & 1
+                    s = (bits * 2 - 1).sum(axis=0)
+                    simhash = int(((s > 0).astype(np.int64) << jbits).sum())
+                else:
+                    simhash = None  # no tokens → no signature row (matches explode)
+                # distinct shingles + minhash signature + band sigs
+                sh = sorted(
+                    {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+                ) if len(toks) >= 3 else []
+                if sh:
+                    x32 = np.array(
+                        [_md5_prefix_int(t, 8) for t in sh], dtype=np.uint64
+                    )
+                    hs = (coeffs[:, 0:1] * x32[None, :] + coeffs[:, 1:2]) % m61
+                    sig = hs.min(axis=1).astype(np.int64)
+                    bands = [
+                        "-".join(
+                            str(int(sig[b * rows_per_band + r]))
+                            for r in range(rows_per_band)
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                else:
+                    sig, bands = np.array([], dtype=np.int64), []
+                out.append((doc_id, sh, len(sh), [int(h) for h in sig], bands, simhash))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "shingles", "n_sh", "minhash", "bands", "simhash"],
+            )
+
+    schema = (
+        "doc_id long, shingles array<string>, n_sh long, "
+        "minhash array<long>, bands array<string>, simhash long"
+    )
+    out = d.mapInPandas(feats, schema)
+    return out.localCheckpoint() if materialize else out
 
 
 # ---------------------------------------------------------- d_exact_dedup
@@ -161,20 +238,24 @@ def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is proportional to shared shingles, never |docs|²); pairs kept at
     jaccard >= 0.2.
     """
-    sh = _shingles_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Narrow features pass: shingle sets + sizes computed without any
+    # shuffle (vs the prior DISTINCT + groupBy-sizes shape — two
+    # exchanges removed); n_sh rides the exploded rows, so the
+    # per-pair sizes come out of the same groupBy that counts overlap.
+    feats = _doc_features(spark, sf_dir, materialize=True).where(F.col("n_sh") > 0)
+    sh = feats.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
+        .agg(
+            F.count("*").alias("shared"),
+            F.min("a.n_sh").alias("na"),
+            F.min("b.n_sh").alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.round(
                 F.col("shared").cast("double")
@@ -229,14 +310,6 @@ FROM keep JOIN documents d USING (doc_id)
 
 
 # ---------------------------------------------------------- d_minhash_sigs
-def _minhash_aggs():
-    x = F.col("x32")
-    return [
-        F.min((F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE61)).alias(f"h{i}")
-        for i, (a, b) in enumerate(MINHASH_COEFFS)
-    ]
-
-
 def _minhash_sql_terms():
     return ",\n       ".join(
         f"min(({a} * x32 + {b}) % {MERSENNE61}) AS h{i}"
@@ -247,9 +320,13 @@ def _minhash_sql_terms():
 def d_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=16 affine permutations over 32-bit shingle
     hashes, mod 2^61-1) — the shingle→minhash step of MinHash+LSH dedup.
+    Computed in the narrow per-doc features pass (zero shuffles).
     """
-    sh = _shingles_df(spark, sf_dir).withColumn("x32", _x32(F.col("sh")))
-    return sh.groupBy("doc_id").agg(*_minhash_aggs())
+    feats = _doc_features(spark, sf_dir).where(F.col("n_sh") > 0)
+    return feats.select(
+        "doc_id",
+        *[F.element_at("minhash", i + 1).alias(f"h{i}") for i in range(N_MINHASH)],
+    )
 
 
 D_MINHASH_SQL = f"""
@@ -268,29 +345,14 @@ def d_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard.  This is the 100 TB dedup path: the only join key is the
     band signature, so work scales with bucket sizes, not |docs|².
     """
-    # Signature + shingle-set-size in ONE aggregate: n_sh rides the same
-    # groupBy(doc_id) shuffle as the 16 mins, so verification needs no
-    # second shingle pass for sizes.
-    sh0 = _shingles_df(spark, sf_dir).withColumn("x32", _x32(F.col("sh")))
-    sigs = sh0.groupBy("doc_id").agg(
-        *_minhash_aggs(), F.count("*").alias("n_sh")
+    # All per-doc signature work (shingles, minhash, bands, sizes) comes
+    # from the narrow features pass — zero shuffles before the candidate
+    # join.  The prior expression form paid a DISTINCT exchange plus a
+    # groupBy(doc_id) signature aggregate before banding.
+    feats = _doc_features(spark, sf_dir, materialize=True).where(F.col("n_sh") > 0)
+    banded = feats.select(
+        "doc_id", F.posexplode("bands").alias("band", "sig")
     )
-    rows_per_band = N_MINHASH // N_BANDS
-    # Explode to (doc_id, band, sig) rows in ONE pass over the signature
-    # pipeline — a 4-way union would re-evaluate the shingle+minhash
-    # subtree once per band.
-    band_structs = []
-    for band in range(N_BANDS):
-        cols = [f"h{band * rows_per_band + r}" for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.concat_ws("-", *[F.col(c).cast("string") for c in cols]).alias("sig"),
-            )
-        )
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a, bb = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -302,22 +364,21 @@ def d_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Verify candidates with exact Jaccard over shingle sets.  The
-    # shared-count join deliberately does NOT depend on `cand`: keeping
-    # the subtree independent lets Spark reuse the shingle exchange
-    # across sigs/sizes/shared (ReusedExchange) instead of re-running
-    # the signature pipeline per reference.  (In a persisted production
-    # pipeline you would materialize `cand` and semi-join shingles to
-    # candidate docs before verifying; measured here, the semi-join
-    # variant recomputes candidate generation 3x and is 2x slower.)
-    sh = _shingles_df(spark, sf_dir)
-    sizes = sigs.select("doc_id", "n_sh")
+    # Verify candidates with exact Jaccard over shingle sets; n_sh rides
+    # the exploded shingle rows so pair sizes come from the same
+    # aggregate as the overlap count (no separate sizes joins).
+    sh = feats.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
     a2, b2 = sh.alias("sa"), sh.alias("sb")
     shared = (
         a2.join(b2, (F.col("sa.sh") == F.col("sb.sh")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
         .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("shared"))
     )
+    # LEFT join: an LSH candidate with zero shared shingles (a banding
+    # false positive) is still reported, with its true jaccard of 0 —
+    # the sizes are a projection of the narrow pass (AQE broadcasts
+    # them at small SF; at scale they hash-join on doc_id).
+    sizes = feats.select("doc_id", "n_sh")
     return (
         cand.join(shared, ["doc_a", "doc_b"], "left")
         .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
@@ -377,30 +438,19 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (60-bit) per document over token hashes: per bit j, sum
     ±1 across tokens (weighted by occurrence), bit set iff sum > 0.
 
-    Implemented as one explode + one hash aggregate with the BIT
-    DIMENSION AS 60 COLUMNS (``sum(case (x>>j)&1 ...)`` per j): every
-    expression stays inside whole-stage codegen.  Two prior shapes
-    measured slower: explode-per-bit (60× row blowup through the
-    shuffle) and a narrow array fold (higher-order functions
-    ``aggregate``/``zip_with`` are *interpreted*, not codegen'd — the
-    fold was 18M boxed lambda evals).
+    Computed in the narrow per-doc features pass (``_doc_features``):
+    signature construction has no cross-row dependency, so the honest
+    shape is a zero-shuffle Arrow map with exact integer bit math.
+    (Two earlier expression shapes are retired: a 60-column
+    ``sum(case)`` aggregate — correct but pays an |tokens|-row shuffle
+    plus a 60-agg codegen compile — and explode-per-bit / array-fold
+    variants, which measured slower still.)
     """
-    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
-    tok = d.select("doc_id", F.explode("tokens").alias("token")).withColumn(
-        "x", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    return (
+        _doc_features(spark, sf_dir)
+        .where(F.col("simhash").isNotNull())
+        .select("doc_id", "simhash")
     )
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("x"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    sig = tok.groupBy("doc_id").agg(*bit_aggs)
-    simhash = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        simhash = term if simhash is None else simhash + term
-    return sig.select("doc_id", simhash.alias("simhash"))
 
 
 D_SIMHASH_SQL = f"""
