@@ -557,6 +557,91 @@ def w_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ w_diff / w_fill_merge
+# Analogs of the python-whisper CLI ecosystem tools the storage engine
+# ships with (whisper-diff.py / whisper-fill.py / whisper-merge.py —
+# public graphite-project/whisper tooling; robyoung's Go port covers
+# the library, Graphite operators run these against the same files).
+# Two series sets A and B are carved from events by write_seq parity —
+# the "two .wsp files for the same metric" situation (e.g. a primary
+# and a backfill copy), each LWW-consolidated at the 1h archive.
+
+_PARITY_CTES = """lwwA AS (
+  SELECT metric, ts_sec - ts_sec % 3600 AS interval,
+         arg_max(value, write_seq) AS value
+  FROM pts WHERE write_seq % 2 = 0 GROUP BY 1, 2
+),
+lwwB AS (
+  SELECT metric, ts_sec - ts_sec % 3600 AS interval,
+         arg_max(value, write_seq) AS value
+  FROM pts WHERE write_seq % 2 = 1 GROUP BY 1, 2
+)"""
+
+
+def _lww_parity(spark: SparkSession, sf_dir: str, parity: int) -> DataFrame:
+    pts = _points(spark, sf_dir).where(F.col("write_seq") % 2 == parity)
+    return _lww(pts, HOUR)
+
+
+def w_diff_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """whisper-diff: slot-by-slot comparison of two archives of the same
+    metric — report every interval where the stored values differ
+    (including slots present on only one side).  Full-outer join on the
+    (metric, interval) slot key + null-safe inequality; shuffle key is
+    the slot key, the same co-location every whisper op uses.
+    """
+    a = _lww_parity(spark, sf_dir, 0).withColumnRenamed("value", "value_a")
+    b = _lww_parity(spark, sf_dir, 1).withColumnRenamed("value", "value_b")
+    return (
+        a.join(b, ["metric", "interval"], "full_outer")
+        .where(~F.col("value_a").eqNullSafe(F.col("value_b")))
+        .select("metric", "interval", "value_a", "value_b")
+    )
+
+
+W_DIFF_SQL = f"""
+WITH {PTS_CTE}, {_PARITY_CTES}
+SELECT metric, interval, a.value AS value_a, b.value AS value_b
+FROM lwwA a FULL OUTER JOIN lwwB b USING (metric, interval)
+WHERE a.value IS DISTINCT FROM b.value
+"""
+
+
+def w_fill_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """whisper-fill + whisper-merge in one pass over target A / source B:
+    ``filled``  = fill(A from B): keep A where present, take B only
+                  into A's gaps (whisper-fill never overwrites);
+    ``merged``  = merge(B into A): every B point is written, so B wins
+                  where both exist (ring overwrite = last write wins);
+    ``prov``    = where the filled value came from (kept/filled/both).
+    """
+    a = _lww_parity(spark, sf_dir, 0).withColumnRenamed("value", "value_a")
+    b = _lww_parity(spark, sf_dir, 1).withColumnRenamed("value", "value_b")
+    both = a.join(b, ["metric", "interval"], "full_outer")
+    return both.select(
+        "metric",
+        "interval",
+        F.coalesce("value_a", "value_b").alias("filled"),
+        F.coalesce("value_b", "value_a").alias("merged"),
+        F.when(F.col("value_a").isNull(), F.lit("filled"))
+        .when(F.col("value_b").isNull(), F.lit("kept"))
+        .otherwise(F.lit("both"))
+        .alias("prov"),
+    )
+
+
+W_FILL_MERGE_SQL = f"""
+WITH {PTS_CTE}, {_PARITY_CTES}
+SELECT metric, interval,
+       coalesce(a.value, b.value) AS filled,
+       coalesce(b.value, a.value) AS merged,
+       CASE WHEN a.value IS NULL THEN 'filled'
+            WHEN b.value IS NULL THEN 'kept'
+            ELSE 'both' END AS prov
+FROM lwwA a FULL OUTER JOIN lwwB b USING (metric, interval)
+"""
+
+
 QUERIES = {
     "w_lww_1h": w_lww_1h,
     "w_derivative_1h": w_derivative_1h,
@@ -570,6 +655,8 @@ QUERIES = {
     "w_fetch_dense_3d": w_fetch_dense_3d,
     "w_fetch_coarse_30d": w_fetch_coarse_30d,
     "w_retention_7d": w_retention_7d,
+    "w_diff_series": w_diff_series,
+    "w_fill_merge": w_fill_merge,
 }
 
 ORACLES = {
@@ -584,4 +671,6 @@ ORACLES = {
     "w_retention_7d": W_RETENTION_7D_SQL,
     "w_percentiles_1d": W_PERCENTILES_SQL,
     "w_sessionize_30m": W_SESSIONIZE_SQL,
+    "w_diff_series": W_DIFF_SQL,
+    "w_fill_merge": W_FILL_MERGE_SQL,
 }

@@ -18,6 +18,8 @@ SUBSET = [
     "w_cascade_1d",
     "w_fetch_dense_3d",
     "w_sessionize_30m",
+    "w_diff_series",
+    "w_fill_merge",
     "r_q1_pricing",
     "r_exists_sql",
     "r_window_running",
