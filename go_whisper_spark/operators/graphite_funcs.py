@@ -303,6 +303,207 @@ FROM c
 """
 
 
+# -------------------------------------------------------- g_group_by_node
+def g_group_by_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupByNode(1h-series, 0, "sum"): Graphite metric names are
+    dot-hierarchies; aggregate every series sharing path node 0.
+
+    Leaf paths are ``<event_type>.u<user_id % 4>`` (the "one series per
+    server" layout), LWW-consolidated per (path, interval), then summed
+    across the u* leaves per node+interval.  Shuffle keys: the leaf
+    slot key for LWW, then the node slot key — both partitionable at
+    100 TB (this is exactly carbon's fan-in aggregation).
+    """
+    from go_whisper_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        F.concat(F.col("event_type"), F.lit(".u"), (F.col("user_id") % 4).cast("string")).alias("path"),
+        F.col("ts_sec").alias("ts"),
+        "value",
+        F.col("event_id").alias("write_seq"),
+    )
+    lww = (
+        pts.withColumn("interval", (F.col("ts") - F.col("ts") % F.lit(HOUR)).cast("long"))
+        .groupBy("path", "interval")
+        .agg(F.max_by("value", "write_seq").alias("value"))
+    )
+    return (
+        lww.withColumn("node", F.split("path", "[.]").getItem(0))
+        .withColumn("cents", _cents())
+        .groupBy("node", "interval")
+        .agg(
+            F.count("*").alias("n_leaves"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
+G_GROUP_BY_NODE_SQL = f"""
+WITH pths AS (
+  SELECT event_type || '.u' || CAST(user_id % 4 AS VARCHAR) AS path,
+         epoch_ns(ts) // 1000000000 AS ts_sec,
+         value, event_id AS write_seq
+  FROM events
+),
+lwwp AS (
+  SELECT path, ts_sec - ts_sec % 3600 AS interval,
+         arg_max(value, write_seq) AS value
+  FROM pths GROUP BY 1, 2
+)
+SELECT split_part(path, '.', 1) AS node, interval,
+       count(*) AS n_leaves,
+       CAST(sum({CENTS_SQL}) AS DOUBLE) / 100.0 AS sum_value
+FROM lwwp GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------ g_highest_avg_3
+def g_highest_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """highestAverage(series, 3): series *selection* — keep the full
+    series of the 3 metrics with the highest overall average.
+
+    Two-level plan: per-metric exact averages (integer cents), a
+    global rank over the tiny per-metric relation (one row per metric
+    — the single-partition window is over #series rows, not points),
+    then a join back that AQE turns into a broadcast semi-join of the
+    3 winners against the slot rows.
+    """
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    per = lww.groupBy("metric").agg(F.sum("cents").alias("sc"), F.count("*").alias("n"))
+    ranked = per.select(
+        "metric",
+        _avg6(F.col("sc"), F.col("n")).alias("avg_value"),
+    ).withColumn(
+        "series_rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("avg_value"), F.asc("metric"))
+        ),
+    ).where(F.col("series_rank") <= 3)
+    return lww.join(ranked, "metric").select(
+        "metric", "interval", "value", "avg_value", "series_rank"
+    )
+
+
+G_HIGHEST_AVG_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+per AS (
+  SELECT metric,
+         floor(CAST(sum({CENTS_SQL}) AS DOUBLE) * 10000 / count(*)) / 1000000.0 AS avg_value
+  FROM lww1h GROUP BY metric
+),
+ranked AS (
+  SELECT metric, avg_value,
+         CAST(row_number() OVER (ORDER BY avg_value DESC, metric ASC) AS INTEGER) AS series_rank
+  FROM per
+)
+SELECT l.metric, l.interval, l.value, r.avg_value, r.series_rank
+FROM lww1h l JOIN ranked r ON l.metric = r.metric
+WHERE r.series_rank <= 3
+"""
+
+
+# ------------------------------------------------------------ g_stdev_1d
+def g_stdev_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stdev(): per-metric daily sample variance/stddev over the 1h
+    series, in exact integer arithmetic: with S1=Σcents, S2=Σcents²,
+    var = (n·S2 − S1²) / (n(n−1)) — the numerator is an exact BIGINT
+    in both engines, so the 6-dp floor truncation can't straddle a
+    rounding boundary (round(var_double) is not cross-engine stable;
+    see whisper_queries._avg6).  stddev = round(sqrt(var), 6): sqrt is
+    correctly-rounded IEEE in both engines.
+    """
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    day = (F.col("interval") - F.col("interval") % F.lit(24 * HOUR)).cast("long")
+    agged = (
+        lww.groupBy("metric", day.alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    den = F.col("n") * (F.col("n") - 1)
+    variance = F.floor(num.cast("double") * 100 / den) / F.lit(1_000_000.0)
+    return agged.select(
+        "metric",
+        F.col("day").alias("interval"),
+        "n",
+        variance.alias("variance"),
+        F.round(F.sqrt(variance), 6).alias("stdev"),
+    )
+
+
+G_STDEV_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+agged AS (
+  SELECT metric,
+         interval - interval % 86400 AS day,
+         count(*) AS n,
+         sum({CENTS_SQL}) AS s1,
+         sum({CENTS_SQL} * {CENTS_SQL}) AS s2
+  FROM lww1h GROUP BY 1, 2
+)
+SELECT metric, day AS interval, n,
+       floor(CAST(n * s2 - s1 * s1 AS DOUBLE) * 100 / (n * (n - 1))) / 1000000.0 AS variance,
+       round(sqrt(floor(CAST(n * s2 - s1 * s1 AS DOUBLE) * 100 / (n * (n - 1))) / 1000000.0), 6) AS stdev
+FROM agged
+WHERE n >= 2
+"""
+
+
+# ------------------------------------------------------ g_holt_winters
+def g_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """holtWintersForecast() analog: one-step-ahead double exponential
+    smoothing (Holt's linear trend, alpha=0.5, beta=0.3) per metric
+    over the 1h LWW series.
+
+    The recurrence s_t = α·x_t + (1−α)(s_{t−1}+b_{t−1}) is inherently
+    sequential per series, so this is the canonical applyInPandas
+    operator: shuffle key = metric (one series per group, the
+    reference's one-file-per-metric layout), sequential numpy loop
+    inside the worker.  Rows-only contract entry (recursive smoothing
+    has no closed SQL form; a recursive CTE oracle would pin engine-
+    specific float fold order instead of semantics).
+    """
+    import pandas as pd
+
+    lww = _lww1h(spark, sf_dir)
+    alpha, beta = 0.5, 0.3
+
+    def smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("interval").reset_index(drop=True)
+        x = pdf["value"].to_numpy(dtype=float)
+        n = len(x)
+        level = x.copy()
+        trend = [0.0] * n
+        forecast = [None] * n
+        s, b = x[0], 0.0
+        for t in range(1, n):
+            forecast[t] = s + b
+            s_new = alpha * x[t] + (1 - alpha) * (s + b)
+            b = beta * (s_new - s) + (1 - beta) * b
+            s = s_new
+            level[t], trend[t] = s, b
+        return pd.DataFrame(
+            {
+                "metric": pdf["metric"],
+                "interval": pdf["interval"],
+                "value": pdf["value"],
+                "level": level,
+                "trend": trend,
+                "forecast": forecast,
+            }
+        )
+
+    return lww.groupBy("metric").applyInPandas(
+        smooth,
+        "metric string, interval long, value double, level double, trend double, forecast double",
+    )
+
+
 QUERIES = {
     "g_moving_avg_3": g_moving_avg_3,
     "g_nonneg_derivative": g_nonneg_derivative,
@@ -312,6 +513,10 @@ QUERIES = {
     "g_integral": g_integral,
     "g_keep_last": g_keep_last,
     "g_summarize_4h": g_summarize_4h,
+    "g_group_by_node": g_group_by_node,
+    "g_highest_avg_3": g_highest_avg_3,
+    "g_stdev_1d": g_stdev_1d,
+    "g_holt_winters": g_holt_winters,
 }
 
 ORACLES = {
@@ -323,4 +528,7 @@ ORACLES = {
     "g_integral": G_INTEGRAL_SQL,
     "g_keep_last": G_KEEP_LAST_SQL,
     "g_summarize_4h": G_SUMMARIZE_SQL,
+    "g_group_by_node": G_GROUP_BY_NODE_SQL,
+    "g_highest_avg_3": G_HIGHEST_AVG_SQL,
+    "g_stdev_1d": G_STDEV_SQL,
 }

@@ -20,6 +20,8 @@ SUBSET = [
     "w_sessionize_30m",
     "w_diff_series",
     "w_fill_merge",
+    "g_group_by_node",
+    "g_stdev_1d",
     "r_q1_pricing",
     "r_exists_sql",
     "r_window_running",
@@ -49,6 +51,30 @@ def _norm(v):
 
 def _key(row):
     return tuple((x is None, str(type(x)), str(x)) for x in row)
+
+
+def test_holt_winters_recurrence(spark, sf_dir):
+    """Pin the smoothing recurrence: recompute one metric's series in
+    pure Python (same float op order) and compare bit-for-bit."""
+    from go_whisper_spark.operators.graphite_funcs import g_holt_winters, _lww1h
+
+    rows = g_holt_winters(spark, sf_dir).where("metric = 'click'").collect()
+    got = {r.interval: (r.level, r.trend, r.forecast) for r in rows}
+    series = sorted(
+        (r.interval, r.value)
+        for r in _lww1h(spark, sf_dir).where("metric = 'click'").collect()
+    )
+    assert len(series) == len(got) > 0
+    alpha, beta = 0.5, 0.3
+    s, b = series[0][1], 0.0
+    assert got[series[0][0]] == (s, b, None)
+    for t in range(1, len(series)):
+        iv, x = series[t]
+        fc = s + b
+        s_new = alpha * x + (1 - alpha) * (s + b)
+        b = beta * (s_new - s) + (1 - beta) * b
+        s = s_new
+        assert got[iv] == (s, b, fc)
 
 
 @pytest.mark.parametrize("name", SUBSET)
