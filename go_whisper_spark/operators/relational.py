@@ -562,8 +562,55 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+# ------------------------------------------------------ r_corr_scalar_sub
+def r_corr_scalar_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated *scalar* subqueries (per-part count
+    and quantity sum) that Catalyst decorrelates into aggregate +
+    join — small-quantity orders below 20% of the part's average.
+
+    The threshold test is integer-exact: ``qty < 0.2 * avg(qty)`` is
+    algebraically ``5 * qty * n < sum_qty``, all BIGINTs (quantities
+    are whole numbers), so no engine can disagree at the boundary —
+    ``0.2 * avg`` in doubles is NOT cross-engine stable when the true
+    average is a terminating decimal.
+    """
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               count(*) AS n_small,
+               round(sum(l.l_extendedprice), 4) AS small_revenue
+        FROM v_lineitem l JOIN v_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size <= 10
+          AND 5 * CAST(l.l_quantity AS BIGINT)
+                * (SELECT count(*) FROM v_lineitem l2
+                   WHERE l2.l_partkey = l.l_partkey)
+              < (SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM v_lineitem l2
+                 WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand
+        """
+    )
+
+
+R_CORR_SCALAR_SQL = """
+SELECT p.p_brand,
+       count(*) AS n_small,
+       round(sum(l.l_extendedprice), 4) AS small_revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size <= 10
+  AND 5 * CAST(l.l_quantity AS BIGINT)
+        * (SELECT count(*) FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p.p_brand
+"""
+
+
 QUERIES = {
     "r_q1_pricing": r_q1_pricing,
+    "r_corr_scalar_sub": r_corr_scalar_sub,
     "r_cube_orders": r_cube_orders,
     "r_pivot": r_pivot,
     "r_q3_revenue": r_q3_revenue,
@@ -584,6 +631,7 @@ QUERIES = {
 
 ORACLES = {
     "r_q1_pricing": R_Q1_SQL,
+    "r_corr_scalar_sub": R_CORR_SCALAR_SQL,
     "r_cube_orders": R_CUBE_SQL,
     "r_pivot": R_PIVOT_SQL,
     "r_q3_revenue": R_Q3_SQL,

@@ -24,6 +24,7 @@ SUBSET = [
     "g_stdev_1d",
     "r_q1_pricing",
     "r_exists_sql",
+    "r_corr_scalar_sub",
     "r_window_running",
     "d_lsh_pairs",
     "d_simhash_pairs",
