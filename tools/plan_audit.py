@@ -27,7 +27,9 @@ CHECKS = {
     "w_lww_1h": dict(require=["partial_max_by"], forbid=["CartesianProduct"]),
     "w_fetch_dense_3d": dict(require=["partial_max_by"], forbid=["CartesianProduct"]),
     "s_cosine_topk": dict(require=[], forbid=[]),
-    "d_lsh_pairs": dict(require=["partial_min"], forbid=["CartesianProduct"]),
+    # Signatures come from the single narrow Arrow pass (no pre-join
+    # aggregates), so the only partial agg left is the shared-shingle count.
+    "d_lsh_pairs": dict(require=["partial_count"], forbid=["CartesianProduct"]),
     "t_quality": dict(require=[], forbid=["Exchange"]),  # pure narrow map
     "t_lang_id": dict(require=[], forbid=["Exchange", "BroadcastHashJoin"]),  # narrow after rewrite
     "w_sessionize_30m": dict(require=["Window"], forbid=["CartesianProduct"]),
