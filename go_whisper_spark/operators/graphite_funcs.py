@@ -454,6 +454,220 @@ WHERE n >= 2
 """
 
 
+# ------------------------------------------------------------- g_ewma
+def g_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exponentialMovingAverage(series, 3): final EWMA state per metric
+    (alpha = 2/(N+1) = 0.5) over the 1h LWW series.
+
+    The recurrence e_t = α·x_t + (1−α)·e_{t−1} is a left fold, seeded
+    with the first slot — expressed as ``aggregate()`` over the
+    interval-sorted value array.  Cross-engine exactness: both engines
+    run the *identical* IEEE-754 op sequence (0.5·x + 0.5·acc, same
+    fold order), so the doubles are bit-equal and need no rounding.
+    At 100 TB the same fold runs per metric inside one shuffle
+    partition (key = metric, the reference's one-file-per-metric
+    layout); state is O(1) per series.
+    """
+    lww = _lww1h(spark, sf_dir)
+    arr = F.array_sort(F.collect_list(F.struct("interval", "value")))
+    vals = F.transform(arr, lambda s: s["value"])
+    per = lww.groupBy("metric").agg(vals.alias("vals"))
+    v = F.col("vals")
+    ewma = F.aggregate(
+        F.slice(v, 2, F.size(v) - 1),
+        F.element_at(v, 1),
+        lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * acc,
+    )
+    return per.select(
+        "metric",
+        F.size(v).alias("n_slots"),
+        ewma.alias("ewma"),
+        F.element_at(v, -1).alias("last_value"),
+    )
+
+
+G_EWMA_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+per AS (SELECT metric, list(value ORDER BY interval) AS vals FROM lww1h GROUP BY metric)
+SELECT metric,
+       CAST(len(vals) AS INTEGER) AS n_slots,
+       list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma,
+       vals[-1] AS last_value
+FROM per
+"""
+
+
+# ---------------------------------------------------- g_moving_median_5
+def g_moving_median_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """movingMedian(series, 5): lower median (sorted element at
+    ceil(k/2)) of the current + 4 preceding slots.  Element selection
+    from a sorted array is exact — no float arithmetic, so no rounding
+    policy is needed (unlike interpolating percentile_cont).  Window
+    key = metric, ordered by the unique interval → deterministic.
+    """
+    w = Window.partitionBy("metric").orderBy("interval").rowsBetween(-4, 0)
+    arr = F.array_sort(F.collect_list("value").over(w))
+    med = F.element_at(arr, F.ceil(F.size(arr) / 2).cast("int"))
+    return _lww1h(spark, sf_dir).select(
+        "metric",
+        "interval",
+        F.size(arr).alias("window_n"),
+        med.alias("moving_median"),
+    )
+
+
+G_MOVING_MEDIAN_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       CAST(len(list(value) OVER w) AS INTEGER) AS window_n,
+       list_sort(list(value) OVER w)[CAST(ceil(len(list(value) OVER w) / 2.0) AS INT)]
+         AS moving_median
+FROM lww1h
+WINDOW w AS (PARTITION BY metric ORDER BY interval
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------- g_transform_chain
+def g_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scale(offset(absolute(series), 10), 2) and invert(series):
+    Graphite's pointwise transform family composed in one pass.  Pure
+    narrow map — zero shuffles beyond the LWW consolidation, and both
+    engines apply the identical IEEE op chain to the same stored
+    doubles, so results are bit-equal unrounded.
+    """
+    lww = _lww1h(spark, sf_dir)
+    scaled = (F.abs(F.col("value")) + F.lit(10.0)) * F.lit(2.0)
+    inverted = F.lit(1.0) / scaled
+    return lww.select(
+        "metric",
+        "interval",
+        scaled.alias("scaled"),
+        inverted.alias("inverted"),
+    )
+
+
+G_TRANSFORM_CHAIN_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       (abs(value) + 10.0) * 2.0 AS scaled,
+       1.0 / ((abs(value) + 10.0) * 2.0) AS inverted
+FROM lww1h
+"""
+
+
+# ------------------------------------------------------- g_linreg_1d
+def g_linreg_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linearRegression(series): per-metric per-day OLS slope/intercept
+    over the 1h series.  x = hour slot index within the day (0..23,
+    small exact ints), y = integer cents, so the OLS numerators
+    n·Σxy − Σx·Σy and n·Σx² − (Σx)² are exact BIGINTs in both engines
+    (≪ 2^53, so the DOUBLE casts are exact too) and the 6-dp floor
+    truncation cannot straddle a rounding boundary.  Shuffle key =
+    (metric, day): fully partitionable, partial-aggregated map-side.
+    """
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    day = (F.col("interval") - F.col("interval") % F.lit(24 * HOUR)).cast("long")
+    x = ((F.col("interval") % F.lit(24 * HOUR)) / F.lit(HOUR)).cast("long")
+    agged = (
+        lww.select("metric", day.alias("day"), x.alias("x"), "cents")
+        .groupBy("metric", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("cents").alias("sy"),
+            F.sum(F.col("x") * F.col("cents")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_c = F.floor(num.cast("double") * 1_000_000 / den) / F.lit(1_000_000.0)
+    icept_c = (
+        F.floor((F.col("sy") - slope_c * F.col("sx")) * 1_000_000 / F.col("n"))
+        / F.lit(1_000_000.0)
+    )
+    return agged.select(
+        "metric",
+        F.col("day").alias("interval"),
+        "n",
+        (slope_c / F.lit(100.0)).alias("slope_per_hour"),
+        (icept_c / F.lit(100.0)).alias("intercept"),
+    )
+
+
+G_LINREG_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+agged AS (
+  SELECT metric,
+         interval - interval % 86400 AS day,
+         count(*) AS n,
+         sum((interval % 86400) // 3600) AS sx,
+         sum({CENTS_SQL}) AS sy,
+         sum(((interval % 86400) // 3600) * {CENTS_SQL}) AS sxy,
+         sum(((interval % 86400) // 3600) * ((interval % 86400) // 3600)) AS sxx
+  FROM lww1h GROUP BY 1, 2
+),
+fitted AS (
+  SELECT metric, day, n, sx, sy,
+         floor(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000
+               / (n * sxx - sx * sx)) / 1000000.0 AS slope_c
+  FROM agged WHERE n >= 2
+)
+SELECT metric, day AS interval, n,
+       slope_c / 100.0 AS slope_per_hour,
+       (floor((sy - slope_c * sx) * 1000000 / n) / 1000000.0) / 100.0 AS intercept
+FROM fitted
+"""
+
+
+# ---------------------------------------------- g_remove_above_pctile
+def g_remove_above_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """removeAbovePercentile(series, 90): drop slots above the series'
+    90th-percentile value.  The threshold is rank-based (the value at
+    sorted position ceil(0.9·n)) — pure ordering, no interpolation, so
+    it is float-exact in both engines; ties at the boundary share one
+    value, making the cutoff tiebreak-independent.  Two-pass plan:
+    per-metric threshold (tiny relation) broadcast back against the
+    slot rows.
+    """
+    lww = _lww1h(spark, sf_dir)
+    w = Window.partitionBy("metric").orderBy("value")
+    ranked = lww.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("metric"))
+    )
+    thresh = (
+        ranked.where(F.col("rn") <= F.ceil(F.col("n") * 0.9).cast("long"))
+        .groupBy("metric")
+        .agg(F.max("value").alias("p90"))
+    )
+    return (
+        lww.join(F.broadcast(thresh), "metric")
+        .where(F.col("value") <= F.col("p90"))
+        .select("metric", "interval", "value", "p90")
+    )
+
+
+G_REMOVE_ABOVE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+ranked AS (
+  SELECT metric, interval, value,
+         row_number() OVER (PARTITION BY metric ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM lww1h
+),
+thresh AS (
+  SELECT metric, max(value) AS p90
+  FROM ranked WHERE rn <= CAST(ceil(n * 0.9) AS BIGINT)
+  GROUP BY metric
+)
+SELECT l.metric, l.interval, l.value, t.p90
+FROM lww1h l JOIN thresh t ON l.metric = t.metric
+WHERE l.value <= t.p90
+"""
+
+
 # ------------------------------------------------------ g_holt_winters
 def g_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """holtWintersForecast() analog: one-step-ahead double exponential
@@ -516,6 +730,11 @@ QUERIES = {
     "g_group_by_node": g_group_by_node,
     "g_highest_avg_3": g_highest_avg_3,
     "g_stdev_1d": g_stdev_1d,
+    "g_ewma": g_ewma,
+    "g_moving_median_5": g_moving_median_5,
+    "g_transform_chain": g_transform_chain,
+    "g_linreg_1d": g_linreg_1d,
+    "g_remove_above_pctile": g_remove_above_pctile,
     "g_holt_winters": g_holt_winters,
 }
 
@@ -531,4 +750,9 @@ ORACLES = {
     "g_group_by_node": G_GROUP_BY_NODE_SQL,
     "g_highest_avg_3": G_HIGHEST_AVG_SQL,
     "g_stdev_1d": G_STDEV_SQL,
+    "g_ewma": G_EWMA_SQL,
+    "g_moving_median_5": G_MOVING_MEDIAN_SQL,
+    "g_transform_chain": G_TRANSFORM_CHAIN_SQL,
+    "g_linreg_1d": G_LINREG_SQL,
+    "g_remove_above_pctile": G_REMOVE_ABOVE_SQL,
 }

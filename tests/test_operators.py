@@ -22,6 +22,8 @@ SUBSET = [
     "w_fill_merge",
     "g_group_by_node",
     "g_stdev_1d",
+    "g_ewma",
+    "g_linreg_1d",
     "r_q1_pricing",
     "r_exists_sql",
     "r_corr_scalar_sub",
