@@ -608,9 +608,210 @@ GROUP BY p.p_brand
 """
 
 
+# ------------------------------------------------------ r_q12_priority
+def r_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + CASE-conditional counts —
+    high- vs low-priority line counts per return flag for a one-year
+    ship window.  Counts are exact integers; the only shuffle is the
+    orderkey equi-join plus the tiny final groupBy.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+R_Q12_SQL = """
+SELECT l.l_returnflag,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= '1997-01-01' AND l.l_shipdate < '1998-01-01'
+GROUP BY l.l_returnflag
+"""
+
+
+# --------------------------------------------------------- r_q14_promo
+def r_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month.  Revenue
+    terms are exact 4-decimal numbers, scaled to BIGINT tenth-mils, so
+    both sums are exact and the share is floor-truncated in exact
+    arithmetic.  The part side broadcasts.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000
+    ).cast("long")
+    agged = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev_u).otherwise(0)).alias("promo_u"),
+            F.sum(rev_u).alias("total_u"),
+        )
+    )
+    return agged.select(
+        (F.floor(F.col("promo_u").cast("double") * 100_000_000 / F.col("total_u"))
+         / F.lit(1_000_000.0)).alias("promo_pct"),
+        (F.col("total_u").cast("double") / 10_000.0).alias("total_revenue"),
+    )
+
+
+R_Q14_SQL = """
+WITH f AS (
+  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev_u,
+         p_type
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'
+)
+SELECT floor(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END) AS DOUBLE)
+             * 100000000 / sum(rev_u)) / 1000000.0 AS promo_pct,
+       CAST(sum(rev_u) AS DOUBLE) / 10000.0 AS total_revenue
+FROM f
+"""
+
+
+# ---------------------------------------------------- r_q16_supplier_cnt
+def r_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: count(DISTINCT supplier) per part attribute
+    group, with NOT IN brand exclusion and an IN size list (lineitem
+    stands in for partsupp as the part↔supplier association).  The
+    distinct-agg expands to a two-stage aggregate keyed by the group +
+    suppkey — fully partitionable.
+    """
+    p = _t(spark, sf_dir, "part").where(
+        ~F.col("p_brand").isin("Brand#1", "Brand#2")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+R_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand NOT IN ('Brand#1','Brand#2')
+  AND p_type <> 'PROMO'
+  AND p_size IN (1,5,10,15,20,25,30,35)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# ------------------------------------------------------ r_q19_disjunct
+def r_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (OR-of-ANDs) brand/size/quantity
+    predicates across the join — Catalyst extracts the common
+    `p_partkey = l_partkey` conjunct and pushes the per-table residual
+    filters below the join instead of evaluating the OR post-join.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    rev_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000
+    ).cast("long")
+    return (
+        j.where(arm("Brand#12", 5, 1, 11) | arm("Brand#21", 10, 10, 20) | arm("Brand#15", 15, 20, 30))
+        .agg(
+            F.count("*").alias("n_lines"),
+            (F.sum(rev_u).cast("double") / 10_000.0).alias("revenue"),
+        )
+    )
+
+
+R_Q19_SQL = """
+SELECT count(*) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ------------------------------------------------------ r_q22_acctbal
+def r_q22_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no orders since 1999 (every customer here has *some* order, so
+    the dormancy cutoff keeps the anti-join non-degenerate), grouped by
+    nation (the phone-prefix country code of real Q22).  The global-
+    average comparison is exact integer cross-multiplication
+    (bal·n > Σbal in cents); dormancy is a left-anti join whose right
+    side is pre-filtered — the date predicate pushes to the scan.  The
+    one-row global stats broadcast to every partition.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("1999-01-01"))
+    pos = c.where(F.col("c_acctbal") > 0.0).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    stats = pos.agg(F.count("*").alias("n"), F.sum("bal_c").alias("s"))
+    return (
+        pos.crossJoin(F.broadcast(stats))
+        .where(F.col("bal_c") * F.col("n") > F.col("s"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("bal_c").cast("double") / 100.0).alias("totacctbal"),
+        )
+    )
+
+
+R_Q22_SQL = """
+WITH pos AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer WHERE c_acctbal > 0.0
+),
+stats AS (SELECT count(*) AS n, sum(bal_c) AS s FROM pos)
+SELECT c_nationkey AS cntrycode,
+       count(*) AS numcust,
+       CAST(sum(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+FROM pos, stats
+WHERE bal_c * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = pos.c_custkey
+                    AND o.o_orderdate >= '1999-01-01')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "r_q1_pricing": r_q1_pricing,
     "r_corr_scalar_sub": r_corr_scalar_sub,
+    "r_q12_priority": r_q12_priority,
+    "r_q14_promo": r_q14_promo,
+    "r_q16_supplier_cnt": r_q16_supplier_cnt,
+    "r_q19_disjunct": r_q19_disjunct,
+    "r_q22_acctbal": r_q22_acctbal,
     "r_cube_orders": r_cube_orders,
     "r_pivot": r_pivot,
     "r_q3_revenue": r_q3_revenue,
@@ -632,6 +833,11 @@ QUERIES = {
 ORACLES = {
     "r_q1_pricing": R_Q1_SQL,
     "r_corr_scalar_sub": R_CORR_SCALAR_SQL,
+    "r_q12_priority": R_Q12_SQL,
+    "r_q14_promo": R_Q14_SQL,
+    "r_q16_supplier_cnt": R_Q16_SQL,
+    "r_q19_disjunct": R_Q19_SQL,
+    "r_q22_acctbal": R_Q22_SQL,
     "r_cube_orders": R_CUBE_SQL,
     "r_pivot": R_PIVOT_SQL,
     "r_q3_revenue": R_Q3_SQL,

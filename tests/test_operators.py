@@ -27,6 +27,8 @@ SUBSET = [
     "r_q1_pricing",
     "r_exists_sql",
     "r_corr_scalar_sub",
+    "r_q14_promo",
+    "r_q22_acctbal",
     "r_window_running",
     "d_lsh_pairs",
     "d_simhash_pairs",
