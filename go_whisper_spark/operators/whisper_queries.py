@@ -26,7 +26,7 @@ sums round at 4 dp; averages use exact integer cent arithmetic (see
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_whisper_spark.sources.tables import events_points
@@ -642,8 +642,97 @@ FROM lwwA a FULL OUTER JOIN lwwB b USING (metric, interval)
 """
 
 
+def w_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: sample each metric's 1h series at arbitrary query
+    times (every 4h, offset +30min so queries never coincide with slot
+    boundaries) — for each query time, the most recent slot value
+    at-or-before it, plus its staleness.
+
+    Spark has no ASOF JOIN operator; an inequality join would be a
+    per-metric cross product.  The scalable form is union + ordered
+    forward-fill: tag slot rows and query rows, sort within each
+    metric partition by (t, tag) — slots first at ties, preserving
+    at-or-*before* — and carry the last known slot forward with
+    ``last(ignorenulls)``.  One shuffle (key = metric), O(n log n)
+    sort, no join explosion; the same merge runs per metric bucket at
+    100 TB.  Oracle: DuckDB's native ASOF LEFT JOIN.
+    """
+    pts = _points(spark, sf_dir)
+    lww = _lww(pts, HOUR)
+    step = 4 * HOUR
+    bounds = pts.agg(F.max("ts").alias("now")).select(
+        ((F.col("now") - 10 * DAY) - (F.col("now") - 10 * DAY) % step).alias("from_t"),
+        (F.col("now") - F.col("now") % step).alias("until_t"),
+    )
+    queries = (
+        pts.select("metric")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "metric",
+            F.explode(F.sequence("from_t", "until_t", F.lit(step))).alias("t0"),
+        )
+        .select("metric", (F.col("t0") + 1800).alias("t"))
+    )
+    left = queries.select(
+        "metric",
+        "t",
+        F.lit(1).alias("is_q"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(None).cast("long").alias("src_iv"),
+    )
+    right = lww.select(
+        "metric",
+        F.col("interval").alias("t"),
+        F.lit(0).alias("is_q"),
+        F.col("value").alias("v"),
+        F.col("interval").alias("src_iv"),
+    )
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("t", "is_q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = left.unionByName(right)
+    return (
+        u.withColumn("value", F.last("v", ignorenulls=True).over(w))
+        .withColumn("matched_interval", F.last("src_iv", ignorenulls=True).over(w))
+        .where(F.col("is_q") == 1)
+        .select(
+            "metric",
+            F.col("t").alias("query_ts"),
+            "matched_interval",
+            "value",
+            (F.col("t") - F.col("matched_interval")).alias("staleness"),
+        )
+    )
+
+
+W_ASOF_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+bounds AS (
+  SELECT (max(ts_sec) - 864000) - (max(ts_sec) - 864000) % 14400 AS from_t,
+         max(ts_sec) - max(ts_sec) % 14400 AS until_t
+  FROM pts
+),
+qs AS (
+  SELECT m.metric, s.t0 + 1800 AS query_ts
+  FROM (SELECT DISTINCT metric FROM pts) m
+  CROSS JOIN (
+    SELECT unnest(generate_series(from_t, until_t, 14400)) AS t0
+    FROM bounds
+  ) s
+)
+SELECT q.metric, q.query_ts, l.interval AS matched_interval, l.value AS value,
+       q.query_ts - l.interval AS staleness
+FROM qs q ASOF LEFT JOIN lww1h l
+  ON l.metric = q.metric AND l.interval <= q.query_ts
+"""
+
+
 QUERIES = {
     "w_lww_1h": w_lww_1h,
+    "w_asof_join": w_asof_join,
     "w_derivative_1h": w_derivative_1h,
     "w_sliding_1h_30m": w_sliding_1h_30m,
     "w_percentiles_1d": w_percentiles_1d,
@@ -661,6 +750,7 @@ QUERIES = {
 
 ORACLES = {
     "w_lww_1h": W_LWW_1H_SQL,
+    "w_asof_join": W_ASOF_SQL,
     "w_derivative_1h": W_DERIVATIVE_1H_SQL,
     "w_sliding_1h_30m": W_SLIDING_SQL,
     "w_rollup_6h": W_ROLLUP_6H_SQL,

@@ -30,6 +30,7 @@ SUBSET = [
     "r_q14_promo",
     "r_q22_acctbal",
     "r_window_running",
+    "w_asof_join",
     "d_lsh_pairs",
     "d_simhash_pairs",
     "s_cosine_topk",
