@@ -1154,8 +1154,130 @@ LIMIT 20
 """
 
 
+# ------------------------------------------------- d_neardup_clusters
+def d_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate *clusters*: connected components over the LSH
+    candidate graph (edges = verified jaccard ≥ 0.5), labeling each
+    doc with the minimum doc_id in its component — the structure dedup
+    keeper-selection needs (pairs alone can't pick one survivor per
+    group of 3+ mutual near-dups).
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own and its neighbors' labels; converged when no label
+    drops.  Each round is one distributed join + partial-aggregated
+    min (shuffle key = doc_id); ``localCheckpoint`` materializes every
+    round to cut lineage growth — the standard Pregel-style loop shape
+    Spark needs for iterative graph algorithms.  Rounds = graph
+    diameter (near-dup components are tiny and dense, so 2-3).  The
+    driver-side scalar per round is the convergence count, not data.
+    Oracle: DuckDB recursive-CTE transitive closure.
+    """
+    pairs = (
+        d_lsh_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr = edges.join(
+            labels, edges["src"] == labels["doc_id"]
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new_labels = (
+            labels.select("doc_id", "label")
+            .union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("label").alias("cluster_id"), "doc_id"
+    ).withColumn("cluster_size", F.count("*").over(w))
+
+
+D_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT doc_a, doc_b FROM ({D_LSH_SQL}) WHERE jaccard >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+  UNION
+  SELECT doc_a, doc_a FROM pairs
+  UNION
+  SELECT doc_b, doc_b FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT min(dst) AS cluster_id,
+       src AS doc_id,
+       count(*) OVER (PARTITION BY min(dst)) AS cluster_size
+FROM reach
+GROUP BY src
+"""
+
+
+# ----------------------------------------------------- t_bigram_freq
+def t_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies: top 20 token bigrams (count desc,
+    bigram asc — a total order, so the limit is deterministic).  The
+    bigram build is a narrow array transform (0-based in Spark,
+    1-based in DuckDB — same pairs); the only shuffle is the count.
+    """
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    bigrams = F.expr(
+        "transform(sequence(0, size(tokens) - 2), i -> tokens[i] || ' ' || tokens[i+1])"
+    )
+    return (
+        d.where(F.size("tokens") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+T_BIGRAM_SQL = f"""
+SELECT bigram, count(*) AS n
+FROM (
+  SELECT unnest(list_transform(generate_series(1, len(tokens) - 1),
+                               i -> tokens[i] || ' ' || tokens[i+1])) AS bigram
+  FROM (SELECT {_TOKENS_SQL} AS tokens FROM documents)
+  WHERE len(tokens) >= 2
+)
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "d_exact_dedup": d_exact_dedup,
+    "d_neardup_clusters": d_neardup_clusters,
+    "t_bigram_freq": t_bigram_freq,
     "d_dedup_keepers": d_dedup_keepers,
     "d_jaccard_pairs": d_jaccard_pairs,
     "d_minhash_sigs": d_minhash_sigs,
@@ -1177,6 +1299,8 @@ QUERIES = {
 
 ORACLES = {
     "d_exact_dedup": D_EXACT_SQL,
+    "d_neardup_clusters": D_CLUSTERS_SQL,
+    "t_bigram_freq": T_BIGRAM_SQL,
     "d_dedup_keepers": D_KEEPERS_SQL,
     "d_jaccard_pairs": D_JACCARD_SQL,
     "d_minhash_sigs": D_MINHASH_SQL,

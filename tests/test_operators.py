@@ -32,6 +32,8 @@ SUBSET = [
     "r_window_running",
     "w_asof_join",
     "d_lsh_pairs",
+    "d_neardup_clusters",
+    "t_bigram_freq",
     "d_simhash_pairs",
     "s_cosine_topk",
     "t_tfidf_top3",
