@@ -642,6 +642,75 @@ FROM lwwA a FULL OUTER JOIN lwwB b USING (metric, interval)
 """
 
 
+def w_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``session_window`` operator (30m gap) — the
+    built-in form of ``w_sessionize_30m``'s gaps-and-islands plan, and
+    the one that transfers to Structured Streaming unchanged.
+
+    Boundary pinned by micro-test AND by the sf0.1 oracle (which has
+    events exactly 1800s apart): the native operator merges two events
+    iff ``t2 − t1 <= gap`` (INCLUSIVE — events exactly one gap apart
+    share a session), the same boundary as the ``> 1800`` new-session
+    flag in the lag form.  ``window.end`` is ``last_ts + gap``,
+    emitted to pin that mapping.  Shuffle key: user_id.
+    """
+    from go_whisper_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts_sec").cast("timestamp").alias("ts_t"),
+        F.col("ts_sec").alias("ts"),
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts_t", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            (F.max("ts") - F.min("ts")).alias("duration_s"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            F.unix_timestamp(F.col("session_window.end")).alias("window_end"),
+            "n_events",
+            "duration_s",
+        )
+    )
+
+
+W_SESSION_NATIVE_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000000000 AS ts, event_id FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts, 1) OVER w IS NULL THEN 1
+              WHEN ts - lag(ts, 1) OVER w > 1800 THEN 1
+              ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       max(ts) + 1800 AS window_end,
+       count(*) AS n_events,
+       max(ts) - min(ts) AS duration_s
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
 def w_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: sample each metric's 1h series at arbitrary query
     times (every 4h, offset +30min so queries never coincide with slot
@@ -733,6 +802,7 @@ FROM qs q ASOF LEFT JOIN lww1h l
 QUERIES = {
     "w_lww_1h": w_lww_1h,
     "w_asof_join": w_asof_join,
+    "w_session_window_native": w_session_window_native,
     "w_derivative_1h": w_derivative_1h,
     "w_sliding_1h_30m": w_sliding_1h_30m,
     "w_percentiles_1d": w_percentiles_1d,
@@ -751,6 +821,7 @@ QUERIES = {
 ORACLES = {
     "w_lww_1h": W_LWW_1H_SQL,
     "w_asof_join": W_ASOF_SQL,
+    "w_session_window_native": W_SESSION_NATIVE_SQL,
     "w_derivative_1h": W_DERIVATIVE_1H_SQL,
     "w_sliding_1h_30m": W_SLIDING_SQL,
     "w_rollup_6h": W_ROLLUP_6H_SQL,

@@ -31,6 +31,7 @@ SUBSET = [
     "r_q22_acctbal",
     "r_window_running",
     "w_asof_join",
+    "w_session_window_native",
     "d_lsh_pairs",
     "d_neardup_clusters",
     "t_bigram_freq",
