@@ -350,8 +350,13 @@ def d_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join.  The prior expression form paid a DISTINCT exchange plus a
     # groupBy(doc_id) signature aggregate before banding.
     feats = _doc_features(spark, sf_dir, materialize=True).where(F.col("n_sh") > 0)
+    # n_sh rides the banded rows (one extra int through the band
+    # shuffle), so candidate pairs come out of the bucket join already
+    # carrying both set sizes — no sizes joins afterwards.  distinct
+    # over (pair, na, nb) has the same cardinality as over the pair:
+    # the sizes are functionally dependent on the doc ids.
     banded = feats.select(
-        "doc_id", F.posexplode("bands").alias("band", "sig")
+        "doc_id", "n_sh", F.posexplode("bands").alias("band", "sig")
     )
     a, bb = banded.alias("a"), banded.alias("b")
     cand = (
@@ -361,7 +366,12 @@ def d_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
         .distinct()
     )
     # Verify candidates with exact Jaccard over shingle sets; n_sh rides
@@ -376,13 +386,9 @@ def d_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # LEFT join: an LSH candidate with zero shared shingles (a banding
     # false positive) is still reported, with its true jaccard of 0 —
-    # the sizes are a projection of the narrow pass (AQE broadcasts
-    # them at small SF; at scale they hash-join on doc_id).
-    sizes = feats.select("doc_id", "n_sh")
+    # its sizes came through the bucket join like everyone else's.
     return (
         cand.join(shared, ["doc_a", "doc_b"], "left")
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
