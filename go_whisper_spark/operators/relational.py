@@ -754,6 +754,58 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
 """
 
 
+# -------------------------------------------------- r_q7_nation_volume
+def r_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: five-way join with the nation dimension playing
+    two roles (supplier's and customer's), symmetric two-nation filter,
+    revenue by year.  Both nation sides and supplier/customer broadcast
+    (dims stay tiny at 100 TB); the only big shuffles are the
+    lineitem-orders equi-join and the final 3-key aggregate.  Revenue
+    in exact BIGINT tenth-mils.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    rev_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000
+    ).cast("long")
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg((F.sum(rev_u).cast("double") / 10_000.0).alias("revenue"))
+    )
+
+
+R_Q7_SQL = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+"""
+
+
 # ------------------------------------------------------ r_q22_acctbal
 def r_q22_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: customers with above-average positive balance
@@ -811,6 +863,7 @@ QUERIES = {
     "r_q14_promo": r_q14_promo,
     "r_q16_supplier_cnt": r_q16_supplier_cnt,
     "r_q19_disjunct": r_q19_disjunct,
+    "r_q7_nation_volume": r_q7_nation_volume,
     "r_q22_acctbal": r_q22_acctbal,
     "r_cube_orders": r_cube_orders,
     "r_pivot": r_pivot,
@@ -837,6 +890,7 @@ ORACLES = {
     "r_q14_promo": R_Q14_SQL,
     "r_q16_supplier_cnt": R_Q16_SQL,
     "r_q19_disjunct": R_Q19_SQL,
+    "r_q7_nation_volume": R_Q7_SQL,
     "r_q22_acctbal": R_Q22_SQL,
     "r_cube_orders": R_CUBE_SQL,
     "r_pivot": R_PIVOT_SQL,

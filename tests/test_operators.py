@@ -28,6 +28,7 @@ SUBSET = [
     "r_exists_sql",
     "r_corr_scalar_sub",
     "r_q14_promo",
+    "r_q7_nation_volume",
     "r_q22_acctbal",
     "r_window_running",
     "w_asof_join",
