@@ -614,21 +614,12 @@ _EMPTY_PAIRS = pd.DataFrame(
 )
 
 
-def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 10).
-
-    Ranking key is (round(sim,6) DESC, vec_id ASC) in BOTH engines so
-    set membership is ulp-stable.  This is the exact baseline; the
-    banded/LSH variant is the scale path.
-
-    Plan: the tiny query side is broadcast and cross-joined JVM-side;
-    one ``mapInPandas`` computes all sims vectorized (sequential-order
-    accumulation, see kernel note above); the top-k window runs on the
-    small (|Q| x |C|) sim relation.  At scale the candidate side
-    streams through executors; only the |Q| x 64 matrix is broadcast.
-    """
+def _brute_topk(spark: SparkSession, sf_dir: str, qmax: int, k: int) -> DataFrame:
+    """Exact cosine top-k for query vectors ``vec_id < qmax`` —
+    the parameterized core of ``s_cosine_topk`` (and the ground truth
+    side of ``s_ann_recall``)."""
     e = _cos_frames(spark, sf_dir)
-    q = e.where(F.col("vec_id") < 10).select(
+    q = e.where(F.col("vec_id") < qmax).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
     pairs = F.broadcast(q).crossJoin(e.select("vec_id", "v", "norm")).where(
@@ -652,9 +643,25 @@ def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("neighbor"))
     return (
         simdf.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
+        .where(F.col("rank") <= k)
         .select("qid", "neighbor", "sim", "rank")
     )
+
+
+def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 10).
+
+    Ranking key is (round(sim,6) DESC, vec_id ASC) in BOTH engines so
+    set membership is ulp-stable.  This is the exact baseline; the
+    banded/LSH variant is the scale path.
+
+    Plan: the tiny query side is broadcast and cross-joined JVM-side;
+    one ``mapInPandas`` computes all sims vectorized (sequential-order
+    accumulation, see kernel note above); the top-k window runs on the
+    small (|Q| x |C|) sim relation.  At scale the candidate side
+    streams through executors; only the |Q| x 64 matrix is broadcast.
+    """
+    return _brute_topk(spark, sf_dir, 10, 5)
 
 
 S_COSINE_TOPK_SQL = """
@@ -816,6 +823,84 @@ SELECT qid, neighbor, sim, rank FROM (
   FROM sims
 )
 WHERE rank <= 3
+"""
+
+
+# ----------------------------------------------------------- s_ann_recall
+def s_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@3 of the LSH-bucketed ANN (``s_cosine_ann``) against the
+    exact brute-force top-3 for the same 50 queries — the measurement
+    that quantifies the approximate path's quality/cost trade.  Both
+    sides use the identical (round(sim,6) DESC, vec_id ASC) ranking
+    key, so set membership is ulp-stable and the hit counts are exact
+    integers; per-query recall is floor-truncated at 6 dp.
+    """
+    exact = _brute_topk(spark, sf_dir, 50, 3).select("qid", "neighbor")
+    ann = s_cosine_ann(spark, sf_dir).select("qid", "neighbor")
+    hits = ann.join(exact, ["qid", "neighbor"]).groupBy("qid").agg(
+        F.count("*").alias("hits")
+    )
+    qids = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") < 50)
+        .select(F.col("vec_id").alias("qid"))
+        .distinct()
+    )
+    h = F.coalesce(F.col("hits"), F.lit(0))
+    return qids.join(hits, "qid", "left").select(
+        "qid",
+        h.cast("long").alias("hits"),
+        (F.floor(h * 1_000_000 / 3) / F.lit(1_000_000.0)).alias("recall3"),
+    )
+
+
+def _s_ann_recall_sql():
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+b AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+         {_bucket_expr_sql()} AS bucket
+  FROM e
+),
+exact AS (
+  SELECT qid, neighbor FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_sum(list_transform(generate_series(1, 64),
+                                                    i -> q.v[i] * c.v[i])) / (q.norm * c.norm), 6) DESC,
+                      c.vec_id ASC
+           ) AS rank
+    FROM b q JOIN b c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 50
+  ) WHERE rank <= 3
+),
+ann AS (
+  SELECT qid, neighbor FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_sum(list_transform(generate_series(1, 64),
+                                                    i -> q.v[i] * c.v[i])) / (q.norm * c.norm), 6) DESC,
+                      c.vec_id ASC
+           ) AS rank
+    FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+    WHERE q.vec_id < 50
+  ) WHERE rank <= 3
+),
+hits AS (
+  SELECT a.qid, count(*) AS hits
+  FROM ann a JOIN exact e ON a.qid = e.qid AND a.neighbor = e.neighbor
+  GROUP BY a.qid
+)
+SELECT q.qid,
+       coalesce(h.hits, 0) AS hits,
+       floor(coalesce(h.hits, 0) * 1000000 / 3.0) / 1000000.0 AS recall3
+FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 50) q
+LEFT JOIN hits h ON h.qid = q.qid
 """
 
 
@@ -1293,6 +1378,7 @@ QUERIES = {
     "s_cosine_topk": s_cosine_topk,
     "s_cosine_nearpairs": s_cosine_nearpairs,
     "s_cosine_ann": s_cosine_ann,
+    "s_ann_recall": s_ann_recall,
     "d_embed_neardup_lsh": d_embed_neardup_lsh,
     "s_cosine_ivf": s_cosine_ivf,
     "t_token_stats": t_token_stats,
@@ -1316,6 +1402,7 @@ ORACLES = {
     "s_cosine_topk": S_COSINE_TOPK_SQL,
     "s_cosine_nearpairs": S_COSINE_PAIRS_SQL,
     "s_cosine_ann": _s_cosine_ann_sql(),
+    "s_ann_recall": _s_ann_recall_sql(),
     "d_embed_neardup_lsh": _d_embed_neardup_lsh_sql(),
     "t_token_stats": T_TOKEN_STATS_SQL,
     "t_lang_id": T_LANG_ID_SQL,

@@ -35,6 +35,7 @@ SUBSET = [
     "w_session_window_native",
     "d_lsh_pairs",
     "d_neardup_clusters",
+    "s_ann_recall",
     "t_bigram_freq",
     "d_simhash_pairs",
     "s_cosine_topk",
