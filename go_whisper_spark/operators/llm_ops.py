@@ -826,19 +826,112 @@ WHERE rank <= 3
 """
 
 
+# --------------------------------------------------- s_cosine_ann_mp
+def s_cosine_ann_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN: each query searches its own hyperplane-sign
+    bucket plus every bucket at Hamming distance 1 (one flipped sign
+    bit) — 5 probes over 16 buckets.  Near neighbors that straddle a
+    single hyperplane (the dominant recall failure of
+    ``s_cosine_ann``, measured recall@3 0.18) are recovered; work is
+    bounded at ~5/16 of the corpus per query instead of all of it.
+
+    Plan: the 50-query probe list (250 rows) broadcasts; candidates
+    hash-join on bucket (buckets are disjoint, so (query, candidate)
+    pairs are already unique — no dedup shuffle); one ``mapInPandas``
+    computes sims vectorized; top-3 window on the small sim relation.
+    """
+    e = _bucketed_vectors(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.col("bucket").alias("qb"),
+    )
+    probes = q.select(
+        "qid",
+        "qv",
+        "qn",
+        F.explode(
+            F.array(
+                F.col("qb"),
+                *[F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(N_PLANES)],
+            )
+        ).alias("bucket"),
+    )
+    pairs = F.broadcast(probes).join(e, "bucket").where(
+        F.col("vec_id") != F.col("qid")
+    )
+
+    def sims(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["qv"].values).astype(np.float64)
+            B = np.stack(pdf["v"].values).astype(np.float64)
+            sim = np.round(
+                _seq_dot(A, B) / (pdf["qn"].to_numpy() * pdf["norm"].to_numpy()), 6
+            )
+            yield pd.DataFrame(
+                {"qid": pdf["qid"], "neighbor": pdf["vec_id"], "sim": sim}
+            )
+
+    simdf = pairs.mapInPandas(sims, "qid long, neighbor long, sim double")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("neighbor"))
+    return (
+        simdf.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("qid", "neighbor", "sim", "rank")
+    )
+
+
+def _s_cosine_ann_mp_sql():
+    probe_list = ", ".join(
+        ["q.bucket"] + [f"xor(q.bucket, {1 << i})" for i in range(N_PLANES)]
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+b AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+         {_bucket_expr_sql()} AS bucket
+  FROM e
+),
+probes AS (
+  SELECT q.vec_id AS qid, q.v AS qv, q.norm AS qn,
+         unnest([{probe_list}]) AS bucket
+  FROM b q WHERE q.vec_id < 50
+),
+sims AS (
+  SELECT p.qid, c.vec_id AS neighbor,
+         round(list_sum(list_transform(generate_series(1, 64),
+                                       i -> p.qv[i] * c.v[i])) / (p.qn * c.norm), 6) AS sim
+  FROM probes p JOIN b c ON c.bucket = p.bucket AND c.vec_id != p.qid
+)
+SELECT qid, neighbor, sim, rank FROM (
+  SELECT qid, neighbor, sim,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor ASC) AS INTEGER) AS rank
+  FROM sims
+)
+WHERE rank <= 3
+"""
+
+
 # ----------------------------------------------------------- s_ann_recall
-def s_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@3 of the LSH-bucketed ANN (``s_cosine_ann``) against the
-    exact brute-force top-3 for the same 50 queries — the measurement
-    that quantifies the approximate path's quality/cost trade.  Both
-    sides use the identical (round(sim,6) DESC, vec_id ASC) ranking
-    key, so set membership is ulp-stable and the hit counts are exact
-    integers; per-query recall is floor-truncated at 6 dp.
+def _recall_vs_exact(spark: SparkSession, sf_dir: str, ann: DataFrame) -> DataFrame:
+    """recall@3 of an ANN result against the exact brute-force top-3
+    for the same 50 queries.  Both sides use the identical
+    (round(sim,6) DESC, vec_id ASC) ranking key, so set membership is
+    ulp-stable and the hit counts are exact integers; per-query recall
+    is floor-truncated at 6 dp.
     """
     exact = _brute_topk(spark, sf_dir, 50, 3).select("qid", "neighbor")
-    ann = s_cosine_ann(spark, sf_dir).select("qid", "neighbor")
-    hits = ann.join(exact, ["qid", "neighbor"]).groupBy("qid").agg(
-        F.count("*").alias("hits")
+    hits = (
+        ann.select("qid", "neighbor")
+        .join(exact, ["qid", "neighbor"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("hits"))
     )
     qids = (
         _emb(spark, sf_dir)
@@ -852,6 +945,19 @@ def s_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.cast("long").alias("hits"),
         (F.floor(h * 1_000_000 / 3) / F.lit(1_000_000.0)).alias("recall3"),
     )
+
+
+def s_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@3 of the single-probe ANN (``s_cosine_ann``) — the
+    measurement that quantifies the approximate path's quality/cost
+    trade (see ``_recall_vs_exact``)."""
+    return _recall_vs_exact(spark, sf_dir, s_cosine_ann(spark, sf_dir))
+
+
+def s_ann_mp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@3 of the multi-probe ANN (``s_cosine_ann_mp``) — the
+    same measurement over the 5-probe candidate generator."""
+    return _recall_vs_exact(spark, sf_dir, s_cosine_ann_mp(spark, sf_dir))
 
 
 def _s_ann_recall_sql():
@@ -889,6 +995,63 @@ ann AS (
            ) AS rank
     FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
     WHERE q.vec_id < 50
+  ) WHERE rank <= 3
+),
+hits AS (
+  SELECT a.qid, count(*) AS hits
+  FROM ann a JOIN exact e ON a.qid = e.qid AND a.neighbor = e.neighbor
+  GROUP BY a.qid
+)
+SELECT q.qid,
+       coalesce(h.hits, 0) AS hits,
+       floor(coalesce(h.hits, 0) * 1000000 / 3.0) / 1000000.0 AS recall3
+FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 50) q
+LEFT JOIN hits h ON h.qid = q.qid
+"""
+
+
+def _s_ann_mp_recall_sql():
+    probe_list = ", ".join(
+        ["q.bucket"] + [f"xor(q.bucket, {1 << i})" for i in range(N_PLANES)]
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+b AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+         {_bucket_expr_sql()} AS bucket
+  FROM e
+),
+exact AS (
+  SELECT qid, neighbor FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_sum(list_transform(generate_series(1, 64),
+                                                    i -> q.v[i] * c.v[i])) / (q.norm * c.norm), 6) DESC,
+                      c.vec_id ASC
+           ) AS rank
+    FROM b q JOIN b c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 50
+  ) WHERE rank <= 3
+),
+probes AS (
+  SELECT q.vec_id AS qid, q.v AS qv, q.norm AS qn,
+         unnest([{probe_list}]) AS bucket
+  FROM b q WHERE q.vec_id < 50
+),
+ann AS (
+  SELECT qid, neighbor FROM (
+    SELECT p.qid, c.vec_id AS neighbor,
+           row_number() OVER (
+             PARTITION BY p.qid
+             ORDER BY round(list_sum(list_transform(generate_series(1, 64),
+                                                    i -> p.qv[i] * c.v[i])) / (p.qn * c.norm), 6) DESC,
+                      c.vec_id ASC
+           ) AS rank
+    FROM probes p JOIN b c ON c.bucket = p.bucket AND c.vec_id != p.qid
   ) WHERE rank <= 3
 ),
 hits AS (
@@ -1379,6 +1542,8 @@ QUERIES = {
     "s_cosine_nearpairs": s_cosine_nearpairs,
     "s_cosine_ann": s_cosine_ann,
     "s_ann_recall": s_ann_recall,
+    "s_cosine_ann_mp": s_cosine_ann_mp,
+    "s_ann_mp_recall": s_ann_mp_recall,
     "d_embed_neardup_lsh": d_embed_neardup_lsh,
     "s_cosine_ivf": s_cosine_ivf,
     "t_token_stats": t_token_stats,
@@ -1403,6 +1568,8 @@ ORACLES = {
     "s_cosine_nearpairs": S_COSINE_PAIRS_SQL,
     "s_cosine_ann": _s_cosine_ann_sql(),
     "s_ann_recall": _s_ann_recall_sql(),
+    "s_cosine_ann_mp": _s_cosine_ann_mp_sql(),
+    "s_ann_mp_recall": _s_ann_mp_recall_sql(),
     "d_embed_neardup_lsh": _d_embed_neardup_lsh_sql(),
     "t_token_stats": T_TOKEN_STATS_SQL,
     "t_lang_id": T_LANG_ID_SQL,

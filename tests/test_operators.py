@@ -36,6 +36,7 @@ SUBSET = [
     "d_lsh_pairs",
     "d_neardup_clusters",
     "s_ann_recall",
+    "s_ann_mp_recall",
     "t_bigram_freq",
     "d_simhash_pairs",
     "s_cosine_topk",
