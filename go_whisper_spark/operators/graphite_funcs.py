@@ -668,6 +668,42 @@ WHERE l.value <= t.p90
 """
 
 
+# ------------------------------------------------- g_moving_avg_time
+def g_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """movingAverage(series, "3h") — the *time-based* window frame:
+    ``RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW`` over the interval
+    value, so the window covers a fixed time span no matter how many
+    slots are present (sparse series get smaller counts, not a longer
+    reach-back — the semantic difference from the row-count frame in
+    ``g_moving_avg_3``).  Exact integer (cent) arithmetic as usual.
+    Window key = metric; RANGE frames need the same per-metric sort
+    the ROWS frame already pays.
+    """
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("interval")
+        .rangeBetween(-2 * HOUR, 0)
+    )
+    return _lww1h(spark, sf_dir).withColumn("cents", _cents()).select(
+        "metric",
+        "interval",
+        _avg6(F.sum("cents").over(w), F.count("value").over(w)).alias("moving_avg_3h"),
+        F.count("value").over(w).alias("window_n"),
+    )
+
+
+G_MOVING_AVG_TIME_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       floor(CAST(sum({CENTS_SQL}) OVER w AS DOUBLE) * 10000
+             / (count(value) OVER w)) / 1000000.0 AS moving_avg_3h,
+       count(value) OVER w AS window_n
+FROM lww1h
+WINDOW w AS (PARTITION BY metric ORDER BY interval
+             RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ------------------------------------------------------ g_holt_winters
 def g_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """holtWintersForecast() analog: one-step-ahead double exponential
@@ -735,6 +771,7 @@ QUERIES = {
     "g_transform_chain": g_transform_chain,
     "g_linreg_1d": g_linreg_1d,
     "g_remove_above_pctile": g_remove_above_pctile,
+    "g_moving_avg_time": g_moving_avg_time,
     "g_holt_winters": g_holt_winters,
 }
 
@@ -755,4 +792,5 @@ ORACLES = {
     "g_transform_chain": G_TRANSFORM_CHAIN_SQL,
     "g_linreg_1d": G_LINREG_SQL,
     "g_remove_above_pctile": G_REMOVE_ABOVE_SQL,
+    "g_moving_avg_time": G_MOVING_AVG_TIME_SQL,
 }

@@ -754,6 +754,55 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
 """
 
 
+# ---------------------------------------------------- r_q2_min_cost
+def r_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small part, the supplier offering the
+    minimum unit price (lineitem stands in for partsupp).  Real Q2
+    uses a correlated min subquery; the Spark-native form is a
+    per-part window rank — one shuffle on partkey, and the correlated
+    scan Catalyst would decorrelate into exists anyway.  Unit price is
+    rounded at 6 dp with a suppkey tiebreak, so the rank-1 row is
+    deterministic in both engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 3)
+    up = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_price"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    cheapest = up.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return cheapest.join(
+        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")
+    ).select(
+        "p_partkey",
+        "p_brand",
+        F.col("l_suppkey").alias("cheapest_supp"),
+        "unit_price",
+    )
+
+
+R_Q2_SQL = """
+WITH up AS (
+  SELECT l_partkey, l_suppkey,
+         round(l_extendedprice / l_quantity, 6) AS unit_price
+  FROM lineitem
+),
+ranked AS (
+  SELECT l_partkey, l_suppkey, unit_price,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_price, l_suppkey) AS rn
+  FROM up
+)
+SELECT p.p_partkey, p.p_brand,
+       r.l_suppkey AS cheapest_supp,
+       r.unit_price
+FROM ranked r JOIN part p ON p.p_partkey = r.l_partkey
+WHERE r.rn = 1 AND p.p_size <= 3
+"""
+
+
 # -------------------------------------------------- r_q7_nation_volume
 def r_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: five-way join with the nation dimension playing
@@ -864,6 +913,7 @@ QUERIES = {
     "r_q16_supplier_cnt": r_q16_supplier_cnt,
     "r_q19_disjunct": r_q19_disjunct,
     "r_q7_nation_volume": r_q7_nation_volume,
+    "r_q2_min_cost": r_q2_min_cost,
     "r_q22_acctbal": r_q22_acctbal,
     "r_cube_orders": r_cube_orders,
     "r_pivot": r_pivot,
@@ -891,6 +941,7 @@ ORACLES = {
     "r_q16_supplier_cnt": R_Q16_SQL,
     "r_q19_disjunct": R_Q19_SQL,
     "r_q7_nation_volume": R_Q7_SQL,
+    "r_q2_min_cost": R_Q2_SQL,
     "r_q22_acctbal": R_Q22_SQL,
     "r_cube_orders": R_CUBE_SQL,
     "r_pivot": R_PIVOT_SQL,

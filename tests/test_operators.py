@@ -23,6 +23,8 @@ SUBSET = [
     "g_group_by_node",
     "g_stdev_1d",
     "g_ewma",
+    "g_moving_avg_time",
+    "r_q2_min_cost",
     "g_linreg_1d",
     "r_q1_pricing",
     "r_exists_sql",
