@@ -36,6 +36,18 @@ CHECKS = {
     "g_moving_avg_3": dict(require=["Window", "partial_max_by"], forbid=["CartesianProduct"]),
     "r_rank_funcs": dict(require=["Window"], forbid=["CartesianProduct"]),
     "s_cosine_ann": dict(require=["Window"], forbid=["CartesianProduct"]),
+    # As-of = union + in-partition sort + forward-fill: a Window and
+    # NO join operator anywhere in the plan.
+    "w_asof_join": dict(
+        require=["Window", "Union"],
+        forbid=["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin"],
+    ),
+    "w_session_window_native": dict(require=["partial_min", "partial_max"], forbid=["Window"]),
+    "r_q7_nation_volume": dict(require=["BroadcastHashJoin", "partial_sum"], forbid=["CartesianProduct"]),
+    "r_q2_min_cost": dict(require=["Window", "BroadcastHashJoin"], forbid=["CartesianProduct"]),
+    "g_moving_avg_time": dict(require=["Window", "partial_max_by"], forbid=["CartesianProduct"]),
+    "s_cosine_ann_mp": dict(require=["Window"], forbid=["CartesianProduct", "SortMergeJoin"]),
+    "r_q19_disjunct": dict(require=["PushedFilters", "BroadcastHashJoin"], forbid=["CartesianProduct"]),
 }
 
 
