@@ -41,6 +41,7 @@ SUBSET = [
     "s_ann_mp_recall",
     "t_bigram_freq",
     "d_simhash_pairs",
+    "d_simhash_banded",
     "s_cosine_topk",
     "t_tfidf_top3",
     "g_nonneg_derivative",
