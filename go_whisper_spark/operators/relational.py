@@ -754,6 +754,90 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
 """
 
 
+# -------------------------------------------------------- r_unpivot
+def r_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → UNPIVOT round trip: per-status revenue spread across
+    three priority columns, then melted back to (status, measure, val)
+    rows with SQL-standard ``UNPIVOT`` — the wide↔long reshaping
+    surface.  Revenue is exact cents; the pivot is a conditional
+    aggregate, so the whole thing is one shuffle on o_orderstatus.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        WITH agged AS (
+          SELECT o_orderstatus,
+                 CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS urgent,
+                 CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS high,
+                 CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS low
+          FROM v_orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, measure, val
+        FROM agged UNPIVOT (val FOR measure IN (urgent, high, low))
+        """
+    )
+
+
+R_UNPIVOT_SQL = """
+WITH agged AS (
+  SELECT o_orderstatus,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS urgent,
+         CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS high,
+         CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS low
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, measure, val
+FROM agged UNPIVOT (val FOR measure IN (urgent, high, low))
+"""
+
+
+# ---------------------------------------------------- r_lateral_top2
+def r_lateral_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: each
+    low-key customer's two most expensive orders — the lateral form of
+    per-group top-k (Catalyst rewrites it to the same windowed plan
+    the explicit ``row_number`` form produces; both surfaces are part
+    of the engine).  Deterministic via the (price DESC, orderkey ASC)
+    total order.
+    """
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+        FROM v_customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM v_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 2
+        ) l
+        WHERE c.c_custkey < 100
+        """
+    )
+
+
+R_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 2
+) l ON true
+WHERE c.c_custkey < 100
+"""
+
+
 # ---------------------------------------------------- r_q2_min_cost
 def r_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: for each small part, the supplier offering the
@@ -914,6 +998,8 @@ QUERIES = {
     "r_q19_disjunct": r_q19_disjunct,
     "r_q7_nation_volume": r_q7_nation_volume,
     "r_q2_min_cost": r_q2_min_cost,
+    "r_unpivot": r_unpivot,
+    "r_lateral_top2": r_lateral_top2,
     "r_q22_acctbal": r_q22_acctbal,
     "r_cube_orders": r_cube_orders,
     "r_pivot": r_pivot,
@@ -942,6 +1028,8 @@ ORACLES = {
     "r_q19_disjunct": R_Q19_SQL,
     "r_q7_nation_volume": R_Q7_SQL,
     "r_q2_min_cost": R_Q2_SQL,
+    "r_unpivot": R_UNPIVOT_SQL,
+    "r_lateral_top2": R_LATERAL_SQL,
     "r_q22_acctbal": R_Q22_SQL,
     "r_cube_orders": R_CUBE_SQL,
     "r_pivot": R_PIVOT_SQL,

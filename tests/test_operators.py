@@ -25,6 +25,8 @@ SUBSET = [
     "g_ewma",
     "g_moving_avg_time",
     "r_q2_min_cost",
+    "r_unpivot",
+    "r_lateral_top2",
     "g_linreg_1d",
     "r_q1_pricing",
     "r_exists_sql",
