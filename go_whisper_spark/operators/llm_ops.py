@@ -1124,6 +1124,58 @@ LEFT JOIN hits h ON h.qid = q.qid
 """
 
 
+# --------------------------------------------------------- s_vector_stats
+def s_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector statistics via higher-order array functions —
+    ``filter`` (positive-component count), ``transform`` + left-fold
+    ``aggregate`` (L1/L2 norms), ``array_max``/``array_position``
+    (dominant component).  Pure narrow map, zero shuffles.
+
+    Parity: the L1/L2 folds are seeded with element 1 and fold left —
+    textually the same op sequence as DuckDB's ``list_reduce`` — so
+    the doubles are bit-equal unrounded; counts and positions are
+    exact integers.
+    """
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < 100).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    absv = F.transform("v", lambda x: F.abs(x))
+    sqv = F.transform("v", lambda x: x * x)
+
+    def fold(arr):
+        return F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1),
+            F.element_at(arr, 1),
+            lambda a, x: a + x,
+        )
+
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(F.filter("v", lambda x: x > 0)).alias("n_pos"),
+        fold(absv).alias("l1"),
+        F.sqrt(fold(sqv)).alias("l2"),
+        F.array_position(absv, F.array_max(absv)).alias("max_idx"),
+    )
+
+
+S_VECTOR_STATS_SQL = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 100
+)
+SELECT vec_id, label,
+       CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+       list_reduce(list_transform(v, x -> abs(x)), (a, x) -> a + x) AS l1,
+       sqrt(list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x)) AS l2,
+       CAST(list_position(list_transform(v, x -> abs(x)),
+                          list_max(list_transform(v, x -> abs(x)))) AS BIGINT) AS max_idx
+FROM e
+"""
+
+
 # ------------------------------------------------------ d_embed_neardup_lsh
 def d_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs, LSH-bucketed (the scale form of
@@ -1604,6 +1656,7 @@ QUERIES = {
     "s_ann_recall": s_ann_recall,
     "s_cosine_ann_mp": s_cosine_ann_mp,
     "s_ann_mp_recall": s_ann_mp_recall,
+    "s_vector_stats": s_vector_stats,
     "d_embed_neardup_lsh": d_embed_neardup_lsh,
     "s_cosine_ivf": s_cosine_ivf,
     "t_token_stats": t_token_stats,
@@ -1631,6 +1684,7 @@ ORACLES = {
     "s_ann_recall": _s_ann_recall_sql(),
     "s_cosine_ann_mp": _s_cosine_ann_mp_sql(),
     "s_ann_mp_recall": _s_ann_mp_recall_sql(),
+    "s_vector_stats": S_VECTOR_STATS_SQL,
     "d_embed_neardup_lsh": _d_embed_neardup_lsh_sql(),
     "t_token_stats": T_TOKEN_STATS_SQL,
     "t_lang_id": T_LANG_ID_SQL,

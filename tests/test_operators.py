@@ -41,6 +41,7 @@ SUBSET = [
     "d_neardup_clusters",
     "s_ann_recall",
     "s_ann_mp_recall",
+    "s_vector_stats",
     "t_bigram_freq",
     "d_simhash_pairs",
     "d_simhash_banded",
