@@ -322,7 +322,16 @@ def r_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     minus = machinery.subtract(big_buyers).select(
         F.lit("machinery_not_big").alias("op"), "custkey"
     )
-    return inter.unionByName(minus)
+    # Multiset (ALL) variants pin bag semantics: a customer with 3
+    # big orders appears 3x in big_buyers; intersectAll keeps
+    # min(multiplicity), exceptAll subtracts multiplicities.
+    inter_all = big_buyers.intersectAll(machinery).select(
+        F.lit("big_and_machinery_all").alias("op"), "custkey"
+    )
+    minus_all = big_buyers.exceptAll(machinery).select(
+        F.lit("big_not_machinery_all").alias("op"), "custkey"
+    )
+    return inter.unionByName(minus).unionByName(inter_all).unionByName(minus_all)
 
 
 R_SETOPS_SQL = """
@@ -336,6 +345,12 @@ FROM (SELECT custkey FROM machinery INTERSECT SELECT custkey FROM big_buyers)
 UNION ALL
 SELECT 'machinery_not_big' AS op, custkey
 FROM (SELECT custkey FROM machinery EXCEPT SELECT custkey FROM big_buyers)
+UNION ALL
+SELECT 'big_and_machinery_all' AS op, custkey
+FROM (SELECT custkey FROM big_buyers INTERSECT ALL SELECT custkey FROM machinery)
+UNION ALL
+SELECT 'big_not_machinery_all' AS op, custkey
+FROM (SELECT custkey FROM big_buyers EXCEPT ALL SELECT custkey FROM machinery)
 """
 
 
