@@ -27,6 +27,28 @@ def explain_formatted(df: DataFrame) -> str:
     )
 
 
+def final_plan(df: DataFrame) -> str:
+    """The *executed* adaptive plan: runs THIS DataFrame's own
+    QueryExecution via ``collect()`` (cheap at audit scale), so AQE
+    finalizes every stage and codegen wrapping becomes visible.
+    Pitfalls this dodges: the pre-execution adaptive plan hides
+    codegen (isFinalPlan=false), and ``df.count()`` executes a
+    *different* QueryExecution, leaving this one un-finalized."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def codegen_spans(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen span ids in the executed plan —
+    the ``*(n)`` operator markers (toString spelling; explain
+    "formatted" spells the same spans "WholeStageCodegen (n)")."""
+    text = final_plan(df)
+    return len(
+        set(re.findall(r"\*\((\d+)\)", text))
+        | set(re.findall(r"WholeStageCodegen \((\d+)\)", text))
+    )
+
+
 def read_schema_width(plan: str) -> Optional[int]:
     """Number of columns in the first parquet ReadSchema of the plan."""
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)

@@ -63,7 +63,7 @@ def main():
     for name, spec in CHECKS.items():
         if only and name not in only:
             continue
-        from go_whisper_spark.plans.audit import explain_formatted
+        from go_whisper_spark.plans.audit import codegen_spans, explain_formatted
 
         df = qs[name](spark, SF_DIR)
         text = explain_formatted(df)
@@ -81,7 +81,11 @@ def main():
                 ncols = m.group(1).count(":")
                 if ncols > max_cols:
                     problems.append(f"scan reads {ncols} cols (> {max_cols})")
-        n_codegen = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", text)))
+        # Codegen spans come from the EXECUTED plan: the pre-execution
+        # adaptive plan (isFinalPlan=false) hides WholeStageCodegen.
+        n_codegen = codegen_spans(df)
+        if n_codegen == 0 and "Scan parquet" in text:
+            problems.append("no WholeStageCodegen span in executed plan")
         status = "OK" if not problems else "ISSUES"
         print(f"{name}: {status}  codegen_spans={n_codegen}")
         for p in problems:
