@@ -137,6 +137,78 @@ FROM dense
 """
 
 
+# ------------------------------------------------- g_keep_last_limit
+def g_keep_last_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keepLastValue(series, limit=2): forward-fill gaps of AT MOST 2
+    consecutive missing slots; longer outages stay NULL (Graphite's
+    bounded variant — unbounded fill would mask dead series).
+
+    The fill decision needs the distance to the last known slot:
+    ``max(CASE WHEN known THEN interval END) OVER (unbounded
+    preceding)`` gives it without a self-join, then the carried value
+    applies only when ``interval − last_known ≤ limit·spp``.  Same
+    one-window-per-metric shape as the unbounded fill.
+    """
+    from go_whisper_spark.operators.whisper_queries import w_fetch_dense_3d
+
+    dense = w_fetch_dense_3d(spark, sf_dir)
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("interval")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_known_iv = F.max(
+        F.when(F.col("value").isNotNull(), F.col("interval"))
+    ).over(w)
+    carried = F.last("value", ignorenulls=True).over(w)
+    filled = F.when(
+        F.col("interval") - last_known_iv <= 2 * HOUR, carried
+    )
+    return dense.select(
+        "metric",
+        "interval",
+        F.col("value").alias("raw"),
+        filled.alias("filled"),
+        (F.col("interval") - last_known_iv).alias("staleness"),
+    )
+
+
+G_KEEP_LAST_LIMIT_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+bounds AS (
+  SELECT (max(ts_sec) - 259200) - (max(ts_sec) - 259200) % 3600 + 3600 AS from_iv,
+         max(ts_sec) - max(ts_sec) % 3600 + 3600 AS until_iv
+  FROM pts
+),
+spine AS (
+  SELECT m.metric, s.interval
+  FROM (SELECT DISTINCT metric FROM pts) m
+  CROSS JOIN (
+    SELECT unnest(generate_series(from_iv, until_iv - 3600, 3600)) AS interval
+    FROM bounds
+  ) s
+),
+dense AS (
+  SELECT spine.metric, spine.interval, lww1h.value
+  FROM spine LEFT JOIN lww1h
+    ON lww1h.metric = spine.metric AND lww1h.interval = spine.interval
+),
+carried AS (
+  SELECT metric, interval, value,
+         max(CASE WHEN value IS NOT NULL THEN interval END) OVER w AS last_known_iv,
+         last_value(value IGNORE NULLS) OVER w AS carried
+  FROM dense
+  WINDOW w AS (PARTITION BY metric ORDER BY interval
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT metric, interval,
+       value AS raw,
+       CASE WHEN interval - last_known_iv <= 7200 THEN carried END AS filled,
+       interval - last_known_iv AS staleness
+FROM carried
+"""
+
+
 # ---------------------------------------------------------- g_summarize
 def g_summarize_4h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """summarize(series, "4h", "sum"): re-bucket the 1h series into 4h
@@ -762,6 +834,7 @@ QUERIES = {
     "g_as_percent": g_as_percent,
     "g_integral": g_integral,
     "g_keep_last": g_keep_last,
+    "g_keep_last_limit": g_keep_last_limit,
     "g_summarize_4h": g_summarize_4h,
     "g_group_by_node": g_group_by_node,
     "g_highest_avg_3": g_highest_avg_3,
@@ -783,6 +856,7 @@ ORACLES = {
     "g_as_percent": G_AS_PERCENT_SQL,
     "g_integral": G_INTEGRAL_SQL,
     "g_keep_last": G_KEEP_LAST_SQL,
+    "g_keep_last_limit": G_KEEP_LAST_LIMIT_SQL,
     "g_summarize_4h": G_SUMMARIZE_SQL,
     "g_group_by_node": G_GROUP_BY_NODE_SQL,
     "g_highest_avg_3": G_HIGHEST_AVG_SQL,

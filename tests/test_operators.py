@@ -24,6 +24,7 @@ SUBSET = [
     "g_stdev_1d",
     "g_ewma",
     "g_moving_avg_time",
+    "g_keep_last_limit",
     "r_q2_min_cost",
     "r_unpivot",
     "r_lateral_top2",
