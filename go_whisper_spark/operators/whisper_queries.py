@@ -642,6 +642,60 @@ FROM lwwA a FULL OUTER JOIN lwwB b USING (metric, interval)
 """
 
 
+def w_xff_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The xFilesFactor gate under xff ∈ {0.0, 0.5, 1.0} in ONE frame:
+    each 6h slot is aggregated once, then the tiny xff list explodes
+    against it — the gated value goes NULL exactly where known/6 < xff
+    (with the ``>=`` boundary the reference uses: known=3 of 6 PASSES
+    xff=0.5).  Partially-filled slots flip between the branches, which
+    pins the gate's boundary in data, not just in a unit test.  One
+    shuffle for the slot aggregate; the explode is narrow.
+    """
+    lww = _lww(_points(spark, sf_dir), HOUR).withColumn("cents", _cents())
+    slots = (
+        lww.withColumn(
+            "interval6",
+            (F.col("interval") - F.col("interval") % F.lit(6 * HOUR)).cast("long"),
+        )
+        .groupBy("metric", "interval6")
+        .agg(F.count("value").alias("known"), F.sum("cents").alias("sc"))
+    )
+    return (
+        slots.select(
+            "*", F.explode(F.array(F.lit(0.0), F.lit(0.5), F.lit(1.0))).alias("xff")
+        )
+        .select(
+            "metric",
+            F.col("interval6").alias("interval"),
+            "xff",
+            "known",
+            F.when(
+                F.col("known").cast("double") / F.lit(6.0) >= F.col("xff"),
+                _avg6(F.col("sc"), F.col("known")),
+            ).alias("avg_value"),
+        )
+    )
+
+
+W_XFF_SENSITIVITY_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+slots AS (
+  SELECT metric,
+         interval - interval % 21600 AS interval,
+         count(value) AS known,
+         sum({CENTS_SQL}) AS sc
+  FROM lww1h
+  GROUP BY 1, 2
+)
+SELECT metric, interval, xff, known,
+       CASE WHEN CAST(known AS DOUBLE) / 6.0 >= xff
+            THEN floor(CAST(sc AS DOUBLE) * 10000 / known) / 1000000.0
+       END AS avg_value
+FROM slots
+CROSS JOIN (SELECT unnest([0.0, 0.5, 1.0]) AS xff)
+"""
+
+
 def w_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's native ``session_window`` operator (30m gap) — the
     built-in form of ``w_sessionize_30m``'s gaps-and-islands plan, and
@@ -803,6 +857,7 @@ QUERIES = {
     "w_lww_1h": w_lww_1h,
     "w_asof_join": w_asof_join,
     "w_session_window_native": w_session_window_native,
+    "w_xff_sensitivity": w_xff_sensitivity,
     "w_derivative_1h": w_derivative_1h,
     "w_sliding_1h_30m": w_sliding_1h_30m,
     "w_percentiles_1d": w_percentiles_1d,
@@ -822,6 +877,7 @@ ORACLES = {
     "w_lww_1h": W_LWW_1H_SQL,
     "w_asof_join": W_ASOF_SQL,
     "w_session_window_native": W_SESSION_NATIVE_SQL,
+    "w_xff_sensitivity": W_XFF_SENSITIVITY_SQL,
     "w_derivative_1h": W_DERIVATIVE_1H_SQL,
     "w_sliding_1h_30m": W_SLIDING_SQL,
     "w_rollup_6h": W_ROLLUP_6H_SQL,

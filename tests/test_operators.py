@@ -38,6 +38,7 @@ SUBSET = [
     "r_window_running",
     "w_asof_join",
     "w_session_window_native",
+    "w_xff_sensitivity",
     "d_lsh_pairs",
     "d_neardup_clusters",
     "s_ann_recall",
