@@ -216,8 +216,11 @@ class WhisperEngine:
           (whisper's NaN; NULL chosen so Spark aggregates stay sane).
         """
         cfg = self.config
-        if from_time > until_time:
-            raise ValueError("from_time must be <= until_time")
+        if from_time >= until_time:
+            # whisper.go rejects from >= until up front; equality would
+            # otherwise reach F.sequence(from_iv, from_iv - step) and
+            # throw an opaque runtime error.
+            raise ValueError("from_time must be < until_time")
         oldest = now - cfg.max_retention
         if from_time < oldest:
             from_time = oldest

@@ -169,7 +169,11 @@ def g_keep_last_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "interval",
         F.col("value").alias("raw"),
         filled.alias("filled"),
-        (F.col("interval") - last_known_iv).alias("staleness"),
+        # DOUBLE, not BIGINT: staleness is NULL before the first known
+        # slot, and the driver's pandas materialization turns a
+        # nullable-int oracle column into float64 — int64 on the Spark
+        # side would hash-mismatch.  Cast both sides to double.
+        (F.col("interval") - last_known_iv).cast("double").alias("staleness"),
     )
 
 
@@ -204,7 +208,7 @@ carried AS (
 SELECT metric, interval,
        value AS raw,
        CASE WHEN interval - last_known_iv <= 7200 THEN carried END AS filled,
-       interval - last_known_iv AS staleness
+       CAST(interval - last_known_iv AS DOUBLE) AS staleness
 FROM carried
 """
 

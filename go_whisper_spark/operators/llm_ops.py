@@ -222,10 +222,10 @@ WITH per_text AS (
   FROM documents GROUP BY 1, 2
 )
 SELECT source,
-       sum(copies) AS n_docs,
+       CAST(sum(copies) AS BIGINT) AS n_docs,
        count(*) AS n_unique,
-       sum(copies) - count(*) AS n_dropped,
-       sum(keeper) AS keeper_idsum
+       CAST(sum(copies) - count(*) AS BIGINT) AS n_dropped,
+       CAST(sum(keeper) AS BIGINT) AS keeper_idsum
 FROM per_text GROUP BY source
 """
 
@@ -473,7 +473,7 @@ per_bit AS (
   GROUP BY doc_id, j
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
 FROM per_bit GROUP BY doc_id
 """
 
@@ -1294,7 +1294,7 @@ WITH per_doc AS (
 )
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        floor(CAST(sum(n_tokens) AS DOUBLE) * 1000000 / count(*)) / 1000000.0 AS avg_tokens,
        floor(CAST(sum(n_chars_m) AS DOUBLE) * 1000000 / count(*)) / 1000000.0 AS avg_chars,
        max(n_tokens) AS max_tokens

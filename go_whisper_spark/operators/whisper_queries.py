@@ -519,10 +519,10 @@ flagged AS (
 ),
 numbered AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (
+         CAST(sum(new_session) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS session_seq
+         ) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,

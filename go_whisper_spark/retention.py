@@ -223,6 +223,9 @@ class MaterializedRollups:
         metrics: Optional[List[str]] = None,
     ) -> FetchResult:
         cfg = self.config
+        if from_time >= until_time:
+            # same up-front rejection as WhisperEngine.fetch / whisper.go
+            raise ValueError("from_time must be < until_time")
         oldest = now - cfg.max_retention
         from_time = max(from_time, oldest)
         until_time = min(until_time, now)

@@ -1,16 +1,36 @@
-"""Local stand-in for the driver's correctness gate.
+"""Local stand-in for the driver's correctness gate — EXACT-MATCH.
 
-Runs entry() as a smoke check, then every queries() entry at sf0.01
-against its oracle_sql() via DuckDB: row-count + column-name/schema +
-order-insensitive value comparison (sorted columns by name, rows
-sorted, NULL-safe, doubles compared to 1e-9 rel tolerance — stricter
-in spirit than a hash so mismatches print a diff sample).
+Runs entry() as a smoke check, then every queries() entry against its
+oracle_sql() via DuckDB: row-count + column-name/schema + an exact,
+TYPED value comparison that mirrors the driver's hash semantics:
+
+- oracle rows come from ``fetchdf()`` (pandas materialization) read
+  COLUMN-WISE, so a DuckDB HUGEINT sum shows up as float64 — exactly
+  as the driver sees it (round-1 evidence: BIGINT columns stayed int
+  and passed, HUGEINT sums became ``1085.0`` and hash-failed; arrow
+  would give Decimal, which does NOT match the driver).  An uncast
+  ``sum(INTEGER)`` therefore fails HERE, locally, the same way it
+  fails the driver.  Corollary: a nullable BIGINT oracle column also
+  becomes float64 (5.0/NaN) — avoid nullable-int output columns, or
+  cast BOTH sides to DOUBLE.
+- no float tolerance: values compare bit-exact, and int != float even
+  when numerically equal (1085 != 1085.0).
+- NaN normalizes to None on BOTH sides (round-1 evidence: driver-green
+  queries emit SQL NULL in double columns, which pandas/arrow may
+  surface as NaN — the driver treats them as equal).
+- numpy scalars / pd.Timestamp normalize to their Python equivalents
+  before the typed compare; arrays compare element-wise typed.
+  NEVER materialize oracle rows via ``iterrows()`` — pandas row
+  Series upcast mixed int/float rows to float64, corrupting the very
+  types this gate exists to check.
 
 Usage: python tools/check_contract.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import os
 import sys
@@ -19,20 +39,50 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-
 def norm_cell(v):
-    if v is None:
+    """Normalize one cell to a canonical typed Python value.
+
+    Applied identically to Spark rows and DuckDB/arrow rows.  Keeps
+    the int-vs-float distinction (the driver's hash is typed), maps
+    NaN to None on both sides, and unwraps numpy/pandas scalar types.
+    """
+    if v is None or v is pd.NaT:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
+    if isinstance(v, (bool, np.bool_)):
+        return bool(v)
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return None if math.isnan(f) else f
+    if isinstance(v, decimal.Decimal):
+        return v
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, np.ndarray):
+        return tuple(norm_cell(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, datetime.datetime):
         return v
     return v
+
+
+def cells_equal(va, vb):
+    if type(va) is not type(vb):
+        return False
+    if isinstance(va, tuple):
+        return len(va) == len(vb) and all(
+            cells_equal(x, y) for x, y in zip(va, vb)
+        )
+    return va == vb
 
 
 def rows_match(a, b):
@@ -42,11 +92,7 @@ def rows_match(a, b):
         if len(ra) != len(rb):
             return False
         for va, vb in zip(ra, rb):
-            va, vb = norm_cell(va), norm_cell(vb)
-            if isinstance(va, float) and isinstance(vb, float):
-                if not math.isclose(va, vb, rel_tol=1e-9, abs_tol=1e-9):
-                    return False
-            elif va != vb:
+            if not cells_equal(va, vb):
                 return False
     return True
 
@@ -89,7 +135,7 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sorted(sdf.columns)
             srows = [
-                tuple(r[c] for c in scols)
+                tuple(norm_cell(r[c]) for c in scols)
                 for r in sdf.select(*scols).collect()
             ]
             srows.sort(key=sort_key)
@@ -98,10 +144,10 @@ def main():
                 continue
             ddf = con.execute(oracles[name]).fetchdf()
             dcols = sorted(ddf.columns.tolist())
-            drows = [tuple(row[c] for c in dcols) for _, row in ddf.iterrows()]
+            coldata = {c: ddf[c].tolist() for c in dcols}
             drows = [
-                tuple(None if (isinstance(v, float) and math.isnan(v)) else v for v in r)
-                for r in drows
+                tuple(norm_cell(coldata[c][i]) for c in dcols)
+                for i in range(len(ddf))
             ]
             drows.sort(key=sort_key)
             ok_cols = scols == dcols
