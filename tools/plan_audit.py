@@ -48,6 +48,15 @@ CHECKS = {
     "g_moving_avg_time": dict(require=["Window", "partial_max_by"], forbid=["CartesianProduct"]),
     "s_cosine_ann_mp": dict(require=["Window"], forbid=["CartesianProduct", "SortMergeJoin"]),
     "r_q19_disjunct": dict(require=["PushedFilters", "BroadcastHashJoin"], forbid=["CartesianProduct"]),
+    # Signature ANN: the hamming gate is a broadcast of the 50 query
+    # signatures over the skinny corpus-signature scan (bit_count(xor)
+    # in JVM codegen); the exact rerank joins only surviving pairs back
+    # to raw vectors via hash joins.  No shuffle before the final
+    # per-query top-k window.
+    "s_cosine_sig": dict(
+        require=["Window", "BroadcastNestedLoopJoin", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
