@@ -1144,9 +1144,9 @@ LEFT JOIN hits h ON h.qid = q.qid
 # 0.50 for the bulk, ~4σ apart at 240 bits.  So: stage 1 scans ONLY
 # the 4×long signature index (32 B/vec vs 512 B/vec for the raw
 # vectors — a 16× column-pruned scan, the FAISS/ScaNN "flat code
-# scan" pattern) and keeps candidates with hamming <= 104; stage 2
-# fetches raw vectors for the ~6-11% survivors and reranks exactly.
-# Measured recall@3: 0.907 @ sf0.01 (10.8% candidates), 0.980 @ sf0.1
+# scan" pattern) and keeps candidates with hamming <= SIG_HAM_MAX; stage 2
+# fetches raw vectors for the ~14% survivors and reranks exactly.
+# Measured recall@3: 0.933 @ sf0.01 (~14% candidates), 0.980 @ sf0.1
 # (10.6%) — vs the 0.9 gate.  At 100 TB the signature table is a
 # precomputed ~2 TB index; queries broadcast and the scan
 # parallelizes with zero shuffle (the only shuffle is the final
@@ -1154,7 +1154,10 @@ LEFT JOIN hits h ON h.qid = q.qid
 N_SIG_PLANES = 240
 SIG_WORD_BITS = 60  # like SIMHASH_BITS: words stay positive in int64
 SIG_WORDS = 4
-SIG_HAM_MAX = 104
+# 106 keeps a ~5-hit margin over the 0.9 recall@3 gate (measured:
+# 0.933 @ sf0.001 and sf0.01, was 0.907 one hit over at 104) at ~14%
+# candidate fraction — still ~30% headroom under the 0.2 fraction cap.
+SIG_HAM_MAX = 106
 _sig_rng = random.Random(0x51677)
 SIG_PLANES = [
     [round(_sig_rng.gauss(0.0, 1.0), 8) for _ in range(DIM)]
@@ -1198,18 +1201,18 @@ def _sig_words_frame(spark: SparkSession, sf_dir: str, qmax: int = 0) -> DataFra
     )
 
 
-def s_cosine_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signature-prefiltered exact top-3 (see design block above):
-    hamming(sig_q, sig_c) <= 104 over 240 bits gates the candidate
-    set; survivors are reranked with the exact rounded cosine.
+def sig_candidates(spark: SparkSession, sf_dir: str, qmax: int = 50) -> DataFrame:
+    """Stage-1 candidate generation for the signature ANN: (qid,
+    vec_id) pairs whose 240-bit signatures differ in <= SIG_HAM_MAX
+    positions.  The ``qmax`` query signatures broadcast onto the
+    skinny corpus signature scan; the hamming gate is pure JVM
+    codegen (``bit_count(xor)`` over 4 word pairs).
 
-    Plan: the 50-query signature rows broadcast onto the skinny
-    corpus signature scan; the hamming gate is pure JVM codegen
-    (``bit_count(xor)`` over 4 word pairs); only surviving (qid,
-    vec_id) pairs join back to the raw vectors for the exact rerank.
+    Shared by ``s_cosine_sig`` and the candidate-fraction test so the
+    test always measures the production pipeline.
     """
     sig = _sig_words_frame(spark, sf_dir)
-    qsig = _sig_words_frame(spark, sf_dir, qmax=50).select(
+    qsig = _sig_words_frame(spark, sf_dir, qmax=qmax).select(
         F.col("vec_id").alias("qid"),
         *[F.col(f"w{w}").alias(f"qw{w}") for w in range(SIG_WORDS)],
     )
@@ -1217,13 +1220,31 @@ def s_cosine_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.col(f"qw{w}").bitwiseXOR(F.col(f"w{w}")))
         for w in range(SIG_WORDS)
     )
-    cand = (
+    return (
         F.broadcast(qsig)
         .crossJoin(sig)
         .where((ham <= SIG_HAM_MAX) & (F.col("vec_id") != F.col("qid")))
         .select("qid", "vec_id")
     )
 
+
+def s_cosine_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-prefiltered exact top-3 (see design block above):
+    hamming(sig_q, sig_c) <= SIG_HAM_MAX over 240 bits gates the
+    candidate set; survivors are reranked with the exact rounded
+    cosine.
+
+    Plan: stage 1 is ``sig_candidates`` (broadcast queries over the
+    signature scan, zero shuffle).  Stage 2 joins the surviving
+    (qid, vec_id) pairs back to the raw vectors.  At test scale the
+    vector table fits ``autoBroadcastJoinThreshold`` so Catalyst
+    picks BroadcastHashJoin; at 100 TB it will not, and the same
+    plan resolves to a hash join shuffling only the ~14% surviving
+    pairs and the raw vectors on vec_id — that shuffle is expected
+    and sized by the candidate fraction, not the corpus.  The final
+    per-query top-k shuffles on qid (50 rows out).
+    """
+    cand = sig_candidates(spark, sf_dir)
     vecs = _cos_frames(spark, sf_dir).select("vec_id", "v", "norm")
     qvecs = _cos_frames(spark, sf_dir).where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
@@ -1299,7 +1320,7 @@ WHERE rank <= 3
 def s_sig_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@3 of the signature-prefiltered ANN (``s_cosine_sig``)
     against the exact top-3 — the gate measurement for the scale
-    path.  Measured: 0.907 mean @ sf0.01, 0.980 @ sf0.1."""
+    path.  Measured: 0.933 mean @ sf0.01 (SIG_HAM_MAX=106), 0.980 @ sf0.1."""
     return _recall_vs_exact(spark, sf_dir, s_cosine_sig(spark, sf_dir))
 
 

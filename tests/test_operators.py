@@ -99,46 +99,32 @@ def test_holt_winters_recurrence(spark, sf_dir):
         assert got[iv] == (s, b, fc)
 
 
-def test_sig_ann_recall_gate(spark):
+def test_sig_ann_recall_gate(spark, sf_dir):
     """The quality gate for the ANN scale path: signature-prefiltered
-    search must recover >= 0.9 of the exact top-3 at sf0.01, with the
-    candidate prefilter keeping < 20% of the corpus per query (the
-    measured operating point is ~11%)."""
-    import os
+    search must recover >= 0.9 of the exact top-3, with the candidate
+    prefilter keeping < 20% of the corpus per query.
 
+    Runs at the suite's sf_dir (measured: recall 0.933 at both
+    sf0.001 and sf0.01 with SIG_HAM_MAX=106 — a ~5-hit margin over
+    the gate at 150 trials, so a one-hit data drift can't flip it;
+    candidate fraction ~0.14 vs the 0.2 cap)."""
     from pyspark.sql import functions as F
 
     from go_whisper_spark.operators.llm_ops import (
-        SIG_HAM_MAX,
-        SIG_WORDS,
         _sig_words_frame,
         s_sig_recall,
+        sig_candidates,
     )
 
-    sf = "/root/testdata/sf0.01"
-    if not os.path.exists(sf):
-        pytest.skip("sf0.01 testdata missing")
     mean_recall = (
-        s_sig_recall(spark, sf).agg(F.avg("recall3").alias("r")).first()["r"]
+        s_sig_recall(spark, sf_dir).agg(F.avg("recall3").alias("r")).first()["r"]
     )
     assert mean_recall >= 0.9, f"recall@3 {mean_recall} below gate"
 
-    sig = _sig_words_frame(spark, sf)
-    qsig = _sig_words_frame(spark, sf, qmax=50).select(
-        F.col("vec_id").alias("qid"),
-        *[F.col(f"w{w}").alias(f"qw{w}") for w in range(SIG_WORDS)],
-    )
-    ham = sum(
-        F.bit_count(F.col(f"qw{w}").bitwiseXOR(F.col(f"w{w}")))
-        for w in range(SIG_WORDS)
-    )
-    n = sig.count()
-    n_cand = (
-        F.broadcast(qsig)
-        .crossJoin(sig)
-        .where((ham <= SIG_HAM_MAX) & (F.col("vec_id") != F.col("qid")))
-        .count()
-    )
+    # Candidate fraction measured on the SAME pipeline production
+    # uses (shared sig_candidates helper), not a re-implementation.
+    n = _sig_words_frame(spark, sf_dir).count()
+    n_cand = sig_candidates(spark, sf_dir).count()
     frac = n_cand / (50 * n)
     assert frac < 0.2, f"candidate fraction {frac} — prefilter too loose"
 
