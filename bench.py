@@ -8,14 +8,23 @@ Prints ONE JSON line:
 Each query is forced end-to-end with a noop-format write (full compute,
 no driver-side collect skew).  Timings include Catalyst planning but
 not session startup.
+
+Each query runs REPS (3) times after a warm-up pass; the reported
+per-query number and the total are MEDIANS, with the per-query min
+kept alongside ("queries_min") so run-to-run spread is visible —
+round 2's 25% total drift was indistinguishable from a real
+regression under the old single-shot harness.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+REPS = 3
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -23,6 +32,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: whisper write/rollup/read paths, the relational joins,
 # and the heavier LLM ops (LSH dedup, simhash pairs, cosine top-k).
+# Only plans we'd run at 100x live here: the banded simhash and the
+# signature ANN replaced their quadratic/low-recall twins
+# (d_simhash_pairs, s_cosine_ann stay registered as oracle baselines).
 HEADLINE = [
     "w_lww_1h",
     "w_cascade_1d",
@@ -34,9 +46,9 @@ HEADLINE = [
     "r_window_topk_cust",
     "d_jaccard_pairs",
     "d_lsh_pairs",
-    "d_simhash_pairs",
+    "d_simhash_banded",
     "s_cosine_topk",
-    "s_cosine_ann",
+    "s_cosine_sig",
     "d_embed_neardup_lsh",
     "t_lang_id",
     "t_quality",
@@ -66,14 +78,16 @@ def main():
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    timings = {}
-    t_all = time.time()
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_all, 3)
+    samples = {name: [] for name in HEADLINE}
+    for _ in range(REPS):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
+    timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
+    timings_min = {n: round(min(v), 3) for n, v in samples.items()}
+    total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(
@@ -82,6 +96,8 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
+                "reps": REPS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
