@@ -26,6 +26,8 @@ sums round at 4 dp; averages use exact integer cent arithmetic (see
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -853,7 +855,76 @@ FROM qs q ASOF LEFT JOIN lww1h l
 """
 
 
+# ------------------------------------------------------- w_wsp_roundtrip
+def w_wsp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ``.wsp`` contract: the 1h LWW slot state (bounds-
+    checked against ``now`` as whisper's Update does) is packed into
+    real per-metric ``.wsp`` files via ``create_wsp`` +
+    ``wsp_update_many``, read back through the binaryFile +
+    mapInPandas parser, and served as the dense last-3d fetch — so the
+    byte layout (16B header, 12B archive entries, big-endian 12B ring
+    points), ring-slot addressing, and the parser must all round-trip
+    bit-exactly for the oracle (the plain relational fetch) to
+    hash-match.  [ref: whisper.go (func Create; func (*Whisper)
+    Update — ring WriteAt; pack/unpack group)]
+
+    The fixture write is a driver-side control path (one small file
+    per metric under /tmp, rebuilt per call) — the query's data path
+    (parse + LWW spine join) stays fully distributed.
+    """
+    import shutil
+    import tempfile
+
+    from go_whisper_spark.model import SeriesConfig
+    from go_whisper_spark.sources.wsp import (
+        create_wsp,
+        read_wsp,
+        read_wsp_headers,
+        wsp_update_many,
+    )
+
+    cfg = SeriesConfig.from_defs("1h:14d", "average", 0.5)
+    pts = _points(spark, sf_dir)
+    now = int(pts.agg(F.max("ts")).first()[0])
+    lww = _lww(pts, HOUR).where(F.col("interval") > now - cfg.max_retention)
+
+    fixture = os.path.join(
+        tempfile.gettempdir(),
+        "gws_wsp_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(fixture, ignore_errors=True)
+    os.makedirs(fixture)
+    by_metric: dict = {}
+    for row in lww.collect():
+        by_metric.setdefault(row["metric"], []).append((row["interval"], row["value"]))
+    for metric in [r["metric"] for r in pts.select("metric").distinct().collect()]:
+        path = os.path.join(fixture, f"{metric}.wsp")
+        create_wsp(path, cfg)
+        wsp_update_many(path, by_metric.get(metric, []), now)
+
+    slots = read_wsp(spark, fixture, root=fixture).select("metric", "interval", "value")
+    from_iv = (now - 3 * DAY) - (now - 3 * DAY) % HOUR + HOUR
+    until_iv = now - now % HOUR + HOUR
+    metrics = read_wsp_headers(spark, fixture, root=fixture).select("metric")
+    spine = metrics.select(
+        "metric",
+        F.explode(
+            F.sequence(F.lit(from_iv), F.lit(until_iv - HOUR), F.lit(HOUR))
+        ).alias("interval"),
+    )
+    return spine.join(slots, ["metric", "interval"], "left").select(
+        "metric", "interval", "value"
+    )
+
+
+# The oracle is the plain relational dense fetch: if any byte of the
+# header/ring layout or the parser drifted, values (or row coverage)
+# would diverge and the hash comparison would catch it.
+W_WSP_ROUNDTRIP_SQL = W_FETCH_DENSE_3D_SQL
+
+
 QUERIES = {
+    "w_wsp_roundtrip": w_wsp_roundtrip,
     "w_lww_1h": w_lww_1h,
     "w_asof_join": w_asof_join,
     "w_session_window_native": w_session_window_native,
@@ -874,6 +945,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "w_wsp_roundtrip": W_WSP_ROUNDTRIP_SQL,
     "w_lww_1h": W_LWW_1H_SQL,
     "w_asof_join": W_ASOF_SQL,
     "w_session_window_native": W_SESSION_NATIVE_SQL,
