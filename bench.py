@@ -95,6 +95,10 @@ def main():
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                # value = sum of per-query medians over REPS (post-warm-up).
+                # BENCH_r01-r03 were single-pass wall-clock sums — totals are
+                # not directly comparable across that method change.
+                "method": "sum_of_median3",
                 "queries": timings,
                 "queries_min": timings_min,
                 "reps": REPS,

@@ -856,6 +856,21 @@ FROM qs q ASOF LEFT JOIN lww1h l
 
 
 # ------------------------------------------------------- w_wsp_roundtrip
+def _wsp_fixture_dir() -> str:
+    """A fresh private fixture dir per call (never shared, so a bench
+    and a pytest session on the same sf can't race each other's
+    rebuilds), removed at interpreter exit — the lazy binaryFile scan
+    of the returned DataFrame may run long after this function returns,
+    so cleanup must not happen any earlier."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gws_wsp_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def w_wsp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ``.wsp`` contract: the 1h LWW slot state (bounds-
     checked against ``now`` as whisper's Update does) is packed into
@@ -872,9 +887,6 @@ def w_wsp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     per metric under /tmp, rebuilt per call) — the query's data path
     (parse + LWW spine join) stays fully distributed.
     """
-    import shutil
-    import tempfile
-
     from go_whisper_spark.model import SeriesConfig
     from go_whisper_spark.sources.wsp import (
         create_wsp,
@@ -888,16 +900,15 @@ def w_wsp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     now = int(pts.agg(F.max("ts")).first()[0])
     lww = _lww(pts, HOUR).where(F.col("interval") > now - cfg.max_retention)
 
-    fixture = os.path.join(
-        tempfile.gettempdir(),
-        "gws_wsp_" + os.path.basename(sf_dir.rstrip("/")),
-    )
-    shutil.rmtree(fixture, ignore_errors=True)
-    os.makedirs(fixture)
+    fixture = _wsp_fixture_dir()
     by_metric: dict = {}
     for row in lww.collect():
         by_metric.setdefault(row["metric"], []).append((row["interval"], row["value"]))
     for metric in [r["metric"] for r in pts.select("metric").distinct().collect()]:
+        # metric names come from event_type — flat identifiers.  A path
+        # separator would both escape the fixture dir at write time and
+        # be mangled (os.sep -> '.') by _metric_from_path on read.
+        assert os.sep not in metric and metric == os.path.basename(metric), metric
         path = os.path.join(fixture, f"{metric}.wsp")
         create_wsp(path, cfg)
         wsp_update_many(path, by_metric.get(metric, []), now)
