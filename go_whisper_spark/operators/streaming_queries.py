@@ -1,0 +1,279 @@
+"""Structured Streaming under the driver contract (SURVEY.md §2B
+streaming row).
+
+The streaming modules (``streaming/rollup.py``, ``streaming/sessions.py``)
+were pytest-only through round 4; these two queries put the SAME module
+code under the driver's DuckDB oracle by replaying the ``events`` table
+through a deterministic file-source stream and snapshotting what the
+stream emitted:
+
+- ``st_rollup_lww_1h``  — watermarked tumbling-window LWW rollup
+  (``streaming_rollup`` archive 0), foreachBatch-appended to a parquet
+  table.  Late-data drop IS the maxRetention rejection
+  [ref: whisper.go (func (*Whisper) Update — bounds check)]: the
+  watermark delay equals the archive's retention
+  (``SeriesConfig.from_defs("1h:2d")`` → lateness = 172800 s), so a
+  point older than maxRetention relative to the stream's notion of
+  "now" (the watermark) is rejected exactly as whisper rejects
+  ``timestamp < now - maxRetention``.
+- ``st_sessions_30m``   — watermarked ``session_window`` stream
+  (``streaming_sessions``), same replay, same lateness bound.
+
+Determinism (what makes an oracle possible at all):
+
+* The replay is 3 micro-batch passes.  Rows are assigned a
+  deterministic ``arrive`` pass: 10-day thirds of the event span by
+  event time, EXCEPT (a) chunk-0 rows with ``event_id % 17 == 3``
+  arrive in pass 2 (≈ 8 days later than the watermark allows → every
+  plausible late predicate drops them) and (b) chunk-1 rows from the
+  last day with ``event_id % 5 == 0`` arrive in pass 2 but are still
+  inside the lateness bound (≥ 25 h of margin → kept and merged into
+  their still-open windows/sessions).
+* Each pass appends exactly ONE parquet file and runs one
+  ``availableNow`` pass over a shared checkpoint, so batch boundaries
+  — and therefore the watermark trajectory — are pinned by
+  construction, not by file-listing order.
+* The watermark before pass *k* is ``max(event time of passes < k) −
+  lateness``; the final no-data micro-batch emits every window whose
+  end ≤ the final watermark.  Margins were measured at sf0.001/0.01/0.1
+  (min 11 s, typical ≥ 25 h; see tests) so ``<`` vs ``<=`` boundary
+  conventions cannot change the result, and the oracle can state the
+  same watermark algebra in plain SQL.
+
+The oracle does NOT re-implement Spark's state machine — it states the
+contract: survivors = rows whose window end clears the watermark of
+their arrival pass; output = aggregate of survivors restricted to
+windows closed by the final watermark.
+
+Scale: the streaming plans are the ones audited for the batch twins —
+state keyed by (metric, window) / (user_id, session), watermark-bounded
+state, shuffle keys identical to the batch rollup/sessionize.  The
+3-pass replay harness is test scaffolding (bounded, sf0.01), not the
+production deployment path (that is ``streaming/cascade.py``).
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_whisper_spark.model import SeriesConfig
+from go_whisper_spark.sources.tables import events_points, load_table
+from go_whisper_spark.streaming.rollup import streaming_rollup
+from go_whisper_spark.streaming.sessions import streaming_sessions
+
+LATENESS = 172800  # = maxRetention of the 1h:2d archive (the analog pin)
+CHUNK_SECONDS = 864000  # 10-day thirds of the 30-day events span
+N_PASSES = 3
+
+
+def _tmpdir() -> str:
+    """Private per-call scratch dir, removed at interpreter exit (the
+    returned snapshot DataFrame lazily re-reads it, so cleanup must not
+    happen earlier)."""
+    d = tempfile.mkdtemp(prefix="gws_stream_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def _arrive(t0: int):
+    """Deterministic arrival pass for each row (columns ts, write_seq)."""
+    chunk = F.least(
+        F.expr(f"(ts - {t0}) div {CHUNK_SECONDS}"), F.lit(N_PASSES - 1)
+    ).cast("long")
+    return (
+        F.when((chunk == 0) & (F.col("write_seq") % 17 == 3), F.lit(2))
+        .when(
+            (chunk == 1)
+            & (F.col("ts") >= F.lit(t0 + 19 * 86400))
+            & (F.col("write_seq") % 5 == 0),
+            F.lit(2),
+        )
+        .otherwise(chunk)
+        .cast("long")
+    )
+
+
+# Identical arrival algebra in DuckDB (BIGINT // is floor-div, ts >= 0).
+_MARKED_CTE = f"""t0v AS (SELECT min(ts) AS t0 FROM pts),
+marked AS (
+  SELECT p.*,
+         CASE WHEN least((p.ts - t.t0) // {CHUNK_SECONDS}, 2) = 0
+                   AND p.seq % 17 = 3 THEN 2
+              WHEN least((p.ts - t.t0) // {CHUNK_SECONDS}, 2) = 1
+                   AND p.ts >= t.t0 + 19 * 86400
+                   AND p.seq % 5 = 0 THEN 2
+              ELSE least((p.ts - t.t0) // {CHUNK_SECONDS}, 2) END AS arrive
+  FROM pts p, t0v t
+),
+wm AS (
+  SELECT a.arrive, max(b.ts) - {LATENESS} AS wm
+  FROM (SELECT DISTINCT arrive FROM marked) a
+  JOIN marked b ON b.arrive < a.arrive
+  GROUP BY a.arrive
+),
+wmf AS (SELECT max(ts) - {LATENESS} AS wmf FROM marked)"""
+
+
+def _replay(spark: SparkSession, marked: DataFrame, build, await_secs: int = 300) -> str:
+    """Write one file per arrival pass, run one availableNow pass per
+    file over a shared checkpoint, foreachBatch-append every emitted
+    micro-batch to a parquet table; return the table path."""
+    root = _tmpdir()
+    src, out, ckpt = (os.path.join(root, n) for n in ("src", "out", "ckpt"))
+    feed = marked.drop("arrive")
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        if not batch.isEmpty():
+            batch.write.mode("append").parquet(out)
+
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            build(spark.readStream.schema(feed.schema).parquet(src))
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(await_secs), "streaming pass timed out"
+    return out
+
+
+# --------------------------------------------------------- st_rollup_lww_1h
+def st_rollup_lww_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LWW rollup snapshot: events replayed in 3 deterministic
+    passes through ``streaming_rollup`` (archive 1h:2d, watermark =
+    maxRetention = 2 d) [ref: whisper.go (Update bounds check; ring
+    WriteAt ≙ max_by(value, write_seq))]."""
+    pts = events_points(spark, sf_dir).select(
+        "metric", "ts", "value", "write_seq"
+    )
+    t0 = int(pts.agg(F.min("ts")).first()[0])
+    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts"))
+    )
+    cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
+    out = _replay(
+        spark, marked, lambda s: streaming_rollup(s, cfg, archive_index=0)
+    )
+    return spark.read.parquet(out).select("metric", "interval", "value", "known")
+
+
+ST_ROLLUP_LWW_1H_SQL = f"""
+WITH pts AS (
+  SELECT event_type AS metric,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+{_MARKED_CTE},
+surv AS (
+  SELECT m.* FROM marked m LEFT JOIN wm ON wm.arrive = m.arrive
+  WHERE wm.wm IS NULL OR m.ts - m.ts % 3600 + 3600 > wm.wm
+),
+agg AS (
+  SELECT metric,
+         ts - ts % 3600 AS interval,
+         arg_max(value, seq) AS value,
+         count(value) AS known
+  FROM surv
+  GROUP BY 1, 2
+)
+SELECT metric, interval, value, known
+FROM agg
+WHERE interval + 3600 <= (SELECT wmf FROM wmf)
+"""
+
+
+# ----------------------------------------------------------- st_sessions_30m
+def st_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window snapshot: the same 3-pass replay through
+    ``streaming_sessions`` (30 m gap, 2 d lateness).  Pass-2's in-bound
+    late rows merge into their still-open sessions; out-of-bound rows
+    are dropped — the sessionized form of the maxRetention rejection."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts_sec").alias("ts"),
+        F.col("event_id").alias("write_seq"),
+    )
+    t0 = int(ev.agg(F.min("ts")).first()[0])
+    marked = ev.withColumn("arrive", _arrive(t0)).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts"))
+    )
+    out = _replay(
+        spark,
+        marked,
+        lambda s: streaming_sessions(
+            s, gap_seconds=1800, lateness_seconds=LATENESS
+        ),
+    )
+    return spark.read.parquet(out).select(
+        "user_id", "session_start", "window_end", "n_events"
+    )
+
+
+ST_SESSIONS_30M_SQL = f"""
+WITH pts AS (
+  SELECT user_id,
+         epoch_ns(ts) // 1000000000 AS ts,
+         event_id AS seq
+  FROM events
+),
+{_MARKED_CTE},
+surv AS (
+  SELECT m.* FROM marked m LEFT JOIN wm ON wm.arrive = m.arrive
+  WHERE wm.wm IS NULL OR m.ts + 1800 > wm.wm
+),
+flagged AS (
+  SELECT user_id, ts, seq,
+         CASE WHEN lag(ts, 1) OVER w IS NULL THEN 1
+              WHEN ts - lag(ts, 1) OVER w > 1800 THEN 1
+              ELSE 0 END AS new_session
+  FROM surv
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, seq)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_seq
+  FROM flagged
+),
+sess AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + 1800 AS window_end,
+         count(*) AS n_events
+  FROM numbered
+  GROUP BY user_id, session_seq
+)
+SELECT user_id, session_start, window_end, n_events
+FROM sess
+WHERE window_end <= (SELECT wmf FROM wmf)
+"""
+
+
+QUERIES = {
+    "st_rollup_lww_1h": st_rollup_lww_1h,
+    "st_sessions_30m": st_sessions_30m,
+}
+
+ORACLES = {
+    "st_rollup_lww_1h": ST_ROLLUP_LWW_1H_SQL,
+    "st_sessions_30m": ST_SESSIONS_30M_SQL,
+}

@@ -52,6 +52,8 @@ SUBSET = [
     "s_cosine_topk",
     "t_tfidf_top3",
     "g_nonneg_derivative",
+    "st_rollup_lww_1h",
+    "st_sessions_30m",
 ]
 
 
