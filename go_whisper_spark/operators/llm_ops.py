@@ -1473,31 +1473,100 @@ WHERE round(list_sum(list_transform(generate_series(1, 64),
 
 
 # ------------------------------------------------------------ s_cosine_ivf
+IVF_K = 8  # coarse cells
+IVF_Q = 1_000_000  # centroid quantization scale (see determinism note)
+
+
+def _ivf_assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid (max rounded cosine, ties → lowest cell id)
+    assignment.  ``cents``: (cid, cv array<double>, cnorm).  The
+    centroid side is K=8 rows — broadcast, so assignment is a narrow
+    map at any scale; argmax is a JVM-side ``max_by`` over a (sim,
+    -cid) struct, no window shuffle."""
+    sim = F.round(
+        _dot_expr("v", "cv") / (F.col("norm") * F.col("cnorm")), 6
+    ).alias("sim")
+    return (
+        vectors.join(F.broadcast(cents))
+        .select("vec_id", "v", "norm", "cid", sim)
+        .groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("norm").alias("norm"),
+            F.max_by(
+                "cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
+            ).alias("cell"),
+        )
+    )
+
+
 def s_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-3 neighbors: coarse quantization via k-means-learned
-    centroids (pyspark.ml KMeans, fixed seed), search restricted to the
-    query's cell.  The learned-centroid counterpart of the random-
-    hyperplane ``s_cosine_ann``; rows-only (the trained model is
-    engine-specific, so no DuckDB oracle).
+    """IVF top-3 neighbors: coarse quantization via k-means centroids,
+    search restricted to the query's cell — the learned-centroid
+    counterpart of the random-hyperplane ``s_cosine_ann``.
 
-    Scale: training samples a bounded set; assignment is one broadcast-
-    model map; the search join keys on the cell id — same asymptotics
-    as the LSH path with better cell balance on clustered data.
+    The k-means is deterministically seeded and exactly reproducible
+    cross-engine, which is what makes a DuckDB oracle possible (this
+    was the registry's last oracle-expressible rows-only entry through
+    round 4): initial centroids = the vectors of the 8 lowest vec_ids;
+    ONE Lloyd step whose means are computed in quantized-integer
+    arithmetic — components are floored to 1e-6 units (exact BIGINT
+    sums, order-independent in both engines), the per-cell mean is
+    ``floor(sum/count)`` back in 1e-6 units, and the resulting
+    centroid doubles are therefore bit-identical in Spark and DuckDB.
+    Assignment uses the same unrolled/fold dot product as every other
+    embedding op (see the exactness invariant above ``_seq_dot``),
+    rounded to 6 dp with ties broken by cell id.
+
+    Scale: the Lloyd step is a posexplode → (cell, dim) partial-agg
+    (map-side combine, 64·K result rows); centroids broadcast; the
+    search joins on the cell id — work ∝ cell sizes, not |vectors|²,
+    same asymptotics as the LSH path with better balance on clustered
+    data.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    e = _cos_frames(spark, sf_dir).select("vec_id", "v", "norm")
+    seeds = e.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").cast("long").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    assign0 = _ivf_assign(e, seeds)
 
-    e = _cos_frames(spark, sf_dir).withColumn("fv", array_to_vector("v"))
-    km = KMeans(k=8, seed=42, featuresCol="fv", predictionCol="cell", maxIter=5)
-    model = km.fit(e.select("fv"))
-    cells = model.transform(e).select("vec_id", "v", "norm", "cell")
+    # One Lloyd step in exact quantized-integer arithmetic.
+    comp = (
+        assign0.select(
+            "cell", F.posexplode(F.transform("v", lambda x: F.floor(x * IVF_Q)))
+        )
+        .groupBy("cell", "pos")
+        .agg(
+            F.floor(F.sum("col").cast("double") / F.count("col")).alias("c")
+        )
+    )
+    cents = (
+        comp.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.c / F.lit(float(IVF_Q)),
+            ).alias("cv")
+        )
+        .select(
+            F.col("cell").alias("cid"),
+            "cv",
+            F.sqrt(_dot_expr("cv", "cv")).alias("cnorm"),
+        )
+    )
+    cells = _ivf_assign(e, cents)
 
     q = cells.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
         F.col("norm").alias("qn"), F.col("cell").alias("qcell"),
     )
     dot = _dot_expr("qv", "v")
-    sims = q.join(
+    # Broadcast the query side: the cell id has only K=8 distinct
+    # values, so shuffling the corpus on it would funnel everything
+    # through 8 reducers.  With |Q| broadcast, the corpus never moves.
+    sims = F.broadcast(q).join(
         cells, (F.col("qcell") == F.col("cell")) & (F.col("vec_id") != F.col("qid"))
     ).withColumn("sim", F.round(dot / (F.col("qn") * F.col("norm")), 6))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -1506,6 +1575,74 @@ def s_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("qid", F.col("vec_id").alias("neighbor"), "sim", "rank")
     )
+
+
+def _s_cosine_ivf_sql():
+    dot = (
+        "list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))"
+    )
+    va = dot.format(a="n.v", b="s.cv")
+    vb = dot.format(a="n.v", b="s2.cv")
+    qc = dot.format(a="q.qv", b="c.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt({dot.format(a="v", b="v")}) AS norm
+  FROM e
+),
+seeds AS (
+  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM n WHERE vec_id < {IVF_K}
+),
+a0 AS (
+  SELECT n.vec_id, n.v, n.norm, s.cid,
+         round({va} / (n.norm * s.cnorm), 6) AS sim
+  FROM n, seeds s
+),
+cell0 AS (
+  SELECT vec_id, v, norm, cid AS cell FROM a0
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1
+),
+comp AS (
+  SELECT cell, g.i,
+         CAST(floor(CAST(sum(CAST(floor(v[g.i] * {IVF_Q}) AS BIGINT)) AS DOUBLE)
+                    / count(*)) AS BIGINT) AS c
+  FROM cell0, generate_series(1, 64) AS g(i)
+  GROUP BY cell, g.i
+),
+cents AS (
+  SELECT cell AS cid,
+         list_transform(array_agg(c ORDER BY i), x -> CAST(x AS DOUBLE) / {IVF_Q}.0) AS cv
+  FROM comp GROUP BY cell
+),
+cents2 AS (
+  SELECT cid, cv, sqrt({dot.format(a="cv", b="cv")}) AS cnorm FROM cents
+),
+a1 AS (
+  SELECT n.vec_id, n.v, n.norm, s2.cid,
+         round({vb} / (n.norm * s2.cnorm), 6) AS sim
+  FROM n, cents2 s2
+),
+cells AS (
+  SELECT vec_id, v, norm, cid AS cell FROM a1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1
+),
+q AS (
+  SELECT vec_id AS qid, v AS qv, norm AS qn, cell AS qcell
+  FROM cells WHERE vec_id < 20
+)
+SELECT qid, c.vec_id AS neighbor,
+       round({qc} / (q.qn * c.norm), 6) AS sim,
+       CAST(row_number() OVER (
+         PARTITION BY qid
+         ORDER BY round({qc} / (q.qn * c.norm), 6) DESC, c.vec_id ASC
+       ) AS INTEGER) AS rank
+FROM q JOIN cells c ON q.qcell = c.cell AND c.vec_id != q.qid
+QUALIFY rank <= 3
+"""
 
 
 # ---------------------------------------------------------- t_token_stats
@@ -1939,6 +2076,7 @@ ORACLES = {
     "s_sig_recall": _s_sig_recall_sql(),
     "s_vector_stats": S_VECTOR_STATS_SQL,
     "d_embed_neardup_lsh": _d_embed_neardup_lsh_sql(),
+    "s_cosine_ivf": _s_cosine_ivf_sql(),
     "t_token_stats": T_TOKEN_STATS_SQL,
     "t_lang_id": T_LANG_ID_SQL,
     "t_quality": T_QUALITY_SQL,

@@ -54,6 +54,7 @@ SUBSET = [
     "g_nonneg_derivative",
     "st_rollup_lww_1h",
     "st_sessions_30m",
+    "s_cosine_ivf",
 ]
 
 

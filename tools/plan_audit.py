@@ -63,6 +63,14 @@ CHECKS = {
         require=["Window", "BroadcastNestedLoopJoin", "BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
+    # IVF: both centroid-assignment passes broadcast the K=8 centroid
+    # side (BroadcastNestedLoopJoin over a broadcast hint — 8 rows, not
+    # a data-sized cartesian); the cell search is an equi-join on the
+    # cell id; top-3 is the only Window.
+    "s_cosine_ivf": dict(
+        require=["Window", "BroadcastNestedLoopJoin", "partial_max_by"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
