@@ -830,6 +830,334 @@ def g_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- g_scale
+def g_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scale(series, 8): every value times a constant (the classic
+    bytes→bits render transform).  Exact: cents*8 stays integer, so
+    the emitted double is identical cross-engine.  Pure narrow map."""
+    return _lww1h(spark, sf_dir).withColumn("cents", _cents()).select(
+        "metric",
+        "interval",
+        ((F.col("cents") * 8).cast("double") / F.lit(100.0)).alias("scaled"),
+    )
+
+
+G_SCALE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       CAST({CENTS_SQL} * 8 AS DOUBLE) / 100.0 AS scaled
+FROM lww1h
+"""
+
+
+# --------------------------------------------------------------- g_offset
+def g_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """offset(series, 100): every value plus a constant.  Exact via
+    integer cents (+10000).  Pure narrow map."""
+    return _lww1h(spark, sf_dir).withColumn("cents", _cents()).select(
+        "metric",
+        "interval",
+        ((F.col("cents") + 10000).cast("double") / F.lit(100.0)).alias("shifted"),
+    )
+
+
+G_OFFSET_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       CAST({CENTS_SQL} + 10000 AS DOUBLE) / 100.0 AS shifted
+FROM lww1h
+"""
+
+
+# -------------------------------------------------------- g_alias_by_node
+def g_alias_by_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aliasByNode(seriesList, 1): rename each series to one node of
+    its dot-path — over the same ``<event_type>.u<user_id % 4>`` leaf
+    layout as ``g_group_by_node``.  The alias is not unique across
+    series (that's Graphite's behavior too), so the original path is
+    kept alongside.  String-only transform; no extra shuffle beyond
+    the per-path LWW."""
+    from go_whisper_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        F.concat(
+            F.col("event_type"), F.lit(".u"), (F.col("user_id") % 4).cast("string")
+        ).alias("path"),
+        F.col("ts_sec").alias("ts"),
+        "value",
+        F.col("event_id").alias("write_seq"),
+    )
+    lww = (
+        pts.withColumn("interval", (F.col("ts") - F.col("ts") % F.lit(HOUR)).cast("long"))
+        .groupBy("path", "interval")
+        .agg(F.max_by("value", "write_seq").alias("value"))
+    )
+    return lww.select(
+        F.split("path", "[.]").getItem(1).alias("alias"),
+        "path",
+        "interval",
+        "value",
+    )
+
+
+G_ALIAS_BY_NODE_SQL = f"""
+WITH pths AS (
+  SELECT event_type || '.u' || CAST(user_id % 4 AS VARCHAR) AS path,
+         epoch_ns(ts) // 1000000000 AS ts_sec,
+         value, event_id AS write_seq
+  FROM events
+),
+lwwp AS (
+  SELECT path, ts_sec - ts_sec % 3600 AS interval,
+         arg_max(value, write_seq) AS value
+  FROM pths GROUP BY 1, 2
+)
+SELECT split_part(path, '.', 2) AS alias, path, interval, value
+FROM lwwp
+"""
+
+
+# ------------------------------------------------------------- g_hitcount
+def g_hitcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hitcount(series, "4h"): rate × slot-width summed per 4h bucket —
+    converts a per-second rate series into total hits, resolution-
+    adjusting like archive propagation does.  value·3600 s = cents·36
+    stays integer, so the bucket total is exact."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    return (
+        lww.withColumn(
+            "interval4h",
+            (F.col("interval") - F.col("interval") % F.lit(4 * HOUR)).cast("long"),
+        )
+        .groupBy("metric", "interval4h")
+        .agg(
+            ((F.sum("cents") * 36).cast("double") / F.lit(100.0)).alias("hits"),
+            F.count("value").alias("known"),
+        )
+        .select("metric", F.col("interval4h").alias("interval"), "hits", "known")
+    )
+
+
+G_HITCOUNT_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric,
+       interval - interval % 14400 AS interval,
+       CAST(sum({CENTS_SQL}) * 36 AS DOUBLE) / 100.0 AS hits,
+       count(value) AS known
+FROM lww1h
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------- g_consolidate_by
+def g_consolidate_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """consolidateBy(series, method): all four render consolidations of
+    the 1h series into 6h buckets side by side (avg/max/min/sum) — the
+    choice Graphite applies when more points exist than pixels.
+    Average in exact cent arithmetic; max/min are exact doubles; sum
+    exact via cents."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    return (
+        lww.withColumn(
+            "interval6h",
+            (F.col("interval") - F.col("interval") % F.lit(6 * HOUR)).cast("long"),
+        )
+        .groupBy("metric", "interval6h")
+        .agg(
+            _avg6(F.sum("cents"), F.count("value")).alias("cons_avg"),
+            F.max("value").alias("cons_max"),
+            F.min("value").alias("cons_min"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("cons_sum"),
+            F.count("value").alias("known"),
+        )
+        .select(
+            "metric", F.col("interval6h").alias("interval"),
+            "cons_avg", "cons_max", "cons_min", "cons_sum", "known",
+        )
+    )
+
+
+G_CONSOLIDATE_BY_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric,
+       interval - interval % 21600 AS interval,
+       floor(CAST(sum({CENTS_SQL}) AS DOUBLE) * 10000 / count(value)) / 1000000.0 AS cons_avg,
+       max(value) AS cons_max,
+       min(value) AS cons_min,
+       CAST(sum({CENTS_SQL}) AS DOUBLE) / 100.0 AS cons_sum,
+       count(value) AS known
+FROM lww1h
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------- g_remove_below_value
+def g_remove_below_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """removeBelowValue(series, 30): slots below the threshold become
+    NULL (the slot stays — Graphite nulls, it does not drop).  Exact
+    double comparison (30.0 is exactly representable)."""
+    return _lww1h(spark, sf_dir).select(
+        "metric",
+        "interval",
+        F.when(F.col("value") >= 30.0, F.col("value")).alias("filtered"),
+    )
+
+
+G_REMOVE_BELOW_VALUE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       CASE WHEN value >= 30.0 THEN value END AS filtered
+FROM lww1h
+"""
+
+
+# ------------------------------------------------- g_remove_above_value
+def g_remove_above_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """removeAboveValue(series, 70): slots above the threshold become
+    NULL (spike clipping)."""
+    return _lww1h(spark, sf_dir).select(
+        "metric",
+        "interval",
+        F.when(F.col("value") <= 70.0, F.col("value")).alias("filtered"),
+    )
+
+
+G_REMOVE_ABOVE_VALUE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       CASE WHEN value <= 70.0 THEN value END AS filtered
+FROM lww1h
+"""
+
+
+# ---------------------------------------------------------- g_average_above
+def g_average_above(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """averageAbove(seriesList, 51): series *selection* — keep only the
+    metrics whose overall average exceeds the threshold.  The compare
+    is exact integers (sum_cents > 51·100·n), so no float average is
+    ever materialized for the decision; the tiny winners relation
+    broadcast-joins back to the slot rows (same two-level shape as
+    ``g_highest_avg_3``)."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    winners = (
+        lww.groupBy("metric")
+        .agg(F.sum("cents").alias("sc"), F.count("*").alias("n"))
+        .where(F.col("sc") > 5100 * F.col("n"))
+        .select("metric", _avg6(F.col("sc"), F.col("n")).alias("avg_value"))
+    )
+    return lww.join(winners, "metric").select(
+        "metric", "interval", "value", "avg_value"
+    )
+
+
+G_AVERAGE_ABOVE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+winners AS (
+  SELECT metric,
+         floor(CAST(sum({CENTS_SQL}) AS DOUBLE) * 10000 / count(*)) / 1000000.0 AS avg_value
+  FROM lww1h GROUP BY metric
+  HAVING sum({CENTS_SQL}) > 5100 * count(*)
+)
+SELECT l.metric, l.interval, l.value, w.avg_value
+FROM lww1h l JOIN winners w ON l.metric = w.metric
+"""
+
+
+# ---------------------------------------------------------- g_current_above
+def g_current_above(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """currentAbove(seriesList, 40): keep only the metrics whose most
+    recent slot value exceeds the threshold.  "Current" = value at the
+    max interval (``max_by(value, interval)``, unique per metric).
+    Same broadcast-back shape as the other selectors."""
+    lww = _lww1h(spark, sf_dir)
+    winners = (
+        lww.groupBy("metric")
+        .agg(F.max_by("value", "interval").alias("current_value"))
+        .where(F.col("current_value") > 40.0)
+    )
+    return lww.join(winners, "metric").select(
+        "metric", "interval", "value", "current_value"
+    )
+
+
+G_CURRENT_ABOVE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+winners AS (
+  SELECT metric, arg_max(value, interval) AS current_value
+  FROM lww1h GROUP BY metric
+  HAVING arg_max(value, interval) > 40.0
+)
+SELECT l.metric, l.interval, l.value, w.current_value
+FROM lww1h l JOIN winners w ON l.metric = w.metric
+"""
+
+
+# ----------------------------------------------------- g_integral_by_interval
+def g_integral_by_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """integralByInterval(series, "1d"): running sum that resets at
+    each day boundary — ``g_integral`` with the day in the partition
+    key, so state never spans a day (at 100 TB the window partition is
+    (metric, day), which is exactly the archive's day-partitioned
+    layout)."""
+    w = (
+        Window.partitionBy("metric", "day")
+        .orderBy("interval")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        _lww1h(spark, sf_dir)
+        .withColumn(
+            "day", (F.col("interval") - F.col("interval") % F.lit(86400)).cast("long")
+        )
+        .select(
+            "metric",
+            "day",
+            "interval",
+            F.round(F.sum("value").over(w), 4).alias("running_sum"),
+        )
+    )
+
+
+G_INTEGRAL_BY_INTERVAL_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric,
+       interval - interval % 86400 AS day,
+       interval,
+       round(sum(value) OVER (
+         PARTITION BY metric, interval - interval % 86400
+         ORDER BY interval
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum
+FROM lww1h
+"""
+
+
+# ------------------------------------------------------- g_sort_by_maxima
+def g_sort_by_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortByMaxima(seriesList): order series by their peak value —
+    emitted as one row per metric with its rank (the render API sorts
+    the legend; the relational form is the rank relation).  Max is an
+    exact double; ties break on metric name."""
+    return (
+        _lww1h(spark, sf_dir)
+        .groupBy("metric")
+        .agg(F.max("value").alias("max_value"))
+        .withColumn(
+            "series_rank",
+            F.row_number().over(Window.orderBy(F.desc("max_value"), F.asc("metric"))),
+        )
+    )
+
+
+G_SORT_BY_MAXIMA_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+per AS (SELECT metric, max(value) AS max_value FROM lww1h GROUP BY metric)
+SELECT metric, max_value,
+       CAST(row_number() OVER (ORDER BY max_value DESC, metric ASC) AS INTEGER) AS series_rank
+FROM per
+"""
+
+
 QUERIES = {
     "g_moving_avg_3": g_moving_avg_3,
     "g_nonneg_derivative": g_nonneg_derivative,
@@ -850,6 +1178,17 @@ QUERIES = {
     "g_remove_above_pctile": g_remove_above_pctile,
     "g_moving_avg_time": g_moving_avg_time,
     "g_holt_winters": g_holt_winters,
+    "g_scale": g_scale,
+    "g_offset": g_offset,
+    "g_alias_by_node": g_alias_by_node,
+    "g_hitcount": g_hitcount,
+    "g_consolidate_by": g_consolidate_by,
+    "g_remove_below_value": g_remove_below_value,
+    "g_remove_above_value": g_remove_above_value,
+    "g_average_above": g_average_above,
+    "g_current_above": g_current_above,
+    "g_integral_by_interval": g_integral_by_interval,
+    "g_sort_by_maxima": g_sort_by_maxima,
 }
 
 ORACLES = {
@@ -871,4 +1210,15 @@ ORACLES = {
     "g_linreg_1d": G_LINREG_SQL,
     "g_remove_above_pctile": G_REMOVE_ABOVE_SQL,
     "g_moving_avg_time": G_MOVING_AVG_TIME_SQL,
+    "g_scale": G_SCALE_SQL,
+    "g_offset": G_OFFSET_SQL,
+    "g_alias_by_node": G_ALIAS_BY_NODE_SQL,
+    "g_hitcount": G_HITCOUNT_SQL,
+    "g_consolidate_by": G_CONSOLIDATE_BY_SQL,
+    "g_remove_below_value": G_REMOVE_BELOW_VALUE_SQL,
+    "g_remove_above_value": G_REMOVE_ABOVE_VALUE_SQL,
+    "g_average_above": G_AVERAGE_ABOVE_SQL,
+    "g_current_above": G_CURRENT_ABOVE_SQL,
+    "g_integral_by_interval": G_INTEGRAL_BY_INTERVAL_SQL,
+    "g_sort_by_maxima": G_SORT_BY_MAXIMA_SQL,
 }

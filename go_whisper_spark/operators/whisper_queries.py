@@ -934,8 +934,109 @@ def w_wsp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 W_WSP_ROUNDTRIP_SQL = W_FETCH_DENSE_3D_SQL
 
 
+# ------------------------------------------------------- w_wsp_propagate
+def w_wsp_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propagation pinned through the bytes (SURVEY §2A #8 meets #13):
+    a TWO-archive ``.wsp`` (1h:14d, 6h:28d, Average, xff=0.5) is
+    packed — archive 0 holds the bounds-checked 1h LWW state, archive 1
+    holds the xff-gated 6h consolidation of the 28-day 1h history, ring
+    addressed per archive exactly as whisper's propagate writes lower
+    archives [ref: whisper.go (func (*Whisper) propagate — lower-
+    archive WriteAt; func aggregate)] — then EVERYTHING is read back
+    through the binaryFile parser and emitted per archive.  The oracle
+    recomputes both archives relationally, so header layout, per-
+    archive offsets, ring addressing at both resolutions, and the
+    consolidated float64 bytes must all round-trip bit-exactly.
+
+    Consolidated values use the exact micro-unit average (``_avg6``) so
+    the double written into the ring is cross-engine identical.  The
+    partial oldest 6h bucket (its floor predates the 28 d horizon) is
+    excluded on both sides — it would be slot-aliased by a real ring.
+
+    Fixture write = driver-side control path, as in ``w_wsp_roundtrip``;
+    the data path (parse → per-archive union) is distributed.
+    """
+    from go_whisper_spark.model import SeriesConfig
+    from go_whisper_spark.sources.wsp import (
+        create_wsp,
+        read_wsp,
+        wsp_update_many,
+        wsp_write_archive,
+    )
+
+    cfg = SeriesConfig.from_defs("1h:14d,6h:28d", "average", 0.5)
+    pts = _points(spark, sf_dir)
+    now = int(pts.agg(F.max("ts")).first()[0])
+    lww28 = _lww(pts, HOUR).where(F.col("interval") > now - 28 * DAY)
+    a0 = lww28.where(F.col("interval") > now - 14 * DAY)
+    a1 = (
+        lww28.withColumn("cents", _cents())
+        .withColumn(
+            "interval6",
+            (F.col("interval") - F.col("interval") % F.lit(6 * HOUR)).cast("long"),
+        )
+        .groupBy("metric", "interval6")
+        .agg(F.count("value").alias("known"), F.sum("cents").alias("sc"))
+        .where((F.col("known").cast("double") / F.lit(6.0)) >= F.lit(0.5))
+        .where(F.col("interval6") > now - 28 * DAY)
+        .select("metric", F.col("interval6").alias("interval"),
+                _avg6(F.col("sc"), F.col("known")).alias("value"))
+    )
+
+    fixture = _wsp_fixture_dir()
+    fine: dict = {}
+    for row in a0.collect():
+        fine.setdefault(row["metric"], []).append((row["interval"], row["value"]))
+    coarse: dict = {}
+    for row in a1.collect():
+        coarse.setdefault(row["metric"], []).append((row["interval"], row["value"]))
+    for metric in [r["metric"] for r in pts.select("metric").distinct().collect()]:
+        assert os.sep not in metric and metric == os.path.basename(metric), metric
+        path = os.path.join(fixture, f"{metric}.wsp")
+        create_wsp(path, cfg)
+        wsp_update_many(path, fine.get(metric, []), now)
+        wsp_write_archive(path, 1, coarse.get(metric, []))
+
+    return read_wsp(spark, fixture, root=fixture).select(
+        "metric", "archive_id", "seconds_per_point", "interval", "value"
+    )
+
+
+W_WSP_PROPAGATE_SQL = f"""
+WITH {PTS_CTE},
+now_v AS (SELECT max(ts_sec) AS now FROM pts),
+lww28 AS (
+  SELECT metric, ts_sec - ts_sec % 3600 AS interval,
+         arg_max(value, write_seq) AS value
+  FROM pts
+  GROUP BY 1, 2
+  HAVING interval > (SELECT now FROM now_v) - 28 * 86400
+),
+a0 AS (
+  SELECT metric, CAST(0 AS INTEGER) AS archive_id,
+         CAST(3600 AS BIGINT) AS seconds_per_point, interval, value
+  FROM lww28
+  WHERE interval > (SELECT now FROM now_v) - 14 * 86400
+),
+a1 AS (
+  SELECT metric, CAST(1 AS INTEGER) AS archive_id,
+         CAST(21600 AS BIGINT) AS seconds_per_point,
+         interval - interval % 21600 AS interval,
+         floor(CAST(sum({CENTS_SQL}) AS DOUBLE) * 10000 / count(value)) / 1000000.0 AS value
+  FROM lww28
+  GROUP BY metric, interval - interval % 21600
+  HAVING CAST(count(value) AS DOUBLE) / 6.0 >= 0.5
+     AND interval - interval % 21600 > (SELECT now FROM now_v) - 28 * 86400
+)
+SELECT * FROM a0
+UNION ALL
+SELECT * FROM a1
+"""
+
+
 QUERIES = {
     "w_wsp_roundtrip": w_wsp_roundtrip,
+    "w_wsp_propagate": w_wsp_propagate,
     "w_lww_1h": w_lww_1h,
     "w_asof_join": w_asof_join,
     "w_session_window_native": w_session_window_native,
@@ -957,6 +1058,7 @@ QUERIES = {
 
 ORACLES = {
     "w_wsp_roundtrip": W_WSP_ROUNDTRIP_SQL,
+    "w_wsp_propagate": W_WSP_PROPAGATE_SQL,
     "w_lww_1h": W_LWW_1H_SQL,
     "w_asof_join": W_ASOF_SQL,
     "w_session_window_native": W_SESSION_NATIVE_SQL,

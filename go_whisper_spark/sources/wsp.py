@@ -166,6 +166,35 @@ def create_wsp(path: str, config: SeriesConfig) -> None:
         f.write(b"\x00" * (offset - header_size))
 
 
+def wsp_write_archive(
+    path: str, archive_id: int, points: Iterable[Tuple[int, float]]
+) -> None:
+    """Ring writes of consolidated values into archive ``archive_id`` —
+    the byte-level form of whisper's propagation into lower archives
+    [ref: whisper.go (func (*Whisper) propagate — lower-archive
+    WriteAt)].  Intervals must already be aligned to the archive's
+    ``seconds_per_point``; there is no bounds check because propagate
+    consolidates only already-accepted updates.  The caller must write
+    at most ``points`` distinct intervals spanning ≤ the archive's
+    retention, or ring slots would alias (same constraint the real ring
+    enforces by overwriting)."""
+    with open(path, "r+b") as f:
+        _, _, _, n_arch = struct.unpack(METADATA_FMT, f.read(METADATA_SIZE))
+        table = f.read(ARCHIVE_SIZE * n_arch)
+        off, spp, pts = struct.unpack_from(
+            ARCHIVE_FMT, table, archive_id * ARCHIVE_SIZE
+        )
+        f.seek(off)
+        base_interval = struct.unpack_from(">L", f.read(POINT_SIZE), 0)[0]
+        for interval, value in sorted(points):
+            interval = int(interval)
+            if base_interval == 0:
+                base_interval = interval
+            slot = ((interval - base_interval) // spp) % pts
+            f.seek(off + slot * POINT_SIZE)
+            f.write(struct.pack(">Ld", interval, value))
+
+
 def wsp_update_many(
     path: str, points: Iterable[Tuple[int, float]], now: int
 ) -> None:

@@ -55,6 +55,10 @@ SUBSET = [
     "st_rollup_lww_1h",
     "st_sessions_30m",
     "s_cosine_ivf",
+    "g_consolidate_by",
+    "g_average_above",
+    "g_integral_by_interval",
+    "w_wsp_propagate",
 ]
 
 
