@@ -537,6 +537,28 @@ GROUP BY user_id, session_seq
 """
 
 
+# ----------------------------------------------------- w_sessionize_chunked
+def w_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof sessionize: identical result to ``w_sessionize_30m``
+    via ``chunked_sessionize`` — sessionize within (user, 1d chunk) in
+    parallel, then merge boundary sessions over the per-user SESSION
+    relation (#sessions rows, not #events), so a hot user no longer
+    funnels its whole event stream through one window task.  The oracle
+    is the PLAIN sessionize SQL: the two plans must agree row-for-row.
+    Equivalence under a synthetic 90%-hot-key load is pinned by
+    tests/test_salting.py::test_chunked_sessionize_hot_key.
+    """
+    from go_whisper_spark.functions.salting import chunked_sessionize
+    from go_whisper_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts_sec").alias("ts"), "event_id"
+    )
+    return chunked_sessionize(
+        e, "user_id", "ts", gap_s=1800, chunk_s=DAY, tiebreak_cols=["event_id"]
+    )
+
+
 # ---------------------------------------------------------- w_approx_stats
 def w_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates per metric: approx_count_distinct (HLL++)
@@ -1045,6 +1067,7 @@ QUERIES = {
     "w_sliding_1h_30m": w_sliding_1h_30m,
     "w_percentiles_1d": w_percentiles_1d,
     "w_sessionize_30m": w_sessionize_30m,
+    "w_sessionize_chunked": w_sessionize_chunked,
     "w_approx_stats": w_approx_stats,
     "w_rollup_6h": w_rollup_6h,
     "w_cascade_1d": w_cascade_1d,
@@ -1073,6 +1096,7 @@ ORACLES = {
     "w_retention_7d": W_RETENTION_7D_SQL,
     "w_percentiles_1d": W_PERCENTILES_SQL,
     "w_sessionize_30m": W_SESSIONIZE_SQL,
+    "w_sessionize_chunked": W_SESSIONIZE_SQL,
     "w_diff_series": W_DIFF_SQL,
     "w_fill_merge": W_FILL_MERGE_SQL,
 }

@@ -59,6 +59,7 @@ SUBSET = [
     "g_average_above",
     "g_integral_by_interval",
     "w_wsp_propagate",
+    "w_sessionize_chunked",
 ]
 
 

@@ -40,3 +40,65 @@ def test_salted_join_equals_plain(spark):
         .agg(F.count("*").alias("n"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_chunked_sessionize_hot_key(spark):
+    """90%-hot-user sessionize: the chunked two-phase plan must equal
+    the plain gaps-and-islands plan exactly (boundary sessions merged,
+    numbering preserved), including sessions that span chunk
+    boundaries and a session chain covering several whole chunks."""
+    from go_whisper_spark.functions.salting import chunked_sessionize
+
+    gap, chunk = 1800, 86400
+    rows = []
+    # hot user: bursts of activity with gaps, deliberately straddling
+    # day boundaries; one run of continuous activity spanning 3 days
+    # (a merge CHAIN through two boundaries).
+    t = 0
+    for i in range(9000):
+        if i % 40 == 39:
+            t += gap + 1 + (i % 7) * 600     # session break
+        elif i % 13 == 0:
+            t += gap                          # exactly-gap: same session
+        else:
+            t += 17 + (i % 5) * 101
+        rows.append(("hot", t, i))
+    base = 40 * 86400
+    for i in range(3 * 86400 // 1200):        # 3-day continuous run
+        rows.append(("hot", base + i * 1200, 100000 + i))
+    for u in range(50):                       # cold users
+        for i in range(20):
+            rows.append((f"u{u}", u * 977 + i * (gap + 3) * (i % 2) + i * 700, 200000 + u * 100 + i))
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_id long")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    plain = (
+        df.withColumn(
+            "new_session",
+            F.when(F.lag("ts", 1).over(w).isNull(), 1)
+            .when((F.col("ts") - F.lag("ts", 1).over(w)) > gap, 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            (F.max("ts") - F.min("ts")).alias("duration_s"),
+        )
+    )
+    chunked = chunked_sessionize(
+        df, "user_id", "ts", gap_s=gap, chunk_s=chunk, tiebreak_cols=["event_id"]
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, chunked.collect()))
+    assert a == b
+    # sanity: the hot user really does cross chunk boundaries
+    hot_sessions = [r for r in a if r[0] == "hot"]
+    assert any(r[2] // chunk != r[3] // chunk for r in hot_sessions)

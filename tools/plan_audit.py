@@ -33,6 +33,13 @@ CHECKS = {
     "t_quality": dict(require=[], forbid=["Exchange"]),  # pure narrow map
     "t_lang_id": dict(require=[], forbid=["Exchange", "BroadcastHashJoin"]),  # narrow after rewrite
     "w_sessionize_30m": dict(require=["Window"], forbid=["CartesianProduct"]),
+    # Skew-proof form: phase-1 per-(user, chunk) sessions are a real
+    # partial aggregation (map-side combine on min/max/count); no join
+    # anywhere — the merge is a second Window over session rows.
+    "w_sessionize_chunked": dict(
+        require=["Window", "partial_min"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
     "g_moving_avg_3": dict(require=["Window", "partial_max_by"], forbid=["CartesianProduct"]),
     "r_rank_funcs": dict(require=["Window"], forbid=["CartesianProduct"]),
     "s_cosine_ann": dict(require=["Window"], forbid=["CartesianProduct"]),
