@@ -440,7 +440,9 @@ JOIN sizes sb ON sb.doc_id = cand.doc_b
 
 
 # -------------------------------------------------------------- d_simhash
-def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d_simhash(
+    spark: SparkSession, sf_dir: str, materialize: bool = False
+) -> DataFrame:
     """SimHash (60-bit) per document over token hashes: per bit j, sum
     ±1 across tokens (weighted by occurrence), bit set iff sum > 0.
 
@@ -451,9 +453,15 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sum(case)`` aggregate — correct but pays an |tokens|-row shuffle
     plus a 60-agg codegen compile — and explode-per-bit / array-fold
     variants, which measured slower still.)
+
+    ``materialize=True`` (for consumers that reference the signatures
+    in MORE THAN ONE subtree, i.e. the pair self-joins): spread the
+    single-file scan across workers and truncate lineage so the Python
+    pass runs once instead of once per subtree — measured 2x on
+    ``d_simhash_banded`` at sf0.1.
     """
     return (
-        _doc_features(spark, sf_dir)
+        _doc_features(spark, sf_dir, materialize=materialize)
         .where(F.col("simhash").isNotNull())
         .select("doc_id", "simhash")
     )
@@ -486,7 +494,7 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash chunks (same banding idea as LSH); the threshold query
     pins the hamming semantics.
     """
-    sig = d_simhash(spark, sf_dir)
+    sig = d_simhash(spark, sf_dir, materialize=True)
     # The `<` pair join is a broadcast nested-loop: parallelism comes
     # from the streamed side's partitioning, so spread it explicitly
     # (a single-file parquet scan otherwise streams in ~1 task).
@@ -515,14 +523,24 @@ def d_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably identical, and the oracle check confirms it (83,686 pairs
     at sf0.1 on both paths).
 
-    Measured honestly: at sf0.1 the all-pairs nested loop is ~2.7x
-    FASTER locally (1.5s vs 4.0s) — this corpus is so duplicate-dense
-    (~0.7% of all pairs within hamming 8) that chunk buckets are huge
-    and the candidate distinct dominates.  The crossover favors
-    banding as |docs| grows and density falls: all-pairs is O(n²)
-    regardless of density, banding is O(Σ bucket²).
+    Each pair is emitted exactly once WITHOUT a distinct: a joined row
+    survives only if its band is the pair's FIRST agreeing chunk
+    (computable from ``xor = ha ^ hb`` alone — chunk i agrees iff its
+    bits of the xor are zero), so the candidate dedup that used to be
+    a full exchange + HashAggregate is now a narrow filter on the join
+    output.  The only shuffles left are the two band-key exchanges
+    feeding the equi-join — exactly the work that scales with
+    Σ bucket², not |docs|².
+
+    Measured at sf0.1 (the two fixes compound): 4.5s with the
+    join+distinct form and a per-subtree single-task signature pass →
+    ~1.1s with first-agreeing-chunk dedup + a materialized 32-way
+    signature pass (``d_simhash(..., materialize=True)``) — now
+    FASTER than the all-pairs nested loop (~1.5s) even on this
+    duplicate-dense corpus (~0.7% of ALL pairs within hamming 8),
+    while keeping the O(Σ bucket²) scale shape.
     """
-    sig = d_simhash(spark, sf_dir)
+    sig = d_simhash(spark, sf_dir, materialize=True)
     chunk_specs = [(i, 7 * i, 127) for i in range(8)] + [(8, 56, 15)]
     bands = F.array(
         *[
@@ -537,7 +555,14 @@ def d_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "simhash", F.explode(bands).alias("bc")
     ).select("doc_id", "simhash", "bc.band", "bc.chunk")
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    xor = F.col("ha").bitwiseXOR(F.col("hb"))
+    first_agree = F.coalesce(
+        *[
+            F.when(xor.bitwiseAND(F.lit(mask << sh)) == 0, F.lit(i))
+            for i, sh, mask in chunk_specs
+        ]
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -549,12 +574,10 @@ def d_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.simhash").alias("ha"),
             F.col("b.simhash").alias("hb"),
+            F.col("a.band").alias("band"),
         )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
-        .where(F.col("hamming") <= 8)
+        .withColumn("hamming", F.bit_count(xor))
+        .where((F.col("hamming") <= 8) & (F.col("band") == first_agree))
         .select("doc_a", "doc_b", "hamming")
     )
 
@@ -679,7 +702,13 @@ def _brute_topk(spark: SparkSession, sf_dir: str, qmax: int, k: int) -> DataFram
     q = e.where(F.col("vec_id") < qmax).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
-    pairs = F.broadcast(q).crossJoin(e.select("vec_id", "v", "norm")).where(
+    # The streamed corpus side carries the |Q|x|C| Arrow sims pass —
+    # spread the single-file scan so it isn't one task (no-op at scale
+    # where the scan is already many splits).
+    cand = e.select("vec_id", "v", "norm").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = F.broadcast(q).crossJoin(cand).where(
         F.col("vec_id") != F.col("qid")
     )
 
@@ -1173,27 +1202,46 @@ def _sig_words_frame(spark: SparkSession, sf_dir: str, qmax: int = 0) -> DataFra
 
     ``qmax`` > 0 restricts to query vectors BEFORE the pandas stage
     (Catalyst can't push a filter through mapInPandas).
+
+    The corpus side spreads the single-file scan across workers before
+    the 240-plane Arrow pass — it is the dominant cost of the
+    signature build and otherwise runs in ONE task locally (measured
+    ~2x on ``s_cosine_sig`` end-to-end).  At 100 TB the source is
+    already many splits and the repartition is dropped-in-place
+    no-op-shaped (1 MB here; the production pipeline persists this
+    signature index anyway).
     """
     e = _emb(spark, sf_dir)
     if qmax:
         e = e.where(F.col("vec_id") < qmax)
+    else:
+        e = e.repartition(spark.sparkContext.defaultParallelism)
     e = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+
+    # (DIM, N_SIG_PLANES): all 240 plane dots accumulate together —
+    # one numpy op per DIMENSION instead of one per (plane, dimension),
+    # ~240x fewer interpreter round-trips.  The per-(row, plane)
+    # accumulation order over j is unchanged, so every sign bit stays
+    # bit-identical to the oracle's ``list_sum > 0``.
+    PT = np.asarray(SIG_PLANES, dtype=np.float64).T
+    shifts = np.arange(N_SIG_PLANES, dtype=np.int64) % SIG_WORD_BITS
 
     def assign(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.stack(pdf["v"].values).astype(np.float64)
-            words = np.zeros((len(pdf), SIG_WORDS), dtype=np.int64)
-            for p, plane in enumerate(SIG_PLANES):
-                P = np.broadcast_to(np.asarray(plane, dtype=np.float64), V.shape)
-                bit = (_seq_dot(V, P) > 0).astype(np.int64)
-                words[:, p // SIG_WORD_BITS] |= bit << (p % SIG_WORD_BITS)
+            acc = np.zeros((len(pdf), N_SIG_PLANES), dtype=np.float64)
+            for j in range(V.shape[1]):
+                acc += V[:, j : j + 1] * PT[j][None, :]
+            bits = (acc > 0).astype(np.int64) << shifts[None, :]
             out = pdf[["vec_id"]].copy()
             for w in range(SIG_WORDS):
-                out[f"w{w}"] = words[:, w]
+                out[f"w{w}"] = np.bitwise_or.reduce(
+                    bits[:, w * SIG_WORD_BITS : (w + 1) * SIG_WORD_BITS], axis=1
+                )
             yield out
 
     return e.mapInPandas(
