@@ -9,11 +9,13 @@ Each query is forced end-to-end with a noop-format write (full compute,
 no driver-side collect skew).  Timings include Catalyst planning but
 not session startup.
 
-Each query runs REPS (3) times after a warm-up pass; the reported
+Each query runs REPS (5) times after a warm-up pass; the reported
 per-query number and the total are MEDIANS, with the per-query min
 kept alongside ("queries_min") so run-to-run spread is visible —
 round 2's 25% total drift was indistinguishable from a real
-regression under the old single-shot harness.
+regression under the old single-shot harness.  (REPS went 3 -> 5 in
+round 5: the round-5 host shows ±30% per-query jitter between whole
+bench invocations, and a median of 3 flips on a single slow rep.)
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ import statistics
 import sys
 import time
 
-REPS = 3
+REPS = 5
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -98,7 +100,7 @@ def main():
                 # value = sum of per-query medians over REPS (post-warm-up).
                 # BENCH_r01-r03 were single-pass wall-clock sums — totals are
                 # not directly comparable across that method change.
-                "method": "sum_of_median3",
+                "method": f"sum_of_median{REPS}",
                 "queries": timings,
                 "queries_min": timings_min,
                 "reps": REPS,
