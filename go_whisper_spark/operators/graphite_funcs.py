@@ -1158,6 +1158,345 @@ FROM per
 """
 
 
+
+# ------------------------------------------------------------ g_absolute
+def g_absolute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """absolute(offset(series, -50)): |value - 50| — the render
+    transform pair Graphite composes for deviation-from-setpoint
+    charts.  Exact via integer cents (|cents - 5000|)."""
+    return _lww1h(spark, sf_dir).withColumn("cents", _cents()).select(
+        "metric",
+        "interval",
+        (F.abs(F.col("cents") - 5000).cast("double") / F.lit(100.0)).alias("abs_dev"),
+    )
+
+
+G_ABSOLUTE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       CAST(abs({CENTS_SQL} - 5000) AS DOUBLE) / 100.0 AS abs_dev
+FROM lww1h
+"""
+
+
+# -------------------------------------------------------------- g_invert
+def g_invert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """invert(series): 1/value (latency <-> rate flips).  A single IEEE
+    double division is correctly rounded in both engines, and the
+    events domain is strictly positive (min 0.01), so the result is
+    bit-exact cross-engine with no rounding step."""
+    return _lww1h(spark, sf_dir).select(
+        "metric",
+        "interval",
+        (F.lit(1.0) / F.col("value")).alias("inverted"),
+    )
+
+
+G_INVERT_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval, 1.0 / value AS inverted
+FROM lww1h
+"""
+
+
+# --------------------------------------------------------- g_square_root
+def g_square_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """squareRoot(series): sqrt(value).  IEEE-754 sqrt is correctly
+    rounded (unlike log/exp), so like ``g_invert`` this is bit-exact
+    cross-engine without a rounding step."""
+    return _lww1h(spark, sf_dir).select(
+        "metric",
+        "interval",
+        F.sqrt("value").alias("sqrt_value"),
+    )
+
+
+G_SQUARE_ROOT_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval, sqrt(value) AS sqrt_value
+FROM lww1h
+"""
+
+
+# ---------------------------------------------------------- g_logarithm
+def g_logarithm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logarithm(series, 10): log10(value), rounded to 6 dp.  libm
+    log10 is NOT guaranteed correctly rounded, so Java's Math.log10
+    and DuckDB's C log10 may differ in the last ulp; rounding to 6 dp
+    collapses that (a mismatch needs a true value within ~1e-16 of a
+    .5e-6 boundary — the same argument as the cosine rounding above
+    ``_seq_dot`` in llm_ops).  Domain is strictly positive (min 0.01).
+    """
+    return _lww1h(spark, sf_dir).select(
+        "metric",
+        "interval",
+        F.round(F.log10("value"), 6).alias("log10_value"),
+    )
+
+
+G_LOGARITHM_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval, round(log10(value), 6) AS log10_value
+FROM lww1h
+"""
+
+
+# ---------------------------------------------------------- g_derivative
+def g_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """derivative(series): slot-to-slot delta, NULL at the series
+    start — the signed counterpart of ``g_nonneg_derivative``.  Exact
+    via cents."""
+    w = Window.partitionBy("metric").orderBy("interval")
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    return lww.select(
+        "metric",
+        "interval",
+        (
+            (F.col("cents") - F.lag("cents", 1).over(w)).cast("double") / F.lit(100.0)
+        ).alias("delta"),
+    )
+
+
+G_DERIVATIVE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       CAST({CENTS_SQL} - lag({CENTS_SQL}, 1) OVER (PARTITION BY metric ORDER BY interval)
+            AS DOUBLE) / 100.0 AS delta
+FROM lww1h
+"""
+
+
+# ---------------------------------------------------------- g_per_second
+def g_per_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """perSecond(series): non-negative slot delta divided by the slot
+    width (counter -> rate).  The cent delta is an exact integer and
+    the single division by 360000.0 (100 cents x 3600 s) is IEEE
+    correctly rounded, so no rounding step is needed."""
+    w = Window.partitionBy("metric").orderBy("interval")
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    d = (F.col("cents") - F.lag("cents", 1).over(w)).alias("dc")
+    return lww.select(
+        "metric",
+        "interval",
+        F.when(d >= 0, d.cast("double") / F.lit(360000.0)).alias("rate"),
+    )
+
+
+G_PER_SECOND_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+d AS (
+  SELECT metric, interval,
+         {CENTS_SQL} - lag({CENTS_SQL}, 1) OVER (PARTITION BY metric ORDER BY interval) AS dc
+  FROM lww1h
+)
+SELECT metric, interval,
+       CASE WHEN dc >= 0 THEN CAST(dc AS DOUBLE) / 360000.0 END AS rate
+FROM d
+"""
+
+
+# ------------------------------------------------------ g_series_combine
+def g_series_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxSeries / minSeries / rangeOfSeries / countSeries across all
+    metrics, per slot — the across-series combiners that complement
+    ``g_sum_series``.  Max/min are exact doubles, the range is a
+    single exact subtraction, count is integral."""
+    return (
+        _lww1h(spark, sf_dir)
+        .groupBy("interval")
+        .agg(
+            F.max("value").alias("max_v"),
+            F.min("value").alias("min_v"),
+            (F.max("value") - F.min("value")).alias("range_v"),
+            F.count("value").alias("n_series"),
+        )
+    )
+
+
+G_SERIES_COMBINE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT interval,
+       max(value) AS max_v,
+       min(value) AS min_v,
+       max(value) - min(value) AS range_v,
+       count(value) AS n_series
+FROM lww1h
+GROUP BY interval
+"""
+
+
+# ------------------------------------------------------ g_sort_by_total
+def g_sort_by_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortByTotal(seriesList): series ranked by their sum — exact via
+    integer cents; one row per metric (the legend order relation, as
+    ``g_sort_by_maxima``)."""
+    return (
+        _lww1h(spark, sf_dir)
+        .withColumn("cents", _cents())
+        .groupBy("metric")
+        .agg((F.sum("cents").cast("double") / F.lit(100.0)).alias("total"))
+        .withColumn(
+            "series_rank",
+            F.row_number().over(Window.orderBy(F.desc("total"), F.asc("metric"))),
+        )
+    )
+
+
+G_SORT_BY_TOTAL_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+per AS (
+  SELECT metric, CAST(sum({CENTS_SQL}) AS DOUBLE) / 100.0 AS total
+  FROM lww1h GROUP BY metric
+)
+SELECT metric, total,
+       CAST(row_number() OVER (ORDER BY total DESC, metric ASC) AS INTEGER) AS series_rank
+FROM per
+"""
+
+
+# ------------------------------------------------------------ g_exclude
+def g_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exclude(seriesList, "^c"): drop every series whose name matches
+    the regex (metric-name selection happens before any data math, so
+    at scale this prunes the scan by partition key)."""
+    return _lww1h(spark, sf_dir).where(~F.col("metric").rlike("^c")).select(
+        "metric", "interval", "value"
+    )
+
+
+G_EXCLUDE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval, value
+FROM lww1h
+WHERE NOT regexp_matches(metric, '^c')
+"""
+
+
+# ------------------------------------------------------ g_nth_percentile
+def g_nth_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nPercentile(series, 95): a flat per-series line at the series'
+    95th-percentile value.  Rank-based threshold (value at sorted
+    position ceil(0.95 n)) — pure ordering, float-exact, same
+    convention as ``g_remove_above_pctile``."""
+    lww = _lww1h(spark, sf_dir)
+    w = Window.partitionBy("metric").orderBy("value")
+    ranked = lww.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("metric"))
+    )
+    thresh = (
+        ranked.where(F.col("rn") <= F.ceil(F.col("n") * 0.95).cast("long"))
+        .groupBy("metric")
+        .agg(F.max("value").alias("p95"))
+    )
+    return lww.join(F.broadcast(thresh), "metric").select(
+        "metric", "interval", "p95"
+    )
+
+
+G_NTH_PERCENTILE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+ranked AS (
+  SELECT metric, value,
+         row_number() OVER (PARTITION BY metric ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM lww1h
+),
+thresh AS (
+  SELECT metric, max(value) AS p95
+  FROM ranked WHERE rn <= CAST(ceil(n * 0.95) AS BIGINT)
+  GROUP BY metric
+)
+SELECT l.metric, l.interval, t.p95
+FROM lww1h l JOIN thresh t ON l.metric = t.metric
+"""
+
+
+# ---------------------------------------------------- g_lowest_average
+def g_lowest_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lowestAverage(seriesList, 3): the bottom-3 mirror of
+    ``g_highest_avg_3`` — exact cent averages, global rank over the
+    tiny per-metric relation, winners broadcast back to slots."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    per = lww.groupBy("metric").agg(F.sum("cents").alias("sc"), F.count("*").alias("n"))
+    ranked = (
+        per.select("metric", _avg6(F.col("sc"), F.col("n")).alias("avg_value"))
+        .withColumn(
+            "series_rank",
+            F.row_number().over(Window.orderBy(F.asc("avg_value"), F.asc("metric"))),
+        )
+        .where(F.col("series_rank") <= 3)
+    )
+    return lww.join(ranked, "metric").select(
+        "metric", "interval", "value", "avg_value", "series_rank"
+    )
+
+
+G_LOWEST_AVERAGE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+per AS (
+  SELECT metric,
+         floor(CAST(sum({CENTS_SQL}) AS DOUBLE) * 10000 / count(*)) / 1000000.0 AS avg_value
+  FROM lww1h GROUP BY metric
+),
+ranked AS (
+  SELECT metric, avg_value,
+         CAST(row_number() OVER (ORDER BY avg_value ASC, metric ASC) AS INTEGER) AS series_rank
+  FROM per
+)
+SELECT l.metric, l.interval, l.value, r.avg_value, r.series_rank
+FROM lww1h l JOIN ranked r ON l.metric = r.metric
+WHERE r.series_rank <= 3
+"""
+
+
+# -------------------------------------------------------- g_alias_sub
+def g_alias_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aliasSub(seriesList, "u([0-9]+)$", "user-\\1"): regex rename
+    over the same dotted-path layout as ``g_alias_by_node``.  String
+    transform only; each engine spells the backreference its own way
+    (Java ``$1`` vs RE2 ``\\1``) but the semantics — and therefore
+    the output strings — are identical."""
+    from go_whisper_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        F.concat(
+            F.col("event_type"), F.lit(".u"), (F.col("user_id") % 4).cast("string")
+        ).alias("path"),
+        F.col("ts_sec").alias("ts"),
+        "value",
+        F.col("event_id").alias("write_seq"),
+    )
+    lww = (
+        pts.withColumn("interval", (F.col("ts") - F.col("ts") % F.lit(HOUR)).cast("long"))
+        .groupBy("path", "interval")
+        .agg(F.max_by("value", "write_seq").alias("value"))
+    )
+    return lww.select(
+        F.regexp_replace("path", "u([0-9]+)$", "user-$1").alias("alias"),
+        "path",
+        "interval",
+        "value",
+    )
+
+
+G_ALIAS_SUB_SQL = """
+WITH pths AS (
+  SELECT event_type || '.u' || CAST(user_id % 4 AS VARCHAR) AS path,
+         epoch_ns(ts) // 1000000000 AS ts_sec,
+         value, event_id AS write_seq
+  FROM events
+),
+lwwp AS (
+  SELECT path, ts_sec - ts_sec % 3600 AS interval,
+         arg_max(value, write_seq) AS value
+  FROM pths GROUP BY 1, 2
+)
+SELECT regexp_replace(path, 'u([0-9]+)$', 'user-\\1') AS alias, path, interval, value
+FROM lwwp
+"""
+
+
 QUERIES = {
     "g_moving_avg_3": g_moving_avg_3,
     "g_nonneg_derivative": g_nonneg_derivative,
@@ -1189,6 +1528,18 @@ QUERIES = {
     "g_current_above": g_current_above,
     "g_integral_by_interval": g_integral_by_interval,
     "g_sort_by_maxima": g_sort_by_maxima,
+    "g_absolute": g_absolute,
+    "g_invert": g_invert,
+    "g_square_root": g_square_root,
+    "g_logarithm": g_logarithm,
+    "g_derivative": g_derivative,
+    "g_per_second": g_per_second,
+    "g_series_combine": g_series_combine,
+    "g_sort_by_total": g_sort_by_total,
+    "g_exclude": g_exclude,
+    "g_nth_percentile": g_nth_percentile,
+    "g_lowest_average": g_lowest_average,
+    "g_alias_sub": g_alias_sub,
 }
 
 ORACLES = {
@@ -1221,4 +1572,16 @@ ORACLES = {
     "g_current_above": G_CURRENT_ABOVE_SQL,
     "g_integral_by_interval": G_INTEGRAL_BY_INTERVAL_SQL,
     "g_sort_by_maxima": G_SORT_BY_MAXIMA_SQL,
+    "g_absolute": G_ABSOLUTE_SQL,
+    "g_invert": G_INVERT_SQL,
+    "g_square_root": G_SQUARE_ROOT_SQL,
+    "g_logarithm": G_LOGARITHM_SQL,
+    "g_derivative": G_DERIVATIVE_SQL,
+    "g_per_second": G_PER_SECOND_SQL,
+    "g_series_combine": G_SERIES_COMBINE_SQL,
+    "g_sort_by_total": G_SORT_BY_TOTAL_SQL,
+    "g_exclude": G_EXCLUDE_SQL,
+    "g_nth_percentile": G_NTH_PERCENTILE_SQL,
+    "g_lowest_average": G_LOWEST_AVERAGE_SQL,
+    "g_alias_sub": G_ALIAS_SUB_SQL,
 }

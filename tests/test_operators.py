@@ -60,6 +60,10 @@ SUBSET = [
     "g_integral_by_interval",
     "w_wsp_propagate",
     "w_sessionize_chunked",
+    "g_per_second",
+    "g_nth_percentile",
+    "g_alias_sub",
+    "g_logarithm",
 ]
 
 
