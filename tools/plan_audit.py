@@ -30,6 +30,18 @@ CHECKS = {
     # Signatures come from the single narrow Arrow pass (no pre-join
     # aggregates), so the only partial agg left is the shared-shingle count.
     "d_lsh_pairs": dict(require=["partial_count"], forbid=["CartesianProduct"]),
+    # Banded SimHash after the round-5 rewrite: explode -> equi-join on
+    # (band, chunk) -> narrow first-agreeing-chunk filter.  NO
+    # HashAggregate may appear (the old candidate `distinct` was a full
+    # exchange + aggregate), and no nested-loop join (that would be the
+    # all-pairs shape).  The join is broadcast at test scale / shuffled
+    # hash at 100 TB — both are fine; the scale-invariant part is
+    # equi-join + zero aggregates.
+    "d_simhash_banded": dict(
+        require=[],
+        forbid=["CartesianProduct", "HashAggregate", "BroadcastNestedLoopJoin"],
+    ),
+    "g_hitcount": dict(require=["partial_sum", "partial_count"], forbid=["CartesianProduct"]),
     "t_quality": dict(require=[], forbid=["Exchange"]),  # pure narrow map
     "t_lang_id": dict(require=[], forbid=["Exchange", "BroadcastHashJoin"]),  # narrow after rewrite
     "w_sessionize_30m": dict(require=["Window"], forbid=["CartesianProduct"]),
