@@ -560,25 +560,146 @@ def w_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------- w_approx_stats
+# Deterministic sketch parameters, inlined into BOTH engines.
+_KMV_BUCKETS = 64          # stochastic-averaging buckets (min-value sketch)
+_H40 = 1 << 40             # 10 md5 hex chars -> uniform hash in [0, 2^40)
+_SAMPLE_T = _H40 // 8      # hash-threshold sample: keep ~1/8 of rows
+
+
 def w_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based aggregates per metric: approx_count_distinct (HLL++)
-    on users and approx_percentile (t-digest-style) on value.  Sketches
-    are engine-specific so this is a rows-only contract entry; at
-    100 TB these replace the exact forms when a bounded error is
-    acceptable (no per-group value shuffle).
+    """Sketch-based aggregates per metric, DETERMINISTIC across engines.
+
+    Spark's built-in sketches (HLL++ ``approx_count_distinct``,
+    t-digest ``percentile_approx``) are engine-specific, so they can
+    never hash-match a DuckDB oracle.  This query computes the same
+    *class* of estimate from first principles with md5-derived hashes
+    that are bit-identical in both engines:
+
+    - ``kmv_users``: distinct-user estimate via a min-value sketch with
+      stochastic averaging (Flajolet-Martin family): bucket each user
+      hash into m=64 buckets by independent hash bits, keep min(h) per
+      (metric, bucket) — a pure two-level groupBy, map-side combine all
+      the way, O(m) state per metric.  With normalized mins u_b,
+      E[min of n_b uniforms] = 1/(n_b+1), so sum_b u_b ~= m^2/(n+m)
+      and n ~= m^2/S - m (empty buckets contribute u_b = 1).  The sum
+      of 40-bit mins stays integer-exact in BIGINT (<= 2^46); the only
+      FP op is the final division, identical in both engines.
+    - ``sample_p50``: median of a hash-threshold sample (keep rows with
+      h40(event_id) < 2^40/8, a deterministic ~12.5% Bernoulli sample),
+      computed manually as the mean of the two middle CENT values
+      ordered by (value, event_id) — exact integer arithmetic until one
+      final division, immune to cross-engine quantile interpolation.
+
+    At 100 TB these replace the exact forms when bounded error is
+    acceptable: the KMV shuffle carries m rows per metric instead of
+    every distinct user, and the sample median sorts 1/8 of the rows.
+    [ref: SURVEY §2C sketches; whisper has no sketch surface]
     """
     from go_whisper_spark.sources.tables import load_table
 
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
-            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
-            F.count("*").alias("n"),
-        )
-        .select(F.col("event_type").alias("metric"), "approx_users", "approx_p50", "n")
+    ev = e.select(
+        F.col("event_type").alias("metric"),
+        "event_id",
+        "value",
+        F.md5(F.col("user_id").cast("string")).alias("hu"),
+        F.md5(F.col("event_id").cast("string")).alias("he"),
     )
+
+    h40u = F.conv(F.substring("hu", 1, 10), 16, 10).cast("long")
+    bucket = F.conv(F.substring("hu", 11, 2), 16, 10).cast("long") % _KMV_BUCKETS
+    users = (
+        ev.groupBy("metric", bucket.alias("bucket"))
+        .agg(F.min(h40u).alias("minh"))
+        .groupBy("metric")
+        .agg(F.count("*").alias("present"), F.sum("minh").alias("s"))
+        .select(
+            "metric",
+            (
+                F.lit(float(_KMV_BUCKETS * _KMV_BUCKETS))
+                / (
+                    F.col("s").cast("double") / F.lit(float(_H40))
+                    + (F.lit(_KMV_BUCKETS) - F.col("present")).cast("double")
+                )
+                - F.lit(float(_KMV_BUCKETS))
+            ).alias("kmv_users"),
+        )
+    )
+
+    h40e = F.conv(F.substring("he", 1, 10), 16, 10).cast("long")
+    samp = ev.where(h40e < F.lit(_SAMPLE_T)).select("metric", "value", "event_id", _cents().alias("cents"))
+    ranked = samp.select(
+        "metric",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("metric").orderBy("value", "event_id"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("metric")).alias("cnt"),
+    )
+    med = (
+        ranked.where(
+            (F.col("rn") == F.expr("(cnt + 1) div 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+        )
+        .groupBy("metric")
+        .agg(F.sum("cents").alias("sc"), F.count("*").alias("nsel"), F.max("cnt").alias("sample_n"))
+        .select(
+            "metric",
+            (F.col("sc").cast("double") / (F.lit(100.0) * F.col("nsel").cast("double"))).alias("sample_p50"),
+            "sample_n",
+        )
+    )
+
+    base = ev.groupBy("metric").agg(F.count("*").alias("n"))
+    return base.join(users, "metric").join(med, "metric").select(
+        "metric", "kmv_users", "sample_p50", "sample_n", "n"
+    )
+
+
+W_APPROX_STATS_SQL = f"""
+WITH ev AS (
+  SELECT event_type AS metric, event_id, value,
+         md5(CAST(user_id AS VARCHAR)) AS hu,
+         md5(CAST(event_id AS VARCHAR)) AS he
+  FROM events
+),
+kmv AS (
+  SELECT metric,
+         CAST('0x' || substring(hu, 11, 2) AS BIGINT) % {_KMV_BUCKETS} AS bucket,
+         min(CAST('0x' || substring(hu, 1, 10) AS BIGINT)) AS minh
+  FROM ev GROUP BY 1, 2
+),
+users AS (
+  SELECT metric,
+         CAST({_KMV_BUCKETS * _KMV_BUCKETS} AS DOUBLE)
+           / (CAST(sum(minh) AS DOUBLE) / CAST({_H40} AS DOUBLE)
+              + CAST({_KMV_BUCKETS} - count(*) AS DOUBLE))
+           - CAST({_KMV_BUCKETS} AS DOUBLE) AS kmv_users
+  FROM kmv GROUP BY metric
+),
+samp AS (
+  SELECT metric, value, event_id, {CENTS_SQL} AS cents
+  FROM ev
+  WHERE CAST('0x' || substring(he, 1, 10) AS BIGINT) < {_SAMPLE_T}
+),
+ranked AS (
+  SELECT metric, cents,
+         row_number() OVER (PARTITION BY metric ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY metric) AS cnt
+  FROM samp
+),
+med AS (
+  SELECT metric,
+         CAST(sum(cents) AS DOUBLE) / (100.0 * CAST(count(*) AS DOUBLE)) AS sample_p50,
+         max(cnt) AS sample_n
+  FROM ranked
+  WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+  GROUP BY metric
+),
+base AS (SELECT metric, count(*) AS n FROM ev GROUP BY metric)
+SELECT metric, kmv_users, sample_p50, sample_n, n
+FROM base JOIN users USING (metric) JOIN med USING (metric)
+"""
 
 
 # ------------------------------------------------------ w_diff / w_fill_merge
@@ -1097,6 +1218,7 @@ ORACLES = {
     "w_percentiles_1d": W_PERCENTILES_SQL,
     "w_sessionize_30m": W_SESSIONIZE_SQL,
     "w_sessionize_chunked": W_SESSIONIZE_SQL,
+    "w_approx_stats": W_APPROX_STATS_SQL,
     "w_diff_series": W_DIFF_SQL,
     "w_fill_merge": W_FILL_MERGE_SQL,
 }
