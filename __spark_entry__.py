@@ -45,29 +45,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver checks only the FIRST 50 registry entries per round, so
 # the registry is ordered by driver-verification recency: queries the
 # driver has never checked first, then the ones whose last check is
-# oldest (round 1), with the most recently checked (round 4's window,
-# all green in CORRECTNESS_r04) last.  This rotates every query through
-# the driver's 50-entry window across rounds.
+# oldest, with the most recently checked (round 5's window, 49/50 green
+# in CORRECTNESS_r05) last.  This rotates every query through the
+# driver's 50-entry window across rounds.
 
-# Last driver-checked in round 1 (green in CORRECTNESS_r01, then pushed
-# behind the window by rounds 2-4's new queries).
-_R01_CHECKED = [
-    "d_neardup_clusters", "d_dedup_keepers", "d_jaccard_pairs",
-    "d_minhash_sigs", "t_bigram_freq",
-    "w_xff_sensitivity", "w_derivative_1h", "w_sliding_1h_30m",
-    "w_percentiles_1d", "w_approx_stats", "w_rollup_6h", "w_cascade_1d",
-    "w_agg_methods_1d", "w_fetch_dense_3d", "w_fetch_coarse_30d",
-    "w_retention_7d", "w_diff_series", "w_fill_merge", "r_q1_pricing",
-    "r_corr_scalar_sub", "r_q14_promo", "r_q16_supplier_cnt",
-    "r_q19_disjunct", "r_q7_nation_volume", "r_q2_min_cost", "r_unpivot",
-    "r_lateral_top2", "r_q22_acctbal", "r_cube_orders", "r_pivot",
-    "r_q3_revenue", "r_q5_nation_rev", "r_topk_orders",
-    "r_window_topk_cust", "r_window_running", "r_rank_funcs",
-    "r_semi_anti", "r_setops", "r_exists_sql", "r_salted_topk_cust",
-    "r_rollup_orders", "r_json_props", "r_scalar_funcs", "r_date_parts",
+# Never oracle-checked by the driver: the 12 graphite analogs added
+# after round 5's window was planned, plus w_approx_stats, whose
+# deterministic KMV/sample-median oracle was registered in round 6
+# (it ran rows-only `no_oracle` in r5).  Genuinely-new round-6 queries
+# sort even earlier (the "not in any list" clause below).
+_NEVER_CHECKED = [
+    "w_approx_stats",
+    "g_absolute", "g_invert", "g_square_root", "g_logarithm",
+    "g_derivative", "g_per_second", "g_series_combine",
+    "g_sort_by_total", "g_exclude", "g_nth_percentile",
+    "g_lowest_average", "g_alias_sub",
 ]
 
-# Checked (and green / rows-only-by-design) in round 4's window.
+# Still last checked in round 1: the 10 of the original 44 rotations
+# that did not fit in round 5's window (CORRECTNESS_r05 re-verified the
+# other 34 green).
+_R01_CHECKED = [
+    "r_window_running", "r_rank_funcs", "r_semi_anti", "r_setops",
+    "r_exists_sql", "r_salted_topk_cust", "r_rollup_orders",
+    "r_json_props", "r_scalar_funcs", "r_date_parts",
+]
+
+# Last checked (green / rows-only-by-design) in round 4's window.
 _R04_CHECKED = [
     "w_wsp_roundtrip", "w_sessionize_30m", "r_q12_priority",
     "d_exact_dedup", "d_lsh_pairs", "d_simhash", "d_simhash_pairs",
@@ -84,23 +88,27 @@ _R04_CHECKED = [
     "g_remove_above_pctile", "g_moving_avg_time", "g_holt_winters",
     "w_lww_1h", "w_asof_join", "w_session_window_native",
 ]
-# s_cosine_ivf was rows-only (no_oracle) in r4 — deliberately NOT in
-# _R04_CHECKED so that when it gains an oracle its first oracle check
-# lands in the next driver window.
 
-# Added late in round 5, AFTER the round-5 window was planned: the 50
-# slots are already claimed by the 16 genuinely-new queries (streaming,
-# the ivf oracle, the first graphite batch, wsp propagate, chunked
-# sessionize) plus 34 of the 44 round-1-only-checked rotations the
-# round-4 verdict asked for.  These 12 are pinned by the local
-# exact-typed gate (sf0.01 + sf0.1) and pytest now, and ordered BEHIND
-# _R04_CHECKED so they front the driver window in round 6 instead of
-# displacing the promised round-1 re-verification.
-_R5_DEFERRED = [
-    "g_absolute", "g_invert", "g_square_root", "g_logarithm",
-    "g_derivative", "g_per_second", "g_series_combine",
-    "g_sort_by_total", "g_exclude", "g_nth_percentile",
-    "g_lowest_average", "g_alias_sub",
+# Checked green in round 5's window (CORRECTNESS_r05): the 16 queries
+# new in round 5 plus the 34 round-1 rotations — most recent, so last.
+_R05_CHECKED = [
+    "w_wsp_propagate", "w_sessionize_chunked", "s_cosine_ivf",
+    "st_rollup_lww_1h", "st_sessions_30m",
+    "g_scale", "g_offset", "g_alias_by_node", "g_hitcount",
+    "g_consolidate_by", "g_remove_below_value", "g_remove_above_value",
+    "g_average_above", "g_current_above", "g_integral_by_interval",
+    "g_sort_by_maxima",
+    "d_neardup_clusters", "d_dedup_keepers", "d_jaccard_pairs",
+    "d_minhash_sigs", "t_bigram_freq",
+    "w_xff_sensitivity", "w_derivative_1h", "w_sliding_1h_30m",
+    "w_percentiles_1d", "w_rollup_6h", "w_cascade_1d",
+    "w_agg_methods_1d", "w_fetch_dense_3d", "w_fetch_coarse_30d",
+    "w_retention_7d", "w_diff_series", "w_fill_merge", "r_q1_pricing",
+    "r_corr_scalar_sub", "r_q14_promo", "r_q16_supplier_cnt",
+    "r_q19_disjunct", "r_q7_nation_volume", "r_q2_min_cost", "r_unpivot",
+    "r_lateral_top2", "r_q22_acctbal", "r_cube_orders", "r_pivot",
+    "r_q3_revenue", "r_q5_nation_rev", "r_topk_orders",
+    "r_window_topk_cust",
 ]
 
 
@@ -121,12 +129,14 @@ def _registry():
         queries.update(getattr(mod, "QUERIES", {}))
         oracles.update(getattr(mod, "ORACLES", {}))
 
-    seen = set(_R01_CHECKED) | set(_R04_CHECKED) | set(_R5_DEFERRED)
+    seen = (set(_NEVER_CHECKED) | set(_R01_CHECKED) | set(_R04_CHECKED)
+            | set(_R05_CHECKED))
     order = (
         [n for n in queries if n not in seen]
+        + [n for n in _NEVER_CHECKED if n in queries]
         + [n for n in _R01_CHECKED if n in queries]
         + [n for n in _R04_CHECKED if n in queries]
-        + [n for n in _R5_DEFERRED if n in queries]
+        + [n for n in _R05_CHECKED if n in queries]
     )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}
