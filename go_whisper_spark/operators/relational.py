@@ -1004,6 +1004,621 @@ GROUP BY c_nationkey
 """
 
 
+# =====================================================================
+# Round-6 batch: the remaining TPC-H query shapes.  The synthetic star
+# schema has no partsupp table and no commit/receipt dates, so Q4, Q9,
+# Q11, Q20 and Q21 are adapted to equivalent plan shapes over the
+# columns that exist (noted per query).  Determinism follows the
+# module-wide rules: exact integer cent / tenth-mil arithmetic for
+# ratios and averages, round(4) for grid-aligned sums, unique integer
+# tiebreaks on every top-k.
+
+
+# ------------------------------------------------------------ r_q6_forecast
+def r_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the canonical scan→filter→scalar-aggregate.
+    Every predicate pushes to the parquet scan; no join, no shuffle
+    beyond the single-row final aggregate.  Revenue is
+    price·discount, both exact 2-decimal values, so the product is
+    exact in scaled integers (cents × cent-discount = 1e-4 units).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(price_c * disc_c).cast("double") / 10_000.0).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+R_Q6_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------- r_q4_order_exists
+def r_q4_order_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority counts over orders with an EXISTS
+    lineitem predicate.  The reference predicate (commitdate <
+    receiptdate) has no columns here, so the correlation is
+    "some lineitem shipped more than 30 days after the order date" —
+    same plan: a left-semi join with a non-equi residual on top of the
+    orderkey equi-condition, then a tiny groupBy.
+    """
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+R_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= '1997-07-01' AND o_orderdate < '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# ----------------------------------------------------------- r_q8_mkt_share
+def r_q8_mkt_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's market share per year — two
+    broadcast dim chains (customer→nation→region for the market,
+    supplier→nation for the share numerator) hanging off the
+    lineitem⋈orders fact join.  The share is a ratio of two exact
+    tenth-mil sums, floor-truncated at 6 decimals (the Q14 pattern).
+    """
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+
+    mkt_cust = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                  F.col("n_name").alias("supp_nation"))),
+        supp.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+
+    rev_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000
+    ).cast("long")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(mkt_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev_u).otherwise(0)).alias("nat_u"),
+            F.sum(rev_u).alias("total_u"),
+        )
+        .select(
+            "o_year",
+            (F.floor(F.col("nat_u").cast("double") * 1_000_000 / F.col("total_u"))
+             / F.lit(1_000_000.0)).alias("mkt_share"),
+            (F.col("total_u").cast("double") / 10_000.0).alias("total_volume"),
+        )
+    )
+
+
+R_Q8_SQL = """
+WITH f AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev_u,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON p_partkey = l_partkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+    AND o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01'
+)
+SELECT o_year,
+       floor(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_u ELSE 0 END) AS DOUBLE)
+             * 1000000 / sum(rev_u)) / 1000000.0 AS mkt_share,
+       CAST(sum(rev_u) AS DOUBLE) / 10000.0 AS total_volume
+FROM f
+GROUP BY o_year
+"""
+
+
+# -------------------------------------------------------------- r_q9_profit
+def r_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year.  There is
+    no partsupp.ps_supplycost, so cost is modeled as 60% of
+    p_retailprice per unit — same join graph (lineitem⋈orders⋈part⋈
+    supplier⋈nation), same amount expression shape.  Revenue and cost
+    terms are separately rounded to exact tenth-mils before the
+    subtraction so the sum is exact.
+    """
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp_nation = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    rev_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000
+    ).cast("long")
+    cost_u = F.round(
+        F.col("p_retailprice") * F.col("l_quantity") * 0.6 * 10_000
+    ).cast("long")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(rev_u - cost_u).cast("double") / 10_000.0).alias("sum_profit"))
+    )
+
+
+R_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                - CAST(round(p_retailprice * l_quantity * 0.6 * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS sum_profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+"""
+
+
+# ------------------------------------------------------------ r_q10_returns
+def r_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned revenue for one
+    quarter — fact join filtered on l_returnflag='R', broadcast
+    customer⋈nation dims, revenue round(4), custkey tiebreak on the
+    global top-k (TakeOrderedAndProject, no full sort).
+    """
+    c = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-10-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    dims = c.join(F.broadcast(nation), c.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", "c_name", "c_acctbal", "n_name"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+R_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1997-10-01' AND o_orderdate < '1998-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------- r_q11_top_value
+def r_q11_top_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value with a HAVING against a scalar
+    fraction of the global total.  partsupp is absent, so "value" is
+    lineitem revenue from EUROPE-nation suppliers per part.  The
+    threshold is scale-free — parts above 1.8× the AVERAGE part value
+    (real Q11's fixed fraction degenerates as the part count grows) —
+    and the compare is exact integer cross-multiplication
+    (val_u·nparts·10 > total_u·18): no FP in the filter.  The one-row
+    total broadcasts.  (The BIGINT cross-product holds through ~1e9
+    parts; past that, drop to a double ratio — the filter is no longer
+    hash-compared at that scale.)
+    """
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    eu_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey")
+    )
+    rev_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000
+    ).cast("long")
+    per_part = (
+        li.join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(rev_u).alias("val_u"))
+    )
+    total = per_part.agg(F.sum("val_u").alias("total_u"),
+                         F.count("*").alias("nparts"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("val_u") * F.col("nparts") * 10 > F.col("total_u") * 18)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("val_u").cast("double") / 10_000.0).alias("part_value"),
+        )
+    )
+
+
+R_Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS val_u
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey
+),
+total AS (SELECT sum(val_u) AS total_u, count(*) AS nparts FROM per_part)
+SELECT l_partkey AS p_partkey,
+       CAST(val_u AS DOUBLE) / 10000.0 AS part_value
+FROM per_part, total
+WHERE val_u * nparts * 10 > total_u * 18
+"""
+
+
+# ---------------------------------------------------------- r_q13_cust_dist
+def r_q13_cust_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution via a left
+    outer join (customers with zero qualifying orders must appear with
+    count 0) followed by a second aggregate over the counts.  The
+    o_comment NOT LIKE filter of real Q13 becomes an o_orderpriority
+    exclusion.  Pure integer outputs.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+R_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+# -------------------------------------------------------- r_q15_top_supplier
+def r_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum
+    three-month revenue — the classic argmax-against-a-scalar-subquery.
+    Revenue is an exact cent-scaled BIGINT, so the equality against the
+    broadcast max is exact integer equality (real Q15's documented
+    float-equality hazard disappears).
+    """
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000
+    ).cast("long")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev_u).alias("rev_u"))
+    mx = per_supp.agg(F.max("rev_u").alias("max_u"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_u") == F.col("max_u"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_u").cast("double") / 10_000.0).alias("total_revenue"),
+        )
+    )
+
+
+R_Q15_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS rev_u
+  FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_u AS DOUBLE) / 10000.0 AS total_revenue
+FROM per_supp
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev_u = (SELECT max(rev_u) FROM per_supp)
+"""
+
+
+# ---------------------------------------------------------- r_q17_small_qty
+def r_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — each
+    lineitem compared against 20% of its part's average quantity.  The
+    correlated scalar subquery becomes a broadcast join of per-part
+    (sum, count) pairs, and the comparison is exact integer
+    cross-multiplication: qty·5·cnt < Σqty (all cent-scaled BIGINTs).
+    The /7.0 yearly average is floor-truncated at 6 decimals.
+    """
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "SMALL") & (F.col("p_brand") == "Brand#1")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    li2 = li.join(F.broadcast(p.select("p_partkey")),
+                  F.col("p_partkey") == F.col("l_partkey"))
+    per_part = li2.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty_c).alias("sum_qty_c"), F.count("*").alias("cnt")
+    )
+    return (
+        li2.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
+        .where(qty_c * 5 * F.col("cnt") < F.col("sum_qty_c"))
+        .agg(F.sum(price_c).alias("total_c"), F.count("*").alias("n_lines"))
+        .select(
+            (F.floor(F.col("total_c").cast("double") * 10_000 / 7)
+             / F.lit(1_000_000.0)).alias("avg_yearly"),
+            "n_lines",
+        )
+    )
+
+
+R_Q17_SQL = """
+WITH li2 AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'SMALL' AND p_brand = 'Brand#1'
+),
+per_part AS (
+  SELECT l_partkey AS pk, sum(qty_c) AS sum_qty_c, count(*) AS cnt
+  FROM li2 GROUP BY 1
+)
+SELECT floor(CAST(sum(price_c) AS DOUBLE) * 10000 / 7) / 1000000.0 AS avg_yearly,
+       count(*) AS n_lines
+FROM li2 JOIN per_part ON l_partkey = pk
+WHERE qty_c * 5 * cnt < sum_qty_c
+"""
+
+
+# ------------------------------------------------------- r_q18_large_volume
+def r_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — the IN-subquery over a
+    grouped HAVING becomes an aggregate then join (Catalyst plans the
+    IN the same way).  The >300-unit threshold is exact on cent-scaled
+    quantities; top-100 sorted by o_totalprice (raw column) with
+    orderkey tiebreak.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_c).alias("sum_qty_c"))
+        .where(F.col("sum_qty_c") > 300 * 100)
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            (F.col("sum_qty_c").cast("double") / 100.0).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+R_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 30000
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum_qty_c AS DOUBLE) / 100.0 AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------- r_q20_part_promo
+def r_q20_part_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-joins — suppliers in EUROPE who
+    shipped more than 50 units of PROMO parts during 1997.  partsupp's
+    availqty is absent, so the innermost threshold is on shipped
+    quantity; the join nesting (part-filter → per-supplier agg →
+    supplier semi-join → nation/region filter) mirrors Q20's plan.
+    """
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    qualifying = (
+        li.join(F.broadcast(p.select("p_partkey")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(qty_c).alias("qty_c"))
+        .where(F.col("qty_c") > 50 * 100)
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(qualifying, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+R_Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_type = 'PROMO'
+      AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+    GROUP BY l_suppkey
+    HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 5000)
+"""
+
+
+# ------------------------------------------------------------ r_q21_waiting
+def r_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the exists/not-exists double correlation.
+    With no receipt/commit dates, "kept the order waiting" is adapted
+    to: in finalized ('F') multi-supplier orders, the supplier was the
+    UNIQUE last to ship (its per-order max shipdate equals the order
+    max, and no other supplier ties it — the not-exists arm).  Plans
+    as two grouped aggregates joined back, then a per-supplier count;
+    all comparisons are exact timestamp equality.
+    """
+    supp = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    per_os = (
+        li.join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("supp_max"))
+    )
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max("supp_max").alias("order_max"), F.count("*").alias("n_supp")
+    )
+    winners = per_os.join(
+        per_o,
+        (F.col("l_orderkey") == F.col("ok"))
+        & (F.col("supp_max") == F.col("order_max"))
+        & (F.col("n_supp") >= 2),
+    )
+    sole = (
+        winners.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.lit(1).alias("one"))
+        .groupBy(F.col("l_orderkey").alias("sok"))
+        .agg(F.count("*").alias("n_winners"))
+        .where(F.col("n_winners") == 1)
+    )
+    return (
+        winners.join(sole, F.col("l_orderkey") == F.col("sok"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
+R_Q21_SQL = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_max
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+per_o AS (
+  SELECT l_orderkey AS ok, max(supp_max) AS order_max, count(*) AS n_supp
+  FROM per_os GROUP BY 1
+),
+winners AS (
+  SELECT p.l_orderkey, p.l_suppkey
+  FROM per_os p JOIN per_o ON p.l_orderkey = ok
+  WHERE p.supp_max = order_max AND n_supp >= 2
+),
+sole AS (
+  SELECT l_orderkey FROM winners GROUP BY 1 HAVING count(*) = 1
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM winners
+JOIN sole USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "r_q1_pricing": r_q1_pricing,
     "r_corr_scalar_sub": r_corr_scalar_sub,
@@ -1032,6 +1647,18 @@ QUERIES = {
     "r_json_props": r_json_props,
     "r_scalar_funcs": r_scalar_funcs,
     "r_date_parts": r_date_parts,
+    "r_q6_forecast": r_q6_forecast,
+    "r_q4_order_exists": r_q4_order_exists,
+    "r_q8_mkt_share": r_q8_mkt_share,
+    "r_q9_profit": r_q9_profit,
+    "r_q10_returns": r_q10_returns,
+    "r_q11_top_value": r_q11_top_value,
+    "r_q13_cust_dist": r_q13_cust_dist,
+    "r_q15_top_supplier": r_q15_top_supplier,
+    "r_q17_small_qty": r_q17_small_qty,
+    "r_q18_large_volume": r_q18_large_volume,
+    "r_q20_part_promo": r_q20_part_promo,
+    "r_q21_waiting": r_q21_waiting,
 }
 
 ORACLES = {
@@ -1062,4 +1689,16 @@ ORACLES = {
     "r_json_props": R_JSON_SQL,
     "r_scalar_funcs": R_SCALAR_SQL,
     "r_date_parts": R_DATE_SQL,
+    "r_q6_forecast": R_Q6_SQL,
+    "r_q4_order_exists": R_Q4_SQL,
+    "r_q8_mkt_share": R_Q8_SQL,
+    "r_q9_profit": R_Q9_SQL,
+    "r_q10_returns": R_Q10_SQL,
+    "r_q11_top_value": R_Q11_SQL,
+    "r_q13_cust_dist": R_Q13_SQL,
+    "r_q15_top_supplier": R_Q15_SQL,
+    "r_q17_small_qty": R_Q17_SQL,
+    "r_q18_large_volume": R_Q18_SQL,
+    "r_q20_part_promo": R_Q20_SQL,
+    "r_q21_waiting": R_Q21_SQL,
 }

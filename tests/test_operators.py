@@ -64,6 +64,12 @@ SUBSET = [
     "g_nth_percentile",
     "g_alias_sub",
     "g_logarithm",
+    "w_approx_stats",
+    "r_q6_forecast",
+    "r_q9_profit",
+    "r_q11_top_value",
+    "r_q13_cust_dist",
+    "r_q21_waiting",
 ]
 
 
