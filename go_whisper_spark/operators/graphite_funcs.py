@@ -1497,6 +1497,447 @@ FROM lwwp
 """
 
 
+# =====================================================================
+# Round-6 batch (43-55): selection mirrors, slot transforms, the
+# series-combining division/percentile forms, and linear interpolation.
+
+
+# ---------------------------------------------------------------- g_grep
+def g_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep(seriesList, "^(c|v)"): keep only series whose name matches
+    the regex — the positive mirror of ``g_exclude``.  Name selection
+    prunes before any data math (at scale: partition pruning on the
+    metric key)."""
+    return _lww1h(spark, sf_dir).where(F.col("metric").rlike("^(c|v)")).select(
+        "metric", "interval", "value"
+    )
+
+
+G_GREP_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval, value
+FROM lww1h
+WHERE regexp_matches(metric, '^(c|v)')
+"""
+
+
+# ------------------------------------------------------ g_maximum_above
+def g_maximum_above(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maximumAbove(seriesList, 360): keep series whose peak exceeds
+    the threshold.  Max of raw doubles is float-exact (no arithmetic),
+    so the compare needs no integer detour; winners broadcast back to
+    slots like the other selectors."""
+    lww = _lww1h(spark, sf_dir)
+    winners = (
+        lww.groupBy("metric")
+        .agg(F.max("value").alias("max_value"))
+        .where(F.col("max_value") > 360.0)
+    )
+    return lww.join(F.broadcast(winners), "metric").select(
+        "metric", "interval", "value", "max_value"
+    )
+
+
+G_MAXIMUM_ABOVE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+winners AS (
+  SELECT metric, max(value) AS max_value
+  FROM lww1h GROUP BY metric
+  HAVING max(value) > 360.0
+)
+SELECT l.metric, l.interval, l.value, w.max_value
+FROM lww1h l JOIN winners w ON l.metric = w.metric
+"""
+
+
+# ------------------------------------------------------ g_minimum_below
+def g_minimum_below(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimumBelow(seriesList, 0.05): keep series whose minimum dips
+    under the threshold.  Min is float-exact; same selector shape."""
+    lww = _lww1h(spark, sf_dir)
+    winners = (
+        lww.groupBy("metric")
+        .agg(F.min("value").alias("min_value"))
+        .where(F.col("min_value") < 0.05)
+    )
+    return lww.join(F.broadcast(winners), "metric").select(
+        "metric", "interval", "value", "min_value"
+    )
+
+
+G_MINIMUM_BELOW_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+winners AS (
+  SELECT metric, min(value) AS min_value
+  FROM lww1h GROUP BY metric
+  HAVING min(value) < 0.05
+)
+SELECT l.metric, l.interval, l.value, w.min_value
+FROM lww1h l JOIN winners w ON l.metric = w.metric
+"""
+
+
+# ------------------------------------------------------ g_average_below
+def g_average_below(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """averageBelow(seriesList, 51): the mirror of ``g_average_above``
+    — exact integer decision (sum_cents < 51·100·n), no float average
+    in the filter."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    winners = (
+        lww.groupBy("metric")
+        .agg(F.sum("cents").alias("sc"), F.count("*").alias("n"))
+        .where(F.col("sc") < 5100 * F.col("n"))
+        .select("metric", _avg6(F.col("sc"), F.col("n")).alias("avg_value"))
+    )
+    return lww.join(F.broadcast(winners), "metric").select(
+        "metric", "interval", "value", "avg_value"
+    )
+
+
+G_AVERAGE_BELOW_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+winners AS (
+  SELECT metric,
+         floor(CAST(sum({CENTS_SQL}) AS DOUBLE) * 10000 / count(*)) / 1000000.0 AS avg_value
+  FROM lww1h GROUP BY metric
+  HAVING sum({CENTS_SQL}) < 5100 * count(*)
+)
+SELECT l.metric, l.interval, l.value, w.avg_value
+FROM lww1h l JOIN winners w ON l.metric = w.metric
+"""
+
+
+# ---------------------------------------------------- g_highest_current
+def g_highest_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """highestCurrent(seriesList, 3) and lowestCurrent in one relation:
+    rank series by their most recent slot value (exact ``max_by``,
+    unique interval per metric), keep the top-3 and bottom-3 with
+    signed ranks.  Ties break on metric name."""
+    lww = _lww1h(spark, sf_dir)
+    per = lww.groupBy("metric").agg(F.max_by("value", "interval").alias("current_value"))
+    ranked = per.select(
+        "metric",
+        "current_value",
+        F.row_number()
+        .over(Window.orderBy(F.desc("current_value"), F.asc("metric")))
+        .alias("high_rank"),
+        F.row_number()
+        .over(Window.orderBy(F.asc("current_value"), F.asc("metric")))
+        .alias("low_rank"),
+    ).where((F.col("high_rank") <= 3) | (F.col("low_rank") <= 3))
+    return lww.join(F.broadcast(ranked), "metric").select(
+        "metric", "interval", "value", "current_value", "high_rank", "low_rank"
+    )
+
+
+G_HIGHEST_CURRENT_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+per AS (
+  SELECT metric, arg_max(value, interval) AS current_value
+  FROM lww1h GROUP BY metric
+),
+ranked AS (
+  SELECT metric, current_value,
+         CAST(row_number() OVER (ORDER BY current_value DESC, metric ASC) AS INTEGER) AS high_rank,
+         CAST(row_number() OVER (ORDER BY current_value ASC, metric ASC) AS INTEGER) AS low_rank
+  FROM per
+)
+SELECT l.metric, l.interval, l.value, r.current_value, r.high_rank, r.low_rank
+FROM lww1h l JOIN ranked r ON l.metric = r.metric
+WHERE r.high_rank <= 3 OR r.low_rank <= 3
+"""
+
+
+# ---------------------------------------------------- g_offset_to_zero
+def g_offset_to_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """offsetToZero(series): subtract each series' minimum so it
+    touches zero.  Exact via cents (both the min and the subtraction
+    stay integral until one final /100)."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    mins = lww.groupBy("metric").agg(F.min("cents").alias("min_c"))
+    return lww.join(F.broadcast(mins), "metric").select(
+        "metric",
+        "interval",
+        ((F.col("cents") - F.col("min_c")).cast("double") / F.lit(100.0)).alias("zeroed"),
+    )
+
+
+G_OFFSET_TO_ZERO_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+mins AS (SELECT metric, min({CENTS_SQL}) AS min_c FROM lww1h GROUP BY metric)
+SELECT l.metric, l.interval,
+       CAST({CENTS_SQL} - m.min_c AS DOUBLE) / 100.0 AS zeroed
+FROM lww1h l JOIN mins m ON l.metric = m.metric
+"""
+
+
+# -------------------------------------------------------- g_time_slice
+def g_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeSlice(series, now-7d, now-1d): null out every slot outside
+    the window but keep the slot grid (Graphite renders the gap).
+    Bounds derive from the data's max timestamp — same convention as
+    the fetch queries."""
+    lww = _lww1h(spark, sf_dir)
+    bounds = lww.agg(
+        (F.max("interval") - 7 * 86400).alias("from_iv"),
+        (F.max("interval") - 1 * 86400).alias("until_iv"),
+    )
+    return lww.crossJoin(F.broadcast(bounds)).select(
+        "metric",
+        "interval",
+        F.when(
+            (F.col("interval") >= F.col("from_iv"))
+            & (F.col("interval") < F.col("until_iv")),
+            F.col("value"),
+        ).alias("sliced"),
+    )
+
+
+G_TIME_SLICE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+bounds AS (
+  SELECT max(interval) - 7 * 86400 AS from_iv,
+         max(interval) - 1 * 86400 AS until_iv
+  FROM lww1h
+)
+SELECT metric, interval,
+       CASE WHEN interval >= from_iv AND interval < until_iv THEN value END AS sliced
+FROM lww1h, bounds
+"""
+
+
+# ----------------------------------------------------------- g_changed
+def g_changed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """changed(series): 1 where the value differs from the previous
+    slot, 0 otherwise (first slot: 0, matching Graphite).  Raw double
+    equality on untouched values is exact."""
+    w = Window.partitionBy("metric").orderBy("interval")
+    lww = _lww1h(spark, sf_dir)
+    prev = F.lag("value", 1).over(w)
+    return lww.select(
+        "metric",
+        "interval",
+        F.when(prev.isNull() | (F.col("value") == prev), 0)
+        .otherwise(1)
+        .cast("long")
+        .alias("changed"),
+    )
+
+
+G_CHANGED_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       CAST(CASE WHEN lag(value, 1) OVER w IS NULL
+                   OR value = lag(value, 1) OVER w THEN 0 ELSE 1 END AS BIGINT) AS changed
+FROM lww1h
+WINDOW w AS (PARTITION BY metric ORDER BY interval)
+"""
+
+
+# ------------------------------------------------------------- g_delay
+def g_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delay(series, 3): shift the series 3 slots forward in time
+    (value at t renders at t+3 steps); the first 3 slots are null.
+    Pure ``lag`` — no arithmetic at all."""
+    w = Window.partitionBy("metric").orderBy("interval")
+    return _lww1h(spark, sf_dir).select(
+        "metric",
+        "interval",
+        F.lag("value", 3).over(w).alias("delayed"),
+    )
+
+
+G_DELAY_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       lag(value, 3) OVER (PARTITION BY metric ORDER BY interval) AS delayed
+FROM lww1h
+"""
+
+
+# ------------------------------------------------------ g_divide_series
+def g_divide_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """divideSeries(click, view) and multiplySeries(click, view) per
+    slot — the binary series combiners.  Both series land in one
+    grouped row per interval (conditional aggregates — no self-join),
+    then a single IEEE op each: / is correctly rounded, and the cent
+    cross-product keeps × exact until one final division."""
+    lww = _lww1h(spark, sf_dir).where(F.col("metric").isin("click", "view"))
+    per = lww.groupBy("interval").agg(
+        F.max(F.when(F.col("metric") == "click", F.col("value"))).alias("click_v"),
+        F.max(F.when(F.col("metric") == "view", F.col("value"))).alias("view_v"),
+        F.max(F.when(F.col("metric") == "click", _cents())).alias("click_c"),
+        F.max(F.when(F.col("metric") == "view", _cents())).alias("view_c"),
+    )
+    return per.select(
+        "interval",
+        (F.col("click_v") / F.col("view_v")).alias("click_per_view"),
+        ((F.col("click_c") * F.col("view_c")).cast("double") / F.lit(10_000.0)).alias(
+            "click_times_view"
+        ),
+    )
+
+
+G_DIVIDE_SERIES_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+per AS (
+  SELECT interval,
+         max(CASE WHEN metric = 'click' THEN value END) AS click_v,
+         max(CASE WHEN metric = 'view' THEN value END) AS view_v,
+         max(CASE WHEN metric = 'click' THEN {CENTS_SQL} END) AS click_c,
+         max(CASE WHEN metric = 'view' THEN {CENTS_SQL} END) AS view_c
+  FROM lww1h WHERE metric IN ('click', 'view')
+  GROUP BY interval
+)
+SELECT interval,
+       click_v / view_v AS click_per_view,
+       CAST(click_c * view_c AS DOUBLE) / 10000.0 AS click_times_view
+FROM per
+"""
+
+
+# ----------------------------------------------- g_percentile_of_series
+def g_percentile_of_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentileOfSeries(seriesList, 50): per-slot median ACROSS
+    series (the across-series quantile, vs ``g_nth_percentile``'s
+    within-series one).  Rank convention: value at sorted position
+    ceil(0.5·n) — pure ordering, no FP."""
+    lww = _lww1h(spark, sf_dir)
+    w = Window.partitionBy("interval").orderBy("value", "metric")
+    ranked = lww.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("interval"))
+    )
+    return (
+        ranked.where(F.col("rn") == F.ceil(F.col("n") * 0.5).cast("long"))
+        .select("interval", F.col("value").alias("p50_across"),
+                F.col("n").alias("n_series"))
+    )
+
+
+G_PERCENTILE_OF_SERIES_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+ranked AS (
+  SELECT interval, value,
+         row_number() OVER (PARTITION BY interval ORDER BY value, metric) AS rn,
+         count(*) OVER (PARTITION BY interval) AS n
+  FROM lww1h
+)
+SELECT interval, value AS p50_across, n AS n_series
+FROM ranked
+WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)
+"""
+
+
+# ------------------------------------------------------ g_moving_extremes
+def g_moving_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """movingMin(series, 5) + movingMax(series, 5): rolling extremes
+    over the current + 4 preceding known slots.  Min/max of untouched
+    doubles are float-exact — no rounding step."""
+    w = Window.partitionBy("metric").orderBy("interval").rowsBetween(-4, 0)
+    return _lww1h(spark, sf_dir).select(
+        "metric",
+        "interval",
+        F.min("value").over(w).alias("moving_min"),
+        F.max("value").over(w).alias("moving_max"),
+    )
+
+
+G_MOVING_EXTREMES_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       min(value) OVER w AS moving_min,
+       max(value) OVER w AS moving_max
+FROM lww1h
+WINDOW w AS (PARTITION BY metric ORDER BY interval
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+# -------------------------------------------------------- g_interpolate
+def g_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interpolate(series): linear-fill the null slots of the dense
+    last-3-days grid between their nearest known neighbours (leading /
+    trailing nulls stay null, matching Graphite).  The interpolation
+    weight is computed in exact integers — cents × second-offsets —
+    with one final floor-truncated division:
+    filled_c = (prev_c·(next_iv−iv) + next_c·(iv−prev_iv)) / (next_iv−prev_iv).
+    """
+    from go_whisper_spark.operators.whisper_queries import w_fetch_dense_3d
+
+    dense = w_fetch_dense_3d(spark, sf_dir).withColumn("cents", _cents())
+    wb = Window.partitionBy("metric").orderBy("interval").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("metric").orderBy("interval").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    known_iv = F.when(F.col("cents").isNotNull(), F.col("interval"))
+    marked = dense.select(
+        "metric",
+        "interval",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wb).alias("prev_c"),
+        F.last(known_iv, ignorenulls=True).over(wb).alias("prev_iv"),
+        F.first("cents", ignorenulls=True).over(wf).alias("next_c"),
+        F.first(known_iv, ignorenulls=True).over(wf).alias("next_iv"),
+    )
+    num = (
+        F.col("prev_c") * (F.col("next_iv") - F.col("interval"))
+        + F.col("next_c") * (F.col("interval") - F.col("prev_iv"))
+    )
+    den = F.col("next_iv") - F.col("prev_iv")
+    filled = F.when(
+        F.col("cents").isNotNull(), F.col("cents").cast("double") / F.lit(100.0)
+    ).otherwise(
+        # interior gap only: both neighbours exist
+        F.floor(num.cast("double") * 10_000 / den) / F.lit(1_000_000.0)
+    )
+    return marked.select("metric", "interval", filled.alias("interpolated"))
+
+
+G_INTERPOLATE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+bounds AS (
+  SELECT (max(ts_sec) - 259200) - (max(ts_sec) - 259200) % 3600 + 3600 AS from_iv,
+         max(ts_sec) - max(ts_sec) % 3600 + 3600 AS until_iv
+  FROM pts
+),
+spine AS (
+  SELECT m.metric, s.interval
+  FROM (SELECT DISTINCT metric FROM pts) m
+  CROSS JOIN (
+    SELECT unnest(generate_series(from_iv, until_iv - 3600, 3600)) AS interval
+    FROM bounds
+  ) s
+),
+dense AS (
+  SELECT spine.metric, spine.interval,
+         CAST(round(l.value * 100) AS BIGINT) AS cents
+  FROM spine LEFT JOIN lww1h l
+    ON l.metric = spine.metric AND l.interval = spine.interval
+),
+marked AS (
+  SELECT metric, interval, cents,
+         last_value(cents IGNORE NULLS) OVER wb AS prev_c,
+         last_value(CASE WHEN cents IS NOT NULL THEN interval END IGNORE NULLS) OVER wb AS prev_iv,
+         first_value(cents IGNORE NULLS) OVER wf AS next_c,
+         first_value(CASE WHEN cents IS NOT NULL THEN interval END IGNORE NULLS) OVER wf AS next_iv
+  FROM dense
+  WINDOW wb AS (PARTITION BY metric ORDER BY interval
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY metric ORDER BY interval
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT metric, interval,
+       CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE) / 100.0
+            ELSE floor(CAST(prev_c * (next_iv - interval)
+                            + next_c * (interval - prev_iv) AS DOUBLE)
+                       * 10000 / (next_iv - prev_iv)) / 1000000.0
+       END AS interpolated
+FROM marked
+"""
+
+
 QUERIES = {
     "g_moving_avg_3": g_moving_avg_3,
     "g_nonneg_derivative": g_nonneg_derivative,
@@ -1540,6 +1981,19 @@ QUERIES = {
     "g_nth_percentile": g_nth_percentile,
     "g_lowest_average": g_lowest_average,
     "g_alias_sub": g_alias_sub,
+    "g_grep": g_grep,
+    "g_maximum_above": g_maximum_above,
+    "g_minimum_below": g_minimum_below,
+    "g_average_below": g_average_below,
+    "g_highest_current": g_highest_current,
+    "g_offset_to_zero": g_offset_to_zero,
+    "g_time_slice": g_time_slice,
+    "g_changed": g_changed,
+    "g_delay": g_delay,
+    "g_divide_series": g_divide_series,
+    "g_percentile_of_series": g_percentile_of_series,
+    "g_moving_extremes": g_moving_extremes,
+    "g_interpolate": g_interpolate,
 }
 
 ORACLES = {
@@ -1584,4 +2038,17 @@ ORACLES = {
     "g_nth_percentile": G_NTH_PERCENTILE_SQL,
     "g_lowest_average": G_LOWEST_AVERAGE_SQL,
     "g_alias_sub": G_ALIAS_SUB_SQL,
+    "g_grep": G_GREP_SQL,
+    "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
+    "g_minimum_below": G_MINIMUM_BELOW_SQL,
+    "g_average_below": G_AVERAGE_BELOW_SQL,
+    "g_highest_current": G_HIGHEST_CURRENT_SQL,
+    "g_offset_to_zero": G_OFFSET_TO_ZERO_SQL,
+    "g_time_slice": G_TIME_SLICE_SQL,
+    "g_changed": G_CHANGED_SQL,
+    "g_delay": G_DELAY_SQL,
+    "g_divide_series": G_DIVIDE_SERIES_SQL,
+    "g_percentile_of_series": G_PERCENTILE_OF_SERIES_SQL,
+    "g_moving_extremes": G_MOVING_EXTREMES_SQL,
+    "g_interpolate": G_INTERPOLATE_SQL,
 }
