@@ -268,12 +268,109 @@ WHERE window_end <= (SELECT wmf FROM wmf)
 """
 
 
+# ------------------------------------------------------------ st_cascade_6h
+def st_cascade_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CASCADE snapshot: the same 3-pass replay driven through
+    ``streaming_cascade`` ("1h:2d,6h:12d", max, xff=0.5) — archive 0 is
+    the watermarked LWW rollup, and every micro-batch incrementally
+    re-consolidates the touched day partitions of archive 1 from the
+    level-0 store [ref: whisper.go (Update — propagate loop)].  This
+    pins the full stream→propagate path the way ``w_wsp_propagate``
+    pins it through ``.wsp`` bytes.
+
+    Returned: both archive levels union'd with ``archive_id``.
+
+    Determinism: aggregation method is MAX (order-free, bit-exact —
+    AVERAGE would ride on FP summation order inside the streaming
+    state); the xff gate count/6 ≥ 0.5 is integer-equivalent to
+    known ≥ 3.  Because archive-0 windows for a day only ever close in
+    batches that touch that day, and consolidation recomputes touched
+    days from the FULL level-0 store, the final archive 1 equals a
+    batch 6h consolidation of the final archive 0 — which is what the
+    oracle states.
+    """
+    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
+    t0 = int(pts.agg(F.min("ts")).first()[0])
+    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts"))
+    )
+    cfg = SeriesConfig.from_defs("1h:2d,6h:12d", "max", 0.5)
+
+    from go_whisper_spark.retention import archive_path
+    from go_whisper_spark.streaming.cascade import streaming_cascade
+
+    root = _tmpdir()
+    src, base, ckpt = (os.path.join(root, n) for n in ("src", "arch", "ckpt"))
+    feed = marked.drop("arrive")
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = streaming_cascade(
+            spark.readStream.schema(feed.schema).parquet(src),
+            cfg,
+            base,
+            ckpt,
+            lateness_seconds=LATENESS,
+        )
+        assert q.awaitTermination(600), "cascade pass timed out"
+
+    a0 = spark.read.parquet(archive_path(base, 0)).select(
+        F.lit(0).cast("int").alias("archive_id"), "metric", "interval", "value"
+    )
+    a1 = spark.read.parquet(archive_path(base, 1)).select(
+        F.lit(1).cast("int").alias("archive_id"), "metric", "interval", "value"
+    )
+    return a0.unionByName(a1)
+
+
+ST_CASCADE_6H_SQL = f"""
+WITH pts AS (
+  SELECT event_type AS metric,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+{_MARKED_CTE},
+surv AS (
+  SELECT m.* FROM marked m LEFT JOIN wm ON wm.arrive = m.arrive
+  WHERE wm.wm IS NULL OR m.ts - m.ts % 3600 + 3600 > wm.wm
+),
+a0 AS (
+  SELECT metric,
+         ts - ts % 3600 AS interval,
+         arg_max(value, seq) AS value
+  FROM surv
+  GROUP BY 1, 2
+  HAVING interval + 3600 <= (SELECT wmf FROM wmf)
+),
+a1 AS (
+  SELECT metric,
+         interval - interval % 21600 AS interval,
+         max(value) AS value
+  FROM a0
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT CAST(0 AS INTEGER) AS archive_id, metric, interval, value FROM a0
+UNION ALL
+SELECT CAST(1 AS INTEGER) AS archive_id, metric, interval, value FROM a1
+"""
+
+
 QUERIES = {
     "st_rollup_lww_1h": st_rollup_lww_1h,
     "st_sessions_30m": st_sessions_30m,
+    "st_cascade_6h": st_cascade_6h,
 }
 
 ORACLES = {
     "st_rollup_lww_1h": ST_ROLLUP_LWW_1H_SQL,
     "st_sessions_30m": ST_SESSIONS_30M_SQL,
+    "st_cascade_6h": ST_CASCADE_6H_SQL,
 }
