@@ -61,6 +61,12 @@ HEADLINE = [
     "g_as_percent",
     "r_rank_funcs",
     "r_exists_sql",
+    # round 6: the heavier new TPC-H shapes + the interpolation window
+    "r_q6_forecast",
+    "r_q9_profit",
+    "r_q18_large_volume",
+    "r_q21_waiting",
+    "g_interpolate",
 ]
 
 

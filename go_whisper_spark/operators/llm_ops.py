@@ -2073,6 +2073,71 @@ LIMIT 20
 """
 
 
+# ------------------------------------------------------- s_quantize_int8
+def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage-compression step a training pipeline runs before shipping
+    vectors to an ANN index (4× smaller, bounded error).  Per vector:
+    scale = max|v| / 127, q_i = round(v_i / scale) ∈ [-127, 127], plus
+    the exact integer ||q||² and the reconstruction squared error
+    Σ(v_i − q_i·scale)².
+
+    Determinism: float→double widening is exact; each elementwise op
+    (/, round, *, −, ×) is a single correctly-rounded IEEE op on
+    identical inputs in both engines; both folds accumulate
+    left-to-right in index order (Spark ``F.aggregate`` ≡ DuckDB
+    ``list_sum`` — the same sequential invariant the cosine oracles
+    pin, see ``_seq_dot`` above).  round() ties need x/scale exactly
+    on .5 in binary — and Spark HALF_UP ≡ DuckDB round-away-from-zero
+    there anyway.
+
+    Scale: a pure narrow map (no shuffle at all) — at 100 TB this is
+    the textbook mapInPandas/codegen pipeline stage; expressed with
+    built-in higher-order functions so it stays JVM-side.
+    """
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sc = F.col("scale")
+    q = lambda x: F.round(x / sc)  # double-valued quantized level
+    with_scale = e.withColumn(
+        "scale", F.array_max(F.transform("v", F.abs)) / F.lit(127.0)
+    )
+    qnorm2 = F.aggregate(
+        F.transform("v", lambda x: (q(x) * q(x)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    err = F.aggregate(
+        F.transform("v", lambda x: (x - q(x) * sc) * (x - q(x) * sc)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return with_scale.select(
+        "vec_id", "scale", qnorm2.alias("qnorm2"), err.alias("sq_err")
+    )
+
+
+S_QUANTIZE_INT8_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM v
+)
+SELECT vec_id, scale,
+       CAST(list_sum(list_transform(v,
+         x -> CAST(round(x / scale) * round(x / scale) AS BIGINT))) AS BIGINT) AS qnorm2,
+       list_sum(list_transform(v,
+         x -> (x - round(x / scale) * scale) * (x - round(x / scale) * scale))) AS sq_err
+FROM s
+"""
+
+
 QUERIES = {
     "d_exact_dedup": d_exact_dedup,
     "d_neardup_clusters": d_neardup_clusters,
@@ -2101,6 +2166,7 @@ QUERIES = {
     "t_fingerprint": t_fingerprint,
     "t_tfidf_top3": t_tfidf_top3,
     "t_word_freq": t_word_freq,
+    "s_quantize_int8": s_quantize_int8,
 }
 
 ORACLES = {
@@ -2131,4 +2197,5 @@ ORACLES = {
     "t_fingerprint": T_FINGERPRINT_SQL,
     "t_tfidf_top3": T_TFIDF_SQL,
     "t_word_freq": T_WORD_FREQ_SQL,
+    "s_quantize_int8": S_QUANTIZE_INT8_SQL,
 }

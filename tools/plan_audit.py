@@ -90,6 +90,46 @@ CHECKS = {
         require=["Window", "BroadcastNestedLoopJoin", "partial_max_by"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
+    # Round-6 TPC-H batch: every dim side must broadcast; the only
+    # sort-merge allowed is a fact-fact join on its natural key.
+    "r_q9_profit": dict(
+        require=["BroadcastHashJoin", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
+    "r_q8_mkt_share": dict(
+        require=["BroadcastHashJoin", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
+    "r_q17_small_qty": dict(
+        require=["BroadcastHashJoin", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
+    "r_q18_large_volume": dict(
+        require=["BroadcastHashJoin", "partial_sum", "TakeOrderedAndProject"],
+        forbid=["CartesianProduct"],
+    ),
+    # Q21: two grouped aggregates joined back on orderkey — partial
+    # max(shipdate) per (order, supplier) must combine map-side; the
+    # per-order join is fact-fact (shuffle allowed).
+    "r_q21_waiting": dict(
+        require=["partial_max", "TakeOrderedAndProject"],
+        forbid=["CartesianProduct"],
+    ),
+    # divideSeries: conditional aggregates — one hash aggregate, no
+    # self-join of any kind.
+    "g_divide_series": dict(
+        require=["partial_max"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "ShuffledHashJoin"],
+    ),
+    "g_percentile_of_series": dict(require=["Window"], forbid=["CartesianProduct"]),
+    # KMV + sample-median: two-level partial-combining aggregates for
+    # the sketch, one rank Window for the sample median, broadcast-only
+    # joins of the three 5-row per-metric branches.
+    "w_approx_stats": dict(
+        require=["partial_min", "Window", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
