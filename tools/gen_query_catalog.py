@@ -13,6 +13,7 @@ GROUPS = [
     ("w_", "Whisper semantics over `events`"),
     ("g_", "Graphite render-function analogs"),
     ("r_", "Relational layer (TPC-H-ish tables)"),
+    ("st_", "Structured Streaming (replay harness)"),
     ("d_", "Deduplication"),
     ("s_", "Similarity search"),
     ("t_", "Text analysis"),
