@@ -111,6 +111,19 @@ _R05_CHECKED = [
     "r_window_topk_cust",
 ]
 
+# Added late in round 6, after the round-6 window was already full
+# (26 new queries + the 13 never-checked + the 10 remaining round-1
+# rotations).  Pinned by the local exact-typed gate (sf0.01 + sf0.1)
+# and ordered LAST so they front the round-7 window instead of
+# displacing the planned round-6 verification (same policy as round
+# 5's deferral).
+_R6_DEFERRED = [
+    "g_aggregate_line", "g_remove_empty", "g_stacked",
+    "g_weighted_average", "g_pow", "g_exp", "g_round_to",
+    "g_limit_sorted", "g_avg_outside_pctile", "g_minmax_norm",
+    "g_timestack",
+]
+
 
 def _registry():
     from go_whisper_spark.operators import whisper_queries
@@ -130,13 +143,14 @@ def _registry():
         oracles.update(getattr(mod, "ORACLES", {}))
 
     seen = (set(_NEVER_CHECKED) | set(_R01_CHECKED) | set(_R04_CHECKED)
-            | set(_R05_CHECKED))
+            | set(_R05_CHECKED) | set(_R6_DEFERRED))
     order = (
         [n for n in queries if n not in seen]
         + [n for n in _NEVER_CHECKED if n in queries]
         + [n for n in _R01_CHECKED if n in queries]
         + [n for n in _R04_CHECKED if n in queries]
         + [n for n in _R05_CHECKED if n in queries]
+        + [n for n in _R6_DEFERRED if n in queries]
     )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}

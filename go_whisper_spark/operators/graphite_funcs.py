@@ -1938,6 +1938,362 @@ FROM marked
 """
 
 
+# =====================================================================
+# Round-6 batch 2 (56-66): line/selection/normalization forms and the
+# stacked / weighted across-series combiners.
+
+
+# ------------------------------------------------------ g_aggregate_line
+def g_aggregate_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregateLine(series, 'avg'|'max'|'min'): the flat per-series
+    line relation — one row per metric carrying all three levels (the
+    render API draws one; the relational form carries them together).
+    Average is exact integer cents; max/min are float-exact."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    return lww.groupBy("metric").agg(
+        _avg6(F.sum("cents"), F.count("*")).alias("avg_line"),
+        F.max("value").alias("max_line"),
+        F.min("value").alias("min_line"),
+    )
+
+
+G_AGGREGATE_LINE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric,
+       floor(CAST(sum({CENTS_SQL}) AS DOUBLE) * 10000 / count(*)) / 1000000.0 AS avg_line,
+       max(value) AS max_line,
+       min(value) AS min_line
+FROM lww1h
+GROUP BY metric
+"""
+
+
+# ------------------------------------------------------ g_remove_empty
+def g_remove_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """removeEmptySeries(seriesList, xFilesFactor=0.9): keep only the
+    series whose known-slot fraction on the dense last-3-days grid
+    meets the xff — the render-side twin of the propagate gate.  The
+    decision is exact integer cross-multiplication
+    (known·10 ≥ total·9)."""
+    from go_whisper_spark.operators.whisper_queries import w_fetch_dense_3d
+
+    dense = w_fetch_dense_3d(spark, sf_dir)
+    winners = (
+        dense.groupBy("metric")
+        .agg(F.count("value").alias("known"), F.count("*").alias("total"))
+        .where(F.col("known") * 10 >= F.col("total") * 9)
+    )
+    return dense.join(F.broadcast(winners), "metric").select(
+        "metric", "interval", "value", "known", "total"
+    )
+
+
+G_REMOVE_EMPTY_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+bounds AS (
+  SELECT (max(ts_sec) - 259200) - (max(ts_sec) - 259200) % 3600 + 3600 AS from_iv,
+         max(ts_sec) - max(ts_sec) % 3600 + 3600 AS until_iv
+  FROM pts
+),
+spine AS (
+  SELECT m.metric, s.interval
+  FROM (SELECT DISTINCT metric FROM pts) m
+  CROSS JOIN (
+    SELECT unnest(generate_series(from_iv, until_iv - 3600, 3600)) AS interval
+    FROM bounds
+  ) s
+),
+dense AS (
+  SELECT spine.metric, spine.interval, lww1h.value
+  FROM spine LEFT JOIN lww1h
+    ON lww1h.metric = spine.metric AND lww1h.interval = spine.interval
+),
+winners AS (
+  SELECT metric, count(value) AS known, count(*) AS total
+  FROM dense GROUP BY metric
+  HAVING count(value) * 10 >= count(*) * 9
+)
+SELECT d.metric, d.interval, d.value, w.known, w.total
+FROM dense d JOIN winners w ON d.metric = w.metric
+"""
+
+
+# ---------------------------------------------------------- g_stacked
+def g_stacked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stacked(seriesList): per slot, each series' value plus the
+    running total of the series stacked beneath it (stack order =
+    metric name).  Exact via a cents window sum keyed by interval."""
+    w = (
+        Window.partitionBy("interval")
+        .orderBy("metric")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return _lww1h(spark, sf_dir).withColumn("cents", _cents()).select(
+        "metric",
+        "interval",
+        "value",
+        (F.sum("cents").over(w).cast("double") / F.lit(100.0)).alias("stacked_top"),
+    )
+
+
+G_STACKED_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval, value,
+       CAST(sum({CENTS_SQL}) OVER (
+         PARTITION BY interval ORDER BY metric
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS stacked_top
+FROM lww1h
+"""
+
+
+# ------------------------------------------------- g_weighted_average
+def g_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weightedAverage(valueSeries, weightSeries): per slot, the
+    across-series average of LWW values weighted by each series' raw
+    write count in that slot (the natural companion series whisper
+    actually has).  Exact: Σ(cents·w) and Σw are integers; the
+    quotient is floor-truncated at 6 dp (`_avg6` with weighted sums).
+    """
+    pts = _points(spark, sf_dir)
+    slot = (
+        pts.withColumn("interval", (F.col("ts") - F.col("ts") % F.lit(HOUR)).cast("long"))
+        .groupBy("metric", "interval")
+        .agg(F.max_by("value", "write_seq").alias("value"), F.count("*").alias("w"))
+        .withColumn("cents", _cents())
+    )
+    return slot.groupBy("interval").agg(
+        _avg6(F.sum(F.col("cents") * F.col("w")), F.sum("w")).alias("wavg"),
+        F.sum("w").alias("total_weight"),
+    )
+
+
+G_WEIGHTED_AVERAGE_SQL = f"""
+WITH {PTS_CTE},
+slot AS (
+  SELECT metric, ts_sec - ts_sec % 3600 AS interval,
+         arg_max(value, write_seq) AS value,
+         count(*) AS w
+  FROM pts GROUP BY 1, 2
+)
+SELECT interval,
+       floor(CAST(sum({CENTS_SQL} * w) AS DOUBLE) * 10000 / sum(w)) / 1000000.0 AS wavg,
+       CAST(sum(w) AS BIGINT) AS total_weight
+FROM slot
+GROUP BY interval
+"""
+
+
+# -------------------------------------------------------------- g_pow
+def g_pow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pow(series, 2): squared series.  A single IEEE multiply of the
+    untouched double is bit-exact cross-engine (spelled x·x, not a
+    libm pow call)."""
+    return _lww1h(spark, sf_dir).select(
+        "metric",
+        "interval",
+        (F.col("value") * F.col("value")).alias("squared"),
+    )
+
+
+G_POW_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval, value * value AS squared
+FROM lww1h
+"""
+
+
+# -------------------------------------------------------------- g_exp
+def g_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exp(scale(series, 0.01)): exponential of the percent-scaled
+    series.  libm exp is not correctly rounded, so the result is
+    rounded to 6 dp — valid ONLY because the scaled domain is ≤ ~4.9,
+    keeping exp ≤ ~134 where a ulp is ~1e-14 ≪ 5e-7 (raw exp(value)
+    would reach e^490, where ulp ≫ any decimal rounding).  The 0.01
+    scale itself: cents/10000.0 is one exact division."""
+    scaled = _cents().cast("double") / F.lit(10_000.0)
+    return _lww1h(spark, sf_dir).select(
+        "metric",
+        "interval",
+        F.round(F.exp(scaled), 6).alias("exp_scaled"),
+    )
+
+
+G_EXP_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       round(exp(CAST({CENTS_SQL} AS DOUBLE) / 10000.0), 6) AS exp_scaled
+FROM lww1h
+"""
+
+
+# --------------------------------------------------------- g_round_to
+def g_round_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """roundFunction(series, 1): round to 1 decimal.  float round() is
+    a cross-engine trap (Spark rounds the shortest decimal repr via
+    BigDecimal, DuckDB rounds the binary double — they disagree on
+    x.x5 inputs), so the rounding is integer arithmetic on exact
+    cents: (cents + 5) div 10 is half-away-from-zero on the TRUE
+    decimal value (domain is strictly positive)."""
+    decis = F.floor((_cents() + F.lit(5)) / F.lit(10))
+    return _lww1h(spark, sf_dir).select(
+        "metric",
+        "interval",
+        (decis.cast("double") / F.lit(10.0)).alias("rounded1"),
+    )
+
+
+G_ROUND_TO_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       CAST(({CENTS_SQL} + 5) // 10 AS DOUBLE) / 10.0 AS rounded1
+FROM lww1h
+"""
+
+
+# ------------------------------------------------------ g_limit_sorted
+def g_limit_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """limit(sortByName(seriesList), 3): the first 3 series
+    alphabetically, slots passed through untouched — pure name
+    ordering, no data math."""
+    lww = _lww1h(spark, sf_dir)
+    first3 = (
+        lww.select("metric")
+        .distinct()
+        .withColumn("name_rank", F.row_number().over(Window.orderBy("metric")))
+        .where(F.col("name_rank") <= 3)
+    )
+    return lww.join(F.broadcast(first3), "metric").select(
+        "metric", "interval", "value", "name_rank"
+    )
+
+
+G_LIMIT_SORTED_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+first3 AS (
+  SELECT metric,
+         CAST(row_number() OVER (ORDER BY metric) AS INTEGER) AS name_rank
+  FROM (SELECT DISTINCT metric FROM lww1h)
+  QUALIFY name_rank <= 3
+)
+SELECT l.metric, l.interval, l.value, f.name_rank
+FROM lww1h l JOIN first3 f ON l.metric = f.metric
+"""
+
+
+# --------------------------------------------- g_avg_outside_pctile
+def g_avg_outside_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """averageOutsidePercentile(seriesList, 25): keep series whose
+    average lies in the top or bottom quartile of the per-series
+    averages.  Averages are exact (`_avg6`); the quartile cut is a
+    rank threshold (ceil(0.25·n)) — ordering only, ties on metric
+    name."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    per = lww.groupBy("metric").agg(
+        _avg6(F.sum("cents"), F.count("*")).alias("avg_value")
+    )
+    ranked = per.select(
+        "metric",
+        "avg_value",
+        F.row_number().over(Window.orderBy("avg_value", "metric")).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    cut = F.ceil(F.col("n") * 0.25).cast("long")
+    winners = ranked.where(
+        (F.col("rk") <= cut) | (F.col("rk") >= F.col("n") + 1 - cut)
+    ).select("metric", "avg_value")
+    return lww.join(F.broadcast(winners), "metric").select(
+        "metric", "interval", "value", "avg_value"
+    )
+
+
+G_AVG_OUTSIDE_PCTILE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+per AS (
+  SELECT metric,
+         floor(CAST(sum({CENTS_SQL}) AS DOUBLE) * 10000 / count(*)) / 1000000.0 AS avg_value
+  FROM lww1h GROUP BY metric
+),
+ranked AS (
+  SELECT metric, avg_value,
+         row_number() OVER (ORDER BY avg_value, metric) AS rk,
+         count(*) OVER () AS n
+  FROM per
+),
+winners AS (
+  SELECT metric, avg_value FROM ranked
+  WHERE rk <= CAST(ceil(n * 0.25) AS BIGINT)
+     OR rk >= n + 1 - CAST(ceil(n * 0.25) AS BIGINT)
+)
+SELECT l.metric, l.interval, l.value, w.avg_value
+FROM lww1h l JOIN winners w ON l.metric = w.metric
+"""
+
+
+# ------------------------------------------------------ g_minmax_norm
+def g_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minMax(series): normalize each series to [0, 1] by its own
+    range.  Numerator and denominator are exact integer cent deltas;
+    the single division is correctly rounded on identical inputs.
+    Degenerate flat series (max = min) yield NULL."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    rng = lww.groupBy("metric").agg(
+        F.min("cents").alias("min_c"), F.max("cents").alias("max_c")
+    )
+    return lww.join(F.broadcast(rng), "metric").select(
+        "metric",
+        "interval",
+        F.when(
+            F.col("max_c") > F.col("min_c"),
+            (F.col("cents") - F.col("min_c")).cast("double")
+            / (F.col("max_c") - F.col("min_c")).cast("double"),
+        ).alias("normalized"),
+    )
+
+
+G_MINMAX_NORM_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+rng AS (
+  SELECT metric, min({CENTS_SQL}) AS min_c, max({CENTS_SQL}) AS max_c
+  FROM lww1h GROUP BY metric
+)
+SELECT l.metric, l.interval,
+       CASE WHEN r.max_c > r.min_c
+            THEN CAST({CENTS_SQL} - r.min_c AS DOUBLE) / CAST(r.max_c - r.min_c AS DOUBLE)
+       END AS normalized
+FROM lww1h l JOIN rng r ON l.metric = r.metric
+"""
+
+
+# -------------------------------------------------------- g_timestack
+def g_timestack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeStack(series, "1d", 0, 3): three day-shifted copies of each
+    series overlaid on a common axis — pure projection + union, the
+    window-compare primitive behind day-over-day dashboards."""
+    lww = _lww1h(spark, sf_dir)
+    copies = [
+        lww.select(
+            "metric",
+            F.lit(k).cast("int").alias("shift_days"),
+            (F.col("interval") + F.lit(k * 86400)).alias("interval"),
+            "value",
+        )
+        for k in range(3)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+G_TIMESTACK_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, CAST(k AS INTEGER) AS shift_days,
+       interval + k * 86400 AS interval, value
+FROM lww1h
+CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+"""
+
+
 QUERIES = {
     "g_moving_avg_3": g_moving_avg_3,
     "g_nonneg_derivative": g_nonneg_derivative,
@@ -1994,6 +2350,17 @@ QUERIES = {
     "g_percentile_of_series": g_percentile_of_series,
     "g_moving_extremes": g_moving_extremes,
     "g_interpolate": g_interpolate,
+    "g_aggregate_line": g_aggregate_line,
+    "g_remove_empty": g_remove_empty,
+    "g_stacked": g_stacked,
+    "g_weighted_average": g_weighted_average,
+    "g_pow": g_pow,
+    "g_exp": g_exp,
+    "g_round_to": g_round_to,
+    "g_limit_sorted": g_limit_sorted,
+    "g_avg_outside_pctile": g_avg_outside_pctile,
+    "g_minmax_norm": g_minmax_norm,
+    "g_timestack": g_timestack,
 }
 
 ORACLES = {
@@ -2051,4 +2418,15 @@ ORACLES = {
     "g_percentile_of_series": G_PERCENTILE_OF_SERIES_SQL,
     "g_moving_extremes": G_MOVING_EXTREMES_SQL,
     "g_interpolate": G_INTERPOLATE_SQL,
+    "g_aggregate_line": G_AGGREGATE_LINE_SQL,
+    "g_remove_empty": G_REMOVE_EMPTY_SQL,
+    "g_stacked": G_STACKED_SQL,
+    "g_weighted_average": G_WEIGHTED_AVERAGE_SQL,
+    "g_pow": G_POW_SQL,
+    "g_exp": G_EXP_SQL,
+    "g_round_to": G_ROUND_TO_SQL,
+    "g_limit_sorted": G_LIMIT_SORTED_SQL,
+    "g_avg_outside_pctile": G_AVG_OUTSIDE_PCTILE_SQL,
+    "g_minmax_norm": G_MINMAX_NORM_SQL,
+    "g_timestack": G_TIMESTACK_SQL,
 }
