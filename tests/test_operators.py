@@ -70,6 +70,13 @@ SUBSET = [
     "r_q11_top_value",
     "r_q13_cust_dist",
     "r_q21_waiting",
+    "st_cascade_6h",
+    "s_quantize_int8",
+    "g_interpolate",
+    "g_divide_series",
+    "g_weighted_average",
+    "g_round_to",
+    "g_minmax_norm",
 ]
 
 
