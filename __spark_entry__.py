@@ -121,7 +121,7 @@ _R6_DEFERRED = [
     "g_aggregate_line", "g_remove_empty", "g_stacked",
     "g_weighted_average", "g_pow", "g_exp", "g_round_to",
     "g_limit_sorted", "g_avg_outside_pctile", "g_minmax_norm",
-    "g_timestack",
+    "g_timestack", "w_wsp_export",
 ]
 
 

@@ -1177,9 +1177,59 @@ SELECT * FROM a1
 """
 
 
+# ------------------------------------------------------------ w_wsp_export
+def w_wsp_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED ``.wsp`` sink, end-to-end: the same two-archive
+    consolidation as ``w_wsp_propagate`` (1h:14d, 6h:28d, Average,
+    xff=0.5), but the whisper files are written by ``export_wsp`` —
+    one ``applyInPandas`` group per metric running Create +
+    bounds-checked LWW updates + propagate ring writes inside the
+    Arrow workers, with NO driver-side collect in the write path —
+    then read back through the binaryFile parser.  Same oracle as
+    ``w_wsp_propagate``: if the executor-written bytes differ in any
+    way (header, offsets, ring addressing, consolidated float64), the
+    hash mismatches.  [ref: whisper.go (Create/UpdateMany/propagate)]
+    """
+    from go_whisper_spark.model import SeriesConfig
+    from go_whisper_spark.sources.wsp import export_wsp, read_wsp
+
+    cfg = SeriesConfig.from_defs("1h:14d,6h:28d", "average", 0.5)
+    pts = _points(spark, sf_dir)
+    now = int(pts.agg(F.max("ts")).first()[0])
+    lww28 = _lww(pts, HOUR).where(F.col("interval") > now - 28 * DAY)
+    a0 = lww28.where(F.col("interval") > now - 14 * DAY).select(
+        "metric", F.lit(0).cast("int").alias("archive_id"), "interval", "value"
+    )
+    a1 = (
+        lww28.withColumn("cents", _cents())
+        .withColumn(
+            "interval6",
+            (F.col("interval") - F.col("interval") % F.lit(6 * HOUR)).cast("long"),
+        )
+        .groupBy("metric", "interval6")
+        .agg(F.count("value").alias("known"), F.sum("cents").alias("sc"))
+        .where((F.col("known").cast("double") / F.lit(6.0)) >= F.lit(0.5))
+        .where(F.col("interval6") > now - 28 * DAY)
+        .select(
+            "metric",
+            F.lit(1).cast("int").alias("archive_id"),
+            F.col("interval6").alias("interval"),
+            _avg6(F.col("sc"), F.col("known")).alias("value"),
+        )
+    )
+
+    fixture = _wsp_fixture_dir()
+    # Materialize the sink (one row per written file) before reading.
+    export_wsp(a0.unionByName(a1), fixture, cfg, now).collect()
+    return read_wsp(spark, fixture, root=fixture).select(
+        "metric", "archive_id", "seconds_per_point", "interval", "value"
+    )
+
+
 QUERIES = {
     "w_wsp_roundtrip": w_wsp_roundtrip,
     "w_wsp_propagate": w_wsp_propagate,
+    "w_wsp_export": w_wsp_export,
     "w_lww_1h": w_lww_1h,
     "w_asof_join": w_asof_join,
     "w_session_window_native": w_session_window_native,
@@ -1203,6 +1253,7 @@ QUERIES = {
 ORACLES = {
     "w_wsp_roundtrip": W_WSP_ROUNDTRIP_SQL,
     "w_wsp_propagate": W_WSP_PROPAGATE_SQL,
+    "w_wsp_export": W_WSP_PROPAGATE_SQL,
     "w_lww_1h": W_LWW_1H_SQL,
     "w_asof_join": W_ASOF_SQL,
     "w_session_window_native": W_SESSION_NATIVE_SQL,

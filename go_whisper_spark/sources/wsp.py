@@ -195,6 +195,64 @@ def wsp_write_archive(
             f.write(struct.pack(">Ld", interval, value))
 
 
+def export_wsp(
+    archives, out_dir: str, config: SeriesConfig, now: int
+):
+    """Distributed ``.wsp`` export sink: one byte-compatible whisper
+    file per metric, written inside the Arrow workers — the migration
+    path back from the Spark archive store to a whisper file tree (the
+    write-side counterpart of ``read_wsp``).
+
+    ``archives``: DataFrame ``(metric, archive_id int, interval long,
+    value double)`` — archive 0 rows go through the bounds-checked LWW
+    writer (``wsp_update_many``), lower archives through the propagate
+    ring writer (``wsp_write_archive``).  One ``applyInPandas`` group
+    per metric = one file per task; at 100 TB the shuffle key is the
+    metric (whisper's one-file-per-metric layout IS the partitioning),
+    and file writes scale with executors.  Returns ``(metric, path,
+    n_points)``.
+
+    ``out_dir`` must be a filesystem every executor can reach
+    (local[N]/NFS/fuse mount); for object stores, point it at a local
+    scratch and upload per group.
+    [ref: whisper.go (func Create; func (*Whisper) UpdateMany;
+    propagate — lower-archive WriteAt)]
+    """
+    # Rebuild the config inside the worker from primitives (keeps the
+    # closure pickle-stable across Spark/cloudpickle versions).
+    defs = ",".join(
+        f"{r.seconds_per_point}s:{r.seconds_per_point * r.points}s"
+        for r in config.retentions
+    )
+    method = config.aggregation_method.name.lower()
+    xff = config.x_files_factor
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(key, pdf):
+        metric = key[0]
+        # path-traversal guard: the metric IS the filename
+        assert os.sep not in metric and metric == os.path.basename(metric), metric
+        cfg = SeriesConfig.from_defs(defs, method, xff)
+        path = os.path.join(out_dir, f"{metric}.wsp")
+        create_wsp(path, cfg)
+        a0 = pdf[pdf["archive_id"] == 0]
+        wsp_update_many(
+            path, list(zip(a0["interval"].astype(int), a0["value"])), now
+        )
+        for aid in sorted(int(a) for a in set(pdf["archive_id"]) if a != 0):
+            sub = pdf[pdf["archive_id"] == aid]
+            wsp_write_archive(
+                path, aid, list(zip(sub["interval"].astype(int), sub["value"]))
+            )
+        return pd.DataFrame(
+            [{"metric": metric, "path": path, "n_points": len(pdf)}]
+        )
+
+    return archives.groupBy("metric").applyInPandas(
+        _write, schema="metric string, path string, n_points long"
+    )
+
+
 def wsp_update_many(
     path: str, points: Iterable[Tuple[int, float]], now: int
 ) -> None:

@@ -125,3 +125,47 @@ def test_wsp_ring_wraparound(spark, tmp_path):
     # newest five intervals survive with their values
     for i in range(3, 8):
         assert rows[NOW - (7 - i) * 60] == float(i)
+
+
+def test_export_wsp_distributed(spark, tmp_path):
+    """The distributed sink writes byte-identical files to what the
+    driver-side writers produce: export a two-metric, two-archive frame
+    through applyInPandas, then compare every file byte-for-byte
+    against a driver-side reference build."""
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.sources.wsp import (
+        export_wsp,
+        wsp_write_archive,
+    )
+
+    cfg = SeriesConfig.from_defs("60s:1h,300s:6h", "average", 0.5)
+    a0 = [(m, 0, NOW - k * 60, float(10 * i + k))
+          for i, m in enumerate(("alpha", "beta")) for k in range(10)]
+    a1 = [(m, 1, NOW - NOW % 300 - k * 300, float(100 * i + k))
+          for i, m in enumerate(("alpha", "beta")) for k in range(4)]
+    df = spark.createDataFrame(
+        a0 + a1, "metric string, archive_id int, interval long, value double"
+    )
+
+    out = str(tmp_path / "export")
+    res = {r["metric"]: r for r in export_wsp(df, out, cfg, NOW).collect()}
+    assert set(res) == {"alpha", "beta"}
+    assert all(r["n_points"] == 14 for r in res.values())
+
+    ref = str(tmp_path / "ref")
+    os.makedirs(ref)
+    for i, m in enumerate(("alpha", "beta")):
+        p = os.path.join(ref, f"{m}.wsp")
+        create_wsp(p, cfg)
+        wsp_update_many(
+            p, [(NOW - k * 60, float(10 * i + k)) for k in range(10)], NOW
+        )
+        wsp_write_archive(
+            p, 1,
+            [(NOW - NOW % 300 - k * 300, float(100 * i + k)) for k in range(4)],
+        )
+    for m in ("alpha", "beta"):
+        got = open(os.path.join(out, f"{m}.wsp"), "rb").read()
+        want = open(os.path.join(ref, f"{m}.wsp"), "rb").read()
+        assert got == want, f"{m}: exported bytes differ"
