@@ -122,6 +122,8 @@ _R6_DEFERRED = [
     "g_weighted_average", "g_pow", "g_exp", "g_round_to",
     "g_limit_sorted", "g_avg_outside_pctile", "g_minmax_norm",
     "g_timestack", "w_wsp_export",
+    "g_moving_sum", "g_transform_null", "g_alias_by_metric",
+    "g_use_series_above", "g_diff_vs_yesterday", "g_count_series",
 ]
 
 

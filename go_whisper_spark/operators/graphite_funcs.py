@@ -2294,6 +2294,242 @@ CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
 """
 
 
+# =====================================================================
+# Round-6 batch 3 (67-72): moving sum, the null-handling family, path
+# aliasing, renamed selectors, and day-over-day differencing.
+
+
+# --------------------------------------------------------- g_moving_sum
+def g_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """movingSum(series, 4): rolling sum of the current + 3 preceding
+    known slots.  Exact via integer cents."""
+    w = Window.partitionBy("metric").orderBy("interval").rowsBetween(-3, 0)
+    return _lww1h(spark, sf_dir).withColumn("cents", _cents()).select(
+        "metric",
+        "interval",
+        (F.sum("cents").over(w).cast("double") / F.lit(100.0)).alias("moving_sum"),
+    )
+
+
+G_MOVING_SUM_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       CAST(sum({CENTS_SQL}) OVER (PARTITION BY metric ORDER BY interval
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS moving_sum
+FROM lww1h
+"""
+
+
+# ------------------------------------------------------ g_transform_null
+def g_transform_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformNull(series, 0) over the dense last-3-days grid: gaps
+    become 0 (the render default for stacked charts); the companion
+    isNonNull indicator rides along.  Pure coalesce — no arithmetic."""
+    from go_whisper_spark.operators.whisper_queries import w_fetch_dense_3d
+
+    dense = w_fetch_dense_3d(spark, sf_dir)
+    return dense.select(
+        "metric",
+        "interval",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("filled"),
+        F.when(F.col("value").isNotNull(), 1).otherwise(0).cast("long").alias("known"),
+    )
+
+
+G_TRANSFORM_NULL_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+bounds AS (
+  SELECT (max(ts_sec) - 259200) - (max(ts_sec) - 259200) % 3600 + 3600 AS from_iv,
+         max(ts_sec) - max(ts_sec) % 3600 + 3600 AS until_iv
+  FROM pts
+),
+spine AS (
+  SELECT m.metric, s.interval
+  FROM (SELECT DISTINCT metric FROM pts) m
+  CROSS JOIN (
+    SELECT unnest(generate_series(from_iv, until_iv - 3600, 3600)) AS interval
+    FROM bounds
+  ) s
+),
+dense AS (
+  SELECT spine.metric, spine.interval, lww1h.value
+  FROM spine LEFT JOIN lww1h
+    ON lww1h.metric = spine.metric AND lww1h.interval = spine.interval
+)
+SELECT metric, interval,
+       coalesce(value, 0.0) AS filled,
+       CAST(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS known
+FROM dense
+"""
+
+
+# ----------------------------------------------------- g_alias_by_metric
+def g_alias_by_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aliasByMetric(seriesList): rename each series to the LAST node
+    of its dotted path (the ``metric.uX`` layout of ``g_alias_sub``).
+    String split only."""
+    from go_whisper_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        F.concat(
+            F.col("event_type"), F.lit(".u"), (F.col("user_id") % 4).cast("string")
+        ).alias("path"),
+        F.col("ts_sec").alias("ts"),
+        "value",
+        F.col("event_id").alias("write_seq"),
+    )
+    lww = (
+        pts.withColumn("interval", (F.col("ts") - F.col("ts") % F.lit(HOUR)).cast("long"))
+        .groupBy("path", "interval")
+        .agg(F.max_by("value", "write_seq").alias("value"))
+    )
+    return lww.select(
+        F.element_at(F.split("path", r"\."), -1).alias("alias"),
+        "path",
+        "interval",
+        "value",
+    )
+
+
+G_ALIAS_BY_METRIC_SQL = """
+WITH pths AS (
+  SELECT event_type || '.u' || CAST(user_id % 4 AS VARCHAR) AS path,
+         epoch_ns(ts) // 1000000000 AS ts_sec,
+         value, event_id AS write_seq
+  FROM events
+),
+lwwp AS (
+  SELECT path, ts_sec - ts_sec % 3600 AS interval,
+         arg_max(value, write_seq) AS value
+  FROM pths GROUP BY 1, 2
+)
+SELECT list_extract(string_split(path, '.'), -1) AS alias, path, interval, value
+FROM lwwp
+"""
+
+
+# -------------------------------------------------- g_use_series_above
+def g_use_series_above(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """useSeriesAbove(seriesList, 360, "^", "hot."): keep series whose
+    peak exceeds the threshold AND rename them (prefix substitution) —
+    Graphite's select-then-switch-series idiom, here selection + regex
+    rename in one relation."""
+    lww = _lww1h(spark, sf_dir)
+    winners = (
+        lww.groupBy("metric")
+        .agg(F.max("value").alias("max_value"))
+        .where(F.col("max_value") > 360.0)
+        .select("metric", F.regexp_replace("metric", "^", "hot.").alias("alias"))
+    )
+    return lww.join(F.broadcast(winners), "metric").select(
+        "alias", "metric", "interval", "value"
+    )
+
+
+G_USE_SERIES_ABOVE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+winners AS (
+  SELECT metric, 'hot.' || metric AS alias
+  FROM lww1h GROUP BY metric
+  HAVING max(value) > 360.0
+)
+SELECT w.alias, l.metric, l.interval, l.value
+FROM lww1h l JOIN winners w ON l.metric = w.metric
+"""
+
+
+# ------------------------------------------------- g_diff_vs_yesterday
+def g_diff_vs_yesterday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diffSeries(series, timeShift(series, "1d")): day-over-day delta
+    — each slot minus the same slot 24 h earlier, NULL where yesterday
+    has no value.  Exact via integer cents; the shifted copy joins on
+    (metric, interval−86400), the same equi-join key layout as the
+    archive tables (bucketed → no exchange)."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    today = lww.select("metric", "interval", "value", "cents")
+    yday = lww.select(
+        F.col("metric").alias("y_metric"),
+        (F.col("interval") + F.lit(86400)).alias("y_interval"),
+        F.col("cents").alias("y_cents"),
+    )
+    return (
+        today.join(
+            yday,
+            (F.col("metric") == F.col("y_metric"))
+            & (F.col("interval") == F.col("y_interval")),
+            "left",
+        )
+        .select(
+            "metric",
+            "interval",
+            "value",
+            ((F.col("cents") - F.col("y_cents")).cast("double") / F.lit(100.0)).alias(
+                "dod_delta"
+            ),
+        )
+    )
+
+
+G_DIFF_VS_YESTERDAY_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT t.metric, t.interval, t.value,
+       CAST(CAST(round(t.value * 100) AS BIGINT)
+            - CAST(round(y.value * 100) AS BIGINT) AS DOUBLE) / 100.0 AS dod_delta
+FROM lww1h t
+LEFT JOIN lww1h y
+  ON y.metric = t.metric AND y.interval + 86400 = t.interval
+"""
+
+
+# ------------------------------------------------------ g_count_series
+def g_count_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isNonNull folded across the list: per slot, how many series are
+    known on the dense grid and which fraction that is — the
+    per-interval completeness relation behind removeEmptySeries-style
+    dashboards.  Exact: integer counts, one final division of small
+    ints."""
+    from go_whisper_spark.operators.whisper_queries import w_fetch_dense_3d
+
+    dense = w_fetch_dense_3d(spark, sf_dir)
+    return dense.groupBy("interval").agg(
+        F.count("value").alias("n_known"),
+        F.count("*").alias("n_series"),
+        (F.count("value").cast("double") / F.count("*").cast("double")).alias(
+            "known_frac"
+        ),
+    )
+
+
+G_COUNT_SERIES_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+bounds AS (
+  SELECT (max(ts_sec) - 259200) - (max(ts_sec) - 259200) % 3600 + 3600 AS from_iv,
+         max(ts_sec) - max(ts_sec) % 3600 + 3600 AS until_iv
+  FROM pts
+),
+spine AS (
+  SELECT m.metric, s.interval
+  FROM (SELECT DISTINCT metric FROM pts) m
+  CROSS JOIN (
+    SELECT unnest(generate_series(from_iv, until_iv - 3600, 3600)) AS interval
+    FROM bounds
+  ) s
+),
+dense AS (
+  SELECT spine.metric, spine.interval, lww1h.value
+  FROM spine LEFT JOIN lww1h
+    ON lww1h.metric = spine.metric AND lww1h.interval = spine.interval
+)
+SELECT interval,
+       count(value) AS n_known,
+       count(*) AS n_series,
+       CAST(count(value) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS known_frac
+FROM dense
+GROUP BY interval
+"""
+
+
 QUERIES = {
     "g_moving_avg_3": g_moving_avg_3,
     "g_nonneg_derivative": g_nonneg_derivative,
@@ -2361,6 +2597,12 @@ QUERIES = {
     "g_avg_outside_pctile": g_avg_outside_pctile,
     "g_minmax_norm": g_minmax_norm,
     "g_timestack": g_timestack,
+    "g_moving_sum": g_moving_sum,
+    "g_transform_null": g_transform_null,
+    "g_alias_by_metric": g_alias_by_metric,
+    "g_use_series_above": g_use_series_above,
+    "g_diff_vs_yesterday": g_diff_vs_yesterday,
+    "g_count_series": g_count_series,
 }
 
 ORACLES = {
@@ -2429,4 +2671,10 @@ ORACLES = {
     "g_avg_outside_pctile": G_AVG_OUTSIDE_PCTILE_SQL,
     "g_minmax_norm": G_MINMAX_NORM_SQL,
     "g_timestack": G_TIMESTACK_SQL,
+    "g_moving_sum": G_MOVING_SUM_SQL,
+    "g_transform_null": G_TRANSFORM_NULL_SQL,
+    "g_alias_by_metric": G_ALIAS_BY_METRIC_SQL,
+    "g_use_series_above": G_USE_SERIES_ABOVE_SQL,
+    "g_diff_vs_yesterday": G_DIFF_VS_YESTERDAY_SQL,
+    "g_count_series": G_COUNT_SERIES_SQL,
 }
