@@ -363,14 +363,62 @@ SELECT CAST(1 AS INTEGER) AS archive_id, metric, interval, value FROM a1
 """
 
 
+# ---------------------------------------------------------- st_derivative
+def st_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (``applyInPandasWithState``) under
+    the oracle: per-metric derivative with (last_ts, last_value) state
+    carried ACROSS micro-batches.  The 3-pass replay makes the
+    processing order fully deterministic — pass k is one micro-batch,
+    and within a batch the operator sorts by (ts, write_seq) — so the
+    emitted deltas equal a batch ``lag`` over the ordering
+    (arrive, ts, write_seq), which is exactly what the oracle states.
+    The cross-pass late rows of the harness produce the documented
+    negative-dt deltas (state is trigger-ordered, not re-sorted), so
+    the oracle also pins that semantic.  Raw double subtraction — no
+    rounding needed.  [ref: SURVEY §2B UDF/state row; whisper has no
+    streaming surface]
+    """
+    from go_whisper_spark.streaming.stateful import streaming_derivative
+
+    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
+    t0 = int(pts.agg(F.min("ts")).first()[0])
+    marked = pts.withColumn("arrive", _arrive(t0))
+    out = _replay(spark, marked, streaming_derivative)
+    # dt is a NULLABLE integer (first point per metric): emit as double
+    # on both sides — a nullable BIGINT oracle column surfaces as
+    # float64 through the driver's pandas materialization.
+    return spark.read.parquet(out).select(
+        "metric", "ts", "value", "delta", F.col("dt").cast("double").alias("dt")
+    )
+
+
+ST_DERIVATIVE_SQL = f"""
+WITH pts AS (
+  SELECT event_type AS metric,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+{_MARKED_CTE}
+SELECT metric, ts, value,
+       value - lag(value) OVER w AS delta,
+       CAST(ts - lag(ts) OVER w AS DOUBLE) AS dt
+FROM marked
+WINDOW w AS (PARTITION BY metric ORDER BY arrive, ts, seq)
+"""
+
+
 QUERIES = {
     "st_rollup_lww_1h": st_rollup_lww_1h,
     "st_sessions_30m": st_sessions_30m,
     "st_cascade_6h": st_cascade_6h,
+    "st_derivative": st_derivative,
 }
 
 ORACLES = {
     "st_rollup_lww_1h": ST_ROLLUP_LWW_1H_SQL,
     "st_sessions_30m": ST_SESSIONS_30M_SQL,
     "st_cascade_6h": ST_CASCADE_6H_SQL,
+    "st_derivative": ST_DERIVATIVE_SQL,
 }

@@ -40,9 +40,13 @@ def _derivative_fn(
         last_ts, last_value = state.get
     else:
         last_ts, last_value = None, None
+    # Concat BEFORE sorting: Arrow may deliver one group as several
+    # chunks in shuffle order, and sorting each chunk separately would
+    # break the global (ts, write_seq) order the delta depends on.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
     out_rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "write_seq"])
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "write_seq"])
         for ts, value in zip(pdf["ts"], pdf["value"]):
             ts = int(ts)
             value = float(value)
