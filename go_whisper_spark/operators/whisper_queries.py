@@ -1226,10 +1226,65 @@ def w_wsp_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- w_carbon_ingest
+def w_carbon_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The carbon line-protocol ingest path under the oracle: events
+    rendered as ``metric value epoch-seconds`` lines (a DISTRIBUTED
+    ``write.text`` — executors format their partitions; Spark's
+    shortest-repr double→string is parse-exact, so the value round-
+    trips bit-for-bit), salted with deterministic malformed lines that
+    the tolerant parser must drop, re-parsed by ``read_carbon``, then
+    rolled to a per-slot MAX archive (carbon lines carry no write
+    sequence, so the slot aggregate must be order-free — max — rather
+    than LWW).  The oracle computes the same slots straight from
+    ``events``: any parse drift, format drift, or un-dropped garbage
+    line changes the hash.  [ref: graphite feeding-carbon docs;
+    whisper.go (UpdateMany ≙ the post-parse ingest)]
+    """
+    from go_whisper_spark.sources.carbon import read_carbon
+
+    pts = _points(spark, sf_dir)
+    lines = pts.select(
+        F.concat_ws(
+            " ",
+            "metric",
+            F.col("value").cast("string"),
+            F.col("ts").cast("string"),
+        ).alias("value")
+    )
+    garbage = spark.createDataFrame(
+        [("not-a-line",), ("metric.only 12.5",), ("m one 1700000000",)],
+        "value string",
+    )
+    fixture = os.path.join(_wsp_fixture_dir(), "carbon")
+    lines.unionByName(garbage).write.mode("overwrite").text(fixture)
+
+    parsed = read_carbon(spark, fixture)
+    return (
+        parsed.withColumn(
+            "interval", (F.col("ts") - F.col("ts") % F.lit(HOUR)).cast("long")
+        )
+        .groupBy("metric", "interval")
+        .agg(F.max("value").alias("max_value"), F.count("*").alias("n_lines"))
+    )
+
+
+W_CARBON_INGEST_SQL = f"""
+WITH {PTS_CTE}
+SELECT metric,
+       ts_sec - ts_sec % 3600 AS interval,
+       max(value) AS max_value,
+       count(*) AS n_lines
+FROM pts
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "w_wsp_roundtrip": w_wsp_roundtrip,
     "w_wsp_propagate": w_wsp_propagate,
     "w_wsp_export": w_wsp_export,
+    "w_carbon_ingest": w_carbon_ingest,
     "w_lww_1h": w_lww_1h,
     "w_asof_join": w_asof_join,
     "w_session_window_native": w_session_window_native,
@@ -1254,6 +1309,7 @@ ORACLES = {
     "w_wsp_roundtrip": W_WSP_ROUNDTRIP_SQL,
     "w_wsp_propagate": W_WSP_PROPAGATE_SQL,
     "w_wsp_export": W_WSP_PROPAGATE_SQL,
+    "w_carbon_ingest": W_CARBON_INGEST_SQL,
     "w_lww_1h": W_LWW_1H_SQL,
     "w_asof_join": W_ASOF_SQL,
     "w_session_window_native": W_SESSION_NATIVE_SQL,

@@ -77,6 +77,13 @@ SUBSET = [
     "g_weighted_average",
     "g_round_to",
     "g_minmax_norm",
+    "st_derivative",
+    "w_wsp_export",
+    "g_moving_sum",
+    "g_transform_null",
+    "g_diff_vs_yesterday",
+    "g_avg_outside_pctile",
+    "w_carbon_ingest",
 ]
 
 

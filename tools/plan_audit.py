@@ -130,6 +130,29 @@ CHECKS = {
         require=["partial_min", "Window", "BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
+    "r_q10_returns": dict(
+        require=["BroadcastHashJoin", "TakeOrderedAndProject"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
+    # Q13: left outer against pre-filtered orders, two-level count —
+    # both aggregates must combine map-side.
+    "r_q13_cust_dist": dict(
+        require=["partial_count"],
+        forbid=["CartesianProduct"],
+    ),
+    # int8 quantization: pure narrow map — any exchange is a bug.
+    "s_quantize_int8": dict(require=[], forbid=["Exchange"]),
+    # stacked: one window over (interval, metric-order); no join.
+    "g_stacked": dict(
+        require=["Window"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    # day-over-day diff: equi-join on (metric, shifted interval) —
+    # never a nested-loop.
+    "g_diff_vs_yesterday": dict(
+        require=[],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
