@@ -2073,6 +2073,103 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------- d_norm_dedup
+def d_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact-dedup: the pipeline stage between exact
+    and near dedup — lowercase, collapse every non-alphanumeric run to
+    one space, trim, then hash-group.  Catches whitespace/punctuation/
+    case variants that raw-text md5 misses but shingle similarity
+    wastes a join on.  Emitted per doc: the normalized digest, its
+    dedup group size (this corpus has no such variants, so sizes are
+    honestly 1 — the grouping mechanism is still fully hash-pinned),
+    whether normalization changed the text, and the normalized length.
+    Scale shape = ``d_exact_dedup``: hash groupBy on the digest.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    per_doc = d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        (norm != F.col("text")).cast("long").alias("changed"),
+        F.length(norm).alias("norm_len"),
+    )
+    grp = per_doc.groupBy("norm_hash").agg(
+        F.count("*").alias("group_size"), F.min("doc_id").alias("keeper")
+    )
+    return per_doc.join(grp, "norm_hash").select(
+        "doc_id", "norm_hash", "group_size", "keeper", "changed", "norm_len"
+    )
+
+
+D_NORM_DEDUP_SQL = """
+WITH per_doc AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+         CAST(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> text AS BIGINT) AS changed,
+         length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_len
+  FROM documents
+),
+grp AS (
+  SELECT norm_hash, count(*) AS group_size, min(doc_id) AS keeper
+  FROM per_doc GROUP BY 1
+)
+SELECT doc_id, p.norm_hash, group_size, keeper, changed, norm_len
+FROM per_doc p JOIN grp USING (norm_hash)
+"""
+
+
+# -------------------------------------------------------- d_containment
+def d_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C(A→B) = |A∩B| / |A| — the
+    near-dup measure for SUBSET relationships (a quote inside a longer
+    document has low Jaccard but high containment).  Same inverted-
+    index candidate join as ``d_jaccard_pairs`` (work ∝ shared
+    shingles, never |docs|²); pairs kept where either direction ≥ 0.8.
+    Ratios are round(6) of an exact-integer quotient, like Jaccard.
+    """
+    feats = _doc_features(spark, sf_dir, materialize=True).where(F.col("n_sh") > 0)
+    sh = feats.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("shared"),
+            F.min("a.n_sh").alias("na"),
+            F.min("b.n_sh").alias("nb"),
+        )
+    )
+    return (
+        shared.select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(F.col("shared").cast("double") / F.col("na"), 6).alias("cont_ab"),
+            F.round(F.col("shared").cast("double") / F.col("nb"), 6).alias("cont_ba"),
+        )
+        .where((F.col("cont_ab") >= 0.8) | (F.col("cont_ba") >= 0.8))
+    )
+
+
+D_CONTAINMENT_SQL = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       round(CAST(shared AS DOUBLE) / sa.n_sh, 6) AS cont_ab,
+       round(CAST(shared AS DOUBLE) / sb.n_sh, 6) AS cont_ba
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(shared AS DOUBLE) / sa.n_sh, 6) >= 0.8
+   OR round(CAST(shared AS DOUBLE) / sb.n_sh, 6) >= 0.8
+"""
+
+
 # ------------------------------------------------------- s_quantize_int8
 def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the
@@ -2167,6 +2264,8 @@ QUERIES = {
     "t_tfidf_top3": t_tfidf_top3,
     "t_word_freq": t_word_freq,
     "s_quantize_int8": s_quantize_int8,
+    "d_norm_dedup": d_norm_dedup,
+    "d_containment": d_containment,
 }
 
 ORACLES = {
@@ -2198,4 +2297,6 @@ ORACLES = {
     "t_tfidf_top3": T_TFIDF_SQL,
     "t_word_freq": T_WORD_FREQ_SQL,
     "s_quantize_int8": S_QUANTIZE_INT8_SQL,
+    "d_norm_dedup": D_NORM_DEDUP_SQL,
+    "d_containment": D_CONTAINMENT_SQL,
 }

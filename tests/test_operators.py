@@ -84,6 +84,8 @@ SUBSET = [
     "g_diff_vs_yesterday",
     "g_avg_outside_pctile",
     "w_carbon_ingest",
+    "d_norm_dedup",
+    "d_containment",
 ]
 
 
