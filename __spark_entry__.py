@@ -125,6 +125,7 @@ _R6_DEFERRED = [
     "g_moving_sum", "g_transform_null", "g_alias_by_metric",
     "g_use_series_above", "g_diff_vs_yesterday", "g_count_series",
     "st_derivative", "w_carbon_ingest", "d_norm_dedup", "d_containment",
+    "r_grouping_sets", "g_area_between", "t_sentence_stats",
 ]
 
 

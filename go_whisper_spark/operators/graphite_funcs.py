@@ -2530,6 +2530,48 @@ GROUP BY interval
 """
 
 
+# --------------------------------------------------------- g_area_between
+def g_area_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """areaBetween(click, view): the per-slot band between two named
+    series — low/high bounds plus the band width.  min/max of raw
+    doubles are float-exact; the width is one exact cent subtraction.
+    Conditional aggregates (no self-join), like ``g_divide_series``."""
+    lww = _lww1h(spark, sf_dir).where(F.col("metric").isin("click", "view"))
+    per = lww.groupBy("interval").agg(
+        F.max(F.when(F.col("metric") == "click", F.col("value"))).alias("click_v"),
+        F.max(F.when(F.col("metric") == "view", F.col("value"))).alias("view_v"),
+        F.max(F.when(F.col("metric") == "click", _cents())).alias("click_c"),
+        F.max(F.when(F.col("metric") == "view", _cents())).alias("view_c"),
+    )
+    return per.select(
+        "interval",
+        F.least("click_v", "view_v").alias("band_low"),
+        F.greatest("click_v", "view_v").alias("band_high"),
+        (
+            F.abs(F.col("click_c") - F.col("view_c")).cast("double") / F.lit(100.0)
+        ).alias("band_width"),
+    )
+
+
+G_AREA_BETWEEN_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+per AS (
+  SELECT interval,
+         max(CASE WHEN metric = 'click' THEN value END) AS click_v,
+         max(CASE WHEN metric = 'view' THEN value END) AS view_v,
+         max(CASE WHEN metric = 'click' THEN {CENTS_SQL} END) AS click_c,
+         max(CASE WHEN metric = 'view' THEN {CENTS_SQL} END) AS view_c
+  FROM lww1h WHERE metric IN ('click', 'view')
+  GROUP BY interval
+)
+SELECT interval,
+       least(click_v, view_v) AS band_low,
+       greatest(click_v, view_v) AS band_high,
+       CAST(abs(click_c - view_c) AS DOUBLE) / 100.0 AS band_width
+FROM per
+"""
+
+
 QUERIES = {
     "g_moving_avg_3": g_moving_avg_3,
     "g_nonneg_derivative": g_nonneg_derivative,
@@ -2603,6 +2645,7 @@ QUERIES = {
     "g_use_series_above": g_use_series_above,
     "g_diff_vs_yesterday": g_diff_vs_yesterday,
     "g_count_series": g_count_series,
+    "g_area_between": g_area_between,
 }
 
 ORACLES = {
@@ -2677,4 +2720,5 @@ ORACLES = {
     "g_use_series_above": G_USE_SERIES_ABOVE_SQL,
     "g_diff_vs_yesterday": G_DIFF_VS_YESTERDAY_SQL,
     "g_count_series": G_COUNT_SERIES_SQL,
+    "g_area_between": G_AREA_BETWEEN_SQL,
 }

@@ -2170,6 +2170,75 @@ WHERE round(CAST(shared AS DOUBLE) / sa.n_sh, 6) >= 0.8
 """
 
 
+# ------------------------------------------------------ t_sentence_stats
+def t_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level quality stats per document: sentence count
+    (split on [.!?]+ runs, whitespace-only fragments dropped), total
+    words across sentences, floor-truncated mean words-per-sentence,
+    and the longest sentence in characters (trimmed).  All counts are
+    exact integers from built-in higher-order functions — the
+    sentence-length signal LLM data filters use alongside ``t_quality``
+    (too-long / single-sentence documents are low-quality markers).
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    sents = F.filter(
+        F.transform(
+            F.split(F.lower("text"), r"[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: F.length(s) > 0,
+    )
+    words_per = F.transform(
+        sents, lambda s: F.size(F.regexp_extract_all(s, F.lit("[a-z0-9]+"), 0))
+    )
+    total_words = F.aggregate(
+        words_per, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    out = d.select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sentences"),
+        total_words.alias("total_words"),
+        F.array_max(F.transform(sents, F.length)).cast("long").alias("max_sent_chars"),
+    )
+    return out.select(
+        "doc_id",
+        "n_sentences",
+        "total_words",
+        F.when(
+            F.col("n_sentences") > 0,
+            F.floor(
+                F.col("total_words").cast("double") * 1_000_000 / F.col("n_sentences")
+            )
+            / F.lit(1_000_000.0),
+        ).alias("mean_words_per_sent"),
+        "max_sent_chars",
+    )
+
+
+T_SENTENCE_STATS_SQL = """
+WITH per AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(lower(text), '[.!?]+'),
+                                    s -> trim(s)),
+                     s -> length(s) > 0) AS sents
+  FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         CAST(len(sents) AS BIGINT) AS n_sentences,
+         CAST(coalesce(list_sum(list_transform(sents,
+                s -> len(regexp_extract_all(s, '[a-z0-9]+')))), 0) AS BIGINT) AS total_words,
+         CAST(list_max(list_transform(sents, s -> length(s))) AS BIGINT) AS max_sent_chars
+  FROM per
+)
+SELECT doc_id, n_sentences, total_words,
+       CASE WHEN n_sentences > 0
+            THEN floor(CAST(total_words AS DOUBLE) * 1000000 / n_sentences) / 1000000.0
+       END AS mean_words_per_sent,
+       max_sent_chars
+FROM stats
+"""
+
+
 # ------------------------------------------------------- s_quantize_int8
 def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the
@@ -2266,6 +2335,7 @@ QUERIES = {
     "s_quantize_int8": s_quantize_int8,
     "d_norm_dedup": d_norm_dedup,
     "d_containment": d_containment,
+    "t_sentence_stats": t_sentence_stats,
 }
 
 ORACLES = {
@@ -2299,4 +2369,5 @@ ORACLES = {
     "s_quantize_int8": S_QUANTIZE_INT8_SQL,
     "d_norm_dedup": D_NORM_DEDUP_SQL,
     "d_containment": D_CONTAINMENT_SQL,
+    "t_sentence_stats": T_SENTENCE_STATS_SQL,
 }

@@ -1619,6 +1619,43 @@ LIMIT 20
 """
 
 
+# -------------------------------------------------------- r_grouping_sets
+def r_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — the generalized form
+    behind CUBE/ROLLUP (both already covered): per (status, priority),
+    per status, and the grand total in ONE aggregate pass.  Catalyst
+    expands the sets AFTER the partial aggregate, so the shuffle still
+    carries one row per (set, group).  Revenue is an exact cent sum.
+    """
+    o = _t(spark, sf_dir, "orders")
+    o.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    ).createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               count(*) AS n_orders,
+               CAST(sum(price_c) AS DOUBLE) / 100.0 AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+R_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 QUERIES = {
     "r_q1_pricing": r_q1_pricing,
     "r_corr_scalar_sub": r_corr_scalar_sub,
@@ -1659,6 +1696,7 @@ QUERIES = {
     "r_q18_large_volume": r_q18_large_volume,
     "r_q20_part_promo": r_q20_part_promo,
     "r_q21_waiting": r_q21_waiting,
+    "r_grouping_sets": r_grouping_sets,
 }
 
 ORACLES = {
@@ -1701,4 +1739,5 @@ ORACLES = {
     "r_q18_large_volume": R_Q18_SQL,
     "r_q20_part_promo": R_Q20_SQL,
     "r_q21_waiting": R_Q21_SQL,
+    "r_grouping_sets": R_GROUPING_SETS_SQL,
 }

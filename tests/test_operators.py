@@ -86,6 +86,9 @@ SUBSET = [
     "w_carbon_ingest",
     "d_norm_dedup",
     "d_containment",
+    "r_grouping_sets",
+    "g_area_between",
+    "t_sentence_stats",
 ]
 
 
