@@ -44,32 +44,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # the registry is ordered by driver-verification recency: queries the
-# driver has never checked first, then the ones whose last check is
-# oldest, with the most recently checked (round 5's window, 49/50 green
-# in CORRECTNESS_r05) last.  This rotates every query through the
-# driver's 50-entry window across rounds.
-
-# Never oracle-checked by the driver: the 12 graphite analogs added
-# after round 5's window was planned, plus w_approx_stats, whose
-# deterministic KMV/sample-median oracle was registered in round 6
-# (it ran rows-only `no_oracle` in r5).  Genuinely-new round-6 queries
-# sort even earlier (the "not in any list" clause below).
-_NEVER_CHECKED = [
-    "w_approx_stats",
-    "g_absolute", "g_invert", "g_square_root", "g_logarithm",
-    "g_derivative", "g_per_second", "g_series_combine",
-    "g_sort_by_total", "g_exclude", "g_nth_percentile",
-    "g_lowest_average", "g_alias_sub",
-]
-
-# Still last checked in round 1: the 10 of the original 44 rotations
-# that did not fit in round 5's window (CORRECTNESS_r05 re-verified the
-# other 34 green).
-_R01_CHECKED = [
-    "r_window_running", "r_rank_funcs", "r_semi_anti", "r_setops",
-    "r_exists_sql", "r_salted_topk_cust", "r_rollup_orders",
-    "r_json_props", "r_scalar_funcs", "r_date_parts",
-]
+# driver has never checked first (genuinely-new round-7 queries via
+# the "not in any list" clause, then the 25 round-6 deferrals), then
+# the cohort whose last check is oldest (round 4), with the most
+# recently checked (round 6's window, 50/50 green in CORRECTNESS_r06)
+# last.  This rotates every query through the driver's 50-entry
+# window across rounds.
 
 # Last checked (green / rows-only-by-design) in round 4's window.
 _R04_CHECKED = [
@@ -111,12 +91,10 @@ _R05_CHECKED = [
     "r_window_topk_cust",
 ]
 
-# Added late in round 6, after the round-6 window was already full
-# (26 new queries + the 13 never-checked + the 10 remaining round-1
-# rotations).  Pinned by the local exact-typed gate (sf0.01 + sf0.1)
-# and ordered LAST so they front the round-7 window instead of
-# displacing the planned round-6 verification (same policy as round
-# 5's deferral).
+# Added late in round 6, after the round-6 window was already full.
+# Never driver-checked (local exact-typed gate green at sf0.01 +
+# sf0.1), so they FRONT the round-7 window, right after any
+# genuinely-new round-7 queries.
 _R6_DEFERRED = [
     "g_aggregate_line", "g_remove_empty", "g_stacked",
     "g_weighted_average", "g_pow", "g_exp", "g_round_to",
@@ -126,6 +104,29 @@ _R6_DEFERRED = [
     "g_use_series_above", "g_diff_vs_yesterday", "g_count_series",
     "st_derivative", "w_carbon_ingest", "d_norm_dedup", "d_containment",
     "r_grouping_sets", "g_area_between", "t_sentence_stats",
+]
+
+# Checked green in round 6's window (CORRECTNESS_r06, 50/50): the 27
+# queries new in round 6, the 13 previously-never-checked rotations,
+# and the 10 remaining round-1 rotations — most recent, so last.
+_R06_CHECKED = [
+    "r_q6_forecast", "r_q4_order_exists", "r_q8_mkt_share",
+    "r_q9_profit", "r_q10_returns", "r_q11_top_value",
+    "r_q13_cust_dist", "r_q15_top_supplier", "r_q17_small_qty",
+    "r_q18_large_volume", "r_q20_part_promo", "r_q21_waiting",
+    "s_quantize_int8", "g_grep", "g_maximum_above", "g_minimum_below",
+    "g_average_below", "g_highest_current", "g_offset_to_zero",
+    "g_time_slice", "g_changed", "g_delay", "g_divide_series",
+    "g_percentile_of_series", "g_moving_extremes", "g_interpolate",
+    "st_cascade_6h",
+    "w_approx_stats",
+    "g_absolute", "g_invert", "g_square_root", "g_logarithm",
+    "g_derivative", "g_per_second", "g_series_combine",
+    "g_sort_by_total", "g_exclude", "g_nth_percentile",
+    "g_lowest_average", "g_alias_sub",
+    "r_window_running", "r_rank_funcs", "r_semi_anti", "r_setops",
+    "r_exists_sql", "r_salted_topk_cust", "r_rollup_orders",
+    "r_json_props", "r_scalar_funcs", "r_date_parts",
 ]
 
 
@@ -146,15 +147,14 @@ def _registry():
         queries.update(getattr(mod, "QUERIES", {}))
         oracles.update(getattr(mod, "ORACLES", {}))
 
-    seen = (set(_NEVER_CHECKED) | set(_R01_CHECKED) | set(_R04_CHECKED)
-            | set(_R05_CHECKED) | set(_R6_DEFERRED))
+    seen = (set(_R6_DEFERRED) | set(_R04_CHECKED) | set(_R05_CHECKED)
+            | set(_R06_CHECKED))
     order = (
         [n for n in queries if n not in seen]
-        + [n for n in _NEVER_CHECKED if n in queries]
-        + [n for n in _R01_CHECKED if n in queries]
+        + [n for n in _R6_DEFERRED if n in queries]
         + [n for n in _R04_CHECKED if n in queries]
         + [n for n in _R05_CHECKED if n in queries]
-        + [n for n in _R6_DEFERRED if n in queries]
+        + [n for n in _R06_CHECKED if n in queries]
     )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}
