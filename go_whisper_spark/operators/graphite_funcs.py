@@ -2106,22 +2106,30 @@ FROM lww1h
 def g_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exp(scale(series, 0.01)): exponential of the percent-scaled
     series.  libm exp is not correctly rounded, so the result is
-    rounded to 6 dp — valid ONLY because the scaled domain is ≤ ~4.9,
-    keeping exp ≤ ~134 where a ulp is ~1e-14 ≪ 5e-7 (raw exp(value)
-    would reach e^490, where ulp ≫ any decimal rounding).  The 0.01
-    scale itself: cents/10000.0 is one exact division."""
+    floor-truncated to 6 dp (the ``_avg6`` pattern — floor(x*1e6)/1e6
+    is pure binary float math, identical in both engines, unlike
+    engine round() whose decimal-repr-vs-binary semantics diverge) —
+    valid ONLY because the scaled domain is ≤ ~4.9, keeping exp ≤
+    ~134 where a ulp is ~1e-14, so a 1-ulp exp() disagreement crosses
+    a 1e-6 floor boundary only if the true value sits within ~1e-14
+    of one (never exactly on it: exp of a nonzero rational is
+    transcendental).  The 0.01 scale itself: cents/10000.0 is one
+    exact division."""
     scaled = _cents().cast("double") / F.lit(10_000.0)
     return _lww1h(spark, sf_dir).select(
         "metric",
         "interval",
-        F.round(F.exp(scaled), 6).alias("exp_scaled"),
+        (F.floor(F.exp(scaled) * F.lit(1_000_000.0)) / F.lit(1_000_000.0)).alias(
+            "exp_scaled"
+        ),
     )
 
 
 G_EXP_SQL = f"""
 WITH {PTS_CTE}, {LWW_1H_CTE}
 SELECT metric, interval,
-       round(exp(CAST({CENTS_SQL} AS DOUBLE) / 10000.0), 6) AS exp_scaled
+       floor(exp(CAST({CENTS_SQL} AS DOUBLE) / 10000.0) * 1000000.0)
+         / 1000000.0 AS exp_scaled
 FROM lww1h
 """
 

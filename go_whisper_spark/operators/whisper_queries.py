@@ -1244,7 +1244,16 @@ def w_carbon_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_whisper_spark.sources.carbon import read_carbon
 
     pts = _points(spark, sf_dir)
-    lines = pts.select(
+    # concat_ws silently DROPS nulls (a NULL value would emit a 2-field
+    # line the parser rejects while the oracle still counts the row), so
+    # un-sendable rows are excluded explicitly on BOTH sides of the
+    # contract — the generator has no NULLs today, but the query must
+    # not depend on that.
+    lines = pts.where(
+        F.col("metric").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
         F.concat_ws(
             " ",
             "metric",
@@ -1276,6 +1285,7 @@ SELECT metric,
        max(value) AS max_value,
        count(*) AS n_lines
 FROM pts
+WHERE metric IS NOT NULL AND value IS NOT NULL AND ts_sec IS NOT NULL
 GROUP BY 1, 2
 """
 

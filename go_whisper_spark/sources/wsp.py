@@ -230,8 +230,10 @@ def export_wsp(
 
     def _write(key, pdf):
         metric = key[0]
-        # path-traversal guard: the metric IS the filename
-        assert os.sep not in metric and metric == os.path.basename(metric), metric
+        # path-traversal guard: the metric IS the filename (ValueError,
+        # not assert — must survive `python -O` inside executor tasks)
+        if os.sep in metric or metric != os.path.basename(metric):
+            raise ValueError(f"metric is not a safe filename: {metric!r}")
         cfg = SeriesConfig.from_defs(defs, method, xff)
         path = os.path.join(out_dir, f"{metric}.wsp")
         create_wsp(path, cfg)
