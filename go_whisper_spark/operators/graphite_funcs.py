@@ -790,9 +790,16 @@ def g_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential per series, so this is the canonical applyInPandas
     operator: shuffle key = metric (one series per group, the
     reference's one-file-per-metric layout), sequential numpy loop
-    inside the worker.  Rows-only contract entry (recursive smoothing
-    has no closed SQL form; a recursive CTE oracle would pin engine-
-    specific float fold order instead of semantics).
+    inside the worker.
+
+    Oracle: a DuckDB recursive CTE that performs the IDENTICAL
+    per-step IEEE double operations in the identical order (each
+    multiply/add is individually rounded in both engines, no FMA, and
+    α=0.5 / β=0.3 parse to the same doubles), so the fold is
+    bit-identical — the recursion is deterministic, not
+    engine-specific.  (1−α)/(1−β) are spelled as ``1 - 0.5`` /
+    ``1 - 0.3`` in BOTH engines so the constant subtraction rounds
+    the same way.
     """
     import pandas as pd
 
@@ -828,6 +835,37 @@ def g_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         smooth,
         "metric string, interval long, value double, level double, trend double, forecast double",
     )
+
+
+# The recursive term re-derives s_new inside the trend expression so
+# every operand sequence matches the Python loop exactly:
+#   forecast_t = s + b
+#   s_new      = 0.5*x_t + (1 - 0.5)*(s + b)
+#   b_new      = 0.3*(s_new - s) + (1 - 0.3)*b
+G_HOLT_WINTERS_SQL = f"""
+WITH RECURSIVE {PTS_CTE}, {LWW_1H_CTE},
+seq AS (
+  SELECT metric, interval, value,
+         row_number() OVER (PARTITION BY metric ORDER BY interval) AS t
+  FROM lww1h
+),
+hw AS (
+  SELECT metric, t, interval, value,
+         value AS level,
+         CAST(0.0 AS DOUBLE) AS trend,
+         CAST(NULL AS DOUBLE) AS forecast
+  FROM seq WHERE t = 1
+  UNION ALL
+  SELECT s.metric, s.t, s.interval, s.value,
+         0.5 * s.value + (1 - 0.5) * (h.level + h.trend) AS level,
+         0.3 * ((0.5 * s.value + (1 - 0.5) * (h.level + h.trend)) - h.level)
+           + (1 - 0.3) * h.trend AS trend,
+         h.level + h.trend AS forecast
+  FROM hw AS h
+  JOIN seq AS s ON s.metric = h.metric AND s.t = h.t + 1
+)
+SELECT metric, interval, value, level, trend, forecast FROM hw
+"""
 
 
 # ---------------------------------------------------------------- g_scale
@@ -2657,6 +2695,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "g_holt_winters": G_HOLT_WINTERS_SQL,
     "g_moving_avg_3": G_MOVING_AVG_SQL,
     "g_nonneg_derivative": G_NONNEG_SQL,
     "g_sum_series": G_SUM_SERIES_SQL,
