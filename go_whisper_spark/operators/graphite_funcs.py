@@ -2618,6 +2618,166 @@ FROM per
 """
 
 
+# ------------------------------------------------------------- tagged series
+# Graphite tag support (the tagged-series data model: a series is
+# ``name;tag1=v1;tag2=v2``, selected with seriesByTag() and aggregated
+# with groupByTags()).  The tag universe is derived deterministically
+# from events: dc = user_id % 3, host = user_id % 10, name =
+# event_type — so both engines construct the identical series set from
+# first principles, and the Spark side must then PARSE the path back
+# (str_to_map / substring_index) while the oracle re-derives or parses
+# with different primitives (split_part / regexp_extract): any parse
+# drift diverges the hash.  [ref: graphite tags docs — tagged carbon
+# paths; whisper.go stores one file per path, tags included]
+
+
+def _tagged_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as TAGGED whisper points: path = name;dc=..;host=.."""
+    from go_whisper_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = F.concat(
+        F.col("event_type"),
+        F.lit(";dc=dc"), (F.col("user_id") % 3).cast("string"),
+        F.lit(";host=h"), (F.col("user_id") % 10).cast("string"),
+    )
+    return ev.select(
+        path.alias("metric"),
+        F.col("ts_sec").alias("ts"),
+        F.col("value"),
+        F.col("event_id").alias("write_seq"),
+    )
+
+
+TAGGED_CTE = """tagged AS (
+  SELECT event_type || ';dc=dc' || CAST(user_id % 3 AS VARCHAR)
+           || ';host=h' || CAST(user_id % 10 AS VARCHAR) AS metric,
+         epoch_ns(ts) // 1000000000 AS ts_sec,
+         value,
+         event_id AS write_seq
+  FROM events
+)"""
+
+TAGGED_LWW_CTE = """tlww AS (
+  SELECT metric,
+         ts_sec - ts_sec % 3600 AS interval,
+         arg_max(value, write_seq) AS value
+  FROM tagged
+  GROUP BY 1, 2
+)"""
+
+
+# ---------------------------------------------------------- g_tag_select
+def g_tag_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seriesByTag('name=~^(click|error)$', 'dc=dc1'): select tagged
+    series by a name regex plus an exact tag match, then render their
+    1h LWW slots.  The tag predicate is evaluated on the PARSED path
+    (substring_index + str_to_map), not on the base columns, so the
+    round-trip through the tagged-path encoding is what's pinned."""
+    lww = _lww(_tagged_points(spark, sf_dir), HOUR)
+    tags = F.expr("str_to_map(substring_index(metric, ';', -2), ';', '=')")
+    return (
+        lww.withColumn("name", F.substring_index("metric", ";", 1))
+        .withColumn("tags", tags)
+        .where(
+            F.col("name").rlike("^(click|error)$")
+            & (F.col("tags")["dc"] == "dc1")
+        )
+        .select(
+            "metric",
+            "name",
+            F.col("tags")["host"].alias("host"),
+            "interval",
+            "value",
+        )
+    )
+
+
+G_TAG_SELECT_SQL = f"""
+WITH {TAGGED_CTE}, {TAGGED_LWW_CTE}
+SELECT metric,
+       split_part(metric, ';', 1) AS name,
+       replace(split_part(metric, ';', 3), 'host=', '') AS host,
+       interval,
+       value
+FROM tlww
+WHERE regexp_matches(split_part(metric, ';', 1), '^(click|error)$')
+  AND split_part(metric, ';', 2) = 'dc=dc1'
+"""
+
+
+# ----------------------------------------------------------- g_tag_group
+def g_tag_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupByTags(seriesByTag('name=~.*'), 'sum', 'dc'): aggregate the
+    whole tagged universe down to (name, dc) — every host's series
+    summed per slot.  Exact integer cents for the cross-series sum
+    (float sum order differs between engines); n_series counts the
+    distinct member series with data in the slot."""
+    lww = _lww(_tagged_points(spark, sf_dir), HOUR).withColumn("cents", _cents())
+    return (
+        lww.withColumn("name", F.substring_index("metric", ";", 1))
+        .withColumn("dc", F.regexp_extract("metric", ";dc=([^;]+)", 1))
+        .groupBy("name", "dc", "interval")
+        .agg(
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+            F.count("*").alias("n_series"),
+        )
+    )
+
+
+G_TAG_GROUP_SQL = f"""
+WITH {TAGGED_CTE}, {TAGGED_LWW_CTE}
+SELECT split_part(metric, ';', 1) AS name,
+       regexp_extract(metric, ';dc=([^;]+)', 1) AS dc,
+       interval,
+       CAST(sum({CENTS_SQL}) AS DOUBLE) / 100.0 AS sum_value,
+       count(*) AS n_series
+FROM tlww
+GROUP BY 1, 2, 3
+"""
+
+
+# ----------------------------------------------------------- g_tag_parse
+def g_tag_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag inventory (aliasByTags / tag-value browse): one row per
+    tagged series with its parsed name/dc/host plus raw-point stats.
+    150 series (5 names x 3 dcs x 10 hosts), so the whole result is a
+    small dimension — at 100 TB this is the `seriesByTag` index table
+    you'd broadcast, not a data-volume scan."""
+    pts = _tagged_points(spark, sf_dir).withColumn("cents", _cents())
+    tags = F.expr("str_to_map(substring_index(metric, ';', -2), ';', '=')")
+    return (
+        pts.groupBy("metric")
+        .agg(
+            F.count("*").alias("n_pts"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .withColumn("name", F.substring_index("metric", ";", 1))
+        .withColumn("tags", tags)
+        .select(
+            "metric",
+            "name",
+            F.col("tags")["dc"].alias("dc"),
+            F.col("tags")["host"].alias("host"),
+            "n_pts",
+            "total_cents",
+        )
+    )
+
+
+G_TAG_PARSE_SQL = f"""
+WITH {TAGGED_CTE}
+SELECT metric,
+       split_part(metric, ';', 1) AS name,
+       replace(split_part(metric, ';', 2), 'dc=', '') AS dc,
+       replace(split_part(metric, ';', 3), 'host=', '') AS host,
+       count(*) AS n_pts,
+       CAST(sum({CENTS_SQL}) AS BIGINT) AS total_cents
+FROM tagged
+GROUP BY 1, 2, 3, 4
+"""
+
+
 QUERIES = {
     "g_moving_avg_3": g_moving_avg_3,
     "g_nonneg_derivative": g_nonneg_derivative,
@@ -2692,10 +2852,16 @@ QUERIES = {
     "g_diff_vs_yesterday": g_diff_vs_yesterday,
     "g_count_series": g_count_series,
     "g_area_between": g_area_between,
+    "g_tag_select": g_tag_select,
+    "g_tag_group": g_tag_group,
+    "g_tag_parse": g_tag_parse,
 }
 
 ORACLES = {
     "g_holt_winters": G_HOLT_WINTERS_SQL,
+    "g_tag_select": G_TAG_SELECT_SQL,
+    "g_tag_group": G_TAG_GROUP_SQL,
+    "g_tag_parse": G_TAG_PARSE_SQL,
     "g_moving_avg_3": G_MOVING_AVG_SQL,
     "g_nonneg_derivative": G_NONNEG_SQL,
     "g_sum_series": G_SUM_SERIES_SQL,

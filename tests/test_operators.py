@@ -89,6 +89,10 @@ SUBSET = [
     "r_grouping_sets",
     "g_area_between",
     "t_sentence_stats",
+    "g_holt_winters",
+    "g_tag_select",
+    "g_tag_group",
+    "g_tag_parse",
 ]
 
 
