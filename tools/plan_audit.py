@@ -153,6 +153,38 @@ CHECKS = {
         require=[],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # Round-7 tagged-series suite: tag parse/filter/group are pure
+    # aggregation pipelines over the tagged-path scan — no join of any
+    # kind may appear, and the LWW / rollup aggregates must combine
+    # map-side.
+    "g_tag_select": dict(
+        require=["partial_max_by"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "ShuffledHashJoin"],
+    ),
+    "g_tag_group": dict(
+        require=["partial_max_by", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "ShuffledHashJoin"],
+    ),
+    "g_tag_parse": dict(
+        require=["partial_count", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "ShuffledHashJoin"],
+    ),
+    # Holt-Winters: LWW partial agg feeding ONE grouped Arrow pass
+    # (FlatMapGroupsInPandas keyed by metric — the reference's
+    # one-file-per-metric layout); no join anywhere.
+    "g_holt_winters": dict(
+        require=["FlatMapGroupsInPandas", "partial_max_by"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    # Carbon ingest: tolerant line parse -> per-slot MAX rollup; the
+    # aggregate must combine map-side (order-free max), no join.
+    "w_carbon_ingest": dict(
+        require=["partial_max", "partial_count"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
 }
 
 
