@@ -2618,6 +2618,428 @@ FROM per
 """
 
 
+# ------------------------------------------------------ g_smart_summarize
+def g_smart_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smartSummarize(series, '4h', 'sum'): like summarize() but the
+    buckets align to the SERIES START (alignTo=from), not the epoch —
+    the Graphite distinction this function exists for.  Per-metric
+    start via a window min, bucket = interval − ((interval − start) %
+    4h) in pure integer arithmetic; exact cent sums."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    start = F.min("interval").over(Window.partitionBy("metric"))
+    return (
+        lww.withColumn(
+            "bucket",
+            (F.col("interval") - (F.col("interval") - start) % F.lit(4 * HOUR)).cast(
+                "long"
+            ),
+        )
+        .groupBy("metric", "bucket")
+        .agg(
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+            F.count("*").alias("n_slots"),
+        )
+    )
+
+
+G_SMART_SUMMARIZE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+st AS (
+  SELECT metric, interval, value,
+         min(interval) OVER (PARTITION BY metric) AS start
+  FROM lww1h
+)
+SELECT metric,
+       interval - ((interval - start) % 14400) AS bucket,
+       CAST(sum({CENTS_SQL}) AS DOUBLE) / 100.0 AS sum_value,
+       count(*) AS n_slots
+FROM st
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------ g_agg_wildcards
+def g_agg_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregateWithWildcards(seriesList, 'average', 1): drop node 1 of
+    every ``<event_type>.u<user_id % 4>`` leaf path and average the
+    series that collapse together.  Same leaf layout as
+    ``g_group_by_node`` but the average consolidator (exact ``_avg6``
+    cents), which groupByNode's sum does not cover."""
+    from go_whisper_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        F.concat(
+            F.col("event_type"), F.lit(".u"), (F.col("user_id") % 4).cast("string")
+        ).alias("path"),
+        F.col("ts_sec").alias("ts"),
+        "value",
+        F.col("event_id").alias("write_seq"),
+    )
+    lww = (
+        pts.withColumn(
+            "interval", (F.col("ts") - F.col("ts") % F.lit(HOUR)).cast("long")
+        )
+        .groupBy("path", "interval")
+        .agg(F.max_by("value", "write_seq").alias("value"))
+    )
+    return (
+        lww.withColumn("name", F.split("path", "[.]").getItem(0))
+        .withColumn("cents", _cents())
+        .groupBy("name", "interval")
+        .agg(
+            _avg6(F.sum("cents"), F.count("*")).alias("avg_value"),
+            F.count("*").alias("n_series"),
+        )
+    )
+
+
+NODE_PATH_CTE = """pths AS (
+  SELECT event_type || '.u' || CAST(user_id % 4 AS VARCHAR) AS path,
+         epoch_ns(ts) // 1000000000 AS ts_sec,
+         value, event_id AS write_seq
+  FROM events
+),
+plww AS (
+  SELECT path,
+         ts_sec - ts_sec % 3600 AS interval,
+         arg_max(value, write_seq) AS value
+  FROM pths
+  GROUP BY 1, 2
+)"""
+
+G_AGG_WILDCARDS_SQL = f"""
+WITH {NODE_PATH_CTE}
+SELECT split_part(path, '.', 1) AS name,
+       interval,
+       floor(CAST(sum({CENTS_SQL}) AS DOUBLE) * 10000 / count(*)) / 1000000.0
+         AS avg_value,
+       count(*) AS n_series
+FROM plww
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------- g_apply_by_node
+def g_apply_by_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyByNode(seriesList, 0, 'asPercent(%, node-total)'): for each
+    node-0 group, render every leaf as its percentage of the group's
+    per-slot total.  One window sum over (node, interval) — no
+    self-join.  pct = double(cents)·100 / double(total) is two
+    correctly-rounded IEEE ops on exact operands, so it is
+    cross-engine stable without truncation."""
+    from go_whisper_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        F.concat(
+            F.col("event_type"), F.lit(".u"), (F.col("user_id") % 4).cast("string")
+        ).alias("path"),
+        F.col("ts_sec").alias("ts"),
+        "value",
+        F.col("event_id").alias("write_seq"),
+    )
+    lww = (
+        pts.withColumn(
+            "interval", (F.col("ts") - F.col("ts") % F.lit(HOUR)).cast("long")
+        )
+        .groupBy("path", "interval")
+        .agg(F.max_by("value", "write_seq").alias("value"))
+    )
+    node = F.split("path", "[.]").getItem(0)
+    w = Window.partitionBy("node", "interval")
+    return (
+        lww.withColumn("node", node)
+        .withColumn("cents", _cents())
+        .withColumn("total_cents", F.sum("cents").over(w))
+        .select(
+            "path",
+            "node",
+            "interval",
+            (
+                F.col("cents").cast("double") * F.lit(100.0)
+                / F.col("total_cents").cast("double")
+            ).alias("pct_of_node"),
+        )
+    )
+
+
+G_APPLY_BY_NODE_SQL = f"""
+WITH {NODE_PATH_CTE}
+SELECT path,
+       split_part(path, '.', 1) AS node,
+       interval,
+       CAST({CENTS_SQL} AS DOUBLE) * 100.0
+         / CAST(sum({CENTS_SQL}) OVER (PARTITION BY split_part(path, '.', 1),
+                                       interval) AS DOUBLE) AS pct_of_node
+FROM plww
+"""
+
+
+# ------------------------------------------------------- g_constant_line
+def g_constant_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """constantLine(42.5): a generator function — emit the constant at
+    every 1h step of the query range (range = events' [min, max] ts
+    floored to the hour).  One tiny agg row exploded via sequence();
+    at 100 TB the spine generation is O(range/step), data-free."""
+    pts = _points(spark, sf_dir)
+    bounds = pts.agg(
+        (F.min("ts") - F.min("ts") % F.lit(HOUR)).cast("long").alias("lo"),
+        (F.max("ts") - F.max("ts") % F.lit(HOUR)).cast("long").alias("hi"),
+    )
+    return bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600).cast("long"))).alias("interval")
+    ).withColumn("constant", F.lit(42.5))
+
+
+G_CONSTANT_LINE_SQL = f"""
+WITH {PTS_CTE},
+b AS (
+  SELECT min(ts_sec) - min(ts_sec) % 3600 AS lo,
+         max(ts_sec) - max(ts_sec) % 3600 AS hi
+  FROM pts
+)
+SELECT unnest(generate_series(lo, hi, 3600)) AS interval,
+       42.5 AS constant
+FROM b
+"""
+
+
+# ------------------------------------------------------- g_time_function
+def g_time_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeFunction('t', 3600): a generator whose value IS the
+    timestamp at each step — the building block Graphite composes into
+    synthetic test series.  Also emits seconds-since-range-start."""
+    pts = _points(spark, sf_dir)
+    bounds = pts.agg(
+        (F.min("ts") - F.min("ts") % F.lit(HOUR)).cast("long").alias("lo"),
+        (F.max("ts") - F.max("ts") % F.lit(HOUR)).cast("long").alias("hi"),
+    )
+    return (
+        bounds.select(
+            "lo",
+            F.explode(F.sequence("lo", "hi", F.lit(3600).cast("long"))).alias(
+                "interval"
+            ),
+        )
+        .select(
+            "interval",
+            (F.col("interval") - F.col("lo")).alias("rel_sec"),
+            F.col("interval").cast("double").alias("t_value"),
+        )
+    )
+
+
+G_TIME_FUNCTION_SQL = f"""
+WITH {PTS_CTE},
+b AS (
+  SELECT min(ts_sec) - min(ts_sec) % 3600 AS lo,
+         max(ts_sec) - max(ts_sec) % 3600 AS hi
+  FROM pts
+),
+spine AS (
+  SELECT lo, unnest(generate_series(lo, hi, 3600)) AS interval FROM b
+)
+SELECT interval,
+       interval - lo AS rel_sec,
+       CAST(interval AS DOUBLE) AS t_value
+FROM spine
+"""
+
+
+# -------------------------------------------------- g_holt_winters_bands
+def g_holt_winters_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """holtWintersConfidenceBands(): the ``g_holt_winters`` recursion
+    extended with an exponentially-smoothed absolute deviation
+    (γ=0.1), bands = forecast ± 3·deviation — Graphite's confidence
+    envelope.  Same applyInPandas shape, same bit-exact recursive-CTE
+    oracle discipline: every float op appears in the same order in
+    both engines (abs is exact; 3·d then f±… is two rounded ops)."""
+    import pandas as pd
+
+    lww = _lww1h(spark, sf_dir)
+    alpha, beta, gamma = 0.5, 0.3, 0.1
+
+    def bands(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("interval").reset_index(drop=True)
+        x = pdf["value"].to_numpy(dtype=float)
+        n = len(x)
+        dev = [0.0] * n
+        forecast = [None] * n
+        upper = [None] * n
+        lower = [None] * n
+        s, b, d = x[0], 0.0, 0.0
+        for t in range(1, n):
+            f = s + b
+            forecast[t] = f
+            d = gamma * abs(x[t] - f) + (1 - gamma) * d
+            dev[t] = d
+            upper[t] = f + 3 * d
+            lower[t] = f - 3 * d
+            s_new = alpha * x[t] + (1 - alpha) * (s + b)
+            b = beta * (s_new - s) + (1 - beta) * b
+            s = s_new
+        return pd.DataFrame(
+            {
+                "metric": pdf["metric"],
+                "interval": pdf["interval"],
+                "value": pdf["value"],
+                "forecast": forecast,
+                "dev": dev,
+                "upper": upper,
+                "lower": lower,
+            }
+        )
+
+    return lww.groupBy("metric").applyInPandas(
+        bands,
+        "metric string, interval long, value double, forecast double, "
+        "dev double, upper double, lower double",
+    )
+
+
+# Operand-order notes mirror the Python loop exactly:
+#   f     = s + b                       (h.level + h.trend)
+#   d_new = 0.1*abs(x - f) + (1 - 0.1)*d
+#   upper = f + 3*d_new ; lower = f - 3*d_new
+#   s_new = 0.5*x + (1 - 0.5)*(s + b)
+#   b_new = 0.3*(s_new - s) + (1 - 0.3)*b
+G_HW_BANDS_SQL = f"""
+WITH RECURSIVE {PTS_CTE}, {LWW_1H_CTE},
+seq AS (
+  SELECT metric, interval, value,
+         row_number() OVER (PARTITION BY metric ORDER BY interval) AS t
+  FROM lww1h
+),
+hw AS (
+  SELECT metric, t, interval, value,
+         value AS level,
+         CAST(0.0 AS DOUBLE) AS trend,
+         CAST(0.0 AS DOUBLE) AS dev,
+         CAST(NULL AS DOUBLE) AS forecast,
+         CAST(NULL AS DOUBLE) AS upper,
+         CAST(NULL AS DOUBLE) AS lower
+  FROM seq WHERE t = 1
+  UNION ALL
+  SELECT s.metric, s.t, s.interval, s.value,
+         0.5 * s.value + (1 - 0.5) * (h.level + h.trend) AS level,
+         0.3 * ((0.5 * s.value + (1 - 0.5) * (h.level + h.trend)) - h.level)
+           + (1 - 0.3) * h.trend AS trend,
+         0.1 * abs(s.value - (h.level + h.trend)) + (1 - 0.1) * h.dev AS dev,
+         h.level + h.trend AS forecast,
+         (h.level + h.trend)
+           + 3 * (0.1 * abs(s.value - (h.level + h.trend)) + (1 - 0.1) * h.dev)
+           AS upper,
+         (h.level + h.trend)
+           - 3 * (0.1 * abs(s.value - (h.level + h.trend)) + (1 - 0.1) * h.dev)
+           AS lower
+  FROM hw AS h
+  JOIN seq AS s ON s.metric = h.metric AND s.t = h.t + 1
+)
+SELECT metric, interval, value, forecast, dev, upper, lower FROM hw
+"""
+
+
+# ------------------------------------------------------ g_range_of_series
+def g_range_of_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rangeOfSeries(*): per-slot max − min across every base series —
+    exact as one integer cent subtraction."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    return lww.groupBy("interval").agg(
+        (
+            (F.max("cents") - F.min("cents")).cast("double") / F.lit(100.0)
+        ).alias("range_value"),
+        F.count("*").alias("n_series"),
+    )
+
+
+G_RANGE_OF_SERIES_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT interval,
+       CAST(max({CENTS_SQL}) - min({CENTS_SQL}) AS DOUBLE) / 100.0 AS range_value,
+       count(*) AS n_series
+FROM lww1h
+GROUP BY interval
+"""
+
+
+# ------------------------------------------------------ g_multiply_series
+def g_multiply_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiplySeries(click, view): per-slot product of two named
+    series.  cents·cents ≤ ~3.1e9 stays exact in BIGINT and double, so
+    product/10000 is one correctly-rounded division; slots missing
+    either factor yield NULL (Graphite's behavior for missing
+    points)."""
+    lww = _lww1h(spark, sf_dir).where(F.col("metric").isin("click", "view"))
+    per = lww.groupBy("interval").agg(
+        F.max(F.when(F.col("metric") == "click", _cents())).alias("click_c"),
+        F.max(F.when(F.col("metric") == "view", _cents())).alias("view_c"),
+    )
+    return per.select(
+        "interval",
+        (
+            (F.col("click_c") * F.col("view_c")).cast("double") / F.lit(10_000.0)
+        ).alias("product"),
+    )
+
+
+G_MULTIPLY_SERIES_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+per AS (
+  SELECT interval,
+         max(CASE WHEN metric = 'click' THEN {CENTS_SQL} END) AS click_c,
+         max(CASE WHEN metric = 'view' THEN {CENTS_SQL} END) AS view_c
+  FROM lww1h WHERE metric IN ('click', 'view')
+  GROUP BY interval
+)
+SELECT interval,
+       CAST(click_c * view_c AS DOUBLE) / 10000.0 AS product
+FROM per
+"""
+
+
+# -------------------------------------------------------- g_stddev_series
+def g_stddev_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddevSeries(*): per-slot population stddev across the base
+    series.  The variance numerator n·Σc² − (Σc)² is computed in EXACT
+    integer cents² (≤ ~1.6e11 ≪ 2^53), then sqrt — which IEEE 754
+    requires to be correctly rounded in both engines — and two more
+    correctly-rounded divisions, all in the same spelled order."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    per = lww.groupBy("interval").agg(
+        F.count("*").alias("n_series"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    num = F.col("n_series") * F.col("s2") - F.col("s1") * F.col("s1")
+    return per.select(
+        "interval",
+        "n_series",
+        (
+            F.sqrt(num.cast("double")) / F.col("n_series").cast("double")
+            / F.lit(100.0)
+        ).alias("stddev_value"),
+    )
+
+
+G_STDDEV_SERIES_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+per AS (
+  SELECT interval,
+         count(*) AS n_series,
+         sum({CENTS_SQL}) AS s1,
+         sum({CENTS_SQL} * {CENTS_SQL}) AS s2
+  FROM lww1h
+  GROUP BY interval
+)
+SELECT interval,
+       n_series,
+       sqrt(CAST(n_series * s2 - s1 * s1 AS DOUBLE))
+         / CAST(n_series AS DOUBLE) / 100.0 AS stddev_value
+FROM per
+"""
+
+
 # ------------------------------------------------------------- tagged series
 # Graphite tag support (the tagged-series data model: a series is
 # ``name;tag1=v1;tag2=v2``, selected with seriesByTag() and aggregated
@@ -2855,6 +3277,15 @@ QUERIES = {
     "g_tag_select": g_tag_select,
     "g_tag_group": g_tag_group,
     "g_tag_parse": g_tag_parse,
+    "g_smart_summarize": g_smart_summarize,
+    "g_agg_wildcards": g_agg_wildcards,
+    "g_apply_by_node": g_apply_by_node,
+    "g_constant_line": g_constant_line,
+    "g_time_function": g_time_function,
+    "g_holt_winters_bands": g_holt_winters_bands,
+    "g_range_of_series": g_range_of_series,
+    "g_multiply_series": g_multiply_series,
+    "g_stddev_series": g_stddev_series,
 }
 
 ORACLES = {
@@ -2862,6 +3293,15 @@ ORACLES = {
     "g_tag_select": G_TAG_SELECT_SQL,
     "g_tag_group": G_TAG_GROUP_SQL,
     "g_tag_parse": G_TAG_PARSE_SQL,
+    "g_smart_summarize": G_SMART_SUMMARIZE_SQL,
+    "g_agg_wildcards": G_AGG_WILDCARDS_SQL,
+    "g_apply_by_node": G_APPLY_BY_NODE_SQL,
+    "g_constant_line": G_CONSTANT_LINE_SQL,
+    "g_time_function": G_TIME_FUNCTION_SQL,
+    "g_holt_winters_bands": G_HW_BANDS_SQL,
+    "g_range_of_series": G_RANGE_OF_SERIES_SQL,
+    "g_multiply_series": G_MULTIPLY_SERIES_SQL,
+    "g_stddev_series": G_STDDEV_SERIES_SQL,
     "g_moving_avg_3": G_MOVING_AVG_SQL,
     "g_nonneg_derivative": G_NONNEG_SQL,
     "g_sum_series": G_SUM_SERIES_SQL,

@@ -93,6 +93,15 @@ SUBSET = [
     "g_tag_select",
     "g_tag_group",
     "g_tag_parse",
+    "g_smart_summarize",
+    "g_agg_wildcards",
+    "g_apply_by_node",
+    "g_constant_line",
+    "g_time_function",
+    "g_holt_winters_bands",
+    "g_range_of_series",
+    "g_multiply_series",
+    "g_stddev_series",
 ]
 
 

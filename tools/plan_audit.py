@@ -185,6 +185,23 @@ CHECKS = {
         require=["partial_max", "partial_count"],
         forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
     ),
+    # smartSummarize: window min for the per-series start, then a
+    # partial-combining re-bucket sum — no join.
+    "g_smart_summarize": dict(
+        require=["Window", "partial_sum", "partial_max_by"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    # applyByNode percent-of-group: ONE window sum, never a self-join.
+    "g_apply_by_node": dict(
+        require=["Window", "partial_max_by"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "ShuffledHashJoin"],
+    ),
+    # stddevSeries: two-level integer-cents aggregate, map-side combine.
+    "g_stddev_series": dict(
+        require=["partial_sum", "partial_count"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
 }
 
 
