@@ -67,6 +67,10 @@ HEADLINE = [
     "r_q18_large_volume",
     "r_q21_waiting",
     "g_interpolate",
+    # round 7: tagged-series fan-in (150-series universe, two-level
+    # aggregate) and the grouped-Arrow smoothing recursion
+    "g_tag_group",
+    "g_holt_winters_bands",
 ]
 
 
