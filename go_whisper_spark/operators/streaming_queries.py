@@ -409,11 +409,73 @@ WINDOW w AS (PARTITION BY metric ORDER BY arrive, ts, seq)
 """
 
 
+# -------------------------------------------------------------- st_dedup_1h
+def st_dedup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup snapshot (``streaming/dedup.py``): the
+    3-pass replay pushed through a watermarked ``dropDuplicates`` on
+    the key (metric, floor(value), event-hour).
+
+    What this pins beyond the batch dedup ops: (1) the watermark's
+    late-row rejection — pass-2's out-of-bound rows never emit; (2)
+    cross-batch dedup STATE — pass-2's in-bound tail rows suppress
+    against keys first emitted in pass 1 (their state is still live:
+    their event hour is above the pass-2 watermark); (3) eviction
+    safety — a key can only re-appear with the SAME event hour, which
+    is necessarily below any watermark that evicted it, so eviction
+    never double-emits.  The emitted set is therefore exactly the
+    distinct keys among on-time rows, which is what the oracle states
+    (dedup emits immediately in append mode; no window-close wait).
+
+    Every key's rows share one event hour, and the output is the key
+    itself, so the result is order-independent — deterministic
+    regardless of intra-batch file-split order."""
+    from go_whisper_spark.streaming.dedup import streaming_dedup
+
+    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
+    t0 = int(pts.agg(F.min("ts")).first()[0])
+    marked = (
+        pts.withColumn("arrive", _arrive(t0))
+        .withColumn("vbucket", F.floor("value").cast("long"))
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(F.col("ts") - F.col("ts") % F.lit(3600)),
+        )
+        .select("metric", "ts", "vbucket", "arrive")
+    )
+    out = _replay(
+        spark, marked, lambda s: streaming_dedup(s, ["metric", "vbucket"], LATENESS)
+    )
+    return spark.read.parquet(out).select(
+        "metric", "vbucket", F.col("ts").cast("long").alias("hour_ts")
+    )
+
+
+ST_DEDUP_1H_SQL = f"""
+WITH pts AS (
+  SELECT event_type AS metric,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+{_MARKED_CTE},
+surv AS (
+  SELECT m.* FROM marked m LEFT JOIN wm ON wm.arrive = m.arrive
+  WHERE wm.wm IS NULL OR m.ts - m.ts % 3600 >= wm.wm
+)
+SELECT DISTINCT metric,
+       CAST(floor(value) AS BIGINT) AS vbucket,
+       ts - ts % 3600 AS hour_ts
+FROM surv
+"""
+
+
 QUERIES = {
     "st_rollup_lww_1h": st_rollup_lww_1h,
     "st_sessions_30m": st_sessions_30m,
     "st_cascade_6h": st_cascade_6h,
     "st_derivative": st_derivative,
+    "st_dedup_1h": st_dedup_1h,
 }
 
 ORACLES = {
@@ -421,4 +483,5 @@ ORACLES = {
     "st_sessions_30m": ST_SESSIONS_30M_SQL,
     "st_cascade_6h": ST_CASCADE_6H_SQL,
     "st_derivative": ST_DERIVATIVE_SQL,
+    "st_dedup_1h": ST_DEDUP_1H_SQL,
 }

@@ -78,6 +78,7 @@ SUBSET = [
     "g_round_to",
     "g_minmax_norm",
     "st_derivative",
+    "st_dedup_1h",
     "w_wsp_export",
     "g_moving_sum",
     "g_transform_null",
