@@ -2904,7 +2904,8 @@ def g_holt_winters_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   upper = f + 3*d_new ; lower = f - 3*d_new
 #   s_new = 0.5*x + (1 - 0.5)*(s + b)
 #   b_new = 0.3*(s_new - s) + (1 - 0.3)*b
-G_HW_BANDS_SQL = f"""
+# (shared by the bands and aberration oracles)
+_HW_BANDS_CTE = f"""
 WITH RECURSIVE {PTS_CTE}, {LWW_1H_CTE},
 seq AS (
   SELECT metric, interval, value,
@@ -2935,8 +2936,37 @@ hw AS (
            AS lower
   FROM hw AS h
   JOIN seq AS s ON s.metric = h.metric AND s.t = h.t + 1
-)
+)"""
+
+G_HW_BANDS_SQL = f"""{_HW_BANDS_CTE}
 SELECT metric, interval, value, forecast, dev, upper, lower FROM hw
+"""
+
+
+# ------------------------------------------------------ g_hw_aberration
+def g_hw_aberration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """holtWintersAberration(): how far each point strays OUTSIDE the
+    confidence bands — positive above, negative below, 0.0 inside (and
+    0.0 where bands don't exist yet).  Computed on top of the
+    band columns themselves, so band determinism carries over; the
+    stray is one exact-operand IEEE subtraction."""
+    b = g_holt_winters_bands(spark, sf_dir)
+    ab = (
+        F.when(F.col("upper").isNull(), F.lit(0.0))
+        .when(F.col("value") > F.col("upper"), F.col("value") - F.col("upper"))
+        .when(F.col("value") < F.col("lower"), F.col("value") - F.col("lower"))
+        .otherwise(F.lit(0.0))
+    )
+    return b.select("metric", "interval", "value", ab.alias("aberration"))
+
+
+G_HW_ABERRATION_SQL = f"""{_HW_BANDS_CTE}
+SELECT metric, interval, value,
+       CASE WHEN upper IS NULL THEN 0.0
+            WHEN value > upper THEN value - upper
+            WHEN value < lower THEN value - lower
+            ELSE 0.0 END AS aberration
+FROM hw
 """
 
 
@@ -3037,6 +3067,308 @@ SELECT interval,
        sqrt(CAST(n_series * s2 - s1 * s1 AS DOUBLE))
          / CAST(n_series AS DOUBLE) / 100.0 AS stddev_value
 FROM per
+"""
+
+
+# ------------------------------------------------------- g_most_deviant
+def g_most_deviant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mostDeviant(seriesList, 3): the 3 series with the largest
+    population variance.  Variance numerator n·Σc² − (Σc)² is exact
+    integer cents² (≤ ~1.6e15 ≪ 2^53); the single division to a
+    double is correctly rounded in both engines, so the ranking —
+    ties broken by metric — is identical."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    per = lww.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    ranked = per.select(
+        "metric",
+        (num.cast("double") / (F.col("n") * F.col("n")).cast("double")).alias(
+            "variance_c2"
+        ),
+    ).select(
+        "metric",
+        "variance_c2",
+        F.row_number()
+        .over(Window.orderBy(F.desc("variance_c2"), F.asc("metric")))
+        .alias("dev_rank"),
+    )
+    return ranked.where(F.col("dev_rank") <= 3)
+
+
+G_MOST_DEVIANT_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+per AS (
+  SELECT metric,
+         count(*) AS n,
+         sum({CENTS_SQL}) AS s1,
+         sum({CENTS_SQL} * {CENTS_SQL}) AS s2
+  FROM lww1h
+  GROUP BY metric
+),
+ranked AS (
+  SELECT metric,
+         CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE) AS variance_c2,
+         CAST(row_number() OVER (
+           ORDER BY CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE) DESC,
+                    metric ASC) AS INTEGER) AS dev_rank
+  FROM per
+)
+SELECT metric, variance_c2, dev_rank
+FROM ranked WHERE dev_rank <= 3
+"""
+
+
+# ------------------------------------------------------ g_minimum_above
+def g_minimum_above(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimumAbove(summarize(series, '4h', 'sum'), 9): keep the
+    summarized series whose MINIMUM bucket exceeds the threshold —
+    the chained form Graphite users actually write (raw per-slot
+    minima here sit near 0 for every series, so the unchained filter
+    would be vacuous).  Threshold 9 discriminates at both driver
+    scale factors (4/5 series at sf0.01 and sf0.1).  Window min over
+    the bucketed relation — join-free, exact integer-cent compare."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    s4 = (
+        lww.withColumn(
+            "bucket",
+            (F.col("interval") - F.col("interval") % F.lit(4 * HOUR)).cast("long"),
+        )
+        .groupBy("metric", "bucket")
+        .agg(F.sum("cents").alias("sum_c"))
+    )
+    mn = F.min("sum_c").over(Window.partitionBy("metric"))
+    return (
+        s4.withColumn("mn", mn)
+        .where(F.col("mn") > 900)
+        .select(
+            "metric",
+            F.col("bucket").alias("interval"),
+            (F.col("sum_c").cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
+G_MINIMUM_ABOVE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+s4 AS (
+  SELECT metric,
+         interval - interval % 14400 AS bucket,
+         sum({CENTS_SQL}) AS sum_c
+  FROM lww1h
+  GROUP BY 1, 2
+),
+keep AS (
+  SELECT metric FROM s4 GROUP BY metric HAVING min(sum_c) > 900
+)
+SELECT s.metric,
+       s.bucket AS interval,
+       CAST(s.sum_c AS DOUBLE) / 100.0 AS sum_value
+FROM s4 s JOIN keep k ON s.metric = k.metric
+"""
+
+
+# ------------------------------------------------------ g_current_below
+def g_current_below(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """currentBelow(seriesList, 50): keep series whose most recent
+    slot value is under the threshold (exact ``max_by`` by interval,
+    float compare of the untouched double).  50 discriminates at both
+    driver scale factors (3/5 series at sf0.01 and sf0.1)."""
+    lww = _lww1h(spark, sf_dir)
+    per = (
+        lww.groupBy("metric")
+        .agg(F.max_by("value", "interval").alias("current_value"))
+        .where(F.col("current_value") < 50.0)
+    )
+    return lww.join(F.broadcast(per), "metric").select(
+        "metric", "interval", "value", "current_value"
+    )
+
+
+G_CURRENT_BELOW_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+per AS (
+  SELECT metric, arg_max(value, interval) AS current_value
+  FROM lww1h GROUP BY metric
+  HAVING arg_max(value, interval) < 50.0
+)
+SELECT l.metric, l.interval, l.value, p.current_value
+FROM lww1h l JOIN per p ON l.metric = p.metric
+"""
+
+
+# ------------------------------------------------------ g_sort_by_minima
+def g_sort_by_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortByMinima(seriesList): order series by their minimum value
+    (float min is selection, not arithmetic — exact); ties break on
+    metric name."""
+    per = _lww1h(spark, sf_dir).groupBy("metric").agg(
+        F.min("value").alias("min_value")
+    )
+    return per.select(
+        "metric",
+        "min_value",
+        F.row_number()
+        .over(Window.orderBy(F.asc("min_value"), F.asc("metric")))
+        .alias("order_rank"),
+    )
+
+
+G_SORT_BY_MINIMA_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric,
+       min(value) AS min_value,
+       CAST(row_number() OVER (ORDER BY min(value) ASC, metric ASC) AS INTEGER)
+         AS order_rank
+FROM lww1h
+GROUP BY metric
+"""
+
+
+# --------------------------------------------------- g_scale_to_seconds
+def g_scale_to_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scaleToSeconds(series, 1): per-second rate for a 1h-step series
+    — value · (1/3600) spelled as one exact-integer-cents division
+    (cents / 360000), correctly rounded once in both engines."""
+    return _lww1h(spark, sf_dir).withColumn("cents", _cents()).select(
+        "metric",
+        "interval",
+        (F.col("cents").cast("double") / F.lit(360_000.0)).alias("per_second"),
+    )
+
+
+G_SCALE_TO_SECONDS_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       CAST({CENTS_SQL} AS DOUBLE) / 360000.0 AS per_second
+FROM lww1h
+"""
+
+
+# ---------------------------------------------------- g_fallback_series
+def g_fallback_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fallbackSeries(seriesList, constantLine(42.5)): series with NO
+    data in the render range are replaced by the fallback constant;
+    series with any data pass through (nulls intact).  A ghost series
+    with an all-null dense range is synthesized to exercise the
+    fallback branch; emptiness = one window count per series."""
+    from go_whisper_spark.operators.whisper_queries import w_fetch_dense_3d
+
+    dense = w_fetch_dense_3d(spark, sf_dir).select("metric", "interval", "value")
+    ghost = dense.where(F.col("metric") == "click").select(
+        F.lit("ghost").alias("metric"),
+        "interval",
+        F.lit(None).cast("double").alias("value"),
+    )
+    uni = dense.unionByName(ghost)
+    known = F.count("value").over(Window.partitionBy("metric"))
+    return uni.withColumn("known", known).select(
+        "metric",
+        "interval",
+        F.when(F.col("known") == 0, F.lit(42.5)).otherwise(F.col("value")).alias(
+            "out_value"
+        ),
+        F.when(F.col("known") == 0, 1).otherwise(0).cast("long").alias("is_fallback"),
+    )
+
+
+G_FALLBACK_SERIES_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+bounds AS (
+  SELECT (max(ts_sec) - 259200) - (max(ts_sec) - 259200) % 3600 + 3600 AS from_iv,
+         max(ts_sec) - max(ts_sec) % 3600 + 3600 AS until_iv
+  FROM pts
+),
+spine AS (
+  SELECT m.metric, s.interval
+  FROM (SELECT DISTINCT metric FROM pts) m
+  CROSS JOIN (
+    SELECT unnest(generate_series(from_iv, until_iv - 3600, 3600)) AS interval
+    FROM bounds
+  ) s
+),
+dense AS (
+  SELECT spine.metric, spine.interval, lww1h.value
+  FROM spine LEFT JOIN lww1h
+    ON lww1h.metric = spine.metric AND lww1h.interval = spine.interval
+),
+ghost AS (
+  SELECT 'ghost' AS metric, interval, CAST(NULL AS DOUBLE) AS value
+  FROM dense WHERE metric = 'click'
+),
+uni AS (
+  SELECT * FROM dense UNION ALL SELECT * FROM ghost
+),
+k AS (
+  SELECT metric, interval, value,
+         count(value) OVER (PARTITION BY metric) AS known
+  FROM uni
+)
+SELECT metric, interval,
+       CASE WHEN known = 0 THEN 42.5 ELSE value END AS out_value,
+       CAST(CASE WHEN known = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_fallback
+FROM k
+"""
+
+
+# ---------------------------------------------------- g_summarize_last
+def g_summarize_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """summarize(series, '4h', 'last'): re-bucket with the LAST
+    consolidator — ``max_by(value, interval)`` per bucket, pure
+    selection, no arithmetic (the 'sum' form is ``g_summarize_4h``)."""
+    lww = _lww1h(spark, sf_dir)
+    return (
+        lww.withColumn(
+            "interval4h",
+            (F.col("interval") - F.col("interval") % F.lit(4 * HOUR)).cast("long"),
+        )
+        .groupBy("metric", "interval4h")
+        .agg(
+            F.max_by("value", "interval").alias("last_value"),
+            F.count("value").alias("known"),
+        )
+        .select("metric", F.col("interval4h").alias("interval"), "last_value", "known")
+    )
+
+
+G_SUMMARIZE_LAST_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric,
+       interval - interval % 14400 AS interval,
+       arg_max(value, interval) AS last_value,
+       count(value) AS known
+FROM lww1h
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------- g_sigmoid
+def g_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sigmoid(scale(series, 0.01)): logistic squash of the
+    percent-scaled series.  Same determinism treatment as ``g_exp``:
+    the one libm call (exp) may differ by 1 ulp cross-engine, so the
+    result is floor-truncated to 6 dp; every other op (negate exact,
+    1+e and 1/x correctly rounded) is spelled in the same order in
+    both engines.  Domain (0, ~5.6] keeps sigmoid in (0.5, 1) where
+    a ulp is ~1e-16 ≪ the 1e-6 floor spacing."""
+    scaled = _cents().cast("double") / F.lit(10_000.0)
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-scaled))
+    return _lww1h(spark, sf_dir).select(
+        "metric",
+        "interval",
+        (F.floor(sig * F.lit(1_000_000.0)) / F.lit(1_000_000.0)).alias("sigmoid"),
+    )
+
+
+G_SIGMOID_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval,
+       floor(1.0 / (1.0 + exp(-(CAST({CENTS_SQL} AS DOUBLE) / 10000.0)))
+             * 1000000.0) / 1000000.0 AS sigmoid
+FROM lww1h
 """
 
 
@@ -3286,6 +3618,15 @@ QUERIES = {
     "g_range_of_series": g_range_of_series,
     "g_multiply_series": g_multiply_series,
     "g_stddev_series": g_stddev_series,
+    "g_hw_aberration": g_hw_aberration,
+    "g_most_deviant": g_most_deviant,
+    "g_minimum_above": g_minimum_above,
+    "g_current_below": g_current_below,
+    "g_sort_by_minima": g_sort_by_minima,
+    "g_scale_to_seconds": g_scale_to_seconds,
+    "g_fallback_series": g_fallback_series,
+    "g_summarize_last": g_summarize_last,
+    "g_sigmoid": g_sigmoid,
 }
 
 ORACLES = {
@@ -3302,6 +3643,15 @@ ORACLES = {
     "g_range_of_series": G_RANGE_OF_SERIES_SQL,
     "g_multiply_series": G_MULTIPLY_SERIES_SQL,
     "g_stddev_series": G_STDDEV_SERIES_SQL,
+    "g_hw_aberration": G_HW_ABERRATION_SQL,
+    "g_most_deviant": G_MOST_DEVIANT_SQL,
+    "g_minimum_above": G_MINIMUM_ABOVE_SQL,
+    "g_current_below": G_CURRENT_BELOW_SQL,
+    "g_sort_by_minima": G_SORT_BY_MINIMA_SQL,
+    "g_scale_to_seconds": G_SCALE_TO_SECONDS_SQL,
+    "g_fallback_series": G_FALLBACK_SERIES_SQL,
+    "g_summarize_last": G_SUMMARIZE_LAST_SQL,
+    "g_sigmoid": G_SIGMOID_SQL,
     "g_moving_avg_3": G_MOVING_AVG_SQL,
     "g_nonneg_derivative": G_NONNEG_SQL,
     "g_sum_series": G_SUM_SERIES_SQL,

@@ -2304,6 +2304,60 @@ FROM s
 """
 
 
+# ------------------------------------------------------ t_quality_filter
+def t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-filter ACCOUNTING stage: apply heuristic quality
+    gates and report kept/dropped document counts and surviving token
+    volume per (lang, source) — the numbers a training-data pipeline
+    publishes after every filter pass.
+
+    Gates are INTEGER cross-multiplications (token count ≥ 20,
+    stopword ratio ≥ 0.2 as ``5·stop ≥ n_tok``, punctuation ratio
+    ≤ 5% as ``20·punct ≤ n_chars``), so the keep decision is exact in
+    both engines — no float thresholds anywhere.  Scale: narrow
+    per-row predicate in codegen, then one partial-combining aggregate
+    on the tiny (lang, source) key."""
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    n_tok = F.size("tokens")
+    stop = F.size(F.filter("tokens", lambda t: t.isin([w for w, _ in LANG_LEXICON])))
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[.!?,;:]", ""))
+    keep = (
+        (n_tok >= 20)
+        & (stop * 5 >= n_tok)
+        & (n_punct * 20 <= F.length("text"))
+    ).cast("long")
+    return (
+        d.select("lang", "source", keep.alias("keep"), n_tok.alias("n_tok"))
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("keep").alias("n_kept"),
+            (F.count("*") - F.sum("keep")).alias("n_dropped"),
+            F.sum(F.col("keep") * F.col("n_tok")).cast("long").alias("kept_tokens"),
+        )
+    )
+
+
+T_QUALITY_FILTER_SQL = f"""
+WITH flags AS (
+  SELECT lang, source,
+         CAST(len({_TOKENS_SQL}) >= 20
+              AND 5 * len(list_filter({_TOKENS_SQL}, t -> t IN ({_STOPLIST_SQL})))
+                    >= len({_TOKENS_SQL})
+              AND 20 * (length(text)
+                        - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+                    <= length(text) AS BIGINT) AS keep,
+         len({_TOKENS_SQL}) AS n_tok
+  FROM documents
+)
+SELECT lang, source,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(keep) AS BIGINT) AS n_dropped,
+       CAST(sum(keep * n_tok) AS BIGINT) AS kept_tokens
+FROM flags
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "d_exact_dedup": d_exact_dedup,
     "d_neardup_clusters": d_neardup_clusters,
@@ -2336,6 +2390,7 @@ QUERIES = {
     "d_norm_dedup": d_norm_dedup,
     "d_containment": d_containment,
     "t_sentence_stats": t_sentence_stats,
+    "t_quality_filter": t_quality_filter,
 }
 
 ORACLES = {
@@ -2370,4 +2425,5 @@ ORACLES = {
     "d_norm_dedup": D_NORM_DEDUP_SQL,
     "d_containment": D_CONTAINMENT_SQL,
     "t_sentence_stats": T_SENTENCE_STATS_SQL,
+    "t_quality_filter": T_QUALITY_FILTER_SQL,
 }

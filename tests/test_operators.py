@@ -103,6 +103,16 @@ SUBSET = [
     "g_range_of_series",
     "g_multiply_series",
     "g_stddev_series",
+    "g_hw_aberration",
+    "g_most_deviant",
+    "g_minimum_above",
+    "g_current_below",
+    "g_sort_by_minima",
+    "g_scale_to_seconds",
+    "g_fallback_series",
+    "g_summarize_last",
+    "g_sigmoid",
+    "t_quality_filter",
 ]
 
 
