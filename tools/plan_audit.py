@@ -202,6 +202,43 @@ CHECKS = {
         require=["partial_sum", "partial_count"],
         forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
     ),
+    # sigmoid / scaleToSeconds: pure narrow maps over the LWW
+    # aggregate — exactly one exchange (the LWW shuffle), no join.
+    "g_sigmoid": dict(
+        require=["partial_max_by"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "Window"],
+    ),
+    "g_scale_to_seconds": dict(
+        require=["partial_max_by"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "Window"],
+    ),
+    # mostDeviant: per-series aggregate (map-side combine) then a rank
+    # window over #series rows — no join.
+    "g_most_deviant": dict(
+        require=["Window", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    # currentBelow: the 5-row filtered dimension must broadcast back
+    # onto the slots — never sort-merge.
+    "g_current_below": dict(
+        require=["BroadcastHashJoin", "partial_max_by"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
+    # summarize-last: two-level max_by consolidation, map-side combine.
+    "g_summarize_last": dict(
+        require=["partial_max_by"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "Window"],
+    ),
+    # quality-filter accounting: narrow codegen predicate + one tiny
+    # (lang, source) aggregate — no join, no window.
+    "t_quality_filter": dict(
+        require=["partial_sum", "partial_count"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "Window"],
+    ),
 }
 
 
