@@ -119,7 +119,8 @@ def chunked_sessionize(
     """
     from pyspark.sql import Window
 
-    assert chunk_s >= gap_s, "chunk must be at least the gap"
+    if chunk_s < gap_s:
+        raise ValueError("chunk must be at least the gap")
     ts, u = F.col(ts_col), F.col(user_col)
     chunked = df.withColumn("_chunk", (ts - ts % F.lit(chunk_s)).cast("long"))
     w1 = Window.partitionBy(user_col, "_chunk").orderBy(

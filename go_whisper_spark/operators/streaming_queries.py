@@ -148,7 +148,10 @@ def _replay(spark: SparkSession, marked: DataFrame, build, await_secs: int = 300
             .trigger(availableNow=True)
             .start()
         )
-        assert q.awaitTermination(await_secs), "streaming pass timed out"
+        # RuntimeError, not assert: under `python -O` a stripped assert
+        # would silently continue with a partial (wrong) snapshot.
+        if not q.awaitTermination(await_secs):
+            raise RuntimeError("streaming pass timed out")
     return out
 
 
@@ -317,7 +320,8 @@ def st_cascade_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
             ckpt,
             lateness_seconds=LATENESS,
         )
-        assert q.awaitTermination(600), "cascade pass timed out"
+        if not q.awaitTermination(600):
+            raise RuntimeError("cascade pass timed out")
 
     a0 = spark.read.parquet(archive_path(base, 0)).select(
         F.lit(0).cast("int").alias("archive_id"), "metric", "interval", "value"

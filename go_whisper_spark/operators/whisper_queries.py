@@ -1051,7 +1051,8 @@ def w_wsp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # metric names come from event_type — flat identifiers.  A path
         # separator would both escape the fixture dir at write time and
         # be mangled (os.sep -> '.') by _metric_from_path on read.
-        assert os.sep not in metric and metric == os.path.basename(metric), metric
+        if os.sep in metric or metric != os.path.basename(metric):
+            raise ValueError(f"metric is not a safe filename: {metric!r}")
         path = os.path.join(fixture, f"{metric}.wsp")
         create_wsp(path, cfg)
         wsp_update_many(path, by_metric.get(metric, []), now)
@@ -1134,7 +1135,8 @@ def w_wsp_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for row in a1.collect():
         coarse.setdefault(row["metric"], []).append((row["interval"], row["value"]))
     for metric in [r["metric"] for r in pts.select("metric").distinct().collect()]:
-        assert os.sep not in metric and metric == os.path.basename(metric), metric
+        if os.sep in metric or metric != os.path.basename(metric):
+            raise ValueError(f"metric is not a safe filename: {metric!r}")
         path = os.path.join(fixture, f"{metric}.wsp")
         create_wsp(path, cfg)
         wsp_update_many(path, fine.get(metric, []), now)
