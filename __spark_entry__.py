@@ -50,6 +50,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # recently checked (round 6's window, 50/50 green in CORRECTNESS_r06)
 # last.  This rotates every query through the driver's 50-entry
 # window across rounds.
+#
+# Round-7 window = 24 new + 25 deferred + w_wsp_roundtrip = exactly 50
+# (verified: zero overlap with CORRECTNESS_r06).  ROUND-8 TODO: after
+# CORRECTNESS_r07 lands, move its window names into a _R07_CHECKED
+# list ordered LAST, so round 8 re-verifies the round-4 cohort (the
+# then-oldest checks) and any new round-8 queries.
 
 # Last checked (green / rows-only-by-design) in round 4's window.
 _R04_CHECKED = [

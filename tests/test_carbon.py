@@ -66,3 +66,41 @@ def test_carbon_streaming(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 4
     assert dict(got.dtypes)["ts"] == "timestamp"
+
+# ---- hypothesis: line-protocol round-trip ---------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_metric = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789._-", min_size=1, max_size=40
+).filter(lambda s: not s.isspace())
+_value = st.floats(
+    allow_nan=False, allow_infinity=False, width=64,
+    min_value=-1e12, max_value=1e12,
+)
+_ts = st.integers(min_value=0, max_value=4_000_000_000)
+_garbage = st.sampled_from(
+    ["", "one", "a b", "a b c d", "m nan? 12", "m 1.5 notatime", "   "]
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    pts=st.lists(st.tuples(_metric, _value, _ts), min_size=1, max_size=30),
+    bad=st.lists(_garbage, max_size=5),
+)
+def test_carbon_roundtrip_property(spark, tmp_path_factory, pts, bad):
+    """Any (metric, finite value, ts) formatted with Python repr must
+    round-trip bit-exactly through the tolerant parser (Spark's DOUBLE
+    cast parses the shortest repr back to the identical double), and
+    every malformed line must be dropped — never crash, never leak."""
+    d = str(tmp_path_factory.mktemp("spool"))
+    lines = [f"{m} {repr(v)} {t}" for m, v, t in pts] + list(bad)
+    with open(os.path.join(d, "batch.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    got = sorted(
+        (r["metric"], r["value"], r["ts"])
+        for r in read_carbon(spark, d).collect()
+    )
+    want = sorted((m, v, t) for m, v, t in pts)
+    assert got == want
