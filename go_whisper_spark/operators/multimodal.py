@@ -207,5 +207,44 @@ QUERIES = {
     "m_frame_sample": m_frame_sample,
 }
 
-# Rows-only checks: mapInPandas pipelines have no DuckDB-SQL equivalent.
-ORACLES: dict = {}
+# Two of the three pipelines ARE oracle-checkable after all: the
+# deterministic fake codecs reduce to byte arithmetic (documents.text
+# is ASCII here, so DuckDB can restate payload bytes from the string),
+# which lets plain SQL pin the real mapInPandas plumbing — the Arrow
+# batch path, the 1:N frame explode contract, the per-kind routing —
+# from first principles.  ``m_feature_norms`` stays rows-only: its L1
+# norm rides Python-side float accumulation order with no SQL
+# equivalent worth pinning.
+
+_KIND_SQL = """CASE doc_id % 3 WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio'
+                               ELSE 'video' END"""
+
+# checksum == sum of payload byte values; ASCII ⇒ byte value ==
+# unicode code point per char (verified: zero non-ASCII docs at every
+# scale factor, so strlen == length).
+M_DECODE_STATS_SQL = f"""
+SELECT {_KIND_SQL} AS kind,
+       count(*) AS n_media,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(sum(list_sum(list_transform(string_split(text, ''),
+                                        c -> unicode(c)))) AS BIGINT)
+         AS checksum_sum
+FROM documents
+GROUP BY 1
+"""
+
+# frames = offsets 0, 64, 128, … < n_bytes ⇒ ceil(n/64) rows, last
+# offset 64·(n_frames − 1); only 'video' docs flow through.
+M_FRAME_SAMPLE_SQL = """
+SELECT doc_id AS media_id,
+       CAST((strlen(text) + 63) // 64 AS BIGINT) AS n_frames,
+       CAST(((strlen(text) + 63) // 64 - 1) * 64 AS BIGINT) AS last_offset
+FROM documents
+WHERE doc_id % 3 = 2
+"""
+
+ORACLES: dict = {
+    "m_decode_stats": M_DECODE_STATS_SQL,
+    "m_frame_sample": M_FRAME_SAMPLE_SQL,
+}

@@ -113,6 +113,8 @@ SUBSET = [
     "g_summarize_last",
     "g_sigmoid",
     "t_quality_filter",
+    "m_decode_stats",
+    "m_frame_sample",
 ]
 
 
