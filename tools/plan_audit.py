@@ -239,6 +239,19 @@ CHECKS = {
         forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                 "Window"],
     ),
+    # Multimodal decode/frame pipelines: ONE Arrow pass (MapInPandas)
+    # over the scan, then a partial-combining aggregate — no join; the
+    # mapInPandas stage must not force an exchange before it.
+    "m_decode_stats": dict(
+        require=["MapInPandas", "partial_count", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "Window"],
+    ),
+    "m_frame_sample": dict(
+        require=["MapInPandas", "partial_count", "partial_max"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "Window"],
+    ),
 }
 
 
