@@ -169,3 +169,79 @@ def test_export_wsp_distributed(spark, tmp_path):
         got = open(os.path.join(out, f"{m}.wsp"), "rb").read()
         want = open(os.path.join(ref, f"{m}.wsp"), "rb").read()
         assert got == want, f"{m}: exported bytes differ"
+
+
+# ---- hypothesis: ring-writer model check ----------------------------------
+
+import struct as _struct
+
+from hypothesis import given, settings, strategies as st
+
+from go_whisper_spark.model import SeriesConfig
+from go_whisper_spark.sources.wsp import (
+    ARCHIVE_FMT,
+    ARCHIVE_SIZE,
+    METADATA_FMT,
+    METADATA_SIZE,
+    POINT_SIZE,
+    create_wsp,
+    wsp_update_many,
+)
+
+_NOW = 1_700_000_000
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    spp=st.integers(1, 600),
+    npts=st.integers(4, 50),
+    raw=st.lists(
+        st.tuples(
+            st.integers(-2, 2),            # ts offset in ring-lengths (scaled below)
+            st.floats(allow_nan=False, allow_infinity=False,
+                      min_value=-1e6, max_value=1e6),
+        ),
+        max_size=60,
+    ),
+)
+def test_wsp_ring_writer_matches_model(tmp_path_factory, spp, npts, raw):
+    """Byte-level model check of the ring writer: for ANY single-archive
+    config and ANY point batch (including future and expired
+    timestamps), the file's data region must equal a pure-Python
+    simulation of whisper's documented semantics — bounds rejection
+    (ts > now or now − ts ≥ maxRetention), floor alignment, base-interval
+    anchoring, modulo slot addressing, and in-order LWW overwrite."""
+    max_ret = spp * npts
+    cfg = SeriesConfig.from_defs(f"{spp}s:{max_ret}s", "average", 0.0)
+    path = str(tmp_path_factory.mktemp("wsp") / "m.wsp")
+    create_wsp(path, cfg)
+
+    # scale offsets into timestamps around NOW: cover in-window, expired,
+    # and future points
+    pts = [(_NOW + (o * max_ret) // 2, v) for o, v in raw]
+    wsp_update_many(path, pts, _NOW)
+
+    # model: replicate the documented write loop
+    slots = {}
+    base = 0
+    for ts, value in sorted(pts, key=lambda p: p[0]):
+        if ts > _NOW or _NOW - ts >= max_ret:
+            continue
+        interval = ts - ts % spp
+        if base == 0:
+            base = interval
+        slots[((interval - base) // spp) % npts] = (interval, value)
+
+    with open(path, "rb") as f:
+        head = f.read(METADATA_SIZE)
+        _, got_max_ret, _, n_arch = _struct.unpack(METADATA_FMT, head)
+        assert (got_max_ret, n_arch) == (max_ret, 1)
+        off, got_spp, got_npts = _struct.unpack(ARCHIVE_FMT, f.read(ARCHIVE_SIZE))
+        assert (got_spp, got_npts) == (spp, npts)
+        f.seek(off)
+        data = f.read(npts * POINT_SIZE)
+
+    for i in range(npts):
+        interval, value = _struct.unpack_from(">Ld", data, i * POINT_SIZE)
+        want = slots.get(i, (0, 0.0))
+        assert (interval, value) == want, f"slot {i}: {(interval, value)} != {want}"
