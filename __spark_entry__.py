@@ -53,9 +53,27 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Round-7 window = 24 new + 25 deferred + w_wsp_roundtrip = exactly 50
 # (verified: zero overlap with CORRECTNESS_r06).  ROUND-8 TODO: after
-# CORRECTNESS_r07 lands, move its window names into a _R07_CHECKED
-# list ordered LAST, so round 8 re-verifies the round-4 cohort (the
-# then-oldest checks) and any new round-8 queries.
+# CORRECTNESS_r07 lands, append _R07_WINDOW (below, pre-materialized —
+# it IS the window the round-7 driver checked) to the `seen`/`order`
+# lists in _registry() ordered LAST, so round 8 re-verifies the
+# round-4 cohort (the then-oldest checks) and any new round-8 queries.
+_R07_WINDOW = [
+    "t_quality_filter", "g_holt_winters", "g_tag_select", "g_tag_group",
+    "g_tag_parse", "g_smart_summarize", "g_agg_wildcards",
+    "g_apply_by_node", "g_constant_line", "g_time_function",
+    "g_holt_winters_bands", "g_range_of_series", "g_multiply_series",
+    "g_stddev_series", "g_hw_aberration", "g_most_deviant",
+    "g_minimum_above", "g_current_below", "g_sort_by_minima",
+    "g_scale_to_seconds", "g_fallback_series", "g_summarize_last",
+    "g_sigmoid", "st_dedup_1h", "g_aggregate_line", "g_remove_empty",
+    "g_stacked", "g_weighted_average", "g_pow", "g_exp", "g_round_to",
+    "g_limit_sorted", "g_avg_outside_pctile", "g_minmax_norm",
+    "g_timestack", "w_wsp_export", "g_moving_sum", "g_transform_null",
+    "g_alias_by_metric", "g_use_series_above", "g_diff_vs_yesterday",
+    "g_count_series", "st_derivative", "w_carbon_ingest",
+    "d_norm_dedup", "d_containment", "r_grouping_sets",
+    "g_area_between", "t_sentence_stats", "w_wsp_roundtrip",
+]  # NOT in the ordering yet — do not add before the round-7 driver run.
 
 # Last checked (green / rows-only-by-design) in round 4's window.
 _R04_CHECKED = [
