@@ -44,19 +44,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # the registry is ordered by driver-verification recency: queries the
-# driver has never checked first (genuinely-new round-7 queries via
-# the "not in any list" clause, then the 25 round-6 deferrals), then
-# the cohort whose last check is oldest (round 4), with the most
-# recently checked (round 6's window, 50/50 green in CORRECTNESS_r06)
-# last.  This rotates every query through the driver's 50-entry
-# window across rounds.
+# driver has never checked first (genuinely-new round-8 queries via
+# the "not in any list" clause), then cohorts oldest-check-first
+# (round 4, round 5, round 6), with the most recently checked (round
+# 7's window, 50/50 green in CORRECTNESS_r07) last.  This rotates
+# every query through the driver's 50-entry window across rounds.
 #
 # Round-7 window = 24 new + 25 deferred + w_wsp_roundtrip = exactly 50
-# (verified: zero overlap with CORRECTNESS_r06).  ROUND-8 TODO: after
-# CORRECTNESS_r07 lands, append _R07_WINDOW (below, pre-materialized —
-# it IS the window the round-7 driver checked) to the `seen`/`order`
-# lists in _registry() ordered LAST, so round 8 re-verifies the
-# round-4 cohort (the then-oldest checks) and any new round-8 queries.
+# (verified: zero overlap with CORRECTNESS_r06; CORRECTNESS_r07 is
+# 50/50 hash-green on exactly this set).  ROUND-8 rotation APPLIED:
+# _R07_WINDOW is ordered LAST in _registry(), so round 8's window =
+# genuinely-new round-8 queries + the round-4 cohort (oldest driver
+# evidence, incl. the m_* trio whose byte-arithmetic oracles the
+# driver has never seen).  Names in _R07_WINDOW are excluded from the
+# earlier cohort blocks (w_wsp_roundtrip sits in both _R04_CHECKED and
+# _R07_WINDOW — its round-7 check wins, so it sorts last).
 _R07_WINDOW = [
     "t_quality_filter", "g_holt_winters", "g_tag_select", "g_tag_group",
     "g_tag_parse", "g_smart_summarize", "g_agg_wildcards",
@@ -73,7 +75,7 @@ _R07_WINDOW = [
     "g_count_series", "st_derivative", "w_carbon_ingest",
     "d_norm_dedup", "d_containment", "r_grouping_sets",
     "g_area_between", "t_sentence_stats", "w_wsp_roundtrip",
-]  # NOT in the ordering yet — do not add before the round-7 driver run.
+]  # == CORRECTNESS_r07.json keys (test_registry.py pins this).
 
 # Last checked (green / rows-only-by-design) in round 4's window.
 _R04_CHECKED = [
@@ -173,14 +175,20 @@ def _registry():
         queries.update(getattr(mod, "QUERIES", {}))
         oracles.update(getattr(mod, "ORACLES", {}))
 
+    # _R6_DEFERRED is a strict subset of _R07_WINDOW (all 25 deferrals
+    # were checked green in round 7), so it no longer needs its own
+    # block; it stays in `seen` only to keep the subset relation
+    # explicit.  Every name checked in round 7 sorts LAST regardless of
+    # which older cohort also lists it.
+    r07 = set(_R07_WINDOW)
     seen = (set(_R6_DEFERRED) | set(_R04_CHECKED) | set(_R05_CHECKED)
-            | set(_R06_CHECKED))
+            | set(_R06_CHECKED) | r07)
     order = (
         [n for n in queries if n not in seen]
-        + [n for n in _R6_DEFERRED if n in queries]
-        + [n for n in _R04_CHECKED if n in queries]
-        + [n for n in _R05_CHECKED if n in queries]
-        + [n for n in _R06_CHECKED if n in queries]
+        + [n for n in _R04_CHECKED if n in queries and n not in r07]
+        + [n for n in _R05_CHECKED if n in queries and n not in r07]
+        + [n for n in _R06_CHECKED if n in queries and n not in r07]
+        + [n for n in _R07_WINDOW if n in queries]
     )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}
