@@ -2146,13 +2146,17 @@ def g_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
     series.  libm exp is not correctly rounded, so the result is
     floor-truncated to 6 dp (the ``_avg6`` pattern — floor(x*1e6)/1e6
     is pure binary float math, identical in both engines, unlike
-    engine round() whose decimal-repr-vs-binary semantics diverge) —
-    valid ONLY because the scaled domain is ≤ ~4.9, keeping exp ≤
-    ~134 where a ulp is ~1e-14, so a 1-ulp exp() disagreement crosses
-    a 1e-6 floor boundary only if the true value sits within ~1e-14
-    of one (never exactly on it: exp of a nonzero rational is
-    transcendental).  The 0.01 scale itself: cents/10000.0 is one
-    exact division."""
+    engine round() whose decimal-repr-vs-binary semantics diverge).
+    Validity is not just the measure-zero "exp of a nonzero rational
+    is transcendental" argument — the real risk is a 1-ulp-off libm
+    pair straddling a boundary, which needs the TRUE value within a
+    few ulps of one.  That is VERIFIED, not assumed: tests/
+    test_float_boundaries.py enumerates the entire finite cents
+    domain [0, 60000] in 40-digit decimal and shows every
+    exp(c/1e4)·1e6 clears the nearest integer by >16 product-ulps
+    (min distance 2.5e-05 vs ulp 6e-08; c=0 is exactly exp(0)=1, an
+    exact IEEE result with no libm rounding).  The 0.01 scale itself:
+    cents/10000.0 is one exact division."""
     scaled = _cents().cast("double") / F.lit(10_000.0)
     return _lww1h(spark, sf_dir).select(
         "metric",
@@ -3352,8 +3356,11 @@ def g_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one libm call (exp) may differ by 1 ulp cross-engine, so the
     result is floor-truncated to 6 dp; every other op (negate exact,
     1+e and 1/x correctly rounded) is spelled in the same order in
-    both engines.  Domain (0, ~5.6] keeps sigmoid in (0.5, 1) where
-    a ulp is ~1e-16 ≪ the 1e-6 floor spacing."""
+    both engines.  As with g_exp, boundary safety is enumerated, not
+    argued: tests/test_float_boundaries.py shows every true
+    sigmoid(c/1e4)·1e6 over cents ∈ [1, 60000] clears the nearest
+    integer by >16 product-ulps (min 2.1e-08 vs ulp 1.2e-10), and
+    c=0 → 0.5 exactly (exact IEEE arithmetic, no libm rounding)."""
     scaled = _cents().cast("double") / F.lit(10_000.0)
     sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-scaled))
     return _lww1h(spark, sf_dir).select(

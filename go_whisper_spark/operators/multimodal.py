@@ -222,26 +222,34 @@ _KIND_SQL = """CASE doc_id % 3 WHEN 0 THEN 'image'
 
 # checksum == sum of payload byte values; ASCII ⇒ byte value ==
 # unicode code point per char (verified: zero non-ASCII docs at every
-# scale factor, so strlen == length).
+# scale factor, so strlen == length).  Empty payloads are guarded
+# explicitly rather than assumed away: DuckDB's unicode('') is -1
+# while _fake_decode's checksum over b'' is 0, so the CASE pins the
+# Python semantics even if a generator ever emits an empty document.
 M_DECODE_STATS_SQL = f"""
 SELECT {_KIND_SQL} AS kind,
        count(*) AS n_media,
        CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
-       CAST(sum(list_sum(list_transform(string_split(text, ''),
-                                        c -> unicode(c)))) AS BIGINT)
-         AS checksum_sum
+       CAST(sum(CASE WHEN strlen(text) = 0 THEN 0
+                ELSE list_sum(list_transform(string_split(text, ''),
+                                             c -> unicode(c))) END)
+            AS BIGINT) AS checksum_sum
 FROM documents
 GROUP BY 1
 """
 
 # frames = offsets 0, 64, 128, … < n_bytes ⇒ ceil(n/64) rows, last
-# offset 64·(n_frames − 1); only 'video' docs flow through.
+# offset 64·(n_frames − 1); only 'video' docs flow through.  An empty
+# payload yields ZERO offset rows in sample_frames, so its media_id is
+# absent from the grouped output entirely — the strlen(text) > 0
+# predicate makes the oracle agree instead of emitting a phantom
+# (n_frames=0, last_offset=-64) row.
 M_FRAME_SAMPLE_SQL = """
 SELECT doc_id AS media_id,
        CAST((strlen(text) + 63) // 64 AS BIGINT) AS n_frames,
        CAST(((strlen(text) + 63) // 64 - 1) * 64 AS BIGINT) AS last_offset
 FROM documents
-WHERE doc_id % 3 = 2
+WHERE doc_id % 3 = 2 AND strlen(text) > 0
 """
 
 ORACLES: dict = {

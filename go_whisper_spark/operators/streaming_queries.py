@@ -463,9 +463,21 @@ WITH pts AS (
   FROM events
 ),
 {_MARKED_CTE},
+wmd AS (
+  -- Dedup-specific watermark: the Spark side floors ts to the hour
+  -- BEFORE withWatermark, so its watermark advances off the FLOORED
+  -- event times.  The shared wm CTE (raw max(ts) - lateness) can sit
+  -- up to 3599 s above this; a row whose event hour equals the
+  -- floored watermark is on-time for Spark but would be dropped by
+  -- the raw-max filter.  Mirror Spark exactly: floor first, then max.
+  SELECT a.arrive, max(b.ts - b.ts % 3600) - {LATENESS} AS wm
+  FROM (SELECT DISTINCT arrive FROM marked) a
+  JOIN marked b ON b.arrive < a.arrive
+  GROUP BY a.arrive
+),
 surv AS (
-  SELECT m.* FROM marked m LEFT JOIN wm ON wm.arrive = m.arrive
-  WHERE wm.wm IS NULL OR m.ts - m.ts % 3600 >= wm.wm
+  SELECT m.* FROM marked m LEFT JOIN wmd ON wmd.arrive = m.arrive
+  WHERE wmd.wm IS NULL OR m.ts - m.ts % 3600 >= wmd.wm
 )
 SELECT DISTINCT metric,
        CAST(floor(value) AS BIGINT) AS vbucket,

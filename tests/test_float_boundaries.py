@@ -1,0 +1,69 @@
+"""One-time-per-run verification of the g_exp / g_sigmoid floor-
+truncation determinism argument (ADVICE round 7, item 4).
+
+Claim under test: for every cents value the events generator can
+produce (round(value*100) ∈ [0, 60000] at every scale factor — the
+observed maxima are 32753 / 49002 / 56021 at sf0.001/0.01/0.1), the
+TRUE values of exp(c/10000)·1e6 and sigmoid(c/10000)·1e6 are far
+enough from every integer that a correctly-rounded engine and a
+1-ulp-off libm engine cannot floor to different 1e-6 buckets.
+
+Method: 40-digit decimal arithmetic enumerates the whole finite
+domain.  Safety bar: distance to the nearest integer must exceed
+16 ulps of the product — far above any plausible cross-libm exp()
+disagreement (libm exp is typically <1 ulp off; 16 is paranoia).
+
+c = 0 is excluded from the distance check deliberately: exp(0) = 1
+and sigmoid(0) = 0.5 sit EXACTLY on boundaries, but both are exact
+IEEE results (no libm rounding happens for the zero input), so both
+engines floor the identical double — verified separately below.
+"""
+
+import decimal
+import math
+from decimal import Decimal
+
+import duckdb
+
+# Covers every SF's observed cents maximum (56021 at sf0.1) with margin.
+CENTS_MAX = 60000
+SAFETY_ULPS = 16
+
+
+def _min_boundary_distances():
+    decimal.getcontext().prec = 40
+    min_exp = min_sig = Decimal(9)
+    for c in range(1, CENTS_MAX + 1):
+        x = Decimal(c) / Decimal(10000)
+        ye = x.exp() * 1_000_000
+        fr = ye - int(ye)
+        min_exp = min(min_exp, fr, 1 - fr)
+        ys = (1 / (1 + (-x).exp())) * 1_000_000
+        fr = ys - int(ys)
+        min_sig = min(min_sig, fr, 1 - fr)
+    return float(min_exp), float(min_sig)
+
+
+def test_exp_sigmoid_floor_boundaries_clear():
+    d_exp, d_sig = _min_boundary_distances()
+    # Largest product ulps over the domain: exp ≤ e^6·1e6, sigmoid < 1e6.
+    ulp_exp = math.ulp(math.exp(CENTS_MAX / 10000.0) * 1e6)
+    ulp_sig = math.ulp(1e6)
+    assert d_exp > SAFETY_ULPS * ulp_exp, (d_exp, ulp_exp)
+    assert d_sig > SAFETY_ULPS * ulp_sig, (d_sig, ulp_sig)
+
+
+def test_zero_cents_is_exact():
+    # The only on-boundary inputs are computed without libm rounding.
+    assert math.exp(0.0) == 1.0
+    assert 1.0 / (1.0 + math.exp(-0.0)) == 0.5
+
+
+def test_testdata_cents_within_verified_domain():
+    """The enumeration bound must cover the actual generator output."""
+    for sf in ("0.001", "0.01", "0.1"):
+        lo, hi = duckdb.sql(
+            "SELECT min(round(value*100)), max(round(value*100)) "
+            f"FROM '/root/testdata/sf{sf}/events.parquet'"
+        ).fetchone()
+        assert lo >= 0 and hi <= CENTS_MAX, (sf, lo, hi)
