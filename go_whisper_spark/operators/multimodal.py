@@ -183,12 +183,38 @@ def m_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def m_feature_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind feature-vector statistics over the REAL extract_features
+    Arrow pipeline, stated so the result is bit-deterministic and hence
+    oracle-checkable (the round-7 blocker was a float avg whose value
+    rode shuffle order):
+
+    - per-row L1 and mean-bin (Σ b·f_b) are explicit LEFT-FOLD chains
+      of double adds over the 16 float32 elements — a fixed sequence of
+      IEEE ops both engines execute identically, so each row's value is
+      bit-exact cross-engine;
+    - each per-row double is floor-scaled to an integer micro value
+      (floor(x·1e6)); integer sums are commutative, so the per-kind
+      aggregate no longer depends on accumulation order.
+    """
     media = documents_as_media(spark, sf_dir)
     feats = extract_features(media)
-    l1 = F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double"))
-    return feats.groupBy("kind").agg(
+    elems = [
+        F.element_at("features", i + 1).cast("double") for i in range(FEATURE_DIM)
+    ]
+    l1 = F.lit(0.0)
+    mbin = F.lit(0.0)
+    for b, x in enumerate(elems):
+        l1 = l1 + x
+        mbin = mbin + F.lit(float(b)) * x
+    per_row = feats.select(
+        "kind",
+        F.floor(l1 * F.lit(1_000_000.0)).cast("long").alias("l1_u6"),
+        F.floor(mbin * F.lit(1_000_000.0)).cast("long").alias("mb_u6"),
+    )
+    return per_row.groupBy("kind").agg(
         F.count("*").alias("n_media"),
-        F.round(F.avg(l1), 4).alias("avg_l1"),
+        F.sum("l1_u6").alias("sum_l1_u6"),
+        F.sum("mb_u6").alias("sum_mb_u6"),
         F.lit(FEATURE_DIM).alias("dim"),
     )
 
@@ -207,14 +233,16 @@ QUERIES = {
     "m_frame_sample": m_frame_sample,
 }
 
-# Two of the three pipelines ARE oracle-checkable after all: the
-# deterministic fake codecs reduce to byte arithmetic (documents.text
-# is ASCII here, so DuckDB can restate payload bytes from the string),
-# which lets plain SQL pin the real mapInPandas plumbing — the Arrow
-# batch path, the 1:N frame explode contract, the per-kind routing —
-# from first principles.  ``m_feature_norms`` stays rows-only: its L1
-# norm rides Python-side float accumulation order with no SQL
-# equivalent worth pinning.
+# All THREE pipelines are oracle-checkable: the deterministic fake
+# codecs reduce to byte arithmetic (documents.text is ASCII here, so
+# DuckDB can restate payload bytes from the string), which lets plain
+# SQL pin the real mapInPandas plumbing — the Arrow batch path, the
+# 1:N frame explode contract, the per-kind routing — from first
+# principles.  ``m_feature_norms`` joined in round 8 by restating its
+# statistic in fixed-order arithmetic (see its docstring): the oracle
+# rebuilds each 16-bin float32 histogram feature vector from the text
+# bytes, replays the identical double left-fold, and sums the same
+# micro-floored integers.
 
 _KIND_SQL = """CASE doc_id % 3 WHEN 0 THEN 'image'
                                WHEN 1 THEN 'audio'
@@ -252,7 +280,54 @@ FROM documents
 WHERE doc_id % 3 = 2 AND strlen(text) > 0
 """
 
+# Feature vector restated from text bytes: bin(c) = unicode(c)//16
+# (== np.histogram over range (0,256) with 16 uniform bins for byte
+# inputs; empty string splits to [''] whose unicode is -1 → bin -1,
+# matching "no bytes counted"), f_b = float32(count_b / max(n,1))
+# exactly as the encoder computes it (int/int → double division, then
+# REAL cast).  The fold chains below are generated in the SAME bin
+# order as the Spark expressions, so every add/multiply is the same
+# IEEE double op on the same operands.
+_FEAT_COLS = ",\n         ".join(
+    f"CAST(CAST(len(list_filter(bins, b -> b = {i})) AS DOUBLE)"
+    f" / greatest(n, 1) AS REAL) AS f{i}"
+    for i in range(FEATURE_DIM)
+)
+
+_L1_CHAIN = "CAST(0.0 AS DOUBLE)"
+_MB_CHAIN = "CAST(0.0 AS DOUBLE)"
+for _b in range(FEATURE_DIM):
+    _L1_CHAIN = f"({_L1_CHAIN} + f{_b})"
+    _MB_CHAIN = f"({_MB_CHAIN} + CAST({_b} AS DOUBLE) * f{_b})"
+
+M_FEATURE_NORMS_SQL = f"""
+WITH chars AS (
+  SELECT doc_id, strlen(text) AS n,
+         list_transform(string_split(text, ''), c -> unicode(c) // 16) AS bins
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n,
+         {_FEAT_COLS}
+  FROM chars
+),
+per_row AS (
+  SELECT {_KIND_SQL} AS kind,
+         CAST(floor({_L1_CHAIN} * 1000000.0) AS BIGINT) AS l1_u6,
+         CAST(floor({_MB_CHAIN} * 1000000.0) AS BIGINT) AS mb_u6
+  FROM feat
+)
+SELECT kind,
+       count(*) AS n_media,
+       CAST(sum(l1_u6) AS BIGINT) AS sum_l1_u6,
+       CAST(sum(mb_u6) AS BIGINT) AS sum_mb_u6,
+       {FEATURE_DIM} AS dim
+FROM per_row
+GROUP BY kind
+"""
+
 ORACLES: dict = {
     "m_decode_stats": M_DECODE_STATS_SQL,
+    "m_feature_norms": M_FEATURE_NORMS_SQL,
     "m_frame_sample": M_FRAME_SAMPLE_SQL,
 }
