@@ -3539,6 +3539,254 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+# =====================================================================
+# Round-8 batch: the remaining data-semantic render functions —
+# list-pairwise division, the multi-offset timeShift form, tag-based
+# aliasing, threshold comparison, and the isNonNull availability
+# integral.  Presentation-only functions (cactiStyle, legendValue,
+# verticalLine, drawAsInfinite, color/lineWidth cosmetics) are out of
+# scope by design — they alter legend text or pixel rendering, not
+# data; docs/QUERIES.md records the exclusion.
+
+
+# ------------------------------------------------- g_divide_series_lists
+def g_divide_series_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """divideSeriesLists([click, error], [view, signup]): pairwise
+    series division — dividend i over divisor i, matched by list
+    position.  The pairing is a literal CASE map applied to the
+    dividend side (expression-level, no extra table), then one
+    equi-join on (divisor, interval) — both sides shuffle once on the
+    join key, the whisper-native alignment.  The ratio is a single
+    correctly-rounded IEEE divide of bit-identical LWW doubles;
+    zero-valued divisor slots are excluded on BOTH sides (Graphite
+    renders them as None)."""
+    lww = _lww1h(spark, sf_dir)
+    pair = F.when(F.col("metric") == "click", "view").otherwise("signup")
+    num = lww.where(F.col("metric").isin("click", "error")).select(
+        F.col("metric").alias("dividend"),
+        pair.alias("divisor"),
+        "interval",
+        F.col("value").alias("num_v"),
+    )
+    den = (
+        lww.where(F.col("metric").isin("view", "signup"))
+        .where(F.col("value") != 0.0)
+        .select(F.col("metric").alias("divisor"), "interval",
+                F.col("value").alias("den_v"))
+    )
+    return num.join(den, ["divisor", "interval"], "inner").select(
+        "dividend",
+        "divisor",
+        "interval",
+        (F.col("num_v") / F.col("den_v")).alias("ratio"),
+    )
+
+
+G_DIVIDE_SERIES_LISTS_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+num AS (
+  SELECT metric AS dividend,
+         CASE metric WHEN 'click' THEN 'view' ELSE 'signup' END AS divisor,
+         interval, value AS num_v
+  FROM lww1h WHERE metric IN ('click', 'error')
+),
+den AS (
+  SELECT metric AS divisor, interval, value AS den_v
+  FROM lww1h WHERE metric IN ('view', 'signup') AND value <> 0.0
+)
+SELECT n.dividend, n.divisor, n.interval, n.num_v / d.den_v AS ratio
+FROM num n JOIN den d ON n.divisor = d.divisor AND n.interval = d.interval
+"""
+
+
+# --------------------------------------------------- g_time_shift_multi
+def g_time_shift_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeShift(series, "-1d") AND "-7d" in one pass — the
+    multi-offset form behind week-over-week dashboards: the base slot
+    LEFT-joined against its day-ago and week-ago values via two
+    interval-shifted projections of the SAME LWW frame (self-joins on
+    the whisper-native (metric, interval) key; absent history stays
+    NULL).  Deltas in exact integer cents; every output re-scaled
+    through one exact /100.0."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+
+    def shifted(off: int, name: str) -> DataFrame:
+        return lww.select(
+            "metric",
+            (F.col("interval") + F.lit(off)).cast("long").alias("interval"),
+            F.col("cents").alias(name),
+        )
+
+    return (
+        lww.join(shifted(86400, "c_1d"), ["metric", "interval"], "left")
+        .join(shifted(604800, "c_7d"), ["metric", "interval"], "left")
+        .select(
+            "metric",
+            "interval",
+            (F.col("cents").cast("double") / 100.0).alias("value"),
+            (F.col("c_1d").cast("double") / 100.0).alias("value_1d_ago"),
+            (F.col("c_7d").cast("double") / 100.0).alias("value_7d_ago"),
+            ((F.col("cents") - F.col("c_1d")).cast("double") / 100.0).alias(
+                "dod_delta"
+            ),
+            ((F.col("cents") - F.col("c_7d")).cast("double") / 100.0).alias(
+                "wow_delta"
+            ),
+        )
+    )
+
+
+G_TIME_SHIFT_MULTI_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+c AS (SELECT metric, interval, {CENTS_SQL} AS cents FROM lww1h)
+SELECT a.metric, a.interval,
+       CAST(a.cents AS DOUBLE) / 100.0 AS value,
+       CAST(b.cents AS DOUBLE) / 100.0 AS value_1d_ago,
+       CAST(w.cents AS DOUBLE) / 100.0 AS value_7d_ago,
+       CAST(a.cents - b.cents AS DOUBLE) / 100.0 AS dod_delta,
+       CAST(a.cents - w.cents AS DOUBLE) / 100.0 AS wow_delta
+FROM c a
+LEFT JOIN c b ON a.metric = b.metric AND a.interval = b.interval + 86400
+LEFT JOIN c w ON a.metric = w.metric AND a.interval = w.interval + 604800
+"""
+
+
+# ------------------------------------------------------ g_alias_by_tags
+def g_alias_by_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aliasByTags(seriesByTag('name=~.*'), 'host', 'name'): rename
+    every tagged series to "<host>.<name>" — the alias form one
+    projection above g_tag_parse's tag universe.  Aliases are NOT
+    deduplicated (the three dcs sharing a host.name label each keep
+    their rows), exactly Graphite's legend behavior; slot data rides
+    along unchanged, so this is a zero-shuffle narrow map over the
+    tagged LWW."""
+    lww = _lww(_tagged_points(spark, sf_dir), HOUR)
+    tags = F.expr("str_to_map(substring_index(metric, ';', -2), ';', '=')")
+    return lww.withColumn("tags", tags).select(
+        F.concat(
+            F.col("tags")["host"], F.lit("."), F.substring_index("metric", ";", 1)
+        ).alias("alias"),
+        "interval",
+        "value",
+    )
+
+
+G_ALIAS_BY_TAGS_SQL = f"""
+WITH {TAGGED_CTE}, {TAGGED_LWW_CTE}
+SELECT replace(split_part(metric, ';', 3), 'host=', '') || '.'
+         || split_part(metric, ';', 1) AS alias,
+       interval, value
+FROM tlww
+"""
+
+
+# ---------------------------------------------------------- g_threshold
+def g_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """threshold(250, "warn") rendered against the series list: the
+    constant plus each series' per-slot breach flag and running breach
+    count — the alerting-join semantics behind threshold dashboards
+    (drawing the line itself is presentation; the comparison is data).
+    Breach test on exact integer cents (25000), running count an
+    integer window sum."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("interval")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    above = (F.col("cents") > 25000).cast("long")
+    return lww.select(
+        "metric",
+        "interval",
+        F.lit(250.0).alias("threshold"),
+        above.alias("above"),
+        F.sum(above).over(w).alias("breaches_so_far"),
+    )
+
+
+G_THRESHOLD_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric, interval, 250.0 AS threshold,
+       CAST(CASE WHEN {CENTS_SQL} > 25000 THEN 1 ELSE 0 END AS BIGINT) AS above,
+       CAST(sum(CASE WHEN {CENTS_SQL} > 25000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY metric ORDER BY interval
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS breaches_so_far
+FROM lww1h
+"""
+
+
+# -------------------------------------------------------- g_is_non_null
+def g_is_non_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isNonNull(series) over the dense last-3-days grid: the 0/1
+    known-slot indicator plus its integral (running known count) and
+    the running availability ratio in integer micro units — the uptime
+    statistic a gap-aware dashboard derives from isNonNull.  All
+    integer arithmetic: the ratio uses integral DIV, so there is no
+    float rounding anywhere."""
+    from go_whisper_spark.operators.whisper_queries import w_fetch_dense_3d
+
+    dense = w_fetch_dense_3d(spark, sf_dir)
+    wrun = (
+        Window.partitionBy("metric")
+        .orderBy("interval")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    known = F.when(F.col("value").isNotNull(), 1).otherwise(0).cast("long")
+    return (
+        dense.select(
+            "metric",
+            "interval",
+            known.alias("known"),
+            F.sum(known).over(wrun).alias("known_so_far"),
+            F.row_number()
+            .over(Window.partitionBy("metric").orderBy("interval"))
+            .cast("long")
+            .alias("slots"),
+        )
+        .withColumn(
+            "avail_micro", F.expr("CAST((known_so_far * 1000000) DIV slots AS BIGINT)")
+        )
+        .drop("slots")
+    )
+
+
+G_IS_NON_NULL_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+bounds AS (
+  SELECT (max(ts_sec) - 259200) - (max(ts_sec) - 259200) % 3600 + 3600 AS from_iv,
+         max(ts_sec) - max(ts_sec) % 3600 + 3600 AS until_iv
+  FROM pts
+),
+spine AS (
+  SELECT m.metric, s.interval
+  FROM (SELECT DISTINCT metric FROM pts) m
+  CROSS JOIN (
+    SELECT unnest(generate_series(from_iv, until_iv - 3600, 3600)) AS interval
+    FROM bounds
+  ) s
+),
+dense AS (
+  SELECT spine.metric, spine.interval, lww1h.value
+  FROM spine LEFT JOIN lww1h
+    ON lww1h.metric = spine.metric AND lww1h.interval = spine.interval
+),
+k AS (
+  SELECT metric, interval,
+         CAST(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS known,
+         CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) OVER wrun
+              AS BIGINT) AS known_so_far,
+         row_number() OVER (PARTITION BY metric ORDER BY interval) AS slots
+  FROM dense
+  WINDOW wrun AS (PARTITION BY metric ORDER BY interval
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT metric, interval, known, known_so_far,
+       CAST((known_so_far * 1000000) // slots AS BIGINT) AS avail_micro
+FROM k
+"""
+
+
 QUERIES = {
     "g_moving_avg_3": g_moving_avg_3,
     "g_nonneg_derivative": g_nonneg_derivative,
@@ -3634,6 +3882,11 @@ QUERIES = {
     "g_fallback_series": g_fallback_series,
     "g_summarize_last": g_summarize_last,
     "g_sigmoid": g_sigmoid,
+    "g_divide_series_lists": g_divide_series_lists,
+    "g_time_shift_multi": g_time_shift_multi,
+    "g_alias_by_tags": g_alias_by_tags,
+    "g_threshold": g_threshold,
+    "g_is_non_null": g_is_non_null,
 }
 
 ORACLES = {
@@ -3731,4 +3984,9 @@ ORACLES = {
     "g_diff_vs_yesterday": G_DIFF_VS_YESTERDAY_SQL,
     "g_count_series": G_COUNT_SERIES_SQL,
     "g_area_between": G_AREA_BETWEEN_SQL,
+    "g_divide_series_lists": G_DIVIDE_SERIES_LISTS_SQL,
+    "g_time_shift_multi": G_TIME_SHIFT_MULTI_SQL,
+    "g_alias_by_tags": G_ALIAS_BY_TAGS_SQL,
+    "g_threshold": G_THRESHOLD_SQL,
+    "g_is_non_null": G_IS_NON_NULL_SQL,
 }

@@ -46,6 +46,21 @@ def main():
         f"**{sum(1 for n in qs if n in oracles)} oracle-checked, "
         f"{sum(1 for n in qs if n not in oracles)} rows-only.**"
     )
+    lines += [
+        "",
+        "## Out of scope by design: presentation-only render functions",
+        "",
+        "Graphite functions that alter legend text or pixel rendering but",
+        "not data are deliberately excluded: `cactiStyle`, `legendValue`,",
+        "`verticalLine`, `drawAsInfinite`, `dashed`, `color`, `lineWidth`,",
+        "`secondYAxis`, `areaMode` cosmetics, `sortByName` (pure legend",
+        "order), `alpha`.  Every *data*-semantic function family — moving",
+        "windows, selectors, combiners, tags, aliases, generators,",
+        "Holt-Winters, summarize, threshold/isNonNull — has an analog",
+        "above; alias functions are covered in their data-projection form",
+        "(`g_alias_by_node`, `g_alias_by_metric`, `g_alias_sub`,",
+        "`g_alias_by_tags`).",
+    ]
     os.makedirs("docs", exist_ok=True)
     with open("docs/QUERIES.md", "w") as f:
         f.write("\n".join(lines) + "\n")
