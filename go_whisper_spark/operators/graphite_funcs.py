@@ -439,24 +439,29 @@ def g_highest_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """highestAverage(series, 3): series *selection* — keep the full
     series of the 3 metrics with the highest overall average.
 
-    Two-level plan: per-metric exact averages (integer cents), a
-    global rank over the tiny per-metric relation (one row per metric
-    — the single-partition window is over #series rows, not points),
-    then a join back that AQE turns into a broadcast semi-join of the
-    3 winners against the slot rows.
+    Scale shape (round-8 rewrite): per-metric exact averages (integer
+    cents, map-side combine), then ``orderBy().limit(3)`` — Spark
+    plans a **TakeOrderedAndProject**: each partition keeps its own
+    top-3 and only k·partitions rows merge, so there is NO
+    single-partition Exchange even at 10⁷ metrics (the old global
+    row_number window pushed the whole per-metric relation through
+    one partition).  The rank window that labels the 3 winners runs
+    on TakeOrdered's already-single-partition 3-row output, so
+    EnsureRequirements inserts no exchange for it; the join back is
+    an explicit broadcast of the 3 winners against the slot rows.
     """
     lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
     per = lww.groupBy("metric").agg(F.sum("cents").alias("sc"), F.count("*").alias("n"))
-    ranked = per.select(
-        "metric",
-        _avg6(F.col("sc"), F.col("n")).alias("avg_value"),
-    ).withColumn(
+    top = (
+        per.select("metric", _avg6(F.col("sc"), F.col("n")).alias("avg_value"))
+        .orderBy(F.desc("avg_value"), F.asc("metric"))
+        .limit(3)
+    )
+    ranked = top.withColumn(
         "series_rank",
-        F.row_number().over(
-            Window.orderBy(F.desc("avg_value"), F.asc("metric"))
-        ),
-    ).where(F.col("series_rank") <= 3)
-    return lww.join(ranked, "metric").select(
+        F.row_number().over(Window.orderBy(F.desc("avg_value"), F.asc("metric"))),
+    )
+    return lww.join(F.broadcast(ranked), "metric").select(
         "metric", "interval", "value", "avg_value", "series_rank"
     )
 
@@ -1452,19 +1457,22 @@ FROM lww1h l JOIN thresh t ON l.metric = t.metric
 # ---------------------------------------------------- g_lowest_average
 def g_lowest_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lowestAverage(seriesList, 3): the bottom-3 mirror of
-    ``g_highest_avg_3`` — exact cent averages, global rank over the
-    tiny per-metric relation, winners broadcast back to slots."""
+    ``g_highest_avg_3`` — exact cent averages, partial top-k via
+    ``orderBy().limit(3)`` (TakeOrderedAndProject: per-partition
+    bottom-3, no single-partition Exchange at any metric count), a
+    3-row rank label, winners broadcast back to slots."""
     lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
     per = lww.groupBy("metric").agg(F.sum("cents").alias("sc"), F.count("*").alias("n"))
-    ranked = (
+    top = (
         per.select("metric", _avg6(F.col("sc"), F.col("n")).alias("avg_value"))
-        .withColumn(
-            "series_rank",
-            F.row_number().over(Window.orderBy(F.asc("avg_value"), F.asc("metric"))),
-        )
-        .where(F.col("series_rank") <= 3)
+        .orderBy(F.asc("avg_value"), F.asc("metric"))
+        .limit(3)
     )
-    return lww.join(ranked, "metric").select(
+    ranked = top.withColumn(
+        "series_rank",
+        F.row_number().over(Window.orderBy(F.asc("avg_value"), F.asc("metric"))),
+    )
+    return lww.join(F.broadcast(ranked), "metric").select(
         "metric", "interval", "value", "avg_value", "series_rank"
     )
 
@@ -1650,19 +1658,55 @@ def g_highest_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     """highestCurrent(seriesList, 3) and lowestCurrent in one relation:
     rank series by their most recent slot value (exact ``max_by``,
     unique interval per metric), keep the top-3 and bottom-3 with
-    signed ranks.  Ties break on metric name."""
+    BOTH their global ranks.  Ties break on metric name.
+
+    Scale shape (round-8 rewrite): the winners come from two partial
+    top-k passes (``orderBy().limit(3)`` → TakeOrderedAndProject —
+    per-partition top-3/bottom-3, never a single-partition window over
+    the full per-metric relation).  A winner's *other* rank can be as
+    large as #metrics, so it cannot come from a top-k pass; instead
+    each global rank is restated as a COUNT — row_number over (v DESC,
+    metric) ≡ 1 + #{p : p.v > w.v OR (p.v = w.v AND p.metric <
+    w.metric)} — computed by broadcasting the ≤6 winners over the
+    per-metric relation and counting with a map-side-combining
+    aggregate keyed by winner.  Exact row_number equivalence (metric
+    names are unique ⇒ strict total order), zero single-partition
+    stages at any metric count."""
     lww = _lww1h(spark, sf_dir)
     per = lww.groupBy("metric").agg(F.max_by("value", "interval").alias("current_value"))
-    ranked = per.select(
-        "metric",
-        "current_value",
-        F.row_number()
-        .over(Window.orderBy(F.desc("current_value"), F.asc("metric")))
-        .alias("high_rank"),
-        F.row_number()
-        .over(Window.orderBy(F.asc("current_value"), F.asc("metric")))
-        .alias("low_rank"),
-    ).where((F.col("high_rank") <= 3) | (F.col("low_rank") <= 3))
+    hi3 = per.orderBy(F.desc("current_value"), F.asc("metric")).limit(3)
+    lo3 = per.orderBy(F.asc("current_value"), F.asc("metric")).limit(3)
+    cand = (
+        hi3.unionByName(lo3)
+        .distinct()
+        .select(
+            F.col("metric").alias("w_metric"),
+            F.col("current_value").alias("w_value"),
+        )
+    )
+    before_high = (F.col("current_value") > F.col("w_value")) | (
+        (F.col("current_value") == F.col("w_value"))
+        & (F.col("metric") < F.col("w_metric"))
+    )
+    before_low = (F.col("current_value") < F.col("w_value")) | (
+        (F.col("current_value") == F.col("w_value"))
+        & (F.col("metric") < F.col("w_metric"))
+    )
+    ranked = (
+        per.crossJoin(F.broadcast(cand))
+        .groupBy("w_metric", "w_value")
+        .agg(
+            (F.count(F.when(before_high, 1)) + 1).cast("int").alias("high_rank"),
+            (F.count(F.when(before_low, 1)) + 1).cast("int").alias("low_rank"),
+        )
+        .where((F.col("high_rank") <= 3) | (F.col("low_rank") <= 3))
+        .select(
+            F.col("w_metric").alias("metric"),
+            F.col("w_value").alias("current_value"),
+            "high_rank",
+            "low_rank",
+        )
+    )
     return lww.join(F.broadcast(ranked), "metric").select(
         "metric", "interval", "value", "current_value", "high_rank", "low_rank"
     )
@@ -2204,13 +2248,17 @@ FROM lww1h
 def g_limit_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """limit(sortByName(seriesList), 3): the first 3 series
     alphabetically, slots passed through untouched — pure name
-    ordering, no data math."""
+    ordering, no data math.  The name pick is a partial top-k
+    (``orderBy().limit(3)`` → TakeOrderedAndProject over the distinct
+    metric names), not a global rank window, so no single-partition
+    Exchange exists at any metric count."""
     lww = _lww1h(spark, sf_dir)
     first3 = (
         lww.select("metric")
         .distinct()
+        .orderBy("metric")
+        .limit(3)
         .withColumn("name_rank", F.row_number().over(Window.orderBy("metric")))
-        .where(F.col("name_rank") <= 3)
     )
     return lww.join(F.broadcast(first3), "metric").select(
         "metric", "interval", "value", "name_rank"
@@ -3088,19 +3136,27 @@ def g_most_deviant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cents") * F.col("cents")).alias("s2"),
     )
     num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
-    ranked = per.select(
-        "metric",
-        (num.cast("double") / (F.col("n") * F.col("n")).cast("double")).alias(
-            "variance_c2"
-        ),
-    ).select(
+    top = (
+        per.select(
+            "metric",
+            (num.cast("double") / (F.col("n") * F.col("n")).cast("double")).alias(
+                "variance_c2"
+            ),
+        )
+        # Partial top-k (TakeOrderedAndProject) instead of a global
+        # rank window: no single-partition Exchange at 10⁷ metrics;
+        # the labeling window below sees only TakeOrdered's 3-row,
+        # already-single-partition output.
+        .orderBy(F.desc("variance_c2"), F.asc("metric"))
+        .limit(3)
+    )
+    return top.select(
         "metric",
         "variance_c2",
         F.row_number()
         .over(Window.orderBy(F.desc("variance_c2"), F.asc("metric")))
         .alias("dev_rank"),
     )
-    return ranked.where(F.col("dev_rank") <= 3)
 
 
 G_MOST_DEVIANT_SQL = f"""

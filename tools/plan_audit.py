@@ -214,11 +214,38 @@ CHECKS = {
         forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                 "Window"],
     ),
-    # mostDeviant: per-series aggregate (map-side combine) then a rank
-    # window over #series rows — no join.
+    # Top-k selector family (round-8 rewrite): partial top-k via
+    # TakeOrderedAndProject — per-partition top-k, k·partitions rows
+    # merged — with NO single-partition Exchange anywhere in the plan
+    # (the old global row_number window pushed the whole per-metric
+    # relation through one partition; SinglePartition may not appear
+    # at all now).  Rank labels ride TakeOrdered's already-single-
+    # partition k-row output; join-backs broadcast the winners.
     "g_most_deviant": dict(
-        require=["Window", "partial_sum"],
-        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+        require=["TakeOrderedAndProject", "partial_sum"],
+        forbid=["SinglePartition", "CartesianProduct", "SortMergeJoin",
+                "BroadcastHashJoin"],
+    ),
+    "g_highest_avg_3": dict(
+        require=["TakeOrderedAndProject", "partial_max_by", "BroadcastHashJoin"],
+        forbid=["SinglePartition", "CartesianProduct", "SortMergeJoin"],
+    ),
+    "g_lowest_average": dict(
+        require=["TakeOrderedAndProject", "partial_max_by", "BroadcastHashJoin"],
+        forbid=["SinglePartition", "CartesianProduct", "SortMergeJoin"],
+    ),
+    "g_limit_sorted": dict(
+        require=["TakeOrderedAndProject", "BroadcastHashJoin"],
+        forbid=["SinglePartition", "CartesianProduct", "SortMergeJoin"],
+    ),
+    # highestCurrent: winners from two TakeOrdered passes; their exact
+    # global ranks restated as counts over a broadcast of the ≤6
+    # winners (BroadcastNestedLoopJoin + map-side-combining count) —
+    # never a full-relation rank window.
+    "g_highest_current": dict(
+        require=["TakeOrderedAndProject", "BroadcastNestedLoopJoin",
+                 "partial_count"],
+        forbid=["SinglePartition", "CartesianProduct", "SortMergeJoin"],
     ),
     # currentBelow: the 5-row filtered dimension must broadcast back
     # onto the slots — never sort-merge.
