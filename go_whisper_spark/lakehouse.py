@@ -1,0 +1,283 @@
+"""Minimal commit-log table layer: concurrent-writer-safe archive
+maintenance (the round-7 ROADMAP "ACID incremental maintenance" seed).
+
+``retention.incremental_rollup`` overwrites day partitions in place
+(dynamic partition overwrite on plain parquet) — correct for ONE
+writer, lost-update-prone for several.  This module adds the smallest
+protocol that fixes it, the snapshot/manifest design every public
+lakehouse format (Delta, Iceberg, Hudi) builds on:
+
+- **Commit log**: a table is its ``_commits/`` directory — an ordered
+  sequence of JSON files ``00000000001.json``…  The table STATE
+  (which data directory serves each partition, plus the rollup
+  watermark) is the left-to-right replay of the log.  Data files are
+  never mutated or overwritten — a commit swaps which uniquely-named
+  staged directory a partition points to.
+- **Atomic publish**: a commit claims version N by ``O_CREAT|O_EXCL``
+  — an atomic create-if-absent on a POSIX filesystem, the same
+  primitive delta-on-HDFS uses (rename-without-overwrite).  Exactly
+  one of two racing writers wins the create; the loser re-reads and
+  retries.  (On S3-like stores with no atomic create, this slot-claim
+  moves to a coordination service — documented, out of scope here.)
+- **Optimistic concurrency**: writers never lock.  A writer snapshots
+  the state at version N, stages new data, then tries to commit.  If
+  versions landed meanwhile, it replays them and checks for overlap
+  with its own replaced partitions: DISJOINT partitions → safe to
+  retry the commit on top (the rollup for day X is a pure function of
+  the points of day X, so commit order between different days is
+  immaterial); OVERLAPPING partitions → ``ConflictError`` — the
+  caller must recompute from the new snapshot (its staged output is
+  stale), exactly Delta's ``ConcurrentWriteException`` contract.
+- **Watermark**: commits may carry a ``watermark`` (max ingested
+  write_seq / ts per level), making incremental maintenance
+  restartable: a crashed rollup reruns from the last committed
+  watermark and re-stages — data dirs it staged but never committed
+  are invisible garbage, never corruption.
+
+Reads are snapshot-isolated for free: a reader resolves the manifest
+once and scans only directories that log version references; a
+concurrent commit changes the log, not any file the reader holds.
+
+[ref: SURVEY.md §4 — the reference has no concurrent-writer story at
+all (carbon serializes per file); this layer is what replaces that
+serialization at 100 TB.]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+COMMIT_DIR = "_commits"
+STAGE_DIR = "_staged"
+
+
+class ConflictError(RuntimeError):
+    """Another writer committed an overlapping partition first; the
+    caller's staged output is stale — recompute from the new snapshot."""
+
+
+def _commit_path(table: str, version: int) -> str:
+    return os.path.join(table, COMMIT_DIR, f"{version:011d}.json")
+
+
+class CommitLog:
+    """The ordered-JSON-files commit log of one table directory."""
+
+    def __init__(self, table: str):
+        self.table = table
+        os.makedirs(os.path.join(table, COMMIT_DIR), exist_ok=True)
+
+    def versions(self) -> List[int]:
+        d = os.path.join(self.table, COMMIT_DIR)
+        return sorted(
+            int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+        )
+
+    def read_commit(self, version: int) -> dict:
+        with open(_commit_path(self.table, version)) as fh:
+            return json.load(fh)
+
+    def state(self) -> dict:
+        """Replay the log: {"version": int, "partitions": {key: datadir},
+        "watermark": dict}.  version = -1 for an empty table."""
+        parts: Dict[str, str] = {}
+        watermark: dict = {}
+        versions = self.versions()
+        for v in versions:
+            c = self.read_commit(v)
+            for key, datadir in c.get("replace", {}).items():
+                parts[key] = datadir
+            if "watermark" in c:
+                watermark.update(c["watermark"])
+        return {
+            "version": versions[-1] if versions else -1,
+            "partitions": parts,
+            "watermark": watermark,
+        }
+
+    def try_commit(self, version: int, payload: dict) -> bool:
+        """Claim exactly version ``version``; False if already taken.
+
+        Write-then-link: the payload is fully written to a private temp
+        file first, and the version slot is claimed by ``os.link`` —
+        atomic create-if-absent, like O_EXCL, but the committed name
+        only ever appears with COMPLETE content (a racing reader can
+        never observe a half-written commit file)."""
+        path = _commit_path(self.table, version)
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def commit(
+        self,
+        base_version: int,
+        replace: Dict[str, str],
+        watermark: Optional[dict] = None,
+        max_retries: int = 20,
+    ) -> int:
+        """Optimistically publish ``replace`` on top of ``base_version``.
+
+        Retries through interleaved commits that touch DISJOINT
+        partitions; raises ConflictError when an interleaved commit
+        replaced one of OUR partitions (staged output is stale).
+        Returns the committed version.
+        """
+        payload = {"replace": replace}
+        if watermark:
+            payload["watermark"] = watermark
+        attempt = base_version + 1
+        for _ in range(max_retries):
+            if self.try_commit(attempt, payload):
+                return attempt
+            # Lost the race for this slot: inspect the interloper.
+            other = self.read_commit(attempt)
+            overlap = set(other.get("replace", {})) & set(replace)
+            if overlap:
+                raise ConflictError(
+                    f"partitions {sorted(overlap)} were replaced by commit "
+                    f"{attempt} after our snapshot at {base_version}"
+                )
+            attempt += 1
+            # tiny backoff so N racing writers fan out over slots
+            time.sleep(0.001)
+        raise RuntimeError(f"gave up after {max_retries} commit attempts")
+
+
+def stage_dir(table: str) -> str:
+    """A unique, never-reused directory for one writer's one partition."""
+    return os.path.join(table, STAGE_DIR, uuid.uuid4().hex)
+
+
+def table_path(base: str, archive_index: int) -> str:
+    return os.path.join(base, f"lake_archive={archive_index}")
+
+
+def commit_rollup_days(
+    spark: SparkSession,
+    table: str,
+    day_frames: Dict[str, DataFrame],
+    watermark: Optional[dict] = None,
+) -> int:
+    """Stage + commit one rollup batch: {day -> recomputed frame}.
+
+    Stages every day to its own fresh directory (pure additions — no
+    existing file is touched), then publishes the swap as ONE commit:
+    readers see all days flip together or none (the snapshot
+    semantics ``incremental_rollup`` could not give).  On
+    ConflictError the staged dirs are simply abandoned (invisible
+    garbage, collectable by any later vacuum) and the error
+    propagates for the caller to recompute.
+    """
+    log = CommitLog(table)
+    base_version = log.state()["version"]
+    replace = {}
+    for day, frame in day_frames.items():
+        d = stage_dir(table)
+        frame.write.mode("overwrite").parquet(d)
+        replace[f"day={day}"] = d
+    return log.commit(base_version, replace, watermark)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Snapshot read: resolve the manifest once, scan only live dirs."""
+    state = CommitLog(table).state()
+    dirs = sorted(set(state["partitions"].values()))
+    if not dirs:
+        raise FileNotFoundError(f"lake table {table} has no committed data")
+    return spark.read.parquet(*dirs)
+
+
+def incremental_rollup_tx(
+    spark: SparkSession,
+    base: str,
+    config,
+    new_points: DataFrame,
+    now: int,
+    max_recomputes: int = 5,
+) -> dict:
+    """Concurrent-writer-safe variant of ``retention.incremental_rollup``.
+
+    Same data flow — append accepted points to bronze, recompute only
+    the touched day partitions per archive level — but each level's
+    day swap publishes through its table's commit log, so two rollup
+    jobs racing on DISJOINT days both land, and a same-day race makes
+    exactly one writer recompute on top of the other (never a silent
+    lost update).  The commit also advances a per-level watermark
+    (max accepted ts) for restartability.
+
+    Returns {archive_index: committed version}.
+    """
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.engine import WhisperEngine
+    from go_whisper_spark.retention import write_points
+
+    accepted = new_points.where(
+        (F.col("ts") <= F.lit(now))
+        & (F.lit(now) - F.col("ts") < F.lit(config.max_retention))
+    )
+    write_points(accepted, base, mode="append")
+    points_path = os.path.join(base, "points")
+    batch_days = [
+        str(r["day"])
+        for r in accepted.select(
+            F.to_date(F.timestamp_seconds(F.col("ts"))).alias("day")
+        )
+        .distinct()
+        .collect()
+    ]
+    max_ts = accepted.agg(F.max("ts")).first()[0]
+
+    committed = {}
+    for i, r in enumerate(config.retentions):
+        if 86400 % r.seconds_per_point != 0:
+            raise ValueError(
+                f"archive {i} step {r.seconds_per_point}s does not divide a day"
+            )
+        table = table_path(base, i)
+        for _ in range(max_recomputes):
+            # Snapshot, recompute touched days from bronze, try to publish.
+            all_points = spark.read.parquet(points_path).where(
+                F.col("day").isin(batch_days)
+            )
+            eng = WhisperEngine(spark, config)
+            eng.set_points(all_points.select("metric", "ts", "value", "write_seq"))
+            frame = (
+                eng.archive_frame(i, now)
+                .withColumn("day", F.to_date(F.timestamp_seconds(F.col("interval"))))
+                .where(F.col("day").isin(batch_days))
+            )
+            day_frames = {
+                d: frame.where(F.col("day") == F.lit(d)).drop("day")
+                for d in batch_days
+            }
+            try:
+                committed[i] = commit_rollup_days(
+                    spark,
+                    table,
+                    day_frames,
+                    watermark={f"level_{i}_max_ts": int(max_ts)},
+                )
+                break
+            except ConflictError:
+                # Someone replaced one of our days after our snapshot:
+                # bronze now includes their points; recompute and retry.
+                continue
+        else:
+            raise RuntimeError(f"level {i}: exceeded {max_recomputes} recomputes")
+    return committed

@@ -1,0 +1,163 @@
+"""Commit-log lakehouse layer: atomic optimistic commits, snapshot
+reads, conflict detection, and concurrent rollup writers — the tests
+that retire the "single-writer incremental_rollup" known limit."""
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_whisper_spark.engine import WhisperEngine
+from go_whisper_spark.lakehouse import (
+    CommitLog,
+    ConflictError,
+    commit_rollup_days,
+    incremental_rollup_tx,
+    read_table,
+    stage_dir,
+    table_path,
+)
+from go_whisper_spark.model import SeriesConfig
+
+DAY = 86400
+NOW = 1_700_000_000 - (1_700_000_000 % DAY)
+PTS_SCHEMA = "metric string, ts long, value double, write_seq long"
+
+
+# ------------------------------------------------------------ log core
+def test_commit_log_replay(tmp_path):
+    log = CommitLog(str(tmp_path / "t"))
+    assert log.state() == {"version": -1, "partitions": {}, "watermark": {}}
+    v1 = log.commit(-1, {"day=2023-11-01": "/d/a"}, {"max_ts": 10})
+    v2 = log.commit(v1, {"day=2023-11-02": "/d/b"}, {"max_ts": 20})
+    v3 = log.commit(v2, {"day=2023-11-01": "/d/c"})  # supersedes /d/a
+    st = log.state()
+    assert (v1, v2, v3) == (0, 1, 2)
+    assert st["version"] == 2
+    assert st["partitions"] == {"day=2023-11-01": "/d/c", "day=2023-11-02": "/d/b"}
+    assert st["watermark"] == {"max_ts": 20}
+
+
+def test_commit_version_claim_is_exclusive(tmp_path):
+    log = CommitLog(str(tmp_path / "t"))
+    assert log.try_commit(0, {"replace": {"p": "/x"}})
+    assert not log.try_commit(0, {"replace": {"q": "/y"}})
+    # the losing payload must not have clobbered the winner
+    assert log.read_commit(0) == {"replace": {"p": "/x"}}
+
+
+def test_disjoint_interleave_retries_conflict_raises(tmp_path):
+    log = CommitLog(str(tmp_path / "t"))
+    base = log.commit(-1, {"day=1": "/d/one"})
+    # Writer A snapshots at `base`; writer B lands day=2 meanwhile.
+    log.commit(base, {"day=2": "/d/two"})
+    # A replaces day=1 only → disjoint from B's commit → lands at v2.
+    v = log.commit(base, {"day=1": "/d/one-v2"})
+    assert v == 2
+    # Writer C snapshots at `base` too, but targets day=2 → stale.
+    with pytest.raises(ConflictError):
+        log.commit(base, {"day=2": "/d/two-stale"})
+
+
+def test_threaded_disjoint_writers_all_land(tmp_path):
+    """N racing threads on N distinct partitions: every commit lands,
+    versions are contiguous, no partition is lost."""
+    log = CommitLog(str(tmp_path / "t"))
+    errors = []
+
+    def writer(i):
+        try:
+            log.commit(-1, {f"day=d{i}": f"/data/{i}"})
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    st = log.state()
+    assert st["version"] == 7
+    assert len(st["partitions"]) == 8
+    assert log.versions() == list(range(8))
+
+
+# ------------------------------------------------------- spark tables
+def test_commit_rollup_days_snapshot_swap(spark, tmp_path):
+    table = str(tmp_path / "lake")
+    df1 = spark.createDataFrame([("m", 1, 1.0)], "metric string, interval long, value double")
+    v1 = commit_rollup_days(spark, table, {"2023-11-01": df1})
+    assert read_table(spark, table).count() == 1
+
+    # Replacing the same day swaps the manifest pointer; the old data
+    # dir still exists (never mutated) but is no longer referenced.
+    df2 = spark.createDataFrame(
+        [("m", 1, 2.0), ("m", 2, 3.0)], "metric string, interval long, value double"
+    )
+    log = CommitLog(table)
+    old_dir = log.state()["partitions"]["day=2023-11-01"]
+    commit_rollup_days(spark, table, {"2023-11-01": df2})
+    out = read_table(spark, table)
+    assert out.count() == 2
+    assert out.agg(F.sum("value")).first()[0] == 5.0
+    assert os.path.isdir(old_dir)  # immutable history, vacuumable later
+
+
+def test_incremental_rollup_tx_two_writers(spark, tmp_path):
+    """The lost-update scenario that breaks plain incremental_rollup:
+    two rollup jobs over the SAME day.  With the commit log, both
+    publish, the later one recomputes on top of the earlier one's
+    bronze append, and the final table contains BOTH batches' points."""
+    cfg = SeriesConfig.from_defs("1h:2d", "sum", 0.0)
+    base = str(tmp_path / "store")
+    b1 = spark.createDataFrame(
+        [("m", NOW - 3600 * h, 1.0, h) for h in range(1, 5)], PTS_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [("m", NOW - 3600 * h, 10.0, 100 + h) for h in range(5, 9)], PTS_SCHEMA
+    )
+    incremental_rollup_tx(spark, base, cfg, b1, NOW)
+    incremental_rollup_tx(spark, base, cfg, b2, NOW)
+
+    out = read_table(spark, table_path(base, 0))
+    # all 8 hourly slots present across both batches
+    assert out.count() == 8
+    assert out.agg(F.sum("value")).first()[0] == pytest.approx(4 * 1.0 + 4 * 10.0)
+    # watermark advanced to the max accepted ts of the later batch
+    st = CommitLog(table_path(base, 0)).state()
+    assert st["watermark"]["level_0_max_ts"] == NOW - 3600 * 5
+
+
+def test_same_day_conflict_recomputes_not_lost(spark, tmp_path):
+    """Simulate the interleave explicitly at the commit-log level: a
+    writer holding a stale snapshot of a day must get ConflictError,
+    and the recompute path (what incremental_rollup_tx does on
+    ConflictError) then sees the other writer's data."""
+    table = str(tmp_path / "lake")
+    df_a = spark.createDataFrame([("m", 1, 1.0)], "metric string, interval long, value double")
+    df_b = spark.createDataFrame([("m", 2, 2.0)], "metric string, interval long, value double")
+    log = CommitLog(table)
+    base_version = log.state()["version"]
+
+    # writer B wins the race on day X
+    commit_rollup_days(spark, table, {"2023-11-01": df_b})
+    # writer A, snapshotted before B, tries to publish the same day
+    d = stage_dir(table)
+    df_a.write.mode("overwrite").parquet(d)
+    with pytest.raises(ConflictError):
+        log.commit(base_version, {"day=2023-11-01": d})
+    # recompute on the NEW snapshot succeeds and supersedes B
+    st = log.state()
+    log.commit(st["version"], {"day=2023-11-01": d})
+    assert read_table(spark, table).agg(F.sum("value")).first()[0] == 1.0
+
+
+def test_commit_files_are_valid_json(tmp_path):
+    log = CommitLog(str(tmp_path / "t"))
+    log.commit(-1, {"day=1": "/d"}, {"w": 1})
+    p = os.path.join(str(tmp_path / "t"), "_commits", f"{0:011d}.json")
+    with open(p) as fh:
+        assert json.load(fh) == {"replace": {"day=1": "/d"}, "watermark": {"w": 1}}
