@@ -1180,20 +1180,15 @@ SELECT * FROM a1
 
 
 # ------------------------------------------------------------ w_wsp_export
-def w_wsp_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The DISTRIBUTED ``.wsp`` sink, end-to-end: the same two-archive
-    consolidation as ``w_wsp_propagate`` (1h:14d, 6h:28d, Average,
-    xff=0.5), but the whisper files are written by ``export_wsp`` —
-    one ``applyInPandas`` group per metric running Create +
-    bounds-checked LWW updates + propagate ring writes inside the
-    Arrow workers, with NO driver-side collect in the write path —
-    then read back through the binaryFile parser.  Same oracle as
-    ``w_wsp_propagate``: if the executor-written bytes differ in any
-    way (header, offsets, ring addressing, consolidated float64), the
-    hash mismatches.  [ref: whisper.go (Create/UpdateMany/propagate)]
-    """
+def _wsp_export_sink(spark: SparkSession, sf_dir: str):
+    """Build the distributed ``.wsp`` export sink frame (the
+    applyInPandas write stage, pre-materialization) plus the fixture
+    dir it writes to.  Split out so ``tools/plan_audit.py`` can assert
+    the WRITE stage's physical plan (FlatMapGroupsInPandas keyed by
+    metric, no driver collect inside) independently of the read-back
+    the contract query returns."""
     from go_whisper_spark.model import SeriesConfig
-    from go_whisper_spark.sources.wsp import export_wsp, read_wsp
+    from go_whisper_spark.sources.wsp import export_wsp
 
     cfg = SeriesConfig.from_defs("1h:14d,6h:28d", "average", 0.5)
     pts = _points(spark, sf_dir)
@@ -1219,10 +1214,27 @@ def w_wsp_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             _avg6(F.col("sc"), F.col("known")).alias("value"),
         )
     )
-
     fixture = _wsp_fixture_dir()
+    return export_wsp(a0.unionByName(a1), fixture, cfg, now), fixture
+
+
+def w_wsp_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED ``.wsp`` sink, end-to-end: the same two-archive
+    consolidation as ``w_wsp_propagate`` (1h:14d, 6h:28d, Average,
+    xff=0.5), but the whisper files are written by ``export_wsp`` —
+    one ``applyInPandas`` group per metric running Create +
+    bounds-checked LWW updates + propagate ring writes inside the
+    Arrow workers, with NO driver-side collect in the write path —
+    then read back through the binaryFile parser.  Same oracle as
+    ``w_wsp_propagate``: if the executor-written bytes differ in any
+    way (header, offsets, ring addressing, consolidated float64), the
+    hash mismatches.  [ref: whisper.go (Create/UpdateMany/propagate)]
+    """
+    from go_whisper_spark.sources.wsp import read_wsp
+
+    sink, fixture = _wsp_export_sink(spark, sf_dir)
     # Materialize the sink (one row per written file) before reading.
-    export_wsp(a0.unionByName(a1), fixture, cfg, now).collect()
+    sink.collect()
     return read_wsp(spark, fixture, root=fixture).select(
         "metric", "archive_id", "seconds_per_point", "interval", "value"
     )

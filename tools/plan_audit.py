@@ -279,6 +279,101 @@ CHECKS = {
         forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                 "Window"],
     ),
+    # m_feature_norms (round-8 oracle rewrite): one Arrow pass, the
+    # fold chains are expression-level (no Window), then one
+    # partial-combining per-kind aggregate.
+    "m_feature_norms": dict(
+        require=["MapInPandas", "partial_count", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "Window"],
+    ),
+    # Holt-Winters bands / aberration: same shape as g_holt_winters —
+    # LWW partial agg into ONE grouped Arrow pass per metric; no join.
+    "g_holt_winters_bands": dict(
+        require=["FlatMapGroupsInPandas", "partial_max_by"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    "g_hw_aberration": dict(
+        require=["FlatMapGroupsInPandas", "partial_max_by"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    # Round-8 analogs.  divideSeriesLists/timeShiftMulti are equi-joins
+    # on the whisper-native key — a nested-loop join would be the
+    # all-pairs bug.  aliasByTags is a pure narrow map over the tagged
+    # LWW (no join, no window).  threshold adds one per-metric running
+    # window.  isNonNull rides the dense-spine left join + windows.
+    "g_divide_series_lists": dict(
+        require=["partial_max_by"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "g_time_shift_multi": dict(
+        require=["partial_max_by"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "g_alias_by_tags": dict(
+        require=["partial_max_by"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "ShuffledHashJoin", "Window"],
+    ),
+    "g_threshold": dict(
+        require=["Window", "partial_max_by"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    "g_is_non_null": dict(
+        require=["Window", "partial_max_by"],
+        forbid=["CartesianProduct"],
+    ),
+}
+
+# Non-registry plans: frames the contract queries materialize
+# internally (a distributed sink, a streaming transformation) whose
+# physical shape matters as much as the returned read-back.  Each
+# builder returns a DataFrame; entries with streaming=True are
+# logical-plan-only (no codegen execution — a streaming frame cannot
+# be collected outside a query).
+def _build_wsp_export_write(spark):
+    from go_whisper_spark.operators.whisper_queries import _wsp_export_sink
+
+    sink, _ = _wsp_export_sink(spark, SF_DIR)
+    return sink
+
+
+def _build_st_dedup_stream(spark):
+    # The exact transformation st_dedup_1h replays, attached to a rate
+    # source so the STREAMING logical plan (EventTimeWatermark feeding
+    # Deduplicate — watermark must sit below the dedup for state
+    # eviction) is assertable without running a query.
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.streaming.dedup import streaming_dedup
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 5).cast("string").alias("metric"),
+            (F.col("value") % 7).alias("vbucket"),
+        )
+    )
+    return streaming_dedup(src, ["metric", "vbucket"], 172800)
+
+
+BUILDERS = {
+    # The applyInPandas .wsp write stage: one FlatMapGroupsInPandas
+    # keyed by metric (whisper's one-file-per-metric layout IS the
+    # shuffle key); no join of any kind in the sink plan.
+    "w_wsp_export_write": dict(
+        build=_build_wsp_export_write,
+        require=["FlatMapGroupsInPandas", "partial_max_by"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "Window"],
+    ),
+    "st_dedup_1h_stream": dict(
+        build=_build_st_dedup_stream,
+        require=["EventTimeWatermark", "Deduplicate"],
+        forbid=["Join", "Window"],
+        streaming=True,
+    ),
 }
 
 
@@ -317,6 +412,37 @@ def main():
         n_codegen = codegen_spans(df)
         if n_codegen == 0 and "Scan parquet" in text:
             problems.append("no WholeStageCodegen span in executed plan")
+        status = "OK" if not problems else "ISSUES"
+        print(f"{name}: {status}  codegen_spans={n_codegen}")
+        for p in problems:
+            print(f"    - {p}")
+        if problems:
+            bad += 1
+            if only:
+                print(text[:4000])
+
+    for name, spec in BUILDERS.items():
+        if only and name not in only:
+            continue
+        from go_whisper_spark.plans.audit import codegen_spans, explain_formatted
+
+        df = spec["build"](spark)
+        if spec.get("streaming"):
+            # Streaming frames cannot be physically planned outside a
+            # query: assert on the ANALYZED logical plan (watermark /
+            # dedup operators are logical-level).
+            text = df._jdf.queryExecution().analyzed().toString()
+            n_codegen = "-"
+        else:
+            text = explain_formatted(df)
+            n_codegen = codegen_spans(df)
+        problems = []
+        for r in spec.get("require", []):
+            if r not in text:
+                problems.append(f"missing: {r}")
+        for f in spec.get("forbid", []):
+            if f in text:
+                problems.append(f"present: {f}")
         status = "OK" if not problems else "ISSUES"
         print(f"{name}: {status}  codegen_spans={n_codegen}")
         for p in problems:
