@@ -77,6 +77,17 @@ _R07_WINDOW = [
     "g_area_between", "t_sentence_stats", "w_wsp_roundtrip",
 ]  # == CORRECTNESS_r07.json keys (test_registry.py pins this).
 
+# Added late in round 8, after the round-8 window composition (5 new
+# batch-1 queries + the round-4 cohort) was already settled.  Never
+# driver-checked (local exact-typed gate green at sf0.01 + sf0.1), so
+# they sort AFTER the round-4 cohort — keeping round 8's window on the
+# oldest driver evidence — and FRONT the round-9 window right after any
+# genuinely-new round-9 queries (the _R6_DEFERRED pattern).
+_R08_DEFERRED = [
+    "g_aggregate_series_lists", "g_group_by_nodes", "g_highest_max",
+    "g_sin_function", "g_counter_wrap", "g_as_percent_series",
+]
+
 # Last checked (green / rows-only-by-design) in round 4's window.
 _R04_CHECKED = [
     "w_wsp_roundtrip", "w_sessionize_30m", "r_q12_priority",
@@ -182,10 +193,11 @@ def _registry():
     # which older cohort also lists it.
     r07 = set(_R07_WINDOW)
     seen = (set(_R6_DEFERRED) | set(_R04_CHECKED) | set(_R05_CHECKED)
-            | set(_R06_CHECKED) | r07)
+            | set(_R06_CHECKED) | r07 | set(_R08_DEFERRED))
     order = (
         [n for n in queries if n not in seen]
         + [n for n in _R04_CHECKED if n in queries and n not in r07]
+        + [n for n in _R08_DEFERRED if n in queries]
         + [n for n in _R05_CHECKED if n in queries and n not in r07]
         + [n for n in _R06_CHECKED if n in queries and n not in r07]
         + [n for n in _R07_WINDOW if n in queries]

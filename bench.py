@@ -71,6 +71,10 @@ HEADLINE = [
     # aggregate) and the grouped-Arrow smoothing recursion
     "g_tag_group",
     "g_holt_winters_bands",
+    # round 8: the rewritten partial-top-k selector (TakeOrdered +
+    # broadcast join-back) and the multi-offset self-join pair
+    "g_highest_avg_3",
+    "g_time_shift_multi",
 ]
 
 

@@ -3843,6 +3843,284 @@ FROM k
 """
 
 
+# =====================================================================
+# Round-8 batch 2: list-pairwise sum/diff, multi-node grouping, the
+# TakeOrdered highestMax selector, the deterministic sine generator,
+# counter-wrap derivative, and two-argument asPercent.  Registered in
+# __spark_entry__._R08_DEFERRED (locally gated; they front the round-9
+# driver window so round 8's window keeps the round-4 cohort).
+
+
+# ---------------------------------------------- g_aggregate_series_lists
+def g_aggregate_series_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregateSeriesLists([click, error], [view, signup], 'sum') and
+    'diff' in one relation: pairwise position-matched combination of
+    two series lists (the add/subtract siblings of
+    ``g_divide_series_lists``, same literal CASE pairing + one
+    equi-join on the whisper-native key).  Exact integer cents until
+    the final /100."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    pair = F.when(F.col("metric") == "click", "view").otherwise("signup")
+    a = lww.where(F.col("metric").isin("click", "error")).select(
+        F.col("metric").alias("series_a"),
+        pair.alias("series_b"),
+        "interval",
+        F.col("cents").alias("ca"),
+    )
+    b = lww.where(F.col("metric").isin("view", "signup")).select(
+        F.col("metric").alias("series_b"), "interval", F.col("cents").alias("cb")
+    )
+    return a.join(b, ["series_b", "interval"], "inner").select(
+        "series_a",
+        "series_b",
+        "interval",
+        ((F.col("ca") + F.col("cb")).cast("double") / 100.0).alias("sum_value"),
+        ((F.col("ca") - F.col("cb")).cast("double") / 100.0).alias("diff_value"),
+    )
+
+
+G_AGGREGATE_SERIES_LISTS_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+a AS (
+  SELECT metric AS series_a,
+         CASE metric WHEN 'click' THEN 'view' ELSE 'signup' END AS series_b,
+         interval, {CENTS_SQL} AS ca
+  FROM lww1h WHERE metric IN ('click', 'error')
+),
+b AS (
+  SELECT metric AS series_b, interval, {CENTS_SQL} AS cb
+  FROM lww1h WHERE metric IN ('view', 'signup')
+)
+SELECT a.series_a, a.series_b, a.interval,
+       CAST(a.ca + b.cb AS DOUBLE) / 100.0 AS sum_value,
+       CAST(a.ca - b.cb AS DOUBLE) / 100.0 AS diff_value
+FROM a JOIN b ON a.series_b = b.series_b AND a.interval = b.interval
+"""
+
+
+# ------------------------------------------------------ g_group_by_nodes
+def g_group_by_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupByNodes(seriesList, 'sum', 0, 2): the multi-node form of
+    groupByNode — leaf paths ``<event_type>.u<u%4>.h<u%2>`` collapse
+    onto nodes (0, 2), dropping the middle node.  Same carbon fan-in
+    shape (leaf LWW then node rollup, both keys partitionable); exact
+    integer cents."""
+    from go_whisper_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(".u"), (F.col("user_id") % 4).cast("string"),
+            F.lit(".h"), (F.col("user_id") % 2).cast("string"),
+        ).alias("path"),
+        F.col("ts_sec").alias("ts"),
+        "value",
+        F.col("event_id").alias("write_seq"),
+    )
+    lww = (
+        pts.withColumn(
+            "interval", (F.col("ts") - F.col("ts") % F.lit(HOUR)).cast("long")
+        )
+        .groupBy("path", "interval")
+        .agg(F.max_by("value", "write_seq").alias("value"))
+    )
+    parts = F.split("path", "[.]")
+    return (
+        lww.withColumn("cents", _cents())
+        .withColumn("key", F.concat(parts.getItem(0), F.lit("."), parts.getItem(2)))
+        .groupBy("key", "interval")
+        .agg(
+            F.count("*").alias("n_leaves"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
+G_GROUP_BY_NODES_SQL = f"""
+WITH pths3 AS (
+  SELECT event_type || '.u' || CAST(user_id % 4 AS VARCHAR)
+                    || '.h' || CAST(user_id % 2 AS VARCHAR) AS path,
+         epoch_ns(ts) // 1000000000 AS ts_sec,
+         value, event_id AS write_seq
+  FROM events
+),
+lwwp3 AS (
+  SELECT path, ts_sec - ts_sec % 3600 AS interval,
+         arg_max(value, write_seq) AS value
+  FROM pths3 GROUP BY 1, 2
+)
+SELECT split_part(path, '.', 1) || '.' || split_part(path, '.', 3) AS key,
+       interval,
+       count(*) AS n_leaves,
+       CAST(sum({CENTS_SQL}) AS DOUBLE) / 100.0 AS sum_value
+FROM lwwp3
+GROUP BY 1, 2
+"""
+
+
+# -------------------------------------------------------- g_highest_max
+def g_highest_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """highestMax(seriesList, 3): keep the full series of the 3
+    metrics with the largest peak — the max-statistic member of the
+    partial-top-k selector family (TakeOrderedAndProject, 3-row rank
+    label, broadcast join back; no single-partition Exchange at any
+    metric count).  Peak of untouched doubles is float-exact."""
+    lww = _lww1h(spark, sf_dir)
+    top = (
+        lww.groupBy("metric")
+        .agg(F.max("value").alias("max_value"))
+        .orderBy(F.desc("max_value"), F.asc("metric"))
+        .limit(3)
+    )
+    ranked = top.withColumn(
+        "series_rank",
+        F.row_number().over(Window.orderBy(F.desc("max_value"), F.asc("metric"))),
+    )
+    return lww.join(F.broadcast(ranked), "metric").select(
+        "metric", "interval", "value", "max_value", "series_rank"
+    )
+
+
+G_HIGHEST_MAX_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+ranked AS (
+  SELECT metric, max(value) AS max_value,
+         CAST(row_number() OVER (ORDER BY max(value) DESC, metric ASC)
+              AS INTEGER) AS series_rank
+  FROM lww1h GROUP BY metric
+  QUALIFY series_rank <= 3
+)
+SELECT l.metric, l.interval, l.value, r.max_value, r.series_rank
+FROM lww1h l JOIN ranked r ON l.metric = r.metric
+"""
+
+
+# ------------------------------------------------------- g_sin_function
+def g_sin_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sinFunction(42.5, 1h) over the events range: the sine-wave
+    generator at hour-of-day phase.  The angle is (2·hour+1)·π/24 —
+    ODD multiples of π/24 only, so the true sine never sits at the
+    ±1/0 extremes where a floor boundary lives; there are exactly 24
+    distinct angles, and tests/test_float_boundaries.py enumerates
+    all 24 scaled values in high-precision decimal (min distance to a
+    1e-6 floor boundary 0.0376 vs product ulp 7.5e-9 — ~5·10⁶ ulps of
+    clearance, so a 1-ulp cross-libm sin() disagreement cannot change
+    the floor).  π enters both engines as the same literal double."""
+    import math
+
+    pts = _points(spark, sf_dir)
+    bounds = pts.agg(
+        (F.min("ts") - F.min("ts") % F.lit(HOUR)).cast("long").alias("lo"),
+        (F.max("ts") - F.max("ts") % F.lit(HOUR)).cast("long").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600).cast("long"))).alias("interval")
+    )
+    hour = (F.col("interval") % 86400) / 3600  # integer-valued
+    angle = (F.lit(2.0) * hour + F.lit(1.0)) * F.lit(math.pi) / F.lit(24.0)
+    return spine.select(
+        "interval",
+        (
+            F.floor(F.lit(42.5) * F.sin(angle) * F.lit(1_000_000.0))
+            / F.lit(1_000_000.0)
+        ).alias("sine"),
+    )
+
+
+G_SIN_FUNCTION_SQL = f"""
+WITH {PTS_CTE},
+b AS (
+  SELECT min(ts_sec) - min(ts_sec) % 3600 AS lo,
+         max(ts_sec) - max(ts_sec) % 3600 AS hi
+  FROM pts
+),
+spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS interval FROM b)
+SELECT interval,
+       floor(42.5 * sin((2.0 * ((interval % 86400) / 3600) + 1.0)
+                        * 3.141592653589793 / 24.0) * 1000000.0)
+         / 1000000.0 AS sine
+FROM spine
+"""
+
+
+# ------------------------------------------------------- g_counter_wrap
+def g_counter_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nonNegativeDerivative(series, maxValue=600): the counter-wrap
+    form — a negative delta means the counter wrapped at maxValue, so
+    the true increment is maxValue − prev + cur + 1 (Graphite's
+    documented wrap formula, in cents: 60000 − prev_c + cur_c + 1).
+    All-integer arithmetic; the first slot per metric stays NULL."""
+    w = Window.partitionBy("metric").orderBy("interval")
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    prev = F.lag("cents").over(w)
+    delta = F.when(F.col("cents") >= prev, F.col("cents") - prev).otherwise(
+        F.lit(60000) - prev + F.col("cents") + F.lit(1)
+    )
+    return lww.select(
+        "metric",
+        "interval",
+        (delta.cast("double") / 100.0).alias("wrapped_delta"),
+    )
+
+
+G_COUNTER_WRAP_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+c AS (SELECT metric, interval, {CENTS_SQL} AS cents FROM lww1h)
+SELECT metric, interval,
+       CAST(CASE WHEN cents >= lag(cents) OVER w
+                 THEN cents - lag(cents) OVER w
+                 ELSE 60000 - lag(cents) OVER w + cents + 1 END
+            AS DOUBLE) / 100.0 AS wrapped_delta
+FROM c
+WINDOW w AS (PARTITION BY metric ORDER BY interval)
+"""
+
+
+# --------------------------------------------------- g_as_percent_series
+def g_as_percent_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asPercent(seriesList, view): the two-argument form — each
+    series as a percentage of one DIVISOR series per slot (vs
+    ``g_as_percent``'s share-of-total).  The divisor is a single
+    series (720 slots), broadcast onto the others; the percentage is
+    exact integral arithmetic: floor((cents·10⁸) DIV total_c) micro-
+    percent, one final exact /10⁶.  Zero-valued divisor slots are
+    excluded on both contract sides."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    div = (
+        lww.where((F.col("metric") == "view") & (F.col("cents") != 0))
+        .select("interval", F.col("cents").alias("total_c"))
+    )
+    return (
+        lww.where(F.col("metric") != "view")
+        .join(F.broadcast(div), "interval")
+        .withColumn(
+            "pct_micro",
+            F.expr("CAST((cents * 100000000) DIV total_c AS BIGINT)"),
+        )
+        .select(
+            "metric",
+            "interval",
+            (F.col("pct_micro").cast("double") / F.lit(1_000_000.0)).alias("pct_of_view"),
+        )
+    )
+
+
+G_AS_PERCENT_SERIES_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+c AS (SELECT metric, interval, {CENTS_SQL} AS cents FROM lww1h),
+div AS (
+  SELECT interval, cents AS total_c FROM c
+  WHERE metric = 'view' AND cents <> 0
+)
+SELECT c.metric, c.interval,
+       CAST((c.cents * 100000000) // d.total_c AS DOUBLE) / 1000000.0
+         AS pct_of_view
+FROM c JOIN div d ON c.interval = d.interval
+WHERE c.metric <> 'view'
+"""
+
+
 QUERIES = {
     "g_moving_avg_3": g_moving_avg_3,
     "g_nonneg_derivative": g_nonneg_derivative,
@@ -3943,6 +4221,12 @@ QUERIES = {
     "g_alias_by_tags": g_alias_by_tags,
     "g_threshold": g_threshold,
     "g_is_non_null": g_is_non_null,
+    "g_aggregate_series_lists": g_aggregate_series_lists,
+    "g_group_by_nodes": g_group_by_nodes,
+    "g_highest_max": g_highest_max,
+    "g_sin_function": g_sin_function,
+    "g_counter_wrap": g_counter_wrap,
+    "g_as_percent_series": g_as_percent_series,
 }
 
 ORACLES = {
@@ -4045,4 +4329,10 @@ ORACLES = {
     "g_alias_by_tags": G_ALIAS_BY_TAGS_SQL,
     "g_threshold": G_THRESHOLD_SQL,
     "g_is_non_null": G_IS_NON_NULL_SQL,
+    "g_aggregate_series_lists": G_AGGREGATE_SERIES_LISTS_SQL,
+    "g_group_by_nodes": G_GROUP_BY_NODES_SQL,
+    "g_highest_max": G_HIGHEST_MAX_SQL,
+    "g_sin_function": G_SIN_FUNCTION_SQL,
+    "g_counter_wrap": G_COUNTER_WRAP_SQL,
+    "g_as_percent_series": G_AS_PERCENT_SERIES_SQL,
 }

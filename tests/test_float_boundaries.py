@@ -59,6 +59,39 @@ def test_zero_cents_is_exact():
     assert 1.0 / (1.0 + math.exp(-0.0)) == 0.5
 
 
+def test_sin_generator_boundaries_clear():
+    """g_sin_function's 24 hour-angle values: the true scaled sine must
+    clear every 1e-6 floor boundary by a wide margin.  The angle is
+    (2k+1)·π/24 — odd multiples only, so sin never sits at ±1/0 where
+    a boundary lives.  True values via a Decimal Taylor sine of the
+    exact DOUBLE argument both engines compute."""
+    decimal.getcontext().prec = 50
+
+    def dsin(x):
+        decimal.getcontext().prec += 10
+        i, last, s, sign, num, fact = 1, Decimal(0), x, 1, x, 1
+        while s != last:
+            last = s
+            i += 2
+            fact *= i * (i - 1)
+            num *= x * x
+            sign = -sign
+            s += sign * num / fact
+        decimal.getcontext().prec -= 10
+        return +s
+
+    min_d = Decimal(9)
+    for k in range(24):
+        arg_d = (2 * k + 1) * math.pi / 24.0
+        v = Decimal("42.5") * dsin(Decimal(repr(arg_d))) * 1_000_000
+        fr = v - int(v)
+        if fr < 0:
+            fr += 1
+        min_d = min(min_d, fr, 1 - fr)
+    ulp = math.ulp(42.5e6)
+    assert float(min_d) > SAFETY_ULPS * ulp, (float(min_d), ulp)
+
+
 def test_testdata_cents_within_verified_domain():
     """The enumeration bound must cover the actual generator output."""
     for sf in ("0.001", "0.01", "0.1"):
