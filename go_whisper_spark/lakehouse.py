@@ -76,30 +76,81 @@ class CommitLog:
     def versions(self) -> List[int]:
         d = os.path.join(self.table, COMMIT_DIR)
         return sorted(
-            int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+            int(f[:-5])
+            for f in os.listdir(d)
+            if f.endswith(".json") and f[:-5].isdigit()
         )
 
     def read_commit(self, version: int) -> dict:
         with open(_commit_path(self.table, version)) as fh:
             return json.load(fh)
 
+    def _checkpoints(self) -> List[int]:
+        d = os.path.join(self.table, COMMIT_DIR)
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(d)
+            if f.endswith(".checkpoint.json")
+        )
+
     def state(self) -> dict:
-        """Replay the log: {"version": int, "partitions": {key: datadir},
-        "watermark": dict}.  version = -1 for an empty table."""
+        """Resolve the table state: {"version": int, "partitions":
+        {key: datadir}, "watermark": dict}.  version = -1 for an empty
+        table.  Starts from the newest checkpoint (if any) and replays
+        only the commits after it — O(tail), not O(log), the same
+        compaction contract as public Delta checkpoints."""
         parts: Dict[str, str] = {}
         watermark: dict = {}
-        versions = self.versions()
+        start = 0
+        cps = self._checkpoints()
+        if cps:
+            cp_version = cps[-1]
+            with open(
+                os.path.join(
+                    self.table, COMMIT_DIR, f"{cp_version:011d}.checkpoint.json"
+                )
+            ) as fh:
+                snap = json.load(fh)
+            parts.update(snap["partitions"])
+            watermark.update(snap["watermark"])
+            start = cp_version + 1
+        versions = [v for v in self.versions() if v >= start]
         for v in versions:
             c = self.read_commit(v)
             for key, datadir in c.get("replace", {}).items():
                 parts[key] = datadir
             if "watermark" in c:
                 watermark.update(c["watermark"])
-        return {
-            "version": versions[-1] if versions else -1,
-            "partitions": parts,
-            "watermark": watermark,
-        }
+        last = versions[-1] if versions else (start - 1 if cps else -1)
+        return {"version": last, "partitions": parts, "watermark": watermark}
+
+    def checkpoint(self) -> int:
+        """Write a consolidated state snapshot at the current version so
+        later readers replay only the tail.  Safe under concurrency: the
+        snapshot is immutable once linked, a racing checkpoint at the
+        same version writes identical content, and commits that land
+        after it are replayed on top as usual.  Returns the
+        checkpointed version."""
+        st = self.state()
+        if st["version"] < 0:
+            raise RuntimeError("nothing to checkpoint in an empty table")
+        path = os.path.join(
+            self.table, COMMIT_DIR, f"{st['version']:011d}.checkpoint.json"
+        )
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"partitions": st["partitions"], "watermark": st["watermark"]}, fh
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            pass  # a racing checkpoint wrote the same snapshot
+        finally:
+            os.unlink(tmp)
+        return st["version"]
 
     def try_commit(self, version: int, payload: dict) -> bool:
         """Claim exactly version ``version``; False if already taken.
@@ -191,6 +242,36 @@ def commit_rollup_days(
         frame.write.mode("overwrite").parquet(d)
         replace[f"day={day}"] = d
     return log.commit(base_version, replace, watermark)
+
+
+def vacuum(table: str, min_age_seconds: int = 3600) -> List[str]:
+    """Remove staged data directories no commit references, the garbage
+    left by conflicted/crashed writers and by superseded partitions.
+
+    Age-gated exactly like public Delta's VACUUM retention window: a
+    directory is only removed when its mtime is older than
+    ``min_age_seconds``, so a LIVE writer that has staged but not yet
+    committed cannot lose its output (its dirs are younger than any
+    sane retention).  Never touches the commit log or any referenced
+    dir.  Returns the removed directories.
+    """
+    import shutil
+
+    stage_root = os.path.join(table, STAGE_DIR)
+    if not os.path.isdir(stage_root):
+        return []
+    live = set(CommitLog(table).state()["partitions"].values())
+    cutoff = time.time() - min_age_seconds
+    removed = []
+    for name in sorted(os.listdir(stage_root)):
+        d = os.path.join(stage_root, name)
+        if d in live:
+            continue
+        if os.path.getmtime(d) > cutoff:
+            continue
+        shutil.rmtree(d, ignore_errors=True)
+        removed.append(d)
+    return removed
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

@@ -18,6 +18,7 @@ from go_whisper_spark.lakehouse import (
     read_table,
     stage_dir,
     table_path,
+    vacuum,
 )
 from go_whisper_spark.model import SeriesConfig
 
@@ -153,6 +154,77 @@ def test_same_day_conflict_recomputes_not_lost(spark, tmp_path):
     st = log.state()
     log.commit(st["version"], {"day=2023-11-01": d})
     assert read_table(spark, table).agg(F.sum("value")).first()[0] == 1.0
+
+
+def test_checkpoint_compacts_replay(tmp_path):
+    log = CommitLog(str(tmp_path / "t"))
+    for i in range(5):
+        log.commit(i - 1, {f"day=d{i}": f"/data/{i}"}, {"w": i})
+    cp = log.checkpoint()
+    assert cp == 4
+    # more commits after the checkpoint replay on top of it
+    log.commit(4, {"day=d1": "/data/1b"})
+    st = log.state()
+    assert st["version"] == 5
+    assert st["partitions"]["day=d1"] == "/data/1b"
+    assert st["partitions"]["day=d0"] == "/data/0"
+    assert st["watermark"] == {"w": 4}
+    # idempotent: re-checkpointing at a new version also works
+    assert log.checkpoint() == 5
+    assert log.state()["partitions"]["day=d1"] == "/data/1b"
+
+
+def test_checkpoint_state_equals_full_replay(tmp_path):
+    """The compacted read must equal the pure-replay read."""
+    a, b = CommitLog(str(tmp_path / "a")), CommitLog(str(tmp_path / "b"))
+    seq = [
+        ({"day=1": "/x1"}, {"w": 1}),
+        ({"day=2": "/x2"}, None),
+        ({"day=1": "/x1b", "day=3": "/x3"}, {"w": 3}),
+    ]
+    for i, (rep, wm) in enumerate(seq):
+        a.commit(i - 1, rep, wm)
+        b.commit(i - 1, rep, wm)
+        a.checkpoint()  # checkpoint after EVERY commit on a
+    sa, sb = a.state(), b.state()
+    assert sa["partitions"] == sb["partitions"]
+    assert sa["watermark"] == sb["watermark"]
+    assert sa["version"] == sb["version"]
+
+
+def test_vacuum_removes_only_old_unreferenced(spark, tmp_path):
+    table = str(tmp_path / "lake")
+    df = spark.createDataFrame([("m", 1, 1.0)], "metric string, interval long, value double")
+    commit_rollup_days(spark, table, {"2023-11-01": df})
+    log = CommitLog(table)
+    live_dir = log.state()["partitions"]["day=2023-11-01"]
+
+    # orphan: staged but never committed (conflicted/crashed writer)
+    orphan = stage_dir(table)
+    df.write.mode("overwrite").parquet(orphan)
+
+    # young orphan survives the retention gate
+    assert vacuum(table, min_age_seconds=3600) == []
+    assert os.path.isdir(orphan)
+    # aged orphan is collected; the referenced dir never is
+    os.utime(orphan, (1, 1))
+    removed = vacuum(table, min_age_seconds=3600)
+    assert removed == [orphan]
+    assert not os.path.isdir(orphan)
+    assert os.path.isdir(live_dir)
+    assert read_table(spark, table).count() == 1
+
+
+def test_vacuum_collects_superseded_partition(spark, tmp_path):
+    table = str(tmp_path / "lake")
+    df1 = spark.createDataFrame([("m", 1, 1.0)], "metric string, interval long, value double")
+    df2 = spark.createDataFrame([("m", 1, 2.0)], "metric string, interval long, value double")
+    commit_rollup_days(spark, table, {"2023-11-01": df1})
+    old_dir = CommitLog(table).state()["partitions"]["day=2023-11-01"]
+    commit_rollup_days(spark, table, {"2023-11-01": df2})
+    os.utime(old_dir, (1, 1))
+    assert old_dir in vacuum(table, min_age_seconds=3600)
+    assert read_table(spark, table).first()["value"] == 2.0
 
 
 def test_commit_files_are_valid_json(tmp_path):
