@@ -323,6 +323,33 @@ CHECKS = {
         require=["Window", "partial_max_by"],
         forbid=["CartesianProduct"],
     ),
+    # Round-8 batch 2.
+    "g_highest_max": dict(  # selector family: partial top-k, no 1-part Exchange
+        require=["TakeOrderedAndProject", "partial_max", "BroadcastHashJoin"],
+        forbid=["SinglePartition", "CartesianProduct", "SortMergeJoin"],
+    ),
+    "g_group_by_nodes": dict(  # carbon fan-in: two partial aggs, join-free
+        require=["partial_max_by", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "ShuffledHashJoin", "Window"],
+    ),
+    "g_counter_wrap": dict(  # one per-metric lag window, join-free
+        require=["Window", "partial_max_by"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    "g_sin_function": dict(  # generator: bounds agg + sequence, no join
+        require=[],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "Window"],
+    ),
+    "g_as_percent_series": dict(  # divisor series broadcast onto slots
+        require=["BroadcastHashJoin", "partial_max_by"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    ),
+    "g_aggregate_series_lists": dict(  # pairwise equi-join, never NL
+        require=["partial_max_by"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 # Non-registry plans: frames the contract queries materialize
