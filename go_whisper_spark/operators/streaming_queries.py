@@ -486,12 +486,63 @@ FROM surv
 """
 
 
+# ------------------------------------------------------------- st_enrich
+_ENRICH_DIM = [
+    ("click", "web"), ("view", "web"), ("error", "ops"),
+    ("purchase", "biz"), ("signup", "biz"),
+]
+
+
+def st_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment snapshot (``streaming/enrich.py``): the
+    3-pass replay pushed through a broadcast inner join against a
+    static metric→family dimension.
+
+    What this pins: every arriving row is enriched and emitted exactly
+    once per arrival (no state, no watermark, no dedup — passes don't
+    interact), the static side resolves per micro-batch, and the inner
+    join drops nothing here because the dimension covers all metrics.
+    The emitted multiset is therefore exactly pts ⋈ dim, which is what
+    the oracle states; write_seq keeps rows unique so the
+    order-insensitive hash pins row multiplicity too."""
+    from go_whisper_spark.streaming.enrich import streaming_enrich
+
+    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
+    t0 = int(pts.agg(F.min("ts")).first()[0])
+    marked = pts.withColumn("arrive", _arrive(t0))
+    dim = spark.createDataFrame(_ENRICH_DIM, "metric string, family string")
+    out = _replay(spark, marked, lambda s: streaming_enrich(s, dim, ["metric"]))
+    return spark.read.parquet(out).select(
+        "metric", "family", "ts", "value", "write_seq"
+    )
+
+
+ST_ENRICH_SQL = f"""
+WITH pts AS (
+  SELECT event_type AS metric,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+dim AS (
+  SELECT * FROM (VALUES
+    ('click', 'web'), ('view', 'web'), ('error', 'ops'),
+    ('purchase', 'biz'), ('signup', 'biz')
+  ) AS t(metric, family)
+)
+SELECT p.metric, d.family, p.ts, p.value, p.seq AS write_seq
+FROM pts p JOIN dim d ON p.metric = d.metric
+"""
+
+
 QUERIES = {
     "st_rollup_lww_1h": st_rollup_lww_1h,
     "st_sessions_30m": st_sessions_30m,
     "st_cascade_6h": st_cascade_6h,
     "st_derivative": st_derivative,
     "st_dedup_1h": st_dedup_1h,
+    "st_enrich": st_enrich,
 }
 
 ORACLES = {
@@ -500,4 +551,5 @@ ORACLES = {
     "st_cascade_6h": ST_CASCADE_6H_SQL,
     "st_derivative": ST_DERIVATIVE_SQL,
     "st_dedup_1h": ST_DEDUP_1H_SQL,
+    "st_enrich": ST_ENRICH_SQL,
 }
