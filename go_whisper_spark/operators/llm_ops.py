@@ -2358,6 +2358,149 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------- t_seq_packing
+def t_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training (concat-and-chunk): documents
+    concatenate per source shard in doc_id order and split at a fixed
+    512-token context budget — ``pack_id = tokens-before DIV 512`` —
+    so a document straddling a boundary runs into the next pack (the
+    "document concatenation" packing strategy training pipelines use;
+    best-fit bin packing needs sequential remainder state and buys
+    little once documents ≪ budget).  All integer arithmetic: one
+    per-source window cumsum, then a partial-combining per-pack
+    aggregate.  Shuffle keys at 100 TB: ``source`` (the shard), then
+    ``(source, pack_id)`` — both partitionable."""
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    per = d.select(
+        "source", "doc_id", F.size("tokens").cast("long").alias("n_tok")
+    )
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per.withColumn(
+        "tok_before", F.coalesce(F.sum("n_tok").over(wb), F.lit(0).cast("long"))
+    ).withColumn("pack_id", F.expr("tok_before div 512"))
+    return cum.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+T_SEQ_PACKING_SQL = f"""
+WITH per AS (
+  SELECT source, doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tok
+  FROM documents
+),
+cum AS (
+  -- CAST: DuckDB window sum(BIGINT) is HUGEINT, which pandas would
+  -- surface as float64 (the check_contract.py HUGEINT trap).
+  SELECT source, doc_id, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_before
+  FROM per
+)
+SELECT source, tok_before // 512 AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM cum
+GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------- t_pipeline_e2e
+def t_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-prep pipeline in ONE query — the end-to-end
+    ledger a training-data run publishes: normalize → exact-dedup
+    (keeper = min doc_id per normalized digest, ``d_norm_dedup``'s
+    rule) → integer quality gates on the keepers
+    (``t_quality_filter``'s gates) → per-(lang, source) accounting
+    with surviving token volume and the packed-sequence count at a
+    512-token budget (integer ceil).  Composing the registered
+    operators pins stage ORDER: a duplicate of a low-quality document
+    counts as a dedup drop, never a quality drop.  Scale shape: one
+    narrow per-doc pass, a window over the digest (same key as the
+    dedup hash-group), one tiny-key aggregate."""
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    n_tok = F.size("tokens").cast("long")
+    stop = F.size(
+        F.filter("tokens", lambda t: t.isin([w for w, _ in LANG_LEXICON]))
+    ).cast("long")
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[.!?,;:]", ""))
+    ).cast("long")
+    quality = (
+        (n_tok >= 20)
+        & (stop * 5 >= n_tok)
+        & (n_punct * 20 <= F.length("text"))
+    ).cast("long")
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(norm).alias("norm_hash"),
+        n_tok.alias("n_tok"),
+        quality.alias("quality"),
+    )
+    is_keeper = (
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("norm_hash"))
+    ).cast("long")
+    flagged = per_doc.withColumn("keeper", is_keeper)
+    agged = flagged.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs_in"),
+        (F.count("*") - F.sum("keeper")).alias("n_dupes_removed"),
+        F.sum(F.col("keeper") * (1 - F.col("quality"))).alias("n_quality_dropped"),
+        F.sum(F.col("keeper") * F.col("quality")).alias("n_kept"),
+        F.sum(F.col("keeper") * F.col("quality") * F.col("n_tok")).alias(
+            "kept_tokens"
+        ),
+    )
+    return agged.withColumn(
+        "n_sequences", F.expr("(kept_tokens + 511) div 512")
+    )
+
+
+T_PIPELINE_E2E_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, lang, source,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS norm_hash,
+         CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tok,
+         CAST(len({_TOKENS_SQL}) >= 20
+              AND 5 * len(list_filter({_TOKENS_SQL},
+                                      t -> t IN ({_STOPLIST_SQL})))
+                    >= len({_TOKENS_SQL})
+              AND 20 * (length(text)
+                        - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+                    <= length(text) AS BIGINT) AS quality
+  FROM documents
+),
+flagged AS (
+  SELECT p.*,
+         CAST(doc_id = min(doc_id) OVER (PARTITION BY norm_hash) AS BIGINT)
+           AS keeper
+  FROM per_doc p
+)
+SELECT lang, source,
+       count(*) AS n_docs_in,
+       CAST(count(*) - sum(keeper) AS BIGINT) AS n_dupes_removed,
+       CAST(sum(keeper * (1 - quality)) AS BIGINT) AS n_quality_dropped,
+       CAST(sum(keeper * quality) AS BIGINT) AS n_kept,
+       CAST(sum(keeper * quality * n_tok) AS BIGINT) AS kept_tokens,
+       (CAST(sum(keeper * quality * n_tok) AS BIGINT) + 511) // 512
+         AS n_sequences
+FROM flagged
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "d_exact_dedup": d_exact_dedup,
     "d_neardup_clusters": d_neardup_clusters,
@@ -2391,6 +2534,8 @@ QUERIES = {
     "d_containment": d_containment,
     "t_sentence_stats": t_sentence_stats,
     "t_quality_filter": t_quality_filter,
+    "t_seq_packing": t_seq_packing,
+    "t_pipeline_e2e": t_pipeline_e2e,
 }
 
 ORACLES = {
@@ -2426,4 +2571,6 @@ ORACLES = {
     "d_containment": D_CONTAINMENT_SQL,
     "t_sentence_stats": T_SENTENCE_STATS_SQL,
     "t_quality_filter": T_QUALITY_FILTER_SQL,
+    "t_seq_packing": T_SEQ_PACKING_SQL,
+    "t_pipeline_e2e": T_PIPELINE_E2E_SQL,
 }

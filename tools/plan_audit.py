@@ -350,6 +350,20 @@ CHECKS = {
         require=["partial_max_by"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # Sequence packing: per-source cumsum window + partial-combining
+    # per-pack aggregate; join-free.
+    "t_seq_packing": dict(
+        require=["Window", "partial_count", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "ShuffledHashJoin"],
+    ),
+    # End-to-end corpus-prep ledger: one narrow per-doc pass, the
+    # keeper window on the digest (no join-back), one tiny-key agg.
+    "t_pipeline_e2e": dict(
+        require=["Window", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "ShuffledHashJoin"],
+    ),
 }
 
 # Non-registry plans: frames the contract queries materialize
