@@ -87,6 +87,7 @@ _R08_DEFERRED = [
     "g_aggregate_series_lists", "g_group_by_nodes", "g_highest_max",
     "g_sin_function", "g_counter_wrap", "g_as_percent_series",
     "st_enrich", "t_seq_packing", "t_pipeline_e2e",
+    "d_split_hash", "t_contamination", "t_repetition", "t_mix_weights",
 ]
 
 # Last checked (green / rows-only-by-design) in round 4's window.

@@ -2501,6 +2501,243 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------- corpus splits
+# Deterministic hash-based split: bucket = first-32-bits-of-md5(doc_id)
+# mod 100, train < 90 <= val < 95 <= test.  The md5-derived bucket is
+# the standard content-stable split discipline for training corpora —
+# resharding, re-partitioning, or appending new documents never moves
+# an existing document across splits (a random() split would).  The
+# expression is identical in both engines (module docstring contract).
+_SPLIT_TRAIN, _SPLIT_VAL = 90, 95
+
+
+def _split_bucket_col():
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+
+
+_SPLIT_BUCKET_SQL = (
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+)
+
+# 3-gram shingles as a pure Catalyst expression (vs the Arrow pass the
+# minhash family uses — here there is no numpy-shaped kernel, so the
+# higher-order-function form keeps the whole pipeline in codegen).
+# sequence(0, n) REVERSES when n < 0 (Spark emits a descending range),
+# so short documents must be fenced to an empty array explicitly.
+_SHINGLES_EXPR = """
+CASE WHEN size(tokens) >= 3 THEN
+  transform(sequence(0, size(tokens) - 3),
+            i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+ELSE array() END
+"""
+
+_BIGRAMS_EXPR = """
+CASE WHEN size(tokens) >= 2 THEN
+  transform(sequence(0, size(tokens) - 2),
+            i -> concat_ws(' ', tokens[i], tokens[i+1]))
+ELSE array() END
+"""
+
+_BIGRAMS_SQL = (
+    "list_transform(generate_series(1, len(tokens) - 1),"
+    " i -> tokens[i] || ' ' || tokens[i+1])"
+)
+
+
+# -------------------------------------------------------- d_split_hash
+def d_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split ledger: per (split, lang) document and
+    token counts under the deterministic 90/5/5 md5-bucket split.
+    Scale shape: one narrow per-doc projection (hash + token count in
+    codegen), then a 15-key hash aggregate with map-side combine —
+    the cheapest possible full-corpus pass at 100 TB."""
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    bucket = _split_bucket_col()
+    split = (
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "lang",
+            F.size("tokens").cast("long").alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+D_SPLIT_HASH_SQL = f"""
+SELECT CASE WHEN {_SPLIT_BUCKET_SQL} < {_SPLIT_TRAIN} THEN 'train'
+            WHEN {_SPLIT_BUCKET_SQL} < {_SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs,
+       CAST(sum(CAST(len({_TOKENS_SQL}) AS BIGINT)) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------- t_contamination
+def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test contamination check: for every test-split document
+    (md5-bucket split, ``d_split_hash``'s rule), count the train
+    documents sharing at least one 3-gram shingle and the distinct
+    shingles shared — the n-gram-overlap decontamination pass run
+    before any evaluation on held-out data.  Only contaminated test
+    docs appear (inner join); ``n_shingles`` sizes the denominator
+    for an overlap ratio downstream.
+
+    Scale shape: the join is an INVERTED INDEX keyed by shingle —
+    work is proportional to shared postings, never |train| × |test|.
+    At 100 TB the two refinements are a document-frequency cutoff on
+    stop-shingles (drop postings longer than k — skew fence) and
+    hashing shingles to int64 before the shuffle (8-byte keys); both
+    are orthogonal to the semantics pinned here."""
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_SHINGLES_EXPR))).alias("sh"),
+    ).withColumn("bucket", _split_bucket_col())
+    train = sh.filter(F.col("bucket") < _SPLIT_TRAIN).select(
+        F.col("doc_id").alias("train_doc"), "sh"
+    )
+    test = sh.filter(F.col("bucket") >= _SPLIT_VAL).select("doc_id", "sh")
+    n_sh = test.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        test.join(train, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("train_doc").alias("n_train_docs"),
+            F.countDistinct("sh").alias("n_shared"),
+        )
+    )
+    return hits.join(n_sh, "doc_id")
+
+
+T_CONTAMINATION_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL.strip()}) AS sh,
+         {_SPLIT_BUCKET_SQL} AS bucket
+  FROM tok
+),
+train AS (SELECT doc_id AS train_doc, sh FROM sh WHERE bucket < {_SPLIT_TRAIN}),
+test AS (SELECT doc_id, sh FROM sh WHERE bucket >= {_SPLIT_VAL}),
+n_sh AS (SELECT doc_id, count(*) AS n_shingles FROM test GROUP BY 1),
+hits AS (
+  SELECT t.doc_id,
+         count(DISTINCT tr.train_doc) AS n_train_docs,
+         count(DISTINCT t.sh) AS n_shared
+  FROM test t JOIN train tr ON t.sh = tr.sh
+  GROUP BY 1
+)
+SELECT h.doc_id, h.n_train_docs, h.n_shared, n.n_shingles
+FROM hits h JOIN n_sh n ON h.doc_id = n.doc_id
+"""
+
+
+# ------------------------------------------------------- t_repetition
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal (the Gopher-rules family):
+    token/type counts and duplicate-bigram counts, plus an integer
+    flag marking documents where more than half the bigrams are
+    repeats.  All-integer so the oracle comparison is exact; a pure
+    narrow projection — zero shuffles, the whole document scan stays
+    in one codegen stage at any scale."""
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    d = d.withColumn("bigrams", F.expr(_BIGRAMS_EXPR))
+    n_bi = F.size("bigrams").cast("long")
+    n_bi_dist = F.size(F.array_distinct("bigrams")).cast("long")
+    return d.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tok"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_types"),
+        n_bi.alias("n_bigrams"),
+        n_bi_dist.alias("n_bigrams_distinct"),
+        ((n_bi - n_bi_dist) * 2 > n_bi).cast("long").alias("repetitive"),
+    )
+
+
+T_REPETITION_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents
+),
+bi AS (
+  SELECT doc_id, tokens, {_BIGRAMS_SQL} AS bigrams FROM tok
+)
+SELECT doc_id,
+       CAST(len(tokens) AS BIGINT) AS n_tok,
+       CAST(len(list_distinct(tokens)) AS BIGINT) AS n_types,
+       CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_bigrams_distinct,
+       CAST((len(bigrams) - len(list_distinct(bigrams))) * 2 > len(bigrams)
+            AS BIGINT) AS repetitive
+FROM bi
+"""
+
+
+# ------------------------------------------------------ t_mix_weights
+def t_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture reweighting: per-source token volume, its share
+    of the corpus, and the sampling weight that would equalize the
+    mixture (uniform target = total/n_sources tokens per source) —
+    the ledger a data-mixing stage publishes before sampling.  Shares
+    and weights are integer parts-per-million (floor division) so the
+    oracle comparison is exact.  Scale shape: per-source partial
+    aggregate, then the ~20-row totals frame is BROADCAST back — no
+    second shuffle, no single-partition window over the big table."""
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    per_src = (
+        d.select("source", F.size("tokens").cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("src_tokens"))
+    )
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    return per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.expr("src_tokens * 1000000 div total_tokens").alias("share_ppm"),
+        F.expr("(total_tokens div n_sources) * 1000000 div src_tokens").alias(
+            "weight_ppm"
+        ),
+    )
+
+
+T_MIX_WEIGHTS_SQL = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(CAST(len({_TOKENS_SQL}) AS BIGINT)) AS BIGINT) AS src_tokens
+  FROM documents
+  GROUP BY 1
+),
+totals AS (
+  SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+         count(*) AS n_sources
+  FROM per_src
+)
+SELECT source, n_docs, src_tokens,
+       src_tokens * 1000000 // total_tokens AS share_ppm,
+       (total_tokens // n_sources) * 1000000 // src_tokens AS weight_ppm
+FROM per_src, totals
+"""
+
+
 QUERIES = {
     "d_exact_dedup": d_exact_dedup,
     "d_neardup_clusters": d_neardup_clusters,
@@ -2536,6 +2773,10 @@ QUERIES = {
     "t_quality_filter": t_quality_filter,
     "t_seq_packing": t_seq_packing,
     "t_pipeline_e2e": t_pipeline_e2e,
+    "d_split_hash": d_split_hash,
+    "t_contamination": t_contamination,
+    "t_repetition": t_repetition,
+    "t_mix_weights": t_mix_weights,
 }
 
 ORACLES = {
@@ -2573,4 +2814,8 @@ ORACLES = {
     "t_quality_filter": T_QUALITY_FILTER_SQL,
     "t_seq_packing": T_SEQ_PACKING_SQL,
     "t_pipeline_e2e": T_PIPELINE_E2E_SQL,
+    "d_split_hash": D_SPLIT_HASH_SQL,
+    "t_contamination": T_CONTAMINATION_SQL,
+    "t_repetition": T_REPETITION_SQL,
+    "t_mix_weights": T_MIX_WEIGHTS_SQL,
 }

@@ -115,6 +115,10 @@ SUBSET = [
     "t_quality_filter",
     "m_decode_stats",
     "m_frame_sample",
+    "d_split_hash",
+    "t_contamination",
+    "t_repetition",
+    "t_mix_weights",
 ]
 
 

@@ -364,6 +364,30 @@ CHECKS = {
         forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                 "ShuffledHashJoin"],
     ),
+    # Split ledger: narrow hash+count projection, one 15-key aggregate
+    # with map-side combine; join- and window-free.
+    "d_split_hash": dict(
+        require=["partial_count", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "ShuffledHashJoin", "Window"],
+    ),
+    # Contamination: inverted-index EQUI-join on the shingle (broadcast
+    # at test scale, shuffled hash at 100 TB — both fine); never a
+    # nested-loop/cartesian all-pairs shape.
+    "t_contamination": dict(
+        require=["partial_count"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # Repetition signal: pure narrow projection — the whole scan must
+    # stay in one exchange-free codegen stage.
+    "t_repetition": dict(require=[], forbid=["Exchange"]),
+    # Mixture weights: per-source partial aggregate, then the ~20-row
+    # totals frame broadcast back (single-row NL join is the intended
+    # shape); no sort-merge, no unhinted cartesian.
+    "t_mix_weights": dict(
+        require=["partial_count", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 # Non-registry plans: frames the contract queries materialize
