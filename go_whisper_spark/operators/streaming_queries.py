@@ -536,6 +536,75 @@ FROM pts p JOIN dim d ON p.metric = d.metric
 """
 
 
+# -------------------------------------------------------------- st_join_1h
+def st_join_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval-join snapshot (``streaming/join.py``):
+    the 3-pass replay through a watermarked self inner join — every
+    20th event pairs with same-metric events ``seq % 7 == 3`` arriving
+    within the following hour.
+
+    What this pins beyond the batch as-of join: (1) pairs emit as soon
+    as BOTH sides have arrived — cross-pass pairs (left in pass k,
+    right in pass k+1) appear because the left row is still in state
+    when its partner lands; (2) late input drops before the join —
+    pass-2's out-of-bound rows (≈6 days below the watermark) produce
+    no pairs on either side; (3) state-eviction safety — pass-2's
+    in-bound tail rows keep ≥ 25 h of watermark margin and the range
+    is 1 h, so every still-matchable partner is provably un-evicted
+    (worst case 24 h of margin), and no boundary convention
+    (``<`` vs ``<=`` on watermark or eviction) can change the result.
+    The emitted set is therefore exactly the interval join of the
+    on-time rows, which is what the oracle states."""
+    from go_whisper_spark.streaming.join import streaming_interval_join
+
+    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
+    t0 = int(pts.agg(F.min("ts")).first()[0])
+    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts"))
+    )
+    out = _replay(
+        spark,
+        marked,
+        lambda s: streaming_interval_join(
+            s,
+            "metric",
+            F.col("write_seq") % 20 == 0,
+            F.col("write_seq") % 7 == 3,
+            range_seconds=3600,
+            lateness_seconds=LATENESS,
+        ),
+    )
+    return spark.read.parquet(out).select(
+        "metric", "l_seq", "r_seq", "l_ts", "lag_s"
+    )
+
+
+ST_JOIN_1H_SQL = f"""
+WITH pts AS (
+  SELECT event_type AS metric,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+{_MARKED_CTE},
+surv AS (
+  -- Strict > is one of several equivalent conventions here: in-bound
+  -- late rows sit >= 25 h above their pass watermark and out-of-bound
+  -- rows ~6 days below it, so any predicate within +/- the 1 h join
+  -- range selects the same survivor set (measured margins, see
+  -- module docstring).
+  SELECT m.* FROM marked m LEFT JOIN wm ON wm.arrive = m.arrive
+  WHERE wm.wm IS NULL OR m.ts > wm.wm
+),
+l AS (SELECT metric, ts AS l_ts, seq AS l_seq FROM surv WHERE seq % 20 = 0),
+r AS (SELECT metric, ts AS r_ts, seq AS r_seq FROM surv WHERE seq % 7 = 3)
+SELECT l.metric, l.l_seq, r.r_seq, l.l_ts, r.r_ts - l.l_ts AS lag_s
+FROM l JOIN r
+  ON l.metric = r.metric AND r.r_ts >= l.l_ts AND r.r_ts <= l.l_ts + 3600
+"""
+
+
 QUERIES = {
     "st_rollup_lww_1h": st_rollup_lww_1h,
     "st_sessions_30m": st_sessions_30m,
@@ -543,6 +612,7 @@ QUERIES = {
     "st_derivative": st_derivative,
     "st_dedup_1h": st_dedup_1h,
     "st_enrich": st_enrich,
+    "st_join_1h": st_join_1h,
 }
 
 ORACLES = {
@@ -552,4 +622,5 @@ ORACLES = {
     "st_derivative": ST_DERIVATIVE_SQL,
     "st_dedup_1h": ST_DEDUP_1H_SQL,
     "st_enrich": ST_ENRICH_SQL,
+    "st_join_1h": ST_JOIN_1H_SQL,
 }

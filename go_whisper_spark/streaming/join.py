@@ -1,0 +1,81 @@
+"""Stream-stream event-time interval join — the correlation pattern.
+
+The seventh streaming module (after rollup, sessions, cascade,
+stateful derivative, dedup, stream-static enrich): correlating two
+live firehoses on a key within an event-time window — impressions to
+clicks, deploy markers to error spikes, a metric's samples to samples
+of the same metric in the following hour.  Structured Streaming's
+inner stream-stream join with watermarks on both sides and a
+time-range condition is exactly this shape:
+
+- BOTH sides buffer state; a pair is emitted as soon as the later row
+  arrives (append mode, no window-close wait — unlike aggregations);
+- the watermark + range condition bound the state: a left row can be
+  evicted once the watermark passes ``l_ts + range`` (no future right
+  row can match it), a right row once the watermark passes ``r_ts``
+  (future left rows would need ``l_ts <= r_ts``, but anything below
+  the watermark is late) — so state per executor is
+  O(arrival rate × (lateness + range)), never unbounded;
+- late input on either side (event time below the watermark) is
+  dropped before the join, the streaming form of whisper's
+  maxRetention rejection.
+
+At 100 TB the join key partitions state across executors exactly as a
+batch shuffle would; a skewed key (one hot metric) concentrates state
+the same way it concentrates a batch join, and the same salting fence
+applies (functions/salting.py).
+
+[ref: SURVEY §2B streaming row; whisper has no streaming surface —
+the analog is correlating two whisper series by aligned interval,
+w_asof_join's streaming sibling]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_interval_join(
+    stream: DataFrame,
+    key: str,
+    left_pred: Column,
+    right_pred: Column,
+    range_seconds: int,
+    lateness_seconds: int,
+) -> DataFrame:
+    """Self-join of a watermarked stream: pair each left row (rows
+    matching ``left_pred``) with the right rows (``right_pred``) of the
+    same ``key`` whose event time falls in ``[l_ts, l_ts + range]``.
+
+    The stream must carry ``ts`` (timestamp), ``write_seq`` (unique
+    id), and the ``key`` column.  Returns one row per matched pair:
+    ``(key, l_seq, r_seq, l_ts, lag_s)``.
+    """
+    s = stream.withWatermark("ts", f"{lateness_seconds} seconds")
+    left = s.filter(left_pred).select(
+        key,
+        F.col("ts").alias("l_ts"),
+        F.col("write_seq").alias("l_seq"),
+    )
+    right = s.filter(right_pred).select(
+        F.col(key).alias(f"r_{key}"),
+        F.col("ts").alias("r_ts"),
+        F.col("write_seq").alias("r_seq"),
+    )
+    return left.join(
+        right,
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (
+            F.col("r_ts")
+            <= F.col("l_ts") + F.expr(f"INTERVAL {range_seconds} SECONDS")
+        ),
+        "inner",
+    ).select(
+        key,
+        "l_seq",
+        "r_seq",
+        F.col("l_ts").cast("long").alias("l_ts"),
+        (F.col("r_ts").cast("long") - F.col("l_ts").cast("long")).alias("lag_s"),
+    )

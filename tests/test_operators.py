@@ -119,6 +119,7 @@ SUBSET = [
     "t_contamination",
     "t_repetition",
     "t_mix_weights",
+    "st_join_1h",
 ]
 
 

@@ -423,6 +423,29 @@ def _build_st_dedup_stream(spark):
     return streaming_dedup(src, ["metric", "vbucket"], 172800)
 
 
+def _build_st_join_stream(spark):
+    # The exact transformation st_join_1h replays, attached to a rate
+    # source so the STREAMING logical plan (EventTimeWatermark on the
+    # shared source feeding an inner Join with the event-time range
+    # condition) is assertable without running a query.
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.streaming.join import streaming_interval_join
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 5).cast("string").alias("metric"),
+            F.col("value").alias("write_seq"),
+        )
+    )
+    return streaming_interval_join(
+        src, "metric", F.col("write_seq") % 2 == 0,
+        F.col("write_seq") % 2 == 1, 3600, 172800,
+    )
+
+
 BUILDERS = {
     # The applyInPandas .wsp write stage: one FlatMapGroupsInPandas
     # keyed by metric (whisper's one-file-per-metric layout IS the
@@ -437,6 +460,12 @@ BUILDERS = {
         build=_build_st_dedup_stream,
         require=["EventTimeWatermark", "Deduplicate"],
         forbid=["Join", "Window"],
+        streaming=True,
+    ),
+    "st_join_1h_stream": dict(
+        build=_build_st_join_stream,
+        require=["EventTimeWatermark", "Join Inner"],
+        forbid=["Window", "Aggregate"],
         streaming=True,
     ),
 }
