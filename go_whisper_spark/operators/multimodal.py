@@ -12,7 +12,7 @@ Design: one ``media`` DataFrame
     payload BINARY, meta STRUCT<width INT, height INT,
     sample_rate INT, duration_ms INT>
 
-and three operators, each a ``mapInPandas`` stage (Arrow batches, never
+and four operators, each a ``mapInPandas`` stage (Arrow batches, never
 per-row Python):
 
 - ``decode_media``     — payload → decoded dims + byte stats.  Real
@@ -23,6 +23,8 @@ per-row Python):
   byte-histogram features; swap point for a real encoder).
 - ``sample_frames``    — video payload → frame-offset rows (1:N
   explode-shaped output), the frame-sampling stage.
+- ``resize_media``     — payload → downsampled payload (binary in,
+  smaller binary out, composable with the other stages).
 
 Scale notes: ``mapInPandas`` preserves partitioning — partition by
 ``media_id`` bucket upstream and no shuffle is introduced; batch size
@@ -143,6 +145,46 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     return df.where(F.col("kind") == "video").mapInPandas(fn, schema=FRAMES_SCHEMA)
 
 
+RESIZED_SCHEMA = "media_id bigint, kind string, payload binary"
+
+
+def resize_media(df: DataFrame, stride: int = 4) -> DataFrame:
+    """payload → downsampled payload (every ``stride``-th byte) — the
+    resize/thumbnail stage of the mandate's decode / feature-extract /
+    resize / frame-sample verb set.
+
+    A real implementation would decode, interpolate, and re-encode;
+    the deterministic fake is nearest-neighbor in byte space
+    (``bytes[::stride]``), which keeps the contract that matters for
+    the Spark plumbing: binary in → SMALLER binary out, same row
+    count, composable with ``decode_media``/``extract_features``
+    downstream (m_resize_stats pipes resize → decode — two chained
+    Arrow stages with a binary column crossing the boundary).
+
+    Scale: narrow map like the other codec stages — no shuffle, and
+    the output batch is ~1/stride the input bytes, so chaining resize
+    FIRST shrinks every downstream Arrow transfer."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if USE_REAL_CODECS:
+            raise NotImplementedError(
+                "real image resize requires codec libraries not present "
+                "in this environment"
+            )
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf["payload"].map(
+                        lambda p: bytes(p)[::stride]
+                    ),
+                }
+            )
+
+    return df.mapInPandas(fn, schema=RESIZED_SCHEMA)
+
+
 def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a media table from ``documents`` (text bytes as payload)
     so the multimodal pipeline has a runnable, deterministic input in
@@ -227,10 +269,23 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize → decode, chained: image payloads stride-4 downsampled by
+    ``resize_media``, then the REAL ``decode_media`` pass over the new
+    binary column — two Arrow stages back to back, which is the
+    contract this query pins (a resized payload is a first-class
+    binary column any downstream codec stage can consume)."""
+    media = documents_as_media(spark, sf_dir).where(F.col("kind") == "image")
+    return decode_media(resize_media(media, stride=4)).select(
+        "media_id", "n_bytes", "checksum"
+    )
+
+
 QUERIES = {
     "m_decode_stats": m_decode_stats,
     "m_feature_norms": m_feature_norms,
     "m_frame_sample": m_frame_sample,
+    "m_resize_stats": m_resize_stats,
 }
 
 # All THREE pipelines are oracle-checkable: the deterministic fake
@@ -326,8 +381,27 @@ FROM per_row
 GROUP BY kind
 """
 
+# Strided bytes restated from the text: positions 1, 1+4, 1+8, … of
+# the ASCII payload (generate_series has an explicit step, and DuckDB
+# string indexing is 1-based).  An empty payload yields an empty list
+# → len 0, list_sum NULL → COALESCE 0, matching _fake_decode over b''.
+M_RESIZE_STATS_SQL = """
+WITH strided AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, strlen(text), 4),
+                        i -> unicode(text[i])) AS bytes
+  FROM documents
+  WHERE doc_id % 3 = 0
+)
+SELECT doc_id AS media_id,
+       CAST(len(bytes) AS BIGINT) AS n_bytes,
+       CAST(COALESCE(list_sum(bytes), 0) AS BIGINT) AS checksum
+FROM strided
+"""
+
 ORACLES: dict = {
     "m_decode_stats": M_DECODE_STATS_SQL,
     "m_feature_norms": M_FEATURE_NORMS_SQL,
     "m_frame_sample": M_FRAME_SAMPLE_SQL,
+    "m_resize_stats": M_RESIZE_STATS_SQL,
 }

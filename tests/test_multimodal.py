@@ -67,6 +67,24 @@ def test_frame_sampling_one_to_many(media):
     ]
 
 
+def test_resize_stride_and_composition(media):
+    out = {r["media_id"]: r for r in mm.resize_media(media, stride=4).collect()}
+    # id=1: 160 bytes of \x01\x02\x03\x04 repeated → every 4th byte is \x01.
+    assert bytes(out[1]["payload"]) == b"\x01" * 40
+    # id=3: bytes 0..255 → stride 4 keeps 0,4,8,...,252 (64 bytes).
+    assert bytes(out[3]["payload"]) == bytes(range(0, 256, 4))
+    # id=4: empty in → empty out (row preserved, not dropped).
+    assert bytes(out[4]["payload"]) == b""
+    # Composition: the resized binary column feeds decode_media as-is.
+    dec = {
+        r["media_id"]: r
+        for r in mm.decode_media(mm.resize_media(media, stride=4)).collect()
+    }
+    assert dec[1]["n_bytes"] == 40 and dec[1]["checksum"] == 40
+    assert dec[3]["checksum"] == sum(range(0, 256, 4))
+    assert dec[4]["n_bytes"] == 0 and dec[4]["checksum"] == 0
+
+
 def test_documents_as_media_pipeline(spark, sf_dir):
     media = mm.documents_as_media(spark, sf_dir)
     assert dict(media.dtypes)["payload"] == "binary"

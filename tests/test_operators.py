@@ -120,6 +120,7 @@ SUBSET = [
     "t_repetition",
     "t_mix_weights",
     "st_join_1h",
+    "m_resize_stats",
 ]
 
 

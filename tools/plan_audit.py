@@ -287,6 +287,14 @@ CHECKS = {
         forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                 "Window"],
     ),
+    # m_resize_stats: TWO chained Arrow stages (resize → decode) with
+    # a binary column crossing the boundary — both MapInPandas nodes
+    # must sit in one narrow pipeline: no exchange, no join, no agg.
+    "m_resize_stats": dict(
+        require=["MapInPandas"],
+        forbid=["Exchange", "CartesianProduct", "SortMergeJoin",
+                "BroadcastHashJoin", "Window", "HashAggregate"],
+    ),
     # Holt-Winters bands / aberration: same shape as g_holt_winters —
     # LWW partial agg into ONE grouped Arrow pass per metric; no join.
     "g_holt_winters_bands": dict(
