@@ -93,16 +93,29 @@ class CommitLog:
             if f.endswith(".checkpoint.json")
         )
 
-    def state(self) -> dict:
+    def state(self, at_version: Optional[int] = None) -> dict:
         """Resolve the table state: {"version": int, "partitions":
         {key: datadir}, "watermark": dict}.  version = -1 for an empty
         table.  Starts from the newest checkpoint (if any) and replays
         only the commits after it — O(tail), not O(log), the same
-        compaction contract as public Delta checkpoints."""
+        compaction contract as public Delta checkpoints.
+
+        ``at_version`` pins TIME TRAVEL: replay stops at that commit,
+        yielding the exact snapshot a reader at that version saw
+        (commits are immutable, so the replay is reproducible until
+        ``vacuum`` reclaims a superseded data directory — the same
+        retention-window caveat public Delta time travel carries).
+        Raises if the version never existed."""
         parts: Dict[str, str] = {}
         watermark: dict = {}
         start = 0
+        if at_version is not None and at_version not in self.versions():
+            raise ValueError(
+                f"version {at_version} does not exist in {self.table}"
+            )
         cps = self._checkpoints()
+        if at_version is not None:
+            cps = [v for v in cps if v <= at_version]
         if cps:
             cp_version = cps[-1]
             with open(
@@ -115,6 +128,8 @@ class CommitLog:
             watermark.update(snap["watermark"])
             start = cp_version + 1
         versions = [v for v in self.versions() if v >= start]
+        if at_version is not None:
+            versions = [v for v in versions if v <= at_version]
         for v in versions:
             c = self.read_commit(v)
             for key, datadir in c.get("replace", {}).items():
@@ -274,9 +289,16 @@ def vacuum(table: str, min_age_seconds: int = 3600) -> List[str]:
     return removed
 
 
-def read_table(spark: SparkSession, table: str) -> DataFrame:
-    """Snapshot read: resolve the manifest once, scan only live dirs."""
-    state = CommitLog(table).state()
+def read_table(
+    spark: SparkSession, table: str, version: Optional[int] = None
+) -> DataFrame:
+    """Snapshot read: resolve the manifest once, scan only live dirs.
+
+    ``version`` pins a time-travel read — the scan covers exactly the
+    data directories the commit log referenced at that version
+    (reproducible until ``vacuum``'s retention window reclaims a
+    superseded directory, the standard lakehouse trade)."""
+    state = CommitLog(table).state(at_version=version)
     dirs = sorted(set(state["partitions"].values()))
     if not dirs:
         raise FileNotFoundError(f"lake table {table} has no committed data")

@@ -174,6 +174,46 @@ def test_checkpoint_compacts_replay(tmp_path):
     assert log.state()["partitions"]["day=d1"] == "/data/1b"
 
 
+def test_time_travel_state_resolution(tmp_path):
+    log = CommitLog(str(tmp_path / "t"))
+    for i in range(5):
+        log.commit(i - 1, {f"day=d{i}": f"/data/{i}", "day=d0": f"/v{i}"},
+                   {"w": i})
+    # Pinned replay stops at the requested version.
+    st2 = log.state(at_version=2)
+    assert st2["version"] == 2
+    assert st2["partitions"]["day=d0"] == "/v2"
+    assert "day=d3" not in st2["partitions"]
+    assert st2["watermark"] == {"w": 2}
+    # A checkpoint AFTER the pinned version must not leak into it.
+    log.checkpoint()
+    st2b = log.state(at_version=2)
+    assert st2b == st2
+    # A checkpoint at-or-before the pin is used as the replay base.
+    st4 = log.state(at_version=4)
+    assert st4["partitions"]["day=d0"] == "/v4" and st4["version"] == 4
+    with pytest.raises(ValueError):
+        log.state(at_version=99)
+
+
+def test_time_travel_read(spark, tmp_path):
+    table = str(tmp_path / "lake")
+    df1 = spark.createDataFrame(
+        [("m", 1, 1.0)], "metric string, interval long, value double"
+    )
+    v1 = commit_rollup_days(spark, table, {"2023-11-01": df1})
+    df2 = spark.createDataFrame(
+        [("m", 1, 2.0), ("m", 2, 3.0)], "metric string, interval long, value double"
+    )
+    v2 = commit_rollup_days(spark, table, {"2023-11-01": df2})
+    # Head sees the replacement; the pinned read reproduces v1 exactly
+    # (the superseded dir is immutable until vacuum).
+    assert read_table(spark, table).count() == 2
+    old = read_table(spark, table, version=v1)
+    assert old.count() == 1 and old.first()["value"] == 1.0
+    assert read_table(spark, table, version=v2).count() == 2
+
+
 def test_checkpoint_state_equals_full_replay(tmp_path):
     """The compacted read must equal the pure-replay read."""
     a, b = CommitLog(str(tmp_path / "a")), CommitLog(str(tmp_path / "b"))
