@@ -75,6 +75,11 @@ HEADLINE = [
     # broadcast join-back) and the multi-offset self-join pair
     "g_highest_avg_3",
     "g_time_shift_multi",
+    # round 8 training-pipeline heavies: the composed corpus-prep
+    # ledger (dedup window + quality gates + pack math in one plan)
+    # and the shingle inverted-index contamination join
+    "t_pipeline_e2e",
+    "t_contamination",
 ]
 
 
