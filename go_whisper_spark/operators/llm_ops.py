@@ -2688,6 +2688,73 @@ FROM bi
 """
 
 
+# -------------------------------------------------------- t_dup_spans
+def t_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span accounting — the span-granularity
+    statistic behind exact-substring dedup (how much of each document
+    is text that also appears verbatim elsewhere): per document, the
+    number of 3-gram positions whose shingle occurs in at least one
+    OTHER document, over the total positions.  Docs whose duplicated
+    fraction exceeds a cut would be candidates for substring removal.
+
+    Scale shape: shingle document frequencies are one hash aggregate
+    keyed by the shingle (map-side combined); the join back to
+    positions is the same inverted-index equi-join as contamination —
+    work ∝ postings, never all-pairs.  Positions (not distinct
+    shingles) are counted, so a doc repeating a corpus-common phrase
+    five times reports five duplicated positions — the fraction a
+    substring-remover would actually excise."""
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    pos = d.select(
+        "doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("sh")
+    )
+    # Per-(doc, shingle) position counts first: collapses repeats
+    # before the df-join, and n_docs per shingle falls out of the same
+    # relation without a second scan.
+    per_doc_sh = pos.groupBy("doc_id", "sh").agg(F.count("*").alias("n_pos"))
+    df_sh = per_doc_sh.groupBy("sh").agg(
+        F.count("*").alias("n_docs_with"),
+        F.sum("n_pos").alias("total_pos"),
+    )
+    joined = per_doc_sh.join(df_sh, "sh").select(
+        "doc_id",
+        "n_pos",
+        # duplicated elsewhere = some other doc has it, or this doc
+        # repeats it (total positions exceed this doc's own).
+        (
+            (F.col("n_docs_with") > 1) | (F.col("total_pos") > F.col("n_pos"))
+        ).cast("long").alias("dup"),
+    )
+    return joined.groupBy("doc_id").agg(
+        F.sum("n_pos").alias("n_spans"),
+        F.sum(F.col("dup") * F.col("n_pos")).alias("n_dup_spans"),
+    )
+
+
+T_DUP_SPANS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL.strip()}) AS sh FROM tok
+),
+per_doc_sh AS (
+  SELECT doc_id, sh, count(*) AS n_pos FROM pos GROUP BY 1, 2
+),
+df_sh AS (
+  SELECT sh, count(*) AS n_docs_with,
+         CAST(sum(n_pos) AS BIGINT) AS total_pos
+  FROM per_doc_sh GROUP BY 1
+)
+SELECT p.doc_id,
+       CAST(sum(p.n_pos) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN d.n_docs_with > 1 OR d.total_pos > p.n_pos
+                     THEN p.n_pos ELSE 0 END) AS BIGINT) AS n_dup_spans
+FROM per_doc_sh p JOIN df_sh d ON p.sh = d.sh
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------------ t_mix_weights
 def t_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-mixture reweighting: per-source token volume, its share
@@ -2777,6 +2844,7 @@ QUERIES = {
     "t_contamination": t_contamination,
     "t_repetition": t_repetition,
     "t_mix_weights": t_mix_weights,
+    "t_dup_spans": t_dup_spans,
 }
 
 ORACLES = {
@@ -2818,4 +2886,5 @@ ORACLES = {
     "t_contamination": T_CONTAMINATION_SQL,
     "t_repetition": T_REPETITION_SQL,
     "t_mix_weights": T_MIX_WEIGHTS_SQL,
+    "t_dup_spans": T_DUP_SPANS_SQL,
 }

@@ -121,6 +121,7 @@ SUBSET = [
     "t_mix_weights",
     "st_join_1h",
     "m_resize_stats",
+    "t_dup_spans",
 ]
 
 

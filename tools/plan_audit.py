@@ -389,6 +389,13 @@ CHECKS = {
     # Repetition signal: pure narrow projection — the whole scan must
     # stay in one exchange-free codegen stage.
     "t_repetition": dict(require=[], forbid=["Exchange"]),
+    # Duplicated-span accounting: per-(doc, shingle) partial aggregate,
+    # df derived from the SAME relation, inverted-index join back —
+    # equi-join only, never nested-loop/cartesian.
+    "t_dup_spans": dict(
+        require=["partial_count", "partial_sum"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # Mixture weights: per-source partial aggregate, then the ~20-row
     # totals frame broadcast back (single-row NL join is the intended
     # shape); no sort-merge, no unhinted cartesian.
