@@ -88,7 +88,7 @@ _R08_DEFERRED = [
     "g_sin_function", "g_counter_wrap", "g_as_percent_series",
     "st_enrich", "t_seq_packing", "t_pipeline_e2e",
     "d_split_hash", "t_contamination", "t_repetition", "t_mix_weights",
-    "st_join_1h", "m_resize_stats", "t_dup_spans",
+    "st_join_1h", "m_resize_stats", "t_dup_spans", "w_retention_expand",
 ]
 
 # Last checked (green / rows-only-by-design) in round 4's window.

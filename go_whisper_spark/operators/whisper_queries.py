@@ -1304,7 +1304,88 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------- w_retention_expand
+# The UDTF surface (SURVEY §2B last row): a real Python UDTF — one
+# input row (a whisper retention-policy string) lateral-expands to one
+# row per archive through the SAME model.parse_retention_defs the
+# engine uses [ref: whisper.go (func ParseRetentionDefs)].  This is
+# control-plane parsing (a handful of config strings), not a data-path
+# row UDF — the Arrow-only discipline for bulk data stands.
+_RETENTION_POLICIES = [
+    (1, "10s:6h,1m:7d,10m:5y"),
+    (2, "1m:1d"),
+    (3, "1h:30d,6h:90d"),
+    (4, "15s:10m,1m:1h,5m:1d"),
+]
+
+
+def w_retention_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-expand retention policies via a Python UDTF: each archive
+    level becomes a row ``(policy_id, archive_idx, spp, points,
+    retention_s)``.  The oracle re-implements the ``unit:unit`` grammar
+    slice these policies use (the full grammar — bare-integer points
+    form — lives in model.py under property tests)."""
+    from pyspark.sql.functions import udtf
+
+    from go_whisper_spark.model import parse_retention_defs
+
+    @udtf(returnType=(
+        "archive_idx int, spp bigint, points bigint, retention_s bigint"
+    ))
+    class ExpandRetentions:
+        def eval(self, defs: str):
+            for i, r in enumerate(parse_retention_defs(defs)):
+                yield i, r.seconds_per_point, r.points, r.retention
+
+    spark.udtf.register("expand_retentions", ExpandRetentions)
+    pol = spark.createDataFrame(_RETENTION_POLICIES, "policy_id int, defs string")
+    pol.createOrReplaceTempView("ret_policies")
+    return spark.sql(
+        """
+        SELECT p.policy_id, t.archive_idx, t.spp, t.points, t.retention_s
+        FROM ret_policies p, LATERAL expand_retentions(p.defs) t
+        """
+    )
+
+
+_POLICY_VALUES = ", ".join(f"({pid}, '{defs}')" for pid, defs in _RETENTION_POLICIES)
+
+_UNIT_CASE = """CASE regexp_extract({0}, '([smhdwy])$', 1)
+  WHEN 's' THEN 1 WHEN 'm' THEN 60 WHEN 'h' THEN 3600
+  WHEN 'd' THEN 86400 WHEN 'w' THEN 604800 WHEN 'y' THEN 31536000 END"""
+
+W_RETENTION_EXPAND_SQL = f"""
+WITH pol AS (
+  SELECT * FROM (VALUES {_POLICY_VALUES}) AS t(policy_id, defs)
+),
+flat AS (
+  SELECT policy_id,
+         unnest(list_transform(
+           generate_series(1, len(string_split(defs, ','))),
+           i -> struct_pack(idx := i - 1,
+                            part := trim(string_split(defs, ',')[i])))) AS s
+  FROM pol
+),
+parsed AS (
+  SELECT policy_id,
+         CAST(s.idx AS INTEGER) AS archive_idx,
+         CAST(regexp_extract(string_split(s.part, ':')[1], '^(\\d+)', 1)
+              AS BIGINT)
+           * {_UNIT_CASE.format("string_split(s.part, ':')[1]")} AS spp,
+         CAST(regexp_extract(string_split(s.part, ':')[2], '^(\\d+)', 1)
+              AS BIGINT)
+           * {_UNIT_CASE.format("string_split(s.part, ':')[2]")} AS total_s
+  FROM flat
+)
+SELECT policy_id, archive_idx, spp,
+       total_s // spp AS points,
+       spp * (total_s // spp) AS retention_s
+FROM parsed
+"""
+
+
 QUERIES = {
+    "w_retention_expand": w_retention_expand,
     "w_wsp_roundtrip": w_wsp_roundtrip,
     "w_wsp_propagate": w_wsp_propagate,
     "w_wsp_export": w_wsp_export,
@@ -1330,6 +1411,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "w_retention_expand": W_RETENTION_EXPAND_SQL,
     "w_wsp_roundtrip": W_WSP_ROUNDTRIP_SQL,
     "w_wsp_propagate": W_WSP_PROPAGATE_SQL,
     "w_wsp_export": W_WSP_PROPAGATE_SQL,

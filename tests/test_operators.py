@@ -122,6 +122,7 @@ SUBSET = [
     "st_join_1h",
     "m_resize_stats",
     "t_dup_spans",
+    "w_retention_expand",
 ]
 
 
