@@ -89,6 +89,7 @@ _R08_DEFERRED = [
     "st_enrich", "t_seq_packing", "t_pipeline_e2e",
     "d_split_hash", "t_contamination", "t_repetition", "t_mix_weights",
     "st_join_1h", "m_resize_stats", "t_dup_spans", "w_retention_expand",
+    "g_remove_between_pctile", "g_random_walk",
 ]
 
 # Last checked (green / rows-only-by-design) in round 4's window.

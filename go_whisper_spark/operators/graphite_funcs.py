@@ -4121,7 +4121,132 @@ WHERE c.metric <> 'view'
 """
 
 
+# ------------------------------------------- g_remove_between_pctile
+def g_remove_between_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """removeBetweenPercentile(series, 30): drop slots whose value lies
+    INSIDE the [p30, p70] band, keeping the outliers on both tails —
+    the inverse selector of removeAbove/BelowPercentile.  Thresholds
+    are rank-based (values at sorted positions ceil(0.3·n) and
+    ceil(0.7·n)) — pure ordering, float-exact in both engines, and
+    band membership uses the thresholds' own values so ties at a
+    boundary fall inside the band in both engines.  Same two-pass
+    shape as g_remove_above_pctile: tiny per-metric threshold relation
+    broadcast back over the slots."""
+    lww = _lww1h(spark, sf_dir)
+    w = Window.partitionBy("metric").orderBy("value")
+    ranked = lww.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("metric"))
+    )
+    thresh = (
+        ranked.groupBy("metric").agg(
+            F.max(
+                F.when(
+                    F.col("rn") <= F.ceil(F.col("n") * 0.3).cast("long"),
+                    F.col("value"),
+                )
+            ).alias("p30"),
+            F.max(
+                F.when(
+                    F.col("rn") <= F.ceil(F.col("n") * 0.7).cast("long"),
+                    F.col("value"),
+                )
+            ).alias("p70"),
+        )
+    )
+    return (
+        lww.join(F.broadcast(thresh), "metric")
+        .where((F.col("value") < F.col("p30")) | (F.col("value") > F.col("p70")))
+        .select("metric", "interval", "value", "p30", "p70")
+    )
+
+
+G_REMOVE_BETWEEN_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+ranked AS (
+  SELECT metric, interval, value,
+         row_number() OVER (PARTITION BY metric ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM lww1h
+),
+thresh AS (
+  SELECT metric,
+         max(CASE WHEN rn <= CAST(ceil(n * 0.3) AS BIGINT)
+                  THEN value END) AS p30,
+         max(CASE WHEN rn <= CAST(ceil(n * 0.7) AS BIGINT)
+                  THEN value END) AS p70
+  FROM ranked GROUP BY metric
+)
+SELECT l.metric, l.interval, l.value, t.p30, t.p70
+FROM lww1h l JOIN thresh t ON l.metric = t.metric
+WHERE l.value < t.p30 OR l.value > t.p70
+"""
+
+
+# --------------------------------------------------- g_random_walk
+def g_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """randomWalkFunction('rw', 3600): the seeded synthetic-series
+    generator.  Graphite's uses wall-clock random(); a distributed,
+    oracle-checkable engine needs a PINNED stream, so the step at slot
+    i is an md5-derived uniform — ``u32('rw:' || i)`` mapped to
+    integer micro-units in [-0.5, 0.5) — and the walk is its running
+    sum.  Every value is integer until the final /1e6 cast, so the
+    cumulative sum is accumulation-order-free and bit-identical
+    cross-engine (the module's md5 discipline).  Generator shape:
+    data-free after the bounds agg, O(range/step) spine."""
+    pts = _points(spark, sf_dir)
+    bounds = pts.agg(
+        (F.min("ts") - F.min("ts") % F.lit(HOUR)).cast("long").alias("lo"),
+        (F.max("ts") - F.max("ts") % F.lit(HOUR)).cast("long").alias("hi"),
+    )
+    spine = bounds.select(
+        "lo",
+        F.explode(F.sequence("lo", "hi", F.lit(3600).cast("long"))).alias(
+            "interval"
+        ),
+    ).select("interval", ((F.col("interval") - F.col("lo")) / 3600).cast("long").alias("i"))
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("rw:"), F.col("i"))), 1, 8), 16, 10
+    ).cast("long")
+    step_u6 = (u32 * 1000000).cast("long") / F.lit(4294967296).cast("long")
+    stepped = spine.withColumn(
+        "step_u6", F.floor(step_u6).cast("long") - 500000
+    )
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    return stepped.select(
+        "interval",
+        (F.sum("step_u6").over(w).cast("double") / 1000000.0).alias("walk"),
+    )
+
+
+G_RANDOM_WALK_SQL = f"""
+WITH {PTS_CTE},
+b AS (
+  SELECT min(ts_sec) - min(ts_sec) % 3600 AS lo,
+         max(ts_sec) - max(ts_sec) % 3600 AS hi
+  FROM pts
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, 3600)) AS interval, lo FROM b
+),
+stepped AS (
+  SELECT interval, (interval - lo) // 3600 AS i,
+         CAST(floor(CAST('0x' || substring(
+                md5('rw:' || CAST((interval - lo) // 3600 AS VARCHAR)),
+                1, 8) AS BIGINT) * 1000000.0 / 4294967296) AS BIGINT)
+           - 500000 AS step_u6
+  FROM spine
+)
+SELECT interval,
+       CAST(sum(step_u6) OVER (ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / 1000000.0 AS walk
+FROM stepped
+"""
+
+
 QUERIES = {
+    "g_remove_between_pctile": g_remove_between_pctile,
+    "g_random_walk": g_random_walk,
     "g_moving_avg_3": g_moving_avg_3,
     "g_nonneg_derivative": g_nonneg_derivative,
     "g_sum_series": g_sum_series,
@@ -4230,6 +4355,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "g_remove_between_pctile": G_REMOVE_BETWEEN_SQL,
+    "g_random_walk": G_RANDOM_WALK_SQL,
     "g_holt_winters": G_HOLT_WINTERS_SQL,
     "g_tag_select": G_TAG_SELECT_SQL,
     "g_tag_group": G_TAG_GROUP_SQL,

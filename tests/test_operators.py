@@ -123,6 +123,8 @@ SUBSET = [
     "m_resize_stats",
     "t_dup_spans",
     "w_retention_expand",
+    "g_remove_between_pctile",
+    "g_random_walk",
 ]
 
 
