@@ -77,6 +77,34 @@ _R07_WINDOW = [
     "g_area_between", "t_sentence_stats", "w_wsp_roundtrip",
 ]  # == CORRECTNESS_r07.json keys (test_registry.py pins this).
 
+# The round-8 driver window, pre-materialized for the round-9
+# rotation: first 50 of the registry as committed for round 8's
+# driver run = the 5 new batch-1 analogs + 45 of the round-4 cohort
+# (test_registry.py asserts list == first-50 so drift is caught
+# before the driver runs).  ROUND-9 TODO: once CORRECTNESS_r08.json
+# exists, verify its keys == this list, then append a
+# `+ [n for n in _R08_WINDOW if n in queries]`-style block at the
+# END of the order in _registry() (and add _R08_WINDOW to `seen`),
+# exactly as _R07_WINDOW was handled — round 9's window then fronts
+# _R08_DEFERRED + the r4 stragglers (w_asof_join,
+# w_session_window_native) + the round-5 cohort.
+_R08_WINDOW = [
+    "g_divide_series_lists", "g_time_shift_multi", "g_alias_by_tags",
+    "g_threshold", "g_is_non_null", "w_sessionize_30m", "r_q12_priority",
+    "d_exact_dedup", "d_lsh_pairs", "d_simhash", "d_simhash_pairs",
+    "d_simhash_banded", "s_cosine_topk", "s_cosine_nearpairs",
+    "s_cosine_ann", "s_ann_recall", "s_cosine_ann_mp", "s_ann_mp_recall",
+    "s_cosine_sig", "s_sig_recall", "s_vector_stats",
+    "d_embed_neardup_lsh", "t_token_stats", "t_lang_id", "t_quality",
+    "t_fingerprint", "t_tfidf_top3", "t_word_freq", "m_decode_stats",
+    "m_feature_norms", "m_frame_sample", "g_moving_avg_3",
+    "g_nonneg_derivative", "g_sum_series", "g_timeshift_1d",
+    "g_as_percent", "g_integral", "g_keep_last", "g_keep_last_limit",
+    "g_summarize_4h", "g_group_by_node", "g_highest_avg_3", "g_stdev_1d",
+    "g_ewma", "g_moving_median_5", "g_transform_chain", "g_linreg_1d",
+    "g_remove_above_pctile", "g_moving_avg_time", "w_lww_1h",
+]
+
 # Added late in round 8, after the round-8 window composition (5 new
 # batch-1 queries + the round-4 cohort) was already settled.  Never
 # driver-checked (local exact-typed gate green at sf0.01 + sf0.1), so
@@ -89,7 +117,7 @@ _R08_DEFERRED = [
     "st_enrich", "t_seq_packing", "t_pipeline_e2e",
     "d_split_hash", "t_contamination", "t_repetition", "t_mix_weights",
     "st_join_1h", "m_resize_stats", "t_dup_spans", "w_retention_expand",
-    "g_remove_between_pctile", "g_random_walk",
+    "g_remove_between_pctile", "g_random_walk", "t_length_buckets",
 ]
 
 # Last checked (green / rows-only-by-design) in round 4's window.

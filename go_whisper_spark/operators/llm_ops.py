@@ -2755,6 +2755,54 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------- t_length_buckets
+def t_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching ledger: documents grouped into
+    power-of-two token-length buckets (the length-grouped batching
+    strategy that bounds padding waste when sequences are NOT packed),
+    with per-bucket padding accounting — the number a pipeline
+    compares against ``t_seq_packing``'s zero-padding alternative.
+    ``bucket = 2^bit_length(n_tok - 1)`` — ALL-INTEGER (a float
+    ``ceil(log2(x))`` can sit one ulp above an exact integer at a
+    power of two in one engine and not the other, flipping a doc into
+    the next bucket; ``length(bin(n-1))`` cannot);
+    ``padding = bucket - n_tok`` per doc.  One narrow projection, one
+    small-key aggregate — same scan cost as every per-doc signal."""
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    n_tok = F.size("tokens").cast("long")
+    per = d.select(n_tok.alias("n_tok")).withColumn(
+        "bucket",
+        F.expr(
+            "CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT) "
+            "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n_tok - 1))) END"
+        ),
+    )
+    return per.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.sum(F.col("bucket") - F.col("n_tok"))).alias("total_padding"),
+    )
+
+
+T_LENGTH_BUCKETS_SQL = f"""
+WITH per AS (
+  SELECT CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tok FROM documents
+),
+bucketed AS (
+  SELECT n_tok,
+         CASE WHEN n_tok <= 1 THEN 1::BIGINT
+              ELSE 1::BIGINT << length(bin(n_tok - 1)) END AS bucket
+  FROM per
+)
+SELECT bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(bucket - n_tok) AS BIGINT) AS total_padding
+FROM bucketed
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------------ t_mix_weights
 def t_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-mixture reweighting: per-source token volume, its share
@@ -2845,6 +2893,7 @@ QUERIES = {
     "t_repetition": t_repetition,
     "t_mix_weights": t_mix_weights,
     "t_dup_spans": t_dup_spans,
+    "t_length_buckets": t_length_buckets,
 }
 
 ORACLES = {
@@ -2887,4 +2936,5 @@ ORACLES = {
     "t_repetition": T_REPETITION_SQL,
     "t_mix_weights": T_MIX_WEIGHTS_SQL,
     "t_dup_spans": T_DUP_SPANS_SQL,
+    "t_length_buckets": T_LENGTH_BUCKETS_SQL,
 }

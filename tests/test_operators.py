@@ -125,6 +125,7 @@ SUBSET = [
     "w_retention_expand",
     "g_remove_between_pctile",
     "g_random_walk",
+    "t_length_buckets",
 ]
 
 

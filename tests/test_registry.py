@@ -66,6 +66,15 @@ def test_round8_window_fronts_r04_cohort():
         assert name in window, f"{name} missed the round-8 window"
 
 
+def test_r08_window_matches_first_fifty():
+    """The pre-materialized round-8 window list (the round-9 rotation
+    seed) must stay equal to the registry's actual first 50 — the
+    ADVICE-round-7 drift failure mode, now enforced for round 8."""
+    queries, _ = entry._registry()
+    assert entry._R08_WINDOW == list(queries)[:50]
+    assert len(set(entry._R08_WINDOW)) == 50
+
+
 def test_checked_cohorts_are_registered():
     """Every cohort name still resolves to a real query (catches renames)."""
     queries, _ = entry._registry()

@@ -389,12 +389,34 @@ CHECKS = {
     # Repetition signal: pure narrow projection — the whole scan must
     # stay in one exchange-free codegen stage.
     "t_repetition": dict(require=[], forbid=["Exchange"]),
+    # removeBetweenPercentile: same two-pass shape as the other
+    # percentile filters — per-metric rank window, conditional-max
+    # thresholds, broadcast join back; no shuffle join, no cartesian.
+    "g_remove_between_pctile": dict(
+        require=["Window", "BroadcastHashJoin", "partial_max"],
+        forbid=["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin"],
+    ),
+    # Seeded random walk: generator (bounds agg + sequence spine) with
+    # ONE global cumsum window over the O(range/step) spine — ~720
+    # rows, data-free; joins of any kind are wrong here.
+    "g_random_walk": dict(
+        require=["Window"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "ShuffledHashJoin"],
+    ),
     # Duplicated-span accounting: per-(doc, shingle) partial aggregate,
     # df derived from the SAME relation, inverted-index join back —
     # equi-join only, never nested-loop/cartesian.
     "t_dup_spans": dict(
         require=["partial_count", "partial_sum"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # Length-bucket ledger: narrow all-integer projection, small-key
+    # partial aggregate; join- and window-free.
+    "t_length_buckets": dict(
+        require=["partial_count", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "ShuffledHashJoin", "Window"],
     ),
     # Mixture weights: per-source partial aggregate, then the ~20-row
     # totals frame broadcast back (single-row NL join is the intended
