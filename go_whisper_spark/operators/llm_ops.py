@@ -2038,6 +2038,111 @@ GROUP BY src
 """
 
 
+# --------------------------------------------------------- d_cc_stars
+def _star_contract(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., *Connected Components in MapReduce
+    and Beyond*, SoCC'14 — public algorithm, re-expressed on
+    DataFrames).  Converges in O(log² n) rounds on ANY graph — unlike
+    min-label propagation (``d_neardup_clusters``), whose round count
+    equals the component diameter and degrades to O(n) on a chain.
+
+    ``edges`` is an undirected edge list (u, v), u != v, each pair in
+    either orientation.  Returns (labels, rounds): labels maps every
+    endpoint to its component minimum.
+
+    Each half-step is one shuffle keyed by the star center:
+
+    - **large-star**: around each center u, every neighbor v > u is
+      re-pointed at m = min(Γ(u) ∪ {u}).  Strictly-greater neighbors
+      only, so the step can never create a cycle.
+    - **small-star**: edges oriented larger→smaller; around each
+      center u, all smaller neighbors (and u itself) re-point at
+      m = min(Γ⁻(u) ∪ {u}).
+
+    The edge set is distinct-ed and ``localCheckpoint``-ed per round
+    (the Pregel-loop lineage discipline); convergence is detected by
+    an order-insensitive (count, xxhash-sum) fingerprint — one driver
+    scalar per round, never edge data.  At the fixed point the edge
+    set is a union of stars centered at component minima.
+    """
+    sym = lambda e: e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nbrs = sym(e)
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.withColumn("m", F.least("mn", "u")).select("u", "m")
+        return (
+            nbrs.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        directed = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            directed.join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        center = mins.select(F.col("u"), F.col("m").alias("v"))
+        return moved.union(center).distinct()
+
+    def fingerprint(e: DataFrame):
+        # bit_xor is order-insensitive and can't overflow (ANSI-safe,
+        # unlike sum); sound because the edge set is distinct-ed.
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    cur = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct().localCheckpoint()
+    prev_fp, rounds = None, 0
+    while True:
+        rounds += 1
+        cur = small_star(large_star(cur)).localCheckpoint()
+        fp = fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # Fixed point: stars (u → root).  Roots label themselves.
+    roots = cur.select(F.col("v").alias("u"), F.col("v")).distinct()
+    labels = cur.union(roots).distinct().select(
+        F.col("u").alias("doc_id"), F.col("v").alias("label")
+    )
+    return labels, rounds
+
+
+def d_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters via large-star/small-star contraction —
+    result-identical to ``d_neardup_clusters`` (same LSH-verified
+    edge set, same component-min labeling, same oracle) but with
+    O(log² n) round complexity on any graph shape, closing the
+    chain-graph known-limit in docs/SCALE.md.  The pathological-chain
+    round-count gate is pinned in tests/test_operators.py.
+    """
+    pairs = (
+        d_lsh_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.5)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    labels, _ = _star_contract(pairs)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("label").alias("cluster_id"), "doc_id"
+    ).withColumn("cluster_size", F.count("*").over(w))
+
+
 # ----------------------------------------------------- t_bigram_freq
 def t_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram frequencies: top 20 token bigrams (count desc,
@@ -2894,6 +2999,7 @@ QUERIES = {
     "t_mix_weights": t_mix_weights,
     "t_dup_spans": t_dup_spans,
     "t_length_buckets": t_length_buckets,
+    "d_cc_stars": d_cc_stars,
 }
 
 ORACLES = {
@@ -2937,4 +3043,7 @@ ORACLES = {
     "t_mix_weights": T_MIX_WEIGHTS_SQL,
     "t_dup_spans": T_DUP_SPANS_SQL,
     "t_length_buckets": T_LENGTH_BUCKETS_SQL,
+    # Same component semantics as d_neardup_clusters — the recursive-CTE
+    # transitive closure is the oracle for BOTH implementations.
+    "d_cc_stars": D_CLUSTERS_SQL,
 }
