@@ -2908,6 +2908,83 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------ t_stratified_sample
+# Per-language keep rates in permille.  Unknown languages take the
+# conservative default.  The sampling gate is a deterministic
+# multiplicative hash of doc_id — identical int64 arithmetic in both
+# engines (max intermediate (1000002)·2654435761 ≈ 2.7e15, far inside
+# ANSI int64), so the kept SET is reproducible run-to-run and
+# engine-to-engine, which is what lets a 100 TB sampling job be
+# restarted or audited without storing the sample itself.
+_STRAT_RATES = [("en", 100), ("es", 250), ("de", 500), ("fr", 750), ("zh", 900)]
+_STRAT_DEFAULT = 200
+_STRAT_BUCKET_SQL = "(((doc_id % 1000003) * 2654435761) % 1000000007) % 1000"
+
+
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling ledger: per-language totals, kept
+    counts under per-stratum permille rates, and two kept-set
+    checksums (bit_xor of doc_id — order-insensitive and
+    overflow-free — plus kept char volume) that pin the exact kept
+    SET, not just its size.
+
+    Unlike ``d_split_hash`` (uniform 90/5/5 split), rates differ per
+    stratum — the down-sample-the-dominant-language shape of corpus
+    curation.  Scale shape: the gate is a pure narrow codegen
+    expression (no rand(), no shuffle to decide membership), then one
+    5-key partial aggregate; conditional aggregation keeps
+    zero-kept strata present with 0 rather than a vanishing group.
+    """
+    d = _docs(spark, sf_dir)
+    bucket = (((F.col("doc_id") % 1000003) * 2654435761) % 1000000007) % 1000
+    rate = F.lit(_STRAT_DEFAULT)
+    for lang, permille in _STRAT_RATES:
+        rate = F.when(F.col("lang") == lang, permille).otherwise(rate)
+    keep = bucket < rate
+    return (
+        d.select(
+            "lang",
+            "n_chars",
+            keep.alias("keep"),
+            F.col("doc_id"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.coalesce(
+                F.bit_xor(F.when(F.col("keep"), F.col("doc_id"))), F.lit(0)
+            ).alias("kept_id_xor"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), F.col("n_chars"))), F.lit(0)
+            ).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_STRAT_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {permille}" for lang, permille in _STRAT_RATES
+) + f" ELSE {_STRAT_DEFAULT} END"
+
+T_STRATIFIED_SAMPLE_SQL = f"""
+WITH gated AS (
+  SELECT lang, n_chars, doc_id,
+         {_STRAT_BUCKET_SQL} < {_STRAT_RATE_SQL} AS keep
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(bit_xor(CASE WHEN keep THEN doc_id END), 0) AS kept_id_xor,
+       CAST(COALESCE(sum(CASE WHEN keep THEN n_chars END), 0) AS BIGINT)
+         AS kept_chars
+FROM gated
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # ------------------------------------------------------ t_mix_weights
 def t_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-mixture reweighting: per-source token volume, its share
@@ -3000,6 +3077,7 @@ QUERIES = {
     "t_dup_spans": t_dup_spans,
     "t_length_buckets": t_length_buckets,
     "d_cc_stars": d_cc_stars,
+    "t_stratified_sample": t_stratified_sample,
 }
 
 ORACLES = {
@@ -3046,4 +3124,5 @@ ORACLES = {
     # Same component semantics as d_neardup_clusters — the recursive-CTE
     # transitive closure is the oracle for BOTH implementations.
     "d_cc_stars": D_CLUSTERS_SQL,
+    "t_stratified_sample": T_STRATIFIED_SAMPLE_SQL,
 }

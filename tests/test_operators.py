@@ -126,6 +126,8 @@ SUBSET = [
     "g_remove_between_pctile",
     "g_random_walk",
     "t_length_buckets",
+    "d_cc_stars",
+    "t_stratified_sample",
 ]
 
 
