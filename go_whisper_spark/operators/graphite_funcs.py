@@ -2284,21 +2284,28 @@ def g_avg_outside_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
     average lies in the top or bottom quartile of the per-series
     averages.  Averages are exact (`_avg6`); the quartile cut is a
     rank threshold (ceil(0.25·n)) — ordering only, ties on metric
-    name."""
+    name.
+
+    Scale shape (round-8 rewrite): rank-window-free.  Under the
+    strict total order (avg_value, metric), ``rk <= cut`` is exactly
+    membership in ``orderBy(asc).limit(cut)`` and
+    ``rk >= n+1-cut`` exactly ``orderBy(desc).limit(cut)`` — two
+    partial top-k selections (TakeOrderedAndProject: each partition
+    keeps cut rows, only cut·partitions merge), replacing the
+    single-partition row_number window over the whole per-metric
+    relation.  The per-metric relation is localCheckpoint-ed once so
+    the count scalar (cut = ceil(n/4), the only driver value) and
+    both TakeOrdereds read the materialized aggregate instead of
+    re-running it."""
     lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
     per = lww.groupBy("metric").agg(
         _avg6(F.sum("cents"), F.count("*")).alias("avg_value")
-    )
-    ranked = per.select(
-        "metric",
-        "avg_value",
-        F.row_number().over(Window.orderBy("avg_value", "metric")).alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
-    cut = F.ceil(F.col("n") * 0.25).cast("long")
-    winners = ranked.where(
-        (F.col("rk") <= cut) | (F.col("rk") >= F.col("n") + 1 - cut)
-    ).select("metric", "avg_value")
+    ).localCheckpoint()
+    n = per.count()
+    cut = -(-n // 4)  # ceil(n * 0.25) without float
+    low = per.orderBy(F.asc("avg_value"), F.asc("metric")).limit(cut)
+    high = per.orderBy(F.desc("avg_value"), F.desc("metric")).limit(cut)
+    winners = low.union(high).dropDuplicates(["metric"])
     return lww.join(F.broadcast(winners), "metric").select(
         "metric", "interval", "value", "avg_value"
     )

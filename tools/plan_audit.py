@@ -238,6 +238,24 @@ CHECKS = {
         require=["TakeOrderedAndProject", "BroadcastHashJoin"],
         forbid=["SinglePartition", "CartesianProduct", "SortMergeJoin"],
     ),
+    # Quantile-cut selector (round-8 rewrite): the quartile boundary
+    # is two partial top-k selections over the checkpointed per-metric
+    # relation — rank-window-free, no single-partition Exchange, and
+    # NO Window operator anywhere (the old form ranked the whole
+    # per-metric relation through one partition).
+    "g_avg_outside_pctile": dict(
+        require=["TakeOrderedAndProject", "BroadcastHashJoin"],
+        forbid=["SinglePartition", "CartesianProduct", "SortMergeJoin",
+                "Window"],
+    ),
+    # Stratified sampler: the gate is a narrow codegen expression; the
+    # whole query is one partial-combining aggregate — no join, no
+    # window, single exchange on the 5-key lang column.
+    "t_stratified_sample": dict(
+        require=["partial_count", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "Window"],
+    ),
     # highestCurrent: winners from two TakeOrdered passes; their exact
     # global ranks restated as counts over a broadcast of the ≤6
     # winners (BroadcastNestedLoopJoin + map-side-combining count) —
