@@ -118,7 +118,7 @@ _R08_DEFERRED = [
     "d_split_hash", "t_contamination", "t_repetition", "t_mix_weights",
     "st_join_1h", "m_resize_stats", "t_dup_spans", "w_retention_expand",
     "g_remove_between_pctile", "g_random_walk", "t_length_buckets",
-    "d_cc_stars", "t_stratified_sample",
+    "d_cc_stars", "t_stratified_sample", "st_cascade_chained",
 ]
 
 # Last checked (green / rows-only-by-design) in round 4's window.

@@ -367,6 +367,91 @@ SELECT CAST(1 AS INTEGER) AS archive_id, metric, interval, value FROM a1
 """
 
 
+# ------------------------------------------------------ st_cascade_chained
+def st_cascade_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECLARATIVE cascade (``streaming/chained.py``): same config
+    and replay as ``st_cascade_6h``, but archive 1 is its own
+    Structured Streaming query chained through the parquet
+    file-sink→file-source handoff — no foreachBatch anywhere.
+
+    Semantics delta vs the foreachBatch form, pinned by the oracle:
+    archive 1 is itself watermark-gated, so a 6h window is emitted
+    only once archive-0 windows PAST it exist — the final open 6h
+    window stays in state (the oracle's ``interval6 + 21600 <=
+    max(a0.interval)`` cut).  In-order handoff (see module docstring)
+    means the 0-second level-1 watermark drops nothing else: every
+    a0 emission batch carries event times strictly above all earlier
+    batches.
+    """
+    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
+    t0 = int(pts.agg(F.min("ts")).first()[0])
+    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts"))
+    )
+    cfg = SeriesConfig.from_defs("1h:2d,6h:12d", "max", 0.5)
+
+    from go_whisper_spark.streaming.chained import chained_cascade_pass
+
+    root = _tmpdir()
+    src, base = os.path.join(root, "src"), os.path.join(root, "arch")
+    feed = marked.drop("arrive")
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        paths = chained_cascade_pass(
+            spark, feed.schema, src, base, cfg, lateness_seconds=LATENESS
+        )
+    lvl = "metric string, interval long, value double"
+    a0 = spark.read.schema(lvl).parquet(paths[0]).select(
+        F.lit(0).cast("int").alias("archive_id"), "metric", "interval", "value"
+    )
+    a1 = spark.read.schema(lvl).parquet(paths[1]).select(
+        F.lit(1).cast("int").alias("archive_id"), "metric", "interval", "value"
+    )
+    return a0.unionByName(a1)
+
+
+ST_CASCADE_CHAINED_SQL = f"""
+WITH pts AS (
+  SELECT event_type AS metric,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+{_MARKED_CTE},
+surv AS (
+  SELECT m.* FROM marked m LEFT JOIN wm ON wm.arrive = m.arrive
+  WHERE wm.wm IS NULL OR m.ts - m.ts % 3600 + 3600 > wm.wm
+),
+a0 AS (
+  SELECT metric,
+         ts - ts % 3600 AS interval,
+         arg_max(value, seq) AS value
+  FROM surv
+  GROUP BY 1, 2
+  HAVING interval + 3600 <= (SELECT wmf FROM wmf)
+),
+a1 AS (
+  SELECT metric,
+         interval - interval % 21600 AS interval,
+         max(value) AS value
+  FROM a0
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+     AND interval - interval % 21600 + 21600 <= (SELECT max(interval) FROM a0)
+)
+SELECT CAST(0 AS INTEGER) AS archive_id, metric, interval, value FROM a0
+UNION ALL
+SELECT CAST(1 AS INTEGER) AS archive_id, metric, interval, value FROM a1
+"""
+
+
 # ---------------------------------------------------------- st_derivative
 def st_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful operator (``applyInPandasWithState``) under
@@ -613,6 +698,7 @@ QUERIES = {
     "st_dedup_1h": st_dedup_1h,
     "st_enrich": st_enrich,
     "st_join_1h": st_join_1h,
+    "st_cascade_chained": st_cascade_chained,
 }
 
 ORACLES = {
@@ -623,4 +709,5 @@ ORACLES = {
     "st_dedup_1h": ST_DEDUP_1H_SQL,
     "st_enrich": ST_ENRICH_SQL,
     "st_join_1h": ST_JOIN_1H_SQL,
+    "st_cascade_chained": ST_CASCADE_CHAINED_SQL,
 }
