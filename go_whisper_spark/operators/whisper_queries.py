@@ -1384,8 +1384,60 @@ FROM parsed
 """
 
 
+# --------------------------------------------------- w_lakehouse_rollup
+def w_lakehouse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit-log lakehouse path (``lakehouse.py``) under the
+    driver's oracle: the events points ingested in TWO sequential
+    ``incremental_rollup_tx`` batches (split at the time midpoint, so
+    one day partition is touched by both), then archive 1 (6h, Max,
+    xff 0.5) snapshot-read back through the manifest.
+
+    Day partitions touched by the second batch are recomputed from
+    the accumulated bronze store, so the committed snapshot equals
+    the one-shot batch consolidation — which is exactly what the
+    oracle states.  MAX aggregation keeps the value bit-exact
+    (order-free); the retention ladder (90d/180d) exceeds the data
+    span so no retention cut interferes.  Concurrency semantics
+    (disjoint-day races, same-day conflict recompute, vacuum, time
+    travel) are pinned in tests/test_lakehouse.py; this query pins
+    the data math end-to-end through the commit log.
+    """
+    import tempfile
+
+    from go_whisper_spark.lakehouse import (
+        incremental_rollup_tx,
+        read_table,
+        table_path,
+    )
+    from go_whisper_spark.model import SeriesConfig
+
+    pts = _points(spark, sf_dir)
+    bounds = pts.agg(F.min("ts").alias("a"), F.max("ts").alias("b")).first()
+    t0, now = int(bounds["a"]), int(bounds["b"])
+    mid = t0 + (now - t0) // 2
+    cfg = SeriesConfig.from_defs("1h:90d,6h:180d", "max", 0.5)
+    base = tempfile.mkdtemp(prefix="gws_lake_")
+    for batch in (pts.where(F.col("ts") <= mid), pts.where(F.col("ts") > mid)):
+        incremental_rollup_tx(spark, base, cfg, batch, now)
+    return read_table(spark, table_path(base, 1)).select(
+        "metric", "interval", "value"
+    )
+
+
+W_LAKEHOUSE_ROLLUP_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE}
+SELECT metric,
+       interval - interval % 21600 AS interval,
+       max(value) AS value
+FROM lww1h
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
 QUERIES = {
     "w_retention_expand": w_retention_expand,
+    "w_lakehouse_rollup": w_lakehouse_rollup,
     "w_wsp_roundtrip": w_wsp_roundtrip,
     "w_wsp_propagate": w_wsp_propagate,
     "w_wsp_export": w_wsp_export,
@@ -1412,6 +1464,7 @@ QUERIES = {
 
 ORACLES = {
     "w_retention_expand": W_RETENTION_EXPAND_SQL,
+    "w_lakehouse_rollup": W_LAKEHOUSE_ROLLUP_SQL,
     "w_wsp_roundtrip": W_WSP_ROUNDTRIP_SQL,
     "w_wsp_propagate": W_WSP_PROPAGATE_SQL,
     "w_wsp_export": W_WSP_PROPAGATE_SQL,
