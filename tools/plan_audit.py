@@ -501,6 +501,31 @@ def _build_st_join_stream(spark):
     )
 
 
+def _build_st_chained_level1(spark):
+    # The declarative chained cascade's level-1 query
+    # (streaming/chained.py): a 0-lateness EventTimeWatermark feeding
+    # the coarse windowed Aggregate, join-free — the in-order
+    # file-sink handoff is what licenses the zero watermark.
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.model import SeriesConfig
+    from go_whisper_spark.streaming.rollup import streaming_rollup
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 5).cast("string").alias("metric"),
+            F.col("value").cast("double").alias("value"),
+            F.lit(0).cast("long").alias("write_seq"),
+        )
+    )
+    cfg = SeriesConfig.from_defs("1h:2d,6h:12d", "max", 0.5)
+    return streaming_rollup(
+        src, cfg, 1, lateness_seconds=0, expected_points_per_window=6
+    )
+
+
 BUILDERS = {
     # The applyInPandas .wsp write stage: one FlatMapGroupsInPandas
     # keyed by metric (whisper's one-file-per-metric layout IS the
@@ -521,6 +546,12 @@ BUILDERS = {
         build=_build_st_join_stream,
         require=["EventTimeWatermark", "Join Inner"],
         forbid=["Window", "Aggregate"],
+        streaming=True,
+    ),
+    "st_chained_level1_stream": dict(
+        build=_build_st_chained_level1,
+        require=["EventTimeWatermark", "Aggregate"],
+        forbid=["Join"],
         streaming=True,
     ),
 }
