@@ -2908,6 +2908,55 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------- t_bpe_pairs
+def t_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-induction pair statistics: the top 20 adjacent
+    CHARACTER pairs within tokens (count desc, pair asc — a total
+    order) — the first-merge frequency table a BPE trainer computes
+    each round.  Complements ``t_bigram_freq`` (token-level) at the
+    sub-word granularity.
+
+    Scale shape: tokenize + pair expansion are narrow higher-order
+    array expressions in codegen (no Python); the only shuffle is the
+    pair count with map-side combine — at 100 TB the exchange carries
+    one row per distinct pair per partition (the pair alphabet is
+    tiny), which is why BPE counting distributes trivially.
+    """
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    # filter length>=2 BEFORE sequence(): Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0] (not empty like DuckDB's generate_series), so an
+    # unguarded single-char token would fabricate pairs.
+    pairs = F.expr(
+        "flatten(transform(filter(tokens, t -> length(t) >= 2), t -> "
+        "transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))))"
+    )
+    return (
+        d.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+T_BPE_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_SQL}) AS t FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, strlen(t) - 1),
+                               i -> substr(t, i, 2))) AS pair
+  FROM toks
+  WHERE strlen(t) >= 2
+)
+SELECT pair, count(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 20
+"""
+
+
 # ------------------------------------------------ t_stratified_sample
 # Per-language keep rates in permille.  Unknown languages take the
 # conservative default.  The sampling gate is a deterministic
@@ -3078,6 +3127,7 @@ QUERIES = {
     "t_length_buckets": t_length_buckets,
     "d_cc_stars": d_cc_stars,
     "t_stratified_sample": t_stratified_sample,
+    "t_bpe_pairs": t_bpe_pairs,
 }
 
 ORACLES = {
@@ -3125,4 +3175,5 @@ ORACLES = {
     # transitive closure is the oracle for BOTH implementations.
     "d_cc_stars": D_CLUSTERS_SQL,
     "t_stratified_sample": T_STRATIFIED_SAMPLE_SQL,
+    "t_bpe_pairs": T_BPE_PAIRS_SQL,
 }

@@ -281,11 +281,60 @@ def m_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCM_SCHEMA = "media_id bigint, window_idx int, energy bigint"
+
+
+def pcm_energy(df: DataFrame, window_bytes: int = 256) -> DataFrame:
+    """audio payload → per-window signal energy (1:N windowed output).
+
+    The deterministic fake treats each payload byte as an unsigned
+    8-bit PCM sample centered at 128: window energy =
+    Σ (b − 128)² over the window's bytes — ALL-INTEGER, so the value
+    is exact regardless of engine or accumulation order (a real
+    implementation would decode int16 PCM and compute RMS; the
+    windowing/batch contract is identical).  The trailing partial
+    window is kept — silence-trimming is a policy decision downstream.
+
+    Scale: narrow ``mapInPandas`` like every codec stage — vectorized
+    numpy per batch, no shuffle; output rows = bytes/window_bytes.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                d = arr - 128
+                for i in range(0, len(d), window_bytes):
+                    ids.append(mid)
+                    idxs.append(i // window_bytes)
+                    energies.append(int((d[i : i + window_bytes] ** 2).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "window_idx": idxs, "energy": energies}
+            )
+
+    return df.where(F.col("kind") == "audio").mapInPandas(fn, schema=PCM_SCHEMA)
+
+
+def m_pcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio-energy ledger over the REAL pcm_energy Arrow
+    stage: per audio media, window count, total and peak energy —
+    the framing contract (1:N windows, partial tail kept) pinned by
+    integer byte arithmetic the oracle restates from the text."""
+    media = documents_as_media(spark, sf_dir)
+    return pcm_energy(media).groupBy("media_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("energy").alias("total_energy"),
+        F.max("energy").alias("peak_energy"),
+    )
+
+
 QUERIES = {
     "m_decode_stats": m_decode_stats,
     "m_feature_norms": m_feature_norms,
     "m_frame_sample": m_frame_sample,
     "m_resize_stats": m_resize_stats,
+    "m_pcm_energy": m_pcm_energy,
 }
 
 # All THREE pipelines are oracle-checkable: the deterministic fake
@@ -399,9 +448,38 @@ SELECT doc_id AS media_id,
 FROM strided
 """
 
+# Window energy restated from the text: byte b at 1-based position i
+# belongs to window (i-1)//256; energy = Σ (unicode(c)-128)² — pure
+# integer arithmetic on both sides.  Empty audio payloads produce zero
+# windows in pcm_energy (media_id absent), matched by strlen > 0.
+M_PCM_ENERGY_SQL = """
+WITH pos AS (
+  SELECT doc_id,
+         unnest(generate_series(1, strlen(text))) AS i,
+         text
+  FROM documents
+  WHERE doc_id % 3 = 1 AND strlen(text) > 0
+),
+win AS (
+  SELECT doc_id,
+         (i - 1) // 256 AS window_idx,
+         CAST(sum((unicode(text[i]) - 128) * (unicode(text[i]) - 128))
+              AS BIGINT) AS energy
+  FROM pos
+  GROUP BY 1, 2
+)
+SELECT doc_id AS media_id,
+       count(*) AS n_windows,
+       CAST(sum(energy) AS BIGINT) AS total_energy,
+       CAST(max(energy) AS BIGINT) AS peak_energy
+FROM win
+GROUP BY 1
+"""
+
 ORACLES: dict = {
     "m_decode_stats": M_DECODE_STATS_SQL,
     "m_feature_norms": M_FEATURE_NORMS_SQL,
     "m_frame_sample": M_FRAME_SAMPLE_SQL,
     "m_resize_stats": M_RESIZE_STATS_SQL,
+    "m_pcm_energy": M_PCM_ENERGY_SQL,
 }

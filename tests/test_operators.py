@@ -128,6 +128,10 @@ SUBSET = [
     "t_length_buckets",
     "d_cc_stars",
     "t_stratified_sample",
+    "st_cascade_chained",
+    "w_lakehouse_rollup",
+    "m_pcm_energy",
+    "t_bpe_pairs",
 ]
 
 

@@ -443,6 +443,14 @@ CHECKS = {
         require=["partial_count", "partial_sum"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
+    # BPE pair counting: tokenize + pair expansion as narrow
+    # higher-order expressions; one map-side-combining count, then
+    # partial top-k — join- and window-free.
+    "t_bpe_pairs": dict(
+        require=["partial_count", "TakeOrderedAndProject"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "Window"],
+    ),
 }
 
 # Non-registry plans: frames the contract queries materialize
