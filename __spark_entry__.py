@@ -119,7 +119,7 @@ _R08_DEFERRED = [
     "st_join_1h", "m_resize_stats", "t_dup_spans", "w_retention_expand",
     "g_remove_between_pctile", "g_random_walk", "t_length_buckets",
     "d_cc_stars", "t_stratified_sample", "st_cascade_chained",
-    "w_lakehouse_rollup", "m_pcm_energy", "t_bpe_pairs",
+    "w_lakehouse_rollup", "m_pcm_energy", "t_bpe_pairs", "d_incremental",
 ]
 
 # Last checked (green / rows-only-by-design) in round 4's window.

@@ -2908,6 +2908,114 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------------- d_incremental
+def d_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental shard-vs-corpus near-dedup ledger: the daily shape
+    of a 100 TB dedup pipeline — an INCOMING shard (doc_id % 4 = 3)
+    checked against the EXISTING corpus (the rest), never
+    corpus-vs-corpus.
+
+    Per language: incoming count, docs dropped as near-dups of the
+    existing corpus (any LSH-verified jaccard ≥ 0.5 partner in the
+    corpus), docs dropped as intra-shard near-dups (a smaller-id
+    incoming partner, corpus-dup precedence), and survivors.
+
+    Scale shape: the ONLY pairwise work is `d_lsh_pairs`' banded
+    bucket join — orienting its edges old→incoming / small→large is a
+    narrow filter on the pair relation, then two tiny distinct sets
+    join back to the shard (broadcast at any realistic shard size;
+    the corpus side never re-scans).  At true incremental scale the
+    corpus's band signatures are precomputed once and only the
+    shard's are built per run — the signature store IS the index.
+    """
+    pairs = (
+        d_lsh_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    inc_dst = F.col("dst") % 4 == 3
+    known = (
+        sym.where(inc_dst & (F.col("src") % 4 != 3))
+        .select(F.col("dst").alias("doc_id"))
+        .distinct()
+        .withColumn("is_known", F.lit(1))
+    )
+    intra = (
+        sym.where(inc_dst & (F.col("src") % 4 == 3) & (F.col("src") < F.col("dst")))
+        .select(F.col("dst").alias("doc_id"))
+        .distinct()
+        .withColumn("is_intra", F.lit(1))
+    )
+    shard = _docs(spark, sf_dir).where(F.col("doc_id") % 4 == 3).select(
+        "doc_id", "lang"
+    )
+    flagged = (
+        shard.join(F.broadcast(known), "doc_id", "left")
+        .join(F.broadcast(intra), "doc_id", "left")
+        .select(
+            "lang",
+            F.coalesce("is_known", F.lit(0)).alias("k"),
+            F.coalesce("is_intra", F.lit(0)).alias("i"),
+        )
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_incoming"),
+            F.sum("k").alias("n_corpus_dup"),
+            F.sum(F.when((F.col("k") == 0) & (F.col("i") == 1), 1).otherwise(0)).alias(
+                "n_intra_dup"
+            ),
+            F.sum(F.when((F.col("k") == 0) & (F.col("i") == 0), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _d_incremental_sql() -> str:
+    return f"""
+WITH lsh AS ({D_LSH_SQL}),
+pairs AS (SELECT doc_a, doc_b FROM lsh WHERE jaccard >= 0.5),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+known AS (
+  SELECT DISTINCT dst AS doc_id FROM sym
+  WHERE dst % 4 = 3 AND src % 4 != 3
+),
+intra AS (
+  SELECT DISTINCT dst AS doc_id FROM sym
+  WHERE dst % 4 = 3 AND src % 4 = 3 AND src < dst
+),
+flagged AS (
+  SELECT d.lang,
+         CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS k,
+         CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END AS i
+  FROM documents d
+  LEFT JOIN known k ON k.doc_id = d.doc_id
+  LEFT JOIN intra i ON i.doc_id = d.doc_id
+  WHERE d.doc_id % 4 = 3
+)
+SELECT lang,
+       count(*) AS n_incoming,
+       CAST(sum(k) AS BIGINT) AS n_corpus_dup,
+       CAST(sum(CASE WHEN k = 0 AND i = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_intra_dup,
+       CAST(sum(CASE WHEN k = 0 AND i = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM flagged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # --------------------------------------------------------- t_bpe_pairs
 def t_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-induction pair statistics: the top 20 adjacent
@@ -3128,6 +3236,7 @@ QUERIES = {
     "d_cc_stars": d_cc_stars,
     "t_stratified_sample": t_stratified_sample,
     "t_bpe_pairs": t_bpe_pairs,
+    "d_incremental": d_incremental,
 }
 
 ORACLES = {
@@ -3176,4 +3285,5 @@ ORACLES = {
     "d_cc_stars": D_CLUSTERS_SQL,
     "t_stratified_sample": T_STRATIFIED_SAMPLE_SQL,
     "t_bpe_pairs": T_BPE_PAIRS_SQL,
+    "d_incremental": _d_incremental_sql(),
 }

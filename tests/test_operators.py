@@ -132,6 +132,7 @@ SUBSET = [
     "w_lakehouse_rollup",
     "m_pcm_energy",
     "t_bpe_pairs",
+    "d_incremental",
 ]
 
 
