@@ -2908,6 +2908,120 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------- s_mrl_eval
+_MRL_DIMS = (16, 32, 48, 64)
+
+
+def _trunc_topk(spark: SparkSession, sf_dir: str, qmax: int, k: int, dim: int) -> DataFrame:
+    """Exact cosine top-k using only the FIRST ``dim`` embedding
+    dimensions (norms recomputed over the prefix — matryoshka-style
+    truncation).  Same broadcast + Arrow-kernel plan as
+    ``_brute_topk``; slicing happens inside the kernel so the scan
+    still reads one array column."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.where(F.col("vec_id") < qmax).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cand = e.repartition(spark.sparkContext.defaultParallelism)
+    pairs = F.broadcast(q).crossJoin(cand).where(F.col("vec_id") != F.col("qid"))
+
+    def sims(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["qv"].values).astype(np.float64)[:, :dim]
+            B = np.stack(pdf["v"].values).astype(np.float64)[:, :dim]
+            na = np.sqrt(_seq_dot(A, A))
+            nb = np.sqrt(_seq_dot(B, B))
+            sim = np.round(_seq_dot(A, B) / (na * nb), 6)
+            yield pd.DataFrame(
+                {"qid": pdf["qid"], "neighbor": pdf["vec_id"], "sim": sim}
+            )
+
+    simdf = pairs.mapInPandas(sims, "qid long, neighbor long, sim double")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("neighbor"))
+    return (
+        simdf.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "neighbor")
+    )
+
+
+def s_mrl_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation: top-3 overlap between
+    prefix-truncated cosine search (16/32/48/64 dims) and the full
+    64-dim exact baseline — the measurement that decides how far a
+    vector store can truncate its embeddings (4×/2× index shrink)
+    before recall pays.  dim=64 is the built-in self-check (recall
+    must be 1.0).
+
+    All rankings use the (round(sim,6) DESC, vec_id ASC) total order,
+    so the overlap count is ulp-stable cross-engine.  Scale shape:
+    each rung is the broadcast-query Arrow-kernel scan (no
+    all-pairs); the overlap join keys on (qid, neighbor) — |Q|·k
+    rows.  Recall in integer ppm (floor) for exact comparison.
+    """
+    full = _brute_topk(spark, sf_dir, 10, 3).select("qid", "neighbor")
+    out = None
+    for d in _MRL_DIMS:
+        t = _trunc_topk(spark, sf_dir, 10, 3, d)
+        per = (
+            t.join(full, ["qid", "neighbor"])
+            .agg(F.count("*").alias("n_hits"))
+            .select(
+                F.lit(d).cast("long").alias("dim"),
+                F.lit(10).cast("long").alias("n_queries"),
+                F.col("n_hits"),
+                F.expr("n_hits * 1000000 div 30").alias("recall_ppm"),
+            )
+        )
+        out = per if out is None else out.unionByName(per)
+    return out.orderBy("dim")
+
+
+def _mrl_rank_cte(name: str, dim: int) -> str:
+    return f"""{name} AS (
+  SELECT qid, neighbor FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_sum(list_transform(generate_series(1, {dim}),
+                                                    i -> q.v[i] * c.v[i]))
+                            / (sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                                                            i -> q.v[i] * q.v[i])))
+                               * sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                                                              i -> c.v[i] * c.v[i])))),
+                            6) DESC,
+                      c.vec_id ASC
+           ) AS rk
+    FROM e q JOIN e c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 10
+  ) WHERE rk <= 3
+)"""
+
+
+def _s_mrl_eval_sql() -> str:
+    ctes = ",\n".join(_mrl_rank_cte(f"t{d}", d) for d in _MRL_DIMS)
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({d} AS BIGINT) AS dim, CAST(10 AS BIGINT) AS n_queries,
+       count(*) AS n_hits,
+       CAST(count(*) * 1000000 // 30 AS BIGINT) AS recall_ppm
+FROM t{d} a JOIN t64 b ON a.qid = b.qid AND a.neighbor = b.neighbor"""
+        for d in _MRL_DIMS
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+{ctes}
+SELECT * FROM ({arms})
+ORDER BY dim
+"""
+
+
 # ------------------------------------------------------- d_incremental
 def d_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental shard-vs-corpus near-dedup ledger: the daily shape
@@ -3237,6 +3351,7 @@ QUERIES = {
     "t_stratified_sample": t_stratified_sample,
     "t_bpe_pairs": t_bpe_pairs,
     "d_incremental": d_incremental,
+    "s_mrl_eval": s_mrl_eval,
 }
 
 ORACLES = {
@@ -3286,4 +3401,5 @@ ORACLES = {
     "t_stratified_sample": T_STRATIFIED_SAMPLE_SQL,
     "t_bpe_pairs": T_BPE_PAIRS_SQL,
     "d_incremental": _d_incremental_sql(),
+    "s_mrl_eval": _s_mrl_eval_sql(),
 }

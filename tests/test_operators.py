@@ -133,6 +133,7 @@ SUBSET = [
     "m_pcm_energy",
     "t_bpe_pairs",
     "d_incremental",
+    "s_mrl_eval",
 ]
 
 
