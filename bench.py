@@ -80,6 +80,10 @@ HEADLINE = [
     # and the shingle inverted-index contamination join
     "t_pipeline_e2e",
     "t_contamination",
+    # round 8 late additions: the stratified sampling gate (pure
+    # codegen + tiny-key aggregate) and sub-word pair counting
+    "t_stratified_sample",
+    "t_bpe_pairs",
 ]
 
 

@@ -443,6 +443,14 @@ CHECKS = {
         require=["partial_count", "partial_sum"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
+    # Incremental shard dedup: the only big join is the banded LSH
+    # bucket join inherited from d_lsh_pairs (equi-join, partial_count
+    # on shared shingles); the flagged sets broadcast back onto the
+    # shard — no sort-merge, no cartesian anywhere.
+    "d_incremental": dict(
+        require=["partial_count", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
     # BPE pair counting: tokenize + pair expansion as narrow
     # higher-order expressions; one map-side-combining count, then
     # partial top-k — join- and window-free.
