@@ -443,13 +443,15 @@ CHECKS = {
         require=["partial_count", "partial_sum"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
-    # Incremental shard dedup: the only big join is the banded LSH
-    # bucket join inherited from d_lsh_pairs (equi-join, partial_count
-    # on shared shingles); the flagged sets broadcast back onto the
-    # shard — no sort-merge, no cartesian anywhere.
+    # Incremental shard dedup: the only big joins are the banded LSH
+    # bucket join inherited from d_lsh_pairs (equi-join — shuffled/
+    # sort-merge is the RIGHT shape for two large sides at scale) and
+    # the set-size verify join; the flagged sets must broadcast back
+    # onto the shard (never shuffle the shard for a 2-column flag),
+    # and nothing may go nested-loop.
     "d_incremental": dict(
         require=["partial_count", "BroadcastHashJoin"],
-        forbid=["CartesianProduct", "SortMergeJoin"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     # BPE pair counting: tokenize + pair expansion as narrow
     # higher-order expressions; one map-side-combining count, then
