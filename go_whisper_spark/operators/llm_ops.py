@@ -128,22 +128,13 @@ def _md5_prefix_int(s: str, nhex: int) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:nhex], 16)
 
 
-def _doc_features(spark: SparkSession, sf_dir: str, materialize: bool = False) -> DataFrame:
-    """One narrow pass over documents → per-doc dedup features:
-    distinct 3-gram shingles, shingle-set size, MinHash signature
-    (k=16), LSH band signatures, and the 60-bit SimHash.  No shuffle.
-
-    ``materialize=True`` computes the pass once and truncates lineage
-    (localCheckpoint): queries that consume the features in several
-    subtrees (banding + verification + sizes) would otherwise re-run
-    the Python pass per subtree.  This is the signature-index table a
-    production pipeline persists; the explicit repartition spreads the
-    single-file scan across workers (at 100 TB the source is already
-    many splits and both knobs are no-ops).
-    """
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    if materialize:
-        d = d.repartition(spark.sparkContext.defaultParallelism)
+def doc_features_frame(d: DataFrame) -> DataFrame:
+    """The per-doc dedup-features Arrow kernel applied to ANY
+    (doc_id, text) frame — batch or STREAMING: ``mapInPandas`` is
+    unbounded-safe and the kernel is stateless per batch, which is
+    what lets the ingest-time LSH prefilter (``streaming/prefilter``)
+    run the identical signature math inside a Structured Streaming
+    query."""
     coeffs = np.array(MINHASH_COEFFS, dtype=np.uint64)  # (16, 2)
     m61 = np.uint64(MERSENNE61)
     rows_per_band = N_MINHASH // N_BANDS
@@ -193,7 +184,26 @@ def _doc_features(spark: SparkSession, sf_dir: str, materialize: bool = False) -
         "doc_id long, shingles array<string>, n_sh long, "
         "minhash array<long>, bands array<string>, simhash long"
     )
-    out = d.mapInPandas(feats, schema)
+    return d.mapInPandas(feats, schema)
+
+
+def _doc_features(spark: SparkSession, sf_dir: str, materialize: bool = False) -> DataFrame:
+    """One narrow pass over documents → per-doc dedup features:
+    distinct 3-gram shingles, shingle-set size, MinHash signature
+    (k=16), LSH band signatures, and the 60-bit SimHash.  No shuffle.
+
+    ``materialize=True`` computes the pass once and truncates lineage
+    (localCheckpoint): queries that consume the features in several
+    subtrees (banding + verification + sizes) would otherwise re-run
+    the Python pass per subtree.  This is the signature-index table a
+    production pipeline persists; the explicit repartition spreads the
+    single-file scan across workers (at 100 TB the source is already
+    many splits and both knobs are no-ops).
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    if materialize:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
+    out = doc_features_frame(d)
     return out.localCheckpoint() if materialize else out
 
 

@@ -367,6 +367,102 @@ SELECT CAST(1 AS INTEGER) AS archive_id, metric, interval, value FROM a1
 """
 
 
+# ------------------------------------------------------- st_lsh_prefilter
+def st_lsh_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time LSH near-dedup prefilter (``streaming/prefilter.py``)
+    under the oracle: the corpus's (doc_id % 4 != 3) band-signature
+    index is built once batch-side; the incoming shard (doc_id % 4 = 3)
+    arrives as a 3-pass document STREAM whose per-doc signatures are
+    computed by the Arrow kernel INSIDE the streaming query
+    (``doc_features_frame`` over mapInPandas — the only streaming
+    module exercising a pandas kernel in-stream), then probed against
+    the broadcast index.  Stateless append stream: arrival order
+    can't matter, which the 3-pass replay verifies by construction.
+
+    Returned: per-language ledger — shard docs with signatures,
+    prefiltered (any band hit), passed, and the bit_xor of the
+    prefiltered doc_ids pinning the exact flagged SET.
+    """
+    from go_whisper_spark.operators.llm_ops import _docs
+    from go_whisper_spark.streaming.prefilter import (
+        corpus_band_index,
+        streaming_lsh_prefilter,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = corpus_band_index(
+        docs.where(F.col("doc_id") % 4 != 3)
+    ).localCheckpoint()
+    incoming = docs.where(F.col("doc_id") % 4 == 3).select("doc_id", "text")
+    marked = incoming.withColumn("arrive", (F.col("doc_id") % 3).cast("int"))
+    out = _replay(spark, marked, lambda s: streaming_lsh_prefilter(s, idx))
+    per_doc = (
+        spark.read.parquet(out)
+        .groupBy("doc_id")
+        .agg(F.max("hit").alias("dropped"))
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_with_sig"),
+            F.sum("dropped").alias("n_prefiltered"),
+            F.sum(1 - F.col("dropped")).alias("n_passed"),
+            F.coalesce(
+                F.expr("bit_xor(CASE WHEN dropped = 1 THEN doc_id END)"),
+                F.lit(0),
+            ).alias("dropped_xor"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _st_lsh_prefilter_sql() -> str:
+    from go_whisper_spark.operators.llm_ops import (
+        _SHINGLE_CTE,
+        _X32_SQL,
+        _minhash_sql_terms,
+    )
+
+    banded_arms = "\n  UNION ALL\n".join(
+        f"""  SELECT doc_id, {b} AS band,
+         h{4 * b}::VARCHAR || '-' || h{4 * b + 1}::VARCHAR || '-' ||
+         h{4 * b + 2}::VARCHAR || '-' || h{4 * b + 3}::VARCHAR AS sig
+  FROM sigs"""
+        for b in range(4)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+hashed AS (SELECT doc_id, {_X32_SQL} AS x32 FROM shingle),
+sigs AS (
+  SELECT doc_id,
+         {_minhash_sql_terms()}
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+{banded_arms}
+),
+idx AS (SELECT DISTINCT band, sig FROM banded WHERE doc_id % 4 != 3),
+inc AS (
+  SELECT b.doc_id,
+         CASE WHEN i.sig IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM banded b
+  LEFT JOIN idx i ON i.band = b.band AND i.sig = b.sig
+  WHERE b.doc_id % 4 = 3
+),
+per_doc AS (SELECT doc_id, max(hit) AS dropped FROM inc GROUP BY 1)
+SELECT d.lang,
+       count(*) AS n_with_sig,
+       CAST(sum(p.dropped) AS BIGINT) AS n_prefiltered,
+       CAST(sum(1 - p.dropped) AS BIGINT) AS n_passed,
+       COALESCE(bit_xor(CASE WHEN p.dropped = 1 THEN p.doc_id END), 0)
+         AS dropped_xor
+FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
 # ------------------------------------------------------ st_cascade_chained
 def st_cascade_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DECLARATIVE cascade (``streaming/chained.py``): same config
@@ -699,6 +795,7 @@ QUERIES = {
     "st_enrich": st_enrich,
     "st_join_1h": st_join_1h,
     "st_cascade_chained": st_cascade_chained,
+    "st_lsh_prefilter": st_lsh_prefilter,
 }
 
 ORACLES = {
@@ -710,4 +807,5 @@ ORACLES = {
     "st_enrich": ST_ENRICH_SQL,
     "st_join_1h": ST_JOIN_1H_SQL,
     "st_cascade_chained": ST_CASCADE_CHAINED_SQL,
+    "st_lsh_prefilter": _st_lsh_prefilter_sql(),
 }

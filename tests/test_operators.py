@@ -134,6 +134,7 @@ SUBSET = [
     "t_bpe_pairs",
     "d_incremental",
     "s_mrl_eval",
+    "st_lsh_prefilter",
 ]
 
 

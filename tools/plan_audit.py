@@ -544,6 +544,27 @@ def _build_st_chained_level1(spark):
     )
 
 
+def _build_st_lsh_prefilter(spark):
+    # The in-stream Arrow signature kernel + broadcast index probe
+    # (streaming/prefilter.py) on a rate source, so the STREAMING
+    # logical plan is assertable without running a query.
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.streaming.prefilter import streaming_lsh_prefilter
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.concat(F.lit("alpha beta gamma delta "), F.col("value")).alias("text"),
+        )
+    )
+    idx = spark.createDataFrame(
+        [(0, "1-2-3-4")], "band_idx int, band_sig string"
+    )
+    return streaming_lsh_prefilter(src, idx)
+
+
 BUILDERS = {
     # The applyInPandas .wsp write stage: one FlatMapGroupsInPandas
     # keyed by metric (whisper's one-file-per-metric layout IS the
@@ -570,6 +591,15 @@ BUILDERS = {
         build=_build_st_chained_level1,
         require=["EventTimeWatermark", "Aggregate"],
         forbid=["Join"],
+        streaming=True,
+    ),
+    "st_lsh_prefilter_stream": dict(
+        build=_build_st_lsh_prefilter,
+        # Stateless in-stream Arrow kernel + static-index probe: the
+        # pandas stage and the LEFT join must be in the plan; no
+        # watermark/state/aggregate anywhere on the stream.
+        require=["MapInPandas", "Join LeftOuter"],
+        forbid=["EventTimeWatermark", "Aggregate", "Deduplicate"],
         streaming=True,
     ),
 }
