@@ -57,6 +57,20 @@ def test_random_graph_matches_union_find(spark):
     assert rounds <= 14
 
 
+def test_single_edge_and_triangle(spark):
+    got, _ = _labels_of(spark, [(7, 3)])
+    assert got == {3: 3, 7: 3}
+    got, _ = _labels_of(spark, [(1, 2), (2, 3), (3, 1), (9, 8)])
+    assert got == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+
+def test_duplicate_and_reversed_edges_collapse(spark):
+    """The same undirected edge in both orientations and repeated must
+    not change the result (the canonical-orientation distinct)."""
+    got, _ = _labels_of(spark, [(4, 5), (5, 4), (4, 5), (6, 5)])
+    assert got == {4: 4, 5: 4, 6: 4}
+
+
 def test_cc_stars_matches_propagation(spark):
     """Both implementations label the identical LSH edge set with the
     identical component minima (and thus sizes)."""
