@@ -3057,9 +3057,12 @@ def d_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
     )
+    # Materialize the oriented edge relation once: `known` and `intra`
+    # both consume it, and without the checkpoint each would re-run
+    # the full LSH pipeline (measured ~2x the query).
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).localCheckpoint()
     inc_dst = F.col("dst") % 4 == 3
     known = (
         sym.where(inc_dst & (F.col("src") % 4 != 3))
