@@ -345,6 +345,12 @@ def incremental_rollup_tx(
         .collect()
     ]
     max_ts = accepted.agg(F.max("ts")).first()[0]
+    if max_ts is None:
+        # Every point was bounds-rejected (future ts / beyond
+        # maxRetention): nothing to recompute, nothing to commit —
+        # NOT an error, the same no-op contract as whisper dropping
+        # an out-of-window Update.
+        return {}
 
     committed = {}
     for i, r in enumerate(config.retentions):
