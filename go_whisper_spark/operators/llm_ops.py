@@ -2108,6 +2108,11 @@ def _star_contract(edges: DataFrame) -> tuple[DataFrame, int]:
     def fingerprint(e: DataFrame):
         # bit_xor is order-insensitive and can't overflow (ANSI-safe,
         # unlike sum); sound because the edge set is distinct-ed.
+        # Residual risk, stated honestly: two DIFFERENT equal-size edge
+        # sets colliding on the 64-bit xor would stop the loop one
+        # round early (~2^-64 per round); the exact alternative is a
+        # full-outer subtract-count per round, a shuffle this
+        # convergence check deliberately avoids.
         row = e.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
