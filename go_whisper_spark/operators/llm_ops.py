@@ -3148,6 +3148,97 @@ ORDER BY lang
 """
 
 
+# --------------------------------------------------- t_unigram_logprob
+def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality scoring: train a unigram model
+    on the corpus itself (token → -ln(count/total)), score every doc
+    by its total surprisal, and report the per-language ledger plus
+    how many docs a perplexity-style gate (avg surprisal > 4 nats,
+    i.e. ppl > e⁴ ≈ 55) would flag.
+
+    Cross-engine exactness: libm ln is not correctly rounded, so the
+    per-TOKEN surprisal is floored to integer micro-nats ONCE per
+    distinct vocabulary entry — per-doc scores are then integer SUMS
+    (order-free), and the gate is the integer cross-multiplication
+    ``score_u6 > 4e6 · n_tok``.  A 1-ulp ln disagreement can only
+    flip a floor if the true value sits within ~1e-8 of a micro-nat
+    boundary; tests/test_float_boundaries.py verifies with 50-digit
+    decimal that EVERY (count, total) pair in every fixture clears
+    its boundary by orders of magnitude more.
+
+    Scale shape: one explode pass; vocabulary counts are a partial
+    aggregate; the 1-row total broadcasts back (t_mix_weights
+    pattern); the token→surprisal join broadcasts while the vocab
+    fits (any natural-language vocab does) — the classic stop-token
+    skew otherwise takes the same salting fence as every hot-key
+    join.  Everything after the join is map-side-combining integer
+    aggregation.
+    """
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    tokd = d.select("doc_id", "lang", F.explode("tokens").alias("token"))
+    uni = tokd.groupBy("token").agg(F.count("*").alias("cnt"))
+    totals = uni.agg(F.sum("cnt").alias("N"))
+    mlp = uni.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.floor(
+            -F.log(F.col("cnt").cast("double") / F.col("N")) * F.lit(1_000_000.0)
+        ).cast("long").alias("mlp_u6"),
+    )
+    per_doc = (
+        tokd.join(F.broadcast(mlp), "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum("mlp_u6").alias("score_u6"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("score_u6").alias("score_u6_sum"),
+            F.sum(
+                F.when(
+                    F.col("score_u6") > F.lit(4_000_000) * F.col("n_tok"), 1
+                ).otherwise(0)
+            ).alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
+T_UNIGRAM_LOGPROB_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS token FROM documents
+),
+uni AS (SELECT token, count(*) AS cnt FROM tokd GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS N FROM uni),
+mlp AS (
+  SELECT token,
+         CAST(floor(-ln(CAST(cnt AS DOUBLE) / N) * 1000000.0) AS BIGINT)
+           AS mlp_u6
+  FROM uni, tot
+),
+per_doc AS (
+  SELECT t.doc_id, t.lang,
+         count(*) AS n_tok,
+         CAST(sum(m.mlp_u6) AS BIGINT) AS score_u6
+  FROM tokd t JOIN mlp m ON m.token = t.token
+  GROUP BY 1, 2
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(score_u6) AS BIGINT) AS score_u6_sum,
+       CAST(sum(CASE WHEN score_u6 > 4000000 * n_tok THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # --------------------------------------------------------- t_bpe_pairs
 def t_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-induction pair statistics: the top 20 adjacent
@@ -3370,6 +3461,7 @@ QUERIES = {
     "t_bpe_pairs": t_bpe_pairs,
     "d_incremental": d_incremental,
     "s_mrl_eval": s_mrl_eval,
+    "t_unigram_logprob": t_unigram_logprob,
 }
 
 ORACLES = {
@@ -3420,4 +3512,5 @@ ORACLES = {
     "t_bpe_pairs": T_BPE_PAIRS_SQL,
     "d_incremental": _d_incremental_sql(),
     "s_mrl_eval": _s_mrl_eval_sql(),
+    "t_unigram_logprob": T_UNIGRAM_LOGPROB_SQL,
 }

@@ -100,3 +100,34 @@ def test_testdata_cents_within_verified_domain():
             f"FROM '/root/testdata/sf{sf}/events.parquet'"
         ).fetchone()
         assert lo >= 0 and hi <= CENTS_MAX, (sf, lo, hi)
+
+
+def test_unigram_surprisal_boundaries_clear():
+    """t_unigram_logprob floors -ln(count/total)·1e6 ONCE per distinct
+    vocabulary entry; a 1-ulp ln() disagreement between JVM and DuckDB
+    can only flip a floor if the TRUE micro-nat value sits within a
+    few ulps of an integer.  Enumerate every (count, total) pair in
+    every fixture and verify 50-digit-decimal clearance.  ln(p) of a
+    rational p != 1 is irrational (Lindemann), so exact boundaries are
+    impossible; this pins the quantitative margin."""
+    decimal.getcontext().prec = 50
+    for sf in ("0.001", "0.01", "0.1"):
+        rows = duckdb.sql(
+            f"""
+            WITH tokd AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+              FROM '/root/testdata/sf{sf}/documents.parquet'
+            ),
+            uni AS (SELECT t, count(*) AS cnt FROM tokd GROUP BY 1)
+            SELECT DISTINCT cnt, (SELECT sum(cnt) FROM uni) AS total FROM uni
+            """
+        ).fetchall()
+        assert rows, sf
+        min_d, max_val = Decimal(9), 0.0
+        for cnt, total in rows:
+            v = -(Decimal(int(cnt)) / Decimal(int(total))).ln() * 1_000_000
+            fr = v - int(v)
+            min_d = min(min_d, fr, 1 - fr)
+            max_val = max(max_val, float(v))
+        ulp = math.ulp(max_val)
+        assert float(min_d) > SAFETY_ULPS * ulp, (sf, float(min_d), ulp)

@@ -135,6 +135,7 @@ SUBSET = [
     "d_incremental",
     "s_mrl_eval",
     "st_lsh_prefilter",
+    "t_unigram_logprob",
 ]
 
 

@@ -453,6 +453,14 @@ CHECKS = {
         require=["partial_count", "BroadcastHashJoin"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # Unigram-LM scoring: vocab counts partial-aggregate; the 1-row
+    # total and the surprisal table broadcast back (no shuffle of the
+    # exploded token relation for the join); the doc/lang rollups are
+    # map-side-combining integer aggregates.
+    "t_unigram_logprob": dict(
+        require=["partial_count", "partial_sum", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
     # BPE pair counting: tokenize + pair expansion as narrow
     # higher-order expressions; one map-side-combining count, then
     # partial top-k — join- and window-free.
