@@ -273,3 +273,17 @@ def test_commit_files_are_valid_json(tmp_path):
     p = os.path.join(str(tmp_path / "t"), "_commits", f"{0:011d}.json")
     with open(p) as fh:
         assert json.load(fh) == {"replace": {"day=1": "/d"}, "watermark": {"w": 1}}
+
+
+def test_fully_rejected_batch_is_a_noop(spark, tmp_path):
+    """A batch whose every point is bounds-rejected (future ts or past
+    maxRetention) must return {} and leave no commit — whisper's
+    out-of-window Update no-op, not a crash on the NULL watermark."""
+    cfg = SeriesConfig.from_defs("1h:2d", "sum", 0.0)
+    base = str(tmp_path / "store")
+    rejected = spark.createDataFrame(
+        [("m", NOW + 9999, 1.0, 1), ("m", NOW - 10 * 86400, 2.0, 2)],
+        PTS_SCHEMA,
+    )
+    assert incremental_rollup_tx(spark, base, cfg, rejected, NOW) == {}
+    assert CommitLog(table_path(base, 0)).versions() == []
