@@ -3239,6 +3239,162 @@ ORDER BY lang
 """
 
 
+# --------------------------------------------------- t_bigram_logprob
+def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram-LM scoring with stupid backoff — the KenLM-shaped
+    step after ``t_unigram_logprob``: train bigram/unigram counts on
+    the 90% md5 split (``d_split_hash``'s buckets), score the held-out
+    10%'s bigrams with
+
+        P(w2|w1) = C2(w1,w2)/C1(w1)          if the bigram was seen
+                 = 0.4 · C1(w2)/N            else if w2 was seen
+                 = 0.4 / N                   else (OOV)
+
+    and ledger per language: docs scored, bigram totals per backoff
+    class (integers — they pin the model lookups exactly), and the
+    summed surprisal.  Held-out docs with fewer than 2 tokens have no
+    bigrams and are absent, matching the oracle's positional join.
+
+    Cross-engine exactness: each surprisal is floored to integer
+    micro-nats ONCE per distinct probability — and every probability
+    is a DOUBLE both engines compute identically (exact int/int
+    division; ``0.4·C1/N`` with the same left-to-right IEEE ops), so
+    only ln's last ulp differs.  tests/test_float_boundaries.py
+    enumerates every distinct probability in every fixture and
+    verifies 50-digit-decimal boundary clearance.
+
+    Scale shape: model tables are partial aggregates over the train
+    stream; the score side LEFT-joins them (broadcast while the model
+    fits — a pruned n-gram model is GBs at 100 TB, so the join
+    gracefully degrades to a shuffled equi-join keyed by the bigram,
+    the exact shape KenLM sharding uses); everything downstream is
+    map-side-combining integer aggregation.
+    """
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    bucket = _split_bucket_col()
+    train = d.where(bucket < _SPLIT_TRAIN)
+    held = d.where(bucket >= _SPLIT_TRAIN)
+
+    bigrams = F.expr(
+        "transform(sequence(0, size(tokens) - 2), "
+        "i -> struct(tokens[i] AS w1, tokens[i + 1] AS w2))"
+    )
+
+    t_bi = (
+        train.where(F.size("tokens") >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    c2 = t_bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = (
+        train.select(F.explode("tokens").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    totals = c1.agg(F.sum("c1").alias("N"))
+
+    sb = (
+        held.where(F.size("tokens") >= 2)
+        .select("doc_id", "lang", F.explode(bigrams).alias("b"))
+        .select("doc_id", "lang", "b.w1", "b.w2")
+    )
+    j = (
+        sb.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(c1.select(F.col("w").alias("w1"), F.col("c1").alias("c1w1"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1w2"))),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    u6 = lambda p: F.floor(-F.log(p) * F.lit(1_000_000.0)).cast("long")
+    seen = F.col("c2").isNotNull()
+    backoff = F.col("c2").isNull() & F.col("c1w2").isNotNull()
+    surprisal = (
+        F.when(seen, u6(F.col("c2").cast("double") / F.col("c1w1")))
+        .when(backoff, u6(F.lit(0.4) * F.col("c1w2") / F.col("N")))
+        .otherwise(u6(F.lit(0.4) / F.col("N")))
+    )
+    scored = j.select(
+        "doc_id",
+        "lang",
+        seen.cast("long").alias("is_seen"),
+        backoff.cast("long").alias("is_backoff"),
+        surprisal.alias("s_u6"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_bigrams"),
+            F.sum("is_seen").alias("n_seen"),
+            F.sum("is_backoff").alias("n_backoff"),
+            (F.count("*") - F.sum("is_seen") - F.sum("is_backoff")).alias("n_oov"),
+            F.sum("s_u6").alias("score_u6_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+T_BIGRAM_LOGPROB_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, lang, {_SPLIT_BUCKET_SQL} AS bucket,
+         generate_subscripts({_TOKENS_SQL}, 1) AS pos,
+         unnest({_TOKENS_SQL}) AS w
+  FROM documents
+),
+t_bi AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM tokd a JOIN tokd b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.bucket < {_SPLIT_TRAIN}
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM t_bi GROUP BY 1, 2),
+c1 AS (SELECT w, count(*) AS c1 FROM tokd WHERE bucket < {_SPLIT_TRAIN} GROUP BY 1),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS N FROM c1),
+sb AS (
+  SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2
+  FROM tokd a JOIN tokd b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.bucket >= {_SPLIT_TRAIN}
+),
+scored AS (
+  SELECT sb.doc_id, sb.lang,
+         CASE WHEN c2.c2 IS NOT NULL THEN 1 ELSE 0 END AS is_seen,
+         CASE WHEN c2.c2 IS NULL AND u2.c1 IS NOT NULL THEN 1 ELSE 0 END
+           AS is_backoff,
+         CASE
+           WHEN c2.c2 IS NOT NULL THEN
+             CAST(floor(-ln(CAST(c2.c2 AS DOUBLE) / u1.c1) * 1000000.0) AS BIGINT)
+           WHEN u2.c1 IS NOT NULL THEN
+             CAST(floor(-ln(0.4 * u2.c1 / t.N) * 1000000.0) AS BIGINT)
+           ELSE
+             CAST(floor(-ln(0.4 / t.N) * 1000000.0) AS BIGINT)
+         END AS s_u6
+  FROM sb
+  LEFT JOIN c2 ON c2.w1 = sb.w1 AND c2.w2 = sb.w2
+  LEFT JOIN c1 u1 ON u1.w = sb.w1
+  LEFT JOIN c1 u2 ON u2.w = sb.w2
+  CROSS JOIN tot t
+)
+SELECT lang,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_bigrams,
+       CAST(sum(is_seen) AS BIGINT) AS n_seen,
+       CAST(sum(is_backoff) AS BIGINT) AS n_backoff,
+       CAST(count(*) - sum(is_seen) - sum(is_backoff) AS BIGINT) AS n_oov,
+       CAST(sum(s_u6) AS BIGINT) AS score_u6_sum
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # --------------------------------------------------------- t_bpe_pairs
 def t_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-induction pair statistics: the top 20 adjacent
@@ -3462,6 +3618,7 @@ QUERIES = {
     "d_incremental": d_incremental,
     "s_mrl_eval": s_mrl_eval,
     "t_unigram_logprob": t_unigram_logprob,
+    "t_bigram_logprob": t_bigram_logprob,
 }
 
 ORACLES = {
@@ -3513,4 +3670,5 @@ ORACLES = {
     "d_incremental": _d_incremental_sql(),
     "s_mrl_eval": _s_mrl_eval_sql(),
     "t_unigram_logprob": T_UNIGRAM_LOGPROB_SQL,
+    "t_bigram_logprob": T_BIGRAM_LOGPROB_SQL,
 }

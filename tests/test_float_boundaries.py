@@ -131,3 +131,50 @@ def test_unigram_surprisal_boundaries_clear():
             max_val = max(max_val, float(v))
         ulp = math.ulp(max_val)
         assert float(min_d) > SAFETY_ULPS * ulp, (sf, float(min_d), ulp)
+
+
+def test_bigram_surprisal_boundaries_clear():
+    """t_bigram_logprob's three probability classes: every DOUBLE the
+    engines feed to ln() — C2/C1(w1), 0.4·C1(w2)/N, 0.4/N, computed
+    with the identical IEEE op order in Python here — must have its
+    TRUE -ln(p)·1e6 clear of every integer by >> ln's ulp error."""
+    decimal.getcontext().prec = 50
+    for sf in ("0.001", "0.01", "0.1"):
+        con = duckdb.sql(
+            f"""
+            WITH tokd AS (
+              SELECT doc_id,
+                     CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 100 AS bucket,
+                     generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+              FROM '/root/testdata/sf{sf}/documents.parquet'
+            ),
+            train AS (SELECT * FROM tokd WHERE bucket < 90),
+            c2 AS (
+              SELECT a.w w1, b.w w2, count(*) c2 FROM train a
+              JOIN train b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              GROUP BY 1, 2
+            ),
+            c1 AS (SELECT w, count(*) c1 FROM train GROUP BY 1),
+            tot AS (SELECT CAST(sum(c1) AS BIGINT) N FROM c1)
+            SELECT DISTINCT c2.c2, c1.c1, (SELECT N FROM tot) AS N, 'pair' AS k
+            FROM c2 JOIN c1 ON c1.w = c2.w1
+            UNION ALL
+            SELECT DISTINCT NULL, c1, (SELECT N FROM tot), 'uni' FROM c1
+            """
+        ).fetchall()
+        n_total = con[0][2]
+        # seen-bigram class uses C1(w1); backoff uses C1(w2) — the
+        # 'uni' arm covers EVERY unigram count, not just w1 positions.
+        probs = {c2 / c1 for c2, c1, _, k in con if k == "pair"}
+        probs |= {0.4 * c1 / n for _, c1, n, k in con if k == "uni"}
+        probs.add(0.4 / n_total)
+        min_d, max_val = Decimal(9), 0.0
+        for p in probs:
+            v = -Decimal(p).ln() * 1_000_000
+            fr = v - int(v)
+            min_d = min(min_d, fr, 1 - fr)
+            max_val = max(max_val, float(v))
+        ulp = math.ulp(max_val)
+        assert float(min_d) > SAFETY_ULPS * ulp, (sf, float(min_d), ulp)

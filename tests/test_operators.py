@@ -136,6 +136,7 @@ SUBSET = [
     "s_mrl_eval",
     "st_lsh_prefilter",
     "t_unigram_logprob",
+    "t_bigram_logprob",
 ]
 
 

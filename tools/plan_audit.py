@@ -461,6 +461,13 @@ CHECKS = {
         require=["partial_count", "partial_sum", "BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # Bigram-LM held-out scoring: model counts partial-aggregate on
+    # the train split; the score side broadcast-probes them (shuffled
+    # equi-join when a real model outgrows broadcast); integer ledger.
+    "t_bigram_logprob": dict(
+        require=["partial_count", "partial_sum", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
     # BPE pair counting: tokenize + pair expansion as narrow
     # higher-order expressions; one map-side-combining count, then
     # partial top-k — join- and window-free.
