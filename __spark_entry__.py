@@ -110,7 +110,9 @@ _R08_WINDOW = [
 # driver-checked (local exact-typed gate green at sf0.01 + sf0.1), so
 # they sort AFTER the round-4 cohort — keeping round 8's window on the
 # oldest driver evidence — and FRONT the round-9 window right after any
-# genuinely-new round-9 queries (the _R6_DEFERRED pattern).
+# genuinely-new round-9 queries (the _R6_DEFERRED pattern).  The final
+# 11 entries (d_cc_stars …) landed after the driver-window freeze in
+# the same round; same deferral rule.
 _R08_DEFERRED = [
     "g_aggregate_series_lists", "g_group_by_nodes", "g_highest_max",
     "g_sin_function", "g_counter_wrap", "g_as_percent_series",
