@@ -3285,11 +3285,16 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(bigrams).alias("b"))
         .select("b.w1", "b.w2")
     )
-    c2 = t_bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # Materialize the model tables once: c1 feeds THREE consumers (two
+    # join copies + the total) and each broadcast would otherwise
+    # re-run the train tokenize pass — this is the "persist the n-gram
+    # model" step a production pipeline does explicitly.
+    c2 = t_bi.groupBy("w1", "w2").agg(F.count("*").alias("c2")).localCheckpoint()
     c1 = (
         train.select(F.explode("tokens").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
+        .localCheckpoint()
     )
     totals = c1.agg(F.sum("c1").alias("N"))
 
