@@ -2923,6 +2923,159 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------- s_pq_encode
+PQ_M, PQ_D, PQ_K = 4, 16, 8  # sub-blocks × dims/block × codes/block
+
+
+def _l2_16(a: str, b: str):
+    """Unrolled 16-term squared-L2 — pure +,-,× on doubles (NO libm),
+    so the value is bit-identical across engines; no rounding needed
+    anywhere in the PQ pipeline."""
+    terms = [
+        (F.element_at(a, i + 1) - F.element_at(b, i + 1))
+        * (F.element_at(a, i + 1) - F.element_at(b, i + 1))
+        for i in range(PQ_D)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def s_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the compression rung between int8
+    (``s_quantize_int8``, 4×) and raw vectors: split each 64-dim
+    embedding into 4×16-dim sub-blocks, learn an 8-code codebook per
+    block (seeded init = the sub-vectors of vec_id 0..7, one Lloyd
+    step in the same quantized-integer arithmetic as ``s_cosine_ivf``
+    — exact BIGINT sums, floor-mean, so the codebooks are
+    bit-identical cross-engine), encode every vector to 4 code ids
+    (64 codes × 4 blocks = 12 bits/vector vs 2048 raw — a ~170×
+    index), and ledger per (block, code): assignment count and summed
+    micro-distortion.
+
+    All distances are pure-arithmetic doubles (``_l2_16`` — no libm),
+    so argmin ordering AND the floored distortion stat are exact with
+    NO rounding and no boundary-clearance argument needed.
+
+    Scale shape: sub-block explode is a narrow map; the Lloyd step is
+    a (block, cell, dim) partial aggregate yielding 4·8·16 rows; the
+    codebooks broadcast for both assignment passes; the ledger is a
+    32-key map-side-combining aggregate.  Exactly the layout a PQ-IVF
+    index build runs over 100 TB of vectors.
+    """
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    subs = F.array(*[F.slice("v", b * PQ_D + 1, PQ_D) for b in range(PQ_M)])
+    blocks = e.select("vec_id", F.posexplode(subs).alias("block", "sv"))
+    seeds = blocks.where(F.col("vec_id") < PQ_K).select(
+        "block", F.col("vec_id").cast("long").alias("cid"), F.col("sv").alias("cv")
+    )
+
+    def assign(frame, book):
+        d = _l2_16("sv", "cv").alias("dist")
+        return (
+            frame.join(F.broadcast(book), "block")
+            .select("vec_id", "block", "sv", "cid", d)
+            .groupBy("vec_id", "block")
+            .agg(
+                F.first("sv").alias("sv"),
+                F.min(F.struct(F.col("dist"), F.col("cid"))).alias("best"),
+            )
+            .select(
+                "vec_id", "block", "sv",
+                F.col("best.cid").alias("cell"),
+                F.col("best.dist").alias("dist"),
+            )
+        )
+
+    a0 = assign(blocks, seeds)
+    comp = (
+        a0.select(
+            "block", "cell",
+            F.posexplode(F.transform("sv", lambda x: F.floor(x * IVF_Q))),
+        )
+        .groupBy("block", "cell", "pos")
+        .agg(F.floor(F.sum("col").cast("double") / F.count("col")).alias("c"))
+    )
+    books = (
+        comp.groupBy("block", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.c.cast("double") / F.lit(float(IVF_Q)),
+            ).alias("cv")
+        )
+        .select("block", F.col("cell").cast("long").alias("cid"), "cv")
+    )
+    enc = assign(blocks, books)
+    return (
+        enc.groupBy("block", F.col("cell").alias("code"))
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.sum(F.floor(F.col("dist") * F.lit(1_000_000.0)).cast("long")).alias(
+                "distortion_u6"
+            ),
+        )
+        .orderBy("block", "code")
+    )
+
+
+def _s_pq_encode_sql() -> str:
+    l2 = (
+        "list_sum(list_transform(generate_series(1, {d}),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    ).format(d=PQ_D, a="n.sv", b="s.cv")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+blocks AS (
+  SELECT vec_id, g.b AS block,
+         list_transform(generate_series(1, {PQ_D}), i -> v[g.b * {PQ_D} + i]) AS sv
+  FROM e, generate_series(0, {PQ_M - 1}) AS g(b)
+),
+seeds AS (
+  SELECT block, CAST(vec_id AS BIGINT) AS cid, sv AS cv
+  FROM blocks WHERE vec_id < {PQ_K}
+),
+a0 AS (
+  SELECT n.vec_id, n.block, n.sv, s.cid AS cell, {l2} AS dist
+  FROM blocks n JOIN seeds s ON s.block = n.block
+  QUALIFY row_number() OVER (
+    PARTITION BY n.vec_id, n.block ORDER BY dist ASC, s.cid ASC) = 1
+),
+comp AS (
+  SELECT block, cell, g.i,
+         CAST(floor(CAST(sum(CAST(floor(sv[g.i] * {IVF_Q}) AS BIGINT)) AS DOUBLE)
+                    / count(*)) AS BIGINT) AS c
+  FROM a0, generate_series(1, {PQ_D}) AS g(i)
+  GROUP BY block, cell, g.i
+),
+books AS (
+  SELECT block, cell AS cid,
+         list_transform(array_agg(c ORDER BY i), x -> CAST(x AS DOUBLE) / {IVF_Q}.0)
+           AS cv
+  FROM comp GROUP BY block, cell
+),
+enc AS (
+  SELECT n.vec_id, n.block, s.cid AS code, {l2.replace('s.cv', 's.cv')} AS dist
+  FROM blocks n JOIN books s ON s.block = n.block
+  QUALIFY row_number() OVER (
+    PARTITION BY n.vec_id, n.block ORDER BY dist ASC, s.cid ASC) = 1
+)
+SELECT block, code,
+       count(*) AS n_assigned,
+       CAST(sum(CAST(floor(dist * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS distortion_u6
+FROM enc
+GROUP BY block, code
+ORDER BY block, code
+"""
+
+
 # ---------------------------------------------------------- s_mrl_eval
 _MRL_DIMS = (16, 32, 48, 64)
 
@@ -3624,6 +3777,7 @@ QUERIES = {
     "s_mrl_eval": s_mrl_eval,
     "t_unigram_logprob": t_unigram_logprob,
     "t_bigram_logprob": t_bigram_logprob,
+    "s_pq_encode": s_pq_encode,
 }
 
 ORACLES = {
@@ -3676,4 +3830,5 @@ ORACLES = {
     "s_mrl_eval": _s_mrl_eval_sql(),
     "t_unigram_logprob": T_UNIGRAM_LOGPROB_SQL,
     "t_bigram_logprob": T_BIGRAM_LOGPROB_SQL,
+    "s_pq_encode": _s_pq_encode_sql(),
 }

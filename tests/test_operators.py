@@ -137,6 +137,7 @@ SUBSET = [
     "st_lsh_prefilter",
     "t_unigram_logprob",
     "t_bigram_logprob",
+    "s_pq_encode",
 ]
 
 

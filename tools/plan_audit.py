@@ -461,6 +461,14 @@ CHECKS = {
         require=["partial_count", "partial_sum", "BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # PQ codebook build + encode: sub-block explode is narrow; Lloyd
+    # comp is a (block,cell,dim) partial aggregate; codebooks
+    # broadcast for both assignment passes; 32-key integer ledger.
+    # min(struct) assignment is an aggregate, never a rank window.
+    "s_pq_encode": dict(
+        require=["partial_count", "partial_min", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
     # Bigram-LM held-out scoring: model counts partial-aggregate on
     # the train split; the score side broadcast-probes them (shuffled
     # equi-join when a real model outgrows broadcast); integer ledger.
