@@ -1022,10 +1022,12 @@ def _recall_vs_exact(spark: SparkSession, sf_dir: str, ann: DataFrame) -> DataFr
     ulp-stable and the hit counts are exact integers; per-query recall
     is floor-truncated at 6 dp.
     """
+    # The ground-truth and hit relations are <= |Q|·k rows — broadcast
+    # them so no recall query ever sort-merges a 150-row side.
     exact = _brute_topk(spark, sf_dir, 50, 3).select("qid", "neighbor")
     hits = (
         ann.select("qid", "neighbor")
-        .join(exact, ["qid", "neighbor"])
+        .join(F.broadcast(exact), ["qid", "neighbor"])
         .groupBy("qid")
         .agg(F.count("*").alias("hits"))
     )
@@ -1036,7 +1038,7 @@ def _recall_vs_exact(spark: SparkSession, sf_dir: str, ann: DataFrame) -> DataFr
         .distinct()
     )
     h = F.coalesce(F.col("hits"), F.lit(0))
-    return qids.join(hits, "qid", "left").select(
+    return qids.join(F.broadcast(hits), "qid", "left").select(
         "qid",
         h.cast("long").alias("hits"),
         (F.floor(h * 1_000_000 / 3) / F.lit(1_000_000.0)).alias("recall3"),
@@ -2942,28 +2944,10 @@ def _l2_16(a: str, b: str):
     return out
 
 
-def s_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization — the compression rung between int8
-    (``s_quantize_int8``, 4×) and raw vectors: split each 64-dim
-    embedding into 4×16-dim sub-blocks, learn an 8-code codebook per
-    block (seeded init = the sub-vectors of vec_id 0..7, one Lloyd
-    step in the same quantized-integer arithmetic as ``s_cosine_ivf``
-    — exact BIGINT sums, floor-mean, so the codebooks are
-    bit-identical cross-engine), encode every vector to 4 code ids
-    (64 codes × 4 blocks = 12 bits/vector vs 2048 raw — a ~170×
-    index), and ledger per (block, code): assignment count and summed
-    micro-distortion.
-
-    All distances are pure-arithmetic doubles (``_l2_16`` — no libm),
-    so argmin ordering AND the floored distortion stat are exact with
-    NO rounding and no boundary-clearance argument needed.
-
-    Scale shape: sub-block explode is a narrow map; the Lloyd step is
-    a (block, cell, dim) partial aggregate yielding 4·8·16 rows; the
-    codebooks broadcast for both assignment passes; the ledger is a
-    32-key map-side-combining aggregate.  Exactly the layout a PQ-IVF
-    index build runs over 100 TB of vectors.
-    """
+def _pq_frames(spark: SparkSession, sf_dir: str):
+    """Shared PQ pipeline: (blocks, books, enc) — sub-block explode,
+    seeded 1-Lloyd-step codebooks (integer-quantized means), and the
+    per-(vector, block) code assignment with its squared-L2 distance."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -3010,6 +2994,32 @@ def s_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("block", F.col("cell").cast("long").alias("cid"), "cv")
     )
     enc = assign(blocks, books)
+    return blocks, books, enc
+
+
+def s_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the compression rung between int8
+    (``s_quantize_int8``, 4×) and raw vectors: split each 64-dim
+    embedding into 4×16-dim sub-blocks, learn an 8-code codebook per
+    block (seeded init = the sub-vectors of vec_id 0..7, one Lloyd
+    step in the same quantized-integer arithmetic as ``s_cosine_ivf``
+    — exact BIGINT sums, floor-mean, so the codebooks are
+    bit-identical cross-engine), encode every vector to 4 code ids
+    (64 codes × 4 blocks = 12 bits/vector vs 2048 raw — a ~170×
+    index), and ledger per (block, code): assignment count and summed
+    micro-distortion.
+
+    All distances are pure-arithmetic doubles (``_l2_16`` — no libm),
+    so argmin ordering AND the floored distortion stat are exact with
+    NO rounding and no boundary-clearance argument needed.
+
+    Scale shape: sub-block explode is a narrow map; the Lloyd step is
+    a (block, cell, dim) partial aggregate yielding 4·8·16 rows; the
+    codebooks broadcast for both assignment passes; the ledger is a
+    32-key map-side-combining aggregate.  Exactly the layout a PQ-IVF
+    index build runs over 100 TB of vectors.
+    """
+    _, _, enc = _pq_frames(spark, sf_dir)
     return (
         enc.groupBy("block", F.col("cell").alias("code"))
         .agg(
@@ -3022,13 +3032,12 @@ def s_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _s_pq_encode_sql() -> str:
-    l2 = (
-        "list_sum(list_transform(generate_series(1, {d}),"
-        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
-    ).format(d=PQ_D, a="n.sv", b="s.cv")
-    return f"""
-WITH e AS (
+_PQ_L2_SQL = (
+    "list_sum(list_transform(generate_series(1, {d}),"
+    " i -> ({{a}}[i] - {{b}}[i]) * ({{a}}[i] - {{b}}[i])))"
+).format(d=PQ_D)
+
+_PQ_CTES = f"""e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
@@ -3042,7 +3051,8 @@ seeds AS (
   FROM blocks WHERE vec_id < {PQ_K}
 ),
 a0 AS (
-  SELECT n.vec_id, n.block, n.sv, s.cid AS cell, {l2} AS dist
+  SELECT n.vec_id, n.block, n.sv, s.cid AS cell,
+         {_PQ_L2_SQL.format(a="n.sv", b="s.cv")} AS dist
   FROM blocks n JOIN seeds s ON s.block = n.block
   QUALIFY row_number() OVER (
     PARTITION BY n.vec_id, n.block ORDER BY dist ASC, s.cid ASC) = 1
@@ -3061,11 +3071,17 @@ books AS (
   FROM comp GROUP BY block, cell
 ),
 enc AS (
-  SELECT n.vec_id, n.block, s.cid AS code, {l2.replace('s.cv', 's.cv')} AS dist
+  SELECT n.vec_id, n.block, s.cid AS code,
+         {_PQ_L2_SQL.format(a="n.sv", b="s.cv")} AS dist
   FROM blocks n JOIN books s ON s.block = n.block
   QUALIFY row_number() OVER (
     PARTITION BY n.vec_id, n.block ORDER BY dist ASC, s.cid ASC) = 1
-)
+)"""
+
+
+def _s_pq_encode_sql() -> str:
+    return f"""
+WITH {_PQ_CTES}
 SELECT block, code,
        count(*) AS n_assigned,
        CAST(sum(CAST(floor(dist * 1000000.0) AS BIGINT)) AS BIGINT)
@@ -3073,6 +3089,120 @@ SELECT block, code,
 FROM enc
 GROUP BY block, code
 ORDER BY block, code
+"""
+
+
+# --------------------------------------------------------- s_pq_recall
+def s_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@3 of PQ-reconstructed search (asymmetric distance:
+    exact query vector vs each candidate's codeword reconstruction)
+    against the exact top-3 — the honest quality measurement for the
+    12-bit codes, same 50-query protocol and output shape as
+    ``s_ann_recall``/``s_sig_recall``.
+
+    Scale shape: the reconstruction is a 32-row broadcast join +
+    per-vector flatten; the scoring pass is the same broadcast-query
+    scan as the exact baseline — at 100 TB the point of ADC is that
+    the scan reads 12-bit codes + a 32-row codebook instead of 512 B
+    vectors, with this recall number deciding whether the rerank tier
+    above it can be thinner.
+    """
+    _, books, enc = _pq_frames(spark, sf_dir)
+    bb = books.select(
+        F.col("block").alias("b2"), F.col("cid").alias("cid2"), "cv"
+    )
+    recon = (
+        enc.join(
+            F.broadcast(bb),
+            (F.col("block") == F.col("b2")) & (F.col("cell") == F.col("cid2")),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("block", "cv"))),
+                    lambda s: s.cv,
+                )
+            ).alias("rv")
+        )
+        .withColumn("rnorm", F.sqrt(_dot_expr("rv", "rv")))
+    )
+    q = (
+        _cos_frames(spark, sf_dir)
+        .where(F.col("vec_id") < 50)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                F.col("norm").alias("qn"))
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(recon)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor"),
+            F.round(
+                _dot_expr("qv", "rv") / (F.col("qn") * F.col("rnorm")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("neighbor"))
+    ann = sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
+    return _recall_vs_exact(spark, sf_dir, ann)
+
+
+def _s_pq_recall_sql() -> str:
+    dot64 = (
+        "list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))"
+    )
+    return f"""
+WITH {_PQ_CTES},
+recon AS (
+  SELECT n.vec_id, flatten(array_agg(s.cv ORDER BY n.block)) AS rv
+  FROM enc n JOIN books s ON s.block = n.block AND s.cid = n.code
+  GROUP BY n.vec_id
+),
+rn AS (
+  SELECT vec_id, rv, sqrt({dot64.format(a="rv", b="rv")}) AS rnorm FROM recon
+),
+nq AS (
+  SELECT vec_id, v, sqrt({dot64.format(a="v", b="v")}) AS norm FROM e
+),
+ann AS (
+  SELECT qid, neighbor FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({dot64.format(a="q.v", b="c.rv")}
+                            / (q.norm * c.rnorm), 6) DESC,
+                      c.vec_id ASC
+           ) AS rank
+    FROM nq q JOIN rn c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 50
+  ) WHERE rank <= 3
+),
+exact AS (
+  SELECT qid, neighbor FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({dot64.format(a="q.v", b="c.v")}
+                            / (q.norm * c.norm), 6) DESC,
+                      c.vec_id ASC
+           ) AS rank
+    FROM nq q JOIN nq c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 50
+  ) WHERE rank <= 3
+),
+hits AS (
+  SELECT a.qid, count(*) AS hits
+  FROM ann a JOIN exact e2 ON a.qid = e2.qid AND a.neighbor = e2.neighbor
+  GROUP BY a.qid
+)
+SELECT q.qid,
+       coalesce(h.hits, 0) AS hits,
+       floor(coalesce(h.hits, 0) * 1000000 / 3.0) / 1000000.0 AS recall3
+FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 50) q
+LEFT JOIN hits h ON h.qid = q.qid
 """
 
 
@@ -3778,6 +3908,7 @@ QUERIES = {
     "t_unigram_logprob": t_unigram_logprob,
     "t_bigram_logprob": t_bigram_logprob,
     "s_pq_encode": s_pq_encode,
+    "s_pq_recall": s_pq_recall,
 }
 
 ORACLES = {
@@ -3831,4 +3962,5 @@ ORACLES = {
     "t_unigram_logprob": T_UNIGRAM_LOGPROB_SQL,
     "t_bigram_logprob": T_BIGRAM_LOGPROB_SQL,
     "s_pq_encode": _s_pq_encode_sql(),
+    "s_pq_recall": _s_pq_recall_sql(),
 }

@@ -138,6 +138,7 @@ SUBSET = [
     "t_unigram_logprob",
     "t_bigram_logprob",
     "s_pq_encode",
+    "s_pq_recall",
 ]
 
 

@@ -469,6 +469,13 @@ CHECKS = {
         require=["partial_count", "partial_min", "BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # PQ-ADC recall: reconstruction joins broadcast; the scoring pass
+    # is the broadcast-query scan (BroadcastNestedLoop by design, like
+    # every exact-baseline scorer); final top-k window only.
+    "s_pq_recall": dict(
+        require=["BroadcastHashJoin", "Window"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
     # Bigram-LM held-out scoring: model counts partial-aggregate on
     # the train split; the score side broadcast-probes them (shuffled
     # equi-join when a real model outgrows broadcast); integer ledger.
