@@ -123,7 +123,7 @@ _R08_DEFERRED = [
     "d_cc_stars", "t_stratified_sample", "st_cascade_chained",
     "w_lakehouse_rollup", "m_pcm_energy", "t_bpe_pairs", "d_incremental",
     "s_mrl_eval", "st_lsh_prefilter", "t_unigram_logprob",
-    "t_bigram_logprob", "s_pq_encode", "s_pq_recall",
+    "t_bigram_logprob", "s_pq_encode", "s_pq_recall", "w_retention_reap",
 ]
 
 # Last checked (green / rows-only-by-design) in round 4's window.

@@ -1384,6 +1384,50 @@ FROM parsed
 """
 
 
+# --------------------------------------------------- w_retention_reap
+def w_retention_reap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ring's lap auto-expiry, end-to-end under the oracle
+    [ref: whisper.go (ring overwrite implicitly expiring old laps)]:
+    the 1h archive is materialized day-partitioned under a WIDE
+    retention (90d — no write-time cut on this 30d dataset), then a
+    retention-policy tightening to 10d is applied by ``retention.reap``
+    — O(1) filesystem metadata per expired day, never a row rewrite,
+    which is exactly what replaces the ring's modular lap reuse — and
+    the surviving store is read back.
+
+    Reap is day-conservative: a partition is dropped only when its
+    ENTIRE day lies before ``now − 10d`` (boundary day survives), so
+    the oracle's cut is on the day end, not the interval.  Values are
+    LWW (arg_max by write_seq) — bit-exact, no aggregation method in
+    play at archive 0.
+    """
+    import tempfile
+
+    from go_whisper_spark.engine import WhisperEngine
+    from go_whisper_spark.model import SeriesConfig
+    from go_whisper_spark.retention import archive_path, reap, write_archives
+
+    pts = _points(spark, sf_dir)
+    now = int(pts.agg(F.max("ts")).first()[0])
+    base = tempfile.mkdtemp(prefix="gws_reap_")
+    eng = WhisperEngine(spark, SeriesConfig.from_defs("1h:90d", "average", 0.0))
+    eng.update_many(pts, now)
+    write_archives(eng, base, now)
+    reap(base, SeriesConfig.from_defs("1h:10d", "average", 0.0), now)
+    return spark.read.parquet(archive_path(base, 0)).select(
+        "metric", "interval", "value"
+    )
+
+
+W_RETENTION_REAP_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+bounds AS (SELECT max(ts_sec) AS now FROM pts)
+SELECT metric, interval, value
+FROM lww1h, bounds
+WHERE interval - interval % 86400 + 86400 > now - 10 * 86400
+"""
+
+
 # --------------------------------------------------- w_lakehouse_rollup
 def w_lakehouse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The commit-log lakehouse path (``lakehouse.py``) under the
@@ -1438,6 +1482,7 @@ HAVING count(*) >= 3
 QUERIES = {
     "w_retention_expand": w_retention_expand,
     "w_lakehouse_rollup": w_lakehouse_rollup,
+    "w_retention_reap": w_retention_reap,
     "w_wsp_roundtrip": w_wsp_roundtrip,
     "w_wsp_propagate": w_wsp_propagate,
     "w_wsp_export": w_wsp_export,
@@ -1465,6 +1510,7 @@ QUERIES = {
 ORACLES = {
     "w_retention_expand": W_RETENTION_EXPAND_SQL,
     "w_lakehouse_rollup": W_LAKEHOUSE_ROLLUP_SQL,
+    "w_retention_reap": W_RETENTION_REAP_SQL,
     "w_wsp_roundtrip": W_WSP_ROUNDTRIP_SQL,
     "w_wsp_propagate": W_WSP_PROPAGATE_SQL,
     "w_wsp_export": W_WSP_PROPAGATE_SQL,

@@ -139,6 +139,7 @@ SUBSET = [
     "t_bigram_logprob",
     "s_pq_encode",
     "s_pq_recall",
+    "w_retention_reap",
 ]
 
 
