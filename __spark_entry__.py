@@ -124,6 +124,7 @@ _R08_DEFERRED = [
     "w_lakehouse_rollup", "m_pcm_energy", "t_bpe_pairs", "d_incremental",
     "s_mrl_eval", "st_lsh_prefilter", "t_unigram_logprob",
     "t_bigram_logprob", "s_pq_encode", "s_pq_recall", "w_retention_reap",
+    "w_store_fetch",
 ]
 
 # Last checked (green / rows-only-by-design) in round 4's window.

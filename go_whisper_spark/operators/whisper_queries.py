@@ -1428,6 +1428,70 @@ WHERE interval - interval % 86400 + 86400 > now - 10 * 86400
 """
 
 
+# ------------------------------------------------------- w_store_fetch
+def w_store_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED-STORE read path under the oracle: archives
+    written day-partitioned (``retention.write_archives``), then
+    ``MaterializedRollups.fetch(now-30d, now)`` routes by from-age to
+    the 6h archive (30d exceeds the 1h archive's 10d retention), scans
+    it with the day-partition predicate, and densifies on the
+    ``fetch_bounds`` spine — the store-backed twin of the
+    engine-computed ``w_fetch_coarse_30d``, pinning that a reader of
+    the written tables gets exactly the routed-fetch contract
+    [ref: whisper.go (func (*Whisper) Fetch — archive selection)].
+
+    MAX aggregation (order-free, bit-exact) instead of the inline
+    twin's cents-average — the store path exercises the ENGINE's
+    consolidation, whose float average is accumulation-order-dependent
+    and deliberately not oracle-hashable.
+    """
+    import tempfile
+
+    from go_whisper_spark.engine import WhisperEngine
+    from go_whisper_spark.model import SeriesConfig
+    from go_whisper_spark.retention import MaterializedRollups, write_archives
+
+    pts = _points(spark, sf_dir)
+    now = int(pts.agg(F.max("ts")).first()[0])
+    cfg = SeriesConfig.from_defs("1h:10d,6h:90d", "max", 0.0)
+    base = tempfile.mkdtemp(prefix="gws_store_")
+    eng = WhisperEngine(spark, cfg)
+    eng.update_many(pts, now)
+    write_archives(eng, base, now)
+    store = MaterializedRollups(spark, base, cfg)
+    return store.fetch(now - 30 * DAY, now, now).frame.select(
+        "metric", "interval", "value"
+    )
+
+
+W_STORE_FETCH_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+bounds AS (SELECT max(ts_sec) AS now FROM pts),
+iv AS (
+  SELECT (now - 2592000) - (now - 2592000) % 21600 + 21600 AS from_iv,
+         now - now % 21600 + 21600 AS until_iv
+  FROM bounds
+),
+a6 AS (
+  SELECT metric, interval - interval % 21600 AS interval, max(value) AS value
+  FROM lww1h GROUP BY 1, 2
+),
+win AS (
+  SELECT a6.metric, a6.interval, a6.value
+  FROM a6, iv WHERE a6.interval >= iv.from_iv AND a6.interval < iv.until_iv
+),
+spine AS (
+  SELECT m.metric,
+         unnest(generate_series(iv.from_iv, iv.until_iv - 21600, 21600))
+           AS interval
+  FROM (SELECT DISTINCT metric FROM win) m, iv
+)
+SELECT s.metric, s.interval, w.value
+FROM spine s
+LEFT JOIN win w ON w.metric = s.metric AND w.interval = s.interval
+"""
+
+
 # --------------------------------------------------- w_lakehouse_rollup
 def w_lakehouse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The commit-log lakehouse path (``lakehouse.py``) under the
@@ -1483,6 +1547,7 @@ QUERIES = {
     "w_retention_expand": w_retention_expand,
     "w_lakehouse_rollup": w_lakehouse_rollup,
     "w_retention_reap": w_retention_reap,
+    "w_store_fetch": w_store_fetch,
     "w_wsp_roundtrip": w_wsp_roundtrip,
     "w_wsp_propagate": w_wsp_propagate,
     "w_wsp_export": w_wsp_export,
@@ -1511,6 +1576,7 @@ ORACLES = {
     "w_retention_expand": W_RETENTION_EXPAND_SQL,
     "w_lakehouse_rollup": W_LAKEHOUSE_ROLLUP_SQL,
     "w_retention_reap": W_RETENTION_REAP_SQL,
+    "w_store_fetch": W_STORE_FETCH_SQL,
     "w_wsp_roundtrip": W_WSP_ROUNDTRIP_SQL,
     "w_wsp_propagate": W_WSP_PROPAGATE_SQL,
     "w_wsp_export": W_WSP_PROPAGATE_SQL,

@@ -140,6 +140,7 @@ SUBSET = [
     "s_pq_encode",
     "s_pq_recall",
     "w_retention_reap",
+    "w_store_fetch",
 ]
 
 
