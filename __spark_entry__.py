@@ -77,17 +77,13 @@ _R07_WINDOW = [
     "g_area_between", "t_sentence_stats", "w_wsp_roundtrip",
 ]  # == CORRECTNESS_r07.json keys (test_registry.py pins this).
 
-# The round-8 driver window, pre-materialized for the round-9
-# rotation: first 50 of the registry as committed for round 8's
-# driver run = the 5 new batch-1 analogs + 45 of the round-4 cohort
-# (test_registry.py asserts list == first-50 so drift is caught
-# before the driver runs).  ROUND-9 TODO: once CORRECTNESS_r08.json
-# exists, verify its keys == this list, then append a
-# `+ [n for n in _R08_WINDOW if n in queries]`-style block at the
-# END of the order in _registry() (and add _R08_WINDOW to `seen`),
-# exactly as _R07_WINDOW was handled — round 9's window then fronts
+# The round-8 driver window = CORRECTNESS_r08.json keys (verified
+# 50/50 hash-green; test_registry.py pins set equality).  ROUND-9
+# rotation APPLIED: _R08_WINDOW is in `seen` and ordered LAST in
+# _registry() (alongside _R07_WINDOW), so round 9's window fronts
 # _R08_DEFERRED + the r4 stragglers (w_asof_join,
-# w_session_window_native) + the round-5 cohort.
+# w_session_window_native) + the round-5 cohort — zero overlap with
+# round 8's window.
 _R08_WINDOW = [
     "g_divide_series_lists", "g_time_shift_multi", "g_alias_by_tags",
     "g_threshold", "g_is_non_null", "w_sessionize_30m", "r_q12_priority",
@@ -231,15 +227,18 @@ def _registry():
     # explicit.  Every name checked in round 7 sorts LAST regardless of
     # which older cohort also lists it.
     r07 = set(_R07_WINDOW)
+    r08 = set(_R08_WINDOW)
+    recent = r07 | r08
     seen = (set(_R6_DEFERRED) | set(_R04_CHECKED) | set(_R05_CHECKED)
-            | set(_R06_CHECKED) | r07 | set(_R08_DEFERRED))
+            | set(_R06_CHECKED) | recent | set(_R08_DEFERRED))
     order = (
         [n for n in queries if n not in seen]
-        + [n for n in _R04_CHECKED if n in queries and n not in r07]
         + [n for n in _R08_DEFERRED if n in queries]
-        + [n for n in _R05_CHECKED if n in queries and n not in r07]
-        + [n for n in _R06_CHECKED if n in queries and n not in r07]
+        + [n for n in _R04_CHECKED if n in queries and n not in recent]
+        + [n for n in _R05_CHECKED if n in queries and n not in recent]
+        + [n for n in _R06_CHECKED if n in queries and n not in recent]
         + [n for n in _R07_WINDOW if n in queries]
+        + [n for n in _R08_WINDOW if n in queries]
     )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}

@@ -52,27 +52,30 @@ def test_registry_order_no_duplicates_and_total():
     assert set(oracles) <= set(queries)
 
 
-def test_round8_window_fronts_r04_cohort():
-    """First 50 of the rotated registry must not re-check round 7."""
+def test_r08_window_matches_driver_record():
+    """_R08_WINDOW (the round-9 rotation seed) must equal the window
+    the driver actually hashed in round 8 (50/50 green)."""
+    rec = _correctness(8)
+    assert len(entry._R08_WINDOW) == 50
+    assert len(set(entry._R08_WINDOW)) == 50
+    assert set(entry._R08_WINDOW) == set(rec.keys())
+
+
+def test_round9_window_disjoint_from_r08():
+    """First 50 of the rotated registry must not re-check round 8
+    (nor round 7), and must include every never-driver-checked
+    round-8 deferral plus the two round-4 stragglers."""
     queries, _ = entry._registry()
     window = list(queries)[:50]
+    rec8 = _correctness(8)
+    overlap = set(window) & set(rec8.keys())
+    assert not overlap, f"round-9 window re-checks round-8 greens: {sorted(overlap)}"
     rec7 = _correctness(7)
-    overlap = set(window) & set(rec7.keys())
-    assert not overlap, f"round-8 window re-checks round-7 greens: {sorted(overlap)}"
-    # The round-4 cohort (oldest driver evidence) must front the window
-    # right after any genuinely-new queries; in particular the m_* trio
-    # whose byte-arithmetic oracles the driver has never seen.
-    for name in ("m_decode_stats", "m_feature_norms", "m_frame_sample"):
-        assert name in window, f"{name} missed the round-8 window"
-
-
-def test_r08_window_matches_first_fifty():
-    """The pre-materialized round-8 window list (the round-9 rotation
-    seed) must stay equal to the registry's actual first 50 — the
-    ADVICE-round-7 drift failure mode, now enforced for round 8."""
-    queries, _ = entry._registry()
-    assert entry._R08_WINDOW == list(queries)[:50]
-    assert len(set(entry._R08_WINDOW)) == 50
+    assert not set(window) & set(rec7.keys())
+    missing = [n for n in entry._R08_DEFERRED if n not in window]
+    assert not missing, f"never-checked deferrals missed the window: {missing}"
+    for name in ("w_asof_join", "w_session_window_native"):
+        assert name in window, f"{name} (driver evidence stale since r4) missed the window"
 
 
 def test_checked_cohorts_are_registered():
