@@ -1560,30 +1560,12 @@ def _ivf_assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def s_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-3 neighbors: coarse quantization via k-means centroids,
-    search restricted to the query's cell — the learned-centroid
-    counterpart of the random-hyperplane ``s_cosine_ann``.
-
-    The k-means is deterministically seeded and exactly reproducible
-    cross-engine, which is what makes a DuckDB oracle possible (this
-    was the registry's last oracle-expressible rows-only entry through
-    round 4): initial centroids = the vectors of the 8 lowest vec_ids;
-    ONE Lloyd step whose means are computed in quantized-integer
-    arithmetic — components are floored to 1e-6 units (exact BIGINT
-    sums, order-independent in both engines), the per-cell mean is
-    ``floor(sum/count)`` back in 1e-6 units, and the resulting
-    centroid doubles are therefore bit-identical in Spark and DuckDB.
-    Assignment uses the same unrolled/fold dot product as every other
-    embedding op (see the exactness invariant above ``_seq_dot``),
-    rounded to 6 dp with ties broken by cell id.
-
-    Scale: the Lloyd step is a posexplode → (cell, dim) partial-agg
-    (map-side combine, 64·K result rows); centroids broadcast; the
-    search joins on the cell id — work ∝ cell sizes, not |vectors|²,
-    same asymptotics as the LSH path with better balance on clustered
-    data.
-    """
+def _ivf_cells(spark: SparkSession, sf_dir: str):
+    """Shared IVF coarse-quantizer pipeline: seeded centroids (the 8
+    lowest vec_ids), ONE exact quantized-integer Lloyd step, final
+    assignment.  Returns ``(cells, cents)`` where ``cells`` =
+    (vec_id, v, norm, cell) and ``cents`` = (cid, cv, cnorm).
+    Determinism contract documented on ``s_cosine_ivf``."""
     e = _cos_frames(spark, sf_dir).select("vec_id", "v", "norm")
     seeds = e.where(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").cast("long").alias("cid"),
@@ -1616,7 +1598,34 @@ def s_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(_dot_expr("cv", "cv")).alias("cnorm"),
         )
     )
-    cells = _ivf_assign(e, cents)
+    return _ivf_assign(e, cents), cents
+
+
+def s_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-3 neighbors: coarse quantization via k-means centroids,
+    search restricted to the query's cell — the learned-centroid
+    counterpart of the random-hyperplane ``s_cosine_ann``.
+
+    The k-means is deterministically seeded and exactly reproducible
+    cross-engine, which is what makes a DuckDB oracle possible (this
+    was the registry's last oracle-expressible rows-only entry through
+    round 4): initial centroids = the vectors of the 8 lowest vec_ids;
+    ONE Lloyd step whose means are computed in quantized-integer
+    arithmetic — components are floored to 1e-6 units (exact BIGINT
+    sums, order-independent in both engines), the per-cell mean is
+    ``floor(sum/count)`` back in 1e-6 units, and the resulting
+    centroid doubles are therefore bit-identical in Spark and DuckDB.
+    Assignment uses the same unrolled/fold dot product as every other
+    embedding op (see the exactness invariant above ``_seq_dot``),
+    rounded to 6 dp with ties broken by cell id.
+
+    Scale: the Lloyd step is a posexplode → (cell, dim) partial-agg
+    (map-side combine, 64·K result rows); centroids broadcast; the
+    search joins on the cell id — work ∝ cell sizes, not |vectors|²,
+    same asymptotics as the LSH path with better balance on clustered
+    data.
+    """
+    cells, _ = _ivf_cells(spark, sf_dir)
 
     q = cells.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
@@ -3092,6 +3101,32 @@ ORDER BY block, code
 """
 
 
+def _pq_recon(books: DataFrame, enc: DataFrame) -> DataFrame:
+    """ADC-side codeword reconstruction: per vector, concatenate its
+    4 assigned sub-block codewords back into a 64-dim ``rv`` plus its
+    norm.  The codebook side is 32 rows — broadcast, so this is a
+    narrow map over the 12-bit codes at any corpus size."""
+    bb = books.select(
+        F.col("block").alias("b2"), F.col("cid").alias("cid2"), "cv"
+    )
+    return (
+        enc.join(
+            F.broadcast(bb),
+            (F.col("block") == F.col("b2")) & (F.col("cell") == F.col("cid2")),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("block", "cv"))),
+                    lambda s: s.cv,
+                )
+            ).alias("rv")
+        )
+        .withColumn("rnorm", F.sqrt(_dot_expr("rv", "rv")))
+    )
+
+
 # --------------------------------------------------------- s_pq_recall
 def s_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@3 of PQ-reconstructed search (asymmetric distance:
@@ -3108,25 +3143,7 @@ def s_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     above it can be thinner.
     """
     _, books, enc = _pq_frames(spark, sf_dir)
-    bb = books.select(
-        F.col("block").alias("b2"), F.col("cid").alias("cid2"), "cv"
-    )
-    recon = (
-        enc.join(
-            F.broadcast(bb),
-            (F.col("block") == F.col("b2")) & (F.col("cell") == F.col("cid2")),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("block", "cv"))),
-                    lambda s: s.cv,
-                )
-            ).alias("rv")
-        )
-        .withColumn("rnorm", F.sqrt(_dot_expr("rv", "rv")))
-    )
+    recon = _pq_recon(books, enc)
     q = (
         _cos_frames(spark, sf_dir)
         .where(F.col("vec_id") < 50)
@@ -3196,6 +3213,246 @@ exact AS (
 hits AS (
   SELECT a.qid, count(*) AS hits
   FROM ann a JOIN exact e2 ON a.qid = e2.qid AND a.neighbor = e2.neighbor
+  GROUP BY a.qid
+)
+SELECT q.qid,
+       coalesce(h.hits, 0) AS hits,
+       floor(coalesce(h.hits, 0) * 1000000 / 3.0) / 1000000.0 AS recall3
+FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 50) q
+LEFT JOIN hits h ON h.qid = q.qid
+"""
+
+
+# --------------------------------------------------------- s_pq_search
+PQS_NPROBE = 2  # coarse cells probed per query
+PQS_RERANK = 20  # ADC candidates kept for exact rerank
+# Tuning (sf0.01, vs exact top-3): C=10→0.24, C=20→0.33, C=40→0.41
+# mean recall@3; NPROBE=3/4 at C=20 → 0.333/0.320 — on this corpus the
+# loss is ADC *ordering* inside the probed cells, not cell-miss, so
+# the rerank budget is the knob and extra probes only dilute the ADC
+# top-C.  The ADC-only floor (s_pq_recall) is 0.093; the composed
+# path must stay ≥ it (pinned in tests/test_pq_search.py).
+
+
+def s_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN read path the PQ rung exists for:
+    IVF-route → ADC-scan → exact-rerank, end to end.
+
+    1. **Route**: each of the 50 queries scores the 8 Lloyd-stepped
+       IVF centroids (``_ivf_cells`` — same deterministic coarse
+       quantizer as ``s_cosine_ivf``) and probes its top-``PQS_NPROBE``
+       cells (rounded cosine DESC, cell id ASC).
+    2. **ADC scan**: candidates = corpus vectors assigned to a probed
+       cell; each is scored asymmetrically — exact query vector vs the
+       candidate's 12-bit PQ codeword reconstruction (``_pq_recon``,
+       same codes as ``s_pq_encode``); top-``PQS_RERANK`` kept per
+       query.
+    3. **Exact rerank**: the survivors are re-scored against their
+       true vectors; top-3 emitted with exact sims.
+
+    Scale shape: routing is a 50×8 broadcast probe; the ADC scan joins
+    the (broadcast) routed queries against cells — work ∝ probed cell
+    sizes and the scan reads 12-bit codes + a 32-row broadcast
+    codebook instead of 512 B raw vectors; the rerank touches only
+    |Q|·PQS_RERANK true vectors.  Exactly the IVF-ADC-rerank layout a
+    100 TB vector store serves reads with; ``s_pq_search_recall``
+    prices its quality against the exact scan.
+    """
+    cells, cents = _ivf_cells(spark, sf_dir)
+    _, books, enc = _pq_frames(spark, sf_dir)
+    recon = _pq_recon(books, enc)
+
+    # Route: top-NPROBE cells per query (same key as _ivf_assign's
+    # argmax, extended to a ranked probe list).
+    qsim = F.round(
+        _dot_expr("qv", "cv") / (F.col("qn") * F.col("cnorm")), 6
+    ).alias("qsim")
+    qw = Window.partitionBy("qid").orderBy(F.desc("qsim"), F.asc("cid"))
+    routes = (
+        cells.where(F.col("vec_id") < 50)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                F.col("norm").alias("qn"))
+        .join(F.broadcast(cents))
+        .select("qid", "qv", "qn", "cid", qsim)
+        .withColumn("pr", F.row_number().over(qw))
+        .where(F.col("pr") <= PQS_NPROBE)
+        .select("qid", "qv", "qn", F.col("cid").alias("pcell"))
+    )
+
+    # ADC scan over the probed cells (cells are disjoint per vector,
+    # so multi-probe produces no duplicate candidates).  Broadcast the
+    # routed-query side: the cell id has K=8 distinct values — see the
+    # s_cosine_ivf skew note.
+    cand = F.broadcast(routes).join(
+        cells.select("vec_id", "cell"),
+        (F.col("pcell") == F.col("cell")) & (F.col("vec_id") != F.col("qid")),
+    )
+    adc = cand.join(recon, "vec_id").select(
+        "qid", "qv", "qn", "vec_id",
+        F.round(
+            _dot_expr("qv", "rv") / (F.col("qn") * F.col("rnorm")), 6
+        ).alias("adc_sim"),
+    )
+    cw = Window.partitionBy("qid").orderBy(F.desc("adc_sim"), F.asc("vec_id"))
+    topc = (
+        adc.withColumn("cr", F.row_number().over(cw))
+        .where(F.col("cr") <= PQS_RERANK)
+        .select("qid", "qv", "qn", "vec_id")
+    )
+
+    # Exact rerank of the ADC survivors.
+    rr = topc.join(cells.select("vec_id", "v", "norm"), "vec_id").select(
+        "qid",
+        F.col("vec_id").alias("neighbor"),
+        F.round(
+            _dot_expr("qv", "v") / (F.col("qn") * F.col("norm")), 6
+        ).alias("sim"),
+    )
+    rw = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("neighbor"))
+    return (
+        rr.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= 3)
+        .select("qid", "neighbor", "sim", "rank")
+    )
+
+
+def s_pq_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@3 of the composed IVF→ADC→rerank path
+    (``s_pq_search``) against the exact top-3 — prices the full read
+    path, not just the codes: cell-miss loss from NPROBE-of-8 routing
+    plus any ADC-ordering loss the 10-candidate exact rerank fails to
+    recover."""
+    return _recall_vs_exact(spark, sf_dir, s_pq_search(spark, sf_dir))
+
+
+_DOT64_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))"
+)
+
+# IVF coarse-quantizer CTEs over the shared `e` base (renamed from
+# _s_cosine_ivf_sql's to avoid colliding with _PQ_CTES' seeds/a0/comp).
+_IVF_CTES = f"""nv AS (
+  SELECT vec_id, v, sqrt({_DOT64_SQL.format(a="v", b="v")}) AS norm FROM e
+),
+iseeds AS (
+  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM nv WHERE vec_id < {IVF_K}
+),
+ia0 AS (
+  SELECT n.vec_id, n.v, n.norm, s.cid,
+         round({_DOT64_SQL.format(a="n.v", b="s.cv")} / (n.norm * s.cnorm), 6) AS sim
+  FROM nv n, iseeds s
+),
+icell0 AS (
+  SELECT vec_id, v, norm, cid AS cell FROM ia0
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1
+),
+icomp AS (
+  SELECT cell, g.i,
+         CAST(floor(CAST(sum(CAST(floor(v[g.i] * {IVF_Q}) AS BIGINT)) AS DOUBLE)
+                    / count(*)) AS BIGINT) AS c
+  FROM icell0, generate_series(1, 64) AS g(i)
+  GROUP BY cell, g.i
+),
+icents AS (
+  SELECT cell AS cid,
+         list_transform(array_agg(c ORDER BY i), x -> CAST(x AS DOUBLE) / {IVF_Q}.0) AS cv
+  FROM icomp GROUP BY cell
+),
+icents2 AS (
+  SELECT cid, cv, sqrt({_DOT64_SQL.format(a="cv", b="cv")}) AS cnorm FROM icents
+),
+ia1 AS (
+  SELECT n.vec_id, n.v, n.norm, s2.cid,
+         round({_DOT64_SQL.format(a="n.v", b="s2.cv")} / (n.norm * s2.cnorm), 6) AS sim
+  FROM nv n, icents2 s2
+),
+icells AS (
+  SELECT vec_id, v, norm, cid AS cell FROM ia1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1
+)"""
+
+# The composed read path down to its top-3 relation (qid, neighbor,
+# sim, rank) — shared by the search oracle and its recall gate.
+_PQ_SEARCH_CTES = f"""{_PQ_CTES},
+{_IVF_CTES},
+recon AS (
+  SELECT n.vec_id, flatten(array_agg(s.cv ORDER BY n.block)) AS rv
+  FROM enc n JOIN books s ON s.block = n.block AND s.cid = n.code
+  GROUP BY n.vec_id
+),
+rn AS (
+  SELECT vec_id, rv, sqrt({_DOT64_SQL.format(a="rv", b="rv")}) AS rnorm FROM recon
+),
+routes AS (
+  SELECT qid, qv, qn, cid AS pcell FROM (
+    SELECT c.vec_id AS qid, c.v AS qv, c.norm AS qn, s2.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round({_DOT64_SQL.format(a="c.v", b="s2.cv")}
+                            / (c.norm * s2.cnorm), 6) DESC,
+                      s2.cid ASC
+           ) AS pr
+    FROM icells c, icents2 s2
+    WHERE c.vec_id < 50
+  ) WHERE pr <= {PQS_NPROBE}
+),
+adc AS (
+  SELECT q.qid, q.qv, q.qn, c.vec_id,
+         round({_DOT64_SQL.format(a="q.qv", b="r.rv")} / (q.qn * r.rnorm), 6)
+           AS adc_sim
+  FROM routes q
+  JOIN icells c ON c.cell = q.pcell AND c.vec_id != q.qid
+  JOIN rn r ON r.vec_id = c.vec_id
+),
+topc AS (
+  SELECT qid, qv, qn, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY adc_sim DESC, vec_id ASC) AS cr
+    FROM adc
+  ) WHERE cr <= {PQS_RERANK}
+),
+pq_ann AS (
+  SELECT qid, neighbor, sim, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT t.qid, c.vec_id AS neighbor,
+           round({_DOT64_SQL.format(a="t.qv", b="c.v")} / (t.qn * c.norm), 6)
+             AS sim,
+           row_number() OVER (
+             PARTITION BY t.qid
+             ORDER BY round({_DOT64_SQL.format(a="t.qv", b="c.v")}
+                            / (t.qn * c.norm), 6) DESC,
+                      c.vec_id ASC
+           ) AS rank
+    FROM topc t JOIN icells c ON c.vec_id = t.vec_id
+  ) WHERE rank <= 3
+)"""
+
+
+def _s_pq_search_sql() -> str:
+    return f"""
+WITH {_PQ_SEARCH_CTES}
+SELECT qid, neighbor, sim, rank FROM pq_ann ORDER BY qid, rank
+"""
+
+
+def _s_pq_search_recall_sql() -> str:
+    return f"""
+WITH {_PQ_SEARCH_CTES},
+exact AS (
+  SELECT qid, neighbor FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({_DOT64_SQL.format(a="q.v", b="c.v")}
+                            / (q.norm * c.norm), 6) DESC,
+                      c.vec_id ASC
+           ) AS rank
+    FROM nv q JOIN nv c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 50
+  ) WHERE rank <= 3
+),
+hits AS (
+  SELECT a.qid, count(*) AS hits
+  FROM pq_ann a JOIN exact e2 ON a.qid = e2.qid AND a.neighbor = e2.neighbor
   GROUP BY a.qid
 )
 SELECT q.qid,
@@ -3909,6 +4166,8 @@ QUERIES = {
     "t_bigram_logprob": t_bigram_logprob,
     "s_pq_encode": s_pq_encode,
     "s_pq_recall": s_pq_recall,
+    "s_pq_search": s_pq_search,
+    "s_pq_search_recall": s_pq_search_recall,
 }
 
 ORACLES = {
@@ -3963,4 +4222,6 @@ ORACLES = {
     "t_bigram_logprob": T_BIGRAM_LOGPROB_SQL,
     "s_pq_encode": _s_pq_encode_sql(),
     "s_pq_recall": _s_pq_recall_sql(),
+    "s_pq_search": _s_pq_search_sql(),
+    "s_pq_search_recall": _s_pq_search_recall_sql(),
 }

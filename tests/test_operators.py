@@ -141,6 +141,8 @@ SUBSET = [
     "s_pq_recall",
     "w_retention_reap",
     "w_store_fetch",
+    "s_pq_search",
+    "s_pq_search_recall",
 ]
 
 

@@ -1,0 +1,46 @@
+"""Quality gates for the composed PQ-IVF read path (s_pq_search).
+
+The composed IVF-route → ADC-scan → exact-rerank path must recover at
+least as much of the exact top-3 as the raw ADC-over-everything
+measurement (s_pq_recall): the rerank tier exists to claw back ADC
+ordering loss, so if the composition ever dips BELOW the code-level
+floor, the routing or rerank wiring is broken.  (Absolute recall is
+low on this corpus by construction — random embeddings are the
+adversarial case for 12-bit codes; the honest ladder is documented at
+llm_ops.py PQS_RERANK.)
+"""
+
+from pyspark.sql import functions as F
+
+
+def _mean_recall(df):
+    return df.agg(F.avg("recall3").alias("r")).first()["r"]
+
+
+def test_composed_path_beats_adc_floor(spark, sf_dir):
+    from go_whisper_spark.operators.llm_ops import s_pq_recall, s_pq_search_recall
+
+    adc_floor = _mean_recall(s_pq_recall(spark, sf_dir))
+    composed = _mean_recall(s_pq_search_recall(spark, sf_dir))
+    assert composed >= adc_floor, (
+        f"composed IVF+ADC+rerank recall {composed} fell below the "
+        f"ADC-only floor {adc_floor}"
+    )
+
+
+def test_search_shape_and_rerank_exactness(spark, sf_dir):
+    """Every emitted neighbor carries its EXACT cosine (rerank output,
+    not the ADC approximation): re-score one query's results against
+    the brute-force sims."""
+    from go_whisper_spark.operators.llm_ops import _brute_topk, s_pq_search
+
+    res = s_pq_search(spark, sf_dir)
+    rows = res.collect()
+    assert {len([r for r in rows if r.qid == q]) for q in {r.qid for r in rows}} == {3}
+    exact = {
+        (r.qid, r.neighbor): r.sim
+        for r in _brute_topk(spark, sf_dir, 50, 10**9).collect()
+    }
+    for r in rows:
+        if (r.qid, r.neighbor) in exact:
+            assert r.sim == exact[(r.qid, r.neighbor)]
