@@ -3258,9 +3258,58 @@ def s_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB vector store serves reads with; ``s_pq_search_recall``
     prices its quality against the exact scan.
     """
-    cells, cents = _ivf_cells(spark, sf_dir)
+    _, cents = _ivf_cells(spark, sf_dir)
     _, books, enc = _pq_frames(spark, sf_dir)
-    recon = _pq_recon(books, enc)
+
+    # Single-relation PQ-IVF index: (vec_id, cell, rv, rnorm) built
+    # with broadcast-only joins and two chained vec_id groupBys (the
+    # second reuses the first's hash partitioning — no extra
+    # exchange, and crucially no vector-vs-vector shuffle join).  The
+    # original vector is reassembled EXACTLY from the sub-block slices
+    # carried through the code assignment (flatten of sv by block ==
+    # v bit-for-bit), so the cell assignment is identical to
+    # s_cosine_ivf's without joining back to the base table.
+    bb = books.select(
+        F.col("block").alias("b2"), F.col("cid").alias("cid2"), "cv"
+    )
+    per_vec = (
+        enc.join(
+            F.broadcast(bb),
+            (F.col("block") == F.col("b2")) & (F.col("cell") == F.col("cid2")),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("block", "cv"))),
+                    lambda s: s.cv,
+                )
+            ).alias("rv"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("block", "sv"))),
+                    lambda s: s.sv,
+                )
+            ).alias("v"),
+        )
+        .withColumn("rnorm", F.sqrt(_dot_expr("rv", "rv")))
+        .withColumn("norm", F.sqrt(_dot_expr("v", "v")))
+    )
+    isim = F.round(
+        _dot_expr("v", "cv") / (F.col("norm") * F.col("cnorm")), 6
+    ).alias("isim")
+    index = (
+        per_vec.join(F.broadcast(cents))
+        .select("vec_id", "rv", "rnorm", "cid", isim)
+        .groupBy("vec_id")
+        .agg(
+            F.first("rv").alias("rv"),
+            F.first("rnorm").alias("rnorm"),
+            F.max_by(
+                "cid", F.struct(F.col("isim"), (-F.col("cid")).alias("nc"))
+            ).alias("cell"),
+        )
+    )
 
     # Route: top-NPROBE cells per query (same key as _ivf_assign's
     # argmax, extended to a ranked probe list).
@@ -3269,7 +3318,8 @@ def s_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("qsim")
     qw = Window.partitionBy("qid").orderBy(F.desc("qsim"), F.asc("cid"))
     routes = (
-        cells.where(F.col("vec_id") < 50)
+        _cos_frames(spark, sf_dir)
+        .where(F.col("vec_id") < 50)
         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
                 F.col("norm").alias("qn"))
         .join(F.broadcast(cents))
@@ -3283,11 +3333,10 @@ def s_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so multi-probe produces no duplicate candidates).  Broadcast the
     # routed-query side: the cell id has K=8 distinct values — see the
     # s_cosine_ivf skew note.
-    cand = F.broadcast(routes).join(
-        cells.select("vec_id", "cell"),
+    adc = F.broadcast(routes).join(
+        index,
         (F.col("pcell") == F.col("cell")) & (F.col("vec_id") != F.col("qid")),
-    )
-    adc = cand.join(recon, "vec_id").select(
+    ).select(
         "qid", "qv", "qn", "vec_id",
         F.round(
             _dot_expr("qv", "rv") / (F.col("qn") * F.col("rnorm")), 6
@@ -3300,8 +3349,11 @@ def s_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "qv", "qn", "vec_id")
     )
 
-    # Exact rerank of the ADC survivors.
-    rr = topc.join(cells.select("vec_id", "v", "norm"), "vec_id").select(
+    # Exact rerank: the survivor list is |Q|·PQS_RERANK rows at ANY
+    # corpus size, so it broadcasts into the narrow base-vector scan
+    # (the keyed point-fetch a production store does here).
+    base = _cos_frames(spark, sf_dir).select("vec_id", "v", "norm")
+    rr = base.join(F.broadcast(topc), "vec_id").select(
         "qid",
         F.col("vec_id").alias("neighbor"),
         F.round(

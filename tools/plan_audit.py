@@ -476,6 +476,16 @@ CHECKS = {
         require=["BroadcastHashJoin", "Window"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
+    # Composed IVF→ADC→rerank read path: the routed-query side
+    # broadcasts onto the cell-assigned corpus (8 distinct cell ids —
+    # shuffling on the cell key would funnel through 8 reducers);
+    # codebook/centroid joins broadcast; ADC top-C and the exact
+    # rerank top-3 are per-qid rank windows.  No cartesian, no
+    # sort-merge anywhere in the path.
+    "s_pq_search": dict(
+        require=["Window", "BroadcastHashJoin", "BroadcastNestedLoopJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
     # Bigram-LM held-out scoring: model counts partial-aggregate on
     # the train split; the score side broadcast-probes them (shuffled
     # equi-join when a real model outgrows broadcast); integer ledger.
