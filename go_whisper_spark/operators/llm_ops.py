@@ -2886,6 +2886,118 @@ GROUP BY 1
 """
 
 
+# -------------------------------------------------------- t_span_dedup
+def t_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL — the transform a training pipeline
+    runs after ``t_dup_spans``' accounting: emit each document's
+    cleaned text with repeated spans (>= 3 tokens) excised, keeping
+    the globally FIRST occurrence by (doc_id, position) order.
+
+    Semantics: a 3-gram occurrence is a *duplicate* unless it is the
+    lexicographically-first (doc_id, start) occurrence of that shingle
+    in the corpus; every token position covered by a duplicate 3-gram
+    is removed; the cleaned text is the surviving tokens re-joined in
+    order (first occurrences — and anything never repeated — survive
+    verbatim).  Output per document: total tokens, removed tokens, and
+    the cleaned text itself.
+
+    Scale shape: first-occurrence selection is a shingle-keyed
+    ``min(struct)`` aggregate (map-side combined — a hot shingle
+    collapses to one row per map task); duplicate spans come from the
+    same postings equi-join as ``t_dup_spans``/``t_contamination``
+    (work ∝ postings, with the same documented df-cutoff fence for
+    stop-shingle skew); span→position coverage is a narrow ×3 explode;
+    the keep-side anti-join and the final rebuild are keyed by
+    (doc_id, tpos) / doc_id — co-partitioned, no all-pairs anywhere.
+    A suffix-array dedup (Lee et al., "Deduplicating Training Data",
+    2022) removes ≥50-token spans; this positional-shingle form is the
+    same transform at k=3 granularity, which is what the synthetic
+    corpus' span lengths exercise.
+    """
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    toks = d.select(
+        "doc_id", F.posexplode("tokens").alias("tpos0", "tok")
+    ).select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "tok")
+    pos = d.select(
+        "doc_id", F.posexplode(F.expr(_SHINGLES_EXPR)).alias("p0", "sh")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "sh")
+    first = pos.groupBy("sh").agg(F.min(F.struct("doc_id", "pos")).alias("f"))
+    dup = pos.join(first, "sh").where(
+        (F.col("doc_id") != F.col("f.doc_id")) | (F.col("pos") != F.col("f.pos"))
+    )
+    covered = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + 2)).alias("tpos"),
+    ).distinct()
+    kept = toks.join(covered, ["doc_id", "tpos"], "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("clean_text"),
+    )
+    base = d.select("doc_id", F.size("tokens").cast("long").alias("n_tok"))
+    return base.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        (F.col("n_tok") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+T_SPAN_DEDUP_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents
+),
+toks AS (
+  SELECT doc_id, u.tpos AS tpos, u.tok AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(tokens)),
+                                 i -> {{'tpos': i, 'tok': tokens[i]}})) AS u
+    FROM tok)
+),
+pos AS (
+  SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(tokens) - 2),
+             i -> {{'pos': i,
+                    'sh': tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]}})) AS u
+    FROM tok)
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
+  FROM pos
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + o.o AS tpos
+  FROM ranked, generate_series(0, 2) AS o(o)
+  WHERE rn > 1
+),
+kept AS (
+  SELECT t.doc_id, t.tpos, t.tok
+  FROM toks t ANTI JOIN covered c
+    ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+),
+ka AS (
+  SELECT doc_id, count(*) AS n_kept,
+         array_to_string(array_agg(tok ORDER BY tpos), ' ') AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.tokens) AS BIGINT) AS n_tok,
+       CAST(len(d.tokens) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(k.clean_text, '') AS clean_text
+FROM tok d LEFT JOIN ka k ON d.doc_id = k.doc_id
+"""
+
+
 # ---------------------------------------------------- t_length_buckets
 def t_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching ledger: documents grouped into
@@ -4208,6 +4320,7 @@ QUERIES = {
     "t_repetition": t_repetition,
     "t_mix_weights": t_mix_weights,
     "t_dup_spans": t_dup_spans,
+    "t_span_dedup": t_span_dedup,
     "t_length_buckets": t_length_buckets,
     "d_cc_stars": d_cc_stars,
     "t_stratified_sample": t_stratified_sample,
@@ -4262,6 +4375,7 @@ ORACLES = {
     "t_repetition": T_REPETITION_SQL,
     "t_mix_weights": T_MIX_WEIGHTS_SQL,
     "t_dup_spans": T_DUP_SPANS_SQL,
+    "t_span_dedup": T_SPAN_DEDUP_SQL,
     "t_length_buckets": T_LENGTH_BUCKETS_SQL,
     # Same component semantics as d_neardup_clusters — the recursive-CTE
     # transitive closure is the oracle for BOTH implementations.

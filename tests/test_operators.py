@@ -143,6 +143,7 @@ SUBSET = [
     "w_store_fetch",
     "s_pq_search",
     "s_pq_search_recall",
+    "t_span_dedup",
 ]
 
 

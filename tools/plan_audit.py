@@ -429,6 +429,13 @@ CHECKS = {
         require=["partial_count", "partial_sum"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # Span REMOVAL: first-occurrence min(struct) shingle aggregate,
+    # postings equi-join, narrow coverage explode, (doc, tpos) anti-
+    # join, per-doc rebuild.  Equi-joins only — never nested-loop.
+    "t_span_dedup": dict(
+        require=["partial_min", "partial_count"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # Length-bucket ledger: narrow all-integer projection, small-key
     # partial aggregate; join- and window-free.
     "t_length_buckets": dict(
