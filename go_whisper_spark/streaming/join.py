@@ -79,3 +79,65 @@ def streaming_interval_join(
         F.col("l_ts").cast("long").alias("l_ts"),
         (F.col("r_ts").cast("long") - F.col("l_ts").cast("long")).alias("lag_s"),
     )
+
+
+def streaming_interval_join_salted(
+    stream: DataFrame,
+    key: str,
+    left_pred: Column,
+    right_pred: Column,
+    range_seconds: int,
+    lateness_seconds: int,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Hot-key fence for the interval join: identical pair semantics to
+    ``streaming_interval_join``, with join-state for a skewed ``key``
+    spread over ``n_salt`` sub-partitions.
+
+    The composite join key becomes ``(key, salt)``: the right side
+    derives its salt deterministically from its unique ``write_seq``
+    (so each right row lives in exactly ONE salt partition and every
+    pair still emits exactly once); the left side replicates into all
+    ``n_salt`` partitions (×n_salt left state — the standard
+    replicate-the-smaller-state-side trade; pick the replicated side
+    by which stream is thinner).  A key holding 100 GB of right-side
+    state now holds 100/n_salt GB per state-store partition, which is
+    what keeps a single RocksDB instance / executor heap from owning
+    the whole hot key.  Watermark eviction bounds are unchanged —
+    salting only re-keys the state distribution, never the event-time
+    logic.
+    """
+    s = stream.withWatermark("ts", f"{lateness_seconds} seconds")
+    salt_all = F.array(*[F.lit(i) for i in range(n_salt)])
+    left = (
+        s.filter(left_pred)
+        .select(
+            key,
+            F.col("ts").alias("l_ts"),
+            F.col("write_seq").alias("l_seq"),
+        )
+        .withColumn("salt", F.explode(salt_all))
+    )
+    right = s.filter(right_pred).select(
+        F.col(key).alias(f"r_{key}"),
+        F.col("ts").alias("r_ts"),
+        F.col("write_seq").alias("r_seq"),
+        (F.col("write_seq") % n_salt).cast("int").alias("r_salt"),
+    )
+    return left.join(
+        right,
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col("salt") == F.col("r_salt"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (
+            F.col("r_ts")
+            <= F.col("l_ts") + F.expr(f"INTERVAL {range_seconds} SECONDS")
+        ),
+        "inner",
+    ).select(
+        key,
+        "l_seq",
+        "r_seq",
+        F.col("l_ts").cast("long").alias("l_ts"),
+        (F.col("r_ts").cast("long") - F.col("l_ts").cast("long")).alias("lag_s"),
+    )
