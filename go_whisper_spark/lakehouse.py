@@ -13,12 +13,16 @@ lakehouse format (Delta, Iceberg, Hudi) builds on:
   watermark) is the left-to-right replay of the log.  Data files are
   never mutated or overwritten — a commit swaps which uniquely-named
   staged directory a partition points to.
-- **Atomic publish**: a commit claims version N by ``O_CREAT|O_EXCL``
-  — an atomic create-if-absent on a POSIX filesystem, the same
-  primitive delta-on-HDFS uses (rename-without-overwrite).  Exactly
-  one of two racing writers wins the create; the loser re-reads and
-  retries.  (On S3-like stores with no atomic create, this slot-claim
-  moves to a coordination service — documented, out of scope here.)
+- **Atomic publish**: a commit claims version N through a pluggable
+  ``CommitClaimer`` — exactly one of two racing writers wins the
+  claim; the loser re-reads and retries.  ``PosixLinkClaimer``
+  (default) is write-then-hard-link, the create-if-absent primitive
+  delta-on-HDFS uses (rename-without-overwrite);
+  ``CoordinationClaimer`` is the S3-class shape, where the slot claim
+  is a coordination-service conditional insert and the object write
+  happens only after the claim is won (the public Delta-on-S3 /
+  DynamoDB LogStore pattern).  Everything above the claimer is
+  store-agnostic.
 - **Optimistic concurrency**: writers never lock.  A writer snapshots
   the state at version N, stages new data, then tries to commit.  If
   versions landed meanwhile, it replays them and checks for overlap
@@ -47,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from typing import Dict, List, Optional
@@ -62,15 +67,90 @@ class ConflictError(RuntimeError):
     caller's staged output is stale — recompute from the new snapshot."""
 
 
+class CommitClaimer:
+    """Atomic claim of one commit-log slot (a path): exactly one of N
+    racing claimers returns True, and the committed name only ever
+    becomes visible with COMPLETE content.  This is the single
+    store-dependent primitive in the whole layer — everything above it
+    (optimistic retry, conflict detection, checkpoints, time travel)
+    is store-agnostic."""
+
+    def claim(self, path: str, data: bytes) -> bool:  # pragma: no cover
+        raise NotImplementedError
+
+
+class PosixLinkClaimer(CommitClaimer):
+    """POSIX / HDFS-class stores: write-then-hard-link.  The payload is
+    fully written (and fsynced) to a private temp file, then the slot
+    is claimed by ``os.link`` — atomic create-if-absent, like O_EXCL,
+    the same primitive Delta-on-HDFS uses (rename-without-overwrite).
+    A racing reader can never observe a half-written commit file."""
+
+    def claim(self, path: str, data: bytes) -> bool:
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
+class CoordinationClaimer(CommitClaimer):
+    """S3-class object stores have no atomic create-if-absent, so the
+    slot claim moves to an external coordination service (the public
+    Delta-on-S3 pattern: a DynamoDB/ZooKeeper conditional-insert
+    serializes writers; the object PUT itself happens only AFTER the
+    claim is won, so readers listing the log still never see a name
+    whose content could change).
+
+    This in-process implementation is the coordination-service
+    CONTRACT — a mutex'd conditional-insert keyed by path — suitable
+    for tests and single-process use; a production deployment
+    implements the same two-method shape against the real service.
+    Share ONE instance across the writers that must be serialized
+    (exactly as they would share the external service)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._claimed: set = set()
+
+    def claim(self, path: str, data: bytes) -> bool:
+        with self._lock:
+            # Conditional insert: fails if the slot was ever claimed —
+            # including by a previous process that already published
+            # the object (os.path.exists covers restart).
+            if path in self._claimed or os.path.exists(path):
+                return False
+            self._claimed.add(path)
+        # Non-atomic store write AFTER the won claim (the S3 PUT).
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+        return True
+
+
 def _commit_path(table: str, version: int) -> str:
     return os.path.join(table, COMMIT_DIR, f"{version:011d}.json")
 
 
 class CommitLog:
-    """The ordered-JSON-files commit log of one table directory."""
+    """The ordered-JSON-files commit log of one table directory.
 
-    def __init__(self, table: str):
+    ``claimer`` selects the store's atomic-publish primitive
+    (default: ``PosixLinkClaimer``); see ``CommitClaimer``."""
+
+    def __init__(self, table: str, claimer: Optional[CommitClaimer] = None):
         self.table = table
+        self.claimer = claimer or PosixLinkClaimer()
         os.makedirs(os.path.join(table, COMMIT_DIR), exist_ok=True)
 
     def versions(self) -> List[int]:
@@ -152,42 +232,32 @@ class CommitLog:
         path = os.path.join(
             self.table, COMMIT_DIR, f"{st['version']:011d}.checkpoint.json"
         )
-        tmp = path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {"partitions": st["partitions"], "watermark": st["watermark"]}, fh
-            )
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, path)
-        except FileExistsError:
-            pass  # a racing checkpoint wrote the same snapshot
-        finally:
-            os.unlink(tmp)
+        data = json.dumps(
+            {"partitions": st["partitions"], "watermark": st["watermark"]}
+        ).encode()
+        # A lost claim means a racing checkpoint wrote the same snapshot.
+        self.claimer.claim(path, data)
         return st["version"]
 
     def try_commit(self, version: int, payload: dict) -> bool:
         """Claim exactly version ``version``; False if already taken.
-
-        Write-then-link: the payload is fully written to a private temp
-        file first, and the version slot is claimed by ``os.link`` —
-        atomic create-if-absent, like O_EXCL, but the committed name
-        only ever appears with COMPLETE content (a racing reader can
-        never observe a half-written commit file)."""
+        The atomicity contract lives in the pluggable ``claimer``
+        (POSIX write-then-link by default; coordination-service
+        conditional insert for S3-class stores)."""
         path = _commit_path(self.table, version)
-        tmp = path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(payload, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, path)
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        return self.claimer.claim(path, json.dumps(payload).encode())
+
+    def _read_commit_when_visible(self, version: int, timeout: float = 10.0) -> dict:
+        """Read a commit whose slot is claimed but whose object write
+        may still be in flight (the claim-then-write visibility gap)."""
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                return self.read_commit(version)
+            except (FileNotFoundError, json.JSONDecodeError):
+                if time.monotonic() > deadline:
+                    raise
+                time.sleep(0.005)
 
     def commit(
         self,
@@ -211,7 +281,11 @@ class CommitLog:
             if self.try_commit(attempt, payload):
                 return attempt
             # Lost the race for this slot: inspect the interloper.
-            other = self.read_commit(attempt)
+            # Under a claim-then-write store (CoordinationClaimer /
+            # S3), the winner's object may not be VISIBLE yet even
+            # though its claim is — wait it out (bounded), the claim
+            # guarantees the content is coming.
+            other = self._read_commit_when_visible(attempt)
             overlap = set(other.get("replace", {})) & set(replace)
             if overlap:
                 raise ConflictError(

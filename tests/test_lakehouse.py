@@ -13,6 +13,7 @@ from go_whisper_spark.engine import WhisperEngine
 from go_whisper_spark.lakehouse import (
     CommitLog,
     ConflictError,
+    CoordinationClaimer,
     commit_rollup_days,
     incremental_rollup_tx,
     read_table,
@@ -41,11 +42,33 @@ def test_commit_log_replay(tmp_path):
     assert st["watermark"] == {"max_ts": 20}
 
 
-def test_commit_version_claim_is_exclusive(tmp_path):
-    log = CommitLog(str(tmp_path / "t"))
+def _make_log(tmp_path, claimer_kind):
+    """One CommitLog per racing writer, SHARING the claimer the way
+    real writers share the store primitive / coordination service."""
+    if claimer_kind == "posix":
+        return lambda: CommitLog(str(tmp_path / "t"))
+    shared = CoordinationClaimer()
+    return lambda: CommitLog(str(tmp_path / "t"), claimer=shared)
+
+
+@pytest.mark.parametrize("claimer_kind", ["posix", "coordination"])
+def test_commit_version_claim_is_exclusive(tmp_path, claimer_kind):
+    mk = _make_log(tmp_path, claimer_kind)
+    log, log2 = mk(), mk()
     assert log.try_commit(0, {"replace": {"p": "/x"}})
-    assert not log.try_commit(0, {"replace": {"q": "/y"}})
+    assert not log2.try_commit(0, {"replace": {"q": "/y"}})
     # the losing payload must not have clobbered the winner
+    assert log.read_commit(0) == {"replace": {"p": "/x"}}
+
+
+def test_coordination_claimer_covers_preexisting_slot(tmp_path):
+    """A coordination service brought up over a log that already has
+    committed versions (process restart) must refuse those slots."""
+    log = CommitLog(str(tmp_path / "t"))  # posix claim
+    assert log.try_commit(0, {"replace": {"p": "/x"}})
+    fresh = CommitLog(str(tmp_path / "t"), claimer=CoordinationClaimer())
+    assert not fresh.try_commit(0, {"replace": {"q": "/y"}})
+    assert fresh.try_commit(1, {"replace": {"q": "/y"}})
     assert log.read_commit(0) == {"replace": {"p": "/x"}}
 
 
@@ -62,15 +85,18 @@ def test_disjoint_interleave_retries_conflict_raises(tmp_path):
         log.commit(base, {"day=2": "/d/two-stale"})
 
 
-def test_threaded_disjoint_writers_all_land(tmp_path):
+@pytest.mark.parametrize("claimer_kind", ["posix", "coordination"])
+def test_threaded_disjoint_writers_all_land(tmp_path, claimer_kind):
     """N racing threads on N distinct partitions: every commit lands,
-    versions are contiguous, no partition is lost."""
-    log = CommitLog(str(tmp_path / "t"))
+    versions are contiguous, no partition is lost — under BOTH claim
+    primitives (POSIX link and the coordination-service shape)."""
+    mk = _make_log(tmp_path, claimer_kind)
+    log = mk()
     errors = []
 
     def writer(i):
         try:
-            log.commit(-1, {f"day=d{i}": f"/data/{i}"})
+            mk().commit(-1, {f"day=d{i}": f"/data/{i}"})
         except Exception as exc:  # pragma: no cover
             errors.append(exc)
 
