@@ -3755,11 +3755,16 @@ def d_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the ONLY pairwise work is `d_lsh_pairs`' banded
     bucket join — orienting its edges old→incoming / small→large is a
-    narrow filter on the pair relation, then two tiny distinct sets
-    join back to the shard (broadcast at any realistic shard size;
-    the corpus side never re-scans).  At true incremental scale the
-    corpus's band signatures are precomputed once and only the
-    shard's are built per run — the signature store IS the index.
+    narrow filter on the pair relation, then the two flagged-dup sets
+    join back to the shard.  Those joins carry NO broadcast hint on
+    purpose: the flagged sets are duplicate doc_ids, whose size is a
+    property of the DATA (a crawl re-ingesting yesterday dups nearly
+    the whole shard), so AQE picks broadcast when the post-checkpoint
+    stats are small and falls back to a shuffled equi-join on doc_id
+    when they aren't — either plan is shard-bounded.  At true
+    incremental scale the corpus's band signatures are precomputed
+    once and only the shard's are built per run — the signature store
+    IS the index.
     """
     pairs = (
         d_lsh_pairs(spark, sf_dir)
@@ -3789,8 +3794,8 @@ def d_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang"
     )
     flagged = (
-        shard.join(F.broadcast(known), "doc_id", "left")
-        .join(F.broadcast(intra), "doc_id", "left")
+        shard.join(known, "doc_id", "left")
+        .join(intra, "doc_id", "left")
         .select(
             "lang",
             F.coalesce("is_known", F.lit(0)).alias("k"),

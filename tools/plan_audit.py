@@ -456,8 +456,14 @@ CHECKS = {
     # the set-size verify join; the flagged sets must broadcast back
     # onto the shard (never shuffle the shard for a 2-column flag),
     # and nothing may go nested-loop.
+    # Incremental dedup: the flagged-dup joins carry NO broadcast hint
+    # (dup-set size is data-dependent); at test scale AQE must still
+    # CHOOSE broadcast from the post-checkpoint stats at runtime —
+    # that adaptive choice is what require_executed pins, alongside
+    # the no-cartesian invariant.
     "d_incremental": dict(
-        require=["partial_count", "BroadcastHashJoin"],
+        require=["partial_count"],
+        require_executed=["BroadcastHashJoin"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     # Unigram-LM scoring: vocab counts partial-aggregate; the 1-row
@@ -675,6 +681,16 @@ def main():
         for f in spec.get("forbid", []):
             if f in text:
                 problems.append(f"present: {f}")
+        if spec.get("require_executed"):
+            # Shapes only AQE can produce (runtime broadcast decisions
+            # from post-materialization stats) live in the EXECUTED
+            # adaptive plan, not the static explain.
+            from go_whisper_spark.plans.audit import final_plan
+
+            executed = final_plan(df)
+            for r in spec["require_executed"]:
+                if r not in executed:
+                    problems.append(f"missing in executed plan: {r}")
         max_cols = spec.get("pruned")
         if max_cols:
             m = re.search(r"ReadSchema: struct<([^>]*)>", text)
