@@ -2334,6 +2334,83 @@ FROM lww1h l JOIN winners w ON l.metric = w.metric
 """
 
 
+# ------------------------------------ g_avg_outside_pctile_vt
+def g_avg_outside_pctile_vt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """averageOutsidePercentile via the two-pass VALUE-THRESHOLD form —
+    the documented successor to ``g_avg_outside_pctile``'s partial
+    top-k once the cut size itself is huge (at 10⁷ metrics the
+    TakeOrdered heaps hold n/4 = 2.5M rows per partition; here they
+    hold only the boundary BUCKET's rows).
+
+    Pass 1: per-series averages (exact ``_avg6``, so ``avg·10⁶`` is an
+    integer) are histogrammed into ≤4096 equi-width integer buckets —
+    one map-side-combined aggregate; the ≤4096-row histogram is the
+    only thing the driver reads (plus one (n, min, max) scalar).  The
+    driver walks the cumulative counts to find the bucket containing
+    the cut-th order statistic on each side and how many rows of it
+    are needed.
+    Pass 2: full buckets strictly outside the boundaries are kept
+    wholesale (a narrow filter); ONLY the two boundary buckets run a
+    TakeOrdered, sized ``need ≤ bucket population`` (~n/4096 uniform;
+    worst-case all-in-one-bucket degenerates to the top-k form —
+    documented, not hidden).  Ties in ``avg`` share a bucket by
+    construction, so the (avg, metric) resolution inside the boundary
+    bucket reproduces the global rank semantics EXACTLY — same oracle
+    as the rank form, bit for bit.
+    """
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    per = (
+        lww.groupBy("metric")
+        .agg(_avg6(F.sum("cents"), F.count("*")).alias("avg_value"))
+        .withColumn("u6", F.round(F.col("avg_value") * 1_000_000).cast("long"))
+        .localCheckpoint()
+    )
+    st = per.agg(
+        F.count("*").alias("n"), F.min("u6").alias("lo"), F.max("u6").alias("hi")
+    ).first()
+    n, lo_u6 = st["n"], st["lo"]
+    cut = -(-n // 4)
+    width = max(1, -(-(st["hi"] - lo_u6 + 1) // 4096))
+    perb = per.withColumn("b", F.expr(f"(u6 - {lo_u6}) div {width}"))
+    hist = {
+        r["b"]: r["cnt"]
+        for r in perb.groupBy("b").agg(F.count("*").alias("cnt")).collect()
+    }
+    cum, lo_b, need_lo = 0, 0, 0
+    for b in sorted(hist):
+        if cum + hist[b] >= cut:
+            lo_b, need_lo = b, cut - cum
+            break
+        cum += hist[b]
+    cum, hi_b, need_hi = 0, 0, 0
+    for b in sorted(hist, reverse=True):
+        if cum + hist[b] >= cut:
+            hi_b, need_hi = b, cut - cum
+            break
+        cum += hist[b]
+    low_edge = (
+        perb.where(F.col("b") == F.lit(lo_b))
+        .orderBy(F.asc("avg_value"), F.asc("metric"))
+        .limit(need_lo)
+    )
+    high_edge = (
+        perb.where(F.col("b") == F.lit(hi_b))
+        .orderBy(F.desc("avg_value"), F.desc("metric"))
+        .limit(need_hi)
+    )
+    winners = (
+        perb.where(F.col("b") < F.lit(lo_b))
+        .unionByName(low_edge)
+        .unionByName(perb.where(F.col("b") > F.lit(hi_b)))
+        .unionByName(high_edge)
+        .select("metric", "avg_value")
+        .dropDuplicates(["metric"])
+    )
+    return lww.join(F.broadcast(winners), "metric").select(
+        "metric", "interval", "value", "avg_value"
+    )
+
+
 # ------------------------------------------------------ g_minmax_norm
 def g_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """minMax(series): normalize each series to [0, 1] by its own
@@ -4318,6 +4395,7 @@ QUERIES = {
     "g_round_to": g_round_to,
     "g_limit_sorted": g_limit_sorted,
     "g_avg_outside_pctile": g_avg_outside_pctile,
+    "g_avg_outside_pctile_vt": g_avg_outside_pctile_vt,
     "g_minmax_norm": g_minmax_norm,
     "g_timestack": g_timestack,
     "g_moving_sum": g_moving_sum,
@@ -4449,6 +4527,7 @@ ORACLES = {
     "g_round_to": G_ROUND_TO_SQL,
     "g_limit_sorted": G_LIMIT_SORTED_SQL,
     "g_avg_outside_pctile": G_AVG_OUTSIDE_PCTILE_SQL,
+    "g_avg_outside_pctile_vt": G_AVG_OUTSIDE_PCTILE_SQL,
     "g_minmax_norm": G_MINMAX_NORM_SQL,
     "g_timestack": G_TIMESTACK_SQL,
     "g_moving_sum": G_MOVING_SUM_SQL,

@@ -144,6 +144,7 @@ SUBSET = [
     "s_pq_search",
     "s_pq_search_recall",
     "t_span_dedup",
+    "g_avg_outside_pctile_vt",
 ]
 
 

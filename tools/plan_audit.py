@@ -248,6 +248,14 @@ CHECKS = {
         forbid=["SinglePartition", "CartesianProduct", "SortMergeJoin",
                 "Window"],
     ),
+    # Value-threshold (two-pass histogram) form: full buckets pass by
+    # narrow filter; ONLY the two boundary buckets run a TakeOrdered —
+    # same forbid list, same no-rank-window discipline.
+    "g_avg_outside_pctile_vt": dict(
+        require=["TakeOrderedAndProject", "BroadcastHashJoin"],
+        forbid=["SinglePartition", "CartesianProduct", "SortMergeJoin",
+                "Window"],
+    ),
     # Stratified sampler: the gate is a narrow codegen expression; the
     # whole query is one partial-combining aggregate — no join, no
     # window, single exchange on the 5-key lang column.
