@@ -2779,6 +2779,94 @@ FROM hits h JOIN n_sh n ON h.doc_id = n.doc_id
 """
 
 
+# -------------------------------------------------------- t_decontam
+DECON_MIN_SHARED = 5  # distinct shingles shared with the test split
+
+
+def t_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination REMOVAL ledger — the other direction from
+    ``t_contamination``: drop TRAIN documents that overlap the held-out
+    test split (so evaluation data never leaks into training), per the
+    integer rule ``n_shared >= DECON_MIN_SHARED`` distinct 3-gram
+    shingles shared with ANY test document.  Per language: train-doc
+    count, dropped, kept, and total shared-shingle mass — the report a
+    pipeline emits alongside the cleaned train split.
+
+    Scale shape: the test split's distinct shingle set is the small
+    side by construction (5% of the corpus) — the train→test probe is
+    the same inverted-index equi-join as ``t_contamination`` with the
+    probe side prunable to a bloom/broadcast structure at scale; the
+    verdict join back to train docs is keyed by doc_id; the ledger is
+    a 5-key aggregate.  Same stop-shingle df-cutoff fence applies.
+    """
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col()).withColumn(
+        "bucket", _split_bucket_col()
+    )
+    sh = d.select(
+        "doc_id", "bucket",
+        F.explode(F.array_distinct(F.expr(_SHINGLES_EXPR))).alias("sh"),
+    )
+    train_sh = sh.filter(F.col("bucket") < _SPLIT_TRAIN).select("doc_id", "sh")
+    test_sh = (
+        sh.filter(F.col("bucket") >= _SPLIT_VAL).select("sh").distinct()
+    )
+    shared = (
+        train_sh.join(test_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    train_docs = d.filter(F.col("bucket") < _SPLIT_TRAIN).select("doc_id", "lang")
+    verdict = train_docs.join(shared, "doc_id", "left").select(
+        "lang",
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+    )
+    dropped = (F.col("n_shared") >= DECON_MIN_SHARED).cast("long")
+    return (
+        verdict.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum(dropped).alias("n_dropped"),
+            F.sum(F.lit(1) - dropped).alias("n_kept"),
+            F.sum("n_shared").alias("total_shared"),
+        )
+        .orderBy("lang")
+    )
+
+
+T_DECONTAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_TOKENS_SQL} AS tokens,
+         {_SPLIT_BUCKET_SQL} AS bucket
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, bucket, unnest({_SHINGLES_SQL.strip()}) AS sh
+  FROM tok
+),
+train_sh AS (SELECT doc_id, sh FROM sh WHERE bucket < {_SPLIT_TRAIN}),
+test_sh AS (SELECT DISTINCT sh FROM sh WHERE bucket >= {_SPLIT_VAL}),
+shared AS (
+  SELECT t.doc_id, count(*) AS n_shared
+  FROM train_sh t JOIN test_sh USING (sh) GROUP BY 1
+),
+verdict AS (
+  SELECT d.lang, coalesce(s.n_shared, 0) AS n_shared
+  FROM tok d LEFT JOIN shared s ON d.doc_id = s.doc_id
+  WHERE d.bucket < {_SPLIT_TRAIN}
+)
+SELECT lang,
+       count(*) AS n_train,
+       CAST(sum(CASE WHEN n_shared >= {DECON_MIN_SHARED} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN n_shared >= {DECON_MIN_SHARED} THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(n_shared) AS BIGINT) AS total_shared
+FROM verdict
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # ------------------------------------------------------- t_repetition
 def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition signal (the Gopher-rules family):
@@ -3627,6 +3715,79 @@ LEFT JOIN hits h ON h.qid = q.qid
 """
 
 
+# ----------------------------------------------------- s_semantic_dedup
+SEMDEDUP_THRESHOLD = 0.35  # this corpus' near-dup knee (see s_cosine_nearpairs)
+
+
+def s_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, cluster-then-dedup (the SemDeDup recipe,
+    Abbas et al. 2023 — public): embeddings are first coarse-clustered
+    (the deterministic IVF cells), then cosine near-duplicates are
+    resolved ONLY within each cluster — a vector is dropped when a
+    lower-id vector in its cell is ≥ ``SEMDEDUP_THRESHOLD`` similar
+    (keep-lowest-id, same deterministic keeper rule as the text dedup
+    tier).  Emits the per-vector verdict (vec_id, cell, kept).
+
+    Scale shape: this is the third point on the dedup cost ladder —
+    all-pairs O(n²) (`s_cosine_nearpairs`, the oracle baseline) →
+    LSH-bucketed (`d_embed_neardup_lsh`) → cluster-bounded Σ|cell|²
+    (here).  The intra-cell self-join is an equi-join on the cell id;
+    at 100 TB the cluster count scales as n/target-cell-size (the
+    paper runs 50k clusters over LAION) so each cell's quadratic term
+    stays fixed while cells parallelize perfectly.  The K=8 cells here
+    are the test-scale instantiation of that knob, and the skew story
+    is the cell-size cap itself.
+    """
+    cells, _ = _ivf_cells(spark, sf_dir)
+    a = cells.select(
+        "cell", F.col("vec_id").alias("ida"), F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = cells.select(
+        F.col("cell").alias("cellb"), F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"), F.col("norm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, (F.col("cell") == F.col("cellb")) & (F.col("ida") < F.col("idb")))
+        .withColumn(
+            "sim",
+            F.round(_dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6),
+        )
+        .where(F.col("sim") >= SEMDEDUP_THRESHOLD)
+    )
+    dropped = pairs.select(F.col("idb").alias("vec_id")).distinct().withColumn(
+        "dup", F.lit(1)
+    )
+    return cells.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.when(F.col("dup").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("int")
+        .alias("kept"),
+    )
+
+
+def _s_semantic_dedup_sql() -> str:
+    dot = _DOT64_SQL
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+{_IVF_CTES},
+pairs AS (
+  SELECT a.cell, a.vec_id AS ida, b.vec_id AS idb
+  FROM icells a JOIN icells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({dot.format(a="a.v", b="b.v")} / (a.norm * b.norm), 6)
+        >= {SEMDEDUP_THRESHOLD}
+),
+dropped AS (SELECT DISTINCT idb AS vec_id FROM pairs)
+SELECT c.vec_id, c.cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM icells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""
+
+
 # ---------------------------------------------------------- s_mrl_eval
 _MRL_DIMS = (16, 32, 48, 64)
 
@@ -4326,6 +4487,7 @@ QUERIES = {
     "t_mix_weights": t_mix_weights,
     "t_dup_spans": t_dup_spans,
     "t_span_dedup": t_span_dedup,
+    "t_decontam": t_decontam,
     "t_length_buckets": t_length_buckets,
     "d_cc_stars": d_cc_stars,
     "t_stratified_sample": t_stratified_sample,
@@ -4338,6 +4500,7 @@ QUERIES = {
     "s_pq_recall": s_pq_recall,
     "s_pq_search": s_pq_search,
     "s_pq_search_recall": s_pq_search_recall,
+    "s_semantic_dedup": s_semantic_dedup,
 }
 
 ORACLES = {
@@ -4381,6 +4544,7 @@ ORACLES = {
     "t_mix_weights": T_MIX_WEIGHTS_SQL,
     "t_dup_spans": T_DUP_SPANS_SQL,
     "t_span_dedup": T_SPAN_DEDUP_SQL,
+    "t_decontam": T_DECONTAM_SQL,
     "t_length_buckets": T_LENGTH_BUCKETS_SQL,
     # Same component semantics as d_neardup_clusters — the recursive-CTE
     # transitive closure is the oracle for BOTH implementations.
@@ -4395,4 +4559,5 @@ ORACLES = {
     "s_pq_recall": _s_pq_recall_sql(),
     "s_pq_search": _s_pq_search_sql(),
     "s_pq_search_recall": _s_pq_search_recall_sql(),
+    "s_semantic_dedup": _s_semantic_dedup_sql(),
 }

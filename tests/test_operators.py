@@ -145,6 +145,8 @@ SUBSET = [
     "s_pq_search_recall",
     "t_span_dedup",
     "g_avg_outside_pctile_vt",
+    "s_semantic_dedup",
+    "t_decontam",
 ]
 
 

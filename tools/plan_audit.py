@@ -444,6 +444,21 @@ CHECKS = {
         require=["partial_min", "partial_count"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # Decontamination removal: the 5%-split test shingle set probes the
+    # train postings via equi-join; the verdict joins back by doc_id;
+    # 5-key ledger.  Never nested-loop / cartesian.
+    "t_decontam": dict(
+        require=["partial_count", "partial_sum"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # SemDeDup: intra-cell pair resolution is an EQUI-join on the cell
+    # id (work ∝ Σ|cell|² by design — the cluster-bounded point on the
+    # dedup cost ladder); keeper verdict is a left join on vec_id.  No
+    # cartesian anywhere.
+    "s_semantic_dedup": dict(
+        require=["partial_count"],
+        forbid=["CartesianProduct"],
+    ),
     # Length-bucket ledger: narrow all-integer projection, small-key
     # partial aggregate; join- and window-free.
     "t_length_buckets": dict(
