@@ -4319,6 +4319,113 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------- t_bpe_merge
+def t_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE merge ITERATION — the step ``t_bpe_pairs`` only
+    counts for: pick the most frequent adjacent pair, apply the merge
+    to every token in the corpus, and emit the NEXT round's top-20
+    pair table over the merged SYMBOL sequences (symbols joined with
+    '+', so post-merge pairs like ``v+er`` are visible as such).
+
+    The best pair is restricted to DISTINCT-char pairs (``er``, not
+    ``ss``): a self-pair's occurrences can overlap ("sss"), making the
+    greedy left-to-right result order-sensitive; with distinct chars
+    occurrences cannot overlap, so the merge is exactly a
+    string-replace — a pure narrow codegen expression, bit-identical
+    cross-engine.  (A production BPE trainer resolves self-pair
+    overlaps greedily; the restriction is documented, not hidden.)
+
+    Scale shape: two passes over the token stream — pair-count
+    (map-side-combined, tiny pair alphabet) → 1-row best-pair
+    broadcast → merge+recount, again narrow + map-side-combined.
+    Exactly how one distributed BPE round runs at 100 TB; iterating =
+    repeating this stage with the merge table broadcast.
+    """
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    pairs = F.expr(
+        "flatten(transform(filter(tokens, t -> length(t) >= 2), t -> "
+        "transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))))"
+    )
+    best = (
+        d.select(F.explode(pairs).alias("pair"))
+        .where(F.expr("substr(pair, 1, 1) != substr(pair, 2, 1)"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .select(F.col("pair").alias("best"))
+    )
+    toks = d.select(F.explode("tokens").alias("t"))
+    sep = "\x01"  # never occurs in [a-z0-9]+ tokens
+    merged = toks.crossJoin(F.broadcast(best)).withColumn(
+        "syms",
+        F.expr(
+            "flatten(transform("
+            f"  filter(split(replace(t, best, concat('{sep}', best, '{sep}')),"
+            f"               '{sep}'), p -> length(p) > 0),"
+            "  p -> CASE WHEN p = best THEN array(p)"
+            "       ELSE transform(sequence(1, length(p)), i -> substr(p, i, 1))"
+            "       END))"
+        ),
+    )
+    newpairs = merged.where(F.size("syms") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1),"
+                " i -> concat(syms[i - 1], '+', syms[i]))"
+            )
+        ).alias("pair")
+    )
+    return (
+        newpairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+T_BPE_MERGE_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_SQL}) AS t FROM documents
+),
+cand AS (
+  SELECT unnest(list_transform(generate_series(1, strlen(t) - 1),
+                               i -> substr(t, i, 2))) AS pair
+  FROM toks
+  WHERE strlen(t) >= 2
+),
+best AS (
+  SELECT pair AS best FROM cand
+  WHERE substr(pair, 1, 1) != substr(pair, 2, 1)
+  GROUP BY pair
+  ORDER BY count(*) DESC, pair ASC
+  LIMIT 1
+),
+merged AS (
+  SELECT flatten(list_transform(
+           list_filter(string_split(replace(t, best, chr(1) || best || chr(1)),
+                                    chr(1)),
+                       p -> strlen(p) > 0),
+           p -> CASE WHEN p = best THEN [p]
+                ELSE list_transform(generate_series(1, strlen(p)),
+                                    i -> substr(p, i, 1))
+                END)) AS syms
+  FROM toks, best
+),
+newpairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                               i -> syms[i] || '+' || syms[i + 1])) AS pair
+  FROM merged
+  WHERE len(syms) >= 2
+)
+SELECT pair, count(*) AS n
+FROM newpairs
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 20
+"""
+
+
 # ------------------------------------------------ t_stratified_sample
 # Per-language keep rates in permille.  Unknown languages take the
 # conservative default.  The sampling gate is a deterministic
@@ -4488,6 +4595,7 @@ QUERIES = {
     "t_dup_spans": t_dup_spans,
     "t_span_dedup": t_span_dedup,
     "t_decontam": t_decontam,
+    "t_bpe_merge": t_bpe_merge,
     "t_length_buckets": t_length_buckets,
     "d_cc_stars": d_cc_stars,
     "t_stratified_sample": t_stratified_sample,
@@ -4545,6 +4653,7 @@ ORACLES = {
     "t_dup_spans": T_DUP_SPANS_SQL,
     "t_span_dedup": T_SPAN_DEDUP_SQL,
     "t_decontam": T_DECONTAM_SQL,
+    "t_bpe_merge": T_BPE_MERGE_SQL,
     "t_length_buckets": T_LENGTH_BUCKETS_SQL,
     # Same component semantics as d_neardup_clusters — the recursive-CTE
     # transitive closure is the oracle for BOTH implementations.

@@ -147,6 +147,7 @@ SUBSET = [
     "g_avg_outside_pctile_vt",
     "s_semantic_dedup",
     "t_decontam",
+    "t_bpe_merge",
 ]
 
 

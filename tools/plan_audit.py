@@ -537,6 +537,14 @@ CHECKS = {
         forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                 "Window"],
     ),
+    # BPE merge iteration: count → 1-row best-pair broadcast (the
+    # scalar-broadcast NL join, intended) → narrow merge+recount with
+    # map-side combine and partial top-k.  No shuffle join, no window.
+    "t_bpe_merge": dict(
+        require=["partial_count", "TakeOrderedAndProject",
+                 "BroadcastNestedLoopJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
 }
 
 # Non-registry plans: frames the contract queries materialize
