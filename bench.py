@@ -84,6 +84,14 @@ HEADLINE = [
     # codegen + tiny-key aggregate) and sub-word pair counting
     "t_stratified_sample",
     "t_bpe_pairs",
+    # round 9: the composed PQ-IVF read path (broadcast-probe +
+    # ADC + rerank), the exact-substring span REMOVER (postings join +
+    # anti-join rebuild), cluster-bounded semantic dedup, and the
+    # decontamination removal ledger
+    "s_pq_search",
+    "t_span_dedup",
+    "s_semantic_dedup",
+    "t_decontam",
 ]
 
 
