@@ -316,6 +316,62 @@ def pcm_energy(df: DataFrame, window_bytes: int = 256) -> DataFrame:
     return df.where(F.col("kind") == "audio").mapInPandas(fn, schema=PCM_SCHEMA)
 
 
+def resample_pcm(df: DataFrame, factor: int = 4) -> DataFrame:
+    """audio payload → decimated PCM payload (binary out, 1:1).
+
+    Each block of ``factor`` consecutive samples collapses to its
+    floor-integer mean (tail block kept, averaged over its actual
+    length) — ALL-INTEGER, so the resampled byte stream is exact in
+    any engine.  A real implementation would low-pass + decimate
+    int16 PCM; the column contract — binary in, binary out, consumable
+    by any downstream audio stage — is identical and is what this
+    stage pins.
+
+    Scale: narrow vectorized ``mapInPandas`` (``np.add.reduceat``
+    block sums), no shuffle; output bytes = n/factor.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for mid, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                arr = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                n = len(arr)
+                if n:
+                    idx = np.arange(0, n, factor)
+                    sums = np.add.reduceat(arr, idx)
+                    lens = np.diff(np.append(idx, n))
+                    res = (sums // lens).astype(np.uint8).tobytes()
+                else:
+                    res = b""
+                ids.append(mid)
+                kinds.append(k)
+                payloads.append(res)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads}
+            )
+
+    return df.where(F.col("kind") == "audio").mapInPandas(
+        fn, schema="media_id bigint, kind string, payload binary"
+    )
+
+
+def m_pcm_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample → energy, chained: audio payloads decimated 4× by the
+    REAL ``resample_pcm`` Arrow stage, then the REAL ``pcm_energy``
+    windowing over the NEW binary column — the audio twin of
+    ``m_resize_stats``' two-stage contract (a resampled payload is a
+    first-class binary column any downstream audio stage consumes).
+    Output shape matches ``m_pcm_energy`` so the 4× sample-rate drop
+    is directly visible in the window counts."""
+    media = documents_as_media(spark, sf_dir)
+    return pcm_energy(resample_pcm(media)).groupBy("media_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("energy").alias("total_energy"),
+        F.max("energy").alias("peak_energy"),
+    )
+
+
 def m_pcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed audio-energy ledger over the REAL pcm_energy Arrow
     stage: per audio media, window count, total and peak energy —
@@ -335,6 +391,7 @@ QUERIES = {
     "m_frame_sample": m_frame_sample,
     "m_resize_stats": m_resize_stats,
     "m_pcm_energy": m_pcm_energy,
+    "m_pcm_resample": m_pcm_resample,
 }
 
 # All THREE pipelines are oracle-checkable: the deterministic fake
@@ -476,10 +533,44 @@ FROM win
 GROUP BY 1
 """
 
+# Resample (floor-mean of 4-sample blocks, tail averaged over its
+# real length) then the SAME 256-byte windowing — both stages pure
+# integer arithmetic, restated from the text bytes.
+M_PCM_RESAMPLE_SQL = """
+WITH pos AS (
+  SELECT doc_id,
+         unnest(generate_series(1, strlen(text))) AS i,
+         text
+  FROM documents
+  WHERE doc_id % 3 = 1 AND strlen(text) > 0
+),
+blk AS (
+  SELECT doc_id,
+         (i - 1) // 4 AS b,
+         CAST(sum(unicode(text[i])) // count(*) AS BIGINT) AS s
+  FROM pos
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT doc_id,
+         b // 256 AS window_idx,
+         CAST(sum((s - 128) * (s - 128)) AS BIGINT) AS energy
+  FROM blk
+  GROUP BY 1, 2
+)
+SELECT doc_id AS media_id,
+       count(*) AS n_windows,
+       CAST(sum(energy) AS BIGINT) AS total_energy,
+       CAST(max(energy) AS BIGINT) AS peak_energy
+FROM win
+GROUP BY 1
+"""
+
 ORACLES: dict = {
     "m_decode_stats": M_DECODE_STATS_SQL,
     "m_feature_norms": M_FEATURE_NORMS_SQL,
     "m_frame_sample": M_FRAME_SAMPLE_SQL,
     "m_resize_stats": M_RESIZE_STATS_SQL,
     "m_pcm_energy": M_PCM_ENERGY_SQL,
+    "m_pcm_resample": M_PCM_RESAMPLE_SQL,
 }

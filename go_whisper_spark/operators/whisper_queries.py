@@ -280,6 +280,65 @@ FROM spine LEFT JOIN lww1h
 """
 
 
+# ------------------------------------------------------------- w_resize
+def w_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """whisper-resize, end-to-end under the oracle: an engine configured
+    ``1h:30d,6h:90d`` is resized to a single ``2h:60d`` ladder, then
+    fetched over (now-3d, now) THROUGH the resized engine.
+
+    The semantics this pins (engine.py ``resize``): archives are
+    derived views over the points table, so a resize is config-only —
+    no data rewrite, and the new 2h archive is rebuilt from RAW points
+    (exact 2h LWW), not re-aggregated from the old 1h/6h archives (no
+    resolution loss, unlike the reference's external whisper-resize
+    file rewrite [ref: SURVEY §2A note — the Go library itself cannot
+    resize]).  The oracle restates the expected view: 2h LWW + the
+    start-exclusive dense fetch spine.
+
+    Scale: identical plan family to ``w_fetch_dense_3d`` — one LWW
+    aggregate keyed by (metric, interval), broadcast 1-row bounds,
+    spine left-join.  The ``now`` scalar is driver-side control flow,
+    exactly like ``entry()``.
+    """
+    from go_whisper_spark.engine import WhisperEngine
+    from go_whisper_spark.model import SeriesConfig
+
+    pts = _points(spark, sf_dir)
+    now = pts.agg(F.max("ts")).first()[0]
+    eng = WhisperEngine(spark, SeriesConfig.from_defs("1h:30d,6h:90d", "average", 0.5))
+    eng.update_many(pts, now)
+    resized = eng.resize(SeriesConfig.from_defs("2h:60d", "average", 0.0))
+    return resized.fetch(now - 3 * DAY, now, now).frame
+
+
+W_RESIZE_SQL = f"""
+WITH {PTS_CTE},
+lww2h AS (
+  SELECT metric,
+         ts_sec - ts_sec % 7200 AS interval,
+         arg_max(value, write_seq) AS value
+  FROM pts
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT (max(ts_sec) - 259200) - (max(ts_sec) - 259200) % 7200 + 7200 AS from_iv,
+         max(ts_sec) - max(ts_sec) % 7200 + 7200 AS until_iv
+  FROM pts
+),
+spine AS (
+  SELECT m.metric, s.interval
+  FROM (SELECT DISTINCT metric FROM pts) m
+  CROSS JOIN (
+    SELECT unnest(generate_series(from_iv, until_iv - 7200, 7200)) AS interval
+    FROM bounds
+  ) s
+)
+SELECT spine.metric, spine.interval, lww2h.value
+FROM spine LEFT JOIN lww2h
+  ON lww2h.metric = spine.metric AND lww2h.interval = spine.interval
+"""
+
+
 # -------------------------------------------------------- w_fetch_coarse_30d
 def w_fetch_coarse_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fetch(now-30d, now) routed to a 6h archive (from-age > 1h-archive
@@ -1566,6 +1625,7 @@ QUERIES = {
     "w_cascade_1d": w_cascade_1d,
     "w_agg_methods_1d": w_agg_methods_1d,
     "w_fetch_dense_3d": w_fetch_dense_3d,
+    "w_resize": w_resize,
     "w_fetch_coarse_30d": w_fetch_coarse_30d,
     "w_retention_7d": w_retention_7d,
     "w_diff_series": w_diff_series,
@@ -1591,6 +1651,7 @@ ORACLES = {
     "w_cascade_1d": W_CASCADE_1D_SQL,
     "w_agg_methods_1d": W_AGG_METHODS_1D_SQL,
     "w_fetch_dense_3d": W_FETCH_DENSE_3D_SQL,
+    "w_resize": W_RESIZE_SQL,
     "w_fetch_coarse_30d": W_FETCH_COARSE_30D_SQL,
     "w_retention_7d": W_RETENTION_7D_SQL,
     "w_percentiles_1d": W_PERCENTILES_SQL,

@@ -148,6 +148,8 @@ SUBSET = [
     "s_semantic_dedup",
     "t_decontam",
     "t_bpe_merge",
+    "m_pcm_resample",
+    "w_resize",
 ]
 
 

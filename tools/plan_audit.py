@@ -321,6 +321,18 @@ CHECKS = {
         forbid=["Exchange", "CartesianProduct", "SortMergeJoin",
                 "BroadcastHashJoin", "Window", "HashAggregate"],
     ),
+    # m_pcm_resample: the audio twin — resample → windowed energy, two
+    # chained narrow Arrow stages, then the per-media integer ledger
+    # (the only aggregate/exchange).  No joins anywhere.
+    "m_pcm_resample": dict(
+        require=["MapInPandas", "partial_count", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "Window"],
+    ),
+    # w_resize: config-only resize — the fetched plan must be exactly
+    # the w_fetch_dense_3d family (LWW partial agg + spine join), with
+    # nothing resembling a data rewrite.
+    "w_resize": dict(require=["partial_max_by"], forbid=["CartesianProduct"]),
     # Holt-Winters bands / aberration: same shape as g_holt_winters —
     # LWW partial agg into ONE grouped Arrow pass per metric; no join.
     "g_holt_winters_bands": dict(
