@@ -101,6 +101,43 @@ _R08_WINDOW = [
     "g_remove_above_pctile", "g_moving_avg_time", "w_lww_1h",
 ]
 
+# The round-9 driver window, pre-materialized for the round-10
+# rotation: first 50 of the registry as committed for round 9's
+# driver run = the 9 new round-9 queries + the 35 never-checked
+# round-8 deferrals + the two round-4 stragglers + 4 of the round-5
+# cohort (test_registry.py asserts list == first-50 so drift is
+# caught before the driver runs).  ROUND-10 TODO: once
+# CORRECTNESS_r09.json exists, verify its keys == this list, then add
+# _R09_WINDOW to `seen` and append
+# `+ [n for n in _R09_WINDOW if n in queries]` at the END of the
+# order in _registry(), exactly as _R07/_R08 were handled — round
+# 10's window then fronts any _R09_DEFERRED entries + the rest of the
+# round-5 cohort + the round-6 cohort.  Queries added AFTER this
+# freeze go in _R09_DEFERRED (below), never in front of the window.
+_R09_WINDOW = [
+    "w_resize", "t_span_dedup", "t_decontam", "t_bpe_merge",
+    "s_pq_search", "s_pq_search_recall", "s_semantic_dedup",
+    "m_pcm_resample", "g_avg_outside_pctile_vt",
+    "g_aggregate_series_lists", "g_group_by_nodes", "g_highest_max",
+    "g_sin_function", "g_counter_wrap", "g_as_percent_series",
+    "st_enrich", "t_seq_packing", "t_pipeline_e2e", "d_split_hash",
+    "t_contamination", "t_repetition", "t_mix_weights", "st_join_1h",
+    "m_resize_stats", "t_dup_spans", "w_retention_expand",
+    "g_remove_between_pctile", "g_random_walk", "t_length_buckets",
+    "d_cc_stars", "t_stratified_sample", "st_cascade_chained",
+    "w_lakehouse_rollup", "m_pcm_energy", "t_bpe_pairs",
+    "d_incremental", "s_mrl_eval", "st_lsh_prefilter",
+    "t_unigram_logprob", "t_bigram_logprob", "s_pq_encode",
+    "s_pq_recall", "w_retention_reap", "w_store_fetch", "w_asof_join",
+    "w_session_window_native", "w_wsp_propagate", "w_sessionize_chunked",
+    "s_cosine_ivf", "st_rollup_lww_1h",
+]
+
+# Queries added late in round 9, after the window freeze above.
+# Never driver-checked; they sort after the round-5 cohort and FRONT
+# the round-10 window (the _R08_DEFERRED pattern).
+_R09_DEFERRED: list = []
+
 # Added late in round 8, after the round-8 window composition (5 new
 # batch-1 queries + the round-4 cohort) was already settled.  Never
 # driver-checked (local exact-typed gate green at sf0.01 + sf0.1), so
@@ -230,12 +267,16 @@ def _registry():
     r08 = set(_R08_WINDOW)
     recent = r07 | r08
     seen = (set(_R6_DEFERRED) | set(_R04_CHECKED) | set(_R05_CHECKED)
-            | set(_R06_CHECKED) | recent | set(_R08_DEFERRED))
+            | set(_R06_CHECKED) | recent | set(_R08_DEFERRED)
+            | set(_R09_DEFERRED))
     order = (
         [n for n in queries if n not in seen]
         + [n for n in _R08_DEFERRED if n in queries]
         + [n for n in _R04_CHECKED if n in queries and n not in recent]
         + [n for n in _R05_CHECKED if n in queries and n not in recent]
+        # Late round-9 additions: past the 50-entry window (the r5
+        # block above still fills it), fronting the round-10 rotation.
+        + [n for n in _R09_DEFERRED if n in queries]
         + [n for n in _R06_CHECKED if n in queries and n not in recent]
         + [n for n in _R07_WINDOW if n in queries]
         + [n for n in _R08_WINDOW if n in queries]

@@ -78,11 +78,23 @@ def test_round9_window_disjoint_from_r08():
         assert name in window, f"{name} (driver evidence stale since r4) missed the window"
 
 
+def test_r09_window_matches_first_fifty():
+    """The pre-materialized round-9 window list (the round-10 rotation
+    seed) must stay equal to the registry's actual first 50 — the
+    drift failure mode enforced every round since round 8.  Late
+    round-9 additions belong in _R09_DEFERRED, which this equality
+    keeps OUT of the window."""
+    queries, _ = entry._registry()
+    assert entry._R09_WINDOW == list(queries)[:50]
+    assert len(set(entry._R09_WINDOW)) == 50
+
+
 def test_checked_cohorts_are_registered():
     """Every cohort name still resolves to a real query (catches renames)."""
     queries, _ = entry._registry()
     for lst in (entry._R04_CHECKED, entry._R05_CHECKED,
                 entry._R6_DEFERRED, entry._R06_CHECKED, entry._R07_WINDOW,
-                entry._R08_WINDOW, entry._R08_DEFERRED):
+                entry._R08_WINDOW, entry._R08_DEFERRED,
+                entry._R09_WINDOW, entry._R09_DEFERRED):
         missing = [n for n in lst if n not in queries]
         assert not missing, f"cohort names not in registry: {missing}"
