@@ -463,13 +463,14 @@ CHECKS = {
         require=["partial_count", "partial_sum"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
-    # SemDeDup: intra-cell pair resolution is an EQUI-join on the cell
-    # id (work ∝ Σ|cell|² by design — the cluster-bounded point on the
-    # dedup cost ladder); keeper verdict is a left join on vec_id.  No
-    # cartesian anywhere.
+    # SemDeDup: intra-cell pair resolution is ONE Arrow kernel per
+    # cell (grouped applyInPandas — work ∝ Σ|cell|² by design, the
+    # cluster-bounded point on the dedup cost ladder); keeper verdict
+    # is a broadcast left join on vec_id.  No cartesian, no
+    # sort-merge anywhere.
     "s_semantic_dedup": dict(
-        require=["partial_count"],
-        forbid=["CartesianProduct"],
+        require=["FlatMapGroupsInPandas", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
     ),
     # Length-bucket ledger: narrow all-integer projection, small-key
     # partial aggregate; join- and window-free.
