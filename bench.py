@@ -87,7 +87,12 @@ HEADLINE = [
     # round 9: the composed PQ-IVF read path (broadcast-probe +
     # ADC + rerank), the exact-substring span REMOVER (postings join +
     # anti-join rebuild), cluster-bounded semantic dedup, and the
-    # decontamination removal ledger
+    # decontamination removal ledger.  NOTE for cross-round totals:
+    # the headline set grew 36 → 40, so compare the common subset
+    # (round-9 idle: common-36 = 25.8 s vs round-8-era 27.1 s;
+    # s_pq_search's 6.6 s includes rebuilding the PQ-IVF index every
+    # run — a one-time cost in any real deployment, kept in the query
+    # so the driver-contract function stays self-contained)
     "s_pq_search",
     "t_span_dedup",
     "s_semantic_dedup",
