@@ -136,7 +136,9 @@ _R09_WINDOW = [
 # Queries added late in round 9, after the window freeze above.
 # Never driver-checked; they sort after the round-5 cohort and FRONT
 # the round-10 window (the _R08_DEFERRED pattern).
-_R09_DEFERRED: list = []
+_R09_DEFERRED: list = [
+    "st_pq_score",
+]
 
 # Added late in round 8, after the round-8 window composition (5 new
 # batch-1 queries + the round-4 cohort) was already settled.  Never

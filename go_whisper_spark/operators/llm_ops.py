@@ -3442,60 +3442,25 @@ LEFT JOIN hits h ON h.qid = q.qid
 
 
 # --------------------------------------------------------- s_pq_search
-PQS_NPROBE = 2  # coarse cells probed per query
-PQS_RERANK = 20  # ADC candidates kept for exact rerank
-# Tuning (sf0.01, vs exact top-3): C=10→0.24, C=20→0.33, C=40→0.41
-# mean recall@3; NPROBE=3/4 at C=20 → 0.333/0.320 — on this corpus the
-# loss is ADC *ordering* inside the probed cells, not cell-miss, so
-# the rerank budget is the knob and extra probes only dilute the ADC
-# top-C.  The ADC-only floor (s_pq_recall) is 0.093; the composed
-# path must stay ≥ it (pinned in tests/test_pq_search.py).
+def pq_ivf_index(spark: SparkSession, sf_dir: str):
+    """The persisted artifacts of a PQ-IVF index build:
+    ``(index, cents)`` where ``index`` = (vec_id, cell, rv, rnorm)
+    and ``cents`` = the 8-row Lloyd-stepped centroid frame
+    (checkpointed — it feeds both the corpus assignment and every
+    reader's routing, and re-deriving the Lloyd lineage per reuse
+    measured 22 s → 12 s at sf0.1 from this checkpoint alone).
 
-
-def s_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed production ANN read path the PQ rung exists for:
-    IVF-route → ADC-scan → exact-rerank, end to end.
-
-    1. **Route**: each of the 50 queries scores the 8 Lloyd-stepped
-       IVF centroids (``_ivf_cells`` — same deterministic coarse
-       quantizer as ``s_cosine_ivf``) and probes its top-``PQS_NPROBE``
-       cells (rounded cosine DESC, cell id ASC).
-    2. **ADC scan**: candidates = corpus vectors assigned to a probed
-       cell; each is scored asymmetrically — exact query vector vs the
-       candidate's 12-bit PQ codeword reconstruction (``_pq_recon``,
-       same codes as ``s_pq_encode``); top-``PQS_RERANK`` kept per
-       query.
-    3. **Exact rerank**: the survivors are re-scored against their
-       true vectors; top-3 emitted with exact sims.
-
-    Scale shape: routing is a 50×8 broadcast probe; the ADC scan joins
-    the (broadcast) routed queries against cells — work ∝ probed cell
-    sizes and the scan reads 12-bit codes + a 32-row broadcast
-    codebook instead of 512 B raw vectors; the rerank touches only
-    |Q|·PQS_RERANK true vectors.  Exactly the IVF-ADC-rerank layout a
-    100 TB vector store serves reads with; ``s_pq_search_recall``
-    prices its quality against the exact scan.
-    """
-    # Materialize the 8-row centroid frame once: cents feeds BOTH the
-    # corpus assignment and the query routing, and the composed DAG
-    # otherwise re-derives the whole Lloyd lineage at every reuse
-    # (measured 22 s → 12 s at sf0.1 from this checkpoint alone;
-    # books/enc are each consumed once, so their lineage needs no
-    # truncation).  At 100 TB the centroids are exactly the artifact
-    # an index BUILD persists for the read path, so the checkpoint is
-    # the honest shape, not a local hack.
+    The single-relation index is built with broadcast-only joins and
+    two chained vec_id groupBys (the second reuses the first's hash
+    partitioning — no extra exchange, and crucially no
+    vector-vs-vector shuffle join).  The original vector is
+    reassembled EXACTLY from the sub-block slices carried through the
+    code assignment (flatten of sv by block == v bit-for-bit), so the
+    cell assignment is identical to s_cosine_ivf's without joining
+    back to the base table."""
     _, cents = _ivf_cells(spark, sf_dir)
     cents = cents.localCheckpoint()
     _, books, enc = _pq_frames(spark, sf_dir)
-
-    # Single-relation PQ-IVF index: (vec_id, cell, rv, rnorm) built
-    # with broadcast-only joins and two chained vec_id groupBys (the
-    # second reuses the first's hash partitioning — no extra
-    # exchange, and crucially no vector-vs-vector shuffle join).  The
-    # original vector is reassembled EXACTLY from the sub-block slices
-    # carried through the code assignment (flatten of sv by block ==
-    # v bit-for-bit), so the cell assignment is identical to
-    # s_cosine_ivf's without joining back to the base table.
     bb = books.select(
         F.col("block").alias("b2"), F.col("cid").alias("cid2"), "cv"
     )
@@ -3537,6 +3502,44 @@ def s_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cell"),
         )
     )
+    return index, cents
+
+
+PQS_NPROBE = 2  # coarse cells probed per query
+PQS_RERANK = 20  # ADC candidates kept for exact rerank
+# Tuning (sf0.01, vs exact top-3): C=10→0.24, C=20→0.33, C=40→0.41
+# mean recall@3; NPROBE=3/4 at C=20 → 0.333/0.320 — on this corpus the
+# loss is ADC *ordering* inside the probed cells, not cell-miss, so
+# the rerank budget is the knob and extra probes only dilute the ADC
+# top-C.  The ADC-only floor (s_pq_recall) is 0.093; the composed
+# path must stay ≥ it (pinned in tests/test_pq_search.py).
+
+
+def s_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN read path the PQ rung exists for:
+    IVF-route → ADC-scan → exact-rerank, end to end.
+
+    1. **Route**: each of the 50 queries scores the 8 Lloyd-stepped
+       IVF centroids (``_ivf_cells`` — same deterministic coarse
+       quantizer as ``s_cosine_ivf``) and probes its top-``PQS_NPROBE``
+       cells (rounded cosine DESC, cell id ASC).
+    2. **ADC scan**: candidates = corpus vectors assigned to a probed
+       cell; each is scored asymmetrically — exact query vector vs the
+       candidate's 12-bit PQ codeword reconstruction (``_pq_recon``,
+       same codes as ``s_pq_encode``); top-``PQS_RERANK`` kept per
+       query.
+    3. **Exact rerank**: the survivors are re-scored against their
+       true vectors; top-3 emitted with exact sims.
+
+    Scale shape: routing is a 50×8 broadcast probe; the ADC scan joins
+    the (broadcast) routed queries against cells — work ∝ probed cell
+    sizes and the scan reads 12-bit codes + a 32-row broadcast
+    codebook instead of 512 B raw vectors; the rerank touches only
+    |Q|·PQS_RERANK true vectors.  Exactly the IVF-ADC-rerank layout a
+    100 TB vector store serves reads with; ``s_pq_search_recall``
+    prices its quality against the exact scan.
+    """
+    index, cents = pq_ivf_index(spark, sf_dir)
 
     # Route: top-NPROBE cells per query (same key as _ivf_assign's
     # argmax, extended to a ranked probe list).
@@ -3659,9 +3662,10 @@ icells AS (
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1
 )"""
 
-# The composed read path down to its top-3 relation (qid, neighbor,
-# sim, rank) — shared by the search oracle and its recall gate.
-_PQ_SEARCH_CTES = f"""{_PQ_CTES},
+# The composed read path down to the ADC candidate relation
+# (qid, vec_id, adc_sim) — shared by the search oracle, its recall
+# gate, and the streaming ADC scorer (st_pq_score).
+_PQ_ADC_CTES = f"""{_PQ_CTES},
 {_IVF_CTES},
 recon AS (
   SELECT n.vec_id, flatten(array_agg(s.cv ORDER BY n.block)) AS rv
@@ -3691,7 +3695,11 @@ adc AS (
   FROM routes q
   JOIN icells c ON c.cell = q.pcell AND c.vec_id != q.qid
   JOIN rn r ON r.vec_id = c.vec_id
-),
+)"""
+
+# …continued down to the reranked top-3 relation (qid, neighbor, sim,
+# rank) — shared by the search oracle and its recall gate.
+_PQ_SEARCH_CTES = f"""{_PQ_ADC_CTES},
 topc AS (
   SELECT qid, qv, qn, vec_id FROM (
     SELECT *, row_number() OVER (

@@ -463,6 +463,60 @@ ORDER BY d.lang
 """
 
 
+# ------------------------------------------------------------ st_pq_score
+def st_pq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online ADC scoring (``streaming/adc.py``) under the oracle: the
+    PQ-IVF index is built once batch-side (``pq_ivf_index`` — the
+    same artifacts ``s_pq_search`` reads), the 50 query vectors
+    arrive as a 3-pass STREAM, each is routed to its top-2 cells
+    INSIDE the Arrow kernel (the 8-row centroid table ships in the
+    task closure — per-key windows don't exist in append streams)
+    and ADC-scored against the broadcast index.  Stateless append
+    stream: no watermark, no state store, arrival order can't
+    matter.  Per-query top-1 selection is the downstream batch
+    aggregate.
+
+    Returned: (qid, neighbor, adc_sim) — each query's best ADC
+    neighbor, the serving-path half of the s_pq_search composition.
+    """
+    from go_whisper_spark.operators.llm_ops import _emb, pq_ivf_index
+    from go_whisper_spark.streaming.adc import adc_candidates
+
+    index, cents = pq_ivf_index(spark, sf_dir)
+    index = index.localCheckpoint()
+    cent_rows = cents.collect()  # 8 rows — control-plane
+    q = _emb(spark, sf_dir).where(F.col("vec_id") < 50).select(
+        "vec_id", "embedding"
+    )
+    marked = q.withColumn("arrive", (F.col("vec_id") % 3).cast("int"))
+    out = _replay(
+        spark, marked, lambda s: adc_candidates(s, cent_rows, index)
+    )
+    cand = spark.read.parquet(out)
+    best = F.max_by(
+        F.struct(F.col("vec_id").alias("neighbor"), F.col("adc_sim")),
+        F.struct(F.col("adc_sim"), (-F.col("vec_id")).alias("nv")),
+    ).alias("b")
+    return cand.groupBy("qid").agg(best).select(
+        "qid", F.col("b.neighbor").alias("neighbor"),
+        F.col("b.adc_sim").alias("adc_sim"),
+    )
+
+
+def _st_pq_score_sql() -> str:
+    from go_whisper_spark.operators.llm_ops import _PQ_ADC_CTES
+
+    return f"""
+WITH {_PQ_ADC_CTES}
+SELECT qid, neighbor, adc_sim FROM (
+  SELECT qid, vec_id AS neighbor, adc_sim,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY adc_sim DESC, vec_id ASC) AS rn
+  FROM adc
+) WHERE rn = 1
+"""
+
+
 # ------------------------------------------------------ st_cascade_chained
 def st_cascade_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DECLARATIVE cascade (``streaming/chained.py``): same config
@@ -796,6 +850,7 @@ QUERIES = {
     "st_join_1h": st_join_1h,
     "st_cascade_chained": st_cascade_chained,
     "st_lsh_prefilter": st_lsh_prefilter,
+    "st_pq_score": st_pq_score,
 }
 
 ORACLES = {
@@ -808,4 +863,5 @@ ORACLES = {
     "st_join_1h": ST_JOIN_1H_SQL,
     "st_cascade_chained": ST_CASCADE_CHAINED_SQL,
     "st_lsh_prefilter": _st_lsh_prefilter_sql(),
+    "st_pq_score": _st_pq_score_sql(),
 }

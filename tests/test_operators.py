@@ -150,6 +150,7 @@ SUBSET = [
     "t_bpe_merge",
     "m_pcm_resample",
     "w_resize",
+    "st_pq_score",
 ]
 
 

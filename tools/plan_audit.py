@@ -641,6 +641,32 @@ def _build_st_chained_level1(spark):
     )
 
 
+def _build_st_pq_score(spark):
+    # The in-stream routing kernel + broadcast PQ-index probe
+    # (streaming/adc.py) on a rate source: the streaming logical plan
+    # must be a stateless MapInPandas + join, nothing else.
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.streaming.adc import adc_candidates
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.col("value").alias("vec_id"),
+            F.array_repeat(F.col("value").cast("float"), 64).alias("embedding"),
+        )
+    )
+    cent_rows = [
+        {"cid": 0, "cv": [1.0] * 64, "cnorm": 8.0},
+        {"cid": 1, "cv": [-1.0] * 64, "cnorm": 8.0},
+    ]
+    index = spark.createDataFrame(
+        [(99, [0.5] * 64, 4.0, 0)],
+        "vec_id long, rv array<double>, rnorm double, cell long",
+    )
+    return adc_candidates(src, cent_rows, index)
+
+
 def _build_st_lsh_prefilter(spark):
     # The in-stream Arrow signature kernel + broadcast index probe
     # (streaming/prefilter.py) on a rate source, so the STREAMING
@@ -688,6 +714,15 @@ BUILDERS = {
         build=_build_st_chained_level1,
         require=["EventTimeWatermark", "Aggregate"],
         forbid=["Join"],
+        streaming=True,
+    ),
+    "st_pq_score_stream": dict(
+        build=_build_st_pq_score,
+        # Stateless in-stream routing kernel + static-index probe: the
+        # pandas stage and the inner join must be in the plan; no
+        # watermark/state/aggregate anywhere on the stream.
+        require=["MapInPandas", "Join Inner"],
+        forbid=["EventTimeWatermark", "Aggregate", "Deduplicate"],
         streaming=True,
     ),
     "st_lsh_prefilter_stream": dict(
