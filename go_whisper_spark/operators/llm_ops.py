@@ -3505,6 +3505,94 @@ def pq_ivf_index(spark: SparkSession, sf_dir: str):
     return index, cents
 
 
+PQ_ROUTED_SCHEMA = "qid long, qn double, qv array<double>, pcell long"
+PQ_ADC_SCHEMA = "qid long, vec_id long, adc_sim double"
+
+
+def pq_route_frame(vecs: DataFrame, cent_rows, n_probe: int) -> DataFrame:
+    """(vec_id, embedding) → ``n_probe`` routed rows per vector, via
+    ONE Arrow kernel against the closure-captured centroid table
+    (``cent_rows``: the collected 8-row frame — control-plane, tiny by
+    construction of the coarse quantizer).  Works identically on a
+    batch frame and on a stream (st_pq_score), which is the point:
+    routing has no per-key window, so the same kernel serves both.
+
+    Exactness: sequential per-dimension accumulation (``_seq_dot``
+    order — bit-identical to the oracle's list_sum fold and the
+    expression chain); rounded cosine DESC, cid ASC, exactly
+    ``_ivf_assign``'s key."""
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
+    cn = np.array([r["cnorm"] for r in cent_rows], dtype=np.float64)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].values).astype(np.float64)
+            n = V.shape[0]
+            qn = np.sqrt(_seq_dot(V, V))
+            sims = np.zeros((n, len(cids)))
+            for k in range(len(cids)):
+                acc = np.zeros(n)
+                for j in range(V.shape[1]):
+                    acc += V[:, j] * C[k, j]
+                sims[:, k] = np.round(acc / (qn * cn[k]), 6)
+            qids, qns, qvs, cells = [], [], [], []
+            for r in range(n):
+                order = np.lexsort((cids, -sims[r]))
+                for k in order[:n_probe]:
+                    qids.append(int(pdf["vec_id"].iloc[r]))
+                    qns.append(float(qn[r]))
+                    qvs.append(V[r])
+                    cells.append(int(cids[k]))
+            yield pd.DataFrame(
+                {"qid": qids, "qn": qns, "qv": qvs, "pcell": cells}
+            )
+
+    return vecs.mapInPandas(fn, schema=PQ_ROUTED_SCHEMA)
+
+
+def pq_adc_score(routed: DataFrame, index: DataFrame) -> DataFrame:
+    """Routed queries × probed cells → (qid, vec_id, adc_sim).
+
+    The routed-query side broadcasts onto the cell-assigned index (the
+    cell id has K distinct values — see the s_cosine_ivf skew note);
+    the asymmetric scoring runs in one Arrow kernel over the joined
+    candidates (the unrolled expression chain falls out of codegen at
+    |candidates| fan-out and evaluates interpreted — the same
+    measured anti-pattern the SemDeDup kernel replaced).  Self-matches
+    excluded."""
+    cand = (
+        F.broadcast(routed)
+        .join(
+            index,
+            (F.col("pcell") == F.col("cell")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "qn", "qv", "vec_id", "rv", "rnorm")
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["qv"].values).astype(np.float64)
+            R = np.stack(pdf["rv"].values).astype(np.float64)
+            sim = np.round(
+                _seq_dot(Q, R) / (pdf["qn"].to_numpy() * pdf["rnorm"].to_numpy()),
+                6,
+            )
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].values,
+                    "vec_id": pdf["vec_id"].values,
+                    "adc_sim": sim,
+                }
+            )
+
+    return cand.mapInPandas(fn, schema=PQ_ADC_SCHEMA)
+
+
 PQS_NPROBE = 2  # coarse cells probed per query
 PQS_RERANK = 20  # ADC candidates kept for exact rerank
 # Tuning (sf0.01, vs exact top-3): C=10→0.24, C=20→0.33, C=40→0.41
@@ -3540,41 +3628,19 @@ def s_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices its quality against the exact scan.
     """
     index, cents = pq_ivf_index(spark, sf_dir)
+    cent_rows = cents.collect()  # 8 rows — control-plane
 
-    # Route: top-NPROBE cells per query (same key as _ivf_assign's
-    # argmax, extended to a ranked probe list).
-    qsim = F.round(
-        _dot_expr("qv", "cv") / (F.col("qn") * F.col("cnorm")), 6
-    ).alias("qsim")
-    qw = Window.partitionBy("qid").orderBy(F.desc("qsim"), F.asc("cid"))
-    routes = (
-        _cos_frames(spark, sf_dir)
-        .where(F.col("vec_id") < 50)
-        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
-                F.col("norm").alias("qn"))
-        .join(F.broadcast(cents))
-        .select("qid", "qv", "qn", "cid", qsim)
-        .withColumn("pr", F.row_number().over(qw))
-        .where(F.col("pr") <= PQS_NPROBE)
-        .select("qid", "qv", "qn", F.col("cid").alias("pcell"))
+    # Route + ADC-score through the SAME Arrow kernels the streaming
+    # scorer (st_pq_score) runs — one code path, batch and online.
+    # Cells are disjoint per vector, so multi-probe produces no
+    # duplicate candidates; only (qid, vec_id, adc_sim) ride the top-C
+    # window (dragging the 64-double query vectors through the rank
+    # shuffle measurably dominated the stage).
+    q = _emb(spark, sf_dir).where(F.col("vec_id") < 50).select(
+        "vec_id", "embedding"
     )
-
-    # ADC scan over the probed cells (cells are disjoint per vector,
-    # so multi-probe produces no duplicate candidates).  Broadcast the
-    # routed-query side: the cell id has K=8 distinct values — see the
-    # s_cosine_ivf skew note.  Only (qid, vec_id, adc_sim) ride the
-    # top-C window: dragging the 64-double query vectors through the
-    # rank shuffle measurably dominated the stage, and the rerank can
-    # re-fetch them from the |Q|-row query frame.
-    adc = F.broadcast(routes).join(
-        index,
-        (F.col("pcell") == F.col("cell")) & (F.col("vec_id") != F.col("qid")),
-    ).select(
-        "qid", "vec_id",
-        F.round(
-            _dot_expr("qv", "rv") / (F.col("qn") * F.col("rnorm")), 6
-        ).alias("adc_sim"),
-    )
+    routes = pq_route_frame(q, cent_rows, PQS_NPROBE)
+    adc = pq_adc_score(routes, index)
     cw = Window.partitionBy("qid").orderBy(F.desc("adc_sim"), F.asc("vec_id"))
     topc = (
         adc.withColumn("cr", F.row_number().over(cw))

@@ -37,57 +37,7 @@ and takes the same dimension-table knobs as any stream-static join.
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
-
-ROUTED_SCHEMA = "qid long, qn double, qv array<double>, pcell long"
-
-
-def routed_stream(stream_vecs: DataFrame, cent_rows, n_probe: int = 2) -> DataFrame:
-    """stream (vec_id, embedding) → ``n_probe`` routed rows per vector.
-
-    ``cent_rows``: the collected 8-row centroid table [(cid, cv,
-    cnorm), …] — control-plane, tiny by construction of the coarse
-    quantizer.  Routing = rounded cosine DESC, cid ASC, exactly the
-    batch router's key.
-    """
-    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
-    C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
-    cn = np.array([r["cnorm"] for r in cent_rows], dtype=np.float64)
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.stack(pdf["embedding"].values).astype(np.float64)
-            n = V.shape[0]
-            qn = np.zeros(n)
-            for j in range(V.shape[1]):
-                qn += V[:, j] * V[:, j]
-            qn = np.sqrt(qn)
-            sims = np.zeros((n, len(cids)))
-            for k in range(len(cids)):
-                acc = np.zeros(n)
-                for j in range(V.shape[1]):
-                    acc += V[:, j] * C[k, j]
-                sims[:, k] = np.round(acc / (qn * cn[k]), 6)
-            qids, qns, qvs, cells = [], [], [], []
-            for r in range(n):
-                order = np.lexsort((cids, -sims[r]))
-                for k in order[:n_probe]:
-                    qids.append(int(pdf["vec_id"].iloc[r]))
-                    qns.append(float(qn[r]))
-                    qvs.append(V[r])
-                    cells.append(int(cids[k]))
-            yield pd.DataFrame(
-                {"qid": qids, "qn": qns, "qv": qvs, "pcell": cells}
-            )
-
-    return stream_vecs.mapInPandas(fn, schema=ROUTED_SCHEMA)
 
 
 def adc_candidates(
@@ -95,21 +45,12 @@ def adc_candidates(
 ) -> DataFrame:
     """stream → (qid, vec_id, adc_sim) candidate rows: route in-kernel,
     probe the broadcast index on the cell id, score asymmetrically
-    against the codeword reconstruction.  Self-matches excluded, as in
-    the batch path."""
-    from go_whisper_spark.operators.llm_ops import _dot_expr
+    against the codeword reconstruction in a second kernel.
+    Self-matches excluded.  Batch and stream run LITERALLY the same
+    code: ``pq_route_frame`` / ``pq_adc_score`` are the kernels
+    ``s_pq_search`` composes, applied here to an unbounded input —
+    which is why the streaming result needs no oracle of its own
+    beyond the shared ADC CTEs."""
+    from go_whisper_spark.operators.llm_ops import pq_adc_score, pq_route_frame
 
-    routed = routed_stream(stream_vecs, cent_rows, n_probe)
-    return (
-        routed.join(
-            F.broadcast(index),
-            (F.col("pcell") == F.col("cell")) & (F.col("vec_id") != F.col("qid")),
-        )
-        .select(
-            "qid",
-            "vec_id",
-            F.round(
-                _dot_expr("qv", "rv") / (F.col("qn") * F.col("rnorm")), 6
-            ).alias("adc_sim"),
-        )
-    )
+    return pq_adc_score(pq_route_frame(stream_vecs, cent_rows, n_probe), index)

@@ -525,14 +525,16 @@ CHECKS = {
         require=["BroadcastHashJoin", "Window"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
-    # Composed IVF→ADC→rerank read path: the routed-query side
-    # broadcasts onto the cell-assigned corpus (8 distinct cell ids —
-    # shuffling on the cell key would funnel through 8 reducers);
-    # codebook/centroid joins broadcast; ADC top-C and the exact
-    # rerank top-3 are per-qid rank windows.  No cartesian, no
-    # sort-merge anywhere in the path.
+    # Composed IVF→ADC→rerank read path: routing + ADC scoring run in
+    # the SAME Arrow kernels as the streaming scorer (MapInPandas);
+    # the routed-query side broadcasts onto the cell-assigned index
+    # (8 distinct cell ids — shuffling on the cell key would funnel
+    # through 8 reducers); codebook/centroid joins broadcast; ADC
+    # top-C and the exact rerank top-3 are per-qid rank windows.  No
+    # cartesian, no sort-merge anywhere in the path.
     "s_pq_search": dict(
-        require=["Window", "BroadcastHashJoin", "BroadcastNestedLoopJoin"],
+        require=["MapInPandas", "Window", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
     # Bigram-LM held-out scoring: model counts partial-aggregate on
