@@ -138,6 +138,7 @@ _R09_WINDOW = [
 # the round-10 window (the _R08_DEFERRED pattern).
 _R09_DEFERRED: list = [
     "st_pq_score",
+    "g_cacti_style",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

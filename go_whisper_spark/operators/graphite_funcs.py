@@ -2411,6 +2411,74 @@ def g_avg_outside_pctile_vt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ g_cacti_style
+def _cents_str(c):
+    """Exact decimal rendering of an integer-cents column ("12.30",
+    "-0.05") — pure integer arithmetic + string ops, so the legend
+    strings are bit-identical cross-engine (printf `%.2f` of a
+    near-boundary double is NOT — Java and C round the unrepresentable
+    2-decimal doubles differently)."""
+    a = F.abs(c)
+    return F.concat(
+        F.when(c < 0, F.lit("-")).otherwise(F.lit("")),
+        F.floor(a / F.lit(100)).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((a % 100).cast("string"), 2, "0"),
+    )
+
+
+def g_cacti_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cactiStyle(seriesList): annotate each series' legend with its
+    Current / Max / Min, Cacti-dashboard style.  Current = the value
+    at the series' LATEST interval (``max_by`` — no window); Max/Min
+    are plain aggregates; the legend string renders the exact
+    2-decimal values via integer-cents string assembly (see
+    ``_cents_str``).  One map-side-combining aggregate per metric —
+    same scan cost as any per-series stat, join-free."""
+    lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
+    per = lww.groupBy("metric").agg(
+        F.max_by("cents", "interval").alias("cur"),
+        F.max("cents").alias("mx"),
+        F.min("cents").alias("mn"),
+    )
+    return per.select(
+        "metric",
+        F.concat(
+            F.col("metric"),
+            F.lit(" Current:"), _cents_str(F.col("cur")),
+            F.lit(" Max:"), _cents_str(F.col("mx")),
+            F.lit(" Min:"), _cents_str(F.col("mn")),
+        ).alias("legend"),
+        (F.col("cur").cast("double") / 100).alias("current"),
+        (F.col("mx").cast("double") / 100).alias("max_value"),
+        (F.col("mn").cast("double") / 100).alias("min_value"),
+    )
+
+
+_CENTS_STR_SQL = """CASE WHEN {c} < 0 THEN '-' ELSE '' END ||
+           CAST(abs({c}) // 100 AS VARCHAR) || '.' ||
+           lpad(CAST(abs({c}) % 100 AS VARCHAR), 2, '0')"""
+
+G_CACTI_STYLE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+per AS (
+  SELECT metric,
+         arg_max({CENTS_SQL}, interval) AS cur,
+         max({CENTS_SQL}) AS mx,
+         min({CENTS_SQL}) AS mn
+  FROM lww1h GROUP BY metric
+)
+SELECT metric,
+       metric || ' Current:' || {_CENTS_STR_SQL.format(c="cur")} ||
+       ' Max:' || {_CENTS_STR_SQL.format(c="mx")} ||
+       ' Min:' || {_CENTS_STR_SQL.format(c="mn")} AS legend,
+       CAST(cur AS DOUBLE) / 100 AS current,
+       CAST(mx AS DOUBLE) / 100 AS max_value,
+       CAST(mn AS DOUBLE) / 100 AS min_value
+FROM per
+"""
+
+
 # ------------------------------------------------------ g_minmax_norm
 def g_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """minMax(series): normalize each series to [0, 1] by its own
@@ -4396,6 +4464,7 @@ QUERIES = {
     "g_limit_sorted": g_limit_sorted,
     "g_avg_outside_pctile": g_avg_outside_pctile,
     "g_avg_outside_pctile_vt": g_avg_outside_pctile_vt,
+    "g_cacti_style": g_cacti_style,
     "g_minmax_norm": g_minmax_norm,
     "g_timestack": g_timestack,
     "g_moving_sum": g_moving_sum,
@@ -4528,6 +4597,7 @@ ORACLES = {
     "g_limit_sorted": G_LIMIT_SORTED_SQL,
     "g_avg_outside_pctile": G_AVG_OUTSIDE_PCTILE_SQL,
     "g_avg_outside_pctile_vt": G_AVG_OUTSIDE_PCTILE_SQL,
+    "g_cacti_style": G_CACTI_STYLE_SQL,
     "g_minmax_norm": G_MINMAX_NORM_SQL,
     "g_timestack": G_TIMESTACK_SQL,
     "g_moving_sum": G_MOVING_SUM_SQL,

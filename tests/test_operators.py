@@ -151,6 +151,7 @@ SUBSET = [
     "m_pcm_resample",
     "w_resize",
     "st_pq_score",
+    "g_cacti_style",
 ]
 
 

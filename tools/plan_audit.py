@@ -256,6 +256,14 @@ CHECKS = {
         forbid=["SinglePartition", "CartesianProduct", "SortMergeJoin",
                 "Window"],
     ),
+    # cactiStyle legend stats: one map-combined per-metric aggregate
+    # (max_by/max/min) + integer-string rendering — join- and
+    # window-free.
+    "g_cacti_style": dict(
+        require=["partial_max_by", "partial_max", "partial_min"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "ShuffledHashJoin", "Window"],
+    ),
     # Stratified sampler: the gate is a narrow codegen expression; the
     # whole query is one partial-combining aggregate — no join, no
     # window, single exchange on the 5-key lang column.
