@@ -517,6 +517,95 @@ SELECT qid, neighbor, adc_sim FROM (
 """
 
 
+# ----------------------------------------------------- st_lakehouse_ingest
+def st_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the ACID commit-log table: events arrive
+    as the 3-pass replay stream, each micro-batch lands through
+    ``lakehouse.incremental_rollup_tx`` (bounds-check → bronze append
+    → touched-day recompute → optimistic commit-log publish), and the
+    result is a snapshot ``read_table`` of the 1h archive — the
+    composition that turns the streaming rollup and the lakehouse
+    layer into one pipeline: exactly-once-published day partitions
+    under micro-batch ingestion, with every intermediate state a
+    readable snapshot.
+
+    Determinism: the final table state is a pure function of the
+    accepted point SET (each commit recomputes its touched days from
+    the full bronze), so arrival order and micro-batch boundaries
+    can't matter — which the replay verifies by construction, and the
+    oracle restates as LWW-1h over the retention-windowed points.
+    Fully-rejected micro-batches (everything outside the 2-day
+    retention) are the no-op contract ``test_fully_rejected_batch``
+    pins.  Scale: per batch the work is O(touched days), the same
+    incremental-maintenance bound as the batch writer; N streaming
+    writers racing on disjoint days is exactly the lakehouse
+    concurrency test matrix.
+    """
+    from go_whisper_spark.lakehouse import (
+        incremental_rollup_tx,
+        read_table,
+        table_path,
+    )
+
+    pts = events_points(spark, sf_dir).select(
+        "metric", "ts", "value", "write_seq"
+    )
+    now = int(pts.agg(F.max("ts")).first()[0])
+    t0 = int(pts.agg(F.min("ts")).first()[0])
+    cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
+    base = _tmpdir()
+    marked = pts.withColumn("arrive", _arrive(t0))
+    feed = marked.drop("arrive")
+    root = _tmpdir()
+    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        if not batch.isEmpty():
+            incremental_rollup_tx(spark, base, cfg, batch, now)
+
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            spark.readStream.schema(feed.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("streaming pass timed out")
+    return read_table(spark, table_path(base, 0)).select(
+        "metric", "interval", "value"
+    )
+
+
+ST_LAKEHOUSE_INGEST_SQL = """
+WITH pts AS (
+  SELECT event_type AS metric,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+bounds AS (SELECT max(ts) AS now FROM pts)
+SELECT metric,
+       ts - ts % 3600 AS interval,
+       arg_max(value, seq) AS value
+FROM pts, bounds
+WHERE ts <= now AND ts > now - 172800
+  AND ts - ts % 3600 > now - 172800
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------ st_cascade_chained
 def st_cascade_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DECLARATIVE cascade (``streaming/chained.py``): same config
@@ -851,6 +940,7 @@ QUERIES = {
     "st_cascade_chained": st_cascade_chained,
     "st_lsh_prefilter": st_lsh_prefilter,
     "st_pq_score": st_pq_score,
+    "st_lakehouse_ingest": st_lakehouse_ingest,
 }
 
 ORACLES = {
@@ -864,4 +954,5 @@ ORACLES = {
     "st_cascade_chained": ST_CASCADE_CHAINED_SQL,
     "st_lsh_prefilter": _st_lsh_prefilter_sql(),
     "st_pq_score": _st_pq_score_sql(),
+    "st_lakehouse_ingest": ST_LAKEHOUSE_INGEST_SQL,
 }

@@ -152,6 +152,7 @@ SUBSET = [
     "w_resize",
     "st_pq_score",
     "g_cacti_style",
+    "st_lakehouse_ingest",
 ]
 
 
