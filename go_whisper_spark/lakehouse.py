@@ -379,6 +379,33 @@ def read_table(
     return spark.read.parquet(*dirs)
 
 
+def _append_bronze(points: DataFrame, base: str) -> str:
+    """Concurrent-writer-safe bronze append: each call writes its OWN
+    uniquely-named ``ingest=<uuid>`` directory under ``points/``.
+
+    Plain parquet append to one shared path is NOT concurrent-safe —
+    racing jobs both stage under ``path/_temporary/0`` and clobber
+    each other's task files at job commit (observed as a
+    FileNotFoundException in the streaming-race test;
+    ``retention.write_points`` keeps that layout for the documented
+    single-writer path).  A per-call output root gives every job a
+    private committer staging dir, the same
+    unique-names-never-mutated discipline as the staged data dirs.
+    The extra ``ingest`` partition key is discovery metadata only —
+    readers filter on ``day`` and drop the rest."""
+    path = os.path.join(base, "points", f"ingest={uuid.uuid4().hex}")
+    from pyspark.sql import functions as F
+
+    (
+        points.withColumn("day", F.to_date(F.timestamp_seconds(F.col("ts"))))
+        .repartition("day")
+        .write.mode("errorifexists")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    return os.path.join(base, "points")
+
+
 def incremental_rollup_tx(
     spark: SparkSession,
     base: str,
@@ -402,13 +429,12 @@ def incremental_rollup_tx(
     from pyspark.sql import functions as F
 
     from go_whisper_spark.engine import WhisperEngine
-    from go_whisper_spark.retention import write_points
 
     accepted = new_points.where(
         (F.col("ts") <= F.lit(now))
         & (F.lit(now) - F.col("ts") < F.lit(config.max_retention))
     )
-    write_points(accepted, base, mode="append")
+    _append_bronze(accepted, base)
     points_path = os.path.join(base, "points")
     batch_days = [
         str(r["day"])
