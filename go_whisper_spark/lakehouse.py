@@ -212,6 +212,11 @@ class CommitLog:
             versions = [v for v in versions if v <= at_version]
         for v in versions:
             c = self.read_commit(v)
+            # Removes apply before replaces: a compaction commit drops
+            # the N input keys and adds its one consolidated key in
+            # the same atomic version (keys are disjoint by protocol).
+            for key in c.get("remove", []):
+                parts.pop(key, None)
             for key, datadir in c.get("replace", {}).items():
                 parts[key] = datadir
             if "watermark" in c:
@@ -265,17 +270,23 @@ class CommitLog:
         replace: Dict[str, str],
         watermark: Optional[dict] = None,
         max_retries: int = 20,
+        remove: Optional[List[str]] = None,
     ) -> int:
-        """Optimistically publish ``replace`` on top of ``base_version``.
+        """Optimistically publish ``replace`` (and optional key
+        ``remove``s — the compaction form) on top of ``base_version``.
 
-        Retries through interleaved commits that touch DISJOINT
-        partitions; raises ConflictError when an interleaved commit
-        replaced one of OUR partitions (staged output is stale).
-        Returns the committed version.
+        Retries through interleaved commits that touch DISJOINT keys;
+        raises ConflictError when an interleaved commit touched one of
+        OUR keys — replaced a partition we replace, or removed/added a
+        key we remove (staged output is stale).  Returns the committed
+        version.
         """
         payload = {"replace": replace}
+        if remove:
+            payload["remove"] = sorted(remove)
         if watermark:
             payload["watermark"] = watermark
+        ours = set(replace) | set(remove or ())
         attempt = base_version + 1
         for _ in range(max_retries):
             if self.try_commit(attempt, payload):
@@ -286,10 +297,11 @@ class CommitLog:
             # though its claim is — wait it out (bounded), the claim
             # guarantees the content is coming.
             other = self._read_commit_when_visible(attempt)
-            overlap = set(other.get("replace", {})) & set(replace)
+            theirs = set(other.get("replace", {})) | set(other.get("remove", []))
+            overlap = theirs & ours
             if overlap:
                 raise ConflictError(
-                    f"partitions {sorted(overlap)} were replaced by commit "
+                    f"keys {sorted(overlap)} were touched by commit "
                     f"{attempt} after our snapshot at {base_version}"
                 )
             attempt += 1
@@ -379,31 +391,85 @@ def read_table(
     return spark.read.parquet(*dirs)
 
 
-def _append_bronze(points: DataFrame, base: str) -> str:
-    """Concurrent-writer-safe bronze append: each call writes its OWN
-    uniquely-named ``ingest=<uuid>`` directory under ``points/``.
+def bronze_table(base: str) -> str:
+    return os.path.join(base, "bronze")
+
+
+def _append_bronze(points: DataFrame, base: str) -> int:
+    """Concurrent-writer-safe bronze append: bronze is its OWN
+    commit-log table — each append stages a uniquely-named
+    day-partitioned directory and publishes it under a fresh
+    ``ingest-<uuid>`` manifest key (add-only, so racing appends can
+    never conflict).
 
     Plain parquet append to one shared path is NOT concurrent-safe —
     racing jobs both stage under ``path/_temporary/0`` and clobber
     each other's task files at job commit (observed as a
     FileNotFoundException in the streaming-race test;
     ``retention.write_points`` keeps that layout for the documented
-    single-writer path).  A per-call output root gives every job a
-    private committer staging dir, the same
-    unique-names-never-mutated discipline as the staged data dirs.
-    The extra ``ingest`` partition key is discovery metadata only —
-    readers filter on ``day`` and drop the rest."""
-    path = os.path.join(base, "points", f"ingest={uuid.uuid4().hex}")
+    single-writer path).  Manifest-tracking is the standard lakehouse
+    layering and is also what makes ``compact_bronze`` possible: small
+    ingest files can be swapped for one consolidated directory in a
+    single atomic remove+add commit."""
     from pyspark.sql import functions as F
 
+    table = bronze_table(base)
+    log = CommitLog(table)
+    d = stage_dir(table)
     (
         points.withColumn("day", F.to_date(F.timestamp_seconds(F.col("ts"))))
         .repartition("day")
         .write.mode("errorifexists")
         .partitionBy("day")
-        .parquet(path)
+        .parquet(d)
     )
-    return os.path.join(base, "points")
+    return log.commit(log.state()["version"], {f"ingest-{uuid.uuid4().hex}": d})
+
+
+def read_bronze(spark: SparkSession, base: str) -> DataFrame:
+    """Snapshot read of the bronze point set: resolve the manifest,
+    union the referenced directories (each read singly so its
+    ``day=…`` partition column is discovered — multi-root reads
+    disable discovery).  Directory count is bounded by compaction."""
+    st = CommitLog(bronze_table(base)).state()
+    dirs = sorted(set(st["partitions"].values()))
+    if not dirs:
+        raise FileNotFoundError(f"bronze table of {base} has no committed data")
+    out = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        out = out.unionByName(spark.read.parquet(d))
+    return out
+
+
+def compact_bronze(spark: SparkSession, base: str) -> Optional[int]:
+    """Swap the current bronze ingest directories for ONE consolidated
+    day-partitioned directory, atomically: a single commit removes the
+    input keys and adds the new one.
+
+    Concurrency by construction: a racing APPEND adds a fresh key —
+    disjoint from our removes, so both land (the appended data was
+    not part of our consolidation input and stays referenced); a
+    racing COMPACTION removes the same keys — key overlap →
+    ConflictError, exactly one consolidation wins.  The superseded
+    directories become unreferenced and age out through ``vacuum``.
+    Returns the committed version, or None if bronze has ≤1 directory.
+    """
+    table = bronze_table(base)
+    log = CommitLog(table)
+    st = log.state()
+    if len(st["partitions"]) <= 1:
+        return None
+    dirs = sorted(set(st["partitions"].values()))
+    df = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        df = df.unionByName(spark.read.parquet(d))
+    out = stage_dir(table)
+    df.repartition("day").write.partitionBy("day").parquet(out)
+    return log.commit(
+        st["version"],
+        {f"ingest-{uuid.uuid4().hex}": out},
+        remove=sorted(st["partitions"]),
+    )
 
 
 def incremental_rollup_tx(
@@ -434,8 +500,6 @@ def incremental_rollup_tx(
         (F.col("ts") <= F.lit(now))
         & (F.lit(now) - F.col("ts") < F.lit(config.max_retention))
     )
-    _append_bronze(accepted, base)
-    points_path = os.path.join(base, "points")
     batch_days = [
         str(r["day"])
         for r in accepted.select(
@@ -447,10 +511,11 @@ def incremental_rollup_tx(
     max_ts = accepted.agg(F.max("ts")).first()[0]
     if max_ts is None:
         # Every point was bounds-rejected (future ts / beyond
-        # maxRetention): nothing to recompute, nothing to commit —
-        # NOT an error, the same no-op contract as whisper dropping
-        # an out-of-window Update.
+        # maxRetention): nothing to recompute, nothing to commit, no
+        # empty bronze commit — NOT an error, the same no-op contract
+        # as whisper dropping an out-of-window Update.
         return {}
+    _append_bronze(accepted, base)
 
     committed = {}
     for i, r in enumerate(config.retentions):
@@ -461,7 +526,7 @@ def incremental_rollup_tx(
         table = table_path(base, i)
         for _ in range(max_recomputes):
             # Snapshot, recompute touched days from bronze, try to publish.
-            all_points = spark.read.parquet(points_path).where(
+            all_points = read_bronze(spark, base).where(
                 F.col("day").isin(batch_days)
             )
             eng = WhisperEngine(spark, config)
