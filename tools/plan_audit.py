@@ -24,9 +24,10 @@ CHECKS = {
     ),
     "r_q3_revenue": dict(require=["BroadcastHashJoin", "PushedFilters"], forbid=["CartesianProduct"]),
     "r_q5_nation_rev": dict(require=["BroadcastHashJoin"], forbid=["SortMergeJoin"]),
-    "w_lww_1h": dict(require=["partial_max_by"], forbid=["CartesianProduct"]),
+    "w_lww_1h": dict(require=["partial_max_by"], forbid=["CartesianProduct"],
+                     pruned=4),  # events has 6 columns
     "w_fetch_dense_3d": dict(require=["partial_max_by"], forbid=["CartesianProduct"]),
-    "s_cosine_topk": dict(require=[], forbid=[]),
+    "s_cosine_topk": dict(require=[], forbid=[], pruned=2),  # embeddings has 3
     # Signatures come from the single narrow Arrow pass (no pre-join
     # aggregates), so the only partial agg left is the shared-shingle count.
     "d_lsh_pairs": dict(require=["partial_count"], forbid=["CartesianProduct"]),
@@ -431,6 +432,7 @@ CHECKS = {
     "t_contamination": dict(
         require=["partial_count"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+        pruned=2,  # documents has 5 columns — only (doc_id, text) scan
     ),
     # Repetition signal: pure narrow projection — the whole scan must
     # stay in one exchange-free codegen stage.
@@ -463,6 +465,7 @@ CHECKS = {
     "t_span_dedup": dict(
         require=["partial_min", "partial_count"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+        pruned=2,  # documents has 5 columns — only (doc_id, text) scan
     ),
     # Decontamination removal: the 5%-split test shingle set probes the
     # train postings via equi-join; the verdict joins back by doc_id;
