@@ -140,6 +140,7 @@ _R09_DEFERRED: list = [
     "st_pq_score",
     "g_cacti_style",
     "st_lakehouse_ingest",
+    "w_lakehouse_timetravel",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

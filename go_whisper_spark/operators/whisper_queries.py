@@ -1602,9 +1602,78 @@ HAVING count(*) >= 3
 """
 
 
+# ---------------------------------------------------- w_lakehouse_timetravel
+def w_lakehouse_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel under the driver's oracle: two sequential
+    ``incremental_rollup_tx`` batches (split at the time midpoint),
+    then the 1h archive read back at BOTH the version the first batch
+    committed (``read_table(version=v1)``) and the latest snapshot,
+    union'd with a ``snapshot`` label.
+
+    What this pins end-to-end (beyond tests/test_lakehouse.py's
+    state-resolution tests): the version-pinned replay reproduces the
+    exact historical table — v1 must equal the LWW of the FIRST
+    batch's points alone, even though bronze has since grown and the
+    shared day partitions were recomputed and superseded; the commits
+    are immutable, so the oracle can restate both snapshots from the
+    raw events.  Scale: two manifest resolutions + two pruned scans —
+    time travel costs a log replay, never a data rewrite.
+    """
+    import tempfile
+
+    from go_whisper_spark.lakehouse import (
+        incremental_rollup_tx,
+        read_table,
+        table_path,
+    )
+    from go_whisper_spark.model import SeriesConfig
+
+    pts = _points(spark, sf_dir)
+    bounds = pts.agg(F.min("ts").alias("a"), F.max("ts").alias("b")).first()
+    t0, now = int(bounds["a"]), int(bounds["b"])
+    mid = t0 + (now - t0) // 2
+    cfg = SeriesConfig.from_defs("1h:90d", "max", 0.0)
+    base = tempfile.mkdtemp(prefix="gws_lake_")
+    v1 = incremental_rollup_tx(
+        spark, base, cfg, pts.where(F.col("ts") <= mid), now
+    )[0]
+    incremental_rollup_tx(spark, base, cfg, pts.where(F.col("ts") > mid), now)
+    t = table_path(base, 0)
+    early = read_table(spark, t, version=v1).select(
+        "metric", "interval", "value"
+    ).withColumn("snapshot", F.lit("v1"))
+    late = read_table(spark, t).select(
+        "metric", "interval", "value"
+    ).withColumn("snapshot", F.lit("latest"))
+    return early.unionByName(late)
+
+
+W_LAKEHOUSE_TIMETRAVEL_SQL = f"""
+WITH {PTS_CTE},
+bounds AS (SELECT min(ts_sec) AS t0, max(ts_sec) AS now FROM pts),
+lww1 AS (
+  SELECT metric, ts_sec - ts_sec % 3600 AS interval,
+         arg_max(value, write_seq) AS value
+  FROM pts, bounds
+  WHERE ts_sec <= t0 + (now - t0) // 2
+  GROUP BY 1, 2
+),
+lwwall AS (
+  SELECT metric, ts_sec - ts_sec % 3600 AS interval,
+         arg_max(value, write_seq) AS value
+  FROM pts
+  GROUP BY 1, 2
+)
+SELECT metric, interval, value, 'v1' AS snapshot FROM lww1
+UNION ALL
+SELECT metric, interval, value, 'latest' AS snapshot FROM lwwall
+"""
+
+
 QUERIES = {
     "w_retention_expand": w_retention_expand,
     "w_lakehouse_rollup": w_lakehouse_rollup,
+    "w_lakehouse_timetravel": w_lakehouse_timetravel,
     "w_retention_reap": w_retention_reap,
     "w_store_fetch": w_store_fetch,
     "w_wsp_roundtrip": w_wsp_roundtrip,
@@ -1635,6 +1704,7 @@ QUERIES = {
 ORACLES = {
     "w_retention_expand": W_RETENTION_EXPAND_SQL,
     "w_lakehouse_rollup": W_LAKEHOUSE_ROLLUP_SQL,
+    "w_lakehouse_timetravel": W_LAKEHOUSE_TIMETRAVEL_SQL,
     "w_retention_reap": W_RETENTION_REAP_SQL,
     "w_store_fetch": W_STORE_FETCH_SQL,
     "w_wsp_roundtrip": W_WSP_ROUNDTRIP_SQL,

@@ -153,6 +153,7 @@ SUBSET = [
     "st_pq_score",
     "g_cacti_style",
     "st_lakehouse_ingest",
+    "w_lakehouse_timetravel",
 ]
 
 
