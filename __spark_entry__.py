@@ -101,19 +101,16 @@ _R08_WINDOW = [
     "g_remove_above_pctile", "g_moving_avg_time", "w_lww_1h",
 ]
 
-# The round-9 driver window, pre-materialized for the round-10
-# rotation: first 50 of the registry as committed for round 9's
-# driver run = the 9 new round-9 queries + the 35 never-checked
-# round-8 deferrals + the two round-4 stragglers + 4 of the round-5
-# cohort (test_registry.py asserts list == first-50 so drift is
-# caught before the driver runs).  ROUND-10 TODO: once
-# CORRECTNESS_r09.json exists, verify its keys == this list, then add
-# _R09_WINDOW to `seen` and append
-# `+ [n for n in _R09_WINDOW if n in queries]` at the END of the
-# order in _registry(), exactly as _R07/_R08 were handled — round
-# 10's window then fronts any _R09_DEFERRED entries + the rest of the
-# round-5 cohort + the round-6 cohort.  Queries added AFTER this
-# freeze go in _R09_DEFERRED (below), never in front of the window.
+# The round-9 driver window == CORRECTNESS_r09.json keys (verified
+# 50/50 hash-green; test_registry.py pins set equality).  ROUND-10
+# rotation APPLIED (with the corrected edit from VERDICT r9 item 1):
+# _R09_WINDOW joined `recent` and is ordered LAST, and the
+# _R08_DEFERRED block was deleted from the order (it is a strict
+# subset of _R09_WINDOW — keeping it second would have made round
+# 10's window overlap round 9's by 41/50).  Round 10's window fronts
+# the 4 never-checked _R09_DEFERRED entries, then the round-5 cohort
+# (driver evidence stale since r5), overflowing into the round-6
+# cohort — zero overlap with round 9's window.
 _R09_WINDOW = [
     "w_resize", "t_span_dedup", "t_decontam", "t_bpe_merge",
     "s_pq_search", "s_pq_search_recall", "s_semantic_dedup",
@@ -134,14 +131,33 @@ _R09_WINDOW = [
 ]
 
 # Queries added late in round 9, after the window freeze above.
-# Never driver-checked; they sort after the round-5 cohort and FRONT
-# the round-10 window (the _R08_DEFERRED pattern).
+# Never driver-checked; they FRONT the round-10 window right after
+# any genuinely-new round-10 queries (the _R08_DEFERRED pattern).
 _R09_DEFERRED: list = [
     "st_pq_score",
     "g_cacti_style",
     "st_lakehouse_ingest",
     "w_lakehouse_timetravel",
 ]
+
+# The round-10 driver window, pre-materialized for the round-11
+# rotation: first 50 of the registry as committed for round 10's
+# driver run (test_registry.py asserts list == first-50 so drift is
+# caught before the driver runs).  ROUND-11 TODO: once
+# CORRECTNESS_r10.json exists, verify its keys == this list, then
+# (a) add _R10_WINDOW to `recent`, (b) append
+# `+ [n for n in _R10_WINDOW if n in queries]` at the END of the
+# order in _registry(), and (c) make sure no deferred-block sitting
+# early in the order is a subset of _R10_WINDOW without an
+# `and n not in recent` filter (the round-9→10 footgun).  Queries
+# added AFTER this freeze go in _R10_DEFERRED (below), never in
+# front of the window.  Populated mid-round once round-10's new
+# queries have landed; empty list means "not yet frozen" and the
+# first-50 equality test skips.
+_R10_WINDOW: list = []
+
+# Queries added late in round 10, after the window freeze above.
+_R10_DEFERRED: list = []
 
 # Added late in round 8, after the round-8 window composition (5 new
 # batch-1 queries + the round-4 cohort) was already settled.  Never
@@ -263,28 +279,32 @@ def _registry():
         queries.update(getattr(mod, "QUERIES", {}))
         oracles.update(getattr(mod, "ORACLES", {}))
 
-    # _R6_DEFERRED is a strict subset of _R07_WINDOW (all 25 deferrals
-    # were checked green in round 7), so it no longer needs its own
-    # block; it stays in `seen` only to keep the subset relation
-    # explicit.  Every name checked in round 7 sorts LAST regardless of
-    # which older cohort also lists it.
+    # _R6_DEFERRED ⊂ _R07_WINDOW and _R08_DEFERRED ⊂ _R09_WINDOW (all
+    # deferrals were checked green the following round), so neither
+    # needs its own block; they stay in `seen` only to keep the subset
+    # relations explicit.  Every name checked in rounds 7-9 sorts LAST
+    # regardless of which older cohort also lists it.
     r07 = set(_R07_WINDOW)
     r08 = set(_R08_WINDOW)
-    recent = r07 | r08
+    r09 = set(_R09_WINDOW)
+    recent = r07 | r08 | r09
     seen = (set(_R6_DEFERRED) | set(_R04_CHECKED) | set(_R05_CHECKED)
             | set(_R06_CHECKED) | recent | set(_R08_DEFERRED)
-            | set(_R09_DEFERRED))
+            | set(_R09_DEFERRED) | set(_R10_DEFERRED))
     order = (
         [n for n in queries if n not in seen]
-        + [n for n in _R08_DEFERRED if n in queries]
+        # Never-driver-checked round-9 late additions front the
+        # round-10 window, right after any genuinely-new queries.
+        + [n for n in _R09_DEFERRED if n in queries]
         + [n for n in _R04_CHECKED if n in queries and n not in recent]
         + [n for n in _R05_CHECKED if n in queries and n not in recent]
-        # Late round-9 additions: past the 50-entry window (the r5
-        # block above still fills it), fronting the round-10 rotation.
-        + [n for n in _R09_DEFERRED if n in queries]
         + [n for n in _R06_CHECKED if n in queries and n not in recent]
+        # Late round-10 additions: past the 50-entry window, fronting
+        # the round-11 rotation.
+        + [n for n in _R10_DEFERRED if n in queries]
         + [n for n in _R07_WINDOW if n in queries]
         + [n for n in _R08_WINDOW if n in queries]
+        + [n for n in _R09_WINDOW if n in queries]
     )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}

@@ -97,6 +97,12 @@ HEADLINE = [
     "t_span_dedup",
     "s_semantic_dedup",
     "t_decontam",
+    # round 10: the PQ serving path against the memoized pre-built
+    # index (the warm-up rep builds + checkpoints it; every timed rep
+    # prices route→ADC→rerank alone — the read-path number a 100 TB
+    # vector store actually serves at.  s_pq_search stays registered
+    # as the self-contained build+serve form).
+    "s_pq_search_serve",
 ]
 
 
@@ -127,6 +133,11 @@ def main():
     timings_min = {n: round(min(v), 3) for n, v in samples.items()}
     total = round(sum(timings.values()), 3)
 
+    # stdout carries ONE compact JSON line — the driver's tail-capture
+    # window truncated round 9's line when it carried both `queries`
+    # and `queries_min` for 40 headliners (BENCH_r09 "parsed": null).
+    # Per-query minima (run-to-run spread) go to stderr and a local
+    # sidecar file instead.
     print(
         json.dumps(
             {
@@ -138,12 +149,20 @@ def main():
                 # not directly comparable across that method change.
                 "method": f"sum_of_median{REPS}",
                 "queries": timings,
-                "queries_min": timings_min,
                 "reps": REPS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
+    spread = json.dumps({"queries_min": timings_min, "reps": REPS, "sf": sf})
+    print(spread, file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_spread.json"), "w") as fh:
+            fh.write(spread + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -3628,8 +3628,15 @@ def s_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices its quality against the exact scan.
     """
     index, cents = pq_ivf_index(spark, sf_dir)
-    cent_rows = cents.collect()  # 8 rows — control-plane
+    return _pq_read_path(spark, sf_dir, index, cents.collect())
 
+
+def _pq_read_path(
+    spark: SparkSession, sf_dir: str, index: DataFrame, cent_rows
+) -> DataFrame:
+    """Route → ADC-scan → exact-rerank against an already-built PQ-IVF
+    index — the serving half of ``s_pq_search`` (shared verbatim by
+    ``s_pq_search_serve``, which prices it without the build)."""
     # Route + ADC-score through the SAME Arrow kernels the streaming
     # scorer (st_pq_score) runs — one code path, batch and online.
     # Cells are disjoint per vector, so multi-probe produces no
@@ -3673,12 +3680,52 @@ def s_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-process memo of built PQ-IVF indexes, keyed by (session, corpus).
+# The index is the PERSISTED artifact of a one-time build in any real
+# deployment; memoizing it is what lets s_pq_search_serve price the
+# route→ADC→rerank serving path alone (VERDICT r9 item 3: the 7.2 s
+# bench number for s_pq_search was dominated by rebuilding the index
+# every rep).  localCheckpoint pins the materialized frame to the
+# session, so the cache key includes the session identity.
+_PQ_INDEX_CACHE: dict = {}
+
+
+def pq_ivf_index_cached(spark: SparkSession, sf_dir: str):
+    """``pq_ivf_index`` built at most once per (session, corpus):
+    returns ``(index, cent_rows)`` with the single-relation index
+    localCheckpointed (truncated lineage — readers pay a columnar
+    scan of (vec_id, cell, rv, rnorm), never the build DAG) and the
+    8-row centroid table collected to driver rows for closure-shipping
+    into the routing kernel."""
+    key = (id(spark), sf_dir)
+    hit = _PQ_INDEX_CACHE.get(key)
+    if hit is None:
+        index, cents = pq_ivf_index(spark, sf_dir)
+        hit = (index.localCheckpoint(), cents.collect())
+        _PQ_INDEX_CACHE[key] = hit
+    return hit
+
+
+def s_pq_search_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``s_pq_search``'s serving path against a pre-built index: the
+    route → ADC-scan → exact-rerank cost alone, which is the number
+    that matters at 100 TB (a production vector store builds the
+    PQ-IVF index once and serves reads from it; the in-query rebuild
+    that dominates ``s_pq_search``'s bench entry is a one-time cost).
+    First call per (session, corpus) builds and checkpoints the index;
+    every subsequent call — and every bench rep after the warm-up —
+    reuses it.  Results are identical to ``s_pq_search`` (same
+    kernels, same index contents), so it shares the oracle."""
+    index, cent_rows = pq_ivf_index_cached(spark, sf_dir)
+    return _pq_read_path(spark, sf_dir, index, cent_rows)
+
+
 def s_pq_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@3 of the composed IVF→ADC→rerank path
     (``s_pq_search``) against the exact top-3 — prices the full read
     path, not just the codes: cell-miss loss from NPROBE-of-8 routing
-    plus any ADC-ordering loss the 10-candidate exact rerank fails to
-    recover."""
+    plus any ADC-ordering loss the ``PQS_RERANK``-candidate (20)
+    exact rerank fails to recover."""
     return _recall_vs_exact(spark, sf_dir, s_pq_search(spark, sf_dir))
 
 
@@ -4735,6 +4782,7 @@ QUERIES = {
     "s_pq_encode": s_pq_encode,
     "s_pq_recall": s_pq_recall,
     "s_pq_search": s_pq_search,
+    "s_pq_search_serve": s_pq_search_serve,
     "s_pq_search_recall": s_pq_search_recall,
     "s_semantic_dedup": s_semantic_dedup,
 }
@@ -4795,6 +4843,9 @@ ORACLES = {
     "s_pq_encode": _s_pq_encode_sql(),
     "s_pq_recall": _s_pq_recall_sql(),
     "s_pq_search": _s_pq_search_sql(),
+    # Identical results by construction (same kernels, same index
+    # contents; only the build is memoized) — shares the oracle.
+    "s_pq_search_serve": _s_pq_search_sql(),
     "s_pq_search_recall": _s_pq_search_recall_sql(),
     "s_semantic_dedup": _s_semantic_dedup_sql(),
 }

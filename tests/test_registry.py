@@ -62,11 +62,11 @@ def test_r08_window_matches_driver_record():
 
 
 def test_round9_window_disjoint_from_r08():
-    """First 50 of the rotated registry must not re-check round 8
-    (nor round 7), and must include every never-driver-checked
-    round-8 deferral plus the two round-4 stragglers."""
-    queries, _ = entry._registry()
-    window = list(queries)[:50]
+    """The round-9 window (now the historical _R09_WINDOW list) did
+    not re-check round 8 (nor round 7), and included every
+    never-driver-checked round-8 deferral plus the two round-4
+    stragglers."""
+    window = entry._R09_WINDOW
     rec8 = _correctness(8)
     overlap = set(window) & set(rec8.keys())
     assert not overlap, f"round-9 window re-checks round-8 greens: {sorted(overlap)}"
@@ -78,15 +78,42 @@ def test_round9_window_disjoint_from_r08():
         assert name in window, f"{name} (driver evidence stale since r4) missed the window"
 
 
-def test_r09_window_matches_first_fifty():
-    """The pre-materialized round-9 window list (the round-10 rotation
-    seed) must stay equal to the registry's actual first 50 — the
-    drift failure mode enforced every round since round 8.  Late
-    round-9 additions belong in _R09_DEFERRED, which this equality
-    keeps OUT of the window."""
-    queries, _ = entry._registry()
-    assert entry._R09_WINDOW == list(queries)[:50]
+def test_r09_window_matches_driver_record():
+    """_R09_WINDOW (the round-10 rotation seed) must equal the window
+    the driver actually hashed in round 9 (50/50 green)."""
+    rec = _correctness(9)
+    assert len(entry._R09_WINDOW) == 50
     assert len(set(entry._R09_WINDOW)) == 50
+    assert set(entry._R09_WINDOW) == set(rec.keys())
+
+
+def test_round10_window_disjoint_from_r09():
+    """First 50 of the rotated registry must not re-check round 9
+    (nor round 8) — the corrected rotation from VERDICT r9 item 1:
+    as staged, the _R08_DEFERRED block (a strict subset of
+    _R09_WINDOW) would have produced a 41/50 overlap.  Must also
+    front every never-driver-checked round-9 deferral."""
+    queries, _ = entry._registry()
+    window = list(queries)[:50]
+    assert not set(window) & set(entry._R09_WINDOW), (
+        "round-10 window re-checks round-9 greens")
+    rec8 = _correctness(8)
+    assert not set(window) & set(rec8.keys())
+    missing = [n for n in entry._R09_DEFERRED if n not in window]
+    assert not missing, f"never-checked deferrals missed the window: {missing}"
+
+
+def test_r10_window_matches_first_fifty():
+    """Once frozen mid-round, the pre-materialized round-10 window
+    list (the round-11 rotation seed) must stay equal to the
+    registry's actual first 50 — the drift failure mode enforced
+    every round since round 8.  Late round-10 additions belong in
+    _R10_DEFERRED, which this equality keeps OUT of the window."""
+    if not entry._R10_WINDOW:
+        pytest.skip("_R10_WINDOW not yet frozen this round")
+    queries, _ = entry._registry()
+    assert entry._R10_WINDOW == list(queries)[:50]
+    assert len(set(entry._R10_WINDOW)) == 50
 
 
 def test_checked_cohorts_are_registered():
