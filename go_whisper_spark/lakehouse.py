@@ -114,7 +114,14 @@ class CoordinationClaimer(CommitClaimer):
     for tests and single-process use; a production deployment
     implements the same two-method shape against the real service.
     Share ONE instance across the writers that must be serialized
-    (exactly as they would share the external service)."""
+    (exactly as they would share the external service).  Two separate
+    instances — or one mixed with a ``PosixLinkClaimer`` — do NOT
+    serialize against each other for slots neither has published yet:
+    both can win the same in-flight slot and the second object write
+    clobbers the first.  The only safe mix is sequential (process
+    restart over an already-published log — ``os.path.exists`` covers
+    that, and test_coordination_claimer_covers_preexisting_slot pins
+    it); see ``CommitLog``."""
 
     def __init__(self):
         self._lock = threading.Lock()
@@ -129,12 +136,22 @@ class CoordinationClaimer(CommitClaimer):
                 return False
             self._claimed.add(path)
         # Non-atomic store write AFTER the won claim (the S3 PUT).
-        tmp = path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "wb") as fh:
-            fh.write(data)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, path)
+        # A failure here must RELEASE the claim — otherwise the slot
+        # is claimed-but-invisible forever and every racing commit()
+        # blocks out its visibility timeout and dies on
+        # FileNotFoundError with no recovery (a crashed-writer claim
+        # in the real service expires the same way, via its TTL).
+        try:
+            tmp = path + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, path)
+        except BaseException:
+            with self._lock:
+                self._claimed.discard(path)
+            raise
         return True
 
 
@@ -146,7 +163,20 @@ class CommitLog:
     """The ordered-JSON-files commit log of one table directory.
 
     ``claimer`` selects the store's atomic-publish primitive
-    (default: ``PosixLinkClaimer``); see ``CommitClaimer``."""
+    (default: ``PosixLinkClaimer``); see ``CommitClaimer``.
+
+    Claimer-identity contract: all CONCURRENT writers of one table
+    must share the same primitive — either PosixLinkClaimer (any
+    instances; the filesystem is the shared state) or ONE shared
+    CoordinationClaimer instance (its conditional-insert set is the
+    shared state).  Mixing a CoordinationClaimer with any other
+    claimer concurrently lets two writers win the same in-flight slot
+    (the coordination instance cannot see the other writer's claim
+    until the object is published).  This cannot be asserted here
+    without breaking the legitimate sequential mix — a restart
+    bringing a coordination service up over an existing log — so it
+    is a documented deployment contract, same as public Delta's
+    "all S3 writers must share the LogStore" rule."""
 
     def __init__(self, table: str, claimer: Optional[CommitClaimer] = None):
         self.table = table
@@ -324,6 +354,7 @@ def commit_rollup_days(
     table: str,
     day_frames: Dict[str, DataFrame],
     watermark: Optional[dict] = None,
+    base_version: Optional[int] = None,
 ) -> int:
     """Stage + commit one rollup batch: {day -> recomputed frame}.
 
@@ -334,9 +365,19 @@ def commit_rollup_days(
     ConflictError the staged dirs are simply abandoned (invisible
     garbage, collectable by any later vacuum) and the error
     propagates for the caller to recompute.
+
+    ``base_version`` is the caller's READ snapshot of this table —
+    pass the version observed BEFORE reading the inputs the frames
+    were computed from, so any same-day commit that lands after that
+    read raises ConflictError instead of being silently overwritten
+    (``incremental_rollup_tx`` snapshots it before its bronze read).
+    When omitted, the commit bases itself on the current version —
+    only safe when the frames do not depend on other writers' data
+    (single-writer use, or frames computed from external inputs).
     """
     log = CommitLog(table)
-    base_version = log.state()["version"]
+    if base_version is None:
+        base_version = log.state()["version"]
     replace = {}
     for day, frame in day_frames.items():
         d = stage_dir(table)
@@ -383,11 +424,24 @@ def read_table(
     ``version`` pins a time-travel read — the scan covers exactly the
     data directories the commit log referenced at that version
     (reproducible until ``vacuum``'s retention window reclaims a
-    superseded directory, the standard lakehouse trade)."""
+    superseded directory, the standard lakehouse trade).  A pinned
+    read whose directories were already reclaimed fails UP FRONT with
+    a clear error naming the trade, not a mid-scan path error from
+    the parquet reader (tested by
+    test_time_travel_after_vacuum_fails_cleanly)."""
     state = CommitLog(table).state(at_version=version)
     dirs = sorted(set(state["partitions"].values()))
     if not dirs:
         raise FileNotFoundError(f"lake table {table} has no committed data")
+    if version is not None:
+        gone = [d for d in dirs if not os.path.isdir(d)]
+        if gone:
+            raise FileNotFoundError(
+                f"time travel to version {version} of {table} is no longer "
+                f"reproducible: {len(gone)} referenced data directories "
+                f"(e.g. {gone[0]}) were reclaimed by vacuum — pinned reads "
+                "are only guaranteed inside the vacuum retention window"
+            )
     return spark.read.parquet(*dirs)
 
 
@@ -525,7 +579,17 @@ def incremental_rollup_tx(
             )
         table = table_path(base, i)
         for _ in range(max_recomputes):
-            # Snapshot, recompute touched days from bronze, try to publish.
+            # Snapshot the ARCHIVE table's version FIRST, then read
+            # bronze.  Order matters: a racer that appends bronze and
+            # commits a shared day between our bronze read and a
+            # later version snapshot would land at a version <= our
+            # base, the overlap check would never see it, and our
+            # commit would publish a day frame silently missing the
+            # racer's points.  Snapshotting before the bronze read
+            # closes the window: any same-day commit after this line
+            # raises ConflictError below and we recompute from the
+            # bronze that now includes the racer's points.
+            base_version = CommitLog(table).state()["version"]
             all_points = read_bronze(spark, base).where(
                 F.col("day").isin(batch_days)
             )
@@ -553,6 +617,7 @@ def incremental_rollup_tx(
                     table,
                     day_frames,
                     watermark={f"level_{i}_max_ts": int(max_ts)},
+                    base_version=base_version,
                 )
                 break
             except ConflictError:

@@ -313,3 +313,118 @@ def test_fully_rejected_batch_is_a_noop(spark, tmp_path):
     )
     assert incremental_rollup_tx(spark, base, cfg, rejected, NOW) == {}
     assert CommitLog(table_path(base, 0)).versions() == []
+
+
+def test_commit_rollup_days_respects_caller_snapshot(spark, tmp_path):
+    """commit_rollup_days must base the commit on the CALLER's read
+    snapshot when given one: a same-day commit landing after that
+    snapshot (even before this call starts) must raise ConflictError
+    instead of silently superseding the racer (ADVICE r9, high)."""
+    table = str(tmp_path / "lake")
+    sch = "metric string, interval long, value double"
+    df_a = spark.createDataFrame([("m", 1, 1.0)], sch)
+    df_b = spark.createDataFrame([("m", 2, 2.0)], sch)
+    log = CommitLog(table)
+    base_version = log.state()["version"]  # A's read snapshot (-1)
+    commit_rollup_days(spark, table, {"2023-11-01": df_b})  # racer B
+    with pytest.raises(ConflictError):
+        commit_rollup_days(
+            spark, table, {"2023-11-01": df_a}, base_version=base_version
+        )
+    # B's data survived; A never published its stale frame.
+    assert read_table(spark, table).agg(F.sum("value")).first()[0] == 2.0
+
+
+def test_rollup_tx_lost_update_window_closed(spark, tmp_path):
+    """The ADVICE-r9 lost-update interleave, forced deterministically:
+    writer A reads bronze and recomputes, then racer B appends bronze
+    AND commits the SAME day, then A publishes.  A's base version is
+    snapshotted BEFORE its bronze read, so B's commit overlaps A's
+    attempt, A gets ConflictError and recomputes from the bronze that
+    now includes B's points.  Pre-fix (base resolved inside
+    commit_rollup_days, after B landed) A's stale b1-only frame
+    published cleanly and silently dropped B's points."""
+    import go_whisper_spark.lakehouse as lh
+
+    cfg = SeriesConfig.from_defs("1h:2d", "sum", 0.0)
+    base = str(tmp_path / "store")
+    b1 = spark.createDataFrame(
+        [("m", NOW - 3600 * h, 1.0, h) for h in range(1, 5)], PTS_SCHEMA
+    )
+    # Disjoint hour slots within the SAME day — b2 at the same ts
+    # would legitimately supersede b1 via LWW, masking the race.
+    b2 = spark.createDataFrame(
+        [("m", NOW - 3600 * h, 10.0, 100 + h) for h in range(5, 9)], PTS_SCHEMA
+    )
+
+    real_commit = lh.commit_rollup_days
+    fired = {"done": False}
+
+    def racing_commit(spark_, table, day_frames, watermark=None,
+                      base_version=None):
+        if not fired["done"]:
+            fired["done"] = True
+            # Racer B lands in A's window: after A's bronze read and
+            # recompute, before A's publish.  B sees A's bronze append
+            # (b1+b2 → 11.0/slot); A's staged frames are still b1-only.
+            incremental_rollup_tx(spark_, base, cfg, b2, NOW)
+        return real_commit(spark_, table, day_frames,
+                           watermark=watermark, base_version=base_version)
+
+    lh.commit_rollup_days = racing_commit
+    try:
+        incremental_rollup_tx(spark, base, cfg, b1, NOW)
+    finally:
+        lh.commit_rollup_days = real_commit
+
+    out = read_table(spark, table_path(base, 0))
+    # All 8 slots from both batches.  A silent lost update (the
+    # pre-fix behavior) publishes A's stale b1-only frame over B's
+    # full recompute: 4 slots, sum 4.0.
+    assert out.count() == 8
+    assert out.agg(F.sum("value")).first()[0] == pytest.approx(
+        4 * 1.0 + 4 * 10.0
+    )
+    # Two commits on level 0: B's, then A's conflict-retried recompute.
+    assert CommitLog(table_path(base, 0)).versions() == [0, 1]
+
+
+def test_coordination_claim_released_on_write_failure(tmp_path):
+    """A failure between the in-memory claim and the object publish
+    must RELEASE the claim — otherwise the slot is claimed-but-
+    invisible forever and every racing commit blocks out its
+    visibility timeout (ADVICE r9, low)."""
+    claimer = CoordinationClaimer()
+    missing = str(tmp_path / "nodir" / "00000000000.json")
+    with pytest.raises(FileNotFoundError):
+        claimer.claim(missing, b"{}")  # tmp write fails: no directory
+    os.makedirs(os.path.dirname(missing))
+    assert claimer.claim(missing, b'{"replace": {}}')  # slot recovered
+    assert not claimer.claim(missing, b"{}")  # and stays exclusive
+
+
+def test_time_travel_after_vacuum_fails_cleanly(spark, tmp_path):
+    """VERDICT r9 item 7: the time-travel x vacuum trade is a TESTED
+    contract.  Inside the retention window a pinned read reproduces
+    the old snapshot (vacuum's age gate protects the superseded dir);
+    after vacuum reclaims it, the pinned read fails UP FRONT with an
+    error naming the trade — not a mid-scan parquet path error."""
+    table = str(tmp_path / "lake")
+    sch = "metric string, interval long, value double"
+    df1 = spark.createDataFrame([("m", 1, 1.0)], sch)
+    df2 = spark.createDataFrame([("m", 1, 2.0)], sch)
+    v1 = commit_rollup_days(spark, table, {"2023-11-01": df1})
+    commit_rollup_days(spark, table, {"2023-11-01": df2})  # supersedes v1
+
+    # Inside retention (default 1h min age): vacuum leaves the young
+    # superseded dir alone, the pinned read still reproduces v1.
+    assert vacuum(table) == []
+    assert read_table(spark, table, version=v1).first()["value"] == 1.0
+
+    # Outside retention: vacuum reclaims it; the pinned read raises a
+    # clear FileNotFoundError, the head read is untouched.
+    removed = vacuum(table, min_age_seconds=0)
+    assert len(removed) == 1
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        read_table(spark, table, version=v1)
+    assert read_table(spark, table).first()["value"] == 2.0
