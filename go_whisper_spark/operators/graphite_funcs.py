@@ -710,8 +710,8 @@ def g_remove_above_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted position ceil(0.9·n)) — pure ordering, no interpolation, so
     it is float-exact in both engines; ties at the boundary share one
     value, making the cutoff tiebreak-independent.  Two-pass plan:
-    per-metric threshold (tiny relation) broadcast back against the
-    slot rows.
+    the per-metric threshold relation (O(n_metrics) rows) joins back
+    un-hinted — AQE sizes it at runtime.
     """
     lww = _lww1h(spark, sf_dir)
     w = Window.partitionBy("metric").orderBy("value")
@@ -724,7 +724,7 @@ def g_remove_above_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("p90"))
     )
     return (
-        lww.join(F.broadcast(thresh), "metric")
+        lww.join(thresh, "metric")
         .where(F.col("value") <= F.col("p90"))
         .select("metric", "interval", "value", "p90")
     )
@@ -1431,7 +1431,7 @@ def g_nth_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("metric")
         .agg(F.max("value").alias("p95"))
     )
-    return lww.join(F.broadcast(thresh), "metric").select(
+    return lww.join(thresh, "metric").select(
         "metric", "interval", "p95"
     )
 
@@ -1571,15 +1571,19 @@ WHERE regexp_matches(metric, '^(c|v)')
 def g_maximum_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     """maximumAbove(seriesList, 360): keep series whose peak exceeds
     the threshold.  Max of raw doubles is float-exact (no arithmetic),
-    so the compare needs no integer detour; winners broadcast back to
-    slots like the other selectors."""
+    so the compare needs no integer detour.  The winner set is
+    data-dependent and O(n_metrics) in the worst case, so the
+    join-back carries NO broadcast hint — AQE sizes it at runtime
+    (broadcast at test scale, shuffled when a 10^7-metric universe
+    makes the set multi-hundred-MB); same policy across the selector
+    family and ``d_incremental``."""
     lww = _lww1h(spark, sf_dir)
     winners = (
         lww.groupBy("metric")
         .agg(F.max("value").alias("max_value"))
         .where(F.col("max_value") > 360.0)
     )
-    return lww.join(F.broadcast(winners), "metric").select(
+    return lww.join(winners, "metric").select(
         "metric", "interval", "value", "max_value"
     )
 
@@ -1606,7 +1610,7 @@ def g_minimum_below(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("value").alias("min_value"))
         .where(F.col("min_value") < 0.05)
     )
-    return lww.join(F.broadcast(winners), "metric").select(
+    return lww.join(winners, "metric").select(
         "metric", "interval", "value", "min_value"
     )
 
@@ -1635,7 +1639,7 @@ def g_average_below(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sc") < 5100 * F.col("n"))
         .select("metric", _avg6(F.col("sc"), F.col("n")).alias("avg_value"))
     )
-    return lww.join(F.broadcast(winners), "metric").select(
+    return lww.join(winners, "metric").select(
         "metric", "interval", "value", "avg_value"
     )
 
@@ -1737,7 +1741,7 @@ def g_offset_to_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay integral until one final /100)."""
     lww = _lww1h(spark, sf_dir).withColumn("cents", _cents())
     mins = lww.groupBy("metric").agg(F.min("cents").alias("min_c"))
-    return lww.join(F.broadcast(mins), "metric").select(
+    return lww.join(mins, "metric").select(
         "metric",
         "interval",
         ((F.col("cents") - F.col("min_c")).cast("double") / F.lit(100.0)).alias("zeroed"),
@@ -2065,7 +2069,7 @@ def g_remove_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("value").alias("known"), F.count("*").alias("total"))
         .where(F.col("known") * 10 >= F.col("total") * 9)
     )
-    return dense.join(F.broadcast(winners), "metric").select(
+    return dense.join(winners, "metric").select(
         "metric", "interval", "value", "known", "total"
     )
 
@@ -2306,7 +2310,7 @@ def g_avg_outside_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
     low = per.orderBy(F.asc("avg_value"), F.asc("metric")).limit(cut)
     high = per.orderBy(F.desc("avg_value"), F.desc("metric")).limit(cut)
     winners = low.union(high).dropDuplicates(["metric"])
-    return lww.join(F.broadcast(winners), "metric").select(
+    return lww.join(winners, "metric").select(
         "metric", "interval", "value", "avg_value"
     )
 
@@ -2406,7 +2410,7 @@ def g_avg_outside_pctile_vt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("metric", "avg_value")
         .dropDuplicates(["metric"])
     )
-    return lww.join(F.broadcast(winners), "metric").select(
+    return lww.join(winners, "metric").select(
         "metric", "interval", "value", "avg_value"
     )
 
@@ -2489,7 +2493,7 @@ def g_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = lww.groupBy("metric").agg(
         F.min("cents").alias("min_c"), F.max("cents").alias("max_c")
     )
-    return lww.join(F.broadcast(rng), "metric").select(
+    return lww.join(rng, "metric").select(
         "metric",
         "interval",
         F.when(
@@ -2672,7 +2676,7 @@ def g_use_series_above(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("max_value") > 360.0)
         .select("metric", F.regexp_replace("metric", "^", "hot.").alias("alias"))
     )
-    return lww.join(F.broadcast(winners), "metric").select(
+    return lww.join(winners, "metric").select(
         "alias", "metric", "interval", "value"
     )
 
@@ -3395,7 +3399,7 @@ def g_current_below(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max_by("value", "interval").alias("current_value"))
         .where(F.col("current_value") < 50.0)
     )
-    return lww.join(F.broadcast(per), "metric").select(
+    return lww.join(per, "metric").select(
         "metric", "interval", "value", "current_value"
     )
 
@@ -4306,7 +4310,7 @@ def g_remove_between_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        lww.join(F.broadcast(thresh), "metric")
+        lww.join(thresh, "metric")
         .where((F.col("value") < F.col("p30")) | (F.col("value") > F.col("p70")))
         .select("metric", "interval", "value", "p30", "p70")
     )

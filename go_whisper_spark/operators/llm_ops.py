@@ -3933,7 +3933,7 @@ def s_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(dedup_cell, "vec_id long")
         .withColumn("dup", F.lit(1))
     )
-    return cells.join(F.broadcast(dropped), "vec_id", "left").select(
+    return cells.join(dropped, "vec_id", "left").select(
         "vec_id",
         "cell",
         F.when(F.col("dup").isNull(), F.lit(1)).otherwise(F.lit(0))

@@ -244,18 +244,72 @@ CHECKS = {
     # relation — rank-window-free, no single-partition Exchange, and
     # NO Window operator anywhere (the old form ranked the whole
     # per-metric relation through one partition).
+    # The n/2-metric winner set joins back UN-HINTED (it is O(n) by
+    # construction — a forced broadcast is a multi-hundred-MB driver
+    # ship at 10^7 metrics); AQE must still CHOOSE broadcast from
+    # runtime stats at test scale — the d_incremental pattern.
     "g_avg_outside_pctile": dict(
-        require=["TakeOrderedAndProject", "BroadcastHashJoin"],
-        forbid=["SinglePartition", "CartesianProduct", "SortMergeJoin",
-                "Window"],
+        require=["TakeOrderedAndProject"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["SinglePartition", "CartesianProduct", "Window"],
     ),
     # Value-threshold (two-pass histogram) form: full buckets pass by
     # narrow filter; ONLY the two boundary buckets run a TakeOrdered —
     # same forbid list, same no-rank-window discipline.
     "g_avg_outside_pctile_vt": dict(
-        require=["TakeOrderedAndProject", "BroadcastHashJoin"],
-        forbid=["SinglePartition", "CartesianProduct", "SortMergeJoin",
-                "Window"],
+        require=["TakeOrderedAndProject"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["SinglePartition", "CartesianProduct", "Window"],
+    ),
+    # The rest of the un-hinted selector/normalizer family (VERDICT r9
+    # item 4): each joins an O(n_metrics)-bounded winner/threshold
+    # relation back onto the slots with NO broadcast hint; AQE must
+    # still CHOOSE broadcast from runtime stats at test scale, and
+    # nothing may go cartesian.
+    "g_maximum_above": dict(
+        require=["partial_max"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "Window"],
+    ),
+    "g_minimum_below": dict(
+        require=["partial_min"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "Window"],
+    ),
+    "g_average_below": dict(
+        require=["partial_sum", "partial_count"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "Window"],
+    ),
+    "g_remove_empty": dict(
+        require=["partial_count"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct"],
+    ),
+    "g_use_series_above": dict(
+        require=["partial_max"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "Window"],
+    ),
+    "g_remove_above_pctile": dict(
+        require=["Window", "partial_max"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct"],
+    ),
+    "g_nth_percentile": dict(
+        require=["Window", "partial_max"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct"],
+    ),
+    "g_offset_to_zero": dict(
+        require=["partial_min"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "Window"],
+    ),
+    "g_minmax_norm": dict(
+        require=["partial_min", "partial_max"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "Window"],
     ),
     # cactiStyle legend stats: one map-combined per-metric aggregate
     # (max_by/max/min) + integer-string rendering — join- and
@@ -282,11 +336,13 @@ CHECKS = {
                  "partial_count"],
         forbid=["SinglePartition", "CartesianProduct", "SortMergeJoin"],
     ),
-    # currentBelow: the 5-row filtered dimension must broadcast back
-    # onto the slots — never sort-merge.
+    # currentBelow: the filtered winner dimension is data-dependent
+    # (O(n_metrics) worst case) so it joins back un-hinted; AQE must
+    # still choose broadcast from runtime stats at test scale.
     "g_current_below": dict(
-        require=["BroadcastHashJoin", "partial_max_by"],
-        forbid=["CartesianProduct", "SortMergeJoin"],
+        require=["partial_max_by"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct"],
     ),
     # summarize-last: two-level max_by consolidation, map-side combine.
     "g_summarize_last": dict(
@@ -439,10 +495,12 @@ CHECKS = {
     "t_repetition": dict(require=[], forbid=["Exchange"]),
     # removeBetweenPercentile: same two-pass shape as the other
     # percentile filters — per-metric rank window, conditional-max
-    # thresholds, broadcast join back; no shuffle join, no cartesian.
+    # thresholds, un-hinted O(n_metrics) join back (AQE broadcasts at
+    # test scale); no cartesian.
     "g_remove_between_pctile": dict(
-        require=["Window", "BroadcastHashJoin", "partial_max"],
-        forbid=["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin"],
+        require=["Window", "partial_max"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct"],
     ),
     # Seeded random walk: generator (bounds agg + sequence spine) with
     # ONE global cumsum window over the O(range/step) spine — ~720
@@ -476,12 +534,13 @@ CHECKS = {
     ),
     # SemDeDup: intra-cell pair resolution is ONE Arrow kernel per
     # cell (grouped applyInPandas — work ∝ Σ|cell|² by design, the
-    # cluster-bounded point on the dedup cost ladder); keeper verdict
-    # is a broadcast left join on vec_id.  No cartesian, no
-    # sort-merge anywhere.
+    # cluster-bounded point on the dedup cost ladder); the dropped-set
+    # verdict left join is un-hinted (dropped size is data-dependent),
+    # with AQE choosing broadcast at test scale.  No cartesian.
     "s_semantic_dedup": dict(
-        require=["FlatMapGroupsInPandas", "BroadcastHashJoin"],
-        forbid=["CartesianProduct", "SortMergeJoin"],
+        require=["FlatMapGroupsInPandas"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct"],
     ),
     # Length-bucket ledger: narrow all-integer projection, small-key
     # partial aggregate; join- and window-free.
