@@ -4513,8 +4513,9 @@ def t_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two passes over the token stream — pair-count
     (map-side-combined, tiny pair alphabet) → 1-row best-pair
     broadcast → merge+recount, again narrow + map-side-combined.
-    Exactly how one distributed BPE round runs at 100 TB; iterating =
-    repeating this stage with the merge table broadcast.
+    Exactly how one distributed BPE round runs at 100 TB; the chained
+    multi-round trainer — general symbol pairs, self-pairs included —
+    is ``t_bpe_train2`` / ``bpe_merge_round``.
     """
     d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
     pairs = F.expr(
@@ -4591,6 +4592,157 @@ newpairs AS (
   SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
                                i -> syms[i] || '+' || syms[i + 1])) AS pair
   FROM merged
+  WHERE len(syms) >= 2
+)
+SELECT pair, count(*) AS n
+FROM newpairs
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 20
+"""
+
+
+# -------------------------------------------------------- t_bpe_train2
+BPE_SEP = "\x01"  # never occurs in [a-z0-9]+ tokens
+
+
+def bpe_merge_round(toks: DataFrame) -> DataFrame:
+    """One GENERAL BPE merge round over symbol sequences (column
+    ``syms array<string>``) — no distinct-char restriction: self-pairs
+    (``s``+``s``) merge with the exact greedy left-to-right
+    non-overlap semantics of a reference BPE trainer ("ssss" merges
+    twice, "sss" once).
+
+    The greedy scan stays entirely JVM-side.  The symbol array is
+    encoded as a \\x01-delimited string with every symbol wrapped
+    (``␁X␁␁Y␁␁Z␁``), so the pair pattern ``␁X␁␁Y␁`` can only match at
+    full-symbol boundaries — never a symbol suffix/prefix — and the
+    merge is one ``replace``: SQL ``replace`` substitutes occurrences
+    left-to-right and continues scanning AFTER each replacement,
+    which IS the greedy non-overlap rule, with identical semantics in
+    Spark (UTF8String.replace), DuckDB, and the Python golden model
+    (tests/test_bpe_merge.py pins the self-pair fixture).
+
+    Plan per round: adjacent-pair count (map-side combined — the
+    exchange carries one row per distinct pair per partition, a tiny
+    alphabet) → 1-row best-pair broadcast → narrow codegen merge
+    expression.  A multi-round trainer is this stage chained; at
+    100 TB each round is one scan + one tiny-alphabet shuffle.
+    """
+    s, ss = BPE_SEP, BPE_SEP * 2
+    pairs = toks.where(F.size("syms") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1),"
+                " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+            )
+        ).alias("p")
+    )
+    best = (
+        pairs.groupBy("p.l", "p.r")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+        .limit(1)
+        .select("l", "r")
+    )
+    return (
+        toks.crossJoin(F.broadcast(best))
+        .withColumn(
+            "enc",
+            F.expr(
+                f"replace(concat('{s}', array_join(syms, '{ss}'), '{s}'),"
+                f"        concat('{s}', l, '{ss}', r, '{s}'),"
+                f"        concat('{s}', l, r, '{s}'))"
+            ),
+        )
+        .select(
+            F.expr(
+                f"filter(split(substring(enc, 2, length(enc) - 2), '{ss}'),"
+                " x -> x != '')"
+            ).alias("syms")
+        )
+    )
+
+
+def t_bpe_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained BPE merge iterations — the multi-round trainer loop
+    ``t_bpe_merge``'s docstring promises: round 1 picks and applies
+    the best character pair, round 2 re-pairs the merged SYMBOL
+    sequences and applies the next best pair (which may involve the
+    round-1 merge product, and may be a SELF-pair — no distinct-char
+    restriction, see ``bpe_merge_round``).  Output: the round-3
+    candidate pair table (top 20, count desc / pair asc, symbols
+    joined with '+') over the twice-merged corpus."""
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    toks = d.select(F.explode("tokens").alias("t")).select(
+        F.expr(
+            "transform(sequence(1, length(t)), i -> substr(t, i, 1))"
+        ).alias("syms")
+    )
+    for _ in range(2):
+        toks = bpe_merge_round(toks)
+    return (
+        toks.where(F.size("syms") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> concat(syms[i - 1], '+', syms[i]))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One DuckDB merge-round CTE chain (pairs/best/enc/syms) mirroring
+    ``bpe_merge_round`` — chr(1)-wrapped encode, left-to-right
+    ``replace`` merge, same (count DESC, l ASC, r ASC) best pick."""
+    p = f"syms{i - 1}"
+    return f"""pairs{i} AS (
+  SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                               i -> {{'l': syms[i], 'r': syms[i + 1]}})) AS p
+  FROM {p}
+  WHERE len(syms) >= 2
+),
+best{i} AS (
+  SELECT p.l AS l, p.r AS r FROM pairs{i}
+  GROUP BY p.l, p.r
+  ORDER BY count(*) DESC, p.l ASC, p.r ASC
+  LIMIT 1
+),
+enc{i} AS (
+  SELECT replace(chr(1) || array_to_string(syms, chr(1) || chr(1)) || chr(1),
+                 chr(1) || l || chr(1) || chr(1) || r || chr(1),
+                 chr(1) || l || r || chr(1)) AS e
+  FROM {p}, best{i}
+),
+syms{i} AS (
+  SELECT list_filter(string_split(substr(e, 2, length(e) - 2),
+                                  chr(1) || chr(1)),
+                     x -> x != '') AS syms
+  FROM enc{i}
+)"""
+
+
+T_BPE_TRAIN2_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_SQL}) AS t FROM documents
+),
+syms0 AS (
+  SELECT list_transform(generate_series(1, strlen(t)), i -> substr(t, i, 1)) AS syms
+  FROM toks
+),
+{_bpe_round_sql(1)},
+{_bpe_round_sql(2)},
+newpairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                               i -> syms[i] || '+' || syms[i + 1])) AS pair
+  FROM syms2
   WHERE len(syms) >= 2
 )
 SELECT pair, count(*) AS n
@@ -4771,6 +4923,7 @@ QUERIES = {
     "t_span_dedup": t_span_dedup,
     "t_decontam": t_decontam,
     "t_bpe_merge": t_bpe_merge,
+    "t_bpe_train2": t_bpe_train2,
     "t_length_buckets": t_length_buckets,
     "d_cc_stars": d_cc_stars,
     "t_stratified_sample": t_stratified_sample,
@@ -4830,6 +4983,7 @@ ORACLES = {
     "t_span_dedup": T_SPAN_DEDUP_SQL,
     "t_decontam": T_DECONTAM_SQL,
     "t_bpe_merge": T_BPE_MERGE_SQL,
+    "t_bpe_train2": T_BPE_TRAIN2_SQL,
     "t_length_buckets": T_LENGTH_BUCKETS_SQL,
     # Same component semantics as d_neardup_clusters — the recursive-CTE
     # transitive closure is the oracle for BOTH implementations.

@@ -50,3 +50,77 @@ def test_bpe_merge_matches_python_greedy(spark, sf_dir):
     _, want = _python_model(texts)
     got = [(r.pair, r.n) for r in t_bpe_merge(spark, sf_dir).collect()]
     assert got == want
+
+
+def _greedy_merge_syms(syms, pair):
+    """Greedy left-to-right non-overlap merge over SYMBOL sequences —
+    the reference semantics for any pair, including self-pairs."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _python_model_rounds(texts, rounds):
+    """Multi-round trainer model: NO distinct-char restriction — best
+    pair by (count DESC, (l, r) ASC), greedy merge, repeat."""
+    toks = [
+        list(t) for x in texts for t in re.findall(r"[a-z0-9]+", x.lower())
+    ]
+    for _ in range(rounds):
+        pc = Counter(
+            (s[i], s[i + 1]) for s in toks for i in range(len(s) - 1)
+        )
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        toks = [_greedy_merge_syms(s, best) for s in toks]
+    np_ = Counter(
+        f"{s[i]}+{s[i + 1]}" for s in toks for i in range(len(s) - 1)
+    )
+    return sorted(np_.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+
+def test_bpe_train2_matches_python_greedy(spark, sf_dir):
+    from go_whisper_spark.operators.llm_ops import _docs, t_bpe_train2
+
+    texts = [r.text for r in _docs(spark, sf_dir).select("text").collect()]
+    want = _python_model_rounds(texts, 2)
+    got = [(r.pair, r.n) for r in t_bpe_train2(spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_bpe_merge_round_self_pair_is_greedy(spark):
+    """The self-pair overlap case the old distinct-char restriction
+    fenced off: best pair ('s','s') must merge greedily left-to-right
+    — "ssss" twice, "sss" once — exactly like the Python reference."""
+    from go_whisper_spark.operators.llm_ops import bpe_merge_round
+
+    rows = [(list("ssss"),), (list("sss"),), (list("tss"),), (["t", "t"],)]
+    toks = spark.createDataFrame(rows, "syms array<string>")
+    # pair counts: (s,s) 3+2+1=6, (t,s) 1, (t,t) 1 → best = (s,s)
+    got = sorted(tuple(r.syms) for r in bpe_merge_round(toks).collect())
+    want = sorted(
+        tuple(_greedy_merge_syms(list(s), ("s", "s")))
+        for s in ("ssss", "sss", "tss", "tt")
+    )
+    assert got == want
+    assert ("ss", "ss") in got and ("ss", "s") in got
+
+
+def test_bpe_merge_round_merged_symbol_pairs(spark):
+    """Round-2 shape: a pair whose LEFT side is a round-1 merge
+    product ('ab') must match at full-symbol boundaries only — the
+    'b' inside 'ab' can never pair as a standalone symbol."""
+    from go_whisper_spark.operators.llm_ops import bpe_merge_round
+
+    rows = [(["ab", "c", "x"],), (["ab", "c"],), (["a", "b", "c"],)]
+    toks = spark.createDataFrame(rows, "syms array<string>")
+    # (ab,c) appears twice — best; (a,b)/(b,c)/(c,x) once each
+    got = sorted(tuple(r.syms) for r in bpe_merge_round(toks).collect())
+    assert got == sorted(
+        [("abc", "x"), ("abc",), ("a", "b", "c")]
+    )

@@ -562,6 +562,15 @@ CHECKS = {
     # the set-size verify join; the flagged sets must broadcast back
     # onto the shard (never shuffle the shard for a 2-column flag),
     # and nothing may go nested-loop.
+    # Two-round BPE trainer: per round, a map-side-combined pair count
+    # (tiny alphabet), a 1-row best-pair broadcast (nested-loop on a
+    # single row is the intended shape), and a narrow codegen merge
+    # expression — no cartesian, no shuffle join anywhere.
+    "t_bpe_train2": dict(
+        require=["partial_count"],
+        forbid=["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin",
+                "Window"],
+    ),
     # Incremental dedup: the flagged-dup joins carry NO broadcast hint
     # (dup-set size is data-dependent); at test scale AQE must still
     # CHOOSE broadcast from the post-checkpoint stats at runtime —
