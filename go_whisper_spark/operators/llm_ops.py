@@ -3098,6 +3098,154 @@ FROM tok d LEFT JOIN ka k ON d.doc_id = k.doc_id
 """
 
 
+def _t_span_dedup_min_len(
+    spark: SparkSession, sf_dir: str, min_len: int
+) -> DataFrame:
+    """Length-parameterized MAXIMAL-span removal — the Lee et al. 2022
+    form ``t_span_dedup`` approximates at fixed k=3: duplicate 3-gram
+    positions are merged into maximal duplicated runs per document
+    (two dup positions chain when they are ≤ k apart, i.e. their
+    token coverage overlaps or abuts), and only runs whose total
+    covered length is ≥ ``min_len`` tokens are excised.  At
+    ``min_len=3`` (every run qualifies) this is exactly
+    ``t_span_dedup``'s coverage (pinned in tests); at ≥50 it is the
+    published suffix-array policy at shingle granularity.
+
+    Scale shape: identical postings plan (shingle-keyed min(struct)
+    first occurrence + postings equi-join, work ∝ postings, df-cutoff
+    fence) plus ONE extra doc-keyed pass: the gaps-and-islands window
+    (lag + running sum, partitioned by doc_id — never global) that
+    merges positions into runs.  Runs are disjoint by construction,
+    so the coverage explode needs no de-dup, one shuffle fewer than
+    the fixed-k form."""
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    toks = d.select(
+        "doc_id", F.posexplode("tokens").alias("tpos0", "tok")
+    ).select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "tok")
+    pos = d.select(
+        "doc_id", F.posexplode(F.expr(_SHINGLES_EXPR)).alias("p0", "sh")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "sh")
+    first = pos.groupBy("sh").agg(F.min(F.struct("doc_id", "pos")).alias("f"))
+    dup = pos.join(first, "sh").where(
+        (F.col("doc_id") != F.col("f.doc_id")) | (F.col("pos") != F.col("f.pos"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        dup.select("doc_id", "pos")
+        .withColumn(
+            "new_run",
+            F.when(F.col("pos") - F.lag("pos").over(w) <= 3, F.lit(0))
+            .otherwise(F.lit(1)),
+        )
+        .withColumn("run_id", F.sum("new_run").over(w))
+    )
+    spans = (
+        runs.groupBy("doc_id", "run_id")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + 2).alias("e"))
+        .where(F.col("e") - F.col("s") + 1 >= min_len)
+    )
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence("s", "e")).alias("tpos")
+    )
+    kept = toks.join(covered, ["doc_id", "tpos"], "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("clean_text"),
+    )
+    base = d.select("doc_id", F.size("tokens").cast("long").alias("n_tok"))
+    return base.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        (F.col("n_tok") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def t_span_dedup_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-span removal at min_len=5 — see _t_span_dedup_min_len."""
+    return _t_span_dedup_min_len(spark, sf_dir, 5)
+
+
+def t_span_dedup_l9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-span removal at min_len=9 — only long duplicated runs
+    are excised; short incidental 3-gram repeats survive."""
+    return _t_span_dedup_min_len(spark, sf_dir, 9)
+
+
+def _t_span_dedup_min_len_sql(min_len: int) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents
+),
+toks AS (
+  SELECT doc_id, u.tpos AS tpos, u.tok AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(tokens)),
+                                 i -> {{'tpos': i, 'tok': tokens[i]}})) AS u
+    FROM tok)
+),
+pos AS (
+  SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(tokens) - 2),
+             i -> {{'pos': i,
+                    'sh': tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]}})) AS u
+    FROM tok)
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
+  FROM pos
+),
+dup AS (
+  SELECT doc_id, pos FROM ranked WHERE rn > 1
+),
+runs AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 3
+              THEN 0 ELSE 1 END AS new_run
+  FROM dup
+),
+runids AS (
+  SELECT doc_id, pos,
+         sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 2 AS e
+  FROM runids GROUP BY doc_id, run_id
+  HAVING max(pos) + 2 - min(pos) + 1 >= {min_len}
+),
+covered AS (
+  SELECT doc_id, unnest(generate_series(s, e)) AS tpos FROM spans
+),
+kept AS (
+  SELECT t.doc_id, t.tpos, t.tok
+  FROM toks t ANTI JOIN covered c
+    ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+),
+ka AS (
+  SELECT doc_id, count(*) AS n_kept,
+         array_to_string(array_agg(tok ORDER BY tpos), ' ') AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.tokens) AS BIGINT) AS n_tok,
+       CAST(len(d.tokens) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(k.clean_text, '') AS clean_text
+FROM tok d LEFT JOIN ka k ON d.doc_id = k.doc_id
+"""
+
+
 # ---------------------------------------------------- t_length_buckets
 def t_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching ledger: documents grouped into
@@ -4921,6 +5069,8 @@ QUERIES = {
     "t_mix_weights": t_mix_weights,
     "t_dup_spans": t_dup_spans,
     "t_span_dedup": t_span_dedup,
+    "t_span_dedup_l5": t_span_dedup_l5,
+    "t_span_dedup_l9": t_span_dedup_l9,
     "t_decontam": t_decontam,
     "t_bpe_merge": t_bpe_merge,
     "t_bpe_train2": t_bpe_train2,
@@ -4981,6 +5131,8 @@ ORACLES = {
     "t_mix_weights": T_MIX_WEIGHTS_SQL,
     "t_dup_spans": T_DUP_SPANS_SQL,
     "t_span_dedup": T_SPAN_DEDUP_SQL,
+    "t_span_dedup_l5": _t_span_dedup_min_len_sql(5),
+    "t_span_dedup_l9": _t_span_dedup_min_len_sql(9),
     "t_decontam": T_DECONTAM_SQL,
     "t_bpe_merge": T_BPE_MERGE_SQL,
     "t_bpe_train2": T_BPE_TRAIN2_SQL,

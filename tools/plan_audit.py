@@ -525,6 +525,21 @@ CHECKS = {
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
         pruned=2,  # documents has 5 columns — only (doc_id, text) scan
     ),
+    # Maximal-span variants: same postings plan + ONE doc-keyed
+    # gaps-and-islands window (lag + running sum) — partitioned by
+    # doc_id, never a single-partition exchange.
+    "t_span_dedup_l5": dict(
+        require=["partial_min", "partial_count", "Window"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "SinglePartition"],
+        pruned=2,
+    ),
+    "t_span_dedup_l9": dict(
+        require=["partial_min", "partial_count", "Window"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "SinglePartition"],
+        pruned=2,
+    ),
     # Decontamination removal: the 5%-split test shingle set probes the
     # train postings via equi-join; the verdict joins back by doc_id;
     # 5-key ledger.  Never nested-loop / cartesian.
