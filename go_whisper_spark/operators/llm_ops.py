@@ -4754,7 +4754,7 @@ LIMIT 20
 BPE_SEP = "\x01"  # never occurs in [a-z0-9]+ tokens
 
 
-def bpe_merge_round(toks: DataFrame) -> DataFrame:
+def bpe_merge_round(toks: DataFrame, with_best: bool = False):
     """One GENERAL BPE merge round over symbol sequences (column
     ``syms array<string>``) — no distinct-char restriction: self-pairs
     (``s``+``s``) merge with the exact greedy left-to-right
@@ -4791,10 +4791,9 @@ def bpe_merge_round(toks: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
         .limit(1)
-        .select("l", "r")
     )
-    return (
-        toks.crossJoin(F.broadcast(best))
+    merged = (
+        toks.crossJoin(F.broadcast(best.select("l", "r")))
         .withColumn(
             "enc",
             F.expr(
@@ -4810,6 +4809,10 @@ def bpe_merge_round(toks: DataFrame) -> DataFrame:
             ).alias("syms")
         )
     )
+    # with_best hands back the 1-row (l, r, n) winner alongside the
+    # merged corpus — what t_bpe_train_vocab unions into the trainer's
+    # merge-table artifact.
+    return (merged, best) if with_best else merged
 
 
 def t_bpe_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4846,6 +4849,31 @@ def t_bpe_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer's actual ARTIFACT: the ordered merge table — three
+    chained rounds, each row the round's winning pair (count desc,
+    (l, r) asc over the corpus as merged so far) with its pre-merge
+    count.  This table, broadcast, is what a tokenizer-apply stage
+    replays to encode new text; ``t_bpe_train2`` prices the corpus
+    side of the same loop."""
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    toks = d.select(F.explode("tokens").alias("t")).select(
+        F.expr(
+            "transform(sequence(1, length(t)), i -> substr(t, i, 1))"
+        ).alias("syms")
+    )
+    out = None
+    for rnd in range(1, 4):
+        toks, best = bpe_merge_round(toks, with_best=True)
+        row = best.select(
+            F.lit(rnd).alias("merge_round"),
+            F.concat_ws("+", "l", "r").alias("pair"),
+            "n",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("merge_round")
+
+
 def _bpe_round_sql(i: int) -> str:
     """One DuckDB merge-round CTE chain (pairs/best/enc/syms) mirroring
     ``bpe_merge_round`` — chr(1)-wrapped encode, left-to-right
@@ -4858,7 +4886,7 @@ def _bpe_round_sql(i: int) -> str:
   WHERE len(syms) >= 2
 ),
 best{i} AS (
-  SELECT p.l AS l, p.r AS r FROM pairs{i}
+  SELECT p.l AS l, p.r AS r, count(*) AS n FROM pairs{i}
   GROUP BY p.l, p.r
   ORDER BY count(*) DESC, p.l ASC, p.r ASC
   LIMIT 1
@@ -4898,6 +4926,28 @@ FROM newpairs
 GROUP BY pair
 ORDER BY n DESC, pair ASC
 LIMIT 20
+"""
+
+
+T_BPE_TRAIN_VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_SQL}) AS t FROM documents
+),
+syms0 AS (
+  SELECT list_transform(generate_series(1, strlen(t)), i -> substr(t, i, 1)) AS syms
+  FROM toks
+),
+{_bpe_round_sql(1)},
+{_bpe_round_sql(2)},
+{_bpe_round_sql(3)}
+SELECT merge_round, pair, n FROM (
+  SELECT 1 AS merge_round, l || '+' || r AS pair, n FROM best1
+  UNION ALL
+  SELECT 2 AS merge_round, l || '+' || r AS pair, n FROM best2
+  UNION ALL
+  SELECT 3 AS merge_round, l || '+' || r AS pair, n FROM best3
+)
+ORDER BY merge_round
 """
 
 
@@ -5074,6 +5124,7 @@ QUERIES = {
     "t_decontam": t_decontam,
     "t_bpe_merge": t_bpe_merge,
     "t_bpe_train2": t_bpe_train2,
+    "t_bpe_train_vocab": t_bpe_train_vocab,
     "t_length_buckets": t_length_buckets,
     "d_cc_stars": d_cc_stars,
     "t_stratified_sample": t_stratified_sample,
@@ -5136,6 +5187,7 @@ ORACLES = {
     "t_decontam": T_DECONTAM_SQL,
     "t_bpe_merge": T_BPE_MERGE_SQL,
     "t_bpe_train2": T_BPE_TRAIN2_SQL,
+    "t_bpe_train_vocab": T_BPE_TRAIN_VOCAB_SQL,
     "t_length_buckets": T_LENGTH_BUCKETS_SQL,
     # Same component semantics as d_neardup_clusters — the recursive-CTE
     # transitive closure is the oracle for BOTH implementations.

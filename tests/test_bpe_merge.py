@@ -124,3 +124,27 @@ def test_bpe_merge_round_merged_symbol_pairs(spark):
     assert got == sorted(
         [("abc", "x"), ("abc",), ("a", "b", "c")]
     )
+
+
+def test_bpe_train_vocab_matches_python_greedy(spark, sf_dir):
+    """The 3-round merge table (round, pair, count) against the pure
+    Python trainer model."""
+    from go_whisper_spark.operators.llm_ops import _docs, t_bpe_train_vocab
+
+    texts = [r.text for r in _docs(spark, sf_dir).select("text").collect()]
+    toks = [
+        list(t) for x in texts for t in re.findall(r"[a-z0-9]+", x.lower())
+    ]
+    want = []
+    for rnd in range(1, 4):
+        pc = Counter(
+            (s[i], s[i + 1]) for s in toks for i in range(len(s) - 1)
+        )
+        best, n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rnd, f"{best[0]}+{best[1]}", n))
+        toks = [_greedy_merge_syms(s, best) for s in toks]
+    got = [
+        (r.merge_round, r.pair, r.n)
+        for r in t_bpe_train_vocab(spark, sf_dir).collect()
+    ]
+    assert got == want
