@@ -4802,12 +4802,16 @@ def bpe_merge_round(toks: DataFrame, with_best: bool = False):
                 f"        concat('{s}', l, r, '{s}'))"
             ),
         )
-        .select(
+        .withColumn(
+            "syms",
             F.expr(
                 f"filter(split(substring(enc, 2, length(enc) - 2), '{ss}'),"
                 " x -> x != '')"
-            ).alias("syms")
+            ),
         )
+        # Pass-through columns (e.g. doc_id in t_bpe_encode) survive
+        # the round untouched.
+        .drop("l", "r", "enc")
     )
     # with_best hands back the 1-row (l, r, n) winner alongside the
     # merged corpus — what t_bpe_train_vocab unions into the trainer's
@@ -4874,6 +4878,79 @@ def t_bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("merge_round")
 
 
+def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: encode every document with the corpus-trained
+    merges (two rounds — the same chain ``t_bpe_train2`` trains) and
+    ledger the compression per document: word tokens, character
+    symbols before any merge, and symbols after both merges.  The
+    per-doc symbol drop is exactly the number of merge applications
+    that landed in that document — the accounting a tokenizer
+    migration reads before re-encoding a 100 TB corpus.
+
+    Scale shape: identical per-round plan to the trainer (pair count
+    with map-side combine, 1-row broadcast, narrow merge expression)
+    with ``doc_id`` riding the narrow stages untouched; the final
+    ledger is one doc-keyed partial aggregate."""
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    toks = d.select("doc_id", F.explode("tokens").alias("t")).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, length(t)), i -> substr(t, i, 1))"
+        ).alias("syms"),
+    )
+    for _ in range(2):
+        toks = bpe_merge_round(toks)
+    per = toks.groupBy("doc_id").agg(
+        F.sum(F.size("syms")).cast("long").alias("n_sym_merged")
+    )
+    base = d.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tok"),
+        F.expr(
+            "aggregate(tokens, CAST(0 AS BIGINT), (a, t) -> a + length(t))"
+        ).alias("n_sym_chars"),
+    )
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        "n_sym_chars",
+        F.coalesce("n_sym_merged", F.lit(0)).cast("long").alias("n_sym_merged"),
+    )
+
+
+def _bpe_round_doc_sql(i: int) -> str:
+    """Doc-carrying DuckDB merge round (``t_bpe_encode``): the pair
+    count/best pick are corpus-global exactly as in ``_bpe_round_sql``;
+    enc/decode carry doc_id through."""
+    p = f"syms{i - 1}"
+    return f"""pairs{i} AS (
+  SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                               i -> {{'l': syms[i], 'r': syms[i + 1]}})) AS p
+  FROM {p}
+  WHERE len(syms) >= 2
+),
+best{i} AS (
+  SELECT p.l AS l, p.r AS r, count(*) AS n FROM pairs{i}
+  GROUP BY p.l, p.r
+  ORDER BY count(*) DESC, p.l ASC, p.r ASC
+  LIMIT 1
+),
+enc{i} AS (
+  SELECT doc_id,
+         replace(chr(1) || array_to_string(syms, chr(1) || chr(1)) || chr(1),
+                 chr(1) || l || chr(1) || chr(1) || r || chr(1),
+                 chr(1) || l || r || chr(1)) AS e
+  FROM {p}, best{i}
+),
+syms{i} AS (
+  SELECT doc_id,
+         list_filter(string_split(substr(e, 2, length(e) - 2),
+                                  chr(1) || chr(1)),
+                     x -> x != '') AS syms
+  FROM enc{i}
+)"""
+
+
 def _bpe_round_sql(i: int) -> str:
     """One DuckDB merge-round CTE chain (pairs/best/enc/syms) mirroring
     ``bpe_merge_round`` — chr(1)-wrapped encode, left-to-right
@@ -4926,6 +5003,33 @@ FROM newpairs
 GROUP BY pair
 ORDER BY n DESC, pair ASC
 LIMIT 20
+"""
+
+
+T_BPE_ENCODE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(tokens) AS t FROM tok
+),
+syms0 AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, strlen(t)), i -> substr(t, i, 1)) AS syms
+  FROM toks
+),
+{_bpe_round_doc_sql(1)},
+{_bpe_round_doc_sql(2)},
+per AS (
+  SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_sym_merged
+  FROM syms2 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tokens) AS BIGINT) AS n_tok,
+       CAST(coalesce(list_sum(list_transform(t.tokens, x -> strlen(x))), 0)
+            AS BIGINT) AS n_sym_chars,
+       CAST(coalesce(p.n_sym_merged, 0) AS BIGINT) AS n_sym_merged
+FROM tok t LEFT JOIN per p ON t.doc_id = p.doc_id
 """
 
 
@@ -5125,6 +5229,7 @@ QUERIES = {
     "t_bpe_merge": t_bpe_merge,
     "t_bpe_train2": t_bpe_train2,
     "t_bpe_train_vocab": t_bpe_train_vocab,
+    "t_bpe_encode": t_bpe_encode,
     "t_length_buckets": t_length_buckets,
     "d_cc_stars": d_cc_stars,
     "t_stratified_sample": t_stratified_sample,
@@ -5188,6 +5293,7 @@ ORACLES = {
     "t_bpe_merge": T_BPE_MERGE_SQL,
     "t_bpe_train2": T_BPE_TRAIN2_SQL,
     "t_bpe_train_vocab": T_BPE_TRAIN_VOCAB_SQL,
+    "t_bpe_encode": T_BPE_ENCODE_SQL,
     "t_length_buckets": T_LENGTH_BUCKETS_SQL,
     # Same component semantics as d_neardup_clusters — the recursive-CTE
     # transitive closure is the oracle for BOTH implementations.

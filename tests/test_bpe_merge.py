@@ -148,3 +148,43 @@ def test_bpe_train_vocab_matches_python_greedy(spark, sf_dir):
         for r in t_bpe_train_vocab(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_bpe_encode_accounting(spark, sf_dir):
+    """Per-doc encode ledger: symbol totals match the Python model,
+    and the corpus-wide symbol drop equals the total number of merge
+    applications (each application replaces two symbols with one)."""
+    from go_whisper_spark.operators.llm_ops import _docs, t_bpe_encode
+
+    texts = {
+        r.doc_id: r.text
+        for r in _docs(spark, sf_dir).select("doc_id", "text").collect()
+    }
+    # Python model: 2 global rounds over per-doc token lists.
+    docs = {
+        d: [list(t) for t in re.findall(r"[a-z0-9]+", x.lower())]
+        for d, x in texts.items()
+    }
+    for _ in range(2):
+        pc = Counter(
+            (s[i], s[i + 1])
+            for toks in docs.values()
+            for s in toks
+            for i in range(len(s) - 1)
+        )
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        docs = {
+            d: [_greedy_merge_syms(s, best) for s in toks]
+            for d, toks in docs.items()
+        }
+    got = {
+        r.doc_id: (r.n_tok, r.n_sym_chars, r.n_sym_merged)
+        for r in t_bpe_encode(spark, sf_dir).collect()
+    }
+    for d, toks in docs.items():
+        n_tok = len(toks)
+        n_chars = sum(len(t) for t in re.findall(r"[a-z0-9]+", texts[d].lower()))
+        n_merged = sum(len(s) for s in toks)
+        assert got[d] == (n_tok, n_chars, n_merged), d
+    total_drop = sum(c - m for _, c, m in got.values())
+    assert total_drop > 0  # the merges actually landed somewhere
