@@ -749,6 +749,50 @@ WHERE l.value <= t.p90
 """
 
 
+# ---------------------------------------------- g_remove_below_pctile
+def g_remove_below_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """removeBelowPercentile(series, 10): the mirror of
+    ``g_remove_above_pctile`` — drop slots under the series' 10th-
+    percentile value (rank-based threshold, value at sorted position
+    ceil(0.1·n), float-exact, tie-sharing).  Same two-pass plan: the
+    O(n_metrics) per-metric threshold relation joins back un-hinted
+    (AQE sizes it)."""
+    lww = _lww1h(spark, sf_dir)
+    w = Window.partitionBy("metric").orderBy("value")
+    ranked = lww.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("metric"))
+    )
+    thresh = (
+        ranked.where(F.col("rn") <= F.ceil(F.col("n") * 0.1).cast("long"))
+        .groupBy("metric")
+        .agg(F.max("value").alias("p10"))
+    )
+    return (
+        lww.join(thresh, "metric")
+        .where(F.col("value") >= F.col("p10"))
+        .select("metric", "interval", "value", "p10")
+    )
+
+
+G_REMOVE_BELOW_PCTILE_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+ranked AS (
+  SELECT metric, interval, value,
+         row_number() OVER (PARTITION BY metric ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM lww1h
+),
+thresh AS (
+  SELECT metric, max(value) AS p10
+  FROM ranked WHERE rn <= CAST(ceil(n * 0.1) AS BIGINT)
+  GROUP BY metric
+)
+SELECT l.metric, l.interval, l.value, t.p10
+FROM lww1h l JOIN thresh t ON l.metric = t.metric
+WHERE l.value >= t.p10
+"""
+
+
 # ------------------------------------------------- g_moving_avg_time
 def g_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """movingAverage(series, "3h") — the *time-based* window frame:
@@ -1586,6 +1630,35 @@ def g_maximum_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lww.join(winners, "metric").select(
         "metric", "interval", "value", "max_value"
     )
+
+
+# ------------------------------------------------------ g_maximum_below
+def g_maximum_below(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maximumBelow(seriesList, 360): the complement selector of
+    ``g_maximum_above`` — keep series whose peak stays UNDER the
+    threshold.  Same float-exact max compare, same un-hinted
+    O(n_metrics) winner join-back (AQE sizes it)."""
+    lww = _lww1h(spark, sf_dir)
+    winners = (
+        lww.groupBy("metric")
+        .agg(F.max("value").alias("max_value"))
+        .where(F.col("max_value") < 360.0)
+    )
+    return lww.join(winners, "metric").select(
+        "metric", "interval", "value", "max_value"
+    )
+
+
+G_MAXIMUM_BELOW_SQL = f"""
+WITH {PTS_CTE}, {LWW_1H_CTE},
+winners AS (
+  SELECT metric, max(value) AS max_value
+  FROM lww1h GROUP BY metric
+  HAVING max(value) < 360.0
+)
+SELECT l.metric, l.interval, l.value, w.max_value
+FROM lww1h l JOIN winners w ON l.metric = w.metric
+"""
 
 
 G_MAXIMUM_ABOVE_SQL = f"""
@@ -4420,6 +4493,7 @@ QUERIES = {
     "g_transform_chain": g_transform_chain,
     "g_linreg_1d": g_linreg_1d,
     "g_remove_above_pctile": g_remove_above_pctile,
+    "g_remove_below_pctile": g_remove_below_pctile,
     "g_moving_avg_time": g_moving_avg_time,
     "g_holt_winters": g_holt_winters,
     "g_scale": g_scale,
@@ -4447,6 +4521,7 @@ QUERIES = {
     "g_alias_sub": g_alias_sub,
     "g_grep": g_grep,
     "g_maximum_above": g_maximum_above,
+    "g_maximum_below": g_maximum_below,
     "g_minimum_below": g_minimum_below,
     "g_average_below": g_average_below,
     "g_highest_current": g_highest_current,
@@ -4554,6 +4629,7 @@ ORACLES = {
     "g_transform_chain": G_TRANSFORM_CHAIN_SQL,
     "g_linreg_1d": G_LINREG_SQL,
     "g_remove_above_pctile": G_REMOVE_ABOVE_SQL,
+    "g_remove_below_pctile": G_REMOVE_BELOW_PCTILE_SQL,
     "g_moving_avg_time": G_MOVING_AVG_TIME_SQL,
     "g_scale": G_SCALE_SQL,
     "g_offset": G_OFFSET_SQL,
@@ -4580,6 +4656,7 @@ ORACLES = {
     "g_alias_sub": G_ALIAS_SUB_SQL,
     "g_grep": G_GREP_SQL,
     "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
+    "g_maximum_below": G_MAXIMUM_BELOW_SQL,
     "g_minimum_below": G_MINIMUM_BELOW_SQL,
     "g_average_below": G_AVERAGE_BELOW_SQL,
     "g_highest_current": G_HIGHEST_CURRENT_SQL,

@@ -276,6 +276,16 @@ CHECKS = {
         require_executed=["BroadcastHashJoin"],
         forbid=["CartesianProduct", "Window"],
     ),
+    "g_maximum_below": dict(
+        require=["partial_max"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "Window"],
+    ),
+    "g_remove_below_pctile": dict(
+        require=["Window", "partial_max"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct"],
+    ),
     "g_average_below": dict(
         require=["partial_sum", "partial_count"],
         require_executed=["BroadcastHashJoin"],
