@@ -1057,6 +1057,85 @@ FROM qs q ASOF LEFT JOIN lww1h l
 """
 
 
+# --------------------------------------------------- w_range_join_binned
+def w_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range self-join via time BINNING: for every raw event
+    point, the count and exact cent-sum of points of OTHER metrics
+    within ±900 s — the cross-series neighborhood feature a
+    correlation/anomaly stage computes.
+
+    An inequality predicate |t₁−t₂| ≤ W is not an equi-join, so
+    Catalyst's only direct plan is a nested-loop cross product — the
+    all-pairs shape that dies at scale.  The scalable form bins time
+    into 2W-second buckets and turns the range condition into an
+    EQUI-join: every candidate pair within ±W sits either in the same
+    bin or in adjacent ones, so the probe side explodes to its own
+    and both neighbor bins (3× rows, narrow) and joins on the bin id
+    alone; the exact |Δt| ≤ W filter runs post-join on the
+    co-partitioned pairs.  Each (left, right) pair matches exactly
+    once (the right point's single bin equals exactly one of the
+    three probed values), so no dedup pass is needed.  Work ∝
+    Σ bin-pair sizes — density-bounded, shuffled on the bin key, the
+    standard 100 TB range-join layout (Spark has no native IEJoin;
+    DuckDB does, which makes the oracle an INDEPENDENT direct
+    inequality-join formulation, not a restatement).  Zero-neighbor
+    points are preserved through the final left join-back.
+    """
+    W = 900
+    B = 2 * W
+    pts = _points(spark, sf_dir)
+    b = (F.col("ts") / B).cast("long")
+    probe = pts.select(
+        "metric",
+        "ts",
+        "write_seq",
+        F.explode(F.array(b - 1, b, b + 1)).alias("bin"),
+    )
+    build = pts.select(
+        F.col("metric").alias("r_metric"),
+        F.col("ts").alias("r_ts"),
+        _cents().alias("r_cents"),
+        b.alias("bin"),
+    )
+    near = (
+        probe.join(build, "bin")
+        .where(
+            (F.col("r_metric") != F.col("metric"))
+            & (F.abs(F.col("r_ts") - F.col("ts")) <= W)
+        )
+        .groupBy("metric", "ts", "write_seq")
+        .agg(
+            F.count("*").alias("n_near"),
+            F.sum("r_cents").alias("near_cents"),
+        )
+    )
+    return pts.join(near, ["metric", "ts", "write_seq"], "left").select(
+        "metric",
+        "ts",
+        "write_seq",
+        F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+        F.coalesce("near_cents", F.lit(0)).cast("long").alias("near_cents"),
+    )
+
+
+W_RANGE_JOIN_BINNED_SQL = f"""
+WITH {PTS_CTE},
+near AS (
+  SELECT a.metric, a.ts_sec, a.write_seq,
+         count(*) AS n_near,
+         sum(CAST(round(b.value * 100) AS BIGINT)) AS near_cents
+  FROM pts a JOIN pts b
+    ON b.metric != a.metric AND abs(b.ts_sec - a.ts_sec) <= 900
+  GROUP BY a.metric, a.ts_sec, a.write_seq
+)
+SELECT p.metric, p.ts_sec AS ts, p.write_seq,
+       CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near,
+       CAST(coalesce(n.near_cents, 0) AS BIGINT) AS near_cents
+FROM pts p LEFT JOIN near n
+  ON p.metric = n.metric AND p.ts_sec = n.ts_sec AND p.write_seq = n.write_seq
+"""
+
+
 # ------------------------------------------------------- w_wsp_roundtrip
 def _wsp_fixture_dir() -> str:
     """A fresh private fixture dir per call (never shared, so a bench
@@ -1682,6 +1761,7 @@ QUERIES = {
     "w_carbon_ingest": w_carbon_ingest,
     "w_lww_1h": w_lww_1h,
     "w_asof_join": w_asof_join,
+    "w_range_join_binned": w_range_join_binned,
     "w_session_window_native": w_session_window_native,
     "w_xff_sensitivity": w_xff_sensitivity,
     "w_derivative_1h": w_derivative_1h,
@@ -1713,6 +1793,7 @@ ORACLES = {
     "w_carbon_ingest": W_CARBON_INGEST_SQL,
     "w_lww_1h": W_LWW_1H_SQL,
     "w_asof_join": W_ASOF_SQL,
+    "w_range_join_binned": W_RANGE_JOIN_BINNED_SQL,
     "w_session_window_native": W_SESSION_NATIVE_SQL,
     "w_xff_sensitivity": W_XFF_SENSITIVITY_SQL,
     "w_derivative_1h": W_DERIVATIVE_1H_SQL,

@@ -587,6 +587,14 @@ CHECKS = {
     # the set-size verify join; the flagged sets must broadcast back
     # onto the shard (never shuffle the shard for a 2-column flag),
     # and nothing may go nested-loop.
+    # Binned range join: the |dt|<=W predicate must reach the plan as
+    # an EQUI-join on the bin id (+ post-join filter) — the
+    # nested-loop cross product Catalyst would pick for a raw
+    # inequality join is the exact shape this query exists to avoid.
+    "w_range_join_binned": dict(
+        require=["partial_count", "partial_sum"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # Two-round BPE trainer: per round, a map-side-combined pair count
     # (tiny alphabet), a 1-row best-pair broadcast (nested-loop on a
     # single row is the intended shape), and a narrow codegen merge
@@ -595,6 +603,18 @@ CHECKS = {
         require=["partial_count"],
         forbid=["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin",
                 "Window"],
+    ),
+    # Tokenizer apply: the same per-round shape with doc_id riding the
+    # narrow stages; final ledger is a doc-keyed partial aggregate.
+    "t_bpe_encode": dict(
+        require=["partial_count", "partial_sum"],
+        forbid=["CartesianProduct", "Window"],
+    ),
+    # Merge-table artifact: three 1-row winner frames unioned — pair
+    # counts partial-combined, no window, no cartesian.
+    "t_bpe_train_vocab": dict(
+        require=["partial_count", "Union"],
+        forbid=["CartesianProduct", "Window"],
     ),
     # Incremental dedup: the flagged-dup joins carry NO broadcast hint
     # (dup-set size is data-dependent); at test scale AQE must still
