@@ -3407,6 +3407,93 @@ def s_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_pq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ index MAINTENANCE: encode a delta batch with
+    FROZEN codebooks — the operation that lets a 100 TB vector index
+    absorb daily arrivals without retraining or re-encoding the base.
+
+    Deterministic split: base = ``vec_id % 10 <= 7`` (80%), delta =
+    the rest (the Lloyd seeds 0..7 are base by construction).
+    Codebooks are trained — same seeded init + one integer-quantized
+    Lloyd step as ``s_pq_encode`` — on the BASE blocks only; the
+    whole corpus (base + delta) is then encoded against the frozen
+    books.  Output ledger per (block, code): base/delta assignment
+    counts and the delta batch's summed micro-distortion — exactly
+    what an index-maintenance job monitors for codebook drift (rising
+    delta distortion ⇒ schedule a retrain + base re-encode).
+
+    Scale shape: identical to the build (narrow sub-block explode,
+    (block, cell, dim) partial-aggregate Lloyd step, broadcast
+    codebooks for both assignment passes, 32-key ledger) — the delta
+    encode touches ONLY delta bytes plus the 32-row broadcast books.
+    """
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    subs = F.array(*[F.slice("v", b * PQ_D + 1, PQ_D) for b in range(PQ_M)])
+    blocks = e.select("vec_id", F.posexplode(subs).alias("block", "sv"))
+    base_blocks = blocks.where(F.col("vec_id") % 10 <= 7)
+    seeds = base_blocks.where(F.col("vec_id") < PQ_K).select(
+        "block", F.col("vec_id").cast("long").alias("cid"), F.col("sv").alias("cv")
+    )
+
+    def assign(frame, book):
+        d = _l2_16("sv", "cv").alias("dist")
+        return (
+            frame.join(F.broadcast(book), "block")
+            .select("vec_id", "block", "sv", "cid", d)
+            .groupBy("vec_id", "block")
+            .agg(
+                F.first("sv").alias("sv"),
+                F.min(F.struct(F.col("dist"), F.col("cid"))).alias("best"),
+            )
+            .select(
+                "vec_id", "block", "sv",
+                F.col("best.cid").alias("cell"),
+                F.col("best.dist").alias("dist"),
+            )
+        )
+
+    a0 = assign(base_blocks, seeds)
+    comp = (
+        a0.select(
+            "block", "cell",
+            F.posexplode(F.transform("sv", lambda x: F.floor(x * IVF_Q))),
+        )
+        .groupBy("block", "cell", "pos")
+        .agg(F.floor(F.sum("col").cast("double") / F.count("col")).alias("c"))
+    )
+    books = (
+        comp.groupBy("block", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.c.cast("double") / F.lit(float(IVF_Q)),
+            ).alias("cv")
+        )
+        .select("block", F.col("cell").cast("long").alias("cid"), "cv")
+    )
+    enc = assign(blocks, books)
+    is_delta = F.col("vec_id") % 10 > 7
+    return (
+        enc.groupBy("block", F.col("cell").alias("code"))
+        .agg(
+            F.count(F.when(~is_delta, 1)).alias("n_base"),
+            F.count(F.when(is_delta, 1)).alias("n_delta"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        is_delta,
+                        F.floor(F.col("dist") * F.lit(1_000_000.0)).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("delta_distortion_u6"),
+        )
+        .orderBy("block", "code")
+    )
+
+
 _PQ_L2_SQL = (
     "list_sum(list_transform(generate_series(1, {d}),"
     " i -> ({{a}}[i] - {{b}}[i]) * ({{a}}[i] - {{b}}[i])))"
@@ -3452,6 +3539,67 @@ enc AS (
   QUALIFY row_number() OVER (
     PARTITION BY n.vec_id, n.block ORDER BY dist ASC, s.cid ASC) = 1
 )"""
+
+
+# _PQ_CTES with the Lloyd training restricted to the base split
+# (vec_id % 10 <= 7); the encode pass covers the whole corpus against
+# the frozen base-trained books — the s_pq_upsert contract.
+_PQ_UPSERT_CTES = f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+blocks AS (
+  SELECT vec_id, g.b AS block,
+         list_transform(generate_series(1, {PQ_D}), i -> v[g.b * {PQ_D} + i]) AS sv
+  FROM e, generate_series(0, {PQ_M - 1}) AS g(b)
+),
+seeds AS (
+  SELECT block, CAST(vec_id AS BIGINT) AS cid, sv AS cv
+  FROM blocks WHERE vec_id < {PQ_K}
+),
+a0 AS (
+  SELECT n.vec_id, n.block, n.sv, s.cid AS cell,
+         {_PQ_L2_SQL.format(a="n.sv", b="s.cv")} AS dist
+  FROM blocks n JOIN seeds s ON s.block = n.block
+  WHERE n.vec_id % 10 <= 7
+  QUALIFY row_number() OVER (
+    PARTITION BY n.vec_id, n.block ORDER BY dist ASC, s.cid ASC) = 1
+),
+comp AS (
+  SELECT block, cell, g.i,
+         CAST(floor(CAST(sum(CAST(floor(sv[g.i] * {IVF_Q}) AS BIGINT)) AS DOUBLE)
+                    / count(*)) AS BIGINT) AS c
+  FROM a0, generate_series(1, {PQ_D}) AS g(i)
+  GROUP BY block, cell, g.i
+),
+books AS (
+  SELECT block, cell AS cid,
+         list_transform(array_agg(c ORDER BY i), x -> CAST(x AS DOUBLE) / {IVF_Q}.0)
+           AS cv
+  FROM comp GROUP BY block, cell
+),
+enc AS (
+  SELECT n.vec_id, n.block, s.cid AS code,
+         {_PQ_L2_SQL.format(a="n.sv", b="s.cv")} AS dist
+  FROM blocks n JOIN books s ON s.block = n.block
+  QUALIFY row_number() OVER (
+    PARTITION BY n.vec_id, n.block ORDER BY dist ASC, s.cid ASC) = 1
+)"""
+
+
+def _s_pq_upsert_sql() -> str:
+    return f"""
+WITH {_PQ_UPSERT_CTES}
+SELECT block, code,
+       count(CASE WHEN vec_id % 10 <= 7 THEN 1 END) AS n_base,
+       count(CASE WHEN vec_id % 10 > 7 THEN 1 END) AS n_delta,
+       CAST(coalesce(sum(CASE WHEN vec_id % 10 > 7
+                              THEN CAST(floor(dist * 1000000.0) AS BIGINT)
+                         END), 0) AS BIGINT) AS delta_distortion_u6
+FROM enc
+GROUP BY block, code
+ORDER BY block, code
+"""
 
 
 def _s_pq_encode_sql() -> str:
@@ -5242,6 +5390,7 @@ QUERIES = {
     "s_pq_recall": s_pq_recall,
     "s_pq_search": s_pq_search,
     "s_pq_search_serve": s_pq_search_serve,
+    "s_pq_upsert": s_pq_upsert,
     "s_pq_search_recall": s_pq_search_recall,
     "s_semantic_dedup": s_semantic_dedup,
 }
@@ -5310,6 +5459,7 @@ ORACLES = {
     # Identical results by construction (same kernels, same index
     # contents; only the build is memoized) — shares the oracle.
     "s_pq_search_serve": _s_pq_search_sql(),
+    "s_pq_upsert": _s_pq_upsert_sql(),
     "s_pq_search_recall": _s_pq_search_recall_sql(),
     "s_semantic_dedup": _s_semantic_dedup_sql(),
 }

@@ -642,6 +642,13 @@ CHECKS = {
         require=["partial_count", "partial_min", "BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # Frozen-codebook upsert: same build layout (broadcast books for
+    # both assignment passes, min(struct) argmin aggregate — never a
+    # rank window), base-filtered Lloyd step, 32-key ledger.
+    "s_pq_upsert": dict(
+        require=["partial_count", "partial_min", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
     # PQ-ADC recall: reconstruction joins broadcast; the scoring pass
     # is the broadcast-query scan (BroadcastNestedLoop by design, like
     # every exact-baseline scorer); final top-k window only.
