@@ -120,10 +120,20 @@ wm AS (
 wmf AS (SELECT max(ts) - {LATENESS} AS wmf FROM marked)"""
 
 
-def _replay(spark: SparkSession, marked: DataFrame, build, await_secs: int = 300) -> str:
+def _replay(
+    spark: SparkSession,
+    marked: DataFrame,
+    build,
+    await_secs: int = 300,
+    n_passes: int = N_PASSES,
+) -> str:
     """Write one file per arrival pass, run one availableNow pass per
     file over a shared checkpoint, foreachBatch-append every emitted
-    micro-batch to a parquet table; return the table path."""
+    micro-batch to a parquet table; return the table path.
+    ``n_passes`` > N_PASSES lets a caller append sentinel flush passes
+    (watermark-only rows at arrive >= N_PASSES) — outer joins and
+    other eviction-paced emissions need the watermark pushed past the
+    real rows' bounds before their final results exist."""
     root = _tmpdir()
     src, out, ckpt = (os.path.join(root, n) for n in ("src", "out", "ckpt"))
     feed = marked.drop("arrive")
@@ -132,7 +142,7 @@ def _replay(spark: SparkSession, marked: DataFrame, build, await_secs: int = 300
         if not batch.isEmpty():
             batch.write.mode("append").parquet(out)
 
-    for k in range(N_PASSES):
+    for k in range(n_passes):
         (
             marked.where(F.col("arrive") == k)
             .drop("arrive")
@@ -929,6 +939,96 @@ FROM l JOIN r
 """
 
 
+# -------------------------------------------------------- st_join_1h_outer
+def st_join_1h_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the unmatched-left
+    completion of ``st_join_1h``: every on-time left row emits, with
+    nulls when no same-metric partner arrived within the hour.
+
+    The outer-specific machinery this pins: a null row exists only
+    once the watermark passes ``l_ts + range`` and the left state
+    evicts, so stream-end tail rows would silently never emit.  The
+    replay closes the stream DETERMINISTICALLY with two sentinel
+    flush passes, and their construction is load-bearing twice over:
+
+    - the sentinels MUST survive a join-side predicate — Catalyst
+      pushes the deterministic filters BELOW the EventTimeWatermark
+      node, so a row matching neither predicate is filtered before
+      the watermark operator ever observes its event time and the
+      watermark does not move (measured: a neither-pred sentinel left
+      20 tail nulls unemitted).  They take the LEFT predicate
+      (``seq % 20 == 0``, ``% 7 != 3``) on a metric with no partners;
+    - they sit 60/61 days past the last event — the watermark lands
+      ~58 days beyond every real row's eviction bound (no ``<`` vs
+      ``<=`` convention can flip a row), while the sentinels
+      THEMSELVES stay un-evicted (final wm = ts₂ − 2 d < ts₁ + 1 h),
+      so neither ghost-emits a null row of its own.  The second pass
+      also flushes emissions the first could only schedule (eviction
+      output rides the finalize batch after the watermark moves).
+
+    The emitted set is then exactly: inner pairs of on-time rows ∪
+    null-extended on-time lefts with no on-time partner — which is
+    what the oracle states.  ``r_seq``/``lag_s`` are DOUBLE on both
+    sides (nullable-int hash rule)."""
+    from go_whisper_spark.streaming.join import streaming_interval_join_outer
+
+    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
+    t0 = int(pts.agg(F.min("ts")).first()[0])
+    t_max = int(pts.agg(F.max("ts")).first()[0])
+    flush = spark.createDataFrame(
+        [
+            ("zzzflush", t_max + 60 * 86400, 0.0, 10**11 + 20, 3),
+            ("zzzflush", t_max + 61 * 86400, 0.0, 10**11 + 60, 4),
+        ],
+        "metric string, ts long, value double, write_seq long, arrive int",
+    )
+    marked = (
+        pts.withColumn("arrive", _arrive(t0))
+        .unionByName(flush)
+        .withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    )
+    out = _replay(
+        spark,
+        marked,
+        lambda s: streaming_interval_join_outer(
+            s,
+            "metric",
+            F.col("write_seq") % 20 == 0,
+            F.col("write_seq") % 7 == 3,
+            range_seconds=3600,
+            lateness_seconds=LATENESS,
+        ),
+        n_passes=N_PASSES + 2,
+    )
+    return spark.read.parquet(out).select(
+        "metric", "l_seq", "r_seq", "l_ts", "lag_s"
+    )
+
+
+ST_JOIN_1H_OUTER_SQL = f"""
+WITH pts AS (
+  SELECT event_type AS metric,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+{_MARKED_CTE},
+surv AS (
+  SELECT m.* FROM marked m LEFT JOIN wm ON wm.arrive = m.arrive
+  WHERE wm.wm IS NULL OR m.ts > wm.wm
+),
+l AS (SELECT metric, ts AS l_ts, seq AS l_seq FROM surv WHERE seq % 20 = 0),
+r AS (SELECT metric, ts AS r_ts, seq AS r_seq FROM surv WHERE seq % 7 = 3)
+SELECT l.metric, l.l_seq,
+       CAST(r.r_seq AS DOUBLE) AS r_seq,
+       l.l_ts,
+       CAST(r.r_ts - l.l_ts AS DOUBLE) AS lag_s
+FROM l LEFT JOIN r
+  ON l.metric = r.metric AND r.r_ts >= l.l_ts AND r.r_ts <= l.l_ts + 3600
+"""
+
+
 QUERIES = {
     "st_rollup_lww_1h": st_rollup_lww_1h,
     "st_sessions_30m": st_sessions_30m,
@@ -937,6 +1037,7 @@ QUERIES = {
     "st_dedup_1h": st_dedup_1h,
     "st_enrich": st_enrich,
     "st_join_1h": st_join_1h,
+    "st_join_1h_outer": st_join_1h_outer,
     "st_cascade_chained": st_cascade_chained,
     "st_lsh_prefilter": st_lsh_prefilter,
     "st_pq_score": st_pq_score,
@@ -951,6 +1052,7 @@ ORACLES = {
     "st_dedup_1h": ST_DEDUP_1H_SQL,
     "st_enrich": ST_ENRICH_SQL,
     "st_join_1h": ST_JOIN_1H_SQL,
+    "st_join_1h_outer": ST_JOIN_1H_OUTER_SQL,
     "st_cascade_chained": ST_CASCADE_CHAINED_SQL,
     "st_lsh_prefilter": _st_lsh_prefilter_sql(),
     "st_pq_score": _st_pq_score_sql(),

@@ -141,3 +141,61 @@ def streaming_interval_join_salted(
         F.col("l_ts").cast("long").alias("l_ts"),
         (F.col("r_ts").cast("long") - F.col("l_ts").cast("long")).alias("lag_s"),
     )
+
+
+def streaming_interval_join_outer(
+    stream: DataFrame,
+    key: str,
+    left_pred: Column,
+    right_pred: Column,
+    range_seconds: int,
+    lateness_seconds: int,
+) -> DataFrame:
+    """LEFT OUTER variant of ``streaming_interval_join``: identical
+    pair semantics, plus a null-extended row for every on-time left
+    row that never found a partner.
+
+    The null row can only emit when the engine can PROVE no partner
+    will arrive — i.e. when the watermark passes ``l_ts + range`` and
+    the left row's state is evicted.  That makes outer results
+    watermark-paced: a caller that stops the stream immediately after
+    the last data row never sees the tail's null rows (their join
+    windows are still open).  The replay harness closes the stream
+    deterministically with sentinel flush passes that advance the
+    watermark past every real row's eviction bound
+    (``st_join_1h_outer``).
+
+    ``r_seq``/``lag_s`` are DOUBLE: they are nullable by construction,
+    and the driver's oracle materialization (pandas) upcasts nullable
+    BIGINT to float64 — casting BOTH engines keeps the typed hash
+    stable (check_contract.py's documented nullable-int rule).
+    """
+    s = stream.withWatermark("ts", f"{lateness_seconds} seconds")
+    left = s.filter(left_pred).select(
+        key,
+        F.col("ts").alias("l_ts"),
+        F.col("write_seq").alias("l_seq"),
+    )
+    right = s.filter(right_pred).select(
+        F.col(key).alias(f"r_{key}"),
+        F.col("ts").alias("r_ts"),
+        F.col("write_seq").alias("r_seq"),
+    )
+    return left.join(
+        right,
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (
+            F.col("r_ts")
+            <= F.col("l_ts") + F.expr(f"INTERVAL {range_seconds} SECONDS")
+        ),
+        "left_outer",
+    ).select(
+        key,
+        "l_seq",
+        F.col("r_seq").cast("double").alias("r_seq"),
+        F.col("l_ts").cast("long").alias("l_ts"),
+        (F.col("r_ts").cast("long") - F.col("l_ts").cast("long"))
+        .cast("double")
+        .alias("lag_s"),
+    )

@@ -114,3 +114,75 @@ def test_on_time_pair_survives_watermark_advance(spark, dirs):
     # range → pair emits.
     _write_batch(spark, src, [(BASE + 500, "m", 1)])
     assert _run(spark, src, out, ckpt) == [("m", 0, 1, 500)]
+
+
+def _run_outer(spark, src, out, ckpt, left_mod=2, right_mod=2, right_rem=1):
+    from go_whisper_spark.streaming.join import streaming_interval_join_outer
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    joined = streaming_interval_join_outer(
+        stream,
+        "metric",
+        F.col("write_seq") % left_mod == 0,
+        F.col("write_seq") % right_mod == right_rem,
+        range_seconds=RANGE,
+        lateness_seconds=LATENESS,
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        raise RuntimeError("streaming pass timed out")
+    return sorted(
+        (r["metric"], r["l_seq"], r["r_seq"], r["lag_s"])
+        for r in spark.read.parquet(out).collect()
+    )
+
+
+def test_outer_unmatched_left_emits_null_after_eviction(spark, dirs):
+    """The null row is eviction-paced: nothing while the join window
+    is open, the null-extended row once the watermark clears
+    l_ts + range (and the engine runs its finalize batch)."""
+    src, out, ckpt = dirs
+    _write_batch(spark, src, [(BASE, "m", 0)])  # left, no partner
+    assert _run_outer(spark, src, out, ckpt) == []
+    # A LEFT-pred row far ahead advances the watermark past the bound.
+    _write_batch(spark, src, [(BASE + 10_000, "zz", 4)])
+    got = _run_outer(spark, src, out, ckpt)
+    # seq 0 null-emits; the advancing row's own window is still open.
+    assert got == [("m", 0, None, None)]
+
+
+def test_outer_matched_left_emits_pair_only(spark, dirs):
+    src, out, ckpt = dirs
+    _write_batch(spark, src, [(BASE, "m", 0), (BASE + 60, "m", 1)])
+    assert _run_outer(spark, src, out, ckpt) == [("m", 0, 1.0, 60.0)]
+    _write_batch(spark, src, [(BASE + 10_000, "zz", 4)])
+    # Matched left must NOT additionally null-emit on eviction.
+    assert _run_outer(spark, src, out, ckpt) == [("m", 0, 1.0, 60.0)]
+
+
+def test_outer_watermark_ignores_filtered_rows(spark, dirs):
+    """The trap st_join_1h_outer's sentinels are built around:
+    Catalyst pushes the join-side predicates BELOW the
+    EventTimeWatermark node, so a row matching NEITHER predicate is
+    filtered before the watermark operator observes its event time —
+    the watermark does not move and no eviction output appears.  A
+    row that matches a predicate does move it."""
+    src, out, ckpt = dirs
+    _write_batch(spark, src, [(BASE, "m", 0)])  # left (0 % 4 == 0)
+    assert _run_outer(spark, src, out, ckpt, left_mod=4, right_mod=4) == []
+    # seq 2: matches neither %4==0 nor %4==1 → invisible to the
+    # watermark; seq 0's null must NOT emit.
+    _write_batch(spark, src, [(BASE + 10_000, "zz", 2)])
+    assert _run_outer(spark, src, out, ckpt, left_mod=4, right_mod=4) == []
+    # seq 4: a left-pred row at the same horizon → watermark moves,
+    # seq 0 null-emits.
+    _write_batch(spark, src, [(BASE + 10_060, "zz", 4)])
+    got = _run_outer(spark, src, out, ckpt, left_mod=4, right_mod=4)
+    assert got == [("m", 0, None, None)]
