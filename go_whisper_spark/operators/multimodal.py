@@ -385,6 +385,50 @@ def m_pcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable chunk-dedup ledger over the binary
+    payloads — the dedup primitive a blob store runs on image/video
+    bytes (split payloads into fixed 64-byte chunks, hash each, count
+    how many chunk occurrences are redundant corpus-wide).  Per kind:
+    total chunk occurrences, distinct chunk hashes, duplicated
+    occurrences, and the dup ratio in ppm (floored exact double of
+    exact longs, the ``_avg6`` discipline).
+
+    Scale shape: unlike the codec stages this needs NO Python at all —
+    chunking is ``substr`` on BINARY inside a higher-order transform
+    and hashing is codegen ``md5``, so the whole explode is one
+    narrow JVM stage; the only shuffles are the distinct-hash and
+    per-kind aggregates (map-side combined).  Fixed-size chunking is
+    the deterministic baseline; content-defined (rolling-hash cut)
+    chunking drops into the same plan by swapping the offset
+    expression."""
+    media = documents_as_media(spark, sf_dir).select("kind", "payload")
+    C = 64
+    chunks = media.where(F.length("payload") > 0).select(
+        "kind",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, CAST(ceil(length(payload) / {C}.0) AS INT)),"
+                f" i -> md5(substr(payload, (i - 1) * {C} + 1, {C})))"
+            )
+        ).alias("h"),
+    )
+    per = chunks.groupBy("kind").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("h").alias("n_distinct"),
+    )
+    n_dup = F.col("n_chunks") - F.col("n_distinct")
+    return per.select(
+        "kind",
+        "n_chunks",
+        "n_distinct",
+        n_dup.alias("n_dup"),
+        F.floor((n_dup * 1000000).cast("double") / F.col("n_chunks"))
+        .cast("long")
+        .alias("dup_ppm"),
+    )
+
+
 QUERIES = {
     "m_decode_stats": m_decode_stats,
     "m_feature_norms": m_feature_norms,
@@ -392,6 +436,7 @@ QUERIES = {
     "m_resize_stats": m_resize_stats,
     "m_pcm_energy": m_pcm_energy,
     "m_pcm_resample": m_pcm_resample,
+    "m_chunk_dedup": m_chunk_dedup,
 }
 
 # All THREE pipelines are oracle-checkable: the deterministic fake
@@ -566,6 +611,31 @@ FROM win
 GROUP BY 1
 """
 
+# Chunk hashes: payload bytes == text chars (ASCII corpus, verified
+# strlen == length at every SF), so DuckDB md5's the same byte slices
+# and the hex digests match Spark's codegen md5 exactly.
+M_CHUNK_DEDUP_SQL = f"""
+WITH media AS (
+  SELECT {_KIND_SQL} AS kind, text FROM documents WHERE length(text) > 0
+),
+chunks AS (
+  SELECT kind,
+         unnest(list_transform(
+           generate_series(1, CAST(ceil(length(text) / 64.0) AS INT)),
+           i -> md5(substr(text, (i - 1) * 64 + 1, 64)))) AS h
+  FROM media
+),
+per AS (
+  SELECT kind, count(*) AS n_chunks, count(DISTINCT h) AS n_distinct
+  FROM chunks GROUP BY kind
+)
+SELECT kind, n_chunks, n_distinct,
+       n_chunks - n_distinct AS n_dup,
+       CAST(floor(CAST((n_chunks - n_distinct) * 1000000 AS DOUBLE)
+                  / n_chunks) AS BIGINT) AS dup_ppm
+FROM per
+"""
+
 ORACLES: dict = {
     "m_decode_stats": M_DECODE_STATS_SQL,
     "m_feature_norms": M_FEATURE_NORMS_SQL,
@@ -573,4 +643,5 @@ ORACLES: dict = {
     "m_resize_stats": M_RESIZE_STATS_SQL,
     "m_pcm_energy": M_PCM_ENERGY_SQL,
     "m_pcm_resample": M_PCM_RESAMPLE_SQL,
+    "m_chunk_dedup": M_CHUNK_DEDUP_SQL,
 }

@@ -587,6 +587,15 @@ CHECKS = {
     # the set-size verify join; the flagged sets must broadcast back
     # onto the shard (never shuffle the shard for a 2-column flag),
     # and nothing may go nested-loop.
+    # Chunk-hash dedup ledger: chunking + md5 entirely in codegen (no
+    # Python, no join); shuffles are the distinct-hash + per-kind
+    # aggregates only.
+    "m_chunk_dedup": dict(
+        require=["partial_count"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "Window", "FlatMapGroupsInPandas", "MapInPandas"],
+        pruned=3,  # (doc_id, text, n_chars) of documents' 5 columns
+    ),
     # Binned range join: the |dt|<=W predicate must reach the plan as
     # an EQUI-join on the bin id (+ post-join filter) — the
     # nested-loop cross product Catalyst would pick for a raw
