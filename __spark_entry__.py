@@ -142,19 +142,37 @@ _R09_DEFERRED: list = [
 
 # The round-10 driver window, pre-materialized for the round-11
 # rotation: first 50 of the registry as committed for round 10's
-# driver run (test_registry.py asserts list == first-50 so drift is
-# caught before the driver runs).  ROUND-11 TODO: once
-# CORRECTNESS_r10.json exists, verify its keys == this list, then
-# (a) add _R10_WINDOW to `recent`, (b) append
+# driver run = the 12 new round-10 queries + the 4 never-checked
+# round-9 deferrals + 34 of the round-5 cohort (test_registry.py
+# asserts list == first-50 so drift is caught before the driver
+# runs; zero overlap with rounds 8 AND 9 verified).  ROUND-11 TODO:
+# once CORRECTNESS_r10.json exists, verify its keys == this list,
+# then (a) add _R10_WINDOW to `recent`, (b) append
 # `+ [n for n in _R10_WINDOW if n in queries]` at the END of the
 # order in _registry(), and (c) make sure no deferred-block sitting
 # early in the order is a subset of _R10_WINDOW without an
 # `and n not in recent` filter (the round-9→10 footgun).  Queries
 # added AFTER this freeze go in _R10_DEFERRED (below), never in
-# front of the window.  Populated mid-round once round-10's new
-# queries have landed; empty list means "not yet frozen" and the
-# first-50 equality test skips.
-_R10_WINDOW: list = []
+# front of the window.
+_R10_WINDOW: list = [
+    "w_range_join_binned", "t_span_dedup_l5", "t_span_dedup_l9",
+    "t_bpe_train2", "t_bpe_train_vocab", "t_bpe_encode",
+    "s_pq_search_serve", "s_pq_upsert", "m_chunk_dedup",
+    "g_remove_below_pctile", "g_maximum_below", "st_join_1h_outer",
+    "st_pq_score", "g_cacti_style", "st_lakehouse_ingest",
+    "w_lakehouse_timetravel", "st_sessions_30m", "g_scale", "g_offset",
+    "g_alias_by_node", "g_hitcount", "g_consolidate_by",
+    "g_remove_below_value", "g_remove_above_value", "g_average_above",
+    "g_current_above", "g_integral_by_interval", "g_sort_by_maxima",
+    "d_neardup_clusters", "d_dedup_keepers", "d_jaccard_pairs",
+    "d_minhash_sigs", "t_bigram_freq", "w_xff_sensitivity",
+    "w_derivative_1h", "w_sliding_1h_30m", "w_percentiles_1d",
+    "w_rollup_6h", "w_cascade_1d", "w_agg_methods_1d",
+    "w_fetch_dense_3d", "w_fetch_coarse_30d", "w_retention_7d",
+    "w_diff_series", "w_fill_merge", "r_q1_pricing",
+    "r_corr_scalar_sub", "r_q14_promo", "r_q16_supplier_cnt",
+    "r_q19_disjunct",
+]
 
 # Queries added late in round 10, after the window freeze above.
 _R10_DEFERRED: list = []

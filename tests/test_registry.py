@@ -122,6 +122,7 @@ def test_checked_cohorts_are_registered():
     for lst in (entry._R04_CHECKED, entry._R05_CHECKED,
                 entry._R6_DEFERRED, entry._R06_CHECKED, entry._R07_WINDOW,
                 entry._R08_WINDOW, entry._R08_DEFERRED,
-                entry._R09_WINDOW, entry._R09_DEFERRED):
+                entry._R09_WINDOW, entry._R09_DEFERRED,
+                entry._R10_WINDOW, entry._R10_DEFERRED):
         missing = [n for n in lst if n not in queries]
         assert not missing, f"cohort names not in registry: {missing}"
