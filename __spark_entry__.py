@@ -175,7 +175,9 @@ _R10_WINDOW: list = [
 ]
 
 # Queries added late in round 10, after the window freeze above.
-_R10_DEFERRED: list = []
+_R10_DEFERRED: list = [
+    "w_lakehouse_compact",
+]
 
 # Added late in round 8, after the round-8 window composition (5 new
 # batch-1 queries + the round-4 cohort) was already settled.  Never

@@ -1670,6 +1670,75 @@ def w_lakehouse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- w_lakehouse_compact
+def w_lakehouse_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze manifest compaction under the driver's oracle
+    (``lakehouse.compact_bronze`` — previously pinned only by pytest):
+    three add-only ingest batches (``write_seq % 3``) land three
+    manifest keys; compaction swaps them for ONE consolidated
+    directory in a single atomic remove+add commit.
+
+    The ledger emits one row per phase (pre/post): manifest key
+    count, commit-log version, and the bronze point set's row count
+    and exact cent sum — pinning the atomic key/version arithmetic
+    (3 keys @ v2 → 1 key @ v3) and NO-LOSS consolidation (identical
+    rows and sum through the swap).  The two ledger rows are
+    control-plane aggregates (the heavy work — appends, the
+    consolidation rewrite, the two snapshot scans — is all
+    distributed); at 100 TB this is the OPTIMIZE pass that bounds a
+    streaming table's manifest growth, and its cost is one rewrite of
+    the small-file tail, never of the compacted history."""
+    import tempfile
+
+    from go_whisper_spark.lakehouse import (
+        CommitLog,
+        _append_bronze,
+        bronze_table,
+        compact_bronze,
+        read_bronze,
+    )
+
+    pts = _points(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="gws_lakec_")
+    for i in range(3):
+        _append_bronze(pts.where(F.col("write_seq") % 3 == i), base)
+
+    def ledger(phase: str):
+        st = CommitLog(bronze_table(base)).state()
+        agg = (
+            read_bronze(spark, base)
+            .agg(F.count("*").alias("n"), F.sum(_cents()).alias("c"))
+            .first()
+        )
+        return (phase, len(st["partitions"]), st["version"],
+                agg["n"], int(agg["c"]))
+
+    pre = ledger("pre")
+    compact_bronze(spark, base)
+    post = ledger("post")
+    return spark.createDataFrame(
+        [pre, post],
+        "phase string, n_keys long, version long, n_rows long, cents_sum long",
+    )
+
+
+W_LAKEHOUSE_COMPACT_SQL = f"""
+WITH {PTS_CTE},
+agg AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum({CENTS_SQL}) AS BIGINT) AS cents_sum
+  FROM pts
+)
+SELECT phase, n_keys, version, n_rows, cents_sum FROM (
+  SELECT 'pre' AS phase, CAST(3 AS BIGINT) AS n_keys,
+         CAST(2 AS BIGINT) AS version, n_rows, cents_sum FROM agg
+  UNION ALL
+  SELECT 'post', CAST(1 AS BIGINT), CAST(3 AS BIGINT), n_rows, cents_sum
+  FROM agg
+)
+"""
+
+
 W_LAKEHOUSE_ROLLUP_SQL = f"""
 WITH {PTS_CTE}, {LWW_1H_CTE}
 SELECT metric,
@@ -1752,6 +1821,7 @@ SELECT metric, interval, value, 'latest' AS snapshot FROM lwwall
 QUERIES = {
     "w_retention_expand": w_retention_expand,
     "w_lakehouse_rollup": w_lakehouse_rollup,
+    "w_lakehouse_compact": w_lakehouse_compact,
     "w_lakehouse_timetravel": w_lakehouse_timetravel,
     "w_retention_reap": w_retention_reap,
     "w_store_fetch": w_store_fetch,
@@ -1784,6 +1854,7 @@ QUERIES = {
 ORACLES = {
     "w_retention_expand": W_RETENTION_EXPAND_SQL,
     "w_lakehouse_rollup": W_LAKEHOUSE_ROLLUP_SQL,
+    "w_lakehouse_compact": W_LAKEHOUSE_COMPACT_SQL,
     "w_lakehouse_timetravel": W_LAKEHOUSE_TIMETRAVEL_SQL,
     "w_retention_reap": W_RETENTION_REAP_SQL,
     "w_store_fetch": W_STORE_FETCH_SQL,
