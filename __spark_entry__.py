@@ -177,6 +177,9 @@ _R10_WINDOW: list = [
 # Queries added late in round 10, after the window freeze above.
 _R10_DEFERRED: list = [
     "w_lakehouse_compact",
+    "g_render_pipeline",
+    "g_render_sum_deriv",
+    "g_render_select_alias",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -4473,6 +4473,55 @@ FROM stepped
 """
 
 
+# ------------------------------------------------------ render targets
+# The composable render-expression layer (go_whisper_spark/render.py):
+# each registered query is ONE nested Graphite target string, parsed
+# and composed into a single declarative plan; the oracle SQL is
+# EMITTED FROM THE SAME AST by the paired SQL visitor, so Spark and
+# DuckDB evaluate the identical composition.
+RENDER_EXPR_PIPELINE = (
+    "movingSum(offset(scale(grep(seriesByGlob('*'), '^(c|v)'), 3), -1), 4)"
+)
+RENDER_EXPR_SUM_DERIV = "derivative(sumSeries(scale('*', 2)))"
+RENDER_EXPR_SELECT_ALIAS = (
+    "aliasSub(maximumAbove(absolute('*'), 300), '^c', 'C')"
+)
+
+
+def g_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed render target: glob seed → regex select → ×3 scale →
+    −1 offset → 4-slot rolling sum, all one plan (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_PIPELINE)
+
+
+def g_render_sum_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed render target crossing the aggregate boundary:
+    per-series ×2 scale → cross-series sum → derivative of the
+    combined series (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_SUM_DERIV)
+
+
+def g_render_select_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed render target through a selector: absolute →
+    maximumAbove(300) winner filter (un-hinted join-back) → anchored
+    regex rename (render.py).  The anchor keeps regexp_replace
+    single-match, where Spark (replace-all) and DuckDB
+    (replace-first) would otherwise diverge."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_SELECT_ALIAS)
+
+
+def _render_oracle(target: str) -> str:
+    from go_whisper_spark.render import render_oracle_sql
+
+    return render_oracle_sql(target)
+
+
 QUERIES = {
     "g_remove_between_pctile": g_remove_between_pctile,
     "g_random_walk": g_random_walk,
@@ -4520,6 +4569,9 @@ QUERIES = {
     "g_lowest_average": g_lowest_average,
     "g_alias_sub": g_alias_sub,
     "g_grep": g_grep,
+    "g_render_pipeline": g_render_pipeline,
+    "g_render_sum_deriv": g_render_sum_deriv,
+    "g_render_select_alias": g_render_select_alias,
     "g_maximum_above": g_maximum_above,
     "g_maximum_below": g_maximum_below,
     "g_minimum_below": g_minimum_below,
@@ -4655,6 +4707,9 @@ ORACLES = {
     "g_lowest_average": G_LOWEST_AVERAGE_SQL,
     "g_alias_sub": G_ALIAS_SUB_SQL,
     "g_grep": G_GREP_SQL,
+    "g_render_pipeline": _render_oracle(RENDER_EXPR_PIPELINE),
+    "g_render_sum_deriv": _render_oracle(RENDER_EXPR_SUM_DERIV),
+    "g_render_select_alias": _render_oracle(RENDER_EXPR_SELECT_ALIAS),
     "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
     "g_maximum_below": G_MAXIMUM_BELOW_SQL,
     "g_minimum_below": G_MINIMUM_BELOW_SQL,

@@ -1,0 +1,110 @@
+"""Render-target expression layer (go_whisper_spark/render.py):
+parser unit tests plus composition equivalence against hand-built
+frames.  The three registered g_render_* queries are oracle-gated by
+the driver contract; these tests pin the parser and the
+Spark-side composition semantics independently."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_whisper_spark.render import (
+    Call,
+    Glob,
+    Num,
+    RenderParseError,
+    Str,
+    glob_to_regex,
+    parse_target,
+    render,
+)
+
+
+def test_parse_nested_call():
+    n = parse_target("movingSum(scale(seriesByGlob('c*'), 3), 4)")
+    assert isinstance(n, Call) and n.name == "movingSum"
+    inner, k = n.args
+    assert isinstance(k, Num) and k.value == 4
+    assert isinstance(inner, Call) and inner.name == "scale"
+    seed, mult = inner.args
+    assert isinstance(seed, Call) and seed.name == "seriesByGlob"
+    assert isinstance(seed.args[0], Str) and seed.args[0].value == "c*"
+    assert isinstance(mult, Num) and mult.value == 3
+
+
+def test_parse_bare_glob_and_negative_int():
+    n = parse_target("offset(web.*.cpu, -5)")
+    assert isinstance(n.args[0], Glob) and n.args[0].pattern == "web.*.cpu"
+    assert n.args[1].value == -5
+
+
+def test_parse_double_quoted_string():
+    n = parse_target('grep(seriesByGlob("*"), "^(c|v)")')
+    assert n.args[1].value == "^(c|v)"
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "scale(x, 3",  # missing )
+        "scale(x, 3)) ",  # trailing token
+        "scale(, 3)",  # empty arg
+        "",  # empty target
+    ],
+)
+def test_parse_errors(bad):
+    with pytest.raises(RenderParseError):
+        parse_target(bad)
+
+
+def test_eval_errors(spark, sf_dir):
+    with pytest.raises(RenderParseError, match="unknown render function"):
+        render(spark, sf_dir, "noSuchFunc('*')")
+    with pytest.raises(RenderParseError, match="takes 2 args"):
+        render(spark, sf_dir, "scale('*')")
+    with pytest.raises(RenderParseError, match="expected Num"):
+        render(spark, sf_dir, "scale('*', 'x')")
+
+
+def test_glob_to_regex():
+    assert glob_to_regex("web.*.cpu") == "^web\\.[^.]*\\.cpu$"
+    assert glob_to_regex("c?ick") == "^c.ick$"
+    # regex metacharacters in the glob are literals
+    assert glob_to_regex("a+b") == "^a\\+b$"
+
+
+def test_scale_offset_composition_matches_manual(spark, sf_dir):
+    from go_whisper_spark.operators.graphite_funcs import _cents, _lww1h
+
+    got = {
+        (r.metric, r.interval): r.value
+        for r in render(spark, sf_dir, "offset(scale('c*', 3), -1)").collect()
+    }
+    manual = {
+        (r.metric, r.interval): r.value
+        for r in _lww1h(spark, sf_dir)
+        .where(F.col("metric").rlike("^c[^.]*$"))
+        .select(
+            "metric",
+            "interval",
+            (((_cents() * 3 - 100).cast("double")) / 100.0).alias("value"),
+        )
+        .collect()
+    }
+    assert got == manual and got
+
+
+def test_sum_series_then_derivative(spark, sf_dir):
+    rows = render(spark, sf_dir, "derivative(sumSeries('*'))").collect()
+    assert {r.metric for r in rows} == {"sumSeries"}
+    by_iv = sorted(rows, key=lambda r: r.interval)
+    assert by_iv[0].value is None  # first slot has no predecessor
+    assert all(r.value is not None for r in by_iv[1:])
+
+
+def test_maximum_above_filters_series(spark, sf_dir):
+    all_m = {r.metric for r in render(spark, sf_dir, "'*'").collect()}
+    kept = {
+        r.metric
+        for r in render(spark, sf_dir, "maximumAbove('*', 300)").collect()
+    }
+    assert kept < all_m and kept  # strict, non-empty discrimination
