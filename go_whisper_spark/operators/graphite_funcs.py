@@ -4486,6 +4486,10 @@ RENDER_EXPR_SUM_DERIV = "derivative(sumSeries(scale('*', 2)))"
 RENDER_EXPR_SELECT_ALIAS = (
     "aliasSub(maximumAbove(absolute('*'), 300), '^c', 'C')"
 )
+RENDER_EXPR_CUMCOUNT = (
+    "alias(integral(timeShift(countSeries(grep('*', '^(c|e)')), 2)), "
+    "'cum_present')"
+)
 
 
 def g_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4514,6 +4518,15 @@ def g_render_select_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_whisper_spark.render import render
 
     return render(spark, sf_dir, RENDER_EXPR_SELECT_ALIAS)
+
+
+def g_render_cumcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed render target through the second aggregate kind:
+    regex select → per-interval series-presence count → +2h time
+    shift → running integral → literal rename (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_CUMCOUNT)
 
 
 def _render_oracle(target: str) -> str:
@@ -4572,6 +4585,7 @@ QUERIES = {
     "g_render_pipeline": g_render_pipeline,
     "g_render_sum_deriv": g_render_sum_deriv,
     "g_render_select_alias": g_render_select_alias,
+    "g_render_cumcount": g_render_cumcount,
     "g_maximum_above": g_maximum_above,
     "g_maximum_below": g_maximum_below,
     "g_minimum_below": g_minimum_below,
@@ -4710,6 +4724,7 @@ ORACLES = {
     "g_render_pipeline": _render_oracle(RENDER_EXPR_PIPELINE),
     "g_render_sum_deriv": _render_oracle(RENDER_EXPR_SUM_DERIV),
     "g_render_select_alias": _render_oracle(RENDER_EXPR_SELECT_ALIAS),
+    "g_render_cumcount": _render_oracle(RENDER_EXPR_CUMCOUNT),
     "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
     "g_maximum_below": G_MAXIMUM_BELOW_SQL,
     "g_minimum_below": G_MINIMUM_BELOW_SQL,

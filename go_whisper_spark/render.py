@@ -261,6 +261,35 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
         if name == "grep":
             _need(n, 2, (object, Str))
             return ev(n.args[0]).where(F.col("metric").rlike(n.args[1].value))
+        if name == "alias":
+            _need(n, 2, (object, Str))
+            return ev(n.args[0]).withColumn("metric", F.lit(n.args[1].value))
+        if name == "timeShift":
+            _need(n, 2, (object, Num))
+            # timeShift(s, h): plot the series h hours EARLIER — add
+            # h·3600 to each interval (Graphite's '-1h' pulls
+            # yesterday's data onto today's axis; integer seconds).
+            return ev(n.args[0]).withColumn(
+                "interval", F.col("interval") + 3600 * n.args[1].value
+            )
+        if name == "integral":
+            _need(n, 1, (object,))
+            return ev(n.args[0]).withColumn(
+                "cents",
+                F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+        if name == "countSeries":
+            _need(n, 1, (object,))
+            return (
+                ev(n.args[0])
+                .groupBy("interval")
+                .agg(F.count("*").alias("cnt"))
+                .select(
+                    F.lit("countSeries").alias("metric"),
+                    "interval",
+                    (F.col("cnt") * 100).alias("cents"),
+                )
+            )
         if name == "aliasSub":
             _need(n, 3, (object, Str, Str))
             return ev(n.args[0]).withColumn(
@@ -359,6 +388,30 @@ def build_sql(node: Node) -> str:
             return (
                 f"(SELECT metric, interval, cents FROM {ev(n.args[0])} s "
                 f"WHERE regexp_matches(metric, '{rx}'))"
+            )
+        if name == "alias":
+            lit = n.args[1].value.replace("'", "''")
+            return (
+                f"(SELECT '{lit}' AS metric, interval, cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
+        if name == "timeShift":
+            return (
+                f"(SELECT metric, interval + {3600 * n.args[1].value} "
+                f"AS interval, cents FROM {ev(n.args[0])} s)"
+            )
+        if name == "integral":
+            return (
+                "(SELECT metric, interval, sum(cents) OVER "
+                "(PARTITION BY metric ORDER BY interval "
+                "ROWS UNBOUNDED PRECEDING) AS cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
+        if name == "countSeries":
+            return (
+                "(SELECT 'countSeries' AS metric, interval, "
+                "count(*) * 100 AS cents "
+                f"FROM {ev(n.args[0])} s GROUP BY interval)"
             )
         if name == "aliasSub":
             rx = n.args[1].value.replace("'", "''")

@@ -108,3 +108,24 @@ def test_maximum_above_filters_series(spark, sf_dir):
         for r in render(spark, sf_dir, "maximumAbove('*', 300)").collect()
     }
     assert kept < all_m and kept  # strict, non-empty discrimination
+
+
+def test_time_shift_and_integral(spark, sf_dir):
+    base = {
+        (r.metric, r.interval): r.value
+        for r in render(spark, sf_dir, "countSeries('*')").collect()
+    }
+    shifted = {
+        (r.metric, r.interval): r.value
+        for r in render(spark, sf_dir, "timeShift(countSeries('*'), 2)").collect()
+    }
+    assert shifted == {(m, iv + 7200): v for (m, iv), v in base.items()}
+    integ = sorted(
+        (r.interval, r.value)
+        for r in render(spark, sf_dir, "integral(countSeries('*'))").collect()
+    )
+    running, expect = 0.0, []
+    for iv, v in sorted((iv, v) for (_, iv), v in base.items()):
+        running += v
+        expect.append((iv, running))
+    assert integ == expect
