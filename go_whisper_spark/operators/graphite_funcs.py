@@ -4490,6 +4490,7 @@ RENDER_EXPR_CUMCOUNT = (
     "alias(integral(timeShift(countSeries(grep('*', '^(c|e)')), 2)), "
     "'cum_present')"
 )
+RENDER_EXPR_RATIO = "asPercent(sumSeries('c*'), sumSeries('*'))"
 
 
 def g_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4527,6 +4528,16 @@ def g_render_cumcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_whisper_spark.render import render
 
     return render(spark, sf_dir, RENDER_EXPR_CUMCOUNT)
+
+
+def g_render_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed render target through a BINARY combiner: click-family
+    volume as a percent of total volume per interval — two sumSeries
+    reductions joined on interval, cent-quantized exact ratio
+    (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_RATIO)
 
 
 def _render_oracle(target: str) -> str:
@@ -4586,6 +4597,7 @@ QUERIES = {
     "g_render_sum_deriv": g_render_sum_deriv,
     "g_render_select_alias": g_render_select_alias,
     "g_render_cumcount": g_render_cumcount,
+    "g_render_ratio": g_render_ratio,
     "g_maximum_above": g_maximum_above,
     "g_maximum_below": g_maximum_below,
     "g_minimum_below": g_minimum_below,
@@ -4725,6 +4737,7 @@ ORACLES = {
     "g_render_sum_deriv": _render_oracle(RENDER_EXPR_SUM_DERIV),
     "g_render_select_alias": _render_oracle(RENDER_EXPR_SELECT_ALIAS),
     "g_render_cumcount": _render_oracle(RENDER_EXPR_CUMCOUNT),
+    "g_render_ratio": _render_oracle(RENDER_EXPR_RATIO),
     "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
     "g_maximum_below": G_MAXIMUM_BELOW_SQL,
     "g_minimum_below": G_MINIMUM_BELOW_SQL,

@@ -296,6 +296,41 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                 "metric",
                 F.regexp_replace("metric", n.args[1].value, n.args[2].value),
             )
+        if name in ("diffSeries", "divideSeries", "asPercent"):
+            # Binary combiners over per-interval single series: each
+            # side must already be one series (reduce multi-series
+            # args with sumSeries/alias first — documented contract;
+            # Graphite's flatten-first-minus-rest list semantics are
+            # reachable through that reduction).  Join key = interval;
+            # LEFT join keeps the left series' slots (missing right →
+            # NULL, Graphite's None-propagation).  diff is exact cent
+            # subtraction; divide/asPercent are cent-quantized exact
+            # ratios: floor(a·100/b) and floor(a·10000/b) — integer
+            # math both engines, NULL on b = 0.
+            _need(n, 2, (object, object))
+            a = ev(n.args[0]).select(
+                "metric", "interval", F.col("cents").alias("a_c")
+            )
+            b = ev(n.args[1]).select(
+                F.col("interval").alias("b_iv"), F.col("cents").alias("b_c")
+            )
+            j = a.join(b, a.interval == b.b_iv, "left")
+            label = F.concat(F.lit(name + "("), F.col("metric"), F.lit(")"))
+            if name == "diffSeries":
+                out = F.col("a_c") - F.col("b_c")
+            elif name == "divideSeries":
+                out = F.when(
+                    F.col("b_c") != 0,
+                    F.floor((F.col("a_c") * 100).cast("double") / F.col("b_c")),
+                ).cast("long")
+            else:  # asPercent
+                out = F.when(
+                    F.col("b_c") != 0,
+                    F.floor((F.col("a_c") * 10000).cast("double") / F.col("b_c")),
+                ).cast("long")
+            return j.select(
+                label.alias("metric"), "interval", out.alias("cents")
+            )
         raise RenderParseError(f"unknown render function {name!r}")
 
     return ev(node)
@@ -419,6 +454,23 @@ def build_sql(node: Node) -> str:
             return (
                 f"(SELECT regexp_replace(metric, '{rx}', '{rep}') AS metric, "
                 f"interval, cents FROM {ev(n.args[0])} s)"
+            )
+        if name in ("diffSeries", "divideSeries", "asPercent"):
+            a, b = ev(n.args[0]), ev(n.args[1])
+            if name == "diffSeries":
+                out = "a.cents - b.cents"
+            elif name == "divideSeries":
+                out = ("CASE WHEN b.cents != 0 THEN CAST(floor("
+                       "CAST(a.cents * 100 AS DOUBLE) / b.cents) AS BIGINT) "
+                       "END")
+            else:
+                out = ("CASE WHEN b.cents != 0 THEN CAST(floor("
+                       "CAST(a.cents * 10000 AS DOUBLE) / b.cents) AS BIGINT) "
+                       "END")
+            return (
+                f"(SELECT '{name}(' || a.metric || ')' AS metric, "
+                f"a.interval, {out} AS cents "
+                f"FROM {a} a LEFT JOIN {b} b ON a.interval = b.interval)"
             )
         raise RenderParseError(f"unknown render function {name!r}")
 

@@ -129,3 +129,37 @@ def test_time_shift_and_integral(spark, sf_dir):
         running += v
         expect.append((iv, running))
     assert integ == expect
+
+
+def test_binary_combiners(spark, sf_dir):
+    tot = {
+        r.interval: r.value
+        for r in render(spark, sf_dir, "sumSeries('*')").collect()
+    }
+    clicks = {
+        r.interval: r.value
+        for r in render(spark, sf_dir, "sumSeries('c*')").collect()
+    }
+    pct = {
+        r.interval: r.value
+        for r in render(
+            spark, sf_dir, "asPercent(sumSeries('c*'), sumSeries('*'))"
+        ).collect()
+    }
+    import math
+
+    for iv, v in pct.items():
+        a_c = round(clicks[iv] * 100)
+        b_c = round(tot[iv] * 100)
+        assert v == math.floor(a_c * 10000 / b_c) / 100.0
+    diff = {
+        r.interval: r.value
+        for r in render(
+            spark, sf_dir, "diffSeries(sumSeries('*'), sumSeries('c*'))"
+        ).collect()
+    }
+    for iv, v in diff.items():
+        if iv in clicks:
+            assert v == pytest.approx(tot[iv] - clicks[iv], abs=1e-9)
+        else:
+            assert v is None  # left slot with no right partner
