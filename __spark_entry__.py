@@ -182,6 +182,7 @@ _R10_DEFERRED: list = [
     "g_render_select_alias",
     "g_render_cumcount",
     "g_render_ratio",
+    "g_render_smooth",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -4491,6 +4491,9 @@ RENDER_EXPR_CUMCOUNT = (
     "'cum_present')"
 )
 RENDER_EXPR_RATIO = "asPercent(sumSeries('c*'), sumSeries('*'))"
+RENDER_EXPR_SMOOTH = (
+    "diffSeries(averageSeries('*'), movingAverage(sumSeries('*'), 6))"
+)
 
 
 def g_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4538,6 +4541,15 @@ def g_render_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_whisper_spark.render import render
 
     return render(spark, sf_dir, RENDER_EXPR_RATIO)
+
+
+def g_render_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed render target mixing both floored-average forms: the
+    cross-series mean minus the 6-slot moving average of the summed
+    series, joined per interval (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_SMOOTH)
 
 
 def _render_oracle(target: str) -> str:
@@ -4598,6 +4610,7 @@ QUERIES = {
     "g_render_select_alias": g_render_select_alias,
     "g_render_cumcount": g_render_cumcount,
     "g_render_ratio": g_render_ratio,
+    "g_render_smooth": g_render_smooth,
     "g_maximum_above": g_maximum_above,
     "g_maximum_below": g_maximum_below,
     "g_minimum_below": g_minimum_below,
@@ -4738,6 +4751,7 @@ ORACLES = {
     "g_render_select_alias": _render_oracle(RENDER_EXPR_SELECT_ALIAS),
     "g_render_cumcount": _render_oracle(RENDER_EXPR_CUMCOUNT),
     "g_render_ratio": _render_oracle(RENDER_EXPR_RATIO),
+    "g_render_smooth": _render_oracle(RENDER_EXPR_SMOOTH),
     "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
     "g_maximum_below": G_MAXIMUM_BELOW_SQL,
     "g_minimum_below": G_MINIMUM_BELOW_SQL,

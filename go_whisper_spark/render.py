@@ -238,6 +238,22 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
             return ev(n.args[0]).withColumn(
                 "cents", F.sum("cents").over(w.rowsBetween(-(k - 1), 0))
             )
+        if name == "movingAverage":
+            # Floored-CENT mean over the window (exact integer math;
+            # Graphite's float mean quantizes to 2 decimals here —
+            # same documented cent contract as every arithmetic op).
+            _need(n, 2, (object, Num))
+            k = n.args[1].value
+            if k < 1:
+                raise RenderParseError("movingAverage window must be >= 1")
+            fr = w.rowsBetween(-(k - 1), 0)
+            return ev(n.args[0]).withColumn(
+                "cents",
+                F.floor(
+                    F.sum("cents").over(fr).cast("double")
+                    / F.count("cents").over(fr)
+                ).cast("long"),
+            )
         if name == "sumSeries":
             _need(n, 1, (object,))
             return (
@@ -245,6 +261,20 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                 .groupBy("interval")
                 .agg(F.sum("cents").alias("cents"))
                 .select(F.lit("sumSeries").alias("metric"), "interval", "cents")
+            )
+        if name == "averageSeries":
+            _need(n, 1, (object,))
+            return (
+                ev(n.args[0])
+                .groupBy("interval")
+                .agg(
+                    F.floor(
+                        F.sum("cents").cast("double") / F.count("cents")
+                    ).cast("long").alias("cents")
+                )
+                .select(
+                    F.lit("averageSeries").alias("metric"), "interval", "cents"
+                )
             )
         if name == "maximumAbove":
             _need(n, 2, (object, Num))
@@ -404,10 +434,26 @@ def build_sql(node: Node) -> str:
                 f"ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS cents "
                 f"FROM {ev(n.args[0])} s)"
             )
+        if name == "movingAverage":
+            k = n.args[1].value
+            fr = (f"OVER (PARTITION BY metric ORDER BY interval "
+                  f"ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)")
+            return (
+                f"(SELECT metric, interval, CAST(floor("
+                f"CAST(sum(cents) {fr} AS DOUBLE) / count(cents) {fr}"
+                f") AS BIGINT) AS cents FROM {ev(n.args[0])} s)"
+            )
         if name == "sumSeries":
             return (
                 "(SELECT 'sumSeries' AS metric, interval, "
                 "CAST(sum(cents) AS BIGINT) AS cents "
+                f"FROM {ev(n.args[0])} s GROUP BY interval)"
+            )
+        if name == "averageSeries":
+            return (
+                "(SELECT 'averageSeries' AS metric, interval, "
+                "CAST(floor(CAST(sum(cents) AS DOUBLE) / count(cents)) "
+                "AS BIGINT) AS cents "
                 f"FROM {ev(n.args[0])} s GROUP BY interval)"
             )
         if name == "maximumAbove":
