@@ -587,6 +587,40 @@ CHECKS = {
     # the set-size verify join; the flagged sets must broadcast back
     # onto the shard (never shuffle the shard for a 2-column flag),
     # and nothing may go nested-loop.
+    # Render-layer compositions: the parsed expression must compile to
+    # ONE lazy plan — per-series chains ride a metric-partitioned
+    # window, aggregates partial-combine, the selector join-back is
+    # AQE-sized, and nothing goes cartesian.
+    "g_render_pipeline": dict(
+        require=["Window", "partial_max_by"],
+        forbid=["CartesianProduct", "SinglePartition"],
+    ),
+    "g_render_sum_deriv": dict(
+        require=["Window", "partial_sum"],
+        forbid=["CartesianProduct"],
+    ),
+    "g_render_select_alias": dict(
+        require=["partial_max"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "Window"],
+    ),
+    # cumcount's integral window runs over the ONE combined series
+    # countSeries produced (a literal metric) — an O(slots) frame, so
+    # its single-partition window is semantic, not a scale bug (same
+    # as sum_deriv's derivative-after-sumSeries).
+    "g_render_cumcount": dict(
+        require=["Window", "partial_count"],
+        forbid=["CartesianProduct"],
+    ),
+    "g_render_ratio": dict(
+        require=["partial_sum"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct"],
+    ),
+    "g_render_smooth": dict(
+        require=["Window", "partial_sum"],
+        forbid=["CartesianProduct"],
+    ),
     # Chunk-hash dedup ledger: chunking + md5 entirely in codegen (no
     # Python, no join); shuffles are the distinct-hash + per-kind
     # aggregates only.
