@@ -183,6 +183,7 @@ _R10_DEFERRED: list = [
     "g_render_cumcount",
     "g_render_ratio",
     "g_render_smooth",
+    "g_render_group",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

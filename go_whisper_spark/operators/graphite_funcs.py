@@ -4494,6 +4494,11 @@ RENDER_EXPR_RATIO = "asPercent(sumSeries('c*'), sumSeries('*'))"
 RENDER_EXPR_SMOOTH = (
     "diffSeries(averageSeries('*'), movingAverage(sumSeries('*'), 6))"
 )
+RENDER_EXPR_GROUP = (
+    "group(alias(sumSeries('c*'), 'clicks'), "
+    "scale(grep('*', '^(e|p)'), -1), "
+    "timeShift(maximumAbove('v*', 300), 1))"
+)
 
 
 def g_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4550,6 +4555,16 @@ def g_render_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_whisper_spark.render import render
 
     return render(spark, sf_dir, RENDER_EXPR_SMOOTH)
+
+
+def g_render_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed render target through the list combinator: three
+    differently-transformed families (summed clicks, negated e/p
+    series, shifted peak-filtered v series) bag-unioned into one
+    render (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_GROUP)
 
 
 def _render_oracle(target: str) -> str:
@@ -4611,6 +4626,7 @@ QUERIES = {
     "g_render_cumcount": g_render_cumcount,
     "g_render_ratio": g_render_ratio,
     "g_render_smooth": g_render_smooth,
+    "g_render_group": g_render_group,
     "g_maximum_above": g_maximum_above,
     "g_maximum_below": g_maximum_below,
     "g_minimum_below": g_minimum_below,
@@ -4752,6 +4768,7 @@ ORACLES = {
     "g_render_cumcount": _render_oracle(RENDER_EXPR_CUMCOUNT),
     "g_render_ratio": _render_oracle(RENDER_EXPR_RATIO),
     "g_render_smooth": _render_oracle(RENDER_EXPR_SMOOTH),
+    "g_render_group": _render_oracle(RENDER_EXPR_GROUP),
     "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
     "g_maximum_below": G_MAXIMUM_BELOW_SQL,
     "g_minimum_below": G_MINIMUM_BELOW_SQL,

@@ -326,6 +326,17 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                 "metric",
                 F.regexp_replace("metric", n.args[1].value, n.args[2].value),
             )
+        if name == "group":
+            # group(a, b, ...): bag union of any number of series
+            # expressions — Graphite's list combinator, what lets one
+            # render mix differently-transformed families.
+            if not n.args:
+                raise RenderParseError("group needs at least one series")
+            frames = [ev(a) for a in n.args]
+            out = frames[0]
+            for f2 in frames[1:]:
+                out = out.unionByName(f2)
+            return out
         if name in ("diffSeries", "divideSeries", "asPercent"):
             # Binary combiners over per-interval single series: each
             # side must already be one series (reduce multi-series
@@ -501,6 +512,12 @@ def build_sql(node: Node) -> str:
                 f"(SELECT regexp_replace(metric, '{rx}', '{rep}') AS metric, "
                 f"interval, cents FROM {ev(n.args[0])} s)"
             )
+        if name == "group":
+            parts = " UNION ALL ".join(
+                f"SELECT metric, interval, cents FROM {ev(a)} g{i}"
+                for i, a in enumerate(n.args)
+            )
+            return f"({parts})"
         if name in ("diffSeries", "divideSeries", "asPercent"):
             a, b = ev(n.args[0]), ev(n.args[1])
             if name == "diffSeries":

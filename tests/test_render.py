@@ -163,3 +163,13 @@ def test_binary_combiners(spark, sf_dir):
             assert v == pytest.approx(tot[iv] - clicks[iv], abs=1e-9)
         else:
             assert v is None  # left slot with no right partner
+
+
+def test_group_is_bag_union(spark, sf_dir):
+    a = render(spark, sf_dir, "alias(sumSeries('c*'), 'x')").collect()
+    b = render(spark, sf_dir, "scale('e*', -1)").collect()
+    g = render(
+        spark, sf_dir, "group(alias(sumSeries('c*'), 'x'), scale('e*', -1))"
+    ).collect()
+    key = lambda r: (r.metric, r.interval, r.value)
+    assert sorted(map(key, g)) == sorted(map(key, list(a) + list(b)))
