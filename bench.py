@@ -103,6 +103,13 @@ HEADLINE = [
     # vector store actually serves at.  s_pq_search stays registered
     # as the self-contained build+serve form).
     "s_pq_search_serve",
+    # round 10: the chained BPE trainer (two merge rounds — per-round
+    # tiny-alphabet shuffle + 1-row broadcast + narrow merge), the
+    # binned range self-join (inequality → bin-id equi-join), and a
+    # deep render-layer composition (parser + 5-operator lazy plan).
+    "t_bpe_train2",
+    "w_range_join_binned",
+    "g_render_pipeline",
 ]
 
 

@@ -4499,6 +4499,10 @@ RENDER_EXPR_GROUP = (
     "scale(grep('*', '^(e|p)'), -1), "
     "timeShift(maximumAbove('v*', 300), 1))"
 )
+RENDER_EXPR_COUNTERS = (
+    "transformNull(keepLastValue("
+    "nonNegativeDerivative(highestMax('*', 3))), 0)"
+)
 
 
 def g_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4567,6 +4571,18 @@ def g_render_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render(spark, sf_dir, RENDER_EXPR_GROUP)
 
 
+def g_render_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed render target exercising the counter-cleanup idiom:
+    top-3-by-peak selection (fixed-k broadcast join-back) →
+    non-negative derivative (every drop slot goes NULL — genuinely
+    frequent on the raw fluctuating series) → forward fill of those
+    gaps → NULL→0 for each series' unfillable first slot
+    (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_COUNTERS)
+
+
 def _render_oracle(target: str) -> str:
     from go_whisper_spark.render import render_oracle_sql
 
@@ -4627,6 +4643,7 @@ QUERIES = {
     "g_render_ratio": g_render_ratio,
     "g_render_smooth": g_render_smooth,
     "g_render_group": g_render_group,
+    "g_render_counters": g_render_counters,
     "g_maximum_above": g_maximum_above,
     "g_maximum_below": g_maximum_below,
     "g_minimum_below": g_minimum_below,
@@ -4769,6 +4786,7 @@ ORACLES = {
     "g_render_ratio": _render_oracle(RENDER_EXPR_RATIO),
     "g_render_smooth": _render_oracle(RENDER_EXPR_SMOOTH),
     "g_render_group": _render_oracle(RENDER_EXPR_GROUP),
+    "g_render_counters": _render_oracle(RENDER_EXPR_COUNTERS),
     "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
     "g_maximum_below": G_MAXIMUM_BELOW_SQL,
     "g_minimum_below": G_MINIMUM_BELOW_SQL,

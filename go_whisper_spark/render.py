@@ -238,6 +238,45 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
             return ev(n.args[0]).withColumn(
                 "cents", F.sum("cents").over(w.rowsBetween(-(k - 1), 0))
             )
+        if name == "nonNegativeDerivative":
+            _need(n, 1, (object,))
+            d = F.col("cents") - F.lag("cents").over(w)
+            return ev(n.args[0]).withColumn(
+                "cents", F.when(d >= 0, d)
+            )
+        if name == "transformNull":
+            _need(n, 2, (object, Num))
+            return ev(n.args[0]).withColumn(
+                "cents",
+                F.coalesce(F.col("cents"), F.lit(100 * n.args[1].value)),
+            )
+        if name == "keepLastValue":
+            # last-ignorenulls over the running frame INCLUDES the
+            # current row, so non-null slots pass through unchanged.
+            _need(n, 1, (object,))
+            return ev(n.args[0]).withColumn(
+                "cents",
+                F.last("cents", ignorenulls=True).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+        if name == "highestMax":
+            # Fixed-size winner set (k rows) — the one selector whose
+            # join-back keeps an explicit broadcast hint, like the
+            # top-k family in graphite_funcs.
+            _need(n, 2, (object, Num))
+            k = n.args[1].value
+            if k < 1:
+                raise RenderParseError("highestMax k must be >= 1")
+            s = ev(n.args[0])
+            top = (
+                s.groupBy("metric")
+                .agg(F.max("cents").alias("mx"))
+                .orderBy(F.desc("mx"), F.asc("metric"))
+                .limit(k)
+                .select("metric")
+            )
+            return s.join(F.broadcast(top), "metric")
         if name == "movingAverage":
             # Floored-CENT mean over the window (exact integer math;
             # Graphite's float mean quantizes to 2 decimals here —
@@ -444,6 +483,36 @@ def build_sql(node: Node) -> str:
                 "(PARTITION BY metric ORDER BY interval "
                 f"ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS cents "
                 f"FROM {ev(n.args[0])} s)"
+            )
+        if name == "nonNegativeDerivative":
+            return (
+                "(SELECT metric, interval, CASE WHEN d >= 0 THEN d END AS cents "
+                "FROM (SELECT metric, interval, cents - lag(cents) OVER "
+                "(PARTITION BY metric ORDER BY interval) AS d "
+                f"FROM {ev(n.args[0])} s) t)"
+            )
+        if name == "transformNull":
+            return (
+                f"(SELECT metric, interval, "
+                f"coalesce(cents, {100 * n.args[1].value}) AS cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
+        if name == "keepLastValue":
+            return (
+                "(SELECT metric, interval, "
+                "last_value(cents IGNORE NULLS) OVER "
+                "(PARTITION BY metric ORDER BY interval "
+                "ROWS UNBOUNDED PRECEDING) AS cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
+        if name == "highestMax":
+            k = n.args[1].value
+            inner = ev(n.args[0])
+            return (
+                f"(SELECT s.metric, s.interval, s.cents FROM {inner} s "
+                f"JOIN (SELECT metric FROM {inner} g GROUP BY metric "
+                f"ORDER BY max(cents) DESC, metric ASC LIMIT {k}) w "
+                f"ON s.metric = w.metric)"
             )
         if name == "movingAverage":
             k = n.args[1].value

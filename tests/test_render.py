@@ -173,3 +173,37 @@ def test_group_is_bag_union(spark, sf_dir):
     ).collect()
     key = lambda r: (r.metric, r.interval, r.value)
     assert sorted(map(key, g)) == sorted(map(key, list(a) + list(b)))
+
+
+def test_counter_cleanup_ops(spark, sf_dir):
+    """nonNegativeDerivative nulls drop slots; keepLastValue forward
+    fills them; transformNull zeroes each series' first slot."""
+    raw = render(spark, sf_dir, "derivative('c*')").collect()
+    assert any(r.value is not None and r.value < 0 for r in raw)
+    nn = {
+        (r.metric, r.interval): r.value
+        for r in render(spark, sf_dir, "nonNegativeDerivative('c*')").collect()
+    }
+    for r in raw:
+        want = r.value if (r.value is not None and r.value >= 0) else None
+        assert nn[(r.metric, r.interval)] == want
+    filled = render(
+        spark,
+        sf_dir,
+        "transformNull(keepLastValue(nonNegativeDerivative('c*')), 0)",
+    ).collect()
+    assert all(r.value is not None for r in filled)
+    # forward fill: recompute per metric in Python
+    by_metric = {}
+    for r in sorted(raw, key=lambda r: (r.metric, r.interval)):
+        carry = by_metric.setdefault(r.metric, [None])
+        v = r.value if (r.value is not None and r.value >= 0) else None
+        carry.append(v if v is not None else carry[-1])
+    got = {
+        (r.metric, r.interval): r.value
+        for r in filled
+    }
+    for m, vals in by_metric.items():
+        series = [v if v is not None else 0.0 for v in vals[1:]]
+        ivs = sorted(iv for (mm, iv) in got if mm == m)
+        assert [got[(m, iv)] for iv in ivs] == series
