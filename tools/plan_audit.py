@@ -621,6 +621,16 @@ CHECKS = {
         require=["Window", "partial_sum"],
         forbid=["CartesianProduct"],
     ),
+    "g_render_group": dict(
+        require=["Union", "partial_sum"],
+        forbid=["CartesianProduct"],
+    ),
+    # counters: fixed-k top-by-peak winner set keeps its explicit
+    # broadcast hint (k rows by construction) — static BHJ required.
+    "g_render_counters": dict(
+        require=["Window", "BroadcastHashJoin", "partial_max"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
     # Chunk-hash dedup ledger: chunking + md5 entirely in codegen (no
     # Python, no join); shuffles are the distinct-hash + per-kind
     # aggregates only.
