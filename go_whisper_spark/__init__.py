@@ -9,6 +9,7 @@ Layers:
 - ``engine``              batch engine: ingest → rollup cascade → fetch
 - ``streaming``           Structured Streaming rollup (watermark = maxRetention)
 - ``operators``           relational + LLM-pipeline query layer (driver contract)
+- ``render``              Graphite render-target expression parser + evaluator
 - ``sources``             parquet/points IO + .wsp compat reader
 """
 
@@ -37,6 +38,17 @@ def __getattr__(name):
         from go_whisper_spark.session import get_spark
 
         return get_spark
+    # NOTE: not exported as `render` — the import system binds the
+    # go_whisper_spark.render MODULE to that attribute name, which
+    # would shadow a lazy function export nondeterministically.
+    if name == "render_target":
+        from go_whisper_spark.render import render
+
+        return render
+    if name == "parse_target":
+        from go_whisper_spark.render import parse_target
+
+        return parse_target
     raise AttributeError(name)
 
 
