@@ -185,6 +185,7 @@ _R10_DEFERRED: list = [
     "g_render_smooth",
     "g_render_group",
     "g_render_counters",
+    "g_render_summarize",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

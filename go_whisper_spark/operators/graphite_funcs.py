@@ -4503,6 +4503,10 @@ RENDER_EXPR_COUNTERS = (
     "transformNull(keepLastValue("
     "nonNegativeDerivative(highestMax('*', 3))), 0)"
 )
+RENDER_EXPR_SUMMARIZE = (
+    "diffSeries(sumSeries(summarize('*', 6, 'max')), "
+    "sumSeries(summarize('*', 6, 'avg')))"
+)
 
 
 def g_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4583,6 +4587,15 @@ def g_render_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render(spark, sf_dir, RENDER_EXPR_COUNTERS)
 
 
+def g_render_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed render target through the consolidation op: 6h-bucket
+    max and floored-avg summaries, each cross-series summed, then the
+    per-bucket spread between them (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_SUMMARIZE)
+
+
 def _render_oracle(target: str) -> str:
     from go_whisper_spark.render import render_oracle_sql
 
@@ -4644,6 +4657,7 @@ QUERIES = {
     "g_render_smooth": g_render_smooth,
     "g_render_group": g_render_group,
     "g_render_counters": g_render_counters,
+    "g_render_summarize": g_render_summarize,
     "g_maximum_above": g_maximum_above,
     "g_maximum_below": g_maximum_below,
     "g_minimum_below": g_minimum_below,
@@ -4787,6 +4801,7 @@ ORACLES = {
     "g_render_smooth": _render_oracle(RENDER_EXPR_SMOOTH),
     "g_render_group": _render_oracle(RENDER_EXPR_GROUP),
     "g_render_counters": _render_oracle(RENDER_EXPR_COUNTERS),
+    "g_render_summarize": _render_oracle(RENDER_EXPR_SUMMARIZE),
     "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
     "g_maximum_below": G_MAXIMUM_BELOW_SQL,
     "g_minimum_below": G_MINIMUM_BELOW_SQL,

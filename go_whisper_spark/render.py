@@ -293,6 +293,41 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                     / F.count("cents").over(fr)
                 ).cast("long"),
             )
+        if name == "summarize":
+            # summarize(s, hours, 'sum'|'max'|'min'|'last'|'avg'):
+            # epoch-aligned coarse buckets per metric — whisper's
+            # consolidation as a render op.  'avg' floors to exact
+            # cents; 'last' = value at the max interval in the bucket
+            # (max_by, unique per (metric, interval)).
+            _need(n, 3, (object, Num, Str))
+            h = n.args[1].value
+            if h < 1:
+                raise RenderParseError("summarize bucket must be >= 1 hour")
+            how = n.args[2].value
+            b = 3600 * h
+            if how == "sum":
+                agg = F.sum("cents")
+            elif how == "max":
+                agg = F.max("cents")
+            elif how == "min":
+                agg = F.min("cents")
+            elif how == "last":
+                # the fine interval must stay addressable for max_by,
+                # so the bucket gets its own column pre-grouping
+                agg = F.max_by("cents", "interval")
+            elif how == "avg":
+                agg = F.floor(
+                    F.sum("cents").cast("double") / F.count("cents")
+                ).cast("long")
+            else:
+                raise RenderParseError(f"summarize: unknown method {how!r}")
+            return (
+                ev(n.args[0])
+                .withColumn("bucket", F.col("interval") - F.col("interval") % b)
+                .groupBy("metric", "bucket")
+                .agg(agg.alias("cents"))
+                .select("metric", F.col("bucket").alias("interval"), "cents")
+            )
         if name == "sumSeries":
             _need(n, 1, (object,))
             return (
@@ -522,6 +557,24 @@ def build_sql(node: Node) -> str:
                 f"(SELECT metric, interval, CAST(floor("
                 f"CAST(sum(cents) {fr} AS DOUBLE) / count(cents) {fr}"
                 f") AS BIGINT) AS cents FROM {ev(n.args[0])} s)"
+            )
+        if name == "summarize":
+            b = 3600 * n.args[1].value
+            how = n.args[2].value
+            agg = {
+                "sum": "CAST(sum(cents) AS BIGINT)",
+                "max": "max(cents)",
+                "min": "min(cents)",
+                "last": "arg_max(cents, interval)",
+                "avg": ("CAST(floor(CAST(sum(cents) AS DOUBLE) / count(cents))"
+                        " AS BIGINT)"),
+            }.get(how)
+            if agg is None:
+                raise RenderParseError(f"summarize: unknown method {how!r}")
+            return (
+                f"(SELECT metric, interval - interval % {b} AS interval, "
+                f"{agg} AS cents FROM {ev(n.args[0])} s "
+                f"GROUP BY metric, interval - interval % {b})"
             )
         if name == "sumSeries":
             return (

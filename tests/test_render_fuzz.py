@@ -25,10 +25,14 @@ def _series(rng, depth):
             "movingAverage", "nonNegativeDerivative", "transformNull",
             "keepLastValue", "integral", "timeShift", "grep",
             "maximumAbove", "highestMax", "alias", "aliasSub",
-            "sumSeries", "averageSeries", "countSeries",
+            "sumSeries", "averageSeries", "countSeries", "summarize",
             "diffSeries", "divideSeries", "asPercent", "group",
         ]
     )
+    if name == "summarize":
+        s, single = _series(rng, depth - 1)
+        how = rng.choice(["sum", "max", "min", "last", "avg"])
+        return f"summarize({s}, {rng.randint(1, 8)}, '{how}')", single
     if name in ("scale", "offset", "timeShift"):
         s, single = _series(rng, depth - 1)
         return f"{name}({s}, {rng.randint(-3, 5)})", single
