@@ -365,6 +365,33 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
         if name == "grep":
             _need(n, 2, (object, Str))
             return ev(n.args[0]).where(F.col("metric").rlike(n.args[1].value))
+        if name == "exclude":
+            _need(n, 2, (object, Str))
+            return ev(n.args[0]).where(~F.col("metric").rlike(n.args[1].value))
+        if name == "currentAbove":
+            # most-recent slot (max_by on interval — unique per
+            # metric) over the threshold; un-hinted join-back.
+            _need(n, 2, (object, Num))
+            s = ev(n.args[0])
+            winners = (
+                s.groupBy("metric")
+                .agg(F.max_by("cents", "interval").alias("cur"))
+                .where(F.col("cur") > 100 * n.args[1].value)
+                .select("metric")
+            )
+            return s.join(winners, "metric")
+        if name == "averageAbove":
+            # exact integer compare: sum_cents > t·100·n — no float
+            # average ever materializes for the decision.
+            _need(n, 2, (object, Num))
+            s = ev(n.args[0])
+            winners = (
+                s.groupBy("metric")
+                .agg(F.sum("cents").alias("sc"), F.count("cents").alias("nn"))
+                .where(F.col("sc") > 100 * n.args[1].value * F.col("nn"))
+                .select("metric")
+            )
+            return s.join(winners, "metric")
         if name == "alias":
             _need(n, 2, (object, Str))
             return ev(n.args[0]).withColumn("metric", F.lit(n.args[1].value))
@@ -602,6 +629,30 @@ def build_sql(node: Node) -> str:
             return (
                 f"(SELECT metric, interval, cents FROM {ev(n.args[0])} s "
                 f"WHERE regexp_matches(metric, '{rx}'))"
+            )
+        if name == "exclude":
+            rx = n.args[1].value.replace("'", "''")
+            return (
+                f"(SELECT metric, interval, cents FROM {ev(n.args[0])} s "
+                f"WHERE NOT regexp_matches(metric, '{rx}'))"
+            )
+        if name == "currentAbove":
+            t = 100 * n.args[1].value
+            inner = ev(n.args[0])
+            return (
+                f"(SELECT s.metric, s.interval, s.cents FROM {inner} s "
+                f"JOIN (SELECT metric FROM {inner} g GROUP BY metric "
+                f"HAVING arg_max(cents, interval) > {t}) w "
+                f"ON s.metric = w.metric)"
+            )
+        if name == "averageAbove":
+            t = 100 * n.args[1].value
+            inner = ev(n.args[0])
+            return (
+                f"(SELECT s.metric, s.interval, s.cents FROM {inner} s "
+                f"JOIN (SELECT metric FROM {inner} g GROUP BY metric "
+                f"HAVING sum(cents) > {t} * count(cents)) w "
+                f"ON s.metric = w.metric)"
             )
         if name == "alias":
             lit = n.args[1].value.replace("'", "''")

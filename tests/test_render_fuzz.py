@@ -27,8 +27,15 @@ def _series(rng, depth):
             "maximumAbove", "highestMax", "alias", "aliasSub",
             "sumSeries", "averageSeries", "countSeries", "summarize",
             "diffSeries", "divideSeries", "asPercent", "group",
+            "exclude", "currentAbove", "averageAbove",
         ]
     )
+    if name == "exclude":
+        s, single = _series(rng, depth - 1)
+        return f"exclude({s}, '{rng.choice(['^c', '^[ve]', 'q'])}')", single
+    if name in ("currentAbove", "averageAbove"):
+        s, single = _series(rng, depth - 1)
+        return f"{name}({s}, {rng.choice([0, 40, 51, 300])})", single
     if name == "summarize":
         s, single = _series(rng, depth - 1)
         how = rng.choice(["sum", "max", "min", "last", "avg"])
