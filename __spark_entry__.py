@@ -140,20 +140,18 @@ _R09_DEFERRED: list = [
     "w_lakehouse_timetravel",
 ]
 
-# The round-10 driver window, pre-materialized for the round-11
-# rotation: first 50 of the registry as committed for round 10's
-# driver run = the 12 new round-10 queries + the 4 never-checked
-# round-9 deferrals + 34 of the round-5 cohort (test_registry.py
-# asserts list == first-50 so drift is caught before the driver
-# runs; zero overlap with rounds 8 AND 9 verified).  ROUND-11 TODO:
-# once CORRECTNESS_r10.json exists, verify its keys == this list,
-# then (a) add _R10_WINDOW to `recent`, (b) append
-# `+ [n for n in _R10_WINDOW if n in queries]` at the END of the
-# order in _registry(), and (c) make sure no deferred-block sitting
-# early in the order is a subset of _R10_WINDOW without an
-# `and n not in recent` filter (the round-9→10 footgun).  Queries
-# added AFTER this freeze go in _R10_DEFERRED (below), never in
-# front of the window.
+# The round-10 driver window == CORRECTNESS_r10.json keys (verified
+# 50/50 hash-green; test_registry.py pins set equality).  ROUND-11
+# rotation APPLIED per VERDICT r10 item 1 — all four steps: (a)
+# _R10_WINDOW joined `recent`; (b) the _R09_DEFERRED block gained an
+# `and n not in recent` filter (it is ⊂ _R10_WINDOW); (c) the
+# _R10_DEFERRED block MOVED UP to right after the new-queries clause
+# (as ordered in round 10 it sat after the r4/r5/r6 cohorts and would
+# have missed round 11's window entirely); (d) _R10_WINDOW's block
+# appended at the end of the order.  Round 11's window therefore
+# fronts any genuinely-new round-11 queries, then the 10
+# never-driver-checked _R10_DEFERRED entries (render layer + bronze
+# compaction), then the oldest cohorts — zero overlap with round 10.
 _R10_WINDOW: list = [
     "w_range_join_binned", "t_span_dedup_l5", "t_span_dedup_l9",
     "t_bpe_train2", "t_bpe_train_vocab", "t_bpe_encode",
@@ -174,7 +172,9 @@ _R10_WINDOW: list = [
     "r_q19_disjunct",
 ]
 
-# Queries added late in round 10, after the window freeze above.
+# Queries added late in round 10, after the round-10 window freeze.
+# Never driver-checked; they FRONT the round-11 window right after
+# any genuinely-new round-11 queries (the _R09_DEFERRED pattern).
 _R10_DEFERRED: list = [
     "w_lakehouse_compact",
     "g_render_pipeline",
@@ -187,6 +187,19 @@ _R10_DEFERRED: list = [
     "g_render_counters",
     "g_render_summarize",
 ]
+
+# The round-11 driver window, pre-materialized once frozen mid-round
+# (empty until then; test_registry skips the first-50 equality while
+# empty).  ROUND-12 TODO: once CORRECTNESS_r11.json exists, verify
+# its keys == this list, then (a) add _R11_WINDOW to `recent`, (b)
+# move the _R11_DEFERRED block to right after the new-queries clause
+# with an `and n not in recent` guard, (c) append _R11_WINDOW's block
+# at the END of the order.  Queries added AFTER the freeze go in
+# _R11_DEFERRED (below), never in front of the window.
+_R11_WINDOW: list = []
+
+# Queries added late in round 11, after the round-11 window freeze.
+_R11_DEFERRED: list = []
 
 # Added late in round 8, after the round-8 window composition (5 new
 # batch-1 queries + the round-4 cohort) was already settled.  Never
@@ -316,24 +329,33 @@ def _registry():
     r07 = set(_R07_WINDOW)
     r08 = set(_R08_WINDOW)
     r09 = set(_R09_WINDOW)
-    recent = r07 | r08 | r09
+    r10 = set(_R10_WINDOW)
+    recent = r07 | r08 | r09 | r10
     seen = (set(_R6_DEFERRED) | set(_R04_CHECKED) | set(_R05_CHECKED)
             | set(_R06_CHECKED) | recent | set(_R08_DEFERRED)
-            | set(_R09_DEFERRED) | set(_R10_DEFERRED))
+            | set(_R09_DEFERRED) | set(_R10_DEFERRED)
+            | set(_R11_DEFERRED))
     order = (
         [n for n in queries if n not in seen]
-        # Never-driver-checked round-9 late additions front the
-        # round-10 window, right after any genuinely-new queries.
-        + [n for n in _R09_DEFERRED if n in queries]
+        # Never-driver-checked round-10 late additions (render layer,
+        # bronze compaction) front the round-11 window, right after
+        # any genuinely-new queries (VERDICT r10 item 1c: this block
+        # must sit HERE, not after the cohort blocks).
+        + [n for n in _R10_DEFERRED if n in queries and n not in recent]
+        # _R09_DEFERRED ⊂ _R10_WINDOW (checked green in round 10), so
+        # this block filters to empty; kept for the subset-relation
+        # audit trail (the round-9→10 footgun guard).
+        + [n for n in _R09_DEFERRED if n in queries and n not in recent]
         + [n for n in _R04_CHECKED if n in queries and n not in recent]
         + [n for n in _R05_CHECKED if n in queries and n not in recent]
         + [n for n in _R06_CHECKED if n in queries and n not in recent]
-        # Late round-10 additions: past the 50-entry window, fronting
-        # the round-11 rotation.
-        + [n for n in _R10_DEFERRED if n in queries]
+        # Late round-11 additions: past the 50-entry window, fronting
+        # the round-12 rotation.
+        + [n for n in _R11_DEFERRED if n in queries]
         + [n for n in _R07_WINDOW if n in queries]
         + [n for n in _R08_WINDOW if n in queries]
         + [n for n in _R09_WINDOW if n in queries]
+        + [n for n in _R10_WINDOW if n in queries]
     )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}

@@ -88,13 +88,11 @@ def test_r09_window_matches_driver_record():
 
 
 def test_round10_window_disjoint_from_r09():
-    """First 50 of the rotated registry must not re-check round 9
-    (nor round 8) — the corrected rotation from VERDICT r9 item 1:
-    as staged, the _R08_DEFERRED block (a strict subset of
-    _R09_WINDOW) would have produced a 41/50 overlap.  Must also
-    front every never-driver-checked round-9 deferral."""
-    queries, _ = entry._registry()
-    window = list(queries)[:50]
+    """The round-10 window (now the historical _R10_WINDOW list) did
+    not re-check round 9 (nor round 8) and fronted every
+    never-driver-checked round-9 deferral — the corrected rotation
+    from VERDICT r9 item 1."""
+    window = entry._R10_WINDOW
     assert not set(window) & set(entry._R09_WINDOW), (
         "round-10 window re-checks round-9 greens")
     rec8 = _correctness(8)
@@ -103,17 +101,42 @@ def test_round10_window_disjoint_from_r09():
     assert not missing, f"never-checked deferrals missed the window: {missing}"
 
 
-def test_r10_window_matches_first_fifty():
-    """Once frozen mid-round, the pre-materialized round-10 window
-    list (the round-11 rotation seed) must stay equal to the
-    registry's actual first 50 — the drift failure mode enforced
-    every round since round 8.  Late round-10 additions belong in
-    _R10_DEFERRED, which this equality keeps OUT of the window."""
-    if not entry._R10_WINDOW:
-        pytest.skip("_R10_WINDOW not yet frozen this round")
-    queries, _ = entry._registry()
-    assert entry._R10_WINDOW == list(queries)[:50]
+def test_r10_window_matches_driver_record():
+    """_R10_WINDOW (the round-11 rotation seed) must equal the window
+    the driver actually hashed in round 10 (50/50 green)."""
+    rec = _correctness(10)
+    assert len(entry._R10_WINDOW) == 50
     assert len(set(entry._R10_WINDOW)) == 50
+    assert set(entry._R10_WINDOW) == set(rec.keys())
+
+
+def test_round11_window_disjoint_from_r10():
+    """First 50 of the rotated registry must not re-check rounds 8-10
+    and must front every never-driver-checked round-10 deferral (the
+    render-layer compositions + bronze compaction) — VERDICT r10
+    item 1: the _R10_DEFERRED block must sit BEFORE the cohort
+    blocks, or these 10 drift to round 12."""
+    queries, _ = entry._registry()
+    window = list(queries)[:50]
+    assert not set(window) & set(entry._R10_WINDOW), (
+        "round-11 window re-checks round-10 greens")
+    assert not set(window) & set(entry._R09_WINDOW)
+    assert not set(window) & set(entry._R08_WINDOW)
+    missing = [n for n in entry._R10_DEFERRED if n not in window]
+    assert not missing, f"never-checked deferrals missed the window: {missing}"
+
+
+def test_r11_window_matches_first_fifty():
+    """Once frozen mid-round, the pre-materialized round-11 window
+    list (the round-12 rotation seed) must stay equal to the
+    registry's actual first 50 — the drift failure mode enforced
+    every round since round 8.  Late round-11 additions belong in
+    _R11_DEFERRED, which this equality keeps OUT of the window."""
+    if not entry._R11_WINDOW:
+        pytest.skip("_R11_WINDOW not yet frozen this round")
+    queries, _ = entry._registry()
+    assert entry._R11_WINDOW == list(queries)[:50]
+    assert len(set(entry._R11_WINDOW)) == 50
 
 
 def test_checked_cohorts_are_registered():
@@ -123,6 +146,7 @@ def test_checked_cohorts_are_registered():
                 entry._R6_DEFERRED, entry._R06_CHECKED, entry._R07_WINDOW,
                 entry._R08_WINDOW, entry._R08_DEFERRED,
                 entry._R09_WINDOW, entry._R09_DEFERRED,
-                entry._R10_WINDOW, entry._R10_DEFERRED):
+                entry._R10_WINDOW, entry._R10_DEFERRED,
+                entry._R11_WINDOW, entry._R11_DEFERRED):
         missing = [n for n in lst if n not in queries]
         assert not missing, f"cohort names not in registry: {missing}"
