@@ -625,6 +625,13 @@ CHECKS = {
         require=["Union", "partial_sum"],
         forbid=["CartesianProduct"],
     ),
+    # summarize consolidation: both 6h-bucket branches (max, floored
+    # avg) partial-combine before the shuffle; the cross-branch
+    # spread is union+re-aggregate, never a cartesian.
+    "g_render_summarize": dict(
+        require=["partial_max", "partial_sum"],
+        forbid=["CartesianProduct"],
+    ),
     # counters: fixed-k top-by-peak winner set keeps its explicit
     # broadcast hint (k rows by construction) — static BHJ required.
     "g_render_counters": dict(
@@ -659,8 +666,15 @@ CHECKS = {
     ),
     # Tokenizer apply: the same per-round shape with doc_id riding the
     # narrow stages; final ledger is a doc-keyed partial aggregate.
+    # NOTE: the merge rounds are localCheckpoint()ed (c871bfd — the
+    # measured 11.4→5.2 s win), which truncates lineage, so the
+    # per-round pair counts are NOT visible in the final plan; only
+    # the post-checkpoint doc-keyed sum is.  Asserting partial_count
+    # here is impossible by construction (the round-10 stale-spec
+    # red); the pre-checkpoint shape is pinned by t_bpe_train2 above,
+    # which shares bpe_merge_round un-checkpointed stages.
     "t_bpe_encode": dict(
-        require=["partial_count", "partial_sum"],
+        require=["partial_sum"],
         forbid=["CartesianProduct", "Window"],
     ),
     # Merge-table artifact: three 1-row winner frames unioned — pair
