@@ -140,36 +140,40 @@ def main():
     timings_min = {n: round(min(v), 3) for n, v in samples.items()}
     total = round(sum(timings.values()), 3)
 
-    # stdout carries ONE compact JSON line — the driver's tail-capture
-    # window truncated round 9's line when it carried both `queries`
-    # and `queries_min` for 40 headliners (BENCH_r09 "parsed": null).
-    # Per-query minima (run-to-run spread) go to stderr and a local
-    # sidecar file instead.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                # value = sum of per-query medians over REPS (post-warm-up).
-                # BENCH_r01-r03 were single-pass wall-clock sums — totals are
-                # not directly comparable across that method change.
-                "method": f"sum_of_median{REPS}",
-                "queries": timings,
-                "reps": REPS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            },
-            separators=(",", ":"),
-        )
-    )
-    spread = json.dumps({"queries_min": timings_min, "reps": REPS, "sf": sf})
-    print(spread, file=sys.stderr)
+    # Per-query minima (run-to-run spread) go ONLY to the local
+    # sidecar file — round 10's driver tail-capture latched onto the
+    # stderr spread line (min-of-5, ~5-10% flattering) instead of the
+    # medians, and the medians line itself was truncated.  Nothing may
+    # print after the medians line below (BENCH_r11 fix, VERDICT r10
+    # item 3).
+    spread = json.dumps({"queries_min": timings_min, "reps": REPS,
+                         "method": f"min_of_{REPS}", "sf": sf})
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_spread.json"), "w") as fh:
             fh.write(spread + "\n")
     except OSError:
         pass
+
+    # stdout carries ONE compact JSON line, printed LAST so any
+    # tail-capture window keeps it whole.  value = sum of per-query
+    # medians over REPS (post-warm-up); BENCH_r01-r03 were single-pass
+    # wall-clock sums — totals are not directly comparable across that
+    # method change.  (The `method`/`reps` wrapper fields live in the
+    # sidecar now to keep this line short.)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
