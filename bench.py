@@ -110,6 +110,10 @@ HEADLINE = [
     "t_bpe_train2",
     "w_range_join_binned",
     "g_render_pipeline",
+    # round 11: the depth-6 parser-composed window chain — perf-tracks
+    # render-language plans at the depth users actually write (scale →
+    # delay → percentile removal → fill → changed → rolling sum).
+    "g_render_deep",
 ]
 
 

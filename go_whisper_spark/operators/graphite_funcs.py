@@ -4507,6 +4507,17 @@ RENDER_EXPR_SUMMARIZE = (
     "diffSeries(sumSeries(summarize('*', 6, 'max')), "
     "sumSeries(summarize('*', 6, 'avg')))"
 )
+RENDER_EXPR_TOPAVG = (
+    "offsetToZero(highestAverage(perSecond(summarize('*', 2, 'sum')), 3))"
+)
+RENDER_EXPR_NODES = (
+    "groupByNode(group(aliasSub('c*', '^', 'dc1.'), "
+    "aliasSub('[ve]*', '^', 'dc2.')), 0, 'sum')"
+)
+RENDER_EXPR_DEEP = (
+    "movingSum(changed(keepLastValue(removeBelowPercentile("
+    "delay(scale('*', 3), 1), 10))), 4)"
+)
 
 
 def g_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4596,6 +4607,37 @@ def g_render_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render(spark, sf_dir, RENDER_EXPR_SUMMARIZE)
 
 
+def g_render_topavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 render ops end-to-end: 2h-bucket consolidation →
+    per-second rate → top-3 series by mean (fixed-k broadcast winner
+    set, IEEE-identical rank key) → re-zeroed against each series'
+    own minimum (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_TOPAVG)
+
+
+def g_render_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard-reducer family: two label families prefixed into
+    dotted dc1./dc2. namespaces (replace-ALL aliasSub, bag union),
+    then groupByNode(0, 'sum') aggregates per datacenter per interval
+    (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_NODES)
+
+
+def g_render_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-6 per-series window chain — the parser-composed worst
+    case the bench tracks: scale → delay → percentile-floor removal
+    (rank-threshold join-back) → forward fill → null-safe change
+    detection → 4-slot rolling sum, all riding ONE metric-partitioned
+    window ordering (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_DEEP)
+
+
 def _render_oracle(target: str) -> str:
     from go_whisper_spark.render import render_oracle_sql
 
@@ -4658,6 +4700,9 @@ QUERIES = {
     "g_render_group": g_render_group,
     "g_render_counters": g_render_counters,
     "g_render_summarize": g_render_summarize,
+    "g_render_topavg": g_render_topavg,
+    "g_render_nodes": g_render_nodes,
+    "g_render_deep": g_render_deep,
     "g_maximum_above": g_maximum_above,
     "g_maximum_below": g_maximum_below,
     "g_minimum_below": g_minimum_below,
@@ -4802,6 +4847,9 @@ ORACLES = {
     "g_render_group": _render_oracle(RENDER_EXPR_GROUP),
     "g_render_counters": _render_oracle(RENDER_EXPR_COUNTERS),
     "g_render_summarize": _render_oracle(RENDER_EXPR_SUMMARIZE),
+    "g_render_topavg": _render_oracle(RENDER_EXPR_TOPAVG),
+    "g_render_nodes": _render_oracle(RENDER_EXPR_NODES),
+    "g_render_deep": _render_oracle(RENDER_EXPR_DEEP),
     "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
     "g_maximum_below": G_MAXIMUM_BELOW_SQL,
     "g_minimum_below": G_MINIMUM_BELOW_SQL,

@@ -23,22 +23,29 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (v1 — the composable core; the ~111 fixed-form
+Operator registry (45 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
-  seriesByGlob('pat')   seed: glob over metric names (* ? — translated
-                        to an anchored regex identically in both engines)
-  scale(s, k)           cents * k
-  offset(s, k)          cents + 100·k
-  absolute(s)           |cents|
-  derivative(s)         cents − lag(cents) per metric (first slot NULL)
-  movingSum(s, n)       rolling sum over n slots (current + n−1 prior)
-  sumSeries(s)          one series: per-interval cent sum
-  maximumAbove(s, t)    keep metrics whose peak exceeds t (cent compare)
-  grep(s, 're')         metric regex filter (patterns limited to the
-                        Java∩RE2-common subset, same rule as g_grep)
-  aliasSub(s,'re','rep') metric rename via regexp_replace
+  seeds       seriesByGlob / bare glob (* ? — translated to an
+              anchored regex identically in both engines)
+  value maps  scale offset absolute transformNull invert
+              removeAboveValue removeBelowValue
+  windows     derivative nonNegativeDerivative perSecond movingSum
+              movingAverage keepLastValue integral delay changed
+              offsetToZero  (order-sensitive ones statically require
+              unique (metric, interval) keys — see analyze())
+  filters     grep exclude
+  selectors   maximumAbove maximumBelow minimumAbove minimumBelow
+              averageAbove averageBelow currentAbove currentBelow
+              highestMax highestAverage lowestAverage
+  removers    removeAbovePercentile removeBelowPercentile (rank-based
+              thresholds, offending slots go NULL)
+  reducers    sumSeries averageSeries countSeries summarize
+              groupByNode(i, how)
+  labels      alias aliasSub (replace-ALL semantics in both engines)
+  combiners   group diffSeries divideSeries asPercent (binary right
+              side must be one uniquely-keyed series — enforced)
 
 Scale shape: seeds and filters are scan-adjacent; per-series operators
 ride ONE (metric)-partitioned window chain; ``sumSeries`` is the only
@@ -177,6 +184,113 @@ def glob_to_regex(pattern: str) -> str:
         else:
             out.append(ch)
     return "^" + "".join(out) + "$"
+
+
+# ------------------------------------------------------ static analysis
+# Per-metric window operators (lag / rolling frames / running totals)
+# are order-ambiguous when the input frame can carry duplicate
+# (metric, interval) rows — group() with same-labeled branches or
+# alias() over a multi-series input legitimately produces them, and
+# lag/last tie ordering is nondeterministic in BOTH engines (ADVICE
+# r10).  Rather than suffix-renaming union branches (which would
+# change user-visible labels), the layer statically tracks two
+# properties per AST node and REJECTS the ambiguous compositions in
+# both visitors identically:
+#
+#   single — provably at most one distinct metric label;
+#   unique — provably unique (metric, interval) keys.
+#
+# aliasSub is treated as key-preserving: the rewrite is injective on
+# any label set whose members differ outside the matched span (true
+# for every registered/fuzzed pattern); a colliding rewrite would need
+# two live labels mapping to the same string, which the layer does not
+# attempt to prove.  Documented, not hidden.
+
+# Window/arg_max ops whose result depends on slot ORDER within a
+# (metric, interval) key — these require `unique` inputs.
+_ORDER_SENSITIVE = frozenset({
+    "derivative", "nonNegativeDerivative", "movingSum", "movingAverage",
+    "keepLastValue", "integral", "perSecond", "delay", "changed",
+    "currentAbove", "currentBelow",
+})
+
+# Static label, when provable: aggregate reducers and alias pin it.
+_FIXED_LABEL = {
+    "sumSeries": "sumSeries",
+    "averageSeries": "averageSeries",
+    "countSeries": "countSeries",
+}
+
+
+def analyze(node: Node):
+    """Bottom-up (single, unique, label) for a parsed target.
+
+    ``label`` is the one static metric label the node provably emits,
+    or None when the label set is data-dependent.  Raises
+    RenderParseError for order-ambiguous compositions (window op over
+    a possibly-duplicate-keyed frame) and for binary combiners whose
+    right side is not provably one uniquely-keyed series.
+    """
+    if isinstance(node, (Glob, Str)):
+        return (False, True, None)
+    if not isinstance(node, Call):
+        raise RenderParseError(f"series expression expected, got {node}")
+    name = node.name
+    if name == "seriesByGlob":
+        return (False, True, None)
+    if name == "group":
+        parts = [analyze(a) for a in node.args]
+        labels = [p[2] for p in parts]
+        disjoint = (
+            all(lb is not None for lb in labels)
+            and len(set(labels)) == len(labels)
+        )
+        unique = all(p[1] for p in parts) and disjoint
+        return (False, unique, None)
+    if name in ("diffSeries", "divideSeries", "asPercent"):
+        ls, lu, ll = analyze(node.args[0])
+        rs, ru, _ = analyze(node.args[1])
+        if not (rs and ru):
+            raise RenderParseError(
+                f"{name}: right side must be ONE uniquely-keyed series — "
+                "reduce it with sumSeries/averageSeries first"
+            )
+        lbl = f"{name}({ll})" if ll is not None else None
+        return (ls, lu, lbl)
+    # every remaining operator transforms args[0]
+    child = node.args[0] if node.args else None
+    if child is None:
+        raise RenderParseError(f"{name} needs a series argument")
+    cs, cu, cl = analyze(child)
+    if name in _ORDER_SENSITIVE and not cu:
+        raise RenderParseError(
+            f"{name} over a frame that can carry duplicate "
+            "(metric, interval) keys — reduce with sumSeries/alias a "
+            "single series, or keep group() branches label-disjoint"
+        )
+    if name == "alias":
+        return (True, cs and cu, node.args[1].value)
+    if name in _FIXED_LABEL:
+        return (True, True, _FIXED_LABEL[name])
+    if name == "groupByNode":
+        return (False, True, None)
+    if name == "summarize":
+        how = node.args[2].value if len(node.args) == 3 else None
+        if how == "last" and not cu:
+            raise RenderParseError(
+                "summarize(...'last') over a possibly-duplicate-keyed "
+                "frame is order-ambiguous — reduce first"
+            )
+        return (cs, True, cl)
+    if name == "aliasSub":
+        return (cs, cu, None)
+    # value maps, filters, selectors, timeShift: key-preserving
+    return (cs, cu, cl)
+
+
+def validate_target(node: Node) -> Node:
+    analyze(node)
+    return node
 
 
 # ----------------------------------------------------------- evaluators
@@ -368,30 +482,212 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
         if name == "exclude":
             _need(n, 2, (object, Str))
             return ev(n.args[0]).where(~F.col("metric").rlike(n.args[1].value))
-        if name == "currentAbove":
-            # most-recent slot (max_by on interval — unique per
-            # metric) over the threshold; un-hinted join-back.
+        if name in ("currentAbove", "currentBelow"):
+            # most-recent slot (max_by on interval — keys unique by
+            # the analyze() gate) vs the threshold; un-hinted
+            # join-back.  A NULL latest slot fails BOTH compares in
+            # BOTH engines (the oracle wraps arg_max in a struct so
+            # its NULL survives — ADVICE r10).
             _need(n, 2, (object, Num))
             s = ev(n.args[0])
+            cur = F.max_by("cents", "interval").alias("cur")
+            t = 100 * n.args[1].value
+            cond = (F.col("cur") > t) if name == "currentAbove" else (
+                F.col("cur") < t)
             winners = (
-                s.groupBy("metric")
-                .agg(F.max_by("cents", "interval").alias("cur"))
-                .where(F.col("cur") > 100 * n.args[1].value)
-                .select("metric")
+                s.groupBy("metric").agg(cur).where(cond).select("metric")
             )
             return s.join(winners, "metric")
-        if name == "averageAbove":
-            # exact integer compare: sum_cents > t·100·n — no float
+        if name in ("averageAbove", "averageBelow"):
+            # exact integer compare: sum_cents vs t·100·n — no float
             # average ever materializes for the decision.
             _need(n, 2, (object, Num))
             s = ev(n.args[0])
+            t = 100 * n.args[1].value
+            cond = (
+                F.col("sc") > t * F.col("nn")
+                if name == "averageAbove"
+                else F.col("sc") < t * F.col("nn")
+            )
             winners = (
                 s.groupBy("metric")
                 .agg(F.sum("cents").alias("sc"), F.count("cents").alias("nn"))
-                .where(F.col("sc") > 100 * n.args[1].value * F.col("nn"))
+                .where(cond)
                 .select("metric")
             )
             return s.join(winners, "metric")
+        if name in ("minimumAbove", "minimumBelow", "maximumBelow"):
+            _need(n, 2, (object, Num))
+            s = ev(n.args[0])
+            t = 100 * n.args[1].value
+            agg = (F.max("cents") if name == "maximumBelow"
+                   else F.min("cents")).alias("mv")
+            cond = (F.col("mv") > t) if name == "minimumAbove" else (
+                F.col("mv") < t)
+            winners = s.groupBy("metric").agg(agg).where(cond).select("metric")
+            return s.join(winners, "metric")
+        if name in ("highestAverage", "lowestAverage"):
+            # fixed-k winner set by mean value — the rank key is the
+            # ONE double division both engines compute from the same
+            # (sum, count) longs (IEEE-identical), ties broken by
+            # metric; all-NULL series rank last (NULL mean).
+            _need(n, 2, (object, Num))
+            k = n.args[1].value
+            if k < 1:
+                raise RenderParseError(f"{name} k must be >= 1")
+            s = ev(n.args[0])
+            mean = (F.sum("cents").cast("double") / F.count("cents")).alias("mv")
+            # all-NULL series have a NULL mean — explicitly NULLS
+            # LAST both directions (Spark's bare asc is nulls-FIRST,
+            # the oracle emits NULLS LAST).
+            direction = (
+                F.desc_nulls_last if name == "highestAverage"
+                else F.asc_nulls_last
+            )
+            top = (
+                s.groupBy("metric")
+                .agg(mean)
+                .orderBy(direction("mv"), F.asc("metric"))
+                .limit(k)
+                .select("metric")
+            )
+            return s.join(F.broadcast(top), "metric")
+        if name in ("removeAboveValue", "removeBelowValue"):
+            # Graphite semantics: offending slots go None (keys — and
+            # the `unique` property — are preserved).
+            _need(n, 2, (object, Num))
+            t = 100 * n.args[1].value
+            keep = (F.col("cents") <= t) if name == "removeAboveValue" else (
+                F.col("cents") >= t)
+            return ev(n.args[0]).withColumn(
+                "cents", F.when(keep, F.col("cents"))
+            )
+        if name in ("removeAbovePercentile", "removeBelowPercentile"):
+            # Rank-based per-metric threshold (value at sorted
+            # position ceil(p/100·n) over NON-NULL slots — same
+            # convention as the fixed-form g_remove_*_pctile family:
+            # pure ordering, tie-sharing, no interpolation).
+            # Offending slots go NULL; LEFT join keeps all-NULL
+            # metrics (threshold NULL → every compare NULL → NULL).
+            _need(n, 2, (object, Num))
+            p = n.args[1].value
+            if not 0 < p <= 100:
+                raise RenderParseError(f"{name} percentile must be in (0,100]")
+            s = ev(n.args[0])
+            wv = Window.partitionBy("metric").orderBy("cents")
+            ranked = (
+                s.where(F.col("cents").isNotNull())
+                .withColumn("rn", F.row_number().over(wv))
+                .withColumn(
+                    "nn", F.count("*").over(Window.partitionBy("metric"))
+                )
+            )
+            thresh = (
+                ranked.where(
+                    F.col("rn")
+                    <= F.ceil(F.col("nn") * F.lit(p) / 100).cast("long")
+                )
+                .groupBy("metric")
+                .agg(F.max("cents").alias("pc"))
+            )
+            keep = (
+                F.col("cents") <= F.col("pc")
+                if name == "removeAbovePercentile"
+                else F.col("cents") >= F.col("pc")
+            )
+            return (
+                s.join(thresh, "metric", "left")
+                .select(
+                    "metric",
+                    "interval",
+                    F.when(keep, F.col("cents")).alias("cents"),
+                )
+            )
+        if name == "groupByNode":
+            # groupByNode(s, i, 'sum'|'avg'|'max'|'min'): aggregate
+            # series sharing the i-th dot-node of their label — the
+            # wildcard-reducer family as one op.  Missing node → ''
+            # in BOTH engines (Spark NULL coalesced; DuckDB
+            # split_part's '').
+            _need(n, 3, (object, Num, Str))
+            i = n.args[1].value
+            if i < 0:
+                raise RenderParseError("groupByNode index must be >= 0")
+            how = n.args[2].value
+            if how == "sum":
+                agg = F.sum("cents")
+            elif how == "max":
+                agg = F.max("cents")
+            elif how == "min":
+                agg = F.min("cents")
+            elif how == "avg":
+                agg = F.floor(
+                    F.sum("cents").cast("double") / F.count("cents")
+                ).cast("long")
+            else:
+                raise RenderParseError(f"groupByNode: unknown method {how!r}")
+            return (
+                ev(n.args[0])
+                .withColumn(
+                    "metric",
+                    # F.get (not getItem): out-of-range → NULL under
+                    # ANSI mode, coalesced to '' to match DuckDB's
+                    # split_part('').
+                    F.coalesce(
+                        F.get(F.split("metric", "[.]"), i), F.lit("")
+                    ),
+                )
+                .groupBy("metric", "interval")
+                .agg(agg.alias("cents"))
+            )
+        if name == "perSecond":
+            # non-negative slot delta per second of step (1h slots):
+            # floor(d/3600) cents — exact, negatives/resets go NULL.
+            _need(n, 1, (object,))
+            d = F.col("cents") - F.lag("cents").over(w)
+            return ev(n.args[0]).withColumn(
+                "cents",
+                F.when(d >= 0, F.floor(d / F.lit(3600)).cast("long")),
+            )
+        if name == "offsetToZero":
+            # subtract the series' own minimum — window min over the
+            # whole partition (dup-safe: min is order-independent).
+            _need(n, 1, (object,))
+            return ev(n.args[0]).withColumn(
+                "cents",
+                F.col("cents")
+                - F.min("cents").over(Window.partitionBy("metric")),
+            )
+        if name == "delay":
+            _need(n, 2, (object, Num))
+            k = n.args[1].value
+            if k < 0:
+                raise RenderParseError("delay steps must be >= 0")
+            return ev(n.args[0]).withColumn(
+                "cents", F.lag("cents", k).over(w)
+            )
+        if name == "changed":
+            # 1.0 when the slot differs from its predecessor under
+            # null-safe compare (IS NOT DISTINCT FROM in both
+            # engines), else 0 — first slot compares vs NULL.
+            _need(n, 1, (object,))
+            return ev(n.args[0]).withColumn(
+                "cents",
+                F.when(
+                    F.col("cents").eqNullSafe(F.lag("cents").over(w)),
+                    F.lit(0),
+                ).otherwise(F.lit(100)).cast("long"),
+            )
+        if name == "invert":
+            # cent-exact 1/x: floor(10000/cents), NULL at zero.
+            _need(n, 1, (object,))
+            return ev(n.args[0]).withColumn(
+                "cents",
+                F.when(
+                    F.col("cents") != 0,
+                    F.floor(F.lit(10000) / F.col("cents")),
+                ).cast("long"),
+            )
         if name == "alias":
             _need(n, 2, (object, Str))
             return ev(n.args[0]).withColumn("metric", F.lit(n.args[1].value))
@@ -482,7 +778,7 @@ def render(spark: SparkSession, sf_dir: str, target: str) -> DataFrame:
     """Evaluate one Graphite render target over the 1h LWW series
     frame; output (metric, interval, value) with the single final
     cents→value projection."""
-    frame = build_frame(spark, sf_dir, parse_target(target))
+    frame = build_frame(spark, sf_dir, validate_target(parse_target(target)))
     return frame.select(
         "metric",
         "interval",
@@ -588,11 +884,16 @@ def build_sql(node: Node) -> str:
         if name == "summarize":
             b = 3600 * n.args[1].value
             how = n.args[2].value
+            # 'last' wraps the value in a struct so a NULL at the
+            # bucket's max interval SURVIVES arg_max (bare
+            # arg_max(cents, interval) skips NULL args and would
+            # return the latest non-NULL — diverging from Spark's
+            # max_by; ADVICE r10).
             agg = {
                 "sum": "CAST(sum(cents) AS BIGINT)",
                 "max": "max(cents)",
                 "min": "min(cents)",
-                "last": "arg_max(cents, interval)",
+                "last": "(arg_max({'v': cents}, interval)).v",
                 "avg": ("CAST(floor(CAST(sum(cents) AS DOUBLE) / count(cents))"
                         " AS BIGINT)"),
             }.get(how)
@@ -636,23 +937,128 @@ def build_sql(node: Node) -> str:
                 f"(SELECT metric, interval, cents FROM {ev(n.args[0])} s "
                 f"WHERE NOT regexp_matches(metric, '{rx}'))"
             )
-        if name == "currentAbove":
+        if name in ("currentAbove", "currentBelow"):
+            # struct-wrapped arg_max: a NULL latest slot stays NULL
+            # (fails the compare, matching Spark's max_by — ADVICE
+            # r10's divergence fix).
             t = 100 * n.args[1].value
+            op = ">" if name == "currentAbove" else "<"
             inner = ev(n.args[0])
             return (
                 f"(SELECT s.metric, s.interval, s.cents FROM {inner} s "
                 f"JOIN (SELECT metric FROM {inner} g GROUP BY metric "
-                f"HAVING arg_max(cents, interval) > {t}) w "
+                f"HAVING (arg_max({{'v': cents}}, interval)).v {op} {t}) w "
                 f"ON s.metric = w.metric)"
             )
-        if name == "averageAbove":
+        if name in ("averageAbove", "averageBelow"):
             t = 100 * n.args[1].value
+            op = ">" if name == "averageAbove" else "<"
             inner = ev(n.args[0])
             return (
                 f"(SELECT s.metric, s.interval, s.cents FROM {inner} s "
                 f"JOIN (SELECT metric FROM {inner} g GROUP BY metric "
-                f"HAVING sum(cents) > {t} * count(cents)) w "
+                f"HAVING sum(cents) {op} {t} * count(cents)) w "
                 f"ON s.metric = w.metric)"
+            )
+        if name in ("minimumAbove", "minimumBelow", "maximumBelow"):
+            t = 100 * n.args[1].value
+            fn = "max" if name == "maximumBelow" else "min"
+            op = ">" if name == "minimumAbove" else "<"
+            inner = ev(n.args[0])
+            return (
+                f"(SELECT s.metric, s.interval, s.cents FROM {inner} s "
+                f"JOIN (SELECT metric FROM {inner} g GROUP BY metric "
+                f"HAVING {fn}(cents) {op} {t}) w ON s.metric = w.metric)"
+            )
+        if name in ("highestAverage", "lowestAverage"):
+            k = n.args[1].value
+            d = "DESC" if name == "highestAverage" else "ASC"
+            inner = ev(n.args[0])
+            return (
+                f"(SELECT s.metric, s.interval, s.cents FROM {inner} s "
+                f"JOIN (SELECT metric FROM {inner} g GROUP BY metric "
+                f"ORDER BY CAST(sum(cents) AS DOUBLE) / count(cents) {d} "
+                f"NULLS LAST, metric ASC LIMIT {k}) w "
+                f"ON s.metric = w.metric)"
+            )
+        if name in ("removeAboveValue", "removeBelowValue"):
+            t = 100 * n.args[1].value
+            op = "<=" if name == "removeAboveValue" else ">="
+            return (
+                f"(SELECT metric, interval, "
+                f"CASE WHEN cents {op} {t} THEN cents END AS cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
+        if name in ("removeAbovePercentile", "removeBelowPercentile"):
+            p = n.args[1].value
+            op = "<=" if name == "removeAbovePercentile" else ">="
+            inner = ev(n.args[0])
+            return (
+                f"(SELECT s.metric, s.interval, "
+                f"CASE WHEN s.cents {op} t.pc THEN s.cents END AS cents "
+                f"FROM {inner} s LEFT JOIN ("
+                f"SELECT metric, max(cents) AS pc FROM ("
+                f"SELECT metric, cents, "
+                f"row_number() OVER (PARTITION BY metric ORDER BY cents) "
+                f"AS rn, count(*) OVER (PARTITION BY metric) AS nn "
+                f"FROM {inner} r WHERE cents IS NOT NULL) q "
+                f"WHERE rn <= CAST(ceil(nn * {p} / 100.0) AS BIGINT) "
+                f"GROUP BY metric) t ON s.metric = t.metric)"
+            )
+        if name == "groupByNode":
+            i = n.args[1].value
+            how = n.args[2].value
+            agg = {
+                "sum": "CAST(sum(cents) AS BIGINT)",
+                "max": "max(cents)",
+                "min": "min(cents)",
+                "avg": ("CAST(floor(CAST(sum(cents) AS DOUBLE) / count(cents))"
+                        " AS BIGINT)"),
+            }.get(how)
+            if agg is None:
+                raise RenderParseError(f"groupByNode: unknown method {how!r}")
+            return (
+                f"(SELECT split_part(metric, '.', {i + 1}) AS metric, "
+                f"interval, {agg} AS cents FROM {ev(n.args[0])} s "
+                f"GROUP BY split_part(metric, '.', {i + 1}), interval)"
+            )
+        if name == "perSecond":
+            return (
+                "(SELECT metric, interval, "
+                "CASE WHEN d >= 0 THEN "
+                "CAST(floor(CAST(d AS DOUBLE) / 3600) AS BIGINT) END "
+                "AS cents "
+                "FROM (SELECT metric, interval, cents - lag(cents) OVER "
+                "(PARTITION BY metric ORDER BY interval) AS d "
+                f"FROM {ev(n.args[0])} s) t)"
+            )
+        if name == "offsetToZero":
+            return (
+                "(SELECT metric, interval, cents - min(cents) OVER "
+                "(PARTITION BY metric) AS cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
+        if name == "delay":
+            k = n.args[1].value
+            return (
+                f"(SELECT metric, interval, lag(cents, {k}) OVER "
+                "(PARTITION BY metric ORDER BY interval) AS cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
+        if name == "changed":
+            return (
+                "(SELECT metric, interval, "
+                "CASE WHEN cents IS NOT DISTINCT FROM lag(cents) OVER "
+                "(PARTITION BY metric ORDER BY interval) "
+                "THEN 0 ELSE 100 END AS cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
+        if name == "invert":
+            return (
+                "(SELECT metric, interval, CASE WHEN cents != 0 THEN "
+                "CAST(floor(10000 / CAST(cents AS DOUBLE)) AS BIGINT) END "
+                "AS cents "
+                f"FROM {ev(n.args[0])} s)"
             )
         if name == "alias":
             lit = n.args[1].value.replace("'", "''")
@@ -679,11 +1085,14 @@ def build_sql(node: Node) -> str:
                 f"FROM {ev(n.args[0])} s GROUP BY interval)"
             )
         if name == "aliasSub":
+            # 'g' flag: Spark's regexp_replace replaces ALL
+            # occurrences; DuckDB's default replaces only the first
+            # (ADVICE r10's divergence on multi-match patterns).
             rx = n.args[1].value.replace("'", "''")
             rep = n.args[2].value.replace("'", "''")
             return (
-                f"(SELECT regexp_replace(metric, '{rx}', '{rep}') AS metric, "
-                f"interval, cents FROM {ev(n.args[0])} s)"
+                f"(SELECT regexp_replace(metric, '{rx}', '{rep}', 'g') "
+                f"AS metric, interval, cents FROM {ev(n.args[0])} s)"
             )
         if name == "group":
             parts = " UNION ALL ".join(
@@ -719,4 +1128,4 @@ def build_sql(node: Node) -> str:
 
 
 def render_oracle_sql(target: str) -> str:
-    return build_sql(parse_target(target))
+    return build_sql(validate_target(parse_target(target)))

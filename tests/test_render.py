@@ -207,3 +207,95 @@ def test_counter_cleanup_ops(spark, sf_dir):
         series = [v if v is not None else 0.0 for v in vals[1:]]
         ivs = sorted(iv for (mm, iv) in got if mm == m)
         assert [got[(m, iv)] for iv in ivs] == series
+
+
+# ------------------------------------------------- static analyzer
+def test_analyzer_rejects_ambiguous_window_ops():
+    """Order-sensitive ops over a possibly-duplicate-keyed frame are
+    rejected in BOTH visitors (ADVICE r10: lag/last tie ordering is
+    nondeterministic in both engines, so Spark and the oracle could
+    legitimately disagree run-to-run)."""
+    from go_whisper_spark.render import parse_target, validate_target
+
+    bad = [
+        # same-labeled group branches → duplicate keys
+        "movingSum(group('c*', 'c*'), 3)",
+        # alias over a multi-series input collapses labels
+        "derivative(alias('*', 'x'))",
+        "summarize(alias('*', 'x'), 2, 'last')",
+        # binary right side must be ONE uniquely-keyed series
+        "diffSeries(sumSeries('*'), '*')",
+        "asPercent('c*', group('*', '*'))",
+        # group of globs is not provably label-disjoint
+        "keepLastValue(group('c*', 'v*'))",
+        "currentAbove(group('*', '*'), 0)",
+    ]
+    for target in bad:
+        with pytest.raises(RenderParseError):
+            validate_target(parse_target(target))
+
+
+def test_analyzer_accepts_disjoint_alias_group():
+    """group() branches with distinct static labels ARE uniquely
+    keyed — window ops over them are legal."""
+    from go_whisper_spark.render import analyze, parse_target, validate_target
+
+    ok = ("movingSum(group(alias(sumSeries('c*'), 'a'), "
+          "alias(sumSeries('v*'), 'b')), 2)")
+    validate_target(parse_target(ok))
+    # alias over a reduced (single) series keeps uniqueness
+    single, unique, label = analyze(parse_target("alias(sumSeries('*'), 'x')"))
+    assert (single, unique, label) == (True, True, "x")
+    # but alias('*') over multi-series loses it
+    single, unique, _ = analyze(parse_target("alias('*', 'x')"))
+    assert (single, unique) == (True, False)
+
+
+def test_null_preserving_last_and_current(spark, sf_dir):
+    """summarize 'last' / currentAbove over NULL-producing upstreams:
+    the oracle's struct-wrapped arg_max must keep a NULL at the max
+    interval, matching Spark's max_by (ADVICE r10 divergence)."""
+    import duckdb
+    import math
+    from collections import Counter
+    from go_whisper_spark.render import render, render_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    for target in (
+        "summarize(derivative('*'), 4, 'last')",
+        "currentAbove(nonNegativeDerivative('*'), 0)",
+        "currentBelow(derivative('*'), 300)",
+    ):
+        got = Counter(
+            (r.metric, r.interval, r.value)
+            for r in render(spark, sf_dir, target).collect()
+        )
+        want = Counter()
+        for m, iv, v in con.execute(render_oracle_sql(target)).fetchall():
+            if v is not None and isinstance(v, float) and math.isnan(v):
+                v = None
+            want[(m, iv, v)] += 1
+        assert got == want, target
+
+
+def test_alias_sub_replaces_all_occurrences(spark, sf_dir):
+    """Spark regexp_replace is replace-ALL; the oracle passes the 'g'
+    flag so DuckDB matches (ADVICE r10: without it 'ccc' with /c/->K
+    gave 'KKK' vs 'Kcc')."""
+    import duckdb
+    from go_whisper_spark.render import render, render_oracle_sql
+
+    target = "aliasSub('c*', 'c', 'K')"
+    got = {r.metric for r in render(spark, sf_dir, target).collect()}
+    assert all("c" not in m for m in got)  # every occurrence rewritten
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = {row[0] for row in con.execute(render_oracle_sql(target)).fetchall()}
+    assert got == want

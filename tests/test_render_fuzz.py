@@ -1,85 +1,108 @@
 """Property fuzz: random render expressions evaluated BOTH ways —
 the Spark composition vs the AST-emitted DuckDB SQL — must agree
 exactly (the cent discipline makes every composition integer-exact).
+
 Deterministic seed; bounded depth; covers every operator in the
-registry including binary combiners and aggregate reducers."""
+45-op registry including binary combiners, aggregate reducers, the
+selector family, and the round-11 additions.  Candidates that the
+static analyzer rejects (window op over a possibly-duplicate-keyed
+frame, non-single binary right side) are skipped and redrawn — the
+rejection path itself is asserted separately in test_render.py.
+
+Results compare as multiset Counters, not sets: group() compositions
+can legitimately emit duplicate (metric, interval, value) rows, and a
+divergence that only changes row counts must fail (ADVICE r10).
+"""
 
 import math
 import random
+from collections import Counter
 
 import duckdb
-import pytest
 
-from go_whisper_spark.render import parse_target, render, render_oracle_sql
+from go_whisper_spark.render import (
+    RenderParseError,
+    parse_target,
+    render,
+    render_oracle_sql,
+    validate_target,
+)
 
 _GLOBS = ["'*'", "'c*'", "'[ve]*'", "'p?rchase'"]
 
+_UNARY = [
+    "absolute", "derivative", "nonNegativeDerivative", "keepLastValue",
+    "integral", "perSecond", "offsetToZero", "changed", "invert",
+]
+_SELECTORS = [
+    "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
+    "averageAbove", "averageBelow", "currentAbove", "currentBelow",
+]
+
 
 def _series(rng, depth):
-    """Random series expression; returns (text, single_series: bool)."""
+    """Random series expression (validity enforced post-hoc by
+    validate_target — the draw loop in the test redraws rejects)."""
     if depth <= 0:
-        return rng.choice(_GLOBS), False
+        return rng.choice(_GLOBS)
     name = rng.choice(
-        [
-            "scale", "offset", "absolute", "derivative", "movingSum",
-            "movingAverage", "nonNegativeDerivative", "transformNull",
-            "keepLastValue", "integral", "timeShift", "grep",
-            "maximumAbove", "highestMax", "alias", "aliasSub",
-            "sumSeries", "averageSeries", "countSeries", "summarize",
+        _UNARY
+        + _SELECTORS
+        + [
+            "scale", "offset", "movingSum", "movingAverage",
+            "transformNull", "timeShift", "delay", "grep", "exclude",
+            "highestMax", "highestAverage", "lowestAverage",
+            "removeAboveValue", "removeBelowValue",
+            "removeAbovePercentile", "removeBelowPercentile",
+            "alias", "aliasSub", "sumSeries", "averageSeries",
+            "countSeries", "summarize", "groupByNode",
             "diffSeries", "divideSeries", "asPercent", "group",
-            "exclude", "currentAbove", "averageAbove",
         ]
     )
-    if name == "exclude":
-        s, single = _series(rng, depth - 1)
-        return f"exclude({s}, '{rng.choice(['^c', '^[ve]', 'q'])}')", single
-    if name in ("currentAbove", "averageAbove"):
-        s, single = _series(rng, depth - 1)
-        return f"{name}({s}, {rng.choice([0, 40, 51, 300])})", single
+    if name in _UNARY:
+        return f"{name}({_series(rng, depth - 1)})"
+    if name in _SELECTORS:
+        t = rng.choice([-1, 0, 40, 51, 300])
+        return f"{name}({_series(rng, depth - 1)}, {t})"
+    if name in ("removeAboveValue", "removeBelowValue"):
+        return f"{name}({_series(rng, depth - 1)}, {rng.choice([40, 52, 60])})"
+    if name in ("removeAbovePercentile", "removeBelowPercentile"):
+        return f"{name}({_series(rng, depth - 1)}, {rng.choice([10, 50, 90])})"
+    if name in ("highestMax", "highestAverage", "lowestAverage"):
+        return f"{name}({_series(rng, depth - 1)}, {rng.randint(1, 4)})"
     if name == "summarize":
-        s, single = _series(rng, depth - 1)
         how = rng.choice(["sum", "max", "min", "last", "avg"])
-        return f"summarize({s}, {rng.randint(1, 8)}, '{how}')", single
+        return f"summarize({_series(rng, depth - 1)}, {rng.randint(1, 8)}, '{how}')"
     if name in ("scale", "offset", "timeShift"):
-        s, single = _series(rng, depth - 1)
-        return f"{name}({s}, {rng.randint(-3, 5)})", single
+        return f"{name}({_series(rng, depth - 1)}, {rng.randint(-3, 5)})"
     if name in ("movingSum", "movingAverage"):
-        s, single = _series(rng, depth - 1)
-        return f"{name}({s}, {rng.randint(1, 6)})", single
-    if name in ("absolute", "derivative", "nonNegativeDerivative",
-                "keepLastValue", "integral"):
-        s, single = _series(rng, depth - 1)
-        return f"{name}({s})", single
+        return f"{name}({_series(rng, depth - 1)}, {rng.randint(1, 6)})"
+    if name == "delay":
+        return f"delay({_series(rng, depth - 1)}, {rng.randint(0, 3)})"
     if name == "transformNull":
-        s, single = _series(rng, depth - 1)
-        return f"{name}({s}, {rng.randint(-2, 2)})", single
+        return f"{name}({_series(rng, depth - 1)}, {rng.randint(-2, 2)})"
     if name == "grep":
-        s, single = _series(rng, depth - 1)
         pat = rng.choice(["^(c|v)", "^[es]", "r"])
-        return f"grep({s}, '{pat}')", single
-    if name == "maximumAbove":
-        s, single = _series(rng, depth - 1)
-        return f"maximumAbove({s}, {rng.choice([50, 300, 360])})", single
-    if name == "highestMax":
-        s, single = _series(rng, depth - 1)
-        return f"highestMax({s}, {rng.randint(1, 4)})", single
+        return f"grep({_series(rng, depth - 1)}, '{pat}')"
+    if name == "exclude":
+        return f"exclude({_series(rng, depth - 1)}, '{rng.choice(['^c', '^[ve]', 'q'])}')"
     if name == "alias":
-        s, _ = _series(rng, depth - 1)
-        return f"alias({s}, 'a{rng.randint(0, 9)}')", False
+        return f"alias({_series(rng, depth - 1)}, 'a{rng.randint(0, 9)}')"
     if name == "aliasSub":
-        s, single = _series(rng, depth - 1)
-        return f"aliasSub({s}, '^c', 'K')", single
+        return f"aliasSub({_series(rng, depth - 1)}, '^c', 'K')"
     if name in ("sumSeries", "averageSeries", "countSeries"):
-        s, _ = _series(rng, depth - 1)
-        return f"{name}({s})", True
+        return f"{name}({_series(rng, depth - 1)})"
+    if name == "groupByNode":
+        how = rng.choice(["sum", "max", "min", "avg"])
+        return f"groupByNode({_series(rng, depth - 1)}, {rng.randint(0, 1)}, '{how}')"
     if name == "group":
         k = rng.randint(2, 3)
-        parts = [_series(rng, depth - 1)[0] for _ in range(k)]
-        return "group(" + ", ".join(parts) + ")", False
+        parts = [_series(rng, depth - 1) for _ in range(k)]
+        return "group(" + ", ".join(parts) + ")"
     # binary combiners need single-series sides: force reductions
-    a, _ = _series(rng, depth - 1)
-    b, _ = _series(rng, depth - 1)
-    return f"{name}(sumSeries({a}), sumSeries({b}))", True
+    a = _series(rng, depth - 1)
+    b = _series(rng, depth - 1)
+    return f"{name}(sumSeries({a}), sumSeries({b}))"
 
 
 def test_render_fuzz_spark_equals_duckdb(spark, sf_dir):
@@ -89,19 +112,25 @@ def test_render_fuzz_spark_equals_duckdb(spark, sf_dir):
         "CREATE VIEW events AS SELECT * FROM "
         f"read_parquet('{sf_dir}/events.parquet')"
     )
-    checked = 0
-    for _ in range(25):
-        target, _ = _series(rng, rng.randint(1, 3))
-        parse_target(target)  # must round-trip the parser
-        got = {
+    checked = rejected = 0
+    while checked < 30:
+        target = _series(rng, rng.randint(1, 4))
+        node = parse_target(target)  # must round-trip the parser
+        try:
+            validate_target(node)
+        except RenderParseError:
+            rejected += 1
+            assert rejected < 400, "analyzer rejects nearly everything"
+            continue
+        got = Counter(
             (r.metric, r.interval, r.value)
             for r in render(spark, sf_dir, target).collect()
-        }
-        want = set()
+        )
+        want = Counter()
         for m, iv, v in con.execute(render_oracle_sql(target)).fetchall():
             if v is not None and isinstance(v, float) and math.isnan(v):
                 v = None
-            want.add((m, iv, v))
+            want[(m, iv, v)] += 1
         assert got == want, f"divergence on {target!r}"
         checked += 1
-    assert checked == 25
+    assert checked == 30

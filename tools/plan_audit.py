@@ -632,6 +632,25 @@ CHECKS = {
         require=["partial_max", "partial_sum"],
         forbid=["CartesianProduct"],
     ),
+    # round-11 compositions: topavg = bucket partial-sum → perSecond
+    # window → fixed-k winner broadcast → offsetToZero window; nodes =
+    # bag-union of relabeled families → per-(node, interval) partial
+    # aggregate, no window anywhere; deep = the depth-6 window chain
+    # whose only join is the percentile-threshold join-back (AQE picks
+    # broadcast from the tiny per-metric relation at runtime).
+    "g_render_topavg": dict(
+        require=["Window", "partial_sum", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
+    "g_render_nodes": dict(
+        require=["Union", "partial_sum"],
+        forbid=["CartesianProduct", "Window"],
+    ),
+    "g_render_deep": dict(
+        require=["Window", "partial_max"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct"],
+    ),
     # counters: fixed-k top-by-peak winner set keeps its explicit
     # broadcast hint (k rows by construction) — static BHJ required.
     "g_render_counters": dict(
