@@ -1572,19 +1572,26 @@ def _ivf_assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_cells(spark: SparkSession, sf_dir: str):
+def _ivf_cells(spark: SparkSession, sf_dir: str, train_where=None):
     """Shared IVF coarse-quantizer pipeline: seeded centroids (the 8
     lowest vec_ids), ONE exact quantized-integer Lloyd step, final
     assignment.  Returns ``(cells, cents)`` where ``cells`` =
     (vec_id, v, norm, cell) and ``cents`` = (cid, cv, cnorm).
-    Determinism contract documented on ``s_cosine_ivf``."""
+    Determinism contract documented on ``s_cosine_ivf``.
+
+    ``train_where``: optional Column predicate restricting the Lloyd
+    TRAINING pass (seeds stay the 8 lowest vec_ids, which any base
+    split must contain); the final assignment always covers the whole
+    corpus — the frozen-quantizer shape ``s_pq_search_upserted``
+    serves from."""
     e = _cos_frames(spark, sf_dir).select("vec_id", "v", "norm")
     seeds = e.where(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").cast("long").alias("cid"),
         F.col("v").alias("cv"),
         F.col("norm").alias("cnorm"),
     )
-    assign0 = _ivf_assign(e, seeds)
+    train = e.where(train_where) if train_where is not None else e
+    assign0 = _ivf_assign(train, seeds)
 
     # One Lloyd step in exact quantized-integer arithmetic.
     comp = (
@@ -3319,10 +3326,14 @@ def _l2_16(a: str, b: str):
     return _L2_CACHE[key]
 
 
-def _pq_frames(spark: SparkSession, sf_dir: str):
+def _pq_frames(spark: SparkSession, sf_dir: str, train_where=None):
     """Shared PQ pipeline: (blocks, books, enc) — sub-block explode,
     seeded 1-Lloyd-step codebooks (integer-quantized means), and the
-    per-(vector, block) code assignment with its squared-L2 distance."""
+    per-(vector, block) code assignment with its squared-L2 distance.
+
+    ``train_where``: optional Column predicate restricting codebook
+    TRAINING to a base split; the encode pass always covers every
+    vector against the (frozen) books — ``s_pq_upsert``'s contract."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -3330,6 +3341,9 @@ def _pq_frames(spark: SparkSession, sf_dir: str):
     blocks = e.select("vec_id", F.posexplode(subs).alias("block", "sv"))
     seeds = blocks.where(F.col("vec_id") < PQ_K).select(
         "block", F.col("vec_id").cast("long").alias("cid"), F.col("sv").alias("cv")
+    )
+    train_blocks = (
+        blocks.where(train_where) if train_where is not None else blocks
     )
 
     def assign(frame, book):
@@ -3349,7 +3363,7 @@ def _pq_frames(spark: SparkSession, sf_dir: str):
             )
         )
 
-    a0 = assign(blocks, seeds)
+    a0 = assign(train_blocks, seeds)
     comp = (
         a0.select(
             "block", "cell",
@@ -3738,7 +3752,7 @@ LEFT JOIN hits h ON h.qid = q.qid
 
 
 # --------------------------------------------------------- s_pq_search
-def pq_ivf_index(spark: SparkSession, sf_dir: str):
+def pq_ivf_index(spark: SparkSession, sf_dir: str, train_where=None):
     """The persisted artifacts of a PQ-IVF index build:
     ``(index, cents)`` where ``index`` = (vec_id, cell, rv, rnorm)
     and ``cents`` = the 8-row Lloyd-stepped centroid frame
@@ -3753,10 +3767,14 @@ def pq_ivf_index(spark: SparkSession, sf_dir: str):
     reassembled EXACTLY from the sub-block slices carried through the
     code assignment (flatten of sv by block == v bit-for-bit), so the
     cell assignment is identical to s_cosine_ivf's without joining
-    back to the base table."""
-    _, cents = _ivf_cells(spark, sf_dir)
+    back to the base table.
+
+    ``train_where`` restricts BOTH quantizers' training (coarse IVF
+    Lloyd step and PQ codebooks) to a base split while the index
+    still covers every vector — the post-upsert index shape."""
+    _, cents = _ivf_cells(spark, sf_dir, train_where=train_where)
     cents = cents.localCheckpoint()
-    _, books, enc = _pq_frames(spark, sf_dir)
+    _, books, enc = _pq_frames(spark, sf_dir, train_where=train_where)
     bb = books.select(
         F.col("block").alias("b2"), F.col("cid").alias("cid2"), "cv"
     )
@@ -3993,7 +4011,15 @@ def pq_ivf_index_cached(spark: SparkSession, sf_dir: str):
     scan of (vec_id, cell, rv, rnorm), never the build DAG) and the
     8-row centroid table collected to driver rows for closure-shipping
     into the routing kernel."""
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): CPython reuses id() after GC, so a
+    # fresh session could hit a stale entry holding a checkpointed
+    # frame bound to a STOPPED SparkContext (ADVICE r10).  The app id
+    # is unique per context; entries for dead contexts are dropped
+    # here (bounded: at most one live app's entries survive).
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _PQ_INDEX_CACHE if k[0] != app_id]:
+        del _PQ_INDEX_CACHE[k]
+    key = (app_id, sf_dir)
     hit = _PQ_INDEX_CACHE.get(key)
     if hit is None:
         index, cents = pq_ivf_index(spark, sf_dir)
@@ -4016,6 +4042,37 @@ def s_pq_search_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_read_path(spark, sf_dir, index, cent_rows)
 
 
+def s_pq_search_upserted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsert → serve loop closed end-to-end (VERDICT r10 item 6):
+    serve the route → ADC-scan → exact-rerank read path against the
+    POST-UPSERT index — coarse IVF centroids and PQ codebooks trained
+    on the base split only (``vec_id % 10 <= 7``, exactly
+    ``s_pq_upsert``'s frozen-codebook contract), with the whole
+    base+delta corpus assigned and encoded against those frozen
+    quantizers.  This is the state a production vector store is in
+    between retrains: every delta batch absorbed by encode-only
+    writes, reads served from the same index relation.
+
+    Scale shape identical to ``s_pq_search`` (the training filter is
+    a narrow predicate on the Lloyd passes); the serving cost is
+    unchanged because the index relation has the same size and
+    layout.  ``s_pq_upserted_recall`` prices the frozen-codebook
+    drift this loop accepts."""
+    index, cents = pq_ivf_index(
+        spark, sf_dir, train_where=F.col("vec_id") % 10 <= 7
+    )
+    return _pq_read_path(spark, sf_dir, index, cents.collect())
+
+
+def s_pq_upserted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@3 of the post-upsert read path against the exact top-3
+    over the union corpus — the drift-ledger number made concrete:
+    how much quality the frozen-codebook upsert lifecycle gives up
+    versus a fresh full retrain (``s_pq_search_recall``).  The floor
+    is pinned in tests/test_pq_search.py."""
+    return _recall_vs_exact(spark, sf_dir, s_pq_search_upserted(spark, sf_dir))
+
+
 def s_pq_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@3 of the composed IVF→ADC→rerank path
     (``s_pq_search``) against the exact top-3 — prices the full read
@@ -4031,7 +4088,11 @@ _DOT64_SQL = (
 
 # IVF coarse-quantizer CTEs over the shared `e` base (renamed from
 # _s_cosine_ivf_sql's to avoid colliding with _PQ_CTES' seeds/a0/comp).
-_IVF_CTES = f"""nv AS (
+# ``train_pred`` restricts the Lloyd TRAINING pass (ia0/icell0/icomp);
+# the final ia1/icells assignment always covers the whole corpus —
+# mirrors _ivf_cells(train_where=...).
+def _ivf_ctes(train_pred: str = "TRUE") -> str:
+    return f"""nv AS (
   SELECT vec_id, v, sqrt({_DOT64_SQL.format(a="v", b="v")}) AS norm FROM e
 ),
 iseeds AS (
@@ -4041,6 +4102,7 @@ ia0 AS (
   SELECT n.vec_id, n.v, n.norm, s.cid,
          round({_DOT64_SQL.format(a="n.v", b="s.cv")} / (n.norm * s.cnorm), 6) AS sim
   FROM nv n, iseeds s
+  WHERE {train_pred}
 ),
 icell0 AS (
   SELECT vec_id, v, norm, cid AS cell FROM ia0
@@ -4071,11 +4133,19 @@ icells AS (
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1
 )"""
 
+
+_IVF_CTES = _ivf_ctes()
+
+
 # The composed read path down to the ADC candidate relation
 # (qid, vec_id, adc_sim) — shared by the search oracle, its recall
-# gate, and the streaming ADC scorer (st_pq_score).
-_PQ_ADC_CTES = f"""{_PQ_CTES},
-{_IVF_CTES},
+# gate, and the streaming ADC scorer (st_pq_score).  Parameterized on
+# the PQ + IVF base blocks so the post-upsert variant (frozen
+# base-trained quantizers, union-encoded corpus) shares every
+# downstream CTE verbatim.
+def _pq_adc_ctes(pq_ctes: str, ivf_ctes: str) -> str:
+    return f"""{pq_ctes},
+{ivf_ctes},
 recon AS (
   SELECT n.vec_id, flatten(array_agg(s.cv ORDER BY n.block)) AS rv
   FROM enc n JOIN books s ON s.block = n.block AND s.cid = n.code
@@ -4106,9 +4176,14 @@ adc AS (
   JOIN rn r ON r.vec_id = c.vec_id
 )"""
 
+
+_PQ_ADC_CTES = _pq_adc_ctes(_PQ_CTES, _IVF_CTES)
+
+
 # …continued down to the reranked top-3 relation (qid, neighbor, sim,
 # rank) — shared by the search oracle and its recall gate.
-_PQ_SEARCH_CTES = f"""{_PQ_ADC_CTES},
+def _pq_search_ctes(adc_ctes: str) -> str:
+    return f"""{adc_ctes},
 topc AS (
   SELECT qid, qv, qn, vec_id FROM (
     SELECT *, row_number() OVER (
@@ -4132,6 +4207,17 @@ pq_ann AS (
 )"""
 
 
+_PQ_SEARCH_CTES = _pq_search_ctes(_PQ_ADC_CTES)
+
+# Post-upsert read path: coarse cells AND codebooks trained on the
+# base split only (vec_id % 10 <= 7, the s_pq_upsert contract), the
+# whole base+delta corpus assigned/encoded against the frozen
+# quantizers, then the identical route→ADC→rerank CTEs.
+_PQ_SEARCH_CTES_UPSERTED = _pq_search_ctes(
+    _pq_adc_ctes(_PQ_UPSERT_CTES, _ivf_ctes("n.vec_id % 10 <= 7"))
+)
+
+
 def _s_pq_search_sql() -> str:
     return f"""
 WITH {_PQ_SEARCH_CTES}
@@ -4139,9 +4225,16 @@ SELECT qid, neighbor, sim, rank FROM pq_ann ORDER BY qid, rank
 """
 
 
-def _s_pq_search_recall_sql() -> str:
+def _s_pq_search_upserted_sql() -> str:
     return f"""
-WITH {_PQ_SEARCH_CTES},
+WITH {_PQ_SEARCH_CTES_UPSERTED}
+SELECT qid, neighbor, sim, rank FROM pq_ann ORDER BY qid, rank
+"""
+
+
+def _s_pq_search_recall_sql(search_ctes: str = _PQ_SEARCH_CTES) -> str:
+    return f"""
+WITH {search_ctes},
 exact AS (
   SELECT qid, neighbor FROM (
     SELECT q.vec_id AS qid, c.vec_id AS neighbor,
@@ -5409,6 +5502,8 @@ QUERIES = {
     "s_pq_search": s_pq_search,
     "s_pq_search_serve": s_pq_search_serve,
     "s_pq_upsert": s_pq_upsert,
+    "s_pq_search_upserted": s_pq_search_upserted,
+    "s_pq_upserted_recall": s_pq_upserted_recall,
     "s_pq_search_recall": s_pq_search_recall,
     "s_semantic_dedup": s_semantic_dedup,
 }
@@ -5478,6 +5573,8 @@ ORACLES = {
     # contents; only the build is memoized) — shares the oracle.
     "s_pq_search_serve": _s_pq_search_sql(),
     "s_pq_upsert": _s_pq_upsert_sql(),
+    "s_pq_search_upserted": _s_pq_search_upserted_sql(),
+    "s_pq_upserted_recall": _s_pq_search_recall_sql(_PQ_SEARCH_CTES_UPSERTED),
     "s_pq_search_recall": _s_pq_search_recall_sql(),
     "s_semantic_dedup": _s_semantic_dedup_sql(),
 }

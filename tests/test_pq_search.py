@@ -44,3 +44,28 @@ def test_search_shape_and_rerank_exactness(spark, sf_dir):
     for r in rows:
         if (r.qid, r.neighbor) in exact:
             assert r.sim == exact[(r.qid, r.neighbor)]
+
+
+def test_upserted_serve_recall_floor(spark, sf_dir):
+    """The upsert → serve loop (frozen base-trained quantizers, union
+    corpus encoded against them) must stay within the drift budget:
+    recall@3 ≥ the ADC-only floor, and within 0.15 absolute of the
+    fresh-retrain composed path — the quality trade the
+    frozen-codebook lifecycle knowingly accepts (s_pq_upsert's drift
+    ledger is the monitoring signal for exactly this number)."""
+    from go_whisper_spark.operators.llm_ops import (
+        s_pq_recall,
+        s_pq_search_recall,
+        s_pq_upserted_recall,
+    )
+
+    adc_floor = _mean_recall(s_pq_recall(spark, sf_dir))
+    fresh = _mean_recall(s_pq_search_recall(spark, sf_dir))
+    upserted = _mean_recall(s_pq_upserted_recall(spark, sf_dir))
+    assert upserted >= adc_floor, (
+        f"post-upsert recall {upserted} fell below the ADC floor {adc_floor}"
+    )
+    assert upserted >= fresh - 0.15, (
+        f"frozen-codebook drift too large: upserted {upserted} vs "
+        f"fresh retrain {fresh}"
+    )

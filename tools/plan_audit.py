@@ -754,6 +754,18 @@ CHECKS = {
                  "BroadcastNestedLoopJoin"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
+    # Post-upsert serve: identical read-path shape to s_pq_search —
+    # the base-split training filter is a narrow predicate on the
+    # Lloyd passes and MUST NOT change the serving plan.
+    "s_pq_search_upserted": dict(
+        require=["MapInPandas", "Window", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
+    "s_pq_upserted_recall": dict(
+        require=["MapInPandas", "Window", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
     # Bigram-LM held-out scoring: model counts partial-aggregate on
     # the train split; the score side broadcast-probes them (shuffled
     # equi-join when a real model outgrows broadcast); integer ledger.
