@@ -1029,6 +1029,95 @@ FROM l LEFT JOIN r
 """
 
 
+ST_RENDER_TARGET = "summarize(removeBelowValue(scale('*', 2), 40), 6, 'max')"
+
+
+def st_render_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A render-target expression evaluated ON THE STREAM
+    (``streaming/render.py``, VERDICT r10 item 7): the parsed AST of
+    ``summarize(removeBelowValue(scale('*', 2), 40), 6, 'max')``
+    drives a two-query chained plan — 1h LWW rollup (watermark =
+    2 d lateness) hands off through the parquet file sink/source to
+    the rendered query, whose stateless value maps (×2 cents,
+    floor-at-40 NULLing) run per emitted row and whose outermost
+    summarize is a 6h tumbling window aggregate under a 0-second
+    watermark (in-order handoff, same argument as
+    ``st_cascade_chained``).
+
+    Oracle: the same watermark algebra as the chained cascade —
+    1h survivors per arrival pass, then the cent-exact render
+    arithmetic and the 6h buckets closed by the final level-0
+    emission bound.  NULL-heavy buckets (every slot below 40 after
+    scaling) emit NULL values, pinned by the oracle's max-over-NULLs.
+    """
+    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
+    t0 = int(pts.agg(F.min("ts")).first()[0])
+    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts"))
+    )
+    cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
+
+    from go_whisper_spark.streaming.render import streaming_render_pass
+
+    root = _tmpdir()
+    src, base = os.path.join(root, "src"), os.path.join(root, "render")
+    feed = marked.drop("arrive")
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        rendered = streaming_render_pass(
+            spark, feed.schema, src, base, ST_RENDER_TARGET, cfg,
+            lateness_seconds=LATENESS,
+        )
+    return spark.read.schema("metric string, interval long, value double").parquet(
+        rendered
+    ).select("metric", "interval", "value")
+
+
+ST_RENDER_6H_SQL = f"""
+WITH pts AS (
+  SELECT event_type AS metric,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+{_MARKED_CTE},
+surv AS (
+  SELECT m.* FROM marked m LEFT JOIN wm ON wm.arrive = m.arrive
+  WHERE wm.wm IS NULL OR m.ts - m.ts % 3600 + 3600 > wm.wm
+),
+a0 AS (
+  SELECT metric,
+         ts - ts % 3600 AS interval,
+         arg_max(value, seq) AS value
+  FROM surv
+  GROUP BY 1, 2
+  HAVING interval + 3600 <= (SELECT wmf FROM wmf)
+),
+cents AS (
+  SELECT metric, interval,
+         CASE WHEN CAST(round(value * 100) AS BIGINT) * 2 >= 4000
+              THEN CAST(round(value * 100) AS BIGINT) * 2 END AS cents
+  FROM a0
+),
+r6 AS (
+  SELECT metric,
+         interval - interval % 21600 AS interval,
+         max(cents) AS cents
+  FROM cents
+  GROUP BY 1, 2
+  HAVING interval - interval % 21600 + 21600 <= (SELECT max(interval) FROM a0)
+)
+SELECT metric, interval, CAST(cents AS DOUBLE) / 100.0 AS value FROM r6
+"""
+
+
 QUERIES = {
     "st_rollup_lww_1h": st_rollup_lww_1h,
     "st_sessions_30m": st_sessions_30m,
@@ -1039,6 +1128,7 @@ QUERIES = {
     "st_join_1h": st_join_1h,
     "st_join_1h_outer": st_join_1h_outer,
     "st_cascade_chained": st_cascade_chained,
+    "st_render_6h": st_render_6h,
     "st_lsh_prefilter": st_lsh_prefilter,
     "st_pq_score": st_pq_score,
     "st_lakehouse_ingest": st_lakehouse_ingest,
@@ -1054,6 +1144,7 @@ ORACLES = {
     "st_join_1h": ST_JOIN_1H_SQL,
     "st_join_1h_outer": ST_JOIN_1H_OUTER_SQL,
     "st_cascade_chained": ST_CASCADE_CHAINED_SQL,
+    "st_render_6h": ST_RENDER_6H_SQL,
     "st_lsh_prefilter": _st_lsh_prefilter_sql(),
     "st_pq_score": _st_pq_score_sql(),
     "st_lakehouse_ingest": ST_LAKEHOUSE_INGEST_SQL,

@@ -1,0 +1,256 @@
+"""Streaming evaluation of render-target expressions.
+
+The batch render layer (``go_whisper_spark/render.py``) composes a
+parsed Graphite target into one lazy DataFrame plan.  This module
+proves the SAME AST drives a Structured Streaming plan: a render
+target is evaluated over the live 1h LWW archive stream using the
+declarative chained handoff from ``streaming/chained.py`` —
+
+  raw points ──(streaming_rollup, 1h LWW, watermark)──▶ level0 files
+  level0 stream ──(AST value maps, stateless)──▶
+                ──(AST summarize → tumbling window agg, 0-lateness
+                   watermark: in-order handoff)──▶ rendered files
+
+**Streamable subset** (enforced — anything else raises
+``RenderParseError``): seeds and every stateless per-row operator
+(scale, offset, absolute, transformNull, invert, removeAbove/BelowValue,
+grep, exclude, alias, aliasSub), plus at most ONE outermost
+``summarize(s, h, how)``, which maps onto a watermarked tumbling
+window aggregate — Graphite consolidation as a streaming window, the
+same mapping ``streaming_rollup`` uses for whisper's propagate.
+Order-sensitive window ops (derivative, movingSum, …) are NOT
+streamable as append-mode plans; their stateful analogs live in
+``streaming/stateful.py`` (st_derivative).
+
+Why the summarize level can run with a ZERO-lateness watermark: the
+level-0 query releases a 1h window only once its watermark passed the
+window end, and the watermark is monotone across micro-batches — each
+handoff batch carries intervals strictly above everything released
+before it (the ``streaming/chained.py`` in-order argument).  State at
+the summarize level is the currently-open coarse buckets only: O(1)
+per metric, which is what keeps a composed render target viable on an
+unbounded stream.
+
+[ref: SURVEY §2B streaming row + §2C render language; the reference
+render API is batch-only — this is the Spark-native streaming
+extension of the same public target syntax.]
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_whisper_spark.model import SeriesConfig
+from go_whisper_spark.render import (
+    Call,
+    Glob,
+    Node,
+    Num,
+    RenderParseError,
+    Str,
+    glob_to_regex,
+    parse_target,
+    validate_target,
+)
+from go_whisper_spark.streaming.rollup import streaming_rollup
+
+_LEVEL_SCHEMA = "metric string, interval long, value double"
+
+# Stateless per-row operators — the streamable value-map/label subset.
+_STATELESS = frozenset({
+    "scale", "offset", "absolute", "transformNull", "invert",
+    "removeAboveValue", "removeBelowValue", "grep", "exclude",
+    "alias", "aliasSub",
+})
+
+
+def check_streamable(node: Node) -> None:
+    """Reject AST shapes the append-mode plan cannot express: at most
+    one summarize, and it must be OUTERMOST; everything beneath it
+    stateless."""
+
+    def stateless_only(n: Node) -> None:
+        if isinstance(n, (Glob, Str)):
+            return
+        if not isinstance(n, Call):
+            raise RenderParseError(f"series expression expected, got {n}")
+        if n.name == "seriesByGlob":
+            return
+        if n.name not in _STATELESS:
+            raise RenderParseError(
+                f"{n.name} is not streamable — only stateless value maps "
+                "and one outermost summarize run on the archive stream"
+            )
+        stateless_only(n.args[0])
+
+    if isinstance(node, Call) and node.name == "summarize":
+        stateless_only(node.args[0])
+    else:
+        stateless_only(node)
+
+
+def _apply_stateless(frame: DataFrame, node: Node) -> DataFrame:
+    """Evaluate the stateless chain over a (metric, interval, cents)
+    frame — the same arithmetic as the batch visitor, expression for
+    expression (integer cents; see render.py's exactness contract)."""
+
+    def seed(pattern: str) -> DataFrame:
+        return frame.where(F.col("metric").rlike(glob_to_regex(pattern)))
+
+    def ev(n: Node) -> DataFrame:
+        if isinstance(n, (Glob, Str)):
+            return seed(n.pattern if isinstance(n, Glob) else n.value)
+        name = n.name
+        if name == "seriesByGlob":
+            return seed(n.args[0].value)
+        s = ev(n.args[0])
+        if name == "scale":
+            return s.withColumn("cents", F.col("cents") * n.args[1].value)
+        if name == "offset":
+            return s.withColumn("cents", F.col("cents") + 100 * n.args[1].value)
+        if name == "absolute":
+            return s.withColumn("cents", F.abs("cents"))
+        if name == "transformNull":
+            return s.withColumn(
+                "cents",
+                F.coalesce(F.col("cents"), F.lit(100 * n.args[1].value)),
+            )
+        if name == "invert":
+            return s.withColumn(
+                "cents",
+                F.when(
+                    F.col("cents") != 0,
+                    F.floor(F.lit(10000) / F.col("cents")),
+                ).cast("long"),
+            )
+        if name in ("removeAboveValue", "removeBelowValue"):
+            t = 100 * n.args[1].value
+            keep = (F.col("cents") <= t) if name == "removeAboveValue" else (
+                F.col("cents") >= t)
+            return s.withColumn("cents", F.when(keep, F.col("cents")))
+        if name == "grep":
+            return s.where(F.col("metric").rlike(n.args[1].value))
+        if name == "exclude":
+            return s.where(~F.col("metric").rlike(n.args[1].value))
+        if name == "alias":
+            return s.withColumn("metric", F.lit(n.args[1].value))
+        if name == "aliasSub":
+            return s.withColumn(
+                "metric",
+                F.regexp_replace("metric", n.args[1].value, n.args[2].value),
+            )
+        raise RenderParseError(f"{name} is not streamable")
+
+    return ev(node)
+
+
+def _summarize_agg(how: str):
+    if how == "sum":
+        return F.sum("cents")
+    if how == "max":
+        return F.max("cents")
+    if how == "min":
+        return F.min("cents")
+    if how == "last":
+        return F.max_by("cents", "interval")
+    if how == "avg":
+        return F.floor(
+            F.sum("cents").cast("double") / F.count("cents")
+        ).cast("long")
+    raise RenderParseError(f"summarize: unknown method {how!r}")
+
+
+def streaming_render_frame(archive_stream: DataFrame, target: str) -> DataFrame:
+    """Streaming level-0 archive rows (metric, interval, value) →
+    the rendered streaming frame (metric, interval, value) for the
+    given target.  Stateless chains pass through append-trivially;
+    an outermost summarize becomes a watermarked tumbling window
+    aggregate (0-lateness — in-order handoff)."""
+    node = validate_target(parse_target(target))
+    check_streamable(node)
+    base = archive_stream.select(
+        "metric",
+        "interval",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    if isinstance(node, Call) and node.name == "summarize":
+        if len(node.args) != 3 or not isinstance(node.args[1], Num) \
+                or not isinstance(node.args[2], Str):
+            raise RenderParseError("summarize takes (series, hours, method)")
+        h = node.args[1].value
+        if h < 1:
+            raise RenderParseError("summarize bucket must be >= 1 hour")
+        mapped = _apply_stateless(base, node.args[0])
+        out = (
+            mapped.withColumn("ts", F.timestamp_seconds(F.col("interval")))
+            .withWatermark("ts", "0 seconds")
+            .groupBy("metric", F.window("ts", f"{3600 * h} seconds").alias("w"))
+            .agg(_summarize_agg(node.args[2].value).alias("cents"))
+            .select(
+                "metric",
+                F.col("w.start").cast("long").alias("interval"),
+                "cents",
+            )
+        )
+    else:
+        out = _apply_stateless(base, node)
+    return out.select(
+        "metric",
+        "interval",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("value"),
+    )
+
+
+def streaming_render_pass(
+    spark: SparkSession,
+    feed_schema,
+    src: str,
+    base: str,
+    target: str,
+    cfg: SeriesConfig,
+    lateness_seconds: Optional[int] = None,
+    await_secs: int = 600,
+) -> str:
+    """One availableNow pass of the two chained queries: level-0 LWW
+    rollup from the raw points file source, then the rendered target
+    over the level-0 handoff.  Checkpoints persist under ``base``, so
+    the replay harness calls this once per arrival pass.  Returns the
+    rendered output dir."""
+    lvl0 = os.path.join(base, "level0")
+    rendered = os.path.join(base, "rendered")
+
+    def run(df, path, ckpt):
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # RuntimeError, not assert: must survive `python -O`.
+        if not q.awaitTermination(await_secs):
+            raise RuntimeError("streaming render pass timed out")
+
+    run(
+        streaming_rollup(
+            spark.readStream.schema(feed_schema).parquet(src),
+            cfg,
+            0,
+            lateness_seconds=lateness_seconds,
+        ).select("metric", "interval", "value"),
+        lvl0,
+        os.path.join(base, "ckpt0"),
+    )
+    run(
+        streaming_render_frame(
+            spark.readStream.schema(_LEVEL_SCHEMA).parquet(lvl0), target
+        ),
+        rendered,
+        os.path.join(base, "ckpt_render"),
+    )
+    return rendered

@@ -1,0 +1,67 @@
+"""Streaming render layer (streaming/render.py): streamability
+gate + plan shape + replay equivalence at test scale.
+
+The full 3-pass replay vs the DuckDB watermark-algebra oracle runs
+under the driver contract (st_render_6h); here we pin the pieces a
+contract mismatch would not localize: which ASTs are accepted, and
+that the streaming plan is the declarative watermark+window shape.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_whisper_spark.render import RenderParseError, parse_target
+from go_whisper_spark.streaming.render import (
+    check_streamable,
+    streaming_render_frame,
+)
+
+
+def test_streamable_gate():
+    ok = [
+        "scale('*', 3)",
+        "removeBelowValue(aliasSub(grep('c*', '^c'), '^c', 'K'), 40)",
+        "summarize(invert(transformNull('*', 2)), 6, 'avg')",
+        "summarize('*', 2, 'last')",
+    ]
+    for t in ok:
+        check_streamable(parse_target(t))
+    bad = [
+        # order-sensitive window ops cannot run append-mode
+        "movingSum('*', 3)",
+        "derivative(scale('*', 2))",
+        # summarize must be OUTERMOST
+        "scale(summarize('*', 6, 'max'), 2)",
+        # cross-series reducers need their own shuffle semantics
+        "sumSeries('*')",
+        "summarize(sumSeries('*'), 6, 'max')",
+        # selectors require a second pass over the full series
+        "maximumAbove('*', 10)",
+    ]
+    for t in bad:
+        with pytest.raises(RenderParseError):
+            check_streamable(parse_target(t))
+
+
+def test_streaming_plan_is_watermark_window(spark):
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            (F.col("value") % 5).cast("string").alias("metric"),
+            (F.col("value") * 3600).alias("interval"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    out = streaming_render_frame(
+        src, "summarize(removeBelowValue(scale('*', 2), 40), 6, 'max')"
+    )
+    assert out.isStreaming
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
+    assert "window" in plan.lower()
+    assert out.columns == ["metric", "interval", "value"]
+    # stateless-only target: no watermark, no aggregate
+    flat = streaming_render_frame(src, "offset(absolute('c*'), -1)")
+    assert flat.isStreaming
+    fplan = flat._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" not in fplan

@@ -872,6 +872,29 @@ def _build_st_chained_level1(spark):
     )
 
 
+def _build_st_render(spark):
+    # The streaming render query (streaming/render.py): the parsed
+    # AST's stateless value maps feed ONE 0-lateness
+    # EventTimeWatermark + tumbling-window Aggregate — join-free, no
+    # pandas stage, exactly the chained-level-1 shape with render
+    # arithmetic in front.
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.streaming.render import streaming_render_frame
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            (F.col("value") % 5).cast("string").alias("metric"),
+            (F.col("value") * 3600).alias("interval"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    return streaming_render_frame(
+        src, "summarize(removeBelowValue(scale('*', 2), 40), 6, 'max')"
+    )
+
+
 def _build_st_pq_score(spark):
     # The in-stream routing kernel + broadcast PQ-index probe
     # (streaming/adc.py) on a rate source: the streaming logical plan
@@ -945,6 +968,12 @@ BUILDERS = {
         build=_build_st_chained_level1,
         require=["EventTimeWatermark", "Aggregate"],
         forbid=["Join"],
+        streaming=True,
+    ),
+    "st_render_6h_stream": dict(
+        build=_build_st_render,
+        require=["EventTimeWatermark", "Aggregate"],
+        forbid=["Join", "MapInPandas", "FlatMapGroupsWithState"],
         streaming=True,
     ),
     "st_pq_score_stream": dict(
