@@ -188,15 +188,36 @@ _R10_DEFERRED: list = [
     "g_render_summarize",
 ]
 
-# The round-11 driver window, pre-materialized once frozen mid-round
-# (empty until then; test_registry skips the first-50 equality while
-# empty).  ROUND-12 TODO: once CORRECTNESS_r11.json exists, verify
-# its keys == this list, then (a) add _R11_WINDOW to `recent`, (b)
-# move the _R11_DEFERRED block to right after the new-queries clause
-# with an `and n not in recent` guard, (c) append _R11_WINDOW's block
-# at the END of the order.  Queries added AFTER the freeze go in
+# The round-11 driver window, pre-materialized at the mid-round
+# freeze: first 50 of the rotated registry = the 6 new round-11
+# queries (PQ upsert-serve loop, the three round-11 render
+# compositions, the streaming render) + the 10 never-checked
+# _R10_DEFERRED entries + 34 of the r5/r6 cohorts (oldest driver
+# evidence; zero overlap with rounds 8-10 — test_registry asserts
+# list == first-50 so drift is caught before the driver runs).
+# ROUND-12 TODO: once CORRECTNESS_r11.json exists, verify its keys ==
+# this list, then (a) add _R11_WINDOW to `recent`, (b) move the
+# _R11_DEFERRED block to right after the new-queries clause with an
+# `and n not in recent` guard, (c) append _R11_WINDOW's block at the
+# END of the order.  Queries added AFTER this freeze go in
 # _R11_DEFERRED (below), never in front of the window.
-_R11_WINDOW: list = []
+_R11_WINDOW: list = [
+    "s_pq_search_upserted", "s_pq_upserted_recall", "g_render_topavg",
+    "g_render_nodes", "g_render_deep", "st_render_6h",
+    "w_lakehouse_compact", "g_render_pipeline", "g_render_sum_deriv",
+    "g_render_select_alias", "g_render_cumcount", "g_render_ratio",
+    "g_render_smooth", "g_render_group", "g_render_counters",
+    "g_render_summarize", "r_q7_nation_volume", "r_q2_min_cost",
+    "r_unpivot", "r_lateral_top2", "r_q22_acctbal", "r_cube_orders",
+    "r_pivot", "r_q3_revenue", "r_q5_nation_rev", "r_topk_orders",
+    "r_window_topk_cust", "r_q6_forecast", "r_q4_order_exists",
+    "r_q8_mkt_share", "r_q9_profit", "r_q10_returns", "r_q11_top_value",
+    "r_q13_cust_dist", "r_q15_top_supplier", "r_q17_small_qty",
+    "r_q18_large_volume", "r_q20_part_promo", "r_q21_waiting",
+    "s_quantize_int8", "g_grep", "g_maximum_above", "g_minimum_below",
+    "g_average_below", "g_highest_current", "g_offset_to_zero",
+    "g_time_slice", "g_changed", "g_delay", "g_divide_series",
+]
 
 # Queries added late in round 11, after the round-11 window freeze.
 _R11_DEFERRED: list = []

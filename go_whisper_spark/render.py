@@ -23,19 +23,20 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (45 ops — the composable core; the ~111 fixed-form
+Operator registry (51 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
   seeds       seriesByGlob / bare glob (* ? — translated to an
               anchored regex identically in both engines)
-  value maps  scale offset absolute transformNull invert
-              removeAboveValue removeBelowValue
+  value maps  scale offset absolute transformNull invert pow
+              squareRoot removeAboveValue removeBelowValue
   windows     derivative nonNegativeDerivative perSecond movingSum
-              movingAverage keepLastValue integral delay changed
+              movingAverage movingMin movingMax keepLastValue
+              integral integralByInterval delay changed
               offsetToZero  (order-sensitive ones statically require
               unique (metric, interval) keys — see analyze())
-  filters     grep exclude
+  filters     grep exclude limit
   selectors   maximumAbove maximumBelow minimumAbove minimumBelow
               averageAbove averageBelow currentAbove currentBelow
               highestMax highestAverage lowestAverage
@@ -210,7 +211,8 @@ def glob_to_regex(pattern: str) -> str:
 # (metric, interval) key — these require `unique` inputs.
 _ORDER_SENSITIVE = frozenset({
     "derivative", "nonNegativeDerivative", "movingSum", "movingAverage",
-    "keepLastValue", "integral", "perSecond", "delay", "changed",
+    "movingMin", "movingMax", "keepLastValue", "integral",
+    "integralByInterval", "perSecond", "delay", "changed",
     "currentAbove", "currentBelow",
 })
 
@@ -344,13 +346,15 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
             return ev(n.args[0]).withColumn(
                 "cents", F.col("cents") - F.lag("cents").over(w)
             )
-        if name == "movingSum":
+        if name in ("movingSum", "movingMin", "movingMax"):
             _need(n, 2, (object, Num))
             k = n.args[1].value
             if k < 1:
-                raise RenderParseError("movingSum window must be >= 1")
+                raise RenderParseError(f"{name} window must be >= 1")
+            agg = {"movingSum": F.sum, "movingMin": F.min,
+                   "movingMax": F.max}[name]
             return ev(n.args[0]).withColumn(
-                "cents", F.sum("cents").over(w.rowsBetween(-(k - 1), 0))
+                "cents", agg("cents").over(w.rowsBetween(-(k - 1), 0))
             )
         if name == "nonNegativeDerivative":
             _need(n, 1, (object,))
@@ -688,6 +692,59 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                     F.floor(F.lit(10000) / F.col("cents")),
                 ).cast("long"),
             )
+        if name == "limit":
+            # first k series in metric order — Graphite's limit() with
+            # a deterministic (alphabetical) series order; fixed-k
+            # winner set broadcasts like the top-k selectors.
+            _need(n, 2, (object, Num))
+            k = n.args[1].value
+            if k < 1:
+                raise RenderParseError("limit k must be >= 1")
+            s = ev(n.args[0])
+            top = (
+                s.select("metric").distinct().orderBy(F.asc("metric")).limit(k)
+            )
+            return s.join(F.broadcast(top), "metric")
+        if name == "pow":
+            # value^n cent-exact: floor(cents^n / 100^(n-1)); n
+            # bounded so the integer power stays inside double's
+            # exact range (|cents| <= ~5e4 → cents^3 <= 1.25e14).
+            _need(n, 2, (object, Num))
+            p = n.args[1].value
+            if not 1 <= p <= 3:
+                raise RenderParseError("pow exponent must be in 1..3")
+            num = F.col("cents")
+            for _ in range(p - 1):
+                num = num * F.col("cents")
+            return ev(n.args[0]).withColumn(
+                "cents",
+                F.floor(num / F.lit(100 ** (p - 1))).cast("long"),
+            )
+        if name == "squareRoot":
+            # floor(10·sqrt(cents)) — sqrt is IEEE correctly rounded
+            # (identical doubles in both engines, unlike exp/log);
+            # negative slots go NULL.
+            _need(n, 1, (object,))
+            return ev(n.args[0]).withColumn(
+                "cents",
+                F.when(
+                    F.col("cents") >= 0,
+                    F.floor(F.lit(10.0) * F.sqrt(F.col("cents"))),
+                ).cast("long"),
+            )
+        if name == "integralByInterval":
+            # running sum resetting at every h-hour epoch bucket: the
+            # same window chain keyed (metric, bucket) — keys and
+            # uniqueness unchanged.
+            _need(n, 2, (object, Num))
+            h = n.args[1].value
+            if h < 1:
+                raise RenderParseError("integralByInterval bucket must be >= 1 hour")
+            b = 3600 * h
+            wb = Window.partitionBy(
+                "metric", F.col("interval") - F.col("interval") % b
+            ).orderBy("interval").rowsBetween(Window.unboundedPreceding, 0)
+            return ev(n.args[0]).withColumn("cents", F.sum("cents").over(wb))
         if name == "alias":
             _need(n, 2, (object, Str))
             return ev(n.args[0]).withColumn("metric", F.lit(n.args[1].value))
@@ -834,10 +891,12 @@ def build_sql(node: Node) -> str:
                 "(PARTITION BY metric ORDER BY interval) AS cents "
                 f"FROM {ev(n.args[0])} s)"
             )
-        if name == "movingSum":
+        if name in ("movingSum", "movingMin", "movingMax"):
             k = n.args[1].value
+            fn = {"movingSum": "sum", "movingMin": "min",
+                  "movingMax": "max"}[name]
             return (
-                "(SELECT metric, interval, sum(cents) OVER "
+                f"(SELECT metric, interval, {fn}(cents) OVER "
                 "(PARTITION BY metric ORDER BY interval "
                 f"ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS cents "
                 f"FROM {ev(n.args[0])} s)"
@@ -1058,6 +1117,38 @@ def build_sql(node: Node) -> str:
                 "(SELECT metric, interval, CASE WHEN cents != 0 THEN "
                 "CAST(floor(10000 / CAST(cents AS DOUBLE)) AS BIGINT) END "
                 "AS cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
+        if name == "limit":
+            k = n.args[1].value
+            inner = ev(n.args[0])
+            return (
+                f"(SELECT s.metric, s.interval, s.cents FROM {inner} s "
+                f"JOIN (SELECT DISTINCT metric FROM {inner} g "
+                f"ORDER BY metric ASC LIMIT {k}) w ON s.metric = w.metric)"
+            )
+        if name == "pow":
+            p = n.args[1].value
+            if not 1 <= p <= 3:
+                raise RenderParseError("pow exponent must be in 1..3")
+            num = " * ".join(["cents"] * p)
+            return (
+                f"(SELECT metric, interval, "
+                f"CAST(floor(({num}) / CAST({100 ** (p - 1)} AS DOUBLE)) "
+                f"AS BIGINT) AS cents FROM {ev(n.args[0])} s)"
+            )
+        if name == "squareRoot":
+            return (
+                "(SELECT metric, interval, CASE WHEN cents >= 0 THEN "
+                "CAST(floor(10.0 * sqrt(cents)) AS BIGINT) END AS cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
+        if name == "integralByInterval":
+            b = 3600 * n.args[1].value
+            return (
+                "(SELECT metric, interval, sum(cents) OVER "
+                f"(PARTITION BY metric, interval - interval % {b} "
+                "ORDER BY interval ROWS UNBOUNDED PRECEDING) AS cents "
                 f"FROM {ev(n.args[0])} s)"
             )
         if name == "alias":

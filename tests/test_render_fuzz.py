@@ -33,6 +33,7 @@ _GLOBS = ["'*'", "'c*'", "'[ve]*'", "'p?rchase'"]
 _UNARY = [
     "absolute", "derivative", "nonNegativeDerivative", "keepLastValue",
     "integral", "perSecond", "offsetToZero", "changed", "invert",
+    "squareRoot",
 ]
 _SELECTORS = [
     "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
@@ -50,6 +51,8 @@ def _series(rng, depth):
         + _SELECTORS
         + [
             "scale", "offset", "movingSum", "movingAverage",
+            "movingMin", "movingMax", "pow", "limit",
+            "integralByInterval",
             "transformNull", "timeShift", "delay", "grep", "exclude",
             "highestMax", "highestAverage", "lowestAverage",
             "removeAboveValue", "removeBelowValue",
@@ -75,8 +78,14 @@ def _series(rng, depth):
         return f"summarize({_series(rng, depth - 1)}, {rng.randint(1, 8)}, '{how}')"
     if name in ("scale", "offset", "timeShift"):
         return f"{name}({_series(rng, depth - 1)}, {rng.randint(-3, 5)})"
-    if name in ("movingSum", "movingAverage"):
+    if name in ("movingSum", "movingAverage", "movingMin", "movingMax"):
         return f"{name}({_series(rng, depth - 1)}, {rng.randint(1, 6)})"
+    if name == "pow":
+        return f"pow({_series(rng, depth - 1)}, {rng.randint(1, 3)})"
+    if name == "limit":
+        return f"limit({_series(rng, depth - 1)}, {rng.randint(1, 4)})"
+    if name == "integralByInterval":
+        return f"integralByInterval({_series(rng, depth - 1)}, {rng.randint(1, 8)})"
     if name == "delay":
         return f"delay({_series(rng, depth - 1)}, {rng.randint(0, 3)})"
     if name == "transformNull":
