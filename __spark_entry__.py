@@ -220,7 +220,10 @@ _R11_WINDOW: list = [
 ]
 
 # Queries added late in round 11, after the round-11 window freeze.
-_R11_DEFERRED: list = []
+_R11_DEFERRED: list = [
+    "s_hybrid_rrf",
+    "s_pq_search_filtered",
+]
 
 # Added late in round 8, after the round-8 window composition (5 new
 # batch-1 queries + the round-4 cohort) was already settled.  Never

@@ -795,6 +795,146 @@ WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------- s_hybrid_rrf
+HYBRID_QMAX = 20  # query docs/vectors (shared id space: vec_id == doc_id)
+HYBRID_K = 10     # per-ranker candidate depth
+RRF_K = 60        # the standard reciprocal-rank-fusion constant
+
+
+def s_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: lexical + vector rankers fused by Reciprocal
+    Rank Fusion (Cormack et al., SIGIR'09 — public) — the two-tower
+    retrieval shape an LLM data/RAG pipeline serves, as one composed
+    query over the synthetic corpus (``embeddings.vec_id`` is
+    ``documents.doc_id``'s vector).
+
+    - **Lexical ranker**: 3-gram shingle overlap via the inverted
+      - index equi-join (work ∝ shared shingles, the ``d_jaccard``
+      shape), ranked by rounded Jaccard, top-``HYBRID_K`` per query.
+    - **Vector ranker**: exact cosine top-``HYBRID_K`` (the
+      ``s_cosine_topk`` broadcast-query Arrow kernel; swap in the
+      signature/IVF/PQ rung at scale — same (qid, cand, rank)
+      contract).
+    - **Fusion**: score = Σ_rankers floor(10^12 / (RRF_K + rank)) —
+      the RRF formula held INTEGER-EXACT (``div``/``//``), so fused
+      ordering is bit-stable cross-engine; top-3 by (rrf DESC, cand
+      ASC).
+
+    Scale shape: both rankers are already 100 TB layouts (postings
+    join; broadcast-query scan with an index rung swap); the fusion
+    adds one (qid, cand)-keyed partial aggregate over ≤ 2·|Q|·K rows
+    and a |Q|-partitioned top-3 window — negligible at any corpus
+    size.
+    """
+    feats = _doc_features(spark, sf_dir, materialize=True).where(
+        F.col("n_sh") > 0
+    )
+    sh = feats.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    q = sh.where(F.col("doc_id") < HYBRID_QMAX).select(
+        F.col("doc_id").alias("qid"), F.col("n_sh").alias("qn"), "sh"
+    )
+    shared = (
+        q.join(sh, "sh")
+        .where(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count("*").alias("shared"),
+            F.min("qn").alias("na"),
+            F.min("n_sh").alias("nb"),
+        )
+    )
+    wl = Window.partitionBy("qid").orderBy(
+        F.desc("jaccard"), F.asc("doc_id")
+    )
+    lex = (
+        shared.withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(wl))
+        .where(F.col("rank") <= HYBRID_K)
+        .select("qid", F.col("doc_id").alias("cand"), "rank")
+    )
+    vec = _brute_topk(spark, sf_dir, HYBRID_QMAX, HYBRID_K).select(
+        "qid", F.col("neighbor").alias("cand"), "rank"
+    )
+    contrib = lex.unionByName(vec).select(
+        "qid",
+        "cand",
+        F.expr(f"1000000000000 div ({RRF_K} + rank)").alias("c"),
+    )
+    fused = contrib.groupBy("qid", "cand").agg(F.sum("c").alias("rrf"))
+    wf = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("cand"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= 3)
+        .select("qid", "cand", "rrf", "rank")
+    )
+
+
+S_HYBRID_RRF_SQL = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY 1),
+lexshared AS (
+  SELECT q.doc_id AS qid, c.doc_id AS cand, count(*) AS shared
+  FROM shingle q JOIN shingle c ON q.sh = c.sh AND c.doc_id != q.doc_id
+  WHERE q.doc_id < {HYBRID_QMAX}
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT qid, cand, rank FROM (
+    SELECT ls.qid, ls.cand,
+           row_number() OVER (
+             PARTITION BY ls.qid
+             ORDER BY round(CAST(ls.shared AS DOUBLE)
+                            / (sq.n_sh + sc.n_sh - ls.shared), 6) DESC,
+                      ls.cand ASC) AS rank
+    FROM lexshared ls
+    JOIN sizes sq ON sq.doc_id = ls.qid
+    JOIN sizes sc ON sc.doc_id = ls.cand
+  ) WHERE rank <= {HYBRID_K}
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e
+),
+vec AS (
+  SELECT qid, cand, rank FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS cand,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_sum(list_transform(generate_series(1, 64),
+                              i -> q.v[i] * c.v[i])) / (q.norm * c.norm), 6)
+                        DESC,
+                      c.vec_id ASC) AS rank
+    FROM n q JOIN n c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < {HYBRID_QMAX}
+  ) WHERE rank <= {HYBRID_K}
+),
+contrib AS (
+  SELECT qid, cand, 1000000000000 // ({RRF_K} + rank) AS c FROM lex
+  UNION ALL
+  SELECT qid, cand, 1000000000000 // ({RRF_K} + rank) AS c FROM vec
+),
+fused AS (
+  SELECT qid, cand, CAST(sum(c) AS BIGINT) AS rrf FROM contrib GROUP BY 1, 2
+)
+SELECT qid, cand, rrf, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT qid, cand, rrf,
+         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cand ASC)
+           AS rank
+  FROM fused
+) WHERE rank <= 3
+"""
+
+
 # ------------------------------------------------------ s_cosine_nearpairs
 def s_cosine_nearpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= 0.35 (all-pairs exact)."""
@@ -4073,6 +4213,32 @@ def s_pq_upserted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(spark, sf_dir, s_pq_search_upserted(spark, sf_dir))
 
 
+def s_pq_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the metadata-predicate ANN read a
+    production store actually serves ("top-3 nearest WHERE label is
+    even"): the same route → ADC-scan → exact-rerank path with the
+    predicate applied to the index relation BETWEEN routing and the
+    ADC scan (pre-filtering).
+
+    Strategy note (the 100 TB decision this op pins): with a
+    pre-filter, ADC work shrinks to the predicate's share of each
+    probed cell and recall against the *filtered* ground truth does
+    not degrade (the top-C rerank pool is all-eligible); post-
+    filtering keeps ADC cost but starves the rerank pool on selective
+    predicates.  At very high selectivity the right plan flips to
+    brute-force over the filtered subset — the knob is the filtered
+    candidate count, observable from the same index statistics.  Here
+    the label column joins back by vec_id (a narrow attribute fetch);
+    a production index stores it inline as an index column.
+    """
+    index, cent_rows = pq_ivf_index_cached(spark, sf_dir)
+    labels = _emb(spark, sf_dir).select("vec_id", "label")
+    fidx = index.join(labels.where(F.col("label") % 2 == 0), "vec_id").drop(
+        "label"
+    )
+    return _pq_read_path(spark, sf_dir, fidx, cent_rows)
+
+
 def s_pq_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@3 of the composed IVF→ADC→rerank path
     (``s_pq_search``) against the exact top-3 — prices the full read
@@ -4143,7 +4309,7 @@ _IVF_CTES = _ivf_ctes()
 # the PQ + IVF base blocks so the post-upsert variant (frozen
 # base-trained quantizers, union-encoded corpus) shares every
 # downstream CTE verbatim.
-def _pq_adc_ctes(pq_ctes: str, ivf_ctes: str) -> str:
+def _pq_adc_ctes(pq_ctes: str, ivf_ctes: str, cand_pred: str = "TRUE") -> str:
     return f"""{pq_ctes},
 {ivf_ctes},
 recon AS (
@@ -4174,6 +4340,7 @@ adc AS (
   FROM routes q
   JOIN icells c ON c.cell = q.pcell AND c.vec_id != q.qid
   JOIN rn r ON r.vec_id = c.vec_id
+  WHERE {cand_pred}
 )"""
 
 
@@ -4216,6 +4383,26 @@ _PQ_SEARCH_CTES = _pq_search_ctes(_PQ_ADC_CTES)
 _PQ_SEARCH_CTES_UPSERTED = _pq_search_ctes(
     _pq_adc_ctes(_PQ_UPSERT_CTES, _ivf_ctes("n.vec_id % 10 <= 7"))
 )
+
+# Pre-filtered read path: the metadata predicate restricts the ADC
+# candidate relation between route and scan — exactly where the Spark
+# plan applies it (s_pq_search_filtered).
+_PQ_SEARCH_CTES_FILTERED = _pq_search_ctes(
+    _pq_adc_ctes(
+        _PQ_CTES,
+        _IVF_CTES,
+        cand_pred=(
+            "c.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"
+        ),
+    )
+)
+
+
+def _s_pq_search_filtered_sql() -> str:
+    return f"""
+WITH {_PQ_SEARCH_CTES_FILTERED}
+SELECT qid, neighbor, sim, rank FROM pq_ann ORDER BY qid, rank
+"""
 
 
 def _s_pq_search_sql() -> str:
@@ -5453,6 +5640,8 @@ QUERIES = {
     "d_simhash_pairs": d_simhash_pairs,
     "d_simhash_banded": d_simhash_banded,
     "s_cosine_topk": s_cosine_topk,
+    "s_hybrid_rrf": s_hybrid_rrf,
+    "s_pq_search_filtered": s_pq_search_filtered,
     "s_cosine_nearpairs": s_cosine_nearpairs,
     "s_cosine_ann": s_cosine_ann,
     "s_ann_recall": s_ann_recall,
@@ -5520,6 +5709,8 @@ ORACLES = {
     "d_simhash_pairs": D_SIMHASH_PAIRS_SQL,
     "d_simhash_banded": D_SIMHASH_PAIRS_SQL,
     "s_cosine_topk": S_COSINE_TOPK_SQL,
+    "s_hybrid_rrf": S_HYBRID_RRF_SQL,
+    "s_pq_search_filtered": _s_pq_search_filtered_sql(),
     "s_cosine_nearpairs": S_COSINE_PAIRS_SQL,
     "s_cosine_ann": _s_cosine_ann_sql(),
     "s_ann_recall": _s_ann_recall_sql(),

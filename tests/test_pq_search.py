@@ -69,3 +69,31 @@ def test_upserted_serve_recall_floor(spark, sf_dir):
         f"frozen-codebook drift too large: upserted {upserted} vs "
         f"fresh retrain {fresh}"
     )
+
+
+def test_filtered_search_respects_predicate(spark, sf_dir):
+    """Every neighbor served by the filtered read path satisfies the
+    metadata predicate, and results equal the unfiltered path with
+    odd-label neighbors excluded at the CANDIDATE stage (pre-filter),
+    not post-truncated from the unfiltered top-3."""
+    from go_whisper_spark.operators.llm_ops import (
+        _emb,
+        s_pq_search,
+        s_pq_search_filtered,
+    )
+
+    got = s_pq_search_filtered(spark, sf_dir)
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in _emb(spark, sf_dir).select("vec_id", "label").collect()
+    }
+    rows = got.collect()
+    assert rows, "filtered search returned nothing"
+    assert all(labels[r["neighbor"]] % 2 == 0 for r in rows)
+    # pre-filter ≠ post-filter: at least one query must surface an
+    # even-label neighbor that the unfiltered top-3 truncation would
+    # have dropped (if this never happens the predicate was a no-op).
+    unfiltered = {
+        (r["qid"], r["neighbor"]) for r in s_pq_search(spark, sf_dir).collect()
+    }
+    assert any((r["qid"], r["neighbor"]) not in unfiltered for r in rows)

@@ -762,6 +762,24 @@ CHECKS = {
                  "BroadcastNestedLoopJoin"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
+    # Filtered ANN: the label pre-filter joins the index relation
+    # between route and ADC scan — serving from the CACHED
+    # checkpointed index, so (unlike s_pq_search) no build-side
+    # nested-loop appears in the plan; the read path is broadcast
+    # hash joins + the Arrow kernels + rank windows only.
+    "s_pq_search_filtered": dict(
+        require=["MapInPandas", "Window", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
+    # Hybrid RRF: the lexical postings equi-join's shared-shingle
+    # count and the fusion aggregate both partial-combine; the vector
+    # side is the broadcast-query Arrow scan (nested-loop by design);
+    # per-qid rank windows; no cartesian anywhere.
+    "s_hybrid_rrf": dict(
+        require=["partial_count", "partial_sum", "MapInPandas", "Window",
+                 "Union"],
+        forbid=["CartesianProduct"],
+    ),
     "s_pq_upserted_recall": dict(
         require=["MapInPandas", "Window", "BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin"],
