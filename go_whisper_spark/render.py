@@ -23,12 +23,13 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (51 ops — the composable core; the ~111 fixed-form
+Operator registry (57 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
   seeds       seriesByGlob / bare glob (* ? — translated to an
               anchored regex identically in both engines)
+              constantLine(k) — data-free generator on the spine
   value maps  scale offset absolute transformNull invert pow
               squareRoot removeAboveValue removeBelowValue
   windows     derivative nonNegativeDerivative perSecond movingSum
@@ -42,8 +43,9 @@ surface):
               highestMax highestAverage lowestAverage
   removers    removeAbovePercentile removeBelowPercentile (rank-based
               thresholds, offending slots go NULL)
-  reducers    sumSeries averageSeries countSeries summarize
-              groupByNode(i, how)
+  reducers    sumSeries averageSeries countSeries minSeries
+              maxSeries rangeOfSeries stddevSeries
+              percentileOfSeries summarize groupByNode(i, how)
   labels      alias aliasSub (replace-ALL semantics in both engines)
   combiners   group diffSeries divideSeries asPercent (binary right
               side must be one uniquely-keyed series — enforced)
@@ -221,6 +223,11 @@ _FIXED_LABEL = {
     "sumSeries": "sumSeries",
     "averageSeries": "averageSeries",
     "countSeries": "countSeries",
+    "minSeries": "minSeries",
+    "maxSeries": "maxSeries",
+    "rangeOfSeries": "rangeOfSeries",
+    "stddevSeries": "stddevSeries",
+    "percentileOfSeries": "percentileOfSeries",
 }
 
 
@@ -240,6 +247,9 @@ def analyze(node: Node):
     name = node.name
     if name == "seriesByGlob":
         return (False, True, None)
+    if name == "constantLine":
+        # data-free generator over the interval spine — one series.
+        return (True, True, "constantLine")
     if name == "group":
         parts = [analyze(a) for a in node.args]
         labels = [p[2] for p in parts]
@@ -453,6 +463,79 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                 .groupBy("interval")
                 .agg(F.sum("cents").alias("cents"))
                 .select(F.lit("sumSeries").alias("metric"), "interval", "cents")
+            )
+        if name in ("minSeries", "maxSeries", "rangeOfSeries"):
+            _need(n, 1, (object,))
+            agg = {
+                "minSeries": F.min("cents"),
+                "maxSeries": F.max("cents"),
+                "rangeOfSeries": F.max("cents") - F.min("cents"),
+            }[name]
+            return (
+                ev(n.args[0])
+                .groupBy("interval")
+                .agg(agg.alias("cents"))
+                .select(F.lit(name).alias("metric"), "interval", "cents")
+            )
+        if name == "stddevSeries":
+            # population stddev across series per slot, exact until
+            # the one IEEE-correctly-rounded sqrt:
+            # floor(sqrt(n·Σx² − (Σx)²) / n) in cents — the radicand
+            # is an exact long (Cauchy-Schwarz ⇒ ≥ 0).
+            _need(n, 1, (object,))
+            g = (
+                ev(n.args[0])
+                .groupBy("interval")
+                .agg(
+                    F.count("cents").alias("nn"),
+                    F.sum("cents").alias("s1"),
+                    F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+                )
+            )
+            rad = F.col("nn") * F.col("s2") - F.col("s1") * F.col("s1")
+            return g.select(
+                F.lit("stddevSeries").alias("metric"),
+                "interval",
+                F.when(
+                    F.col("nn") > 0,
+                    F.floor(F.sqrt(rad) / F.col("nn")),
+                ).cast("long").alias("cents"),
+            )
+        if name == "percentileOfSeries":
+            # across-series per-slot percentile: rank-based (value at
+            # sorted position ceil(p/100·n) over non-NULL slots —
+            # same convention as the remove*Percentile thresholds).
+            _need(n, 2, (object, Num))
+            p = n.args[1].value
+            if not 0 < p <= 100:
+                raise RenderParseError(
+                    "percentileOfSeries percentile must be in (0,100]"
+                )
+            g = (
+                ev(n.args[0])
+                .groupBy("interval")
+                .agg(F.array_sort(F.collect_list("cents")).alias("vs"))
+            )
+            nn = F.size("vs")
+            pos = F.ceil(nn * F.lit(p) / 100).cast("int")
+            return g.select(
+                F.lit("percentileOfSeries").alias("metric"),
+                "interval",
+                F.when(nn > 0, F.element_at("vs", pos)).alias("cents"),
+            )
+        if name == "constantLine":
+            # data-free generator: the constant over the interval
+            # spine of the full series universe (one output series).
+            _need(n, 1, (Num,))
+            return (
+                seed("*")
+                .select("interval")
+                .distinct()
+                .select(
+                    F.lit("constantLine").alias("metric"),
+                    "interval",
+                    F.lit(100 * n.args[0].value).cast("long").alias("cents"),
+                )
             )
         if name == "averageSeries":
             _need(n, 1, (object,))
@@ -968,6 +1051,42 @@ def build_sql(node: Node) -> str:
                 "(SELECT 'sumSeries' AS metric, interval, "
                 "CAST(sum(cents) AS BIGINT) AS cents "
                 f"FROM {ev(n.args[0])} s GROUP BY interval)"
+            )
+        if name in ("minSeries", "maxSeries", "rangeOfSeries"):
+            agg = {
+                "minSeries": "min(cents)",
+                "maxSeries": "max(cents)",
+                "rangeOfSeries": "max(cents) - min(cents)",
+            }[name]
+            return (
+                f"(SELECT '{name}' AS metric, interval, {agg} AS cents "
+                f"FROM {ev(n.args[0])} s GROUP BY interval)"
+            )
+        if name == "stddevSeries":
+            return (
+                "(SELECT 'stddevSeries' AS metric, interval, "
+                "CASE WHEN count(cents) > 0 THEN CAST(floor("
+                "sqrt(CAST(count(cents) * sum(cents * cents) "
+                "- sum(cents) * sum(cents) AS DOUBLE)) / count(cents)"
+                ") AS BIGINT) END AS cents "
+                f"FROM {ev(n.args[0])} s GROUP BY interval)"
+            )
+        if name == "percentileOfSeries":
+            p = n.args[1].value
+            return (
+                "(SELECT 'percentileOfSeries' AS metric, interval, "
+                "CASE WHEN len(vs) > 0 THEN "
+                f"vs[CAST(ceil(len(vs) * {p} / 100.0) AS INT)] END AS cents "
+                "FROM (SELECT interval, "
+                "list_sort(list(cents) FILTER (WHERE cents IS NOT NULL)) "
+                f"AS vs FROM {ev(n.args[0])} s GROUP BY interval) t)"
+            )
+        if name == "constantLine":
+            k = 100 * n.args[0].value
+            return (
+                f"(SELECT 'constantLine' AS metric, interval, "
+                f"CAST({k} AS BIGINT) AS cents "
+                f"FROM (SELECT DISTINCT interval FROM {seed('*')} z) t)"
             )
         if name == "averageSeries":
             return (

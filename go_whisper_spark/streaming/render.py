@@ -12,12 +12,15 @@ declarative chained handoff from ``streaming/chained.py`` —
                    watermark: in-order handoff)──▶ rendered files
 
 **Streamable subset** (enforced — anything else raises
-``RenderParseError``): seeds and every stateless per-row operator
+``RenderParseError``): the grammar ``stateless* (summarize
+(stateless* (seed)))?`` — seeds and every stateless per-row operator
 (scale, offset, absolute, transformNull, invert, removeAbove/BelowValue,
-grep, exclude, alias, aliasSub), plus at most ONE outermost
-``summarize(s, h, how)``, which maps onto a watermarked tumbling
-window aggregate — Graphite consolidation as a streaming window, the
-same mapping ``streaming_rollup`` uses for whisper's propagate.
+grep, exclude, alias, aliasSub) compose freely BELOW and ABOVE at
+most ONE ``summarize(s, h, how)``, which maps onto a watermarked
+tumbling window aggregate (stateless ops above it are projections
+over the emitted closed-window rows — append-safe) — Graphite
+consolidation as a streaming window, the same mapping
+``streaming_rollup`` uses for whisper's propagate.
 Order-sensitive window ops (derivative, movingSum, …) are NOT
 streamable as append-mode plans; their stateful analogs live in
 ``streaming/stateful.py`` (st_derivative).
@@ -68,40 +71,52 @@ _STATELESS = frozenset({
 })
 
 
-def check_streamable(node: Node) -> None:
-    """Reject AST shapes the append-mode plan cannot express: at most
-    one summarize, and it must be OUTERMOST; everything beneath it
-    stateless."""
+def check_streamable(node: Node):
+    """Reject AST shapes the append-mode plan cannot express.  The
+    streamable grammar is ``stateless* (summarize (stateless*
+    (seed)))?`` — stateless value maps are append-trivial BOTH below
+    and above the windowed aggregate (a projection over the emitted
+    closed-window rows); at most ONE summarize, since each watermarked
+    aggregate level needs its own handoff.  Returns the summarize
+    node, or None for an all-stateless target."""
 
-    def stateless_only(n: Node) -> None:
+    def stateless_only(n: Node, allow_summarize: bool):
         if isinstance(n, (Glob, Str)):
-            return
+            return None
         if not isinstance(n, Call):
             raise RenderParseError(f"series expression expected, got {n}")
         if n.name == "seriesByGlob":
-            return
+            return None
+        if n.name == "summarize" and allow_summarize:
+            stateless_only(n.args[0], False)
+            return n
         if n.name not in _STATELESS:
             raise RenderParseError(
                 f"{n.name} is not streamable — only stateless value maps "
-                "and one outermost summarize run on the archive stream"
+                "and one summarize run on the archive stream"
             )
-        stateless_only(n.args[0])
+        return stateless_only(n.args[0], allow_summarize)
 
-    if isinstance(node, Call) and node.name == "summarize":
-        stateless_only(node.args[0])
-    else:
-        stateless_only(node)
+    return stateless_only(node, True)
 
 
-def _apply_stateless(frame: DataFrame, node: Node) -> DataFrame:
+def _apply_stateless(
+    frame: DataFrame, node: Node, stop: Node = None,
+    stop_frame: DataFrame = None,
+) -> DataFrame:
     """Evaluate the stateless chain over a (metric, interval, cents)
     frame — the same arithmetic as the batch visitor, expression for
-    expression (integer cents; see render.py's exactness contract)."""
+    expression (integer cents; see render.py's exactness contract).
+    When ``stop`` is given, that AST node evaluates to ``stop_frame``
+    (the already-aggregated summarize result) so the OUTER stateless
+    chain composes over it."""
 
     def seed(pattern: str) -> DataFrame:
         return frame.where(F.col("metric").rlike(glob_to_regex(pattern)))
 
     def ev(n: Node) -> DataFrame:
+        if n is stop:
+            return stop_frame
         if isinstance(n, (Glob, Str)):
             return seed(n.pattern if isinstance(n, Glob) else n.value)
         name = n.name
@@ -171,31 +186,35 @@ def streaming_render_frame(archive_stream: DataFrame, target: str) -> DataFrame:
     an outermost summarize becomes a watermarked tumbling window
     aggregate (0-lateness — in-order handoff)."""
     node = validate_target(parse_target(target))
-    check_streamable(node)
+    summarize_node = check_streamable(node)
     base = archive_stream.select(
         "metric",
         "interval",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    if isinstance(node, Call) and node.name == "summarize":
-        if len(node.args) != 3 or not isinstance(node.args[1], Num) \
-                or not isinstance(node.args[2], Str):
+    if summarize_node is not None:
+        sn = summarize_node
+        if len(sn.args) != 3 or not isinstance(sn.args[1], Num) \
+                or not isinstance(sn.args[2], Str):
             raise RenderParseError("summarize takes (series, hours, method)")
-        h = node.args[1].value
+        h = sn.args[1].value
         if h < 1:
             raise RenderParseError("summarize bucket must be >= 1 hour")
-        mapped = _apply_stateless(base, node.args[0])
-        out = (
+        mapped = _apply_stateless(base, sn.args[0])
+        agg = (
             mapped.withColumn("ts", F.timestamp_seconds(F.col("interval")))
             .withWatermark("ts", "0 seconds")
             .groupBy("metric", F.window("ts", f"{3600 * h} seconds").alias("w"))
-            .agg(_summarize_agg(node.args[2].value).alias("cents"))
+            .agg(_summarize_agg(sn.args[2].value).alias("cents"))
             .select(
                 "metric",
                 F.col("w.start").cast("long").alias("interval"),
                 "cents",
             )
         )
+        # stateless value maps ABOVE the windowed aggregate are a
+        # projection over the emitted closed-window rows — append-safe.
+        out = _apply_stateless(base, node, stop=sn, stop_frame=agg)
     else:
         out = _apply_stateless(base, node)
     return out.select(

@@ -58,7 +58,9 @@ def _series(rng, depth):
             "removeAboveValue", "removeBelowValue",
             "removeAbovePercentile", "removeBelowPercentile",
             "alias", "aliasSub", "sumSeries", "averageSeries",
-            "countSeries", "summarize", "groupByNode",
+            "countSeries", "minSeries", "maxSeries", "rangeOfSeries",
+            "stddevSeries", "percentileOfSeries", "constantLine",
+            "summarize", "groupByNode",
             "diffSeries", "divideSeries", "asPercent", "group",
         ]
     )
@@ -99,8 +101,13 @@ def _series(rng, depth):
         return f"alias({_series(rng, depth - 1)}, 'a{rng.randint(0, 9)}')"
     if name == "aliasSub":
         return f"aliasSub({_series(rng, depth - 1)}, '^c', 'K')"
-    if name in ("sumSeries", "averageSeries", "countSeries"):
+    if name in ("sumSeries", "averageSeries", "countSeries", "minSeries",
+                "maxSeries", "rangeOfSeries", "stddevSeries"):
         return f"{name}({_series(rng, depth - 1)})"
+    if name == "percentileOfSeries":
+        return f"percentileOfSeries({_series(rng, depth - 1)}, {rng.choice([25, 50, 90])})"
+    if name == "constantLine":
+        return f"constantLine({rng.randint(-2, 5)})"
     if name == "groupByNode":
         how = rng.choice(["sum", "max", "min", "avg"])
         return f"groupByNode({_series(rng, depth - 1)}, {rng.randint(0, 1)}, '{how}')"

@@ -23,15 +23,21 @@ def test_streamable_gate():
         "removeBelowValue(aliasSub(grep('c*', '^c'), '^c', 'K'), 40)",
         "summarize(invert(transformNull('*', 2)), 6, 'avg')",
         "summarize('*', 2, 'last')",
+        # stateless ops ABOVE the windowed aggregate are append-safe
+        "scale(summarize('*', 6, 'max'), 2)",
+        "alias(offset(summarize(grep('c*', '^c'), 4, 'sum'), -1), 'x')",
     ]
     for t in ok:
         check_streamable(parse_target(t))
+    # the summarize node is returned for the aggregate builder
+    assert check_streamable(parse_target(ok[4])).name == "summarize"
+    assert check_streamable(parse_target(ok[0])) is None
     bad = [
         # order-sensitive window ops cannot run append-mode
         "movingSum('*', 3)",
         "derivative(scale('*', 2))",
-        # summarize must be OUTERMOST
-        "scale(summarize('*', 6, 'max'), 2)",
+        # only ONE watermarked aggregate level per handoff
+        "summarize(scale(summarize('*', 2, 'max'), 2), 6, 'max')",
         # cross-series reducers need their own shuffle semantics
         "sumSeries('*')",
         "summarize(sumSeries('*'), 6, 'max')",
