@@ -4518,6 +4518,10 @@ RENDER_EXPR_DEEP = (
     "movingSum(changed(keepLastValue(removeBelowPercentile("
     "delay(scale('*', 3), 1), 10))), 4)"
 )
+RENDER_EXPR_SPREAD = (
+    "movingSum(divideSeries(rangeOfSeries('*'), "
+    "percentileOfSeries('*', 50)), 4)"
+)
 
 
 def g_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4638,6 +4642,16 @@ def g_render_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render(spark, sf_dir, RENDER_EXPR_DEEP)
 
 
+def g_render_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 wave-3 reducers composed: per-slot across-series
+    range divided by the across-series rank-based median
+    (cent-quantized exact ratio), smoothed with a 4-slot rolling sum
+    over the single combined series (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_SPREAD)
+
+
 def _render_oracle(target: str) -> str:
     from go_whisper_spark.render import render_oracle_sql
 
@@ -4703,6 +4717,7 @@ QUERIES = {
     "g_render_topavg": g_render_topavg,
     "g_render_nodes": g_render_nodes,
     "g_render_deep": g_render_deep,
+    "g_render_spread": g_render_spread,
     "g_maximum_above": g_maximum_above,
     "g_maximum_below": g_maximum_below,
     "g_minimum_below": g_minimum_below,
@@ -4850,6 +4865,7 @@ ORACLES = {
     "g_render_topavg": _render_oracle(RENDER_EXPR_TOPAVG),
     "g_render_nodes": _render_oracle(RENDER_EXPR_NODES),
     "g_render_deep": _render_oracle(RENDER_EXPR_DEEP),
+    "g_render_spread": _render_oracle(RENDER_EXPR_SPREAD),
     "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
     "g_maximum_below": G_MAXIMUM_BELOW_SQL,
     "g_minimum_below": G_MINIMUM_BELOW_SQL,

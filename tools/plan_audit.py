@@ -651,6 +651,14 @@ CHECKS = {
         require_executed=["BroadcastHashJoin"],
         forbid=["CartesianProduct"],
     ),
+    # spread: both across-series reducers partial-combine on the
+    # interval key; the divide is an interval-keyed join of two
+    # 1-series frames; the rolling sum runs on the ONE combined
+    # series (single-partition by semantics, like g_render_cumcount).
+    "g_render_spread": dict(
+        require=["Window", "partial_max", "partial_min"],
+        forbid=["CartesianProduct"],
+    ),
     # counters: fixed-k top-by-peak winner set keeps its explicit
     # broadcast hint (k rows by construction) — static BHJ required.
     "g_render_counters": dict(
