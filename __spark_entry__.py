@@ -224,6 +224,7 @@ _R11_DEFERRED: list = [
     "s_hybrid_rrf",
     "s_pq_search_filtered",
     "g_render_spread",
+    "st_render_scaled",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new
