@@ -299,3 +299,19 @@ def test_alias_sub_replaces_all_occurrences(spark, sf_dir):
     )
     want = {row[0] for row in con.execute(render_oracle_sql(target)).fetchall()}
     assert got == want
+
+
+def test_group_of_fixed_label_reducers_is_window_safe():
+    """Wave-3 reducers carry provable static labels, so a group() of
+    distinct reducers stays uniquely keyed and window ops over it are
+    legal — while duplicated reducers are rejected."""
+    from go_whisper_spark.render import parse_target, validate_target
+
+    validate_target(parse_target(
+        "movingSum(group(minSeries('*'), maxSeries('*'), "
+        "stddevSeries('c*')), 2)"
+    ))
+    with pytest.raises(RenderParseError):
+        validate_target(parse_target(
+            "movingSum(group(minSeries('*'), minSeries('c*')), 2)"
+        ))
