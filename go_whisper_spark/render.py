@@ -23,7 +23,7 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (57 ops — the composable core; the ~111 fixed-form
+Operator registry (60 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
@@ -40,7 +40,9 @@ surface):
   filters     grep exclude limit
   selectors   maximumAbove maximumBelow minimumAbove minimumBelow
               averageAbove averageBelow currentAbove currentBelow
-              highestMax highestAverage lowestAverage
+              highestMax highestAverage lowestAverage mostDeviant
+  slicing     timeSlice(from, until) — outside slots go NULL
+  reference   nPercentile(p) — per-series flat percentile line
   removers    removeAbovePercentile removeBelowPercentile (rank-based
               thresholds, offending slots go NULL)
   reducers    sumSeries averageSeries countSeries minSeries
@@ -690,6 +692,86 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                     F.when(keep, F.col("cents")).alias("cents"),
                 )
             )
+        if name == "nPercentile":
+            # every slot becomes the series' rank-based p-th
+            # percentile (the flat reference line per series) — same
+            # threshold convention as the removers; all-NULL series
+            # stay NULL via the LEFT join.
+            _need(n, 2, (object, Num))
+            p = n.args[1].value
+            if not 0 < p <= 100:
+                raise RenderParseError("nPercentile percentile must be in (0,100]")
+            s = ev(n.args[0])
+            wv = Window.partitionBy("metric").orderBy("cents")
+            ranked = (
+                s.where(F.col("cents").isNotNull())
+                .withColumn("rn", F.row_number().over(wv))
+                .withColumn(
+                    "nn", F.count("*").over(Window.partitionBy("metric"))
+                )
+            )
+            thresh = (
+                ranked.where(
+                    F.col("rn")
+                    <= F.ceil(F.col("nn") * F.lit(p) / 100).cast("long")
+                )
+                .groupBy("metric")
+                .agg(F.max("cents").alias("pc"))
+            )
+            return (
+                s.join(thresh, "metric", "left")
+                .select("metric", "interval", F.col("pc").alias("cents"))
+            )
+        if name == "mostDeviant":
+            # top-k series by population stddev — rank key =
+            # sqrt(n·Σx² − (Σx)²)/n from exact longs (one correctly-
+            # rounded sqrt, identical doubles both engines), NULLS
+            # LAST, metric tiebreak; fixed-k broadcast join-back.
+            _need(n, 2, (object, Num))
+            k = n.args[1].value
+            if k < 1:
+                raise RenderParseError("mostDeviant k must be >= 1")
+            s = ev(n.args[0])
+            rad = (
+                F.count("cents") * F.sum(F.col("cents") * F.col("cents"))
+                - F.sum("cents") * F.sum("cents")
+            )
+            top = (
+                s.groupBy("metric")
+                .agg(
+                    F.when(
+                        F.count("cents") > 0,
+                        F.sqrt(rad) / F.count("cents"),
+                    ).alias("dv")
+                )
+                .orderBy(F.desc_nulls_last("dv"), F.asc("metric"))
+                .limit(k)
+                .select("metric")
+            )
+            return s.join(F.broadcast(top), "metric")
+        if name == "timeSlice":
+            # keep slots within [t0 + 3600·a, t0 + 3600·b) of the
+            # input frame's own start; outside slots go NULL (keys —
+            # and `unique` — preserved).  The 1-row bounds frame is
+            # the only broadcast (the g_time_slice policy).
+            _need(n, 3, (object, Num, Num))
+            a, b2 = n.args[1].value, n.args[2].value
+            if not 0 <= a < b2:
+                raise RenderParseError("timeSlice needs 0 <= from < until")
+            s = ev(n.args[0])
+            t0f = s.agg(F.min("interval").alias("t0"))
+            keep = (
+                (F.col("interval") >= F.col("t0") + 3600 * a)
+                & (F.col("interval") < F.col("t0") + 3600 * b2)
+            )
+            return (
+                s.crossJoin(F.broadcast(t0f))
+                .select(
+                    "metric",
+                    "interval",
+                    F.when(keep, F.col("cents")).alias("cents"),
+                )
+            )
         if name == "groupByNode":
             # groupByNode(s, i, 'sum'|'avg'|'max'|'min'): aggregate
             # series sharing the i-th dot-node of their label — the
@@ -1182,6 +1264,42 @@ def build_sql(node: Node) -> str:
                 f"FROM {inner} r WHERE cents IS NOT NULL) q "
                 f"WHERE rn <= CAST(ceil(nn * {p} / 100.0) AS BIGINT) "
                 f"GROUP BY metric) t ON s.metric = t.metric)"
+            )
+        if name == "nPercentile":
+            p = n.args[1].value
+            inner = ev(n.args[0])
+            return (
+                f"(SELECT s.metric, s.interval, t.pc AS cents "
+                f"FROM {inner} s LEFT JOIN ("
+                f"SELECT metric, max(cents) AS pc FROM ("
+                f"SELECT metric, cents, "
+                f"row_number() OVER (PARTITION BY metric ORDER BY cents) "
+                f"AS rn, count(*) OVER (PARTITION BY metric) AS nn "
+                f"FROM {inner} r WHERE cents IS NOT NULL) q "
+                f"WHERE rn <= CAST(ceil(nn * {p} / 100.0) AS BIGINT) "
+                f"GROUP BY metric) t ON s.metric = t.metric)"
+            )
+        if name == "mostDeviant":
+            k = n.args[1].value
+            inner = ev(n.args[0])
+            return (
+                f"(SELECT s.metric, s.interval, s.cents FROM {inner} s "
+                f"JOIN (SELECT metric FROM {inner} g GROUP BY metric "
+                f"ORDER BY CASE WHEN count(cents) > 0 THEN "
+                f"sqrt(CAST(count(cents) * sum(cents * cents) "
+                f"- sum(cents) * sum(cents) AS DOUBLE)) / count(cents) END "
+                f"DESC NULLS LAST, metric ASC LIMIT {k}) w "
+                f"ON s.metric = w.metric)"
+            )
+        if name == "timeSlice":
+            a, b2 = n.args[1].value, n.args[2].value
+            inner = ev(n.args[0])
+            return (
+                f"(SELECT metric, interval, CASE WHEN "
+                f"interval >= t.t0 + {3600 * a} AND "
+                f"interval < t.t0 + {3600 * b2} THEN cents END AS cents "
+                f"FROM {inner} s CROSS JOIN "
+                f"(SELECT min(interval) AS t0 FROM {inner} z) t)"
             )
         if name == "groupByNode":
             i = n.args[1].value

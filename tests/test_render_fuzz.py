@@ -57,6 +57,7 @@ def _series(rng, depth):
             "highestMax", "highestAverage", "lowestAverage",
             "removeAboveValue", "removeBelowValue",
             "removeAbovePercentile", "removeBelowPercentile",
+            "mostDeviant", "nPercentile", "timeSlice",
             "alias", "aliasSub", "sumSeries", "averageSeries",
             "countSeries", "minSeries", "maxSeries", "rangeOfSeries",
             "stddevSeries", "percentileOfSeries", "constantLine",
@@ -73,8 +74,14 @@ def _series(rng, depth):
         return f"{name}({_series(rng, depth - 1)}, {rng.choice([40, 52, 60])})"
     if name in ("removeAbovePercentile", "removeBelowPercentile"):
         return f"{name}({_series(rng, depth - 1)}, {rng.choice([10, 50, 90])})"
-    if name in ("highestMax", "highestAverage", "lowestAverage"):
+    if name in ("highestMax", "highestAverage", "lowestAverage",
+                "mostDeviant"):
         return f"{name}({_series(rng, depth - 1)}, {rng.randint(1, 4)})"
+    if name == "nPercentile":
+        return f"nPercentile({_series(rng, depth - 1)}, {rng.choice([25, 50, 95])})"
+    if name == "timeSlice":
+        a = rng.randint(0, 200)
+        return f"timeSlice({_series(rng, depth - 1)}, {a}, {a + rng.randint(1, 400)})"
     if name == "summarize":
         how = rng.choice(["sum", "max", "min", "last", "avg"])
         return f"summarize({_series(rng, depth - 1)}, {rng.randint(1, 8)}, '{how}')"
