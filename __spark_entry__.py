@@ -225,6 +225,7 @@ _R11_DEFERRED: list = [
     "s_pq_search_filtered",
     "g_render_spread",
     "st_render_scaled",
+    "g_render_hw",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

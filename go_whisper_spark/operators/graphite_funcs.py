@@ -4522,6 +4522,9 @@ RENDER_EXPR_SPREAD = (
     "movingSum(divideSeries(rangeOfSeries('*'), "
     "percentileOfSeries('*', 50)), 4)"
 )
+RENDER_EXPR_HW = (
+    "diffSeries(sumSeries('*'), sumSeries(holtWintersForecast('*')))"
+)
 
 
 def g_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4652,6 +4655,17 @@ def g_render_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render(spark, sf_dir, RENDER_EXPR_SPREAD)
 
 
+def g_render_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters IN the composable language: the aggregate
+    forecast residual — cross-series sum of the actuals minus the
+    cross-series sum of each series' one-step-ahead Holt forecast
+    (the aberration signal, composed from primitives instead of the
+    fixed aberration query; render.py holtWintersForecast)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_HW)
+
+
 def _render_oracle(target: str) -> str:
     from go_whisper_spark.render import render_oracle_sql
 
@@ -4718,6 +4732,7 @@ QUERIES = {
     "g_render_nodes": g_render_nodes,
     "g_render_deep": g_render_deep,
     "g_render_spread": g_render_spread,
+    "g_render_hw": g_render_hw,
     "g_maximum_above": g_maximum_above,
     "g_maximum_below": g_maximum_below,
     "g_minimum_below": g_minimum_below,
@@ -4866,6 +4881,7 @@ ORACLES = {
     "g_render_nodes": _render_oracle(RENDER_EXPR_NODES),
     "g_render_deep": _render_oracle(RENDER_EXPR_DEEP),
     "g_render_spread": _render_oracle(RENDER_EXPR_SPREAD),
+    "g_render_hw": _render_oracle(RENDER_EXPR_HW),
     "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
     "g_maximum_below": G_MAXIMUM_BELOW_SQL,
     "g_minimum_below": G_MINIMUM_BELOW_SQL,

@@ -23,7 +23,7 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (60 ops — the composable core; the ~111 fixed-form
+Operator registry (61 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
@@ -43,6 +43,9 @@ surface):
               highestMax highestAverage lowestAverage mostDeviant
   slicing     timeSlice(from, until) — outside slots go NULL
   reference   nPercentile(p) — per-series flat percentile line
+  forecast    holtWintersForecast — Holt's linear trend, bit-exact
+              IEEE fold in both engines (applyInPandas keyed by
+              metric ↔ recursive CTE)
   removers    removeAbovePercentile removeBelowPercentile (rank-based
               thresholds, offending slots go NULL)
   reducers    sumSeries averageSeries countSeries minSeries
@@ -217,7 +220,7 @@ _ORDER_SENSITIVE = frozenset({
     "derivative", "nonNegativeDerivative", "movingSum", "movingAverage",
     "movingMin", "movingMax", "keepLastValue", "integral",
     "integralByInterval", "perSecond", "delay", "changed",
-    "currentAbove", "currentBelow",
+    "currentAbove", "currentBelow", "holtWintersForecast",
 })
 
 # Static label, when provable: aggregate reducers and alias pin it.
@@ -691,6 +694,54 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                     "interval",
                     F.when(keep, F.col("cents")).alias("cents"),
                 )
+            )
+        if name == "holtWintersForecast":
+            # one-step-ahead double exponential smoothing (Holt's
+            # linear trend, α=0.5 β=0.3) per series, folded in CENT
+            # space — the canonical sequential-recursion operator
+            # (applyInPandas keyed by metric, the one-series-per-file
+            # layout; same kernel discipline as g_holt_winters).  The
+            # oracle replays the IDENTICAL per-step IEEE double
+            # operations via a recursive CTE, so floor(forecast) is
+            # bit-identical.  NULL slots are skipped by the fold and
+            # emit NULL.
+            _need(n, 1, (object,))
+            import pandas as _pd
+
+            s = ev(n.args[0])
+
+            def _hw(pdf):
+                pdf = pdf.sort_values("interval").reset_index(drop=True)
+                out = [None] * len(pdf)
+                sv, bv, seen = 0.0, 0.0, 0
+                for i in range(len(pdf)):
+                    x = pdf["cents"].iloc[i]
+                    if _pd.isna(x):
+                        continue
+                    x = float(x)
+                    if seen == 0:
+                        sv, bv = x, 0.0
+                    else:
+                        out[i] = sv + bv
+                        s_new = 0.5 * x + (1 - 0.5) * (sv + bv)
+                        bv = 0.3 * (s_new - sv) + (1 - 0.3) * bv
+                        sv = s_new
+                    seen += 1
+                import math as _math
+                return _pd.DataFrame(
+                    {
+                        "metric": pdf["metric"],
+                        "interval": pdf["interval"],
+                        "cents": _pd.array(
+                            [None if f is None else int(_math.floor(f))
+                             for f in out],
+                            dtype="Int64",
+                        ),
+                    }
+                )
+
+            return s.groupBy("metric").applyInPandas(
+                _hw, "metric string, interval long, cents long"
             )
         if name == "nPercentile":
             # every slot becomes the series' rank-based p-th
@@ -1264,6 +1315,34 @@ def build_sql(node: Node) -> str:
                 f"FROM {inner} r WHERE cents IS NOT NULL) q "
                 f"WHERE rn <= CAST(ceil(nn * {p} / 100.0) AS BIGINT) "
                 f"GROUP BY metric) t ON s.metric = t.metric)"
+            )
+        if name == "holtWintersForecast":
+            # the recursive term re-derives s_new inside the trend
+            # expression so every operand sequence matches the kernel
+            # loop exactly (the g_holt_winters discipline, in cents).
+            inner = ev(n.args[0])
+            return (
+                f"(WITH RECURSIVE hwseq AS ("
+                f"SELECT metric, interval, CAST(cents AS DOUBLE) AS x, "
+                f"row_number() OVER (PARTITION BY metric ORDER BY interval)"
+                f" AS t FROM {inner} hs WHERE cents IS NOT NULL), "
+                f"hwrec AS ("
+                f"SELECT metric, t, interval, x AS level, "
+                f"CAST(0.0 AS DOUBLE) AS trend, "
+                f"CAST(NULL AS DOUBLE) AS forecast "
+                f"FROM hwseq WHERE t = 1 "
+                f"UNION ALL "
+                f"SELECT s.metric, s.t, s.interval, "
+                f"0.5 * s.x + (1 - 0.5) * (h.level + h.trend) AS level, "
+                f"0.3 * ((0.5 * s.x + (1 - 0.5) * (h.level + h.trend))"
+                f" - h.level) + (1 - 0.3) * h.trend AS trend, "
+                f"h.level + h.trend AS forecast "
+                f"FROM hwrec h JOIN hwseq s "
+                f"ON s.metric = h.metric AND s.t = h.t + 1) "
+                f"SELECT c.metric, c.interval, "
+                f"CAST(floor(h.forecast) AS BIGINT) AS cents "
+                f"FROM {inner} c LEFT JOIN hwrec h "
+                f"ON h.metric = c.metric AND h.interval = c.interval)"
             )
         if name == "nPercentile":
             p = n.args[1].value

@@ -33,7 +33,7 @@ _GLOBS = ["'*'", "'c*'", "'[ve]*'", "'p?rchase'"]
 _UNARY = [
     "absolute", "derivative", "nonNegativeDerivative", "keepLastValue",
     "integral", "perSecond", "offsetToZero", "changed", "invert",
-    "squareRoot",
+    "squareRoot", "holtWintersForecast",
 ]
 _SELECTORS = [
     "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",

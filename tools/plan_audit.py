@@ -659,6 +659,13 @@ CHECKS = {
         require=["Window", "partial_max", "partial_min"],
         forbid=["CartesianProduct"],
     ),
+    # HW residual: the sequential fold is the one grouped-pandas
+    # stage (metric-keyed, the per-series recursion operator); both
+    # cross-series sums partial-combine; interval-keyed diff join.
+    "g_render_hw": dict(
+        require=["FlatMapGroupsInPandas", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
     # counters: fixed-k top-by-peak winner set keeps its explicit
     # broadcast hint (k rows by construction) — static BHJ required.
     "g_render_counters": dict(
