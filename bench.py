@@ -114,6 +114,13 @@ HEADLINE = [
     # render-language plans at the depth users actually write (scale →
     # delay → percentile removal → fill → changed → rolling sum).
     "g_render_deep",
+    # round 11 retrieval tier: hybrid lexical+vector RRF fusion (the
+    # two-tower RAG read), the label-pre-filtered ANN serve (cached
+    # index, predicate between route and ADC), and Holt-Winters
+    # composed in the render language (metric-keyed Arrow fold).
+    "s_hybrid_rrf",
+    "s_pq_search_filtered",
+    "g_render_hw",
 ]
 
 

@@ -23,7 +23,7 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (61 ops — the composable core; the ~111 fixed-form
+Operator registry (64 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
@@ -43,9 +43,11 @@ surface):
               highestMax highestAverage lowestAverage mostDeviant
   slicing     timeSlice(from, until) — outside slots go NULL
   reference   nPercentile(p) — per-series flat percentile line
-  forecast    holtWintersForecast — Holt's linear trend, bit-exact
-              IEEE fold in both engines (applyInPandas keyed by
-              metric ↔ recursive CTE)
+  forecast    holtWintersForecast holtWintersConfidenceUpper
+              holtWintersConfidenceLower holtWintersAberration —
+              Holt's linear trend + γ-smoothed deviation envelope,
+              bit-exact IEEE fold in both engines (one metric-keyed
+              applyInPandas kernel ↔ recursive CTE)
   removers    removeAbovePercentile removeBelowPercentile (rank-based
               thresholds, offending slots go NULL)
   reducers    sumSeries averageSeries countSeries minSeries
@@ -221,6 +223,8 @@ _ORDER_SENSITIVE = frozenset({
     "movingMin", "movingMax", "keepLastValue", "integral",
     "integralByInterval", "perSecond", "delay", "changed",
     "currentAbove", "currentBelow", "holtWintersForecast",
+    "holtWintersConfidenceUpper", "holtWintersConfidenceLower",
+    "holtWintersAberration",
 })
 
 # Static label, when provable: aggregate reducers and alias pin it.
@@ -695,48 +699,69 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                     F.when(keep, F.col("cents")).alias("cents"),
                 )
             )
-        if name == "holtWintersForecast":
-            # one-step-ahead double exponential smoothing (Holt's
-            # linear trend, α=0.5 β=0.3) per series, folded in CENT
-            # space — the canonical sequential-recursion operator
-            # (applyInPandas keyed by metric, the one-series-per-file
-            # layout; same kernel discipline as g_holt_winters).  The
-            # oracle replays the IDENTICAL per-step IEEE double
-            # operations via a recursive CTE, so floor(forecast) is
-            # bit-identical.  NULL slots are skipped by the fold and
-            # emit NULL.
+        if name in ("holtWintersForecast", "holtWintersConfidenceUpper",
+                    "holtWintersConfidenceLower", "holtWintersAberration"):
+            # The Holt-Winters family: one-step-ahead double
+            # exponential smoothing (Holt's linear trend, α=0.5
+            # β=0.3), the γ=0.1 smoothed-absolute-deviation
+            # confidence envelope forecast ± 3·dev, and the
+            # band-breach aberration — all folded per series in CENT
+            # space by ONE metric-keyed applyInPandas kernel (the
+            # canonical sequential-recursion operator; same
+            # discipline as g_holt_winters / g_holt_winters_bands).
+            # The oracle replays the IDENTICAL per-step IEEE double
+            # operations via a recursive CTE, so the floored outputs
+            # are bit-identical.  NULL slots are skipped by the fold
+            # and emit NULL; the first folded slot has no
+            # forecast/bands (NULL) and aberration 0.
             _need(n, 1, (object,))
+            import math as _math
+
             import pandas as _pd
 
+            mode = name
             s = ev(n.args[0])
 
             def _hw(pdf):
                 pdf = pdf.sort_values("interval").reset_index(drop=True)
                 out = [None] * len(pdf)
-                sv, bv, seen = 0.0, 0.0, 0
+                sv, bv, dv, seen = 0.0, 0.0, 0.0, 0
                 for i in range(len(pdf)):
                     x = pdf["cents"].iloc[i]
                     if _pd.isna(x):
                         continue
                     x = float(x)
                     if seen == 0:
-                        sv, bv = x, 0.0
+                        sv, bv, dv = x, 0.0, 0.0
+                        if mode == "holtWintersAberration":
+                            out[i] = 0
                     else:
-                        out[i] = sv + bv
+                        f = sv + bv
+                        dv = 0.1 * abs(x - f) + (1 - 0.1) * dv
+                        upper = f + 3 * dv
+                        lower = f - 3 * dv
+                        if mode == "holtWintersForecast":
+                            out[i] = int(_math.floor(f))
+                        elif mode == "holtWintersConfidenceUpper":
+                            out[i] = int(_math.floor(upper))
+                        elif mode == "holtWintersConfidenceLower":
+                            out[i] = int(_math.floor(lower))
+                        else:  # aberration
+                            if x > upper:
+                                out[i] = int(_math.floor(x - upper))
+                            elif x < lower:
+                                out[i] = int(_math.floor(x - lower))
+                            else:
+                                out[i] = 0
                         s_new = 0.5 * x + (1 - 0.5) * (sv + bv)
                         bv = 0.3 * (s_new - sv) + (1 - 0.3) * bv
                         sv = s_new
                     seen += 1
-                import math as _math
                 return _pd.DataFrame(
                     {
                         "metric": pdf["metric"],
                         "interval": pdf["interval"],
-                        "cents": _pd.array(
-                            [None if f is None else int(_math.floor(f))
-                             for f in out],
-                            dtype="Int64",
-                        ),
+                        "cents": _pd.array(out, dtype="Int64"),
                     }
                 )
 
@@ -1316,31 +1341,57 @@ def build_sql(node: Node) -> str:
                 f"WHERE rn <= CAST(ceil(nn * {p} / 100.0) AS BIGINT) "
                 f"GROUP BY metric) t ON s.metric = t.metric)"
             )
-        if name == "holtWintersForecast":
-            # the recursive term re-derives s_new inside the trend
+        if name in ("holtWintersForecast", "holtWintersConfidenceUpper",
+                    "holtWintersConfidenceLower", "holtWintersAberration"):
+            # the recursive term re-derives s_new / d_new inside each
             # expression so every operand sequence matches the kernel
-            # loop exactly (the g_holt_winters discipline, in cents).
+            # loop exactly (the g_holt_winters_bands discipline, in
+            # cents):
+            #   f     = level + trend
+            #   d_new = 0.1*abs(x - f) + (1 - 0.1)*dev
+            #   upper = f + 3*d_new ; lower = f - 3*d_new
+            #   s_new = 0.5*x + (1 - 0.5)*(level + trend)
+            #   b_new = 0.3*(s_new - level) + (1 - 0.3)*trend
             inner = ev(n.args[0])
+            f_ = "(h.level + h.trend)"
+            dnew = f"(0.1 * abs(s.x - {f_}) + (1 - 0.1) * h.dev)"
+            sel = {
+                "holtWintersForecast": "CAST(floor(h.forecast) AS BIGINT)",
+                "holtWintersConfidenceUpper": "CAST(floor(h.upper) AS BIGINT)",
+                "holtWintersConfidenceLower": "CAST(floor(h.lower) AS BIGINT)",
+                "holtWintersAberration": (
+                    "CASE WHEN h.t IS NULL THEN NULL "
+                    "WHEN h.upper IS NULL THEN CAST(0 AS BIGINT) "
+                    "WHEN h.x > h.upper THEN CAST(floor(h.x - h.upper) AS BIGINT) "
+                    "WHEN h.x < h.lower THEN CAST(floor(h.x - h.lower) AS BIGINT) "
+                    "ELSE CAST(0 AS BIGINT) END"
+                ),
+            }[name]
             return (
                 f"(WITH RECURSIVE hwseq AS ("
                 f"SELECT metric, interval, CAST(cents AS DOUBLE) AS x, "
                 f"row_number() OVER (PARTITION BY metric ORDER BY interval)"
                 f" AS t FROM {inner} hs WHERE cents IS NOT NULL), "
                 f"hwrec AS ("
-                f"SELECT metric, t, interval, x AS level, "
+                f"SELECT metric, t, interval, x, x AS level, "
                 f"CAST(0.0 AS DOUBLE) AS trend, "
-                f"CAST(NULL AS DOUBLE) AS forecast "
+                f"CAST(0.0 AS DOUBLE) AS dev, "
+                f"CAST(NULL AS DOUBLE) AS forecast, "
+                f"CAST(NULL AS DOUBLE) AS upper, "
+                f"CAST(NULL AS DOUBLE) AS lower "
                 f"FROM hwseq WHERE t = 1 "
                 f"UNION ALL "
-                f"SELECT s.metric, s.t, s.interval, "
-                f"0.5 * s.x + (1 - 0.5) * (h.level + h.trend) AS level, "
-                f"0.3 * ((0.5 * s.x + (1 - 0.5) * (h.level + h.trend))"
+                f"SELECT s.metric, s.t, s.interval, s.x, "
+                f"0.5 * s.x + (1 - 0.5) * {f_} AS level, "
+                f"0.3 * ((0.5 * s.x + (1 - 0.5) * {f_})"
                 f" - h.level) + (1 - 0.3) * h.trend AS trend, "
-                f"h.level + h.trend AS forecast "
+                f"{dnew} AS dev, "
+                f"{f_} AS forecast, "
+                f"{f_} + 3 * {dnew} AS upper, "
+                f"{f_} - 3 * {dnew} AS lower "
                 f"FROM hwrec h JOIN hwseq s "
                 f"ON s.metric = h.metric AND s.t = h.t + 1) "
-                f"SELECT c.metric, c.interval, "
-                f"CAST(floor(h.forecast) AS BIGINT) AS cents "
+                f"SELECT c.metric, c.interval, {sel} AS cents "
                 f"FROM {inner} c LEFT JOIN hwrec h "
                 f"ON h.metric = c.metric AND h.interval = c.interval)"
             )

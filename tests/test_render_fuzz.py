@@ -33,7 +33,8 @@ _GLOBS = ["'*'", "'c*'", "'[ve]*'", "'p?rchase'"]
 _UNARY = [
     "absolute", "derivative", "nonNegativeDerivative", "keepLastValue",
     "integral", "perSecond", "offsetToZero", "changed", "invert",
-    "squareRoot", "holtWintersForecast",
+    "squareRoot", "holtWintersForecast", "holtWintersConfidenceUpper",
+    "holtWintersConfidenceLower", "holtWintersAberration",
 ]
 _SELECTORS = [
     "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
