@@ -226,6 +226,8 @@ _R11_DEFERRED: list = [
     "g_render_spread",
     "st_render_scaled",
     "g_render_hw",
+    "g_render_bands",
+    "st_render_nodes",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

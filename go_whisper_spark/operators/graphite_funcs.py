@@ -4525,6 +4525,10 @@ RENDER_EXPR_SPREAD = (
 RENDER_EXPR_HW = (
     "diffSeries(sumSeries('*'), sumSeries(holtWintersForecast('*')))"
 )
+RENDER_EXPR_BANDS = (
+    "diffSeries(sumSeries(holtWintersConfidenceUpper('*')), "
+    "sumSeries(holtWintersConfidenceLower('*')))"
+)
 
 
 def g_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4666,6 +4670,16 @@ def g_render_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render(spark, sf_dir, RENDER_EXPR_HW)
 
 
+def g_render_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters confidence-envelope WIDTH, composed: aggregate
+    upper band minus aggregate lower band (= 6·Σ smoothed deviation —
+    the fleet-wide uncertainty signal), both folds through the one
+    metric-keyed Holt kernel (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_BANDS)
+
+
 def _render_oracle(target: str) -> str:
     from go_whisper_spark.render import render_oracle_sql
 
@@ -4733,6 +4747,7 @@ QUERIES = {
     "g_render_deep": g_render_deep,
     "g_render_spread": g_render_spread,
     "g_render_hw": g_render_hw,
+    "g_render_bands": g_render_bands,
     "g_maximum_above": g_maximum_above,
     "g_maximum_below": g_maximum_below,
     "g_minimum_below": g_minimum_below,
@@ -4882,6 +4897,7 @@ ORACLES = {
     "g_render_deep": _render_oracle(RENDER_EXPR_DEEP),
     "g_render_spread": _render_oracle(RENDER_EXPR_SPREAD),
     "g_render_hw": _render_oracle(RENDER_EXPR_HW),
+    "g_render_bands": _render_oracle(RENDER_EXPR_BANDS),
     "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
     "g_maximum_below": G_MAXIMUM_BELOW_SQL,
     "g_minimum_below": G_MINIMUM_BELOW_SQL,

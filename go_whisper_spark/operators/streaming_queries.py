@@ -1192,6 +1192,89 @@ FROM r6
 """
 
 
+ST_RENDER_NODES_TARGET = (
+    "groupByNode(group(aliasSub('c*', '^', 'dc1.'), "
+    "aliasSub('[ve]*', '^', 'dc2.')), 0, 'sum')"
+)
+
+
+def st_render_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming wildcard-reducer: two stateless relabeled branches
+    (bag union — streams union freely) collapsed per datacenter node
+    by a groupByNode aggregate, which runs as a 1h tumbling window
+    under the 0-lateness handoff watermark (each window holds exactly
+    one interval's rows across the relabeled series).  Same replay
+    and watermark algebra as ``st_render_6h``."""
+    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
+    t0 = int(pts.agg(F.min("ts")).first()[0])
+    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts"))
+    )
+    cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
+
+    from go_whisper_spark.streaming.render import streaming_render_pass
+
+    root = _tmpdir()
+    src, base = os.path.join(root, "src"), os.path.join(root, "render")
+    feed = marked.drop("arrive")
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        rendered = streaming_render_pass(
+            spark, feed.schema, src, base, ST_RENDER_NODES_TARGET, cfg,
+            lateness_seconds=LATENESS,
+        )
+    return spark.read.schema("metric string, interval long, value double").parquet(
+        rendered
+    ).select("metric", "interval", "value")
+
+
+ST_RENDER_NODES_SQL = f"""
+WITH pts AS (
+  SELECT event_type AS metric,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+{_MARKED_CTE},
+surv AS (
+  SELECT m.* FROM marked m LEFT JOIN wm ON wm.arrive = m.arrive
+  WHERE wm.wm IS NULL OR m.ts - m.ts % 3600 + 3600 > wm.wm
+),
+a0 AS (
+  SELECT metric,
+         ts - ts % 3600 AS interval,
+         arg_max(value, seq) AS value
+  FROM surv
+  GROUP BY 1, 2
+  HAVING interval + 3600 <= (SELECT wmf FROM wmf)
+),
+branches AS (
+  SELECT regexp_replace(metric, '^', 'dc1.', 'g') AS metric, interval,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM a0 WHERE regexp_matches(metric, '^c[^.]*$')
+  UNION ALL
+  SELECT regexp_replace(metric, '^', 'dc2.', 'g') AS metric, interval,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM a0 WHERE regexp_matches(metric, '^[ve][^.]*$')
+),
+nodes AS (
+  SELECT split_part(metric, '.', 1) AS metric, interval,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM branches
+  GROUP BY 1, 2
+  HAVING interval + 3600 <= (SELECT max(interval) FROM a0)
+)
+SELECT metric, interval, CAST(cents AS DOUBLE) / 100.0 AS value FROM nodes
+"""
+
+
 QUERIES = {
     "st_rollup_lww_1h": st_rollup_lww_1h,
     "st_sessions_30m": st_sessions_30m,
@@ -1204,6 +1287,7 @@ QUERIES = {
     "st_cascade_chained": st_cascade_chained,
     "st_render_6h": st_render_6h,
     "st_render_scaled": st_render_scaled,
+    "st_render_nodes": st_render_nodes,
     "st_lsh_prefilter": st_lsh_prefilter,
     "st_pq_score": st_pq_score,
     "st_lakehouse_ingest": st_lakehouse_ingest,
@@ -1221,6 +1305,7 @@ ORACLES = {
     "st_cascade_chained": ST_CASCADE_CHAINED_SQL,
     "st_render_6h": ST_RENDER_6H_SQL,
     "st_render_scaled": ST_RENDER_SCALED_SQL,
+    "st_render_nodes": ST_RENDER_NODES_SQL,
     "st_lsh_prefilter": _st_lsh_prefilter_sql(),
     "st_pq_score": _st_pq_score_sql(),
     "st_lakehouse_ingest": ST_LAKEHOUSE_INGEST_SQL,

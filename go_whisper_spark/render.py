@@ -182,17 +182,33 @@ def parse_target(text: str) -> Node:
 def glob_to_regex(pattern: str) -> str:
     """Graphite glob → anchored regex, restricted to syntax that means
     the same thing in Java regex and DuckDB's RE2: ``*`` → ``[^.]*``,
-    ``?`` → ``.``, everything else escaped."""
+    ``?`` → ``.``, ``[abc]``/``[a-z]``/``[!abc]`` → a character class
+    (``!`` → ``^``, fnmatch-style; classes interpret identically in
+    both engines), everything else escaped.  An unterminated ``[`` is
+    a literal bracket."""
     out = []
-    for ch in pattern:
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
         if ch == "*":
             out.append("[^.]*")
         elif ch == "?":
             out.append(".")
+        elif ch == "[":
+            j = pattern.find("]", i + 1)
+            if j == -1:
+                out.append("\\[")
+            else:
+                inner = pattern[i + 1:j]
+                if inner.startswith("!"):
+                    inner = "^" + inner[1:]
+                out.append("[" + inner.replace("\\", "\\\\") + "]")
+                i = j
         elif ch in ".[]()\\^$+{}|":
             out.append("\\" + ch)
         else:
             out.append(ch)
+        i += 1
     return "^" + "".join(out) + "$"
 
 

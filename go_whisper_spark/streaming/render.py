@@ -80,22 +80,29 @@ def check_streamable(node: Node):
     aggregate level needs its own handoff.  Returns the summarize
     node, or None for an all-stateless target."""
 
-    def stateless_only(n: Node, allow_summarize: bool):
+    def stateless_only(n: Node, allow_agg: bool):
         if isinstance(n, (Glob, Str)):
             return None
         if not isinstance(n, Call):
             raise RenderParseError(f"series expression expected, got {n}")
         if n.name == "seriesByGlob":
             return None
-        if n.name == "summarize" and allow_summarize:
+        if n.name in ("summarize", "groupByNode") and allow_agg:
             stateless_only(n.args[0], False)
             return n
+        if n.name == "group":
+            # bag union of stateless branches is itself stateless —
+            # streams union freely; no aggregate may hide inside.
+            for a in n.args:
+                stateless_only(a, False)
+            return None
         if n.name not in _STATELESS:
             raise RenderParseError(
-                f"{n.name} is not streamable — only stateless value maps "
-                "and one summarize run on the archive stream"
+                f"{n.name} is not streamable — only stateless value maps, "
+                "group() unions of them, and one summarize/groupByNode "
+                "run on the archive stream"
             )
-        return stateless_only(n.args[0], allow_summarize)
+        return stateless_only(n.args[0], allow_agg)
 
     return stateless_only(node, True)
 
@@ -122,6 +129,11 @@ def _apply_stateless(
         name = n.name
         if name == "seriesByGlob":
             return seed(n.args[0].value)
+        if name == "group":
+            out = ev(n.args[0])
+            for a in n.args[1:]:
+                out = out.unionByName(ev(a))
+            return out
         s = ev(n.args[0])
         if name == "scale":
             return s.withColumn("cents", F.col("cents") * n.args[1].value)
@@ -196,16 +208,35 @@ def streaming_render_frame(archive_stream: DataFrame, target: str) -> DataFrame:
         sn = summarize_node
         if len(sn.args) != 3 or not isinstance(sn.args[1], Num) \
                 or not isinstance(sn.args[2], Str):
-            raise RenderParseError("summarize takes (series, hours, method)")
-        h = sn.args[1].value
-        if h < 1:
-            raise RenderParseError("summarize bucket must be >= 1 hour")
+            raise RenderParseError(f"{sn.name} takes (series, num, method)")
         mapped = _apply_stateless(base, sn.args[0])
+        if sn.name == "summarize":
+            h = sn.args[1].value
+            if h < 1:
+                raise RenderParseError("summarize bucket must be >= 1 hour")
+            win_secs = 3600 * h
+            how = sn.args[2].value
+        else:  # groupByNode: per-interval aggregate ACROSS relabeled
+            # series — the window is the archive's own 1h step, so
+            # each tumbling window holds exactly one interval's rows.
+            i = sn.args[1].value
+            if i < 0:
+                raise RenderParseError("groupByNode index must be >= 0")
+            how = sn.args[2].value
+            if how == "last":
+                raise RenderParseError("groupByNode has no 'last' method")
+            win_secs = 3600
+            mapped = mapped.withColumn(
+                "metric",
+                F.coalesce(F.get(F.split("metric", "[.]"), i), F.lit("")),
+            )
         agg = (
             mapped.withColumn("ts", F.timestamp_seconds(F.col("interval")))
             .withWatermark("ts", "0 seconds")
-            .groupBy("metric", F.window("ts", f"{3600 * h} seconds").alias("w"))
-            .agg(_summarize_agg(sn.args[2].value).alias("cents"))
+            .groupBy(
+                "metric", F.window("ts", f"{win_secs} seconds").alias("w")
+            )
+            .agg(_summarize_agg(how).alias("cents"))
             .select(
                 "metric",
                 F.col("w.start").cast("long").alias("interval"),

@@ -315,3 +315,16 @@ def test_group_of_fixed_label_reducers_is_window_safe():
         validate_target(parse_target(
             "movingSum(group(minSeries('*'), minSeries('c*')), 2)"
         ))
+
+
+def test_glob_character_classes():
+    """Graphite character-class globs translate to real classes
+    (identical semantics in Java regex and RE2); an unterminated
+    bracket stays literal."""
+    import re
+
+    assert glob_to_regex("[ve]*") == "^[ve][^.]*$"
+    assert glob_to_regex("[!c]*") == "^[^c][^.]*$"
+    assert glob_to_regex("x[") == "^x\\[$"
+    assert re.match(glob_to_regex("[ve]*"), "view")
+    assert not re.match(glob_to_regex("[ve]*"), "click")

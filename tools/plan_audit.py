@@ -666,6 +666,10 @@ CHECKS = {
         require=["FlatMapGroupsInPandas", "partial_sum"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
+    "g_render_bands": dict(
+        require=["FlatMapGroupsInPandas", "partial_sum"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
     # counters: fixed-k top-by-peak winner set keeps its explicit
     # broadcast hint (k rows by construction) — static BHJ required.
     "g_render_counters": dict(
