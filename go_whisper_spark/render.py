@@ -23,7 +23,7 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (64 ops — the composable core; the ~111 fixed-form
+Operator registry (66 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
@@ -54,6 +54,10 @@ surface):
               maxSeries rangeOfSeries stddevSeries
               percentileOfSeries summarize groupByNode(i, how)
   labels      alias aliasSub (replace-ALL semantics in both engines)
+              aliasByNode(i) — rename to the i-th dot node
+  selectors+  averageOutsidePercentile(p) — means outside the
+              [p, 100−p] band (rank window over the O(n_metrics)
+              means relation)
   combiners   group diffSeries divideSeries asPercent (binary right
               side must be one uniquely-keyed series — enforced)
 
@@ -321,6 +325,10 @@ def analyze(node: Node):
         return (cs, True, cl)
     if name == "aliasSub":
         return (cs, cu, None)
+    if name == "aliasByNode":
+        # distinct labels can share a node → duplicates unless the
+        # input is provably one series.
+        return (cs, cs and cu, None)
     # value maps, filters, selectors, timeShift: key-preserving
     return (cs, cu, cl)
 
@@ -1037,6 +1045,50 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                 "metric",
                 F.regexp_replace("metric", n.args[1].value, n.args[2].value),
             )
+        if name == "aliasByNode":
+            # rename each series to the i-th dot-node of its label
+            # (missing node → '', both engines) — the hierarchy-flatten
+            # rename; collapsing labels is tracked by analyze().
+            _need(n, 2, (object, Num))
+            i = n.args[1].value
+            if i < 0:
+                raise RenderParseError("aliasByNode index must be >= 0")
+            return ev(n.args[0]).withColumn(
+                "metric",
+                F.coalesce(F.get(F.split("metric", "[.]"), i), F.lit("")),
+            )
+        if name == "averageOutsidePercentile":
+            # keep series whose mean falls OUTSIDE the [p, 100-p]
+            # band of the per-series means (p <= 50): thresholds are
+            # rank-based over the tiny per-metric mean relation; the
+            # rank key is the one IEEE-identical double division of
+            # exact (sum, count) longs.
+            _need(n, 2, (object, Num))
+            p = n.args[1].value
+            if not 0 < p <= 50:
+                raise RenderParseError(
+                    "averageOutsidePercentile percentile must be in (0,50]"
+                )
+            s = ev(n.args[0])
+            means = (
+                s.groupBy("metric")
+                .agg(
+                    (F.sum("cents").cast("double") / F.count("cents")).alias(
+                        "mv"
+                    )
+                )
+                .where(F.col("mv").isNotNull())
+            )
+            wv = Window.orderBy("mv", "metric")
+            ranked = means.withColumn("rn", F.row_number().over(wv)).withColumn(
+                "nn", F.count("*").over(Window.partitionBy())
+            )
+            lo = F.ceil(F.col("nn") * F.lit(p) / 100).cast("long")
+            hi = F.ceil(F.col("nn") * F.lit(100 - p) / 100).cast("long")
+            winners = ranked.where(
+                (F.col("rn") <= lo) | (F.col("rn") > hi)
+            ).select("metric")
+            return s.join(winners, "metric")
         if name == "group":
             # group(a, b, ...): bag union of any number of series
             # expressions — Graphite's list combinator, what lets one
@@ -1567,6 +1619,27 @@ def build_sql(node: Node) -> str:
             return (
                 f"(SELECT regexp_replace(metric, '{rx}', '{rep}', 'g') "
                 f"AS metric, interval, cents FROM {ev(n.args[0])} s)"
+            )
+        if name == "aliasByNode":
+            i = n.args[1].value
+            return (
+                f"(SELECT split_part(metric, '.', {i + 1}) AS metric, "
+                f"interval, cents FROM {ev(n.args[0])} s)"
+            )
+        if name == "averageOutsidePercentile":
+            p = n.args[1].value
+            inner = ev(n.args[0])
+            return (
+                f"(SELECT s.metric, s.interval, s.cents FROM {inner} s "
+                f"JOIN (SELECT metric FROM ("
+                f"SELECT metric, row_number() OVER (ORDER BY mv, metric)"
+                f" AS rn, count(*) OVER () AS nn FROM ("
+                f"SELECT metric, CAST(sum(cents) AS DOUBLE) / count(cents)"
+                f" AS mv FROM {inner} g GROUP BY metric) m "
+                f"WHERE mv IS NOT NULL) r "
+                f"WHERE rn <= CAST(ceil(nn * {p} / 100.0) AS BIGINT) "
+                f"OR rn > CAST(ceil(nn * {100 - p} / 100.0) AS BIGINT)"
+                f") w ON s.metric = w.metric)"
             )
         if name == "group":
             parts = " UNION ALL ".join(

@@ -59,6 +59,7 @@ def _series(rng, depth):
             "removeAboveValue", "removeBelowValue",
             "removeAbovePercentile", "removeBelowPercentile",
             "mostDeviant", "nPercentile", "timeSlice",
+            "aliasByNode", "averageOutsidePercentile",
             "alias", "aliasSub", "sumSeries", "averageSeries",
             "countSeries", "minSeries", "maxSeries", "rangeOfSeries",
             "stddevSeries", "percentileOfSeries", "constantLine",
@@ -80,6 +81,10 @@ def _series(rng, depth):
         return f"{name}({_series(rng, depth - 1)}, {rng.randint(1, 4)})"
     if name == "nPercentile":
         return f"nPercentile({_series(rng, depth - 1)}, {rng.choice([25, 50, 95])})"
+    if name == "aliasByNode":
+        return f"aliasByNode({_series(rng, depth - 1)}, {rng.randint(0, 1)})"
+    if name == "averageOutsidePercentile":
+        return f"averageOutsidePercentile({_series(rng, depth - 1)}, {rng.choice([10, 25, 50])})"
     if name == "timeSlice":
         a = rng.randint(0, 200)
         return f"timeSlice({_series(rng, depth - 1)}, {a}, {a + rng.randint(1, 400)})"
