@@ -70,6 +70,19 @@ names — no driver-side evaluation anywhere.
 [ref: SURVEY.md §2C Graphite render functions — this is the
 composition layer over the same semantics; the reference target
 syntax is public Graphite documentation.]
+
+Adding an operator (the five mandatory touch points — missing any
+one produces a silent cross-engine or coverage gap):
+  1. a case in ``build_frame``'s ``ev`` (Spark plan);
+  2. the matching case in ``build_sql``'s ``ev`` (DuckDB oracle,
+     identical arithmetic, operand for operand);
+  3. ``analyze()`` properties — add to ``_ORDER_SENSITIVE`` if the
+     result depends on intra-key row order, ``_FIXED_LABEL`` if the
+     output label is static, or a bespoke branch if keys change;
+  4. a generator arm in tests/test_render_fuzz.py (validity-aware);
+  5. a row in docs/RENDER.md and this docstring's registry.
+If the op is stateless per-row, also consider
+``streaming/render.py``'s ``_STATELESS`` set.
 """
 
 from __future__ import annotations
