@@ -66,8 +66,8 @@ _LEVEL_SCHEMA = "metric string, interval long, value double"
 # Stateless per-row operators — the streamable value-map/label subset.
 _STATELESS = frozenset({
     "scale", "offset", "absolute", "transformNull", "invert",
-    "removeAboveValue", "removeBelowValue", "grep", "exclude",
-    "alias", "aliasSub",
+    "pow", "squareRoot", "removeAboveValue", "removeBelowValue",
+    "grep", "exclude", "alias", "aliasSub", "aliasByNode",
 })
 
 
@@ -153,6 +153,32 @@ def _apply_stateless(
                     F.col("cents") != 0,
                     F.floor(F.lit(10000) / F.col("cents")),
                 ).cast("long"),
+            )
+        if name == "pow":
+            p = n.args[1].value
+            if not 1 <= p <= 3:
+                raise RenderParseError("pow exponent must be in 1..3")
+            num = F.col("cents")
+            for _ in range(p - 1):
+                num = num * F.col("cents")
+            return s.withColumn(
+                "cents", F.floor(num / F.lit(100 ** (p - 1))).cast("long")
+            )
+        if name == "squareRoot":
+            return s.withColumn(
+                "cents",
+                F.when(
+                    F.col("cents") >= 0,
+                    F.floor(F.lit(10.0) * F.sqrt(F.col("cents"))),
+                ).cast("long"),
+            )
+        if name == "aliasByNode":
+            i = n.args[1].value
+            if i < 0:
+                raise RenderParseError("aliasByNode index must be >= 0")
+            return s.withColumn(
+                "metric",
+                F.coalesce(F.get(F.split("metric", "[.]"), i), F.lit("")),
             )
         if name in ("removeAboveValue", "removeBelowValue"):
             t = 100 * n.args[1].value

@@ -71,3 +71,23 @@ def test_streaming_plan_is_watermark_window(spark):
     assert flat.isStreaming
     fplan = flat._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" not in fplan
+
+
+def test_round11_stateless_ops_streamable(spark):
+    """pow/squareRoot/aliasByNode are per-row maps — streamable both
+    below and above the windowed aggregate."""
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            (F.col("value") % 5).cast("string").alias("metric"),
+            (F.col("value") * 3600).alias("interval"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    out = streaming_render_frame(
+        src,
+        "squareRoot(summarize(pow(aliasByNode('*', 0), 2), 6, 'max'))",
+    )
+    assert out.isStreaming
+    assert out.columns == ["metric", "interval", "value"]
+    check_streamable(parse_target("pow(grep('*', 'c'), 3)"))
