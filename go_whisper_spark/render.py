@@ -23,24 +23,27 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (66 ops — the composable core; the ~111 fixed-form
+Operator registry (81 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
   seeds       seriesByGlob / bare glob (* ? — translated to an
               anchored regex identically in both engines)
-              constantLine(k) — data-free generator on the spine
+              constantLine(k) / threshold(k) — data-free generators
+              on the spine
   value maps  scale offset absolute transformNull invert pow
               squareRoot removeAboveValue removeBelowValue
+              isNonNull scaleToSeconds(k)
   windows     derivative nonNegativeDerivative perSecond movingSum
               movingAverage movingMin movingMax keepLastValue
               integral integralByInterval delay changed
-              offsetToZero  (order-sensitive ones statically require
-              unique (metric, interval) keys — see analyze())
-  filters     grep exclude limit
+              offsetToZero stdev(n)  (order-sensitive ones statically
+              require unique (metric, interval) keys — see analyze())
+  filters     grep exclude limit removeEmptySeries
   selectors   maximumAbove maximumBelow minimumAbove minimumBelow
               averageAbove averageBelow currentAbove currentBelow
               highestMax highestAverage lowestAverage mostDeviant
+              highestCurrent lowestCurrent
   slicing     timeSlice(from, until) — outside slots go NULL
   reference   nPercentile(p) — per-series flat percentile line
   forecast    holtWintersForecast holtWintersConfidenceUpper
@@ -48,18 +51,26 @@ surface):
               Holt's linear trend + γ-smoothed deviation envelope,
               bit-exact IEEE fold in both engines (one metric-keyed
               applyInPandas kernel ↔ recursive CTE)
-  removers    removeAbovePercentile removeBelowPercentile (rank-based
-              thresholds, offending slots go NULL)
+  removers    removeAbovePercentile removeBelowPercentile
+              removeBetweenPercentile (rank-based thresholds,
+              offending slots go NULL)
   reducers    sumSeries averageSeries countSeries minSeries
               maxSeries rangeOfSeries stddevSeries
               percentileOfSeries summarize groupByNode(i, how)
+              hitcount(h) — summarize-sum × slot width (rate→count)
+              sumSeriesWithWildcards(i) averageSeriesWithWildcards(i)
+              — aggregate after deleting the i-th dot node
+  per-series  aggregateLine('avg'|'max'|'min') — flat line at the
+              series aggregate (keys preserved)
   labels      alias aliasSub (replace-ALL semantics in both engines)
               aliasByNode(i) — rename to the i-th dot node
+              substr(i, j) — keep dot nodes [i, j)
   selectors+  averageOutsidePercentile(p) — means outside the
               [p, 100−p] band (rank window over the O(n_metrics)
               means relation)
-  combiners   group diffSeries divideSeries asPercent (binary right
-              side must be one uniquely-keyed series — enforced)
+  combiners   group diffSeries divideSeries asPercent multiplySeries
+              (binary right side must be one uniquely-keyed series —
+              enforced) fallbackSeries(a, b) — b only when a is empty
 
 Scale shape: seeds and filters are scan-adjacent; per-series operators
 ride ONE (metric)-partitioned window chain; ``sumSeries`` is the only
@@ -257,7 +268,8 @@ _ORDER_SENSITIVE = frozenset({
     "integralByInterval", "perSecond", "delay", "changed",
     "currentAbove", "currentBelow", "holtWintersForecast",
     "holtWintersConfidenceUpper", "holtWintersConfidenceLower",
-    "holtWintersAberration",
+    "holtWintersAberration", "highestCurrent", "lowestCurrent",
+    "stdev",
 })
 
 # Static label, when provable: aggregate reducers and alias pin it.
@@ -289,9 +301,9 @@ def analyze(node: Node):
     name = node.name
     if name == "seriesByGlob":
         return (False, True, None)
-    if name == "constantLine":
-        # data-free generator over the interval spine — one series.
-        return (True, True, "constantLine")
+    if name in ("constantLine", "threshold"):
+        # data-free generators over the interval spine — one series.
+        return (True, True, name)
     if name == "group":
         parts = [analyze(a) for a in node.args]
         labels = [p[2] for p in parts]
@@ -301,7 +313,8 @@ def analyze(node: Node):
         )
         unique = all(p[1] for p in parts) and disjoint
         return (False, unique, None)
-    if name in ("diffSeries", "divideSeries", "asPercent"):
+    if name in ("diffSeries", "divideSeries", "asPercent",
+                "multiplySeries"):
         ls, lu, ll = analyze(node.args[0])
         rs, ru, _ = analyze(node.args[1])
         if not (rs and ru):
@@ -311,6 +324,14 @@ def analyze(node: Node):
             )
         lbl = f"{name}({ll})" if ll is not None else None
         return (ls, lu, lbl)
+    if name == "fallbackSeries":
+        # which side survives is data-dependent: properties only
+        # when BOTH sides guarantee them; label only when both sides
+        # provably carry the same one.
+        ls, lu, ll = analyze(node.args[0])
+        rs, ru, rl = analyze(node.args[1])
+        lbl = ll if (ll is not None and ll == rl) else None
+        return (ls and rs, lu and ru, lbl)
     # every remaining operator transforms args[0]
     child = node.args[0] if node.args else None
     if child is None:
@@ -326,8 +347,17 @@ def analyze(node: Node):
         return (True, cs and cu, node.args[1].value)
     if name in _FIXED_LABEL:
         return (True, True, _FIXED_LABEL[name])
-    if name == "groupByNode":
+    if name in ("groupByNode", "sumSeriesWithWildcards",
+                "averageSeriesWithWildcards"):
+        # relabel + aggregate: keys unique per (new label, interval),
+        # label set data-dependent.
         return (False, True, None)
+    if name == "hitcount":
+        # summarize-sum at a coarser grain: buckets are unique.
+        return (cs, True, cl)
+    if name == "substr":
+        # node-range relabel: distinct labels can collapse.
+        return (cs, cs and cu, None)
     if name == "summarize":
         how = node.args[2].value if len(node.args) == 3 else None
         if how == "last" and not cu:
@@ -1148,6 +1178,269 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
             return j.select(
                 label.alias("metric"), "interval", out.alias("cents")
             )
+        if name == "multiplySeries":
+            # same single-right-series contract as diffSeries; the
+            # cent product a·b/100 is floored (exact in double: the
+            # long product stays far below 2^53).  NULL on either
+            # side propagates through the arithmetic.
+            _need(n, 2, (object, object))
+            a = ev(n.args[0]).select(
+                "metric", "interval", F.col("cents").alias("a_c")
+            )
+            b = ev(n.args[1]).select(
+                F.col("interval").alias("b_iv"), F.col("cents").alias("b_c")
+            )
+            return (
+                a.join(b, a.interval == b.b_iv, "left")
+                .select(
+                    F.concat(
+                        F.lit("multiplySeries("), F.col("metric"), F.lit(")")
+                    ).alias("metric"),
+                    "interval",
+                    F.floor(
+                        (F.col("a_c") * F.col("b_c")).cast("double") / 100
+                    ).cast("long").alias("cents"),
+                )
+            )
+        if name == "fallbackSeries":
+            # fallbackSeries(a, b): b only when a produced NO series.
+            # The emptiness scalar is a 1-row aggregate frame gating
+            # each side via a broadcast cross join — fully lazy, no
+            # driver-side count (the g_time_slice 1-row-bounds
+            # pattern).
+            _need(n, 2, (object, object))
+            a = ev(n.args[0])
+            b = ev(n.args[1])
+            ca = a.agg(F.count("*").alias("ca"))
+            keep_a = a.crossJoin(
+                F.broadcast(ca.where(F.col("ca") > 0))
+            ).select("metric", "interval", "cents")
+            keep_b = b.crossJoin(
+                F.broadcast(ca.where(F.col("ca") == 0))
+            ).select("metric", "interval", "cents")
+            return keep_a.unionByName(keep_b)
+        if name == "threshold":
+            # Graphite's threshold(k) — constantLine under its own
+            # label.
+            _need(n, 1, (Num,))
+            return (
+                seed("*")
+                .select("interval")
+                .distinct()
+                .select(
+                    F.lit("threshold").alias("metric"),
+                    "interval",
+                    F.lit(100 * n.args[0].value).cast("long").alias("cents"),
+                )
+            )
+        if name == "isNonNull":
+            # 1 where the slot is known, 0 where it is None — in
+            # cents: 100 / 0 (stateless value map).
+            _need(n, 1, (object,))
+            return ev(n.args[0]).withColumn(
+                "cents",
+                F.when(F.col("cents").isNotNull(), F.lit(100))
+                .otherwise(F.lit(0)).cast("long"),
+            )
+        if name == "scaleToSeconds":
+            # value · k / step at the 1h archive (step = 3600s):
+            # floored cents, NULL propagates.  Both engines floor the
+            # same correctly-rounded double quotient.
+            _need(n, 2, (object, Num))
+            return ev(n.args[0]).withColumn(
+                "cents",
+                F.floor(
+                    (F.col("cents") * n.args[1].value).cast("double") / 3600
+                ).cast("long"),
+            )
+        if name == "hitcount":
+            # hitcount(s, h): per-rate × slot-width summed over
+            # h-hour epoch buckets — Σ(cents·3600) per bucket, exact
+            # integers end to end; an all-NULL bucket stays NULL
+            # (sum skips NULLs, empty sum is NULL both engines).
+            _need(n, 2, (object, Num))
+            h = n.args[1].value
+            if h < 1:
+                raise RenderParseError("hitcount bucket must be >= 1 hour")
+            b2 = 3600 * h
+            return (
+                ev(n.args[0])
+                .withColumn(
+                    "bucket", F.col("interval") - F.col("interval") % b2
+                )
+                .groupBy("metric", "bucket")
+                .agg((F.sum("cents") * 3600).alias("cents"))
+                .select("metric", F.col("bucket").alias("interval"), "cents")
+            )
+        if name in ("highestCurrent", "lowestCurrent"):
+            # fixed-k winner set by the most-recent slot (max_by on
+            # interval — NULL latest stays NULL and ranks last both
+            # directions), ties by metric; broadcast join-back like
+            # the top-k family.
+            _need(n, 2, (object, Num))
+            k = n.args[1].value
+            if k < 1:
+                raise RenderParseError(f"{name} k must be >= 1")
+            s = ev(n.args[0])
+            direction = (
+                F.desc_nulls_last if name == "highestCurrent"
+                else F.asc_nulls_last
+            )
+            top = (
+                s.groupBy("metric")
+                .agg(F.max_by("cents", "interval").alias("cur"))
+                .orderBy(direction("cur"), F.asc("metric"))
+                .limit(k)
+                .select("metric")
+            )
+            return s.join(F.broadcast(top), "metric")
+        if name == "removeEmptySeries":
+            # drop all-NULL series: winners have >= 1 known slot;
+            # un-hinted O(n_metrics) join-back (AQE-sized).
+            _need(n, 1, (object,))
+            s = ev(n.args[0])
+            winners = (
+                s.groupBy("metric")
+                .agg(F.count("cents").alias("nn"))
+                .where(F.col("nn") > 0)
+                .select("metric")
+            )
+            return s.join(winners, "metric")
+        if name == "aggregateLine":
+            # flat per-series line at the series aggregate — keys
+            # preserved, one partition-wide window (no ordering
+            # dependence), floored-cent mean.
+            _need(n, 2, (object, Str))
+            how = n.args[1].value
+            wm = Window.partitionBy("metric")
+            if how == "avg":
+                val = F.floor(
+                    F.sum("cents").over(wm).cast("double")
+                    / F.count("cents").over(wm)
+                ).cast("long")
+            elif how == "max":
+                val = F.max("cents").over(wm)
+            elif how == "min":
+                val = F.min("cents").over(wm)
+            else:
+                raise RenderParseError(f"aggregateLine: unknown method {how!r}")
+            return ev(n.args[0]).select(
+                "metric", "interval", val.alias("cents")
+            )
+        if name == "removeBetweenPercentile":
+            # slots INSIDE the [p, 100-p] rank band go NULL, keeping
+            # the outliers on both tails — band membership uses the
+            # thresholds' own values so boundary ties fall inside in
+            # both engines (the g_remove_between_pctile convention).
+            _need(n, 2, (object, Num))
+            p = n.args[1].value
+            if not 0 < p < 50:
+                raise RenderParseError(
+                    "removeBetweenPercentile percentile must be in (0,50)"
+                )
+            s = ev(n.args[0])
+            wv = Window.partitionBy("metric").orderBy("cents")
+            ranked = (
+                s.where(F.col("cents").isNotNull())
+                .withColumn("rn", F.row_number().over(wv))
+                .withColumn(
+                    "nn", F.count("*").over(Window.partitionBy("metric"))
+                )
+            )
+            thresh = ranked.groupBy("metric").agg(
+                F.max(
+                    F.when(
+                        F.col("rn")
+                        <= F.ceil(F.col("nn") * F.lit(p) / 100).cast("long"),
+                        F.col("cents"),
+                    )
+                ).alias("lo"),
+                F.max(
+                    F.when(
+                        F.col("rn")
+                        <= F.ceil(
+                            F.col("nn") * F.lit(100 - p) / 100
+                        ).cast("long"),
+                        F.col("cents"),
+                    )
+                ).alias("hi"),
+            )
+            keep = (F.col("cents") < F.col("lo")) | (
+                F.col("cents") > F.col("hi")
+            )
+            return (
+                s.join(thresh, "metric", "left")
+                .select(
+                    "metric",
+                    "interval",
+                    F.when(keep, F.col("cents")).alias("cents"),
+                )
+            )
+        if name == "stdev":
+            # moving population stddev over the trailing n slots —
+            # the stddevSeries radicand (n·Σx² − (Σx)², an exact
+            # long) windowed per metric, one correctly-rounded sqrt.
+            _need(n, 2, (object, Num))
+            k = n.args[1].value
+            if k < 1:
+                raise RenderParseError("stdev window must be >= 1")
+            fr = w.rowsBetween(-(k - 1), 0)
+            nn = F.count("cents").over(fr)
+            s1 = F.sum("cents").over(fr)
+            s2 = F.sum(F.col("cents") * F.col("cents")).over(fr)
+            rad = nn * s2 - s1 * s1
+            return ev(n.args[0]).select(
+                "metric",
+                "interval",
+                F.when(nn > 0, F.floor(F.sqrt(rad) / nn))
+                .cast("long").alias("cents"),
+            )
+        if name in ("sumSeriesWithWildcards", "averageSeriesWithWildcards"):
+            # delete the i-th dot node from every label, then
+            # aggregate series that now share a label — Graphite's
+            # wildcard reducers.  Deleting a node past the end is a
+            # no-op in both engines (slice truncates).
+            _need(n, 2, (object, Num))
+            i = n.args[1].value
+            if i < 0:
+                raise RenderParseError(f"{name} index must be >= 0")
+            parts = F.split("metric", "[.]")
+            relabel = F.concat_ws(
+                ".",
+                F.concat(
+                    F.slice(parts, 1, i),
+                    F.slice(
+                        parts,
+                        i + 2,
+                        F.greatest(F.lit(0), F.size(parts) - i - 1),
+                    ),
+                ),
+            )
+            agg = (
+                F.sum("cents")
+                if name == "sumSeriesWithWildcards"
+                else F.floor(
+                    F.sum("cents").cast("double") / F.count("cents")
+                ).cast("long")
+            )
+            return (
+                ev(n.args[0])
+                .withColumn("metric", relabel)
+                .groupBy("metric", "interval")
+                .agg(agg.alias("cents"))
+            )
+        if name == "substr":
+            # keep dot nodes [i, j) of the label — narrow relabel
+            # (distinct labels can collapse; tracked by analyze()).
+            _need(n, 3, (object, Num, Num))
+            i, j2 = n.args[1].value, n.args[2].value
+            if not 0 <= i < j2:
+                raise RenderParseError("substr needs 0 <= start < stop")
+            parts = F.split("metric", "[.]")
+            return ev(n.args[0]).withColumn(
+                "metric",
+                F.concat_ws(".", F.slice(parts, i + 1, j2 - i)),
+            )
         raise RenderParseError(f"unknown render function {name!r}")
 
     return ev(node)
@@ -1676,6 +1969,147 @@ def build_sql(node: Node) -> str:
                 f"(SELECT '{name}(' || a.metric || ')' AS metric, "
                 f"a.interval, {out} AS cents "
                 f"FROM {a} a LEFT JOIN {b} b ON a.interval = b.interval)"
+            )
+        if name == "multiplySeries":
+            a, b = ev(n.args[0]), ev(n.args[1])
+            return (
+                f"(SELECT 'multiplySeries(' || a.metric || ')' AS metric, "
+                f"a.interval, CAST(floor("
+                f"CAST(a.cents * b.cents AS DOUBLE) / 100) AS BIGINT) "
+                f"AS cents FROM {a} a LEFT JOIN {b} b "
+                f"ON a.interval = b.interval)"
+            )
+        if name == "fallbackSeries":
+            a, b = ev(n.args[0]), ev(n.args[1])
+            return (
+                f"(SELECT metric, interval, cents FROM {a} fa "
+                f"WHERE (SELECT count(*) FROM {a} fc) > 0 "
+                f"UNION ALL "
+                f"SELECT metric, interval, cents FROM {b} fb "
+                f"WHERE (SELECT count(*) FROM {a} fc2) = 0)"
+            )
+        if name == "threshold":
+            k = 100 * n.args[0].value
+            return (
+                f"(SELECT 'threshold' AS metric, interval, "
+                f"CAST({k} AS BIGINT) AS cents "
+                f"FROM (SELECT DISTINCT interval FROM {seed('*')} z) t)"
+            )
+        if name == "isNonNull":
+            return (
+                "(SELECT metric, interval, CAST(CASE WHEN cents IS NOT NULL "
+                "THEN 100 ELSE 0 END AS BIGINT) AS cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
+        if name == "scaleToSeconds":
+            k = n.args[1].value
+            return (
+                f"(SELECT metric, interval, CAST(floor("
+                f"CAST(cents * {k} AS DOUBLE) / 3600) AS BIGINT) AS cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
+        if name == "hitcount":
+            b2 = 3600 * n.args[1].value
+            return (
+                f"(SELECT metric, interval - interval % {b2} AS interval, "
+                f"CAST(sum(cents) * 3600 AS BIGINT) AS cents "
+                f"FROM {ev(n.args[0])} s "
+                f"GROUP BY metric, interval - interval % {b2})"
+            )
+        if name in ("highestCurrent", "lowestCurrent"):
+            k = n.args[1].value
+            d = "DESC" if name == "highestCurrent" else "ASC"
+            inner = ev(n.args[0])
+            # struct-wrapped arg_max: a NULL latest slot stays NULL
+            # and ranks last (matching Spark's max_by + NULLS LAST).
+            return (
+                f"(SELECT s.metric, s.interval, s.cents FROM {inner} s "
+                f"JOIN (SELECT metric FROM {inner} g GROUP BY metric "
+                f"ORDER BY (arg_max({{'v': cents}}, interval)).v {d} "
+                f"NULLS LAST, metric ASC LIMIT {k}) w "
+                f"ON s.metric = w.metric)"
+            )
+        if name == "removeEmptySeries":
+            inner = ev(n.args[0])
+            return (
+                f"(SELECT s.metric, s.interval, s.cents FROM {inner} s "
+                f"JOIN (SELECT metric FROM {inner} g GROUP BY metric "
+                f"HAVING count(cents) > 0) w ON s.metric = w.metric)"
+            )
+        if name == "aggregateLine":
+            how = n.args[1].value
+            over = "OVER (PARTITION BY metric)"
+            val = {
+                "avg": (f"CAST(floor(CAST(sum(cents) {over} AS DOUBLE) "
+                        f"/ count(cents) {over}) AS BIGINT)"),
+                "max": f"max(cents) {over}",
+                "min": f"min(cents) {over}",
+            }.get(how)
+            if val is None:
+                raise RenderParseError(f"aggregateLine: unknown method {how!r}")
+            return (
+                f"(SELECT metric, interval, {val} AS cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
+        if name == "removeBetweenPercentile":
+            p = n.args[1].value
+            inner = ev(n.args[0])
+            return (
+                f"(SELECT s.metric, s.interval, "
+                f"CASE WHEN s.cents < t.lo OR s.cents > t.hi "
+                f"THEN s.cents END AS cents "
+                f"FROM {inner} s LEFT JOIN ("
+                f"SELECT metric, "
+                f"max(CASE WHEN rn <= CAST(ceil(nn * {p} / 100.0) AS BIGINT)"
+                f" THEN cents END) AS lo, "
+                f"max(CASE WHEN rn <= CAST(ceil(nn * {100 - p} / 100.0) "
+                f"AS BIGINT) THEN cents END) AS hi FROM ("
+                f"SELECT metric, cents, "
+                f"row_number() OVER (PARTITION BY metric ORDER BY cents) "
+                f"AS rn, count(*) OVER (PARTITION BY metric) AS nn "
+                f"FROM {inner} r WHERE cents IS NOT NULL) q "
+                f"GROUP BY metric) t ON s.metric = t.metric)"
+            )
+        if name == "stdev":
+            k = n.args[1].value
+            fr = (f"OVER (PARTITION BY metric ORDER BY interval "
+                  f"ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)")
+            nn = f"count(cents) {fr}"
+            s1 = f"sum(cents) {fr}"
+            s2 = f"sum(cents * cents) {fr}"
+            return (
+                f"(SELECT metric, interval, "
+                f"CASE WHEN {nn} > 0 THEN CAST(floor("
+                f"sqrt(CAST({nn} * {s2} - {s1} * {s1} AS DOUBLE)) / {nn}"
+                f") AS BIGINT) END AS cents FROM {ev(n.args[0])} s)"
+            )
+        if name in ("sumSeriesWithWildcards", "averageSeriesWithWildcards"):
+            i = n.args[1].value
+            # coalesce: DuckDB's array_to_string([]) is NULL where
+            # Spark's concat_ws over an empty array is '' — a
+            # node-delete that empties the label must agree.
+            relabel = (
+                f"coalesce(array_to_string(list_concat("
+                f"str_split(metric, '.')[1:{i}], "
+                f"str_split(metric, '.')[{i + 2}:]), '.'), '')"
+            )
+            agg = (
+                "CAST(sum(cents) AS BIGINT)"
+                if name == "sumSeriesWithWildcards"
+                else ("CAST(floor(CAST(sum(cents) AS DOUBLE) / count(cents))"
+                      " AS BIGINT)")
+            )
+            return (
+                f"(SELECT {relabel} AS metric, interval, {agg} AS cents "
+                f"FROM {ev(n.args[0])} s GROUP BY {relabel}, interval)"
+            )
+        if name == "substr":
+            i, j2 = n.args[1].value, n.args[2].value
+            # same empty-slice coalesce as the wildcard reducers
+            return (
+                f"(SELECT coalesce(array_to_string("
+                f"str_split(metric, '.')[{i + 1}:{j2}], '.'), '') AS metric, "
+                f"interval, cents FROM {ev(n.args[0])} s)"
             )
         raise RenderParseError(f"unknown render function {name!r}")
 

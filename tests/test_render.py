@@ -328,3 +328,97 @@ def test_glob_character_classes():
     assert glob_to_regex("x[") == "^x\\[$"
     assert re.match(glob_to_regex("[ve]*"), "view")
     assert not re.match(glob_to_regex("[ve]*"), "click")
+
+
+def test_wave5_value_maps_and_selectors(spark, sf_dir):
+    # isNonNull: every slot becomes exactly 1.0 or 0.0
+    vals = {
+        r.value
+        for r in render(spark, sf_dir, "isNonNull(derivative('*'))").collect()
+    }
+    assert vals <= {0.0, 1.0} and vals == {0.0, 1.0}
+
+    # threshold: one flat series under its own label
+    th = render(spark, sf_dir, "threshold(42)").collect()
+    assert {r.metric for r in th} == {"threshold"}
+    assert {r.value for r in th} == {42.0}
+
+    # scaleToSeconds at k=3600 is the identity (step == 3600)
+    base = {(r.metric, r.interval): r.value
+            for r in render(spark, sf_dir, "'*'").collect()}
+    scaled = {(r.metric, r.interval): r.value
+              for r in render(spark, sf_dir,
+                              "scaleToSeconds('*', 3600)").collect()}
+    assert scaled == base
+
+    # highestCurrent(1) picks the series with the max latest slot
+    hc = render(spark, sf_dir, "highestCurrent('*', 1)").collect()
+    assert len({r.metric for r in hc}) == 1
+    last = {}
+    for (m, iv), v in base.items():
+        if m not in last or iv > last[m][0]:
+            last[m] = (iv, v)
+    best = max(last, key=lambda m: (last[m][1], ))
+    assert {r.metric for r in hc} == {best}
+
+
+def test_wave5_hitcount_is_summarize_sum_times_step(spark, sf_dir):
+    hits = {(r.metric, r.interval): r.value
+            for r in render(spark, sf_dir, "hitcount('*', 4)").collect()}
+    summed = {(r.metric, r.interval): r.value
+              for r in render(spark, sf_dir,
+                              "summarize('*', 4, 'sum')").collect()}
+    assert hits.keys() == summed.keys()
+    for k, v in summed.items():
+        assert hits[k] == pytest.approx(v * 3600)
+
+
+def test_wave5_wildcard_reducer_and_substr(spark, sf_dir):
+    # prefix every label with 'x.' then delete node 0 → original series
+    back = {(r.metric, r.interval): r.value
+            for r in render(
+                spark, sf_dir,
+                "sumSeriesWithWildcards(aliasSub('*', '^', 'x.'), 0)"
+            ).collect()}
+    base = {(r.metric, r.interval): r.value
+            for r in render(spark, sf_dir, "'*'").collect()}
+    assert back == base
+    # substr keeping node [0,1) of 'x.<m>' is the constant 'x' label:
+    # collapsing labels still key by (metric, interval) row-wise
+    sub = render(
+        spark, sf_dir, "substr(aliasSub('*', '^', 'x.'), 0, 1)"
+    ).collect()
+    assert {r.metric for r in sub} == {"x"}
+
+
+def test_wave5_fallback_series(spark, sf_dir):
+    # non-empty first arg → second arg ignored
+    kept = render(
+        spark, sf_dir, "fallbackSeries('c*', constantLine(7))"
+    ).collect()
+    assert {r.metric for r in kept} != {"constantLine"}
+    # empty first arg → fall back
+    fb = render(
+        spark, sf_dir, "fallbackSeries(grep('*', 'zzz'), constantLine(7))"
+    ).collect()
+    assert {r.metric for r in fb} == {"constantLine"}
+
+
+def test_wave5_analyzer_properties():
+    from go_whisper_spark.render import analyze, validate_target
+
+    # stdev/highestCurrent are order-sensitive: duplicate-keyed input
+    # (same-label group) must be rejected
+    for t in ("stdev(group('*', '*'), 3)",
+              "highestCurrent(group('*', '*'), 2)"):
+        with pytest.raises(RenderParseError):
+            validate_target(parse_target(t))
+    # threshold is a single fixed-label series
+    assert analyze(parse_target("threshold(5)")) == (True, True, "threshold")
+    # wildcard reducers make keys unique again
+    assert analyze(
+        parse_target("sumSeriesWithWildcards(group('*', '*'), 0)")
+    )[1] is True
+    # multiplySeries requires a single-series right side
+    with pytest.raises(RenderParseError):
+        validate_target(parse_target("multiplySeries('*', '*')"))

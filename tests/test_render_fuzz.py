@@ -3,8 +3,8 @@ the Spark composition vs the AST-emitted DuckDB SQL — must agree
 exactly (the cent discipline makes every composition integer-exact).
 
 Deterministic seed; bounded depth; covers every operator in the
-45-op registry including binary combiners, aggregate reducers, the
-selector family, and the round-11 additions.  Candidates that the
+81-op registry including binary combiners, aggregate reducers, the
+selector family, and the round-11 additions (waves 2-5).  Candidates that the
 static analyzer rejects (window op over a possibly-duplicate-keyed
 frame, non-single binary right side) are skipped and redrawn — the
 rejection path itself is asserted separately in test_render.py.
@@ -35,6 +35,7 @@ _UNARY = [
     "integral", "perSecond", "offsetToZero", "changed", "invert",
     "squareRoot", "holtWintersForecast", "holtWintersConfidenceUpper",
     "holtWintersConfidenceLower", "holtWintersAberration",
+    "isNonNull", "removeEmptySeries",
 ]
 _SELECTORS = [
     "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
@@ -65,6 +66,11 @@ def _series(rng, depth):
             "stddevSeries", "percentileOfSeries", "constantLine",
             "summarize", "groupByNode",
             "diffSeries", "divideSeries", "asPercent", "group",
+            "threshold", "hitcount", "scaleToSeconds",
+            "highestCurrent", "lowestCurrent", "stdev",
+            "aggregateLine", "removeBetweenPercentile",
+            "sumSeriesWithWildcards", "averageSeriesWithWildcards",
+            "substr", "fallbackSeries", "multiplySeries",
         ]
     )
     if name in _UNARY:
@@ -121,9 +127,33 @@ def _series(rng, depth):
         return f"percentileOfSeries({_series(rng, depth - 1)}, {rng.choice([25, 50, 90])})"
     if name == "constantLine":
         return f"constantLine({rng.randint(-2, 5)})"
+    if name == "threshold":
+        return f"threshold({rng.randint(-2, 5)})"
     if name == "groupByNode":
         how = rng.choice(["sum", "max", "min", "avg"])
         return f"groupByNode({_series(rng, depth - 1)}, {rng.randint(0, 1)}, '{how}')"
+    if name == "hitcount":
+        return f"hitcount({_series(rng, depth - 1)}, {rng.randint(1, 8)})"
+    if name == "scaleToSeconds":
+        return f"scaleToSeconds({_series(rng, depth - 1)}, {rng.randint(1, 7200)})"
+    if name in ("highestCurrent", "lowestCurrent"):
+        return f"{name}({_series(rng, depth - 1)}, {rng.randint(1, 4)})"
+    if name == "stdev":
+        return f"stdev({_series(rng, depth - 1)}, {rng.randint(1, 6)})"
+    if name == "aggregateLine":
+        how = rng.choice(["avg", "max", "min"])
+        return f"aggregateLine({_series(rng, depth - 1)}, '{how}')"
+    if name == "removeBetweenPercentile":
+        return f"removeBetweenPercentile({_series(rng, depth - 1)}, {rng.choice([10, 25, 40])})"
+    if name in ("sumSeriesWithWildcards", "averageSeriesWithWildcards"):
+        return f"{name}({_series(rng, depth - 1)}, {rng.randint(0, 2)})"
+    if name == "substr":
+        i = rng.randint(0, 1)
+        return f"substr({_series(rng, depth - 1)}, {i}, {i + rng.randint(1, 2)})"
+    if name == "fallbackSeries":
+        a = _series(rng, depth - 1)
+        b = _series(rng, depth - 1)
+        return f"fallbackSeries({a}, {b})"
     if name == "group":
         k = rng.randint(2, 3)
         parts = [_series(rng, depth - 1) for _ in range(k)]
