@@ -228,6 +228,8 @@ _R11_DEFERRED: list = [
     "g_render_hw",
     "g_render_bands",
     "st_render_nodes",
+    "g_render_hitstack",
+    "g_render_volatility",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -4529,6 +4529,15 @@ RENDER_EXPR_BANDS = (
     "diffSeries(sumSeries(holtWintersConfidenceUpper('*')), "
     "sumSeries(holtWintersConfidenceLower('*')))"
 )
+RENDER_EXPR_HITSTACK = (
+    "highestCurrent(hitcount(sumSeriesWithWildcards("
+    "group(aliasSub('c*', '^', 'dc1.'), aliasSub('[ve]*', '^', 'dc2.')), "
+    "1), 4), 2)"
+)
+RENDER_EXPR_VOLATILITY = (
+    "multiplySeries(aggregateLine(stdev(scaleToSeconds('*', 60), 6), "
+    "'max'), sumSeries(isNonNull('*')))"
+)
 
 
 def g_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4680,6 +4689,28 @@ def g_render_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render(spark, sf_dir, RENDER_EXPR_BANDS)
 
 
+def g_render_hitstack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-5 bucket path composed: two label families prefixed into
+    dc1./dc2. namespaces, the original name node DELETED by the
+    wildcard reducer (per-datacenter sum), 4h hitcount buckets
+    (Σ rate·slot-width), then the top-2 datacenters by most-recent
+    bucket (struct-wrapped arg_max winner set) (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_HITSTACK)
+
+
+def g_render_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-5 volatility product: per-minute rates → 6-slot moving
+    population stddev (exact-long radicand) → flattened to each
+    series' max-volatility line → multiplied by the per-slot count of
+    live series (sumSeries over isNonNull — the single-series right
+    side the combiner contract requires) (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_VOLATILITY)
+
+
 def _render_oracle(target: str) -> str:
     from go_whisper_spark.render import render_oracle_sql
 
@@ -4748,6 +4779,8 @@ QUERIES = {
     "g_render_spread": g_render_spread,
     "g_render_hw": g_render_hw,
     "g_render_bands": g_render_bands,
+    "g_render_hitstack": g_render_hitstack,
+    "g_render_volatility": g_render_volatility,
     "g_maximum_above": g_maximum_above,
     "g_maximum_below": g_maximum_below,
     "g_minimum_below": g_minimum_below,
@@ -4898,6 +4931,8 @@ ORACLES = {
     "g_render_spread": _render_oracle(RENDER_EXPR_SPREAD),
     "g_render_hw": _render_oracle(RENDER_EXPR_HW),
     "g_render_bands": _render_oracle(RENDER_EXPR_BANDS),
+    "g_render_hitstack": _render_oracle(RENDER_EXPR_HITSTACK),
+    "g_render_volatility": _render_oracle(RENDER_EXPR_VOLATILITY),
     "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
     "g_maximum_below": G_MAXIMUM_BELOW_SQL,
     "g_minimum_below": G_MINIMUM_BELOW_SQL,

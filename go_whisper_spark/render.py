@@ -23,7 +23,7 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (81 ops — the composable core; the ~111 fixed-form
+Operator registry (87 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
@@ -33,12 +33,22 @@ surface):
               on the spine
   value maps  scale offset absolute transformNull invert pow
               squareRoot removeAboveValue removeBelowValue
-              isNonNull scaleToSeconds(k)
+              isNonNull scaleToSeconds(k) roundTo(k) — half-up at
+              the 10^(2-k)-cent grid, k in 0..2
   windows     derivative nonNegativeDerivative perSecond movingSum
               movingAverage movingMin movingMax keepLastValue
               integral integralByInterval delay changed
-              offsetToZero stdev(n)  (order-sensitive ones statically
-              require unique (metric, interval) keys — see analyze())
+              offsetToZero stdev(n) movingMedian(n) — lower median
+              of the NULL-filtered sorted window
+              interpolate — integer-exact linear fill between known
+              neighbours (leading/trailing NULLs stay NULL)
+              minMax — (v−min)/(max−min) per series in floored
+              cents (max==min → 0; whole-partition, dup-safe)
+              exponentialMovingAverage(N) — α=2/(N+1) left fold,
+              IEEE-identical per-step ops (applyInPandas kernel ↔
+              recursive CTE, the Holt-Winters discipline)
+              (order-sensitive ones statically require unique
+              (metric, interval) keys — see analyze())
   filters     grep exclude limit removeEmptySeries
   selectors   maximumAbove maximumBelow minimumAbove minimumBelow
               averageAbove averageBelow currentAbove currentBelow
@@ -71,6 +81,9 @@ surface):
   combiners   group diffSeries divideSeries asPercent multiplySeries
               (binary right side must be one uniquely-keyed series —
               enforced) fallbackSeries(a, b) — b only when a is empty
+              weightedAverage(a, w, i) — pair the two frames by the
+              i-th dot node, ONE series: floor(Σ a·w / Σ w) per slot
+              (weights counted only where the pair is known)
 
 Scale shape: seeds and filters are scan-adjacent; per-series operators
 ride ONE (metric)-partitioned window chain; ``sumSeries`` is the only
@@ -269,7 +282,7 @@ _ORDER_SENSITIVE = frozenset({
     "currentAbove", "currentBelow", "holtWintersForecast",
     "holtWintersConfidenceUpper", "holtWintersConfidenceLower",
     "holtWintersAberration", "highestCurrent", "lowestCurrent",
-    "stdev",
+    "stdev", "movingMedian", "interpolate", "exponentialMovingAverage",
 })
 
 # Static label, when provable: aggregate reducers and alias pin it.
@@ -332,6 +345,14 @@ def analyze(node: Node):
         rs, ru, rl = analyze(node.args[1])
         lbl = ll if (ll is not None and ll == rl) else None
         return (ls and rs, lu and ru, lbl)
+    if name == "weightedAverage":
+        # both sides are series args; the node-pairing contract
+        # (labels pair 1:1 after node extraction) is data-dependent
+        # and documented, not proven.  Output is one fixed-label
+        # series.
+        analyze(node.args[0])
+        analyze(node.args[1])
+        return (True, True, "weightedAverage")
     # every remaining operator transforms args[0]
     child = node.args[0] if node.args else None
     if child is None:
@@ -1441,6 +1462,192 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                 "metric",
                 F.concat_ws(".", F.slice(parts, i + 1, j2 - i)),
             )
+        if name == "roundTo":
+            # round to k decimals ON THE TRUE DECIMAL VALUE: integer
+            # half-UP at the 10^(2-k)-cent grid (float round() is a
+            # cross-engine trap — the g_round_to discipline; floor
+            # division is toward -inf in both engines, so half-up is
+            # identical for negatives too).  k=2 is the identity.
+            _need(n, 2, (object, Num))
+            kd = n.args[1].value
+            if not 0 <= kd <= 2:
+                raise RenderParseError("roundTo decimals must be in 0..2")
+            d = 10 ** (2 - kd)
+            h = d // 2
+            return ev(n.args[0]).withColumn(
+                "cents",
+                (
+                    F.floor((F.col("cents") + h).cast("double") / d) * d
+                ).cast("long"),
+            )
+        if name == "movingMedian":
+            # lower median (sorted element at ceil(m/2)) of the
+            # NULL-filtered trailing-k window — pure element
+            # selection, no float arithmetic (the g_moving_median_5
+            # convention); an all-NULL window emits NULL.
+            _need(n, 2, (object, Num))
+            k = n.args[1].value
+            if k < 1:
+                raise RenderParseError("movingMedian window must be >= 1")
+            fr = w.rowsBetween(-(k - 1), 0)
+            arr = F.array_sort(F.collect_list("cents").over(fr))
+            return ev(n.args[0]).select(
+                "metric",
+                "interval",
+                F.when(
+                    F.size(arr) > 0,
+                    F.element_at(
+                        arr, F.ceil(F.size(arr) / 2).cast("int")
+                    ),
+                ).alias("cents"),
+            )
+        if name == "minMax":
+            # Graphite's minMax normalization: (v − min)/(max − min)
+            # per series, in floored cents of the [0, 1] result;
+            # max == min → 0; NULL slots stay NULL.  Whole-partition
+            # windows — dup-safe, not order-sensitive.
+            _need(n, 1, (object,))
+            wm = Window.partitionBy("metric")
+            mn = F.min("cents").over(wm)
+            mx = F.max("cents").over(wm)
+            val = F.when(
+                mx > mn,
+                F.floor(
+                    ((F.col("cents") - mn) * 100).cast("double") / (mx - mn)
+                ).cast("long"),
+            ).otherwise(
+                F.when(F.col("cents").isNotNull(), F.lit(0).cast("long"))
+            )
+            return ev(n.args[0]).select(
+                "metric", "interval", val.alias("cents")
+            )
+        if name == "interpolate":
+            # integer-exact linear fill of NULL slots between their
+            # nearest known neighbours (the g_interpolate weights:
+            # filled = (prev·(next_iv−iv) + next·(iv−prev_iv))
+            # / (next_iv−prev_iv), floor-truncated); leading/trailing
+            # NULLs stay NULL, known slots pass through.
+            _need(n, 1, (object,))
+            s = ev(n.args[0])
+            wb = w.rowsBetween(Window.unboundedPreceding, 0)
+            wf = w.rowsBetween(0, Window.unboundedFollowing)
+            known_iv = F.when(
+                F.col("cents").isNotNull(), F.col("interval")
+            )
+            prev_iv = F.last(known_iv, ignorenulls=True).over(wb)
+            prev_c = F.last("cents", ignorenulls=True).over(wb)
+            next_iv = F.first(known_iv, ignorenulls=True).over(wf)
+            next_c = F.first("cents", ignorenulls=True).over(wf)
+            fill = F.floor(
+                (
+                    prev_c * (next_iv - F.col("interval"))
+                    + next_c * (F.col("interval") - prev_iv)
+                ).cast("double")
+                / (next_iv - prev_iv)
+            ).cast("long")
+            return s.select(
+                "metric",
+                "interval",
+                F.when(F.col("cents").isNotNull(), F.col("cents"))
+                .otherwise(
+                    F.when(
+                        prev_iv.isNotNull() & next_iv.isNotNull(), fill
+                    )
+                )
+                .alias("cents"),
+            )
+        if name == "exponentialMovingAverage":
+            # per-slot EWMA, α = 2/(N+1): the sequential left fold as
+            # ONE metric-keyed applyInPandas kernel; the oracle
+            # replays the identical per-step IEEE ops via a recursive
+            # CTE (the Holt-Winters discipline).  NULL slots are
+            # skipped by the fold and emit NULL; the first known slot
+            # emits itself.
+            _need(n, 2, (object, Num))
+            kN = n.args[1].value
+            if kN < 1:
+                raise RenderParseError(
+                    "exponentialMovingAverage N must be >= 1"
+                )
+            alpha = 2.0 / (kN + 1)
+            import math as _math
+
+            import pandas as _pd
+
+            s = ev(n.args[0])
+
+            def _ema(pdf):
+                pdf = pdf.sort_values("interval").reset_index(drop=True)
+                out = [None] * len(pdf)
+                e, seen = 0.0, 0
+                for i in range(len(pdf)):
+                    x = pdf["cents"].iloc[i]
+                    if _pd.isna(x):
+                        continue
+                    x = float(x)
+                    e = x if seen == 0 else alpha * x + (1 - alpha) * e
+                    out[i] = int(_math.floor(e))
+                    seen += 1
+                return _pd.DataFrame(
+                    {
+                        "metric": pdf["metric"],
+                        "interval": pdf["interval"],
+                        "cents": _pd.array(out, dtype="Int64"),
+                    }
+                )
+
+            return s.groupBy("metric").applyInPandas(
+                _ema, "metric string, interval long, cents long"
+            )
+        if name == "weightedAverage":
+            # weightedAverage(values, weights, node): pair the two
+            # frames by the i-th dot node per interval (the 1:1
+            # pairing is Graphite's contract — duplicate node labels
+            # multiply, documented), then ONE output series:
+            # floor(Σ a·w / Σ w) with weights counted only where the
+            # pair is known — exact integer cents end to end.
+            _need(n, 3, (object, object, Num))
+            i = n.args[2].value
+            if i < 0:
+                raise RenderParseError("weightedAverage node must be >= 0")
+            node_of = F.coalesce(
+                F.get(F.split("metric", "[.]"), i), F.lit("")
+            )
+            a = (
+                ev(n.args[0])
+                .select(
+                    node_of.alias("nd"),
+                    "interval",
+                    F.col("cents").alias("a_c"),
+                )
+            )
+            b = (
+                ev(n.args[1])
+                .select(
+                    node_of.alias("nd"),
+                    F.col("interval").alias("b_iv"),
+                    F.col("cents").alias("w_c"),
+                )
+            )
+            j = a.join(
+                b, (a.nd == b.nd) & (a.interval == b.b_iv), "inner"
+            )
+            both = F.col("a_c").isNotNull() & F.col("w_c").isNotNull()
+            num = F.sum(F.when(both, F.col("a_c") * F.col("w_c")))
+            den = F.sum(F.when(both, F.col("w_c")))
+            return (
+                j.groupBy("interval")
+                .agg(
+                    F.when(
+                        den != 0, F.floor(num.cast("double") / den)
+                    ).cast("long").alias("cents")
+                )
+                .select(
+                    F.lit("weightedAverage").alias("metric"),
+                    "interval",
+                    "cents",
+                )
+            )
         raise RenderParseError(f"unknown render function {name!r}")
 
     return ev(node)
@@ -2110,6 +2317,102 @@ def build_sql(node: Node) -> str:
                 f"(SELECT coalesce(array_to_string("
                 f"str_split(metric, '.')[{i + 1}:{j2}], '.'), '') AS metric, "
                 f"interval, cents FROM {ev(n.args[0])} s)"
+            )
+        if name == "roundTo":
+            kd = n.args[1].value
+            d = 10 ** (2 - kd)
+            h = d // 2
+            return (
+                f"(SELECT metric, interval, CAST(floor("
+                f"CAST(cents + {h} AS DOUBLE) / {d}) * {d} AS BIGINT) "
+                f"AS cents FROM {ev(n.args[0])} s)"
+            )
+        if name == "movingMedian":
+            k = n.args[1].value
+            fr = (f"OVER (PARTITION BY metric ORDER BY interval "
+                  f"ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)")
+            # list() over a window keeps NULL elements in DuckDB
+            # (Spark's collect_list drops them) — list_filter first.
+            vs = (f"list_sort(list_filter(list(cents) {fr}, "
+                  f"x -> x IS NOT NULL))")
+            return (
+                f"(SELECT metric, interval, CASE WHEN len(vs) > 0 THEN "
+                f"vs[CAST(ceil(len(vs) / 2.0) AS INT)] END AS cents FROM ("
+                f"SELECT metric, interval, cents, {vs} AS vs "
+                f"FROM {ev(n.args[0])} s) t)"
+            )
+        if name == "minMax":
+            over = "OVER (PARTITION BY metric)"
+            mn = f"min(cents) {over}"
+            mx = f"max(cents) {over}"
+            return (
+                f"(SELECT metric, interval, "
+                f"CASE WHEN {mx} > {mn} THEN CAST(floor("
+                f"CAST((cents - {mn}) * 100 AS DOUBLE) / ({mx} - {mn})"
+                f") AS BIGINT) WHEN cents IS NOT NULL "
+                f"THEN CAST(0 AS BIGINT) END AS cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
+        if name == "interpolate":
+            wb = ("OVER (PARTITION BY metric ORDER BY interval "
+                  "ROWS UNBOUNDED PRECEDING)")
+            wf = ("OVER (PARTITION BY metric ORDER BY interval "
+                  "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")
+            return (
+                f"(SELECT metric, interval, CASE "
+                f"WHEN cents IS NOT NULL THEN cents "
+                f"WHEN prev_iv IS NOT NULL AND next_iv IS NOT NULL THEN "
+                f"CAST(floor(CAST(prev_c * (next_iv - interval) "
+                f"+ next_c * (interval - prev_iv) AS DOUBLE) "
+                f"/ (next_iv - prev_iv)) AS BIGINT) END AS cents FROM ("
+                f"SELECT metric, interval, cents, "
+                f"last_value(CASE WHEN cents IS NOT NULL THEN interval END "
+                f"IGNORE NULLS) {wb} AS prev_iv, "
+                f"last_value(cents IGNORE NULLS) {wb} AS prev_c, "
+                f"first_value(CASE WHEN cents IS NOT NULL THEN interval END "
+                f"IGNORE NULLS) {wf} AS next_iv, "
+                f"first_value(cents IGNORE NULLS) {wf} AS next_c "
+                f"FROM {ev(n.args[0])} s) t)"
+            )
+        if name == "exponentialMovingAverage":
+            kN = n.args[1].value
+            a_ = f"(2.0 / {kN + 1})"
+            inner = ev(n.args[0])
+            return (
+                f"(WITH RECURSIVE emaseq AS ("
+                f"SELECT metric, interval, CAST(cents AS DOUBLE) AS x, "
+                f"row_number() OVER (PARTITION BY metric ORDER BY interval)"
+                f" AS t FROM {inner} es WHERE cents IS NOT NULL), "
+                f"emarec AS ("
+                f"SELECT metric, t, interval, x, x AS e "
+                f"FROM emaseq WHERE t = 1 "
+                f"UNION ALL "
+                f"SELECT s.metric, s.t, s.interval, s.x, "
+                f"{a_} * s.x + (1 - {a_}) * h.e AS e "
+                f"FROM emarec h JOIN emaseq s "
+                f"ON s.metric = h.metric AND s.t = h.t + 1) "
+                f"SELECT c.metric, c.interval, "
+                f"CAST(floor(h.e) AS BIGINT) AS cents "
+                f"FROM {inner} c LEFT JOIN emarec h "
+                f"ON h.metric = c.metric AND h.interval = c.interval)"
+            )
+        if name == "weightedAverage":
+            i = n.args[2].value
+            nd = f"split_part(metric, '.', {i + 1})"
+            a, b = ev(n.args[0]), ev(n.args[1])
+            return (
+                f"(SELECT 'weightedAverage' AS metric, a.interval, "
+                f"CASE WHEN sum(CASE WHEN a.cents IS NOT NULL AND "
+                f"b.cents IS NOT NULL THEN b.cents END) != 0 THEN "
+                f"CAST(floor(CAST(sum(CASE WHEN a.cents IS NOT NULL AND "
+                f"b.cents IS NOT NULL THEN a.cents * b.cents END) "
+                f"AS DOUBLE) / sum(CASE WHEN a.cents IS NOT NULL AND "
+                f"b.cents IS NOT NULL THEN b.cents END)) AS BIGINT) END "
+                f"AS cents "
+                f"FROM (SELECT {nd} AS nd, interval, cents FROM {a} aa) a "
+                f"JOIN (SELECT {nd} AS nd, interval, cents FROM {b} bb) b "
+                f"ON a.nd = b.nd AND a.interval = b.interval "
+                f"GROUP BY a.interval)"
             )
         raise RenderParseError(f"unknown render function {name!r}")
 

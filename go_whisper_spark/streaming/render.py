@@ -68,7 +68,7 @@ _STATELESS = frozenset({
     "scale", "offset", "absolute", "transformNull", "invert",
     "pow", "squareRoot", "removeAboveValue", "removeBelowValue",
     "grep", "exclude", "alias", "aliasSub", "aliasByNode",
-    "isNonNull", "scaleToSeconds", "substr",
+    "isNonNull", "scaleToSeconds", "substr", "roundTo",
 })
 
 

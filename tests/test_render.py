@@ -422,3 +422,50 @@ def test_wave5_analyzer_properties():
     # multiplySeries requires a single-series right side
     with pytest.raises(RenderParseError):
         validate_target(parse_target("multiplySeries('*', '*')"))
+
+
+def test_wave6_ops(spark, sf_dir):
+    from go_whisper_spark.render import analyze, validate_target
+
+    # roundTo(2) is the identity; roundTo(0) lands on whole values
+    base = {(r.metric, r.interval): r.value
+            for r in render(spark, sf_dir, "'*'").collect()}
+    same = {(r.metric, r.interval): r.value
+            for r in render(spark, sf_dir, "roundTo('*', 2)").collect()}
+    assert same == base
+    whole = [r.value for r in
+             render(spark, sf_dir, "roundTo('*', 0)").collect()]
+    assert all(v == int(v) for v in whole if v is not None)
+
+    # minMax lands in [0, 1]
+    mm = [r.value for r in render(spark, sf_dir, "minMax('*')").collect()]
+    assert all(0.0 <= v <= 1.0 for v in mm if v is not None)
+
+    # movingMedian(1) is the identity on known slots
+    med1 = {(r.metric, r.interval): r.value
+            for r in render(spark, sf_dir, "movingMedian('*', 1)").collect()}
+    assert med1 == base
+
+    # EMA(N=1) has alpha=1: every output slot is the input's own
+    # cents (floor of the float fold of an integer is the integer)
+    e1 = {(r.metric, r.interval): r.value
+          for r in render(
+              spark, sf_dir, "exponentialMovingAverage('*', 1)"
+          ).collect()}
+    assert e1 == base
+
+    # interpolate leaves a NULL-free series untouched
+    interp = {(r.metric, r.interval): r.value
+              for r in render(spark, sf_dir, "interpolate('*')").collect()}
+    assert interp == base
+
+    # order-sensitive wave-6 ops reject duplicate-keyed frames
+    for t in ("movingMedian(group('*', '*'), 3)",
+              "interpolate(group('*', '*'))",
+              "exponentialMovingAverage(group('*', '*'), 3)"):
+        with pytest.raises(RenderParseError):
+            validate_target(parse_target(t))
+    # weightedAverage is one fixed-label series
+    assert analyze(
+        parse_target("weightedAverage('*', isNonNull('*'), 0)")
+    ) == (True, True, "weightedAverage")

@@ -35,7 +35,7 @@ _UNARY = [
     "integral", "perSecond", "offsetToZero", "changed", "invert",
     "squareRoot", "holtWintersForecast", "holtWintersConfidenceUpper",
     "holtWintersConfidenceLower", "holtWintersAberration",
-    "isNonNull", "removeEmptySeries",
+    "isNonNull", "removeEmptySeries", "interpolate", "minMax",
 ]
 _SELECTORS = [
     "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
@@ -71,6 +71,8 @@ def _series(rng, depth):
             "aggregateLine", "removeBetweenPercentile",
             "sumSeriesWithWildcards", "averageSeriesWithWildcards",
             "substr", "fallbackSeries", "multiplySeries",
+            "roundTo", "movingMedian", "exponentialMovingAverage",
+            "weightedAverage",
         ]
     )
     if name in _UNARY:
@@ -154,6 +156,16 @@ def _series(rng, depth):
         a = _series(rng, depth - 1)
         b = _series(rng, depth - 1)
         return f"fallbackSeries({a}, {b})"
+    if name == "roundTo":
+        return f"roundTo({_series(rng, depth - 1)}, {rng.randint(0, 2)})"
+    if name == "movingMedian":
+        return f"movingMedian({_series(rng, depth - 1)}, {rng.randint(1, 6)})"
+    if name == "exponentialMovingAverage":
+        return f"exponentialMovingAverage({_series(rng, depth - 1)}, {rng.randint(1, 8)})"
+    if name == "weightedAverage":
+        a = _series(rng, depth - 1)
+        b = _series(rng, depth - 1)
+        return f"weightedAverage({a}, {b}, {rng.randint(0, 1)})"
     if name == "group":
         k = rng.randint(2, 3)
         parts = [_series(rng, depth - 1) for _ in range(k)]

@@ -659,6 +659,24 @@ CHECKS = {
         require=["Window", "partial_max", "partial_min"],
         forbid=["CartesianProduct"],
     ),
+    # hitstack: wildcard-reducer + hitcount partial-combine on the
+    # (label, bucket) keys; the most-recent-bucket winner set is a
+    # fixed-k broadcast join-back (arg_max partial); NO window op
+    # anywhere — the whole path is aggregates.
+    "g_render_hitstack": dict(
+        require=["partial_sum", "partial_max_by"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
+    # volatility: stdev + aggregateLine ride metric-partitioned
+    # windows; the isNonNull count partial-combines per interval; the
+    # binary product is an interval-keyed join against the 1-series
+    # right frame (AQE broadcasts it).
+    "g_render_volatility": dict(
+        require=["Window", "partial_sum"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct"],
+    ),
     # HW residual: the sequential fold is the one grouped-pandas
     # stage (metric-keyed, the per-series recursion operator); both
     # cross-series sums partial-combine; interval-keyed diff join.
