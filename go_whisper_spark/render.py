@@ -23,7 +23,7 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (87 ops — the composable core; the ~111 fixed-form
+Operator registry (91 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
@@ -31,13 +31,22 @@ surface):
               anchored regex identically in both engines)
               constantLine(k) / threshold(k) — data-free generators
               on the spine
+              randomWalk('name') — PINNED md5-derived integer
+              micro-unit steps summed on the spine (the
+              g_random_walk discipline; wall-clock random() is not
+              oracle-checkable)
   value maps  scale offset absolute transformNull invert pow
               squareRoot removeAboveValue removeBelowValue
               isNonNull scaleToSeconds(k) roundTo(k) — half-up at
               the 10^(2-k)-cent grid, k in 0..2
-  windows     derivative nonNegativeDerivative perSecond movingSum
-              movingAverage movingMin movingMax keepLastValue
+  windows     derivative nonNegativeDerivative(±maxValue counter
+              wrap) perSecond movingSum
+              movingAverage movingMin movingMax keepLastValue(±limit
+              — bounded fill, longer outages stay NULL)
               integral integralByInterval delay changed
+              stacked — per-slot running total of the series stacked
+              beneath (stack order = metric name; NULL slots stay
+              NULL)
               offsetToZero stdev(n) movingMedian(n) — lower median
               of the NULL-filtered sorted window
               interpolate — integer-exact linear fill between known
@@ -75,6 +84,10 @@ surface):
   labels      alias aliasSub (replace-ALL semantics in both engines)
               aliasByNode(i) — rename to the i-th dot node
               substr(i, j) — keep dot nodes [i, j)
+  selectors++ useSeriesAbove(t, 'search', 'replace') — keep series
+              whose peak exceeds t AND regex-rename them
+  overlays    timeStack(d, a, b) — day-shifted copies b−a ≤ 8 on a
+              common axis, each under a '.s<k>' suffixed label
   selectors+  averageOutsidePercentile(p) — means outside the
               [p, 100−p] band (rank window over the O(n_metrics)
               means relation)
@@ -283,6 +296,7 @@ _ORDER_SENSITIVE = frozenset({
     "holtWintersConfidenceUpper", "holtWintersConfidenceLower",
     "holtWintersAberration", "highestCurrent", "lowestCurrent",
     "stdev", "movingMedian", "interpolate", "exponentialMovingAverage",
+    "stacked",
 })
 
 # Static label, when provable: aggregate reducers and alias pin it.
@@ -317,6 +331,10 @@ def analyze(node: Node):
     if name in ("constantLine", "threshold"):
         # data-free generators over the interval spine — one series.
         return (True, True, name)
+    if name == "randomWalk":
+        # data-free seeded generator — one series under its own label.
+        lbl = node.args[0].value if node.args else None
+        return (True, True, lbl)
     if name == "group":
         parts = [analyze(a) for a in node.args]
         labels = [p[2] for p in parts]
@@ -379,6 +397,14 @@ def analyze(node: Node):
     if name == "substr":
         # node-range relabel: distinct labels can collapse.
         return (cs, cs and cu, None)
+    if name == "useSeriesAbove":
+        # selection + regex rename: the aliasSub injectivity caveat.
+        return (cs, cu, None)
+    if name == "timeStack":
+        # day-shifted copies under distinct '.s<k>' suffixes: unique
+        # keys survive, the label set is data-dependent, and more
+        # than one copy means more than one series.
+        return (False, cu, None)
     if name == "summarize":
         how = node.args[2].value if len(node.args) == 3 else None
         if how == "last" and not cu:
@@ -464,6 +490,20 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                 "cents", agg("cents").over(w.rowsBetween(-(k - 1), 0))
             )
         if name == "nonNegativeDerivative":
+            # optional maxValue: a negative delta means the counter
+            # wrapped, so the true increment is maxValue − prev + cur
+            # + 1 (Graphite's wrap formula, in cents — the
+            # g_counter_wrap discipline); without it, drops go NULL.
+            if len(n.args) == 2:
+                _need(n, 2, (object, Num))
+                mv = 100 * n.args[1].value
+                prev = F.lag("cents").over(w)
+                return ev(n.args[0]).withColumn(
+                    "cents",
+                    F.when(
+                        F.col("cents") >= prev, F.col("cents") - prev
+                    ).otherwise(F.lit(mv) - prev + F.col("cents") + 1),
+                )
             _need(n, 1, (object,))
             d = F.col("cents") - F.lag("cents").over(w)
             return ev(n.args[0]).withColumn(
@@ -478,13 +518,28 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
         if name == "keepLastValue":
             # last-ignorenulls over the running frame INCLUDES the
             # current row, so non-null slots pass through unchanged.
+            # Optional limit: fill only gaps of at most `limit`
+            # consecutive missing slots — longer outages stay NULL
+            # (the g_keep_last_limit staleness-window form).
+            wb = w.rowsBetween(Window.unboundedPreceding, 0)
+            carried = F.last("cents", ignorenulls=True).over(wb)
+            if len(n.args) == 2:
+                _need(n, 2, (object, Num))
+                lim = n.args[1].value
+                if lim < 1:
+                    raise RenderParseError("keepLastValue limit must be >= 1")
+                last_known = F.max(
+                    F.when(F.col("cents").isNotNull(), F.col("interval"))
+                ).over(wb)
+                return ev(n.args[0]).withColumn(
+                    "cents",
+                    F.when(
+                        F.col("interval") - last_known <= 3600 * lim,
+                        carried,
+                    ),
+                )
             _need(n, 1, (object,))
-            return ev(n.args[0]).withColumn(
-                "cents",
-                F.last("cents", ignorenulls=True).over(
-                    w.rowsBetween(Window.unboundedPreceding, 0)
-                ),
-            )
+            return ev(n.args[0]).withColumn("cents", carried)
         if name == "highestMax":
             # Fixed-size winner set (k rows) — the one selector whose
             # join-back keeps an explicit broadcast hint, like the
@@ -1648,6 +1703,112 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                     "cents",
                 )
             )
+        if name == "stacked":
+            # per-slot running total of the series stacked beneath
+            # (stack order = metric name — deterministic under the
+            # analyzer's unique-keys gate); a NULL slot stays NULL
+            # rather than echoing the partial total.
+            _need(n, 1, (object,))
+            ws = (
+                Window.partitionBy("interval")
+                .orderBy("metric")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            return ev(n.args[0]).select(
+                "metric",
+                "interval",
+                F.when(
+                    F.col("cents").isNotNull(), F.sum("cents").over(ws)
+                ).alias("cents"),
+            )
+        if name == "useSeriesAbove":
+            # keep series whose peak exceeds t AND regex-rename them
+            # (replace-ALL both engines) — Graphite's
+            # select-then-switch idiom as one relation.
+            _need(n, 4, (object, Num, Str, Str))
+            t = 100 * n.args[1].value
+            s = ev(n.args[0])
+            winners = (
+                s.groupBy("metric")
+                .agg(F.max("cents").alias("mx"))
+                .where(F.col("mx") > t)
+                .select("metric")
+            )
+            return (
+                s.join(winners, "metric")
+                .withColumn(
+                    "metric",
+                    F.regexp_replace(
+                        "metric", n.args[2].value, n.args[3].value
+                    ),
+                )
+            )
+        if name == "timeStack":
+            # b−a day-shifted copies of each series on a common axis,
+            # each under a '.s<k>' suffixed label (the g_timestack
+            # overlay, labels kept distinct so keys stay unique).
+            _need(n, 4, (object, Num, Num, Num))
+            d, a2, b2 = (x.value for x in n.args[1:])
+            if d < 1 or not 0 <= a2 < b2 or b2 - a2 > 8:
+                raise RenderParseError(
+                    "timeStack needs d >= 1 and 0 <= start < stop <= start+8"
+                )
+            s = ev(n.args[0])
+            copies = [
+                s.select(
+                    F.concat(F.col("metric"), F.lit(f".s{k}")).alias(
+                        "metric"
+                    ),
+                    (F.col("interval") + 86400 * d * k).alias("interval"),
+                    "cents",
+                )
+                for k in range(a2, b2)
+            ]
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+            return out
+        if name == "randomWalk":
+            # seeded synthetic series: md5-derived integer micro-unit
+            # steps in [-0.5, 0.5) summed over the spine, floored to
+            # cents — bit-identical cross-engine (the g_random_walk
+            # md5 discipline; every value is integer until the one
+            # floored division).
+            _need(n, 1, (Str,))
+            lbl = n.args[0].value
+            sp = seed("*").select("interval").distinct()
+            t0f = sp.agg(F.min("interval").alias("lo"))
+            base = sp.crossJoin(F.broadcast(t0f)).select(
+                "interval",
+                ((F.col("interval") - F.col("lo")) / 3600)
+                .cast("long")
+                .alias("i"),
+            )
+            u32 = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(lbl + ":"), F.col("i"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            stepped = base.withColumn(
+                "step_u6",
+                F.floor(
+                    (u32 * 1000000).cast("long")
+                    / F.lit(4294967296).cast("long")
+                ).cast("long")
+                - 500000,
+            )
+            wseq = Window.orderBy("i").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            return stepped.select(
+                F.lit(lbl).alias("metric"),
+                "interval",
+                F.floor(
+                    F.sum("step_u6").over(wseq).cast("double") / 10000
+                ).cast("long").alias("cents"),
+            )
         raise RenderParseError(f"unknown render function {name!r}")
 
     return ev(node)
@@ -1724,6 +1885,17 @@ def build_sql(node: Node) -> str:
                 f"FROM {ev(n.args[0])} s)"
             )
         if name == "nonNegativeDerivative":
+            if len(n.args) == 2:
+                mv = 100 * n.args[1].value
+                return (
+                    "(SELECT metric, interval, CASE "
+                    "WHEN p IS NULL THEN NULL "
+                    "WHEN cents >= p THEN cents - p "
+                    f"ELSE {mv} - p + cents + 1 END AS cents "
+                    "FROM (SELECT metric, interval, cents, lag(cents) OVER "
+                    "(PARTITION BY metric ORDER BY interval) AS p "
+                    f"FROM {ev(n.args[0])} s) t)"
+                )
             return (
                 "(SELECT metric, interval, CASE WHEN d >= 0 THEN d END AS cents "
                 "FROM (SELECT metric, interval, cents - lag(cents) OVER "
@@ -1737,11 +1909,20 @@ def build_sql(node: Node) -> str:
                 f"FROM {ev(n.args[0])} s)"
             )
         if name == "keepLastValue":
+            wb_ = ("OVER (PARTITION BY metric ORDER BY interval "
+                   "ROWS UNBOUNDED PRECEDING)")
+            if len(n.args) == 2:
+                lim = 3600 * n.args[1].value
+                return (
+                    f"(SELECT metric, interval, CASE WHEN interval - "
+                    f"max(CASE WHEN cents IS NOT NULL THEN interval END) "
+                    f"{wb_} <= {lim} THEN "
+                    f"last_value(cents IGNORE NULLS) {wb_} END AS cents "
+                    f"FROM {ev(n.args[0])} s)"
+                )
             return (
-                "(SELECT metric, interval, "
-                "last_value(cents IGNORE NULLS) OVER "
-                "(PARTITION BY metric ORDER BY interval "
-                "ROWS UNBOUNDED PRECEDING) AS cents "
+                f"(SELECT metric, interval, "
+                f"last_value(cents IGNORE NULLS) {wb_} AS cents "
                 f"FROM {ev(n.args[0])} s)"
             )
         if name == "highestMax":
@@ -2413,6 +2594,52 @@ def build_sql(node: Node) -> str:
                 f"JOIN (SELECT {nd} AS nd, interval, cents FROM {b} bb) b "
                 f"ON a.nd = b.nd AND a.interval = b.interval "
                 f"GROUP BY a.interval)"
+            )
+        if name == "stacked":
+            ws_ = ("OVER (PARTITION BY interval ORDER BY metric "
+                   "ROWS UNBOUNDED PRECEDING)")
+            return (
+                f"(SELECT metric, interval, CASE WHEN cents IS NOT NULL "
+                f"THEN sum(cents) {ws_} END AS cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
+        if name == "useSeriesAbove":
+            t = 100 * n.args[1].value
+            rx = n.args[2].value.replace("'", "''")
+            rep = n.args[3].value.replace("'", "''")
+            inner = ev(n.args[0])
+            return (
+                f"(SELECT regexp_replace(s.metric, '{rx}', '{rep}', 'g') "
+                f"AS metric, s.interval, s.cents FROM {inner} s "
+                f"JOIN (SELECT metric FROM {inner} g GROUP BY metric "
+                f"HAVING max(cents) > {t}) w ON s.metric = w.metric)"
+            )
+        if name == "timeStack":
+            d, a2, b2 = (x.value for x in n.args[1:])
+            inner = ev(n.args[0])
+            parts = " UNION ALL ".join(
+                f"SELECT metric || '.s{k}' AS metric, "
+                f"interval + {86400 * d * k} AS interval, cents "
+                f"FROM {inner} t{k}"
+                for k in range(a2, b2)
+            )
+            return f"({parts})"
+        if name == "randomWalk":
+            lbl = n.args[0].value.replace("'", "''")
+            return (
+                f"(WITH rwsp AS (SELECT DISTINCT interval FROM "
+                f"{seed('*')} z), "
+                f"rwb AS (SELECT min(interval) AS lo FROM rwsp), "
+                f"rwstep AS (SELECT interval, "
+                f"(interval - lo) // 3600 AS i, "
+                f"CAST(floor(CAST('0x' || substring(md5('{lbl}:' || "
+                f"CAST((interval - lo) // 3600 AS VARCHAR)), 1, 8) "
+                f"AS BIGINT) * 1000000.0 / 4294967296) AS BIGINT) "
+                f"- 500000 AS step_u6 FROM rwsp, rwb) "
+                f"SELECT '{lbl}' AS metric, interval, "
+                f"CAST(floor(CAST(sum(step_u6) OVER (ORDER BY i "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                f"AS DOUBLE) / 10000) AS BIGINT) AS cents FROM rwstep)"
             )
         raise RenderParseError(f"unknown render function {name!r}")
 

@@ -72,7 +72,8 @@ def _series(rng, depth):
             "sumSeriesWithWildcards", "averageSeriesWithWildcards",
             "substr", "fallbackSeries", "multiplySeries",
             "roundTo", "movingMedian", "exponentialMovingAverage",
-            "weightedAverage",
+            "weightedAverage", "randomWalk", "stacked", "useSeriesAbove",
+            "timeStack", "nonNegativeDerivativeWrap", "keepLastValueLimit",
         ]
     )
     if name in _UNARY:
@@ -166,6 +167,23 @@ def _series(rng, depth):
         a = _series(rng, depth - 1)
         b = _series(rng, depth - 1)
         return f"weightedAverage({a}, {b}, {rng.randint(0, 1)})"
+    if name == "randomWalk":
+        return f"randomWalk('rw{rng.randint(0, 3)}')"
+    if name == "stacked":
+        return f"stacked({_series(rng, depth - 1)})"
+    if name == "useSeriesAbove":
+        return (f"useSeriesAbove({_series(rng, depth - 1)}, "
+                f"{rng.choice([-1, 40, 300])}, '^', 'hot.')")
+    if name == "timeStack":
+        a = rng.randint(0, 1)
+        return (f"timeStack({_series(rng, depth - 1)}, {rng.randint(1, 2)}, "
+                f"{a}, {a + rng.randint(1, 3)})")
+    if name == "nonNegativeDerivativeWrap":
+        return (f"nonNegativeDerivative({_series(rng, depth - 1)}, "
+                f"{rng.choice([600, 1000])})")
+    if name == "keepLastValueLimit":
+        return (f"keepLastValue({_series(rng, depth - 1)}, "
+                f"{rng.randint(1, 4)})")
     if name == "group":
         k = rng.randint(2, 3)
         parts = [_series(rng, depth - 1) for _ in range(k)]
