@@ -230,6 +230,7 @@ _R11_DEFERRED: list = [
     "st_render_nodes",
     "g_render_hitstack",
     "g_render_volatility",
+    "g_render_tags",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

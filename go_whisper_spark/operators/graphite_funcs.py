@@ -4538,6 +4538,11 @@ RENDER_EXPR_VOLATILITY = (
     "multiplySeries(aggregateLine(stdev(scaleToSeconds('*', 60), 6), "
     "'max'), sumSeries(isNonNull('*')))"
 )
+RENDER_EXPR_TAGS = (
+    "movingSum(highestAverage(groupByTags("
+    "seriesByTag('name=~^(click|view|purchase)$', 'host!=h3'), "
+    "'sum', 'dc'), 2), 4)"
+)
 
 
 def g_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4711,6 +4716,17 @@ def g_render_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render(spark, sf_dir, RENDER_EXPR_VOLATILITY)
 
 
+def g_render_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged series IN the composable language: seed the tagged
+    universe by name regex + host exclusion, aggregate per datacenter
+    tag (labels name;dc=value), keep the top-2 series by mean, smooth
+    with a 4-slot rolling sum — seriesByTag/groupByTags composed with
+    the generic selector/window surface (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_TAGS)
+
+
 def _render_oracle(target: str) -> str:
     from go_whisper_spark.render import render_oracle_sql
 
@@ -4781,6 +4797,7 @@ QUERIES = {
     "g_render_bands": g_render_bands,
     "g_render_hitstack": g_render_hitstack,
     "g_render_volatility": g_render_volatility,
+    "g_render_tags": g_render_tags,
     "g_maximum_above": g_maximum_above,
     "g_maximum_below": g_maximum_below,
     "g_minimum_below": g_minimum_below,
@@ -4933,6 +4950,7 @@ ORACLES = {
     "g_render_bands": _render_oracle(RENDER_EXPR_BANDS),
     "g_render_hitstack": _render_oracle(RENDER_EXPR_HITSTACK),
     "g_render_volatility": _render_oracle(RENDER_EXPR_VOLATILITY),
+    "g_render_tags": _render_oracle(RENDER_EXPR_TAGS),
     "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
     "g_maximum_below": G_MAXIMUM_BELOW_SQL,
     "g_minimum_below": G_MINIMUM_BELOW_SQL,

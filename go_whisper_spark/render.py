@@ -23,7 +23,7 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (91 ops — the composable core; the ~111 fixed-form
+Operator registry (94 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
@@ -88,6 +88,15 @@ surface):
               whose peak exceeds t AND regex-rename them
   overlays    timeStack(d, a, b) — day-shifted copies b−a ≤ 8 on a
               common axis, each under a '.s<k>' suffixed label
+  tagged      seriesByTag('k=v', 'k!=v', 'k=~re', 'k!=~re', ...) —
+              seed the TAGGED series universe (path =
+              name;dc=..;host=.. — the g_tag_select encoding;
+              'name' is the pseudo-tag) filtered on the PARSED path
+              groupByTags(s, 'sum'|'avg'|'max'|'min', 'tag') —
+              aggregate series sharing a tag value, labeled
+              name;tag=value
+              aliasByTags(s, 'k1', ...) — rename to the tag values
+              joined by '.'
   selectors+  averageOutsidePercentile(p) — means outside the
               [p, 100−p] band (rank window over the O(n_metrics)
               means relation)
@@ -312,6 +321,19 @@ _FIXED_LABEL = {
 }
 
 
+# tag filter: key, operator, value — Graphite's four tag-filter ops.
+_TAG_FILTER = re.compile(
+    r"^([A-Za-z_][A-Za-z0-9_]*)(=~|!=~|!=|=)(.+)$"
+)
+
+
+def _parse_tag_filter(text: str):
+    m = _TAG_FILTER.match(text)
+    if not m:
+        raise RenderParseError(f"bad tag filter {text!r}")
+    return m.group(1), m.group(2), m.group(3)
+
+
 def analyze(node: Node):
     """Bottom-up (single, unique, label) for a parsed target.
 
@@ -335,6 +357,12 @@ def analyze(node: Node):
         # data-free seeded generator — one series under its own label.
         lbl = node.args[0].value if node.args else None
         return (True, True, lbl)
+    if name == "seriesByTag":
+        # tagged-universe seed: unique per (path, interval).
+        for a in node.args:
+            if isinstance(a, Str):
+                _parse_tag_filter(a.value)
+        return (False, True, None)
     if name == "group":
         parts = [analyze(a) for a in node.args]
         labels = [p[2] for p in parts]
@@ -387,10 +415,14 @@ def analyze(node: Node):
     if name in _FIXED_LABEL:
         return (True, True, _FIXED_LABEL[name])
     if name in ("groupByNode", "sumSeriesWithWildcards",
-                "averageSeriesWithWildcards"):
+                "averageSeriesWithWildcards", "groupByTags"):
         # relabel + aggregate: keys unique per (new label, interval),
         # label set data-dependent.
         return (False, True, None)
+    if name == "aliasByTags":
+        # distinct paths can share tag values → duplicates unless the
+        # input is provably one series (the aliasByNode rule).
+        return (cs, cs and cu, None)
     if name == "hitcount":
         # summarize-sum at a coarser grain: buckets are unique.
         return (cs, True, cl)
@@ -450,6 +482,26 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
             .select("metric", "interval", _cents().alias("cents"))
         )
 
+    def tag_col(key: str):
+        # 'name' is the pseudo-tag (the path before the first ';');
+        # real tags parse from the encoded path — the g_tag_select /
+        # g_tag_group primitives, so any parse drift diverges there
+        # first.
+        if key == "name":
+            return F.substring_index("metric", ";", 1)
+        return F.regexp_extract("metric", f";{key}=([^;]+)", 1)
+
+    def tagged_seed() -> DataFrame:
+        from go_whisper_spark.operators.graphite_funcs import (
+            _tagged_points,
+        )
+        from go_whisper_spark.operators.whisper_queries import _lww
+
+        return (
+            _lww(_tagged_points(spark, sf_dir), 3600)
+            .select("metric", "interval", _cents().alias("cents"))
+        )
+
     w = Window.partitionBy("metric").orderBy("interval")
 
     def ev(n: Node) -> DataFrame:
@@ -463,6 +515,75 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
         if name == "seriesByGlob":
             _need(n, 1, (Str,))
             return seed(n.args[0].value)
+        if name == "seriesByTag":
+            # seed the tagged universe filtered by 1+ tag predicates,
+            # each evaluated on the PARSED path (predicates compose
+            # as AND — Graphite's seriesByTag contract).
+            if not n.args or not all(isinstance(a, Str) for a in n.args):
+                raise RenderParseError(
+                    "seriesByTag takes 1+ quoted tag filters"
+                )
+            out = tagged_seed()
+            for a in n.args:
+                key, op, val = _parse_tag_filter(a.value)
+                c = tag_col(key)
+                if op == "=":
+                    out = out.where(c == val)
+                elif op == "!=":
+                    out = out.where(c != val)
+                elif op == "=~":
+                    out = out.where(c.rlike(val))
+                else:  # '!=~'
+                    out = out.where(~c.rlike(val))
+            return out
+        if name == "groupByTags":
+            # aggregate series sharing a tag value; output label =
+            # name;tag=value (the g_tag_group shape as a composable
+            # op).
+            _need(n, 3, (object, Str, Str))
+            how = n.args[1].value
+            key = n.args[2].value
+            if key == "name":
+                raise RenderParseError(
+                    "groupByTags: group by a real tag, not 'name'"
+                )
+            if how == "sum":
+                agg = F.sum("cents")
+            elif how == "max":
+                agg = F.max("cents")
+            elif how == "min":
+                agg = F.min("cents")
+            elif how == "avg":
+                agg = F.floor(
+                    F.sum("cents").cast("double") / F.count("cents")
+                ).cast("long")
+            else:
+                raise RenderParseError(f"groupByTags: unknown method {how!r}")
+            lab = F.concat(
+                F.substring_index("metric", ";", 1),
+                F.lit(";" + key + "="),
+                tag_col(key),
+            )
+            return (
+                ev(n.args[0])
+                .withColumn("metric", lab)
+                .groupBy("metric", "interval")
+                .agg(agg.alias("cents"))
+            )
+        if name == "aliasByTags":
+            # rename to the tag values joined by '.' ('name' allowed
+            # as a pseudo-tag) — the aliasByNode analog for tagged
+            # paths.
+            if len(n.args) < 2 or not all(
+                isinstance(a, Str) for a in n.args[1:]
+            ):
+                raise RenderParseError(
+                    "aliasByTags takes a series + 1+ quoted tag keys"
+                )
+            cols = [tag_col(a.value) for a in n.args[1:]]
+            return ev(n.args[0]).withColumn(
+                "metric", F.concat_ws(".", *cols)
+            )
         if name == "scale":
             _need(n, 2, (object, Num))
             s = ev(n.args[0])
@@ -1843,6 +1964,26 @@ def build_sql(node: Node) -> str:
             f"WHERE regexp_matches(metric, '{rx}'))"
         )
 
+    def tag_col_sql(key: str) -> str:
+        if key == "name":
+            return "split_part(metric, ';', 1)"
+        return f"regexp_extract(metric, ';{key}=([^;]+)', 1)"
+
+    def tagged_seed_sql() -> str:
+        # self-contained tagged-universe LWW (the TAGGED_CTE /
+        # TAGGED_LWW_CTE derivation inlined — the emitted query's
+        # WITH clause only carries the glob seed's CTEs).
+        return (
+            f"(SELECT metric, interval, {CENTS_SQL} AS cents FROM ("
+            "SELECT metric, ts_sec - ts_sec % 3600 AS interval, "
+            "arg_max(value, write_seq) AS value FROM ("
+            "SELECT event_type || ';dc=dc' || CAST(user_id % 3 AS VARCHAR)"
+            " || ';host=h' || CAST(user_id % 10 AS VARCHAR) AS metric, "
+            "epoch_ns(ts) // 1000000000 AS ts_sec, value, "
+            "event_id AS write_seq FROM events) tg "
+            "GROUP BY 1, 2) tl)"
+        )
+
     def ev(n: Node) -> str:
         if isinstance(n, Glob):
             return seed(n.pattern)
@@ -1853,6 +1994,50 @@ def build_sql(node: Node) -> str:
         name = n.name
         if name == "seriesByGlob":
             return seed(n.args[0].value)
+        if name == "seriesByTag":
+            preds = []
+            for a in n.args:
+                key, op, val = _parse_tag_filter(a.value)
+                c = tag_col_sql(key)
+                v = val.replace("'", "''")
+                if op == "=":
+                    preds.append(f"{c} = '{v}'")
+                elif op == "!=":
+                    preds.append(f"{c} != '{v}'")
+                elif op == "=~":
+                    preds.append(f"regexp_matches({c}, '{v}')")
+                else:
+                    preds.append(f"NOT regexp_matches({c}, '{v}')")
+            return (
+                f"(SELECT metric, interval, cents FROM "
+                f"{tagged_seed_sql()} ts WHERE {' AND '.join(preds)})"
+            )
+        if name == "groupByTags":
+            how = n.args[1].value
+            key = n.args[2].value
+            agg = {
+                "sum": "CAST(sum(cents) AS BIGINT)",
+                "max": "max(cents)",
+                "min": "min(cents)",
+                "avg": ("CAST(floor(CAST(sum(cents) AS DOUBLE) / "
+                        "count(cents)) AS BIGINT)"),
+            }.get(how)
+            if agg is None:
+                raise RenderParseError(f"groupByTags: unknown method {how!r}")
+            lab = (f"split_part(metric, ';', 1) || ';{key}=' || "
+                   f"{tag_col_sql(key)}")
+            return (
+                f"(SELECT {lab} AS metric, interval, {agg} AS cents "
+                f"FROM {ev(n.args[0])} s GROUP BY {lab}, interval)"
+            )
+        if name == "aliasByTags":
+            cols = " || '.' || ".join(
+                tag_col_sql(a.value) for a in n.args[1:]
+            )
+            return (
+                f"(SELECT {cols} AS metric, interval, cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
         if name == "scale":
             return (
                 f"(SELECT metric, interval, cents * {n.args[1].value} AS cents "

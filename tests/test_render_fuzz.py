@@ -30,6 +30,13 @@ from go_whisper_spark.render import (
 
 _GLOBS = ["'*'", "'c*'", "'[ve]*'", "'p?rchase'"]
 
+_TAG_SEEDS = [
+    "seriesByTag('dc=dc1')",
+    "seriesByTag('name=~^(click|error)$', 'dc=dc1')",
+    "seriesByTag('host!=h3')",
+    "seriesByTag('dc!=~dc[02]', 'name=view')",
+]
+
 _UNARY = [
     "absolute", "derivative", "nonNegativeDerivative", "keepLastValue",
     "integral", "perSecond", "offsetToZero", "changed", "invert",
@@ -47,6 +54,9 @@ def _series(rng, depth):
     """Random series expression (validity enforced post-hoc by
     validate_target — the draw loop in the test redraws rejects)."""
     if depth <= 0:
+        # 1-in-5 draws seed the TAGGED universe instead of a glob
+        if rng.random() < 0.2:
+            return rng.choice(_TAG_SEEDS)
         return rng.choice(_GLOBS)
     name = rng.choice(
         _UNARY
@@ -74,6 +84,7 @@ def _series(rng, depth):
             "roundTo", "movingMedian", "exponentialMovingAverage",
             "weightedAverage", "randomWalk", "stacked", "useSeriesAbove",
             "timeStack", "nonNegativeDerivativeWrap", "keepLastValueLimit",
+            "groupByTags", "aliasByTags",
         ]
     )
     if name in _UNARY:
@@ -184,6 +195,14 @@ def _series(rng, depth):
     if name == "keepLastValueLimit":
         return (f"keepLastValue({_series(rng, depth - 1)}, "
                 f"{rng.randint(1, 4)})")
+    if name == "groupByTags":
+        how = rng.choice(["sum", "max", "min", "avg"])
+        tag = rng.choice(["dc", "host"])
+        return f"groupByTags({rng.choice(_TAG_SEEDS)}, '{how}', '{tag}')"
+    if name == "aliasByTags":
+        keys = rng.sample(["name", "dc", "host"], rng.randint(1, 2))
+        args = ", ".join(f"'{k}'" for k in keys)
+        return f"aliasByTags({rng.choice(_TAG_SEEDS)}, {args})"
     if name == "group":
         k = rng.randint(2, 3)
         parts = [_series(rng, depth - 1) for _ in range(k)]

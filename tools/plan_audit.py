@@ -677,6 +677,15 @@ CHECKS = {
         require_executed=["BroadcastHashJoin"],
         forbid=["CartesianProduct"],
     ),
+    # tagged composition: the tagged-path LWW (partial_max_by) feeds
+    # the per-(tag, interval) sum (partial-combined), the top-2 mean
+    # winner set broadcasts back, and the rolling sum rides one
+    # metric-partitioned window; no cartesian, no sort-merge.
+    "g_render_tags": dict(
+        require=["Window", "partial_sum", "partial_max_by"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
     # HW residual: the sequential fold is the one grouped-pandas
     # stage (metric-keyed, the per-series recursion operator); both
     # cross-series sums partial-combine; interval-keyed diff join.
