@@ -23,7 +23,7 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (94 ops — the composable core; the ~111 fixed-form
+Operator registry (95 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
@@ -70,6 +70,9 @@ surface):
               Holt's linear trend + γ-smoothed deviation envelope,
               bit-exact IEEE fold in both engines (one metric-keyed
               applyInPandas kernel ↔ recursive CTE)
+              linearRegression — per-series OLS fit line over the
+              slot index (exact-long normal-equation sums, the two
+              IEEE-identical divisions; single-point series → NULL)
   removers    removeAbovePercentile removeBelowPercentile
               removeBetweenPercentile (rank-based thresholds,
               offending slots go NULL)
@@ -1152,11 +1155,69 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
         if name == "perSecond":
             # non-negative slot delta per second of step (1h slots):
             # floor(d/3600) cents — exact, negatives/resets go NULL.
+            # Optional maxValue: wrap like nonNegativeDerivative
+            # before the per-second division.
+            if len(n.args) == 2:
+                _need(n, 2, (object, Num))
+                mv = 100 * n.args[1].value
+                prev = F.lag("cents").over(w)
+                d2 = F.when(
+                    F.col("cents") >= prev, F.col("cents") - prev
+                ).otherwise(F.lit(mv) - prev + F.col("cents") + 1)
+                return ev(n.args[0]).withColumn(
+                    "cents", F.floor(d2 / F.lit(3600)).cast("long")
+                )
             _need(n, 1, (object,))
             d = F.col("cents") - F.lag("cents").over(w)
             return ev(n.args[0]).withColumn(
                 "cents",
                 F.when(d >= 0, F.floor(d / F.lit(3600)).cast("long")),
+            )
+        if name == "linearRegression":
+            # per-series OLS fit line over the slot index i =
+            # (interval − t0)/3600: exact-long normal-equation sums
+            # (n, Σi, Σi², Σy, Σiy over the known slots), then the
+            # TWO double divisions both engines compute in the same
+            # order — b = (nΣiy − ΣiΣy)/(nΣi² − (Σi)²), a = (Σy −
+            # b·Σi)/n — and one floor per slot.  den = 0 (≤ 1 known
+            # point) → NULL; the line covers EVERY slot of the frame,
+            # including formerly-NULL ones.
+            _need(n, 1, (object,))
+            wm = Window.partitionBy("metric")
+            s = ev(n.args[0]).select(
+                "metric",
+                "interval",
+                "cents",
+                F.min("interval").over(wm).alias("t0"),
+            ).withColumn(
+                "i",
+                ((F.col("interval") - F.col("t0")) / 3600).cast("long"),
+            )
+            known = F.col("cents").isNotNull()
+            s = s.select(
+                "metric",
+                "interval",
+                "i",
+                F.count("cents").over(wm).alias("nn"),
+                F.sum(F.when(known, F.col("i"))).over(wm).alias("si"),
+                F.sum(F.when(known, F.col("i") * F.col("i")))
+                .over(wm).alias("sii"),
+                F.sum("cents").over(wm).alias("sy"),
+                F.sum(F.when(known, F.col("i") * F.col("cents")))
+                .over(wm).alias("siy"),
+            )
+            den = F.col("nn") * F.col("sii") - F.col("si") * F.col("si")
+            b = (
+                F.col("nn") * F.col("siy") - F.col("si") * F.col("sy")
+            ).cast("double") / den
+            a = (
+                F.col("sy").cast("double") - b * F.col("si")
+            ) / F.col("nn")
+            return s.select(
+                "metric",
+                "interval",
+                F.when(den != 0, F.floor(a + b * F.col("i")))
+                .cast("long").alias("cents"),
             )
         if name == "offsetToZero":
             # subtract the series' own minimum — window min over the
@@ -2396,6 +2457,17 @@ def build_sql(node: Node) -> str:
                 f"GROUP BY split_part(metric, '.', {i + 1}), interval)"
             )
         if name == "perSecond":
+            if len(n.args) == 2:
+                mv = 100 * n.args[1].value
+                return (
+                    "(SELECT metric, interval, CASE WHEN p IS NULL THEN "
+                    "NULL ELSE CAST(floor(CAST(CASE WHEN cents >= p THEN "
+                    f"cents - p ELSE {mv} - p + cents + 1 END AS DOUBLE) "
+                    "/ 3600) AS BIGINT) END AS cents "
+                    "FROM (SELECT metric, interval, cents, lag(cents) OVER "
+                    "(PARTITION BY metric ORDER BY interval) AS p "
+                    f"FROM {ev(n.args[0])} s) t)"
+                )
             return (
                 "(SELECT metric, interval, "
                 "CASE WHEN d >= 0 THEN "
@@ -2404,6 +2476,26 @@ def build_sql(node: Node) -> str:
                 "FROM (SELECT metric, interval, cents - lag(cents) OVER "
                 "(PARTITION BY metric ORDER BY interval) AS d "
                 f"FROM {ev(n.args[0])} s) t)"
+            )
+        if name == "linearRegression":
+            pm = "OVER (PARTITION BY metric)"
+            nn, si = f"count(cents) {pm}", None
+            si = (f"sum(CASE WHEN cents IS NOT NULL THEN i END) {pm}")
+            sii = (f"sum(CASE WHEN cents IS NOT NULL THEN i * i END) {pm}")
+            sy = f"sum(cents) {pm}"
+            siy = (f"sum(CASE WHEN cents IS NOT NULL THEN i * cents END) "
+                   f"{pm}")
+            den = "(nn * sii - si * si)"
+            b = f"(CAST(nn * siy - si * sy AS DOUBLE) / {den})"
+            a = f"((CAST(sy AS DOUBLE) - {b} * si) / nn)"
+            return (
+                f"(SELECT metric, interval, CASE WHEN {den} != 0 THEN "
+                f"CAST(floor({a} + {b} * i) AS BIGINT) END AS cents "
+                f"FROM (SELECT metric, interval, i, {nn} AS nn, "
+                f"{si} AS si, {sii} AS sii, {sy} AS sy, {siy} AS siy "
+                f"FROM (SELECT metric, interval, cents, "
+                f"(interval - min(interval) {pm}) // 3600 AS i "
+                f"FROM {ev(n.args[0])} r) q) t)"
             )
         if name == "offsetToZero":
             return (

@@ -88,7 +88,7 @@ def check_streamable(node: Node):
             raise RenderParseError(f"series expression expected, got {n}")
         if n.name == "seriesByGlob":
             return None
-        if n.name in ("summarize", "groupByNode") and allow_agg:
+        if n.name in ("summarize", "groupByNode", "hitcount") and allow_agg:
             stateless_only(n.args[0], False)
             return n
         if n.name == "group":
@@ -100,8 +100,8 @@ def check_streamable(node: Node):
         if n.name not in _STATELESS:
             raise RenderParseError(
                 f"{n.name} is not streamable — only stateless value maps, "
-                "group() unions of them, and one summarize/groupByNode "
-                "run on the archive stream"
+                "group() unions of them, and one summarize/groupByNode/"
+                "hitcount run on the archive stream"
             )
         return stateless_only(n.args[0], allow_agg)
 
@@ -233,11 +233,25 @@ def streaming_render_frame(archive_stream: DataFrame, target: str) -> DataFrame:
     )
     if summarize_node is not None:
         sn = summarize_node
-        if len(sn.args) != 3 or not isinstance(sn.args[1], Num) \
+        if sn.name == "hitcount":
+            if len(sn.args) != 2 or not isinstance(sn.args[1], Num):
+                raise RenderParseError("hitcount takes (series, hours)")
+        elif len(sn.args) != 3 or not isinstance(sn.args[1], Num) \
                 or not isinstance(sn.args[2], Str):
             raise RenderParseError(f"{sn.name} takes (series, num, method)")
         mapped = _apply_stateless(base, sn.args[0])
-        if sn.name == "summarize":
+        post_scale = 1
+        if sn.name == "hitcount":
+            # summarize-sum at the coarse grain, × slot width — the
+            # scale rides the post-aggregate projection (append-safe
+            # over emitted closed windows, like any stateless map).
+            h = sn.args[1].value
+            if h < 1:
+                raise RenderParseError("hitcount bucket must be >= 1 hour")
+            win_secs = 3600 * h
+            how = "sum"
+            post_scale = 3600
+        elif sn.name == "summarize":
             h = sn.args[1].value
             if h < 1:
                 raise RenderParseError("summarize bucket must be >= 1 hour")
@@ -267,7 +281,7 @@ def streaming_render_frame(archive_stream: DataFrame, target: str) -> DataFrame:
             .select(
                 "metric",
                 F.col("w.start").cast("long").alias("interval"),
-                "cents",
+                (F.col("cents") * post_scale).alias("cents"),
             )
         )
         # stateless value maps ABOVE the windowed aggregate are a

@@ -43,6 +43,7 @@ _UNARY = [
     "squareRoot", "holtWintersForecast", "holtWintersConfidenceUpper",
     "holtWintersConfidenceLower", "holtWintersAberration",
     "isNonNull", "removeEmptySeries", "interpolate", "minMax",
+    "linearRegression",
 ]
 _SELECTORS = [
     "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
@@ -84,7 +85,7 @@ def _series(rng, depth):
             "roundTo", "movingMedian", "exponentialMovingAverage",
             "weightedAverage", "randomWalk", "stacked", "useSeriesAbove",
             "timeStack", "nonNegativeDerivativeWrap", "keepLastValueLimit",
-            "groupByTags", "aliasByTags",
+            "groupByTags", "aliasByTags", "perSecondWrap",
         ]
     )
     if name in _UNARY:
@@ -191,6 +192,9 @@ def _series(rng, depth):
                 f"{a}, {a + rng.randint(1, 3)})")
     if name == "nonNegativeDerivativeWrap":
         return (f"nonNegativeDerivative({_series(rng, depth - 1)}, "
+                f"{rng.choice([600, 1000])})")
+    if name == "perSecondWrap":
+        return (f"perSecond({_series(rng, depth - 1)}, "
                 f"{rng.choice([600, 1000])})")
     if name == "keepLastValueLimit":
         return (f"keepLastValue({_series(rng, depth - 1)}, "

@@ -91,3 +91,28 @@ def test_round11_stateless_ops_streamable(spark):
     assert out.isStreaming
     assert out.columns == ["metric", "interval", "value"]
     check_streamable(parse_target("pow(grep('*', 'c'), 3)"))
+
+
+def test_hitcount_streamable(spark):
+    """hitcount is summarize-sum × slot width: accepted as THE
+    aggregate level, scale applied over emitted closed windows."""
+    assert check_streamable(parse_target("hitcount('*', 4)")).name == \
+        "hitcount"
+    assert check_streamable(
+        parse_target("scale(hitcount(grep('c*', '^c'), 2), 3)")
+    ).name == "hitcount"
+    # still at most one aggregate level
+    with pytest.raises(RenderParseError):
+        check_streamable(parse_target("hitcount(summarize('*', 2, 'sum'), 4)"))
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            (F.col("value") % 5).cast("string").alias("metric"),
+            (F.col("value") * 3600).alias("interval"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    out = streaming_render_frame(src, "hitcount('*', 4)")
+    assert out.isStreaming
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
