@@ -231,6 +231,7 @@ _R11_DEFERRED: list = [
     "g_render_hitstack",
     "g_render_volatility",
     "g_render_tags",
+    "st_render_hitcount",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -1275,6 +1275,85 @@ SELECT metric, interval, CAST(cents AS DOUBLE) / 100.0 AS value FROM nodes
 """
 
 
+ST_RENDER_HITCOUNT_TARGET = "hitcount(removeBelowValue('*', 40), 6)"
+
+
+def st_render_hitcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hitcount ON the stream (the round-11 grammar widening): the
+    below-40 NULLing runs per emitted level-0 row, then hitcount
+    becomes the 6h watermarked tumbling window — summarize-sum with
+    the ×3600 slot-width scale applied over the emitted closed
+    windows (append-safe projection).  An all-NULL bucket emits NULL
+    (sum over no known slots), pinned by the oracle.  Same two-query
+    chained replay and watermark algebra as ``st_render_6h``."""
+    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
+    t0 = int(pts.agg(F.min("ts")).first()[0])
+    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts"))
+    )
+    cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
+
+    from go_whisper_spark.streaming.render import streaming_render_pass
+
+    root = _tmpdir()
+    src, base = os.path.join(root, "src"), os.path.join(root, "render")
+    feed = marked.drop("arrive")
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        rendered = streaming_render_pass(
+            spark, feed.schema, src, base, ST_RENDER_HITCOUNT_TARGET, cfg,
+            lateness_seconds=LATENESS,
+        )
+    return spark.read.schema("metric string, interval long, value double").parquet(
+        rendered
+    ).select("metric", "interval", "value")
+
+
+ST_RENDER_HITCOUNT_SQL = f"""
+WITH pts AS (
+  SELECT event_type AS metric,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+{_MARKED_CTE},
+surv AS (
+  SELECT m.* FROM marked m LEFT JOIN wm ON wm.arrive = m.arrive
+  WHERE wm.wm IS NULL OR m.ts - m.ts % 3600 + 3600 > wm.wm
+),
+a0 AS (
+  SELECT metric,
+         ts - ts % 3600 AS interval,
+         arg_max(value, seq) AS value
+  FROM surv
+  GROUP BY 1, 2
+  HAVING interval + 3600 <= (SELECT wmf FROM wmf)
+),
+cents AS (
+  SELECT metric, interval,
+         CASE WHEN CAST(round(value * 100) AS BIGINT) >= 4000
+              THEN CAST(round(value * 100) AS BIGINT) END AS cents
+  FROM a0
+),
+r6 AS (
+  SELECT metric,
+         interval - interval % 21600 AS interval,
+         CAST(sum(cents) AS BIGINT) * 3600 AS cents
+  FROM cents
+  GROUP BY 1, 2
+  HAVING interval - interval % 21600 + 21600 <= (SELECT max(interval) FROM a0)
+)
+SELECT metric, interval, CAST(cents AS DOUBLE) / 100.0 AS value FROM r6
+"""
+
+
 QUERIES = {
     "st_rollup_lww_1h": st_rollup_lww_1h,
     "st_sessions_30m": st_sessions_30m,
@@ -1288,6 +1367,7 @@ QUERIES = {
     "st_render_6h": st_render_6h,
     "st_render_scaled": st_render_scaled,
     "st_render_nodes": st_render_nodes,
+    "st_render_hitcount": st_render_hitcount,
     "st_lsh_prefilter": st_lsh_prefilter,
     "st_pq_score": st_pq_score,
     "st_lakehouse_ingest": st_lakehouse_ingest,
@@ -1306,6 +1386,7 @@ ORACLES = {
     "st_render_6h": ST_RENDER_6H_SQL,
     "st_render_scaled": ST_RENDER_SCALED_SQL,
     "st_render_nodes": ST_RENDER_NODES_SQL,
+    "st_render_hitcount": ST_RENDER_HITCOUNT_SQL,
     "st_lsh_prefilter": _st_lsh_prefilter_sql(),
     "st_pq_score": _st_pq_score_sql(),
     "st_lakehouse_ingest": ST_LAKEHOUSE_INGEST_SQL,

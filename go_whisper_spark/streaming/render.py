@@ -16,7 +16,8 @@ declarative chained handoff from ``streaming/chained.py`` —
 (stateless* (seed)))?`` — seeds and every stateless per-row operator
 (scale, offset, absolute, transformNull, invert, removeAbove/BelowValue,
 grep, exclude, alias, aliasSub) compose freely BELOW and ABOVE at
-most ONE ``summarize(s, h, how)``, which maps onto a watermarked
+most ONE aggregate level — ``summarize(s, h, how)``, ``groupByNode``
+or ``hitcount`` — which maps onto a watermarked
 tumbling window aggregate (stateless ops above it are projections
 over the emitted closed-window rows — append-safe) — Graphite
 consolidation as a streaming window, the same mapping
@@ -196,6 +197,40 @@ def _apply_stateless(
             return s.withColumn(
                 "metric",
                 F.regexp_replace("metric", n.args[1].value, n.args[2].value),
+            )
+        if name == "isNonNull":
+            return s.withColumn(
+                "cents",
+                F.when(F.col("cents").isNotNull(), F.lit(100))
+                .otherwise(F.lit(0)).cast("long"),
+            )
+        if name == "scaleToSeconds":
+            return s.withColumn(
+                "cents",
+                F.floor(
+                    (F.col("cents") * n.args[1].value).cast("double") / 3600
+                ).cast("long"),
+            )
+        if name == "roundTo":
+            kd = n.args[1].value
+            if not 0 <= kd <= 2:
+                raise RenderParseError("roundTo decimals must be in 0..2")
+            d = 10 ** (2 - kd)
+            h = d // 2
+            return s.withColumn(
+                "cents",
+                (
+                    F.floor((F.col("cents") + h).cast("double") / d) * d
+                ).cast("long"),
+            )
+        if name == "substr":
+            i, j2 = n.args[1].value, n.args[2].value
+            if not 0 <= i < j2:
+                raise RenderParseError("substr needs 0 <= start < stop")
+            parts = F.split("metric", "[.]")
+            return s.withColumn(
+                "metric",
+                F.concat_ws(".", F.slice(parts, i + 1, j2 - i)),
             )
         raise RenderParseError(f"{name} is not streamable")
 

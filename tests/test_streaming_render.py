@@ -116,3 +116,26 @@ def test_hitcount_streamable(spark):
     assert out.isStreaming
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_wave56_stateless_ops_evaluate_on_stream(spark):
+    """isNonNull/scaleToSeconds/roundTo/substr are in _STATELESS —
+    they must EVALUATE on a streaming frame, not just pass the gate
+    (a gate-only entry raises at eval time)."""
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            (F.col("value") % 5).cast("string").alias("metric"),
+            (F.col("value") * 3600).alias("interval"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    for t in (
+        "isNonNull('*')",
+        "scaleToSeconds('*', 60)",
+        "roundTo('*', 1)",
+        "substr(aliasSub('*', '^', 'x.'), 0, 1)",
+        "roundTo(hitcount(isNonNull('*'), 2), 0)",
+    ):
+        out = streaming_render_frame(src, t)
+        assert out.isStreaming and out.columns == ["metric", "interval", "value"]

@@ -959,6 +959,27 @@ def _build_st_render(spark):
     )
 
 
+def _build_st_render_hitcount(spark):
+    # hitcount as the watermarked aggregate level: same
+    # watermark+window shape, the ×3600 slot-width scale riding the
+    # post-aggregate projection.
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.streaming.render import streaming_render_frame
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            (F.col("value") % 5).cast("string").alias("metric"),
+            (F.col("value") * 3600).alias("interval"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    return streaming_render_frame(
+        src, "hitcount(removeBelowValue('*', 40), 6)"
+    )
+
+
 def _build_st_pq_score(spark):
     # The in-stream routing kernel + broadcast PQ-index probe
     # (streaming/adc.py) on a rate source: the streaming logical plan
@@ -1036,6 +1057,12 @@ BUILDERS = {
     ),
     "st_render_6h_stream": dict(
         build=_build_st_render,
+        require=["EventTimeWatermark", "Aggregate"],
+        forbid=["Join", "MapInPandas", "FlatMapGroupsWithState"],
+        streaming=True,
+    ),
+    "st_render_hitcount_stream": dict(
+        build=_build_st_render_hitcount,
         require=["EventTimeWatermark", "Aggregate"],
         forbid=["Join", "MapInPandas", "FlatMapGroupsWithState"],
         streaming=True,
