@@ -232,6 +232,9 @@ _R11_DEFERRED: list = [
     "g_render_volatility",
     "g_render_tags",
     "st_render_hitcount",
+    "g_render_cacti",
+    "g_render_pairs",
+    "g_render_generic",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -4543,6 +4543,15 @@ RENDER_EXPR_TAGS = (
     "seriesByTag('name=~^(click|view|purchase)$', 'host!=h3'), "
     "'sum', 'dc'), 2), 4)"
 )
+RENDER_EXPR_CACTI = "cactiStyle(filterSeries('*', 'average', '>=', 45))"
+RENDER_EXPR_PAIRS = (
+    "divideSeriesLists(smartSummarize(grep('*', '^c'), 4, 'sum'), "
+    "smartSummarize(exclude('*', '^c'), 4, 'sum'))"
+)
+RENDER_EXPR_GENERIC = (
+    "movingWindow(highest(asPercent(seriesByGlob('*')), 2, 'average'), "
+    "4, 'median')"
+)
 
 
 def g_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4727,6 +4736,40 @@ def g_render_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render(spark, sf_dir, RENDER_EXPR_TAGS)
 
 
+def g_render_cacti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-8 dashboard path: the generic six-op selector
+    (filterSeries 'average' '>=' — exact sum-vs-t·n compare) feeding
+    cactiStyle's legend relabel (Current/Max/Min assembled from
+    integer cents, the cross-engine-safe 2-decimal rendering)
+    (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_CACTI)
+
+
+def g_render_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-8 list pairing: two disjoint families consolidated on the
+    frame-aligned smartSummarize grid (min-interval 1-row broadcast),
+    then divideSeriesLists pairs the i-th series of each side by
+    sorted label rank (the deterministic analog of Graphite's
+    positional pairing) and divides pairwise in exact cents
+    (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_PAIRS)
+
+
+def g_render_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-8 generic spellings end-to-end: single-arg asPercent
+    (per-interval across-series total window) → highest(…, 'average')
+    desugared to the fixed-k mean selector → movingWindow(…, 'median')
+    desugared to the sorted-window median — the modern Graphite
+    method-string surface over the canonical operators (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_GENERIC)
+
+
 def _render_oracle(target: str) -> str:
     from go_whisper_spark.render import render_oracle_sql
 
@@ -4798,6 +4841,9 @@ QUERIES = {
     "g_render_hitstack": g_render_hitstack,
     "g_render_volatility": g_render_volatility,
     "g_render_tags": g_render_tags,
+    "g_render_cacti": g_render_cacti,
+    "g_render_pairs": g_render_pairs,
+    "g_render_generic": g_render_generic,
     "g_maximum_above": g_maximum_above,
     "g_maximum_below": g_maximum_below,
     "g_minimum_below": g_minimum_below,
@@ -4951,6 +4997,9 @@ ORACLES = {
     "g_render_hitstack": _render_oracle(RENDER_EXPR_HITSTACK),
     "g_render_volatility": _render_oracle(RENDER_EXPR_VOLATILITY),
     "g_render_tags": _render_oracle(RENDER_EXPR_TAGS),
+    "g_render_cacti": _render_oracle(RENDER_EXPR_CACTI),
+    "g_render_pairs": _render_oracle(RENDER_EXPR_PAIRS),
+    "g_render_generic": _render_oracle(RENDER_EXPR_GENERIC),
     "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
     "g_maximum_below": G_MAXIMUM_BELOW_SQL,
     "g_minimum_below": G_MINIMUM_BELOW_SQL,

@@ -23,7 +23,7 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (95 ops — the composable core; the ~111 fixed-form
+Operator registry (106 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
@@ -109,6 +109,29 @@ surface):
               weightedAverage(a, w, i) — pair the two frames by the
               i-th dot node, ONE series: floor(Σ a·w / Σ w) per slot
               (weights counted only where the pair is known)
+              asPercent(s) single-arg — percent of the per-interval
+              across-series total (one window sum, keys preserved)
+              divideSeriesLists(a, b) — pairwise division with the
+              i-th series of each side paired by SORTED label rank
+              (the deterministic analog of Graphite's positional
+              pairing; both sides must be uniquely keyed)
+  generic     aggregate(s, 'how') highest(s, k, 'how')
+  spellings   lowest(s, k, 'how') movingWindow(s, n, 'how')
+              add(s, k) timeFunction('name') — desugared by
+              parse_target to the canonical operator above (one
+              dispatch point; the analyzer/visitors/streaming see
+              only canonical ASTs)
+              filterSeries(s, 'max'|'min'|'sum'|'average'|'current',
+              '>'|'>='|'<'|'<='|'='|'!=', t) — the six-op generic
+              selector ('average' compares exact sum vs t·n;
+              'current' is order-gated)
+  dashboards  cactiStyle(s) — legend relabel with exact-2-decimal
+              Current/Max/Min assembled from integer cents
+              smartSummarize(s, h, 'how') — summarize aligned to the
+              frame's own first interval (1-row broadcast bound)
+              identity('name') — each slot's epoch seconds as the
+              value (fuzz-excluded: epoch-magnitude cents would
+              overflow a composed pow)
 
 Scale shape: seeds and filters are scan-adjacent; per-series operators
 ride ONE (metric)-partitioned window chain; ``sumSeries`` is the only
@@ -242,7 +265,75 @@ def parse_target(text: str) -> Node:
     node = expr()
     if i != len(toks):
         raise RenderParseError(f"trailing tokens in {text!r}: {toks[i:]}")
-    return node
+    return _desugar(node)
+
+
+# Graphite's generic/method-string spellings desugar to the canonical
+# operator the visitors implement — applied once by parse_target so
+# every consumer (analyzer, both visitors, the streaming planner, the
+# fuzz) sees the canonical AST and no dispatch logic is duplicated.
+_AGG_REDUCER = {
+    "sum": "sumSeries", "total": "sumSeries",
+    "avg": "averageSeries", "average": "averageSeries",
+    "max": "maxSeries", "min": "minSeries",
+    "count": "countSeries",
+    "range": "rangeOfSeries", "rangeOf": "rangeOfSeries",
+    "stddev": "stddevSeries",
+}
+_HIGHEST = {"max": "highestMax", "average": "highestAverage",
+            "avg": "highestAverage", "current": "highestCurrent"}
+_LOWEST = {"average": "lowestAverage", "avg": "lowestAverage",
+           "current": "lowestCurrent"}
+_MOVING = {"sum": "movingSum", "average": "movingAverage",
+           "avg": "movingAverage", "min": "movingMin",
+           "max": "movingMax", "median": "movingMedian"}
+
+
+def _desugar(node: Node) -> Node:
+    """Bottom-up rewrite of the generic forms: ``aggregate(s, 'how')``
+    → the named reducer ('median' → percentileOfSeries 50),
+    ``highest``/``lowest``/``movingWindow`` dispatch on their method
+    string, ``add`` == offset, ``timeFunction`` == identity."""
+    if not isinstance(node, Call):
+        return node
+    args = [_desugar(a) for a in node.args]
+    name = node.name
+    if name == "aggregate":
+        if len(args) != 2 or not isinstance(args[1], Str):
+            raise RenderParseError("aggregate takes (series, 'method')")
+        how = args[1].value
+        if how == "median":
+            return Call("percentileOfSeries", [args[0], Num(50)])
+        target = _AGG_REDUCER.get(how)
+        if target is None:
+            raise RenderParseError(f"aggregate: unknown method {how!r}")
+        return Call(target, [args[0]])
+    if name in ("highest", "lowest"):
+        table = _HIGHEST if name == "highest" else _LOWEST
+        if (len(args) != 3 or not isinstance(args[1], Num)
+                or not isinstance(args[2], Str)):
+            raise RenderParseError(f"{name} takes (series, k, 'method')")
+        target = table.get(args[2].value)
+        if target is None:
+            raise RenderParseError(
+                f"{name}: unknown method {args[2].value!r}"
+            )
+        return Call(target, [args[0], args[1]])
+    if name == "movingWindow":
+        if (len(args) != 3 or not isinstance(args[1], Num)
+                or not isinstance(args[2], Str)):
+            raise RenderParseError("movingWindow takes (series, n, 'method')")
+        target = _MOVING.get(args[2].value)
+        if target is None:
+            raise RenderParseError(
+                f"movingWindow: unknown method {args[2].value!r}"
+            )
+        return Call(target, [args[0], args[1]])
+    if name == "add":
+        return Call("offset", args)
+    if name == "timeFunction":
+        return Call("identity", args)
+    return Call(name, args)
 
 
 def glob_to_regex(pattern: str) -> str:
@@ -356,8 +447,8 @@ def analyze(node: Node):
     if name in ("constantLine", "threshold"):
         # data-free generators over the interval spine — one series.
         return (True, True, name)
-    if name == "randomWalk":
-        # data-free seeded generator — one series under its own label.
+    if name in ("randomWalk", "identity"):
+        # data-free generators — one series under their own label.
         lbl = node.args[0].value if node.args else None
         return (True, True, lbl)
     if name == "seriesByTag":
@@ -375,6 +466,26 @@ def analyze(node: Node):
         )
         unique = all(p[1] for p in parts) and disjoint
         return (False, unique, None)
+    if name == "asPercent" and len(node.args) == 1:
+        # percent-of-per-interval-total: keys preserved; the relabel
+        # metric → 'asPercent(metric)' is injective (fixed wrapper).
+        cs, cu, cl = analyze(node.args[0])
+        return (cs, cu, f"asPercent({cl})" if cl is not None else None)
+    if name == "divideSeriesLists":
+        # rank-paired pairwise division: both sides must be
+        # uniquely-keyed for the sorted-label pairing to be
+        # deterministic; a's labels survive (injectively wrapped).
+        if len(node.args) != 2:
+            raise RenderParseError("divideSeriesLists takes 2 series")
+        ls, lu, ll = analyze(node.args[0])
+        rs, ru, _ = analyze(node.args[1])
+        if not (lu and ru):
+            raise RenderParseError(
+                "divideSeriesLists: both sides must carry unique "
+                "(metric, interval) keys for deterministic pairing"
+            )
+        return (ls, lu, f"divideSeriesLists({ll})" if ll is not None
+                else None)
     if name in ("diffSeries", "divideSeries", "asPercent",
                 "multiplySeries"):
         ls, lu, ll = analyze(node.args[0])
@@ -440,14 +551,35 @@ def analyze(node: Node):
         # keys survive, the label set is data-dependent, and more
         # than one copy means more than one series.
         return (False, cu, None)
-    if name == "summarize":
+    if name in ("summarize", "smartSummarize"):
         how = node.args[2].value if len(node.args) == 3 else None
         if how == "last" and not cu:
             raise RenderParseError(
-                "summarize(...'last') over a possibly-duplicate-keyed "
+                f"{name}(...'last') over a possibly-duplicate-keyed "
                 "frame is order-ambiguous — reduce first"
             )
         return (cs, True, cl)
+    if name == "filterSeries":
+        # generic selector: only the 'current' key (arg_max on
+        # interval) is order-sensitive.
+        func = (node.args[1].value
+                if len(node.args) > 1 and isinstance(node.args[1], Str)
+                else None)
+        if func == "current" and not cu:
+            raise RenderParseError(
+                "filterSeries(...'current'...) over a possibly-"
+                "duplicate-keyed frame is order-ambiguous — reduce first"
+            )
+        return (cs, cu, cl)
+    if name == "cactiStyle":
+        # Current = arg_max on interval → order-sensitive; the legend
+        # relabel carries the aliasSub injectivity caveat.
+        if not cu:
+            raise RenderParseError(
+                "cactiStyle over a possibly-duplicate-keyed frame is "
+                "order-ambiguous — reduce first"
+            )
+        return (cs, cu, None)
     if name == "aliasSub":
         return (cs, cu, None)
     if name == "aliasByNode":
@@ -1401,6 +1533,24 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
             for f2 in frames[1:]:
                 out = out.unionByName(f2)
             return out
+        if name == "asPercent" and len(n.args) == 1:
+            # asPercent with no total: each slot as a percent of the
+            # per-interval across-series total — cent-quantized exact
+            # ratio (floor(c·10000 / Σc)), NULL on zero/empty totals;
+            # one per-interval window sum, keys preserved, label
+            # wrapped injectively.
+            s = ev(n.args[0])
+            tot = F.sum("cents").over(Window.partitionBy("interval"))
+            return s.select(
+                F.concat(
+                    F.lit("asPercent("), F.col("metric"), F.lit(")")
+                ).alias("metric"),
+                "interval",
+                F.when(
+                    tot != 0,
+                    F.floor((F.col("cents") * 10000).cast("double") / tot),
+                ).cast("long").alias("cents"),
+            )
         if name in ("diffSeries", "divideSeries", "asPercent"):
             # Binary combiners over per-interval single series: each
             # side must already be one series (reduce multi-series
@@ -1990,6 +2140,176 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                 F.floor(
                     F.sum("step_u6").over(wseq).cast("double") / 10000
                 ).cast("long").alias("cents"),
+            )
+        if name == "filterSeries":
+            # Graphite's generic selector: keep series whose aggregate
+            # key ('max'|'min'|'sum'|'average'|'current') compares
+            # {op} against the threshold — the six-op generalization
+            # of the fixed above/below family.  'average' compares
+            # exactly (sum_cents vs t·100·n — no float mean ever
+            # materializes); 'current' is max_by on interval (unique
+            # keys gated in analyze()).  A NULL key (all-NULL series)
+            # fails every op in both engines — SQL three-valued logic.
+            # Un-hinted O(n_metrics) winner join-back (AQE-sized, the
+            # selector-family policy).
+            _need(n, 4, (object, Str, Str, Num))
+            func, op = n.args[1].value, n.args[2].value
+            if op not in (">", ">=", "<", "<=", "=", "!="):
+                raise RenderParseError(f"filterSeries: unknown op {op!r}")
+            t = 100 * n.args[3].value
+            s = ev(n.args[0])
+            if func == "average":
+                g = s.groupBy("metric").agg(
+                    F.sum("cents").alias("sc"), F.count("cents").alias("nn")
+                )
+                lhs, rhs = F.col("sc"), F.col("nn") * F.lit(t)
+            else:
+                agg = {
+                    "max": F.max("cents"), "min": F.min("cents"),
+                    "sum": F.sum("cents"),
+                    "current": F.max_by("cents", "interval"),
+                }.get(func)
+                if agg is None:
+                    raise RenderParseError(
+                        f"filterSeries: unknown func {func!r}"
+                    )
+                g = s.groupBy("metric").agg(agg.alias("kv"))
+                lhs, rhs = F.col("kv"), F.lit(t)
+            cond = {
+                ">": lhs > rhs, ">=": lhs >= rhs, "<": lhs < rhs,
+                "<=": lhs <= rhs, "=": lhs == rhs, "!=": lhs != rhs,
+            }[op]
+            winners = g.where(cond).select("metric")
+            return s.join(winners, "metric")
+        if name == "smartSummarize":
+            # summarize aligned to the frame's own FIRST interval
+            # instead of the epoch grid (Graphite's smartSummarize).
+            # The min interval is a 1-row broadcast scalar — the
+            # timeSlice bounds discipline; (interval − t0) is ≥ 0 so
+            # the % bucketing agrees in both engines.
+            _need(n, 3, (object, Num, Str))
+            h = n.args[1].value
+            if h < 1:
+                raise RenderParseError("smartSummarize bucket must be >= 1 hour")
+            how = n.args[2].value
+            b = 3600 * h
+            if how == "sum":
+                agg = F.sum("cents")
+            elif how == "max":
+                agg = F.max("cents")
+            elif how == "min":
+                agg = F.min("cents")
+            elif how == "last":
+                agg = F.max_by("cents", "interval")
+            elif how == "avg":
+                agg = F.floor(
+                    F.sum("cents").cast("double") / F.count("cents")
+                ).cast("long")
+            else:
+                raise RenderParseError(
+                    f"smartSummarize: unknown method {how!r}"
+                )
+            s = ev(n.args[0])
+            t0 = s.agg(F.min("interval").alias("t0"))
+            off = F.col("interval") - F.col("t0")
+            return (
+                s.crossJoin(F.broadcast(t0))
+                .withColumn("bucket", F.col("t0") + off - off % b)
+                .groupBy("metric", "bucket")
+                .agg(agg.alias("cents"))
+                .select("metric", F.col("bucket").alias("interval"), "cents")
+            )
+        if name == "identity":
+            # data-free generator: each slot's own epoch seconds as
+            # the value (Graphite's identity/timeFunction) over the
+            # interval spine, one series under the given label.
+            # NOTE: cents ≈ interval·100 ≈ 1.8e11 — large but exact;
+            # composing pow() on top would overflow (documented, and
+            # the fuzz keeps identity out of pow chains).
+            _need(n, 1, (Str,))
+            return (
+                seed("*").select("interval").distinct()
+                .select(
+                    F.lit(n.args[0].value).alias("metric"),
+                    "interval",
+                    (F.col("interval") * 100).cast("long").alias("cents"),
+                )
+            )
+        if name == "divideSeriesLists":
+            # pairwise division of two series lists: Graphite pairs by
+            # list position — the unordered-relation analog is the
+            # SORTED label rank, deterministic in both engines (ranks
+            # computed on the O(n_metrics) distinct-labels relation,
+            # the selector join-back policy).  floor(a·100/b) exact
+            # cents; NULL on b = 0; an unmatched rank or slot keeps
+            # a's row with NULL cents (divideSeries' left-join
+            # None-propagation).
+            _need(n, 2, (object, object))
+            a, b2 = ev(n.args[0]), ev(n.args[1])
+
+            def _ranked(df):
+                rnk = df.select("metric").distinct().select(
+                    "metric",
+                    F.row_number().over(Window.orderBy("metric")).alias("rnk"),
+                )
+                return df.join(rnk, "metric")
+
+            ra = _ranked(a).select(
+                "metric", "rnk", "interval", F.col("cents").alias("a_c")
+            )
+            rb = _ranked(b2).select(
+                F.col("rnk").alias("b_rnk"),
+                F.col("interval").alias("b_iv"),
+                F.col("cents").alias("b_c"),
+            )
+            j = ra.join(
+                rb,
+                (F.col("rnk") == F.col("b_rnk"))
+                & (F.col("interval") == F.col("b_iv")),
+                "left",
+            )
+            out = F.when(
+                F.col("b_c") != 0,
+                F.floor((F.col("a_c") * 100).cast("double") / F.col("b_c")),
+            ).cast("long")
+            return j.select(
+                F.concat(
+                    F.lit("divideSeriesLists("), F.col("metric"), F.lit(")")
+                ).alias("metric"),
+                "interval",
+                out.alias("cents"),
+            )
+        if name == "cactiStyle":
+            # legend annotation: rename each series to
+            # 'metric Current:x Max:y Min:z' with the exact 2-decimal
+            # stats assembled from integer cents (the g_cacti_style
+            # _cents_str discipline — printf %.2f of a double is a
+            # cross-engine trap); slot values pass through unchanged.
+            # Current = max_by on interval (unique keys gated in
+            # analyze()); an all-NULL stat renders 'nan'.  Un-hinted
+            # O(n_metrics) join-back.
+            _need(n, 1, (object,))
+            from go_whisper_spark.operators.graphite_funcs import _cents_str
+
+            s = ev(n.args[0])
+            per = s.groupBy("metric").agg(
+                F.max_by("cents", "interval").alias("cur"),
+                F.max("cents").alias("mx"),
+                F.min("cents").alias("mn"),
+            )
+
+            def _fmt(c):
+                return F.coalesce(_cents_str(F.col(c)), F.lit("nan"))
+
+            lab = F.concat(
+                F.col("metric"),
+                F.lit(" Current:"), _fmt("cur"),
+                F.lit(" Max:"), _fmt("mx"),
+                F.lit(" Min:"), _fmt("mn"),
+            )
+            per2 = per.select("metric", lab.alias("new_metric"))
+            return s.join(per2, "metric").select(
+                F.col("new_metric").alias("metric"), "interval", "cents"
             )
         raise RenderParseError(f"unknown render function {name!r}")
 
@@ -2618,6 +2938,15 @@ def build_sql(node: Node) -> str:
                 for i, a in enumerate(n.args)
             )
             return f"({parts})"
+        if name == "asPercent" and len(n.args) == 1:
+            return (
+                "(SELECT 'asPercent(' || metric || ')' AS metric, interval, "
+                "CASE WHEN sum(cents) OVER (PARTITION BY interval) != 0 THEN "
+                "CAST(floor(CAST(cents * 10000 AS DOUBLE) / "
+                "sum(cents) OVER (PARTITION BY interval)) AS BIGINT) "
+                "END AS cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
         if name in ("diffSeries", "divideSeries", "asPercent"):
             a, b = ev(n.args[0]), ev(n.args[1])
             if name == "diffSeries":
@@ -2917,6 +3246,94 @@ def build_sql(node: Node) -> str:
                 f"CAST(floor(CAST(sum(step_u6) OVER (ORDER BY i "
                 f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
                 f"AS DOUBLE) / 10000) AS BIGINT) AS cents FROM rwstep)"
+            )
+        if name == "filterSeries":
+            func, op = n.args[1].value, n.args[2].value
+            if op not in (">", ">=", "<", "<=", "=", "!="):
+                raise RenderParseError(f"filterSeries: unknown op {op!r}")
+            t = 100 * n.args[3].value
+            inner = ev(n.args[0])
+            if func == "average":
+                having = f"sum(cents) {op} {t} * count(cents)"
+            elif func == "current":
+                # struct-wrapped arg_max: a NULL latest slot stays
+                # NULL and fails every op (matches Spark's max_by).
+                having = f"(arg_max({{'v': cents}}, interval)).v {op} {t}"
+            elif func in ("max", "min"):
+                having = f"{func}(cents) {op} {t}"
+            elif func == "sum":
+                having = f"CAST(sum(cents) AS BIGINT) {op} {t}"
+            else:
+                raise RenderParseError(f"filterSeries: unknown func {func!r}")
+            return (
+                f"(SELECT s.metric, s.interval, s.cents FROM {inner} s "
+                f"JOIN (SELECT metric FROM {inner} g GROUP BY metric "
+                f"HAVING {having}) w ON s.metric = w.metric)"
+            )
+        if name == "smartSummarize":
+            h = n.args[1].value
+            how = n.args[2].value
+            b = 3600 * h
+            agg = {
+                "sum": "CAST(sum(cents) AS BIGINT)",
+                "max": "max(cents)",
+                "min": "min(cents)",
+                "last": "(arg_max({'v': cents}, interval)).v",
+                "avg": ("CAST(floor(CAST(sum(cents) AS DOUBLE) / count(cents))"
+                        " AS BIGINT)"),
+            }.get(how)
+            if agg is None:
+                raise RenderParseError(
+                    f"smartSummarize: unknown method {how!r}"
+                )
+            inner = ev(n.args[0])
+            return (
+                f"(SELECT metric, bucket AS interval, {agg} AS cents FROM "
+                f"(SELECT s.metric, s.interval, s.cents, "
+                f"m.t0 + (s.interval - m.t0) - (s.interval - m.t0) % {b} "
+                f"AS bucket FROM {inner} s, "
+                f"(SELECT min(interval) AS t0 FROM {inner} s2) m) t "
+                f"GROUP BY metric, bucket)"
+            )
+        if name == "identity":
+            lbl = n.args[0].value.replace("'", "''")
+            return (
+                f"(SELECT '{lbl}' AS metric, interval, "
+                f"CAST(interval * 100 AS BIGINT) AS cents "
+                f"FROM (SELECT DISTINCT interval FROM {seed('*')} z) t)"
+            )
+        if name == "divideSeriesLists":
+            A, B = ev(n.args[0]), ev(n.args[1])
+            rank_a = ("(SELECT metric, row_number() OVER (ORDER BY metric) "
+                      f"AS rnk FROM (SELECT DISTINCT metric FROM {A} d) u)")
+            rank_b = ("(SELECT metric, row_number() OVER (ORDER BY metric) "
+                      f"AS rnk FROM (SELECT DISTINCT metric FROM {B} d) u)")
+            return (
+                "(SELECT 'divideSeriesLists(' || a.metric || ')' AS metric, "
+                "a.interval, CASE WHEN b.cents != 0 THEN "
+                "CAST(floor(CAST(a.cents * 100 AS DOUBLE) / b.cents) "
+                "AS BIGINT) END AS cents "
+                f"FROM (SELECT s.metric, ra.rnk, s.interval, s.cents "
+                f"FROM {A} s JOIN {rank_a} ra ON s.metric = ra.metric) a "
+                f"LEFT JOIN (SELECT rb.rnk, s.interval, s.cents "
+                f"FROM {B} s JOIN {rank_b} rb ON s.metric = rb.metric) b "
+                "ON a.rnk = b.rnk AND a.interval = b.interval)"
+            )
+        if name == "cactiStyle":
+            inner = ev(n.args[0])
+            cs_ = ("COALESCE(CASE WHEN {c} < 0 THEN '-' ELSE '' END || "
+                   "CAST(abs({c}) // 100 AS VARCHAR) || '.' || "
+                   "lpad(CAST(abs({c}) % 100 AS VARCHAR), 2, '0'), 'nan')")
+            return (
+                "(SELECT s.metric || ' Current:' || "
+                + cs_.format(c="p.cur")
+                + " || ' Max:' || " + cs_.format(c="p.mx")
+                + " || ' Min:' || " + cs_.format(c="p.mn")
+                + " AS metric, s.interval, s.cents "
+                f"FROM {inner} s JOIN "
+                "(SELECT metric, (arg_max({'v': cents}, interval)).v AS cur, "
+                "max(cents) AS mx, min(cents) AS mn "
+                f"FROM {inner} g GROUP BY metric) p ON s.metric = p.metric)"
             )
         raise RenderParseError(f"unknown render function {name!r}")
 

@@ -469,3 +469,113 @@ def test_wave6_ops(spark, sf_dir):
     assert analyze(
         parse_target("weightedAverage('*', isNonNull('*'), 0)")
     ) == (True, True, "weightedAverage")
+
+
+def test_wave8_desugar_canonical_ast():
+    # the generic spellings parse to the SAME AST as their canonical
+    # operator — one dispatch point (parse_target), no visitor logic
+    assert parse_target("aggregate('*', 'sum')") == parse_target(
+        "sumSeries('*')")
+    assert parse_target("aggregate('*', 'median')") == parse_target(
+        "percentileOfSeries('*', 50)")
+    assert parse_target("highest('*', 3, 'max')") == parse_target(
+        "highestMax('*', 3)")
+    assert parse_target("lowest('*', 2, 'current')") == parse_target(
+        "lowestCurrent('*', 2)")
+    assert parse_target("movingWindow('*', 4, 'median')") == parse_target(
+        "movingMedian('*', 4)")
+    assert parse_target("add('*', 3)") == parse_target("offset('*', 3)")
+    assert parse_target("timeFunction('t')") == parse_target("identity('t')")
+    # unknown methods are parse errors, not runtime surprises
+    for t in ("aggregate('*', 'nope')", "highest('*', 2, 'min')",
+              "movingWindow('*', 2, 'stddev')"):
+        with pytest.raises(RenderParseError):
+            parse_target(t)
+
+
+def test_wave8_identity_and_filter_series(spark, sf_dir):
+    # identity: the slot's own epoch seconds, one series, full spine
+    rows = render(spark, sf_dir, "identity('t')").collect()
+    assert rows and all(r.metric == "t" and r.value == float(r.interval)
+                        for r in rows)
+
+    # filterSeries boundary semantics: '>=' keeps the series whose max
+    # IS the threshold, '>' drops it
+    mx = {}
+    for r in render(spark, sf_dir, "'*'").collect():
+        if r.value is not None:
+            mx[r.metric] = max(mx.get(r.metric, r.value), r.value)
+    t = int(max(mx.values()))
+    exact_peak = {m for m, v in mx.items() if v >= t}
+    ge = {r.metric for r in render(
+        spark, sf_dir, f"filterSeries('*', 'max', '>=', {t})").collect()}
+    gt = {r.metric for r in render(
+        spark, sf_dir, f"filterSeries('*', 'max', '>', {t})").collect()}
+    assert ge == exact_peak and gt == {m for m, v in mx.items() if v > t}
+
+
+def test_wave8_pairing_percent_and_cacti(spark, sf_dir):
+    # divideSeriesLists of a list against itself: every known nonzero
+    # slot divides to exactly 1.00 (floor(c*100/c) = 100 cents); a
+    # zero denominator or NULL slot is NULL
+    vals = [r.value for r in render(
+        spark, sf_dir, "divideSeriesLists('*', '*')").collect()]
+    assert vals and all(v is None or v == 1.0 for v in vals)
+
+    # single-arg asPercent: spot-check floor(c*10000/total)/100
+    base = render(spark, sf_dir, "'*'").collect()
+    totals = {}
+    for r in base:
+        if r.value is not None:
+            totals[r.interval] = totals.get(r.interval, 0) + round(r.value * 100)
+    got = {(r.metric, r.interval): r.value for r in render(
+        spark, sf_dir, "asPercent('*')").collect()}
+    import math as _math
+    for r in base[:50]:
+        want = None
+        if r.value is not None and totals.get(r.interval, 0) != 0:
+            want = _math.floor(round(r.value * 100) * 10000
+                               / totals[r.interval]) / 100.0
+        assert got[(f"asPercent({r.metric})", r.interval)] == want
+
+    # cactiStyle: exact-2-decimal legend, slot values untouched
+    import re as _re
+    out = render(spark, sf_dir, "cactiStyle('*')").collect()
+    pat = _re.compile(
+        r"^\S+ Current:(-?\d+\.\d\d|nan) Max:(-?\d+\.\d\d|nan) "
+        r"Min:(-?\d+\.\d\d|nan)$")
+    assert out and all(pat.match(r.metric) for r in out)
+    assert sorted(v for r in out if (v := r.value) is not None) == sorted(
+        v for r in base if (v := r.value) is not None)
+
+
+def test_wave8_smart_summarize_alignment(spark, sf_dir):
+    # smartSummarize buckets start at the frame's own min interval —
+    # on a shifted frame (delay moves values, not intervals; use
+    # timeShift) the grid follows the frame while summarize stays
+    # epoch-pinned
+    base = render(spark, sf_dir, "'*'").collect()
+    t0 = min(r.interval for r in base)
+    sm = render(spark, sf_dir, "smartSummarize('*', 7, 'sum')").collect()
+    assert min(r.interval for r in sm) == t0
+    assert all((r.interval - t0) % (7 * 3600) == 0 for r in sm)
+    # epoch-aligned summarize generally disagrees on a 7h grid unless
+    # t0 happens to sit on it
+    ep = render(spark, sf_dir, "summarize('*', 7, 'sum')").collect()
+    assert all(r.interval % (7 * 3600) == 0 for r in ep)
+
+
+def test_wave8_analyzer_gates():
+    from go_whisper_spark.render import validate_target
+
+    for t in ("cactiStyle(group('*', '*'))",
+              "filterSeries(group('*', '*'), 'current', '>', 0)",
+              "divideSeriesLists(group('*', '*'), sumSeries('*'))",
+              "smartSummarize(group('*', '*'), 4, 'last')"):
+        with pytest.raises(RenderParseError):
+            validate_target(parse_target(t))
+    # non-'current' filterSeries and non-'last' smartSummarize are
+    # key-order-insensitive: duplicate-keyed frames are fine
+    validate_target(parse_target(
+        "filterSeries(group('*', '*'), 'max', '>', 0)"))
+    validate_target(parse_target("smartSummarize(group('*', '*'), 4, 'sum')"))

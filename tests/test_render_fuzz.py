@@ -3,8 +3,14 @@ the Spark composition vs the AST-emitted DuckDB SQL — must agree
 exactly (the cent discipline makes every composition integer-exact).
 
 Deterministic seed; bounded depth; covers every operator in the
-81-op registry including binary combiners, aggregate reducers, the
-selector family, and the round-11 additions (waves 2-5).  Candidates that the
+registry (106 ops as of wave 8) including binary combiners, aggregate
+reducers, the selector family, the round-11 additions (waves 2-8),
+and the generic method-string spellings (aggregate / movingWindow /
+highest / lowest / filterSeries — desugared by the parser, so the
+fuzz exercises the dispatch too).  identity/timeFunction are fuzz-
+EXCLUDED by design: their epoch-magnitude cents (~1.8e11) would
+overflow a composed pow(), where DuckDB errors and Spark wraps —
+they get dedicated exactness tests instead.  Candidates that the
 static analyzer rejects (window op over a possibly-duplicate-keyed
 frame, non-single binary right side) are skipped and redrawn — the
 rejection path itself is asserted separately in test_render.py.
@@ -86,6 +92,9 @@ def _series(rng, depth):
             "weightedAverage", "randomWalk", "stacked", "useSeriesAbove",
             "timeStack", "nonNegativeDerivativeWrap", "keepLastValueLimit",
             "groupByTags", "aliasByTags", "perSecondWrap",
+            "filterSeries", "smartSummarize", "asPercentTotal",
+            "divideSeriesLists", "cactiStyle", "aggregate",
+            "movingWindow", "highestLowest", "add",
         ]
     )
     if name in _UNARY:
@@ -207,6 +216,38 @@ def _series(rng, depth):
         keys = rng.sample(["name", "dc", "host"], rng.randint(1, 2))
         args = ", ".join(f"'{k}'" for k in keys)
         return f"aliasByTags({rng.choice(_TAG_SEEDS)}, {args})"
+    if name == "filterSeries":
+        func = rng.choice(["max", "min", "sum", "average", "current"])
+        op = rng.choice([">", ">=", "<", "<=", "=", "!="])
+        t = rng.choice([-1, 0, 40, 51, 300])
+        return f"filterSeries({_series(rng, depth - 1)}, '{func}', '{op}', {t})"
+    if name == "smartSummarize":
+        how = rng.choice(["sum", "max", "min", "last", "avg"])
+        return (f"smartSummarize({_series(rng, depth - 1)}, "
+                f"{rng.randint(1, 8)}, '{how}')")
+    if name == "asPercentTotal":
+        return f"asPercent({_series(rng, depth - 1)})"
+    if name == "divideSeriesLists":
+        a = _series(rng, depth - 1)
+        b = _series(rng, depth - 1)
+        return f"divideSeriesLists({a}, {b})"
+    if name == "cactiStyle":
+        return f"cactiStyle({_series(rng, depth - 1)})"
+    if name == "aggregate":
+        how = rng.choice(["sum", "average", "max", "min", "count",
+                          "range", "stddev", "median"])
+        return f"aggregate({_series(rng, depth - 1)}, '{how}')"
+    if name == "movingWindow":
+        how = rng.choice(["sum", "average", "min", "max", "median"])
+        return (f"movingWindow({_series(rng, depth - 1)}, "
+                f"{rng.randint(1, 6)}, '{how}')")
+    if name == "highestLowest":
+        hl = rng.choice(["highest", "lowest"])
+        how = rng.choice(["average", "current"] + (
+            ["max"] if hl == "highest" else []))
+        return f"{hl}({_series(rng, depth - 1)}, {rng.randint(1, 4)}, '{how}')"
+    if name == "add":
+        return f"add({_series(rng, depth - 1)}, {rng.randint(-3, 5)})"
     if name == "group":
         k = rng.randint(2, 3)
         parts = [_series(rng, depth - 1) for _ in range(k)]

@@ -686,6 +686,34 @@ CHECKS = {
         require_executed=["BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
+    # wave-8 cacti: two per-metric aggregate passes (filterSeries'
+    # exact sum-vs-t·n winners, then Current/Max/Min stats incl.
+    # partial_max_by) with un-hinted join-backs AQE broadcasts; the
+    # whole path is aggregates — no window op anywhere.
+    "g_render_cacti": dict(
+        require=["partial_sum", "partial_count", "partial_max_by"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
+    # wave-8 pairs: each smartSummarize bound is a 1-row broadcast
+    # (BroadcastNestedLoopJoin — the timeSlice discipline, NOT a
+    # cartesian); bucket sums partial-combine; the label-rank pairing
+    # is a row_number window over the O(n_metrics) distinct-labels
+    # relation plus broadcast join-backs.
+    "g_render_pairs": dict(
+        require=["Window", "partial_sum", "BroadcastNestedLoopJoin"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
+    # wave-8 generic spellings: single-arg asPercent is a per-interval
+    # window sum; highest(…'average') partial-combines (sum, count)
+    # and broadcasts the fixed-k winner set back; movingWindow
+    # ('median') rides the metric-partitioned window chain.
+    "g_render_generic": dict(
+        require=["Window", "partial_sum", "partial_count"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
     # HW residual: the sequential fold is the one grouped-pandas
     # stage (metric-keyed, the per-series recursion operator); both
     # cross-series sums partial-combine; interval-keyed diff join.
