@@ -429,6 +429,77 @@ def m_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Content-defined chunk boundaries: cut AFTER byte i when the md5 of
+# the 8-byte window ending at i starts with a hex pair <= '03' — a
+# 4/256 = 1/64 acceptance, so chunks average ~64 bytes like the fixed
+# grid above but the cut positions move WITH the content (an insertion
+# re-chunks only the neighborhood it touches, which is the whole point
+# of CDC dedup — fixed grids lose every chunk after the edit).  The
+# boundary test is a lexicographic compare on the md5 hex prefix: no
+# hex→int conversion exists identically in both engines, but lowercase
+# hex strings compare identically everywhere.  The greatest() guard
+# keeps Spark's sequence() ascending on length-1 payloads (sequence(1,
+# 0) DESCENDS; DuckDB's generate_series is empty — the i < length
+# predicate makes both a no-op).
+_CDC_ENDS = (
+    "array_append(filter(sequence(1, greatest(length(payload) - 1, 1)), "
+    "i -> i < length(payload) AND i >= 8 AND "
+    "substring(md5(substr(payload, i - 7, 8)), 1, 2) <= '03'), "
+    "length(payload))"
+)
+_CDC_HASHES = (
+    f"transform(sequence(1, size({_CDC_ENDS})), j -> md5(substr(payload, "
+    f"CASE WHEN j = 1 THEN 1 ELSE element_at({_CDC_ENDS}, j - 1) + 1 END, "
+    f"element_at({_CDC_ENDS}, j) - "
+    f"CASE WHEN j = 1 THEN 0 ELSE element_at({_CDC_ENDS}, j - 1) END)))"
+)
+
+
+def m_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-DEFINED chunk-dedup ledger over the binary payloads —
+    the production form of ``m_chunk_dedup``'s fixed grid (Muthitacharoen
+    et al.'s LBFS scheme: a rolling window hash picks the cut points,
+    so a byte insertion shifts only its local chunk instead of every
+    chunk downstream; dedup across near-identical blobs survives
+    edits).  Boundary = md5 of the trailing 8-byte window with hex
+    prefix <= '03' (1/64 acceptance → ~64-byte average chunks, same
+    budget as the fixed grid); final cut forced at payload end.  Per
+    kind: chunk occurrences, distinct hashes, duplicated occurrences,
+    dup ratio in ppm, and the mean chunk length in centi-bytes — all
+    exact-long arithmetic.
+
+    Scale shape: like the fixed-grid ledger this is pure codegen — the
+    boundary scan and chunk rebuild are higher-order array expressions
+    over BINARY, one narrow JVM stage per payload, no Python; shuffles
+    are the distinct-hash + per-kind aggregates (map-side combined)
+    plus one 3-row kind-stats broadcast join."""
+    media = documents_as_media(spark, sf_dir).select("kind", "payload")
+    live = media.where(F.length("payload") > 0)
+    chunks = live.select(
+        "kind", F.explode(F.expr(_CDC_HASHES)).alias("h")
+    )
+    per = chunks.groupBy("kind").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("h").alias("n_distinct"),
+    )
+    by = live.groupBy("kind").agg(
+        F.sum(F.length("payload")).alias("total_bytes")
+    )
+    n_dup = F.col("n_chunks") - F.col("n_distinct")
+    return per.join(by, "kind").select(
+        "kind",
+        "n_chunks",
+        "n_distinct",
+        n_dup.alias("n_dup"),
+        F.floor((n_dup * 1000000).cast("double") / F.col("n_chunks"))
+        .cast("long")
+        .alias("dup_ppm"),
+        F.floor((F.col("total_bytes") * 100).cast("double") / F.col("n_chunks"))
+        .cast("long")
+        .alias("mean_chunk_cb"),
+    )
+
+
 QUERIES = {
     "m_decode_stats": m_decode_stats,
     "m_feature_norms": m_feature_norms,
@@ -437,6 +508,7 @@ QUERIES = {
     "m_pcm_energy": m_pcm_energy,
     "m_pcm_resample": m_pcm_resample,
     "m_chunk_dedup": m_chunk_dedup,
+    "m_cdc_dedup": m_cdc_dedup,
 }
 
 # All THREE pipelines are oracle-checkable: the deterministic fake
@@ -636,6 +708,48 @@ SELECT kind, n_chunks, n_distinct,
 FROM per
 """
 
+# DuckDB restatement of the CDC scheme over the SAME bytes (ASCII text
+# == payload bytes, the m_chunk_dedup argument): list_filter /
+# list_append / 1-based [] indexing mirror the Spark higher-order
+# expressions operand for operand.
+_CDC_ENDS_SQL = (
+    "list_append(list_filter(generate_series(1, greatest(length(text) - 1, 1)), "
+    "i -> i < length(text) AND i >= 8 AND "
+    "substring(md5(substr(text, i - 7, 8)), 1, 2) <= '03'), "
+    "length(text))"
+)
+_CDC_HASHES_SQL = (
+    f"list_transform(generate_series(1, len({_CDC_ENDS_SQL})), "
+    f"j -> md5(substr(text, "
+    f"CASE WHEN j = 1 THEN 1 ELSE ({_CDC_ENDS_SQL})[j - 1] + 1 END, "
+    f"({_CDC_ENDS_SQL})[j] - "
+    f"CASE WHEN j = 1 THEN 0 ELSE ({_CDC_ENDS_SQL})[j - 1] END)))"
+)
+
+M_CDC_DEDUP_SQL = f"""
+WITH media AS (
+  SELECT {_KIND_SQL} AS kind, text FROM documents WHERE length(text) > 0
+),
+chunks AS (
+  SELECT kind, unnest({_CDC_HASHES_SQL}) AS h FROM media
+),
+per AS (
+  SELECT kind, count(*) AS n_chunks, count(DISTINCT h) AS n_distinct
+  FROM chunks GROUP BY kind
+),
+by_kind AS (
+  SELECT kind, CAST(sum(length(text)) AS BIGINT) AS total_bytes
+  FROM media GROUP BY kind
+)
+SELECT per.kind, n_chunks, n_distinct,
+       n_chunks - n_distinct AS n_dup,
+       CAST(floor(CAST((n_chunks - n_distinct) * 1000000 AS DOUBLE)
+                  / n_chunks) AS BIGINT) AS dup_ppm,
+       CAST(floor(CAST(total_bytes * 100 AS DOUBLE) / n_chunks)
+            AS BIGINT) AS mean_chunk_cb
+FROM per JOIN by_kind ON per.kind = by_kind.kind
+"""
+
 ORACLES: dict = {
     "m_decode_stats": M_DECODE_STATS_SQL,
     "m_feature_norms": M_FEATURE_NORMS_SQL,
@@ -644,4 +758,5 @@ ORACLES: dict = {
     "m_pcm_energy": M_PCM_ENERGY_SQL,
     "m_pcm_resample": M_PCM_RESAMPLE_SQL,
     "m_chunk_dedup": M_CHUNK_DEDUP_SQL,
+    "m_cdc_dedup": M_CDC_DEDUP_SQL,
 }

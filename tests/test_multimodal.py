@@ -91,3 +91,63 @@ def test_documents_as_media_pipeline(spark, sf_dir):
     stats = mm.m_decode_stats(spark, sf_dir).collect()
     assert {r["kind"] for r in stats} == {"image", "audio", "video"}
     assert all(r["total_bytes"] > 0 for r in stats)
+
+
+def test_cdc_chunking_survives_insertion(spark):
+    """The CDC property the fixed grid lacks: prepending bytes to a
+    payload re-chunks only the head neighborhood — downstream chunk
+    hashes (and so cross-blob dedup) survive, while the 64-byte grid
+    loses every chunk after the shift."""
+    import random
+
+    rng = random.Random(11)
+    base = bytes(rng.randrange(256) for _ in range(4000))
+    shifted = b"XYZ" + base
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(shifted))],
+        "media_id long, payload binary",
+    )
+    chunks = df.select(
+        "media_id", F.explode(F.expr(mm._CDC_HASHES)).alias("h")
+    ).collect()
+    a = {r.h for r in chunks if r.media_id == 1}
+    b = {r.h for r in chunks if r.media_id == 2}
+    # the two blobs share the vast majority of their chunks
+    shared = len(a & b)
+    assert shared >= 0.7 * len(a), (shared, len(a), len(b))
+
+    # the fixed grid on the same pair shares (essentially) nothing
+    C = 64
+    grid = df.select(
+        "media_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, CAST(ceil(length(payload) / {C}.0) AS INT)),"
+                f" i -> md5(substr(payload, (i - 1) * {C} + 1, {C})))"
+            )
+        ).alias("h"),
+    ).collect()
+    ga = {r.h for r in grid if r.media_id == 1}
+    gb = {r.h for r in grid if r.media_id == 2}
+    assert len(ga & gb) <= 0.05 * len(ga)
+
+
+def test_cdc_boundaries_deterministic_and_cover(spark):
+    """Chunks tile the payload exactly: the rebuilt lengths sum to the
+    payload length, every chunk is non-empty, and a 1-byte payload
+    (the sequence(1, 0) descending-guard edge) yields one chunk."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"a")), (2, bytearray(b"hello world " * 50))],
+        "media_id long, payload binary",
+    )
+    ends = df.select(
+        "media_id",
+        F.expr(mm._CDC_ENDS).alias("ends"),
+        F.length("payload").alias("L"),
+    ).collect()
+    for r in ends:
+        assert r.ends[-1] == r.L
+        assert all(0 < e <= r.L for e in r.ends)
+        assert sorted(set(r.ends)) == list(r.ends)
+    one = [r for r in ends if r.media_id == 1][0]
+    assert one.ends == [1]

@@ -740,6 +740,17 @@ CHECKS = {
                 "Window", "FlatMapGroupsInPandas", "MapInPandas"],
         pruned=3,  # (doc_id, text, n_chars) of documents' 5 columns
     ),
+    # Content-defined chunking ledger: boundary scan + chunk rebuild
+    # are higher-order array codegen like the fixed grid; the one
+    # extra shape is the 3-row per-kind byte-stats join (AQE
+    # broadcasts it) — still no Python anywhere.
+    "m_cdc_dedup": dict(
+        require=["partial_count", "partial_sum"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Window",
+                "FlatMapGroupsInPandas", "MapInPandas"],
+        pruned=3,
+    ),
     # Binned range join: the |dt|<=W predicate must reach the plan as
     # an EQUI-join on the bin id (+ post-join filter) — the
     # nested-loop cross product Catalyst would pick for a raw
