@@ -4967,6 +4967,96 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_ppl_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing — the per-DOCUMENT form of
+    ``t_bigram_logprob``: score each held-out doc under the
+    train-split bigram LM (same stupid-backoff model, same
+    micro-nat-floored surprisals), average to a per-token perplexity
+    proxy (exact integer ``div`` of the summed micro-nats by the
+    bigram count), and rank docs into head/middle/tail terciles PER
+    LANGUAGE (ntile over the total order (ppl, doc_id)) — the
+    head/middle/tail split CCNet uses to stratify training data by
+    LM fit.  Output: one row per scorable held-out doc.
+
+    Scale shape: model build + scoring joins are the
+    ``t_bigram_logprob`` plan (broadcast while the model fits,
+    sharded equi-join beyond); the tercile rank runs over the
+    PER-DOC ledger — O(n_docs) rows, ~1e9 at 100 TB, partitioned by
+    lang; if one language dominates, swap the ntile for the
+    histogram quantile-cut in docs/SCALE.md (same fallback as
+    averageOutsidePercentile).
+    """
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    bucket = _split_bucket_col()
+    train = d.where(bucket < _SPLIT_TRAIN)
+    held = d.where(bucket >= _SPLIT_TRAIN)
+
+    bigrams = F.expr(
+        "transform(sequence(0, size(tokens) - 2), "
+        "i -> struct(tokens[i] AS w1, tokens[i + 1] AS w2))"
+    )
+    t_bi = (
+        train.where(F.size("tokens") >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    c2 = t_bi.groupBy("w1", "w2").agg(F.count("*").alias("c2")).localCheckpoint()
+    c1 = (
+        train.select(F.explode("tokens").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+        .localCheckpoint()
+    )
+    totals = c1.agg(F.sum("c1").alias("N"))
+
+    sb = (
+        held.where(F.size("tokens") >= 2)
+        .select("doc_id", "lang", F.explode(bigrams).alias("b"))
+        .select("doc_id", "lang", "b.w1", "b.w2")
+    )
+    j = (
+        sb.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(c1.select(F.col("w").alias("w1"), F.col("c1").alias("c1w1"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1w2"))),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    u6 = lambda p: F.floor(-F.log(p) * F.lit(1_000_000.0)).cast("long")
+    seen = F.col("c2").isNotNull()
+    backoff = F.col("c2").isNull() & F.col("c1w2").isNotNull()
+    surprisal = (
+        F.when(seen, u6(F.col("c2").cast("double") / F.col("c1w1")))
+        .when(backoff, u6(F.lit(0.4) * F.col("c1w2") / F.col("N")))
+        .otherwise(u6(F.lit(0.4) / F.col("N")))
+    )
+    per_doc = (
+        j.select("doc_id", "lang", surprisal.alias("s_u6"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("s_u6").alias("sum_u6"),
+        )
+        # exact integer division — no float quotient near a floor
+        # boundary can diverge between engines
+        .withColumn("ppl_u6", F.expr("sum_u6 div n_bigrams"))
+    )
+    w = Window.partitionBy("lang").orderBy("ppl_u6", "doc_id")
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "ppl_u6",
+        F.ntile(3).over(w).alias("tercile"),
+    )
+
+
 T_BIGRAM_LOGPROB_SQL = f"""
 WITH tokd AS (
   SELECT doc_id, lang, {_SPLIT_BUCKET_SQL} AS bucket,
@@ -5018,6 +5108,59 @@ SELECT lang,
 FROM scored
 GROUP BY lang
 ORDER BY lang
+"""
+
+# Per-doc restatement: the same model/scoring CTEs down to `scored`,
+# then the exact integer // per-doc mean and the per-lang ntile(3)
+# (deterministic — (ppl_u6, doc_id) is a total order).
+T_PPL_TERCILES_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, lang, {_SPLIT_BUCKET_SQL} AS bucket,
+         generate_subscripts({_TOKENS_SQL}, 1) AS pos,
+         unnest({_TOKENS_SQL}) AS w
+  FROM documents
+),
+t_bi AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM tokd a JOIN tokd b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.bucket < {_SPLIT_TRAIN}
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM t_bi GROUP BY 1, 2),
+c1 AS (SELECT w, count(*) AS c1 FROM tokd WHERE bucket < {_SPLIT_TRAIN} GROUP BY 1),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS N FROM c1),
+sb AS (
+  SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2
+  FROM tokd a JOIN tokd b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.bucket >= {_SPLIT_TRAIN}
+),
+scored AS (
+  SELECT sb.doc_id, sb.lang,
+         CASE
+           WHEN c2.c2 IS NOT NULL THEN
+             CAST(floor(-ln(CAST(c2.c2 AS DOUBLE) / u1.c1) * 1000000.0) AS BIGINT)
+           WHEN u2.c1 IS NOT NULL THEN
+             CAST(floor(-ln(0.4 * u2.c1 / t.N) * 1000000.0) AS BIGINT)
+           ELSE
+             CAST(floor(-ln(0.4 / t.N) * 1000000.0) AS BIGINT)
+         END AS s_u6
+  FROM sb
+  LEFT JOIN c2 ON c2.w1 = sb.w1 AND c2.w2 = sb.w2
+  LEFT JOIN c1 u1 ON u1.w = sb.w1
+  LEFT JOIN c1 u2 ON u2.w = sb.w2
+  CROSS JOIN tot t
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         count(*) AS n_bigrams,
+         CAST(sum(s_u6) AS BIGINT) // count(*) AS ppl_u6
+  FROM scored GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_bigrams, ppl_u6,
+       CAST(ntile(3) OVER (PARTITION BY lang ORDER BY ppl_u6, doc_id)
+            AS BIGINT) AS tercile
+FROM per_doc
 """
 
 
@@ -5686,6 +5829,7 @@ QUERIES = {
     "s_mrl_eval": s_mrl_eval,
     "t_unigram_logprob": t_unigram_logprob,
     "t_bigram_logprob": t_bigram_logprob,
+    "t_ppl_terciles": t_ppl_terciles,
     "s_pq_encode": s_pq_encode,
     "s_pq_recall": s_pq_recall,
     "s_pq_search": s_pq_search,
@@ -5757,6 +5901,7 @@ ORACLES = {
     "s_mrl_eval": _s_mrl_eval_sql(),
     "t_unigram_logprob": T_UNIGRAM_LOGPROB_SQL,
     "t_bigram_logprob": T_BIGRAM_LOGPROB_SQL,
+    "t_ppl_terciles": T_PPL_TERCILES_SQL,
     "s_pq_encode": _s_pq_encode_sql(),
     "s_pq_recall": _s_pq_recall_sql(),
     "s_pq_search": _s_pq_search_sql(),

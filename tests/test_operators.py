@@ -154,6 +154,8 @@ SUBSET = [
     "g_cacti_style",
     "st_lakehouse_ingest",
     "w_lakehouse_timetravel",
+    "m_cdc_dedup",
+    "t_ppl_terciles",
 ]
 
 
@@ -256,3 +258,26 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
                 assert math.isclose(va, vb, rel_tol=1e-12, abs_tol=1e-12), (name, ra, rb)
             else:
                 assert va == vb, (name, ra, rb)
+
+
+def test_ppl_terciles_semantics(spark, sf_dir):
+    """Terciles are balanced (ntile: sizes differ by at most 1 per
+    lang) and monotone: every head (tercile 1) doc's perplexity is
+    <= every tail (tercile 3) doc's within the same language."""
+    from collections import defaultdict
+
+    qs = entrymod.queries()
+    rows = qs["t_ppl_terciles"](spark, sf_dir).collect()
+    assert rows
+    by_lang = defaultdict(list)
+    for r in rows:
+        assert r.tercile in (1, 2, 3)
+        assert r.ppl_u6 > 0 and r.n_bigrams >= 1
+        by_lang[r.lang].append(r)
+    for lang, rs in by_lang.items():
+        sizes = [sum(1 for r in rs if r.tercile == t) for t in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        head = [r.ppl_u6 for r in rs if r.tercile == 1]
+        tail = [r.ppl_u6 for r in rs if r.tercile == 3]
+        if head and tail:
+            assert max(head) <= min(tail), (lang, max(head), min(tail))

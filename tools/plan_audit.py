@@ -876,6 +876,14 @@ CHECKS = {
         require=["partial_count", "partial_sum", "BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # Per-doc perplexity terciles: the same model/scoring joins as
+    # t_bigram_logprob, then ONE window (the per-lang ntile over the
+    # per-doc ledger — O(n_docs), the documented rank relation).
+    "t_ppl_terciles": dict(
+        require=["partial_count", "partial_sum", "BroadcastHashJoin",
+                 "Window"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
     # BPE pair counting: tokenize + pair expansion as narrow
     # higher-order expressions; one map-side-combining count, then
     # partial top-k — join- and window-free.
