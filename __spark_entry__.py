@@ -237,6 +237,7 @@ _R11_DEFERRED: list = [
     "g_render_generic",
     "m_cdc_dedup",
     "t_ppl_terciles",
+    "w_lakehouse_merge",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -375,15 +375,89 @@ def commit_rollup_days(
     only safe when the frames do not depend on other writers' data
     (single-writer use, or frames computed from external inputs).
     """
+    return commit_partitions(
+        spark,
+        table,
+        {f"day={day}": frame for day, frame in day_frames.items()},
+        watermark=watermark,
+        base_version=base_version,
+    )
+
+
+def commit_partitions(
+    spark: SparkSession,
+    table: str,
+    frames: Dict[str, DataFrame],
+    watermark: Optional[dict] = None,
+    base_version: Optional[int] = None,
+) -> int:
+    """The general form of ``commit_rollup_days``: stage + publish one
+    batch of {full partition key ("col=value") -> frame} swaps as ONE
+    commit.  Same staging (pure additions to fresh dirs, abandoned
+    invisibly on conflict) and the same base_version conflict
+    contract."""
     log = CommitLog(table)
     if base_version is None:
         base_version = log.state()["version"]
     replace = {}
-    for day, frame in day_frames.items():
+    for key, frame in frames.items():
         d = stage_dir(table)
         frame.write.mode("overwrite").parquet(d)
-        replace[f"day={day}"] = d
+        replace[key] = d
     return log.commit(base_version, replace, watermark)
+
+
+def merge_table(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key_cols,
+    part_col: str,
+    base_version: Optional[int] = None,
+) -> int:
+    """Delta-style MERGE as copy-on-write upsert: WHEN MATCHED on
+    ``key_cols`` THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT *.
+
+    Only the partitions the update batch touches are rewritten — each
+    becomes (existing rows whose key is NOT in the batch) ∪ (the
+    batch's rows for that partition); untouched partitions keep their
+    files byte-for-byte.  The swap publishes as ONE commit on top of
+    ``base_version`` (default: the current version, which is also the
+    snapshot the existing rows are read at), so a racing commit that
+    touches one of our partitions raises ConflictError instead of
+    being silently overwritten — the caller re-reads and retries, the
+    ``incremental_rollup_tx`` discipline.
+
+    Contract: ``part_col`` is a column of both the table and the
+    updates frame, and a matched key's partition value must not
+    change across the merge (the same assumption Delta/Iceberg make
+    when partition-pruning the match — a key that MOVES partitions
+    needs a delete+insert, not a merge).
+
+    Scale shape: the touched-partition list is a driver-side
+    ``collect`` over ``updates``'s distinct partition values —
+    O(touched partitions), control-plane only (the lakehouse
+    file-pruning step); the per-partition anti-join + union and every
+    write are distributed, and the anti-join's right side is the
+    batch's keys for that partition (small — AQE broadcasts it).
+    """
+    from pyspark.sql import functions as F
+
+    log = CommitLog(table)
+    if base_version is None:
+        base_version = log.state()["version"]
+    parts = [
+        r[0] for r in updates.select(part_col).distinct().collect()
+    ]
+    cur = read_table(spark, table, version=base_version)
+    keys = list(key_cols)
+    frames = {}
+    for p in parts:
+        old = cur.where(F.col(part_col) == p)
+        new = updates.where(F.col(part_col) == p)
+        keep = old.join(new.select(*keys).distinct(), keys, "left_anti")
+        frames[f"{part_col}={p}"] = keep.unionByName(new)
+    return commit_partitions(spark, table, frames, base_version=base_version)
 
 
 def vacuum(table: str, min_age_seconds: int = 3600) -> List[str]:

@@ -1818,11 +1818,93 @@ SELECT metric, interval, value, 'latest' AS snapshot FROM lwwall
 """
 
 
+# ---------------------------------------------------- w_lakehouse_merge
+def w_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE under the driver's oracle (``lakehouse.merge_table``
+    — Delta-style copy-on-write upsert): a silver documents table
+    (doc_id key, 4 hash partitions) takes one merge batch carrying
+    both WHEN MATCHED rows (every doc_id % 7 == 0 re-scored +1000,
+    relabeled src='merge') and WHEN NOT MATCHED inserts (doc_id %
+    13 == 0 cloned to doc_id + 1000000 at double score).  The result
+    is the post-merge table read back — the full relation, so the
+    oracle pins row-level update/insert/keep semantics, not just
+    counts.
+
+    Scale shape: merge rewrites ONLY the partitions the batch
+    touches (all 4 here — the batch spans every hash bucket; a
+    day-partitioned table with a narrow batch rewrites one day); the
+    anti-join's right side is the batch's keys (AQE broadcasts), the
+    touched-partition list is the one control-plane collect, and the
+    swap is a single atomic commit (v1 create → v2 merge)."""
+    import os
+    import tempfile
+
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        merge_table,
+        read_table,
+    )
+    from go_whisper_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("score"),
+        F.lit("base").alias("src"),
+        (F.col("doc_id") % 4).alias("b"),
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="gws_lakem_"), "silver_docs")
+    commit_partitions(
+        spark, table,
+        {f"b={k}": base.where(F.col("b") == k) for k in range(4)},
+        base_version=0,
+    )
+    updates = base.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "lang",
+        (F.col("score") + 1000).alias("score"),
+        F.lit("merge").alias("src"),
+        "b",
+    ).unionByName(
+        base.where(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "lang",
+            (F.col("score") * 2).alias("score"),
+            F.lit("merge").alias("src"),
+            ((F.col("doc_id") + 1000000) % 4).alias("b"),
+        )
+    )
+    merge_table(spark, table, updates, key_cols=["doc_id"], part_col="b")
+    return read_table(spark, table).select("doc_id", "lang", "score", "src", "b")
+
+
+W_LAKEHOUSE_MERGE_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
+         'base' AS src, doc_id % 4 AS b
+  FROM documents
+),
+updates AS (
+  SELECT doc_id, lang, score + 1000 AS score, 'merge' AS src, b
+  FROM base WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, lang, score * 2, 'merge',
+         (doc_id + 1000000) % 4
+  FROM base WHERE doc_id % 13 = 0
+)
+SELECT doc_id, lang, score, src, b FROM base
+WHERE doc_id NOT IN (SELECT doc_id FROM updates)
+UNION ALL
+SELECT doc_id, lang, score, src, b FROM updates
+"""
+
+
 QUERIES = {
     "w_retention_expand": w_retention_expand,
     "w_lakehouse_rollup": w_lakehouse_rollup,
     "w_lakehouse_compact": w_lakehouse_compact,
     "w_lakehouse_timetravel": w_lakehouse_timetravel,
+    "w_lakehouse_merge": w_lakehouse_merge,
     "w_retention_reap": w_retention_reap,
     "w_store_fetch": w_store_fetch,
     "w_wsp_roundtrip": w_wsp_roundtrip,
@@ -1856,6 +1938,7 @@ ORACLES = {
     "w_lakehouse_rollup": W_LAKEHOUSE_ROLLUP_SQL,
     "w_lakehouse_compact": W_LAKEHOUSE_COMPACT_SQL,
     "w_lakehouse_timetravel": W_LAKEHOUSE_TIMETRAVEL_SQL,
+    "w_lakehouse_merge": W_LAKEHOUSE_MERGE_SQL,
     "w_retention_reap": W_RETENTION_REAP_SQL,
     "w_store_fetch": W_STORE_FETCH_SQL,
     "w_wsp_roundtrip": W_WSP_ROUNDTRIP_SQL,

@@ -428,3 +428,70 @@ def test_time_travel_after_vacuum_fails_cleanly(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="vacuum"):
         read_table(spark, table, version=v1)
     assert read_table(spark, table).first()["value"] == 2.0
+
+
+def test_merge_table_upsert_semantics(spark, tmp_path):
+    """merge_table is WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED
+    INSERT *: matched keys are replaced, unmatched keys inserted,
+    untouched keys (and untouched partitions' files) survive."""
+    from go_whisper_spark.lakehouse import commit_partitions, merge_table
+
+    table = str(tmp_path / "silver")
+    df = spark.createDataFrame(
+        [(i, i * 10, i % 2) for i in range(10)], "k long, v long, b long"
+    )
+    v1 = commit_partitions(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in (0, 1)},
+        base_version=0,
+    )
+    assert v1 == 1
+    before = CommitLog(table).state()["partitions"]
+
+    up = spark.createDataFrame(
+        [(2, 999, 0), (100, 5, 0)], "k long, v long, b long"
+    )
+    v2 = merge_table(spark, table, up, key_cols=["k"], part_col="b")
+    assert v2 == 2
+    rows = {r.k: r.v for r in read_table(spark, table).collect()}
+    assert rows[2] == 999          # matched -> updated
+    assert rows[100] == 5          # not matched -> inserted
+    assert rows[3] == 30           # untouched key survives
+    assert len(rows) == 11
+    after = CommitLog(table).state()["partitions"]
+    # only the touched partition's directory changed
+    assert after["b=1"] == before["b=1"]
+    assert after["b=0"] != before["b=0"]
+
+
+def test_merge_table_conflict_and_disjoint(spark, tmp_path):
+    """A racing commit on a touched partition raises ConflictError;
+    a racer on a DISJOINT partition coexists (retry lands later)."""
+    from go_whisper_spark.lakehouse import commit_partitions, merge_table
+
+    table = str(tmp_path / "silver")
+    df = spark.createDataFrame(
+        [(i, i * 10, i % 2) for i in range(10)], "k long, v long, b long"
+    )
+    commit_partitions(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in (0, 1)},
+        base_version=0,
+    )
+    snap = CommitLog(table).state()["version"]
+    # racer lands on b=0 after our snapshot
+    racer = spark.createDataFrame([(0, 111, 0)], "k long, v long, b long")
+    merge_table(spark, table, racer, key_cols=["k"], part_col="b")
+    # our merge computed from the stale snapshot touches b=0 -> conflict
+    ours = spark.createDataFrame([(2, 999, 0)], "k long, v long, b long")
+    with pytest.raises(ConflictError):
+        merge_table(spark, table, ours, key_cols=["k"], part_col="b",
+                    base_version=snap)
+    # the racer's write was NOT lost
+    assert {r.v for r in read_table(spark, table).where("k = 0").collect()} == {111}
+    # a disjoint-partition merge from the same stale snapshot lands
+    other = spark.createDataFrame([(1, 222, 1)], "k long, v long, b long")
+    v = merge_table(spark, table, other, key_cols=["k"], part_col="b",
+                    base_version=snap)
+    assert v == CommitLog(table).state()["version"]
+    assert {r.v for r in read_table(spark, table).where("k = 1").collect()} == {222}
