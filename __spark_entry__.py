@@ -238,6 +238,7 @@ _R11_DEFERRED: list = [
     "m_cdc_dedup",
     "t_ppl_terciles",
     "w_lakehouse_merge",
+    "st_lakehouse_merge",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

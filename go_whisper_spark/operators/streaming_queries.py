@@ -616,6 +616,123 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------ st_lakehouse_merge
+def st_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE into the silver table: a re-annotation stream
+    (re-scored documents + brand-new documents) lands micro-batch by
+    micro-batch through ``lakehouse.merge_table`` in a foreachBatch
+    sink — the streaming half of ``w_lakehouse_merge``, and the
+    standard CDC-apply pattern (Delta's ``foreachBatch`` + MERGE).
+
+    Determinism under replay: the three passes carry KEY-DISJOINT
+    update sets (pass k owns doc_id % 3 == k), so the final table
+    state is a pure function of the update SET — micro-batch
+    boundaries and pass order cannot matter, and each pass's rows
+    have unique keys so even an intra-pass batch split commutes.
+    Updates: every doc_id % 7 == 0 re-scored +1000·(pass+1); inserts:
+    every doc_id % 11 == 0 cloned to doc_id + 1000000·(pass+1) at
+    double score (clone ids collide with nothing — base ids are far
+    below 1e6 and the pass multiplier separates clones).
+
+    Scale shape: per micro-batch the work is O(touched partitions)
+    (the merge_table contract); one streaming writer here — N racing
+    writers are the ConflictError matrix test_lakehouse pins."""
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        merge_table,
+        read_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("score"),
+        F.lit("base").alias("src"),
+        (F.col("doc_id") % 4).alias("b"),
+    )
+    table = os.path.join(_tmpdir(), "silver_docs")
+    commit_partitions(
+        spark, table,
+        {f"b={k}": base.where(F.col("b") == k) for k in range(4)},
+        base_version=0,
+    )
+
+    upd = base.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "lang",
+        (F.col("score") + 1000 * (F.col("doc_id") % 3 + 1)).alias("score"),
+        F.lit("merge").alias("src"),
+        "b",
+        (F.col("doc_id") % 3).alias("arrive"),
+    )
+    ins = base.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000 * (F.col("doc_id") % 3 + 1)).alias("doc_id"),
+        "lang",
+        (F.col("score") * 2).alias("score"),
+        F.lit("merge").alias("src"),
+        ((F.col("doc_id") + 1000000 * (F.col("doc_id") % 3 + 1)) % 4).alias("b"),
+        (F.col("doc_id") % 3).alias("arrive"),
+    )
+    marked = upd.unionByName(ins)
+    feed = marked.drop("arrive")
+    root = _tmpdir()
+    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        if not batch.isEmpty():
+            merge_table(spark, table, batch, key_cols=["doc_id"],
+                        part_col="b")
+
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            spark.readStream.schema(feed.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("streaming pass timed out")
+    return read_table(spark, table).select(
+        "doc_id", "lang", "score", "src", "b"
+    )
+
+
+ST_LAKEHOUSE_MERGE_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
+         'base' AS src, doc_id % 4 AS b
+  FROM documents
+),
+upd AS (
+  SELECT doc_id, lang, score + 1000 * (doc_id % 3 + 1) AS score,
+         'merge' AS src, b
+  FROM base WHERE doc_id % 7 = 0
+),
+ins AS (
+  SELECT doc_id + 1000000 * (doc_id % 3 + 1) AS doc_id, lang,
+         score * 2 AS score, 'merge' AS src,
+         (doc_id + 1000000 * (doc_id % 3 + 1)) % 4 AS b
+  FROM base WHERE doc_id % 11 = 0
+)
+SELECT doc_id, lang, score, src, b FROM base
+WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+UNION ALL
+SELECT doc_id, lang, score, src, b FROM upd
+UNION ALL
+SELECT doc_id, lang, score, src, b FROM ins
+"""
+
+
 # ------------------------------------------------------ st_cascade_chained
 def st_cascade_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DECLARATIVE cascade (``streaming/chained.py``): same config
@@ -1371,6 +1488,7 @@ QUERIES = {
     "st_lsh_prefilter": st_lsh_prefilter,
     "st_pq_score": st_pq_score,
     "st_lakehouse_ingest": st_lakehouse_ingest,
+    "st_lakehouse_merge": st_lakehouse_merge,
 }
 
 ORACLES = {
@@ -1390,4 +1508,5 @@ ORACLES = {
     "st_lsh_prefilter": _st_lsh_prefilter_sql(),
     "st_pq_score": _st_pq_score_sql(),
     "st_lakehouse_ingest": ST_LAKEHOUSE_INGEST_SQL,
+    "st_lakehouse_merge": ST_LAKEHOUSE_MERGE_SQL,
 }
