@@ -239,6 +239,7 @@ _R11_DEFERRED: list = [
     "t_ppl_terciles",
     "w_lakehouse_merge",
     "st_lakehouse_merge",
+    "s_kmeans_step",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

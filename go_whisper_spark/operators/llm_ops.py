@@ -2594,6 +2594,135 @@ FROM s
 """
 
 
+# -------------------------------------------------------- s_kmeans_step
+def s_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EXACT Lloyd iteration over the embedding corpus — the
+    codebook-training primitive under the IVF/PQ family (their
+    centroid tables are trained by exactly this step; here it is a
+    driver-contract query so the training loop's distributed shape is
+    oracle-pinned, not just its frozen output).
+
+    Exactness: embeddings quantize to a fixed-point integer grid
+    (round(v·1e4) — one correctly-rounded IEEE op per element), so
+    assignment distances are exact longs, argmin is the lexicographic
+    min of (distance, centroid_id) structs (total order, no float
+    ties — computed as ONE aggregate per vector, no join-back: the
+    vector rides the aggregate since it is identical across its k
+    candidate rows), and the centroid update floors the per-dimension mean via
+    ONE double division of exact longs (identical in both engines).
+    Seeds: the 8 lowest vec_ids — deterministic, no RNG.
+
+    Scale shape: the assignment is the textbook broadcast cross join
+    (n_vectors × k rows, k = 8 — the k-means fan-out every
+    distributed implementation pays), reduced by a per-vector
+    min-struct aggregate; the update is posexplode → per-(cluster,
+    dim) partial sums (map-side combined) → per-cluster array
+    rebuild.  Iterating = re-running with the emitted centroids as
+    the next seed table; one step is where all the plan shape lives.
+    """
+    q = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 10000).cast("long"),
+        ).alias("qv"),
+    )
+    seeds = (
+        q.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+            F.col("qv").alias("cv"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    a = q.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "qv", "cid", dist.alias("d")
+    )
+    # argmin as ONE aggregate — no join-back: qv is identical across a
+    # vector's 8 candidate rows, so first(qv) is deterministic.
+    assign = (
+        a.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d", "cid")).alias("m"),
+            F.first("qv").alias("qv"),
+        )
+        .select(F.col("m.cid").alias("cid"), F.col("m.d").alias("d"), "qv")
+    )
+    ex = assign.select("cid", F.posexplode("qv").alias("dim", "v"))
+    cent = (
+        ex.groupBy("cid", "dim")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("c")
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s.c,
+            ).alias("centroid")
+        )
+    )
+    stats = assign.groupBy("cid").agg(
+        F.count("*").alias("n_members"), F.sum("d").alias("inertia")
+    )
+    # both sides are k = 8 rows — provably bounded, hinted broadcast
+    # (the fixed-k winner-set policy)
+    return stats.join(F.broadcast(cent), "cid").select(
+        "cid", "n_members", "inertia", "centroid"
+    )
+
+
+S_KMEANS_STEP_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+  FROM q ORDER BY vec_id LIMIT 8
+),
+a AS (
+  SELECT vec_id, qv, cid,
+         CAST(list_sum(list_transform(generate_series(1, len(qv)),
+           i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS BIGINT) AS d
+  FROM q, seeds
+),
+assign AS (
+  SELECT m.cid AS cid, m.d AS d, qv FROM (
+    SELECT vec_id, min(struct_pack(d := d, cid := cid)) AS m,
+           any_value(qv) AS qv
+    FROM a GROUP BY vec_id
+  )
+),
+ex AS (
+  SELECT cid, generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS v
+  FROM assign
+),
+cent AS (
+  SELECT cid, list(c ORDER BY dim) AS centroid FROM (
+    SELECT cid, dim,
+           CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+    FROM ex GROUP BY cid, dim
+  ) GROUP BY cid
+),
+stats AS (
+  SELECT cid, count(*) AS n_members, CAST(sum(d) AS BIGINT) AS inertia
+  FROM assign GROUP BY cid
+)
+SELECT s.cid, n_members, inertia, centroid
+FROM stats s JOIN cent USING (cid)
+"""
+
+
 # ------------------------------------------------------ t_quality_filter
 def t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-filter ACCOUNTING stage: apply heuristic quality
@@ -5830,6 +5959,7 @@ QUERIES = {
     "t_unigram_logprob": t_unigram_logprob,
     "t_bigram_logprob": t_bigram_logprob,
     "t_ppl_terciles": t_ppl_terciles,
+    "s_kmeans_step": s_kmeans_step,
     "s_pq_encode": s_pq_encode,
     "s_pq_recall": s_pq_recall,
     "s_pq_search": s_pq_search,
@@ -5902,6 +6032,7 @@ ORACLES = {
     "t_unigram_logprob": T_UNIGRAM_LOGPROB_SQL,
     "t_bigram_logprob": T_BIGRAM_LOGPROB_SQL,
     "t_ppl_terciles": T_PPL_TERCILES_SQL,
+    "s_kmeans_step": S_KMEANS_STEP_SQL,
     "s_pq_encode": _s_pq_encode_sql(),
     "s_pq_recall": _s_pq_recall_sql(),
     "s_pq_search": _s_pq_search_sql(),

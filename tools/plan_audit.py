@@ -884,6 +884,15 @@ CHECKS = {
                  "Window"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
+    # Lloyd step: the assignment fan-out is the 8-row broadcast
+    # nested-loop (k-means' k-way cross join, NOT a cartesian
+    # product); per-vector argmin and per-(cluster, dim) update are
+    # map-side-combined partial aggregates.
+    "s_kmeans_step": dict(
+        require=["BroadcastNestedLoopJoin", "partial_min", "partial_sum",
+                 "partial_count"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
     # BPE pair counting: tokenize + pair expansion as narrow
     # higher-order expressions; one map-side-combining count, then
     # partial top-k — join- and window-free.
