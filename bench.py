@@ -121,6 +121,13 @@ HEADLINE = [
     "s_hybrid_rrf",
     "s_pq_search_filtered",
     "g_render_hw",
+    # round 11 late additions: content-defined chunking (O(L) rolling
+    # boundary scan + chunk rebuild, all codegen — the ends list is
+    # materialized once per row; inlining it was a measured 7.8×
+    # regression) and the exact distributed Lloyd step (8-way
+    # broadcast fan-out + min-struct argmin aggregate).
+    "m_cdc_dedup",
+    "s_kmeans_step",
 ]
 
 

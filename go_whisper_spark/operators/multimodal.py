@@ -447,11 +447,16 @@ _CDC_ENDS = (
     "substring(md5(substr(payload, i - 7, 8)), 1, 2) <= '03'), "
     "length(payload))"
 )
+# NOTE: references an `ends` COLUMN — the boundary list must be
+# materialized once per row (withColumn) before this runs.  Inlining
+# _CDC_ENDS here instead re-evaluates the whole O(L)-md5 boundary scan
+# per OUTPUT CHUNK (Catalyst does not CSE the subexpression across
+# element_at sites) — measured 17.8 s → 0.6 s at sf0.1 for the ledger.
 _CDC_HASHES = (
-    f"transform(sequence(1, size({_CDC_ENDS})), j -> md5(substr(payload, "
-    f"CASE WHEN j = 1 THEN 1 ELSE element_at({_CDC_ENDS}, j - 1) + 1 END, "
-    f"element_at({_CDC_ENDS}, j) - "
-    f"CASE WHEN j = 1 THEN 0 ELSE element_at({_CDC_ENDS}, j - 1) END)))"
+    "transform(sequence(1, size(ends)), j -> md5(substr(payload, "
+    "CASE WHEN j = 1 THEN 1 ELSE element_at(ends, j - 1) + 1 END, "
+    "element_at(ends, j) - "
+    "CASE WHEN j = 1 THEN 0 ELSE element_at(ends, j - 1) END)))"
 )
 
 
@@ -475,8 +480,9 @@ def m_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus one 3-row kind-stats broadcast join."""
     media = documents_as_media(spark, sf_dir).select("kind", "payload")
     live = media.where(F.length("payload") > 0)
-    chunks = live.select(
-        "kind", F.explode(F.expr(_CDC_HASHES)).alias("h")
+    chunks = (
+        live.withColumn("ends", F.expr(_CDC_ENDS))
+        .select("kind", F.explode(F.expr(_CDC_HASHES)).alias("h"))
     )
     per = chunks.groupBy("kind").agg(
         F.count("*").alias("n_chunks"),
@@ -718,20 +724,25 @@ _CDC_ENDS_SQL = (
     "substring(md5(substr(text, i - 7, 8)), 1, 2) <= '03'), "
     "length(text))"
 )
+# mirrors the Spark two-step: `ends` computed once per row in its own
+# subquery, the chunk rebuild referencing the column.
 _CDC_HASHES_SQL = (
-    f"list_transform(generate_series(1, len({_CDC_ENDS_SQL})), "
-    f"j -> md5(substr(text, "
-    f"CASE WHEN j = 1 THEN 1 ELSE ({_CDC_ENDS_SQL})[j - 1] + 1 END, "
-    f"({_CDC_ENDS_SQL})[j] - "
-    f"CASE WHEN j = 1 THEN 0 ELSE ({_CDC_ENDS_SQL})[j - 1] END)))"
+    "list_transform(generate_series(1, len(ends)), "
+    "j -> md5(substr(text, "
+    "CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END, "
+    "ends[j] - "
+    "CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END)))"
 )
 
 M_CDC_DEDUP_SQL = f"""
 WITH media AS (
   SELECT {_KIND_SQL} AS kind, text FROM documents WHERE length(text) > 0
 ),
+bounded AS (
+  SELECT kind, text, {_CDC_ENDS_SQL} AS ends FROM media
+),
 chunks AS (
-  SELECT kind, unnest({_CDC_HASHES_SQL}) AS h FROM media
+  SELECT kind, unnest({_CDC_HASHES_SQL}) AS h FROM bounded
 ),
 per AS (
   SELECT kind, count(*) AS n_chunks, count(DISTINCT h) AS n_distinct

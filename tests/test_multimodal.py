@@ -107,9 +107,11 @@ def test_cdc_chunking_survives_insertion(spark):
         [(1, bytearray(base)), (2, bytearray(shifted))],
         "media_id long, payload binary",
     )
-    chunks = df.select(
-        "media_id", F.explode(F.expr(mm._CDC_HASHES)).alias("h")
-    ).collect()
+    chunks = (
+        df.withColumn("ends", F.expr(mm._CDC_ENDS))
+        .select("media_id", F.explode(F.expr(mm._CDC_HASHES)).alias("h"))
+        .collect()
+    )
     a = {r.h for r in chunks if r.media_id == 1}
     b = {r.h for r in chunks if r.media_id == 2}
     # the two blobs share the vast majority of their chunks
