@@ -240,6 +240,7 @@ _R11_DEFERRED: list = [
     "w_lakehouse_merge",
     "st_lakehouse_merge",
     "s_kmeans_step",
+    "d_cdc_neardup",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

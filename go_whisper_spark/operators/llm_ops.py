@@ -2594,6 +2594,120 @@ FROM s
 """
 
 
+# -------------------------------------------------------- d_cdc_neardup
+def d_cdc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by CONTENT-DEFINED-CHUNK overlap — the
+    blob/file-store dedup signal at document granularity: two docs
+    sharing >= half their CDC chunks (Jaccard >= 0.5 over chunk-hash
+    sets) are near-dups.  Complements the 3-gram ``d_jaccard_pairs``
+    view: CDC chunks are ~64-byte content-anchored spans, so the
+    signal survives insertions (the ``m_cdc_dedup`` stability
+    property) and works on bytes, not tokens.
+
+    The keep gate is the integer cross-multiplication ``2·shared >=
+    |A| + |B| − shared`` (no float threshold); the reported jaccard
+    is exact micro-units (floor(shared·1e6 / union) — one double
+    division of small exact longs).
+
+    Scale shape: candidate generation is the chunk-inverted-index
+    equi-join (work ∝ shared chunks, never |docs|²), with
+    document-frequency capping (df <= 50) dropping boilerplate chunks
+    the way stopword shingles are dropped — the posting-length bound
+    that keeps Σ|posting|² finite at 100 TB.  The boundary scan is
+    the materialized-``ends`` plan from ``m_cdc_dedup``."""
+    from go_whisper_spark.operators.multimodal import (
+        _CDC_ENDS,
+        _CDC_HASHES,
+        documents_as_media,
+    )
+
+    media = (
+        documents_as_media(spark, sf_dir)
+        .select(F.col("media_id").alias("doc_id"), "payload")
+        .where(F.length("payload") > 0)
+    )
+    chunks = (
+        media.withColumn("ends", F.expr(_CDC_ENDS))
+        .select("doc_id", F.explode(F.expr(_CDC_HASHES)).alias("h"))
+        .distinct()
+    )
+    freq = chunks.groupBy("h").agg(F.count("*").alias("df"))
+    live = chunks.join(freq.where(F.col("df") <= 50), "h")
+    sizes = chunks.groupBy("doc_id").agg(F.count("*").alias("n_ch"))
+    a, b = live.alias("a"), live.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    j = (
+        shared.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("n_ch").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_ch").alias("nb")), "doc_b")
+    )
+    union = F.col("na") + F.col("nb") - F.col("shared")
+    return (
+        j.where(2 * F.col("shared") >= union)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "na",
+            "nb",
+            F.floor((F.col("shared") * 1000000).cast("double") / union)
+            .cast("long")
+            .alias("j_ppm"),
+        )
+    )
+
+
+D_CDC_NEARDUP_SQL = """
+WITH media AS (
+  SELECT doc_id, text FROM documents WHERE length(text) > 0
+),
+bounded AS (
+  SELECT doc_id, text,
+         list_append(list_filter(generate_series(1, greatest(length(text) - 1, 1)),
+           i -> i < length(text) AND i >= 8 AND
+           substring(md5(substr(text, i - 7, 8)), 1, 2) <= '03'),
+           length(text)) AS ends
+  FROM media
+),
+chunks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ends)),
+           j -> md5(substr(text,
+             CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END,
+             ends[j] - CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END)))) AS h
+  FROM bounded
+),
+freq AS (SELECT h, count(*) AS df FROM chunks GROUP BY h),
+live AS (SELECT c.doc_id, c.h FROM chunks c JOIN freq f ON f.h = c.h
+         WHERE f.df <= 50),
+sizes AS (SELECT doc_id, count(*) AS n_ch FROM chunks GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM live a JOIN live b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared, sa.n_ch AS na, sb.n_ch AS nb,
+       CAST(floor(CAST(shared * 1000000 AS DOUBLE)
+                  / (sa.n_ch + sb.n_ch - shared)) AS BIGINT) AS j_ppm
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 2 * shared >= (sa.n_ch + sb.n_ch - shared)
+"""
+
+
 # -------------------------------------------------------- s_kmeans_step
 def s_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One EXACT Lloyd iteration over the embedding corpus — the
@@ -5960,6 +6074,7 @@ QUERIES = {
     "t_bigram_logprob": t_bigram_logprob,
     "t_ppl_terciles": t_ppl_terciles,
     "s_kmeans_step": s_kmeans_step,
+    "d_cdc_neardup": d_cdc_neardup,
     "s_pq_encode": s_pq_encode,
     "s_pq_recall": s_pq_recall,
     "s_pq_search": s_pq_search,
@@ -6033,6 +6148,7 @@ ORACLES = {
     "t_bigram_logprob": T_BIGRAM_LOGPROB_SQL,
     "t_ppl_terciles": T_PPL_TERCILES_SQL,
     "s_kmeans_step": S_KMEANS_STEP_SQL,
+    "d_cdc_neardup": D_CDC_NEARDUP_SQL,
     "s_pq_encode": _s_pq_encode_sql(),
     "s_pq_recall": _s_pq_recall_sql(),
     "s_pq_search": _s_pq_search_sql(),

@@ -893,6 +893,14 @@ CHECKS = {
                  "partial_count"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
+    # CDC-chunk near-dup: candidate generation MUST be the
+    # chunk-inverted-index equi-join (posting join), never a
+    # cross/nested-loop over doc pairs; the df-cap filter and size
+    # join-backs are equi-joins AQE sizes.
+    "d_cdc_neardup": dict(
+        require=["partial_count"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # BPE pair counting: tokenize + pair expansion as narrow
     # higher-order expressions; one map-side-combining count, then
     # partial top-k — join- and window-free.
