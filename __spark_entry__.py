@@ -241,6 +241,7 @@ _R11_DEFERRED: list = [
     "st_lakehouse_merge",
     "s_kmeans_step",
     "d_cdc_neardup",
+    "w_heavy_hitters_cms",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -618,6 +618,112 @@ def w_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ w_heavy_hitters_cms
+_CMS_D = 4     # hash rows
+_CMS_W = 64    # buckets per row — small enough to force collisions at
+#                test scale so the overestimate column is exercised
+
+
+def w_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters over ``events.user_id`` — the
+    point-query sketch member next to ``w_approx_stats``'s KMV
+    (distinct-count) and hash-threshold (sample) sketches: build a
+    d×w counter matrix (d = 4 md5-derived hash rows, w = 64 buckets),
+    estimate each candidate's frequency as the min over its d
+    counters, and emit the top-20 users by EXACT count with their CM
+    estimate and the overestimate (est − exact — the one-sided CM
+    error, always >= 0 by construction; collisions at w = 64 make it
+    nonzero at test scale).
+
+    Determinism: bucket = md5('r<r>:' || user_id) first-8-hex as an
+    integer mod w — the ``d_split_hash`` pairing (Spark ``conv`` ≡
+    DuckDB ``'0x'||…`` cast), exact in both engines; every count is
+    an integer; top-20 is totally ordered by (exact DESC, user ASC).
+
+    Scale shape: the sketch build is ONE map-side-combined aggregate
+    over d·n rows into d·w cells — the entire point of CM at 100 TB
+    is that the shuffle carries at most d·w rows per partition
+    regardless of key cardinality; the estimate side joins the
+    candidate set's d buckets against the d·w-row sketch (broadcast —
+    the sketch is constant-size BY DESIGN) and the exact side is one
+    count for the comparison ledger.  TakeOrdered caps the output."""
+    from go_whisper_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    rows = ev.select(
+        "user_id", F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("r"),
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+    keyed = rows.withColumn("b", bucket)
+    sketch = keyed.groupBy("r", "b").agg(F.count("*").alias("cnt"))
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
+    cand = exact.select(
+        "user_id", "exact",
+        F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r"),
+    ).withColumn("b", bucket)
+    est = (
+        cand.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("user_id", "exact")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    return (
+        est.orderBy(F.desc("exact"), F.asc("user_id"))
+        .limit(20)
+        .select(
+            "user_id",
+            "exact",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact")).alias("overestimate"),
+        )
+    )
+
+
+W_HEAVY_HITTERS_CMS_SQL = f"""
+WITH ev AS (SELECT user_id FROM events),
+rows_ AS (
+  SELECT user_id, r,
+         CAST('0x' || substring(md5('r' || CAST(r AS VARCHAR) || ':' ||
+              CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % {_CMS_W} AS b
+  FROM ev, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r)
+),
+sketch AS (SELECT r, b, count(*) AS cnt FROM rows_ GROUP BY r, b),
+exact AS (SELECT user_id, count(*) AS exact FROM ev GROUP BY user_id),
+cand AS (
+  SELECT e.user_id, e.exact, r,
+         CAST('0x' || substring(md5('r' || CAST(r AS VARCHAR) || ':' ||
+              CAST(e.user_id AS VARCHAR)), 1, 8) AS BIGINT) % {_CMS_W} AS b
+  FROM exact e, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r)
+),
+est AS (
+  SELECT c.user_id, c.exact, min(s.cnt) AS cm_est
+  FROM cand c JOIN sketch s ON s.r = c.r AND s.b = c.b
+  GROUP BY c.user_id, c.exact
+)
+SELECT user_id, exact, cm_est, cm_est - exact AS overestimate
+FROM est
+ORDER BY exact DESC, user_id ASC
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------- w_approx_stats
 # Deterministic sketch parameters, inlined into BOTH engines.
 _KMV_BUCKETS = 64          # stochastic-averaging buckets (min-value sketch)
@@ -1905,6 +2011,7 @@ QUERIES = {
     "w_lakehouse_compact": w_lakehouse_compact,
     "w_lakehouse_timetravel": w_lakehouse_timetravel,
     "w_lakehouse_merge": w_lakehouse_merge,
+    "w_heavy_hitters_cms": w_heavy_hitters_cms,
     "w_retention_reap": w_retention_reap,
     "w_store_fetch": w_store_fetch,
     "w_wsp_roundtrip": w_wsp_roundtrip,
@@ -1939,6 +2046,7 @@ ORACLES = {
     "w_lakehouse_compact": W_LAKEHOUSE_COMPACT_SQL,
     "w_lakehouse_timetravel": W_LAKEHOUSE_TIMETRAVEL_SQL,
     "w_lakehouse_merge": W_LAKEHOUSE_MERGE_SQL,
+    "w_heavy_hitters_cms": W_HEAVY_HITTERS_CMS_SQL,
     "w_retention_reap": W_RETENTION_REAP_SQL,
     "w_store_fetch": W_STORE_FETCH_SQL,
     "w_wsp_roundtrip": W_WSP_ROUNDTRIP_SQL,

@@ -901,6 +901,14 @@ CHECKS = {
         require=["partial_count"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # Count-Min heavy hitters: sketch build and exact side are
+    # map-side-combined counts; the estimate join broadcasts the
+    # constant-size (d·w-row) sketch; top-20 is a partial top-k.
+    "w_heavy_hitters_cms": dict(
+        require=["partial_count", "partial_min", "BroadcastHashJoin",
+                 "TakeOrderedAndProject"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
     # BPE pair counting: tokenize + pair expansion as narrow
     # higher-order expressions; one map-side-combining count, then
     # partial top-k — join- and window-free.
