@@ -23,7 +23,7 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (106 ops — the composable core; the ~111 fixed-form
+Operator registry (109 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
@@ -81,7 +81,10 @@ surface):
               percentileOfSeries summarize groupByNode(i, how)
               hitcount(h) — summarize-sum × slot width (rate→count)
               sumSeriesWithWildcards(i) averageSeriesWithWildcards(i)
+              maxSeriesWithWildcards(i) minSeriesWithWildcards(i)
               — aggregate after deleting the i-th dot node
+              (the generic aggregateWithWildcards(s, 'how', i)
+              desugars here)
   per-series  aggregateLine('avg'|'max'|'min') — flat line at the
               series aggregate (keys preserved)
   labels      alias aliasSub (replace-ALL semantics in both engines)
@@ -333,6 +336,24 @@ def _desugar(node: Node) -> Node:
         return Call("offset", args)
     if name == "timeFunction":
         return Call("identity", args)
+    if name == "aggregateWithWildcards":
+        if (len(args) != 3 or not isinstance(args[1], Str)
+                or not isinstance(args[2], Num)):
+            raise RenderParseError(
+                "aggregateWithWildcards takes (series, 'method', position)"
+            )
+        target = {
+            "sum": "sumSeriesWithWildcards",
+            "average": "averageSeriesWithWildcards",
+            "avg": "averageSeriesWithWildcards",
+            "max": "maxSeriesWithWildcards",
+            "min": "minSeriesWithWildcards",
+        }.get(args[1].value)
+        if target is None:
+            raise RenderParseError(
+                f"aggregateWithWildcards: unknown method {args[1].value!r}"
+            )
+        return Call(target, [args[0], args[2]])
     return Call(name, args)
 
 
@@ -529,7 +550,8 @@ def analyze(node: Node):
     if name in _FIXED_LABEL:
         return (True, True, _FIXED_LABEL[name])
     if name in ("groupByNode", "sumSeriesWithWildcards",
-                "averageSeriesWithWildcards", "groupByTags"):
+                "averageSeriesWithWildcards", "maxSeriesWithWildcards",
+                "minSeriesWithWildcards", "groupByTags"):
         # relabel + aggregate: keys unique per (new label, interval),
         # label set data-dependent.
         return (False, True, None)
@@ -1803,11 +1825,13 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                 F.when(nn > 0, F.floor(F.sqrt(rad) / nn))
                 .cast("long").alias("cents"),
             )
-        if name in ("sumSeriesWithWildcards", "averageSeriesWithWildcards"):
+        if name in ("sumSeriesWithWildcards", "averageSeriesWithWildcards",
+                    "maxSeriesWithWildcards", "minSeriesWithWildcards"):
             # delete the i-th dot node from every label, then
             # aggregate series that now share a label — Graphite's
-            # wildcard reducers.  Deleting a node past the end is a
-            # no-op in both engines (slice truncates).
+            # wildcard reducers (the max/min forms reach here via the
+            # aggregateWithWildcards desugar).  Deleting a node past
+            # the end is a no-op in both engines (slice truncates).
             _need(n, 2, (object, Num))
             i = n.args[1].value
             if i < 0:
@@ -1824,13 +1848,14 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                     ),
                 ),
             )
-            agg = (
-                F.sum("cents")
-                if name == "sumSeriesWithWildcards"
-                else F.floor(
+            agg = {
+                "sumSeriesWithWildcards": F.sum("cents"),
+                "maxSeriesWithWildcards": F.max("cents"),
+                "minSeriesWithWildcards": F.min("cents"),
+                "averageSeriesWithWildcards": F.floor(
                     F.sum("cents").cast("double") / F.count("cents")
-                ).cast("long")
-            )
+                ).cast("long"),
+            }[name]
             return (
                 ev(n.args[0])
                 .withColumn("metric", relabel)
@@ -3077,7 +3102,8 @@ def build_sql(node: Node) -> str:
                 f"sqrt(CAST({nn} * {s2} - {s1} * {s1} AS DOUBLE)) / {nn}"
                 f") AS BIGINT) END AS cents FROM {ev(n.args[0])} s)"
             )
-        if name in ("sumSeriesWithWildcards", "averageSeriesWithWildcards"):
+        if name in ("sumSeriesWithWildcards", "averageSeriesWithWildcards",
+                    "maxSeriesWithWildcards", "minSeriesWithWildcards"):
             i = n.args[1].value
             # coalesce: DuckDB's array_to_string([]) is NULL where
             # Spark's concat_ws over an empty array is '' — a
@@ -3087,12 +3113,15 @@ def build_sql(node: Node) -> str:
                 f"str_split(metric, '.')[1:{i}], "
                 f"str_split(metric, '.')[{i + 2}:]), '.'), '')"
             )
-            agg = (
-                "CAST(sum(cents) AS BIGINT)"
-                if name == "sumSeriesWithWildcards"
-                else ("CAST(floor(CAST(sum(cents) AS DOUBLE) / count(cents))"
-                      " AS BIGINT)")
-            )
+            agg = {
+                "sumSeriesWithWildcards": "CAST(sum(cents) AS BIGINT)",
+                "maxSeriesWithWildcards": "max(cents)",
+                "minSeriesWithWildcards": "min(cents)",
+                "averageSeriesWithWildcards": (
+                    "CAST(floor(CAST(sum(cents) AS DOUBLE) / count(cents))"
+                    " AS BIGINT)"
+                ),
+            }[name]
             return (
                 f"(SELECT {relabel} AS metric, interval, {agg} AS cents "
                 f"FROM {ev(n.args[0])} s GROUP BY {relabel}, interval)"

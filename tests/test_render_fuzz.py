@@ -95,6 +95,7 @@ def _series(rng, depth):
             "filterSeries", "smartSummarize", "asPercentTotal",
             "divideSeriesLists", "cactiStyle", "aggregate",
             "movingWindow", "highestLowest", "add",
+            "aggregateWithWildcards",
         ]
     )
     if name in _UNARY:
@@ -171,6 +172,10 @@ def _series(rng, depth):
         return f"removeBetweenPercentile({_series(rng, depth - 1)}, {rng.choice([10, 25, 40])})"
     if name in ("sumSeriesWithWildcards", "averageSeriesWithWildcards"):
         return f"{name}({_series(rng, depth - 1)}, {rng.randint(0, 2)})"
+    if name == "aggregateWithWildcards":
+        how = rng.choice(["sum", "average", "max", "min"])
+        return (f"aggregateWithWildcards({_series(rng, depth - 1)}, "
+                f"'{how}', {rng.randint(0, 2)})")
     if name == "substr":
         i = rng.randint(0, 1)
         return f"substr({_series(rng, depth - 1)}, {i}, {i + rng.randint(1, 2)})"
