@@ -242,6 +242,7 @@ _R11_DEFERRED: list = [
     "s_kmeans_step",
     "d_cdc_neardup",
     "w_heavy_hitters_cms",
+    "w_distinct_hll",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

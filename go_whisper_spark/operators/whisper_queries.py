@@ -724,6 +724,123 @@ LIMIT 20
 """
 
 
+# -------------------------------------------------------- w_distinct_hll
+_HLL_M = 64                       # registers
+_HLL_P53 = 9007199254740992       # 2^53 — the common denominator for
+#                                   the exact register-sum rational
+_HLL_NUM = 0.709 * 4096.0 * float(_HLL_P53)  # alpha_64 · m² · 2^53
+
+
+def w_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count per metric — the third sketch next
+    to KMV (`w_approx_stats`) and Count-Min (`w_heavy_hitters_cms`),
+    with the estimate made CROSS-ENGINE EXACT: register index = md5
+    first-byte mod 64, rho = leading-zero count of the next 52 hash
+    bits + 1 computed ENTIRELY by string ops on the hex digest (the
+    '0*' prefix length ×4 plus a 16-way nibble CASE — no log2, no
+    libm anywhere), and the harmonic sum Σ2^(−M_j) held as the exact
+    long Σ2^(53−M_j) over the common denominator 2^53 (empty
+    registers contribute 2^53).  The one float op is the final
+    alpha·m²·2^53 / S division — identical literal, identical single
+    IEEE op, identical floor in both engines.  Ledger: exact
+    distinct, HLL estimate, empty-register count (the small-range
+    regime indicator — production HLL switches to linear counting
+    there; ln() is libm so that branch is deliberately reported, not
+    computed), and the signed error in permille.
+
+    Scale shape: the pre-distinct shrinks the wire to one row per
+    (metric, user); registers are a 64·n_metrics-cell map-combined
+    aggregate — like CM, the shuffle is CONSTANT-size per key
+    regardless of cardinality, which is the entire reason HLL exists
+    at 100 TB.  The exact side is the comparison ledger only."""
+    from go_whisper_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("metric"), "user_id")
+        .distinct()
+    )
+    hexc = F.md5(F.col("user_id").cast("string"))
+    j = F.conv(F.substring(hexc, 1, 2), 16, 10).cast("long") % _HLL_M
+    sub = F.substring(hexc, 3, 13)
+    lz = F.length(F.regexp_extract(sub, "^(0*)", 1))
+    first = F.substring(F.regexp_replace(sub, "^0*", ""), 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(lz == 13, F.lit(53)).otherwise(lz * 4 + extra + 1)
+    regs = (
+        ev.select("metric", j.alias("j"), rho.alias("rho"))
+        .groupBy("metric", "j")
+        .agg(F.max("rho").alias("mj"))
+    )
+    per = regs.groupBy("metric").agg(
+        F.sum(F.expr("shiftleft(1L, CAST(53 - mj AS INT))")).alias("s_present"),
+        F.count("*").alias("n_regs"),
+    )
+    stot = F.col("s_present") + (_HLL_M - F.col("n_regs")) * F.lit(_HLL_P53)
+    est = F.floor(F.lit(_HLL_NUM) / stot.cast("double")).cast("long")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("metric"))
+        .agg(F.count_distinct("user_id").alias("exact"))
+    )
+    out = per.join(exact, "metric")
+    e = est
+    return out.select(
+        "metric",
+        "exact",
+        e.alias("hll_est"),
+        (_HLL_M - F.col("n_regs")).alias("n_empty"),
+        F.floor(
+            ((e - F.col("exact")) * 1000).cast("double") / F.col("exact")
+        ).cast("long").alias("err_permille"),
+    )
+
+
+W_DISTINCT_HLL_SQL = f"""
+WITH ev AS (SELECT DISTINCT event_type AS metric, user_id FROM events),
+h AS (
+  SELECT metric,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2)
+              AS BIGINT) % {_HLL_M} AS j,
+         substring(md5(CAST(user_id AS VARCHAR)), 3, 13) AS sub
+  FROM ev),
+r AS (
+  SELECT metric, j,
+         CASE WHEN length(regexp_extract(sub, '^(0*)', 1)) = 13 THEN 53
+              ELSE length(regexp_extract(sub, '^(0*)', 1)) * 4 +
+                   CASE substring(regexp_replace(sub, '^0*', ''), 1, 1)
+                     WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                     WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                     WHEN '7' THEN 1
+                     ELSE 0 END + 1 END AS rho
+  FROM h),
+regs AS (SELECT metric, j, max(rho) AS mj FROM r GROUP BY metric, j),
+per AS (
+  SELECT metric,
+         CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mj AS INT)) AS BIGINT)
+           AS s_present,
+         count(*) AS n_regs
+  FROM regs GROUP BY metric),
+exact AS (SELECT event_type AS metric, count(DISTINCT user_id) AS exact
+          FROM events GROUP BY 1)
+SELECT per.metric, exact,
+       CAST(floor({_HLL_NUM!r} /
+            CAST(s_present + ({_HLL_M} - n_regs) * {_HLL_P53} AS DOUBLE))
+            AS BIGINT) AS hll_est,
+       {_HLL_M} - n_regs AS n_empty,
+       CAST(floor(CAST((CAST(floor({_HLL_NUM!r} /
+            CAST(s_present + ({_HLL_M} - n_regs) * {_HLL_P53} AS DOUBLE))
+            AS BIGINT) - exact) * 1000 AS DOUBLE) / exact) AS BIGINT)
+         AS err_permille
+FROM per JOIN exact USING (metric)
+"""
+
+
 # ---------------------------------------------------------- w_approx_stats
 # Deterministic sketch parameters, inlined into BOTH engines.
 _KMV_BUCKETS = 64          # stochastic-averaging buckets (min-value sketch)
@@ -2012,6 +2129,7 @@ QUERIES = {
     "w_lakehouse_timetravel": w_lakehouse_timetravel,
     "w_lakehouse_merge": w_lakehouse_merge,
     "w_heavy_hitters_cms": w_heavy_hitters_cms,
+    "w_distinct_hll": w_distinct_hll,
     "w_retention_reap": w_retention_reap,
     "w_store_fetch": w_store_fetch,
     "w_wsp_roundtrip": w_wsp_roundtrip,
@@ -2047,6 +2165,7 @@ ORACLES = {
     "w_lakehouse_timetravel": W_LAKEHOUSE_TIMETRAVEL_SQL,
     "w_lakehouse_merge": W_LAKEHOUSE_MERGE_SQL,
     "w_heavy_hitters_cms": W_HEAVY_HITTERS_CMS_SQL,
+    "w_distinct_hll": W_DISTINCT_HLL_SQL,
     "w_retention_reap": W_RETENTION_REAP_SQL,
     "w_store_fetch": W_STORE_FETCH_SQL,
     "w_wsp_roundtrip": W_WSP_ROUNDTRIP_SQL,

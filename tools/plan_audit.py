@@ -909,6 +909,14 @@ CHECKS = {
                  "TakeOrderedAndProject"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # HLL: pre-distinct + two map-combined aggregates (64·n_metrics
+    # register cells, then per-metric sums); the exact-ledger join is
+    # an n_metrics-key equi-join AQE broadcasts.
+    "w_distinct_hll": dict(
+        require=["partial_max", "partial_sum"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
     # BPE pair counting: tokenize + pair expansion as narrow
     # higher-order expressions; one map-side-combining count, then
     # partial top-k — join- and window-free.
