@@ -243,6 +243,7 @@ _R11_DEFERRED: list = [
     "d_cdc_neardup",
     "w_heavy_hitters_cms",
     "w_distinct_hll",
+    "s_kmeans_2step",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -2709,6 +2709,64 @@ WHERE 2 * shared >= (sa.n_ch + sb.n_ch - shared)
 
 
 # -------------------------------------------------------- s_kmeans_step
+def _km_quant(spark, sf_dir):
+    """Fixed-point-quantized vectors (vec_id, qv: array<long>)."""
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 10000).cast("long"),
+        ).alias("qv"),
+    )
+
+
+def _km_assign(q, cents):
+    """Assignment step: per vector, the lexicographic min (distance,
+    cid) over the broadcast centroid frame (cid, cv) — one aggregate,
+    no join-back (qv rides the aggregate).  Returns
+    (vec_id, cid, d, qv)."""
+    dist = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    a = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "qv", "cid", dist.alias("d")
+    )
+    return (
+        a.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d", "cid")).alias("m"),
+            F.first("qv").alias("qv"),
+        )
+        .select(
+            "vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"),
+            "qv",
+        )
+    )
+
+
+def _km_update(assign):
+    """Update step: floored per-(cluster, dim) mean, rebuilt into the
+    centroid array — returns (cid, cv)."""
+    ex = assign.select("cid", F.posexplode("qv").alias("dim", "v"))
+    return (
+        ex.groupBy("cid", "dim")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("c")
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s.c,
+            ).alias("cv")
+        )
+    )
+
+
 def s_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One EXACT Lloyd iteration over the embedding corpus — the
     codebook-training primitive under the IVF/PQ family (their
@@ -2749,40 +2807,8 @@ def s_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qv").alias("cv"),
         )
     )
-    dist = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    a = q.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "qv", "cid", dist.alias("d")
-    )
-    # argmin as ONE aggregate — no join-back: qv is identical across a
-    # vector's 8 candidate rows, so first(qv) is deterministic.
-    assign = (
-        a.groupBy("vec_id")
-        .agg(
-            F.min(F.struct("d", "cid")).alias("m"),
-            F.first("qv").alias("qv"),
-        )
-        .select(F.col("m.cid").alias("cid"), F.col("m.d").alias("d"), "qv")
-    )
-    ex = assign.select("cid", F.posexplode("qv").alias("dim", "v"))
-    cent = (
-        ex.groupBy("cid", "dim")
-        .agg(
-            F.floor(F.sum("v").cast("double") / F.count("*"))
-            .cast("long")
-            .alias("c")
-        )
-        .groupBy("cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))),
-                lambda s: s.c,
-            ).alias("centroid")
-        )
-    )
+    assign = _km_assign(q, seeds)
+    cent = _km_update(assign).select("cid", F.col("cv").alias("centroid"))
     stats = assign.groupBy("cid").agg(
         F.count("*").alias("n_members"), F.sum("d").alias("inertia")
     )
@@ -2791,6 +2817,55 @@ def s_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(F.broadcast(cent), "cid").select(
         "cid", "n_members", "inertia", "centroid"
     )
+
+
+def s_kmeans_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained Lloyd iterations — the convergence ledger for the
+    training loop ``s_kmeans_step`` takes one step of: round 2
+    re-assigns every vector against round 1's emitted centroids (an
+    8-row frame flowing straight back into the broadcast fan-in — no
+    collect, the loop is plan-to-plan) and the output is one row per
+    round: total inertia and how many vectors changed cluster.
+    Inertia is monotonically non-increasing under Lloyd (asserted in
+    pytest); n_moved -> 0 is the stopping signal a production trainer
+    watches.
+
+    Scale shape: each round is the ``s_kmeans_step`` plan; the moved
+    count is one vec_id equi-join between the two assignment ledgers
+    (n-row both sides — the one honest O(n) shuffle join here, keyed
+    by vec_id).  N rounds = N scans; centroids stay 8 rows forever."""
+    q = _km_quant(spark, sf_dir)
+    seeds = (
+        q.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+            F.col("qv").alias("cv"),
+        )
+    )
+    a1 = _km_assign(q, seeds)
+    c1 = _km_update(a1)
+    a2 = _km_assign(q, c1)
+    r1 = a1.agg(F.sum("d").alias("inertia")).select(
+        F.lit(1).alias("round"),
+        "inertia",
+        F.lit(0).cast("long").alias("n_moved"),
+    )
+    moved = (
+        a1.select("vec_id", F.col("cid").alias("cid1"))
+        .join(a2.select("vec_id", F.col("cid").alias("cid2")), "vec_id")
+        .agg(
+            F.sum((F.col("cid1") != F.col("cid2")).cast("long")).alias(
+                "n_moved"
+            )
+        )
+    )
+    r2 = (
+        a2.agg(F.sum("d").alias("inertia"))
+        .crossJoin(F.broadcast(moved))
+        .select(F.lit(2).alias("round"), "inertia", "n_moved")
+    )
+    return r1.unionByName(r2).select("round", "inertia", "n_moved")
 
 
 S_KMEANS_STEP_SQL = """
@@ -2834,6 +2909,66 @@ stats AS (
 )
 SELECT s.cid, n_members, inertia, centroid
 FROM stats s JOIN cent USING (cid)
+"""
+
+S_KMEANS_2STEP_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+  FROM q ORDER BY vec_id LIMIT 8
+),
+a1 AS (
+  SELECT vec_id, qv, cid,
+         CAST(list_sum(list_transform(generate_series(1, len(qv)),
+           i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS BIGINT) AS d
+  FROM q, seeds
+),
+as1 AS (
+  SELECT vec_id, m.cid AS cid, m.d AS d, qv FROM (
+    SELECT vec_id, min(struct_pack(d := d, cid := cid)) AS m,
+           any_value(qv) AS qv
+    FROM a1 GROUP BY vec_id
+  )
+),
+ex1 AS (
+  SELECT cid, generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS v
+  FROM as1
+),
+c1 AS (
+  SELECT cid, list(c ORDER BY dim) AS cv FROM (
+    SELECT cid, dim,
+           CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+    FROM ex1 GROUP BY cid, dim
+  ) GROUP BY cid
+),
+a2 AS (
+  SELECT vec_id, qv, cid,
+         CAST(list_sum(list_transform(generate_series(1, len(qv)),
+           i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS BIGINT) AS d
+  FROM q, c1
+),
+as2 AS (
+  SELECT vec_id, m.cid AS cid, m.d AS d FROM (
+    SELECT vec_id, min(struct_pack(d := d, cid := cid)) AS m
+    FROM a2 GROUP BY vec_id
+  )
+),
+moved AS (
+  SELECT CAST(sum(CASE WHEN x.cid != y.cid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved
+  FROM as1 x JOIN as2 y ON x.vec_id = y.vec_id
+)
+SELECT 1 AS round, CAST(sum(d) AS BIGINT) AS inertia,
+       CAST(0 AS BIGINT) AS n_moved
+FROM as1
+UNION ALL
+SELECT 2, CAST(sum(d) AS BIGINT), (SELECT n_moved FROM moved)
+FROM as2
 """
 
 
@@ -6074,6 +6209,7 @@ QUERIES = {
     "t_bigram_logprob": t_bigram_logprob,
     "t_ppl_terciles": t_ppl_terciles,
     "s_kmeans_step": s_kmeans_step,
+    "s_kmeans_2step": s_kmeans_2step,
     "d_cdc_neardup": d_cdc_neardup,
     "s_pq_encode": s_pq_encode,
     "s_pq_recall": s_pq_recall,
@@ -6148,6 +6284,7 @@ ORACLES = {
     "t_bigram_logprob": T_BIGRAM_LOGPROB_SQL,
     "t_ppl_terciles": T_PPL_TERCILES_SQL,
     "s_kmeans_step": S_KMEANS_STEP_SQL,
+    "s_kmeans_2step": S_KMEANS_2STEP_SQL,
     "d_cdc_neardup": D_CDC_NEARDUP_SQL,
     "s_pq_encode": _s_pq_encode_sql(),
     "s_pq_recall": _s_pq_recall_sql(),

@@ -281,3 +281,13 @@ def test_ppl_terciles_semantics(spark, sf_dir):
         tail = [r.ppl_u6 for r in rs if r.tercile == 3]
         if head and tail:
             assert max(head) <= min(tail), (lang, max(head), min(tail))
+
+
+def test_kmeans_two_step_converges(spark, sf_dir):
+    """Lloyd monotonicity: round-2 inertia <= round-1, and the moved
+    count is sane (0 <= n_moved <= corpus size)."""
+    qs = entrymod.queries()
+    rows = {r.round: r for r in qs["s_kmeans_2step"](spark, sf_dir).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2].inertia <= rows[1].inertia
+    assert rows[1].n_moved == 0 and rows[2].n_moved >= 0
