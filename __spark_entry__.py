@@ -244,6 +244,7 @@ _R11_DEFERRED: list = [
     "w_heavy_hitters_cms",
     "w_distinct_hll",
     "s_kmeans_2step",
+    "s_kmeans_seed",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

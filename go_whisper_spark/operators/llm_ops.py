@@ -2911,6 +2911,115 @@ SELECT s.cid, n_members, inertia, centroid
 FROM stats s JOIN cent USING (cid)
 """
 
+def s_kmeans_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic maximin (farthest-point / Gonzalez) seeding for
+    the Lloyd loop — the k-means++ analog that needs no RNG: pick the
+    lowest vec_id, then 3× pick the vector FARTHEST from its nearest
+    already-picked seed (ties by lowest vec_id).  Ledger: one row per
+    pick with the coverage radius at selection time (the max-min
+    distance — monotonically non-increasing, the 2-approximation
+    bound of the k-center objective; pytest-pinned).
+
+    Exactness: distances are the same exact fixed-point longs as the
+    Lloyd step; the argmax is ONE struct max per round
+    (max((d, −vec_id, vec_id, qv)) — the winner's vector rides the
+    aggregate, the `s_kmeans_step` no-join-back trick at the other
+    extreme).
+
+    Scale shape: k−1 rounds, each = one map-combined struct-max
+    aggregate over the corpus + a 1-row winner broadcast folded into
+    the running min-distance column — the same per-round shape as the
+    BPE trainer's best-pair broadcast.  k rounds = k scans; nothing
+    driver-side but the plan chain."""
+    q = _km_quant(spark, sf_dir)
+
+    def dist(cv_col):
+        return F.aggregate(
+            F.zip_with("qv", cv_col, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    c0 = q.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("w_vid"), F.col("qv").alias("w_qv")
+    )
+    cur = q.crossJoin(F.broadcast(c0)).select(
+        "vec_id", "qv", dist(F.col("w_qv")).alias("md")
+    )
+    out = c0.select(
+        F.lit(0).alias("pick"),
+        F.col("w_vid").alias("vec_id"),
+        F.lit(0).cast("long").alias("radius"),
+    )
+    for k in range(1, 4):
+        w = cur.agg(
+            F.max(
+                F.struct(
+                    F.col("md").alias("d"),
+                    (-F.col("vec_id")).alias("nv"),
+                    F.col("vec_id").alias("vid"),
+                    F.col("qv").alias("wqv"),
+                )
+            ).alias("w")
+        )
+        out = out.unionByName(
+            w.select(
+                F.lit(k).alias("pick"),
+                F.col("w.vid").alias("vec_id"),
+                F.col("w.d").alias("radius"),
+            )
+        )
+        if k < 3:
+            wf = w.select(F.col("w.wqv").alias("w_qv"))
+            cur = cur.crossJoin(F.broadcast(wf)).select(
+                "vec_id",
+                "qv",
+                F.least(F.col("md"), dist(F.col("w_qv"))).alias("md"),
+            )
+    return out
+
+
+_MM_DIST = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a}.qv)), "
+    "i -> ({a}.qv[i] - {b}[i]) * ({a}.qv[i] - {b}[i]))) AS BIGINT)"
+)
+
+S_KMEANS_SEED_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+s0 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+m0 AS (
+  SELECT q.vec_id, q.qv, {_MM_DIST.format(a='q', b='s0.qv')} AS md
+  FROM q, s0
+),
+w1 AS (SELECT max(struct_pack(d := md, nv := -vec_id, vid := vec_id,
+                              wqv := qv)) AS w FROM m0),
+m1 AS (
+  SELECT m0.vec_id, m0.qv,
+         least(m0.md, {_MM_DIST.format(a='m0', b='(w1.w).wqv')}) AS md
+  FROM m0, w1
+),
+w2 AS (SELECT max(struct_pack(d := md, nv := -vec_id, vid := vec_id,
+                              wqv := qv)) AS w FROM m1),
+m2 AS (
+  SELECT m1.vec_id, m1.qv,
+         least(m1.md, {_MM_DIST.format(a='m1', b='(w2.w).wqv')}) AS md
+  FROM m1, w2
+),
+w3 AS (SELECT max(struct_pack(d := md, nv := -vec_id, vid := vec_id,
+                              wqv := qv)) AS w FROM m2)
+SELECT 0 AS pick, (SELECT vec_id FROM s0) AS vec_id,
+       CAST(0 AS BIGINT) AS radius
+UNION ALL SELECT 1, (w).vid, (w).d FROM w1
+UNION ALL SELECT 2, (w).vid, (w).d FROM w2
+UNION ALL SELECT 3, (w).vid, (w).d FROM w3
+"""
+
+
 S_KMEANS_2STEP_SQL = """
 WITH q AS (
   SELECT vec_id,
@@ -6210,6 +6319,7 @@ QUERIES = {
     "t_ppl_terciles": t_ppl_terciles,
     "s_kmeans_step": s_kmeans_step,
     "s_kmeans_2step": s_kmeans_2step,
+    "s_kmeans_seed": s_kmeans_seed,
     "d_cdc_neardup": d_cdc_neardup,
     "s_pq_encode": s_pq_encode,
     "s_pq_recall": s_pq_recall,
@@ -6285,6 +6395,7 @@ ORACLES = {
     "t_ppl_terciles": T_PPL_TERCILES_SQL,
     "s_kmeans_step": S_KMEANS_STEP_SQL,
     "s_kmeans_2step": S_KMEANS_2STEP_SQL,
+    "s_kmeans_seed": S_KMEANS_SEED_SQL,
     "d_cdc_neardup": D_CDC_NEARDUP_SQL,
     "s_pq_encode": _s_pq_encode_sql(),
     "s_pq_recall": _s_pq_recall_sql(),

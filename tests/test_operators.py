@@ -291,3 +291,16 @@ def test_kmeans_two_step_converges(spark, sf_dir):
     assert set(rows) == {1, 2}
     assert rows[2].inertia <= rows[1].inertia
     assert rows[1].n_moved == 0 and rows[2].n_moved >= 0
+
+
+def test_kmeans_maximin_seed_properties(spark, sf_dir):
+    """Maximin seeding: 4 distinct picks, radii monotonically
+    non-increasing after the first (each pick can only shrink the
+    max-min distance), all positive past pick 0."""
+    qs = entrymod.queries()
+    rows = sorted(qs["s_kmeans_seed"](spark, sf_dir).collect(),
+                  key=lambda r: r.pick)
+    assert [r.pick for r in rows] == [0, 1, 2, 3]
+    assert len({r.vec_id for r in rows}) == 4
+    assert rows[0].radius == 0
+    assert rows[1].radius >= rows[2].radius >= rows[3].radius > 0
