@@ -245,6 +245,7 @@ _R11_DEFERRED: list = [
     "w_distinct_hll",
     "s_kmeans_2step",
     "s_kmeans_seed",
+    "d_cdc_keepers",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

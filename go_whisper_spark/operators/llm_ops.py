@@ -2708,6 +2708,59 @@ WHERE 2 * shared >= (sa.n_ch + sb.n_ch - shared)
 """
 
 
+# -------------------------------------------------------- d_cdc_keepers
+def d_cdc_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable half of ``d_cdc_neardup``: the per-language
+    drop ledger under the greedy lowest-id-wins policy — a document
+    is dropped iff some LOWER-id document shares >= half its CDC
+    chunks with it (pairs are emitted doc_a < doc_b, so the dropped
+    set is exactly the distinct doc_b side; the chain a~b, b~c
+    without a~c keeps a, drops b AND c — the same one-hop greedy
+    ``d_dedup_keepers`` applies to MinHash clusters, documented
+    there).  Ledger per lang: docs, dropped, kept, and the exact
+    byte volumes — the numbers a dedup pass publishes.
+
+    Scale shape: the pair relation is ``d_cdc_neardup``'s bounded
+    postings join; the drop set is one DISTINCT over its doc_b
+    column; the ledger joins it back onto documents by doc_id
+    (AQE-sized) and partial-combines on the 5-key lang."""
+    pairs = d_cdc_neardup(spark, sf_dir)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    d = _docs(spark, sf_dir).select("doc_id", "lang", F.length("text").alias("nb"))
+    flagged = d.join(
+        dropped.withColumn("is_dropped", F.lit(1)), "doc_id", "left"
+    ).withColumn("dr", F.coalesce(F.col("is_dropped"), F.lit(0)))
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dr").alias("n_dropped"),
+            (F.count("*") - F.sum("dr")).alias("n_kept"),
+            F.sum("nb").alias("bytes_total"),
+            F.sum(F.when(F.col("dr") == 0, F.col("nb")).otherwise(0)).alias(
+                "bytes_kept"
+            ),
+        )
+    )
+
+
+D_CDC_KEEPERS_SQL = f"""
+WITH pairs AS ({D_CDC_NEARDUP_SQL}),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(count(*) - sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(length(text)) AS BIGINT) AS bytes_total,
+       CAST(sum(CASE WHEN dr.doc_id IS NULL THEN length(text) ELSE 0 END)
+            AS BIGINT) AS bytes_kept
+FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+GROUP BY lang
+"""
+
+
 # -------------------------------------------------------- s_kmeans_step
 def _km_quant(spark, sf_dir):
     """Fixed-point-quantized vectors (vec_id, qv: array<long>)."""
@@ -6321,6 +6374,7 @@ QUERIES = {
     "s_kmeans_2step": s_kmeans_2step,
     "s_kmeans_seed": s_kmeans_seed,
     "d_cdc_neardup": d_cdc_neardup,
+    "d_cdc_keepers": d_cdc_keepers,
     "s_pq_encode": s_pq_encode,
     "s_pq_recall": s_pq_recall,
     "s_pq_search": s_pq_search,
@@ -6397,6 +6451,7 @@ ORACLES = {
     "s_kmeans_2step": S_KMEANS_2STEP_SQL,
     "s_kmeans_seed": S_KMEANS_SEED_SQL,
     "d_cdc_neardup": D_CDC_NEARDUP_SQL,
+    "d_cdc_keepers": D_CDC_KEEPERS_SQL,
     "s_pq_encode": _s_pq_encode_sql(),
     "s_pq_recall": _s_pq_recall_sql(),
     "s_pq_search": _s_pq_search_sql(),
