@@ -901,6 +901,30 @@ CHECKS = {
         require=["partial_count"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # Drop ledger on top of the pairs: one DISTINCT over doc_b, a
+    # documents left-join AQE broadcasts at runtime, and the 5-key
+    # lang aggregate.
+    "d_cdc_keepers": dict(
+        require=["partial_count", "partial_sum"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # Two chained Lloyd rounds: each round keeps the 8-row broadcast
+    # fan-out; the moved count is the one HONEST O(n) vec_id shuffle
+    # join (SMJ allowed — both sides are the corpus-sized assignment
+    # ledgers).
+    "s_kmeans_2step": dict(
+        require=["BroadcastNestedLoopJoin", "partial_min", "partial_sum",
+                 "Union"],
+        forbid=["CartesianProduct"],
+    ),
+    # Maximin seeding: k−1 struct-max rounds (partial_max), each
+    # winner folded back as a 1-row broadcast nested-loop; no shuffle
+    # join, no window anywhere.
+    "s_kmeans_seed": dict(
+        require=["BroadcastNestedLoopJoin", "partial_max", "Union"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
     # Count-Min heavy hitters: sketch build and exact side are
     # map-side-combined counts; the estimate join broadcasts the
     # constant-size (d·w-row) sketch; top-20 is a partial top-k.
