@@ -246,6 +246,7 @@ _R11_DEFERRED: list = [
     "s_kmeans_2step",
     "s_kmeans_seed",
     "d_cdc_keepers",
+    "st_distinct_hll",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -733,6 +733,121 @@ SELECT doc_id, lang, score, src, b FROM ins
 """
 
 
+# ------------------------------------------------------ st_distinct_hll
+def st_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog — the MERGEABILITY property that makes
+    sketches distributable, exercised on the ingest path: each
+    micro-batch of the 3-pass replay computes its own PARTIAL
+    register table (per-(metric, register) max rho — the same
+    string-op rho as the batch form), appends it to a sketch store,
+    and the final estimate merges all partials by register max.
+    Register max is associative, commutative and idempotent, so the
+    result is independent of batch boundaries, arrival order, and
+    duplicate delivery — which is exactly why the oracle is the
+    BATCH HLL SQL verbatim (``w_distinct_hll``); the replay proves
+    the merge law, not a weaker restatement.
+
+    Scale shape: per batch, one map-combined 64·n_metrics-cell
+    aggregate (constant-size regardless of batch cardinality); the
+    sketch store grows one tiny partial per batch and the final merge
+    is a constant-size groupBy — the shape a fleet of ingest workers
+    shipping per-shard sketches to a merger runs at any volume.
+    Stateless sink: no watermark, no state store."""
+    from go_whisper_spark.operators.whisper_queries import (
+        W_DISTINCT_HLL_SQL,  # noqa: F401 — the oracle, reused verbatim
+        _HLL_M,
+        _HLL_NUM,
+        _HLL_P53,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric"), "user_id", "ts", "event_id"
+    )
+    t0 = int(ev.agg(F.min(F.unix_timestamp("ts"))).first()[0])
+    chunk = F.least(
+        F.expr(f"(unix_timestamp(ts) - {t0}) div {CHUNK_SECONDS}"),
+        F.lit(N_PASSES - 1),
+    ).cast("long")
+    marked = ev.withColumn("arrive", chunk).drop("ts")
+    feed = marked.drop("arrive")
+    root = _tmpdir()
+    src, ckpt, store = (
+        os.path.join(root, "src"),
+        os.path.join(root, "ckpt"),
+        os.path.join(root, "sketch"),
+    )
+
+    hexc = F.md5(F.col("user_id").cast("string"))
+    j = F.conv(F.substring(hexc, 1, 2), 16, 10).cast("long") % _HLL_M
+    sub = F.substring(hexc, 3, 13)
+    lz = F.length(F.regexp_extract(sub, "^(0*)", 1))
+    first = F.substring(F.regexp_replace(sub, "^0*", ""), 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(lz == 13, F.lit(53)).otherwise(lz * 4 + extra + 1)
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        partial = (
+            batch.select("metric", j.alias("j"), rho.alias("rho"))
+            .groupBy("metric", "j")
+            .agg(F.max("rho").alias("mj"))
+        )
+        partial.write.mode("append").parquet(store)
+
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            spark.readStream.schema(feed.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("streaming pass timed out")
+
+    regs = (
+        spark.read.parquet(store)
+        .groupBy("metric", "j")
+        .agg(F.max("mj").alias("mj"))
+    )
+    per = regs.groupBy("metric").agg(
+        F.sum(F.expr("shiftleft(1L, CAST(53 - mj AS INT))")).alias("s_present"),
+        F.count("*").alias("n_regs"),
+    )
+    stot = F.col("s_present") + (_HLL_M - F.col("n_regs")) * F.lit(_HLL_P53)
+    est = F.floor(F.lit(_HLL_NUM) / stot.cast("double")).cast("long")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("metric"))
+        .agg(F.count_distinct("user_id").alias("exact"))
+    )
+    e = est
+    return per.join(exact, "metric").select(
+        "metric",
+        "exact",
+        e.alias("hll_est"),
+        (_HLL_M - F.col("n_regs")).alias("n_empty"),
+        F.floor(
+            ((e - F.col("exact")) * 1000).cast("double") / F.col("exact")
+        ).cast("long").alias("err_permille"),
+    )
+
+
 # ------------------------------------------------------ st_cascade_chained
 def st_cascade_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DECLARATIVE cascade (``streaming/chained.py``): same config
@@ -1470,6 +1585,12 @@ r6 AS (
 SELECT metric, interval, CAST(cents AS DOUBLE) / 100.0 AS value FROM r6
 """
 
+# st_distinct_hll's oracle IS the batch HLL SQL verbatim — register-max
+# mergeability makes the streamed sketch equal the one-shot sketch.
+from go_whisper_spark.operators.whisper_queries import (  # noqa: E402
+    W_DISTINCT_HLL_SQL as _W_DISTINCT_HLL_ORACLE,
+)
+
 
 QUERIES = {
     "st_rollup_lww_1h": st_rollup_lww_1h,
@@ -1489,6 +1610,7 @@ QUERIES = {
     "st_pq_score": st_pq_score,
     "st_lakehouse_ingest": st_lakehouse_ingest,
     "st_lakehouse_merge": st_lakehouse_merge,
+    "st_distinct_hll": st_distinct_hll,
 }
 
 ORACLES = {
@@ -1509,4 +1631,5 @@ ORACLES = {
     "st_pq_score": _st_pq_score_sql(),
     "st_lakehouse_ingest": ST_LAKEHOUSE_INGEST_SQL,
     "st_lakehouse_merge": ST_LAKEHOUSE_MERGE_SQL,
+    "st_distinct_hll": _W_DISTINCT_HLL_ORACLE,
 }
