@@ -247,6 +247,7 @@ _R11_DEFERRED: list = [
     "s_kmeans_seed",
     "d_cdc_keepers",
     "st_distinct_hll",
+    "t_curation_e2e",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

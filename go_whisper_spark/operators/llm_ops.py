@@ -2708,6 +2708,122 @@ WHERE 2 * shared >= (sa.n_ch + sb.n_ch - shared)
 """
 
 
+# ------------------------------------------------------- t_curation_e2e
+def t_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11 families composed into ONE curation ledger — the
+    pipeline a training-data curator actually runs, in policy order:
+
+    1. **CDC dedup first**: drop every near-dup loser
+       (``d_cdc_neardup``'s greedy lowest-id-wins drop set) from the
+       WHOLE corpus — model training must not see duplicates either;
+    2. **perplexity gate second**: train the stupid-backoff bigram LM
+       on the 90% split of the SURVIVORS, score the survivor held-out
+       docs, rank per-lang terciles, and drop the TAIL tercile
+       (CCNet's worst bucket); unscored docs (train split, or < 2
+       tokens) pass through ungated.
+
+    Ledger per lang: corpus docs, after-dedup docs, scored docs, tail
+    drops, final kept docs and exact kept bytes.  Policy order is
+    pinned by construction (the LM never sees a dropped duplicate —
+    re-ordering the stages changes the model counts and the hash).
+
+    Scale shape: strictly the union of its parts' plans — the CDC
+    postings join, the LM model partial aggregates + broadcast
+    probes, the per-doc integer-div mean, ONE per-lang ntile over the
+    per-doc ledger, and a 5-key final aggregate; nothing new
+    shuffles."""
+    pairs = d_cdc_neardup(spark, sf_dir)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", _tokens_col())
+        .withColumn("nb", F.length("text"))
+        .join(dropped.withColumn("dup", F.lit(1)), "doc_id", "left")
+    )
+    surv = d.where(F.col("dup").isNull())
+    bucket = _split_bucket_col()
+    train = surv.where(bucket < _SPLIT_TRAIN)
+    held = surv.where(bucket >= _SPLIT_TRAIN)
+
+    bigrams = F.expr(
+        "transform(sequence(0, size(tokens) - 2), "
+        "i -> struct(tokens[i] AS w1, tokens[i + 1] AS w2))"
+    )
+    t_bi = (
+        train.where(F.size("tokens") >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    c2 = t_bi.groupBy("w1", "w2").agg(F.count("*").alias("c2")).localCheckpoint()
+    c1 = (
+        train.select(F.explode("tokens").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+        .localCheckpoint()
+    )
+    totals = c1.agg(F.sum("c1").alias("N"))
+    sb = (
+        held.where(F.size("tokens") >= 2)
+        .select("doc_id", "lang", F.explode(bigrams).alias("b"))
+        .select("doc_id", "lang", "b.w1", "b.w2")
+    )
+    j = (
+        sb.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(c1.select(F.col("w").alias("w1"), F.col("c1").alias("c1w1"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1w2"))),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    u6 = lambda p: F.floor(-F.log(p) * F.lit(1_000_000.0)).cast("long")
+    seen = F.col("c2").isNotNull()
+    backoff = F.col("c2").isNull() & F.col("c1w2").isNotNull()
+    surprisal = (
+        F.when(seen, u6(F.col("c2").cast("double") / F.col("c1w1")))
+        .when(backoff, u6(F.lit(0.4) * F.col("c1w2") / F.col("N")))
+        .otherwise(u6(F.lit(0.4) / F.col("N")))
+    )
+    per_doc = (
+        j.select("doc_id", "lang", surprisal.alias("s_u6"))
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("s_u6").alias("sum_u6"))
+        .withColumn("ppl_u6", F.expr("sum_u6 div n_bigrams"))
+    )
+    w = Window.partitionBy("lang").orderBy("ppl_u6", "doc_id")
+    tail = per_doc.select(
+        "doc_id", F.ntile(3).over(w).alias("tercile")
+    ).where(F.col("tercile") == 3).select("doc_id")
+
+    flagged = (
+        d.join(tail.withColumn("tail", F.lit(1)), "doc_id", "left")
+        .join(
+            per_doc.select("doc_id").withColumn("scored", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+    )
+    kept = (F.col("dup").isNull() & F.col("tail").isNull()).cast("long")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("dup").isNull().cast("long")).alias("n_after_dedup"),
+            F.sum(F.coalesce(F.col("scored"), F.lit(0))).alias("n_scored"),
+            F.sum(F.coalesce(F.col("tail"), F.lit(0))).alias("n_tail_dropped"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(F.when(kept == 1, F.col("nb")).otherwise(0)).alias(
+                "bytes_kept"
+            ),
+        )
+    )
+
+
 # -------------------------------------------------------- d_cdc_keepers
 def d_cdc_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actionable half of ``d_cdc_neardup``: the per-language
@@ -5704,6 +5820,91 @@ FROM per_doc
 """
 
 
+T_CURATION_E2E_SQL = f"""
+WITH pairs AS ({D_CDC_NEARDUP_SQL}),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+base AS (
+  SELECT doc_id, lang, length(text) AS nb,
+         {_SPLIT_BUCKET_SQL} AS bucket, text
+  FROM documents
+),
+docs AS (
+  SELECT b.doc_id, b.lang, b.nb, b.bucket, b.text,
+         CASE WHEN dr.doc_id IS NOT NULL THEN 1 END AS dup
+  FROM base b LEFT JOIN dropped dr ON b.doc_id = dr.doc_id
+),
+tokd AS (
+  SELECT doc_id, lang, bucket,
+         generate_subscripts({_TOKENS_SQL}, 1) AS pos,
+         unnest({_TOKENS_SQL}) AS w
+  FROM docs WHERE dup IS NULL
+),
+t_bi AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM tokd a JOIN tokd b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.bucket < {_SPLIT_TRAIN}
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM t_bi GROUP BY 1, 2),
+c1 AS (SELECT w, count(*) AS c1 FROM tokd WHERE bucket < {_SPLIT_TRAIN} GROUP BY 1),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS N FROM c1),
+sb AS (
+  SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2
+  FROM tokd a JOIN tokd b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.bucket >= {_SPLIT_TRAIN}
+),
+scored AS (
+  SELECT sb.doc_id, sb.lang,
+         CASE
+           WHEN c2.c2 IS NOT NULL THEN
+             CAST(floor(-ln(CAST(c2.c2 AS DOUBLE) / u1.c1) * 1000000.0) AS BIGINT)
+           WHEN u2.c1 IS NOT NULL THEN
+             CAST(floor(-ln(0.4 * u2.c1 / t.N) * 1000000.0) AS BIGINT)
+           ELSE
+             CAST(floor(-ln(0.4 / t.N) * 1000000.0) AS BIGINT)
+         END AS s_u6
+  FROM sb
+  LEFT JOIN c2 ON c2.w1 = sb.w1 AND c2.w2 = sb.w2
+  LEFT JOIN c1 u1 ON u1.w = sb.w1
+  LEFT JOIN c1 u2 ON u2.w = sb.w2
+  CROSS JOIN tot t
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(sum(s_u6) AS BIGINT) // count(*) AS ppl_u6
+  FROM scored GROUP BY doc_id, lang
+),
+tail AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ntile(3) OVER (PARTITION BY lang ORDER BY ppl_u6, doc_id)
+             AS tercile
+    FROM per_doc
+  ) WHERE tercile = 3
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN dup IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_dedup,
+       CAST(sum(CASE WHEN p.p_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_scored,
+       CAST(sum(CASE WHEN tl.t_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tail_dropped,
+       CAST(sum(CASE WHEN dup IS NULL AND tl.t_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN dup IS NULL AND tl.t_id IS NULL THEN nb ELSE 0 END)
+            AS BIGINT) AS bytes_kept
+FROM docs
+LEFT JOIN (SELECT DISTINCT doc_id AS p_id FROM per_doc) p
+  ON docs.doc_id = p.p_id
+LEFT JOIN (SELECT doc_id AS t_id FROM tail) tl
+  ON docs.doc_id = tl.t_id
+GROUP BY lang
+"""
+
+
+
 # --------------------------------------------------------- t_bpe_pairs
 def t_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-induction pair statistics: the top 20 adjacent
@@ -6375,6 +6576,7 @@ QUERIES = {
     "s_kmeans_seed": s_kmeans_seed,
     "d_cdc_neardup": d_cdc_neardup,
     "d_cdc_keepers": d_cdc_keepers,
+    "t_curation_e2e": t_curation_e2e,
     "s_pq_encode": s_pq_encode,
     "s_pq_recall": s_pq_recall,
     "s_pq_search": s_pq_search,
@@ -6452,6 +6654,7 @@ ORACLES = {
     "s_kmeans_seed": S_KMEANS_SEED_SQL,
     "d_cdc_neardup": D_CDC_NEARDUP_SQL,
     "d_cdc_keepers": D_CDC_KEEPERS_SQL,
+    "t_curation_e2e": T_CURATION_E2E_SQL,
     "s_pq_encode": _s_pq_encode_sql(),
     "s_pq_recall": _s_pq_recall_sql(),
     "s_pq_search": _s_pq_search_sql(),
