@@ -925,6 +925,14 @@ CHECKS = {
         require=["BroadcastNestedLoopJoin", "partial_max", "Union"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # Curation capstone: the union of its parts — CDC postings join,
+    # LM model broadcast probes, the ONE per-lang ntile window, and
+    # the 5-key ledger; still no cartesian anywhere.
+    "t_curation_e2e": dict(
+        require=["partial_count", "partial_sum", "Window",
+                 "BroadcastHashJoin"],
+        forbid=["CartesianProduct"],
+    ),
     # Count-Min heavy hitters: sketch build and exact side are
     # map-side-combined counts; the estimate join broadcasts the
     # constant-size (d·w-row) sketch; top-20 is a partial top-k.
