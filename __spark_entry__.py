@@ -201,6 +201,13 @@ _R10_DEFERRED: list = [
 # `and n not in recent` guard, (c) append _R11_WINDOW's block at the
 # END of the order.  Queries added AFTER this freeze go in
 # _R11_DEFERRED (below), never in front of the window.
+# NOTE for round 12: _R11_DEFERRED holds 27 never-driver-checked
+# queries — with any new round-12 queries this may exceed the 50-row
+# window; that is FINE (the overflow tail simply waits one more
+# round, still ahead of every already-checked cohort).  Every
+# deferred entry is green under the exact-typed local gate at BOTH
+# sf0.01 and sf0.1 (verified individually at registration time,
+# round 11).
 _R11_WINDOW: list = [
     "s_pq_search_upserted", "s_pq_upserted_recall", "g_render_topavg",
     "g_render_nodes", "g_render_deep", "st_render_6h",
