@@ -255,6 +255,7 @@ _R11_DEFERRED: list = [
     "d_cdc_keepers",
     "st_distinct_hll",
     "t_curation_e2e",
+    "st_heavy_hitters_cms",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

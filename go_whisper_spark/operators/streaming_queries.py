@@ -848,6 +848,134 @@ def st_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ st_heavy_hitters_cms
+def st_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min — the ADDITIVE merge law next to
+    ``st_distinct_hll``'s max law: each micro-batch ships its own
+    partial d×w counter matrix (one constant-size aggregate per
+    batch), the final sketch is the cell-wise SUM of the partials
+    (counter addition is associative/commutative — but NOT
+    idempotent, so unlike HLL this path relies on the file source's
+    exactly-once batch delivery; the replay pins that too), and the
+    estimate/top-20 ledger is ``w_heavy_hitters_cms``'s read side
+    against the merged sketch — the oracle is the batch CMS SQL
+    verbatim.
+
+    Scale shape: per batch one map-combined d·w-cell aggregate; the
+    sketch store grows one 256-row partial per batch; the merge is a
+    constant-size groupBy-sum.  The per-shard-sketch-to-merger
+    topology every streaming frequency pipeline runs."""
+    from go_whisper_spark.operators.whisper_queries import (
+        W_HEAVY_HITTERS_CMS_SQL,  # noqa: F401 — the oracle, verbatim
+        _CMS_D,
+        _CMS_W,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    t0 = int(ev.agg(F.min(F.unix_timestamp("ts"))).first()[0])
+    chunk = F.least(
+        F.expr(f"(unix_timestamp(ts) - {t0}) div {CHUNK_SECONDS}"),
+        F.lit(N_PASSES - 1),
+    ).cast("long")
+    marked = ev.withColumn("arrive", chunk).drop("ts")
+    feed = marked.drop("arrive")
+    root = _tmpdir()
+    src, ckpt, store = (
+        os.path.join(root, "src"),
+        os.path.join(root, "ckpt"),
+        os.path.join(root, "sketch"),
+    )
+
+    def bucket_col():
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("r"),
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        partial = (
+            batch.select(
+                "user_id",
+                F.explode(
+                    F.array(*[F.lit(r) for r in range(_CMS_D)])
+                ).alias("r"),
+            )
+            .withColumn("b", bucket_col())
+            .groupBy("r", "b")
+            .agg(F.count("*").alias("cnt"))
+        )
+        partial.write.mode("append").parquet(store)
+
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            spark.readStream.schema(feed.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("streaming pass timed out")
+
+    sketch = (
+        spark.read.parquet(store)
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact"))
+    )
+    cand = exact.select(
+        "user_id", "exact",
+        F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r"),
+    ).withColumn("b", bucket_col())
+    est = (
+        cand.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("user_id", "exact")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    return (
+        est.orderBy(F.desc("exact"), F.asc("user_id"))
+        .limit(20)
+        .select(
+            "user_id",
+            "exact",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact")).alias("overestimate"),
+        )
+    )
+
+
 # ------------------------------------------------------ st_cascade_chained
 def st_cascade_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DECLARATIVE cascade (``streaming/chained.py``): same config
@@ -1589,6 +1717,7 @@ SELECT metric, interval, CAST(cents AS DOUBLE) / 100.0 AS value FROM r6
 # mergeability makes the streamed sketch equal the one-shot sketch.
 from go_whisper_spark.operators.whisper_queries import (  # noqa: E402
     W_DISTINCT_HLL_SQL as _W_DISTINCT_HLL_ORACLE,
+    W_HEAVY_HITTERS_CMS_SQL as _W_CMS_ORACLE,
 )
 
 
@@ -1611,6 +1740,7 @@ QUERIES = {
     "st_lakehouse_ingest": st_lakehouse_ingest,
     "st_lakehouse_merge": st_lakehouse_merge,
     "st_distinct_hll": st_distinct_hll,
+    "st_heavy_hitters_cms": st_heavy_hitters_cms,
 }
 
 ORACLES = {
@@ -1632,4 +1762,5 @@ ORACLES = {
     "st_lakehouse_ingest": ST_LAKEHOUSE_INGEST_SQL,
     "st_lakehouse_merge": ST_LAKEHOUSE_MERGE_SQL,
     "st_distinct_hll": _W_DISTINCT_HLL_ORACLE,
+    "st_heavy_hitters_cms": _W_CMS_ORACLE,
 }
