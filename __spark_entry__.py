@@ -256,6 +256,7 @@ _R11_DEFERRED: list = [
     "st_distinct_hll",
     "t_curation_e2e",
     "st_heavy_hitters_cms",
+    "w_funnel_3step",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -724,6 +724,119 @@ LIMIT 20
 """
 
 
+# -------------------------------------------------------- w_funnel_3step
+_FUNNEL_W = 7 * 86400  # conversion window from the first view
+
+
+def w_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel view → click → purchase per user — the
+    product-analytics operator class the rest of the event surface
+    (sessionize, as-of, interval join) doesn't cover: for each user,
+    the FIRST view, the first click strictly after it, and the first
+    purchase strictly after that, all inside a 7-day window from the
+    view.  One row per entered user with the three step timestamps
+    and the depth reached (strict > at each step so the semantics are
+    tie-order-free — an engine-independent definition).
+
+    Implementation vs oracle are INDEPENDENT formulations of that
+    definition — the strongest oracle shape: Spark folds each user's
+    time-sorted event array once with a 3-field struct accumulator
+    (one groupBy shuffle total, the per-user event list is bounded by
+    per-user activity, and the fold is pure codegen — no window, no
+    self-join); DuckDB computes the three stages as min-filter CTEs
+    joined by user.  Agreement is forced by the definition's
+    order-freeness, not by mirroring operands.
+
+    Scale shape: ONE user-keyed shuffle; funnels over 100 TB of
+    events are exactly this collect-fold (what dedicated funnel
+    engines hand-roll); a whale user's array is bounded by their own
+    event count, and a longer funnel is more fields in the
+    accumulator, not more shuffles."""
+    from go_whisper_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.unix_timestamp("ts").alias("ts"),
+    )
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "et"))).alias("arr")
+    )
+    zero = F.struct(
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("long").alias("c"),
+        F.lit(None).cast("long").alias("p"),
+    )
+
+    def step(acc, x):
+        v = F.when(acc.v.isNull() & (x.et == "view"), x.ts).otherwise(acc.v)
+        c = F.when(
+            acc.c.isNull()
+            & v.isNotNull()
+            & (x.et == "click")
+            & (x.ts > v)
+            & (x.ts <= v + _FUNNEL_W),
+            x.ts,
+        ).otherwise(acc.c)
+        p = F.when(
+            acc.p.isNull()
+            & c.isNotNull()
+            & (x.et == "purchase")
+            & (x.ts > c)
+            & (x.ts <= v + _FUNNEL_W),
+            x.ts,
+        ).otherwise(acc.p)
+        return F.struct(v.alias("v"), c.alias("c"), p.alias("p"))
+
+    st = F.aggregate("arr", zero, step)
+    return (
+        g.select(
+            "user_id",
+            st.v.alias("v_ts"),
+            # nullable step timestamps emit as DOUBLE: the driver's
+            # pandas materialization turns a nullable BIGINT into
+            # float64 on the oracle side (check_contract docstring) —
+            # cast BOTH sides instead of leaving a type trap
+            st.c.cast("double").alias("c_ts"),
+            st.p.cast("double").alias("p_ts"),
+            (
+                st.v.isNotNull().cast("long")
+                + st.c.isNotNull().cast("long")
+                + st.p.isNotNull().cast("long")
+            ).alias("reached"),
+        )
+        .where(F.col("v_ts").isNotNull())
+    )
+
+
+W_FUNNEL_3STEP_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type AS et, epoch_ns(ts) // 1000000000 AS ts
+  FROM events
+),
+v1 AS (SELECT user_id, min(ts) AS v_ts FROM ev WHERE et = 'view'
+       GROUP BY user_id),
+c2 AS (SELECT e.user_id, min(e.ts) AS c_ts
+       FROM ev e JOIN v1 ON e.user_id = v1.user_id
+       WHERE e.et = 'click' AND e.ts > v1.v_ts
+         AND e.ts <= v1.v_ts + {_FUNNEL_W}
+       GROUP BY e.user_id),
+p3 AS (SELECT e.user_id, min(e.ts) AS p_ts
+       FROM ev e JOIN v1 ON e.user_id = v1.user_id
+       JOIN c2 ON e.user_id = c2.user_id
+       WHERE e.et = 'purchase' AND e.ts > c2.c_ts
+         AND e.ts <= v1.v_ts + {_FUNNEL_W}
+       GROUP BY e.user_id)
+SELECT v1.user_id, v_ts,
+       CAST(c_ts AS DOUBLE) AS c_ts, CAST(p_ts AS DOUBLE) AS p_ts,
+       1 + CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END AS reached
+FROM v1
+LEFT JOIN c2 ON v1.user_id = c2.user_id
+LEFT JOIN p3 ON v1.user_id = p3.user_id
+"""
+
+
 # -------------------------------------------------------- w_distinct_hll
 _HLL_M = 64                       # registers
 _HLL_P53 = 9007199254740992       # 2^53 — the common denominator for
@@ -2130,6 +2243,7 @@ QUERIES = {
     "w_lakehouse_merge": w_lakehouse_merge,
     "w_heavy_hitters_cms": w_heavy_hitters_cms,
     "w_distinct_hll": w_distinct_hll,
+    "w_funnel_3step": w_funnel_3step,
     "w_retention_reap": w_retention_reap,
     "w_store_fetch": w_store_fetch,
     "w_wsp_roundtrip": w_wsp_roundtrip,
@@ -2166,6 +2280,7 @@ ORACLES = {
     "w_lakehouse_merge": W_LAKEHOUSE_MERGE_SQL,
     "w_heavy_hitters_cms": W_HEAVY_HITTERS_CMS_SQL,
     "w_distinct_hll": W_DISTINCT_HLL_SQL,
+    "w_funnel_3step": W_FUNNEL_3STEP_SQL,
     "w_retention_reap": W_RETENTION_REAP_SQL,
     "w_store_fetch": W_STORE_FETCH_SQL,
     "w_wsp_roundtrip": W_WSP_ROUNDTRIP_SQL,

@@ -941,6 +941,14 @@ CHECKS = {
                  "TakeOrderedAndProject"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # Funnel fold: ONE user-keyed collect + a pure-codegen struct
+    # fold — no window, no self-join, no join at all on the Spark
+    # side (the oracle's CTE joins are DuckDB-only).
+    "w_funnel_3step": dict(
+        require=["partial_collect_list"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "Window", "BroadcastNestedLoopJoin"],
+    ),
     # HLL: pre-distinct + two map-combined aggregates (64·n_metrics
     # register cells, then per-metric sums); the exact-ledger join is
     # an n_metrics-key equi-join AQE broadcasts.
