@@ -257,6 +257,7 @@ _R11_DEFERRED: list = [
     "t_curation_e2e",
     "st_heavy_hitters_cms",
     "w_funnel_3step",
+    "w_cohorts",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

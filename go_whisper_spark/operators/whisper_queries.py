@@ -837,6 +837,59 @@ LEFT JOIN p3 ON v1.user_id = p3.user_id
 """
 
 
+# ------------------------------------------------------------- w_cohorts
+def w_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort triangle over events — the second classic
+    product-analytics shape next to the funnel: users bucket into
+    epoch-aligned weekly cohorts by FIRST activity, and each
+    (cohort, weeks-since-cohort) cell counts how many of that
+    cohort's users were active that week.  Offset 0 is the cohort
+    size by construction; the triangle's row-wise decay is the
+    retention curve.
+
+    Scale shape: per-user first-week is a map-combined min; the
+    (user, week) activity relation is a distinct (the dedup
+    aggregate); the cell count joins activity to cohorts on user_id
+    (AQE-sized — the cohort relation is one row per user) and
+    partial-combines on the tiny (cohort, offset) key.  Three
+    aggregates, one user-keyed join, no window."""
+    from go_whisper_spark.sources.tables import load_table
+
+    WK = 604800
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % WK).alias("week"),
+    )
+    act = ev.distinct()
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            ((F.col("week") - F.col("cohort")) / WK).cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+W_COHORTS_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         (epoch_ns(ts) // 1000000000)
+           - (epoch_ns(ts) // 1000000000) % 604800 AS week
+  FROM events
+),
+act AS (SELECT DISTINCT user_id, week FROM ev),
+first AS (SELECT user_id, min(week) AS cohort FROM act GROUP BY user_id)
+SELECT cohort, (week - cohort) // 604800 AS week_offset,
+       count(*) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY cohort, week_offset
+"""
+
+
 # -------------------------------------------------------- w_distinct_hll
 _HLL_M = 64                       # registers
 _HLL_P53 = 9007199254740992       # 2^53 — the common denominator for
@@ -2244,6 +2297,7 @@ QUERIES = {
     "w_heavy_hitters_cms": w_heavy_hitters_cms,
     "w_distinct_hll": w_distinct_hll,
     "w_funnel_3step": w_funnel_3step,
+    "w_cohorts": w_cohorts,
     "w_retention_reap": w_retention_reap,
     "w_store_fetch": w_store_fetch,
     "w_wsp_roundtrip": w_wsp_roundtrip,
@@ -2281,6 +2335,7 @@ ORACLES = {
     "w_heavy_hitters_cms": W_HEAVY_HITTERS_CMS_SQL,
     "w_distinct_hll": W_DISTINCT_HLL_SQL,
     "w_funnel_3step": W_FUNNEL_3STEP_SQL,
+    "w_cohorts": W_COHORTS_SQL,
     "w_retention_reap": W_RETENTION_REAP_SQL,
     "w_store_fetch": W_STORE_FETCH_SQL,
     "w_wsp_roundtrip": W_WSP_ROUNDTRIP_SQL,
