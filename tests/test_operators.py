@@ -304,3 +304,44 @@ def test_kmeans_maximin_seed_properties(spark, sf_dir):
     assert len({r.vec_id for r in rows}) == 4
     assert rows[0].radius == 0
     assert rows[1].radius >= rows[2].radius >= rows[3].radius > 0
+
+
+def test_funnel_strictness_and_window(spark):
+    """Funnel edge semantics: same-timestamp events do NOT chain
+    (strict >), steps outside the 7-day window from the first view
+    don't count, and pre-view events are ignored."""
+    from go_whisper_spark.operators.whisper_queries import (
+        _FUNNEL_W,
+        w_funnel_3step,
+    )
+    import go_whisper_spark.sources.tables as tables_mod
+    from unittest import mock
+
+    T0 = 1_700_000_000
+    rows = [
+        # u1: clean conversion
+        (1, "view", T0), (1, "click", T0 + 10), (1, "purchase", T0 + 20),
+        # u2: click at the SAME ts as view -> strict > rejects it
+        (2, "view", T0), (2, "click", T0), (2, "purchase", T0 + 5),
+        # u3: click after the 7-day window -> not reached
+        (3, "view", T0), (3, "click", T0 + _FUNNEL_W + 1),
+        # u4: purchase BEFORE any view -> ignored; then view only
+        (4, "purchase", T0 - 5), (4, "view", T0),
+        # u5: no view at all -> absent from the output
+        (5, "click", T0),
+    ]
+    import datetime
+
+    df = spark.createDataFrame(
+        [(u, e, datetime.datetime.utcfromtimestamp(t)) for u, e, t in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+    with mock.patch.object(
+        tables_mod, "load_table", lambda _s, _d, _t: df
+    ):
+        out = {r.user_id: r for r in w_funnel_3step(spark, "unused").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].reached == 3
+    assert out[2].reached == 1 and out[2].c_ts is None
+    assert out[3].reached == 1
+    assert out[4].reached == 1 and out[4].p_ts is None
