@@ -128,6 +128,13 @@ HEADLINE = [
     # broadcast fan-out + min-struct argmin aggregate).
     "m_cdc_dedup",
     "s_kmeans_step",
+    # round 11 capstones: CDC-chunk near-dup pairs (df-capped postings
+    # join) and the composed dedup→perplexity curation ledger (CDC
+    # pairs + bigram-LM build on survivors + per-lang ntile — the
+    # heaviest single-query pipeline; its in-query LM build is kept
+    # for self-containment, like s_pq_search's index build).
+    "d_cdc_neardup",
+    "t_curation_e2e",
 ]
 
 
