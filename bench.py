@@ -133,6 +133,11 @@ HEADLINE = [
     # pairs + bigram-LM build on survivors + per-lang ntile — the
     # heaviest single-query pipeline; its in-query LM build is kept
     # for self-containment, like s_pq_search's index build).
+    # NOTE for cross-round totals: the set grew 44 → 52 in round 11
+    # (round-11 idle: common-44 ≈ 52 s vs round-10's 50.75 s — within
+    # jitter; the 8 round-11 entries add ~18 s, dominated by
+    # t_curation_e2e's 8.6 s in-query LM build and the two retrieval
+    # serves).  Compare common subsets across rounds, not totals.
     "d_cdc_neardup",
     "t_curation_e2e",
 ]
