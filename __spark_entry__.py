@@ -258,6 +258,7 @@ _R11_DEFERRED: list = [
     "st_heavy_hitters_cms",
     "w_funnel_3step",
     "w_cohorts",
+    "t_lang_confusion",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -1981,6 +1981,45 @@ FROM h
 T_LANG_ID_SQL = _t_lang_id_sql()
 
 
+# ------------------------------------------------------ t_lang_confusion
+def t_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix for the language-ID model —
+    the standard artifact a pipeline publishes next to any heuristic
+    classifier: per (true lang, predicted lang) cell, the document
+    count and the row share in exact permille (floored integer over
+    the true-lang total).  Diagonal cells are the per-language
+    recall; the 'unknown' column is the abstention rate.
+
+    Scale shape: ``t_lang_id``'s narrow codegen scorer feeds one
+    partial-combining aggregate on the tiny (true, predicted) key,
+    plus an un-hinted per-true-lang totals join-back (AQE-sized, the
+    selector policy)."""
+    pred = t_lang_id(spark, sf_dir).select("lang", "predicted")
+    cells = pred.groupBy("lang", "predicted").agg(F.count("*").alias("n"))
+    totals = pred.groupBy("lang").agg(F.count("*").alias("tot"))
+    return cells.join(totals, "lang").select(
+        F.col("lang").alias("true_lang"),
+        "predicted",
+        "n",
+        F.floor((F.col("n") * 1000).cast("double") / F.col("tot"))
+        .cast("long")
+        .alias("share_permille"),
+    )
+
+
+T_LANG_CONFUSION_SQL = f"""
+WITH scored AS ({T_LANG_ID_SQL}),
+cells AS (
+  SELECT lang, predicted, count(*) AS n FROM scored GROUP BY lang, predicted
+),
+totals AS (SELECT lang, count(*) AS tot FROM scored GROUP BY lang)
+SELECT cells.lang AS true_lang, predicted, n,
+       CAST(floor(CAST(n * 1000 AS DOUBLE) / tot) AS BIGINT)
+         AS share_permille
+FROM cells JOIN totals ON cells.lang = totals.lang
+"""
+
+
 # ------------------------------------------------------------ t_quality
 def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punctuation/stopword ratios + a combined
@@ -6571,6 +6610,7 @@ QUERIES = {
     "t_unigram_logprob": t_unigram_logprob,
     "t_bigram_logprob": t_bigram_logprob,
     "t_ppl_terciles": t_ppl_terciles,
+    "t_lang_confusion": t_lang_confusion,
     "s_kmeans_step": s_kmeans_step,
     "s_kmeans_2step": s_kmeans_2step,
     "s_kmeans_seed": s_kmeans_seed,
@@ -6649,6 +6689,7 @@ ORACLES = {
     "t_unigram_logprob": T_UNIGRAM_LOGPROB_SQL,
     "t_bigram_logprob": T_BIGRAM_LOGPROB_SQL,
     "t_ppl_terciles": T_PPL_TERCILES_SQL,
+    "t_lang_confusion": T_LANG_CONFUSION_SQL,
     "s_kmeans_step": S_KMEANS_STEP_SQL,
     "s_kmeans_2step": S_KMEANS_2STEP_SQL,
     "s_kmeans_seed": S_KMEANS_SEED_SQL,
