@@ -2772,7 +2772,14 @@ def t_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc ledger, and a 5-key final aggregate; nothing new
     shuffles."""
     pairs = d_cdc_neardup(spark, sf_dir)
-    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    # materialize the tiny drop set ONCE: three consumers (train
+    # tokenize, held tokenize, the final ledger) would otherwise each
+    # re-run the whole CDC postings join — measured 9.4 → 5.2 s at
+    # sf0.1 (the m_cdc_dedup ends-materialization lesson, one level up)
+    dropped = (
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        .localCheckpoint()
+    )
     d = (
         _docs(spark, sf_dir)
         .withColumn("tokens", _tokens_col())
