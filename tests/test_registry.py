@@ -111,13 +111,11 @@ def test_r10_window_matches_driver_record():
 
 
 def test_round11_window_disjoint_from_r10():
-    """First 50 of the rotated registry must not re-check rounds 8-10
-    and must front every never-driver-checked round-10 deferral (the
-    render-layer compositions + bronze compaction) — VERDICT r10
-    item 1: the _R10_DEFERRED block must sit BEFORE the cohort
-    blocks, or these 10 drift to round 12."""
-    queries, _ = entry._registry()
-    window = list(queries)[:50]
+    """The round-11 window (now the historical _R11_WINDOW list) did
+    not re-check rounds 8-10 and fronted every never-driver-checked
+    round-10 deferral (the render-layer compositions + bronze
+    compaction) — VERDICT r10 item 1."""
+    window = entry._R11_WINDOW
     assert not set(window) & set(entry._R10_WINDOW), (
         "round-11 window re-checks round-10 greens")
     assert not set(window) & set(entry._R09_WINDOW)
@@ -126,17 +124,42 @@ def test_round11_window_disjoint_from_r10():
     assert not missing, f"never-checked deferrals missed the window: {missing}"
 
 
-def test_r11_window_matches_first_fifty():
-    """Once frozen mid-round, the pre-materialized round-11 window
-    list (the round-12 rotation seed) must stay equal to the
-    registry's actual first 50 — the drift failure mode enforced
-    every round since round 8.  Late round-11 additions belong in
-    _R11_DEFERRED, which this equality keeps OUT of the window."""
-    if not entry._R11_WINDOW:
-        pytest.skip("_R11_WINDOW not yet frozen this round")
-    queries, _ = entry._registry()
-    assert entry._R11_WINDOW == list(queries)[:50]
+def test_r11_window_matches_driver_record():
+    """_R11_WINDOW (the round-12 rotation seed) must equal the window
+    the driver actually hashed in round 11 (50/50 green)."""
+    rec = _correctness(11)
+    assert len(entry._R11_WINDOW) == 50
     assert len(set(entry._R11_WINDOW)) == 50
+    assert set(entry._R11_WINDOW) == set(rec.keys())
+
+
+def test_round12_window_disjoint_from_r11():
+    """First 50 of the rotated registry must not re-check rounds 9-11
+    and must front every never-driver-checked round-11 deferral (the
+    CDC chain, sketches, k-means, funnel/cohorts, late render batch)
+    — VERDICT r11 item 1: the _R11_DEFERRED block sits BEFORE the
+    cohort blocks, or these 31 drift to round 13."""
+    queries, _ = entry._registry()
+    window = list(queries)[:50]
+    assert not set(window) & set(entry._R11_WINDOW), (
+        "round-12 window re-checks round-11 greens")
+    assert not set(window) & set(entry._R10_WINDOW)
+    assert not set(window) & set(entry._R09_WINDOW)
+    missing = [n for n in entry._R11_DEFERRED if n not in window]
+    assert not missing, f"never-checked deferrals missed the window: {missing}"
+
+
+def test_r12_window_matches_first_fifty():
+    """Once frozen mid-round, the pre-materialized round-12 window
+    list (the round-13 rotation seed) must stay equal to the
+    registry's actual first 50 — the drift failure mode enforced
+    every round since round 8.  Late round-12 additions belong in
+    _R12_DEFERRED, which this equality keeps OUT of the window."""
+    if not entry._R12_WINDOW:
+        pytest.skip("_R12_WINDOW not yet frozen this round")
+    queries, _ = entry._registry()
+    assert entry._R12_WINDOW == list(queries)[:50]
+    assert len(set(entry._R12_WINDOW)) == 50
 
 
 def test_checked_cohorts_are_registered():

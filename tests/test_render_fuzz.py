@@ -3,7 +3,7 @@ the Spark composition vs the AST-emitted DuckDB SQL — must agree
 exactly (the cent discipline makes every composition integer-exact).
 
 Deterministic seed; bounded depth; covers every operator in the
-registry (106 ops as of wave 8) including binary combiners, aggregate
+registry (109 ops as of round 11) including binary combiners, aggregate
 reducers, the selector family, the round-11 additions (waves 2-8),
 and the generic method-string spellings (aggregate / movingWindow /
 highest / lowest / filterSeries — desugared by the parser, so the
