@@ -4552,6 +4552,17 @@ RENDER_EXPR_GENERIC = (
     "movingWindow(highest(asPercent(seriesByGlob('*')), 2, 'average'), "
     "4, 'median')"
 )
+RENDER_EXPR_LISTS = (
+    "movingSum(aggregateSeriesLists(seriesByGlob('[ce]*'), "
+    "seriesByGlob('[vs]*'), 'diff'), 4)"
+)
+RENDER_EXPR_APPLY = (
+    "sortByMaxima(applyByNode(timeStack(seriesByGlob('click'), 1, 0, 3), "
+    "0, 'asPercent(%)'))"
+)
+RENDER_EXPR_UNIQUE = (
+    "movingSum(unique(seriesByGlob('c*'), seriesByGlob('*')), 4)"
+)
 
 
 def g_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4770,6 +4781,38 @@ def g_render_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render(spark, sf_dir, RENDER_EXPR_GENERIC)
 
 
+def g_render_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 list combiners end-to-end: two glob seeds pairwise
+    position-matched (sorted-label ranks — the divideSeriesLists
+    pairing) and diffed in exact cents, then a 4-slot rolling sum
+    over each combined pair (render.py aggregateSeriesLists)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_LISTS)
+
+
+def g_render_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 grouped evaluation + ordering surface: day-shifted
+    copies of one series (timeStack) rendered as each copy's percent
+    of the across-shifts per-slot total (applyByNode 'asPercent(%)',
+    ONE (node, interval) window), with the legend order emitted as
+    the series_rank column by the root-only sortByMaxima
+    (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_APPLY)
+
+
+def g_render_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 first-occurrence dedup: unique() keeps each metric's
+    rows from its earliest list (one union + per-metric min(src)
+    window, no joins), proven duplicate-free to the analyzer so the
+    order-sensitive movingSum above it composes (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_UNIQUE)
+
+
 def _render_oracle(target: str) -> str:
     from go_whisper_spark.render import render_oracle_sql
 
@@ -4844,6 +4887,9 @@ QUERIES = {
     "g_render_cacti": g_render_cacti,
     "g_render_pairs": g_render_pairs,
     "g_render_generic": g_render_generic,
+    "g_render_lists": g_render_lists,
+    "g_render_apply": g_render_apply,
+    "g_render_unique": g_render_unique,
     "g_maximum_above": g_maximum_above,
     "g_maximum_below": g_maximum_below,
     "g_minimum_below": g_minimum_below,
@@ -5000,6 +5046,9 @@ ORACLES = {
     "g_render_cacti": _render_oracle(RENDER_EXPR_CACTI),
     "g_render_pairs": _render_oracle(RENDER_EXPR_PAIRS),
     "g_render_generic": _render_oracle(RENDER_EXPR_GENERIC),
+    "g_render_lists": _render_oracle(RENDER_EXPR_LISTS),
+    "g_render_apply": _render_oracle(RENDER_EXPR_APPLY),
+    "g_render_unique": _render_oracle(RENDER_EXPR_UNIQUE),
     "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
     "g_maximum_below": G_MAXIMUM_BELOW_SQL,
     "g_minimum_below": G_MINIMUM_BELOW_SQL,

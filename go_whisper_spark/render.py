@@ -23,7 +23,7 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (109 ops — the composable core; the ~111 fixed-form
+Operator registry (117 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
@@ -118,6 +118,29 @@ surface):
               i-th series of each side paired by SORTED label rank
               (the deterministic analog of Graphite's positional
               pairing; both sides must be uniquely keyed)
+              aggregateSeriesLists(a, b, 'sum'|'diff') — pairwise
+              position-matched combine, same sorted-label-rank
+              pairing contract as divideSeriesLists; an unmatched
+              rank or slot keeps a's row with NULL cents
+              sumSeriesLists(a, b) / diffSeriesLists(a, b) —
+              desugared to aggregateSeriesLists
+              unique(a, b, ...) — first-occurrence dedup across
+              series lists: a metric in several args keeps only its
+              earliest arg's rows (one union + per-metric min(src)
+              window, no joins)
+  grouped     applyByNode(s, i, 'template') — evaluate a template
+              per node-i group: 'f(%)' for a reducer f desugars to
+              groupByNode; 'asPercent(%)' = each slot as percent of
+              the group's per-slot total; 'divideSeries(%, f(%))' =
+              each slot divided by the group's per-slot aggregate.
+              ONE (node, interval) window — no per-group replay
+  ordering    sortByTotal sortByMaxima sortByName — ordering-only:
+              the legend order surfaces as an explicit series_rank
+              column (row order is invisible to the hash oracle), so
+              these are ROOT-ONLY — validate_target rejects them
+              anywhere deeper; rank = row_number over the
+              O(n_metrics) per-series aggregate relation (sum / max
+              DESC NULLS LAST / name ASC, ties on metric)
   generic     aggregate(s, 'how') highest(s, k, 'how')
   spellings   lowest(s, k, 'how') movingWindow(s, n, 'how')
               add(s, k) timeFunction('name') — desugared by
@@ -336,6 +359,20 @@ def _desugar(node: Node) -> Node:
         return Call("offset", args)
     if name == "timeFunction":
         return Call("identity", args)
+    if name in ("sumSeriesLists", "diffSeriesLists"):
+        if len(args) != 2:
+            raise RenderParseError(f"{name} takes (seriesA, seriesB)")
+        how = "sum" if name == "sumSeriesLists" else "diff"
+        return Call("aggregateSeriesLists", [args[0], args[1], Str(how)])
+    if name == "applyByNode":
+        # aggregate templates ('sumSeries(%)' etc.) are groupByNode in
+        # disguise — rewritten once here, so the visitors only see the
+        # window-shaped templates (percent / divide-by-group-agg).
+        if len(args) == 3 and isinstance(args[2], Str):
+            kind = _parse_apply_template(args[2].value)
+            if kind[0] == "agg":
+                return Call("groupByNode", [args[0], args[1], Str(kind[1])])
+        return Call(name, args)
     if name == "aggregateWithWildcards":
         if (len(args) != 3 or not isinstance(args[1], Str)
                 or not isinstance(args[2], Num)):
@@ -355,6 +392,52 @@ def _desugar(node: Node) -> Node:
             )
         return Call(target, [args[0], args[2]])
     return Call(name, args)
+
+
+# applyByNode template subset: the reducers map to groupByNode's
+# method strings; anything outside the grammar below is rejected with
+# the supported shapes spelled out (full Graphite re-evaluates an
+# arbitrary target per node prefix — a driver-side loop; these three
+# shapes cover the dashboard uses and stay ONE window).
+_APPLY_AGG = {"sumSeries": "sum", "averageSeries": "avg",
+              "maxSeries": "max", "minSeries": "min"}
+
+
+def _parse_apply_template(tpl: str):
+    """Parse an applyByNode template: ``f(%)`` (reducer → ('agg',
+    how)), ``asPercent(%)`` / ``asPercent(%, sumSeries(%))`` →
+    ('percent',), ``divideSeries(%, f(%))`` → ('divide', how)."""
+    try:
+        t = parse_target(tpl.replace("%", "__pct__"))
+    except RenderParseError as exc:
+        raise RenderParseError(f"applyByNode: bad template {tpl!r}: {exc}")
+
+    def is_pct(x) -> bool:
+        return isinstance(x, Glob) and x.pattern == "__pct__"
+
+    if (isinstance(t, Call) and t.name in _APPLY_AGG
+            and len(t.args) == 1 and is_pct(t.args[0])):
+        return ("agg", _APPLY_AGG[t.name])
+    if isinstance(t, Call) and t.name == "asPercent":
+        if len(t.args) == 1 and is_pct(t.args[0]):
+            return ("percent",)
+        if (len(t.args) == 2 and is_pct(t.args[0])
+                and isinstance(t.args[1], Call)
+                and t.args[1].name == "sumSeries"
+                and len(t.args[1].args) == 1 and is_pct(t.args[1].args[0])):
+            return ("percent",)
+    if (isinstance(t, Call) and t.name == "divideSeries"
+            and len(t.args) == 2 and is_pct(t.args[0])
+            and isinstance(t.args[1], Call)
+            and t.args[1].name in _APPLY_AGG
+            and len(t.args[1].args) == 1 and is_pct(t.args[1].args[0])):
+        return ("divide", _APPLY_AGG[t.args[1].name])
+    raise RenderParseError(
+        f"applyByNode: unsupported template {tpl!r} — supported: "
+        "'f(%)' for f in sumSeries/averageSeries/maxSeries/minSeries, "
+        "'asPercent(%)', 'asPercent(%, sumSeries(%))', "
+        "'divideSeries(%, f(%))'"
+    )
 
 
 def glob_to_regex(pattern: str) -> str:
@@ -507,6 +590,44 @@ def analyze(node: Node):
             )
         return (ls, lu, f"divideSeriesLists({ll})" if ll is not None
                 else None)
+    if name == "aggregateSeriesLists":
+        # same pairing contract as divideSeriesLists: sorted-label
+        # ranks are only deterministic over uniquely-keyed sides.
+        if (len(node.args) != 3 or not isinstance(node.args[2], Str)
+                or node.args[2].value not in ("sum", "diff")):
+            raise RenderParseError(
+                "aggregateSeriesLists takes (seriesA, seriesB, "
+                "'sum'|'diff')"
+            )
+        ls, lu, ll = analyze(node.args[0])
+        rs, ru, _ = analyze(node.args[1])
+        if not (lu and ru):
+            raise RenderParseError(
+                "aggregateSeriesLists: both sides must carry unique "
+                "(metric, interval) keys for deterministic pairing"
+            )
+        wrap = ("sumSeriesLists" if node.args[2].value == "sum"
+                else "diffSeriesLists")
+        return (ls, lu, f"{wrap}({ll})" if ll is not None else None)
+    if name == "unique":
+        # first-occurrence dedup: per metric exactly one arg's rows
+        # survive, so uniqueness is inherited from the branches.
+        if not node.args:
+            raise RenderParseError("unique takes 1+ series lists")
+        parts = [analyze(a) for a in node.args]
+        return (False, all(p[1] for p in parts), None)
+    if name == "applyByNode":
+        # grouped window aggregates over (node, interval) are
+        # order-free; keys preserved, label wrapped injectively
+        # ('agg' templates were desugared to groupByNode already).
+        if (len(node.args) != 3 or not isinstance(node.args[1], Num)
+                or not isinstance(node.args[2], Str)):
+            raise RenderParseError(
+                "applyByNode takes (series, node, 'template')")
+        kind = _parse_apply_template(node.args[2].value)
+        cs, cu, cl = analyze(node.args[0])
+        wrapname = "asPercent" if kind[0] == "percent" else "divideSeries"
+        return (cs, cu, f"{wrapname}({cl})" if cl is not None else None)
     if name in ("diffSeries", "divideSeries", "asPercent",
                 "multiplySeries"):
         ls, lu, ll = analyze(node.args[0])
@@ -612,7 +733,24 @@ def analyze(node: Node):
     return (cs, cu, cl)
 
 
+# Ordering-only ops surface their result as the extra series_rank
+# column, which no other operator consumes — so they are ROOT-ONLY.
+_ROOT_ONLY = frozenset({"sortByTotal", "sortByMaxima", "sortByName"})
+
+
+def _check_root_only(node: Node, is_root: bool = True) -> None:
+    if isinstance(node, Call):
+        if node.name in _ROOT_ONLY and not is_root:
+            raise RenderParseError(
+                f"{node.name} is ordering-only — it emits the "
+                "series_rank column and must be the outermost operator"
+            )
+        for a in node.args:
+            _check_root_only(a, False)
+
+
 def validate_target(node: Node) -> Node:
+    _check_root_only(node)
     analyze(node)
     return node
 
@@ -2336,6 +2474,141 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
             return s.join(per2, "metric").select(
                 F.col("new_metric").alias("metric"), "interval", "cents"
             )
+        if name == "aggregateSeriesLists":
+            # pairwise position-matched sum/diff of two series lists —
+            # the divideSeriesLists pairing (sorted-label ranks over
+            # the O(n_metrics) distinct-labels relations) with exact
+            # integer-cent combine; an unmatched rank or slot keeps
+            # a's row with NULL cents (left-join None-propagation).
+            _need(n, 3, (object, object, Str))
+            how = n.args[2].value
+            if how not in ("sum", "diff"):
+                raise RenderParseError(
+                    "aggregateSeriesLists: method must be 'sum'|'diff'")
+            a, b2 = ev(n.args[0]), ev(n.args[1])
+
+            def _ranked(df):
+                rnk = df.select("metric").distinct().select(
+                    "metric",
+                    F.row_number().over(Window.orderBy("metric")).alias("rnk"),
+                )
+                return df.join(rnk, "metric")
+
+            ra = _ranked(a).select(
+                "metric", "rnk", "interval", F.col("cents").alias("a_c")
+            )
+            rb = _ranked(b2).select(
+                F.col("rnk").alias("b_rnk"),
+                F.col("interval").alias("b_iv"),
+                F.col("cents").alias("b_c"),
+            )
+            j = ra.join(
+                rb,
+                (F.col("rnk") == F.col("b_rnk"))
+                & (F.col("interval") == F.col("b_iv")),
+                "left",
+            )
+            comb = (
+                (F.col("a_c") + F.col("b_c")) if how == "sum"
+                else (F.col("a_c") - F.col("b_c"))
+            )
+            wrap = "sumSeriesLists" if how == "sum" else "diffSeriesLists"
+            return j.select(
+                F.concat(
+                    F.lit(wrap + "("), F.col("metric"), F.lit(")")
+                ).alias("metric"),
+                "interval",
+                comb.cast("long").alias("cents"),
+            )
+        if name == "unique":
+            # first-occurrence dedup across series lists: one union +
+            # a per-metric min(src) window — no joins, and the window
+            # runs on the branch index, not the slot data.
+            if not n.args:
+                raise RenderParseError("unique takes 1+ series lists")
+            parts = [
+                ev(a).withColumn("src", F.lit(i))
+                for i, a in enumerate(n.args)
+            ]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionAll(p)
+            return (
+                u.withColumn(
+                    "msrc", F.min("src").over(Window.partitionBy("metric"))
+                )
+                .where(F.col("src") == F.col("msrc"))
+                .select("metric", "interval", "cents")
+            )
+        if name == "applyByNode":
+            # evaluate the (already-validated) template per node-i
+            # group as ONE (node, interval) window — percent-of-group
+            # or divide-by-group-aggregate; arithmetic matches the
+            # asPercent / divideSeries cent contracts exactly.
+            _need(n, 3, (object, Num, Str))
+            i = n.args[1].value
+            if i < 0:
+                raise RenderParseError("applyByNode index must be >= 0")
+            kind = _parse_apply_template(n.args[2].value)
+            s = ev(n.args[0])
+            s2 = s.withColumn(
+                "node",
+                F.coalesce(F.get(F.split("metric", "[.]"), i), F.lit("")),
+            )
+            wg = Window.partitionBy("node", "interval")
+            if kind[0] == "percent":
+                tot = F.sum("cents").over(wg)
+                out = F.when(
+                    tot != 0,
+                    F.floor((F.col("cents") * 10000).cast("double") / tot),
+                ).cast("long")
+                lbl = F.concat(
+                    F.lit("asPercent("), F.col("metric"), F.lit(")"))
+            else:
+                how = kind[1]
+                if how == "sum":
+                    div = F.sum("cents").over(wg)
+                elif how == "max":
+                    div = F.max("cents").over(wg)
+                elif how == "min":
+                    div = F.min("cents").over(wg)
+                else:  # avg — floored cents, the averageSeries contract
+                    div = F.floor(
+                        F.sum("cents").over(wg).cast("double")
+                        / F.count("cents").over(wg)
+                    ).cast("long")
+                out = F.when(
+                    div != 0,
+                    F.floor((F.col("cents") * 100).cast("double") / div),
+                ).cast("long")
+                lbl = F.concat(
+                    F.lit("divideSeries("), F.col("metric"), F.lit(")"))
+            return s2.select(lbl.alias("metric"), "interval",
+                             out.alias("cents"))
+        if name in ("sortByTotal", "sortByMaxima", "sortByName"):
+            # ordering-only (root-only, enforced by validate_target):
+            # the legend order surfaces as the series_rank column.
+            # The rank window runs over the O(n_metrics) per-series
+            # aggregate relation, never the slot data (the
+            # g_sort_by_total shape); the winner relation broadcasts
+            # back like the top-k selectors.
+            _need(n, 1, (object,))
+            s = ev(n.args[0])
+            if name == "sortByName":
+                per = s.select("metric").distinct()
+                order = [F.asc("metric")]
+            else:
+                agg = (F.max("cents") if name == "sortByMaxima"
+                       else F.sum("cents"))
+                per = s.groupBy("metric").agg(agg.alias("o"))
+                order = [F.desc_nulls_last("o"), F.asc("metric")]
+            rank = per.select(
+                "metric",
+                F.row_number().over(Window.orderBy(*order))
+                .alias("series_rank"),
+            )
+            return s.join(F.broadcast(rank), "metric").select(
+                "metric", "interval", "cents", "series_rank")
         raise RenderParseError(f"unknown render function {name!r}")
 
     return ev(node)
@@ -2344,13 +2617,17 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
 def render(spark: SparkSession, sf_dir: str, target: str) -> DataFrame:
     """Evaluate one Graphite render target over the 1h LWW series
     frame; output (metric, interval, value) with the single final
-    cents→value projection."""
+    cents→value projection — plus series_rank when the root is an
+    ordering-only op (sortByTotal/sortByMaxima/sortByName)."""
     frame = build_frame(spark, sf_dir, validate_target(parse_target(target)))
-    return frame.select(
-        "metric",
-        "interval",
+    cols = [
+        F.col("metric"),
+        F.col("interval"),
         (F.col("cents").cast("double") / F.lit(100.0)).alias("value"),
-    )
+    ]
+    if "series_rank" in frame.columns:
+        cols.append(F.col("series_rank"))
+    return frame.select(*cols)
 
 
 # ------------------------------------------------------- oracle visitor
@@ -3364,12 +3641,90 @@ def build_sql(node: Node) -> str:
                 "max(cents) AS mx, min(cents) AS mn "
                 f"FROM {inner} g GROUP BY metric) p ON s.metric = p.metric)"
             )
+        if name == "aggregateSeriesLists":
+            how = n.args[2].value
+            op = "+" if how == "sum" else "-"
+            wrap = "sumSeriesLists" if how == "sum" else "diffSeriesLists"
+            A, B = ev(n.args[0]), ev(n.args[1])
+            rank_a = ("(SELECT metric, row_number() OVER (ORDER BY metric) "
+                      f"AS rnk FROM (SELECT DISTINCT metric FROM {A} d) u)")
+            rank_b = ("(SELECT metric, row_number() OVER (ORDER BY metric) "
+                      f"AS rnk FROM (SELECT DISTINCT metric FROM {B} d) u)")
+            return (
+                f"(SELECT '{wrap}(' || a.metric || ')' AS metric, "
+                f"a.interval, CAST(a.cents {op} b.cents AS BIGINT) AS cents "
+                f"FROM (SELECT s.metric, ra.rnk, s.interval, s.cents "
+                f"FROM {A} s JOIN {rank_a} ra ON s.metric = ra.metric) a "
+                f"LEFT JOIN (SELECT rb.rnk, s.interval, s.cents "
+                f"FROM {B} s JOIN {rank_b} rb ON s.metric = rb.metric) b "
+                "ON a.rnk = b.rnk AND a.interval = b.interval)"
+            )
+        if name == "unique":
+            branches = " UNION ALL ".join(
+                f"SELECT metric, interval, cents, {i} AS src "
+                f"FROM {ev(a)} u{i}"
+                for i, a in enumerate(n.args)
+            )
+            return (
+                "(SELECT metric, interval, cents FROM "
+                "(SELECT metric, interval, cents, src, "
+                "min(src) OVER (PARTITION BY metric) AS msrc "
+                f"FROM ({branches}) ub) v WHERE src = msrc)"
+            )
+        if name == "applyByNode":
+            i = n.args[1].value
+            kind = _parse_apply_template(n.args[2].value)
+            inner = ev(n.args[0])
+            node_sql = f"split_part(metric, '.', {i + 1})"
+            win = f"WINDOW w AS (PARTITION BY {node_sql}, interval)"
+            if kind[0] == "percent":
+                return (
+                    "(SELECT 'asPercent(' || metric || ')' AS metric, "
+                    "interval, CASE WHEN sum(cents) OVER w != 0 THEN "
+                    "CAST(floor(CAST(cents * 10000 AS DOUBLE) / "
+                    "sum(cents) OVER w) AS BIGINT) END AS cents "
+                    f"FROM {inner} s {win})"
+                )
+            div = {
+                "sum": "sum(cents) OVER w",
+                "max": "max(cents) OVER w",
+                "min": "min(cents) OVER w",
+                "avg": ("CAST(floor(CAST(sum(cents) OVER w AS DOUBLE) / "
+                        "count(cents) OVER w) AS BIGINT)"),
+            }[kind[1]]
+            return (
+                "(SELECT 'divideSeries(' || metric || ')' AS metric, "
+                f"interval, CASE WHEN {div} != 0 THEN "
+                f"CAST(floor(CAST(cents * 100 AS DOUBLE) / {div}) "
+                "AS BIGINT) END AS cents "
+                f"FROM {inner} s {win})"
+            )
+        if name in ("sortByTotal", "sortByMaxima", "sortByName"):
+            inner = ev(n.args[0])
+            if name == "sortByName":
+                per = f"(SELECT DISTINCT metric FROM {inner} d)"
+                order = "metric ASC"
+            else:
+                agg = ("max(cents)" if name == "sortByMaxima"
+                       else "sum(cents)")
+                per = (f"(SELECT metric, {agg} AS o FROM {inner} g "
+                       "GROUP BY metric)")
+                order = "o DESC NULLS LAST, metric ASC"
+            return (
+                "(SELECT s.metric, s.interval, s.cents, r.series_rank "
+                f"FROM {inner} s JOIN (SELECT metric, "
+                f"CAST(row_number() OVER (ORDER BY {order}) AS INTEGER) "
+                f"AS series_rank FROM {per} p) r ON s.metric = r.metric)"
+            )
         raise RenderParseError(f"unknown render function {name!r}")
 
     body = ev(node)
+    rank = (", series_rank"
+            if isinstance(node, Call) and node.name in _ROOT_ONLY else "")
     return (
         f"WITH {PTS_CTE}, {LWW_1H_CTE}\n"
-        "SELECT metric, interval, CAST(cents AS DOUBLE) / 100.0 AS value\n"
+        "SELECT metric, interval, CAST(cents AS DOUBLE) / 100.0 AS value"
+        f"{rank}\n"
         f"FROM {body} q"
     )
 

@@ -3,7 +3,7 @@ the Spark composition vs the AST-emitted DuckDB SQL — must agree
 exactly (the cent discipline makes every composition integer-exact).
 
 Deterministic seed; bounded depth; covers every operator in the
-registry (109 ops as of round 11) including binary combiners, aggregate
+registry (117 ops as of round 12) including binary combiners, aggregate
 reducers, the selector family, the round-11 additions (waves 2-8),
 and the generic method-string spellings (aggregate / movingWindow /
 highest / lowest / filterSeries — desugared by the parser, so the
@@ -96,6 +96,8 @@ def _series(rng, depth):
             "divideSeriesLists", "cactiStyle", "aggregate",
             "movingWindow", "highestLowest", "add",
             "aggregateWithWildcards",
+            "aggregateSeriesLists", "seriesListsSugar", "unique",
+            "applyByNode",
         ]
     )
     if name in _UNARY:
@@ -236,6 +238,29 @@ def _series(rng, depth):
         a = _series(rng, depth - 1)
         b = _series(rng, depth - 1)
         return f"divideSeriesLists({a}, {b})"
+    if name == "aggregateSeriesLists":
+        a = _series(rng, depth - 1)
+        b = _series(rng, depth - 1)
+        how = rng.choice(["sum", "diff"])
+        return f"aggregateSeriesLists({a}, {b}, '{how}')"
+    if name == "seriesListsSugar":
+        a = _series(rng, depth - 1)
+        b = _series(rng, depth - 1)
+        return f"{rng.choice(['sumSeriesLists', 'diffSeriesLists'])}({a}, {b})"
+    if name == "unique":
+        k = rng.randint(1, 3)
+        parts = [_series(rng, depth - 1) for _ in range(k)]
+        return "unique(" + ", ".join(parts) + ")"
+    if name == "applyByNode":
+        tpl = rng.choice([
+            "asPercent(%)", "asPercent(%, sumSeries(%))",
+            "sumSeries(%)", "averageSeries(%)", "maxSeries(%)",
+            "minSeries(%)", "divideSeries(%, maxSeries(%))",
+            "divideSeries(%, averageSeries(%))",
+            "divideSeries(%, sumSeries(%))",
+        ])
+        return (f"applyByNode({_series(rng, depth - 1)}, "
+                f"{rng.randint(0, 1)}, '{tpl}')")
     if name == "cactiStyle":
         return f"cactiStyle({_series(rng, depth - 1)})"
     if name == "aggregate":
@@ -292,3 +317,48 @@ def test_render_fuzz_spark_equals_duckdb(spark, sf_dir):
         assert got == want, f"divergence on {target!r}"
         checked += 1
     assert checked == 30
+
+
+def test_render_fuzz_sort_roots(spark, sf_dir):
+    """Root-only ordering ops: wrap drawn targets in sortByTotal /
+    sortByMaxima / sortByName and compare the 4-tuple INCLUDING the
+    series_rank column (the ordering contract itself); also pin that
+    a non-root placement is rejected by both visitors via
+    validate_target."""
+    rng = random.Random(20260815)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    checked = rejected = 0
+    while checked < 6:
+        sort = rng.choice(["sortByTotal", "sortByMaxima", "sortByName"])
+        target = f"{sort}({_series(rng, rng.randint(1, 3))})"
+        node = parse_target(target)
+        try:
+            validate_target(node)
+        except RenderParseError:
+            rejected += 1
+            assert rejected < 200
+            continue
+        got = Counter(
+            (r.metric, r.interval, r.value, r.series_rank)
+            for r in render(spark, sf_dir, target).collect()
+        )
+        want = Counter()
+        for m, iv, v, rk in con.execute(render_oracle_sql(target)).fetchall():
+            if v is not None and isinstance(v, float) and math.isnan(v):
+                v = None
+            want[(m, iv, v, rk)] += 1
+        assert got == want, f"divergence on {target!r}"
+        checked += 1
+
+    # non-root placement rejected identically before either engine runs
+    for bad in ("scale(sortByTotal('*'), 2)",
+                "sumSeries(sortByName('c*'))"):
+        try:
+            validate_target(parse_target(bad))
+            raise AssertionError(f"accepted non-root sort: {bad}")
+        except RenderParseError:
+            pass

@@ -55,6 +55,25 @@ def check() -> list:
                 problems.append(
                     f"{label}: says {m.group(1)}, registry has {n_queries}")
 
+    # --- README per-module counts: each operator-module bullet ends
+    # with "(N)"; they must individually match the module's QUERIES
+    # dict and sum to the registry total.
+    import importlib
+    per_mod = {}
+    for name in ("whisper_queries", "graphite_funcs", "relational",
+                 "llm_ops", "multimodal", "streaming_queries"):
+        mod = importlib.import_module(f"go_whisper_spark.operators.{name}")
+        per_mod[name] = len(getattr(mod, "QUERIES", {}))
+    readme_counts = [int(m) for m in re.findall(r"\((\d+)\)\n", readme)]
+    if sorted(readme_counts) != sorted(per_mod.values()):
+        problems.append(
+            f"README per-module counts {sorted(readme_counts)} != "
+            f"module QUERIES sizes {sorted(per_mod.values())} ({per_mod})")
+    elif sum(readme_counts) != n_queries:
+        problems.append(
+            f"README per-module counts sum to {sum(readme_counts)}, "
+            f"registry has {n_queries}")
+
     # --- SURVEY.md §8 totals + plan-spec claim.
     survey = _read("SURVEY.md")
     m = re.search(r"Totals \(round \d+\): (\d+) registered queries, "

@@ -714,6 +714,30 @@ CHECKS = {
         require_executed=["BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
+    # round-12 list combiners: the sorted-label rank windows run over
+    # the O(n_metrics) distinct-labels relations (AQE broadcasts the
+    # tiny sides of the rank join-backs and the interval-keyed pair
+    # join at runtime); movingSum rides the metric window chain.
+    "g_render_lists": dict(
+        require=["Window"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
+    # round-12 grouped evaluation + ordering surface: timeStack's
+    # day-shift union, ONE (node, interval) window for the percent,
+    # the O(n_metrics) rank window, and the hinted fixed-size rank
+    # join-back (static BHJ).
+    "g_render_apply": dict(
+        require=["Window", "Union", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
+    # round-12 first-occurrence dedup: union + per-metric min(src)
+    # window — NO joins anywhere in the plan; movingSum shares the
+    # metric partitioning.
+    "g_render_unique": dict(
+        require=["Window", "Union"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Join"],
+    ),
     # HW residual: the sequential fold is the one grouped-pandas
     # stage (metric-keyed, the per-series recursion operator); both
     # cross-series sums partial-combine; interval-keyed diff join.
