@@ -1713,6 +1713,93 @@ r6 AS (
 SELECT metric, interval, CAST(cents AS DOUBLE) / 100.0 AS value FROM r6
 """
 
+ST_RENDER_MWIN_TARGET = "movingSum(scale(summarize('*', 6, 'max'), 2), 4)"
+
+
+def st_render_mwin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An ORDER-SENSITIVE window op on the stream (VERDICT r11 item
+    4): ``movingSum(scale(summarize('*', 6, 'max'), 2), 4)`` — the
+    6h max consolidation closes under the 0-lateness handoff
+    watermark, the ×2 scale rides the closed rows, and the 4-slot
+    rolling sum runs as the ``applyInPandasWithState``
+    trailing-window kernel in a THIRD chained query (state = the last
+    3 closed cents per metric, O(k); a streaming query cannot chain
+    two stateful operators).  Cross-pass correctness is the in-order
+    handoff argument one level up: each pass's newly-closed 6h rows
+    carry intervals strictly above everything emitted before, so the
+    incremental kernel equals the batch ROWS window — which is
+    exactly what the oracle computes over the final closed set.
+    Same replay and watermark algebra as ``st_render_6h``; the
+    kernel-vs-batch row equivalence (NULL frames, checkpoint
+    round-trip) is pinned in tests/test_streaming_render.py."""
+    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
+    t0 = int(pts.agg(F.min("ts")).first()[0])
+    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts"))
+    )
+    cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
+
+    from go_whisper_spark.streaming.render import streaming_render_pass
+
+    root = _tmpdir()
+    src, base = os.path.join(root, "src"), os.path.join(root, "render")
+    feed = marked.drop("arrive")
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        rendered = streaming_render_pass(
+            spark, feed.schema, src, base, ST_RENDER_MWIN_TARGET, cfg,
+            lateness_seconds=LATENESS,
+        )
+    return spark.read.schema("metric string, interval long, value double").parquet(
+        rendered
+    ).select("metric", "interval", "value")
+
+
+ST_RENDER_MWIN_SQL = f"""
+WITH pts AS (
+  SELECT event_type AS metric,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+{_MARKED_CTE},
+surv AS (
+  SELECT m.* FROM marked m LEFT JOIN wm ON wm.arrive = m.arrive
+  WHERE wm.wm IS NULL OR m.ts - m.ts % 3600 + 3600 > wm.wm
+),
+a0 AS (
+  SELECT metric,
+         ts - ts % 3600 AS interval,
+         arg_max(value, seq) AS value
+  FROM surv
+  GROUP BY 1, 2
+  HAVING interval + 3600 <= (SELECT wmf FROM wmf)
+),
+r6 AS (
+  SELECT metric,
+         interval - interval % 21600 AS interval,
+         max(CAST(round(value * 100) AS BIGINT)) * 2 AS cents
+  FROM a0
+  GROUP BY 1, 2
+  HAVING interval - interval % 21600 + 21600 <= (SELECT max(interval) FROM a0)
+),
+msum AS (
+  SELECT metric, interval,
+         sum(cents) OVER (PARTITION BY metric ORDER BY interval
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cents
+  FROM r6
+)
+SELECT metric, interval, CAST(cents AS DOUBLE) / 100.0 AS value FROM msum
+"""
+
+
 # st_distinct_hll's oracle IS the batch HLL SQL verbatim — register-max
 # mergeability makes the streamed sketch equal the one-shot sketch.
 from go_whisper_spark.operators.whisper_queries import (  # noqa: E402
@@ -1735,6 +1822,7 @@ QUERIES = {
     "st_render_scaled": st_render_scaled,
     "st_render_nodes": st_render_nodes,
     "st_render_hitcount": st_render_hitcount,
+    "st_render_mwin": st_render_mwin,
     "st_lsh_prefilter": st_lsh_prefilter,
     "st_pq_score": st_pq_score,
     "st_lakehouse_ingest": st_lakehouse_ingest,
@@ -1757,6 +1845,7 @@ ORACLES = {
     "st_render_scaled": ST_RENDER_SCALED_SQL,
     "st_render_nodes": ST_RENDER_NODES_SQL,
     "st_render_hitcount": ST_RENDER_HITCOUNT_SQL,
+    "st_render_mwin": ST_RENDER_MWIN_SQL,
     "st_lsh_prefilter": _st_lsh_prefilter_sql(),
     "st_pq_score": _st_pq_score_sql(),
     "st_lakehouse_ingest": ST_LAKEHOUSE_INGEST_SQL,

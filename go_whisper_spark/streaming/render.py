@@ -12,8 +12,9 @@ declarative chained handoff from ``streaming/chained.py`` —
                    watermark: in-order handoff)──▶ rendered files
 
 **Streamable subset** (enforced — anything else raises
-``RenderParseError``): the grammar ``stateless* (summarize
-(stateless* (seed)))?`` — seeds and every stateless per-row operator
+``RenderParseError``): the grammar ``stateless* windowop?
+stateless* (summarize (stateless* (seed)))?`` — seeds and every
+stateless per-row operator
 (scale, offset, absolute, transformNull, invert, removeAbove/BelowValue,
 grep, exclude, alias, aliasSub) compose freely BELOW and ABOVE at
 most ONE aggregate level — ``summarize(s, h, how)``, ``groupByNode``
@@ -22,9 +23,20 @@ tumbling window aggregate (stateless ops above it are projections
 over the emitted closed-window rows — append-safe) — Graphite
 consolidation as a streaming window, the same mapping
 ``streaming_rollup`` uses for whisper's propagate.
-Order-sensitive window ops (derivative, movingSum, …) are NOT
-streamable as append-mode plans; their stateful analogs live in
-``streaming/stateful.py`` (st_derivative).
+
+At most ONE order-sensitive window op (movingSum / movingAverage /
+movingMin / movingMax / derivative / nonNegativeDerivative) may sit
+ABOVE the aggregate level: it runs as the ``applyInPandasWithState``
+kernel from ``streaming/stateful.py`` (state = the trailing k−1 ROWS
+per metric, O(k) — independent of stream length).  A streaming query
+cannot chain two stateful operators, so a target containing both a
+summarize and a window op splits into a THIRD chained query: the
+aggregate's closed windows hand off through a parquet sink/source
+(cents carried as exact longs) and the kernel consumes them in
+order — the same in-order watermark argument as the summarize
+handoff, extended one level.  Window ops below the aggregate are
+rejected (they would need yet another handoff BELOW it — register
+the batch form instead).
 
 Why the summarize level can run with a ZERO-lateness watermark: the
 level-0 query releases a 1h window only once its watermark passed the
@@ -75,38 +87,55 @@ _STATELESS = frozenset({
 
 def check_streamable(node: Node):
     """Reject AST shapes the append-mode plan cannot express.  The
-    streamable grammar is ``stateless* (summarize (stateless*
-    (seed)))?`` — stateless value maps are append-trivial BOTH below
-    and above the windowed aggregate (a projection over the emitted
-    closed-window rows); at most ONE summarize, since each watermarked
-    aggregate level needs its own handoff.  Returns the summarize
-    node, or None for an all-stateless target."""
+    streamable grammar is ``stateless* windowop? stateless*
+    (summarize (stateless* (seed)))?`` — stateless value maps are
+    append-trivial BOTH below and above the windowed aggregate (a
+    projection over the emitted closed-window rows); at most ONE
+    summarize, since each watermarked aggregate level needs its own
+    handoff; at most ONE order-sensitive window op, ABOVE the
+    aggregate, since it is a second stateful operator and therefore a
+    third chained query.  Returns ``(window_node, summarize_node)``,
+    either None when absent."""
+    from go_whisper_spark.streaming.stateful import RENDER_WINDOW_OPS
 
-    def stateless_only(n: Node, allow_agg: bool):
+    def walk(n: Node, allow_win: bool, allow_agg: bool):
         if isinstance(n, (Glob, Str)):
-            return None
+            return (None, None)
         if not isinstance(n, Call):
             raise RenderParseError(f"series expression expected, got {n}")
         if n.name == "seriesByGlob":
-            return None
+            return (None, None)
+        if n.name in RENDER_WINDOW_OPS and allow_win:
+            if n.name in ("derivative", "nonNegativeDerivative"):
+                if len(n.args) != 1:
+                    raise RenderParseError(
+                        f"streaming {n.name} takes (series) — the "
+                        "maxValue counter-wrap form is batch-only"
+                    )
+            elif len(n.args) != 2 or not isinstance(n.args[1], Num) \
+                    or n.args[1].value < 1:
+                raise RenderParseError(f"{n.name} takes (series, k >= 1)")
+            _, agg = walk(n.args[0], False, allow_agg)
+            return (n, agg)
         if n.name in ("summarize", "groupByNode", "hitcount") and allow_agg:
-            stateless_only(n.args[0], False)
-            return n
+            walk(n.args[0], False, False)
+            return (None, n)
         if n.name == "group":
             # bag union of stateless branches is itself stateless —
             # streams union freely; no aggregate may hide inside.
             for a in n.args:
-                stateless_only(a, False)
-            return None
+                walk(a, False, False)
+            return (None, None)
         if n.name not in _STATELESS:
             raise RenderParseError(
                 f"{n.name} is not streamable — only stateless value maps, "
-                "group() unions of them, and one summarize/groupByNode/"
-                "hitcount run on the archive stream"
+                "group() unions of them, one window op above the "
+                "aggregate, and one summarize/groupByNode/hitcount run "
+                "on the archive stream"
             )
-        return stateless_only(n.args[0], allow_agg)
+        return walk(n.args[0], allow_win, allow_agg)
 
-    return stateless_only(node, True)
+    return walk(node, True, True)
 
 
 def _apply_stateless(
@@ -253,19 +282,11 @@ def _summarize_agg(how: str):
     raise RenderParseError(f"summarize: unknown method {how!r}")
 
 
-def streaming_render_frame(archive_stream: DataFrame, target: str) -> DataFrame:
-    """Streaming level-0 archive rows (metric, interval, value) →
-    the rendered streaming frame (metric, interval, value) for the
-    given target.  Stateless chains pass through append-trivially;
-    an outermost summarize becomes a watermarked tumbling window
-    aggregate (0-lateness — in-order handoff)."""
-    node = validate_target(parse_target(target))
-    summarize_node = check_streamable(node)
-    base = archive_stream.select(
-        "metric",
-        "interval",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
+def _plan_below(base: DataFrame, top: Node, summarize_node) -> DataFrame:
+    """(metric, interval, cents) streaming plan for the subtree
+    ``top`` — ``stateless* (summarize (stateless* (seed)))?`` — over
+    the level-0 cents frame ``base``; the summarize level becomes the
+    watermarked tumbling window aggregate."""
     if summarize_node is not None:
         sn = summarize_node
         if sn.name == "hitcount":
@@ -321,14 +342,43 @@ def streaming_render_frame(archive_stream: DataFrame, target: str) -> DataFrame:
         )
         # stateless value maps ABOVE the windowed aggregate are a
         # projection over the emitted closed-window rows — append-safe.
-        out = _apply_stateless(base, node, stop=sn, stop_frame=agg)
-    else:
-        out = _apply_stateless(base, node)
-    return out.select(
+        return _apply_stateless(base, top, stop=sn, stop_frame=agg)
+    return _apply_stateless(base, top)
+
+
+def _cents_base(archive_stream: DataFrame) -> DataFrame:
+    return archive_stream.select(
+        "metric",
+        "interval",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+
+def _to_value(frame: DataFrame) -> DataFrame:
+    return frame.select(
         "metric",
         "interval",
         (F.col("cents").cast("double") / F.lit(100.0)).alias("value"),
     )
+
+
+def streaming_render_frame(archive_stream: DataFrame, target: str) -> DataFrame:
+    """Streaming level-0 archive rows (metric, interval, value) →
+    the rendered streaming frame (metric, interval, value) for the
+    given target.  Stateless chains pass through append-trivially;
+    an outermost summarize becomes a watermarked tumbling window
+    aggregate (0-lateness — in-order handoff).  Targets containing an
+    order-sensitive window op need the extra chained handoff —
+    ``streaming_render_pass`` orchestrates it; this single-query
+    entry point rejects them."""
+    node = validate_target(parse_target(target))
+    win, agg = check_streamable(node)
+    if win is not None:
+        raise RenderParseError(
+            f"{win.name} needs its own chained query (two stateful "
+            "operators cannot share one) — use streaming_render_pass"
+        )
+    return _to_value(_plan_below(_cents_base(archive_stream), node, agg))
 
 
 def streaming_render_pass(
@@ -341,11 +391,16 @@ def streaming_render_pass(
     lateness_seconds: Optional[int] = None,
     await_secs: int = 600,
 ) -> str:
-    """One availableNow pass of the two chained queries: level-0 LWW
+    """One availableNow pass of the chained queries: level-0 LWW
     rollup from the raw points file source, then the rendered target
-    over the level-0 handoff.  Checkpoints persist under ``base``, so
-    the replay harness calls this once per arrival pass.  Returns the
-    rendered output dir."""
+    over the level-0 handoff.  A target containing an order-sensitive
+    window op adds a THIRD query: the plan below the window op hands
+    its closed rows off as exact cent longs, and the stateful
+    trailing-window kernel (+ the stateless chain above it) renders
+    from that — a streaming query cannot chain two stateful
+    operators.  Checkpoints persist under ``base``, so the replay
+    harness calls this once per arrival pass.  Returns the rendered
+    output dir."""
     lvl0 = os.path.join(base, "level0")
     rendered = os.path.join(base, "rendered")
 
@@ -362,6 +417,9 @@ def streaming_render_pass(
         if not q.awaitTermination(await_secs):
             raise RuntimeError("streaming render pass timed out")
 
+    node = validate_target(parse_target(target))
+    win, agg = check_streamable(node)
+
     run(
         streaming_rollup(
             spark.readStream.schema(feed_schema).parquet(src),
@@ -372,9 +430,38 @@ def streaming_render_pass(
         lvl0,
         os.path.join(base, "ckpt0"),
     )
+    lvl0_stream = spark.readStream.schema(_LEVEL_SCHEMA).parquet(lvl0)
+    if win is None:
+        run(
+            _to_value(_plan_below(_cents_base(lvl0_stream), node, agg)),
+            rendered,
+            os.path.join(base, "ckpt_render"),
+        )
+        return rendered
+
+    from go_whisper_spark.streaming.stateful import render_window_op
+
+    mid = os.path.join(base, "mid")
     run(
-        streaming_render_frame(
-            spark.readStream.schema(_LEVEL_SCHEMA).parquet(lvl0), target
+        _plan_below(_cents_base(lvl0_stream), win.args[0], agg),
+        mid,
+        os.path.join(base, "ckpt_mid"),
+    )
+    k = win.args[1].value if len(win.args) == 2 else 1
+    kernel_out = render_window_op(
+        spark.readStream.schema(
+            "metric string, interval long, cents long"
+        ).parquet(mid),
+        win.name,
+        k,
+    )
+    # the chain above the window op is pure single-spine stateless
+    # (check_streamable forbids seeds/group branches up there), so the
+    # seed frame is never consulted — kernel_out stands in for it.
+    run(
+        _to_value(
+            _apply_stateless(kernel_out, node, stop=win,
+                             stop_frame=kernel_out)
         ),
         rendered,
         os.path.join(base, "ckpt_render"),

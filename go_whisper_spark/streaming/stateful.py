@@ -73,3 +73,96 @@ def streaming_derivative(points: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------- render window ops
+# Order-sensitive render operators (movingSum/movingAverage/movingMin/
+# movingMax/derivative/nonNegativeDerivative) over a stream of closed
+# archive or summarize rows.  The batch forms are per-metric ROWS
+# windows ordered by interval (render.py); the streaming form keeps
+# the trailing window as per-metric state:
+#
+#   state = the last (k-1) ROWS' cents (derivatives: the last 1),
+#           NULL slots kept as _NULL_SENT so the ROWS frame counts
+#           them exactly like the batch window does — O(k) per metric,
+#           independent of stream length.
+#
+# Correctness depends on per-metric interval order ACROSS micro-
+# batches, which the chained in-order handoff provides (each handoff
+# batch carries intervals strictly above everything released before
+# it — streaming/render.py's 0-lateness argument); within a batch the
+# kernel sorts by interval.  Arithmetic is the batch operator's,
+# operand for operand: sum/min/max skip NULLs inside the ROWS frame,
+# movingAverage floors sum/count over non-NULL slots, derivative is
+# cur − prev with NULL propagation, nonNegativeDerivative NULLs
+# counter drops.
+
+RENDER_WINDOW_OPS = frozenset({
+    "movingSum", "movingAverage", "movingMin", "movingMax",
+    "derivative", "nonNegativeDerivative",
+})
+
+_WIN_OUTPUT_SCHEMA = "metric string, interval long, cents long"
+_WIN_STATE_SCHEMA = "buf array<long>"
+_NULL_SENT = -(1 << 62)  # cents are |v|*100 of double metrics — safe
+
+
+def _window_fn(op: str, k: int):
+    import math
+
+    def fn(key, pdfs, state):
+        (metric,) = key
+        buf = list(state.get[0]) if state.exists else []
+        chunks = [p for p in pdfs if len(p)]
+        rows = []
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("interval")
+            for iv, c in zip(pdf["interval"], pdf["cents"]):
+                cur = None if pd.isna(c) else int(c)
+                if op in ("derivative", "nonNegativeDerivative"):
+                    prev = buf[-1] if buf else None
+                    if prev == _NULL_SENT:
+                        prev = None
+                    out = (None if cur is None or prev is None
+                           else cur - prev)
+                    if op == "nonNegativeDerivative" and out is not None \
+                            and out < 0:
+                        out = None
+                else:
+                    win = [v for v in buf[-(k - 1):] if v != _NULL_SENT] \
+                        if k > 1 else []
+                    if cur is not None:
+                        win.append(cur)
+                    if not win:
+                        out = None
+                    elif op == "movingSum":
+                        out = sum(win)
+                    elif op == "movingMin":
+                        out = min(win)
+                    elif op == "movingMax":
+                        out = max(win)
+                    else:  # movingAverage: the batch floored-cent mean
+                        out = math.floor(float(sum(win)) / len(win))
+                rows.append((metric, int(iv), out))
+                buf.append(_NULL_SENT if cur is None else cur)
+            keep = (1 if op in ("derivative", "nonNegativeDerivative")
+                    else max(k - 1, 0))
+            state.update((buf[-keep:] if keep else [],))
+        if rows:
+            yield pd.DataFrame(rows, columns=["metric", "interval", "cents"])
+
+    return fn
+
+
+def render_window_op(frame: DataFrame, op: str, k: int = 1) -> DataFrame:
+    """Streaming (metric, interval, cents) frame → the same frame with
+    ``op`` applied per metric (cross-batch trailing-window state)."""
+    if op not in RENDER_WINDOW_OPS:
+        raise ValueError(f"not a streaming render window op: {op}")
+    return frame.groupBy("metric").applyInPandasWithState(
+        _window_fn(op, k),
+        outputStructType=_WIN_OUTPUT_SCHEMA,
+        stateStructType=_WIN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

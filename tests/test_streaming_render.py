@@ -30,12 +30,23 @@ def test_streamable_gate():
     for t in ok:
         check_streamable(parse_target(t))
     # the summarize node is returned for the aggregate builder
-    assert check_streamable(parse_target(ok[4])).name == "summarize"
-    assert check_streamable(parse_target(ok[0])) is None
+    assert check_streamable(parse_target(ok[4]))[1].name == "summarize"
+    assert check_streamable(parse_target(ok[0])) == (None, None)
+    # order-sensitive window ops ARE streamable above the aggregate
+    # level (the stateful trailing-window kernel, round 12); the
+    # window node comes back for the extra chained query.
+    win, agg = check_streamable(
+        parse_target("movingSum(scale(summarize('*', 6, 'max'), 2), 4)"))
+    assert win.name == "movingSum" and agg.name == "summarize"
+    win, agg = check_streamable(parse_target("derivative(scale('*', 2))"))
+    assert win.name == "derivative" and agg is None
     bad = [
-        # order-sensitive window ops cannot run append-mode
-        "movingSum('*', 3)",
-        "derivative(scale('*', 2))",
+        # at most ONE window op (a second is a second stateful query)
+        "movingSum(derivative('*'), 3)",
+        # window ops BELOW the aggregate would need a handoff below it
+        "summarize(movingSum('*', 3), 6, 'max')",
+        # the maxValue counter-wrap form is batch-only
+        "nonNegativeDerivative('*', 600)",
         # only ONE watermarked aggregate level per handoff
         "summarize(scale(summarize('*', 2, 'max'), 2), 6, 'max')",
         # cross-series reducers need their own shuffle semantics
@@ -43,6 +54,8 @@ def test_streamable_gate():
         "summarize(sumSeries('*'), 6, 'max')",
         # selectors require a second pass over the full series
         "maximumAbove('*', 10)",
+        # no window op hiding inside a group() branch
+        "group(movingSum('*', 3), scale('c*', 2))",
     ]
     for t in bad:
         with pytest.raises(RenderParseError):
@@ -96,11 +109,11 @@ def test_round11_stateless_ops_streamable(spark):
 def test_hitcount_streamable(spark):
     """hitcount is summarize-sum × slot width: accepted as THE
     aggregate level, scale applied over emitted closed windows."""
-    assert check_streamable(parse_target("hitcount('*', 4)")).name == \
+    assert check_streamable(parse_target("hitcount('*', 4)"))[1].name == \
         "hitcount"
     assert check_streamable(
         parse_target("scale(hitcount(grep('c*', '^c'), 2), 3)")
-    ).name == "hitcount"
+    )[1].name == "hitcount"
     # still at most one aggregate level
     with pytest.raises(RenderParseError):
         check_streamable(parse_target("hitcount(summarize('*', 2, 'sum'), 4)"))
@@ -139,3 +152,63 @@ def test_wave56_stateless_ops_evaluate_on_stream(spark):
     ):
         out = streaming_render_frame(src, t)
         assert out.isStreaming and out.columns == ["metric", "interval", "value"]
+
+
+def test_window_kernel_matches_batch(spark, tmp_path):
+    """The stateful trailing-window kernel must equal the batch ROWS
+    window operator row for row — including NULL slots inside the
+    window frame and state carried across arrival passes (the
+    checkpoint round-trip)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from go_whisper_spark.streaming.stateful import render_window_op
+
+    rows = []
+    for m in ("a", "b"):
+        for i in range(10):
+            cents = None if (m == "a" and i in (2, 3, 7)) else (i + 1) * 100
+            rows.append((m, i * 3600, cents))
+    static = spark.createDataFrame(
+        rows, "metric string, interval long, cents long")
+
+    for op, k in (("movingSum", 3), ("movingAverage", 2), ("movingMin", 4),
+                  ("derivative", 1), ("nonNegativeDerivative", 1)):
+        base = str(tmp_path / op)
+        src, out, ckpt = (os.path.join(base, d)
+                          for d in ("src", "out", "ckpt"))
+        # two arrival passes split mid-series: state must survive the
+        # checkpoint between them (source dir must exist before the
+        # stream is declared, so write the pass first)
+        for lo, hi in ((0, 6), (6, 10)):
+            (static.where((F.col("interval") / 3600).between(lo, hi - 1))
+             .coalesce(1).write.mode("append").parquet(src))
+            stream = render_window_op(
+                spark.readStream.schema(
+                    "metric string, interval long, cents long").parquet(src),
+                op, k)
+            q = (stream.writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt).outputMode("append")
+                 .trigger(availableNow=True).start())
+            assert q.awaitTermination(300)
+        got = {(r.metric, r.interval): r.cents
+               for r in spark.read.parquet(out).collect()}
+
+        w = Window.partitionBy("metric").orderBy("interval")
+        if op == "derivative":
+            exp = static.withColumn(
+                "cents", F.col("cents") - F.lag("cents").over(w))
+        elif op == "nonNegativeDerivative":
+            d = F.col("cents") - F.lag("cents").over(w)
+            exp = static.withColumn("cents", F.when(d >= 0, d))
+        else:
+            fr = w.rowsBetween(-(k - 1), 0)
+            agg = {"movingSum": F.sum("cents").over(fr),
+                   "movingMin": F.min("cents").over(fr),
+                   "movingAverage": F.floor(
+                       F.sum("cents").over(fr).cast("double")
+                       / F.count("cents").over(fr)).cast("long")}[op]
+            exp = static.withColumn("cents", agg)
+        want = {(r.metric, r.interval): r.cents for r in exp.collect()}
+        assert got == want, f"{op}(k={k}) kernel != batch window"

@@ -1124,6 +1124,35 @@ def _build_st_render_hitcount(spark):
     )
 
 
+def _build_st_render_window(spark):
+    # The trailing-window kernel stage of a window-op render target
+    # (streaming/stateful.py render_window_op + the stateless chain
+    # above it): one FlatMapGroupsInPandasWithState keyed by metric,
+    # a projection on top, nothing else stateful.
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.render import parse_target, validate_target
+    from go_whisper_spark.streaming.render import (
+        _apply_stateless,
+        _to_value,
+        check_streamable,
+    )
+    from go_whisper_spark.streaming.stateful import render_window_op
+
+    node = validate_target(parse_target("scale(movingSum('*', 4), 2)"))
+    win, _ = check_streamable(node)
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            (F.col("value") % 5).cast("string").alias("metric"),
+            (F.col("value") * 3600).alias("interval"),
+            (F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    kout = render_window_op(src, win.name, win.args[1].value)
+    return _to_value(_apply_stateless(kout, node, stop=win, stop_frame=kout))
+
+
 def _build_st_pq_score(spark):
     # The in-stream routing kernel + broadcast PQ-index probe
     # (streaming/adc.py) on a rate source: the streaming logical plan
@@ -1209,6 +1238,16 @@ BUILDERS = {
         build=_build_st_render_hitcount,
         require=["EventTimeWatermark", "Aggregate"],
         forbid=["Join", "MapInPandas", "FlatMapGroupsWithState"],
+        streaming=True,
+    ),
+    "st_render_window_stream": dict(
+        build=_build_st_render_window,
+        # The third chained query of a window-op render target: the
+        # stateful trailing-window kernel is the ONLY stateful
+        # operator in its plan — no watermark/aggregate/join may ride
+        # along (they live in the upstream handoff queries).
+        require=["FlatMapGroupsInPandasWithState"],
+        forbid=["Join", "Aggregate", "EventTimeWatermark"],
         streaming=True,
     ),
     "st_pq_score_stream": dict(
