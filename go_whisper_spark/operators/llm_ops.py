@@ -4751,6 +4751,14 @@ def pq_adc_score(routed: DataFrame, index: DataFrame) -> DataFrame:
 
 PQS_NPROBE = 2  # coarse cells probed per query
 PQS_RERANK = 20  # ADC candidates kept for exact rerank
+# The multi-probe serve rung (s_pq_search_mp): widening the route
+# WITHOUT widening the rerank pool measurably LOWERED recall at
+# sf0.01 (0.327 -> 0.320) — the extra cells' ADC noise displaced true
+# neighbors from the fixed top-20 pool — so the rung scales both
+# knobs together (pool ∝ probes), which is how production stores
+# expose it (efSearch-style paired widening).
+PQS_NPROBE_MP = 4
+PQS_RERANK_MP = 40
 # Tuning (sf0.01, vs exact top-3): C=10→0.24, C=20→0.33, C=40→0.41
 # mean recall@3; NPROBE=3/4 at C=20 → 0.333/0.320 — on this corpus the
 # loss is ADC *ordering* inside the probed cells, not cell-miss, so
@@ -4788,11 +4796,14 @@ def s_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_read_path(
-    spark: SparkSession, sf_dir: str, index: DataFrame, cent_rows
+    spark: SparkSession, sf_dir: str, index: DataFrame, cent_rows,
+    n_probe: int = PQS_NPROBE, rerank: int = PQS_RERANK,
 ) -> DataFrame:
     """Route → ADC-scan → exact-rerank against an already-built PQ-IVF
     index — the serving half of ``s_pq_search`` (shared verbatim by
-    ``s_pq_search_serve``, which prices it without the build)."""
+    ``s_pq_search_serve``, which prices it without the build).
+    ``n_probe`` widens the IVF route (the recall/latency knob the
+    multi-probe rung ``s_pq_search_mp`` turns)."""
     # Route + ADC-score through the SAME Arrow kernels the streaming
     # scorer (st_pq_score) runs — one code path, batch and online.
     # Cells are disjoint per vector, so multi-probe produces no
@@ -4802,12 +4813,12 @@ def _pq_read_path(
     q = _emb(spark, sf_dir).where(F.col("vec_id") < 50).select(
         "vec_id", "embedding"
     )
-    routes = pq_route_frame(q, cent_rows, PQS_NPROBE)
+    routes = pq_route_frame(q, cent_rows, n_probe)
     adc = pq_adc_score(routes, index)
     cw = Window.partitionBy("qid").orderBy(F.desc("adc_sim"), F.asc("vec_id"))
     topc = (
         adc.withColumn("cr", F.row_number().over(cw))
-        .where(F.col("cr") <= PQS_RERANK)
+        .where(F.col("cr") <= rerank)
         .select("qid", "vec_id")
     )
 
@@ -4950,6 +4961,33 @@ def s_pq_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(spark, sf_dir, s_pq_search(spark, sf_dir))
 
 
+def s_pq_search_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-probe serve rung (VERDICT r11 item 5): the identical
+    route → ADC-scan → exact-rerank read path against the cached
+    pre-built index, probing the top-``PQS_NPROBE_MP`` (4) coarse
+    cells instead of 2 WITH the rerank pool scaled to match
+    (``PQS_RERANK_MP`` = 40 — see the constants' comment: widening
+    the route alone measurably LOWERED recall, the extra cells' ADC
+    noise displacing true neighbors from the fixed pool).  This is
+    the standard recall/latency knob a vector store exposes per query
+    class.  Cost scales linearly in the probed cells' candidate mass
+    (the ADC join's only fan-in) plus the doubled |Q|·rerank exact
+    re-score, so the serve latency bound is ~2× ``s_pq_search_serve``
+    by construction; cells are disjoint per vector so multi-probe
+    never duplicates a candidate.  ``s_pq_mp_recall`` measures the
+    recall lift this buys (floor pinned strictly above the 2-probe
+    rung in tests/test_pq_search.py)."""
+    index, cent_rows = pq_ivf_index_cached(spark, sf_dir)
+    return _pq_read_path(spark, sf_dir, index, cent_rows,
+                         n_probe=PQS_NPROBE_MP, rerank=PQS_RERANK_MP)
+
+
+def s_pq_mp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@3 of the 4-probe serve path against the exact top-3 —
+    the other half of the multi-probe rung's price tag."""
+    return _recall_vs_exact(spark, sf_dir, s_pq_search_mp(spark, sf_dir))
+
+
 _DOT64_SQL = (
     "list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))"
 )
@@ -5011,7 +5049,8 @@ _IVF_CTES = _ivf_ctes()
 # the PQ + IVF base blocks so the post-upsert variant (frozen
 # base-trained quantizers, union-encoded corpus) shares every
 # downstream CTE verbatim.
-def _pq_adc_ctes(pq_ctes: str, ivf_ctes: str, cand_pred: str = "TRUE") -> str:
+def _pq_adc_ctes(pq_ctes: str, ivf_ctes: str, cand_pred: str = "TRUE",
+                 n_probe: int = PQS_NPROBE) -> str:
     return f"""{pq_ctes},
 {ivf_ctes},
 recon AS (
@@ -5033,7 +5072,7 @@ routes AS (
            ) AS pr
     FROM icells c, icents2 s2
     WHERE c.vec_id < 50
-  ) WHERE pr <= {PQS_NPROBE}
+  ) WHERE pr <= {n_probe}
 ),
 adc AS (
   SELECT q.qid, q.qv, q.qn, c.vec_id,
@@ -5051,14 +5090,14 @@ _PQ_ADC_CTES = _pq_adc_ctes(_PQ_CTES, _IVF_CTES)
 
 # …continued down to the reranked top-3 relation (qid, neighbor, sim,
 # rank) — shared by the search oracle and its recall gate.
-def _pq_search_ctes(adc_ctes: str) -> str:
+def _pq_search_ctes(adc_ctes: str, rerank: int = PQS_RERANK) -> str:
     return f"""{adc_ctes},
 topc AS (
   SELECT qid, qv, qn, vec_id FROM (
     SELECT *, row_number() OVER (
       PARTITION BY qid ORDER BY adc_sim DESC, vec_id ASC) AS cr
     FROM adc
-  ) WHERE cr <= {PQS_RERANK}
+  ) WHERE cr <= {rerank}
 ),
 pq_ann AS (
   SELECT qid, neighbor, sim, CAST(rank AS INTEGER) AS rank FROM (
@@ -5077,6 +5116,14 @@ pq_ann AS (
 
 
 _PQ_SEARCH_CTES = _pq_search_ctes(_PQ_ADC_CTES)
+
+# Multi-probe serve rung: the same CTEs with the route widened to
+# PQS_NPROBE_MP cells and the rerank pool scaled with it —
+# parameterization, not a new oracle shape.
+_PQ_SEARCH_CTES_MP = _pq_search_ctes(
+    _pq_adc_ctes(_PQ_CTES, _IVF_CTES, n_probe=PQS_NPROBE_MP),
+    rerank=PQS_RERANK_MP,
+)
 
 # Post-upsert read path: coarse cells AND codebooks trained on the
 # base split only (vec_id % 10 <= 7, the s_pq_upsert contract), the
@@ -6632,6 +6679,8 @@ QUERIES = {
     "s_pq_search_upserted": s_pq_search_upserted,
     "s_pq_upserted_recall": s_pq_upserted_recall,
     "s_pq_search_recall": s_pq_search_recall,
+    "s_pq_search_mp": s_pq_search_mp,
+    "s_pq_mp_recall": s_pq_mp_recall,
     "s_semantic_dedup": s_semantic_dedup,
 }
 
@@ -6713,5 +6762,10 @@ ORACLES = {
     "s_pq_search_upserted": _s_pq_search_upserted_sql(),
     "s_pq_upserted_recall": _s_pq_search_recall_sql(_PQ_SEARCH_CTES_UPSERTED),
     "s_pq_search_recall": _s_pq_search_recall_sql(),
+    "s_pq_search_mp": (
+        f"\nWITH {_PQ_SEARCH_CTES_MP}\n"
+        "SELECT qid, neighbor, sim, rank FROM pq_ann ORDER BY qid, rank\n"
+    ),
+    "s_pq_mp_recall": _s_pq_search_recall_sql(_PQ_SEARCH_CTES_MP),
     "s_semantic_dedup": _s_semantic_dedup_sql(),
 }

@@ -97,3 +97,23 @@ def test_filtered_search_respects_predicate(spark, sf_dir):
         (r["qid"], r["neighbor"]) for r in s_pq_search(spark, sf_dir).collect()
     }
     assert any((r["qid"], r["neighbor"]) not in unfiltered for r in rows)
+
+
+def test_multiprobe_rung_lifts_recall(spark, sf_dir):
+    """The multi-probe serve rung (4 probes + 40-candidate rerank)
+    must buy STRICTLY more recall than the 2-probe rung — the whole
+    point of the knob (VERDICT r11 item 5; measured 0.327 -> 0.473 at
+    sf0.01, 0.200 -> 0.293 at sf0.1).  Widening the route without the
+    pool measurably LOWERED recall, so this floor also guards the
+    paired-knob contract."""
+    from go_whisper_spark.operators.llm_ops import (
+        s_pq_mp_recall,
+        s_pq_search_recall,
+    )
+
+    single = _mean_recall(s_pq_search_recall(spark, sf_dir))
+    multi = _mean_recall(s_pq_mp_recall(spark, sf_dir))
+    assert multi > single, (
+        f"multi-probe recall {multi} did not lift above the "
+        f"2-probe rung {single}"
+    )

@@ -871,6 +871,14 @@ CHECKS = {
                  "BroadcastNestedLoopJoin"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
+    # Multi-probe serve rung: identical read-path shape to the cached
+    # serve path (broadcast hash joins + Arrow kernels + rank
+    # windows) — widening n_probe/rerank changes row counts, never
+    # the plan; no build-side nested-loop (cached index).
+    "s_pq_search_mp": dict(
+        require=["MapInPandas", "Window", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
     # Filtered ANN: the label pre-filter joins the index relation
     # between route and ADC scan — serving from the CACHED
     # checkpointed index, so (unlike s_pq_search) no build-side
