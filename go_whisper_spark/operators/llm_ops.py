@@ -2634,6 +2634,36 @@ FROM s
 
 
 # -------------------------------------------------------- d_cdc_neardup
+def capped_posting_pairs(postings: DataFrame, key: str, doc: str,
+                         cap: int) -> DataFrame:
+    """(doc, key) posting relation → (doc_a, doc_b, shared) candidate
+    pairs with the DOCUMENT-FREQUENCY CAP applied BEFORE the
+    self-join: keys held by more than ``cap`` documents are dropped,
+    so the join's output is bounded by Σ_{df<=cap} df·(df−1)/2 —
+    each surviving posting row can pair with at most (cap−1) others,
+    giving ≤ (cap−1)/2 output rows per posting row regardless of how
+    hot any key is.  This is THE skew fence for inverted-index pair
+    generation (boilerplate chunks / stop shingles at 100 TB): the
+    bound is pinned by tests/test_skew_fence.py (a deliberately hot
+    key contributes zero pairs) and the below-the-join placement by
+    the d_cdc_neardup plan spec + the structural plan test."""
+    freq = postings.groupBy(key).agg(F.count("*").alias("df"))
+    live = postings.join(freq.where(F.col("df") <= cap), key)
+    a, b = live.alias("a"), live.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col(f"a.{doc}") < F.col(f"b.{doc}")),
+        )
+        .groupBy(
+            F.col(f"a.{doc}").alias("doc_a"),
+            F.col(f"b.{doc}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+
+
 def d_cdc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by CONTENT-DEFINED-CHUNK overlap — the
     blob/file-store dedup signal at document granularity: two docs
@@ -2670,22 +2700,8 @@ def d_cdc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.expr(_CDC_HASHES)).alias("h"))
         .distinct()
     )
-    freq = chunks.groupBy("h").agg(F.count("*").alias("df"))
-    live = chunks.join(freq.where(F.col("df") <= 50), "h")
     sizes = chunks.groupBy("doc_id").agg(F.count("*").alias("n_ch"))
-    a, b = live.alias("a"), live.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("shared"))
-    )
+    shared = capped_posting_pairs(chunks, "h", "doc_id", 50)
     j = (
         shared.join(sizes.select(F.col("doc_id").alias("doc_a"),
                                  F.col("n_ch").alias("na")), "doc_a")

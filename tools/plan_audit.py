@@ -929,8 +929,12 @@ CHECKS = {
     # chunk-inverted-index equi-join (posting join), never a
     # cross/nested-loop over doc pairs; the df-cap filter and size
     # join-backs are equi-joins AQE sizes.
+    # The df-cap skew fence must be IN the plan (dropping it would
+    # silently re-open the boilerplate-chunk quadratic blowup); its
+    # below-the-join placement is pinned structurally in
+    # tests/test_skew_fence.py.
     "d_cdc_neardup": dict(
-        require=["partial_count"],
+        require=["partial_count", "<= 50"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     # Drop ledger on top of the pairs: one DISTINCT over doc_b, a
