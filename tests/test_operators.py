@@ -345,3 +345,69 @@ def test_funnel_strictness_and_window(spark):
     assert out[2].reached == 1 and out[2].c_ts is None
     assert out[3].reached == 1
     assert out[4].reached == 1 and out[4].p_ts is None
+
+
+def test_funnel_fold_generalizes_3step(spark, sf_dir):
+    """The k-step generalized fold instantiated at the 3-step spec
+    must reproduce w_funnel_3step row for row on real data — the
+    generalization is a refactor of the semantics, not a fork."""
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.operators.whisper_queries import (
+        _FUNNEL_W,
+        funnel_fold,
+        w_funnel_3step,
+    )
+    from go_whisper_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.unix_timestamp("ts").alias("ts"),
+    )
+    gen = funnel_fold(ev, ["view", "click", "purchase"], _FUNNEL_W).select(
+        "user_id",
+        F.col("s0").alias("v_ts"),
+        F.col("s1").cast("double").alias("c_ts"),
+        F.col("s2").cast("double").alias("p_ts"),
+        "reached",
+    )
+    want = {r.user_id: tuple(r) for r in w_funnel_3step(spark, sf_dir).collect()}
+    got = {r.user_id: tuple(r) for r in gen.collect()}
+    assert got == want
+
+
+def test_funnel_4step_window_and_order(spark):
+    """4-step edge semantics: the 14-day window anchors at the FIRST
+    view; a signup BEFORE the click never chains (order is the step
+    list, not event availability)."""
+    import datetime
+    from unittest import mock
+
+    import go_whisper_spark.sources.tables as tables_mod
+    from go_whisper_spark.operators.whisper_queries import (
+        _FUNNEL4_W,
+        w_funnel_4step,
+    )
+
+    T0 = 1_700_000_000
+    rows = [
+        # u1: full conversion in order
+        (1, "view", T0), (1, "click", T0 + 1), (1, "signup", T0 + 2),
+        (1, "purchase", T0 + 3),
+        # u2: signup arrives BEFORE the click -> chain stops at click
+        (2, "view", T0), (2, "signup", T0 + 1), (2, "click", T0 + 2),
+        (2, "purchase", T0 + 3),
+        # u3: purchase past the 14-day window from the view
+        (3, "view", T0), (3, "click", T0 + 1), (3, "signup", T0 + 2),
+        (3, "purchase", T0 + _FUNNEL4_W + 1),
+    ]
+    df = spark.createDataFrame(
+        [(u, e, datetime.datetime.utcfromtimestamp(t)) for u, e, t in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+    with mock.patch.object(tables_mod, "load_table", lambda _s, _d, _t: df):
+        out = {r.user_id: r for r in w_funnel_4step(spark, "unused").collect()}
+    assert out[1].reached == 4
+    assert out[2].reached == 2 and out[2].g_ts is None
+    assert out[3].reached == 3 and out[3].p_ts is None

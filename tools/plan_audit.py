@@ -985,6 +985,14 @@ CHECKS = {
         forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                 "Window", "BroadcastNestedLoopJoin"],
     ),
+    # k=4 instantiation of the generalized fold: the plan shape must
+    # be IDENTICAL to the 3-step form — one user-keyed collect, the
+    # fold in codegen, no join/window appearing as the funnel grows.
+    "w_funnel_4step": dict(
+        require=["partial_collect_list"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "Window", "BroadcastNestedLoopJoin"],
+    ),
     # HLL: pre-distinct + two map-combined aggregates (64·n_metrics
     # register cells, then per-metric sums); the exact-ledger join is
     # an n_metrics-key equi-join AQE broadcasts.
