@@ -4563,6 +4563,13 @@ RENDER_EXPR_APPLY = (
 RENDER_EXPR_UNIQUE = (
     "movingSum(unique(seriesByGlob('c*'), seriesByGlob('*')), 4)"
 )
+RENDER_EXPR_BAND = (
+    "movingSum(areaBetween(sumSeries('c*'), sumSeries('[ve]*')), 4)"
+)
+RENDER_EXPR_MULTINODE = (
+    "sortByMinima(groupByNodes(group(aliasSub('c*', '^', 'dc1.x.'), "
+    "aliasSub('[ve]*', '^', 'dc2.y.')), 'avg', 0, 1))"
+)
 
 
 def g_render_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4813,6 +4820,26 @@ def g_render_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render(spark, sf_dir, RENDER_EXPR_UNIQUE)
 
 
+def g_render_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 parity wave 2: the composable areaBetween — per-slot
+    band width |a−b| in exact cents between two reduced series,
+    smoothed by a 4-slot rolling sum over the single band series
+    (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_BAND)
+
+
+def g_render_multinode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 parity wave 2: groupByNodes collapsing two relabeled
+    branches onto dot nodes (0, 1) with floored-cent averages, legend
+    order surfaced by the root-only sortByMinima's series_rank
+    column (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_MULTINODE)
+
+
 def _render_oracle(target: str) -> str:
     from go_whisper_spark.render import render_oracle_sql
 
@@ -4890,6 +4917,8 @@ QUERIES = {
     "g_render_lists": g_render_lists,
     "g_render_apply": g_render_apply,
     "g_render_unique": g_render_unique,
+    "g_render_band": g_render_band,
+    "g_render_multinode": g_render_multinode,
     "g_maximum_above": g_maximum_above,
     "g_maximum_below": g_maximum_below,
     "g_minimum_below": g_minimum_below,
@@ -5049,6 +5078,8 @@ ORACLES = {
     "g_render_lists": _render_oracle(RENDER_EXPR_LISTS),
     "g_render_apply": _render_oracle(RENDER_EXPR_APPLY),
     "g_render_unique": _render_oracle(RENDER_EXPR_UNIQUE),
+    "g_render_band": _render_oracle(RENDER_EXPR_BAND),
+    "g_render_multinode": _render_oracle(RENDER_EXPR_MULTINODE),
     "g_maximum_above": G_MAXIMUM_ABOVE_SQL,
     "g_maximum_below": G_MAXIMUM_BELOW_SQL,
     "g_minimum_below": G_MINIMUM_BELOW_SQL,

@@ -23,7 +23,7 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (117 ops — the composable core; the ~111 fixed-form
+Operator registry (121 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
@@ -134,13 +134,23 @@ surface):
               the group's per-slot total; 'divideSeries(%, f(%))' =
               each slot divided by the group's per-slot aggregate.
               ONE (node, interval) window — no per-group replay
-  ordering    sortByTotal sortByMaxima sortByName — ordering-only:
+  ordering    sortByTotal sortByMaxima sortByMinima sortByName —
+              ordering-only:
               the legend order surfaces as an explicit series_rank
               column (row order is invisible to the hash oracle), so
               these are ROOT-ONLY — validate_target rejects them
               anywhere deeper; rank = row_number over the
               O(n_metrics) per-series aggregate relation (sum / max
-              DESC NULLS LAST / name ASC, ties on metric)
+              DESC NULLS LAST / min ASC NULLS LAST / name ASC,
+              ties on metric)
+  combiners+  areaBetween(a, b) — per-slot band width |a−b| in exact
+              cents under one label (both sides must be ONE
+              uniquely-keyed series; the fixed-form query keeps the
+              full low/high/width relation)
+  reducers+   groupByNodes(s, 'how', i, j, ...) — multi-node
+              groupByNode: label = the named dot nodes joined by
+              '.', missing nodes → ''
+  labels+     aliasByMetric(s) — rename to the LAST dot node
   generic     aggregate(s, 'how') highest(s, k, 'how')
   spellings   lowest(s, k, 'how') movingWindow(s, n, 'how')
               add(s, k) timeFunction('name') — desugared by
@@ -639,6 +649,20 @@ def analyze(node: Node):
             )
         lbl = f"{name}({ll})" if ll is not None else None
         return (ls, lu, lbl)
+    if name == "areaBetween":
+        # band width between exactly two series: BOTH sides must be
+        # one uniquely-keyed series (the band is pairwise by
+        # definition, not list-broadcast).
+        if len(node.args) != 2:
+            raise RenderParseError("areaBetween takes 2 series")
+        ls, lu, ll = analyze(node.args[0])
+        rs, ru, _ = analyze(node.args[1])
+        if not (ls and lu and rs and ru):
+            raise RenderParseError(
+                "areaBetween: both sides must be ONE uniquely-keyed "
+                "series — reduce with sumSeries/averageSeries first"
+            )
+        return (True, lu, f"areaBetween({ll})" if ll is not None else None)
     if name == "fallbackSeries":
         # which side survives is data-dependent: properties only
         # when BOTH sides guarantee them; label only when both sides
@@ -670,7 +694,7 @@ def analyze(node: Node):
         return (True, cs and cu, node.args[1].value)
     if name in _FIXED_LABEL:
         return (True, True, _FIXED_LABEL[name])
-    if name in ("groupByNode", "sumSeriesWithWildcards",
+    if name in ("groupByNode", "groupByNodes", "sumSeriesWithWildcards",
                 "averageSeriesWithWildcards", "maxSeriesWithWildcards",
                 "minSeriesWithWildcards", "groupByTags"):
         # relabel + aggregate: keys unique per (new label, interval),
@@ -725,7 +749,7 @@ def analyze(node: Node):
         return (cs, cu, None)
     if name == "aliasSub":
         return (cs, cu, None)
-    if name == "aliasByNode":
+    if name in ("aliasByNode", "aliasByMetric"):
         # distinct labels can share a node → duplicates unless the
         # input is provably one series.
         return (cs, cs and cu, None)
@@ -735,7 +759,8 @@ def analyze(node: Node):
 
 # Ordering-only ops surface their result as the extra series_rank
 # column, which no other operator consumes — so they are ROOT-ONLY.
-_ROOT_ONLY = frozenset({"sortByTotal", "sortByMaxima", "sortByName"})
+_ROOT_ONLY = frozenset({"sortByTotal", "sortByMaxima", "sortByName",
+                        "sortByMinima"})
 
 
 def _check_root_only(node: Node, is_root: bool = True) -> None:
@@ -1746,6 +1771,74 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
             return j.select(
                 label.alias("metric"), "interval", out.alias("cents")
             )
+        if name == "areaBetween":
+            # per-slot band WIDTH between two single series — |a−b|
+            # in exact cents under one label (the relational scalar
+            # of Graphite's area fill; the fixed-form query keeps the
+            # full low/high/width relation).  Both sides must be one
+            # uniquely-keyed series (enforced in analyze); LEFT join
+            # keeps a's slots with NULL width on a missing b slot.
+            _need(n, 2, (object, object))
+            a = ev(n.args[0]).select(
+                "metric", "interval", F.col("cents").alias("a_c")
+            )
+            b = ev(n.args[1]).select(
+                F.col("interval").alias("b_iv"), F.col("cents").alias("b_c")
+            )
+            j = a.join(b, a.interval == b.b_iv, "left")
+            return j.select(
+                F.concat(
+                    F.lit("areaBetween("), F.col("metric"), F.lit(")")
+                ).alias("metric"),
+                "interval",
+                F.abs(F.col("a_c") - F.col("b_c")).alias("cents"),
+            )
+        if name == "groupByNodes":
+            # multi-node groupByNode: keep the named dot nodes (label
+            # = nodes joined by '.') and aggregate series sharing
+            # them — one relabel + one (label, interval) aggregate,
+            # same shape as groupByNode.  Missing nodes → '' in both
+            # engines (the groupByNode convention).
+            if (len(n.args) < 3 or not isinstance(n.args[1], Str)
+                    or not all(isinstance(a, Num) for a in n.args[2:])):
+                raise RenderParseError(
+                    "groupByNodes takes (series, 'method', node, ...)")
+            idxs = [a.value for a in n.args[2:]]
+            if any(i < 0 for i in idxs):
+                raise RenderParseError("groupByNodes indexes must be >= 0")
+            how = n.args[1].value
+            if how == "sum":
+                agg = F.sum("cents")
+            elif how == "max":
+                agg = F.max("cents")
+            elif how == "min":
+                agg = F.min("cents")
+            elif how == "avg":
+                agg = F.floor(
+                    F.sum("cents").cast("double") / F.count("cents")
+                ).cast("long")
+            else:
+                raise RenderParseError(
+                    f"groupByNodes: unknown method {how!r}")
+            parts = F.split("metric", "[.]")
+            lab = F.concat_ws(
+                ".",
+                *[F.coalesce(F.get(parts, i), F.lit("")) for i in idxs],
+            )
+            return (
+                ev(n.args[0])
+                .withColumn("metric", lab)
+                .groupBy("metric", "interval")
+                .agg(agg.alias("cents"))
+            )
+        if name == "aliasByMetric":
+            # rename to the LAST dot node — the aliasByNode(-1)
+            # spelling Graphite dashboards use; same common-regex
+            # extraction in both engines.
+            _need(n, 1, (object,))
+            return ev(n.args[0]).withColumn(
+                "metric", F.regexp_extract("metric", "([^.]*)$", 1)
+            )
         if name == "multiplySeries":
             # same single-right-series contract as diffSeries; the
             # cent product a·b/100 is floored (exact in double: the
@@ -2585,7 +2678,8 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                     F.lit("divideSeries("), F.col("metric"), F.lit(")"))
             return s2.select(lbl.alias("metric"), "interval",
                              out.alias("cents"))
-        if name in ("sortByTotal", "sortByMaxima", "sortByName"):
+        if name in ("sortByTotal", "sortByMaxima", "sortByName",
+                    "sortByMinima"):
             # ordering-only (root-only, enforced by validate_target):
             # the legend order surfaces as the series_rank column.
             # The rank window runs over the O(n_metrics) per-series
@@ -2597,6 +2691,9 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
             if name == "sortByName":
                 per = s.select("metric").distinct()
                 order = [F.asc("metric")]
+            elif name == "sortByMinima":
+                per = s.groupBy("metric").agg(F.min("cents").alias("o"))
+                order = [F.asc_nulls_last("o"), F.asc("metric")]
             else:
                 agg = (F.max("cents") if name == "sortByMaxima"
                        else F.sum("cents"))
@@ -3275,6 +3372,39 @@ def build_sql(node: Node) -> str:
                 f"AS cents FROM {a} a LEFT JOIN {b} b "
                 f"ON a.interval = b.interval)"
             )
+        if name == "areaBetween":
+            a, b = ev(n.args[0]), ev(n.args[1])
+            return (
+                f"(SELECT 'areaBetween(' || a.metric || ')' AS metric, "
+                f"a.interval, abs(a.cents - b.cents) AS cents "
+                f"FROM {a} a LEFT JOIN {b} b ON a.interval = b.interval)"
+            )
+        if name == "groupByNodes":
+            idxs = [a.value for a in n.args[2:]]
+            how = n.args[1].value
+            agg = {
+                "sum": "CAST(sum(cents) AS BIGINT)",
+                "max": "max(cents)",
+                "min": "min(cents)",
+                "avg": ("CAST(floor(CAST(sum(cents) AS DOUBLE) / "
+                        "count(cents)) AS BIGINT)"),
+            }.get(how)
+            if agg is None:
+                raise RenderParseError(
+                    f"groupByNodes: unknown method {how!r}")
+            lab = " || '.' || ".join(
+                f"split_part(metric, '.', {i + 1})" for i in idxs
+            )
+            return (
+                f"(SELECT {lab} AS metric, interval, {agg} AS cents "
+                f"FROM {ev(n.args[0])} s "
+                f"GROUP BY {lab}, interval)"
+            )
+        if name == "aliasByMetric":
+            return (
+                "(SELECT regexp_extract(metric, '([^.]*)$', 1) AS metric, "
+                f"interval, cents FROM {ev(n.args[0])} s)"
+            )
         if name == "fallbackSeries":
             a, b = ev(n.args[0]), ev(n.args[1])
             return (
@@ -3699,11 +3829,16 @@ def build_sql(node: Node) -> str:
                 "AS BIGINT) END AS cents "
                 f"FROM {inner} s {win})"
             )
-        if name in ("sortByTotal", "sortByMaxima", "sortByName"):
+        if name in ("sortByTotal", "sortByMaxima", "sortByName",
+                    "sortByMinima"):
             inner = ev(n.args[0])
             if name == "sortByName":
                 per = f"(SELECT DISTINCT metric FROM {inner} d)"
                 order = "metric ASC"
+            elif name == "sortByMinima":
+                per = (f"(SELECT metric, min(cents) AS o FROM {inner} g "
+                       "GROUP BY metric)")
+                order = "o ASC NULLS LAST, metric ASC"
             else:
                 agg = ("max(cents)" if name == "sortByMaxima"
                        else "sum(cents)")

@@ -3,7 +3,7 @@ the Spark composition vs the AST-emitted DuckDB SQL — must agree
 exactly (the cent discipline makes every composition integer-exact).
 
 Deterministic seed; bounded depth; covers every operator in the
-registry (117 ops as of round 12) including binary combiners, aggregate
+registry (121 ops as of round 12) including binary combiners, aggregate
 reducers, the selector family, the round-11 additions (waves 2-8),
 and the generic method-string spellings (aggregate / movingWindow /
 highest / lowest / filterSeries — desugared by the parser, so the
@@ -97,7 +97,8 @@ def _series(rng, depth):
             "movingWindow", "highestLowest", "add",
             "aggregateWithWildcards",
             "aggregateSeriesLists", "seriesListsSugar", "unique",
-            "applyByNode",
+            "applyByNode", "areaBetween", "groupByNodes",
+            "aliasByMetric",
         ]
     )
     if name in _UNARY:
@@ -251,6 +252,13 @@ def _series(rng, depth):
         k = rng.randint(1, 3)
         parts = [_series(rng, depth - 1) for _ in range(k)]
         return "unique(" + ", ".join(parts) + ")"
+    if name == "groupByNodes":
+        how = rng.choice(["sum", "max", "min", "avg"])
+        k = rng.randint(1, 2)
+        idxs = ", ".join(str(rng.randint(0, 1)) for _ in range(k))
+        return (f"groupByNodes({_series(rng, depth - 1)}, '{how}', {idxs})")
+    if name == "aliasByMetric":
+        return f"aliasByMetric({_series(rng, depth - 1)})"
     if name == "applyByNode":
         tpl = rng.choice([
             "asPercent(%)", "asPercent(%, sumSeries(%))",
@@ -333,7 +341,8 @@ def test_render_fuzz_sort_roots(spark, sf_dir):
     )
     checked = rejected = 0
     while checked < 6:
-        sort = rng.choice(["sortByTotal", "sortByMaxima", "sortByName"])
+        sort = rng.choice(["sortByTotal", "sortByMaxima", "sortByName",
+                           "sortByMinima"])
         target = f"{sort}({_series(rng, rng.randint(1, 3))})"
         node = parse_target(target)
         try:

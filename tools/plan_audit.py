@@ -738,6 +738,21 @@ CHECKS = {
         require=["Window", "Union"],
         forbid=["CartesianProduct", "SortMergeJoin", "Join"],
     ),
+    # round-12 parity wave 2: areaBetween = two reduced single series
+    # joined on interval (AQE broadcasts the 1-series sides), the
+    # band's movingSum riding the single-series window.
+    "g_render_band": dict(
+        require=["Window", "partial_sum"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
+    # groupByNodes relabel + (label, interval) aggregate over the
+    # union, rank window on the O(n_metrics) per-series mins, hinted
+    # fixed-size rank join-back.
+    "g_render_multinode": dict(
+        require=["Window", "Union", "BroadcastHashJoin", "partial_min"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
     # HW residual: the sequential fold is the one grouped-pandas
     # stage (metric-keyed, the per-series recursion operator); both
     # cross-series sums partial-combine; interval-keyed diff join.
