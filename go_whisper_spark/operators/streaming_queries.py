@@ -1800,6 +1800,151 @@ SELECT metric, interval, CAST(cents AS DOUBLE) / 100.0 AS value FROM msum
 """
 
 
+_ST_FUNNEL_W = 14 * 86400  # the w_funnel_4step window, on hour buckets
+
+
+def st_funnel_4step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-step funnel ON the live stream (view → click → signup →
+    purchase, 14-day window) — product analytics as a custom stateful
+    operator: per-(user, event-type) points roll up to the 1h LWW
+    level-0 archive (watermark = 2 d lateness), whose closed buckets
+    hand off IN ORDER to the ``streaming_funnel`` kernel
+    (``applyInPandasWithState`` keyed by user; state = the 4 fired
+    bucket timestamps, O(1) per user).  Online == batch BECAUSE of
+    the hour grain: the handoff delivers each user's buckets in
+    bucket order across micro-batches, so the greedy first-match fold
+    selects exactly what the batch min-filter chain selects, and
+    strict > makes same-bucket ties unorderable in both formulations.
+    The output is the append-safe step-ADVANCEMENT change stream
+    (user_id, step, interval) — each step fires at most once per
+    user, emitted in whichever pass it fires.
+
+    Oracle: the standard watermark algebra (per-pass survivors,
+    buckets closed by the final emission bound) feeding the
+    independent 4-stage min-filter funnel at hour grain, one UNION
+    branch per step."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        F.concat(
+            F.col("event_type"), F.lit(".u"), F.col("user_id").cast("string")
+        ).alias("metric"),
+        F.col("ts_sec").alias("ts"),
+        "value",
+        F.col("event_id").alias("write_seq"),
+    )
+    t0 = int(pts.agg(F.min("ts")).first()[0])
+    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts"))
+    )
+    cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
+
+    from go_whisper_spark.streaming.stateful import streaming_funnel
+
+    root = _tmpdir()
+    src = os.path.join(root, "src")
+    lvl0 = os.path.join(root, "level0")
+    out = os.path.join(root, "funnel")
+    feed = marked.drop("arrive")
+
+    def run(df, path, ckpt):
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", os.path.join(root, ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            raise RuntimeError("streaming funnel pass timed out")
+
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        run(
+            streaming_rollup(
+                spark.readStream.schema(feed.schema).parquet(src),
+                cfg,
+                0,
+                lateness_seconds=LATENESS,
+            ).select("metric", "interval", "value"),
+            lvl0,
+            "ckpt0",
+        )
+        rows = (
+            spark.readStream.schema(
+                "metric string, interval long, value double"
+            ).parquet(lvl0)
+            .select(
+                F.regexp_extract("metric", r"\.u(\d+)$", 1)
+                .cast("long").alias("user_id"),
+                F.substring_index("metric", ".", 1).alias("et"),
+                "interval",
+            )
+        )
+        run(
+            streaming_funnel(
+                rows, ["view", "click", "signup", "purchase"], _ST_FUNNEL_W
+            ),
+            out,
+            "ckpt_funnel",
+        )
+    return spark.read.schema("user_id long, step int, interval long").parquet(
+        out
+    ).select("user_id", "step", "interval")
+
+
+ST_FUNNEL_4STEP_SQL = f"""
+WITH pts AS (
+  SELECT user_id,
+         event_type AS et,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+{_MARKED_CTE},
+surv AS (
+  SELECT m.* FROM marked m LEFT JOIN wm ON wm.arrive = m.arrive
+  WHERE wm.wm IS NULL OR m.ts - m.ts % 3600 + 3600 > wm.wm
+),
+a0 AS (
+  SELECT user_id, et, ts - ts % 3600 AS interval
+  FROM surv
+  GROUP BY 1, 2, 3
+  HAVING interval + 3600 <= (SELECT wmf FROM wmf)
+),
+v1 AS (SELECT user_id, min(interval) AS v_ts FROM a0 WHERE et = 'view'
+       GROUP BY user_id),
+c2 AS (SELECT a.user_id, min(a.interval) AS c_ts
+       FROM a0 a JOIN v1 ON a.user_id = v1.user_id
+       WHERE a.et = 'click' AND a.interval > v1.v_ts
+         AND a.interval <= v1.v_ts + {_ST_FUNNEL_W}
+       GROUP BY a.user_id),
+g3 AS (SELECT a.user_id, min(a.interval) AS g_ts
+       FROM a0 a JOIN v1 ON a.user_id = v1.user_id
+       JOIN c2 ON a.user_id = c2.user_id
+       WHERE a.et = 'signup' AND a.interval > c2.c_ts
+         AND a.interval <= v1.v_ts + {_ST_FUNNEL_W}
+       GROUP BY a.user_id),
+p4 AS (SELECT a.user_id, min(a.interval) AS p_ts
+       FROM a0 a JOIN v1 ON a.user_id = v1.user_id
+       JOIN g3 ON a.user_id = g3.user_id
+       WHERE a.et = 'purchase' AND a.interval > g3.g_ts
+         AND a.interval <= v1.v_ts + {_ST_FUNNEL_W}
+       GROUP BY a.user_id)
+SELECT user_id, 1 AS step, v_ts AS interval FROM v1
+UNION ALL SELECT user_id, 2 AS step, c_ts AS interval FROM c2
+UNION ALL SELECT user_id, 3 AS step, g_ts AS interval FROM g3
+UNION ALL SELECT user_id, 4 AS step, p_ts AS interval FROM p4
+"""
+
+
 # st_distinct_hll's oracle IS the batch HLL SQL verbatim — register-max
 # mergeability makes the streamed sketch equal the one-shot sketch.
 from go_whisper_spark.operators.whisper_queries import (  # noqa: E402
@@ -1823,6 +1968,7 @@ QUERIES = {
     "st_render_nodes": st_render_nodes,
     "st_render_hitcount": st_render_hitcount,
     "st_render_mwin": st_render_mwin,
+    "st_funnel_4step": st_funnel_4step,
     "st_lsh_prefilter": st_lsh_prefilter,
     "st_pq_score": st_pq_score,
     "st_lakehouse_ingest": st_lakehouse_ingest,
@@ -1846,6 +1992,7 @@ ORACLES = {
     "st_render_nodes": ST_RENDER_NODES_SQL,
     "st_render_hitcount": ST_RENDER_HITCOUNT_SQL,
     "st_render_mwin": ST_RENDER_MWIN_SQL,
+    "st_funnel_4step": ST_FUNNEL_4STEP_SQL,
     "st_lsh_prefilter": _st_lsh_prefilter_sql(),
     "st_pq_score": _st_pq_score_sql(),
     "st_lakehouse_ingest": ST_LAKEHOUSE_INGEST_SQL,

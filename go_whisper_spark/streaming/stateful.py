@@ -166,3 +166,67 @@ def render_window_op(frame: DataFrame, op: str, k: int = 1) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------ streaming funnel
+# The k-step funnel ON the live archive stream: events fold per user
+# exactly like the batch `funnel_fold` (operators/whisper_queries.py),
+# but at HOUR grain over the level-0 LWW handoff — which is what makes
+# online == batch: the chained handoff delivers each user's
+# (event-type, hour-bucket) rows in bucket order across micro-batches
+# (streaming/render.py's in-order watermark argument), so the greedy
+# first-match fold sees candidates in the same order the batch
+# min-filter chain selects them.  Strict > at every step makes
+# same-bucket ties unorderable in BOTH formulations, so intra-batch
+# tie order cannot matter.
+#
+# State per user = the k fired bucket timestamps (-1 = not fired):
+# O(k) longs, independent of event volume — and monotone, so each
+# step ADVANCEMENT is emitted exactly once: the output is an
+# append-safe (user_id, step, interval) change stream.
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, step integer, interval long"
+FUNNEL_STATE_SCHEMA = "s array<long>"
+
+
+def _funnel_fn(steps, window_secs: int):
+    idx = {name: i for i, name in enumerate(steps)}
+    k = len(steps)
+
+    def fn(key, pdfs, state):
+        (user,) = key
+        s = list(state.get[0]) if state.exists else [-1] * k
+        rows = []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["interval", "et"])
+            for et, iv in zip(pdf["et"], pdf["interval"]):
+                i = idx.get(et)
+                if i is None or s[i] != -1:
+                    continue
+                iv = int(iv)
+                if i == 0:
+                    s[0] = iv
+                    rows.append((user, 1, iv))
+                elif (s[i - 1] != -1 and iv > s[i - 1]
+                        and iv <= s[0] + window_secs):
+                    s[i] = iv
+                    rows.append((user, i + 1, iv))
+            state.update((s,))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "step", "interval"])
+
+    return fn
+
+
+def streaming_funnel(rows: DataFrame, steps, window_secs: int) -> DataFrame:
+    """Streaming (user_id, et, interval) frame → the funnel-step
+    advancement change stream (user_id, step, interval)."""
+    return rows.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn(list(steps), window_secs),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

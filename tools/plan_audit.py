@@ -1159,6 +1159,29 @@ def _build_st_render_hitcount(spark):
     )
 
 
+def _build_st_funnel(spark):
+    # The streaming funnel's kernel stage on a rate source shaped
+    # like the level-0 handoff rows.
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.streaming.stateful import streaming_funnel
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            (F.col("value") % 7).alias("user_id"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("signup"),
+                        F.lit("purchase")),
+                (F.col("value") % 4 + 1).cast("int"),
+            ).alias("et"),
+            (F.col("value") * 3600).alias("interval"),
+        )
+    )
+    return streaming_funnel(src, ["view", "click", "signup", "purchase"],
+                            14 * 86400)
+
+
 def _build_st_render_window(spark):
     # The trailing-window kernel stage of a window-op render target
     # (streaming/stateful.py render_window_op + the stateless chain
@@ -1273,6 +1296,16 @@ BUILDERS = {
         build=_build_st_render_hitcount,
         require=["EventTimeWatermark", "Aggregate"],
         forbid=["Join", "MapInPandas", "FlatMapGroupsWithState"],
+        streaming=True,
+    ),
+    "st_funnel_stream": dict(
+        build=_build_st_funnel,
+        # The funnel-kernel query of the chained funnel: ONE stateful
+        # operator (the per-user fold), a projection parsing
+        # (user, et) from the handoff metric, nothing else —
+        # watermark/aggregate live in the upstream level-0 query.
+        require=["FlatMapGroupsInPandasWithState"],
+        forbid=["Join", "Aggregate", "EventTimeWatermark"],
         streaming=True,
     ),
     "st_render_window_stream": dict(
