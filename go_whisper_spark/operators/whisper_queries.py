@@ -953,6 +953,83 @@ LEFT JOIN p4 ON v1.user_id = p4.user_id
 """
 
 
+def w_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution over the 4-step funnel — the
+    ledger next to the funnel itself ("how long does a full
+    conversion take?"): fully-converted users bucket by whole days
+    from first view to purchase, each bucket reporting its count, the
+    running cumulative count, and the exact floor-truncated
+    micro-unit cumulative share of all conversions.  (A first-
+    activity-WEEK cohort split is degenerate on this corpus — every
+    user is active in week 1 — so the latency axis is the one that
+    carries information; the cohort triangle itself is ``w_cohorts``.)
+
+    Scale shape: the funnel's ONE user-keyed fold, a tiny (≤ 15-row)
+    day-bucket aggregate, and a running total over that bucket
+    relation — the single-partition window is O(window days), not
+    O(users)."""
+    f = w_funnel_4step(spark, sf_dir).where(F.col("reached") == 4)
+    lat = f.select(
+        ((F.col("p_ts").cast("long") - F.col("v_ts")) / F.lit(86400))
+        .cast("long").alias("lat_days")
+    )
+    per = lat.groupBy("lat_days").agg(F.count("*").alias("n_users"))
+    w = Window.orderBy("lat_days").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = F.sum("n_users").over(w)
+    return per.select(
+        "lat_days",
+        "n_users",
+        cum.alias("cum_users"),
+        (
+            F.floor(cum * 1_000_000 / F.sum("n_users").over(total))
+            / F.lit(1_000_000.0)
+        ).alias("cum_share"),
+    )
+
+
+W_FUNNEL_LATENCY_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type AS et, epoch_ns(ts) // 1000000000 AS ts
+  FROM events
+),
+v1 AS (SELECT user_id, min(ts) AS v_ts FROM ev WHERE et = 'view'
+       GROUP BY user_id),
+c2 AS (SELECT e.user_id, min(e.ts) AS c_ts
+       FROM ev e JOIN v1 ON e.user_id = v1.user_id
+       WHERE e.et = 'click' AND e.ts > v1.v_ts
+         AND e.ts <= v1.v_ts + {_FUNNEL4_W}
+       GROUP BY e.user_id),
+g3 AS (SELECT e.user_id, min(e.ts) AS g_ts
+       FROM ev e JOIN v1 ON e.user_id = v1.user_id
+       JOIN c2 ON e.user_id = c2.user_id
+       WHERE e.et = 'signup' AND e.ts > c2.c_ts
+         AND e.ts <= v1.v_ts + {_FUNNEL4_W}
+       GROUP BY e.user_id),
+p4 AS (SELECT e.user_id, min(e.ts) AS p_ts
+       FROM ev e JOIN v1 ON e.user_id = v1.user_id
+       JOIN g3 ON e.user_id = g3.user_id
+       WHERE e.et = 'purchase' AND e.ts > g3.g_ts
+         AND e.ts <= v1.v_ts + {_FUNNEL4_W}
+       GROUP BY e.user_id),
+per AS (
+  SELECT (p4.p_ts - v1.v_ts) // 86400 AS lat_days, count(*) AS n_users
+  FROM p4 JOIN v1 ON p4.user_id = v1.user_id
+  GROUP BY 1
+)
+SELECT lat_days, n_users,
+       CAST(sum(n_users) OVER (ORDER BY lat_days
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users,
+       floor(sum(n_users) OVER (ORDER BY lat_days
+                                ROWS UNBOUNDED PRECEDING)
+             * 1000000 / sum(n_users) OVER ()) / 1000000.0 AS cum_share
+FROM per
+"""
+
+
 # ------------------------------------------------------------- w_cohorts
 def w_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention-cohort triangle over events — the second classic
@@ -2414,6 +2491,7 @@ QUERIES = {
     "w_distinct_hll": w_distinct_hll,
     "w_funnel_3step": w_funnel_3step,
     "w_funnel_4step": w_funnel_4step,
+    "w_funnel_latency": w_funnel_latency,
     "w_cohorts": w_cohorts,
     "w_retention_reap": w_retention_reap,
     "w_store_fetch": w_store_fetch,
@@ -2453,6 +2531,7 @@ ORACLES = {
     "w_distinct_hll": W_DISTINCT_HLL_SQL,
     "w_funnel_3step": W_FUNNEL_3STEP_SQL,
     "w_funnel_4step": W_FUNNEL_4STEP_SQL,
+    "w_funnel_latency": W_FUNNEL_LATENCY_SQL,
     "w_cohorts": W_COHORTS_SQL,
     "w_retention_reap": W_RETENTION_REAP_SQL,
     "w_store_fetch": W_STORE_FETCH_SQL,

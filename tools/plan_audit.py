@@ -1008,6 +1008,14 @@ CHECKS = {
         forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                 "Window", "BroadcastNestedLoopJoin"],
     ),
+    # latency ledger: the funnel fold + a <= 15-row day-bucket
+    # aggregate + the running total over THAT bucket relation (the
+    # single-partition window is O(window days), not O(users)).
+    "w_funnel_latency": dict(
+        require=["partial_collect_list", "partial_count", "Window"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "BroadcastNestedLoopJoin"],
+    ),
     # HLL: pre-distinct + two map-combined aggregates (64·n_metrics
     # register cells, then per-metric sums); the exact-ledger join is
     # an n_metrics-key equi-join AQE broadcasts.
