@@ -3656,6 +3656,150 @@ FROM hits h JOIN n_sh n ON h.doc_id = n.doc_id
 """
 
 
+# ---------------------------------------------------- t_bloom_decontam
+# Bloom membership sketch — the third cross-engine-exact sketch next
+# to HLL (cardinality) and Count-Min (frequency): M = 2^14 bits as
+# 512 exact 32-bit words, K = 3 salted md5-derived positions (the
+# d_split_hash hex→int pairing), words merged by bit_or — the
+# OR-mergeable law that makes the build one map-combined aggregate at
+# any corpus size.
+_BLOOM_M = 16384
+_BLOOM_K = 3
+
+
+def t_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-filter, audited against the
+    exact join: the TEST split's shingle set builds a 2-KiB Bloom
+    bitmap (512 words × 32 bits, 3 hashes, bit_or merge); every TRAIN
+    document probes its shingles against the broadcast bitmap and the
+    audit classifies docs by (bloom-flagged, exactly-contaminated),
+    with shingle-level hit sums — the false-positive cost of routing
+    clean docs to the exact check, and the structural no-false-
+    negative guarantee (the flagged=0 ∧ contaminated=1 cell CANNOT
+    appear; pinned in tests/test_operators.py).
+
+    Scale shape — why a 100 TB decontamination pass wants this: the
+    exact check is a shingle-keyed join against the full test
+    postings (t_contamination); the Bloom probe replaces that shuffle
+    with a ≤512-row BROADCAST join (or a literal bitmap in the
+    production form), so only bloom-positive docs — contaminated +
+    the measured FP share — ever reach the exact join.  Bits are
+    integer-exact in both engines (hex-slice mod M, 1<<(p%32),
+    bit_or), so the sketch itself is oracle-checkable, not just its
+    accuracy."""
+    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_SHINGLES_EXPR))).alias("sh"),
+    ).withColumn("bucket", _split_bucket_col())
+    js = spark.range(1, _BLOOM_K + 1).select(F.col("id").alias("j"))
+
+    def positions(frame):
+        return frame.join(F.broadcast(js)).withColumn(
+            "p",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("sh"), F.lit("#"),
+                                   F.col("j").cast("string"))), 1, 8
+                ), 16, 10,
+            ).cast("long") % _BLOOM_M,
+        )
+
+    test_sh = sh.filter(F.col("bucket") >= _SPLIT_VAL).select("sh").distinct()
+    words = (
+        positions(test_sh)
+        .groupBy((F.col("p") / 32).cast("long").alias("word"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, int(p % 32))")).alias("bits"))
+    )
+
+    train = sh.filter(F.col("bucket") < _SPLIT_TRAIN).select(
+        "doc_id", "sh"
+    ).distinct()
+    probe = (
+        positions(train)
+        .withColumn("word", (F.col("p") / 32).cast("long"))
+        .join(F.broadcast(words), "word", "left")
+        .withColumn(
+            "hit",
+            F.expr("coalesce(bits, 0L) & shiftleft(1L, int(p % 32))") != 0,
+        )
+        .groupBy("doc_id", "sh")
+        .agg((F.sum(F.col("hit").cast("long")) == _BLOOM_K).alias("pos"))
+    )
+    exact = test_sh.withColumn("ex", F.lit(True))
+    per_doc = (
+        probe.join(F.broadcast(exact), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.col("pos").cast("long")).alias("bloom_hits"),
+            F.sum(F.coalesce(F.col("ex"), F.lit(False)).cast("long"))
+            .alias("exact_hits"),
+        )
+    )
+    return per_doc.groupBy(
+        (F.col("bloom_hits") > 0).cast("int").alias("flagged_bloom"),
+        (F.col("exact_hits") > 0).cast("int").alias("contaminated"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("bloom_hits").alias("sum_bloom_hits"),
+        F.sum("exact_hits").alias("sum_exact_hits"),
+    )
+
+
+_BLOOM_POS_SQL = (
+    "CAST('0x' || substring(md5(sh || '#' || CAST(j AS VARCHAR)), 1, 8) "
+    f"AS BIGINT) % {_BLOOM_M}"
+)
+
+T_BLOOM_DECONTAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL.strip()}) AS sh,
+         {_SPLIT_BUCKET_SQL} AS bucket
+  FROM tok
+),
+js AS (SELECT unnest(generate_series(1, {_BLOOM_K})) AS j),
+test_sh AS (SELECT DISTINCT sh FROM sh WHERE bucket >= {_SPLIT_VAL}),
+words AS (
+  SELECT p // 32 AS word, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+  FROM (SELECT {_BLOOM_POS_SQL} AS p FROM test_sh, js) t
+  GROUP BY 1
+),
+train AS (
+  SELECT DISTINCT doc_id, sh FROM sh WHERE bucket < {_SPLIT_TRAIN}
+),
+probe AS (
+  SELECT doc_id, sh,
+         sum(CASE WHEN (coalesce(w.bits, 0)
+                        & (CAST(1 AS BIGINT) << CAST(t.p % 32 AS INTEGER))) != 0
+                  THEN 1 ELSE 0 END) = {_BLOOM_K} AS pos
+  FROM (SELECT doc_id, sh, {_BLOOM_POS_SQL} AS p FROM train, js) t
+  LEFT JOIN words w ON w.word = t.p // 32
+  GROUP BY doc_id, sh
+),
+per_doc AS (
+  SELECT p.doc_id,
+         count(*) AS n_sh,
+         CAST(sum(CASE WHEN p.pos THEN 1 ELSE 0 END) AS BIGINT)
+           AS bloom_hits,
+         CAST(sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_hits
+  FROM probe p LEFT JOIN test_sh e ON p.sh = e.sh
+  GROUP BY p.doc_id
+)
+SELECT CAST(bloom_hits > 0 AS INTEGER) AS flagged_bloom,
+       CAST(exact_hits > 0 AS INTEGER) AS contaminated,
+       count(*) AS n_docs,
+       CAST(sum(bloom_hits) AS BIGINT) AS sum_bloom_hits,
+       CAST(sum(exact_hits) AS BIGINT) AS sum_exact_hits
+FROM per_doc
+GROUP BY 1, 2
+"""
+
+
 # -------------------------------------------------------- t_decontam
 DECON_MIN_SHARED = 5  # distinct shingles shared with the test split
 
@@ -6660,6 +6804,7 @@ QUERIES = {
     "t_pipeline_e2e": t_pipeline_e2e,
     "d_split_hash": d_split_hash,
     "t_contamination": t_contamination,
+    "t_bloom_decontam": t_bloom_decontam,
     "t_repetition": t_repetition,
     "t_mix_weights": t_mix_weights,
     "t_dup_spans": t_dup_spans,
@@ -6739,6 +6884,7 @@ ORACLES = {
     "t_pipeline_e2e": T_PIPELINE_E2E_SQL,
     "d_split_hash": D_SPLIT_HASH_SQL,
     "t_contamination": T_CONTAMINATION_SQL,
+    "t_bloom_decontam": T_BLOOM_DECONTAM_SQL,
     "t_repetition": T_REPETITION_SQL,
     "t_mix_weights": T_MIX_WEIGHTS_SQL,
     "t_dup_spans": T_DUP_SPANS_SQL,

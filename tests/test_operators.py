@@ -411,3 +411,17 @@ def test_funnel_4step_window_and_order(spark):
     assert out[1].reached == 4
     assert out[2].reached == 2 and out[2].g_ts is None
     assert out[3].reached == 3 and out[3].p_ts is None
+
+
+def test_bloom_decontam_no_false_negatives(spark, sf_dir):
+    """Bloom membership has NO false negatives by construction: the
+    (flagged_bloom=0, contaminated=1) cell must be structurally
+    absent, and every exactly-contaminated shingle must also be
+    bloom-positive (sum_bloom_hits >= sum_exact_hits per cell)."""
+    from go_whisper_spark.operators.llm_ops import t_bloom_decontam
+
+    rows = t_bloom_decontam(spark, sf_dir).collect()
+    cells = {(r.flagged_bloom, r.contaminated): r for r in rows}
+    assert (0, 1) not in cells, "bloom missed an exactly-contaminated doc"
+    for r in rows:
+        assert r.sum_bloom_hits >= r.sum_exact_hits

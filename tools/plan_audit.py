@@ -944,6 +944,14 @@ CHECKS = {
     # chunk-inverted-index equi-join (posting join), never a
     # cross/nested-loop over doc pairs; the df-cap filter and size
     # join-backs are equi-joins AQE sizes.
+    # Bloom decontamination audit: the 512-word bitmap side carries
+    # an explicit broadcast hint into the probe join (static BHJ) —
+    # the whole point is that NO shingle-keyed shuffle reaches the
+    # probe path; the exact-audit side is also a hinted broadcast.
+    "t_bloom_decontam": dict(
+        require=["BroadcastHashJoin", "partial_bit_or", "partial_count"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
     # The df-cap skew fence must be IN the plan (dropping it would
     # silently re-open the boilerplate-chunk quadratic blowup); its
     # below-the-join placement is pinned structurally in
