@@ -1945,6 +1945,127 @@ UNION ALL SELECT user_id, 4 AS step, p_ts AS interval FROM p4
 """
 
 
+def st_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom filter — the OR merge law completing the
+    sketch-mergeability trio (HLL register-max, Count-Min cell-sum,
+    Bloom word-OR): each micro-batch of a 3-pass documents replay
+    builds its own PARTIAL 512-word bitmap over its test-split
+    shingles (the ``t_bloom_decontam`` bits, exactly), appends it to
+    the sketch store, and the final filter is the cell-wise bit_or of
+    the partials.  bit_or is associative, commutative AND idempotent
+    — like HLL's max (and unlike Count-Min's sum), the streamed
+    sketch is independent of batch boundaries, arrival order, and
+    duplicate delivery, so the oracle is the batch words SQL
+    verbatim: the replay proves the merge law itself.
+
+    Scale shape: one constant-size (≤512-cell) map-combined aggregate
+    per batch regardless of batch cardinality; the store grows one
+    tiny partial per batch; the final merge is a constant-size
+    groupBy — the fleet-of-ingest-workers sketch-shipping shape."""
+    from go_whisper_spark.operators.llm_ops import (
+        _BLOOM_K,
+        _BLOOM_M,
+        _SHINGLES_EXPR,
+        _SPLIT_VAL,
+        _split_bucket_col,
+        _tokens_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    marked = docs.withColumn("arrive", F.col("doc_id") % N_PASSES)
+    feed = marked.drop("arrive")
+    root = _tmpdir()
+    src, ckpt, store = (
+        os.path.join(root, "src"),
+        os.path.join(root, "ckpt"),
+        os.path.join(root, "sketch"),
+    )
+    js = spark.range(1, _BLOOM_K + 1).select(F.col("id").alias("j"))
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        sh = (
+            batch.withColumn("bucket", _split_bucket_col())
+            .where(F.col("bucket") >= _SPLIT_VAL)
+            .withColumn("tokens", _tokens_col())
+            .select(
+                F.explode(F.array_distinct(F.expr(_SHINGLES_EXPR)))
+                .alias("sh")
+            )
+            .distinct()
+        )
+        partial = (
+            sh.join(F.broadcast(js))
+            .withColumn(
+                "p",
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("sh"), F.lit("#"),
+                                       F.col("j").cast("string"))), 1, 8
+                    ), 16, 10,
+                ).cast("long") % _BLOOM_M,
+            )
+            .groupBy((F.col("p") / 32).cast("long").alias("word"))
+            .agg(F.bit_or(F.expr("shiftleft(1L, int(p % 32))")).alias("bits"))
+        )
+        partial.write.mode("append").parquet(store)
+
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            spark.readStream.schema(feed.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("streaming pass timed out")
+
+    return (
+        spark.read.parquet(store)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def _st_bloom_words_sql() -> str:
+    from go_whisper_spark.operators.llm_ops import (
+        _BLOOM_K,
+        _BLOOM_POS_SQL,
+        _SPLIT_BUCKET_SQL,
+        _SPLIT_VAL,
+        _SHINGLES_SQL,
+        _TOKENS_SQL,
+    )
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tokens FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL.strip()}) AS sh,
+         {_SPLIT_BUCKET_SQL} AS bucket
+  FROM tok
+),
+js AS (SELECT unnest(generate_series(1, {_BLOOM_K})) AS j),
+test_sh AS (SELECT DISTINCT sh FROM sh WHERE bucket >= {_SPLIT_VAL})
+SELECT p // 32 AS word,
+       bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+FROM (SELECT {_BLOOM_POS_SQL} AS p FROM test_sh, js) t
+GROUP BY 1
+"""
+
+
 # st_distinct_hll's oracle IS the batch HLL SQL verbatim — register-max
 # mergeability makes the streamed sketch equal the one-shot sketch.
 from go_whisper_spark.operators.whisper_queries import (  # noqa: E402
@@ -1969,6 +2090,7 @@ QUERIES = {
     "st_render_hitcount": st_render_hitcount,
     "st_render_mwin": st_render_mwin,
     "st_funnel_4step": st_funnel_4step,
+    "st_bloom_words": st_bloom_words,
     "st_lsh_prefilter": st_lsh_prefilter,
     "st_pq_score": st_pq_score,
     "st_lakehouse_ingest": st_lakehouse_ingest,
@@ -1993,6 +2115,7 @@ ORACLES = {
     "st_render_hitcount": ST_RENDER_HITCOUNT_SQL,
     "st_render_mwin": ST_RENDER_MWIN_SQL,
     "st_funnel_4step": ST_FUNNEL_4STEP_SQL,
+    "st_bloom_words": _st_bloom_words_sql(),
     "st_lsh_prefilter": _st_lsh_prefilter_sql(),
     "st_pq_score": _st_pq_score_sql(),
     "st_lakehouse_ingest": ST_LAKEHOUSE_INGEST_SQL,
