@@ -264,11 +264,39 @@ _R11_DEFERRED: list = [
 ]
 
 # The round-12 driver window, pre-materialized at the mid-round
-# freeze (empty until then; test_registry skips the equality pin
-# while empty).  Once frozen: first 50 of the rotated registry = any
-# genuinely-new round-12 queries + the 31 never-checked _R11_DEFERRED
-# entries + the oldest cohorts.
-_R12_WINDOW: list = []
+# freeze: first 50 of the rotated registry = the 13 new round-12
+# queries (k-step funnel + latency ledger, Bloom decontam audit,
+# multi-probe PQ serve + recall, 5 render-parity compositions, the
+# streaming moving-window render, the streaming funnel, the streaming
+# Bloom OR-merge) + ALL 31 never-checked _R11_DEFERRED entries + 6 of
+# the r6 cohort (oldest driver evidence; zero overlap with rounds
+# 9-11 — test_registry asserts list == first-50 so drift is caught
+# before the driver runs).
+# ROUND-13 TODO: once CORRECTNESS_r12.json exists, verify its keys ==
+# this list, then (a) add _R12_WINDOW to `recent`, (b) move the
+# _R12_DEFERRED block to right after the new-queries clause with an
+# `and n not in recent` guard, (c) append _R12_WINDOW's block at the
+# END of the order.  Queries added AFTER this freeze go in
+# _R12_DEFERRED (below), never in front of the window.
+_R12_WINDOW: list = [
+    "w_funnel_4step", "w_funnel_latency", "t_bloom_decontam",
+    "s_pq_search_mp", "s_pq_mp_recall", "g_render_lists",
+    "g_render_apply", "g_render_unique", "g_render_band",
+    "g_render_multinode", "st_render_mwin", "st_funnel_4step",
+    "st_bloom_words", "s_hybrid_rrf", "s_pq_search_filtered",
+    "g_render_spread", "st_render_scaled", "g_render_hw",
+    "g_render_bands", "st_render_nodes", "g_render_hitstack",
+    "g_render_volatility", "g_render_tags", "st_render_hitcount",
+    "g_render_cacti", "g_render_pairs", "g_render_generic",
+    "m_cdc_dedup", "t_ppl_terciles", "w_lakehouse_merge",
+    "st_lakehouse_merge", "s_kmeans_step", "d_cdc_neardup",
+    "w_heavy_hitters_cms", "w_distinct_hll", "s_kmeans_2step",
+    "s_kmeans_seed", "d_cdc_keepers", "st_distinct_hll",
+    "t_curation_e2e", "st_heavy_hitters_cms", "w_funnel_3step",
+    "w_cohorts", "t_lang_confusion", "g_percentile_of_series",
+    "g_moving_extremes", "g_interpolate", "st_cascade_6h",
+    "w_approx_stats", "g_absolute",
+]
 
 # Queries added late in round 12, after the round-12 window freeze.
 _R12_DEFERRED: list = []

@@ -170,6 +170,7 @@ def test_checked_cohorts_are_registered():
                 entry._R08_WINDOW, entry._R08_DEFERRED,
                 entry._R09_WINDOW, entry._R09_DEFERRED,
                 entry._R10_WINDOW, entry._R10_DEFERRED,
-                entry._R11_WINDOW, entry._R11_DEFERRED):
+                entry._R11_WINDOW, entry._R11_DEFERRED,
+                entry._R12_WINDOW, entry._R12_DEFERRED):
         missing = [n for n in lst if n not in queries]
         assert not missing, f"cohort names not in registry: {missing}"
