@@ -140,6 +140,22 @@ HEADLINE = [
     # serves).  Compare common subsets across rounds, not totals.
     "d_cdc_neardup",
     "t_curation_e2e",
+    # round 12: the multi-probe serve rung (4 probes + 40-candidate
+    # rerank against the cached index — prices the recall knob's
+    # latency next to s_pq_search_serve), the k-step funnel fold at
+    # k=4 (one user-keyed collect-fold), the Bloom decontamination
+    # audit (512-word broadcast probe + exact-join audit), and three
+    # render-parity compositions: pairwise list combine + rolling
+    # sum, the grouped applyByNode percent under a rank root, and the
+    # multi-node aggregate under sortByMinima.
+    # NOTE for cross-round totals: the set grew 52 → 58 in round 12;
+    # compare common subsets across rounds, not totals.
+    "s_pq_search_mp",
+    "w_funnel_4step",
+    "t_bloom_decontam",
+    "g_render_lists",
+    "g_render_apply",
+    "g_render_multinode",
 ]
 
 
