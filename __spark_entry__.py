@@ -299,7 +299,9 @@ _R12_WINDOW: list = [
 ]
 
 # Queries added late in round 12, after the round-12 window freeze.
-_R12_DEFERRED: list = []
+_R12_DEFERRED: list = [
+    "st_render_deriv",
+]
 
 # Added late in round 8, after the round-8 window composition (5 new
 # batch-1 queries + the round-4 cohort) was already settled.  Never

@@ -1945,6 +1945,88 @@ UNION ALL SELECT user_id, 4 AS step, p_ts AS interval FROM p4
 """
 
 
+ST_RENDER_DERIV_TARGET = "scale(derivative(summarize('*', 6, 'sum')), 3)"
+
+
+def st_render_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lag-shaped window op on the stream (the movingSum rung's
+    sibling): ``scale(derivative(summarize('*', 6, 'sum')), 3)`` —
+    6h sum consolidation closes under the 0-lateness handoff
+    watermark, the derivative kernel keeps ONE previous cent value
+    per metric (the minimal trailing-window state), and the ×3 scale
+    rides ABOVE the kernel as a stateless projection — exercising the
+    ``stateless* windowop (summarize …)`` grammar slice
+    ``st_render_mwin`` doesn't (state size 1, post-kernel chain
+    non-empty).  Same replay, same in-order argument; oracle = the
+    batch lag over the final closed set."""
+    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
+    t0 = int(pts.agg(F.min("ts")).first()[0])
+    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts"))
+    )
+    cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
+
+    from go_whisper_spark.streaming.render import streaming_render_pass
+
+    root = _tmpdir()
+    src, base = os.path.join(root, "src"), os.path.join(root, "render")
+    feed = marked.drop("arrive")
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        rendered = streaming_render_pass(
+            spark, feed.schema, src, base, ST_RENDER_DERIV_TARGET, cfg,
+            lateness_seconds=LATENESS,
+        )
+    return spark.read.schema("metric string, interval long, value double").parquet(
+        rendered
+    ).select("metric", "interval", "value")
+
+
+ST_RENDER_DERIV_SQL = f"""
+WITH pts AS (
+  SELECT event_type AS metric,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+{_MARKED_CTE},
+surv AS (
+  SELECT m.* FROM marked m LEFT JOIN wm ON wm.arrive = m.arrive
+  WHERE wm.wm IS NULL OR m.ts - m.ts % 3600 + 3600 > wm.wm
+),
+a0 AS (
+  SELECT metric,
+         ts - ts % 3600 AS interval,
+         arg_max(value, seq) AS value
+  FROM surv
+  GROUP BY 1, 2
+  HAVING interval + 3600 <= (SELECT wmf FROM wmf)
+),
+r6 AS (
+  SELECT metric,
+         interval - interval % 21600 AS interval,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM a0
+  GROUP BY 1, 2
+  HAVING interval - interval % 21600 + 21600 <= (SELECT max(interval) FROM a0)
+),
+d AS (
+  SELECT metric, interval,
+         (cents - lag(cents) OVER (PARTITION BY metric
+                                   ORDER BY interval)) * 3 AS cents
+  FROM r6
+)
+SELECT metric, interval, CAST(cents AS DOUBLE) / 100.0 AS value FROM d
+"""
+
+
 def st_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Bloom filter — the OR merge law completing the
     sketch-mergeability trio (HLL register-max, Count-Min cell-sum,
@@ -2091,6 +2173,7 @@ QUERIES = {
     "st_render_mwin": st_render_mwin,
     "st_funnel_4step": st_funnel_4step,
     "st_bloom_words": st_bloom_words,
+    "st_render_deriv": st_render_deriv,
     "st_lsh_prefilter": st_lsh_prefilter,
     "st_pq_score": st_pq_score,
     "st_lakehouse_ingest": st_lakehouse_ingest,
@@ -2116,6 +2199,7 @@ ORACLES = {
     "st_render_mwin": ST_RENDER_MWIN_SQL,
     "st_funnel_4step": ST_FUNNEL_4STEP_SQL,
     "st_bloom_words": _st_bloom_words_sql(),
+    "st_render_deriv": ST_RENDER_DERIV_SQL,
     "st_lsh_prefilter": _st_lsh_prefilter_sql(),
     "st_pq_score": _st_pq_score_sql(),
     "st_lakehouse_ingest": ST_LAKEHOUSE_INGEST_SQL,
