@@ -301,6 +301,7 @@ _R12_WINDOW: list = [
 # Queries added late in round 12, after the round-12 window freeze.
 _R12_DEFERRED: list = [
     "st_render_deriv",
+    "st_render_tags",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -1945,6 +1945,91 @@ UNION ALL SELECT user_id, 4 AS step, p_ts AS interval FROM p4
 """
 
 
+ST_RENDER_TAGS_TARGET = (
+    "scale(groupByTags(seriesByTag('host!=h3'), 'max', 'dc'), 2)"
+)
+
+
+def st_render_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAGGED series on the live stream (the round-12 seed widening):
+    the archive stream carries Graphite tagged paths
+    (``name;dc=..;host=..``), ``seriesByTag`` runs its predicates as
+    per-row filters on the parsed path (stateless — stream-trivial),
+    and ``groupByTags`` is THE watermarked aggregate level — the
+    groupByNode shape with the ``name;dc=value`` relabel, each 1h
+    tumbling window holding exactly one interval's rows across the
+    relabeled series.  The ×2 scale rides the emitted closed windows.
+    Same replay and watermark algebra as ``st_render_nodes``."""
+    from go_whisper_spark.operators.graphite_funcs import _tagged_points
+
+    pts = _tagged_points(spark, sf_dir)
+    t0 = int(pts.agg(F.min("ts")).first()[0])
+    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts"))
+    )
+    cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
+
+    from go_whisper_spark.streaming.render import streaming_render_pass
+
+    root = _tmpdir()
+    src, base = os.path.join(root, "src"), os.path.join(root, "render")
+    feed = marked.drop("arrive")
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        rendered = streaming_render_pass(
+            spark, feed.schema, src, base, ST_RENDER_TAGS_TARGET, cfg,
+            lateness_seconds=LATENESS,
+        )
+    return spark.read.schema("metric string, interval long, value double").parquet(
+        rendered
+    ).select("metric", "interval", "value")
+
+
+ST_RENDER_TAGS_SQL = f"""
+WITH pts AS (
+  SELECT event_type || ';dc=dc' || CAST(user_id % 3 AS VARCHAR)
+           || ';host=h' || CAST(user_id % 10 AS VARCHAR) AS metric,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+{_MARKED_CTE},
+surv AS (
+  SELECT m.* FROM marked m LEFT JOIN wm ON wm.arrive = m.arrive
+  WHERE wm.wm IS NULL OR m.ts - m.ts % 3600 + 3600 > wm.wm
+),
+a0 AS (
+  SELECT metric,
+         ts - ts % 3600 AS interval,
+         arg_max(value, seq) AS value
+  FROM surv
+  GROUP BY 1, 2
+  HAVING interval + 3600 <= (SELECT wmf FROM wmf)
+),
+filt AS (
+  SELECT * FROM a0
+  WHERE regexp_extract(metric, ';host=([^;]+)', 1) != 'h3'
+),
+g AS (
+  SELECT split_part(metric, ';', 1) || ';dc='
+           || regexp_extract(metric, ';dc=([^;]+)', 1) AS metric,
+         interval,
+         max(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM filt
+  GROUP BY 1, 2
+  HAVING interval + 3600 <= (SELECT max(interval) FROM a0)
+)
+SELECT metric, interval, CAST(cents * 2 AS DOUBLE) / 100.0 AS value FROM g
+"""
+
+
 ST_RENDER_DERIV_TARGET = "scale(derivative(summarize('*', 6, 'sum')), 3)"
 
 
@@ -2174,6 +2259,7 @@ QUERIES = {
     "st_funnel_4step": st_funnel_4step,
     "st_bloom_words": st_bloom_words,
     "st_render_deriv": st_render_deriv,
+    "st_render_tags": st_render_tags,
     "st_lsh_prefilter": st_lsh_prefilter,
     "st_pq_score": st_pq_score,
     "st_lakehouse_ingest": st_lakehouse_ingest,
@@ -2200,6 +2286,7 @@ ORACLES = {
     "st_funnel_4step": ST_FUNNEL_4STEP_SQL,
     "st_bloom_words": _st_bloom_words_sql(),
     "st_render_deriv": ST_RENDER_DERIV_SQL,
+    "st_render_tags": ST_RENDER_TAGS_SQL,
     "st_lsh_prefilter": _st_lsh_prefilter_sql(),
     "st_pq_score": _st_pq_score_sql(),
     "st_lakehouse_ingest": ST_LAKEHOUSE_INGEST_SQL,

@@ -105,6 +105,16 @@ def check_streamable(node: Node):
             raise RenderParseError(f"series expression expected, got {n}")
         if n.name == "seriesByGlob":
             return (None, None)
+        if n.name == "seriesByTag":
+            # tagged-universe seed: tag predicates are per-row filters
+            # on the parsed path — stateless, stream-trivial (the feed
+            # must carry tagged metrics; round 12).
+            from go_whisper_spark.render import _parse_tag_filter
+
+            for a in n.args:
+                if isinstance(a, Str):
+                    _parse_tag_filter(a.value)
+            return (None, None)
         if n.name in RENDER_WINDOW_OPS and allow_win:
             if n.name in ("derivative", "nonNegativeDerivative"):
                 if len(n.args) != 1:
@@ -117,7 +127,8 @@ def check_streamable(node: Node):
                 raise RenderParseError(f"{n.name} takes (series, k >= 1)")
             _, agg = walk(n.args[0], False, allow_agg)
             return (n, agg)
-        if n.name in ("summarize", "groupByNode", "hitcount") and allow_agg:
+        if n.name in ("summarize", "groupByNode", "groupByTags",
+                      "hitcount") and allow_agg:
             walk(n.args[0], False, False)
             return (None, n)
         if n.name == "group":
@@ -152,6 +163,12 @@ def _apply_stateless(
     def seed(pattern: str) -> DataFrame:
         return frame.where(F.col("metric").rlike(glob_to_regex(pattern)))
 
+    def tag_col(key: str):
+        # the batch layer's tag parse, verbatim (render.py tag_col)
+        if key == "name":
+            return F.substring_index("metric", ";", 1)
+        return F.regexp_extract("metric", f";{key}=([^;]+)", 1)
+
     def ev(n: Node) -> DataFrame:
         if n is stop:
             return stop_frame
@@ -160,6 +177,22 @@ def _apply_stateless(
         name = n.name
         if name == "seriesByGlob":
             return seed(n.args[0].value)
+        if name == "seriesByTag":
+            from go_whisper_spark.render import _parse_tag_filter
+
+            out = frame
+            for a in n.args:
+                key, op, val = _parse_tag_filter(a.value)
+                c = tag_col(key)
+                if op == "=":
+                    out = out.where(c == val)
+                elif op == "!=":
+                    out = out.where(c != val)
+                elif op == "=~":
+                    out = out.where(c.rlike(val))
+                else:  # '!=~'
+                    out = out.where(~c.rlike(val))
+            return out
         if name == "group":
             out = ev(n.args[0])
             for a in n.args[1:]:
@@ -292,6 +325,8 @@ def _plan_below(base: DataFrame, top: Node, summarize_node) -> DataFrame:
         if sn.name == "hitcount":
             if len(sn.args) != 2 or not isinstance(sn.args[1], Num):
                 raise RenderParseError("hitcount takes (series, hours)")
+        elif sn.name == "groupByTags":
+            pass  # (series, 'method', 'tag') — validated in its branch
         elif len(sn.args) != 3 or not isinstance(sn.args[1], Num) \
                 or not isinstance(sn.args[2], Str):
             raise RenderParseError(f"{sn.name} takes (series, num, method)")
@@ -313,6 +348,29 @@ def _plan_below(base: DataFrame, top: Node, summarize_node) -> DataFrame:
                 raise RenderParseError("summarize bucket must be >= 1 hour")
             win_secs = 3600 * h
             how = sn.args[2].value
+        elif sn.name == "groupByTags":
+            # per-interval aggregate ACROSS series sharing a tag value
+            # — the groupByNode shape with the tagged relabel
+            # (name;key=value), window = the archive's own 1h step.
+            if len(sn.args) != 3 or not isinstance(sn.args[1], Str) \
+                    or not isinstance(sn.args[2], Str):
+                raise RenderParseError(
+                    "groupByTags takes (series, 'method', 'tag')")
+            how = sn.args[1].value
+            if how == "last":
+                raise RenderParseError("groupByTags has no 'last' method")
+            key = sn.args[2].value
+            tag = (F.substring_index("metric", ";", 1) if key == "name"
+                   else F.regexp_extract("metric", f";{key}=([^;]+)", 1))
+            win_secs = 3600
+            mapped = mapped.withColumn(
+                "metric",
+                F.concat(
+                    F.substring_index("metric", ";", 1),
+                    F.lit(";" + key + "="),
+                    tag,
+                ),
+            )
         else:  # groupByNode: per-interval aggregate ACROSS relabeled
             # series — the window is the archive's own 1h step, so
             # each tumbling window holds exactly one interval's rows.
