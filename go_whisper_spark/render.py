@@ -23,7 +23,7 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (121 ops — the composable core; the ~111 fixed-form
+Operator registry (122 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
@@ -118,12 +118,15 @@ surface):
               i-th series of each side paired by SORTED label rank
               (the deterministic analog of Graphite's positional
               pairing; both sides must be uniquely keyed)
-              aggregateSeriesLists(a, b, 'sum'|'diff') — pairwise
-              position-matched combine, same sorted-label-rank
-              pairing contract as divideSeriesLists; an unmatched
-              rank or slot keeps a's row with NULL cents
-              sumSeriesLists(a, b) / diffSeriesLists(a, b) —
-              desugared to aggregateSeriesLists
+              aggregateSeriesLists(a, b, 'sum'|'diff'|'multiply') —
+              pairwise position-matched combine, same
+              sorted-label-rank pairing contract as
+              divideSeriesLists; an unmatched rank or slot keeps a's
+              row with NULL cents; 'multiply' floors the cent
+              product (the multiplySeries contract)
+              sumSeriesLists / diffSeriesLists /
+              multiplySeriesLists(a, b) — desugared to
+              aggregateSeriesLists
               unique(a, b, ...) — first-occurrence dedup across
               series lists: a metric in several args keeps only its
               earliest arg's rows (one union + per-metric min(src)
@@ -369,10 +372,12 @@ def _desugar(node: Node) -> Node:
         return Call("offset", args)
     if name == "timeFunction":
         return Call("identity", args)
-    if name in ("sumSeriesLists", "diffSeriesLists"):
+    if name in ("sumSeriesLists", "diffSeriesLists",
+                "multiplySeriesLists"):
         if len(args) != 2:
             raise RenderParseError(f"{name} takes (seriesA, seriesB)")
-        how = "sum" if name == "sumSeriesLists" else "diff"
+        how = {"sumSeriesLists": "sum", "diffSeriesLists": "diff",
+               "multiplySeriesLists": "multiply"}[name]
         return Call("aggregateSeriesLists", [args[0], args[1], Str(how)])
     if name == "applyByNode":
         # aggregate templates ('sumSeries(%)' etc.) are groupByNode in
@@ -604,10 +609,10 @@ def analyze(node: Node):
         # same pairing contract as divideSeriesLists: sorted-label
         # ranks are only deterministic over uniquely-keyed sides.
         if (len(node.args) != 3 or not isinstance(node.args[2], Str)
-                or node.args[2].value not in ("sum", "diff")):
+                or node.args[2].value not in ("sum", "diff", "multiply")):
             raise RenderParseError(
                 "aggregateSeriesLists takes (seriesA, seriesB, "
-                "'sum'|'diff')"
+                "'sum'|'diff'|'multiply')"
             )
         ls, lu, ll = analyze(node.args[0])
         rs, ru, _ = analyze(node.args[1])
@@ -616,8 +621,8 @@ def analyze(node: Node):
                 "aggregateSeriesLists: both sides must carry unique "
                 "(metric, interval) keys for deterministic pairing"
             )
-        wrap = ("sumSeriesLists" if node.args[2].value == "sum"
-                else "diffSeriesLists")
+        wrap = {"sum": "sumSeriesLists", "diff": "diffSeriesLists",
+                "multiply": "multiplySeriesLists"}[node.args[2].value]
         return (ls, lu, f"{wrap}({ll})" if ll is not None else None)
     if name == "unique":
         # first-occurrence dedup: per metric exactly one arg's rows
@@ -2575,9 +2580,10 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
             # a's row with NULL cents (left-join None-propagation).
             _need(n, 3, (object, object, Str))
             how = n.args[2].value
-            if how not in ("sum", "diff"):
+            if how not in ("sum", "diff", "multiply"):
                 raise RenderParseError(
-                    "aggregateSeriesLists: method must be 'sum'|'diff'")
+                    "aggregateSeriesLists: method must be "
+                    "'sum'|'diff'|'multiply'")
             a, b2 = ev(n.args[0]), ev(n.args[1])
 
             def _ranked(df):
@@ -2601,11 +2607,17 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                 & (F.col("interval") == F.col("b_iv")),
                 "left",
             )
-            comb = (
-                (F.col("a_c") + F.col("b_c")) if how == "sum"
-                else (F.col("a_c") - F.col("b_c"))
-            )
-            wrap = "sumSeriesLists" if how == "sum" else "diffSeriesLists"
+            if how == "sum":
+                comb = F.col("a_c") + F.col("b_c")
+            elif how == "diff":
+                comb = F.col("a_c") - F.col("b_c")
+            else:  # multiply — the multiplySeries cent contract:
+                # floor(a·b/100), exact in double below 2^53
+                comb = F.floor(
+                    (F.col("a_c") * F.col("b_c")).cast("double") / 100
+                )
+            wrap = {"sum": "sumSeriesLists", "diff": "diffSeriesLists",
+                    "multiply": "multiplySeriesLists"}[how]
             return j.select(
                 F.concat(
                     F.lit(wrap + "("), F.col("metric"), F.lit(")")
@@ -3773,8 +3785,14 @@ def build_sql(node: Node) -> str:
             )
         if name == "aggregateSeriesLists":
             how = n.args[2].value
-            op = "+" if how == "sum" else "-"
-            wrap = "sumSeriesLists" if how == "sum" else "diffSeriesLists"
+            comb = {
+                "sum": "a.cents + b.cents",
+                "diff": "a.cents - b.cents",
+                "multiply": ("floor(CAST(a.cents * b.cents AS DOUBLE) "
+                             "/ 100)"),
+            }[how]
+            wrap = {"sum": "sumSeriesLists", "diff": "diffSeriesLists",
+                    "multiply": "multiplySeriesLists"}[how]
             A, B = ev(n.args[0]), ev(n.args[1])
             rank_a = ("(SELECT metric, row_number() OVER (ORDER BY metric) "
                       f"AS rnk FROM (SELECT DISTINCT metric FROM {A} d) u)")
@@ -3782,7 +3800,7 @@ def build_sql(node: Node) -> str:
                       f"AS rnk FROM (SELECT DISTINCT metric FROM {B} d) u)")
             return (
                 f"(SELECT '{wrap}(' || a.metric || ')' AS metric, "
-                f"a.interval, CAST(a.cents {op} b.cents AS BIGINT) AS cents "
+                f"a.interval, CAST({comb} AS BIGINT) AS cents "
                 f"FROM (SELECT s.metric, ra.rnk, s.interval, s.cents "
                 f"FROM {A} s JOIN {rank_a} ra ON s.metric = ra.metric) a "
                 f"LEFT JOIN (SELECT rb.rnk, s.interval, s.cents "

@@ -3,7 +3,7 @@ the Spark composition vs the AST-emitted DuckDB SQL — must agree
 exactly (the cent discipline makes every composition integer-exact).
 
 Deterministic seed; bounded depth; covers every operator in the
-registry (121 ops as of round 12) including binary combiners, aggregate
+registry (122 ops as of round 12) including binary combiners, aggregate
 reducers, the selector family, the round-11 additions (waves 2-8),
 and the generic method-string spellings (aggregate / movingWindow /
 highest / lowest / filterSeries — desugared by the parser, so the
@@ -242,12 +242,12 @@ def _series(rng, depth):
     if name == "aggregateSeriesLists":
         a = _series(rng, depth - 1)
         b = _series(rng, depth - 1)
-        how = rng.choice(["sum", "diff"])
+        how = rng.choice(["sum", "diff", "multiply"])
         return f"aggregateSeriesLists({a}, {b}, '{how}')"
     if name == "seriesListsSugar":
         a = _series(rng, depth - 1)
         b = _series(rng, depth - 1)
-        return f"{rng.choice(['sumSeriesLists', 'diffSeriesLists'])}({a}, {b})"
+        return f"{rng.choice(['sumSeriesLists', 'diffSeriesLists', 'multiplySeriesLists'])}({a}, {b})"
     if name == "unique":
         k = rng.randint(1, 3)
         parts = [_series(rng, depth - 1) for _ in range(k)]
