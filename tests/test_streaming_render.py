@@ -212,3 +212,45 @@ def test_window_kernel_matches_batch(spark, tmp_path):
             exp = static.withColumn("cents", agg)
         want = {(r.metric, r.interval): r.cents for r in exp.collect()}
         assert got == want, f"{op}(k={k}) kernel != batch window"
+
+
+def test_tagged_streaming_gate_and_eval(spark):
+    """Round-12 seed widening: seriesByTag predicates are stateless
+    per-row filters; groupByTags is accepted as THE aggregate level
+    (the groupByNode shape with the name;tag=value relabel); window
+    ops compose above it like any other aggregate."""
+    win, agg = check_streamable(
+        parse_target("scale(groupByTags(seriesByTag('host!=h3'), "
+                     "'max', 'dc'), 2)"))
+    assert win is None and agg.name == "groupByTags"
+    win, agg = check_streamable(
+        parse_target("movingSum(groupByTags(seriesByTag('dc=dc1'), "
+                     "'sum', 'dc'), 4)"))
+    assert win.name == "movingSum" and agg.name == "groupByTags"
+    # 'last' is order-ambiguous across series — rejected like
+    # groupByNode's
+    with pytest.raises(RenderParseError):
+        check_streamable(parse_target(
+            "groupByTags(seriesByTag('dc=dc1'), 'last', 'dc')"))
+    # malformed tag filter rejected at the gate
+    with pytest.raises(RenderParseError):
+        check_streamable(parse_target("seriesByTag('no filter here')"))
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.concat(
+                (F.col("value") % 3).cast("string"),
+                F.lit(";dc=dc"), (F.col("value") % 2).cast("string"),
+                F.lit(";host=h"), (F.col("value") % 5).cast("string"),
+            ).alias("metric"),
+            (F.col("value") * 3600).alias("interval"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    out = streaming_render_frame(
+        src, "scale(groupByTags(seriesByTag('host!=h3'), 'max', 'dc'), 2)")
+    assert out.isStreaming
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
+    assert out.columns == ["metric", "interval", "value"]
