@@ -129,6 +129,17 @@ def check_streamable(node: Node):
             return (n, agg)
         if n.name in ("summarize", "groupByNode", "groupByTags",
                       "hitcount") and allow_agg:
+            if n.name == "groupByTags":
+                # validated here so rejection happens at the gate,
+                # before any query is built
+                if (len(n.args) != 3 or not isinstance(n.args[1], Str)
+                        or not isinstance(n.args[2], Str)):
+                    raise RenderParseError(
+                        "groupByTags takes (series, 'method', 'tag')")
+                if n.args[1].value not in ("sum", "max", "min", "avg"):
+                    raise RenderParseError(
+                        f"groupByTags: unknown or order-ambiguous "
+                        f"method {n.args[1].value!r}")
             walk(n.args[0], False, False)
             return (None, n)
         if n.name == "group":
