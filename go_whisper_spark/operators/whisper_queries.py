@@ -1203,6 +1203,227 @@ FROM per JOIN exact USING (metric)
 # ---------------------------------------------------------- w_approx_stats
 # Deterministic sketch parameters, inlined into BOTH engines.
 _KMV_BUCKETS = 64          # stochastic-averaging buckets (min-value sketch)
+_THETA_K = 64               # bottom-k size for the Theta set-op sketch
+
+
+def w_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET OPERATIONS — what the mergeable-sketch family
+    is ultimately FOR: estimate the distinct-user Jaccard between
+    every pair of event types from two bottom-k (KMV) sketches alone,
+    next to the exact answer.  Per set, the sketch = the K smallest
+    40-bit md5 hashes of its members (θ = the K-th smallest, or the
+    full hash range when the set is smaller than K); for a pair,
+    both sketches re-threshold at θ = min(θ_a, θ_b) — each side is
+    then a uniform sample of its set at the SAME rate, so
+    |S_A ∩ S_B| / |S_A ∪ S_B| estimates the true Jaccard (the
+    Theta-sketch intersection rule).  Every step is integer-exact
+    (hash ranks, set counts); the only float op is the final
+    floor-truncated micro-unit ratio — same on the exact side.
+
+    The sets: each event type's ABOVE-AVERAGE traffic hours (hour
+    buckets whose count × n_hours > total — an exact integer
+    cross-multiplication, no float mean), ~350 members with true
+    pairwise Jaccards ≈ 0.31-0.37 on this corpus — chosen because
+    the obvious set (distinct users per type) is degenerate here
+    (every user does every type: all Jaccards exactly 1.0, which
+    estimates trivially).
+
+    Scale shape: the sketch build is a per-set bottom-k (one
+    partial-combinable min-k per set — at 100 TB each worker ships K
+    hashes per set, the merger keeps the K smallest of the union,
+    which is also how two sketches merge); pair estimation touches
+    only |sets|²·K sketch rows, never the data.  The exact columns
+    exist to PRICE the estimate and are the O(n) baseline the sketch
+    replaces.  [KMV/Theta sketches: Bar-Yossef et al. 2002; the
+    Theta intersection rule is public Apache DataSketches doc.]"""
+    from go_whisper_spark.sources.tables import load_table
+
+    H40 = _H40  # 2^40 — the hash range
+    e = load_table(spark, sf_dir, "events")
+    per = (
+        e.select(
+            F.col("event_type").alias("metric"),
+            (F.col("ts_sec") - F.col("ts_sec") % HOUR).alias("hr"),
+        )
+        .groupBy("metric", "hr")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = per.groupBy("metric").agg(
+        F.sum("c").alias("t"), F.count("*").alias("nh")
+    )
+    m = (
+        per.join(tot, "metric")
+        .where(F.col("c") * F.col("nh") > F.col("t"))
+        .select(
+            "metric",
+            F.conv(
+                F.substring(F.md5(F.col("hr").cast("string")), 1, 10),
+                16, 10,
+            ).cast("long").alias("h"),
+        )
+    )
+    w = Window.partitionBy("metric").orderBy("h")
+    ranked = m.withColumn("rn", F.row_number().over(w))
+    kept = ranked.where(F.col("rn") <= _THETA_K)
+    theta = kept.groupBy("metric").agg(
+        F.when(F.count("*") >= _THETA_K, F.max("h"))
+        .otherwise(F.lit(H40)).alias("theta")
+    )
+    # pair-level θ frame: |sets|² rows (tiny — one per metric pair),
+    # th = min(θ_a, θ_b).  Everything downstream is an EQUI-join on
+    # this frame or on the hash — no data-sized cross product
+    # anywhere (the intersection is hash-keyed, the per-side sample
+    # counts join the broadcast pair frame by one metric key).
+    ta = theta.select(F.col("metric").alias("ma"),
+                      F.col("theta").alias("th_a"))
+    tb = theta.select(F.col("metric").alias("mb"),
+                      F.col("theta").alias("th_b"))
+    pt = (
+        ta.join(tb, F.col("ma") < F.col("mb"))
+        .select("ma", "mb", F.least("th_a", "th_b").alias("th"))
+    )
+
+    ka = (
+        kept.join(F.broadcast(pt), F.col("metric") == F.col("ma"))
+        .where(F.col("h") < F.col("th"))
+        .groupBy("ma", "mb").agg(F.count("*").alias("na"))
+    )
+    kb = (
+        kept.join(F.broadcast(pt), F.col("metric") == F.col("mb"))
+        .where(F.col("h") < F.col("th"))
+        .groupBy("ma", "mb").agg(F.count("*").alias("nb"))
+    )
+    ia = kept.select(F.col("metric").alias("ma"), "h")
+    ib = kept.select(F.col("metric").alias("mb"), F.col("h").alias("hb"))
+    inter = (
+        ia.join(ib, (F.col("h") == F.col("hb")) & (F.col("ma") < F.col("mb")))
+        .join(F.broadcast(pt), ["ma", "mb"])
+        .where(F.col("h") < F.col("th"))
+        .groupBy("ma", "mb").agg(F.count("*").alias("k_inter"))
+    )
+    pairs = (
+        pt.join(ka, ["ma", "mb"], "left")
+        .join(kb, ["ma", "mb"], "left")
+        .join(inter, ["ma", "mb"], "left")
+        .select(
+            "ma", "mb",
+            F.coalesce("k_inter", F.lit(0)).alias("k_inter"),
+            (F.coalesce("na", F.lit(0)) + F.coalesce("nb", F.lit(0))
+             - F.coalesce("k_inter", F.lit(0))).alias("k_union"),
+        )
+    )
+
+    sizes = m.groupBy("metric").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("metric").alias("ma"), F.col("n").alias("xa"))
+    sb = sizes.select(F.col("metric").alias("mb"), F.col("n").alias("xb"))
+    xinter = (
+        m.select(F.col("metric").alias("ma"), "h")
+        .join(m.select(F.col("metric").alias("mb"), F.col("h").alias("hb")),
+              (F.col("h") == F.col("hb")) & (F.col("ma") < F.col("mb")))
+        .groupBy("ma", "mb").agg(F.count("*").alias("x_inter"))
+    )
+    exact = (
+        sa.join(sb, F.col("ma") < F.col("mb"))
+        .join(xinter, ["ma", "mb"], "left")
+        .select(
+            "ma", "mb",
+            F.coalesce("x_inter", F.lit(0)).alias("x_inter"),
+            (F.col("xa") + F.col("xb")
+             - F.coalesce("x_inter", F.lit(0))).alias("x_union"),
+        )
+    )
+    return pairs.join(exact, ["ma", "mb"]).select(
+        "ma", "mb", "k_inter", "k_union",
+        (F.floor(F.col("k_inter") * 1_000_000 / F.col("k_union"))
+         / F.lit(1_000_000.0)).alias("jacc_est"),
+        (F.floor(F.col("x_inter") * 1_000_000 / F.col("x_union"))
+         / F.lit(1_000_000.0)).alias("jacc_exact"),
+    )
+
+
+def _w_kmv_jaccard_sql() -> str:
+    return f"""
+WITH per AS (
+  SELECT event_type AS metric,
+         epoch_ns(ts) // 1000000000
+           - epoch_ns(ts) // 1000000000 % 3600 AS hr,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT metric, sum(c) AS t, count(*) AS nh FROM per GROUP BY 1),
+m AS (
+  SELECT p.metric,
+         CAST('0x' || substring(md5(CAST(p.hr AS VARCHAR)), 1, 10)
+              AS BIGINT) AS h
+  FROM per p JOIN tot ON p.metric = tot.metric
+  WHERE p.c * tot.nh > tot.t
+),
+ranked AS (
+  SELECT metric, h,
+         row_number() OVER (PARTITION BY metric ORDER BY h) AS rn
+  FROM m
+),
+kept AS (SELECT metric, h FROM ranked WHERE rn <= {_THETA_K}),
+theta AS (
+  SELECT metric,
+         CASE WHEN count(*) >= {_THETA_K} THEN max(h)
+              ELSE {_H40} END AS theta
+  FROM kept GROUP BY metric
+),
+sk AS (SELECT k.metric, k.h, t.theta FROM kept k
+       JOIN theta t ON k.metric = t.metric),
+pt AS (
+  SELECT a.metric AS ma, b.metric AS mb,
+         least(a.theta, b.theta) AS th
+  FROM theta a JOIN theta b ON a.metric < b.metric
+),
+ka AS (
+  SELECT pt.ma, pt.mb, count(*) AS na
+  FROM kept k JOIN pt ON k.metric = pt.ma AND k.h < pt.th
+  GROUP BY 1, 2
+),
+kb AS (
+  SELECT pt.ma, pt.mb, count(*) AS nb
+  FROM kept k JOIN pt ON k.metric = pt.mb AND k.h < pt.th
+  GROUP BY 1, 2
+),
+inter AS (
+  SELECT pt.ma, pt.mb, count(*) AS k_inter
+  FROM kept a
+  JOIN kept b ON a.h = b.h AND a.metric < b.metric
+  JOIN pt ON pt.ma = a.metric AND pt.mb = b.metric AND a.h < pt.th
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT pt.ma, pt.mb,
+         coalesce(i.k_inter, 0) AS k_inter,
+         coalesce(ka.na, 0) + coalesce(kb.nb, 0)
+           - coalesce(i.k_inter, 0) AS k_union
+  FROM pt
+  LEFT JOIN ka ON ka.ma = pt.ma AND ka.mb = pt.mb
+  LEFT JOIN kb ON kb.ma = pt.ma AND kb.mb = pt.mb
+  LEFT JOIN inter i ON i.ma = pt.ma AND i.mb = pt.mb
+),
+sizes AS (SELECT metric, count(*) AS n FROM m GROUP BY metric),
+xinter AS (
+  SELECT a.metric AS ma, b.metric AS mb, count(*) AS x_inter
+  FROM m a JOIN m b ON a.h = b.h AND a.metric < b.metric
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT sa.metric AS ma, sb.metric AS mb,
+         coalesce(x.x_inter, 0) AS x_inter,
+         sa.n + sb.n - coalesce(x.x_inter, 0) AS x_union
+  FROM sizes sa JOIN sizes sb ON sa.metric < sb.metric
+  LEFT JOIN xinter x ON x.ma = sa.metric AND x.mb = sb.metric
+)
+SELECT p.ma, p.mb,
+       CAST(p.k_inter AS BIGINT) AS k_inter,
+       CAST(p.k_union AS BIGINT) AS k_union,
+       floor(p.k_inter * 1000000 / p.k_union) / 1000000.0 AS jacc_est,
+       floor(e.x_inter * 1000000 / e.x_union) / 1000000.0 AS jacc_exact
+FROM pairs p JOIN exact e ON p.ma = e.ma AND p.mb = e.mb
+"""
 _H40 = 1 << 40             # 10 md5 hex chars -> uniform hash in [0, 2^40)
 _SAMPLE_T = _H40 // 8      # hash-threshold sample: keep ~1/8 of rows
 
@@ -2492,6 +2713,7 @@ QUERIES = {
     "w_funnel_3step": w_funnel_3step,
     "w_funnel_4step": w_funnel_4step,
     "w_funnel_latency": w_funnel_latency,
+    "w_kmv_jaccard": w_kmv_jaccard,
     "w_cohorts": w_cohorts,
     "w_retention_reap": w_retention_reap,
     "w_store_fetch": w_store_fetch,
@@ -2532,6 +2754,7 @@ ORACLES = {
     "w_funnel_3step": W_FUNNEL_3STEP_SQL,
     "w_funnel_4step": W_FUNNEL_4STEP_SQL,
     "w_funnel_latency": W_FUNNEL_LATENCY_SQL,
+    "w_kmv_jaccard": _w_kmv_jaccard_sql(),
     "w_cohorts": W_COHORTS_SQL,
     "w_retention_reap": W_RETENTION_REAP_SQL,
     "w_store_fetch": W_STORE_FETCH_SQL,

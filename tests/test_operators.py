@@ -425,3 +425,17 @@ def test_bloom_decontam_no_false_negatives(spark, sf_dir):
     assert (0, 1) not in cells, "bloom missed an exactly-contaminated doc"
     for r in rows:
         assert r.sum_bloom_hits >= r.sum_exact_hits
+
+
+def test_kmv_jaccard_estimate_quality(spark, sf_dir):
+    """The Theta-sketch Jaccard estimate must land near the exact
+    value on every pair — K=64 over ~350-member sets gives ~±0.08
+    observed; the 0.15 bound catches a broken re-threshold (wrong θ
+    gives wildly off samples) without flaking on sketch variance."""
+    from go_whisper_spark.operators.whisper_queries import w_kmv_jaccard
+
+    rows = w_kmv_jaccard(spark, sf_dir).collect()
+    assert len(rows) == 10  # all 5-choose-2 event-type pairs present
+    for r in rows:
+        assert abs(r.jacc_est - r.jacc_exact) <= 0.15, (
+            f"({r.ma}, {r.mb}): est {r.jacc_est} vs exact {r.jacc_exact}")

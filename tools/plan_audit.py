@@ -1024,6 +1024,17 @@ CHECKS = {
         forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                 "BroadcastNestedLoopJoin"],
     ),
+    # Theta set-ops: the bottom-k build is a per-set rank window over
+    # the member relation; the pair math is equi-joins on hash plus
+    # hinted broadcasts of the tiny pair-θ frame — no cartesian ever
+    # touches data-sized relations (the |sets|² frame is 10 rows).
+    # The exact-baseline hash join is statically SMJ (unknown sizes);
+    # AQE broadcasts it at runtime — assert the EXECUTED plan.
+    "w_kmv_jaccard": dict(
+        require=["Window", "BroadcastHashJoin", "partial_count"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct"],
+    ),
     # HLL: pre-distinct + two map-combined aggregates (64·n_metrics
     # register cells, then per-metric sums); the exact-ledger join is
     # an n_metrics-key equi-join AQE broadcasts.
