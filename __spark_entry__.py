@@ -303,6 +303,7 @@ _R12_DEFERRED: list = [
     "st_render_deriv",
     "st_render_tags",
     "w_kmv_jaccard",
+    "st_kmv_bottomk",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

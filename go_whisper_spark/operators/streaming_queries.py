@@ -59,7 +59,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_whisper_spark.model import SeriesConfig
@@ -2112,6 +2112,105 @@ SELECT metric, interval, CAST(cents AS DOUBLE) / 100.0 AS value FROM d
 """
 
 
+def st_kmv_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bottom-k (KMV/Theta) — the FOURTH streaming merge
+    law, completing the set (HLL register-max, Count-Min cell-sum,
+    Bloom word-OR, KMV min-k): each micro-batch of the 3-pass events
+    replay ships its own partial bottom-k table (the K smallest
+    distinct 40-bit user hashes per metric — one rank window per
+    batch over that batch's distinct members), and the final sketch
+    is the bottom-k OF THE UNION of partials.  min-k of a union is
+    associative, commutative and idempotent (a duplicate hash ranks
+    once — DISTINCT before the rank), so the streamed sketch equals
+    the one-shot sketch and the oracle is the batch bottom-k SQL
+    verbatim: the replay proves min-k-of-unions == union-of-min-ks,
+    which is exactly how ``w_kmv_jaccard``'s sketches would merge
+    across ingest workers.
+
+    Scale shape: K rows per (metric, batch) regardless of batch
+    cardinality; the final merge is one constant-size rank window."""
+    from go_whisper_spark.operators.whisper_queries import _THETA_K
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric"), "user_id", "ts"
+    )
+    t0 = int(ev.agg(F.min(F.unix_timestamp("ts"))).first()[0])
+    chunk = F.least(
+        F.expr(f"(unix_timestamp(ts) - {t0}) div {CHUNK_SECONDS}"),
+        F.lit(N_PASSES - 1),
+    ).cast("long")
+    marked = ev.withColumn("arrive", chunk).drop("ts")
+    feed = marked.drop("arrive")
+    root = _tmpdir()
+    src, ckpt, store = (
+        os.path.join(root, "src"),
+        os.path.join(root, "ckpt"),
+        os.path.join(root, "sketch"),
+    )
+    h40 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        w = Window.partitionBy("metric").orderBy("h")
+        partial = (
+            batch.select("metric", h40.alias("h")).distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _THETA_K)
+            .select("metric", "h")
+        )
+        partial.write.mode("append").parquet(store)
+
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            spark.readStream.schema(feed.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("streaming pass timed out")
+
+    w = Window.partitionBy("metric").orderBy("h")
+    return (
+        spark.read.parquet(store)
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _THETA_K)
+        .select("metric", F.col("rn").cast("long").alias("rn"), "h")
+    )
+
+
+def _st_kmv_bottomk_sql() -> str:
+    from go_whisper_spark.operators.whisper_queries import _THETA_K
+
+    return f"""
+WITH m AS (
+  SELECT DISTINCT event_type AS metric,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 10)
+              AS BIGINT) AS h
+  FROM events
+)
+SELECT metric, CAST(rn AS BIGINT) AS rn, h FROM (
+  SELECT metric, h,
+         row_number() OVER (PARTITION BY metric ORDER BY h) AS rn
+  FROM m
+) WHERE rn <= {_THETA_K}
+"""
+
+
 def st_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Bloom filter — the OR merge law completing the
     sketch-mergeability trio (HLL register-max, Count-Min cell-sum,
@@ -2258,6 +2357,7 @@ QUERIES = {
     "st_render_mwin": st_render_mwin,
     "st_funnel_4step": st_funnel_4step,
     "st_bloom_words": st_bloom_words,
+    "st_kmv_bottomk": st_kmv_bottomk,
     "st_render_deriv": st_render_deriv,
     "st_render_tags": st_render_tags,
     "st_lsh_prefilter": st_lsh_prefilter,
@@ -2285,6 +2385,7 @@ ORACLES = {
     "st_render_mwin": ST_RENDER_MWIN_SQL,
     "st_funnel_4step": ST_FUNNEL_4STEP_SQL,
     "st_bloom_words": _st_bloom_words_sql(),
+    "st_kmv_bottomk": _st_kmv_bottomk_sql(),
     "st_render_deriv": ST_RENDER_DERIV_SQL,
     "st_render_tags": ST_RENDER_TAGS_SQL,
     "st_lsh_prefilter": _st_lsh_prefilter_sql(),
