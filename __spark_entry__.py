@@ -304,6 +304,7 @@ _R12_DEFERRED: list = [
     "st_render_tags",
     "w_kmv_jaccard",
     "st_kmv_bottomk",
+    "w_event_transitions",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -1030,6 +1030,75 @@ FROM per
 """
 
 
+def w_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-flow transition matrix (the Sankey/Markov relation next
+    to the funnel): for every user's event stream in (ts, event_id)
+    order, count consecutive (from_type → to_type) transitions, plus
+    each row's exact floor-truncated micro-unit share of its
+    from-type's outgoing transitions — the where-do-users-go-next
+    relation behind flow diagrams and Markov attribution.
+
+    Determinism: the lag window orders by (ts, event_id) — the
+    write_seq tiebreak makes same-timestamp neighbors a total order,
+    so both engines see the same predecessor everywhere.
+
+    Scale shape: ONE user-keyed window (the lag rides the same
+    shuffle class as sessionization), then a 25-cell aggregate and a
+    from-type window over THAT tiny relation."""
+    from go_whisper_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.unix_timestamp("ts").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "seq")
+    tr = (
+        ev.withColumn("prev", F.lag("et").over(w))
+        .where(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("et").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return tr.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.floor(F.col("n") * 1_000_000 / F.sum("n").over(tot))
+            / F.lit(1_000_000.0)
+        ).alias("share"),
+    )
+
+
+W_EVENT_TRANSITIONS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type AS et,
+         epoch_ns(ts) // 1000000000 AS ts,
+         event_id AS seq
+  FROM events
+),
+tr AS (
+  SELECT prev AS from_type, et AS to_type, count(*) AS n
+  FROM (
+    SELECT user_id, et,
+           lag(et) OVER (PARTITION BY user_id ORDER BY ts, seq) AS prev
+    FROM ev
+  )
+  WHERE prev IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       floor(n * 1000000 / sum(n) OVER (PARTITION BY from_type))
+         / 1000000.0 AS share
+FROM tr
+"""
+
+
 # ------------------------------------------------------------- w_cohorts
 def w_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention-cohort triangle over events — the second classic
@@ -2714,6 +2783,7 @@ QUERIES = {
     "w_funnel_4step": w_funnel_4step,
     "w_funnel_latency": w_funnel_latency,
     "w_kmv_jaccard": w_kmv_jaccard,
+    "w_event_transitions": w_event_transitions,
     "w_cohorts": w_cohorts,
     "w_retention_reap": w_retention_reap,
     "w_store_fetch": w_store_fetch,
@@ -2755,6 +2825,7 @@ ORACLES = {
     "w_funnel_4step": W_FUNNEL_4STEP_SQL,
     "w_funnel_latency": W_FUNNEL_LATENCY_SQL,
     "w_kmv_jaccard": _w_kmv_jaccard_sql(),
+    "w_event_transitions": W_EVENT_TRANSITIONS_SQL,
     "w_cohorts": W_COHORTS_SQL,
     "w_retention_reap": W_RETENTION_REAP_SQL,
     "w_store_fetch": W_STORE_FETCH_SQL,

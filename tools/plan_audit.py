@@ -1016,6 +1016,14 @@ CHECKS = {
         forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
                 "Window", "BroadcastNestedLoopJoin"],
     ),
+    # transition matrix: ONE user-keyed lag window (the
+    # sessionization shuffle class), a 25-cell aggregate, and a
+    # from-type share window over that tiny relation — no joins.
+    "w_event_transitions": dict(
+        require=["Window", "partial_count"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "BroadcastNestedLoopJoin"],
+    ),
     # latency ledger: the funnel fold + a <= 15-row day-bucket
     # aggregate + the running total over THAT bucket relation (the
     # single-partition window is O(window days), not O(users)).
