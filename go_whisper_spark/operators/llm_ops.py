@@ -3731,7 +3731,6 @@ def t_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe.join(F.broadcast(exact), "sh", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_sh"),
             F.sum(F.col("pos").cast("long")).alias("bloom_hits"),
             F.sum(F.coalesce(F.col("ex"), F.lit(False)).cast("long"))
             .alias("exact_hits"),
@@ -3782,7 +3781,6 @@ probe AS (
 ),
 per_doc AS (
   SELECT p.doc_id,
-         count(*) AS n_sh,
          CAST(sum(CASE WHEN p.pos THEN 1 ELSE 0 END) AS BIGINT)
            AS bloom_hits,
          CAST(sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -5307,23 +5305,12 @@ _PQ_SEARCH_CTES_FILTERED = _pq_search_ctes(
 )
 
 
-def _s_pq_search_filtered_sql() -> str:
+def _s_pq_search_sql(search_ctes: str = _PQ_SEARCH_CTES) -> str:
+    """The shared read-path oracle epilogue, parameterized on the CTE
+    block exactly like _s_pq_search_recall_sql (review finding r12:
+    five copies of the same SELECT existed)."""
     return f"""
-WITH {_PQ_SEARCH_CTES_FILTERED}
-SELECT qid, neighbor, sim, rank FROM pq_ann ORDER BY qid, rank
-"""
-
-
-def _s_pq_search_sql() -> str:
-    return f"""
-WITH {_PQ_SEARCH_CTES}
-SELECT qid, neighbor, sim, rank FROM pq_ann ORDER BY qid, rank
-"""
-
-
-def _s_pq_search_upserted_sql() -> str:
-    return f"""
-WITH {_PQ_SEARCH_CTES_UPSERTED}
+WITH {search_ctes}
 SELECT qid, neighbor, sim, rank FROM pq_ann ORDER BY qid, rank
 """
 
@@ -6858,7 +6845,7 @@ ORACLES = {
     "d_simhash_banded": D_SIMHASH_PAIRS_SQL,
     "s_cosine_topk": S_COSINE_TOPK_SQL,
     "s_hybrid_rrf": S_HYBRID_RRF_SQL,
-    "s_pq_search_filtered": _s_pq_search_filtered_sql(),
+    "s_pq_search_filtered": _s_pq_search_sql(_PQ_SEARCH_CTES_FILTERED),
     "s_cosine_nearpairs": S_COSINE_PAIRS_SQL,
     "s_cosine_ann": _s_cosine_ann_sql(),
     "s_ann_recall": _s_ann_recall_sql(),
@@ -6921,13 +6908,10 @@ ORACLES = {
     # contents; only the build is memoized) — shares the oracle.
     "s_pq_search_serve": _s_pq_search_sql(),
     "s_pq_upsert": _s_pq_upsert_sql(),
-    "s_pq_search_upserted": _s_pq_search_upserted_sql(),
+    "s_pq_search_upserted": _s_pq_search_sql(_PQ_SEARCH_CTES_UPSERTED),
     "s_pq_upserted_recall": _s_pq_search_recall_sql(_PQ_SEARCH_CTES_UPSERTED),
     "s_pq_search_recall": _s_pq_search_recall_sql(),
-    "s_pq_search_mp": (
-        f"\nWITH {_PQ_SEARCH_CTES_MP}\n"
-        "SELECT qid, neighbor, sim, rank FROM pq_ann ORDER BY qid, rank\n"
-    ),
+    "s_pq_search_mp": _s_pq_search_sql(_PQ_SEARCH_CTES_MP),
     "s_pq_mp_recall": _s_pq_search_recall_sql(_PQ_SEARCH_CTES_MP),
     "s_semantic_dedup": _s_semantic_dedup_sql(),
 }

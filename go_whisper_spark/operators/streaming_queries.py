@@ -1392,25 +1392,13 @@ FROM l LEFT JOIN r
 ST_RENDER_TARGET = "summarize(removeBelowValue(scale('*', 2), 40), 6, 'max')"
 
 
-def st_render_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A render-target expression evaluated ON THE STREAM
-    (``streaming/render.py``, VERDICT r10 item 7): the parsed AST of
-    ``summarize(removeBelowValue(scale('*', 2), 40), 6, 'max')``
-    drives a two-query chained plan — 1h LWW rollup (watermark =
-    2 d lateness) hands off through the parquet file sink/source to
-    the rendered query, whose stateless value maps (×2 cents,
-    floor-at-40 NULLing) run per emitted row and whose outermost
-    summarize is a 6h tumbling window aggregate under a 0-second
-    watermark (in-order handoff, same argument as
-    ``st_cascade_chained``).
-
-    Oracle: the same watermark algebra as the chained cascade —
-    1h survivors per arrival pass, then the cent-exact render
-    arithmetic and the 6h buckets closed by the final level-0
-    emission bound.  NULL-heavy buckets (every slot below 40 after
-    scaling) emit NULL values, pinned by the oracle's max-over-NULLs.
-    """
-    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
+def _render_replay(spark: SparkSession, pts: DataFrame,
+                   target: str) -> DataFrame:
+    """Shared 3-pass chained replay for every streaming render entry
+    (review finding r12: seven near-identical harness bodies): mark
+    deterministic arrivals on the points frame, feed each pass to the
+    chained level-0 -> rendered queries, return the final rendered
+    snapshot."""
     t0 = int(pts.agg(F.min("ts")).first()[0])
     marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
         "ts", F.timestamp_seconds(F.col("ts"))
@@ -1431,12 +1419,38 @@ def st_render_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src)
         )
         rendered = streaming_render_pass(
-            spark, feed.schema, src, base, ST_RENDER_TARGET, cfg,
+            spark, feed.schema, src, base, target, cfg,
             lateness_seconds=LATENESS,
         )
-    return spark.read.schema("metric string, interval long, value double").parquet(
-        rendered
-    ).select("metric", "interval", "value")
+    return spark.read.schema(
+        "metric string, interval long, value double"
+    ).parquet(rendered).select("metric", "interval", "value")
+
+
+def st_render_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A render-target expression evaluated ON THE STREAM
+    (``streaming/render.py``, VERDICT r10 item 7): the parsed AST of
+    ``summarize(removeBelowValue(scale('*', 2), 40), 6, 'max')``
+    drives a two-query chained plan — 1h LWW rollup (watermark =
+    2 d lateness) hands off through the parquet file sink/source to
+    the rendered query, whose stateless value maps (×2 cents,
+    floor-at-40 NULLing) run per emitted row and whose outermost
+    summarize is a 6h tumbling window aggregate under a 0-second
+    watermark (in-order handoff, same argument as
+    ``st_cascade_chained``).
+
+    Oracle: the same watermark algebra as the chained cascade —
+    1h survivors per arrival pass, then the cent-exact render
+    arithmetic and the 6h buckets closed by the final level-0
+    emission bound.  NULL-heavy buckets (every slot below 40 after
+    scaling) emit NULL values, pinned by the oracle's max-over-NULLs.
+    """
+    return _render_replay(
+        spark,
+        events_points(spark, sf_dir).select(
+            "metric", "ts", "value", "write_seq"),
+        ST_RENDER_TARGET,
+    )
 
 
 ST_RENDER_6H_SQL = f"""
@@ -1488,33 +1502,12 @@ def st_render_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections over the emitted closed 6h windows (append-safe),
     after the floored-avg consolidation under the same two-query
     chained replay as ``st_render_6h``."""
-    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
-    t0 = int(pts.agg(F.min("ts")).first()[0])
-    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
-        "ts", F.timestamp_seconds(F.col("ts"))
+    return _render_replay(
+        spark,
+        events_points(spark, sf_dir).select(
+            "metric", "ts", "value", "write_seq"),
+        ST_RENDER_SCALED_TARGET,
     )
-    cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
-
-    from go_whisper_spark.streaming.render import streaming_render_pass
-
-    root = _tmpdir()
-    src, base = os.path.join(root, "src"), os.path.join(root, "render")
-    feed = marked.drop("arrive")
-    for k in range(N_PASSES):
-        (
-            marked.where(F.col("arrive") == k)
-            .drop("arrive")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        rendered = streaming_render_pass(
-            spark, feed.schema, src, base, ST_RENDER_SCALED_TARGET, cfg,
-            lateness_seconds=LATENESS,
-        )
-    return spark.read.schema("metric string, interval long, value double").parquet(
-        rendered
-    ).select("metric", "interval", "value")
 
 
 ST_RENDER_SCALED_SQL = f"""
@@ -1565,33 +1558,12 @@ def st_render_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the 0-lateness handoff watermark (each window holds exactly
     one interval's rows across the relabeled series).  Same replay
     and watermark algebra as ``st_render_6h``."""
-    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
-    t0 = int(pts.agg(F.min("ts")).first()[0])
-    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
-        "ts", F.timestamp_seconds(F.col("ts"))
+    return _render_replay(
+        spark,
+        events_points(spark, sf_dir).select(
+            "metric", "ts", "value", "write_seq"),
+        ST_RENDER_NODES_TARGET,
     )
-    cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
-
-    from go_whisper_spark.streaming.render import streaming_render_pass
-
-    root = _tmpdir()
-    src, base = os.path.join(root, "src"), os.path.join(root, "render")
-    feed = marked.drop("arrive")
-    for k in range(N_PASSES):
-        (
-            marked.where(F.col("arrive") == k)
-            .drop("arrive")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        rendered = streaming_render_pass(
-            spark, feed.schema, src, base, ST_RENDER_NODES_TARGET, cfg,
-            lateness_seconds=LATENESS,
-        )
-    return spark.read.schema("metric string, interval long, value double").parquet(
-        rendered
-    ).select("metric", "interval", "value")
 
 
 ST_RENDER_NODES_SQL = f"""
@@ -1646,33 +1618,12 @@ def st_render_hitcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows (append-safe projection).  An all-NULL bucket emits NULL
     (sum over no known slots), pinned by the oracle.  Same two-query
     chained replay and watermark algebra as ``st_render_6h``."""
-    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
-    t0 = int(pts.agg(F.min("ts")).first()[0])
-    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
-        "ts", F.timestamp_seconds(F.col("ts"))
+    return _render_replay(
+        spark,
+        events_points(spark, sf_dir).select(
+            "metric", "ts", "value", "write_seq"),
+        ST_RENDER_HITCOUNT_TARGET,
     )
-    cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
-
-    from go_whisper_spark.streaming.render import streaming_render_pass
-
-    root = _tmpdir()
-    src, base = os.path.join(root, "src"), os.path.join(root, "render")
-    feed = marked.drop("arrive")
-    for k in range(N_PASSES):
-        (
-            marked.where(F.col("arrive") == k)
-            .drop("arrive")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        rendered = streaming_render_pass(
-            spark, feed.schema, src, base, ST_RENDER_HITCOUNT_TARGET, cfg,
-            lateness_seconds=LATENESS,
-        )
-    return spark.read.schema("metric string, interval long, value double").parquet(
-        rendered
-    ).select("metric", "interval", "value")
 
 
 ST_RENDER_HITCOUNT_SQL = f"""
@@ -1732,33 +1683,12 @@ def st_render_mwin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same replay and watermark algebra as ``st_render_6h``; the
     kernel-vs-batch row equivalence (NULL frames, checkpoint
     round-trip) is pinned in tests/test_streaming_render.py."""
-    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
-    t0 = int(pts.agg(F.min("ts")).first()[0])
-    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
-        "ts", F.timestamp_seconds(F.col("ts"))
+    return _render_replay(
+        spark,
+        events_points(spark, sf_dir).select(
+            "metric", "ts", "value", "write_seq"),
+        ST_RENDER_MWIN_TARGET,
     )
-    cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
-
-    from go_whisper_spark.streaming.render import streaming_render_pass
-
-    root = _tmpdir()
-    src, base = os.path.join(root, "src"), os.path.join(root, "render")
-    feed = marked.drop("arrive")
-    for k in range(N_PASSES):
-        (
-            marked.where(F.col("arrive") == k)
-            .drop("arrive")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        rendered = streaming_render_pass(
-            spark, feed.schema, src, base, ST_RENDER_MWIN_TARGET, cfg,
-            lateness_seconds=LATENESS,
-        )
-    return spark.read.schema("metric string, interval long, value double").parquet(
-        rendered
-    ).select("metric", "interval", "value")
 
 
 ST_RENDER_MWIN_SQL = f"""
@@ -1962,33 +1892,8 @@ def st_render_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same replay and watermark algebra as ``st_render_nodes``."""
     from go_whisper_spark.operators.graphite_funcs import _tagged_points
 
-    pts = _tagged_points(spark, sf_dir)
-    t0 = int(pts.agg(F.min("ts")).first()[0])
-    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
-        "ts", F.timestamp_seconds(F.col("ts"))
-    )
-    cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
-
-    from go_whisper_spark.streaming.render import streaming_render_pass
-
-    root = _tmpdir()
-    src, base = os.path.join(root, "src"), os.path.join(root, "render")
-    feed = marked.drop("arrive")
-    for k in range(N_PASSES):
-        (
-            marked.where(F.col("arrive") == k)
-            .drop("arrive")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        rendered = streaming_render_pass(
-            spark, feed.schema, src, base, ST_RENDER_TAGS_TARGET, cfg,
-            lateness_seconds=LATENESS,
-        )
-    return spark.read.schema("metric string, interval long, value double").parquet(
-        rendered
-    ).select("metric", "interval", "value")
+    return _render_replay(
+        spark, _tagged_points(spark, sf_dir), ST_RENDER_TAGS_TARGET)
 
 
 ST_RENDER_TAGS_SQL = f"""
@@ -2024,7 +1929,12 @@ g AS (
          max(CAST(round(value * 100) AS BIGINT)) AS cents
   FROM filt
   GROUP BY 1, 2
-  HAVING interval + 3600 <= (SELECT max(interval) FROM a0)
+  -- the close bound is the FILTERED stream's max interval: the plan
+  -- assigns the 0-lateness watermark AFTER the seriesByTag filter,
+  -- so watermark advancement only sees surviving rows (equal to
+  -- a0's bound on this corpus, but the filtered bound is the one
+  -- the stream actually uses — review finding r12)
+  HAVING interval + 3600 <= (SELECT max(interval) FROM filt)
 )
 SELECT metric, interval, CAST(cents * 2 AS DOUBLE) / 100.0 AS value FROM g
 """
@@ -2044,33 +1954,12 @@ def st_render_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``st_render_mwin`` doesn't (state size 1, post-kernel chain
     non-empty).  Same replay, same in-order argument; oracle = the
     batch lag over the final closed set."""
-    pts = events_points(spark, sf_dir).select("metric", "ts", "value", "write_seq")
-    t0 = int(pts.agg(F.min("ts")).first()[0])
-    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
-        "ts", F.timestamp_seconds(F.col("ts"))
+    return _render_replay(
+        spark,
+        events_points(spark, sf_dir).select(
+            "metric", "ts", "value", "write_seq"),
+        ST_RENDER_DERIV_TARGET,
     )
-    cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
-
-    from go_whisper_spark.streaming.render import streaming_render_pass
-
-    root = _tmpdir()
-    src, base = os.path.join(root, "src"), os.path.join(root, "render")
-    feed = marked.drop("arrive")
-    for k in range(N_PASSES):
-        (
-            marked.where(F.col("arrive") == k)
-            .drop("arrive")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        rendered = streaming_render_pass(
-            spark, feed.schema, src, base, ST_RENDER_DERIV_TARGET, cfg,
-            lateness_seconds=LATENESS,
-        )
-    return spark.read.schema("metric string, interval long, value double").parquet(
-        rendered
-    ).select("metric", "interval", "value")
 
 
 ST_RENDER_DERIV_SQL = f"""

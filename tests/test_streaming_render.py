@@ -174,7 +174,8 @@ def test_window_kernel_matches_batch(spark, tmp_path):
         rows, "metric string, interval long, cents long")
 
     for op, k in (("movingSum", 3), ("movingAverage", 2), ("movingMin", 4),
-                  ("derivative", 1), ("nonNegativeDerivative", 1)):
+                  ("movingMax", 3), ("derivative", 1),
+                  ("nonNegativeDerivative", 1)):
         base = str(tmp_path / op)
         src, out, ckpt = (os.path.join(base, d)
                           for d in ("src", "out", "ckpt"))
@@ -206,6 +207,7 @@ def test_window_kernel_matches_batch(spark, tmp_path):
             fr = w.rowsBetween(-(k - 1), 0)
             agg = {"movingSum": F.sum("cents").over(fr),
                    "movingMin": F.min("cents").over(fr),
+                   "movingMax": F.max("cents").over(fr),
                    "movingAverage": F.floor(
                        F.sum("cents").over(fr).cast("double")
                        / F.count("cents").over(fr)).cast("long")}[op]

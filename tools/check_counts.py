@@ -111,6 +111,15 @@ def check() -> list:
             problems.append(
                 f"fuzz docstring op count ({m3.group(1)}) != "
                 f"render.py docstring ({n_render})")
+        # SURVEY mentions the op count in prose ("composing **N
+        # operators**", "**N composable operators") — the spot the
+        # round-12 multiplySeriesLists bump actually drifted in.
+        for m4 in re.finditer(
+                r"\*\*(\d+)(?: composable)? operators?\b", survey):
+            if int(m4.group(1)) != n_render:
+                problems.append(
+                    f"SURVEY render op count ({m4.group(1)}) != "
+                    f"render.py docstring ({n_render})")
 
     # --- rotation NOTE counts: "<LIST> holds N" comments.
     entry_src = _read("__spark_entry__.py")
