@@ -305,6 +305,7 @@ _R12_DEFERRED: list = [
     "w_kmv_jaccard",
     "st_kmv_bottomk",
     "w_event_transitions",
+    "st_render_tagwin",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

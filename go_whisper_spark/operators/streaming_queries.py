@@ -1940,6 +1940,73 @@ SELECT metric, interval, CAST(cents * 2 AS DOUBLE) / 100.0 AS value FROM g
 """
 
 
+ST_RENDER_TAGWIN_TARGET = (
+    "movingSum(groupByTags(seriesByTag('dc=dc1'), 'sum', 'host'), 4)"
+)
+
+
+def st_render_tagwin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH round-12 streaming widenings composed in one target: a
+    tagged seed filters the live stream per row (``seriesByTag``),
+    ``groupByTags`` closes per-host 1h windows under the 0-lateness
+    handoff watermark, and the 4-slot rolling sum runs as the
+    stateful trailing-window kernel in the third chained query — the
+    grammar slice ``windowop (groupByTags (seriesByTag))`` that
+    neither ``st_render_tags`` (no kernel) nor ``st_render_mwin``
+    (plain summarize below) exercises.  Oracle = the watermark
+    algebra with the tagged relabel, then the batch ROWS window over
+    the final closed set (the in-order argument as usual)."""
+    from go_whisper_spark.operators.graphite_funcs import _tagged_points
+
+    return _render_replay(
+        spark, _tagged_points(spark, sf_dir), ST_RENDER_TAGWIN_TARGET)
+
+
+ST_RENDER_TAGWIN_SQL = f"""
+WITH pts AS (
+  SELECT event_type || ';dc=dc' || CAST(user_id % 3 AS VARCHAR)
+           || ';host=h' || CAST(user_id % 10 AS VARCHAR) AS metric,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+{_MARKED_CTE},
+surv AS (
+  SELECT m.* FROM marked m LEFT JOIN wm ON wm.arrive = m.arrive
+  WHERE wm.wm IS NULL OR m.ts - m.ts % 3600 + 3600 > wm.wm
+),
+a0 AS (
+  SELECT metric,
+         ts - ts % 3600 AS interval,
+         arg_max(value, seq) AS value
+  FROM surv
+  GROUP BY 1, 2
+  HAVING interval + 3600 <= (SELECT wmf FROM wmf)
+),
+filt AS (
+  SELECT * FROM a0
+  WHERE regexp_extract(metric, ';dc=([^;]+)', 1) = 'dc1'
+),
+g AS (
+  SELECT split_part(metric, ';', 1) || ';host='
+           || regexp_extract(metric, ';host=([^;]+)', 1) AS metric,
+         interval,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM filt
+  GROUP BY 1, 2
+  HAVING interval + 3600 <= (SELECT max(interval) FROM filt)
+),
+ms AS (
+  SELECT metric, interval,
+         sum(cents) OVER (PARTITION BY metric ORDER BY interval
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cents
+  FROM g
+)
+SELECT metric, interval, CAST(cents AS DOUBLE) / 100.0 AS value FROM ms
+"""
+
+
 ST_RENDER_DERIV_TARGET = "scale(derivative(summarize('*', 6, 'sum')), 3)"
 
 
@@ -2249,6 +2316,7 @@ QUERIES = {
     "st_kmv_bottomk": st_kmv_bottomk,
     "st_render_deriv": st_render_deriv,
     "st_render_tags": st_render_tags,
+    "st_render_tagwin": st_render_tagwin,
     "st_lsh_prefilter": st_lsh_prefilter,
     "st_pq_score": st_pq_score,
     "st_lakehouse_ingest": st_lakehouse_ingest,
@@ -2277,6 +2345,7 @@ ORACLES = {
     "st_kmv_bottomk": _st_kmv_bottomk_sql(),
     "st_render_deriv": ST_RENDER_DERIV_SQL,
     "st_render_tags": ST_RENDER_TAGS_SQL,
+    "st_render_tagwin": ST_RENDER_TAGWIN_SQL,
     "st_lsh_prefilter": _st_lsh_prefilter_sql(),
     "st_pq_score": _st_pq_score_sql(),
     "st_lakehouse_ingest": ST_LAKEHOUSE_INGEST_SQL,
