@@ -272,12 +272,12 @@ _R11_DEFERRED: list = [
 # the r6 cohort (oldest driver evidence; zero overlap with rounds
 # 9-11 — test_registry asserts list == first-50 so drift is caught
 # before the driver runs).
-# ROUND-13 TODO: once CORRECTNESS_r12.json exists, verify its keys ==
-# this list, then (a) add _R12_WINDOW to `recent`, (b) move the
-# _R12_DEFERRED block to right after the new-queries clause with an
-# `and n not in recent` guard, (c) append _R12_WINDOW's block at the
-# END of the order.  Queries added AFTER this freeze go in
-# _R12_DEFERRED (below), never in front of the window.
+# ROUND-13 rotation EXECUTED (CORRECTNESS_r12 keys == this list,
+# verified by simulation; 49/50 green, s_kmeans_step err — see
+# _R12_RED): (a) _R12_WINDOW joined `recent`; (b) the _R12_DEFERRED
+# block moved to right after the new-queries clause with an `and n
+# not in recent` guard; (c) _R12_WINDOW's block appended at the END
+# (minus the red row, which re-checks at the FRONT via _R12_RED).
 _R12_WINDOW: list = [
     "w_funnel_4step", "w_funnel_latency", "t_bloom_decontam",
     "s_pq_search_mp", "s_pq_mp_recall", "g_render_lists",
@@ -298,6 +298,16 @@ _R12_WINDOW: list = [
     "w_approx_stats", "g_absolute",
 ]
 
+# The single RED row of the round-12 window (driver `err`: its
+# centroid ARRAY<BIGINT> column broke the driver's pandas
+# canonicalizer — fixed in round 13 by posexploding to scalar
+# (cid, n_members, inertia, dim, c) rows on both sides).  A red row
+# re-checks BEFORE anything new: this block sorts at the very front
+# of the round-13 window, ahead of even genuinely-new queries.
+_R12_RED: list = [
+    "s_kmeans_step",
+]
+
 # Queries added late in round 12, after the round-12 window freeze.
 _R12_DEFERRED: list = [
     "st_render_deriv",
@@ -307,6 +317,13 @@ _R12_DEFERRED: list = [
     "w_event_transitions",
     "st_render_tagwin",
 ]
+
+# The round-13 driver window, pre-materialized at the mid-round
+# freeze (empty until frozen; test_registry skips while empty).
+_R13_WINDOW: list = []
+
+# Queries added late in round 13, after the round-13 window freeze.
+_R13_DEFERRED: list = []
 
 # Added late in round 8, after the round-8 window composition (5 new
 # batch-1 queries + the round-4 cohort) was already settled.  Never
@@ -438,18 +455,24 @@ def _registry():
     r09 = set(_R09_WINDOW)
     r10 = set(_R10_WINDOW)
     r11 = set(_R11_WINDOW)
-    recent = r07 | r08 | r09 | r10 | r11
+    r12 = set(_R12_WINDOW)
+    recent = r07 | r08 | r09 | r10 | r11 | r12
     seen = (set(_R6_DEFERRED) | set(_R04_CHECKED) | set(_R05_CHECKED)
             | set(_R06_CHECKED) | recent | set(_R08_DEFERRED)
             | set(_R09_DEFERRED) | set(_R10_DEFERRED)
             | set(_R11_DEFERRED) | set(_R12_DEFERRED))
     order = (
-        [n for n in queries if n not in seen]
-        # Never-driver-checked round-11 late additions (CDC chain,
-        # sketches, k-means, funnel/cohorts, render late batch) front
-        # the round-12 window, right after any genuinely-new queries
-        # (VERDICT r11 item 1b: this block sits HERE, not after the
-        # cohort blocks).
+        # Round-12's single red row re-checks FIRST — before anything
+        # new (VERDICT r12 item 1: a red row outranks novelty).
+        [n for n in _R12_RED if n in queries]
+        + [n for n in queries if n not in seen]
+        # Never-driver-checked round-12 late additions (KMV set ops,
+        # event transitions, streaming render deriv/tags/tagwin)
+        # front the round-13 window, right after any genuinely-new
+        # queries (the standing deferral rule).
+        + [n for n in _R12_DEFERRED if n in queries and n not in recent]
+        # _R11_DEFERRED ⊂ _R12_WINDOW (checked green in round 12), so
+        # this block filters to empty; kept for the audit trail.
         + [n for n in _R11_DEFERRED if n in queries and n not in recent]
         # _R10_DEFERRED ⊂ _R11_WINDOW (checked green in round 11), so
         # this block filters to empty; kept for the subset-relation
@@ -460,14 +483,15 @@ def _registry():
         + [n for n in _R04_CHECKED if n in queries and n not in recent]
         + [n for n in _R05_CHECKED if n in queries and n not in recent]
         + [n for n in _R06_CHECKED if n in queries and n not in recent]
-        # Late round-12 additions: past the 50-entry window, fronting
-        # the round-13 rotation.
-        + [n for n in _R12_DEFERRED if n in queries and n not in recent]
         + [n for n in _R07_WINDOW if n in queries]
         + [n for n in _R08_WINDOW if n in queries]
         + [n for n in _R09_WINDOW if n in queries]
         + [n for n in _R10_WINDOW if n in queries]
         + [n for n in _R11_WINDOW if n in queries]
+        # Most recently checked, so last; the red row already rides
+        # at the front (dict keying keeps the FIRST occurrence, but
+        # the exclusion keeps the order list duplicate-free).
+        + [n for n in _R12_WINDOW if n in queries and n not in _R12_RED]
     )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}

@@ -3019,9 +3019,15 @@ def s_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_vectors × k rows, k = 8 — the k-means fan-out every
     distributed implementation pays), reduced by a per-vector
     min-struct aggregate; the update is posexplode → per-(cluster,
-    dim) partial sums (map-side combined) → per-cluster array
-    rebuild.  Iterating = re-running with the emitted centroids as
-    the next seed table; one step is where all the plan shape lives.
+    dim) partial sums (map-side combined).  Iterating = re-running
+    with the emitted centroids (array-rebuilt via ``_km_update``, as
+    ``s_kmeans_2step`` does) as the next seed table; one step is
+    where all the plan shape lives.
+
+    Output shape: one row per (cluster, dimension) — the centroid is
+    emitted as scalar ``(dim, c)`` rows, NOT an array column (the
+    driver contract canonicalizes via pandas sort, which cannot order
+    list cells; r12's sole red row was this query's array output).
     """
     q = _emb(spark, sf_dir).select(
         "vec_id",
@@ -3039,14 +3045,23 @@ def s_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     assign = _km_assign(q, seeds)
-    cent = _km_update(assign).select("cid", F.col("cv").alias("centroid"))
+    centdim = (
+        assign.select("cid", F.posexplode("qv").alias("dim", "v"))
+        .groupBy("cid", "dim")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("c")
+        )
+        .select("cid", F.col("dim").cast("long").alias("dim"), "c")
+    )
     stats = assign.groupBy("cid").agg(
         F.count("*").alias("n_members"), F.sum("d").alias("inertia")
     )
-    # both sides are k = 8 rows — provably bounded, hinted broadcast
-    # (the fixed-k winner-set policy)
-    return stats.join(F.broadcast(cent), "cid").select(
-        "cid", "n_members", "inertia", "centroid"
+    # stats is k = 8 rows, centdim k·64 = 512 — both provably
+    # bounded, hinted broadcast (the fixed-k winner-set policy)
+    return F.broadcast(stats).join(centdim, "cid").select(
+        "cid", "n_members", "inertia", "dim", "c"
     )
 
 
@@ -3128,17 +3143,15 @@ ex AS (
   FROM assign
 ),
 cent AS (
-  SELECT cid, list(c ORDER BY dim) AS centroid FROM (
-    SELECT cid, dim,
-           CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
-    FROM ex GROUP BY cid, dim
-  ) GROUP BY cid
+  SELECT cid, CAST(dim AS BIGINT) AS dim,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+  FROM ex GROUP BY cid, dim
 ),
 stats AS (
   SELECT cid, count(*) AS n_members, CAST(sum(d) AS BIGINT) AS inertia
   FROM assign GROUP BY cid
 )
-SELECT s.cid, n_members, inertia, centroid
+SELECT s.cid, n_members, inertia, dim, c
 FROM stats s JOIN cent USING (cid)
 """
 

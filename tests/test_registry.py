@@ -134,13 +134,10 @@ def test_r11_window_matches_driver_record():
 
 
 def test_round12_window_disjoint_from_r11():
-    """First 50 of the rotated registry must not re-check rounds 9-11
-    and must front every never-driver-checked round-11 deferral (the
-    CDC chain, sketches, k-means, funnel/cohorts, late render batch)
-    — VERDICT r11 item 1: the _R11_DEFERRED block sits BEFORE the
-    cohort blocks, or these 31 drift to round 13."""
-    queries, _ = entry._registry()
-    window = list(queries)[:50]
+    """The round-12 window (now the historical _R12_WINDOW list) did
+    not re-check rounds 9-11 and fronted every never-driver-checked
+    round-11 deferral — VERDICT r11 item 1."""
+    window = entry._R12_WINDOW
     assert not set(window) & set(entry._R11_WINDOW), (
         "round-12 window re-checks round-11 greens")
     assert not set(window) & set(entry._R10_WINDOW)
@@ -149,17 +146,48 @@ def test_round12_window_disjoint_from_r11():
     assert not missing, f"never-checked deferrals missed the window: {missing}"
 
 
-def test_r12_window_matches_first_fifty():
-    """Once frozen mid-round, the pre-materialized round-12 window
-    list (the round-13 rotation seed) must stay equal to the
-    registry's actual first 50 — the drift failure mode enforced
-    every round since round 8.  Late round-12 additions belong in
-    _R12_DEFERRED, which this equality keeps OUT of the window."""
-    if not entry._R12_WINDOW:
-        pytest.skip("_R12_WINDOW not yet frozen this round")
-    queries, _ = entry._registry()
-    assert entry._R12_WINDOW == list(queries)[:50]
+def test_r12_window_matches_driver_record():
+    """_R12_WINDOW (the round-13 rotation seed) must equal the window
+    the driver actually hashed in round 12 (49/50 green; the one red,
+    s_kmeans_step, is _R12_RED and re-fronts the round-13 window)."""
+    rec = _correctness(12)
+    assert len(entry._R12_WINDOW) == 50
     assert len(set(entry._R12_WINDOW)) == 50
+    assert set(entry._R12_WINDOW) == set(rec.keys())
+    red = {n for n, r in rec.items() if r.get("err") or not r.get("hash_match")}
+    assert red == set(entry._R12_RED), (
+        "red rows in the driver record must all re-front via _R12_RED")
+
+
+def test_round13_window_disjoint_from_r12():
+    """First 50 of the rotated registry must not re-check the rounds
+    10-12 GREENS (the one r12 red, s_kmeans_step, re-checks by
+    design), and must front every never-driver-checked round-12
+    deferral plus the red row itself."""
+    queries, _ = entry._registry()
+    window = list(queries)[:50]
+    greens12 = set(entry._R12_WINDOW) - set(entry._R12_RED)
+    assert not set(window) & greens12, (
+        "round-13 window re-checks round-12 greens")
+    assert not set(window) & set(entry._R11_WINDOW)
+    assert not set(window) & set(entry._R10_WINDOW)
+    missing = [n for n in entry._R12_DEFERRED if n not in window]
+    assert not missing, f"never-checked deferrals missed the window: {missing}"
+    assert window[0] == "s_kmeans_step", (
+        "the r12 red row must ride at the very front of the window")
+
+
+def test_r13_window_matches_first_fifty():
+    """Once frozen mid-round, the pre-materialized round-13 window
+    list (the round-14 rotation seed) must stay equal to the
+    registry's actual first 50 — the drift failure mode enforced
+    every round since round 8.  Late round-13 additions belong in
+    _R13_DEFERRED, which this equality keeps OUT of the window."""
+    if not entry._R13_WINDOW:
+        pytest.skip("_R13_WINDOW not yet frozen this round")
+    queries, _ = entry._registry()
+    assert entry._R13_WINDOW == list(queries)[:50]
+    assert len(set(entry._R13_WINDOW)) == 50
 
 
 def test_checked_cohorts_are_registered():
@@ -171,6 +199,7 @@ def test_checked_cohorts_are_registered():
                 entry._R09_WINDOW, entry._R09_DEFERRED,
                 entry._R10_WINDOW, entry._R10_DEFERRED,
                 entry._R11_WINDOW, entry._R11_DEFERRED,
-                entry._R12_WINDOW, entry._R12_DEFERRED):
+                entry._R12_WINDOW, entry._R12_DEFERRED, entry._R12_RED,
+                entry._R13_WINDOW, entry._R13_DEFERRED):
         missing = [n for n in lst if n not in queries]
         assert not missing, f"cohort names not in registry: {missing}"
