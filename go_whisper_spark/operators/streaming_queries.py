@@ -2288,11 +2288,141 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------------ st_quantile_hdr
+def st_quantile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HDR rank sketch — the FIFTH streaming merge law next
+    to HLL's register max, CMS's cell sum, Bloom's word OR and KMV's
+    min-k: each micro-batch of the 3-pass replay computes its own
+    PARTIAL bucket histogram (per-(metric, rep) count with the same
+    integer top-5-significant-bits quantization as the batch form),
+    appends it to a sketch store, and the final sketch is the keyed
+    counter SUM over the UNION of bucket keys — unlike CMS's
+    fixed-matrix sum the key set is dynamic and sparse, and the read
+    side is a rank walk (first bucket whose cumulative count reaches
+    ceil(q·N)), not a point lookup.  Counter addition is associative
+    and commutative, so the merged sketch is independent of batch
+    boundaries and arrival order — which is why the oracle is the
+    BATCH SQL verbatim (``w_quantile_hdr``): the replay proves the
+    merge law, not a weaker restatement.  (Not idempotent — like CMS
+    this path relies on the file source's exactly-once delivery, and
+    the replay pins that too.)
+
+    Scale shape: per batch ONE map-combined aggregate into
+    ≤ 16·octaves cells per key; the store grows one tiny partial per
+    batch; merge + CDF walk run over sketch rows, never data.  The
+    exact rank audit (same err_bp pricing as the batch form) is the
+    O(n·log n) baseline the sketch replaces.  Stateless sink: no
+    watermark, no state store."""
+    from go_whisper_spark.operators.whisper_queries import (
+        _HDR_QBP,
+        _HDR_SBITS,
+    )
+
+    s = _HDR_SBITS
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        "ts",
+    )
+    t0 = int(ev.agg(F.min(F.unix_timestamp("ts"))).first()[0])
+    chunk = F.least(
+        F.expr(f"(unix_timestamp(ts) - {t0}) div {CHUNK_SECONDS}"),
+        F.lit(N_PASSES - 1),
+    ).cast("long")
+    marked = ev.withColumn("arrive", chunk).drop("ts")
+    feed = marked.drop("arrive")
+    root = _tmpdir()
+    src, ckpt, store = (
+        os.path.join(root, "src"),
+        os.path.join(root, "ckpt"),
+        os.path.join(root, "sketch"),
+    )
+
+    sh = f"CAST(greatest(length(bin(cents)) - 1 - {s}, 0) AS INT)"
+    rep = F.expr(f"shiftleft(shiftright(cents, {sh}), {sh})")
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        partial = (
+            batch.select("metric", rep.alias("rep"))
+            .groupBy("metric", "rep")
+            .agg(F.count("*").alias("cnt"))
+        )
+        partial.write.mode("append").parquet(store)
+
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            spark.readStream.schema(feed.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("streaming pass timed out")
+
+    sketch = (
+        spark.read.parquet(store)
+        .groupBy("metric", "rep")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wcum = Window.partitionBy("metric").orderBy("rep")
+    cdf = sketch.select(
+        "metric", "rep",
+        F.sum("cnt").over(
+            wcum.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    tgt = (
+        sketch.groupBy("metric")
+        .agg(F.sum("cnt").alias("n"), F.count("*").alias("n_buckets"))
+        .select(
+            "metric", "n", "n_buckets",
+            F.explode(
+                F.array(*[F.lit(q).cast("long") for q in _HDR_QBP])
+            ).alias("q_bp"),
+        )
+        .withColumn("rnk", F.expr("(n * q_bp + 9999) div 10000"))
+    )
+    est = (
+        tgt.join(F.broadcast(cdf), "metric")
+        .where(F.col("cum") >= F.col("rnk"))
+        .groupBy("metric", "q_bp", "rnk", "n", "n_buckets")
+        .agg(F.min("rep").alias("est"))
+    )
+    ranked = ev.drop("ts").select(
+        "metric", "cents",
+        F.row_number()
+        .over(Window.partitionBy("metric").orderBy("cents"))
+        .cast("long")
+        .alias("rnk"),
+    )
+    return est.join(ranked, ["metric", "rnk"]).select(
+        "metric", "q_bp", "n", "n_buckets", "rnk", "est",
+        F.col("cents").alias("exact"),
+        F.floor(
+            ((F.col("cents") - F.col("est")) * 10000).cast("double")
+            / F.col("cents")
+        ).cast("long").alias("err_bp"),
+    )
+
+
 # st_distinct_hll's oracle IS the batch HLL SQL verbatim — register-max
 # mergeability makes the streamed sketch equal the one-shot sketch.
 from go_whisper_spark.operators.whisper_queries import (  # noqa: E402
     W_DISTINCT_HLL_SQL as _W_DISTINCT_HLL_ORACLE,
     W_HEAVY_HITTERS_CMS_SQL as _W_CMS_ORACLE,
+    W_QUANTILE_HDR_SQL as _W_QUANTILE_HDR_ORACLE,
 )
 
 
@@ -2314,6 +2444,7 @@ QUERIES = {
     "st_funnel_4step": st_funnel_4step,
     "st_bloom_words": st_bloom_words,
     "st_kmv_bottomk": st_kmv_bottomk,
+    "st_quantile_hdr": st_quantile_hdr,
     "st_render_deriv": st_render_deriv,
     "st_render_tags": st_render_tags,
     "st_render_tagwin": st_render_tagwin,
@@ -2343,6 +2474,7 @@ ORACLES = {
     "st_funnel_4step": ST_FUNNEL_4STEP_SQL,
     "st_bloom_words": _st_bloom_words_sql(),
     "st_kmv_bottomk": _st_kmv_bottomk_sql(),
+    "st_quantile_hdr": _W_QUANTILE_HDR_ORACLE,
     "st_render_deriv": ST_RENDER_DERIV_SQL,
     "st_render_tags": ST_RENDER_TAGS_SQL,
     "st_render_tagwin": ST_RENDER_TAGWIN_SQL,

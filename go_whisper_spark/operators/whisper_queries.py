@@ -1269,6 +1269,148 @@ FROM per JOIN exact USING (metric)
 """
 
 
+# ------------------------------------------------------- w_quantile_hdr
+_HDR_SBITS = 4   # significant-bit budget: a bucket keeps the top
+#                  s+1 = 5 bits of its values → relative error
+#                  < 2^-4 = 6.25% (pinned in pytest), ≤ 2^4 = 16
+#                  buckets per octave, ≤ 64·16 buckets over the FULL
+#                  long domain — the fixed-size guarantee.
+_HDR_QBP = (5000, 9000, 9900)   # quantiles as exact basis points
+
+
+def w_quantile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable RANK sketch — the missing member of the sketch
+    family (HLL cardinality / CMS frequency / Bloom membership / KMV
+    sets; percentiles were exact-only via ``w_percentiles_1d``): an
+    HDR-histogram-style fixed-size quantile sketch over
+    ``events.value`` cents, per event type, with p50/p90/p99
+    estimates next to the EXACT rank statistics and the realized
+    error in basis points.
+
+    The sketch: each positive long quantizes to the bucket whose key
+    is the value with all but its top s+1 = 5 significant bits
+    zeroed — ``rep = (v >> shift) << shift`` with
+    ``shift = max(bitlen(v) - 1 - s, 0)`` and ``bitlen`` computed as
+    ``length(bin(v))`` (PURE integer/string ops, no transcendentals:
+    Spark ``bin`` ≡ DuckDB ``bin``, parity exact — the log-bucket
+    idea of HDR-histogram/DDSketch [Masson et al., VLDB 2019] made
+    engine-exact).  Quantization is monotone, so bucket order = value
+    order and the q-quantile estimate is the first bucket whose
+    cumulative count reaches ``rank = ceil(q·N)`` (an exact integer
+    cross-multiplication, no float rank).  By construction
+    ``est ≤ exact < est + 2^shift``, so the relative error is
+    < 2^-s — the err_bp column prices it per row.
+
+    Scale shape: the sketch build is ONE map-side-combined aggregate
+    into ≤ 16·octaves cells per key — at 100 TB the shuffle carries a
+    constant-size histogram per partition per key, which is the
+    entire point (the exact columns are the O(n·log n)-sort audit
+    baseline the sketch replaces); the CDF walk runs over the
+    ≤ 256-row sketch relation, never the data.  Sketches merge by
+    keyed counter SUM over the union of bucket keys — the rank-walk
+    read side is what distinguishes the law from CMS's fixed-matrix
+    sum; ``st_quantile_hdr`` streams it (the fifth merge law)."""
+    from go_whisper_spark.sources.tables import load_table
+
+    s = _HDR_SBITS
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    sh = f"CAST(greatest(length(bin(cents)) - 1 - {s}, 0) AS INT)"
+    rep = F.expr(f"shiftleft(shiftright(cents, {sh}), {sh})")
+    sketch = (
+        ev.select("metric", rep.alias("rep"))
+        .groupBy("metric", "rep")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcum = Window.partitionBy("metric").orderBy("rep")
+    cdf = sketch.select(
+        "metric", "rep",
+        F.sum("cnt").over(
+            wcum.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    tgt = (
+        sketch.groupBy("metric")
+        .agg(F.sum("cnt").alias("n"), F.count("*").alias("n_buckets"))
+        .select(
+            "metric", "n", "n_buckets",
+            F.explode(
+                F.array(*[F.lit(q).cast("long") for q in _HDR_QBP])
+            ).alias("q_bp"),
+        )
+        .withColumn("rnk", F.expr("(n * q_bp + 9999) div 10000"))
+    )
+    # both sketch-sized relations are provably tiny (≤ 16·octaves
+    # rows/key); the walk is a broadcast range probe, never a shuffle
+    est = (
+        tgt.join(F.broadcast(cdf), "metric")
+        .where(F.col("cum") >= F.col("rnk"))
+        .groupBy("metric", "q_bp", "rnk", "n", "n_buckets")
+        .agg(F.min("rep").alias("est"))
+    )
+    ranked = ev.select(
+        "metric", "cents",
+        F.row_number()
+        .over(Window.partitionBy("metric").orderBy("cents"))
+        .cast("long")
+        .alias("rnk"),
+    )
+    return est.join(ranked, ["metric", "rnk"]).select(
+        "metric", "q_bp", "n", "n_buckets", "rnk", "est",
+        F.col("cents").alias("exact"),
+        F.floor(
+            ((F.col("cents") - F.col("est")) * 10000).cast("double")
+            / F.col("cents")
+        ).cast("long").alias("err_bp"),
+    )
+
+
+W_QUANTILE_HDR_SQL = f"""
+WITH ev AS (
+  SELECT event_type AS metric, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+sk AS (
+  SELECT metric,
+         (cents >> greatest(length(bin(cents)) - 1 - {_HDR_SBITS}, 0))
+           << greatest(length(bin(cents)) - 1 - {_HDR_SBITS}, 0) AS rep,
+         count(*) AS cnt
+  FROM ev GROUP BY 1, 2
+),
+cdf AS (
+  SELECT metric, rep,
+         CAST(sum(cnt) OVER (PARTITION BY metric ORDER BY rep)
+              AS BIGINT) AS cum
+  FROM sk
+),
+tgt AS (
+  SELECT metric, n, n_buckets, q_bp, (n * q_bp + 9999) // 10000 AS rnk
+  FROM (SELECT metric, CAST(sum(cnt) AS BIGINT) AS n,
+               count(*) AS n_buckets
+        FROM sk GROUP BY 1),
+       (SELECT CAST(x AS BIGINT) AS q_bp
+        FROM unnest([{", ".join(str(q) for q in _HDR_QBP)}]) AS u(x))
+),
+est AS (
+  SELECT t.metric AS metric, q_bp, rnk, n, n_buckets, min(rep) AS est
+  FROM tgt t JOIN cdf c ON t.metric = c.metric AND c.cum >= t.rnk
+  GROUP BY 1, 2, 3, 4, 5
+),
+ranked AS (
+  SELECT metric, cents,
+         CAST(row_number() OVER (PARTITION BY metric ORDER BY cents)
+              AS BIGINT) AS rnk
+  FROM ev
+)
+SELECT metric, q_bp, n, n_buckets, rnk, est, cents AS exact,
+       CAST(floor(CAST((cents - est) * 10000 AS DOUBLE) / cents)
+            AS BIGINT) AS err_bp
+FROM est JOIN ranked USING (metric, rnk)
+"""
+
+
 # ---------------------------------------------------------- w_approx_stats
 # Deterministic sketch parameters, inlined into BOTH engines.
 _KMV_BUCKETS = 64          # stochastic-averaging buckets (min-value sketch)
@@ -2783,6 +2925,7 @@ QUERIES = {
     "w_funnel_4step": w_funnel_4step,
     "w_funnel_latency": w_funnel_latency,
     "w_kmv_jaccard": w_kmv_jaccard,
+    "w_quantile_hdr": w_quantile_hdr,
     "w_event_transitions": w_event_transitions,
     "w_cohorts": w_cohorts,
     "w_retention_reap": w_retention_reap,
@@ -2825,6 +2968,7 @@ ORACLES = {
     "w_funnel_4step": W_FUNNEL_4STEP_SQL,
     "w_funnel_latency": W_FUNNEL_LATENCY_SQL,
     "w_kmv_jaccard": _w_kmv_jaccard_sql(),
+    "w_quantile_hdr": W_QUANTILE_HDR_SQL,
     "w_event_transitions": W_EVENT_TRANSITIONS_SQL,
     "w_cohorts": W_COHORTS_SQL,
     "w_retention_reap": W_RETENTION_REAP_SQL,

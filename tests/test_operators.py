@@ -439,3 +439,47 @@ def test_kmv_jaccard_estimate_quality(spark, sf_dir):
     for r in rows:
         assert abs(r.jacc_est - r.jacc_exact) <= 0.15, (
             f"({r.ma}, {r.mb}): est {r.jacc_est} vs exact {r.jacc_exact}")
+
+
+def test_quantile_hdr_error_bound_and_merge_law(spark, sf_dir):
+    """The HDR rank sketch's two contracts: (1) the quantile estimate
+    is a LOWER bound within relative error 2^-s of the exact rank
+    statistic (err_bp in [0, 625) for s=4 — the deterministic
+    guarantee, not a probabilistic one); (2) the sketch MERGES by
+    keyed counter sum — partials built over an arbitrary 3-way split
+    of the rows sum to exactly the one-shot sketch (the law
+    st_quantile_hdr streams)."""
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.operators.whisper_queries import (
+        _HDR_SBITS,
+        w_quantile_hdr,
+    )
+    from go_whisper_spark.sources.tables import load_table
+
+    rows = w_quantile_hdr(spark, sf_dir).collect()
+    assert len(rows) == 15  # 5 event types x 3 quantiles
+    bound = 10000 // (1 << _HDR_SBITS)  # 625 bp for s=4
+    for r in rows:
+        assert r.est <= r.exact, f"{r.metric} q{r.q_bp}: est above exact"
+        assert 0 <= r.err_bp < bound, (
+            f"{r.metric} q{r.q_bp}: err {r.err_bp}bp breaks the 2^-s bound")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        (F.col("event_id") % 3).alias("shard"),
+    )
+    sh = f"CAST(greatest(length(bin(cents)) - 1 - {_HDR_SBITS}, 0) AS INT)"
+    rep = F.expr(f"shiftleft(shiftright(cents, {sh}), {sh})")
+    one_shot = (
+        ev.select("metric", rep.alias("rep"))
+        .groupBy("metric", "rep").agg(F.count("*").alias("cnt"))
+    )
+    merged = (
+        ev.select("metric", "shard", rep.alias("rep"))
+        .groupBy("metric", "shard", "rep").agg(F.count("*").alias("cnt"))
+        .groupBy("metric", "rep").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert one_shot.exceptAll(merged).isEmpty()
+    assert merged.exceptAll(one_shot).isEmpty()

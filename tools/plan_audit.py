@@ -1051,6 +1051,17 @@ CHECKS = {
         require_executed=["BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # HDR rank sketch: the build is ONE map-combined count into
+    # ≤16·octaves cells per key (partial_count); the CDF walk is a
+    # HINTED broadcast equi-join on metric with the rank predicate
+    # (cum >= rnk) as a post-join filter over the sketch-sized
+    # relation; the exact audit joins back by (metric, rnk) equi-key.
+    # No cartesian, no nested-loop join anywhere.
+    "w_quantile_hdr": dict(
+        require=["partial_count", "partial_sum", "Window",
+                 "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # BPE pair counting: tokenize + pair expansion as narrow
     # higher-order expressions; one map-side-combining count, then
     # partial top-k — join- and window-free.
