@@ -1152,6 +1152,116 @@ GROUP BY cohort, week_offset
 """
 
 
+# ------------------------------------------------------ w_funnel_cohort
+def w_funnel_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort × funnel conversion matrix — the composition of the two
+    product-analytics primitives (``w_cohorts``' first-touch cohorts
+    joined onto ``funnel_fold``'s k-step fold): users bucket into
+    epoch-aligned DAILY cohorts by first activity of any type (the
+    weekly grain is degenerate on this corpus — every user starts in
+    week 0; day grain splits 2-4 ways), and each (cohort, step) cell
+    counts how many of the cohort's users advanced AT LEAST that far
+    through the 4-step view→click→signup→purchase funnel, with the
+    conversion share in exact floor-truncated ppm of the cohort size.
+
+    Scale shape: cohorts = one map-combined per-user min; the funnel
+    = the ONE user-keyed collect-fold (a longer funnel is more
+    accumulator fields, never more shuffles); the matrix = an
+    AQE-sized user_id equi-join (both sides one row per user), a ≤4×
+    ``sequence`` fan-out, and a partial-combined count on the tiny
+    (cohort, step) key; the cohort-size frame (one row per cohort)
+    joins back hinted-broadcast.  No window, no self-join.
+
+    Oracle: the independent 4-stage min-filter funnel formulation
+    (agreement forced by the strict-> tie-order-free definition, the
+    ``w_funnel_4step`` discipline) composed with the cohort min in
+    plain SQL."""
+    from go_whisper_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.unix_timestamp("ts").alias("ts"),
+    )
+    first = ev.groupBy("user_id").agg(
+        (F.min("ts") - F.min("ts") % DAY).alias("cohort_day")
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_users")
+    )
+    f = funnel_fold(ev, ["view", "click", "signup", "purchase"], _FUNNEL4_W)
+    cells = (
+        f.select("user_id", "reached")
+        .join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.explode(
+                F.expr("sequence(1L, reached)")
+            ).alias("step"),
+        )
+        .groupBy("cohort_day", "step")
+        .agg(F.count("*").alias("n_step"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day", "step", "n_step", "cohort_users",
+        F.expr("(n_step * 1000000) div cohort_users").alias("share_ppm"),
+    )
+
+
+W_FUNNEL_COHORT_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type AS et, epoch_ns(ts) // 1000000000 AS ts
+  FROM events
+),
+first AS (
+  SELECT user_id, min(ts) - min(ts) % 86400 AS cohort_day
+  FROM ev GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_day, count(*) AS cohort_users FROM first GROUP BY 1
+),
+v1 AS (SELECT user_id, min(ts) AS v_ts FROM ev WHERE et = 'view'
+       GROUP BY user_id),
+c2 AS (SELECT e.user_id, min(e.ts) AS c_ts
+       FROM ev e JOIN v1 ON e.user_id = v1.user_id
+       WHERE e.et = 'click' AND e.ts > v1.v_ts
+         AND e.ts <= v1.v_ts + {_FUNNEL4_W}
+       GROUP BY e.user_id),
+g3 AS (SELECT e.user_id, min(e.ts) AS g_ts
+       FROM ev e JOIN v1 ON e.user_id = v1.user_id
+       JOIN c2 ON e.user_id = c2.user_id
+       WHERE e.et = 'signup' AND e.ts > c2.c_ts
+         AND e.ts <= v1.v_ts + {_FUNNEL4_W}
+       GROUP BY e.user_id),
+p4 AS (SELECT e.user_id, min(e.ts) AS p_ts
+       FROM ev e JOIN v1 ON e.user_id = v1.user_id
+       JOIN g3 ON e.user_id = g3.user_id
+       WHERE e.et = 'purchase' AND e.ts > g3.g_ts
+         AND e.ts <= v1.v_ts + {_FUNNEL4_W}
+       GROUP BY e.user_id),
+reached AS (
+  SELECT v1.user_id,
+         1 + CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN g_ts IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END AS reached
+  FROM v1
+  LEFT JOIN c2 ON v1.user_id = c2.user_id
+  LEFT JOIN g3 ON v1.user_id = g3.user_id
+  LEFT JOIN p4 ON v1.user_id = p4.user_id
+),
+cells AS (
+  SELECT cohort_day, CAST(step AS BIGINT) AS step, count(*) AS n_step
+  FROM reached r
+  JOIN first USING (user_id),
+       unnest(generate_series(1, r.reached)) AS u(step)
+  GROUP BY 1, 2
+)
+SELECT cohort_day, step, n_step, cohort_users,
+       (n_step * 1000000) // cohort_users AS share_ppm
+FROM cells JOIN sizes USING (cohort_day)
+"""
+
+
 # -------------------------------------------------------- w_distinct_hll
 _HLL_M = 64                       # registers
 _HLL_P53 = 9007199254740992       # 2^53 — the common denominator for
@@ -2926,6 +3036,7 @@ QUERIES = {
     "w_funnel_latency": w_funnel_latency,
     "w_kmv_jaccard": w_kmv_jaccard,
     "w_quantile_hdr": w_quantile_hdr,
+    "w_funnel_cohort": w_funnel_cohort,
     "w_event_transitions": w_event_transitions,
     "w_cohorts": w_cohorts,
     "w_retention_reap": w_retention_reap,
@@ -2969,6 +3080,7 @@ ORACLES = {
     "w_funnel_latency": W_FUNNEL_LATENCY_SQL,
     "w_kmv_jaccard": _w_kmv_jaccard_sql(),
     "w_quantile_hdr": W_QUANTILE_HDR_SQL,
+    "w_funnel_cohort": W_FUNNEL_COHORT_SQL,
     "w_event_transitions": W_EVENT_TRANSITIONS_SQL,
     "w_cohorts": W_COHORTS_SQL,
     "w_retention_reap": W_RETENTION_REAP_SQL,

@@ -483,3 +483,28 @@ def test_quantile_hdr_error_bound_and_merge_law(spark, sf_dir):
     )
     assert one_shot.exceptAll(merged).isEmpty()
     assert merged.exceptAll(one_shot).isEmpty()
+
+
+def test_funnel_cohort_matrix_invariants(spark, sf_dir):
+    """The cohort × funnel matrix's structural laws: step counts are
+    monotonically non-increasing within a cohort (reaching step k+1
+    implies reaching k), step-1 rows exist for every cohort with any
+    view-starting user, n_step never exceeds the cohort size, and the
+    ppm share is the exact floored cross-multiplication."""
+    from go_whisper_spark.operators.whisper_queries import w_funnel_cohort
+
+    rows = w_funnel_cohort(spark, sf_dir).collect()
+    assert rows, "matrix is empty"
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_day, {})[r.step] = r
+        assert 1 <= r.step <= 4
+        assert 0 < r.n_step <= r.cohort_users
+        assert r.share_ppm == r.n_step * 1_000_000 // r.cohort_users
+    for cohort, steps in by_cohort.items():
+        ks = sorted(steps)
+        assert ks == list(range(1, len(ks) + 1)), (
+            f"cohort {cohort}: step gap in {ks}")
+        for a, b in zip(ks, ks[1:]):
+            assert steps[a].n_step >= steps[b].n_step, (
+                f"cohort {cohort}: step {b} exceeds step {a}")

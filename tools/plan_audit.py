@@ -1051,6 +1051,16 @@ CHECKS = {
         require_executed=["BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # Cohort × funnel matrix: the funnel's ONE user-keyed collect-
+    # fold + the map-combined per-user cohort min, composed by a
+    # user_id equi-join (AQE-sized) and a <=4x sequence fan-out into
+    # a tiny (cohort, step) count; the cohort-size frame joins back
+    # hinted-broadcast.  No window, no nested-loop, no cartesian.
+    "w_funnel_cohort": dict(
+        require=["partial_collect_list", "partial_min", "partial_count"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "Window", "BroadcastNestedLoopJoin"],
+    ),
     # HDR rank sketch: the build is ONE map-combined count into
     # ≤16·octaves cells per key (partial_count); the CDF walk is a
     # HINTED broadcast equi-join on metric with the rank predicate
