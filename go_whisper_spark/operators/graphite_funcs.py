@@ -4552,6 +4552,10 @@ RENDER_EXPR_GENERIC = (
     "movingWindow(highest(asPercent(seriesByGlob('*')), 2, 'average'), "
     "4, 'median')"
 )
+RENDER_EXPR_XFF = (
+    "sortBy(legendValue(summarize(setXFilesFactor(seriesByGlob('*'), 75), "
+    "4, 'avg'), 'max', 'avg'), 'average', 1)"
+)
 RENDER_EXPR_LISTS = (
     "movingSum(aggregateSeriesLists(seriesByGlob('[ce]*'), "
     "seriesByGlob('[vs]*'), 'diff'), 4)"
@@ -4788,6 +4792,19 @@ def g_render_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render(spark, sf_dir, RENDER_EXPR_GENERIC)
 
 
+def g_render_xff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 dashboard surface end-to-end: whisper's xFilesFactor
+    gate as a render annotation (setXFilesFactor → the summarize
+    directly above drops buckets under 75% slot coverage — the exact
+    integer propagate() gate), the 4h consolidated averages
+    legend-annotated with exact-2-decimal max/avg stats
+    (legendValue), and the legend ordered by per-series mean DESC via
+    the generic root-only sortBy spelling (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_XFF)
+
+
 def g_render_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-12 list combiners end-to-end: two glob seeds pairwise
     position-matched (sorted-label ranks — the divideSeriesLists
@@ -4914,6 +4931,7 @@ QUERIES = {
     "g_render_cacti": g_render_cacti,
     "g_render_pairs": g_render_pairs,
     "g_render_generic": g_render_generic,
+    "g_render_xff": g_render_xff,
     "g_render_lists": g_render_lists,
     "g_render_apply": g_render_apply,
     "g_render_unique": g_render_unique,
@@ -5075,6 +5093,7 @@ ORACLES = {
     "g_render_cacti": _render_oracle(RENDER_EXPR_CACTI),
     "g_render_pairs": _render_oracle(RENDER_EXPR_PAIRS),
     "g_render_generic": _render_oracle(RENDER_EXPR_GENERIC),
+    "g_render_xff": _render_oracle(RENDER_EXPR_XFF),
     "g_render_lists": _render_oracle(RENDER_EXPR_LISTS),
     "g_render_apply": _render_oracle(RENDER_EXPR_APPLY),
     "g_render_unique": _render_oracle(RENDER_EXPR_UNIQUE),

@@ -23,7 +23,7 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (122 ops — the composable core; the ~111 fixed-form
+Operator registry (125 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
@@ -137,8 +137,12 @@ surface):
               the group's per-slot total; 'divideSeries(%, f(%))' =
               each slot divided by the group's per-slot aggregate.
               ONE (node, interval) window — no per-group replay
-  ordering    sortByTotal sortByMaxima sortByMinima sortByName —
-              ordering-only:
+  ordering    sortByTotal sortByMaxima sortByMinima sortByName
+              sortBy(s, 'max'|'min'|'sum'|'average'|'current',
+              reverse 0|1) — the generic spelling: ASC NULLS LAST by
+              default, DESC when reverse=1; 'average' orders by the
+              IEEE-identical double division of exact longs,
+              'current' is order-gated — ordering-only:
               the legend order surfaces as an explicit series_rank
               column (row order is invisible to the hash oracle), so
               these are ROOT-ONLY — validate_target rejects them
@@ -166,6 +170,19 @@ surface):
               'current' is order-gated)
   dashboards  cactiStyle(s) — legend relabel with exact-2-decimal
               Current/Max/Min assembled from integer cents
+              legendValue(s, 'avg'|'total'|'min'|'max'|'last', ...)
+              — legend relabel 'metric (key: val)' per stat key, the
+              cactiStyle rendering discipline ('avg' floors like
+              summarize-avg; 'last' order-gated; all-NULL → 'nan')
+              setXFilesFactor(s, pct) — whisper's xFilesFactor gate
+              as a render annotation, consumed by the summarize
+              DIRECTLY above it (enforced): a bucket survives only
+              when count(known)·100 >= pct·h — propagate()'s
+              known/expected >= xff as an exact integer
+              cross-multiplication; gated buckets are DROPPED
+              (the skip-the-write semantics); the subtree below
+              must stay at the 1h seed grain (no grain-changing
+              reducer — enforced)
               smartSummarize(s, h, 'how') — summarize aligned to the
               frame's own first interval (1-row broadcast bound)
               identity('name') — each slot's epoch seconds as the
@@ -387,6 +404,21 @@ def _desugar(node: Node) -> Node:
             kind = _parse_apply_template(args[2].value)
             if kind[0] == "agg":
                 return Call("groupByNode", [args[0], args[1], Str(kind[1])])
+        return Call(name, args)
+    if name == "sortBy":
+        # generic ordering spelling: normalize to the canonical 3-arg
+        # form sortBy(s, 'func', reverse) — Graphite's defaults
+        # ('average', False).
+        if len(args) == 1:
+            args = args + [Str("average"), Num(0)]
+        elif len(args) == 2:
+            args = args + [Num(0)]
+        if (len(args) != 3 or not isinstance(args[1], Str)
+                or not isinstance(args[2], Num)
+                or args[2].value not in (0, 1)):
+            raise RenderParseError(
+                "sortBy takes (series[, 'func'[, reverse 0|1]])"
+            )
         return Call(name, args)
     if name == "aggregateWithWildcards":
         if (len(args) != 3 or not isinstance(args[1], Str)
@@ -752,6 +784,33 @@ def analyze(node: Node):
                 "order-ambiguous — reduce first"
             )
         return (cs, cu, None)
+    if name == "legendValue":
+        # same discipline as cactiStyle: only the 'last' key is
+        # order-sensitive, and the relabel carries the injectivity
+        # caveat.
+        keys = [a.value for a in node.args[1:] if isinstance(a, Str)]
+        if "last" in keys and not cu:
+            raise RenderParseError(
+                "legendValue(...'last') over a possibly-duplicate-"
+                "keyed frame is order-ambiguous — reduce first"
+            )
+        return (cs, cu, None)
+    if name == "sortBy":
+        # ordering-only (root-only): key-preserving; only the
+        # 'current' key (arg_max on interval) is order-sensitive.
+        func = (node.args[1].value
+                if len(node.args) > 1 and isinstance(node.args[1], Str)
+                else None)
+        if func == "current" and not cu:
+            raise RenderParseError(
+                "sortBy(...'current'...) over a possibly-duplicate-"
+                "keyed frame is order-ambiguous — reduce first"
+            )
+        return (cs, cu, cl)
+    if name == "setXFilesFactor":
+        # pass-through annotation — placement is enforced by
+        # _check_xff_placement (direct child of summarize only).
+        return (cs, cu, cl)
     if name == "aliasSub":
         return (cs, cu, None)
     if name in ("aliasByNode", "aliasByMetric"):
@@ -765,7 +824,7 @@ def analyze(node: Node):
 # Ordering-only ops surface their result as the extra series_rank
 # column, which no other operator consumes — so they are ROOT-ONLY.
 _ROOT_ONLY = frozenset({"sortByTotal", "sortByMaxima", "sortByName",
-                        "sortByMinima"})
+                        "sortByMinima", "sortBy"})
 
 
 def _check_root_only(node: Node, is_root: bool = True) -> None:
@@ -779,8 +838,54 @@ def _check_root_only(node: Node, is_root: bool = True) -> None:
             _check_root_only(a, False)
 
 
+# Bucket-grain-changing reducers: a setXFilesFactor subtree must not
+# contain one (the xff gate's expected-slot count assumes the 1h seed
+# grain, the whisper propagate contract).
+_GRAIN_CHANGERS = frozenset({"summarize", "smartSummarize", "hitcount"})
+
+
+def _contains_grain_changer(node: Node) -> bool:
+    if isinstance(node, Call):
+        if node.name in _GRAIN_CHANGERS:
+            return True
+        return any(_contains_grain_changer(a) for a in node.args)
+    return False
+
+
+def _check_xff_placement(node: Node, ok_here: bool = False) -> None:
+    """``setXFilesFactor`` is an annotation consumed by the summarize
+    directly above it (the whisper xFilesFactor gate) — anywhere else
+    it has no consumer and is rejected; its subtree must stay at the
+    1h seed grain so the expected-slot count (h per bucket) is
+    honest."""
+    if not isinstance(node, Call):
+        return
+    if node.name == "setXFilesFactor":
+        if not ok_here:
+            raise RenderParseError(
+                "setXFilesFactor is only meaningful as the direct "
+                "series argument of summarize"
+            )
+        if (len(node.args) != 2 or not isinstance(node.args[1], Num)
+                or not 0 <= node.args[1].value <= 100):
+            raise RenderParseError(
+                "setXFilesFactor takes (series, percent 0..100)"
+            )
+        if _contains_grain_changer(node.args[0]):
+            raise RenderParseError(
+                "setXFilesFactor below a grain-changing reducer "
+                "(summarize/smartSummarize/hitcount) — the expected-"
+                "slot count assumes the 1h seed grain"
+            )
+        _check_xff_placement(node.args[0], False)
+        return
+    for i, a in enumerate(node.args):
+        _check_xff_placement(a, ok_here=(node.name == "summarize" and i == 0))
+
+
 def validate_target(node: Node) -> Node:
     _check_root_only(node)
+    _check_xff_placement(node)
     analyze(node)
     return node
 
@@ -1047,12 +1152,31 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                 ).cast("long")
             else:
                 raise RenderParseError(f"summarize: unknown method {how!r}")
-            return (
-                ev(n.args[0])
+            src, xff = n.args[0], None
+            if isinstance(src, Call) and src.name == "setXFilesFactor":
+                # whisper's xFilesFactor gate as a render annotation
+                # (validated to sit exactly here): a bucket survives
+                # only when known-slot coverage reaches the factor —
+                # count(cents)·100 >= pct·h, the exact integer
+                # cross-multiplication of propagate()'s known/expected
+                # >= xff (expected = h slots at the 1h seed grain).
+                # Gated buckets are DROPPED, matching propagate's
+                # skip-the-write semantics.
+                xff = src.args[1].value
+                src = src.args[0]
+            aggs = [agg.alias("cents")]
+            if xff is not None:
+                aggs.append(F.count("cents").alias("known"))
+            g = (
+                ev(src)
                 .withColumn("bucket", F.col("interval") - F.col("interval") % b)
                 .groupBy("metric", "bucket")
-                .agg(agg.alias("cents"))
-                .select("metric", F.col("bucket").alias("interval"), "cents")
+                .agg(*aggs)
+            )
+            if xff is not None:
+                g = g.where(F.col("known") * 100 >= F.lit(xff * h))
+            return g.select(
+                "metric", F.col("bucket").alias("interval"), "cents"
             )
         if name == "sumSeries":
             _need(n, 1, (object,))
@@ -2718,6 +2842,84 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
             )
             return s.join(F.broadcast(rank), "metric").select(
                 "metric", "interval", "cents", "series_rank")
+        if name == "sortBy":
+            # the generic ordering spelling (root-only, like the
+            # named sortBy* family): rank by any of the filterSeries
+            # keys, ascending by default, DESC when reverse=1; NULLS
+            # LAST both ways, ties on metric.  'average' orders by
+            # the IEEE-identical double division of exact longs (the
+            # linearRegression discipline); 'current' is max_by on
+            # interval (unique keys gated in analyze()).
+            _need(n, 3, (object, Str, Num))
+            func, rev = n.args[1].value, n.args[2].value
+            s = ev(n.args[0])
+            key = {
+                "max": F.max("cents"), "min": F.min("cents"),
+                "sum": F.sum("cents"),
+                "average": F.sum("cents").cast("double")
+                / F.count("cents"),
+                "current": F.max_by("cents", "interval"),
+            }.get(func)
+            if key is None:
+                raise RenderParseError(f"sortBy: unknown func {func!r}")
+            per = s.groupBy("metric").agg(key.alias("o"))
+            first = (F.desc_nulls_last("o") if rev
+                     else F.asc_nulls_last("o"))
+            rank = per.select(
+                "metric",
+                F.row_number().over(Window.orderBy(first, F.asc("metric")))
+                .alias("series_rank"),
+            )
+            return s.join(F.broadcast(rank), "metric").select(
+                "metric", "interval", "cents", "series_rank")
+        if name == "legendValue":
+            # legend relabel 'metric (key: val)...' for each stat key
+            # — the cactiStyle discipline (exact 2-decimal strings
+            # assembled from integer cents; 'avg' floors like
+            # summarize-avg; all-NULL renders 'nan'); slot values
+            # pass through unchanged.
+            if len(n.args) < 2 or not all(
+                isinstance(a, Str) for a in n.args[1:]
+            ):
+                raise RenderParseError(
+                    "legendValue takes (series, 'key', ...)"
+                )
+            from go_whisper_spark.operators.graphite_funcs import _cents_str
+
+            keys = [a.value for a in n.args[1:]]
+            stat = {
+                "avg": F.floor(
+                    F.sum("cents").cast("double") / F.count("cents")
+                ).cast("long"),
+                "total": F.sum("cents"),
+                "min": F.min("cents"),
+                "max": F.max("cents"),
+                "last": F.max_by("cents", "interval"),
+            }
+            for k in keys:
+                if k not in stat:
+                    raise RenderParseError(
+                        f"legendValue: unknown key {k!r}")
+            s = ev(n.args[0])
+            per = s.groupBy("metric").agg(
+                *[stat[k].alias(f"v{i}") for i, k in enumerate(keys)]
+            )
+            lab = F.col("metric")
+            for i, k in enumerate(keys):
+                lab = F.concat(
+                    lab, F.lit(f" ({k}: "),
+                    F.coalesce(_cents_str(F.col(f"v{i}")), F.lit("nan")),
+                    F.lit(")"),
+                )
+            per2 = per.select("metric", lab.alias("new_metric"))
+            return s.join(per2, "metric").select(
+                F.col("new_metric").alias("metric"), "interval", "cents"
+            )
+        if name == "setXFilesFactor":
+            raise RenderParseError(
+                "setXFilesFactor is only meaningful as the direct "
+                "series argument of summarize"
+            )
         raise RenderParseError(f"unknown render function {name!r}")
 
     return ev(node)
@@ -2938,10 +3140,20 @@ def build_sql(node: Node) -> str:
             }.get(how)
             if agg is None:
                 raise RenderParseError(f"summarize: unknown method {how!r}")
+            src = n.args[0]
+            having = ""
+            if isinstance(src, Call) and src.name == "setXFilesFactor":
+                # the whisper xFilesFactor gate (see build_frame):
+                # exact integer cross-multiplication, gated buckets
+                # dropped.
+                pct = src.args[1].value
+                h = n.args[1].value
+                having = f" HAVING count(cents) * 100 >= {pct * h}"
+                src = src.args[0]
             return (
                 f"(SELECT metric, interval - interval % {b} AS interval, "
-                f"{agg} AS cents FROM {ev(n.args[0])} s "
-                f"GROUP BY metric, interval - interval % {b})"
+                f"{agg} AS cents FROM {ev(src)} s "
+                f"GROUP BY metric, interval - interval % {b}{having})"
             )
         if name == "sumSeries":
             return (
@@ -3868,6 +4080,63 @@ def build_sql(node: Node) -> str:
                 f"FROM {inner} s JOIN (SELECT metric, "
                 f"CAST(row_number() OVER (ORDER BY {order}) AS INTEGER) "
                 f"AS series_rank FROM {per} p) r ON s.metric = r.metric)"
+            )
+        if name == "sortBy":
+            func, rev = n.args[1].value, n.args[2].value
+            inner = ev(n.args[0])
+            key = {
+                "max": "max(cents)", "min": "min(cents)",
+                "sum": "sum(cents)",
+                "average": "CAST(sum(cents) AS DOUBLE) / count(cents)",
+                "current": "(arg_max({'v': cents}, interval)).v",
+            }.get(func)
+            if key is None:
+                raise RenderParseError(f"sortBy: unknown func {func!r}")
+            per = (f"(SELECT metric, {key} AS o FROM {inner} g "
+                   "GROUP BY metric)")
+            direction = "DESC" if rev else "ASC"
+            order = f"o {direction} NULLS LAST, metric ASC"
+            return (
+                "(SELECT s.metric, s.interval, s.cents, r.series_rank "
+                f"FROM {inner} s JOIN (SELECT metric, "
+                f"CAST(row_number() OVER (ORDER BY {order}) AS INTEGER) "
+                f"AS series_rank FROM {per} p) r ON s.metric = r.metric)"
+            )
+        if name == "legendValue":
+            keys = [a.value for a in n.args[1:]]
+            stat = {
+                "avg": ("CAST(floor(CAST(sum(cents) AS DOUBLE) / "
+                        "count(cents)) AS BIGINT)"),
+                "total": "CAST(sum(cents) AS BIGINT)",
+                "min": "min(cents)",
+                "max": "max(cents)",
+                "last": "(arg_max({'v': cents}, interval)).v",
+            }
+            for k in keys:
+                if k not in stat:
+                    raise RenderParseError(
+                        f"legendValue: unknown key {k!r}")
+            inner = ev(n.args[0])
+            cs_ = ("COALESCE(CASE WHEN {c} < 0 THEN '-' ELSE '' END || "
+                   "CAST(abs({c}) // 100 AS VARCHAR) || '.' || "
+                   "lpad(CAST(abs({c}) % 100 AS VARCHAR), 2, '0'), 'nan')")
+            lab = "s.metric"
+            sel = []
+            for i, k in enumerate(keys):
+                sel.append(f"{stat[k]} AS v{i}")
+                lab += (f" || ' ({k}: ' || " + cs_.format(c=f"p.v{i}")
+                        + " || ')'")
+            return (
+                f"(SELECT {lab} AS metric, s.interval, s.cents "
+                f"FROM {inner} s JOIN "
+                f"(SELECT metric, {', '.join(sel)} "
+                f"FROM {inner} g GROUP BY metric) p "
+                "ON s.metric = p.metric)"
+            )
+        if name == "setXFilesFactor":
+            raise RenderParseError(
+                "setXFilesFactor is only meaningful as the direct "
+                "series argument of summarize"
             )
         raise RenderParseError(f"unknown render function {name!r}")
 

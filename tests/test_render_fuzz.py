@@ -3,7 +3,7 @@ the Spark composition vs the AST-emitted DuckDB SQL — must agree
 exactly (the cent discipline makes every composition integer-exact).
 
 Deterministic seed; bounded depth; covers every operator in the
-registry (122 ops as of round 12) including binary combiners, aggregate
+registry (125 ops as of round 13) including binary combiners, aggregate
 reducers, the selector family, the round-11 additions (waves 2-8),
 and the generic method-string spellings (aggregate / movingWindow /
 highest / lowest / filterSeries — desugared by the parser, so the
@@ -98,7 +98,7 @@ def _series(rng, depth):
             "aggregateWithWildcards",
             "aggregateSeriesLists", "seriesListsSugar", "unique",
             "applyByNode", "areaBetween", "groupByNodes",
-            "aliasByMetric",
+            "aliasByMetric", "legendValue", "summarizeXff",
         ]
     )
     if name in _UNARY:
@@ -271,6 +271,16 @@ def _series(rng, depth):
                 f"{rng.randint(0, 1)}, '{tpl}')")
     if name == "cactiStyle":
         return f"cactiStyle({_series(rng, depth - 1)})"
+    if name == "legendValue":
+        keys = rng.sample(["avg", "total", "min", "max", "last"],
+                          rng.randint(1, 2))
+        args = ", ".join(f"'{k}'" for k in keys)
+        return f"legendValue({_series(rng, depth - 1)}, {args})"
+    if name == "summarizeXff":
+        how = rng.choice(["sum", "max", "min", "last", "avg"])
+        return (f"summarize(setXFilesFactor({_series(rng, depth - 1)}, "
+                f"{rng.choice([25, 50, 75, 100])}), "
+                f"{rng.randint(1, 8)}, '{how}')")
     if name == "aggregate":
         how = rng.choice(["sum", "average", "max", "min", "count",
                           "range", "stddev", "median"])
@@ -342,8 +352,13 @@ def test_render_fuzz_sort_roots(spark, sf_dir):
     checked = rejected = 0
     while checked < 6:
         sort = rng.choice(["sortByTotal", "sortByMaxima", "sortByName",
-                           "sortByMinima"])
-        target = f"{sort}({_series(rng, rng.randint(1, 3))})"
+                           "sortByMinima", "sortBy"])
+        if sort == "sortBy":
+            func = rng.choice(["max", "min", "sum", "average", "current"])
+            target = (f"sortBy({_series(rng, rng.randint(1, 3))}, "
+                      f"'{func}', {rng.randint(0, 1)})")
+        else:
+            target = f"{sort}({_series(rng, rng.randint(1, 3))})"
         node = parse_target(target)
         try:
             validate_target(node)

@@ -714,6 +714,18 @@ CHECKS = {
         require_executed=["BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
+    # round-13 xff dashboard surface: the gated summarize is ONE
+    # map-combined (metric, bucket) aggregate whose xff gate is a
+    # post-aggregate Filter (count·100 >= pct·h — no extra stage);
+    # legendValue's stats partial-combine per metric and join back;
+    # the root-only sortBy rank window runs over the O(n_metrics)
+    # means relation with a hinted broadcast join-back.
+    "g_render_xff": dict(
+        require=["Window", "partial_sum", "partial_count",
+                 "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+    ),
     # round-12 list combiners: the sorted-label rank windows run over
     # the O(n_metrics) distinct-labels relations (AQE broadcasts the
     # tiny sides of the rank join-backs and the interval-keyed pair
