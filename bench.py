@@ -156,7 +156,94 @@ HEADLINE = [
     "g_render_lists",
     "g_render_apply",
     "g_render_multinode",
+    # round 13: the HDR rank sketch (map-combined constant-size
+    # histogram + CDF walk + the exact-rank audit baseline), the
+    # cohort × funnel conversion matrix (cohort min + funnel fold +
+    # one user-keyed equi-join), and the xff/legend/sortBy render
+    # composition (gated summarize + legend stats + rank root).
+    # NOTE for cross-round totals: the set grew 58 → 61 in round 13;
+    # compare common subsets across rounds, not totals.
+    "w_quantile_hdr",
+    "w_funnel_cohort",
+    "g_render_xff",
 ]
+
+
+def _latest_driver_bench():
+    """(filename, per-query dict) of the newest BENCH_r*.json, or
+    (None, {}) when no driver record exists yet."""
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return None, {}
+    try:
+        with open(best) as fh:
+            rec = json.load(fh)
+        # the driver wraps the medians line under "parsed"
+        rec = rec.get("parsed", rec)
+        return os.path.basename(best), rec.get("queries", {})
+    except (OSError, ValueError):
+        return None, {}
+
+
+def _driver_compare(timings_min):
+    """Driver-vs-local-minima deltas (VERDICT r12 item 7): ratio > 1
+    means the driver host ran slower than this machine's best-of-REPS
+    — uniform inflation across queries is host noise, a single
+    query's ratio jumping is a real regression candidate."""
+    src, driver = _latest_driver_bench()
+    if not driver:
+        return None
+    per = {}
+    for q, m in timings_min.items():
+        d = driver.get(q)
+        if d is None or not m:
+            continue
+        per[q] = {"driver": d, "local_min": m, "ratio": round(d / m, 3)}
+    if not per:
+        return None
+    worst = sorted(per, key=lambda q: -per[q]["ratio"])[:5]
+    ratios = sorted(p["ratio"] for p in per.values())
+    return {
+        "source": src,
+        "median_ratio": ratios[len(ratios) // 2],
+        "worst": worst,
+        "per_query": per,
+    }
+
+
+def compare_spread():
+    """--compare-spread: print the driver-vs-minima table from the
+    existing sidecar + driver record, no Spark session needed."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "bench_spread.json")) as fh:
+            spread = json.load(fh)
+    except (OSError, ValueError):
+        print("no bench_spread.json — run bench.py first", file=sys.stderr)
+        return 1
+    cmp_ = spread.get("driver_compare") or _driver_compare(
+        spread.get("queries_min", {}))
+    if cmp_ is None:
+        print("no BENCH_r*.json driver record to compare against",
+              file=sys.stderr)
+        return 1
+    print(f"driver record: {cmp_['source']}   "
+          f"median driver/local-min ratio: {cmp_['median_ratio']}")
+    rows = sorted(cmp_["per_query"].items(),
+                  key=lambda kv: -kv[1]["ratio"])
+    print(f"{'query':<24}{'driver':>9}{'local_min':>11}{'ratio':>8}")
+    for q, r in rows:
+        print(f"{q:<24}{r['driver']:>9.3f}{r['local_min']:>11.3f}"
+              f"{r['ratio']:>8.3f}")
+    return 0
 
 
 def main():
@@ -192,8 +279,16 @@ def main():
     # medians, and the medians line itself was truncated.  Nothing may
     # print after the medians line below (BENCH_r11 fix, VERDICT r10
     # item 3).
-    spread = json.dumps({"queries_min": timings_min, "reps": REPS,
-                         "method": f"min_of_{REPS}", "sf": sf})
+    spread_obj = {"queries_min": timings_min, "reps": REPS,
+                  "method": f"min_of_{REPS}", "sf": sf}
+    # driver-vs-minima deltas ride the sidecar too (VERDICT r12 item
+    # 7): one read separates uniform host noise from a real per-query
+    # regression.  Never printed to stdout — the driver tail-capture
+    # contract still holds.
+    cmp_ = _driver_compare(timings_min)
+    if cmp_ is not None:
+        spread_obj["driver_compare"] = cmp_
+    spread = json.dumps(spread_obj)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_spread.json"), "w") as fh:
@@ -223,4 +318,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--compare-spread" in sys.argv[1:]:
+        sys.exit(compare_spread())
     main()
