@@ -1099,6 +1099,158 @@ FROM tr
 """
 
 
+# ------------------------------------------------------ w_event_pagerank
+_PR_SCALE = 1_000_000   # micro-unit fixed point
+_PR_D = 85              # damping numerator (d = 0.85 as 85/100)
+
+
+def w_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT fixed-point PageRank over the event-transition graph —
+    the iterative graph algorithm next to the Lloyd step (both are
+    plan-to-plan power iterations with NO driver collect in the
+    loop): nodes = event types, edge weights = the Markov transition
+    counts of ``w_event_transitions``, two unrolled iterations in
+    integer micro-units.
+
+    Exactness: PR₀ = ⌊10⁶/N⌋; each update is
+    PR_{k+1}(v) = ⌊15·10⁶/(100·N)⌋ + Σᵤ ⌊85·PRₖ(u)·n(u,v)/(100·out(u))⌋
+    — every term an integer division of exact longs, identical in
+    both engines (the floored-contribution "leaky" PR variant: a sum
+    of floors, deterministic regardless of addend order; a dangling
+    node's mass leaks to the teleport floor — documented, and absent
+    here since every event type transitions out).  The 85·PRₖ·n
+    product stays far under 2⁶³ (PR ≤ 10⁶); at extreme edge counts
+    rescale n/out to shares at a fixed grid first.
+
+    Scale shape: the edge build is ``w_event_transitions``' ONE
+    user-keyed lag window; each iteration is one equi-join of the
+    edge list against the N-row rank frame (hinted broadcast — the
+    rank side is O(nodes) forever) plus a map-combined per-dst sum;
+    k iterations = k such joins, the rank relation never grows.  At
+    billions of edges the join shuffles edges by src ONCE and reuses
+    that partitioning across iterations."""
+    from go_whisper_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.unix_timestamp("ts").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "seq")
+    edges = (
+        ev.withColumn("prev", F.lag("et").over(w))
+        .where(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("et").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = edges.groupBy("src").agg(F.sum("n").alias("out_n"))
+    inn = edges.groupBy("dst").agg(F.sum("n").alias("in_n"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count("*").alias("nN"))
+    base = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", "nN",
+        F.expr(f"{_PR_SCALE} div nN").alias("pr0"),
+        F.expr(f"(15 * {_PR_SCALE}) div (100 * nN)").alias("tele"),
+    )
+    we = edges.join(out, "src")
+
+    def step(pr, col, new):
+        contrib = we.join(
+            F.broadcast(pr.select(F.col("node").alias("src"), col)),
+            "src",
+        ).select(
+            "dst",
+            F.expr(f"({_PR_D} * {col} * n) div (100 * out_n)").alias("c"),
+        )
+        # the per-dst contribution relation is O(nodes) rows —
+        # provably tiny, hinted broadcast (the fixed-k policy)
+        agg = F.broadcast(contrib.groupBy("dst").agg(F.sum("c").alias("s")))
+        return pr.join(
+            agg, pr["node"] == agg["dst"], "left"
+        ).select(
+            pr["*"],
+            (F.col("tele") + F.coalesce(F.col("s"), F.lit(0))).alias(new),
+        )
+    r1 = step(base, "pr0", "pr1")
+    r2 = step(r1, "pr1", "pr2")
+    return (
+        r2.join(F.broadcast(out.withColumnRenamed("src", "node")),
+                "node", "left")
+        .join(F.broadcast(inn.withColumnRenamed("dst", "node")),
+              "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_n", F.lit(0)).alias("out_n"),
+            F.coalesce("in_n", F.lit(0)).alias("in_n"),
+            "pr0", "pr1", "pr2",
+        )
+    )
+
+
+W_EVENT_PAGERANK_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type AS et,
+         epoch_ns(ts) // 1000000000 AS ts,
+         event_id AS seq
+  FROM events
+),
+edges AS (
+  SELECT prev AS src, et AS dst, count(*) AS n
+  FROM (
+    SELECT user_id, et,
+           lag(et) OVER (PARTITION BY user_id ORDER BY ts, seq) AS prev
+    FROM ev
+  )
+  WHERE prev IS NOT NULL
+  GROUP BY 1, 2
+),
+outd AS (SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM edges GROUP BY 1),
+ind  AS (SELECT dst, CAST(sum(n) AS BIGINT) AS in_n FROM edges GROUP BY 1),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+nn AS (SELECT count(*) AS nN FROM nodes),
+base AS (
+  SELECT node, nN,
+         {_PR_SCALE} // nN AS pr0,
+         (15 * {_PR_SCALE}) // (100 * nN) AS tele
+  FROM nodes, nn
+),
+it1 AS (
+  SELECT b.node, b.nN, b.pr0, b.tele,
+         b.tele + COALESCE(s.s, 0) AS pr1
+  FROM base b LEFT JOIN (
+    SELECT e.dst, CAST(sum(({_PR_D} * p.pr0 * e.n) // (100 * o.out_n))
+                  AS BIGINT) AS s
+    FROM edges e JOIN outd o ON e.src = o.src
+    JOIN base p ON e.src = p.node
+    GROUP BY e.dst
+  ) s ON b.node = s.dst
+),
+it2 AS (
+  SELECT b.node, b.pr0, b.pr1,
+         b.tele + COALESCE(s.s, 0) AS pr2
+  FROM it1 b LEFT JOIN (
+    SELECT e.dst, CAST(sum(({_PR_D} * p.pr1 * e.n) // (100 * o.out_n))
+                  AS BIGINT) AS s
+    FROM edges e JOIN outd o ON e.src = o.src
+    JOIN it1 p ON e.src = p.node
+    GROUP BY e.dst
+  ) s ON b.node = s.dst
+)
+SELECT node, COALESCE(out_n, 0) AS out_n, COALESCE(in_n, 0) AS in_n,
+       pr0, pr1, pr2
+FROM it2
+LEFT JOIN outd ON node = outd.src
+LEFT JOIN ind ON node = ind.dst
+"""
+
+
 # ------------------------------------------------------------- w_cohorts
 def w_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention-cohort triangle over events — the second classic
@@ -3038,6 +3190,7 @@ QUERIES = {
     "w_quantile_hdr": w_quantile_hdr,
     "w_funnel_cohort": w_funnel_cohort,
     "w_event_transitions": w_event_transitions,
+    "w_event_pagerank": w_event_pagerank,
     "w_cohorts": w_cohorts,
     "w_retention_reap": w_retention_reap,
     "w_store_fetch": w_store_fetch,
@@ -3082,6 +3235,7 @@ ORACLES = {
     "w_quantile_hdr": W_QUANTILE_HDR_SQL,
     "w_funnel_cohort": W_FUNNEL_COHORT_SQL,
     "w_event_transitions": W_EVENT_TRANSITIONS_SQL,
+    "w_event_pagerank": W_EVENT_PAGERANK_SQL,
     "w_cohorts": W_COHORTS_SQL,
     "w_retention_reap": W_RETENTION_REAP_SQL,
     "w_store_fetch": W_STORE_FETCH_SQL,

@@ -508,3 +508,30 @@ def test_funnel_cohort_matrix_invariants(spark, sf_dir):
         for a, b in zip(ks, ks[1:]):
             assert steps[a].n_step >= steps[b].n_step, (
                 f"cohort {cohort}: step {b} exceeds step {a}")
+
+
+def test_event_pagerank_mass_and_bounds(spark, sf_dir):
+    """Fixed-point PageRank's structural laws: every rank is at least
+    the teleport floor; total mass starts at ~1e6 and can only LEAK
+    (each floored contribution and the teleport floor round down, and
+    dangling mass is dropped by the leaky variant) — never grow; the
+    floors lose at most 1 unit per (edge + node) per iteration."""
+    from go_whisper_spark.operators.whisper_queries import (
+        _PR_SCALE,
+        w_event_pagerank,
+    )
+
+    rows = w_event_pagerank(spark, sf_dir).collect()
+    assert rows, "empty graph"
+    n = len(rows)
+    tele = 15 * _PR_SCALE // (100 * n)
+    for r in rows:
+        assert r.pr0 == _PR_SCALE // n
+        assert r.pr1 >= tele and r.pr2 >= tele
+        assert r.out_n > 0 and r.in_n > 0  # every type flows both ways
+    n_edges = n * n  # 5x5 transition matrix is dense on this corpus
+    slack = n_edges + n  # ≤1 unit lost per floored term
+    for col in ("pr1", "pr2"):
+        total = sum(getattr(r, col) for r in rows)
+        assert total <= _PR_SCALE
+        assert total >= _PR_SCALE - slack - n  # pr0 floor loss too

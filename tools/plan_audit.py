@@ -1063,6 +1063,16 @@ CHECKS = {
         require_executed=["BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # Fixed-point PageRank: the edge build is the transitions lag
+    # window; each unrolled iteration joins the edge list against the
+    # N-row rank frame (hinted broadcast) and map-combines the per-dst
+    # contribution sum.  No cartesian, no sort-merge join, no collect
+    # in the loop.
+    "w_event_pagerank": dict(
+        require=["Window", "partial_sum", "partial_count",
+                 "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
     # Cohort × funnel matrix: the funnel's ONE user-keyed collect-
     # fold + the map-combined per-user cohort min, composed by a
     # user_id equi-join (AQE-sized) and a <=4x sequence fan-out into
