@@ -1251,6 +1251,207 @@ LEFT JOIN ind ON node = ind.dst
 """
 
 
+# --------------------------------------------------- w_zorder_skipping
+_Z_BITS = 5          # 5 bits per dimension → 32×32 grid, 1024 cells
+_Z_G = 1 << _Z_BITS
+_Z_FPER = 16         # 16 consecutive sort-key cells per FILE → 64
+#                      files; a file must span MULTIPLE cells or
+#                      min/max pruning is trivially exact under any
+#                      layout.  Under Morton order 16 consecutive ids
+#                      are a compact 4×4 block; under user-major
+#                      order they are a 1×16 strip of one user slice.
+
+
+def _z_interleave(spark: bool) -> str:
+    """Morton bit-interleave of (qx, qt) — engine-specific spelling of
+    the SAME integer expression (Spark has no << operator; DuckDB
+    has no shiftleft)."""
+    terms = []
+    for i in range(_Z_BITS):
+        if spark:
+            terms.append(f"shiftleft(shiftright(qx, {i}) & 1, {2 * i + 1})")
+            terms.append(f"shiftleft(shiftright(qt, {i}) & 1, {2 * i})")
+        else:
+            terms.append(f"(((qx >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"(((qt >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+# The three probe boxes on the quantized grid: a user-only slice, a
+# time-only slice, and their intersection — the multi-dimensional
+# selectivity spread that makes layout choice matter.
+_Z_BOXES = (("user", 8, 11, 0, _Z_G - 1),
+            ("time", 0, _Z_G - 1, 8, 11),
+            ("both", 8, 11, 8, 11))
+
+
+def w_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs single-column data layout as a FILE-SKIPPING ledger
+    — the lakehouse OPTIMIZE-ZORDER math made oracle-checkable: rows
+    quantize onto a 32×32 (user, hour) grid, each layout sorts the
+    cells (zorder = Morton bit-interleave of the grid coords; linear
+    = user-major concatenation — the single-column sort) and packs 16
+    consecutive sort-key cells per "file" (64 files — a file MUST
+    span multiple cells or min/max pruning is trivially exact under
+    any layout), and each layout's per-file min/max stats answer
+    three box queries by range-overlap pruning.  Output: one row per
+    (layout, box) with files hit, rows scanned in hit files, and the
+    true matching rows — the read-amplification relation
+    (scanned/matched) a table optimizer weighs.  The expected shape,
+    in rows scanned: the layouts tie on the user-only box (both pack
+    user-aligned runs), linear collapses on the time-only box (its
+    qt range rides inside every user strip — 4× the scan at sf0.1)
+    while zorder's 4×4 blocks keep it exact, and the 2-D box is
+    where Morton wins outright — zorder's read amplification is ≤
+    linear's on every box, pinned in pytest.
+
+    Exactness: grid coords are integer cross-multiplications against
+    a 1-row broadcast bounds frame (the timeSlice discipline); the
+    Morton key is pure bit arithmetic (engine-specific spellings of
+    the same expression); every ledger cell is a count.
+
+    Scale shape: ONE pass quantizes + assigns both file ids (narrow),
+    one map-combined (layout, file) aggregate builds the min/max
+    stats relation (≤ 2048 rows at ANY data volume — this IS the
+    parquet footer/Delta-log stats table), and the probe is a
+    broadcast join of 3 boxes against it.  The true-match counts are
+    one more map-combined aggregate.  At 100 TB the stats relation
+    still fits a driver page — which is exactly why min/max skipping
+    works."""
+    from go_whisper_spark.sources.tables import load_table
+
+    G = _Z_G
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_timestamp(ts) div 3600").alias("hr")
+    )
+    b = ev.agg(
+        F.max("user_id").alias("mu"),
+        F.min("hr").alias("h0"),
+        F.max("hr").alias("mh"),
+    )
+    q = ev.crossJoin(F.broadcast(b)).select(
+        F.expr(f"(user_id * {G}) div (mu + 1)").alias("qx"),
+        F.expr(f"((hr - h0) * {G}) div (mh - h0 + 1)").alias("qt"),
+    )
+    q = q.select(
+        "qx", "qt",
+        F.expr(f"({_z_interleave(spark=True)}) div {_Z_FPER}")
+        .alias("z_fid"),
+        F.expr(f"(qx * {G} + qt) div {_Z_FPER}").alias("l_fid"),
+    )
+    assigned = q.select(
+        "qx", "qt",
+        F.explode(
+            F.array(
+                F.struct(F.lit("zorder").alias("layout"),
+                         F.col("z_fid").alias("fid")),
+                F.struct(F.lit("linear").alias("layout"),
+                         F.col("l_fid").alias("fid")),
+            )
+        ).alias("a"),
+    ).select("qx", "qt", "a.layout", "a.fid")
+    stats = assigned.groupBy("layout", "fid").agg(
+        F.min("qx").alias("x_min"), F.max("qx").alias("x_max"),
+        F.min("qt").alias("t_min"), F.max("qt").alias("t_max"),
+        F.count("*").alias("n_rows"),
+    )
+    boxes = spark.range(1).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(nm).alias("box"),
+                    F.lit(xl).cast("long").alias("x_lo"),
+                    F.lit(xh).cast("long").alias("x_hi"),
+                    F.lit(tl).cast("long").alias("t_lo"),
+                    F.lit(th).cast("long").alias("t_hi"),
+                )
+                for nm, xl, xh, tl, th in _Z_BOXES
+            ])
+        ).alias("b")
+    ).select("b.*")
+    probe = stats.crossJoin(F.broadcast(boxes)).select(
+        "layout", "box", "n_rows",
+        (
+            (F.col("x_max") >= F.col("x_lo"))
+            & (F.col("x_min") <= F.col("x_hi"))
+            & (F.col("t_max") >= F.col("t_lo"))
+            & (F.col("t_min") <= F.col("t_hi"))
+        ).cast("long").alias("hit"),
+    )
+    ledger = probe.groupBy("layout", "box").agg(
+        F.count("*").alias("files_total"),
+        F.sum("hit").alias("files_hit"),
+        F.sum(F.col("hit") * F.col("n_rows")).alias("rows_scanned"),
+    )
+    match = q.crossJoin(F.broadcast(boxes)).where(
+        (F.col("qx") >= F.col("x_lo")) & (F.col("qx") <= F.col("x_hi"))
+        & (F.col("qt") >= F.col("t_lo")) & (F.col("qt") <= F.col("t_hi"))
+    ).groupBy("box").agg(F.count("*").alias("rows_match"))
+    return ledger.join(F.broadcast(match), "box").select(
+        "layout", "box", "files_total", "files_hit",
+        "rows_scanned", "rows_match",
+    )
+
+
+def _w_zorder_skipping_sql() -> str:
+    G = _Z_G
+    z = _z_interleave(spark=False)
+    boxes = " UNION ALL ".join(
+        f"SELECT '{nm}' AS box, CAST({xl} AS BIGINT) AS x_lo, "
+        f"CAST({xh} AS BIGINT) AS x_hi, CAST({tl} AS BIGINT) AS t_lo, "
+        f"CAST({th} AS BIGINT) AS t_hi"
+        for nm, xl, xh, tl, th in _Z_BOXES
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, (epoch_ns(ts) // 1000000000) // 3600 AS hr FROM events
+),
+b AS (SELECT max(user_id) AS mu, min(hr) AS h0, max(hr) AS mh FROM ev),
+q0 AS (
+  SELECT (user_id * {G}) // (mu + 1) AS qx,
+         ((hr - h0) * {G}) // (mh - h0 + 1) AS qt
+  FROM ev, b
+),
+q AS (
+  SELECT qx, qt, ({z}) // {_Z_FPER} AS z_fid,
+         (qx * {G} + qt) // {_Z_FPER} AS l_fid
+  FROM q0
+),
+assigned AS (
+  SELECT qx, qt, 'zorder' AS layout, z_fid AS fid FROM q
+  UNION ALL
+  SELECT qx, qt, 'linear' AS layout, l_fid AS fid FROM q
+),
+stats AS (
+  SELECT layout, fid, min(qx) AS x_min, max(qx) AS x_max,
+         min(qt) AS t_min, max(qt) AS t_max, count(*) AS n_rows
+  FROM assigned GROUP BY 1, 2
+),
+boxes AS ({boxes}),
+probe AS (
+  SELECT layout, box, n_rows,
+         CASE WHEN x_max >= x_lo AND x_min <= x_hi
+               AND t_max >= t_lo AND t_min <= t_hi
+              THEN 1 ELSE 0 END AS hit
+  FROM stats, boxes
+),
+ledger AS (
+  SELECT layout, box, count(*) AS files_total,
+         CAST(sum(hit) AS BIGINT) AS files_hit,
+         CAST(sum(hit * n_rows) AS BIGINT) AS rows_scanned
+  FROM probe GROUP BY 1, 2
+),
+m AS (
+  SELECT box, count(*) AS rows_match
+  FROM q, boxes
+  WHERE qx >= x_lo AND qx <= x_hi AND qt >= t_lo AND qt <= t_hi
+  GROUP BY 1
+)
+SELECT layout, box, files_total, files_hit, rows_scanned, rows_match
+FROM ledger JOIN m USING (box)
+"""
+
+
 # ------------------------------------------------------------- w_cohorts
 def w_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention-cohort triangle over events — the second classic
@@ -3191,6 +3392,7 @@ QUERIES = {
     "w_funnel_cohort": w_funnel_cohort,
     "w_event_transitions": w_event_transitions,
     "w_event_pagerank": w_event_pagerank,
+    "w_zorder_skipping": w_zorder_skipping,
     "w_cohorts": w_cohorts,
     "w_retention_reap": w_retention_reap,
     "w_store_fetch": w_store_fetch,
@@ -3236,6 +3438,7 @@ ORACLES = {
     "w_funnel_cohort": W_FUNNEL_COHORT_SQL,
     "w_event_transitions": W_EVENT_TRANSITIONS_SQL,
     "w_event_pagerank": W_EVENT_PAGERANK_SQL,
+    "w_zorder_skipping": _w_zorder_skipping_sql(),
     "w_cohorts": W_COHORTS_SQL,
     "w_retention_reap": W_RETENTION_REAP_SQL,
     "w_store_fetch": W_STORE_FETCH_SQL,

@@ -535,3 +535,30 @@ def test_event_pagerank_mass_and_bounds(spark, sf_dir):
         total = sum(getattr(r, col) for r in rows)
         assert total <= _PR_SCALE
         assert total >= _PR_SCALE - slack - n  # pr0 floor loss too
+
+
+def test_zorder_skipping_layout_laws(spark, sf_dir):
+    """The file-skipping ledger's structural laws: scanned rows always
+    cover the true matches (min/max pruning has no false negatives),
+    the per-box match counts agree across layouts (same predicate),
+    and Morton order's READ AMPLIFICATION (rows scanned) is never
+    worse than the single-column sort on any box and strictly better
+    on the time-only box — the dimension the linear sort cannot
+    prune.  (File-hit counts are not compared: at sparse SFs the two
+    layouts materialize different numbers of non-empty files.)"""
+    from go_whisper_spark.operators.whisper_queries import (
+        w_zorder_skipping,
+    )
+
+    rows = {(r.layout, r.box): r
+            for r in w_zorder_skipping(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    for r in rows.values():
+        assert r.rows_scanned >= r.rows_match
+        assert 0 < r.files_hit <= r.files_total
+    for box in ("user", "time", "both"):
+        z, lin = rows[("zorder", box)], rows[("linear", box)]
+        assert z.rows_match == lin.rows_match
+        assert z.rows_scanned <= lin.rows_scanned
+    assert rows[("zorder", "time")].rows_scanned < (
+        rows[("linear", "time")].rows_scanned)

@@ -1063,6 +1063,15 @@ CHECKS = {
         require_executed=["BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # Z-order skipping ledger: the bounds frame is a 1-row broadcast
+    # (the timeSlice-discipline BroadcastNestedLoopJoin, NOT a
+    # cartesian over data); the stats build and match counts are
+    # map-combined aggregates; box probes are 3-row broadcasts.
+    "w_zorder_skipping": dict(
+        require=["partial_count", "partial_min", "partial_max",
+                 "BroadcastNestedLoopJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
     # Fixed-point PageRank: the edge build is the transitions lag
     # window; each unrolled iteration joins the edge list against the
     # N-row rank frame (hinted broadcast) and map-combines the per-dst
