@@ -2417,12 +2417,92 @@ def st_quantile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- st_event_pagerank
+def st_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a STREAMED graph — the law here is that the rank
+    computation COMMUTES with edge-sketch merging: what streams is
+    the Markov edge multiset (per-batch partial (src, dst, n) counts
+    from the ``streaming_transitions`` stateful kernel), the merge is
+    the keyed counter SUM, and the 2-iteration fixed-point PR runs on
+    the merged sketch — bit-identical to the batch form, so the
+    oracle is ``w_event_pagerank``'s SQL verbatim.
+
+    The kernel is the genuinely-new piece: the batch edge builder is
+    ONE lag window per user, but online a user's consecutive events
+    straddle micro-batch boundaries — the kernel carries the LAST
+    (ts, seq, et) per user as state and prepends it to the next
+    batch, so with the time-chunked replay delivering each user's
+    events in (ts, seq) order across batches the emitted pair
+    multiset equals the batch lag window's EXACTLY (no boundary
+    transition is lost or double-counted; pytest pins streamed edge
+    counts == batch edge counts).
+
+    Scale shape: per batch the kernel holds 3 scalars per user (O(1)
+    state regardless of volume) and ships per-user partial edge
+    counts; the store grows one tiny partial per batch; the merge is
+    a constant-size (≤ types²) groupBy-sum and the PR iterations are
+    the batch plan on sketch-sized relations."""
+    from go_whisper_spark.operators.whisper_queries import (
+        _pagerank_ledger,
+    )
+    from go_whisper_spark.streaming.stateful import streaming_transitions
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.col("ts_sec").alias("tsec"),
+        F.col("event_id").alias("seq"),
+        "ts",
+    )
+    t0 = int(ev.agg(F.min("tsec")).first()[0])
+    chunk = F.least(
+        F.expr(f"(tsec - {t0}) div {CHUNK_SECONDS}"),
+        F.lit(N_PASSES - 1),
+    ).cast("long")
+    marked = ev.withColumn("arrive", chunk).drop("ts").withColumnRenamed(
+        "tsec", "ts"
+    )
+    feed = marked.drop("arrive")
+    root = _tmpdir()
+    src, store = os.path.join(root, "src"), os.path.join(root, "edges")
+
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            streaming_transitions(
+                spark.readStream.schema(feed.schema).parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", store)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            raise RuntimeError("streaming transitions pass timed out")
+
+    edges = (
+        spark.read.schema("src string, dst string, n long").parquet(store)
+        .groupBy("src", "dst")
+        .agg(F.sum("n").alias("n"))
+    )
+    return _pagerank_ledger(edges)
+
+
 # st_distinct_hll's oracle IS the batch HLL SQL verbatim — register-max
 # mergeability makes the streamed sketch equal the one-shot sketch.
 from go_whisper_spark.operators.whisper_queries import (  # noqa: E402
     W_DISTINCT_HLL_SQL as _W_DISTINCT_HLL_ORACLE,
     W_HEAVY_HITTERS_CMS_SQL as _W_CMS_ORACLE,
     W_QUANTILE_HDR_SQL as _W_QUANTILE_HDR_ORACLE,
+    W_EVENT_PAGERANK_SQL as _W_EVENT_PAGERANK_ORACLE,
 )
 
 
@@ -2445,6 +2525,7 @@ QUERIES = {
     "st_bloom_words": st_bloom_words,
     "st_kmv_bottomk": st_kmv_bottomk,
     "st_quantile_hdr": st_quantile_hdr,
+    "st_event_pagerank": st_event_pagerank,
     "st_render_deriv": st_render_deriv,
     "st_render_tags": st_render_tags,
     "st_render_tagwin": st_render_tagwin,
@@ -2475,6 +2556,7 @@ ORACLES = {
     "st_bloom_words": _st_bloom_words_sql(),
     "st_kmv_bottomk": _st_kmv_bottomk_sql(),
     "st_quantile_hdr": _W_QUANTILE_HDR_ORACLE,
+    "st_event_pagerank": _W_EVENT_PAGERANK_ORACLE,
     "st_render_deriv": ST_RENDER_DERIV_SQL,
     "st_render_tags": ST_RENDER_TAGS_SQL,
     "st_render_tagwin": ST_RENDER_TAGWIN_SQL,

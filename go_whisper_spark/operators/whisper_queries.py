@@ -1144,6 +1144,13 @@ def w_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("prev").alias("src"), F.col("et").alias("dst"))
         .agg(F.count("*").alias("n"))
     )
+    return _pagerank_ledger(edges)
+
+
+def _pagerank_ledger(edges: DataFrame) -> DataFrame:
+    """(src, dst, n) edge frame → the 2-iteration fixed-point PR
+    ledger (node, out_n, in_n, pr0, pr1, pr2) — shared by the batch
+    form and the streamed-edge-sketch form (``st_event_pagerank``)."""
     out = edges.groupBy("src").agg(F.sum("n").alias("out_n"))
     inn = edges.groupBy("dst").agg(F.sum("n").alias("in_n"))
     nodes = (

@@ -230,3 +230,52 @@ def streaming_funnel(rows: DataFrame, steps, window_secs: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------- streaming transitions
+# The Markov edge builder ON the stream: the batch form is ONE lag
+# window per user (w_event_transitions); online, consecutive events
+# can straddle micro-batch boundaries, so the kernel carries each
+# user's LAST event (ts, seq, et) as state and prepends it to the
+# next batch — with the time-chunked replay delivering each user's
+# events in (ts, seq) order across batches, the emitted pair multiset
+# equals the batch lag window's exactly.  Per batch the kernel emits
+# per-user PARTIAL edge counts (src, dst, n): the graph sketch whose
+# keyed-counter SUM is the merge law downstream PageRank runs on.
+
+TRANSITIONS_OUTPUT_SCHEMA = "src string, dst string, n long"
+TRANSITIONS_STATE_SCHEMA = "ts long, seq long, et string"
+
+
+def _transitions_fn(key, pdfs, state):
+    (user,) = key
+    prev = state.get if state.exists else None
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "seq"])
+    counts: dict = {}
+    last = prev
+    for et, ts, seq in zip(pdf["et"], pdf["ts"], pdf["seq"]):
+        if last is not None:
+            k = (last[2], et)
+            counts[k] = counts.get(k, 0) + 1
+        last = (int(ts), int(seq), et)
+    state.update(last)
+    if counts:
+        yield pd.DataFrame(
+            [(s, d, n) for (s, d), n in counts.items()],
+            columns=["src", "dst", "n"],
+        )
+
+
+def streaming_transitions(rows: DataFrame) -> DataFrame:
+    """Streaming (user_id, et, ts, seq) frame → per-batch partial
+    Markov edge counts (src, dst, n) with exact cross-batch pairing."""
+    return rows.groupBy("user_id").applyInPandasWithState(
+        _transitions_fn,
+        outputStructType=TRANSITIONS_OUTPUT_SCHEMA,
+        stateStructType=TRANSITIONS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -52,3 +52,53 @@ def test_stateful_derivative_across_batches(spark, tmp_path):
     got2 = _run(spark, src, out, ckpt)
     assert got2[("m", BASE + 180)] == (-5.0, 120)
     assert got2[("n", BASE + 30)] == (3.0, 30)
+
+
+TR_SCHEMA = "user_id long, et string, ts long, seq long"
+
+
+def test_streaming_transitions_cross_batch_pairing(spark, tmp_path):
+    """The Markov edge kernel must pair events ACROSS micro-batch
+    boundaries via its carried last-event state: two passes over a
+    time-split feed must emit exactly the batch lag window's pair
+    multiset — including the boundary transition, with nothing
+    double-counted after merging partials by sum."""
+    from collections import Counter
+
+    from go_whisper_spark.streaming.stateful import streaming_transitions
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [(1, "view", BASE, 1), (1, "click", BASE + 10, 2),
+              (2, "view", BASE + 5, 3)]
+    batch2 = [(1, "signup", BASE + 20, 4),   # boundary pair click→signup
+              (2, "view", BASE + 30, 5),     # boundary pair view→view
+              (2, "error", BASE + 40, 6)]
+
+    def run_pass(rows):
+        spark.createDataFrame(rows, TR_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        q = (
+            streaming_transitions(
+                spark.readStream.schema(TR_SCHEMA).parquet(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_pass(batch1)
+    run_pass(batch2)
+    merged = Counter()
+    for r in spark.read.parquet(out).collect():
+        merged[(r["src"], r["dst"])] += r["n"]
+    assert merged == Counter({
+        ("view", "click"): 1,     # intra-batch, user 1
+        ("click", "signup"): 1,   # ACROSS the boundary, user 1
+        ("view", "view"): 1,      # ACROSS the boundary, user 2
+        ("view", "error"): 1,     # intra-batch, user 2
+    })
