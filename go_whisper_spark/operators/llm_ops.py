@@ -296,6 +296,120 @@ WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) >= 0.2
 
 
 
+# ------------------------------------------------------- d_prefix_join
+def d_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-0.5 near-dup pairs via PREFIX FILTERING — the
+    set-similarity join that keeps exactness while pruning the
+    candidate space (the SSJoin/ppjoin principle [Chaudhuri et al.
+    ICDE'06; Xiao et al. WWW'08 — public]): order every shingle by
+    (df ASC, sh) — rarest first, one global total order — and join
+    docs only on their PREFIX tokens (per doc: the first
+    n − ⌈τ·n⌉ + 1 tokens in that order).  Soundness: J(A,B) ≥ τ ⟹
+    |A∩B| ≥ τ·|A∪B| ≥ τ·max(|A|,|B|), and two sets sharing ≥ α
+    elements must collide inside their (len − α + 1)-prefixes under
+    any common total order — so no qualifying pair is lost, while a
+    pair of docs sharing only COMMON shingles (high df → suffix)
+    never becomes a candidate.  The size filter (τ·na ≤ nb ≤ na/τ)
+    prunes further, still exact.  Candidates verify against the full
+    shingle sets (array intersection — sets, so both engines count
+    identically) and survive at round(J, 6) ≥ 0.5.
+
+    This is the EXACTNESS-preserving complement to the df-capped CDC
+    fence: there the hot-key fix drops boilerplate keys (approximate
+    by design); here the rare-first ordering pushes hot shingles into
+    suffixes that never reach the join — skew dies by construction,
+    not by a cap.
+
+    Scale shape: df = one shingle-keyed map-combined count; the
+    per-doc prefix rank is a doc-keyed window (the sessionization
+    shuffle class); the candidate join is an equi-join on LOW-df
+    tokens whose posting lists are short by construction; the
+    verification joins are doc-keyed and AQE-sized.  Candidate-count
+    reduction vs the full posting join is pytest-pinned.
+
+    Oracle: the independent FULL posting-join formulation (the
+    ``d_jaccard_pairs`` SQL at τ = 0.5) — the two formulations must
+    agree pair-for-pair, which is the prefix-filter theorem stated as
+    a test."""
+    tau_num, tau_den = 1, 2  # τ = 0.5 as an exact rational
+    feats = _doc_features(spark, sf_dir, materialize=True).where(
+        F.col("n_sh") > 0
+    )
+    sh = feats.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    df = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    ranked = sh.join(df, "sh").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "sh")
+        ),
+    )
+    # prefix length n − ⌈τ·n⌉ + 1 with ⌈n/2⌉ = (n+1) div 2 exact
+    pref = ranked.where(
+        F.col("r") <= F.col("n_sh") - F.expr("(n_sh + 1) div 2") + 1
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: τ·na ≤ nb ≤ na/τ (exact cross-mult)
+            & (F.col("b.n_sh") * tau_den >= F.col("a.n_sh") * tau_num)
+            & (F.col("a.n_sh") * tau_den >= F.col("b.n_sh") * tau_num),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    fa = feats.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sha"),
+        F.col("n_sh").alias("na"),
+    )
+    fb = feats.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("shb"),
+        F.col("n_sh").alias("nb"),
+    )
+    v = (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn(
+            "shared", F.size(F.array_intersect("sha", "shb")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ),
+        )
+    )
+    return v.where(F.col("jaccard") >= 0.5).select(
+        "doc_a", "doc_b", "shared", "jaccard"
+    )
+
+
+D_PREFIX_JOIN_SQL = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5
+"""
+
+
 # ---------------------------------------------------------- d_dedup_keepers
 def d_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup itself (not just the accounting): keep the minimum
@@ -6771,6 +6885,7 @@ QUERIES = {
     "t_bigram_freq": t_bigram_freq,
     "d_dedup_keepers": d_dedup_keepers,
     "d_jaccard_pairs": d_jaccard_pairs,
+    "d_prefix_join": d_prefix_join,
     "d_minhash_sigs": d_minhash_sigs,
     "d_lsh_pairs": d_lsh_pairs,
     "d_simhash": d_simhash,
@@ -6851,6 +6966,7 @@ ORACLES = {
     "t_bigram_freq": T_BIGRAM_SQL,
     "d_dedup_keepers": D_KEEPERS_SQL,
     "d_jaccard_pairs": D_JACCARD_SQL,
+    "d_prefix_join": D_PREFIX_JOIN_SQL,
     "d_minhash_sigs": D_MINHASH_SQL,
     "d_lsh_pairs": D_LSH_SQL,
     "d_simhash": D_SIMHASH_SQL,

@@ -562,3 +562,52 @@ def test_zorder_skipping_layout_laws(spark, sf_dir):
         assert z.rows_scanned <= lin.rows_scanned
     assert rows[("zorder", "time")].rows_scanned < (
         rows[("linear", "time")].rows_scanned)
+
+
+def test_prefix_join_exact_and_pruning(spark, sf_dir):
+    """The prefix-filter theorem as a test: the prefix-pruned join
+    must return EXACTLY the full posting join's pairs at tau=0.5
+    (no false negatives — exactness is the whole point), while
+    examining strictly fewer candidate pairs than the full join
+    generates (the pruning that makes it the scale path)."""
+    from pyspark.sql import Window, functions as F
+
+    from go_whisper_spark.operators.llm_ops import (
+        _doc_features,
+        d_jaccard_pairs,
+        d_prefix_join,
+    )
+
+    got = {(r.doc_a, r.doc_b): (r.shared, r.jaccard)
+           for r in d_prefix_join(spark, sf_dir).collect()}
+    want = {(r.doc_a, r.doc_b): (r.shared, r.jaccard)
+            for r in d_jaccard_pairs(spark, sf_dir).collect()
+            if r.jaccard >= 0.5}
+    assert got == want, "prefix join diverges from the full posting join"
+
+    feats = _doc_features(spark, sf_dir).where(F.col("n_sh") > 0)
+    sh = feats.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    full_cand = (
+        sh.alias("a").join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    df = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    ranked = sh.join(df, "sh").withColumn(
+        "r", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "sh")))
+    pref = ranked.where(
+        F.col("r") <= F.col("n_sh") - F.expr("(n_sh + 1) div 2") + 1)
+    pref_cand = (
+        pref.alias("a").join(
+            pref.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n_sh") * 2 >= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * 2 >= F.col("b.n_sh")))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    assert pref_cand < full_cand, (
+        f"prefix filter pruned nothing: {pref_cand} vs {full_cand}")

@@ -1063,6 +1063,14 @@ CHECKS = {
         require_executed=["BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # Prefix-filter set-similarity join: df = shingle-keyed
+    # map-combined count; the per-doc prefix rank is a doc-keyed
+    # window; candidates equi-join on low-df prefix tokens only; the
+    # verification joins are doc-keyed.  No cartesian, no NL join.
+    "d_prefix_join": dict(
+        require=["Window", "partial_count"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # Z-order skipping ledger: the bounds frame is a 1-row broadcast
     # (the timeSlice-discipline BroadcastNestedLoopJoin, NOT a
     # cartesian over data); the stats build and match counts are
