@@ -319,8 +319,41 @@ _R12_DEFERRED: list = [
 ]
 
 # The round-13 driver window, pre-materialized at the mid-round
-# freeze (empty until frozen; test_registry skips while empty).
-_R13_WINDOW: list = []
+# freeze: first 50 of the rotated registry = the r12 red row
+# (s_kmeans_step, re-fronting after its output-shape fix) + the 8 new
+# round-13 queries (HDR rank sketch batch+streaming, cohort x funnel
+# matrix, fixed-point PageRank batch+streamed-edge-sketch, Z-order
+# skipping ledger, prefix-filter similarity join, the xff/legend/
+# sortBy render composition) + ALL 6 never-checked _R12_DEFERRED
+# entries + 35 of the round-4/5/6 cohort (oldest driver evidence;
+# zero overlap with the rounds-10-12 greens — test_registry asserts
+# list == first-50 so drift is caught before the driver runs).
+# ROUND-14 TODO: once CORRECTNESS_r13.json exists, verify its keys ==
+# this list, then (a) add _R13_WINDOW to `recent`, (b) move the
+# _R13_DEFERRED block to right after the new-queries clause with an
+# `and n not in recent` guard, (c) append _R13_WINDOW's block at the
+# END of the order (re-front any red rows via a _R13_RED block, the
+# _R12_RED pattern).  Queries added AFTER this freeze go in
+# _R13_DEFERRED (below), never in front of the window.
+_R13_WINDOW: list = [
+    "s_kmeans_step", "w_quantile_hdr", "w_funnel_cohort",
+    "w_event_pagerank", "w_zorder_skipping", "d_prefix_join",
+    "g_render_xff", "st_quantile_hdr", "st_event_pagerank",
+    "st_render_deriv", "st_render_tags", "w_kmv_jaccard",
+    "st_kmv_bottomk", "w_event_transitions", "st_render_tagwin",
+    "g_invert", "g_square_root", "g_logarithm",
+    "g_derivative", "g_per_second", "g_series_combine",
+    "g_sort_by_total", "g_exclude", "g_nth_percentile",
+    "g_lowest_average", "g_alias_sub", "r_window_running",
+    "r_rank_funcs", "r_semi_anti", "r_setops",
+    "r_exists_sql", "r_salted_topk_cust", "r_rollup_orders",
+    "r_json_props", "r_scalar_funcs", "r_date_parts",
+    "t_quality_filter", "g_holt_winters", "g_tag_select",
+    "g_tag_group", "g_tag_parse", "g_smart_summarize",
+    "g_agg_wildcards", "g_apply_by_node", "g_constant_line",
+    "g_time_function", "g_holt_winters_bands", "g_range_of_series",
+    "g_multiply_series", "g_stddev_series",
+]
 
 # Queries added late in round 13, after the round-13 window freeze.
 _R13_DEFERRED: list = []
