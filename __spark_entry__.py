@@ -356,7 +356,12 @@ _R13_WINDOW: list = [
 ]
 
 # Queries added late in round 13, after the round-13 window freeze.
-_R13_DEFERRED: list = []
+# Never driver-checked (local exact-typed gate green at sf0.01 +
+# sf0.1); they front the round-14 window right after any
+# genuinely-new round-14 queries (the standing deferral rule).
+_R13_DEFERRED: list = [
+    "s_mmr_rerank",
+]
 
 # Added late in round 8, after the round-8 window composition (5 new
 # batch-1 queries + the round-4 cohort) was already settled.  Never
@@ -493,7 +498,8 @@ def _registry():
     seen = (set(_R6_DEFERRED) | set(_R04_CHECKED) | set(_R05_CHECKED)
             | set(_R06_CHECKED) | recent | set(_R08_DEFERRED)
             | set(_R09_DEFERRED) | set(_R10_DEFERRED)
-            | set(_R11_DEFERRED) | set(_R12_DEFERRED))
+            | set(_R11_DEFERRED) | set(_R12_DEFERRED)
+            | set(_R13_DEFERRED))
     order = (
         # Round-12's single red row re-checks FIRST — before anything
         # new (VERDICT r12 item 1: a red row outranks novelty).
@@ -525,6 +531,11 @@ def _registry():
         # at the front (dict keying keeps the FIRST occurrence, but
         # the exclusion keeps the order list duplicate-free).
         + [n for n in _R12_WINDOW if n in queries and n not in _R12_RED]
+        # Late round-13 additions: past the frozen 50-entry window
+        # (which reaches into _R07_WINDOW this round, so "past the
+        # window" means the very END); the round-14 rotation re-fronts
+        # them via the standing deferral rule.
+        + [n for n in _R13_DEFERRED if n in queries and n not in recent]
     )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}

@@ -3378,6 +3378,161 @@ UNION ALL SELECT 3, (w).vid, (w).d FROM w3
 """
 
 
+# -------------------------------------------------------- s_mmr_rerank
+_MMR_Q = 4        # query vectors (lowest vec_ids)
+_MMR_POOL = 12    # exact-top candidate pool per query
+_MMR_K = 4        # diversified picks per query
+_MMR_LN, _MMR_LD = 7, 3   # λ = 0.7 as integer weights (7·rel − 3·sim)
+
+_MMR_DOT_SQL = ("CAST(list_sum(list_transform(generate_series(1, "
+                "len({a})), i -> {a}[i] * {b}[i])) AS BIGINT)")
+
+
+def s_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking — retrieval
+    DIVERSIFICATION as the missing read-side rung after the recall
+    ladder (sig → int8 → PQ → multi-probe → hybrid RRF): from each
+    query's exact top-12 pool, iteratively pick the candidate
+    maximizing 7·rel − 3·max-sim-to-picked (λ = 0.7 as exact integer
+    weights — the Carbonell-Goldstein MMR objective [SIGIR'98,
+    public] on the fixed-point grid), so near-duplicate hits crowd
+    each other out of the final 4.  Emits (qid, pick, vec_id, rel,
+    maxsim) — maxsim at selection time is the redundancy the pick
+    paid.
+
+    Exactness: rel and sim are dot products of the 1e4-quantized
+    integer vectors (exact longs, ≤ 64·1e8 ≪ 2⁶³); the per-round
+    argmax is a lexicographic (score, −vec_id) struct max (total
+    order, ties to the lowest id); λ never divides — both weights
+    multiply.  The running max-sim folds through ``greatest`` from an
+    initial 0, so a NEGATIVE similarity to every picked item clamps
+    to 0 (no redundancy bonus for anti-correlated hits — a
+    deliberate, engine-identical strengthening of the plain MMR
+    penalty).
+
+    Scale shape: the pool build is the broadcast query fan-out + one
+    per-qid rank window (top-12); each MMR round is ONE map-combined
+    struct-max per qid with the winner (vector riding the struct — no
+    join-back) broadcast into the running max-sim fold — the
+    ``s_kmeans_seed`` Gonzalez shape pointed at retrieval.  k rounds
+    = k sketch-sized joins; nothing driver-side."""
+    q = _km_quant(spark, sf_dir)
+    qs = (
+        q.orderBy("vec_id")
+        .limit(_MMR_Q)
+        .select(F.col("vec_id").alias("qid"), F.col("qv").alias("qqv"))
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        q.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", "qv",
+            dot(F.col("qv"), F.col("qqv")).alias("rel"),
+        )
+    )
+    wrk = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
+    pool = (
+        scored.withColumn("rk", F.row_number().over(wrk))
+        .where(F.col("rk") <= _MMR_POOL)
+        .select(
+            "qid", "vec_id", "qv", "rel",
+            F.lit(0).cast("long").alias("ms"),
+        )
+    )
+    out = None
+    for k in range(_MMR_K):
+        score = F.col("rel") * _MMR_LN - F.col("ms") * _MMR_LD
+        w = pool.groupBy("qid").agg(
+            F.max(
+                F.struct(
+                    score.alias("s"),
+                    (-F.col("vec_id")).alias("nv"),
+                    F.col("vec_id").alias("vid"),
+                    F.col("qv").alias("wqv"),
+                    F.col("rel").alias("wrel"),
+                    F.col("ms").alias("wms"),
+                )
+            ).alias("w")
+        )
+        picked = w.select(
+            "qid",
+            F.lit(k).cast("long").alias("pick"),
+            F.col("w.vid").alias("vec_id"),
+            F.col("w.wrel").alias("rel"),
+            F.col("w.wms").alias("maxsim"),
+        )
+        out = picked if out is None else out.unionByName(picked)
+        if k < _MMR_K - 1:
+            pool = (
+                pool.join(F.broadcast(w), "qid")
+                .where(F.col("vec_id") != F.col("w.vid"))
+                .select(
+                    "qid", "vec_id", "qv", "rel",
+                    F.greatest(
+                        "ms", dot(F.col("qv"), F.col("w.wqv"))
+                    ).alias("ms"),
+                )
+            )
+    return out
+
+
+def _s_mmr_rerank_sql() -> str:
+    dot_pq = _MMR_DOT_SQL.format(a="p.qv", b="(w.w).wqv")
+    parts = []
+    for k in range(_MMR_K):
+        parts.append(f"""w{k} AS (
+  SELECT qid, max(struct_pack(s := rel * {_MMR_LN} - ms * {_MMR_LD},
+                              nv := -vec_id, vid := vec_id, wqv := qv,
+                              wrel := rel, wms := ms)) AS w
+  FROM pool{k} GROUP BY qid
+)""")
+        if k < _MMR_K - 1:
+            parts.append(f"""pool{k + 1} AS (
+  SELECT p.qid AS qid, vec_id, p.qv AS qv, rel,
+         greatest(ms, {dot_pq}) AS ms
+  FROM pool{k} p JOIN w{k} w ON p.qid = w.qid
+  WHERE vec_id != (w.w).vid
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT qid, CAST({k} AS BIGINT) AS pick, (w).vid AS vec_id, "
+        f"(w).wrel AS rel, (w).wms AS maxsim FROM w{k}"
+        for k in range(_MMR_K)
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS qid, qv AS qqv FROM q ORDER BY vec_id LIMIT {_MMR_Q}),
+scored AS (
+  SELECT qid, vec_id, qv,
+         {_MMR_DOT_SQL.format(a="qv", b="qqv")} AS rel
+  FROM q, qs WHERE vec_id != qid
+),
+pool0 AS (
+  SELECT qid, vec_id, qv, rel, CAST(0 AS BIGINT) AS ms FROM (
+    SELECT qid, vec_id, qv, rel,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, vec_id) AS rk
+    FROM scored
+  ) WHERE rk <= {_MMR_POOL}
+),
+{body}
+{unions}
+"""
+
+
 S_KMEANS_2STEP_SQL = """
 WITH q AS (
   SELECT vec_id,
@@ -6886,6 +7041,7 @@ QUERIES = {
     "d_dedup_keepers": d_dedup_keepers,
     "d_jaccard_pairs": d_jaccard_pairs,
     "d_prefix_join": d_prefix_join,
+    "s_mmr_rerank": s_mmr_rerank,
     "d_minhash_sigs": d_minhash_sigs,
     "d_lsh_pairs": d_lsh_pairs,
     "d_simhash": d_simhash,
@@ -6967,6 +7123,7 @@ ORACLES = {
     "d_dedup_keepers": D_KEEPERS_SQL,
     "d_jaccard_pairs": D_JACCARD_SQL,
     "d_prefix_join": D_PREFIX_JOIN_SQL,
+    "s_mmr_rerank": _s_mmr_rerank_sql(),
     "d_minhash_sigs": D_MINHASH_SQL,
     "d_lsh_pairs": D_LSH_SQL,
     "d_simhash": D_SIMHASH_SQL,

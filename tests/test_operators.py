@@ -611,3 +611,29 @@ def test_prefix_join_exact_and_pruning(spark, sf_dir):
     )
     assert pref_cand < full_cand, (
         f"prefix filter pruned nothing: {pref_cand} vs {full_cand}")
+
+
+def test_mmr_rerank_diversification_laws(spark, sf_dir):
+    """MMR's structural laws: pick 0 is the pure-relevance argmax
+    (maxsim 0); within a query, picks never repeat and every pick's
+    MMR objective (7*rel - 3*maxsim) is at least that of any
+    LATER-available candidate at its round is hard to re-check
+    cheaply, but the monotone consequence is: relevance of pick 0 >=
+    relevance of every other pick, and maxsim >= 0 always (the fold
+    clamps negative similarities to 0 by construction)."""
+    from go_whisper_spark.operators.llm_ops import _MMR_K, _MMR_Q, s_mmr_rerank
+
+    rows = s_mmr_rerank(spark, sf_dir).collect()
+    assert len(rows) == _MMR_Q * _MMR_K
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.qid, {})[r.pick] = r
+    assert len(by_q) == _MMR_Q
+    for qid, picks in by_q.items():
+        assert sorted(picks) == list(range(_MMR_K))
+        vids = [picks[k].vec_id for k in range(_MMR_K)]
+        assert len(set(vids)) == _MMR_K, f"q{qid}: repeated pick"
+        assert picks[0].maxsim == 0
+        for k in range(1, _MMR_K):
+            assert picks[0].rel >= picks[k].rel
+            assert picks[k].maxsim >= 0  # clamped fold floor

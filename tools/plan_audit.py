@@ -1063,6 +1063,16 @@ CHECKS = {
         require_executed=["BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # MMR diversified re-rank: pool build = broadcast query fan-out +
+    # per-qid rank window; each round ONE map-combined struct-max per
+    # qid with the winner broadcast back (the Gonzalez shape).  The
+    # query fan-out is the 4-row BroadcastNestedLoopJoin (intended);
+    # no cartesian over data, no sort-merge join.
+    "s_mmr_rerank": dict(
+        require=["Window", "partial_max", "BroadcastHashJoin",
+                 "TakeOrderedAndProject"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
     # Prefix-filter set-similarity join: df = shingle-keyed
     # map-combined count; the per-doc prefix rank is a doc-keyed
     # window; candidates equi-join on low-df prefix tokens only; the
