@@ -2314,11 +2314,10 @@ def st_quantile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n·log n) baseline the sketch replaces.  Stateless sink: no
     watermark, no state store."""
     from go_whisper_spark.operators.whisper_queries import (
-        _HDR_QBP,
-        _HDR_SBITS,
+        _hdr_ledger,
+        _hdr_rep,
     )
 
-    s = _HDR_SBITS
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("metric"),
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
@@ -2338,14 +2337,11 @@ def st_quantile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "sketch"),
     )
 
-    sh = f"CAST(greatest(length(bin(cents)) - 1 - {s}, 0) AS INT)"
-    rep = F.expr(f"shiftleft(shiftright(cents, {sh}), {sh})")
-
     def sink(batch: DataFrame, _bid: int) -> None:
         if batch.isEmpty():
             return
         partial = (
-            batch.select("metric", rep.alias("rep"))
+            batch.select("metric", _hdr_rep().alias("rep"))
             .groupBy("metric", "rep")
             .agg(F.count("*").alias("cnt"))
         )
@@ -2376,45 +2372,9 @@ def st_quantile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("metric", "rep")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    wcum = Window.partitionBy("metric").orderBy("rep")
-    cdf = sketch.select(
-        "metric", "rep",
-        F.sum("cnt").over(
-            wcum.rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("cum"),
-    )
-    tgt = (
-        sketch.groupBy("metric")
-        .agg(F.sum("cnt").alias("n"), F.count("*").alias("n_buckets"))
-        .select(
-            "metric", "n", "n_buckets",
-            F.explode(
-                F.array(*[F.lit(q).cast("long") for q in _HDR_QBP])
-            ).alias("q_bp"),
-        )
-        .withColumn("rnk", F.expr("(n * q_bp + 9999) div 10000"))
-    )
-    est = (
-        tgt.join(F.broadcast(cdf), "metric")
-        .where(F.col("cum") >= F.col("rnk"))
-        .groupBy("metric", "q_bp", "rnk", "n", "n_buckets")
-        .agg(F.min("rep").alias("est"))
-    )
-    ranked = ev.drop("ts").select(
-        "metric", "cents",
-        F.row_number()
-        .over(Window.partitionBy("metric").orderBy("cents"))
-        .cast("long")
-        .alias("rnk"),
-    )
-    return est.join(ranked, ["metric", "rnk"]).select(
-        "metric", "q_bp", "n", "n_buckets", "rnk", "est",
-        F.col("cents").alias("exact"),
-        F.floor(
-            ((F.col("cents") - F.col("est")) * 10000).cast("double")
-            / F.col("cents")
-        ).cast("long").alias("err_bp"),
-    )
+    # the read side (CDF walk + exact rank audit + err_bp pricing) is
+    # the SHARED _hdr_ledger — a fix lands in both forms at once
+    return _hdr_ledger(sketch, ev.drop("ts"))
 
 
 # ----------------------------------------------------- st_event_pagerank

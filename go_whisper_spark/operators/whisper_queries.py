@@ -1782,18 +1782,32 @@ def w_quantile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum; ``st_quantile_hdr`` streams it (the fifth merge law)."""
     from go_whisper_spark.sources.tables import load_table
 
-    s = _HDR_SBITS
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("metric"),
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
     )
-    sh = f"CAST(greatest(length(bin(cents)) - 1 - {s}, 0) AS INT)"
-    rep = F.expr(f"shiftleft(shiftright(cents, {sh}), {sh})")
     sketch = (
-        ev.select("metric", rep.alias("rep"))
+        ev.select("metric", _hdr_rep().alias("rep"))
         .groupBy("metric", "rep")
         .agg(F.count("*").alias("cnt"))
     )
+    return _hdr_ledger(sketch, ev)
+
+
+def _hdr_rep():
+    """The HDR bucket key of the ``cents`` column: the value with all
+    but its top s+1 significant bits zeroed (pure integer/string
+    ops)."""
+    sh = f"CAST(greatest(length(bin(cents)) - 1 - {_HDR_SBITS}, 0) AS INT)"
+    return F.expr(f"shiftleft(shiftright(cents, {sh}), {sh})")
+
+
+def _hdr_ledger(sketch: DataFrame, ev: DataFrame) -> DataFrame:
+    """Shared HDR read side — (metric, rep, cnt) sketch + the raw
+    (metric, cents) relation → the quantile ledger (CDF walk + exact
+    rank audit + err_bp pricing).  Used by the batch form and the
+    merged-partials streaming form (``st_quantile_hdr``), so a fix
+    lands in both (the ``_pagerank_ledger`` discipline)."""
     wcum = Window.partitionBy("metric").orderBy("rep")
     cdf = sketch.select(
         "metric", "rep",
@@ -1827,13 +1841,19 @@ def w_quantile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rnk"),
     )
+    # exact = 0 ⟹ est = 0 (rep(0) = 0 and est <= exact), so the
+    # error IS 0 — the guard keeps err_bp a non-null BIGINT in both
+    # engines instead of Spark-NULL / DuckDB-inf on a zero divisor
+    # (the cents domain admits 0 even though this corpus doesn't).
     return est.join(ranked, ["metric", "rnk"]).select(
         "metric", "q_bp", "n", "n_buckets", "rnk", "est",
         F.col("cents").alias("exact"),
-        F.floor(
-            ((F.col("cents") - F.col("est")) * 10000).cast("double")
-            / F.col("cents")
-        ).cast("long").alias("err_bp"),
+        F.when(F.col("cents") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(
+                ((F.col("cents") - F.col("est")) * 10000).cast("double")
+                / F.col("cents")
+            ).cast("long")
+        ).alias("err_bp"),
     )
 
 
@@ -1875,8 +1895,9 @@ ranked AS (
   FROM ev
 )
 SELECT metric, q_bp, n, n_buckets, rnk, est, cents AS exact,
-       CAST(floor(CAST((cents - est) * 10000 AS DOUBLE) / cents)
-            AS BIGINT) AS err_bp
+       CASE WHEN cents = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(CAST((cents - est) * 10000 AS DOUBLE) / cents)
+                 AS BIGINT) END AS err_bp
 FROM est JOIN ranked USING (metric, rnk)
 """
 

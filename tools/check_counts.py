@@ -120,6 +120,13 @@ def check() -> list:
                 problems.append(
                     f"SURVEY render op count ({m4.group(1)}) != "
                     f"render.py docstring ({n_render})")
+        # README mentions it too ("parser + N composable operators")
+        # — the one spot that drifted 16 ops before it was covered.
+        m5 = re.search(r"parser \+ (\d+) composable operators", readme)
+        if m5 and int(m5.group(1)) != n_render:
+            problems.append(
+                f"README render op count ({m5.group(1)}) != "
+                f"render.py docstring ({n_render})")
 
     # --- rotation NOTE counts: "<LIST> holds N" comments.
     entry_src = _read("__spark_entry__.py")

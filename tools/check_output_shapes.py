@@ -32,9 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+# single source of truth for the table list — keeps the two gates in
+# lockstep when a source table is added or relaid
+from tools.check_contract import TABLES
 
 # A column type is non-scalar if it is a list (trailing []), or a
 # nested/semi-structured container.  DuckDB spells list types with a
