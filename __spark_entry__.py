@@ -361,6 +361,7 @@ _R13_WINDOW: list = [
 # genuinely-new round-14 queries (the standing deferral rule).
 _R13_DEFERRED: list = [
     "s_mmr_rerank",
+    "st_funnel_cohort",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -1753,6 +1753,20 @@ def st_funnel_4step(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets closed by the final emission bound) feeding the
     independent 4-stage min-filter funnel at hour grain, one UNION
     branch per step."""
+    funnel, _ = _funnel_replay(spark, sf_dir)
+    return funnel
+
+
+def _funnel_replay(spark: SparkSession, sf_dir: str,
+                   track_first_seen: bool = False):
+    """The 3-pass streaming-funnel harness (rollup → in-order level-0
+    handoff → ``streaming_funnel`` kernel), shared by
+    ``st_funnel_4step`` and ``st_funnel_cohort``.  With
+    ``track_first_seen`` a third streaming query per pass runs the
+    ``streaming_first_seen`` kernel over the RAW feed (pre-rollup —
+    the cohort dimension needs every event, not the watermark
+    survivors), emitting each user's first-touch day exactly once.
+    Returns (funnel frame, first-seen frame or None)."""
     e = load_table(spark, sf_dir, "events")
     pts = e.select(
         F.concat(
@@ -1768,12 +1782,16 @@ def st_funnel_4step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
 
-    from go_whisper_spark.streaming.stateful import streaming_funnel
+    from go_whisper_spark.streaming.stateful import (
+        streaming_first_seen,
+        streaming_funnel,
+    )
 
     root = _tmpdir()
     src = os.path.join(root, "src")
     lvl0 = os.path.join(root, "level0")
     out = os.path.join(root, "funnel")
+    first = os.path.join(root, "first_seen")
     feed = marked.drop("arrive")
 
     def run(df, path, ckpt):
@@ -1824,9 +1842,27 @@ def st_funnel_4step(spark: SparkSession, sf_dir: str) -> DataFrame:
             out,
             "ckpt_funnel",
         )
-    return spark.read.schema("user_id long, step int, interval long").parquet(
-        out
-    ).select("user_id", "step", "interval")
+        if track_first_seen:
+            raw = (
+                spark.readStream.schema(feed.schema).parquet(src)
+                .select(
+                    F.regexp_extract("metric", r"\.u(\d+)$", 1)
+                    .cast("long").alias("user_id"),
+                    (
+                        F.unix_timestamp("ts")
+                        - F.unix_timestamp("ts") % 86400
+                    ).alias("day"),
+                )
+            )
+            run(streaming_first_seen(raw), first, "ckpt_first")
+    funnel = spark.read.schema(
+        "user_id long, step int, interval long"
+    ).parquet(out).select("user_id", "step", "interval")
+    fs = (
+        spark.read.schema("user_id long, day long").parquet(first)
+        if track_first_seen else None
+    )
+    return funnel, fs
 
 
 ST_FUNNEL_4STEP_SQL = f"""
@@ -1872,6 +1908,93 @@ SELECT user_id, 1 AS step, v_ts AS interval FROM v1
 UNION ALL SELECT user_id, 2 AS step, c_ts AS interval FROM c2
 UNION ALL SELECT user_id, 3 AS step, g_ts AS interval FROM g3
 UNION ALL SELECT user_id, 4 AS step, p_ts AS interval FROM p4
+"""
+
+
+# ---------------------------------------------------- st_funnel_cohort
+def st_funnel_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort × funnel conversion matrix ONLINE — both dimensions
+    computed on the stream: funnel advancement from the
+    ``streaming_funnel`` kernel (hour grain over the in-order level-0
+    handoff, as ``st_funnel_4step``) and the first-touch DAILY cohort
+    from the new ``streaming_first_seen`` kernel — an append-safe
+    streaming DISTINCT-keys (one (user, day) row at first
+    appearance, no update mode).  The cohort is ARRIVAL-first-touch:
+    a user whose entire earliest-day activity arrives LATE (the
+    replay's late-data algebra reroutes some chunk-0 rows to pass 2)
+    is cohorted by the earliest day among its first-ARRIVING rows —
+    exactly what an online first-touch dimension does, and exactly
+    one user on this corpus (the rest equal the event-time min).
+    The matrix composition (reached = max emitted step, ≤4× sequence
+    fan-out, ppm shares) is the batch ``w_funnel_cohort`` read side
+    over the two change streams.
+
+    Oracle: the st_funnel_4step watermark algebra (per-pass
+    survivors, hour-grain min-filter chain) for the funnel dimension
+    + the ARRIVAL-order first touch (min day among each user's
+    min-arrive rows) for the cohort dimension — the late-data
+    deviation is mirrored, not papered over.
+
+    Scale shape: first-seen state is ONE flag per user (smaller than
+    the funnel's k timestamps); the matrix aggregates run over the
+    two tiny change streams, never the event volume."""
+    funnel, fs = _funnel_replay(spark, sf_dir, track_first_seen=True)
+    reached = funnel.groupBy("user_id").agg(
+        F.max("step").cast("long").alias("reached")
+    )
+    first = fs.withColumnRenamed("day", "cohort_day")
+    sizes = first.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_users")
+    )
+    cells = (
+        reached.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.explode(F.expr("sequence(1L, reached)")).alias("step"),
+        )
+        .groupBy("cohort_day", "step")
+        .agg(F.count("*").alias("n_step"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day", "step", "n_step", "cohort_users",
+        F.expr("(n_step * 1000000) div cohort_users").alias("share_ppm"),
+    )
+
+
+# the funnel dimension reuses st_funnel_4step's watermark-algebra CTEs
+# verbatim (everything up to the final step-union SELECT)
+_ST_FUNNEL_CTES = ST_FUNNEL_4STEP_SQL[
+    : ST_FUNNEL_4STEP_SQL.index("SELECT user_id, 1 AS step")
+]
+
+ST_FUNNEL_COHORT_SQL = _ST_FUNNEL_CTES.rstrip().rstrip(")") + """),
+reached AS (
+  SELECT v1.user_id AS user_id,
+         1 + CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN g_ts IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END AS reached
+  FROM v1 LEFT JOIN c2 ON v1.user_id = c2.user_id
+  LEFT JOIN g3 ON v1.user_id = g3.user_id
+  LEFT JOIN p4 ON v1.user_id = p4.user_id
+),
+fa AS (SELECT user_id, min(arrive) AS a0 FROM marked GROUP BY 1),
+first AS (
+  SELECT m.user_id AS user_id,
+         min(m.ts - m.ts % 86400) AS cohort_day
+  FROM marked m JOIN fa ON m.user_id = fa.user_id AND m.arrive = fa.a0
+  GROUP BY 1
+),
+sizes AS (SELECT cohort_day, count(*) AS cohort_users FROM first GROUP BY 1),
+cells AS (
+  SELECT cohort_day, CAST(step AS BIGINT) AS step, count(*) AS n_step
+  FROM reached r
+  JOIN first USING (user_id),
+       unnest(generate_series(1, r.reached)) AS u(step)
+  GROUP BY 1, 2
+)
+SELECT cohort_day, step, n_step, cohort_users,
+       (n_step * 1000000) // cohort_users AS share_ppm
+FROM cells JOIN sizes USING (cohort_day)
 """
 
 
@@ -2486,6 +2609,7 @@ QUERIES = {
     "st_kmv_bottomk": st_kmv_bottomk,
     "st_quantile_hdr": st_quantile_hdr,
     "st_event_pagerank": st_event_pagerank,
+    "st_funnel_cohort": st_funnel_cohort,
     "st_render_deriv": st_render_deriv,
     "st_render_tags": st_render_tags,
     "st_render_tagwin": st_render_tagwin,
@@ -2517,6 +2641,7 @@ ORACLES = {
     "st_kmv_bottomk": _st_kmv_bottomk_sql(),
     "st_quantile_hdr": _W_QUANTILE_HDR_ORACLE,
     "st_event_pagerank": _W_EVENT_PAGERANK_ORACLE,
+    "st_funnel_cohort": ST_FUNNEL_COHORT_SQL,
     "st_render_deriv": ST_RENDER_DERIV_SQL,
     "st_render_tags": ST_RENDER_TAGS_SQL,
     "st_render_tagwin": ST_RENDER_TAGWIN_SQL,

@@ -279,3 +279,39 @@ def streaming_transitions(rows: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------- streaming first-seen
+# Append-safe streaming DISTINCT-keys: emit each key's FIRST-seen
+# payload exactly once (state = the emitted flag), without update
+# mode.  With the time-chunked in-order replay the first row seen IS
+# the global first, so the emitted (user, day) stream equals the
+# batch min-aggregate — the first-touch cohort dimension computed
+# online (st_funnel_cohort).
+
+FIRST_SEEN_OUTPUT_SCHEMA = "user_id long, day long"
+FIRST_SEEN_STATE_SCHEMA = "emitted integer"
+
+
+def _first_seen_fn(key, pdfs, state):
+    (user,) = key
+    if state.exists:
+        return
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return
+    day = int(min(int(p["day"].min()) for p in chunks))
+    state.update((1,))
+    yield pd.DataFrame([(user, day)], columns=["user_id", "day"])
+
+
+def streaming_first_seen(rows: DataFrame) -> DataFrame:
+    """Streaming (user_id, day) frame → one (user_id, day) row per
+    user at its first appearance (in-order feed ⇒ the batch min)."""
+    return rows.groupBy("user_id").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=FIRST_SEEN_OUTPUT_SCHEMA,
+        stateStructType=FIRST_SEEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -102,3 +102,40 @@ def test_streaming_transitions_cross_batch_pairing(spark, tmp_path):
         ("view", "view"): 1,      # ACROSS the boundary, user 2
         ("view", "error"): 1,     # intra-batch, user 2
     })
+
+
+FS_SCHEMA = "user_id long, day long"
+
+
+def test_streaming_first_seen_arrival_semantics(spark, tmp_path):
+    """The first-seen kernel emits each user exactly once, at the
+    minimum day of the user's FIRST-ARRIVING batch — a later batch
+    carrying an earlier (late) day must NOT re-emit or correct (the
+    arrival-first-touch contract st_funnel_cohort documents)."""
+    from go_whisper_spark.streaming.stateful import streaming_first_seen
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_pass(rows):
+        spark.createDataFrame(rows, FS_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        q = (
+            streaming_first_seen(
+                spark.readStream.schema(FS_SCHEMA).parquet(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_pass([(1, 30), (1, 10), (2, 40)])
+    run_pass([(1, 5), (2, 50), (3, 20)])  # user 1's day-5 row is LATE
+    rows = sorted(
+        (r["user_id"], r["day"]) for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [(1, 10), (2, 40), (3, 20)]
