@@ -637,3 +637,56 @@ def test_mmr_rerank_diversification_laws(spark, sf_dir):
         for k in range(1, _MMR_K):
             assert picks[0].rel >= picks[k].rel
             assert picks[k].maxsim >= 0  # clamped fold floor
+
+
+def test_hilbert_skipping_beats_morton_off_alignment(spark, sf_dir):
+    """At the deliberately non-power-of-4 file size (24 cells/file)
+    the Hilbert layout's read amplification must never exceed
+    Morton's on any probe box and must be strictly tighter on the
+    2-D box (the tile-jump penalty); plus the shared ledger laws
+    (coverage, cross-layout match agreement).  Also pin the xy→d
+    transform itself: a bijection on the full 32×32 grid equal to
+    the reference recurrence."""
+    from go_whisper_spark.operators.whisper_queries import (
+        w_hilbert_skipping,
+    )
+
+    rows = {(r.layout, r.box): r
+            for r in w_hilbert_skipping(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    for r in rows.values():
+        assert r.rows_scanned >= r.rows_match
+    for box in ("user", "time", "both"):
+        h, z = rows[("hilbert", box)], rows[("zorder", box)]
+        assert h.rows_match == z.rows_match
+        assert h.rows_scanned <= z.rows_scanned
+    assert rows[("hilbert", "both")].rows_scanned < (
+        rows[("zorder", "both")].rows_scanned)
+
+    # engine-emitted transform == the reference recurrence, bijective
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    from go_whisper_spark.operators.whisper_queries import _hilbert_steps
+
+    grid = spark.sql(
+        "SELECT a.qx, b.qt FROM (SELECT explode(sequence(0, 31)) qx) a "
+        "CROSS JOIN (SELECT explode(sequence(0, 31)) qt) b"
+    ).selectExpr("qx", "qt", "qx AS x0", "qt AS y0",
+                 "CAST(0 AS BIGINT) AS acc0")
+    for accs, nxs, nys in _hilbert_steps(spark_dialect=True):
+        grid = grid.selectExpr("qx", "qt", accs, nxs, nys)
+    got = {(r.qx, r.qt): r.acc5 for r in grid.collect()}
+    assert len(set(got.values())) == 1024  # bijection
+    assert all(got[(x, y)] == xy2d(32, x, y)
+               for x in range(32) for y in range(32))

@@ -1081,6 +1081,14 @@ CHECKS = {
         require=["Window", "partial_count"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # Hilbert-vs-Morton ledger: same shape as w_zorder_skipping (the
+    # shared _skip_ledger read side); the 5 unrolled xy->d rounds are
+    # narrow chained projections inside codegen.
+    "w_hilbert_skipping": dict(
+        require=["partial_count", "partial_min", "partial_max",
+                 "BroadcastNestedLoopJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
     # Z-order skipping ledger: the bounds frame is a 1-row broadcast
     # (the timeSlice-discipline BroadcastNestedLoopJoin, NOT a
     # cartesian over data); the stats build and match counts are
