@@ -161,11 +161,18 @@ HEADLINE = [
     # cohort × funnel conversion matrix (cohort min + funnel fold +
     # one user-keyed equi-join), and the xff/legend/sortBy render
     # composition (gated summarize + legend stats + rank root).
-    # NOTE for cross-round totals: the set grew 58 → 61 in round 13;
+    # NOTE for cross-round totals: the set grew 58 → 64 in round 13;
     # compare common subsets across rounds, not totals.
     "w_quantile_hdr",
     "w_funnel_cohort",
     "g_render_xff",
+    # round 13 late additions: the prefix-filter exact similarity
+    # join (the dedup scale path), fixed-point PageRank (per-round
+    # edge join + map-combined sums), and the MMR diversified
+    # re-rank (pool rank window + k struct-max rounds).
+    "d_prefix_join",
+    "w_event_pagerank",
+    "s_mmr_rerank",
 ]
 
 
