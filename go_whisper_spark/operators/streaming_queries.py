@@ -1967,7 +1967,7 @@ _ST_FUNNEL_CTES = ST_FUNNEL_4STEP_SQL[
     : ST_FUNNEL_4STEP_SQL.index("SELECT user_id, 1 AS step")
 ]
 
-ST_FUNNEL_COHORT_SQL = _ST_FUNNEL_CTES.rstrip().rstrip(")") + """),
+ST_FUNNEL_COHORT_SQL = _ST_FUNNEL_CTES.rstrip().removesuffix(")") + """),
 reached AS (
   SELECT v1.user_id AS user_id,
          1 + CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END

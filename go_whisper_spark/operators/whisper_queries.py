@@ -1325,6 +1325,18 @@ def w_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     one more map-combined aggregate.  At 100 TB the stats relation
     still fits a driver page — which is exactly why min/max skipping
     works."""
+    q = _skip_quantize(spark, sf_dir).select(
+        "qx", "qt",
+        F.expr(f"({_z_interleave(spark=True)}) div {_Z_FPER}")
+        .alias("fid_zorder"),
+        F.expr(f"(qx * {_Z_G} + qt) div {_Z_FPER}").alias("fid_linear"),
+    )
+    return _skip_ledger(spark, q, ("zorder", "linear"))
+
+
+def _skip_quantize(spark, sf_dir: str) -> DataFrame:
+    """The shared (qx, qt) grid quantization — the DataFrame twin of
+    ``_SKIP_QUANT_CTES`` (keep the two in lockstep)."""
     from go_whisper_spark.sources.tables import load_table
 
     G = _Z_G
@@ -1336,17 +1348,10 @@ def w_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hr").alias("h0"),
         F.max("hr").alias("mh"),
     )
-    q = ev.crossJoin(F.broadcast(b)).select(
+    return ev.crossJoin(F.broadcast(b)).select(
         F.expr(f"(user_id * {G}) div (mu + 1)").alias("qx"),
         F.expr(f"((hr - h0) * {G}) div (mh - h0 + 1)").alias("qt"),
     )
-    q = q.select(
-        "qx", "qt",
-        F.expr(f"({_z_interleave(spark=True)}) div {_Z_FPER}")
-        .alias("fid_zorder"),
-        F.expr(f"(qx * {G} + qt) div {_Z_FPER}").alias("fid_linear"),
-    )
-    return _skip_ledger(spark, q, ("zorder", "linear"))
 
 
 def _skip_ledger(spark, q: DataFrame, layouts) -> DataFrame:
@@ -1530,22 +1535,7 @@ def w_hilbert_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_skip_ledger`` read side) — the 5 chained projections are
     narrow codegen; the stats relation stays ≤ 2·64 rows at any
     volume."""
-    from go_whisper_spark.sources.tables import load_table
-
-    G = _Z_G
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("unix_timestamp(ts) div 3600").alias("hr")
-    )
-    b = ev.agg(
-        F.max("user_id").alias("mu"),
-        F.min("hr").alias("h0"),
-        F.max("hr").alias("mh"),
-    )
-    q = ev.crossJoin(F.broadcast(b)).select(
-        F.expr(f"(user_id * {G}) div (mu + 1)").alias("qx"),
-        F.expr(f"((hr - h0) * {G}) div (mh - h0 + 1)").alias("qt"),
-    )
-    q = q.selectExpr(
+    q = _skip_quantize(spark, sf_dir).selectExpr(
         "qx", "qt", "qx AS x0", "qt AS y0", "CAST(0 AS BIGINT) AS acc0"
     )
     for accs, nxs, nys in _hilbert_steps(spark_dialect=True):
