@@ -363,6 +363,7 @@ _R13_DEFERRED: list = [
     "s_mmr_rerank",
     "st_funnel_cohort",
     "w_hilbert_skipping",
+    "w_join_cms_estimate",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -1725,6 +1725,143 @@ FROM cells JOIN sizes USING (cohort_day)
 """
 
 
+# -------------------------------------------------- w_join_cms_estimate
+_JCMS_D = 4      # hash rows (min over rows)
+_JCMS_W = 4096   # buckets — join estimation needs w >> the collision
+#                  mass ratio: E[overestimate] ~= n_a*n_b/w, so the
+#                  heavy-hitters demo's w=64 (which WANTS collisions)
+#                  would overshoot 24x at sf0.1; at 4096 the measured
+#                  error is ~4% (sf0.01) and ~37% (sf0.1).  Still
+#                  constant-size: d*w = 16384 cells at any volume.
+
+
+def w_join_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE estimation from two Count-Min sketches — the query-
+    optimizer application of the frequency sketch (the CM/AGMS
+    inner-product estimator [Cormode & Muthukrishnan '05; Alon,
+    Gibbons, Matias, Szegedy '99 — public]): |A ⋈_k B| = Σ_k
+    c_A(k)·c_B(k), and the CM estimate is the MIN over hash rows of
+    the bucket-wise inner product Σ_b A[r][b]·B[r][b] — a one-sided
+    OVERESTIMATE (collision cross-terms are non-negative), so a
+    planner using it errs toward the safer bigger-join plan.  Sides:
+    the view-events and purchase-events streams keyed by user_id;
+    the ledger prices the estimate against the exact join size.
+
+    Determinism: the same md5 'r<r>:'||user bucket map as
+    ``w_heavy_hitters_cms`` (its build pairing — one sketch per
+    side) at the estimator-appropriate width (see _JCMS_W), every
+    cell and product an exact long, min over d = 4 rows.
+
+    Scale shape: each sketch is ONE map-combined d·w-cell aggregate
+    over its side (constant-size shuffle at any cardinality); the
+    estimate joins ≤16384-cell relations and min-reduces — the whole
+    point is that the planner can size a join WITHOUT running it.
+    The exact side (per-user count join) is the audit baseline the
+    sketch replaces."""
+    from go_whisper_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+
+    def side(et):
+        return ev.where(F.col("event_type") == et).select("user_id")
+
+    def sketch(df):
+        rows = df.select(
+            "user_id",
+            F.explode(F.array(*[F.lit(r) for r in range(_JCMS_D)])).alias("r"),
+        )
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("r"), F.col("r").cast("string"),
+                            F.lit(":"), F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % _JCMS_W
+        )
+        return (
+            rows.withColumn("b", bucket)
+            .groupBy("r", "b")
+            .agg(F.count("*").alias("cnt"))
+        )
+    a, bb = side("view"), side("purchase")
+    sa, sb = sketch(a), sketch(bb)
+    est = (
+        sa.join(
+            sb.select("r", "b", F.col("cnt").alias("cnt_b")), ["r", "b"]
+        )
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
+        .agg(F.min("ip").alias("est_join"))
+    )
+    ca = a.groupBy("user_id").agg(F.count("*").alias("na"))
+    cb = bb.groupBy("user_id").agg(F.count("*").alias("nb"))
+    exact = ca.join(cb, "user_id").agg(
+        F.sum(F.col("na") * F.col("nb")).alias("exact_join")
+    )
+    tot = a.agg(F.count("*").alias("n_a")).crossJoin(
+        F.broadcast(bb.agg(F.count("*").alias("n_b")))
+    )
+    return (
+        tot.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_a", "n_b", "exact_join", "est_join",
+            (F.col("est_join") - F.col("exact_join")).alias("overestimate"),
+            F.floor(
+                ((F.col("est_join") - F.col("exact_join")) * 1000)
+                .cast("double") / F.col("exact_join")
+            ).cast("long").alias("err_permille"),
+        )
+    )
+
+
+W_JOIN_CMS_ESTIMATE_SQL = f"""
+WITH a AS (SELECT user_id FROM events WHERE event_type = 'view'),
+bb AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+rs AS (SELECT unnest(generate_series(0, {_JCMS_D - 1})) AS r),
+sa AS (
+  SELECT r, CAST('0x' || substring(md5('r' || CAST(r AS VARCHAR) || ':'
+           || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % {_JCMS_W} AS b,
+         count(*) AS cnt
+  FROM a, rs GROUP BY 1, 2
+),
+sb AS (
+  SELECT r, CAST('0x' || substring(md5('r' || CAST(r AS VARCHAR) || ':'
+           || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % {_JCMS_W} AS b,
+         count(*) AS cnt
+  FROM bb, rs GROUP BY 1, 2
+),
+est AS (
+  SELECT CAST(min(ip) AS BIGINT) AS est_join FROM (
+    SELECT sa.r, CAST(sum(sa.cnt * sb.cnt) AS BIGINT) AS ip
+    FROM sa JOIN sb ON sa.r = sb.r AND sa.b = sb.b
+    GROUP BY sa.r
+  )
+),
+exact AS (
+  SELECT CAST(sum(ca.na * cb.nb) AS BIGINT) AS exact_join FROM
+    (SELECT user_id, count(*) AS na FROM a GROUP BY 1) ca
+    JOIN (SELECT user_id, count(*) AS nb FROM bb GROUP BY 1) cb
+    USING (user_id)
+),
+tot AS (
+  SELECT (SELECT count(*) FROM a) AS n_a, (SELECT count(*) FROM bb) AS n_b
+)
+SELECT n_a, n_b, exact_join, est_join,
+       est_join - exact_join AS overestimate,
+       CAST(floor(CAST((est_join - exact_join) * 1000 AS DOUBLE)
+            / exact_join) AS BIGINT) AS err_permille
+FROM tot, exact, est
+"""
+
+
 # -------------------------------------------------------- w_distinct_hll
 _HLL_M = 64                       # registers
 _HLL_P53 = 9007199254740992       # 2^53 — the common denominator for
@@ -3525,6 +3662,7 @@ QUERIES = {
     "w_event_pagerank": w_event_pagerank,
     "w_zorder_skipping": w_zorder_skipping,
     "w_hilbert_skipping": w_hilbert_skipping,
+    "w_join_cms_estimate": w_join_cms_estimate,
     "w_cohorts": w_cohorts,
     "w_retention_reap": w_retention_reap,
     "w_store_fetch": w_store_fetch,
@@ -3572,6 +3710,7 @@ ORACLES = {
     "w_event_pagerank": W_EVENT_PAGERANK_SQL,
     "w_zorder_skipping": _w_zorder_skipping_sql(),
     "w_hilbert_skipping": _w_hilbert_skipping_sql(),
+    "w_join_cms_estimate": W_JOIN_CMS_ESTIMATE_SQL,
     "w_cohorts": W_COHORTS_SQL,
     "w_retention_reap": W_RETENTION_REAP_SQL,
     "w_store_fetch": W_STORE_FETCH_SQL,

@@ -690,3 +690,23 @@ def test_hilbert_skipping_beats_morton_off_alignment(spark, sf_dir):
     assert len(set(got.values())) == 1024  # bijection
     assert all(got[(x, y)] == xy2d(32, x, y)
                for x in range(32) for y in range(32))
+
+
+def test_join_cms_estimate_one_sided_and_bounded(spark, sf_dir):
+    """The CM inner-product join-size estimator's laws: the estimate
+    NEVER undershoots (collision cross-terms are non-negative, so
+    each row's inner product >= the true join size and so does their
+    min), and the overestimate stays within a loose multiple of the
+    expected collision mass n_a*n_b/w (deterministic given the md5
+    buckets; measured ~1x at both SFs, 5x headroom)."""
+    from go_whisper_spark.operators.whisper_queries import (
+        _JCMS_W,
+        w_join_cms_estimate,
+    )
+
+    r = w_join_cms_estimate(spark, sf_dir).first()
+    assert r.est_join >= r.exact_join
+    assert r.overestimate == r.est_join - r.exact_join
+    bound = 5 * r.n_a * r.n_b // _JCMS_W + 1
+    assert r.overestimate <= bound, (
+        f"overestimate {r.overestimate} vs collision-mass bound {bound}")

@@ -1081,6 +1081,15 @@ CHECKS = {
         require=["Window", "partial_count"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # CM join-size estimator: two map-combined d·w-cell sketch builds,
+    # a sketch-keyed (r, b) equi-join + min-reduce, and the exact-side
+    # per-user count join (AQE-sized); the 1-row ledger assembly rides
+    # broadcast NL joins (intended).  No cartesian over data.
+    "w_join_cms_estimate": dict(
+        require=["partial_count", "partial_sum", "partial_min"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct"],
+    ),
     # Hilbert-vs-Morton ledger: same shape as w_zorder_skipping (the
     # shared _skip_ledger read side); the 5 unrolled xy->d rounds are
     # narrow chained projections inside codegen.
