@@ -161,18 +161,21 @@ HEADLINE = [
     # cohort × funnel conversion matrix (cohort min + funnel fold +
     # one user-keyed equi-join), and the xff/legend/sortBy render
     # composition (gated summarize + legend stats + rank root).
-    # NOTE for cross-round totals: the set grew 58 → 64 in round 13;
+    # NOTE for cross-round totals: the set grew 58 → 66 in round 13;
     # compare common subsets across rounds, not totals.
     "w_quantile_hdr",
     "w_funnel_cohort",
     "g_render_xff",
     # round 13 late additions: the prefix-filter exact similarity
     # join (the dedup scale path), fixed-point PageRank (per-round
-    # edge join + map-combined sums), and the MMR diversified
-    # re-rank (pool rank window + k struct-max rounds).
+    # edge join + map-combined sums), the MMR diversified re-rank
+    # (pool rank window + k struct-max rounds), the Hilbert layout
+    # ledger, and the CM join-size estimator.
     "d_prefix_join",
     "w_event_pagerank",
     "s_mmr_rerank",
+    "w_hilbert_skipping",
+    "w_join_cms_estimate",
 ]
 
 
