@@ -364,6 +364,7 @@ _R13_DEFERRED: list = [
     "st_funnel_cohort",
     "w_hilbert_skipping",
     "w_join_cms_estimate",
+    "st_zorder_stats",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

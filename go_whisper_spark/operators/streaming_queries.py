@@ -1911,6 +1911,119 @@ UNION ALL SELECT user_id, 4 AS step, p_ts AS interval FROM p4
 """
 
 
+# ----------------------------------------------------- st_zorder_stats
+def st_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse FILE-STATS table maintained ONLINE — what a
+    Delta/Iceberg writer does on every commit: each micro-batch of
+    the 3-pass replay quantizes its rows onto the layout grid and
+    ships a PARTIAL per-(layout, file) stats row (min/max of both
+    dims + count), the store merges by the stats' own laws (min of
+    mins / max of maxes / sum of counts — min and max idempotent,
+    the count leaning on exactly-once delivery like CMS), and the
+    probe side answers the three box queries against the MERGED
+    stats.  Merge-law associativity/commutativity makes the streamed
+    stats equal the one-shot stats, so the oracle is the batch
+    ``w_zorder_skipping`` SQL verbatim — the file-skipping answers a
+    reader gets from incrementally-maintained footer stats are
+    IDENTICAL to a full recompute.
+
+    The grid bounds (max user, hour span) are control-plane
+    constants from the table snapshot (a production writer knows its
+    partitioning grid); the exact-match audit side runs on the batch
+    relation as in every ``st_`` ledger.
+
+    Scale shape: per batch ONE map-combined ≤2·64-cell aggregate; the
+    store grows one tiny partial per batch; merge + probe run over
+    stats rows, never data."""
+    from go_whisper_spark.operators.whisper_queries import (
+        _skip_assign,
+        _skip_probe,
+        _skip_quantize,
+        _z_interleave,
+        _Z_FPER,
+        _Z_G,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_timestamp(ts) div 3600").alias("hr"), "ts"
+    )
+    bounds = ev.agg(
+        F.max("user_id").alias("mu"),
+        F.min("hr").alias("h0"),
+        F.max("hr").alias("mh"),
+    ).first()
+    mu, h0, mh = bounds.mu, bounds.h0, bounds.mh
+    t0 = int(ev.agg(F.min(F.unix_timestamp("ts"))).first()[0])
+    chunk = F.least(
+        F.expr(f"(unix_timestamp(ts) - {t0}) div {CHUNK_SECONDS}"),
+        F.lit(N_PASSES - 1),
+    ).cast("long")
+    marked = ev.withColumn("arrive", chunk).drop("ts")
+    feed = marked.drop("arrive")
+    root = _tmpdir()
+    src, ckpt, store = (
+        os.path.join(root, "src"),
+        os.path.join(root, "ckpt"),
+        os.path.join(root, "stats"),
+    )
+
+    def quant(batch: DataFrame) -> DataFrame:
+        q = batch.select(
+            F.expr(f"(user_id * {_Z_G}) div ({mu} + 1)").alias("qx"),
+            F.expr(f"((hr - {h0}) * {_Z_G}) div ({mh} - {h0} + 1)")
+            .alias("qt"),
+        )
+        return q.select(
+            "qx", "qt",
+            F.expr(f"({_z_interleave(spark=True)}) div {_Z_FPER}")
+            .alias("fid_zorder"),
+            F.expr(f"(qx * {_Z_G} + qt) div {_Z_FPER}").alias("fid_linear"),
+        )
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        partial = _skip_assign(quant(batch), ("zorder", "linear")).groupBy(
+            "layout", "fid"
+        ).agg(
+            F.min("qx").alias("x_min"), F.max("qx").alias("x_max"),
+            F.min("qt").alias("t_min"), F.max("qt").alias("t_max"),
+            F.count("*").alias("n_rows"),
+        )
+        partial.write.mode("append").parquet(store)
+
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            spark.readStream.schema(feed.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("streaming stats pass timed out")
+
+    stats = (
+        spark.read.parquet(store)
+        .groupBy("layout", "fid")
+        .agg(
+            F.min("x_min").alias("x_min"), F.max("x_max").alias("x_max"),
+            F.min("t_min").alias("t_min"), F.max("t_max").alias("t_max"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+    return _skip_probe(spark, stats, _skip_quantize(spark, sf_dir))
+
+
 # ---------------------------------------------------- st_funnel_cohort
 def st_funnel_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cohort × funnel conversion matrix ONLINE — both dimensions
@@ -2582,11 +2695,14 @@ def st_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # st_distinct_hll's oracle IS the batch HLL SQL verbatim — register-max
 # mergeability makes the streamed sketch equal the one-shot sketch.
 from go_whisper_spark.operators.whisper_queries import (  # noqa: E402
+    _w_zorder_skipping_sql,
     W_DISTINCT_HLL_SQL as _W_DISTINCT_HLL_ORACLE,
     W_HEAVY_HITTERS_CMS_SQL as _W_CMS_ORACLE,
     W_QUANTILE_HDR_SQL as _W_QUANTILE_HDR_ORACLE,
     W_EVENT_PAGERANK_SQL as _W_EVENT_PAGERANK_ORACLE,
 )
+
+_W_ZORDER_SKIPPING_ORACLE = _w_zorder_skipping_sql()
 
 
 QUERIES = {
@@ -2610,6 +2726,7 @@ QUERIES = {
     "st_quantile_hdr": st_quantile_hdr,
     "st_event_pagerank": st_event_pagerank,
     "st_funnel_cohort": st_funnel_cohort,
+    "st_zorder_stats": st_zorder_stats,
     "st_render_deriv": st_render_deriv,
     "st_render_tags": st_render_tags,
     "st_render_tagwin": st_render_tagwin,
@@ -2642,6 +2759,9 @@ ORACLES = {
     "st_quantile_hdr": _W_QUANTILE_HDR_ORACLE,
     "st_event_pagerank": _W_EVENT_PAGERANK_ORACLE,
     "st_funnel_cohort": ST_FUNNEL_COHORT_SQL,
+    # merge-law associativity makes the streamed stats equal the
+    # one-shot stats — oracle is the batch ledger SQL verbatim
+    "st_zorder_stats": _W_ZORDER_SKIPPING_ORACLE,
     "st_render_deriv": ST_RENDER_DERIV_SQL,
     "st_render_tags": ST_RENDER_TAGS_SQL,
     "st_render_tagwin": ST_RENDER_TAGWIN_SQL,

@@ -1358,7 +1358,19 @@ def _skip_ledger(spark, q: DataFrame, layouts) -> DataFrame:
     """Shared file-skipping read side: q carries (qx, qt) plus one
     ``fid_<layout>`` column per layout; emits the (layout, box)
     ledger (shared by the Morton/linear and Hilbert/Morton forms)."""
-    assigned = q.select(
+    assigned = _skip_assign(q, layouts)
+    stats = assigned.groupBy("layout", "fid").agg(
+        F.min("qx").alias("x_min"), F.max("qx").alias("x_max"),
+        F.min("qt").alias("t_min"), F.max("qt").alias("t_max"),
+        F.count("*").alias("n_rows"),
+    )
+    return _skip_probe(spark, stats, q)
+
+
+def _skip_assign(q: DataFrame, layouts) -> DataFrame:
+    """(qx, qt, fid_<layout>...) → the unpivoted (qx, qt, layout, fid)
+    row-per-layout relation."""
+    return q.select(
         "qx", "qt",
         F.explode(
             F.array(*[
@@ -1370,11 +1382,12 @@ def _skip_ledger(spark, q: DataFrame, layouts) -> DataFrame:
             ])
         ).alias("a"),
     ).select("qx", "qt", "a.layout", "a.fid")
-    stats = assigned.groupBy("layout", "fid").agg(
-        F.min("qx").alias("x_min"), F.max("qx").alias("x_max"),
-        F.min("qt").alias("t_min"), F.max("qt").alias("t_max"),
-        F.count("*").alias("n_rows"),
-    )
+
+
+def _skip_probe(spark, stats: DataFrame, q: DataFrame) -> DataFrame:
+    """The probe/ledger read side over a PRE-BUILT per-(layout, file)
+    min/max stats relation — shared by the batch ledgers and the
+    incrementally-maintained streaming stats (``st_zorder_stats``)."""
     boxes = spark.range(1).select(
         F.explode(
             F.array(*[
