@@ -328,13 +328,14 @@ _R12_DEFERRED: list = [
 # entries + 35 of the round-4/5/6 cohort (oldest driver evidence;
 # zero overlap with the rounds-10-12 greens — test_registry asserts
 # list == first-50 so drift is caught before the driver runs).
-# ROUND-14 TODO: once CORRECTNESS_r13.json exists, verify its keys ==
-# this list, then (a) add _R13_WINDOW to `recent`, (b) move the
-# _R13_DEFERRED block to right after the new-queries clause with an
-# `and n not in recent` guard, (c) append _R13_WINDOW's block at the
-# END of the order (re-front any red rows via a _R13_RED block, the
-# _R12_RED pattern).  Queries added AFTER this freeze go in
-# _R13_DEFERRED (below), never in front of the window.
+# ROUND-14 rotation EXECUTED (CORRECTNESS_r13 keys == this list,
+# verified by simulation; 50/50 green — zero red rows, so no
+# _R13_RED block): (a) _R13_WINDOW joined `recent`; (b) the
+# _R13_DEFERRED block moved to right after the new-queries clause
+# with an `and n not in recent` guard; (c) _R13_WINDOW's block
+# appended at the END of the order, and the now-stale _R12_RED front
+# clause removed (s_kmeans_step re-checked GREEN in round 13, so it
+# sorts last with the rest of _R13_WINDOW).
 _R13_WINDOW: list = [
     "s_kmeans_step", "w_quantile_hdr", "w_funnel_cohort",
     "w_event_pagerank", "w_zorder_skipping", "d_prefix_join",
@@ -366,6 +367,21 @@ _R13_DEFERRED: list = [
     "w_join_cms_estimate",
     "st_zorder_stats",
 ]
+
+# The round-14 driver window, pre-materialized at the mid-round
+# freeze (empty until then; test_registry's first-50 equality pin
+# skips while empty).
+# ROUND-15 TODO: once CORRECTNESS_r14.json exists, verify its keys ==
+# this list, then (a) add _R14_WINDOW to `recent`, (b) move the
+# _R14_DEFERRED block to right after the new-queries clause with an
+# `and n not in recent` guard, (c) append _R14_WINDOW's block at the
+# END of the order (re-front any red rows via a _R14_RED block, the
+# _R12_RED pattern).  Queries added AFTER the freeze go in
+# _R14_DEFERRED, never in front of the window.
+_R14_WINDOW: list = []
+
+# Queries added late in round 14, after the round-14 window freeze.
+_R14_DEFERRED: list = []
 
 # Added late in round 8, after the round-8 window composition (5 new
 # batch-1 queries + the round-4 cohort) was already settled.  Never
@@ -498,21 +514,23 @@ def _registry():
     r10 = set(_R10_WINDOW)
     r11 = set(_R11_WINDOW)
     r12 = set(_R12_WINDOW)
-    recent = r07 | r08 | r09 | r10 | r11 | r12
+    r13 = set(_R13_WINDOW)
+    recent = r07 | r08 | r09 | r10 | r11 | r12 | r13
     seen = (set(_R6_DEFERRED) | set(_R04_CHECKED) | set(_R05_CHECKED)
             | set(_R06_CHECKED) | recent | set(_R08_DEFERRED)
             | set(_R09_DEFERRED) | set(_R10_DEFERRED)
             | set(_R11_DEFERRED) | set(_R12_DEFERRED)
-            | set(_R13_DEFERRED))
+            | set(_R13_DEFERRED) | set(_R14_DEFERRED))
     order = (
-        # Round-12's single red row re-checks FIRST — before anything
-        # new (VERDICT r12 item 1: a red row outranks novelty).
-        [n for n in _R12_RED if n in queries]
-        + [n for n in queries if n not in seen]
-        # Never-driver-checked round-12 late additions (KMV set ops,
-        # event transitions, streaming render deriv/tags/tagwin)
-        # front the round-13 window, right after any genuinely-new
-        # queries (the standing deferral rule).
+        [n for n in queries if n not in seen]
+        # Never-driver-checked round-13 late additions (MMR re-rank,
+        # streaming cohort funnel, Hilbert skipping, CM join-size
+        # estimator, online z-order stats) front the round-14 window,
+        # right after any genuinely-new queries (the standing
+        # deferral rule).
+        + [n for n in _R13_DEFERRED if n in queries and n not in recent]
+        # _R12_DEFERRED ⊂ _R13_WINDOW (checked green in round 13), so
+        # this block filters to empty; kept for the audit trail.
         + [n for n in _R12_DEFERRED if n in queries and n not in recent]
         # _R11_DEFERRED ⊂ _R12_WINDOW (checked green in round 12), so
         # this block filters to empty; kept for the audit trail.
@@ -526,20 +544,27 @@ def _registry():
         + [n for n in _R04_CHECKED if n in queries and n not in recent]
         + [n for n in _R05_CHECKED if n in queries and n not in recent]
         + [n for n in _R06_CHECKED if n in queries and n not in recent]
-        + [n for n in _R07_WINDOW if n in queries]
-        + [n for n in _R08_WINDOW if n in queries]
-        + [n for n in _R09_WINDOW if n in queries]
-        + [n for n in _R10_WINDOW if n in queries]
-        + [n for n in _R11_WINDOW if n in queries]
-        # Most recently checked, so last; the red row already rides
-        # at the front (dict keying keeps the FIRST occurrence, but
+        # The round-13 window reached INTO _R07_WINDOW (14 of its
+        # entries re-checked green in r13), so every older-window
+        # block excludes r13 members — their fresh _R13_WINDOW spot
+        # at the end is authoritative.  Without this filter the r14
+        # window would re-check r13 greens (the rotation footgun).
+        + [n for n in _R07_WINDOW if n in queries and n not in r13]
+        + [n for n in _R08_WINDOW if n in queries and n not in r13]
+        + [n for n in _R09_WINDOW if n in queries and n not in r13]
+        + [n for n in _R10_WINDOW if n in queries and n not in r13]
+        + [n for n in _R11_WINDOW if n in queries and n not in r13]
+        # s_kmeans_step stays excluded here (it re-checked GREEN in
+        # round 13, so its _R13_WINDOW spot below is authoritative and
         # the exclusion keeps the order list duplicate-free).
-        + [n for n in _R12_WINDOW if n in queries and n not in _R12_RED]
-        # Late round-13 additions: past the frozen 50-entry window
-        # (which reaches into _R07_WINDOW this round, so "past the
-        # window" means the very END); the round-14 rotation re-fronts
-        # them via the standing deferral rule.
-        + [n for n in _R13_DEFERRED if n in queries and n not in recent]
+        + [n for n in _R12_WINDOW
+           if n in queries and n not in _R12_RED and n not in r13]
+        # Most recently checked, so last (50/50 green in
+        # CORRECTNESS_r13).
+        + [n for n in _R13_WINDOW if n in queries]
+        # Late round-14 additions: past the frozen window; the
+        # round-15 rotation re-fronts them via the standing rule.
+        + [n for n in _R14_DEFERRED if n in queries and n not in recent]
     )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}

@@ -160,12 +160,11 @@ def test_r12_window_matches_driver_record():
 
 
 def test_round13_window_disjoint_from_r12():
-    """First 50 of the rotated registry must not re-check the rounds
-    10-12 GREENS (the one r12 red, s_kmeans_step, re-checks by
-    design), and must front every never-driver-checked round-12
-    deferral plus the red row itself."""
-    queries, _ = entry._registry()
-    window = list(queries)[:50]
+    """The round-13 window (now the historical _R13_WINDOW list) did
+    not re-check the rounds 10-12 GREENS (the one r12 red,
+    s_kmeans_step, re-checked by design and rode at the front), and
+    fronted every never-driver-checked round-12 deferral."""
+    window = entry._R13_WINDOW
     greens12 = set(entry._R12_WINDOW) - set(entry._R12_RED)
     assert not set(window) & greens12, (
         "round-13 window re-checks round-12 greens")
@@ -177,17 +176,45 @@ def test_round13_window_disjoint_from_r12():
         "the r12 red row must ride at the very front of the window")
 
 
-def test_r13_window_matches_first_fifty():
-    """Once frozen mid-round, the pre-materialized round-13 window
-    list (the round-14 rotation seed) must stay equal to the
-    registry's actual first 50 — the drift failure mode enforced
-    every round since round 8.  Late round-13 additions belong in
-    _R13_DEFERRED, which this equality keeps OUT of the window."""
-    if not entry._R13_WINDOW:
-        pytest.skip("_R13_WINDOW not yet frozen this round")
-    queries, _ = entry._registry()
-    assert entry._R13_WINDOW == list(queries)[:50]
+def test_r13_window_matches_driver_record():
+    """_R13_WINDOW (the round-14 rotation seed) must equal the window
+    the driver actually hashed in round 13 (50/50 green — zero red
+    rows, so no _R13_RED block exists)."""
+    rec = _correctness(13)
+    assert len(entry._R13_WINDOW) == 50
     assert len(set(entry._R13_WINDOW)) == 50
+    assert set(entry._R13_WINDOW) == set(rec.keys())
+    red = {n for n, r in rec.items() if r.get("err") or not r.get("hash_match")}
+    assert not red, f"round-13 record has red rows with no _R13_RED block: {red}"
+
+
+def test_round14_window_disjoint_from_r13():
+    """First 50 of the rotated registry must not re-check the rounds
+    11-13 greens (round 13 was fully green, so no red row re-fronts)
+    and must front every never-driver-checked round-13 deferral.
+    The r07/r08 cohorts ARE expected in the window — they are the
+    oldest driver evidence and rotation exists to re-check them."""
+    queries, _ = entry._registry()
+    window = list(queries)[:50]
+    assert not set(window) & set(entry._R13_WINDOW), (
+        "round-14 window re-checks round-13 greens")
+    assert not set(window) & set(entry._R12_WINDOW)
+    assert not set(window) & set(entry._R11_WINDOW)
+    missing = [n for n in entry._R13_DEFERRED if n not in window[:5]]
+    assert not missing, f"never-checked deferrals missed the window front: {missing}"
+
+
+def test_r14_window_matches_first_fifty():
+    """Once frozen mid-round, the pre-materialized round-14 window
+    list (the round-15 rotation seed) must stay equal to the
+    registry's actual first 50 — the drift failure mode enforced
+    every round since round 8.  Late round-14 additions belong in
+    _R14_DEFERRED, which this equality keeps OUT of the window."""
+    if not entry._R14_WINDOW:
+        pytest.skip("_R14_WINDOW not yet frozen this round")
+    queries, _ = entry._registry()
+    assert entry._R14_WINDOW == list(queries)[:50]
+    assert len(set(entry._R14_WINDOW)) == 50
 
 
 def test_checked_cohorts_are_registered():
@@ -200,6 +227,7 @@ def test_checked_cohorts_are_registered():
                 entry._R10_WINDOW, entry._R10_DEFERRED,
                 entry._R11_WINDOW, entry._R11_DEFERRED,
                 entry._R12_WINDOW, entry._R12_DEFERRED, entry._R12_RED,
-                entry._R13_WINDOW, entry._R13_DEFERRED):
+                entry._R13_WINDOW, entry._R13_DEFERRED,
+                entry._R14_WINDOW, entry._R14_DEFERRED):
         missing = [n for n in lst if n not in queries]
         assert not missing, f"cohort names not in registry: {missing}"
