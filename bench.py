@@ -37,6 +37,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Only plans we'd run at 100x live here: the banded simhash and the
 # signature ANN replaced their quadratic/low-recall twins
 # (d_simhash_pairs, s_cosine_ann stay registered as oracle baselines).
+#
+# ROTATION POLICY (round 14, mirroring the driver window's): the
+# COMMON CORE — the 58 entries benched every round through round 12 —
+# stays FROZEN so round-over-round comparisons and the
+# --compare-spread driver-vs-minima diagnostic stay one-read.  The
+# NOVELTY TAIL (everything after the round-13 marker below) rotates:
+# each round may add its new heavies to the tail and retire tail
+# entries that already have two consecutive driver BENCH_r*.json
+# records (their perf history is pinned; they remain oracle-gated in
+# the registry), keeping the total near ~66 so idle wall time stays
+# ~15 min.  Core entries are never retired without a replacement
+# measurement note here.
 HEADLINE = [
     "w_lww_1h",
     "w_cascade_1d",
@@ -223,7 +235,7 @@ def _driver_compare(timings_min):
     ratios = sorted(p["ratio"] for p in per.values())
     return {
         "source": src,
-        "median_ratio": ratios[len(ratios) // 2],
+        "median_ratio": round(statistics.median(ratios), 3),
         "worst": worst,
         "per_query": per,
     }

@@ -1827,10 +1827,16 @@ def w_join_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_a", "n_b", "exact_join", "est_join",
             (F.col("est_join") - F.col("exact_join")).alias("overestimate"),
-            F.floor(
-                ((F.col("est_join") - F.col("exact_join")) * 1000)
-                .cast("double") / F.col("exact_join")
-            ).cast("long").alias("err_permille"),
+            # exact_join = 0 (no user with both event types) would be
+            # Spark-NULL / DuckDB-inf on the division — the _hdr_ledger
+            # err_bp divergence; pin the sentinel 0 on both engines.
+            F.when(F.col("exact_join") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(
+                    ((F.col("est_join") - F.col("exact_join")) * 1000)
+                    .cast("double") / F.col("exact_join")
+                ).cast("long")
+            ).alias("err_permille"),
         )
     )
 
@@ -1869,8 +1875,9 @@ tot AS (
 )
 SELECT n_a, n_b, exact_join, est_join,
        est_join - exact_join AS overestimate,
-       CAST(floor(CAST((est_join - exact_join) * 1000 AS DOUBLE)
-            / exact_join) AS BIGINT) AS err_permille
+       CASE WHEN exact_join = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(CAST((est_join - exact_join) * 1000 AS DOUBLE)
+                 / exact_join) AS BIGINT) END AS err_permille
 FROM tot, exact, est
 """
 
@@ -2050,7 +2057,12 @@ def w_quantile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hdr_rep():
     """The HDR bucket key of the ``cents`` column: the value with all
     but its top s+1 significant bits zeroed (pure integer/string
-    ops)."""
+    ops).  NON-NEGATIVE domain only: a negative long makes ``bin()``
+    return the 64-char two's complement (shift 59), so bucket order
+    stops tracking value order and the est<=exact / err_bp<2^-s
+    guarantees silently break — the pytest error-bound test pins
+    min(cents) >= 0 so a future corpus with negative values fails
+    loudly."""
     sh = f"CAST(greatest(length(bin(cents)) - 1 - {_HDR_SBITS}, 0) AS INT)"
     return F.expr(f"shiftleft(shiftright(cents, {sh}), {sh})")
 

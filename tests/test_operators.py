@@ -470,6 +470,12 @@ def test_quantile_hdr_error_bound_and_merge_law(spark, sf_dir):
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
         (F.col("event_id") % 3).alias("shard"),
     )
+    # _hdr_rep is only rank-monotone for non-negative values (bin() of
+    # a negative long is the 64-char two's complement) — pin the domain
+    # so a corpus with negative values fails HERE, not as a silently
+    # wrong quantile.
+    assert ev.agg(F.min("cents")).first()[0] >= 0, (
+        "HDR sketch requires a non-negative domain (see _hdr_rep)")
     sh = f"CAST(greatest(length(bin(cents)) - 1 - {_HDR_SBITS}, 0) AS INT)"
     rep = F.expr(f"shiftleft(shiftright(cents, {sh}), {sh})")
     one_shot = (
