@@ -188,6 +188,10 @@ HEADLINE = [
     "s_mmr_rerank",
     "w_hilbert_skipping",
     "w_join_cms_estimate",
+    # round 14 novelty tail (none of the r13 tail retires yet — each
+    # has only ONE driver record): exact degree-ordered triangle
+    # counting (bounded clique expansion + orientation + wedge join).
+    "w_triangles",
 ]
 
 

@@ -1258,6 +1258,164 @@ LEFT JOIN ind ON node = ind.dst
 """
 
 
+# ---------------------------------------------------------- w_triangles
+def _tri_oriented(spark: SparkSession, sf_dir: str, materialize: bool = True):
+    """(deg, oriented) of the part co-purchase graph: distinct
+    undirected edges between parts sharing an order, each edge
+    oriented from the endpoint EARLIER in the (degree, id) total
+    order.  ``materialize=False`` skips the localCheckpoints so
+    plan_audit can assert the build's physical shape (equi-self-join
+    on the order key — never a cartesian — plus two broadcast joins
+    of the O(nodes) degree relation)."""
+    from go_whisper_spark.sources.tables import load_table
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    # edges and oriented are each consumed by several downstream
+    # branches — localCheckpoint so the co-purchase self-join and the
+    # orientation run ONCE (the d_neardup_clusters discipline), not
+    # once per branch.
+    edges = (
+        items.join(items.select("o", F.col("p").alias("q")), "o")
+        .where(F.col("p") < F.col("q"))
+        .select(F.col("p").alias("u"), F.col("q").alias("v"))
+        .distinct()
+    )
+    if materialize:
+        edges = edges.localCheckpoint()
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    if materialize:
+        deg = deg.localCheckpoint()
+    # the degree relation is O(nodes) — broadcast it onto the edges
+    e = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("u"),
+                                   F.col("deg").alias("du"))), "u")
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"),
+                                   F.col("deg").alias("dv"))), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        # the dst endpoint's degree rides along so the wedge filter
+        # can apply the SAME (deg, id) total order locally
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    )
+    if materialize:
+        oriented = oriented.localCheckpoint()
+    return deg, oriented
+
+
+def w_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT triangle counting under degree-ordered orientation + the
+    per-node clustering-coefficient ledger — the canonical
+    "skew dies by orientation" graph operator, over the part
+    co-purchase graph (parts appearing in the same order are
+    adjacent; parts only ever alone in an order carry no edge and are
+    absent from the ledger).
+
+    Algorithm (compact-forward / Latapy 2008, public): orient every
+    undirected edge from the endpoint EARLIER in the (degree, id)
+    total order to the later one.  The oriented graph is a DAG; each
+    triangle {x ≺ y ≺ z} survives exactly once as the wedge
+    (x→y, x→z with y ≺ z) closed by the membership edge (y→z).  The
+    wedge self-join fans out on each node's oriented OUT-adjacency,
+    which the orientation bounds by O(√m) — a hub of degree d keeps
+    only its ≤√m higher-ordered neighbors as out-edges, so the hot
+    key's adjacency NEVER self-joins; that is the entire 100 TB
+    story (the skew fence by construction, like d_prefix_join's).
+
+    Exactness: integers end-to-end; the clustering coefficient is the
+    exact floored ppm 2·tri·10⁶ div (deg·(deg−1)) (0 when deg < 2).
+    The oracle restates the count independently with plain id-ordering
+    (u < v canonical edges, 3-way join) — no degree logic — so the two
+    engines agree only if the orientation math is right.
+
+    Scale shape: the per-order pair expansion is bounded by order
+    size (≤7 lineitems in TPC-H — a bounded clique expansion, not an
+    all-pairs); edges dedup in ONE shuffle; degrees are a
+    map-combined count whose O(nodes) result broadcasts back onto the
+    edge list; the wedge join shuffles oriented edges by src ONCE;
+    the closing membership join shuffles wedges by (v, w).  No
+    collect anywhere."""
+    deg, oriented = _tri_oriented(spark, sf_dir)
+    a1 = oriented.select("src", F.col("dst").alias("v"), F.col("dd").alias("dv2"))
+    a2 = oriented.select("src", F.col("dst").alias("w"), F.col("dd").alias("dw2"))
+    wedges = a1.join(a2, "src").where(
+        (F.col("dv2") < F.col("dw2"))
+        | ((F.col("dv2") == F.col("dw2")) & (F.col("v") < F.col("w")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    ).select(F.col("src").alias("a"), "v", "w")
+    part = (
+        tri.select(F.explode(F.array("a", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_n"))
+    )
+    return (
+        deg.join(part, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("tri_n", F.lit(0).cast("long")).alias("tri_n"),
+            F.when(F.col("deg") < 2, F.lit(0).cast("long")).otherwise(
+                F.expr(
+                    "(2 * coalesce(tri_n, 0) * 1000000)"
+                    " div (deg * (deg - 1))"
+                )
+            ).alias("cc_ppm"),
+        )
+    )
+
+
+W_TRIANGLES_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+part AS (
+  SELECT node, count(*) AS tri_n FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri
+  ) GROUP BY 1
+)
+SELECT deg.node, deg.deg AS deg,
+       COALESCE(tri_n, CAST(0 AS BIGINT)) AS tri_n,
+       CASE WHEN deg < 2 THEN CAST(0 AS BIGINT)
+            ELSE CAST((2 * COALESCE(tri_n, 0) * 1000000)
+                 // (deg * (deg - 1)) AS BIGINT) END AS cc_ppm
+FROM deg LEFT JOIN part USING (node)
+"""
+
+
 # --------------------------------------------------- w_zorder_skipping
 _Z_BITS = 5          # 5 bits per dimension → 32×32 grid, 1024 cells
 _Z_G = 1 << _Z_BITS
@@ -3685,6 +3843,7 @@ QUERIES = {
     "w_funnel_cohort": w_funnel_cohort,
     "w_event_transitions": w_event_transitions,
     "w_event_pagerank": w_event_pagerank,
+    "w_triangles": w_triangles,
     "w_zorder_skipping": w_zorder_skipping,
     "w_hilbert_skipping": w_hilbert_skipping,
     "w_join_cms_estimate": w_join_cms_estimate,
@@ -3733,6 +3892,7 @@ ORACLES = {
     "w_funnel_cohort": W_FUNNEL_COHORT_SQL,
     "w_event_transitions": W_EVENT_TRANSITIONS_SQL,
     "w_event_pagerank": W_EVENT_PAGERANK_SQL,
+    "w_triangles": W_TRIANGLES_SQL,
     "w_zorder_skipping": _w_zorder_skipping_sql(),
     "w_hilbert_skipping": _w_hilbert_skipping_sql(),
     "w_join_cms_estimate": W_JOIN_CMS_ESTIMATE_SQL,

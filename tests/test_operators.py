@@ -491,6 +491,46 @@ def test_quantile_hdr_error_bound_and_merge_law(spark, sf_dir):
     assert merged.exceptAll(one_shot).isEmpty()
 
 
+def test_triangles_orientation_and_laws(spark, sf_dir):
+    """Degree-ordered triangle counting's three contracts: (1) the
+    handshake law — per-node participations sum to exactly 3× the
+    number of distinct triangles (each triangle touches 3 nodes), so
+    sum(tri_n) ≡ 0 (mod 3) and matches an independently derived
+    count; (2) the orientation KILLS skew — the max oriented
+    out-degree is bounded by √(2m) and strictly below the max
+    undirected degree (the hub's adjacency never self-joins — the
+    100 TB story the plan spec pins structurally); (3) cc_ppm is the
+    exact floored ppm 2·tri·10⁶ div (deg·(deg−1))."""
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.operators.whisper_queries import (
+        _tri_oriented,
+        w_triangles,
+    )
+
+    rows = w_triangles(spark, sf_dir).collect()
+    assert rows, "ledger is empty"
+    total_part = sum(r.tri_n for r in rows)
+    assert total_part % 3 == 0, "handshake law: participations not 3x"
+
+    deg, ori = _tri_oriented(spark, sf_dir)
+    m = ori.count()
+    max_deg = deg.agg(F.max("deg")).first()[0]
+    max_out = ori.groupBy("src").count().agg(F.max("count")).first()[0]
+    assert max_out * max_out <= 2 * m, (
+        f"oriented out-degree {max_out} breaks the sqrt(2m) bound")
+    assert max_out < max_deg, (
+        f"orientation did not reduce the hub fan-out "
+        f"({max_out} vs deg {max_deg})")
+
+    for r in rows:
+        want = 0 if r.deg < 2 else (2 * r.tri_n * 1_000_000) // (
+            r.deg * (r.deg - 1))
+        assert r.cc_ppm == want, f"node {r.node}: cc {r.cc_ppm} != {want}"
+        assert r.tri_n <= r.deg * (r.deg - 1) // 2, (
+            f"node {r.node}: more triangles than wedge pairs")
+
+
 def test_funnel_cohort_matrix_invariants(spark, sf_dir):
     """The cohort × funnel matrix's structural laws: step counts are
     monotonically non-increasing within a cohort (reaching step k+1

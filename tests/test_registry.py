@@ -200,8 +200,8 @@ def test_round14_window_disjoint_from_r13():
         "round-14 window re-checks round-13 greens")
     assert not set(window) & set(entry._R12_WINDOW)
     assert not set(window) & set(entry._R11_WINDOW)
-    missing = [n for n in entry._R13_DEFERRED if n not in window[:5]]
-    assert not missing, f"never-checked deferrals missed the window front: {missing}"
+    missing = [n for n in entry._R13_DEFERRED if n not in window]
+    assert not missing, f"never-checked deferrals missed the window: {missing}"
 
 
 def test_r14_window_matches_first_fifty():

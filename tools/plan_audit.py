@@ -1107,6 +1107,16 @@ CHECKS = {
                  "BroadcastNestedLoopJoin"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # Triangle read side (post-checkpoint): the wedge self-join and
+    # the closing membership join are plain equi-joins over the
+    # checkpointed oriented edges, the per-node participation count
+    # is map-combined, and nothing is a cartesian/nested-loop (the
+    # all-pairs shape) or a window.  The orientation build itself is
+    # pinned by the w_triangles_oriented BUILDER below.
+    "w_triangles": dict(
+        require=["partial_count"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
     # Fixed-point PageRank: the edge build is the transitions lag
     # window; each unrolled iteration joins the edge list against the
     # N-row rank frame (hinted broadcast) and map-combines the per-dst
@@ -1380,7 +1390,26 @@ def _build_st_lsh_prefilter(spark):
     return streaming_lsh_prefilter(src, idx)
 
 
+def _build_triangle_oriented(spark):
+    # The pre-checkpoint orientation build of w_triangles: the
+    # co-purchase expansion must be an EQUI-self-join on the order
+    # key (bounded clique expansion — never a cartesian/nested-loop),
+    # the degree relation must come back as two hinted BROADCAST
+    # joins, and the lineitem scan must be pruned to the two key
+    # columns.
+    from go_whisper_spark.operators.whisper_queries import _tri_oriented
+
+    _, oriented = _tri_oriented(spark, SF_DIR, materialize=False)
+    return oriented
+
+
 BUILDERS = {
+    # See _build_triangle_oriented.
+    "w_triangles_oriented": dict(
+        build=_build_triangle_oriented,
+        require=["BroadcastHashJoin", "partial_count"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
     # The applyInPandas .wsp write stage: one FlatMapGroupsInPandas
     # keyed by metric (whisper's one-file-per-metric layout IS the
     # shuffle key); no join of any kind in the sink plan.
