@@ -519,6 +519,184 @@ def read_table(
     return spark.read.parquet(*dirs)
 
 
+# -------------------------------------------------------- merge-on-read
+# The READ-side complement of merge_table's copy-on-write: DELETEs and
+# UPSERTs publish as metadata-only commits (an equality-deletion-vector
+# key set + a delta-append dir), and the scan applies them — no base
+# file is rewritten until an explicit compact_mor.  This is public
+# Iceberg's equality-delete / Delta's deletion-vector shape, with the
+# standard sequencing rule: a delete applies ONLY to rows from
+# directories whose commit sequence is STRICTLY OLDER than the
+# delete's, so rows re-added by a later append are untouched, and a
+# partition rewritten by copy-on-write MERGE (new dir ⇒ new sequence)
+# sheds every older tombstone automatically.
+
+DV_PREFIX = "dv/"
+DELTA_PREFIX = "delta/"
+
+
+def _mor_key_versions(
+    log: CommitLog, at_version: Optional[int] = None
+) -> Dict[str, tuple]:
+    """{key: (version-last-added, datadir)} by full-log replay —
+    read_table_mor needs each key's commit SEQUENCE, which ``state()``
+    (checkpoint-accelerated) does not carry.  Commits are immutable
+    and never deleted, so the full replay is always available;
+    control-plane O(log) only."""
+    out: Dict[str, tuple] = {}
+    versions = log.versions()
+    if at_version is not None:
+        if at_version not in versions:
+            raise ValueError(
+                f"version {at_version} does not exist in {log.table}"
+            )
+        versions = [v for v in versions if v <= at_version]
+    for v in versions:
+        c = log.read_commit(v)
+        for key in c.get("remove", []):
+            out.pop(key, None)
+        for key, datadir in c.get("replace", {}).items():
+            out[key] = (v, datadir)
+    return out
+
+
+def delete_rows_mor(
+    spark: SparkSession,
+    table: str,
+    keys: DataFrame,
+    base_version: Optional[int] = None,
+) -> int:
+    """MoR DELETE: stage the key set as an equality deletion vector
+    and publish it as ONE metadata commit — ZERO data partitions are
+    touched or rewritten (the entire point; contrast merge_table's
+    per-partition rewrite).  The tombstone applies at scan time to
+    every row from a strictly older directory.  Returns the committed
+    version."""
+    log = CommitLog(table)
+    if base_version is None:
+        base_version = log.state()["version"]
+    d = stage_dir(table)
+    keys.write.mode("overwrite").parquet(d)
+    return log.commit(base_version, {f"{DV_PREFIX}{uuid.uuid4().hex}": d})
+
+
+def upsert_rows_mor(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key_cols,
+    base_version: Optional[int] = None,
+) -> int:
+    """MoR UPSERT: ONE commit adding a delta-append directory (the new
+    row versions) plus the deletion vector shadowing the replaced
+    keys in all older directories.  Both land at the SAME sequence,
+    so the tombstone cannot touch the delta it ships with (strict
+    inequality).  No base file is rewritten.  Returns the committed
+    version."""
+    log = CommitLog(table)
+    if base_version is None:
+        base_version = log.state()["version"]
+    d_rows = stage_dir(table)
+    d_keys = stage_dir(table)
+    updates.write.mode("overwrite").parquet(d_rows)
+    updates.select(*key_cols).distinct().write.mode("overwrite").parquet(d_keys)
+    return log.commit(base_version, {
+        f"{DELTA_PREFIX}{uuid.uuid4().hex}": d_rows,
+        f"{DV_PREFIX}{uuid.uuid4().hex}": d_keys,
+    })
+
+
+def read_table_mor(
+    spark: SparkSession,
+    table: str,
+    key_cols,
+    version: Optional[int] = None,
+) -> DataFrame:
+    """Merge-on-read snapshot scan: (data ∪ delta directories), each
+    row carrying its directory's commit sequence, minus every key an
+    equality deletion vector with a STRICTLY NEWER sequence covers —
+    applied as ONE broadcast LEFT ANTI join at scan time.
+
+    Scale shape: the manifest resolution is control-plane (it builds
+    the PLAN — one parquet source per live directory with a literal
+    sequence column, unioned); the data scan stays pruned/pushed-down
+    exactly like read_table's; deletion vectors are key sets, orders
+    of magnitude smaller than the data, hence the broadcast hint —
+    at pathological tombstone volume run compact_mor, which is the
+    same judgement call public lakehouses surface as OPTIMIZE.
+    ``version`` pins time travel with the same vacuum-window caveat
+    as read_table."""
+    from pyspark.sql import functions as F
+
+    log = CommitLog(table)
+    kv = _mor_key_versions(log, at_version=version)
+    if not kv:
+        raise FileNotFoundError(f"lake table {table} has no committed data")
+    keys = list(key_cols)
+
+    def _load(key_filter) -> List[DataFrame]:
+        frames = []
+        for key, (seq, d) in sorted(kv.items()):
+            if key_filter(key):
+                frames.append(
+                    spark.read.parquet(d).withColumn("_seq", F.lit(seq))
+                )
+        return frames
+
+    data = _load(lambda k: not k.startswith((DV_PREFIX, DELTA_PREFIX)))
+    data += _load(lambda k: k.startswith(DELTA_PREFIX))
+    if not data:
+        raise FileNotFoundError(f"lake table {table} has no committed data")
+    rows = data[0]
+    for f in data[1:]:
+        rows = rows.unionByName(f)
+    dvs = _load(lambda k: k.startswith(DV_PREFIX))
+    if dvs:
+        tomb = dvs[0]
+        for f in dvs[1:]:
+            tomb = tomb.unionByName(f)
+        tomb = tomb.select(
+            *[F.col(k).alias(f"_dv_{k}") for k in keys],
+            F.col("_seq").alias("_dv_seq"),
+        )
+        cond = F.col("_dv_seq") > F.col("_seq")
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"_dv_{k}"))
+        rows = rows.join(F.broadcast(tomb), cond, "left_anti")
+    return rows.drop("_seq")
+
+
+def compact_mor(
+    spark: SparkSession,
+    table: str,
+    key_cols,
+    part_col: str,
+    base_version: Optional[int] = None,
+) -> int:
+    """Materialize the MoR view back to copy-on-write (public
+    OPTIMIZE): rewrite every data partition with tombstones applied
+    and delta rows folded in, and REMOVE every dv/delta key, in ONE
+    atomic commit — readers flip from merge-on-read to the eager
+    layout or see neither.  Returns the committed version."""
+    from pyspark.sql import functions as F
+
+    log = CommitLog(table)
+    if base_version is None:
+        base_version = log.state()["version"]
+    cur = read_table_mor(spark, table, key_cols, version=base_version)
+    mor_keys = [
+        k for k in _mor_key_versions(log, at_version=base_version)
+        if k.startswith((DV_PREFIX, DELTA_PREFIX))
+    ]
+    parts = [r[0] for r in cur.select(part_col).distinct().collect()]
+    replace = {}
+    for p in parts:
+        d = stage_dir(table)
+        cur.where(F.col(part_col) == p).write.mode("overwrite").parquet(d)
+        replace[f"{part_col}={p}"] = d
+    return log.commit(base_version, replace, remove=mor_keys)
+
+
 def bronze_table(base: str) -> str:
     return os.path.join(base, "bronze")
 

@@ -3806,6 +3806,85 @@ def w_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, table).select("doc_id", "lang", "score", "src", "b")
 
 
+def w_lakehouse_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read under the driver's oracle — the READ-side verb
+    the copy-on-write MERGE (`w_lakehouse_merge`) doesn't cover: the
+    same silver documents table takes (v2) a MoR DELETE of every
+    doc_id % 5 == 0 and (v3) a MoR UPSERT re-scoring every doc_id %
+    7 == 0 (+1000, src='mor'), BOTH as metadata-only commits — zero
+    base files rewritten (pytest pins the base directories
+    byte-identical across both commits) — and the result is the
+    merge-on-read SCAN: base ∪ delta minus every key a strictly-newer
+    equality deletion vector covers, applied as one broadcast anti
+    join at read time.  A doc hit by both (doc_id % 35 == 0) is
+    deleted at v2 and REAPPEARS via the v3 delta (the Iceberg
+    sequencing rule: a tombstone only shadows strictly older
+    directories).  The oracle is the eagerly-rewritten table
+    restated in plain SQL — MoR scan ≡ eager rewrite is the whole
+    contract.
+
+    Scale shape: DELETE cost is O(tombstone keys) regardless of table
+    size (the entire point — contrast merge_table's per-partition
+    rewrite); the scan stays file-pruned with the deletion vector as
+    a broadcast key set; pathological tombstone volume is compacted
+    away by compact_mor (pytest pins compacted == MoR view)."""
+    import os
+    import tempfile
+
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        delete_rows_mor,
+        read_table_mor,
+        upsert_rows_mor,
+    )
+    from go_whisper_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("score"),
+        F.lit("base").alias("src"),
+        (F.col("doc_id") % 4).alias("b"),
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="gws_lakemor_"), "silver_docs")
+    commit_partitions(
+        spark, table,
+        {f"b={k}": base.where(F.col("b") == k) for k in range(4)},
+        base_version=0,
+    )
+    delete_rows_mor(
+        spark, table, base.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    )
+    upsert_rows_mor(
+        spark, table,
+        base.where(F.col("doc_id") % 7 == 0).select(
+            "doc_id", "lang",
+            (F.col("score") + 1000).alias("score"),
+            F.lit("mor").alias("src"),
+            "b",
+        ),
+        key_cols=["doc_id"],
+    )
+    return read_table_mor(spark, table, key_cols=["doc_id"]).select(
+        "doc_id", "lang", "score", "src", "b"
+    )
+
+
+W_LAKEHOUSE_MOR_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
+         'base' AS src, doc_id % 4 AS b
+  FROM documents
+)
+SELECT doc_id, lang, score, src, b FROM base
+WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0
+UNION ALL
+SELECT doc_id, lang, score + 1000 AS score, 'mor' AS src, b
+FROM base WHERE doc_id % 7 = 0
+"""
+
+
 W_LAKEHOUSE_MERGE_SQL = """
 WITH base AS (
   SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
@@ -3833,6 +3912,7 @@ QUERIES = {
     "w_lakehouse_compact": w_lakehouse_compact,
     "w_lakehouse_timetravel": w_lakehouse_timetravel,
     "w_lakehouse_merge": w_lakehouse_merge,
+    "w_lakehouse_mor": w_lakehouse_mor,
     "w_heavy_hitters_cms": w_heavy_hitters_cms,
     "w_distinct_hll": w_distinct_hll,
     "w_funnel_3step": w_funnel_3step,
@@ -3882,6 +3962,7 @@ ORACLES = {
     "w_lakehouse_compact": W_LAKEHOUSE_COMPACT_SQL,
     "w_lakehouse_timetravel": W_LAKEHOUSE_TIMETRAVEL_SQL,
     "w_lakehouse_merge": W_LAKEHOUSE_MERGE_SQL,
+    "w_lakehouse_mor": W_LAKEHOUSE_MOR_SQL,
     "w_heavy_hitters_cms": W_HEAVY_HITTERS_CMS_SQL,
     "w_distinct_hll": W_DISTINCT_HLL_SQL,
     "w_funnel_3step": W_FUNNEL_3STEP_SQL,

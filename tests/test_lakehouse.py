@@ -495,3 +495,113 @@ def test_merge_table_conflict_and_disjoint(spark, tmp_path):
                     base_version=snap)
     assert v == CommitLog(table).state()["version"]
     assert {r.v for r in read_table(spark, table).where("k = 1").collect()} == {222}
+
+
+# --------------------------------------------------------- merge-on-read
+def _mor_table(spark, tmp_path):
+    from go_whisper_spark.lakehouse import commit_partitions
+
+    table = str(tmp_path / "mor")
+    df = spark.createDataFrame(
+        [(k, k * 10, k % 2) for k in range(10)], "k long, v long, b long"
+    )
+    commit_partitions(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in (0, 1)},
+        base_version=0,
+    )
+    return table
+
+
+def test_mor_delete_is_metadata_only(spark, tmp_path):
+    """A MoR DELETE rewrites ZERO base files: the data-partition
+    manifest entries (and the staged dirs' contents) are IDENTICAL
+    before and after, the tombstone is applied at scan time, and a
+    pinned read at the pre-delete version still sees every row."""
+    from go_whisper_spark.lakehouse import delete_rows_mor, read_table_mor
+
+    table = _mor_table(spark, tmp_path)
+    log = CommitLog(table)
+    v1 = log.state()["version"]
+    dirs_before = {
+        k: d for k, d in log.state()["partitions"].items()
+        if not k.startswith(("dv/", "delta/"))
+    }
+    mtimes = {d: sorted(os.listdir(d)) for d in dirs_before.values()}
+    delete_rows_mor(
+        spark, table,
+        spark.createDataFrame([(0,), (4,), (8,)], "k long"),
+    )
+    st = CommitLog(table).state()
+    dirs_after = {
+        k: d for k, d in st["partitions"].items()
+        if not k.startswith(("dv/", "delta/"))
+    }
+    assert dirs_after == dirs_before, "a data partition was rewritten"
+    for d, names in mtimes.items():
+        assert sorted(os.listdir(d)) == names
+    out = read_table_mor(spark, table, key_cols=["k"])
+    assert {r.k for r in out.collect()} == set(range(10)) - {0, 4, 8}
+    # time travel to the pre-delete snapshot: all rows visible
+    pinned = read_table_mor(spark, table, key_cols=["k"], version=v1)
+    assert pinned.count() == 10
+
+
+def test_mor_sequencing_and_upsert(spark, tmp_path):
+    """The Iceberg sequencing rule: a tombstone shadows only strictly
+    OLDER directories, so a key deleted at v2 then upserted at v3
+    reappears with the delta's values, and the upsert's own tombstone
+    does not touch the delta it ships with."""
+    from go_whisper_spark.lakehouse import (
+        delete_rows_mor,
+        read_table_mor,
+        upsert_rows_mor,
+    )
+
+    table = _mor_table(spark, tmp_path)
+    delete_rows_mor(spark, table, spark.createDataFrame([(2,), (3,)], "k long"))
+    upsert_rows_mor(
+        spark, table,
+        spark.createDataFrame([(3, 999, 1), (5, 555, 1)], "k long, v long, b long"),
+        key_cols=["k"],
+    )
+    got = {r.k: r.v for r in read_table_mor(spark, table, key_cols=["k"]).collect()}
+    assert 2 not in got                      # deleted, never re-added
+    assert got[3] == 999                     # deleted then re-added by delta
+    assert got[5] == 555                     # replaced (old row shadowed)
+    assert got[4] == 40                      # untouched
+    assert len(got) == 9
+
+
+def test_mor_compact_materializes_and_drops_tombstones(spark, tmp_path):
+    """compact_mor rewrites the MoR view eagerly in ONE commit: reads
+    agree row-for-row, every dv/delta key is gone from the manifest,
+    and a copy-on-write rewrite (new sequence) sheds older tombstones
+    by construction."""
+    from go_whisper_spark.lakehouse import (
+        compact_mor,
+        delete_rows_mor,
+        read_table_mor,
+        upsert_rows_mor,
+    )
+
+    table = _mor_table(spark, tmp_path)
+    delete_rows_mor(spark, table, spark.createDataFrame([(1,), (7,)], "k long"))
+    upsert_rows_mor(
+        spark, table,
+        spark.createDataFrame([(7, 777, 1)], "k long, v long, b long"),
+        key_cols=["k"],
+    )
+    before = sorted(
+        (r.k, r.v) for r in read_table_mor(spark, table, key_cols=["k"]).collect()
+    )
+    compact_mor(spark, table, key_cols=["k"], part_col="b")
+    st = CommitLog(table).state()
+    assert not [k for k in st["partitions"] if k.startswith(("dv/", "delta/"))]
+    after = sorted(
+        (r.k, r.v) for r in read_table_mor(spark, table, key_cols=["k"]).collect()
+    )
+    assert after == before
+    # the eager read_table agrees too (the MoR scan's oracle)
+    eager = sorted((r.k, r.v) for r in read_table(spark, table).collect())
+    assert eager == before

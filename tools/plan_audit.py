@@ -1107,6 +1107,16 @@ CHECKS = {
                  "BroadcastNestedLoopJoin"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # Merge-on-read scan: the deletion vector must apply as BROADCAST
+    # LEFT ANTI equi-joins (Catalyst constant-folds the per-directory
+    # sequence inequality into the broadcast side per union branch —
+    # the strictly-older rule costs nothing at runtime); never a
+    # shuffle join or a nested loop over data.
+    "w_lakehouse_mor": dict(
+        require=["BroadcastHashJoin LeftAnti"],
+        forbid=["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
+    ),
     # Triangle read side (post-checkpoint): the wedge self-join and
     # the closing membership join are plain equi-joins over the
     # checkpointed oriented edges, the per-node participation count
