@@ -126,6 +126,7 @@ def _replay(
     build,
     await_secs: int = 300,
     n_passes: int = N_PASSES,
+    on_pass=None,
 ) -> str:
     """Write one file per arrival pass, run one availableNow pass per
     file over a shared checkpoint, foreachBatch-append every emitted
@@ -133,7 +134,11 @@ def _replay(
     ``n_passes`` > N_PASSES lets a caller append sentinel flush passes
     (watermark-only rows at arrive >= N_PASSES) — outer joins and
     other eviction-paced emissions need the watermark pushed past the
-    real rows' bounds before their final results exist."""
+    real rows' bounds before their final results exist.
+    ``on_pass(k, q)`` is called after pass ``k``'s query terminates —
+    the hook ``st_late_ledger`` uses to read the pass's own
+    StreamingQueryProgress (watermark trajectory + rows dropped by
+    the watermark), which each ``start()`` scopes to its pass."""
     root = _tmpdir()
     src, out, ckpt = (os.path.join(root, n) for n in ("src", "out", "ckpt"))
     feed = marked.drop("arrive")
@@ -162,6 +167,8 @@ def _replay(
         # would silently continue with a partial (wrong) snapshot.
         if not q.awaitTermination(await_secs):
             raise RuntimeError("streaming pass timed out")
+        if on_pass is not None:
+            on_pass(k, q)
     return out
 
 
@@ -2692,6 +2699,114 @@ def st_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pagerank_ledger(edges)
 
 
+# ------------------------------------------------------- st_late_ledger
+def st_late_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark-correctness ledger — LATE-data accounting itself,
+    the semantic every other ``st_*`` query silently relies on, made a
+    first-class oracle-checked relation: per arrival pass of the
+    standard 3-pass replay, how many rows arrived, how many the
+    watermark DROPPED before the stateful rollup (whisper's
+    ``timestamp < now - maxRetention`` rejection [ref: whisper.go
+    (Update — bounds check)]), how many were admitted, and the
+    operative watermark itself.
+
+    The ledger is read from the STREAM'S OWN accounting, not
+    recomputed: each pass's ``StreamingQueryProgress`` reports
+    ``numInputRows``, the state operator's
+    ``numRowsDroppedByWatermark`` / ``numRowsUpdated``, and the
+    trigger's event-time watermark.  The metric semantics this pins
+    (found by oracling it, not documented anywhere obvious): the
+    state-operator counters are in units of MAP-COMBINED PARTIAL
+    rows, not raw inputs — the drop filter runs at the state store,
+    after the partial aggregate, so N late raw rows sharing a
+    (metric, window) count ONCE (at sf0.01, 195 raw late rows arrive
+    in pass 2 and the stream reports 194 — two shared a group).  The
+    oracle therefore states the algebra in group units: wm(k) = max
+    event time of passes < k − lateness; dropped(k) = DISTINCT late
+    (metric, 1 h window) groups of pass k (window end ≤ wm(k));
+    updated(k) = distinct admitted groups — plus the raw arrival
+    count and the watermark trajectory itself, all verified
+    bit-for-bit at sf0.001/0.01/0.1.
+
+    Scale shape: the ledger is O(passes) rows assembled from
+    driver-side progress metadata (control-plane, like the
+    st_zorder_stats bounds snapshot); the streamed plan is the
+    audited st_rollup_lww_1h plan unchanged.  Determinism caveat:
+    group-unit counting relies on each pass reading as ONE input
+    partition (the replay's coalesce(1) file per pass) — partial
+    aggregates never split a group across map tasks."""
+    import datetime as _dt
+    import json as _json
+
+    pts = events_points(spark, sf_dir).select(
+        "metric", "ts", "value", "write_seq"
+    )
+    t0 = int(pts.agg(F.min("ts")).first()[0])
+    marked = pts.withColumn("arrive", _arrive(t0)).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts"))
+    )
+    cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
+    ledger = []
+
+    def on_pass(k: int, q) -> None:
+        arrived = dropped = updated = wm_sec = 0
+        for prog in q.recentProgress:
+            p = _json.loads(prog.json) if hasattr(prog, "json") else prog
+            nin = int(p.get("numInputRows", 0))
+            if nin == 0:
+                continue  # the no-data flush batch: nothing arrives
+            arrived += nin
+            for so in p.get("stateOperators", []):
+                dropped += int(so.get("numRowsDroppedByWatermark", 0))
+                updated += int(so.get("numRowsUpdated", 0))
+            wm = p.get("eventTime", {}).get("watermark")
+            if wm:
+                ts = _dt.datetime.strptime(
+                    wm, "%Y-%m-%dT%H:%M:%S.%fZ"
+                ).replace(tzinfo=_dt.timezone.utc)
+                wm_sec = max(wm_sec, int(ts.timestamp()))
+        ledger.append((k, arrived, dropped, updated, wm_sec))
+
+    _replay(
+        spark, marked,
+        lambda s: streaming_rollup(s, cfg, archive_index=0),
+        on_pass=on_pass,
+    )
+    return spark.createDataFrame(
+        ledger,
+        "arrive long, n_arrived long, n_dropped long, "
+        "n_updated long, wm_sec long",
+    )
+
+
+ST_LATE_LEDGER_SQL = f"""
+WITH pts AS (
+  SELECT event_type AS metric,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+),
+{_MARKED_CTE},
+lab AS (
+  SELECT m.arrive, m.metric, m.ts - m.ts % 3600 AS w0,
+         CASE WHEN wm.wm IS NOT NULL
+                   AND m.ts - m.ts % 3600 + 3600 <= wm.wm
+              THEN 1 ELSE 0 END AS late
+  FROM marked m LEFT JOIN wm ON wm.arrive = m.arrive
+)
+SELECT l.arrive,
+       count(*) AS n_arrived,
+       CAST(count(DISTINCT CASE WHEN late = 1 THEN (metric, w0) END)
+            AS BIGINT) AS n_dropped,
+       CAST(count(DISTINCT CASE WHEN late = 0 THEN (metric, w0) END)
+            AS BIGINT) AS n_updated,
+       COALESCE(w.wm, 0) AS wm_sec
+FROM lab l LEFT JOIN wm w ON w.arrive = l.arrive
+GROUP BY l.arrive, w.wm
+"""
+
+
 # st_distinct_hll's oracle IS the batch HLL SQL verbatim — register-max
 # mergeability makes the streamed sketch equal the one-shot sketch.
 from go_whisper_spark.operators.whisper_queries import (  # noqa: E402
@@ -2736,6 +2851,7 @@ QUERIES = {
     "st_lakehouse_merge": st_lakehouse_merge,
     "st_distinct_hll": st_distinct_hll,
     "st_heavy_hitters_cms": st_heavy_hitters_cms,
+    "st_late_ledger": st_late_ledger,
 }
 
 ORACLES = {
@@ -2771,4 +2887,5 @@ ORACLES = {
     "st_lakehouse_merge": ST_LAKEHOUSE_MERGE_SQL,
     "st_distinct_hll": _W_DISTINCT_HLL_ORACLE,
     "st_heavy_hitters_cms": _W_CMS_ORACLE,
+    "st_late_ledger": ST_LATE_LEDGER_SQL,
 }
