@@ -4556,6 +4556,11 @@ RENDER_EXPR_XFF = (
     "sortBy(legendValue(summarize(setXFilesFactor(seriesByGlob('*'), 75), "
     "4, 'avg'), 'max', 'avg'), 'average', 1)"
 )
+RENDER_EXPR_HWAREA = "holtWintersConfidenceArea(sumSeries('*'))"
+RENDER_EXPR_GAPFILL = (
+    "aliasByNode(removeEmptySeries(interpolate(removeAboveValue("
+    "aliasSub('*', '^', 'dc1.x.'), 40), 3), 89), 0, 2)"
+)
 RENDER_EXPR_LISTS = (
     "movingSum(aggregateSeriesLists(seriesByGlob('[ce]*'), "
     "seriesByGlob('[vs]*'), 'diff'), 4)"
@@ -4805,6 +4810,32 @@ def g_render_xff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render(spark, sf_dir, RENDER_EXPR_XFF)
 
 
+def g_render_hwarea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 forecast-surface completion: Graphite's
+    holtWintersConfidenceArea as a composable op — desugared at the
+    parser to areaBetween(lower, upper) over the fleet-total series,
+    so the band WIDTH rides the existing one-kernel Holt fold and
+    the |a−b| exact-cent band op; no new visitor case exists to
+    drift (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_HWAREA)
+
+
+def g_render_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 optional-argument parity wave end-to-end: series
+    prefixed into a 3-node namespace, spikes nulled, gaps of at most
+    3 slots linearly interpolated (interpolate's new bounded-fill
+    limit — longer outages stay NULL), series under 89% slot
+    coverage dropped (removeEmptySeries' new xFilesFactor percent —
+    the exact integer cross-multiplication gate; 1 of 5 series
+    survives at sf0.01, 2 of 5 at sf0.1), and the survivors renamed
+    by the new multi-index aliasByNode(0, 2) (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_GAPFILL)
+
+
 def g_render_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-12 list combiners end-to-end: two glob seeds pairwise
     position-matched (sorted-label ranks — the divideSeriesLists
@@ -4932,6 +4963,8 @@ QUERIES = {
     "g_render_pairs": g_render_pairs,
     "g_render_generic": g_render_generic,
     "g_render_xff": g_render_xff,
+    "g_render_hwarea": g_render_hwarea,
+    "g_render_gapfill": g_render_gapfill,
     "g_render_lists": g_render_lists,
     "g_render_apply": g_render_apply,
     "g_render_unique": g_render_unique,
@@ -5094,6 +5127,8 @@ ORACLES = {
     "g_render_pairs": _render_oracle(RENDER_EXPR_PAIRS),
     "g_render_generic": _render_oracle(RENDER_EXPR_GENERIC),
     "g_render_xff": _render_oracle(RENDER_EXPR_XFF),
+    "g_render_hwarea": _render_oracle(RENDER_EXPR_HWAREA),
+    "g_render_gapfill": _render_oracle(RENDER_EXPR_GAPFILL),
     "g_render_lists": _render_oracle(RENDER_EXPR_LISTS),
     "g_render_apply": _render_oracle(RENDER_EXPR_APPLY),
     "g_render_unique": _render_oracle(RENDER_EXPR_UNIQUE),

@@ -23,7 +23,7 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (125 ops — the composable core; the ~111 fixed-form
+Operator registry (126 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
@@ -49,8 +49,10 @@ surface):
               NULL)
               offsetToZero stdev(n) movingMedian(n) — lower median
               of the NULL-filtered sorted window
-              interpolate — integer-exact linear fill between known
-              neighbours (leading/trailing NULLs stay NULL)
+              interpolate(±limit) — integer-exact linear fill between
+              known neighbours (leading/trailing NULLs stay NULL;
+              optional limit caps the filled gap length, longer
+              outages stay NULL)
               minMax — (v−min)/(max−min) per series in floored
               cents (max==min → 0; whole-partition, dup-safe)
               exponentialMovingAverage(N) — α=2/(N+1) left fold,
@@ -58,7 +60,9 @@ surface):
               recursive CTE, the Holt-Winters discipline)
               (order-sensitive ones statically require unique
               (metric, interval) keys — see analyze())
-  filters     grep exclude limit removeEmptySeries
+  filters     grep exclude limit removeEmptySeries(±pct — optional
+              xFilesFactor percent: survivors need
+              count(known)·100 >= pct·slots, the exact integer gate)
   selectors   maximumAbove maximumBelow minimumAbove minimumBelow
               averageAbove averageBelow currentAbove currentBelow
               highestMax highestAverage lowestAverage mostDeviant
@@ -70,6 +74,9 @@ surface):
               Holt's linear trend + γ-smoothed deviation envelope,
               bit-exact IEEE fold in both engines (one metric-keyed
               applyInPandas kernel ↔ recursive CTE)
+              holtWintersConfidenceArea — desugars to
+              areaBetween(lower, upper) (band width; one-series
+              contract enforced there)
               linearRegression — per-series OLS fit line over the
               slot index (exact-long normal-equation sums, the two
               IEEE-identical divisions; single-point series → NULL)
@@ -88,7 +95,8 @@ surface):
   per-series  aggregateLine('avg'|'max'|'min') — flat line at the
               series aggregate (keys preserved)
   labels      alias aliasSub (replace-ALL semantics in both engines)
-              aliasByNode(i) — rename to the i-th dot node
+              aliasByNode(i[, j, ...]) — rename to the named dot
+              nodes joined by '.' (missing → '')
               substr(i, j) — keep dot nodes [i, j)
   selectors++ useSeriesAbove(t, 'search', 'replace') — keep series
               whose peak exceeds t AND regex-rename them
@@ -389,6 +397,18 @@ def _desugar(node: Node) -> Node:
         return Call("offset", args)
     if name == "timeFunction":
         return Call("identity", args)
+    if name == "holtWintersConfidenceArea":
+        # the shaded band IS the width between the two confidence
+        # bounds — desugared to areaBetween over the two bands, so
+        # the visitors see only canonical ops (and areaBetween's
+        # one-uniquely-keyed-series contract is enforced there).
+        if len(args) != 1:
+            raise RenderParseError(
+                "holtWintersConfidenceArea takes (series)")
+        return Call("areaBetween", [
+            Call("holtWintersConfidenceLower", [args[0]]),
+            Call("holtWintersConfidenceUpper", [args[0]]),
+        ])
     if name in ("sumSeriesLists", "diffSeriesLists",
                 "multiplySeriesLists"):
         if len(args) != 2:
@@ -1793,16 +1813,26 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                 F.regexp_replace("metric", n.args[1].value, n.args[2].value),
             )
         if name == "aliasByNode":
-            # rename each series to the i-th dot-node of its label
-            # (missing node → '', both engines) — the hierarchy-flatten
-            # rename; collapsing labels is tracked by analyze().
-            _need(n, 2, (object, Num))
-            i = n.args[1].value
-            if i < 0:
+            # rename each series to the named dot-nodes of its label
+            # joined by '.' (missing node → '', both engines) — the
+            # hierarchy-flatten rename, multi-index like public
+            # Graphite's aliasByNode(s, 1, 3); collapsing labels is
+            # tracked by analyze().
+            if len(n.args) < 2 or not all(
+                isinstance(a, Num) for a in n.args[1:]
+            ):
+                raise RenderParseError(
+                    "aliasByNode takes (series, i[, j, ...])")
+            idxs = [a.value for a in n.args[1:]]
+            if any(i < 0 for i in idxs):
                 raise RenderParseError("aliasByNode index must be >= 0")
+            parts = [
+                F.coalesce(F.get(F.split("metric", "[.]"), i), F.lit(""))
+                for i in idxs
+            ]
             return ev(n.args[0]).withColumn(
                 "metric",
-                F.coalesce(F.get(F.split("metric", "[.]"), i), F.lit("")),
+                parts[0] if len(parts) == 1 else F.concat_ws(".", *parts),
             )
         if name == "averageOutsidePercentile":
             # keep series whose mean falls OUTSIDE the [p, 100-p]
@@ -2087,6 +2117,26 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
         if name == "removeEmptySeries":
             # drop all-NULL series: winners have >= 1 known slot;
             # un-hinted O(n_metrics) join-back (AQE-sized).
+            # Optional xFilesFactor percent (public Graphite's
+            # removeEmptySeries(s, xff), quantized to integer percent
+            # like setXFilesFactor): a series survives only when
+            # count(known)·100 >= pct·count(slots) — the same exact
+            # integer cross-multiplication as the xff gate.
+            if len(n.args) == 2:
+                _need(n, 2, (object, Num))
+                pct = n.args[1].value
+                if not 1 <= pct <= 100:
+                    raise RenderParseError(
+                        "removeEmptySeries pct must be in 1..100")
+                s = ev(n.args[0])
+                winners = (
+                    s.groupBy("metric")
+                    .agg(F.count("cents").alias("nn"),
+                         F.count("*").alias("nt"))
+                    .where(F.col("nn") * 100 >= F.lit(pct) * F.col("nt"))
+                    .select("metric")
+                )
+                return s.join(winners, "metric")
             _need(n, 1, (object,))
             s = ev(n.args[0])
             winners = (
@@ -2298,8 +2348,19 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
             # nearest known neighbours (the g_interpolate weights:
             # filled = (prev·(next_iv−iv) + next·(iv−prev_iv))
             # / (next_iv−prev_iv), floor-truncated); leading/trailing
-            # NULLs stay NULL, known slots pass through.
-            _need(n, 1, (object,))
+            # NULLs stay NULL, known slots pass through.  Optional
+            # limit (public Graphite's interpolate(s, limit)): fill
+            # only gaps of at most `limit` consecutive missing slots
+            # — next_iv − prev_iv ≤ 3600·(limit+1); longer outages
+            # stay NULL (the keepLastValue(limit) discipline).
+            lim = None
+            if len(n.args) == 2:
+                _need(n, 2, (object, Num))
+                lim = n.args[1].value
+                if lim < 1:
+                    raise RenderParseError("interpolate limit must be >= 1")
+            else:
+                _need(n, 1, (object,))
             s = ev(n.args[0])
             wb = w.rowsBetween(Window.unboundedPreceding, 0)
             wf = w.rowsBetween(0, Window.unboundedFollowing)
@@ -2317,15 +2378,16 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                 ).cast("double")
                 / (next_iv - prev_iv)
             ).cast("long")
+            fillable = prev_iv.isNotNull() & next_iv.isNotNull()
+            if lim is not None:
+                fillable = fillable & (
+                    next_iv - prev_iv <= 3600 * (lim + 1)
+                )
             return s.select(
                 "metric",
                 "interval",
                 F.when(F.col("cents").isNotNull(), F.col("cents"))
-                .otherwise(
-                    F.when(
-                        prev_iv.isNotNull() & next_iv.isNotNull(), fill
-                    )
-                )
+                .otherwise(F.when(fillable, fill))
                 .alias("cents"),
             )
         if name == "exponentialMovingAverage":
@@ -2951,6 +3013,15 @@ def build_sql(node: Node) -> str:
         PTS_CTE,
     )
 
+    # Recursive-CTE emissions (Holt-Winters, EMA) must use UNIQUE
+    # names per emission: a nested composition (hw over hw, hw over
+    # ema, …) otherwise has the inner subquery's hwseq/hwrec SHADOW
+    # the outer recursion's, and DuckDB silently resolves the outer
+    # references against the inner definitions — the fold joins
+    # nothing and every band goes NULL (found by the round-14 fuzz
+    # drawing holtWintersConfidenceArea over an aberration chain).
+    cte_seq = iter(range(1_000_000))
+
     def seed(pattern: str) -> str:
         rx = glob_to_regex(pattern).replace("'", "''")
         return (
@@ -3318,19 +3389,21 @@ def build_sql(node: Node) -> str:
                     "ELSE CAST(0 AS BIGINT) END"
                 ),
             }[name]
+            k = next(cte_seq)
+            sq, rc = f"hwseq_{k}", f"hwrec_{k}"
             return (
-                f"(WITH RECURSIVE hwseq AS ("
+                f"(WITH RECURSIVE {sq} AS MATERIALIZED ("
                 f"SELECT metric, interval, CAST(cents AS DOUBLE) AS x, "
                 f"row_number() OVER (PARTITION BY metric ORDER BY interval)"
                 f" AS t FROM {inner} hs WHERE cents IS NOT NULL), "
-                f"hwrec AS ("
+                f"{rc} AS ("
                 f"SELECT metric, t, interval, x, x AS level, "
                 f"CAST(0.0 AS DOUBLE) AS trend, "
                 f"CAST(0.0 AS DOUBLE) AS dev, "
                 f"CAST(NULL AS DOUBLE) AS forecast, "
                 f"CAST(NULL AS DOUBLE) AS upper, "
                 f"CAST(NULL AS DOUBLE) AS lower "
-                f"FROM hwseq WHERE t = 1 "
+                f"FROM {sq} WHERE t = 1 "
                 f"UNION ALL "
                 f"SELECT s.metric, s.t, s.interval, s.x, "
                 f"0.5 * s.x + (1 - 0.5) * {f_} AS level, "
@@ -3340,10 +3413,10 @@ def build_sql(node: Node) -> str:
                 f"{f_} AS forecast, "
                 f"{f_} + 3 * {dnew} AS upper, "
                 f"{f_} - 3 * {dnew} AS lower "
-                f"FROM hwrec h JOIN hwseq s "
+                f"FROM {rc} h JOIN {sq} s "
                 f"ON s.metric = h.metric AND s.t = h.t + 1) "
                 f"SELECT c.metric, c.interval, {sel} AS cents "
-                f"FROM {inner} c LEFT JOIN hwrec h "
+                f"FROM {inner} c LEFT JOIN {rc} h "
                 f"ON h.metric = c.metric AND h.interval = c.interval)"
             )
         if name == "nPercentile":
@@ -3535,9 +3608,11 @@ def build_sql(node: Node) -> str:
                 f"AS metric, interval, cents FROM {ev(n.args[0])} s)"
             )
         if name == "aliasByNode":
-            i = n.args[1].value
+            idxs = [a.value for a in n.args[1:]]
+            cols = [f"split_part(metric, '.', {i + 1})" for i in idxs]
+            lbl = cols[0] if len(cols) == 1 else " || '.' || ".join(cols)
             return (
-                f"(SELECT split_part(metric, '.', {i + 1}) AS metric, "
+                f"(SELECT {lbl} AS metric, "
                 f"interval, cents FROM {ev(n.args[0])} s)"
             )
         if name == "averageOutsidePercentile":
@@ -3681,6 +3756,14 @@ def build_sql(node: Node) -> str:
             )
         if name == "removeEmptySeries":
             inner = ev(n.args[0])
+            if len(n.args) == 2:
+                pct = n.args[1].value
+                return (
+                    f"(SELECT s.metric, s.interval, s.cents FROM {inner} s "
+                    f"JOIN (SELECT metric FROM {inner} g GROUP BY metric "
+                    f"HAVING count(cents) * 100 >= {pct} * count(*)) w "
+                    f"ON s.metric = w.metric)"
+                )
             return (
                 f"(SELECT s.metric, s.interval, s.cents FROM {inner} s "
                 f"JOIN (SELECT metric FROM {inner} g GROUP BY metric "
@@ -3805,10 +3888,15 @@ def build_sql(node: Node) -> str:
                   "ROWS UNBOUNDED PRECEDING)")
             wf = ("OVER (PARTITION BY metric ORDER BY interval "
                   "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")
+            gap = ""
+            if len(n.args) == 2:
+                gap = (f" AND next_iv - prev_iv <= "
+                       f"{3600 * (n.args[1].value + 1)}")
             return (
                 f"(SELECT metric, interval, CASE "
                 f"WHEN cents IS NOT NULL THEN cents "
-                f"WHEN prev_iv IS NOT NULL AND next_iv IS NOT NULL THEN "
+                f"WHEN prev_iv IS NOT NULL AND next_iv IS NOT NULL{gap} "
+                f"THEN "
                 f"CAST(floor(CAST(prev_c * (next_iv - interval) "
                 f"+ next_c * (interval - prev_iv) AS DOUBLE) "
                 f"/ (next_iv - prev_iv)) AS BIGINT) END AS cents FROM ("
@@ -3825,22 +3913,24 @@ def build_sql(node: Node) -> str:
             kN = n.args[1].value
             a_ = f"(2.0 / {kN + 1})"
             inner = ev(n.args[0])
+            k = next(cte_seq)
+            sq, rc = f"emaseq_{k}", f"emarec_{k}"
             return (
-                f"(WITH RECURSIVE emaseq AS ("
+                f"(WITH RECURSIVE {sq} AS MATERIALIZED ("
                 f"SELECT metric, interval, CAST(cents AS DOUBLE) AS x, "
                 f"row_number() OVER (PARTITION BY metric ORDER BY interval)"
                 f" AS t FROM {inner} es WHERE cents IS NOT NULL), "
-                f"emarec AS ("
+                f"{rc} AS ("
                 f"SELECT metric, t, interval, x, x AS e "
-                f"FROM emaseq WHERE t = 1 "
+                f"FROM {sq} WHERE t = 1 "
                 f"UNION ALL "
                 f"SELECT s.metric, s.t, s.interval, s.x, "
                 f"{a_} * s.x + (1 - {a_}) * h.e AS e "
-                f"FROM emarec h JOIN emaseq s "
+                f"FROM {rc} h JOIN {sq} s "
                 f"ON s.metric = h.metric AND s.t = h.t + 1) "
                 f"SELECT c.metric, c.interval, "
                 f"CAST(floor(h.e) AS BIGINT) AS cents "
-                f"FROM {inner} c LEFT JOIN emarec h "
+                f"FROM {inner} c LEFT JOIN {rc} h "
                 f"ON h.metric = c.metric AND h.interval = c.interval)"
             )
         if name == "weightedAverage":

@@ -3,7 +3,7 @@ the Spark composition vs the AST-emitted DuckDB SQL — must agree
 exactly (the cent discipline makes every composition integer-exact).
 
 Deterministic seed; bounded depth; covers every operator in the
-registry (125 ops as of round 13) including binary combiners, aggregate
+registry (126 ops as of round 14) including binary combiners, aggregate
 reducers, the selector family, the round-11 additions (waves 2-8),
 and the generic method-string spellings (aggregate / movingWindow /
 highest / lowest / filterSeries — desugared by the parser, so the
@@ -99,6 +99,8 @@ def _series(rng, depth):
             "aggregateSeriesLists", "seriesListsSugar", "unique",
             "applyByNode", "areaBetween", "groupByNodes",
             "aliasByMetric", "legendValue", "summarizeXff",
+            "interpolateLimit", "removeEmptySeriesXff",
+            "hwConfidenceArea",
         ]
     )
     if name in _UNARY:
@@ -116,7 +118,19 @@ def _series(rng, depth):
     if name == "nPercentile":
         return f"nPercentile({_series(rng, depth - 1)}, {rng.choice([25, 50, 95])})"
     if name == "aliasByNode":
-        return f"aliasByNode({_series(rng, depth - 1)}, {rng.randint(0, 1)})"
+        # 1-in-3 draws exercise the multi-index form (round 14)
+        idxs = (f"{rng.randint(0, 1)}, {rng.randint(0, 2)}"
+                if rng.random() < 0.34 else str(rng.randint(0, 1)))
+        return f"aliasByNode({_series(rng, depth - 1)}, {idxs})"
+    if name == "interpolateLimit":
+        return (f"interpolate({_series(rng, depth - 1)}, "
+                f"{rng.randint(1, 5)})")
+    if name == "removeEmptySeriesXff":
+        return (f"removeEmptySeries({_series(rng, depth - 1)}, "
+                f"{rng.choice([25, 60, 89, 100])})")
+    if name == "hwConfidenceArea":
+        # areaBetween requires both sides single+unique: reduce first
+        return f"holtWintersConfidenceArea(sumSeries({_series(rng, depth - 1)}))"
     if name == "averageOutsidePercentile":
         return f"averageOutsidePercentile({_series(rng, depth - 1)}, {rng.choice([10, 25, 50])})"
     if name == "timeSlice":
