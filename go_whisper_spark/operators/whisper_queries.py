@@ -1260,13 +1260,14 @@ LEFT JOIN ind ON node = ind.dst
 
 # ---------------------------------------------------------- w_triangles
 def _tri_oriented(spark: SparkSession, sf_dir: str, materialize: bool = True):
-    """(deg, oriented) of the part co-purchase graph: distinct
-    undirected edges between parts sharing an order, each edge
-    oriented from the endpoint EARLIER in the (degree, id) total
-    order.  ``materialize=False`` skips the localCheckpoints so
-    plan_audit can assert the build's physical shape (equi-self-join
-    on the order key — never a cartesian — plus two broadcast joins
-    of the O(nodes) degree relation)."""
+    """(edges, deg, oriented) of the part co-purchase graph: distinct
+    undirected edges (u < v by id) between parts sharing an order,
+    per-node degrees, and each edge oriented from the endpoint
+    EARLIER in the (degree, id) total order.  ``materialize=False``
+    skips the localCheckpoints so plan_audit can assert the build's
+    physical shape (equi-self-join on the order key — never a
+    cartesian — plus two broadcast joins of the O(nodes) degree
+    relation)."""
     from go_whisper_spark.sources.tables import load_table
 
     items = (
@@ -1314,7 +1315,27 @@ def _tri_oriented(spark: SparkSession, sf_dir: str, materialize: bool = True):
     )
     if materialize:
         oriented = oriented.localCheckpoint()
-    return deg, oriented
+    return edges, deg, oriented
+
+
+def _tri_triangles(oriented: DataFrame) -> DataFrame:
+    """Oriented edges → the triangle relation (a, v, w), each triangle
+    exactly once (a ≺ v ≺ w in the (degree, id) total order): the
+    compact-forward wedge self-join on the LOW-order node closed by a
+    membership equi-join — shared by ``w_triangles`` (per-node
+    participation) and ``w_truss_support`` (per-edge support)."""
+    a1 = oriented.select("src", F.col("dst").alias("v"),
+                         F.col("dd").alias("dv2"))
+    a2 = oriented.select("src", F.col("dst").alias("w"),
+                         F.col("dd").alias("dw2"))
+    wedges = a1.join(a2, "src").where(
+        (F.col("dv2") < F.col("dw2"))
+        | ((F.col("dv2") == F.col("dw2")) & (F.col("v") < F.col("w")))
+    )
+    return wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    ).select(F.col("src").alias("a"), "v", "w")
 
 
 def w_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1349,17 +1370,8 @@ def w_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list; the wedge join shuffles oriented edges by src ONCE;
     the closing membership join shuffles wedges by (v, w).  No
     collect anywhere."""
-    deg, oriented = _tri_oriented(spark, sf_dir)
-    a1 = oriented.select("src", F.col("dst").alias("v"), F.col("dd").alias("dv2"))
-    a2 = oriented.select("src", F.col("dst").alias("w"), F.col("dd").alias("dw2"))
-    wedges = a1.join(a2, "src").where(
-        (F.col("dv2") < F.col("dw2"))
-        | ((F.col("dv2") == F.col("dw2")) & (F.col("v") < F.col("w")))
-    )
-    tri = wedges.join(
-        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
-        ["v", "w"],
-    ).select(F.col("src").alias("a"), "v", "w")
+    _, deg, oriented = _tri_oriented(spark, sf_dir)
+    tri = _tri_triangles(oriented)
     part = (
         tri.select(F.explode(F.array("a", "v", "w")).alias("node"))
         .groupBy("node")
@@ -1379,6 +1391,76 @@ def w_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cc_ppm"),
         )
     )
+
+
+def w_truss_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-truss edge-support distribution over the part co-purchase
+    graph — the per-EDGE companion of ``w_triangles``' per-node
+    ledger and the building block of truss decomposition (an edge is
+    in the k-truss iff its support ≥ k−2): every edge's support =
+    the number of triangles containing it, folded to the (support,
+    n_edges) histogram so the ledger is O(max support) rows at any
+    graph size.
+
+    The triangle relation is the SAME degree-ordered compact-forward
+    join as ``w_triangles`` (skew dies by orientation); each triangle
+    then charges its THREE id-canonical edges via one explode, a
+    map-combined per-edge count, and a left join back onto the edge
+    list (support-0 edges — in no triangle — are real truss-peeling
+    inputs and kept).  The oracle restates support with plain
+    id-ordered triangles (no degree logic) and a 3-way UNION ALL
+    charge — cross-engine agreement again proves the orientation.
+
+    Scale shape: the charge relation is 3·|triangles| rows shrunk by
+    map-side combine to |edges-with-support| before the shuffle; the
+    histogram is a second tiny aggregate.  No collect, no window."""
+    edges, _, oriented = _tri_oriented(spark, sf_dir)
+    tri = _tri_triangles(oriented)
+    # the triangle's vertices are (degree, id)-ordered — canonicalize
+    # each charged edge back to id order to match the edge list
+    pairs = tri.select(
+        F.explode(F.array(
+            F.struct(F.least("a", "v").alias("u"),
+                     F.greatest("a", "v").alias("v")),
+            F.struct(F.least("a", "w").alias("u"),
+                     F.greatest("a", "w").alias("v")),
+            F.struct(F.least("v", "w").alias("u"),
+                     F.greatest("v", "w").alias("v")),
+        )).alias("e")
+    ).select("e.u", "e.v")
+    sup = pairs.groupBy("u", "v").agg(F.count("*").alias("s"))
+    led = edges.join(sup, ["u", "v"], "left").select(
+        F.coalesce("s", F.lit(0).cast("long")).alias("support")
+    )
+    return led.groupBy("support").agg(F.count("*").alias("n_edges"))
+
+
+W_TRUSS_SUPPORT_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pairs AS (
+  SELECT a AS u, b AS v FROM tri
+  UNION ALL SELECT a AS u, c AS v FROM tri
+  UNION ALL SELECT b AS u, c AS v FROM tri
+),
+sup AS (SELECT u, v, count(*) AS s FROM pairs GROUP BY 1, 2),
+led AS (
+  SELECT COALESCE(s.s, CAST(0 AS BIGINT)) AS support
+  FROM edges e LEFT JOIN sup s ON e.u = s.u AND e.v = s.v
+)
+SELECT support, count(*) AS n_edges FROM led GROUP BY 1
+"""
 
 
 W_TRIANGLES_SQL = """
@@ -3924,6 +4006,7 @@ QUERIES = {
     "w_event_transitions": w_event_transitions,
     "w_event_pagerank": w_event_pagerank,
     "w_triangles": w_triangles,
+    "w_truss_support": w_truss_support,
     "w_zorder_skipping": w_zorder_skipping,
     "w_hilbert_skipping": w_hilbert_skipping,
     "w_join_cms_estimate": w_join_cms_estimate,
@@ -3974,6 +4057,7 @@ ORACLES = {
     "w_event_transitions": W_EVENT_TRANSITIONS_SQL,
     "w_event_pagerank": W_EVENT_PAGERANK_SQL,
     "w_triangles": W_TRIANGLES_SQL,
+    "w_truss_support": W_TRUSS_SUPPORT_SQL,
     "w_zorder_skipping": _w_zorder_skipping_sql(),
     "w_hilbert_skipping": _w_hilbert_skipping_sql(),
     "w_join_cms_estimate": W_JOIN_CMS_ESTIMATE_SQL,

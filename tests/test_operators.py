@@ -513,7 +513,7 @@ def test_triangles_orientation_and_laws(spark, sf_dir):
     total_part = sum(r.tri_n for r in rows)
     assert total_part % 3 == 0, "handshake law: participations not 3x"
 
-    deg, ori = _tri_oriented(spark, sf_dir)
+    _, deg, ori = _tri_oriented(spark, sf_dir)
     m = ori.count()
     max_deg = deg.agg(F.max("deg")).first()[0]
     max_out = ori.groupBy("src").count().agg(F.max("count")).first()[0]
@@ -529,6 +529,36 @@ def test_triangles_orientation_and_laws(spark, sf_dir):
         assert r.cc_ppm == want, f"node {r.node}: cc {r.cc_ppm} != {want}"
         assert r.tri_n <= r.deg * (r.deg - 1) // 2, (
             f"node {r.node}: more triangles than wedge pairs")
+
+
+def test_truss_support_charge_law(spark, sf_dir):
+    """The edge-support histogram's conservation laws: (1) the total
+    charge Σ support·n_edges equals exactly 3× the triangle count
+    (each triangle charges its 3 edges once); (2) the histogram
+    covers EVERY edge (Σ n_edges = |edges|, support-0 rows included);
+    (3) an edge's support never exceeds min(deg_u, deg_v) − 1."""
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.operators.whisper_queries import (
+        _tri_oriented,
+        _tri_triangles,
+        w_truss_support,
+    )
+
+    rows = w_truss_support(spark, sf_dir).collect()
+    edges, deg, ori = _tri_oriented(spark, sf_dir)
+    n_tri = _tri_triangles(ori).count()
+    assert sum(r.support * r.n_edges for r in rows) == 3 * n_tri
+    assert sum(r.n_edges for r in rows) == edges.count()
+    max_sup = max(r.support for r in rows)
+    cap = (
+        edges.join(deg.withColumnRenamed("node", "u")
+                   .withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v")
+              .withColumnRenamed("deg", "dv"), "v")
+        .agg(F.max(F.least("du", "dv"))).first()[0]
+    )
+    assert max_sup <= cap - 1
 
 
 def test_funnel_cohort_matrix_invariants(spark, sf_dir):

@@ -1127,6 +1127,14 @@ CHECKS = {
         require=["partial_count"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
     ),
+    # Truss-support read side: same checkpointed substrate as
+    # w_triangles; the 3x edge charge is an explode + map-combined
+    # count, the support join-back an equi-join, the histogram a
+    # second tiny aggregate — no cartesian/nested-loop/window.
+    "w_truss_support": dict(
+        require=["partial_count"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
     # Fixed-point PageRank: the edge build is the transitions lag
     # window; each unrolled iteration joins the edge list against the
     # N-row rank frame (hinted broadcast) and map-combines the per-dst
@@ -1409,7 +1417,7 @@ def _build_triangle_oriented(spark):
     # columns.
     from go_whisper_spark.operators.whisper_queries import _tri_oriented
 
-    _, oriented = _tri_oriented(spark, SF_DIR, materialize=False)
+    _, _, oriented = _tri_oriented(spark, SF_DIR, materialize=False)
     return oriented
 
 
