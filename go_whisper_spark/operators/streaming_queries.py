@@ -740,6 +740,117 @@ SELECT doc_id, lang, score, src, b FROM ins
 """
 
 
+# -------------------------------------------------------- st_lakehouse_mor
+def st_lakehouse_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-apply in MERGE-ON-READ form: a change stream
+    carrying DELETEs (every doc_id % 5 == 0) and UPSERTs (every
+    doc_id % 7 == 0 not also deleted, re-scored +1000) lands
+    micro-batch by micro-batch as METADATA-ONLY commits — each batch
+    publishes an equality deletion vector and/or a delta append via
+    ``delete_rows_mor`` / ``upsert_rows_mor``, never rewriting a base
+    file (the write-amplification-free CDC sink; contrast
+    ``st_lakehouse_merge``'s per-batch partition rewrite) — and the
+    result is the final merge-on-read SCAN.
+
+    Determinism under replay: the change set is KEY-DISJOINT (delete
+    keys ∩ upsert keys = ∅ by the % 5 exclusion, and each key is
+    touched exactly once across all passes), so the final MoR state
+    is a pure function of the change SET — micro-batch boundaries,
+    pass order, and the per-batch dv/delta sequencing cannot matter.
+    The oracle is the eagerly-rewritten table in plain SQL: streamed
+    MoR ≡ eager rewrite is the contract.
+
+    Scale shape: per micro-batch the write is O(changed keys) —
+    independent of table size, which is exactly why real CDC sinks
+    prefer MoR; the read amortizes via compact_mor (pinned in
+    test_lakehouse)."""
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        delete_rows_mor,
+        read_table_mor,
+        upsert_rows_mor,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("score"),
+        F.lit("base").alias("src"),
+        (F.col("doc_id") % 4).alias("b"),
+    )
+    table = os.path.join(_tmpdir(), "silver_docs_mor")
+    commit_partitions(
+        spark, table,
+        {f"b={k}": base.where(F.col("b") == k) for k in range(4)},
+        base_version=0,
+    )
+    dels = base.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", "score", "src", "b",
+        F.lit("d").alias("op"),
+        (F.col("doc_id") % 3).alias("arrive"),
+    )
+    ups = base.where(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0)
+    ).select(
+        "doc_id", "lang",
+        (F.col("score") + 1000).alias("score"),
+        F.lit("mor").alias("src"),
+        "b",
+        F.lit("u").alias("op"),
+        (F.col("doc_id") % 3).alias("arrive"),
+    )
+    marked = dels.unionByName(ups)
+    feed = marked.drop("arrive")
+    root = _tmpdir()
+    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        d = batch.where(F.col("op") == "d").select("doc_id")
+        u = batch.where(F.col("op") == "u").drop("op")
+        if not d.isEmpty():
+            delete_rows_mor(spark, table, d)
+        if not u.isEmpty():
+            upsert_rows_mor(spark, table, u, key_cols=["doc_id"])
+
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            spark.readStream.schema(feed.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("streaming pass timed out")
+    return read_table_mor(spark, table, key_cols=["doc_id"]).select(
+        "doc_id", "lang", "score", "src", "b"
+    )
+
+
+ST_LAKEHOUSE_MOR_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
+         'base' AS src, doc_id % 4 AS b
+  FROM documents
+)
+SELECT doc_id, lang, score, src, b FROM base
+WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0
+UNION ALL
+SELECT doc_id, lang, score + 1000 AS score, 'mor' AS src, b
+FROM base WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
+"""
+
+
 # ------------------------------------------------------ st_distinct_hll
 def st_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HyperLogLog — the MERGEABILITY property that makes
@@ -2849,6 +2960,7 @@ QUERIES = {
     "st_pq_score": st_pq_score,
     "st_lakehouse_ingest": st_lakehouse_ingest,
     "st_lakehouse_merge": st_lakehouse_merge,
+    "st_lakehouse_mor": st_lakehouse_mor,
     "st_distinct_hll": st_distinct_hll,
     "st_heavy_hitters_cms": st_heavy_hitters_cms,
     "st_late_ledger": st_late_ledger,
@@ -2885,6 +2997,7 @@ ORACLES = {
     "st_pq_score": _st_pq_score_sql(),
     "st_lakehouse_ingest": ST_LAKEHOUSE_INGEST_SQL,
     "st_lakehouse_merge": ST_LAKEHOUSE_MERGE_SQL,
+    "st_lakehouse_mor": ST_LAKEHOUSE_MOR_SQL,
     "st_distinct_hll": _W_DISTINCT_HLL_ORACLE,
     "st_heavy_hitters_cms": _W_CMS_ORACLE,
     "st_late_ledger": ST_LATE_LEDGER_SQL,
