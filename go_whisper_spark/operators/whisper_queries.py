@@ -1259,7 +1259,8 @@ LEFT JOIN ind ON node = ind.dst
 
 
 # ---------------------------------------------------------- w_triangles
-def _tri_oriented(spark: SparkSession, sf_dir: str, materialize: bool = True):
+def _tri_oriented(spark: SparkSession, sf_dir: str, materialize: bool = True,
+                  sample_mod: int | None = None):
     """(edges, deg, oriented) of the part co-purchase graph: distinct
     undirected edges (u < v by id) between parts sharing an order,
     per-node degrees, and each edge oriented from the endpoint
@@ -1267,7 +1268,9 @@ def _tri_oriented(spark: SparkSession, sf_dir: str, materialize: bool = True):
     skips the localCheckpoints so plan_audit can assert the build's
     physical shape (equi-self-join on the order key — never a
     cartesian — plus two broadcast joins of the O(nodes) degree
-    relation)."""
+    relation).  ``sample_mod=p`` keeps only edges whose md5 hash ≡ 0
+    (mod p) — the deterministic DOULION edge sample; degrees and
+    orientation are then those OF THE SAMPLED GRAPH."""
     from go_whisper_spark.sources.tables import load_table
 
     items = (
@@ -1285,6 +1288,13 @@ def _tri_oriented(spark: SparkSession, sf_dir: str, materialize: bool = True):
         .select(F.col("p").alias("u"), F.col("q").alias("v"))
         .distinct()
     )
+    if sample_mod is not None:
+        # hex→int edge hash, identical in both engines (the
+        # conv/substring spelling pinned in the workflow notes)
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws(":", "u", "v")), 1, 8), 16, 10
+        ).cast("long")
+        edges = edges.where(h % sample_mod == 0)
     if materialize:
         edges = edges.localCheckpoint()
     deg = (
@@ -1391,6 +1401,91 @@ def w_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cc_ppm"),
         )
     )
+
+
+_TRI_P = 4   # DOULION sampling modulus: keep ~1/4 of the edges
+
+
+def w_triangle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION approximate triangle counting (Tsourakakis et al.,
+    KDD'09 — public) made deterministic and oracle-checkable: keep
+    only edges whose md5 hash ≡ 0 (mod p=4), count triangles on the
+    SAMPLED graph with the same degree-ordered plan, estimate = p³ ·
+    sampled count — the sketch-for-graphs rung next to the exact
+    ledger, PRICED against it (tri_exact / tri_est / err_permille in
+    one row, the CMS/HLL/KMV audit-baseline discipline).
+
+    Why it scales: sampling shrinks the wedge join ~p² and the edge
+    relation ~p BEFORE any shuffle; the estimator is unbiased under
+    independent edge sampling (each triangle survives w.p. p⁻³), and
+    hash-determinism replaces the coin flip so both engines see the
+    SAME sample — exactness of the comparison, approximation only in
+    the estimate itself.  The exact count stays as the audit
+    baseline, exactly like the sketch ledgers.
+
+    Scale shape: identical plan classes to ``w_triangles`` on ~1/p of
+    the edges, plus the full-graph count for the audit column; the
+    ledger is ONE row."""
+    edges, _, ori = _tri_oriented(spark, sf_dir)
+    s_edges, _, s_ori = _tri_oriented(spark, sf_dir, sample_mod=_TRI_P)
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    n_s = s_edges.agg(F.count("*").alias("n_edges_sampled"))
+    t_exact = _tri_triangles(ori).agg(F.count("*").alias("tri_exact"))
+    t_s = _tri_triangles(s_ori).agg(F.count("*").alias("tri_sampled"))
+    p3 = _TRI_P ** 3
+    return (
+        n_edges.crossJoin(F.broadcast(n_s))
+        .crossJoin(F.broadcast(t_exact))
+        .crossJoin(F.broadcast(t_s))
+        .select(
+            "n_edges", "n_edges_sampled", "tri_exact",
+            (F.col("tri_sampled") * p3).alias("tri_est"),
+            F.when(F.col("tri_exact") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(
+                    ((F.col("tri_sampled") * p3 - F.col("tri_exact"))
+                     * 1000).cast("double") / F.col("tri_exact")
+                ).cast("long")
+            ).alias("err_permille"),
+        )
+    )
+
+
+W_TRIANGLE_SAMPLE_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+sedges AS (
+  SELECT u, v FROM edges
+  WHERE CAST('0x' || substring(md5(u || ':' || v), 1, 8) AS BIGINT)
+        % {_TRI_P} = 0
+),
+tex AS (
+  SELECT count(*) AS tri_exact
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+ts AS (
+  SELECT count(*) AS tri_sampled
+  FROM sedges e1
+  JOIN sedges e2 ON e1.v = e2.u
+  JOIN sedges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT count(*) FROM sedges) AS n_edges_sampled,
+       tri_exact,
+       CAST(tri_sampled * {_TRI_P ** 3} AS BIGINT) AS tri_est,
+       CASE WHEN tri_exact = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(CAST((tri_sampled * {_TRI_P ** 3} - tri_exact)
+                 * 1000 AS DOUBLE) / tri_exact) AS BIGINT) END
+         AS err_permille
+FROM tex, ts
+"""
 
 
 def w_truss_support(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4007,6 +4102,7 @@ QUERIES = {
     "w_event_pagerank": w_event_pagerank,
     "w_triangles": w_triangles,
     "w_truss_support": w_truss_support,
+    "w_triangle_sample": w_triangle_sample,
     "w_zorder_skipping": w_zorder_skipping,
     "w_hilbert_skipping": w_hilbert_skipping,
     "w_join_cms_estimate": w_join_cms_estimate,
@@ -4058,6 +4154,7 @@ ORACLES = {
     "w_event_pagerank": W_EVENT_PAGERANK_SQL,
     "w_triangles": W_TRIANGLES_SQL,
     "w_truss_support": W_TRUSS_SUPPORT_SQL,
+    "w_triangle_sample": W_TRIANGLE_SAMPLE_SQL,
     "w_zorder_skipping": _w_zorder_skipping_sql(),
     "w_hilbert_skipping": _w_hilbert_skipping_sql(),
     "w_join_cms_estimate": W_JOIN_CMS_ESTIMATE_SQL,

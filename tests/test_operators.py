@@ -561,6 +561,25 @@ def test_truss_support_charge_law(spark, sf_dir):
     assert max_sup <= cap - 1
 
 
+def test_triangle_sample_estimator(spark, sf_dir):
+    """The DOULION ledger's contracts: the deterministic hash sample
+    keeps ~1/p of the edges (0.2..0.3 for p=4 — md5 uniformity), the
+    estimate is p³·sampled count, and on this corpus the relative
+    error stays under 15% (measured 3.8% at sf0.01, 0.4% at sf0.1 —
+    the bound is deliberately loose; the estimator is unbiased, not
+    deterministic-accurate)."""
+    from go_whisper_spark.operators.whisper_queries import (
+        _TRI_P,
+        w_triangle_sample,
+    )
+
+    r = w_triangle_sample(spark, sf_dir).first()
+    frac = r.n_edges_sampled / r.n_edges
+    assert 0.2 <= frac <= 0.3, f"sample fraction {frac} off 1/{_TRI_P}"
+    assert r.tri_est % _TRI_P ** 3 == 0
+    assert abs(r.err_permille) <= 150, f"err {r.err_permille} permille"
+
+
 def test_funnel_cohort_matrix_invariants(spark, sf_dir):
     """The cohort × funnel matrix's structural laws: step counts are
     monotonically non-increasing within a cohort (reaching step k+1

@@ -1127,6 +1127,14 @@ CHECKS = {
         require=["partial_count"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
     ),
+    # DOULION triangle estimate: two triangle counts (full + sampled)
+    # over checkpointed substrates, assembled into ONE row by
+    # broadcast NL joins of 1-row aggregates (the timeSlice-discipline
+    # crossJoin, intended) — no cartesian over data, no window.
+    "w_triangle_sample": dict(
+        require=["partial_count", "BroadcastNestedLoopJoin"],
+        forbid=["CartesianProduct", "Window"],
+    ),
     # Truss-support read side: same checkpointed substrate as
     # w_triangles; the 3x edge charge is an explode + map-combined
     # count, the support join-back an equi-join, the histogram a
