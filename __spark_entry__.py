@@ -369,16 +369,46 @@ _R13_DEFERRED: list = [
 ]
 
 # The round-14 driver window, pre-materialized at the mid-round
-# freeze (empty until then; test_registry's first-50 equality pin
-# skips while empty).
+# freeze: first 50 of the rotated registry = the 8 new round-14
+# queries (the degree-ordered triangle family — exact ledger, k-truss
+# support histogram, DOULION sampled estimate — the lakehouse
+# merge-on-read scan + its streamed CDC-apply twin, the streaming
+# watermark-correctness ledger, and the two render parity
+# compositions) + the 5 never-checked _R13_DEFERRED entries + 36 of
+# the r07 cohort + 1 of r08 (oldest driver evidence; zero overlap
+# with rounds 11-13 — test_registry asserts list == first-50 so
+# drift is caught before the driver runs).
 # ROUND-15 TODO: once CORRECTNESS_r14.json exists, verify its keys ==
 # this list, then (a) add _R14_WINDOW to `recent`, (b) move the
 # _R14_DEFERRED block to right after the new-queries clause with an
-# `and n not in recent` guard, (c) append _R14_WINDOW's block at the
-# END of the order (re-front any red rows via a _R14_RED block, the
-# _R12_RED pattern).  Queries added AFTER the freeze go in
-# _R14_DEFERRED, never in front of the window.
-_R14_WINDOW: list = []
+# `and n not in recent` guard (and exclude r14 members from the
+# OLDER-window blocks — this window again reaches into _R07/_R08, so
+# without the `n not in r14` filter the r15 window would re-check
+# fresh greens, the footgun the r13→r14 rotation hit), (c) append
+# _R14_WINDOW's block at the END of the order (re-front any red rows
+# via a _R14_RED block, the _R12_RED pattern).  Queries added AFTER
+# the freeze go in _R14_DEFERRED, never in front of the window.
+_R14_WINDOW: list = [
+    "w_lakehouse_mor", "w_triangles", "w_truss_support",
+    "w_triangle_sample", "g_render_hwarea",
+    "g_render_gapfill", "st_lakehouse_mor", "st_late_ledger",
+    "s_mmr_rerank", "st_funnel_cohort",
+    "w_hilbert_skipping", "w_join_cms_estimate", "st_zorder_stats",
+    "g_hw_aberration", "g_most_deviant",
+    "g_minimum_above", "g_current_below", "g_sort_by_minima",
+    "g_scale_to_seconds", "g_fallback_series",
+    "g_summarize_last", "g_sigmoid", "st_dedup_1h", "g_aggregate_line",
+    "g_remove_empty",
+    "g_stacked", "g_weighted_average", "g_pow", "g_exp", "g_round_to",
+    "g_limit_sorted", "g_avg_outside_pctile", "g_minmax_norm",
+    "g_timestack", "w_wsp_export",
+    "g_moving_sum", "g_transform_null", "g_alias_by_metric",
+    "g_use_series_above", "g_diff_vs_yesterday",
+    "g_count_series", "st_derivative", "w_carbon_ingest",
+    "d_norm_dedup", "d_containment",
+    "r_grouping_sets", "g_area_between", "t_sentence_stats",
+    "w_wsp_roundtrip", "g_divide_series_lists",
+]
 
 # Queries added late in round 14, after the round-14 window freeze.
 _R14_DEFERRED: list = []
