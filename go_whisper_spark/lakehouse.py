@@ -301,6 +301,7 @@ class CommitLog:
         watermark: Optional[dict] = None,
         max_retries: int = 20,
         remove: Optional[List[str]] = None,
+        conflict_key_prefixes: tuple = (),
     ) -> int:
         """Optimistically publish ``replace`` (and optional key
         ``remove``s — the compaction form) on top of ``base_version``.
@@ -310,6 +311,18 @@ class CommitLog:
         OUR keys — replaced a partition we replace, or removed/added a
         key we remove (staged output is stale).  Returns the committed
         version.
+
+        ``conflict_key_prefixes``: ALSO conflict when an interleaved
+        commit ADDED any key with one of these prefixes.  This is how
+        partition-REWRITE commits (merge_table / compact_mor) stay
+        correct against merge-on-read writers: a deletion vector or
+        delta append that lands after our snapshot applies only to
+        directories with a strictly OLDER sequence, so our rewrite —
+        built from the pre-change snapshot but committed with a NEWER
+        sequence — would silently undo the delete / duplicate the
+        upsert (the anomaly public Iceberg's validation phase rejects
+        for exactly the same reason).  Key-overlap alone cannot catch
+        it because dv/delta keys are fresh uuids.
         """
         payload = {"replace": replace}
         if remove:
@@ -334,6 +347,17 @@ class CommitLog:
                     f"keys {sorted(overlap)} were touched by commit "
                     f"{attempt} after our snapshot at {base_version}"
                 )
+            if conflict_key_prefixes:
+                hits = sorted(
+                    k for k in other.get("replace", {})
+                    if k.startswith(conflict_key_prefixes)
+                )
+                if hits:
+                    raise ConflictError(
+                        f"merge-on-read keys {hits} were added by commit "
+                        f"{attempt} after our snapshot at {base_version} — "
+                        "a partition rewrite would silently shed them"
+                    )
             attempt += 1
             # tiny backoff so N racing writers fan out over slots
             time.sleep(0.001)
@@ -390,12 +414,14 @@ def commit_partitions(
     frames: Dict[str, DataFrame],
     watermark: Optional[dict] = None,
     base_version: Optional[int] = None,
+    conflict_key_prefixes: tuple = (),
 ) -> int:
     """The general form of ``commit_rollup_days``: stage + publish one
     batch of {full partition key ("col=value") -> frame} swaps as ONE
     commit.  Same staging (pure additions to fresh dirs, abandoned
     invisibly on conflict) and the same base_version conflict
-    contract."""
+    contract.  ``conflict_key_prefixes`` passes through to
+    ``CommitLog.commit`` (the rewrite-vs-merge-on-read guard)."""
     log = CommitLog(table)
     if base_version is None:
         base_version = log.state()["version"]
@@ -404,7 +430,10 @@ def commit_partitions(
         d = stage_dir(table)
         frame.write.mode("overwrite").parquet(d)
         replace[key] = d
-    return log.commit(base_version, replace, watermark)
+    return log.commit(
+        base_version, replace, watermark,
+        conflict_key_prefixes=conflict_key_prefixes,
+    )
 
 
 def merge_table(
@@ -457,7 +486,13 @@ def merge_table(
         new = updates.where(F.col(part_col) == p)
         keep = old.join(new.select(*keys).distinct(), keys, "left_anti")
         frames[f"{part_col}={p}"] = keep.unionByName(new)
-    return commit_partitions(spark, table, frames, base_version=base_version)
+    # rewrites conflict with ANY interleaved merge-on-read key (see
+    # CommitLog.commit): a dv/delta landing after our snapshot would
+    # be silently shed by our newer-sequence rewrite otherwise.
+    return commit_partitions(
+        spark, table, frames, base_version=base_version,
+        conflict_key_prefixes=(DV_PREFIX, DELTA_PREFIX),
+    )
 
 
 def vacuum(table: str, min_age_seconds: int = 3600) -> List[str]:
@@ -504,6 +539,15 @@ def read_table(
     the parquet reader (tested by
     test_time_travel_after_vacuum_fails_cleanly)."""
     state = CommitLog(table).state(at_version=version)
+    mor = [k for k in state["partitions"]
+           if k.startswith((DV_PREFIX, DELTA_PREFIX))]
+    if mor:
+        raise ValueError(
+            f"lake table {table} has {len(mor)} live merge-on-read "
+            "key(s) (deletion vectors / delta appends): the eager "
+            "reader would silently ignore them — read via "
+            "read_table_mor, or materialize with compact_mor first"
+        )
     dirs = sorted(set(state["partitions"].values()))
     if not dirs:
         raise FileNotFoundError(f"lake table {table} has no committed data")
@@ -677,24 +721,47 @@ def compact_mor(
     OPTIMIZE): rewrite every data partition with tombstones applied
     and delta rows folded in, and REMOVE every dv/delta key, in ONE
     atomic commit — readers flip from merge-on-read to the eager
-    layout or see neither.  Returns the committed version."""
+    layout or see neither.  Returns the committed version.
+
+    Partition accounting is manifest-driven, not view-driven: a
+    partition the tombstones EMPTIED entirely is REMOVED from the
+    manifest (a view-driven rewrite set would silently leave its
+    stale base directory live and resurrect every deleted row), and
+    a partition value the delta appends INTRODUCED gets a fresh key.
+    Contract (same as merge_table): ``part_col`` is non-NULL.
+    Commits with the dv/delta prefix-conflict guard, so a
+    merge-on-read write that lands after our snapshot raises
+    ConflictError instead of being silently shed."""
     from pyspark.sql import functions as F
 
     log = CommitLog(table)
     if base_version is None:
         base_version = log.state()["version"]
-    cur = read_table_mor(spark, table, key_cols, version=base_version)
-    mor_keys = [
-        k for k in _mor_key_versions(log, at_version=base_version)
-        if k.startswith((DV_PREFIX, DELTA_PREFIX))
+    kv = _mor_key_versions(log, at_version=base_version)
+    mor_keys = [k for k in kv if k.startswith((DV_PREFIX, DELTA_PREFIX))]
+    data_keys = [
+        k for k in kv if not k.startswith((DV_PREFIX, DELTA_PREFIX))
     ]
-    parts = [r[0] for r in cur.select(part_col).distinct().collect()]
+    cur = read_table_mor(spark, table, key_cols, version=base_version)
+    # control-plane: the post-merge partition values (covers values
+    # the delta introduced; a value with zero surviving rows is absent)
+    live_vals = {
+        str(r[0]) for r in cur.select(part_col).distinct().collect()
+    }
     replace = {}
-    for p in parts:
+    for v in sorted(live_vals):
         d = stage_dir(table)
-        cur.where(F.col(part_col) == p).write.mode("overwrite").parquet(d)
-        replace[f"{part_col}={p}"] = d
-    return log.commit(base_version, replace, remove=mor_keys)
+        cur.where(F.col(part_col).cast("string") == v).write.mode(
+            "overwrite"
+        ).parquet(d)
+        replace[f"{part_col}={v}"] = d
+    emptied = [
+        k for k in data_keys if k.split("=", 1)[1] not in live_vals
+    ]
+    return log.commit(
+        base_version, replace, remove=mor_keys + emptied,
+        conflict_key_prefixes=(DV_PREFIX, DELTA_PREFIX),
+    )
 
 
 def bronze_table(base: str) -> str:

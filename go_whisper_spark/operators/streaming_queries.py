@@ -2876,7 +2876,12 @@ def st_late_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
                     wm, "%Y-%m-%dT%H:%M:%S.%fZ"
                 ).replace(tzinfo=_dt.timezone.utc)
                 wm_sec = max(wm_sec, int(ts.timestamp()))
-        ledger.append((k, arrived, dropped, updated, wm_sec))
+        # a pass with ZERO arrivals emits no ledger row — the oracle
+        # groups over the marked rows, so an empty arrive value has
+        # no group there either (a corpus spanning < one chunk would
+        # otherwise diverge on the phantom (k, 0, 0, 0, 0) row)
+        if arrived:
+            ledger.append((k, arrived, dropped, updated, wm_sec))
 
     _replay(
         spark, marked,

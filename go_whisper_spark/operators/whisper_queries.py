@@ -1259,18 +1259,12 @@ LEFT JOIN ind ON node = ind.dst
 
 
 # ---------------------------------------------------------- w_triangles
-def _tri_oriented(spark: SparkSession, sf_dir: str, materialize: bool = True,
-                  sample_mod: int | None = None):
-    """(edges, deg, oriented) of the part co-purchase graph: distinct
-    undirected edges (u < v by id) between parts sharing an order,
-    per-node degrees, and each edge oriented from the endpoint
-    EARLIER in the (degree, id) total order.  ``materialize=False``
-    skips the localCheckpoints so plan_audit can assert the build's
-    physical shape (equi-self-join on the order key — never a
-    cartesian — plus two broadcast joins of the O(nodes) degree
-    relation).  ``sample_mod=p`` keeps only edges whose md5 hash ≡ 0
-    (mod p) — the deterministic DOULION edge sample; degrees and
-    orientation are then those OF THE SAMPLED GRAPH."""
+def _tri_edges(spark: SparkSession, sf_dir: str,
+               materialize: bool = True) -> DataFrame:
+    """Distinct undirected co-purchase edges (u < v by id) between
+    parts sharing an order; localCheckpoint-ed (unless
+    ``materialize=False``) because every triangle-family consumer
+    reads it several times."""
     from go_whisper_spark.sources.tables import load_table
 
     items = (
@@ -1278,25 +1272,19 @@ def _tri_oriented(spark: SparkSession, sf_dir: str, materialize: bool = True,
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    # edges and oriented are each consumed by several downstream
-    # branches — localCheckpoint so the co-purchase self-join and the
-    # orientation run ONCE (the d_neardup_clusters discipline), not
-    # once per branch.
     edges = (
         items.join(items.select("o", F.col("p").alias("q")), "o")
         .where(F.col("p") < F.col("q"))
         .select(F.col("p").alias("u"), F.col("q").alias("v"))
         .distinct()
     )
-    if sample_mod is not None:
-        # hex→int edge hash, identical in both engines (the
-        # conv/substring spelling pinned in the workflow notes)
-        h = F.conv(
-            F.substring(F.md5(F.concat_ws(":", "u", "v")), 1, 8), 16, 10
-        ).cast("long")
-        edges = edges.where(h % sample_mod == 0)
-    if materialize:
-        edges = edges.localCheckpoint()
+    return edges.localCheckpoint() if materialize else edges
+
+
+def _tri_orient(edges: DataFrame, materialize: bool = True):
+    """Edge list → (deg, oriented): per-node degrees and each edge
+    oriented from the endpoint EARLIER in the (degree, id) total
+    order (two broadcast joins of the O(nodes) degree relation)."""
     deg = (
         edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
@@ -1304,7 +1292,6 @@ def _tri_oriented(spark: SparkSession, sf_dir: str, materialize: bool = True,
     )
     if materialize:
         deg = deg.localCheckpoint()
-    # the degree relation is O(nodes) — broadcast it onto the edges
     e = (
         edges.join(
             F.broadcast(deg.select(F.col("node").alias("u"),
@@ -1325,6 +1312,27 @@ def _tri_oriented(spark: SparkSession, sf_dir: str, materialize: bool = True,
     )
     if materialize:
         oriented = oriented.localCheckpoint()
+    return deg, oriented
+
+
+def _tri_sample_filter(edges: DataFrame, mod: int) -> DataFrame:
+    """DOULION edge sample: keep edges whose md5 hash ≡ 0 (mod p) —
+    hex→int spelled identically in both engines."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "u", "v")), 1, 8), 16, 10
+    ).cast("long")
+    return edges.where(h % mod == 0)
+
+
+def _tri_oriented(spark: SparkSession, sf_dir: str, materialize: bool = True):
+    """(edges, deg, oriented) of the part co-purchase graph — the
+    composition of ``_tri_edges`` and ``_tri_orient``.
+    ``materialize=False`` skips the localCheckpoints so plan_audit
+    can assert the build's physical shape (equi-self-join on the
+    order key — never a cartesian — plus two broadcast joins of the
+    O(nodes) degree relation)."""
+    edges = _tri_edges(spark, sf_dir, materialize)
+    deg, oriented = _tri_orient(edges, materialize)
     return edges, deg, oriented
 
 
@@ -1332,8 +1340,18 @@ def _tri_triangles(oriented: DataFrame) -> DataFrame:
     """Oriented edges → the triangle relation (a, v, w), each triangle
     exactly once (a ≺ v ≺ w in the (degree, id) total order): the
     compact-forward wedge self-join on the LOW-order node closed by a
-    membership equi-join — shared by ``w_triangles`` (per-node
-    participation) and ``w_truss_support`` (per-edge support)."""
+    membership probe — shared by ``w_triangles`` (per-node
+    participation) and ``w_truss_support`` (per-edge support).
+
+    The closing probe is a HINTED BROADCAST of the oriented edge list
+    (16 bytes/edge): the wedge relation is ~Σ C(outdeg, 2) rows —
+    35× the edges on this corpus — so shuffling IT by (v, w) is the
+    plan's one expensive move (measured 2.7× slower at sf0.1);
+    broadcasting the edges instead lets wedges STREAM from the
+    src-keyed self-join straight through the hash probe without ever
+    materializing.  Size gate: fine to ~10⁸-edge graphs on standard
+    executors; past that delete the hint and the identical plan
+    falls back to the (v, w)-keyed shuffle join."""
     a1 = oriented.select("src", F.col("dst").alias("v"),
                          F.col("dd").alias("dv2"))
     a2 = oriented.select("src", F.col("dst").alias("w"),
@@ -1343,7 +1361,9 @@ def _tri_triangles(oriented: DataFrame) -> DataFrame:
         | ((F.col("dv2") == F.col("dw2")) & (F.col("v") < F.col("w")))
     )
     return wedges.join(
-        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        F.broadcast(
+            oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        ),
         ["v", "w"],
     ).select(F.col("src").alias("a"), "v", "w")
 
@@ -1377,9 +1397,10 @@ def w_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     size (≤7 lineitems in TPC-H — a bounded clique expansion, not an
     all-pairs); edges dedup in ONE shuffle; degrees are a
     map-combined count whose O(nodes) result broadcasts back onto the
-    edge list; the wedge join shuffles oriented edges by src ONCE;
-    the closing membership join shuffles wedges by (v, w).  No
-    collect anywhere."""
+    edge list; the wedge join shuffles oriented edges by src ONCE and
+    the wedges then STREAM through the broadcast closing probe
+    without materializing (see ``_tri_triangles`` for the size gate).
+    No collect anywhere."""
     _, deg, oriented = _tri_oriented(spark, sf_dir)
     tri = _tri_triangles(oriented)
     part = (
@@ -1426,8 +1447,13 @@ def w_triangle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical plan classes to ``w_triangles`` on ~1/p of
     the edges, plus the full-graph count for the audit column; the
     ledger is ONE row."""
+    # ONE substrate build: the sampled graph is a cheap hash filter
+    # over the already-checkpointed exact edge list (degrees and
+    # orientation recomputed on the sample — they are the sampled
+    # graph's own), not a second lineitem scan.
     edges, _, ori = _tri_oriented(spark, sf_dir)
-    s_edges, _, s_ori = _tri_oriented(spark, sf_dir, sample_mod=_TRI_P)
+    s_edges = _tri_sample_filter(edges, _TRI_P).localCheckpoint()
+    _, s_ori = _tri_orient(s_edges)
     n_edges = edges.agg(F.count("*").alias("n_edges"))
     n_s = s_edges.agg(F.count("*").alias("n_edges_sampled"))
     t_exact = _tri_triangles(ori).agg(F.count("*").alias("tri_exact"))

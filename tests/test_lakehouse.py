@@ -605,3 +605,76 @@ def test_mor_compact_materializes_and_drops_tombstones(spark, tmp_path):
     # the eager read_table agrees too (the MoR scan's oracle)
     eager = sorted((r.k, r.v) for r in read_table(spark, table).collect())
     assert eager == before
+
+
+def test_mor_compact_removes_emptied_partition(spark, tmp_path):
+    """The resurrection bug (round-14 review finding): a tombstone
+    that empties an ENTIRE partition must remove that partition from
+    the manifest on compaction — a view-driven rewrite set would
+    leave the stale base dir live and bring every deleted row back."""
+    from go_whisper_spark.lakehouse import (
+        compact_mor,
+        delete_rows_mor,
+        read_table_mor,
+    )
+
+    table = _mor_table(spark, tmp_path)
+    # delete every key of partition b=1 (odd keys)
+    delete_rows_mor(
+        spark, table,
+        spark.createDataFrame([(k,) for k in range(1, 10, 2)], "k long"),
+    )
+    before = sorted(r.k for r in read_table_mor(spark, table, key_cols=["k"]).collect())
+    assert before == [0, 2, 4, 6, 8]
+    compact_mor(spark, table, key_cols=["k"], part_col="b")
+    after = sorted(r.k for r in read_table_mor(spark, table, key_cols=["k"]).collect())
+    assert after == before, "compaction resurrected deleted rows"
+    st = CommitLog(table).state()
+    assert "b=1" not in st["partitions"], "emptied partition still live"
+    eager = sorted(r.k for r in read_table(spark, table).collect())
+    assert eager == before
+
+
+def test_mor_write_conflicts_with_partition_rewrite(spark, tmp_path):
+    """The lost-delete race (round-14 review finding): a deletion
+    vector or delta append that lands between a rewrite's snapshot
+    and its commit must raise ConflictError — the rewrite's
+    newer-sequence directories would silently shed it otherwise
+    (public Iceberg's rewrite validation)."""
+    from go_whisper_spark.lakehouse import (
+        compact_mor,
+        delete_rows_mor,
+        merge_table,
+        read_table_mor,
+        upsert_rows_mor,
+    )
+
+    table = _mor_table(spark, tmp_path)
+    snap = CommitLog(table).state()["version"]
+    delete_rows_mor(spark, table, spark.createDataFrame([(2,)], "k long"))
+    with pytest.raises(ConflictError):
+        compact_mor(spark, table, key_cols=["k"], part_col="b",
+                    base_version=snap)
+    # the delete survived the refused compaction
+    assert 2 not in {r.k for r in read_table_mor(spark, table, key_cols=["k"]).collect()}
+    # the eager reader refuses a table with live MoR keys outright
+    # (it would silently ignore the tombstones)
+    with pytest.raises(ValueError, match="merge-on-read"):
+        read_table(spark, table)
+
+    # merge racing an upsert: fresh table (merge's snapshot read must
+    # predate ANY MoR key — the eager-reader guard above otherwise
+    # refuses it, which is its own correct behavior)
+    table2 = _mor_table(spark, tmp_path / "t2")
+    snap2 = CommitLog(table2).state()["version"]
+    upsert_rows_mor(
+        spark, table2,
+        spark.createDataFrame([(3, 333, 1)], "k long, v long, b long"),
+        key_cols=["k"],
+    )
+    ours = spark.createDataFrame([(4, 444, 0)], "k long, v long, b long")
+    with pytest.raises(ConflictError):
+        merge_table(spark, table2, ours, key_cols=["k"], part_col="b",
+                    base_version=snap2)
+    got = {r.k: r.v for r in read_table_mor(spark, table2, key_cols=["k"]).collect()}
+    assert got[3] == 333, "the interleaved upsert was lost"
