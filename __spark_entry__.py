@@ -411,7 +411,12 @@ _R14_WINDOW: list = [
 ]
 
 # Queries added late in round 14, after the round-14 window freeze.
-_R14_DEFERRED: list = []
+# Never driver-checked (local exact-typed gate green at sf0.01 +
+# sf0.1); they front the round-15 window right after any
+# genuinely-new round-15 queries (the standing deferral rule).
+_R14_DEFERRED: list = [
+    "st_triangles",
+]
 
 # Added late in round 8, after the round-8 window composition (5 new
 # batch-1 queries + the round-4 cohort) was already settled.  Never

@@ -851,6 +851,85 @@ FROM base WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
 """
 
 
+# ----------------------------------------------------------- st_triangles
+def st_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over a STREAMED co-purchase graph — the graph
+    analog of the sketch merge laws, with the IDEMPOTENT one: the
+    lineitem stream (orders arrive WHOLE — arrival pass = o % 3, the
+    realistic CDC unit, so a batch always sees complete orders) feeds
+    an incrementally-maintained DISTINCT edge store (per batch: the
+    batch's bounded clique expansion, anti-joined against the store,
+    appended — the lakehouse ingest pattern), and the per-node
+    triangle/clustering ledger runs on the final store.
+
+    The law: the edge relation is a SET and set union is associative,
+    commutative AND idempotent — so unlike the counter-sum laws
+    (CMS/HDR need exactly-once), duplicate edge delivery is tolerated
+    BY CONSTRUCTION (the anti-join dedups; replaying a batch is a
+    no-op), and the streamed graph equals the batch graph regardless
+    of batch boundaries.  Triangle counting is a pure function of the
+    edge set, so the oracle is the batch ledger SQL VERBATIM
+    (`W_TRIANGLES_SQL`) — the st_zorder_stats discipline on a graph.
+
+    Scale shape: per micro-batch the work is the batch's own bounded
+    pair expansion + one anti-join against the store keyed (u, v);
+    the ledger read is the audited w_triangles plan unchanged."""
+    from go_whisper_spark.operators.whisper_queries import (
+        _tri_node_ledger,
+        _tri_orient,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_partkey").alias("p"),
+        (F.col("l_orderkey") % 3).alias("arrive"),
+    )
+    feed = li.drop("arrive")
+    root = _tmpdir()
+    src, ckpt, store = (
+        os.path.join(root, n) for n in ("src", "ckpt", "edges")
+    )
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        items = batch.select("o", "p").distinct()
+        pairs = (
+            items.join(items.select("o", F.col("p").alias("q")), "o")
+            .where(F.col("p") < F.col("q"))
+            .select(F.col("p").alias("u"), F.col("q").alias("v"))
+            .distinct()
+        )
+        if os.path.isdir(store):
+            pairs = pairs.join(
+                spark.read.parquet(store), ["u", "v"], "left_anti"
+            )
+        pairs.write.mode("append").parquet(store)
+
+    for k in range(N_PASSES):
+        (
+            li.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            spark.readStream.schema(feed.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("streaming pass timed out")
+    edges = spark.read.parquet(store).localCheckpoint()
+    deg, ori = _tri_orient(edges)
+    return _tri_node_ledger(deg, ori)
+
+
 # ------------------------------------------------------ st_distinct_hll
 def st_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HyperLogLog — the MERGEABILITY property that makes
@@ -2927,6 +3006,7 @@ GROUP BY l.arrive, w.wm
 # mergeability makes the streamed sketch equal the one-shot sketch.
 from go_whisper_spark.operators.whisper_queries import (  # noqa: E402
     _w_zorder_skipping_sql,
+    W_TRIANGLES_SQL as _W_TRIANGLES_ORACLE,
     W_DISTINCT_HLL_SQL as _W_DISTINCT_HLL_ORACLE,
     W_HEAVY_HITTERS_CMS_SQL as _W_CMS_ORACLE,
     W_QUANTILE_HDR_SQL as _W_QUANTILE_HDR_ORACLE,
@@ -2969,6 +3049,7 @@ QUERIES = {
     "st_distinct_hll": st_distinct_hll,
     "st_heavy_hitters_cms": st_heavy_hitters_cms,
     "st_late_ledger": st_late_ledger,
+    "st_triangles": st_triangles,
 }
 
 ORACLES = {
@@ -3006,4 +3087,7 @@ ORACLES = {
     "st_distinct_hll": _W_DISTINCT_HLL_ORACLE,
     "st_heavy_hitters_cms": _W_CMS_ORACLE,
     "st_late_ledger": ST_LATE_LEDGER_SQL,
+    # set-union idempotency makes the streamed edge store equal the
+    # batch edge set — oracle is the batch triangle ledger verbatim
+    "st_triangles": _W_TRIANGLES_ORACLE,
 }

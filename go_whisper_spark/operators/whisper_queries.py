@@ -1402,6 +1402,13 @@ def w_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     without materializing (see ``_tri_triangles`` for the size gate).
     No collect anywhere."""
     _, deg, oriented = _tri_oriented(spark, sf_dir)
+    return _tri_node_ledger(deg, oriented)
+
+
+def _tri_node_ledger(deg: DataFrame, oriented: DataFrame) -> DataFrame:
+    """(deg, oriented) → the per-node (node, deg, tri_n, cc_ppm)
+    ledger — shared by the batch form and the streamed-edge-set form
+    (``st_triangles``), so a fix lands in both."""
     tri = _tri_triangles(oriented)
     part = (
         tri.select(F.explode(F.array("a", "v", "w")).alias("node"))
