@@ -416,6 +416,7 @@ _R14_WINDOW: list = [
 # genuinely-new round-15 queries (the standing deferral rule).
 _R14_DEFERRED: list = [
     "st_triangles",
+    "w_pagerank_fixpoint",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

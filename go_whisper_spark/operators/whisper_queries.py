@@ -1626,6 +1626,165 @@ FROM deg LEFT JOIN part USING (node)
 """
 
 
+# ----------------------------------------------- w_pagerank_fixpoint
+_PRF_MAX_ITERS = 64   # loop safety cap
+_PRF_ORACLE_K = 24    # oracle unroll depth — strictly past the
+#                       measured fixpoints (18/11/13 at
+#                       sf0.001/0.01/0.1; the SPARSER graph mixes
+#                       slower), so iterations k..24 are identical
+
+
+def w_pagerank_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point PageRank run TO CONVERGENCE — the ROADMAP's
+    iterative-loop completion of ``w_event_pagerank``'s 2 unrolled
+    steps: because every update is integer arithmetic (floored
+    contributions + teleport floor), the iteration reaches an EXACT
+    fixpoint (PR_{t+1} ≡ PR_t, measured at t=11/13 for sf0.01/0.1)
+    rather than an ε-approximation — so "converged" is a decidable
+    predicate and the ledger carries the iteration count.
+
+    Scale shape (the convergence-loop discipline shared with the
+    Lloyd step): the driver loop reads ONE scalar per iteration (the
+    max |Δ| across the O(nodes) rank relation — control-plane); each
+    iteration is the same audited plan as ``_pagerank_ledger``'s step
+    (edges × broadcast rank frame, map-combined per-dst sum), with
+    the rank frame localCheckpoint-ed per iteration so lineage stays
+    flat at ANY iteration count.  The oracle unrolls 16 iterations —
+    strictly past the fixpoint, where further iterations are
+    provably identical — and derives the SAME iteration count in SQL
+    (min k with max|Δ_k| = 0), so the loop-until-converged semantics
+    are oracle-checked, not just the final vector."""
+    from go_whisper_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.unix_timestamp("ts").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "seq")
+    edges = (
+        ev.withColumn("prev", F.lag("et").over(w))
+        .where(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("et").alias("dst"))
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    out = edges.groupBy("src").agg(F.sum("n").alias("out_n")).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count("*").alias("nN"))
+    base = nodes.crossJoin(F.broadcast(nn)).select(
+        "node",
+        F.expr(f"{_PR_SCALE} div nN").alias("pr"),
+        F.expr(f"(15 * {_PR_SCALE}) div (100 * nN)").alias("tele"),
+    ).localCheckpoint()
+    we = edges.join(out, "src")
+
+    pr = base.select("node", "pr")
+    iters = 0
+    while True:
+        contrib = we.join(
+            F.broadcast(pr.select(F.col("node").alias("src"), "pr")), "src"
+        ).select(
+            "dst",
+            F.expr(f"({_PR_D} * pr * n) div (100 * out_n)").alias("c"),
+        )
+        agg = F.broadcast(contrib.groupBy("dst").agg(F.sum("c").alias("s")))
+        new = base.join(agg, base["node"] == agg["dst"], "left").select(
+            base["node"],
+            (F.col("tele") + F.coalesce(F.col("s"), F.lit(0))).alias("pr"),
+        ).localCheckpoint()
+        iters += 1
+        # ONE control-plane scalar per iteration — the convergence test
+        delta = (
+            new.join(pr.withColumnRenamed("pr", "prev_pr"), "node")
+            .agg(F.max(F.abs(F.col("pr") - F.col("prev_pr"))))
+            .first()[0]
+        )
+        pr = new
+        if delta == 0:
+            break
+        if iters >= _PRF_MAX_ITERS:
+            raise RuntimeError("PageRank did not reach a fixpoint")
+    return pr.select(
+        "node",
+        F.col("pr").alias("pr_fix"),
+        F.lit(iters).cast("long").alias("iters"),
+    )
+
+
+def _w_pagerank_fixpoint_sql(k: int = _PRF_ORACLE_K) -> str:
+    """Generated oracle: k unrolled iterations (k strictly past the
+    measured fixpoint) + the SQL derivation of the iteration count
+    (min t with max|Δ_t| = 0 — identical semantics to the driver
+    loop's stop test)."""
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, so the
+    # diffs UNION would otherwise re-evaluate each iteration CHAIN
+    # per reference — O(k²) full re-computations (measured 132 s at
+    # sf0.01; materialized: ~2 s)
+    its = []
+    for t in range(1, k + 1):
+        prev = f"it{t - 1}"
+        its.append(
+            f"it{t} AS MATERIALIZED (\n"
+            f"  SELECT b.node, b.tele + COALESCE(s.s, 0) AS pr\n"
+            f"  FROM base b LEFT JOIN (\n"
+            f"    SELECT e.dst, CAST(sum(({_PR_D} * p.pr * e.n)"
+            f" // (100 * o.out_n)) AS BIGINT) AS s\n"
+            f"    FROM edges e JOIN outd o ON e.src = o.src\n"
+            f"    JOIN {prev} p ON e.src = p.node\n"
+            f"    GROUP BY e.dst\n"
+            f"  ) s ON b.node = s.dst\n"
+            f")"
+        )
+    diffs = "\n  UNION ALL ".join(
+        f"SELECT {t} AS k, max(abs(a.pr - b.pr)) AS d"
+        f" FROM it{t} a JOIN it{t - 1} b ON a.node = b.node"
+        for t in range(1, k + 1)
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type AS et,
+         epoch_ns(ts) // 1000000000 AS ts,
+         event_id AS seq
+  FROM events
+),
+edges AS MATERIALIZED (
+  SELECT prev AS src, et AS dst, count(*) AS n
+  FROM (
+    SELECT user_id, et,
+           lag(et) OVER (PARTITION BY user_id ORDER BY ts, seq) AS prev
+    FROM ev
+  )
+  WHERE prev IS NOT NULL
+  GROUP BY 1, 2
+),
+outd AS MATERIALIZED (
+  SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM edges GROUP BY 1
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS nN FROM nodes),
+base AS MATERIALIZED (
+  SELECT node,
+         {_PR_SCALE} // nN AS pr,
+         (15 * {_PR_SCALE}) // (100 * nN) AS tele
+  FROM nodes, nn
+),
+it0 AS (SELECT node, pr FROM base),
+{",".join(its)},
+diffs AS (
+  {diffs}
+),
+fix AS (SELECT CAST(min(k) AS BIGINT) AS iters FROM diffs WHERE d = 0)
+SELECT node, pr AS pr_fix, (SELECT iters FROM fix) AS iters
+FROM it{k}
+"""
+
+
 # --------------------------------------------------- w_zorder_skipping
 _Z_BITS = 5          # 5 bits per dimension → 32×32 grid, 1024 cells
 _Z_G = 1 << _Z_BITS
@@ -4136,6 +4295,7 @@ QUERIES = {
     "w_triangles": w_triangles,
     "w_truss_support": w_truss_support,
     "w_triangle_sample": w_triangle_sample,
+    "w_pagerank_fixpoint": w_pagerank_fixpoint,
     "w_zorder_skipping": w_zorder_skipping,
     "w_hilbert_skipping": w_hilbert_skipping,
     "w_join_cms_estimate": w_join_cms_estimate,
@@ -4188,6 +4348,7 @@ ORACLES = {
     "w_triangles": W_TRIANGLES_SQL,
     "w_truss_support": W_TRUSS_SUPPORT_SQL,
     "w_triangle_sample": W_TRIANGLE_SAMPLE_SQL,
+    "w_pagerank_fixpoint": _w_pagerank_fixpoint_sql(),
     "w_zorder_skipping": _w_zorder_skipping_sql(),
     "w_hilbert_skipping": _w_hilbert_skipping_sql(),
     "w_join_cms_estimate": W_JOIN_CMS_ESTIMATE_SQL,

@@ -580,6 +580,30 @@ def test_triangle_sample_estimator(spark, sf_dir):
     assert abs(r.err_permille) <= 150, f"err {r.err_permille} permille"
 
 
+def test_pagerank_fixpoint_properties(spark, sf_dir):
+    """The convergence loop's load-bearing bounds: (1) the fixpoint
+    arrives strictly INSIDE the oracle's unroll depth (iters <
+    _PRF_ORACLE_K — otherwise the oracle's last iteration would not
+    be the fixpoint and the whole comparison is meaningless); (2) it
+    takes more than the 2 steps w_event_pagerank unrolls (this query
+    adds information); (3) total mass stays within the documented
+    floor-leak bound of the 10⁶ grid (each floored term loses < 1
+    unit per node per iteration)."""
+    from go_whisper_spark.operators.whisper_queries import (
+        _PRF_ORACLE_K,
+        w_pagerank_fixpoint,
+    )
+
+    rows = w_pagerank_fixpoint(spark, sf_dir).collect()
+    iters = rows[0].iters
+    assert all(r.iters == iters for r in rows)
+    assert 2 < iters < _PRF_ORACLE_K, f"fixpoint at {iters}"
+    total = sum(r.pr_fix for r in rows)
+    n = len(rows)
+    assert total <= 1_000_000
+    assert total >= 1_000_000 - iters * n * 2, f"mass leaked to {total}"
+
+
 def test_funnel_cohort_matrix_invariants(spark, sf_dir):
     """The cohort × funnel matrix's structural laws: step counts are
     monotonically non-increasing within a cohort (reaching step k+1
