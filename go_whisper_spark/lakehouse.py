@@ -744,20 +744,22 @@ def compact_mor(
     ]
     cur = read_table_mor(spark, table, key_cols, version=base_version)
     # control-plane: the post-merge partition values (covers values
-    # the delta introduced; a value with zero surviving rows is absent)
-    live_vals = {
-        str(r[0]) for r in cur.select(part_col).distinct().collect()
-    }
+    # the delta introduced; a value with zero surviving rows is
+    # absent).  The row filter uses RAW equality — a cast-to-string
+    # comparison would diverge from Python's str() for booleans /
+    # scientific-notation doubles and silently rewrite partitions
+    # empty; strings are only for the manifest-key bookkeeping, where
+    # the f-string format matches how commit_partitions/merge_table
+    # callers mint keys in the first place.
+    live_vals = sorted(
+        r[0] for r in cur.select(part_col).distinct().collect()
+    )
     replace = {}
-    for v in sorted(live_vals):
+    for v in live_vals:
         d = stage_dir(table)
-        cur.where(F.col(part_col).cast("string") == v).write.mode(
-            "overwrite"
-        ).parquet(d)
+        cur.where(F.col(part_col) == v).write.mode("overwrite").parquet(d)
         replace[f"{part_col}={v}"] = d
-    emptied = [
-        k for k in data_keys if k.split("=", 1)[1] not in live_vals
-    ]
+    emptied = [k for k in data_keys if k not in replace]
     return log.commit(
         base_version, replace, remove=mor_keys + emptied,
         conflict_key_prefixes=(DV_PREFIX, DELTA_PREFIX),

@@ -1104,6 +1104,49 @@ _PR_SCALE = 1_000_000   # micro-unit fixed point
 _PR_D = 85              # damping numerator (d = 0.85 as 85/100)
 
 
+def _event_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The event-transition edge list (src, dst, n): each user's
+    consecutive (ts, event_id)-ordered event pairs, counted — the
+    Markov graph shared by ``w_event_pagerank``,
+    ``w_pagerank_fixpoint`` and (with from/to naming)
+    ``w_event_transitions``; a fix to the edge semantics lands once."""
+    from go_whisper_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.unix_timestamp("ts").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "seq")
+    return (
+        ev.withColumn("prev", F.lag("et").over(w))
+        .where(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("et").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# The matching DuckDB CTE pair (ev + edges), shared by both pagerank
+# oracles so the edge algebra is stated once.
+_EVENT_EDGES_CTES = """ev AS (
+  SELECT user_id, event_type AS et,
+         epoch_ns(ts) // 1000000000 AS ts,
+         event_id AS seq
+  FROM events
+),
+edges AS MATERIALIZED (
+  SELECT prev AS src, et AS dst, count(*) AS n
+  FROM (
+    SELECT user_id, et,
+           lag(et) OVER (PARTITION BY user_id ORDER BY ts, seq) AS prev
+    FROM ev
+  )
+  WHERE prev IS NOT NULL
+  GROUP BY 1, 2
+)"""
+
+
 def w_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT fixed-point PageRank over the event-transition graph —
     the iterative graph algorithm next to the Lloyd step (both are
@@ -1129,22 +1172,7 @@ def w_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     k iterations = k such joins, the rank relation never grows.  At
     billions of edges the join shuffles edges by src ONCE and reuses
     that partitioning across iterations."""
-    from go_whisper_spark.sources.tables import load_table
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("event_type").alias("et"),
-        F.unix_timestamp("ts").alias("ts"),
-        F.col("event_id").alias("seq"),
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "seq")
-    edges = (
-        ev.withColumn("prev", F.lag("et").over(w))
-        .where(F.col("prev").isNotNull())
-        .groupBy(F.col("prev").alias("src"), F.col("et").alias("dst"))
-        .agg(F.count("*").alias("n"))
-    )
-    return _pagerank_ledger(edges)
+    return _pagerank_ledger(_event_edges(spark, sf_dir))
 
 
 def _pagerank_ledger(edges: DataFrame) -> DataFrame:
@@ -1200,22 +1228,7 @@ def _pagerank_ledger(edges: DataFrame) -> DataFrame:
 
 
 W_EVENT_PAGERANK_SQL = f"""
-WITH ev AS (
-  SELECT user_id, event_type AS et,
-         epoch_ns(ts) // 1000000000 AS ts,
-         event_id AS seq
-  FROM events
-),
-edges AS (
-  SELECT prev AS src, et AS dst, count(*) AS n
-  FROM (
-    SELECT user_id, et,
-           lag(et) OVER (PARTITION BY user_id ORDER BY ts, seq) AS prev
-    FROM ev
-  )
-  WHERE prev IS NOT NULL
-  GROUP BY 1, 2
-),
+WITH {_EVENT_EDGES_CTES},
 outd AS (SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM edges GROUP BY 1),
 ind  AS (SELECT dst, CAST(sum(n) AS BIGINT) AS in_n FROM edges GROUP BY 1),
 nodes AS (
@@ -1649,27 +1662,13 @@ def w_pagerank_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is the same audited plan as ``_pagerank_ledger``'s step
     (edges × broadcast rank frame, map-combined per-dst sum), with
     the rank frame localCheckpoint-ed per iteration so lineage stays
-    flat at ANY iteration count.  The oracle unrolls 16 iterations —
-    strictly past the fixpoint, where further iterations are
-    provably identical — and derives the SAME iteration count in SQL
+    flat at ANY iteration count.  The oracle unrolls _PRF_ORACLE_K
+    (24) iterations — strictly past every measured fixpoint, where
+    further iterations are provably identical — and derives the SAME
+    iteration count in SQL
     (min k with max|Δ_k| = 0), so the loop-until-converged semantics
     are oracle-checked, not just the final vector."""
-    from go_whisper_spark.sources.tables import load_table
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("event_type").alias("et"),
-        F.unix_timestamp("ts").alias("ts"),
-        F.col("event_id").alias("seq"),
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "seq")
-    edges = (
-        ev.withColumn("prev", F.lag("et").over(w))
-        .where(F.col("prev").isNotNull())
-        .groupBy(F.col("prev").alias("src"), F.col("et").alias("dst"))
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint()
-    )
+    edges = _event_edges(spark, sf_dir).localCheckpoint()
     out = edges.groupBy("src").agg(F.sum("n").alias("out_n")).localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -1724,8 +1723,8 @@ def _w_pagerank_fixpoint_sql(k: int = _PRF_ORACLE_K) -> str:
     loop's stop test)."""
     # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, so the
     # diffs UNION would otherwise re-evaluate each iteration CHAIN
-    # per reference — O(k²) full re-computations (measured 132 s at
-    # sf0.01; materialized: ~2 s)
+    # per reference — O(k²) full re-computations (whole gate at
+    # sf0.01: 132 s → 7 s once materialized)
     its = []
     for t in range(1, k + 1):
         prev = f"it{t - 1}"
@@ -1747,22 +1746,7 @@ def _w_pagerank_fixpoint_sql(k: int = _PRF_ORACLE_K) -> str:
         for t in range(1, k + 1)
     )
     return f"""
-WITH ev AS (
-  SELECT user_id, event_type AS et,
-         epoch_ns(ts) // 1000000000 AS ts,
-         event_id AS seq
-  FROM events
-),
-edges AS MATERIALIZED (
-  SELECT prev AS src, et AS dst, count(*) AS n
-  FROM (
-    SELECT user_id, et,
-           lag(et) OVER (PARTITION BY user_id ORDER BY ts, seq) AS prev
-    FROM ev
-  )
-  WHERE prev IS NOT NULL
-  GROUP BY 1, 2
-),
+WITH {_EVENT_EDGES_CTES},
 outd AS MATERIALIZED (
   SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM edges GROUP BY 1
 ),
