@@ -417,6 +417,7 @@ _R14_WINDOW: list = [
 _R14_DEFERRED: list = [
     "st_triangles",
     "w_pagerank_fixpoint",
+    "t_bytes_hdr",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -3604,6 +3604,148 @@ FROM as2
 
 
 # ------------------------------------------------------ t_quality_filter
+_BHDR_SBITS = 4                    # same budget as w_quantile_hdr
+_BHDR_QBP = (5000, 9000, 9900)     # quantiles as exact basis points
+
+
+def t_bytes_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED HDR quantiles — the ROADMAP extension of the rank
+    sketch (bucket increments > 1), pointed at the number a
+    training-data pipeline actually plans with: the BYTE-weighted
+    document-length distribution per language ("half this language's
+    corpus bytes sit in documents shorter than X chars" — the
+    truncation/packing budget), not the document-count quantile.
+
+    Sketch: each doc adds its n_chars as WEIGHT to its top-5
+    significant-bits bucket (the ``_hdr_rep`` quantization —
+    non-negative domain, monotone); the build is ONE map-combined
+    SUM into ≤16·octaves cells per lang.  Read side: the weighted
+    rank rnk = ⌈q·W/10⁴⌉ (exact integer cross-multiplication over
+    the total byte mass W), CDF walk over the sketch rows, and the
+    exact audit = the smallest length whose CUMULATIVE byte mass
+    reaches rnk (a per-lang cumulative-sum window over the sorted
+    lengths — the O(n log n) sort the sketch replaces).  est ≤ exact
+    < est·(1+2⁻ˢ) holds unchanged: quantization is monotone and
+    weights are non-negative, so the weighted CDF argument is the
+    same as the unit-weight one; err_bp < 625 pinned in pytest.
+
+    Scale shape: the sketch relation is ≤ 16·octaves rows per lang at
+    ANY corpus size and merges by keyed counter sum exactly like the
+    unit-weight law (``st_quantile_hdr``) — weights change nothing
+    about associativity."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("long").alias("v")
+    )
+    sh = f"CAST(greatest(length(bin(v)) - 1 - {_BHDR_SBITS}, 0) AS INT)"
+    rep = F.expr(f"shiftleft(shiftright(v, {sh}), {sh})")
+    sketch = (
+        docs.select("lang", rep.alias("rep"), "v")
+        .groupBy("lang", "rep")
+        .agg(F.sum("v").alias("wcnt"))
+    )
+    wcum = Window.partitionBy("lang").orderBy("rep")
+    cdf = sketch.select(
+        "lang", "rep",
+        F.sum("wcnt").over(
+            wcum.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    tgt = (
+        sketch.groupBy("lang")
+        .agg(F.sum("wcnt").alias("w_total"), F.count("*").alias("n_buckets"))
+        .select(
+            "lang", "w_total", "n_buckets",
+            F.explode(
+                F.array(*[F.lit(q).cast("long") for q in _BHDR_QBP])
+            ).alias("q_bp"),
+        )
+        .withColumn("rnk", F.expr("(w_total * q_bp + 9999) div 10000"))
+    )
+    est = (
+        tgt.join(F.broadcast(cdf), "lang")
+        .where(F.col("cum") >= F.col("rnk"))
+        .groupBy("lang", "q_bp", "rnk", "w_total", "n_buckets")
+        .agg(F.min("rep").alias("est"))
+    )
+    # exact weighted rank: cumulative byte mass over lengths sorted
+    # ascending; ties in v cross rnk inside the tie group, where
+    # min(v) is the same value regardless of intra-tie row order
+    ranked = docs.select(
+        "lang", "v",
+        F.sum("v").over(
+            Window.partitionBy("lang").orderBy("v", "v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cw"),
+    )
+    exact = (
+        est.join(ranked, "lang")
+        .where(F.col("cw") >= F.col("rnk"))
+        .groupBy("lang", "q_bp", "rnk", "w_total", "n_buckets", "est")
+        .agg(F.min("v").alias("exact"))
+    )
+    return exact.select(
+        "lang", "q_bp", "w_total", "n_buckets", "rnk", "est", "exact",
+        F.when(F.col("exact") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(
+                ((F.col("exact") - F.col("est")) * 10000).cast("double")
+                / F.col("exact")
+            ).cast("long")
+        ).alias("err_bp"),
+    )
+
+
+T_BYTES_HDR_SQL = f"""
+WITH docs AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+),
+sk AS (
+  SELECT lang,
+         (v >> greatest(length(bin(v)) - 1 - {_BHDR_SBITS}, 0))
+           << greatest(length(bin(v)) - 1 - {_BHDR_SBITS}, 0) AS rep,
+         CAST(sum(v) AS BIGINT) AS wcnt
+  FROM docs GROUP BY 1, 2
+),
+cdf AS (
+  SELECT lang, rep,
+         CAST(sum(wcnt) OVER (PARTITION BY lang ORDER BY rep)
+              AS BIGINT) AS cum
+  FROM sk
+),
+tgt AS (
+  SELECT lang, w_total, n_buckets, q_bp,
+         (w_total * q_bp + 9999) // 10000 AS rnk
+  FROM (SELECT lang, CAST(sum(wcnt) AS BIGINT) AS w_total,
+               count(*) AS n_buckets
+        FROM sk GROUP BY 1) t,
+       (SELECT unnest([{", ".join(str(q) for q in _BHDR_QBP)}]) AS q_bp)
+),
+est AS (
+  SELECT t.lang, t.q_bp, t.rnk, t.w_total, t.n_buckets,
+         min(c.rep) AS est
+  FROM tgt t JOIN cdf c ON c.lang = t.lang AND c.cum >= t.rnk
+  GROUP BY 1, 2, 3, 4, 5
+),
+ranked AS (
+  SELECT lang, v,
+         CAST(sum(v) OVER (PARTITION BY lang ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cw
+  FROM docs
+),
+ex AS (
+  SELECT e.lang, e.q_bp, e.rnk, e.w_total, e.n_buckets, e.est,
+         min(r.v) AS exact
+  FROM est e JOIN ranked r ON r.lang = e.lang AND r.cw >= e.rnk
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT lang, q_bp, w_total, n_buckets, rnk, est, exact,
+       CASE WHEN exact = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(CAST((exact - est) * 10000 AS DOUBLE)
+                 / exact) AS BIGINT) END AS err_bp
+FROM ex
+"""
+
+
 def t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-filter ACCOUNTING stage: apply heuristic quality
     gates and report kept/dropped document counts and surviving token
@@ -7080,6 +7222,7 @@ QUERIES = {
     "d_containment": d_containment,
     "t_sentence_stats": t_sentence_stats,
     "t_quality_filter": t_quality_filter,
+    "t_bytes_hdr": t_bytes_hdr,
     "t_seq_packing": t_seq_packing,
     "t_pipeline_e2e": t_pipeline_e2e,
     "d_split_hash": d_split_hash,
@@ -7162,6 +7305,7 @@ ORACLES = {
     "d_containment": D_CONTAINMENT_SQL,
     "t_sentence_stats": T_SENTENCE_STATS_SQL,
     "t_quality_filter": T_QUALITY_FILTER_SQL,
+    "t_bytes_hdr": T_BYTES_HDR_SQL,
     "t_seq_packing": T_SEQ_PACKING_SQL,
     "t_pipeline_e2e": T_PIPELINE_E2E_SQL,
     "d_split_hash": D_SPLIT_HASH_SQL,

@@ -613,6 +613,46 @@ def test_pagerank_fixpoint_properties(spark, sf_dir):
     assert total >= 1_000_000 - bound, f"mass leaked to {total}"
 
 
+def test_bytes_hdr_weighted_bounds_and_merge(spark, sf_dir):
+    """The weighted HDR sketch's contracts: (1) the deterministic
+    bound survives weighting — est ≤ exact and err_bp < 2^-s·10⁴
+    (the weighted-CDF argument is the unit-weight one, weights being
+    non-negative); (2) the non-negative domain pin (bin() of a
+    negative long breaks bucket monotonicity); (3) the weighted
+    counters still MERGE by keyed sum — partials over a 3-way shard
+    split equal the one-shot sketch (the fifth law, with weights)."""
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.operators.llm_ops import _BHDR_SBITS, t_bytes_hdr
+    from go_whisper_spark.sources.tables import load_table
+
+    rows = t_bytes_hdr(spark, sf_dir).collect()
+    bound = 10000 // (1 << _BHDR_SBITS)
+    for r in rows:
+        assert r.est <= r.exact, f"{r.lang} q{r.q_bp}: est above exact"
+        assert 0 <= r.err_bp < bound, f"{r.lang} q{r.q_bp}: err {r.err_bp}bp"
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("long").alias("v"),
+        (F.col("doc_id") % 3).alias("shard"),
+    )
+    assert docs.agg(F.min("v")).first()[0] >= 0
+    sh = f"CAST(greatest(length(bin(v)) - 1 - {_BHDR_SBITS}, 0) AS INT)"
+    rep = F.expr(f"shiftleft(shiftright(v, {sh}), {sh})")
+    one_shot = (
+        docs.select("lang", rep.alias("rep"), "v")
+        .groupBy("lang", "rep").agg(F.sum("v").alias("wcnt"))
+    )
+    merged = (
+        docs.select("lang", "shard", rep.alias("rep"), "v")
+        .groupBy("lang", "shard", "rep").agg(F.sum("v").alias("wcnt"))
+        .groupBy("lang", "rep").agg(F.sum("wcnt").alias("wcnt"))
+    )
+    assert one_shot.exceptAll(merged).isEmpty()
+    assert merged.exceptAll(one_shot).isEmpty()
+
+
 def test_funnel_cohort_matrix_invariants(spark, sf_dir):
     """The cohort × funnel matrix's structural laws: step counts are
     monotonically non-increasing within a cohort (reaching step k+1
