@@ -378,16 +378,16 @@ _R13_DEFERRED: list = [
 # the r07 cohort + 1 of r08 (oldest driver evidence; zero overlap
 # with rounds 11-13 — test_registry asserts list == first-50 so
 # drift is caught before the driver runs).
-# ROUND-15 TODO: once CORRECTNESS_r14.json exists, verify its keys ==
-# this list, then (a) add _R14_WINDOW to `recent`, (b) move the
-# _R14_DEFERRED block to right after the new-queries clause with an
-# `and n not in recent` guard (and exclude r14 members from the
-# OLDER-window blocks — this window again reaches into _R07/_R08, so
-# without the `n not in r14` filter the r15 window would re-check
-# fresh greens, the footgun the r13→r14 rotation hit), (c) append
-# _R14_WINDOW's block at the END of the order (re-front any red rows
-# via a _R14_RED block, the _R12_RED pattern).  Queries added AFTER
-# the freeze go in _R14_DEFERRED, never in front of the window.
+# ROUND-15 rotation APPLIED (CORRECTNESS_r14.json keys verified ==
+# this list, 50/50 green, zero red rows so no _R14_RED block): (a)
+# _R14_WINDOW joined `recent`; (b) the _R14_DEFERRED block moved to
+# right after the new-queries clause with an `and n not in recent`
+# guard; (c) every older-window block gained the `n not in r14`
+# exclusion (this window reached into _R07/_R08 — 36 of r07 + 1 of
+# r08 re-checked green in r14, so their fresh _R14_WINDOW spot is
+# authoritative); (d) _R14_WINDOW's block appended at the END of the
+# order.  Round 15's window fronts the 3 never-checked _R14_DEFERRED
+# entries, then the oldest cohorts.
 _R14_WINDOW: list = [
     "w_lakehouse_mor", "w_triangles", "w_truss_support",
     "w_triangle_sample", "g_render_hwarea",
@@ -419,6 +419,23 @@ _R14_DEFERRED: list = [
     "w_pagerank_fixpoint",
     "t_bytes_hdr",
 ]
+
+# The round-15 driver window, to be pre-materialized at the mid-round
+# freeze (first 50 of the rotated registry once the round's new
+# queries are registered).  Until frozen, test_registry's first-fifty
+# pin skips.  ROUND-16 TODO: once CORRECTNESS_r15.json exists, verify
+# its keys == this list, then (a) add _R15_WINDOW to `recent`, (b)
+# move the _R15_DEFERRED block to right after the new-queries clause
+# with an `and n not in recent` guard, (c) add `n not in r15` to any
+# older-window block this window reaches into (it will reach the
+# _R08_WINDOW cohort — the standing footgun), (d) append
+# _R15_WINDOW's block at the END of the order (re-front any red rows
+# via a _R15_RED block, the _R12_RED pattern).  Queries added AFTER
+# the freeze go in _R15_DEFERRED, never in front of the window.
+_R15_WINDOW: list = []
+
+# Queries added late in round 15, after the round-15 window freeze.
+_R15_DEFERRED: list = []
 
 # Added late in round 8, after the round-8 window composition (5 new
 # batch-1 queries + the round-4 cohort) was already settled.  Never
@@ -552,19 +569,23 @@ def _registry():
     r11 = set(_R11_WINDOW)
     r12 = set(_R12_WINDOW)
     r13 = set(_R13_WINDOW)
-    recent = r07 | r08 | r09 | r10 | r11 | r12 | r13
+    r14 = set(_R14_WINDOW)
+    recent = r07 | r08 | r09 | r10 | r11 | r12 | r13 | r14
     seen = (set(_R6_DEFERRED) | set(_R04_CHECKED) | set(_R05_CHECKED)
             | set(_R06_CHECKED) | recent | set(_R08_DEFERRED)
             | set(_R09_DEFERRED) | set(_R10_DEFERRED)
             | set(_R11_DEFERRED) | set(_R12_DEFERRED)
-            | set(_R13_DEFERRED) | set(_R14_DEFERRED))
+            | set(_R13_DEFERRED) | set(_R14_DEFERRED)
+            | set(_R15_DEFERRED))
     order = (
         [n for n in queries if n not in seen]
-        # Never-driver-checked round-13 late additions (MMR re-rank,
-        # streaming cohort funnel, Hilbert skipping, CM join-size
-        # estimator, online z-order stats) front the round-14 window,
-        # right after any genuinely-new queries (the standing
-        # deferral rule).
+        # Never-driver-checked round-14 late additions (streamed
+        # triangle store, PageRank integer fixpoint, byte-weighted
+        # HDR quantiles) front the round-15 window, right after any
+        # genuinely-new queries (the standing deferral rule).
+        + [n for n in _R14_DEFERRED if n in queries and n not in recent]
+        # _R13_DEFERRED ⊂ _R14_WINDOW (checked green in round 14), so
+        # this block filters to empty; kept for the audit trail.
         + [n for n in _R13_DEFERRED if n in queries and n not in recent]
         # _R12_DEFERRED ⊂ _R13_WINDOW (checked green in round 13), so
         # this block filters to empty; kept for the audit trail.
@@ -581,27 +602,38 @@ def _registry():
         + [n for n in _R04_CHECKED if n in queries and n not in recent]
         + [n for n in _R05_CHECKED if n in queries and n not in recent]
         + [n for n in _R06_CHECKED if n in queries and n not in recent]
-        # The round-13 window reached INTO _R07_WINDOW (14 of its
-        # entries re-checked green in r13), so every older-window
-        # block excludes r13 members — their fresh _R13_WINDOW spot
-        # at the end is authoritative.  Without this filter the r14
-        # window would re-check r13 greens (the rotation footgun).
-        + [n for n in _R07_WINDOW if n in queries and n not in r13]
-        + [n for n in _R08_WINDOW if n in queries and n not in r13]
-        + [n for n in _R09_WINDOW if n in queries and n not in r13]
-        + [n for n in _R10_WINDOW if n in queries and n not in r13]
-        + [n for n in _R11_WINDOW if n in queries and n not in r13]
+        # The round-13 window reached INTO _R07_WINDOW (14 entries)
+        # and the round-14 window reached further (36 of r07 + 1 of
+        # r08), so every older-window block excludes BOTH r13 and r14
+        # members — their fresh spots at the end are authoritative.
+        # Without these filters the r15 window would re-check fresh
+        # greens (the rotation footgun, hit at r13→r14).
+        + [n for n in _R07_WINDOW
+           if n in queries and n not in r13 and n not in r14]
+        + [n for n in _R08_WINDOW
+           if n in queries and n not in r13 and n not in r14]
+        + [n for n in _R09_WINDOW
+           if n in queries and n not in r13 and n not in r14]
+        + [n for n in _R10_WINDOW
+           if n in queries and n not in r13 and n not in r14]
+        + [n for n in _R11_WINDOW
+           if n in queries and n not in r13 and n not in r14]
         # s_kmeans_step stays excluded here (it re-checked GREEN in
         # round 13, so its _R13_WINDOW spot below is authoritative and
         # the exclusion keeps the order list duplicate-free).
         + [n for n in _R12_WINDOW
-           if n in queries and n not in _R12_RED and n not in r13]
+           if n in queries and n not in _R12_RED and n not in r13
+           and n not in r14]
+        # r14's window absorbed 5 of _R13_DEFERRED but zero of
+        # _R13_WINDOW; the filter keeps the order duplicate-free if
+        # a future window ever reaches in.
+        + [n for n in _R13_WINDOW if n in queries and n not in r14]
         # Most recently checked, so last (50/50 green in
-        # CORRECTNESS_r13).
-        + [n for n in _R13_WINDOW if n in queries]
-        # Late round-14 additions: past the frozen window; the
-        # round-15 rotation re-fronts them via the standing rule.
-        + [n for n in _R14_DEFERRED if n in queries and n not in recent]
+        # CORRECTNESS_r14).
+        + [n for n in _R14_WINDOW if n in queries]
+        # Late round-15 additions: past the frozen window; the
+        # round-16 rotation re-fronts them via the standing rule.
+        + [n for n in _R15_DEFERRED if n in queries and n not in recent]
     )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}

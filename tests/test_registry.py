@@ -189,13 +189,11 @@ def test_r13_window_matches_driver_record():
 
 
 def test_round14_window_disjoint_from_r13():
-    """First 50 of the rotated registry must not re-check the rounds
-    11-13 greens (round 13 was fully green, so no red row re-fronts)
-    and must front every never-driver-checked round-13 deferral.
-    The r07/r08 cohorts ARE expected in the window — they are the
-    oldest driver evidence and rotation exists to re-check them."""
-    queries, _ = entry._registry()
-    window = list(queries)[:50]
+    """The round-14 window (now the historical _R14_WINDOW list) did
+    not re-check the rounds 11-13 greens (round 13 was fully green,
+    so no red row re-fronted) and fronted every never-driver-checked
+    round-13 deferral."""
+    window = entry._R14_WINDOW
     assert not set(window) & set(entry._R13_WINDOW), (
         "round-14 window re-checks round-13 greens")
     assert not set(window) & set(entry._R12_WINDOW)
@@ -204,17 +202,45 @@ def test_round14_window_disjoint_from_r13():
     assert not missing, f"never-checked deferrals missed the window: {missing}"
 
 
-def test_r14_window_matches_first_fifty():
-    """Once frozen mid-round, the pre-materialized round-14 window
-    list (the round-15 rotation seed) must stay equal to the
-    registry's actual first 50 — the drift failure mode enforced
-    every round since round 8.  Late round-14 additions belong in
-    _R14_DEFERRED, which this equality keeps OUT of the window."""
-    if not entry._R14_WINDOW:
-        pytest.skip("_R14_WINDOW not yet frozen this round")
-    queries, _ = entry._registry()
-    assert entry._R14_WINDOW == list(queries)[:50]
+def test_r14_window_matches_driver_record():
+    """_R14_WINDOW (the round-15 rotation seed) must equal the window
+    the driver actually hashed in round 14 (50/50 green — zero red
+    rows, so no _R14_RED block exists)."""
+    rec = _correctness(14)
+    assert len(entry._R14_WINDOW) == 50
     assert len(set(entry._R14_WINDOW)) == 50
+    assert set(entry._R14_WINDOW) == set(rec.keys())
+    red = {n for n, r in rec.items() if r.get("err") or not r.get("hash_match")}
+    assert not red, f"round-14 record has red rows with no _R14_RED block: {red}"
+
+
+def test_round15_window_disjoint_from_r14():
+    """First 50 of the rotated registry must not re-check the rounds
+    12-14 greens (round 14 was fully green, so no red row re-fronts)
+    and must front every never-driver-checked round-14 deferral.
+    The r08 cohort IS expected in the window — it is the oldest
+    driver evidence and rotation exists to re-check it."""
+    queries, _ = entry._registry()
+    window = list(queries)[:50]
+    assert not set(window) & set(entry._R14_WINDOW), (
+        "round-15 window re-checks round-14 greens")
+    assert not set(window) & set(entry._R13_WINDOW)
+    assert not set(window) & set(entry._R12_WINDOW)
+    missing = [n for n in entry._R14_DEFERRED if n not in window]
+    assert not missing, f"never-checked deferrals missed the window: {missing}"
+
+
+def test_r15_window_matches_first_fifty():
+    """Once frozen mid-round, the pre-materialized round-15 window
+    list (the round-16 rotation seed) must stay equal to the
+    registry's actual first 50 — the drift failure mode enforced
+    every round since round 8.  Late round-15 additions belong in
+    _R15_DEFERRED, which this equality keeps OUT of the window."""
+    if not entry._R15_WINDOW:
+        pytest.skip("_R15_WINDOW not yet frozen this round")
+    queries, _ = entry._registry()
+    assert entry._R15_WINDOW == list(queries)[:50]
+    assert len(set(entry._R15_WINDOW)) == 50
 
 
 def test_checked_cohorts_are_registered():
@@ -228,6 +254,7 @@ def test_checked_cohorts_are_registered():
                 entry._R11_WINDOW, entry._R11_DEFERRED,
                 entry._R12_WINDOW, entry._R12_DEFERRED, entry._R12_RED,
                 entry._R13_WINDOW, entry._R13_DEFERRED,
-                entry._R14_WINDOW, entry._R14_DEFERRED):
+                entry._R14_WINDOW, entry._R14_DEFERRED,
+                entry._R15_WINDOW, entry._R15_DEFERRED):
         missing = [n for n in lst if n not in queries]
         assert not missing, f"cohort names not in registry: {missing}"
