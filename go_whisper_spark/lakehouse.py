@@ -677,14 +677,31 @@ def read_table_mor(
     if not kv:
         raise FileNotFoundError(f"lake table {table} has no committed data")
     keys = list(key_cols)
+    # ADVICE r14: the merge plan injects reserved working columns
+    # (_seq, _dv_<key>, _dv_seq) into the scanned frames; a user
+    # schema already carrying one would silently corrupt the
+    # anti-join condition and the final drop — fail fast instead.
+    reserved = {"_seq", "_dv_seq"} | {f"_dv_{k}" for k in keys}
+    clash = reserved & set(keys)
+    if clash:
+        raise ValueError(
+            f"key columns {sorted(clash)} collide with read_table_mor's "
+            "reserved working columns (_seq/_dv_seq/_dv_<key>)"
+        )
 
     def _load(key_filter) -> List[DataFrame]:
         frames = []
         for key, (seq, d) in sorted(kv.items()):
             if key_filter(key):
-                frames.append(
-                    spark.read.parquet(d).withColumn("_seq", F.lit(seq))
-                )
+                df = spark.read.parquet(d)
+                bad = reserved & set(df.columns)
+                if bad:
+                    raise ValueError(
+                        f"lake table {table} dir {key!r} carries "
+                        f"columns {sorted(bad)} that collide with "
+                        "read_table_mor's reserved working columns"
+                    )
+                frames.append(df.withColumn("_seq", F.lit(seq)))
         return frames
 
     data = _load(lambda k: not k.startswith((DV_PREFIX, DELTA_PREFIX)))

@@ -3668,12 +3668,15 @@ def t_bytes_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("rep").alias("est"))
     )
     # exact weighted rank: cumulative byte mass over lengths sorted
-    # ascending; ties in v cross rnk inside the tie group, where
-    # min(v) is the same value regardless of intra-tie row order
+    # ascending.  No tiebreaker on purpose (ADVICE r14 — the earlier
+    # duplicated ("v", "v") key read as one that was never added):
+    # ties in v cross rnk inside the tie group, where min(v) is the
+    # same value regardless of intra-tie row order, so tie order
+    # cannot affect the answer.
     ranked = docs.select(
         "lang", "v",
         F.sum("v").over(
-            Window.partitionBy("lang").orderBy("v", "v")
+            Window.partitionBy("lang").orderBy("v")
             .rowsBetween(Window.unboundedPreceding, 0)
         ).alias("cw"),
     )

@@ -1349,22 +1349,30 @@ def _tri_oriented(spark: SparkSession, sf_dir: str, materialize: bool = True):
     return edges, deg, oriented
 
 
-def _tri_triangles(oriented: DataFrame) -> DataFrame:
+_TRI_BCAST_MAX_EDGES = 100_000_000  # broadcast-probe ceiling, 16 B/edge
+
+
+def _tri_triangles(oriented: DataFrame,
+                   n_edges: int | None = None) -> DataFrame:
     """Oriented edges → the triangle relation (a, v, w), each triangle
     exactly once (a ≺ v ≺ w in the (degree, id) total order): the
     compact-forward wedge self-join on the LOW-order node closed by a
     membership probe — shared by ``w_triangles`` (per-node
     participation) and ``w_truss_support`` (per-edge support).
 
-    The closing probe is a HINTED BROADCAST of the oriented edge list
+    The closing probe is a BROADCAST of the oriented edge list
     (16 bytes/edge): the wedge relation is ~Σ C(outdeg, 2) rows —
     35× the edges on this corpus — so shuffling IT by (v, w) is the
     plan's one expensive move (measured 2.7× slower at sf0.1);
     broadcasting the edges instead lets wedges STREAM from the
     src-keyed self-join straight through the hash probe without ever
-    materializing.  Size gate: fine to ~10⁸-edge graphs on standard
-    executors; past that delete the hint and the identical plan
-    falls back to the (v, w)-keyed shuffle join."""
+    materializing.  Size gate (ENFORCED, ADVICE r14): the hint is
+    applied only while the edge count is ≤ _TRI_BCAST_MAX_EDGES
+    (~1.6 GB at 16 B/edge); past that the identical plan falls back
+    to the (v, w)-keyed shuffle join instead of OOMing the driver.
+    Callers that already know the edge count pass it via ``n_edges``;
+    otherwise it is counted here (cheap — every production substrate
+    is localCheckpointed before this runs)."""
     a1 = oriented.select("src", F.col("dst").alias("v"),
                          F.col("dd").alias("dv2"))
     a2 = oriented.select("src", F.col("dst").alias("w"),
@@ -1373,12 +1381,13 @@ def _tri_triangles(oriented: DataFrame) -> DataFrame:
         (F.col("dv2") < F.col("dw2"))
         | ((F.col("dv2") == F.col("dw2")) & (F.col("v") < F.col("w")))
     )
-    return wedges.join(
-        F.broadcast(
-            oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-        ),
-        ["v", "w"],
-    ).select(F.col("src").alias("a"), "v", "w")
+    probe = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    if n_edges is None:
+        n_edges = oriented.count()
+    if n_edges <= _TRI_BCAST_MAX_EDGES:
+        probe = F.broadcast(probe)
+    return wedges.join(probe, ["v", "w"]).select(
+        F.col("src").alias("a"), "v", "w")
 
 
 def w_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1709,6 +1718,17 @@ def w_pagerank_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         if iters >= _PRF_MAX_ITERS:
             raise RuntimeError("PageRank did not reach a fixpoint")
+    # ADVICE r14: the oracle unrolls exactly _PRF_ORACLE_K iterations,
+    # so a corpus that mixes slower than the unroll depth must fail
+    # HERE with the real cause, not downstream as a NULL oracle
+    # column when two constants silently drift apart.
+    if iters >= _PRF_ORACLE_K:
+        raise RuntimeError(
+            f"PageRank fixpoint at iteration {iters} >= the oracle "
+            f"unroll depth _PRF_ORACLE_K={_PRF_ORACLE_K}; raise the "
+            "unroll depth so iterations k.._PRF_ORACLE_K stay "
+            "provably identical"
+        )
     return pr.select(
         "node",
         F.col("pr").alias("pr_fix"),

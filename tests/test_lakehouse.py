@@ -678,3 +678,34 @@ def test_mor_write_conflicts_with_partition_rewrite(spark, tmp_path):
                     base_version=snap2)
     got = {r.k: r.v for r in read_table_mor(spark, table2, key_cols=["k"]).collect()}
     assert got[3] == 333, "the interleaved upsert was lost"
+
+
+def test_mor_reserved_columns_fail_fast(spark, tmp_path):
+    """read_table_mor injects reserved working columns (_seq,
+    _dv_<key>, _dv_seq) into the scanned frames; a user schema that
+    already carries one must raise instead of silently corrupting
+    the anti-join / final drop (ADVICE r14)."""
+    from go_whisper_spark.lakehouse import commit_partitions, read_table_mor
+
+    # key column colliding with the reserved set
+    table = _mor_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="reserved"):
+        read_table_mor(spark, table, key_cols=["_seq"])
+
+    # data column colliding with the reserved set
+    table2 = str(tmp_path / "bad")
+    df = spark.createDataFrame(
+        [(1, 7, 0)], "k long, _seq long, b long"
+    )
+    commit_partitions(spark, table2, {"b=0": df}, base_version=0)
+    with pytest.raises(ValueError, match="reserved"):
+        read_table_mor(spark, table2, key_cols=["k"])
+
+    # a key named so a _dv_<key> collides with a data column
+    table3 = str(tmp_path / "bad2")
+    df3 = spark.createDataFrame(
+        [(1, 7, 0)], "k long, _dv_k long, b long"
+    )
+    commit_partitions(spark, table3, {"b=0": df3}, base_version=0)
+    with pytest.raises(ValueError, match="reserved"):
+        read_table_mor(spark, table3, key_cols=["k"])

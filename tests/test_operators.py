@@ -878,3 +878,32 @@ def test_join_cms_estimate_one_sided_and_bounded(spark, sf_dir):
     bound = 5 * r.n_a * r.n_b // _JCMS_W + 1
     assert r.overestimate <= bound, (
         f"overestimate {r.overestimate} vs collision-mass bound {bound}")
+
+
+def test_triangle_broadcast_gate_fallback_is_identical(spark, sf_dir):
+    """The closing-probe broadcast hint is size-gated (ADVICE r14):
+    past _TRI_BCAST_MAX_EDGES the identical plan must run as the
+    (v, w)-keyed shuffle join and produce the SAME triangle set —
+    forcing the gate with n_edges above the ceiling exercises the
+    fallback path end-to-end."""
+    from go_whisper_spark.operators.whisper_queries import (
+        _TRI_BCAST_MAX_EDGES,
+        _tri_oriented,
+        _tri_triangles,
+    )
+
+    _, _, ori = _tri_oriented(spark, sf_dir)
+    hinted = _tri_triangles(ori, n_edges=1)
+    fallback = _tri_triangles(ori, n_edges=_TRI_BCAST_MAX_EDGES + 1)
+    # the gate actually changes the physical probe: the fallback plan
+    # must carry one fewer broadcast join than the hinted plan
+    def n_bcast(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        ).count("BroadcastHashJoin")
+
+    assert n_bcast(fallback) < n_bcast(hinted), (
+        "size gate did not remove the probe's broadcast hint")
+    h = {(r.a, r.v, r.w) for r in hinted.collect()}
+    f = {(r.a, r.v, r.w) for r in fallback.collect()}
+    assert h == f and h, "fallback shuffle join diverges from broadcast probe"
