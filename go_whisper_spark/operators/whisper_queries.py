@@ -1273,18 +1273,24 @@ LEFT JOIN ind ON node = ind.dst
 
 # ---------------------------------------------------------- w_triangles
 def _tri_edges(spark: SparkSession, sf_dir: str,
-               materialize: bool = True) -> DataFrame:
+               materialize: bool = True,
+               order_mod: int | None = None) -> DataFrame:
     """Distinct undirected co-purchase edges (u < v by id) between
     parts sharing an order; localCheckpoint-ed (unless
     ``materialize=False``) because every triangle-family consumer
-    reads it several times."""
+    reads it several times.  ``order_mod`` keeps only orders with
+    o % mod == 0 — a deterministic order sample (whole orders arrive
+    or don't, so clique structure is preserved) used by the truss
+    DECOMPOSITION to bound its data-dependent peel schedule."""
     from go_whisper_spark.sources.tables import load_table
 
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
     )
+    if order_mod is not None:
+        items = items.where(F.col("o") % order_mod == 0)
+    items = items.distinct()
     edges = (
         items.join(items.select("o", F.col("p").alias("q")), "o")
         .where(F.col("p") < F.col("q"))
@@ -1610,6 +1616,235 @@ led AS (
   FROM edges e LEFT JOIN sup s ON e.u = s.u AND e.v = s.v
 )
 SELECT support, count(*) AS n_edges FROM led GROUP BY 1
+"""
+
+
+# --------------------------------------------------- w_truss_decomp
+def _flat_localCheckpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint that also RESETS plan statistics — required by
+    any iteration whose recursive frame enters its own round plan
+    MULTIPLICATIVELY.
+
+    ``localCheckpoint`` truncates lineage but PRESERVES the origin
+    plan's sizeInBytes estimate.  A round plan that joins the
+    recursive frame with an aggregate derived from that same frame
+    (the truss peel: wedge self-join × closing probe × support
+    join-back) therefore multiplies the estimate into the next round:
+    bits(size) × ~4 per round — a DOUBLE-exponential BigInteger whose
+    Toom-Cook multiplications inside Catalyst's
+    SizeInBytesOnlyStatsPlanVisitor burn unbounded driver CPU by
+    round ~13 (measured: jstack pins the py4j thread in
+    BigInteger.multiplyToomCook3; a 100-row 8-round repro grows 29 →
+    6729 bits).  PageRank's loop survives without this because its
+    frame enters each round LINEARLY (bits grow arithmetically).
+
+    The fix re-wraps the checkpointed RDD[InternalRow] as a fresh
+    LogicalRDD carrying no origin stats (sizeInBytes falls back to
+    the conservative default).  Join planning inside the loop then
+    relies on explicit broadcast hints plus AQE's RUNTIME sizes —
+    exactly the posture you want on a cluster anyway.  Falls back to
+    the plain localCheckpoint if the private constructor ever moves."""
+    ck = df.localCheckpoint()
+    try:
+        spark = df.sparkSession
+        jdf = spark._jsparkSession.internalCreateDataFrame(
+            ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False)
+        return DataFrame(jdf, spark)
+    except Exception:  # pragma: no cover - exercised only on API drift
+        return ck
+
+
+_TRUSS_MOD = 8         # deterministic order sample: o % 8 == 0
+_TRUSS_MAX_ROUNDS = 64  # driver-loop safety cap
+_TRUSS_ORACLE_R = 44   # oracle unroll depth — strictly past the
+#                        measured flattened fixpoints (27/33/34 at
+#                        sf0.001/0.01/0.1; rounds past the fixpoint
+#                        peel an EMPTY edge set, provably no-ops)
+
+
+def w_truss_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truss DECOMPOSITION to its exact fixpoint — the iterative
+    peeling loop over ``w_truss_support``'s charge plan, completing
+    the convergence-loop discipline ``w_pagerank_fixpoint``
+    established (decidable stop, one control-plane scalar per round,
+    flat lineage via per-round localCheckpoint, oracle-checked
+    iteration count).
+
+    Semantics (flattened k-sweep): start at k=2 over the whole edge
+    set; each round recomputes every surviving edge's support (its
+    triangle count within the SURVIVOR subgraph) and either peels the
+    edges with support < k−2 (their trussness is k−1: they belong to
+    the (k−1)-truss but not the k-truss) or, when nothing peels,
+    advances k.  The loop stops the round the edge set empties — a
+    decidable fixpoint, never an ε.  Output: the (trussness, n_edges)
+    ledger — O(k_max) rows at any graph size — plus the flattened
+    round count, which the oracle re-derives in SQL (min r with
+    |survivors_r| = 0), so the loop-until-converged schedule itself
+    is cross-engine-checked, not just the final histogram.
+
+    The graph is the co-purchase graph of the o % 8 == 0 ORDER sample
+    (whole orders arrive or don't, so the bounded clique expansion
+    and all triangle structure within a sampled order are preserved —
+    the DOULION discipline applied to the input, not the estimate;
+    decomposition on the sample is EXACT).  The modulus exists to
+    bound the data-dependent peel schedule so the unrolled oracle
+    stays affordable; at production scale the same loop runs on the
+    full graph — each round is exactly the audited ``w_truss_support``
+    plan class (degree-ordered orientation computed ONCE on the
+    sampled graph: any fixed total order finds each triangle exactly
+    once on every survivor subgraph, so rounds reuse the original
+    orientation and only re-count).
+
+    Scale shape: per round ONE wedge-join + charge aggregation over
+    the survivors (shrinking monotonically), one broadcast-gated
+    closing probe, one localCheckpoint, ONE driver scalar (the peel
+    count); consecutive k-bumps skip the recount entirely (support
+    is unchanged — only the threshold moved).  The dropped slices are
+    lazy selections over already-checkpointed rounds, unioned once at
+    the end into a map-combined O(k_max) histogram.  No collect of
+    edge data anywhere."""
+    edges = _tri_edges(spark, sf_dir, order_mod=_TRUSS_MOD)
+    _, oriented = _tri_orient(edges)
+    cnt = oriented.count()
+    surv = oriented
+    k = 2
+    iters = 0
+    dropped = []          # per-round lazy slices over checkpointed anns
+    ann = None
+    recount = True
+    while cnt > 0:
+        iters += 1
+        if iters > _TRUSS_MAX_ROUNDS:
+            raise RuntimeError("truss peeling did not reach a fixpoint")
+        if recount:
+            tri = _tri_triangles(surv, n_edges=cnt)
+            pairs = tri.select(
+                F.explode(F.array(
+                    F.struct(F.least("a", "v").alias("cu"),
+                             F.greatest("a", "v").alias("cv")),
+                    F.struct(F.least("a", "w").alias("cu"),
+                             F.greatest("a", "w").alias("cv")),
+                    F.struct(F.least("v", "w").alias("cu"),
+                             F.greatest("v", "w").alias("cv")),
+                )).alias("e")
+            ).select("e.cu", "e.cv")
+            sup = pairs.groupBy("cu", "cv").agg(F.count("*").alias("s"))
+            ann = _flat_localCheckpoint(
+                surv.withColumn("cu", F.least("src", "dst"))
+                .withColumn("cv", F.greatest("src", "dst"))
+                .join(sup, ["cu", "cv"], "left")
+                .select(
+                    "src", "dst", "dd",
+                    F.coalesce("s", F.lit(0).cast("long")).alias("sup"),
+                )
+            )
+        # ONE control-plane scalar per round — the peel/stop test
+        n_bad = ann.where(F.col("sup") < k - 2).count()
+        if n_bad == 0:
+            k += 1
+            # support over an unchanged survivor set is unchanged;
+            # only the threshold moved — skip the recount
+            recount = False
+            continue
+        dropped.append(
+            ann.where(F.col("sup") < k - 2)
+            .select(F.lit(k - 1).cast("long").alias("trussness"))
+        )
+        surv = ann.where(F.col("sup") >= k - 2).select("src", "dst", "dd")
+        cnt -= n_bad
+        recount = True
+    if iters > _TRUSS_ORACLE_R:
+        raise RuntimeError(
+            f"truss fixpoint at round {iters} > the oracle unroll "
+            f"depth _TRUSS_ORACLE_R={_TRUSS_ORACLE_R}; raise the "
+            "unroll depth so rounds past the fixpoint stay no-ops"
+        )
+    if not dropped:
+        # triangle-free empty loop never executed (no edges): 0 rows
+        return spark.createDataFrame(
+            [], "trussness long, n_edges long, iters long")
+    hist = dropped[0]
+    for d in dropped[1:]:
+        hist = hist.unionByName(d)
+    return (
+        hist.groupBy("trussness")
+        .agg(F.count("*").alias("n_edges"))
+        .select("trussness", "n_edges",
+                F.lit(iters).cast("long").alias("iters"))
+    )
+
+
+def _w_truss_decomp_sql(r_max: int = _TRUSS_ORACLE_R,
+                        mod: int = _TRUSS_MOD) -> str:
+    """Generated oracle: the flattened peel unrolled r_max rounds
+    (strictly past every measured fixpoint — later rounds operate on
+    an EMPTY survivor set, provably no-ops) with plain id-ordered
+    triangle counting per round (no degree logic — cross-engine
+    agreement proves the orientation reuse), plus the SQL derivation
+    of the round count (min r with |survivors_r| = 0 — identical
+    semantics to the driver loop's stop test).  Every per-round CTE
+    is MATERIALIZED (plain CTEs inline and re-evaluate the whole
+    chain per reference — the O(k²) blowup the PageRank oracle
+    pinned)."""
+    rounds = []
+    for r in range(1, r_max + 1):
+        p = r - 1
+        rounds.append(f"""tri{r} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM surv{p} e1 JOIN surv{p} e2 ON e1.v = e2.u
+  JOIN surv{p} e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+sup{r} AS MATERIALIZED (
+  SELECT s.u, s.v, COALESCE(c.c, 0) AS sup
+  FROM surv{p} s LEFT JOIN (
+    SELECT u, v, count(*) AS c FROM (
+      SELECT a AS u, b AS v FROM tri{r}
+      UNION ALL SELECT a, c FROM tri{r}
+      UNION ALL SELECT b, c FROM tri{r}
+    ) GROUP BY u, v
+  ) c ON s.u = c.u AND s.v = c.v
+),
+lvl{r} AS MATERIALIZED (
+  SELECT CASE WHEN EXISTS (
+    SELECT 1 FROM sup{r} WHERE sup < (SELECT k FROM lvl{p}) - 2)
+  THEN (SELECT k FROM lvl{p}) ELSE (SELECT k FROM lvl{p}) + 1 END AS k
+),
+drp{r} AS MATERIALIZED (
+  SELECT u, v, (SELECT k FROM lvl{p}) - 1 AS trussness
+  FROM sup{r} WHERE sup < (SELECT k FROM lvl{p}) - 2
+),
+surv{r} AS MATERIALIZED (
+  SELECT u, v FROM sup{r} WHERE sup >= (SELECT k FROM lvl{p}) - 2
+)""")
+    cnts = "\n  UNION ALL ".join(
+        f"SELECT {r} AS r, (SELECT count(*) FROM surv{r}) AS n"
+        for r in range(1, r_max + 1)
+    )
+    drps = "\n    UNION ALL ".join(
+        f"SELECT trussness FROM drp{r}" for r in range(1, r_max + 1)
+    )
+    return f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_orderkey % {mod} = 0
+),
+surv0 AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+lvl0 AS (SELECT 2 AS k),
+{",".join(rounds)},
+cnts AS (
+  {cnts}
+),
+fix AS (SELECT CAST(min(r) AS BIGINT) AS iters FROM cnts WHERE n = 0)
+SELECT CAST(trussness AS BIGINT) AS trussness,
+       count(*) AS n_edges,
+       (SELECT iters FROM fix) AS iters
+FROM (
+    {drps}
+)
+GROUP BY trussness
 """
 
 
@@ -4298,6 +4533,7 @@ QUERIES = {
     "w_event_pagerank": w_event_pagerank,
     "w_triangles": w_triangles,
     "w_truss_support": w_truss_support,
+    "w_truss_decomp": w_truss_decomp,
     "w_triangle_sample": w_triangle_sample,
     "w_pagerank_fixpoint": w_pagerank_fixpoint,
     "w_zorder_skipping": w_zorder_skipping,
@@ -4351,6 +4587,7 @@ ORACLES = {
     "w_event_pagerank": W_EVENT_PAGERANK_SQL,
     "w_triangles": W_TRIANGLES_SQL,
     "w_truss_support": W_TRUSS_SUPPORT_SQL,
+    "w_truss_decomp": _w_truss_decomp_sql(),
     "w_triangle_sample": W_TRIANGLE_SAMPLE_SQL,
     "w_pagerank_fixpoint": _w_pagerank_fixpoint_sql(),
     "w_zorder_skipping": _w_zorder_skipping_sql(),

@@ -907,3 +907,45 @@ def test_triangle_broadcast_gate_fallback_is_identical(spark, sf_dir):
     h = {(r.a, r.v, r.w) for r in hinted.collect()}
     f = {(r.a, r.v, r.w) for r in fallback.collect()}
     assert h == f and h, "fallback shuffle join diverges from broadcast probe"
+
+
+def test_truss_decomp_matches_reference_peel(spark, sf_dir):
+    """w_truss_decomp's (trussness, n_edges, iters) ledger must equal
+    an independent in-memory peel: same flattened schedule (peel
+    support < k-2 within the survivor subgraph, bump k when stable,
+    stop the round the edge set empties), computed with plain Python
+    sets over the collected sampled edge list — no Spark, no SQL, no
+    orientation.  Also pins the conservation law Σ n_edges = |E|."""
+    from collections import defaultdict
+
+    from go_whisper_spark.operators.whisper_queries import (
+        _TRUSS_MOD,
+        _tri_edges,
+        w_truss_decomp,
+    )
+
+    rows = w_truss_decomp(spark, sf_dir).collect()
+    E = {(r.u, r.v) for r in
+         _tri_edges(spark, sf_dir, order_mod=_TRUSS_MOD).collect()}
+    assert sum(r.n_edges for r in rows) == len(E)
+
+    adj = defaultdict(set)
+    for u, v in E:
+        adj[u].add(v)
+        adj[v].add(u)
+    cur, k, iters, hist = set(E), 2, 0, defaultdict(int)
+    while cur:
+        iters += 1
+        drop = [e for e in cur if len(adj[e[0]] & adj[e[1]]) < k - 2]
+        if not drop:
+            k += 1
+            continue
+        for (u, v) in drop:
+            cur.discard((u, v))
+            adj[u].discard(v)
+            adj[v].discard(u)
+        hist[k - 1] += len(drop)
+    got = {r.trussness: r.n_edges for r in rows}
+    assert got == dict(hist), f"histogram diverges: {got} vs {dict(hist)}"
+    assert all(r.iters == iters for r in rows), (
+        f"round count {rows[0].iters} != reference {iters}")

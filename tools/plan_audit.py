@@ -1429,11 +1429,58 @@ def _build_triangle_oriented(spark):
     return oriented
 
 
+def _build_truss_peel_round(spark):
+    # ONE flattened peel round of w_truss_decomp (the loop is R copies
+    # of this plan over a shrinking survivor set): the wedge self-join
+    # must stay an equi-join on the low endpoint (never a
+    # cartesian/nested-loop), the closing probe and the degree
+    # join-backs must be broadcasts, and the 3x edge charge must be a
+    # map-combined (partial_count) aggregate before the support join.
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.operators.whisper_queries import (
+        _TRUSS_MOD,
+        _tri_edges,
+        _tri_orient,
+        _tri_triangles,
+    )
+
+    edges = _tri_edges(spark, SF_DIR, materialize=False,
+                       order_mod=_TRUSS_MOD)
+    _, oriented = _tri_orient(edges, materialize=False)
+    tri = _tri_triangles(oriented, n_edges=1)
+    pairs = tri.select(
+        F.explode(F.array(
+            F.struct(F.least("a", "v").alias("cu"),
+                     F.greatest("a", "v").alias("cv")),
+            F.struct(F.least("a", "w").alias("cu"),
+                     F.greatest("a", "w").alias("cv")),
+            F.struct(F.least("v", "w").alias("cu"),
+                     F.greatest("v", "w").alias("cv")),
+        )).alias("e")
+    ).select("e.cu", "e.cv")
+    sup = pairs.groupBy("cu", "cv").agg(F.count("*").alias("s"))
+    return (
+        oriented.withColumn("cu", F.least("src", "dst"))
+        .withColumn("cv", F.greatest("src", "dst"))
+        .join(sup, ["cu", "cv"], "left")
+        .select("src", "dst",
+                F.coalesce("s", F.lit(0).cast("long")).alias("sup"))
+        .where(F.col("sup") < 2)
+    )
+
+
 BUILDERS = {
     # See _build_triangle_oriented.
     "w_triangles_oriented": dict(
         build=_build_triangle_oriented,
         require=["BroadcastHashJoin", "partial_count"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
+    # See _build_truss_peel_round.
+    "w_truss_peel_round": dict(
+        build=_build_truss_peel_round,
+        require=["BroadcastHashJoin", "partial_count", "Generate"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
     ),
     # The applyInPandas .wsp write stage: one FlatMapGroupsInPandas
