@@ -191,7 +191,19 @@ HEADLINE = [
     # round 14 novelty tail (none of the r13 tail retires yet — each
     # has only ONE driver record): exact degree-ordered triangle
     # counting (bounded clique expansion + orientation + wedge join).
-    "w_triangles",
+    # Round 15 (VERDICT r14 item 3): w_triangles' 7.3 s entry was
+    # dominated by the per-rep rebuild of the eagerly-checkpointed
+    # substrate; the headline entry is now the probe-only serve form
+    # against the memoized substrate (the s_pq_search_serve split) —
+    # the steady-state number a production deployment pays.
+    # w_triangles itself stays registry-gated; its build-inclusive
+    # cost has its one driver record in BENCH_r14.json.
+    "w_triangles_serve",
+    # round 15 novelty tail: truss decomposition to fixpoint (the
+    # flattened peel loop — ~33 support recounts at sf0.1 over the
+    # o%8 order-sampled graph; priced build-inclusive because the
+    # loop IS the operator).
+    "w_truss_decomp",
 ]
 
 
