@@ -491,7 +491,7 @@ def merge_table(
     # be silently shed by our newer-sequence rewrite otherwise.
     return commit_partitions(
         spark, table, frames, base_version=base_version,
-        conflict_key_prefixes=(DV_PREFIX, DELTA_PREFIX),
+        conflict_key_prefixes=MOR_PREFIXES,
     )
 
 
@@ -540,7 +540,7 @@ def read_table(
     test_time_travel_after_vacuum_fails_cleanly)."""
     state = CommitLog(table).state(at_version=version)
     mor = [k for k in state["partitions"]
-           if k.startswith((DV_PREFIX, DELTA_PREFIX))]
+           if k.startswith(MOR_PREFIXES)]
     if mor:
         raise ValueError(
             f"lake table {table} has {len(mor)} live merge-on-read "
@@ -577,6 +577,10 @@ def read_table(
 
 DV_PREFIX = "dv/"
 DELTA_PREFIX = "delta/"
+PDV_PREFIX = "pdv/"
+# every merge-on-read manifest-key family: equality deletion vectors,
+# delta appends, positional deletion vectors
+MOR_PREFIXES = (DV_PREFIX, DELTA_PREFIX, PDV_PREFIX)
 
 
 def _mor_key_versions(
@@ -636,10 +640,25 @@ def upsert_rows_mor(
     keys in all older directories.  Both land at the SAME sequence,
     so the tombstone cannot touch the delta it ships with (strict
     inequality).  No base file is rewritten.  Returns the committed
-    version."""
+    version.
+
+    Pos-stamped tables (written via commit_partitions_pos): the delta
+    rows are stamped with fresh ``_pos`` ordinals automatically, so
+    the merged scan's union stays schema-aligned and the delta stays
+    positionally addressable."""
+    from pyspark.sql import functions as F
+
     log = CommitLog(table)
     if base_version is None:
         base_version = log.state()["version"]
+    kv = _mor_key_versions(log, at_version=base_version)
+    data_dirs = [d for k, (_, d) in sorted(kv.items())
+                 if not k.startswith(MOR_PREFIXES)]
+    if data_dirs and POS_COL not in updates.columns:
+        # control-plane schema probe of ONE live data dir
+        if POS_COL in spark.read.parquet(data_dirs[0]).columns:
+            updates = updates.withColumn(
+                POS_COL, F.monotonically_increasing_id())
     d_rows = stage_dir(table)
     d_keys = stage_dir(table)
     updates.write.mode("overwrite").parquet(d_rows)
@@ -650,6 +669,107 @@ def upsert_rows_mor(
     })
 
 
+# Column name of the stable per-directory row ordinal positional
+# deletes address.  It is a REAL persisted column minted at write
+# time (never re-derived at read time — that is what makes positions
+# stable), public Iceberg v2's `pos` made explicit.
+POS_COL = "_pos"
+
+
+def commit_partitions_pos(
+    spark: SparkSession,
+    table: str,
+    partitions: Dict[str, DataFrame],
+    base_version: int = 0,
+) -> int:
+    """commit_partitions with positional addressing: every row is
+    stamped with a stable ``_pos`` ordinal BEFORE the parquet write,
+    so positional deletion vectors can name physical rows later.
+
+    ``_pos`` is ``monotonically_increasing_id()`` — unique within the
+    directory, minted shuffle-free at write time and PERSISTED, which
+    is the whole stability contract (a position is an address, not a
+    rank; it never needs to be dense, only unique and immutable).  At
+    production scale this is the per-file ordinal the writer mints
+    (Iceberg v2 data_file.pos); per-directory here because the
+    directory is this layer's file granularity."""
+    from pyspark.sql import functions as F
+
+    stamped = {}
+    for key, df in partitions.items():
+        if POS_COL in df.columns:
+            raise ValueError(
+                f"partition {key!r} already carries {POS_COL!r} — "
+                "commit_partitions_pos mints positions itself"
+            )
+        stamped[key] = df.withColumn(
+            POS_COL, F.monotonically_increasing_id())
+    return commit_partitions(
+        spark, table, stamped, base_version=base_version)
+
+
+def read_table_pos(
+    spark: SparkSession,
+    table: str,
+    version: Optional[int] = None,
+) -> DataFrame:
+    """The ADDRESSING scan: data ∪ delta rows with their directory
+    path exposed as ``_dir`` (next to the persisted ``_pos``), which
+    is exactly what a caller needs to build a positional delete set —
+    filter rows by content, keep (_dir, _pos).  Applies NO deletion
+    vectors (it names physical rows, including ones already
+    shadowed); use read_table_mor for the merged view."""
+    from pyspark.sql import functions as F
+
+    kv = _mor_key_versions(CommitLog(table), at_version=version)
+    frames = []
+    for key, (_, d) in sorted(kv.items()):
+        if not key.startswith((DV_PREFIX, PDV_PREFIX)):
+            df = spark.read.parquet(d)
+            if POS_COL not in df.columns:
+                raise ValueError(
+                    f"lake table {table} dir {key!r} carries no "
+                    f"{POS_COL!r} column — write via "
+                    "commit_partitions_pos for positional addressing"
+                )
+            frames.append(df.withColumn("_dir", F.lit(d)))
+    if not frames:
+        raise FileNotFoundError(f"lake table {table} has no committed data")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def delete_rows_pos(
+    spark: SparkSession,
+    table: str,
+    positions: DataFrame,
+    base_version: Optional[int] = None,
+) -> int:
+    """Positional MoR DELETE: stage the (_dir, _pos) set as a
+    positional deletion vector and publish it as ONE metadata commit
+    — ZERO data partitions are touched (same contract as
+    delete_rows_mor, for predicates that are not key-shaped: "this
+    physical row", e.g. one of several content-identical duplicates,
+    which no equality vector can express).  Applies to rows of
+    directories with sequence <= the vector's own (see
+    read_table_mor's sequencing note).  Returns the committed
+    version."""
+    missing = {"_dir", POS_COL} - set(positions.columns)
+    if missing:
+        raise ValueError(
+            f"positional delete set must carry columns "
+            f"['_dir', {POS_COL!r}]; missing {sorted(missing)}"
+        )
+    log = CommitLog(table)
+    if base_version is None:
+        base_version = log.state()["version"]
+    d = stage_dir(table)
+    positions.select("_dir", POS_COL).write.mode("overwrite").parquet(d)
+    return log.commit(base_version, {f"{PDV_PREFIX}{uuid.uuid4().hex}": d})
+
+
 def read_table_mor(
     spark: SparkSession,
     table: str,
@@ -658,18 +778,28 @@ def read_table_mor(
 ) -> DataFrame:
     """Merge-on-read snapshot scan: (data ∪ delta directories), each
     row carrying its directory's commit sequence, minus every key an
-    equality deletion vector with a STRICTLY NEWER sequence covers —
-    applied as ONE broadcast LEFT ANTI join at scan time.
+    equality deletion vector with a STRICTLY NEWER sequence covers,
+    minus every (directory, position) a positional deletion vector
+    with a SAME-OR-NEWER sequence names — each applied as ONE
+    broadcast LEFT ANTI join at scan time.
+
+    Sequencing asymmetry (public Iceberg v2's): an equality delete
+    shadows strictly OLDER directories only (a key re-added later
+    survives), while a positional delete applies to directories with
+    sequence <= its own (you can positional-delete rows of a file
+    shipped in the same commit, and a named physical row can never be
+    "re-added" — a rewritten directory is a NEW path, so stale
+    positional tombstones die with the old one naturally).
 
     Scale shape: the manifest resolution is control-plane (it builds
     the PLAN — one parquet source per live directory with a literal
     sequence column, unioned); the data scan stays pruned/pushed-down
-    exactly like read_table's; deletion vectors are key sets, orders
-    of magnitude smaller than the data, hence the broadcast hint —
-    at pathological tombstone volume run compact_mor, which is the
-    same judgement call public lakehouses surface as OPTIMIZE.
-    ``version`` pins time travel with the same vacuum-window caveat
-    as read_table."""
+    exactly like read_table's; deletion vectors are key/position
+    sets, orders of magnitude smaller than the data, hence the
+    broadcast hints — at pathological tombstone volume run
+    compact_mor, which is the same judgement call public lakehouses
+    surface as OPTIMIZE.  ``version`` pins time travel with the same
+    vacuum-window caveat as read_table."""
     from pyspark.sql import functions as F
 
     log = CommitLog(table)
@@ -677,11 +807,15 @@ def read_table_mor(
     if not kv:
         raise FileNotFoundError(f"lake table {table} has no committed data")
     keys = list(key_cols)
+    pdv_live = any(k.startswith(PDV_PREFIX) for k in kv)
     # ADVICE r14: the merge plan injects reserved working columns
-    # (_seq, _dv_<key>, _dv_seq) into the scanned frames; a user
-    # schema already carrying one would silently corrupt the
-    # anti-join condition and the final drop — fail fast instead.
+    # (_seq, _dv_<key>, _dv_seq, and _dirpath/_pdv_* when positional
+    # deletes are live) into the scanned frames; a user schema
+    # already carrying one would silently corrupt the anti-join
+    # condition and the final drop — fail fast instead.
     reserved = {"_seq", "_dv_seq"} | {f"_dv_{k}" for k in keys}
+    if pdv_live:
+        reserved |= {"_dirpath", "_pdv_dir", "_pdv_pos", "_pdv_seq"}
     clash = reserved & set(keys)
     if clash:
         raise ValueError(
@@ -689,7 +823,7 @@ def read_table_mor(
             "reserved working columns (_seq/_dv_seq/_dv_<key>)"
         )
 
-    def _load(key_filter) -> List[DataFrame]:
+    def _load(key_filter, with_dirpath: bool = False) -> List[DataFrame]:
         frames = []
         for key, (seq, d) in sorted(kv.items()):
             if key_filter(key):
@@ -701,11 +835,16 @@ def read_table_mor(
                         f"columns {sorted(bad)} that collide with "
                         "read_table_mor's reserved working columns"
                     )
-                frames.append(df.withColumn("_seq", F.lit(seq)))
+                df = df.withColumn("_seq", F.lit(seq))
+                if with_dirpath:
+                    df = df.withColumn("_dirpath", F.lit(d))
+                frames.append(df)
         return frames
 
-    data = _load(lambda k: not k.startswith((DV_PREFIX, DELTA_PREFIX)))
-    data += _load(lambda k: k.startswith(DELTA_PREFIX))
+    data = _load(lambda k: not k.startswith(MOR_PREFIXES),
+                 with_dirpath=pdv_live)
+    data += _load(lambda k: k.startswith(DELTA_PREFIX),
+                  with_dirpath=pdv_live)
     if not data:
         raise FileNotFoundError(f"lake table {table} has no committed data")
     rows = data[0]
@@ -724,7 +863,30 @@ def read_table_mor(
         for k in keys:
             cond = cond & (F.col(k) == F.col(f"_dv_{k}"))
         rows = rows.join(F.broadcast(tomb), cond, "left_anti")
-    return rows.drop("_seq")
+    if pdv_live:
+        if POS_COL not in rows.columns:
+            raise ValueError(
+                f"lake table {table} has live positional deletion "
+                f"vectors but its data rows carry no {POS_COL!r} "
+                "column — positional deletes require a table written "
+                "via commit_partitions_pos (or a pos-stamping writer)"
+            )
+        pdvs = _load(lambda k: k.startswith(PDV_PREFIX))
+        ptomb = pdvs[0]
+        for f in pdvs[1:]:
+            ptomb = ptomb.unionByName(f)
+        ptomb = ptomb.select(
+            F.col("_dir").alias("_pdv_dir"),
+            F.col(POS_COL).alias("_pdv_pos"),
+            F.col("_seq").alias("_pdv_seq"),
+        )
+        pcond = (
+            (F.col("_pdv_dir") == F.col("_dirpath"))
+            & (F.col("_pdv_pos") == F.col(POS_COL))
+            & (F.col("_pdv_seq") >= F.col("_seq"))
+        )
+        rows = rows.join(F.broadcast(ptomb), pcond, "left_anti")
+    return rows.drop("_seq", "_dirpath")
 
 
 def compact_mor(
@@ -755,11 +917,20 @@ def compact_mor(
     if base_version is None:
         base_version = log.state()["version"]
     kv = _mor_key_versions(log, at_version=base_version)
-    mor_keys = [k for k in kv if k.startswith((DV_PREFIX, DELTA_PREFIX))]
+    mor_keys = [k for k in kv if k.startswith(MOR_PREFIXES)]
     data_keys = [
-        k for k in kv if not k.startswith((DV_PREFIX, DELTA_PREFIX))
+        k for k in kv if not k.startswith(MOR_PREFIXES)
     ]
     cur = read_table_mor(spark, table, key_cols, version=base_version)
+    # pos-stamped tables: rewrite re-MINTS positions.  Folding several
+    # source directories into one rewritten dir would otherwise leave
+    # duplicate _pos values (positions are only unique per directory),
+    # breaking every FUTURE positional delete; the applied positional
+    # tombstones are removed by this commit anyway, so old addresses
+    # die with their directories.
+    if POS_COL in cur.columns:
+        cur = cur.drop(POS_COL).withColumn(
+            POS_COL, F.monotonically_increasing_id())
     # control-plane: the post-merge partition values (covers values
     # the delta introduced; a value with zero surviving rows is
     # absent).  The row filter uses RAW equality — a cast-to-string
@@ -779,7 +950,7 @@ def compact_mor(
     emptied = [k for k in data_keys if k not in replace]
     return log.commit(
         base_version, replace, remove=mor_keys + emptied,
-        conflict_key_prefixes=(DV_PREFIX, DELTA_PREFIX),
+        conflict_key_prefixes=MOR_PREFIXES,
     )
 
 

@@ -4534,6 +4534,90 @@ FROM base WHERE doc_id % 7 = 0
 """
 
 
+def w_lakehouse_mor_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL deletion vectors under the driver's oracle — the
+    delete shape no equality vector can express: "this physical row".
+    The silver documents table is committed with every row DUPLICATED
+    (two content-identical copies per doc — no column distinguishes
+    them) via ``commit_partitions_pos``, which mints the stable
+    ``_pos`` ordinal the vectors address.  Then (v2) an equality MoR
+    DELETE removes every doc_id % 5 == 0 — BOTH copies, the key is
+    the address — and (v3) a positional DELETE removes exactly ONE
+    copy of every doc_id % 3 == 0, addressed as (directory,
+    min ``_pos``) from the ``read_table_pos`` addressing scan.  Both
+    are metadata-only commits; zero base files rewritten.
+
+    The merged scan then shows the discriminator the oracle pins by
+    row MULTIPLICITY: %5 docs gone entirely, %3 docs at exactly ONE
+    copy, everything else at two — an equality vector in place of the
+    positional one would collapse the %3 docs to zero and hash-fail.
+    min(_pos) is arbitrary-but-irrelevant: the copies are
+    content-identical, so WHICH survives cannot affect the result
+    (the reason positions only need uniqueness, not order).
+
+    Scale shape: positional DELETE cost is O(named rows) at any table
+    size; the scan applies the (dir, pos) set as one broadcast anti
+    join whose dir-equality Catalyst constant-folds per source
+    directory; positions are minted shuffle-free at write time
+    (monotonically_increasing_id) and PERSISTED — never re-derived.
+    [pins lakehouse.py: commit_partitions_pos / read_table_pos /
+    delete_rows_pos / read_table_mor's pdv branch]"""
+    import os
+    import tempfile
+
+    from go_whisper_spark.lakehouse import (
+        POS_COL,
+        commit_partitions_pos,
+        delete_rows_mor,
+        delete_rows_pos,
+        read_table_mor,
+        read_table_pos,
+    )
+    from go_whisper_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    one = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("score"),
+        (F.col("doc_id") % 3).alias("b"),
+    )
+    base = one.unionByName(one)  # two content-identical copies per doc
+    table = os.path.join(tempfile.mkdtemp(prefix="gws_lakepos_"), "silver_docs")
+    commit_partitions_pos(
+        spark, table,
+        {f"b={k}": base.where(F.col("b") == k) for k in range(3)},
+        base_version=0,
+    )
+    delete_rows_mor(
+        spark, table, one.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    )
+    addr = (
+        read_table_pos(spark, table)
+        .where(F.col("doc_id") % 3 == 0)
+        .groupBy("doc_id", "_dir")
+        .agg(F.min(POS_COL).alias(POS_COL))
+        .select("_dir", POS_COL)
+    )
+    delete_rows_pos(spark, table, addr)
+    return read_table_mor(spark, table, key_cols=["doc_id"]).select(
+        "doc_id", "lang", "score", "b"
+    )
+
+
+W_LAKEHOUSE_MOR_POS_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
+         doc_id % 3 AS b
+  FROM documents
+)
+SELECT doc_id, lang, score, b FROM base WHERE doc_id % 5 <> 0
+UNION ALL
+SELECT doc_id, lang, score, b FROM base
+WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 0
+"""
+
+
 W_LAKEHOUSE_MERGE_SQL = """
 WITH base AS (
   SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
@@ -4576,6 +4660,7 @@ QUERIES = {
     "w_truss_support": w_truss_support,
     "w_truss_decomp": w_truss_decomp,
     "w_triangles_serve": w_triangles_serve,
+    "w_lakehouse_mor_pos": w_lakehouse_mor_pos,
     "w_triangle_sample": w_triangle_sample,
     "w_pagerank_fixpoint": w_pagerank_fixpoint,
     "w_zorder_skipping": w_zorder_skipping,
@@ -4631,6 +4716,7 @@ ORACLES = {
     "w_truss_support": W_TRUSS_SUPPORT_SQL,
     "w_truss_decomp": _w_truss_decomp_sql(),
     "w_triangles_serve": W_TRIANGLES_SQL,
+    "w_lakehouse_mor_pos": W_LAKEHOUSE_MOR_POS_SQL,
     "w_triangle_sample": W_TRIANGLE_SAMPLE_SQL,
     "w_pagerank_fixpoint": _w_pagerank_fixpoint_sql(),
     "w_zorder_skipping": _w_zorder_skipping_sql(),

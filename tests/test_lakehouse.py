@@ -709,3 +709,166 @@ def test_mor_reserved_columns_fail_fast(spark, tmp_path):
     commit_partitions(spark, table3, {"b=0": df3}, base_version=0)
     with pytest.raises(ValueError, match="reserved"):
         read_table_mor(spark, table3, key_cols=["k"])
+
+
+def _pos_table(spark, tmp_path, dup=False):
+    from go_whisper_spark.lakehouse import commit_partitions_pos
+
+    table = str(tmp_path / "pos")
+    df = spark.createDataFrame(
+        [(k, k * 10, k % 2) for k in range(10)], "k long, v long, b long"
+    )
+    if dup:
+        df = df.unionByName(df)
+    commit_partitions_pos(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in (0, 1)},
+        base_version=0,
+    )
+    return table
+
+
+def test_pos_delete_is_metadata_only_and_positional(spark, tmp_path):
+    """A positional DELETE (1) rewrites ZERO base files, and (2) can
+    do what no equality vector can: remove exactly ONE of two
+    content-identical duplicate rows.  Time travel to the pre-delete
+    snapshot still sees both copies."""
+    from go_whisper_spark.lakehouse import (
+        POS_COL,
+        delete_rows_pos,
+        read_table_mor,
+        read_table_pos,
+    )
+
+    table = _pos_table(spark, tmp_path, dup=True)
+    log = CommitLog(table)
+    v1 = log.state()["version"]
+    dirs_before = dict(log.state()["partitions"])
+    files = {d: sorted(os.listdir(d)) for d in dirs_before.values()}
+
+    addr = (
+        read_table_pos(spark, table)
+        .where(F.col("k") % 3 == 0)
+        .groupBy("k", "_dir")
+        .agg(F.min(POS_COL).alias(POS_COL))
+        .select("_dir", POS_COL)
+    )
+    delete_rows_pos(spark, table, addr)
+
+    st = CommitLog(table).state()
+    kept = {k: d for k, d in st["partitions"].items()
+            if not k.startswith("pdv/")}
+    assert kept == dirs_before, "a data partition was rewritten"
+    for d, names in files.items():
+        assert sorted(os.listdir(d)) == names
+
+    out = read_table_mor(spark, table, key_cols=["k"])
+    got = {}
+    for r in out.collect():
+        got[r.k] = got.get(r.k, 0) + 1
+    assert got == {k: (1 if k % 3 == 0 else 2) for k in range(10)}, got
+    # pinned pre-delete read: both copies of everything
+    pinned = read_table_mor(spark, table, key_cols=["k"], version=v1)
+    assert pinned.count() == 20
+
+
+def test_pos_delete_sequencing_spares_newer_delta(spark, tmp_path):
+    """Positional deletes apply to directories with sequence <= their
+    own (Iceberg v2's rule — note the asymmetry with equality's
+    STRICTLY-older): a delta appended AFTER the vector is untouched
+    even when its rows reuse the same _pos ordinals."""
+    from go_whisper_spark.lakehouse import (
+        POS_COL,
+        delete_rows_pos,
+        read_table_mor,
+        read_table_pos,
+        upsert_rows_mor,
+    )
+
+    table = _pos_table(spark, tmp_path)
+    addr = (
+        read_table_pos(spark, table)
+        .where(F.col("k") == 4)
+        .select("_dir", POS_COL)
+    )
+    delete_rows_pos(spark, table, addr)
+    # later delta re-adds k=4 (fresh _pos minted automatically by the
+    # pos-probe in upsert_rows_mor); the older pdv must not touch it
+    upsert_rows_mor(
+        spark, table,
+        spark.createDataFrame([(4, 444, 0)], "k long, v long, b long"),
+        key_cols=["k"],
+    )
+    got = {r.k: r.v for r in
+           read_table_mor(spark, table, key_cols=["k"]).collect()}
+    assert got[4] == 444, "pdv leaked onto a strictly newer delta"
+    assert len(got) == 10
+
+
+def test_pos_delete_conflicts_with_rewrites(spark, tmp_path):
+    """The compact/merge race guard covers pdv keys: a positional
+    delete landing after a rewrite's snapshot raises ConflictError
+    for the rewrite instead of being silently shed; the eager reader
+    refuses tables with live pdv keys."""
+    from go_whisper_spark.lakehouse import (
+        POS_COL,
+        compact_mor,
+        delete_rows_pos,
+        read_table,
+        read_table_mor,
+        read_table_pos,
+    )
+
+    table = _pos_table(spark, tmp_path)
+    snap = CommitLog(table).state()["version"]
+    addr = (read_table_pos(spark, table).where(F.col("k") == 2)
+            .select("_dir", POS_COL))
+    delete_rows_pos(spark, table, addr)
+    with pytest.raises(ConflictError):
+        compact_mor(spark, table, key_cols=["k"], part_col="b",
+                    base_version=snap)
+    with pytest.raises(ValueError, match="merge-on-read"):
+        read_table(spark, table)
+    assert 2 not in {r.k for r in
+                     read_table_mor(spark, table, key_cols=["k"]).collect()}
+
+
+def test_pos_compact_folds_pdv_and_remints_positions(spark, tmp_path):
+    """compact_mor materializes positional tombstones, REMOVES the pdv
+    keys, and re-mints _pos on the rewritten dirs (fold of several
+    source dirs would otherwise leave duplicate addresses) — so a
+    FRESH positional delete against the compacted table still works."""
+    from go_whisper_spark.lakehouse import (
+        POS_COL,
+        compact_mor,
+        delete_rows_pos,
+        read_table_mor,
+        read_table_pos,
+    )
+
+    table = _pos_table(spark, tmp_path, dup=True)
+    addr = (
+        read_table_pos(spark, table)
+        .where(F.col("k") % 3 == 0)
+        .groupBy("k", "_dir")
+        .agg(F.min(POS_COL).alias(POS_COL))
+        .select("_dir", POS_COL)
+    )
+    delete_rows_pos(spark, table, addr)
+    before = read_table_mor(spark, table, key_cols=["k"])
+    n_before = before.count()
+    compact_mor(spark, table, key_cols=["k"], part_col="b")
+    st = CommitLog(table).state()
+    assert not [k for k in st["partitions"] if k.startswith("pdv/")]
+    after = read_table_mor(spark, table, key_cols=["k"])
+    assert after.count() == n_before
+    # positions unique per dir after the fold
+    pos = read_table_pos(spark, table)
+    dup = (pos.groupBy("_dir", POS_COL).count().where("count > 1").count())
+    assert dup == 0, "compaction left duplicate positional addresses"
+    # a fresh positional delete on the compacted table still lands
+    addr2 = (read_table_pos(spark, table).where(F.col("k") == 1)
+             .limit(1).select("_dir", POS_COL))
+    delete_rows_pos(spark, table, addr2)
+    n_final = read_table_mor(spark, table, key_cols=["k"]).count()
+    assert n_final == n_before - 1

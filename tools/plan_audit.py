@@ -1117,6 +1117,15 @@ CHECKS = {
         forbid=["CartesianProduct", "SortMergeJoin",
                 "BroadcastNestedLoopJoin"],
     ),
+    # Positional-deletion-vector scan: both the equality and the
+    # positional tombstone sets apply as broadcast anti joins (the
+    # per-dir path equality constant-folds); no rewrite shape (sort
+    # merge), no cartesian, no window anywhere in the merged read.
+    "w_lakehouse_mor_pos": dict(
+        require=["BroadcastHashJoin LeftAnti"],
+        forbid=["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin", "Window"],
+    ),
     # Triangle read side (post-checkpoint): the wedge self-join and
     # the closing membership join are plain equi-joins over the
     # checkpointed oriented edges, the per-node participation count
