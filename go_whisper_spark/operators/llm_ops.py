@@ -3603,6 +3603,268 @@ FROM as2
 """
 
 
+# ------------------------------------------------------- s_kmeans_train
+_KMT_K = 8            # clusters (matches the step/2step queries)
+_KMT_MAX_ITERS = 64   # driver-loop safety cap
+_KMT_ORACLE_R = 48    # oracle unroll depth — strictly past the
+#                       measured fixpoints (10/11/40 at
+#                       sf0.001/0.01/0.1); Lloyd rounds past the
+#                       fixpoint re-derive identical assignments,
+#                       provably no-ops
+
+
+def _kmt_hash(r: int) -> int:
+    """Deterministic 32-bit draw for seeding round r — a PYTHON-side
+    md5 constant, so both engines inline the SAME literal (no
+    cross-engine hash spelling to keep aligned)."""
+    import hashlib as _hl
+
+    return int(_hl.md5(str(r).encode()).hexdigest()[:8], 16)
+
+
+def s_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means run TO CONVERGENCE — the ROADMAP's to-convergence
+    trainer over the pinned Lloyd primitives, completing the
+    convergence-loop family (PageRank fixpoint, truss peel): km++
+    style seeding, then ``_km_assign``/``_km_update`` rounds until
+    n_moved = 0 — a DECIDABLE stop (assignments are exact integer
+    argmins; once no vector moves, centroids and every later round
+    are provably identical).  Output is the full convergence ledger
+    (round, inertia, n_moved) — the oracle re-derives the SAME
+    stopping round from an unrolled schedule, so the loop's length is
+    cross-engine-checked, not just its final state.
+
+    Seeding (the ROADMAP's md5-threshold weighted draw): seed 1 is
+    the lowest vec_id; each next seed is a D²-WEIGHTED draw made
+    exact — r-th round draws threshold t = md5(r) mod ΣD² (the md5 a
+    Python-side literal, identical in both engines) and picks the
+    first vector in vec_id order whose prefix-summed D² exceeds t
+    (the inverse-CDF draw on the exact integer grid; k-means++
+    [Arthur & Vassilvitskii, SODA'07 — public] with the RNG replaced
+    by a hash so the oracle can replay it).  Each pick is one
+    map-combined ΣD² + one prefix-sum window + a 1-row broadcast
+    fold into the running min-distance column.
+
+    Measured fixpoints (n_moved = 0): round 10/11/40 at
+    sf0.001/0.01/0.1 — the oracle unrolls 48 rounds, strictly past
+    every one, and keeps rows up to the first stable round (rounds
+    past it re-derive identical assignments — no-ops both engines
+    pay symmetrically).
+
+    Scale shape: per Lloyd round, the audited ``s_kmeans_step`` plan
+    (broadcast k-row centroid fan-out, per-vector struct-min, map-
+    combined update) plus the ONE honest O(n) vec_id equi-join that
+    prices n_moved; ONE control-plane scalar per round; per-round
+    localCheckpoint of the O(n) assignment keeps lineage flat (the
+    centroid recursion enters each round linearly, so stats grow
+    arithmetically — no _flat_localCheckpoint needed, unlike the
+    truss peel's multiplicative recursion).  The seeding window is a
+    global prefix sum — k−1 sorted passes, the exact-draw cost; at
+    production scale the draw is replaced per-partition (sample,
+    then draw among partials), the documented km++ scale-out."""
+    q = _km_quant(spark, sf_dir).localCheckpoint()
+
+    def dist_to(cv_col):
+        return F.aggregate(
+            F.zip_with("qv", cv_col, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # ---- km++-style seeding (deterministic inverse-CDF draws)
+    c0 = q.orderBy("vec_id").limit(1).select(
+        F.lit(0).alias("cid"), F.col("qv").alias("cv")
+    )
+    cur = q.crossJoin(F.broadcast(c0.select("cv"))).select(
+        "vec_id", "qv", dist_to(F.col("cv")).alias("md")
+    )
+    seeds = c0
+    w_cum = (
+        Window.orderBy("vec_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for r in range(1, _KMT_K):
+        tot = cur.agg(F.sum("md").alias("tot"))
+        thr = tot.select((F.lit(_kmt_hash(r)) % F.col("tot")).alias("thr"))
+        pick = (
+            cur.withColumn("cum", F.sum("md").over(w_cum))
+            .crossJoin(F.broadcast(thr))
+            .where(F.col("cum") > F.col("thr"))
+            .agg(F.min(F.struct("vec_id", "qv")).alias("w"))
+            .select(F.lit(r).alias("cid"), F.col("w.qv").alias("cv"))
+        ).localCheckpoint()
+        seeds = seeds.unionByName(pick)
+        if r < _KMT_K - 1:
+            cur = cur.crossJoin(F.broadcast(pick.select("cv"))).select(
+                "vec_id", "qv",
+                F.least(F.col("md"), dist_to(F.col("cv"))).alias("md"),
+            ).localCheckpoint()
+
+    # ---- Lloyd to the n_moved = 0 fixpoint
+    cents = seeds.localCheckpoint()
+    prev = None
+    ledger = []
+    iters = 0
+    while True:
+        iters += 1
+        if iters > _KMT_MAX_ITERS:
+            raise RuntimeError("Lloyd did not reach a fixpoint")
+        a = _km_assign(q, cents).localCheckpoint()
+        inertia = a.agg(F.sum("d").alias("i"))
+        if prev is None:
+            moved = inertia.select(F.lit(0).cast("long").alias("n_moved"))
+        else:
+            moved = (
+                prev.select("vec_id", F.col("cid").alias("pc"))
+                .join(a.select("vec_id", "cid"), "vec_id")
+                .agg(F.sum((F.col("pc") != F.col("cid")).cast("long"))
+                     .alias("n_moved"))
+            )
+        row = (
+            inertia.crossJoin(F.broadcast(moved))
+            .select(
+                F.lit(iters).cast("long").alias("round"),
+                F.col("i").cast("long").alias("inertia"),
+                "n_moved",
+            )
+            .localCheckpoint()
+        )
+        ledger.append(row)
+        # ONE control-plane scalar per round — the stop test
+        n_moved = row.first()["n_moved"]
+        if prev is not None and n_moved == 0:
+            break
+        prev = a
+        cents = _km_update(a).localCheckpoint()
+    if iters > _KMT_ORACLE_R:
+        raise RuntimeError(
+            f"Lloyd fixpoint at round {iters} > the oracle unroll "
+            f"depth _KMT_ORACLE_R={_KMT_ORACLE_R}; raise the unroll "
+            "depth so rounds past the fixpoint stay no-ops"
+        )
+    out = ledger[0]
+    for r_ in ledger[1:]:
+        out = out.unionByName(r_)
+    return out
+
+
+def _s_kmeans_train_sql(r_max: int = _KMT_ORACLE_R,
+                        k: int = _KMT_K) -> str:
+    """Generated oracle: the km++-style seed draws (same Python-side
+    md5 literals) + r_max unrolled Lloyd rounds, keeping ledger rows
+    up to the first stable round (min round >= 2 with n_moved = 0 —
+    identical semantics to the driver loop's stop test).  Every
+    iteration CTE is MATERIALIZED (the PageRank-oracle lesson: plain
+    CTEs re-evaluate each chain per reference, O(k²) blowup).  The
+    prefix-sum window CASTs AS BIGINT (DuckDB windowed sum(BIGINT)
+    returns HUGEINT → pandas float)."""
+    def d2(a: str, b: str) -> str:
+        return ("CAST(list_sum(list_transform(generate_series(1, "
+                f"len({a}.qv)), i -> ({a}.qv[i] - {b}[i]) * "
+                f"({a}.qv[i] - {b}[i]))) AS BIGINT)")
+
+    parts = []
+    parts.append(
+        "m0 AS MATERIALIZED (\n"
+        f"  SELECT q.vec_id, q.qv, {d2('q', 's0.cv')} AS md\n"
+        "  FROM q, s0\n)"
+    )
+    for r in range(1, k):
+        p = r - 1
+        parts.append(
+            f"t{r} AS MATERIALIZED (\n"
+            f"  SELECT CAST({_kmt_hash(r)} % sum(md) AS BIGINT) AS thr"
+            f" FROM m{p}\n)"
+        )
+        parts.append(
+            f"p{r} AS MATERIALIZED (\n"
+            f"  SELECT {r} AS cid,"
+            " min(struct_pack(vid := vec_id, qv := qv)) AS w\n"
+            "  FROM (\n"
+            "    SELECT vec_id, qv,\n"
+            "           CAST(sum(md) OVER (ORDER BY vec_id\n"
+            "             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
+            " ROW) AS BIGINT) AS cum\n"
+            f"    FROM m{p}\n"
+            f"  ), t{r}\n"
+            "  WHERE cum > thr\n)"
+        )
+        if r < k - 1:
+            parts.append(
+                f"m{r} AS MATERIALIZED (\n"
+                f"  SELECT m{p}.vec_id, m{p}.qv,\n"
+                f"         least(m{p}.md, {d2(f'm{p}', f'(p{r}.w).qv')})"
+                " AS md\n"
+                f"  FROM m{p}, p{r}\n)"
+            )
+    seed_union = "\n  UNION ALL ".join(
+        ["SELECT 0 AS cid, cv FROM s0"]
+        + [f"SELECT {r}, (w).qv FROM p{r}" for r in range(1, k)]
+    )
+    parts.append(f"c0 AS MATERIALIZED (\n  {seed_union}\n)")
+    leds = []
+    for r in range(1, r_max + 1):
+        p = r - 1
+        parts.append(
+            f"a{r} AS MATERIALIZED (\n"
+            "  SELECT vec_id, m.cid AS cid, m.d AS d, qv FROM (\n"
+            "    SELECT vec_id, min(struct_pack(d := d, cid := cid))"
+            " AS m,\n"
+            "           any_value(qv) AS qv\n"
+            "    FROM (\n"
+            f"      SELECT q.vec_id, q.qv, c.cid, {d2('q', 'c.cv')} AS d\n"
+            f"      FROM q, c{p} c\n"
+            "    ) GROUP BY vec_id\n"
+            "  )\n)"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (\n"
+            "  SELECT cid, list(c ORDER BY dim) AS cv FROM (\n"
+            "    SELECT cid, dim,\n"
+            "           CAST(floor(CAST(sum(v) AS DOUBLE) / count(*))"
+            " AS BIGINT) AS c\n"
+            "    FROM (SELECT cid, generate_subscripts(qv, 1) - 1 AS"
+            " dim, unnest(qv) AS v\n"
+            f"          FROM a{r})\n"
+            "    GROUP BY cid, dim\n"
+            "  ) GROUP BY cid\n)"
+        )
+        if r == 1:
+            moved = "CAST(0 AS BIGINT)"
+        else:
+            moved = (
+                "(SELECT CAST(sum(CASE WHEN x.cid != y.cid THEN 1"
+                " ELSE 0 END) AS BIGINT)\n"
+                f"     FROM a{p} x JOIN a{r} y ON x.vec_id = y.vec_id)"
+            )
+        leds.append(
+            f"SELECT CAST({r} AS BIGINT) AS round,"
+            f" CAST(sum(d) AS BIGINT) AS inertia,\n"
+            f"    {moved} AS n_moved\n  FROM a{r}"
+        )
+    ledger = "\n  UNION ALL ".join(leds)
+    parts.append(f"ledger AS MATERIALIZED (\n  {ledger}\n)")
+    parts.append(
+        "fix AS (SELECT min(round) AS f FROM ledger"
+        " WHERE round >= 2 AND n_moved = 0)"
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+s0 AS MATERIALIZED (
+  SELECT 0 AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT 1
+),
+{body}
+SELECT round, inertia, n_moved FROM ledger
+WHERE round <= (SELECT f FROM fix)
+"""
+
+
 # ------------------------------------------------------ t_quality_filter
 _BHDR_SBITS = 4                    # same budget as w_quantile_hdr
 _BHDR_QBP = (5000, 9000, 9900)     # quantiles as exact basis points
@@ -7253,6 +7515,7 @@ QUERIES = {
     "t_ppl_terciles": t_ppl_terciles,
     "t_lang_confusion": t_lang_confusion,
     "s_kmeans_step": s_kmeans_step,
+    "s_kmeans_train": s_kmeans_train,
     "s_kmeans_2step": s_kmeans_2step,
     "s_kmeans_seed": s_kmeans_seed,
     "d_cdc_neardup": d_cdc_neardup,
@@ -7338,6 +7601,7 @@ ORACLES = {
     "t_ppl_terciles": T_PPL_TERCILES_SQL,
     "t_lang_confusion": T_LANG_CONFUSION_SQL,
     "s_kmeans_step": S_KMEANS_STEP_SQL,
+    "s_kmeans_train": _s_kmeans_train_sql(),
     "s_kmeans_2step": S_KMEANS_2STEP_SQL,
     "s_kmeans_seed": S_KMEANS_SEED_SQL,
     "d_cdc_neardup": D_CDC_NEARDUP_SQL,

@@ -949,3 +949,26 @@ def test_truss_decomp_matches_reference_peel(spark, sf_dir):
     assert got == dict(hist), f"histogram diverges: {got} vs {dict(hist)}"
     assert all(r.iters == iters for r in rows), (
         f"round count {rows[0].iters} != reference {iters}")
+
+
+def test_kmeans_train_convergence_ledger(spark, sf_dir):
+    """The to-convergence trainer's ledger laws: rounds are contiguous
+    from 1, inertia is monotonically non-increasing (the Lloyd
+    guarantee — each assign and each update can only lower it), the
+    loop stops at the FIRST stable round (n_moved = 0 past round 1,
+    and nowhere earlier), and the km++-style seeding actually spread
+    the seeds (round-1 inertia vs the lowest-8-ids seeding of
+    s_kmeans_step would differ; here we pin it strictly above the
+    converged inertia)."""
+    from go_whisper_spark.operators.llm_ops import s_kmeans_train
+
+    rows = sorted(s_kmeans_train(spark, sf_dir).collect(),
+                  key=lambda r: r.round)
+    assert [r.round for r in rows] == list(range(1, len(rows) + 1))
+    inert = [r.inertia for r in rows]
+    assert all(a >= b for a, b in zip(inert, inert[1:])), (
+        f"inertia not monotone: {inert}")
+    assert rows[-1].n_moved == 0, "loop did not stop on a stable round"
+    assert all(r.n_moved > 0 for r in rows[1:-1]), (
+        "an earlier stable round should have stopped the loop")
+    assert inert[0] > inert[-1], "training did not reduce inertia"
