@@ -218,6 +218,7 @@ class CommitLog:
         Raises if the version never existed."""
         parts: Dict[str, str] = {}
         watermark: dict = {}
+        schema: Dict[str, str] = {}
         start = 0
         if at_version is not None and at_version not in self.versions():
             raise ValueError(
@@ -236,6 +237,8 @@ class CommitLog:
                 snap = json.load(fh)
             parts.update(snap["partitions"])
             watermark.update(snap["watermark"])
+            for n, t in snap.get("schema", []):
+                schema[n] = t
             start = cp_version + 1
         versions = [v for v in self.versions() if v >= start]
         if at_version is not None:
@@ -251,8 +254,22 @@ class CommitLog:
                 parts[key] = datadir
             if "watermark" in c:
                 watermark.update(c["watermark"])
+            # schema entries MERGE by column name (racing widenings
+            # each record only base + their own column; last-wins
+            # would silently drop one).  A type conflict between two
+            # registrations is loud at read time.
+            for n, t in c.get("schema", []):
+                if n in schema and schema[n] != t:
+                    raise ValueError(
+                        f"schema registry conflict in {self.table}: "
+                        f"column {n!r} registered as both "
+                        f"{schema[n]!r} and {t!r}"
+                    )
+                schema[n] = t
         last = versions[-1] if versions else (start - 1 if cps else -1)
-        return {"version": last, "partitions": parts, "watermark": watermark}
+        return {"version": last, "partitions": parts,
+                "watermark": watermark,
+                "schema": [[n, t] for n, t in schema.items()]}
 
     def checkpoint(self) -> int:
         """Write a consolidated state snapshot at the current version so
@@ -268,7 +285,8 @@ class CommitLog:
             self.table, COMMIT_DIR, f"{st['version']:011d}.checkpoint.json"
         )
         data = json.dumps(
-            {"partitions": st["partitions"], "watermark": st["watermark"]}
+            {"partitions": st["partitions"], "watermark": st["watermark"],
+             "schema": st.get("schema", [])}
         ).encode()
         # A lost claim means a racing checkpoint wrote the same snapshot.
         self.claimer.claim(path, data)
@@ -302,6 +320,7 @@ class CommitLog:
         max_retries: int = 20,
         remove: Optional[List[str]] = None,
         conflict_key_prefixes: tuple = (),
+        schema: Optional[List[List[str]]] = None,
     ) -> int:
         """Optimistically publish ``replace`` (and optional key
         ``remove``s — the compaction form) on top of ``base_version``.
@@ -329,6 +348,8 @@ class CommitLog:
             payload["remove"] = sorted(remove)
         if watermark:
             payload["watermark"] = watermark
+        if schema:
+            payload["schema"] = schema
         ours = set(replace) | set(remove or ())
         attempt = base_version + 1
         for _ in range(max_retries):
@@ -426,13 +447,19 @@ def commit_partitions(
     if base_version is None:
         base_version = log.state()["version"]
     replace = {}
+    schema = None
     for key, frame in frames.items():
         d = stage_dir(table)
         frame.write.mode("overwrite").parquet(d)
         replace[key] = d
+        if schema is None:
+            # register the batch schema (first registration for a new
+            # table; widening no-op thereafter — state() merges)
+            schema = _schema_pairs(frame)
     return log.commit(
         base_version, replace, watermark,
         conflict_key_prefixes=conflict_key_prefixes,
+        schema=schema,
     )
 
 
@@ -480,12 +507,18 @@ def merge_table(
     ]
     cur = read_table(spark, table, version=base_version)
     keys = list(key_cols)
+    # schema evolution: an update batch with NEW columns widens (kept
+    # rows read the new column as NULL; the widened frames register
+    # their schema through commit_partitions); a type conflict
+    # against the registry raises here, before any rewrite
+    _widened_schema(log.state()["schema"] or _schema_pairs(cur), updates)
     frames = {}
     for p in parts:
         old = cur.where(F.col(part_col) == p)
         new = updates.where(F.col(part_col) == p)
         keep = old.join(new.select(*keys).distinct(), keys, "left_anti")
-        frames[f"{part_col}={p}"] = keep.unionByName(new)
+        frames[f"{part_col}={p}"] = keep.unionByName(
+            new, allowMissingColumns=True)
     # rewrites conflict with ANY interleaved merge-on-read key (see
     # CommitLog.commit): a dv/delta landing after our snapshot would
     # be silently shed by our newer-sequence rewrite otherwise.
@@ -560,7 +593,7 @@ def read_table(
                 f"(e.g. {gone[0]}) were reclaimed by vacuum — pinned reads "
                 "are only guaranteed inside the vacuum retention window"
             )
-    return spark.read.parquet(*dirs)
+    return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
 
 # -------------------------------------------------------- merge-on-read
@@ -663,10 +696,54 @@ def upsert_rows_mor(
     d_keys = stage_dir(table)
     updates.write.mode("overwrite").parquet(d_rows)
     updates.select(*key_cols).distinct().write.mode("overwrite").parquet(d_keys)
+    # schema evolution: a batch with NEW columns widens the registry
+    # (the commit payload carries the merged schema; the scan unions
+    # with allowMissingColumns, so pre-evolution rows read as NULL).
+    # A type conflict against the registry raises in _widened_schema.
+    widened = _widened_schema(
+        log.state()["schema"] or _base_schema_pairs(spark, log), updates)
     return log.commit(base_version, {
         f"{DELTA_PREFIX}{uuid.uuid4().hex}": d_rows,
         f"{DV_PREFIX}{uuid.uuid4().hex}": d_keys,
-    })
+    }, schema=widened)
+
+
+def _base_schema_pairs(spark: SparkSession, log: CommitLog) -> List[List[str]]:
+    """Registry fallback for tables committed before schema
+    registration existed: probe ONE live data directory's parquet
+    schema (control-plane)."""
+    st = log.state()
+    for key, d in sorted(st["partitions"].items()):
+        if not key.startswith(MOR_PREFIXES):
+            return _schema_pairs(spark.read.parquet(d))
+    return []
+
+
+def _schema_pairs(df: DataFrame) -> List[List[str]]:
+    """[[name, simple-DDL-type], ...] — the commit-payload registry
+    entry for a frame's schema."""
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+def _widened_schema(registered: List[List[str]],
+                    updates: DataFrame) -> Optional[List[List[str]]]:
+    """The registered schema merged with the update batch's — None
+    when the batch adds nothing new.  A type CONFLICT (same name,
+    different type) raises: evolution is append-only widening, never
+    a silent rewrite of an existing column's type."""
+    reg = {n: t for n, t in registered}
+    new = []
+    for n, t in _schema_pairs(updates):
+        if n in reg:
+            if reg[n] != t:
+                raise ValueError(
+                    f"schema evolution conflict: column {n!r} is "
+                    f"registered as {reg[n]!r} but the update batch "
+                    f"carries {t!r} — widening never retypes"
+                )
+        else:
+            new.append([n, t])
+    return (registered + new) if new else None
 
 
 # Column name of the stable per-directory row ordinal positional
@@ -849,7 +926,9 @@ def read_table_mor(
         raise FileNotFoundError(f"lake table {table} has no committed data")
     rows = data[0]
     for f in data[1:]:
-        rows = rows.unionByName(f)
+        # allowMissingColumns = schema evolution on read: a
+        # pre-widening directory reads its missing columns as NULL
+        rows = rows.unionByName(f, allowMissingColumns=True)
     dvs = _load(lambda k: k.startswith(DV_PREFIX))
     if dvs:
         tomb = dvs[0]

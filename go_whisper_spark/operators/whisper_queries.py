@@ -4605,6 +4605,83 @@ def w_lakehouse_mor_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_lakehouse_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION under the driver's oracle — the registry gap
+    ROADMAP carried since round 11: a MoR upsert whose batch adds a
+    NEW column (`stars`) now WIDENS the table instead of failing the
+    scan's unionByName.  The commit payload carries the merged schema
+    (registered at table creation, widened by the upsert; racing
+    widenings MERGE by column name in the state replay rather than
+    last-wins), the scan unions with allowMissingColumns so
+    pre-evolution rows read the new column as NULL, and a type
+    conflict against the registry raises at write time — widening
+    never retypes.
+
+    Output casts `stars` to DOUBLE on both sides: the nullable-BIGINT
+    pandas pitfall (the driver materializes a nullable int column as
+    float64, so an uncast long would hash-mismatch).
+
+    Scale shape: identical to w_lakehouse_mor (the evolution is
+    metadata — one schema list in one commit JSON; zero data
+    rewritten); the NULL fill is Catalyst's missing-column projection
+    per source directory, not a data pass.
+    [pins lakehouse.py: CommitLog schema registry /
+    _widened_schema / read_table_mor allowMissingColumns]"""
+    import os
+    import tempfile
+
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        read_table_mor,
+        upsert_rows_mor,
+    )
+    from go_whisper_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("score"),
+        (F.col("doc_id") % 4).alias("b"),
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="gws_lakeevo_"),
+                         "silver_docs")
+    commit_partitions(
+        spark, table,
+        {f"b={k}": base.where(F.col("b") == k) for k in range(4)},
+        base_version=0,
+    )
+    upsert_rows_mor(
+        spark, table,
+        base.where(F.col("doc_id") % 7 == 0).select(
+            "doc_id", "lang",
+            (F.col("score") + 1000).alias("score"),
+            "b",
+            (F.col("doc_id") % 5).cast("long").alias("stars"),
+        ),
+        key_cols=["doc_id"],
+    )
+    return read_table_mor(spark, table, key_cols=["doc_id"]).select(
+        "doc_id", "lang", "score", "b",
+        F.col("stars").cast("double").alias("stars"),
+    )
+
+
+W_LAKEHOUSE_EVOLVE_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
+         doc_id % 4 AS b
+  FROM documents
+)
+SELECT doc_id, lang, score, b, CAST(NULL AS DOUBLE) AS stars
+FROM base WHERE doc_id % 7 <> 0
+UNION ALL
+SELECT doc_id, lang, score + 1000 AS score, b,
+       CAST(doc_id % 5 AS DOUBLE) AS stars
+FROM base WHERE doc_id % 7 = 0
+"""
+
+
 W_LAKEHOUSE_MOR_POS_SQL = """
 WITH base AS (
   SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
@@ -4661,6 +4738,7 @@ QUERIES = {
     "w_truss_decomp": w_truss_decomp,
     "w_triangles_serve": w_triangles_serve,
     "w_lakehouse_mor_pos": w_lakehouse_mor_pos,
+    "w_lakehouse_evolve": w_lakehouse_evolve,
     "w_triangle_sample": w_triangle_sample,
     "w_pagerank_fixpoint": w_pagerank_fixpoint,
     "w_zorder_skipping": w_zorder_skipping,
@@ -4717,6 +4795,7 @@ ORACLES = {
     "w_truss_decomp": _w_truss_decomp_sql(),
     "w_triangles_serve": W_TRIANGLES_SQL,
     "w_lakehouse_mor_pos": W_LAKEHOUSE_MOR_POS_SQL,
+    "w_lakehouse_evolve": W_LAKEHOUSE_EVOLVE_SQL,
     "w_triangle_sample": W_TRIANGLE_SAMPLE_SQL,
     "w_pagerank_fixpoint": _w_pagerank_fixpoint_sql(),
     "w_zorder_skipping": _w_zorder_skipping_sql(),

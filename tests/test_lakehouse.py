@@ -31,7 +31,8 @@ PTS_SCHEMA = "metric string, ts long, value double, write_seq long"
 # ------------------------------------------------------------ log core
 def test_commit_log_replay(tmp_path):
     log = CommitLog(str(tmp_path / "t"))
-    assert log.state() == {"version": -1, "partitions": {}, "watermark": {}}
+    assert log.state() == {"version": -1, "partitions": {},
+                           "watermark": {}, "schema": []}
     v1 = log.commit(-1, {"day=2023-11-01": "/d/a"}, {"max_ts": 10})
     v2 = log.commit(v1, {"day=2023-11-02": "/d/b"}, {"max_ts": 20})
     v3 = log.commit(v2, {"day=2023-11-01": "/d/c"})  # supersedes /d/a
@@ -872,3 +873,96 @@ def test_pos_compact_folds_pdv_and_remints_positions(spark, tmp_path):
     delete_rows_pos(spark, table, addr2)
     n_final = read_table_mor(spark, table, key_cols=["k"]).count()
     assert n_final == n_before - 1
+
+
+def test_mor_schema_evolution_widen_and_conflict(spark, tmp_path):
+    """An upsert batch with a NEW column widens the table: the commit
+    payload registers the merged schema, pre-evolution rows read the
+    column as NULL, and a later batch retyping an existing column
+    raises instead of silently rewriting."""
+    from go_whisper_spark.lakehouse import read_table_mor, upsert_rows_mor
+
+    table = _mor_table(spark, tmp_path)
+    upsert_rows_mor(
+        spark, table,
+        spark.createDataFrame([(3, 333, 1, 9)],
+                              "k long, v long, b long, stars long"),
+        key_cols=["k"],
+    )
+    st = CommitLog(table).state()
+    assert ["stars", "bigint"] in st["schema"], st["schema"]
+    out = {r.k: r.stars for r in
+           read_table_mor(spark, table, key_cols=["k"]).collect()}
+    assert out[3] == 9
+    assert all(out[k] is None for k in out if k != 3)
+    # retyping an existing column is refused at write time
+    with pytest.raises(ValueError, match="widening never retypes"):
+        upsert_rows_mor(
+            spark, table,
+            spark.createDataFrame([(4, "oops", 0)],
+                                  "k long, v string, b long"),
+            key_cols=["k"],
+        )
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Copy-on-write MERGE with a new column: touched partitions
+    rewrite widened (kept rows NULL-filled), untouched partitions
+    keep their old schema on disk, and the mergeSchema eager read
+    shows the union."""
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        merge_table,
+        read_table,
+    )
+
+    table = str(tmp_path / "m")
+    df = spark.createDataFrame(
+        [(k, k * 10, k % 2) for k in range(10)], "k long, v long, b long"
+    )
+    commit_partitions(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in (0, 1)},
+        base_version=0,
+    )
+    merge_table(
+        spark, table,
+        spark.createDataFrame([(2, 222, 0, 7)],
+                              "k long, v long, b long, stars long"),
+        key_cols=["k"], part_col="b",
+    )
+    got = {r.k: (r.v, r.stars) for r in read_table(spark, table).collect()}
+    assert got[2] == (222, 7)
+    assert got[3] == (30, None)   # untouched partition, NULL-filled
+    assert got[4][1] is None      # rewritten partition, kept row
+
+
+def test_schema_evolution_under_race(spark, tmp_path):
+    """Two upserts adding DIFFERENT new columns race from the same
+    snapshot: both land (their uuid keys are disjoint, so the loser
+    retries on top), and the replay MERGES the schema registrations —
+    last-wins would silently drop one column's entry."""
+    from go_whisper_spark.lakehouse import read_table_mor, upsert_rows_mor
+
+    table = _mor_table(spark, tmp_path)
+    snap = CommitLog(table).state()["version"]
+    upsert_rows_mor(
+        spark, table,
+        spark.createDataFrame([(1, 111, 1, 5)],
+                              "k long, v long, b long, stars long"),
+        key_cols=["k"], base_version=snap,
+    )
+    # second writer from the SAME snapshot, different new column
+    upsert_rows_mor(
+        spark, table,
+        spark.createDataFrame([(2, 222, 0, "en")],
+                              "k long, v long, b long, lang string"),
+        key_cols=["k"], base_version=snap,
+    )
+    names = {n for n, _ in CommitLog(table).state()["schema"]}
+    assert {"stars", "lang"} <= names, names
+    row = {r.k: r for r in
+           read_table_mor(spark, table, key_cols=["k"]).collect()}
+    assert row[1].stars == 5 and row[1].lang is None
+    assert row[2].lang == "en" and row[2].stars is None
+    assert row[5].stars is None and row[5].lang is None
