@@ -4557,6 +4557,13 @@ RENDER_EXPR_XFF = (
     "4, 'avg'), 'max', 'avg'), 'average', 1)"
 )
 RENDER_EXPR_HWAREA = "holtWintersConfidenceArea(sumSeries('*'))"
+RENDER_EXPR_PRODUCT = (
+    "movingSum(multiplySeriesWithWildcards(seriesByGlob('[cv]*'), 0), 4)"
+)
+RENDER_EXPR_INFSTACK = (
+    "sortByTotal(timeStack(drawAsInfinite(seriesByGlob('click')), "
+    "'6h', 0, 3))"
+)
 RENDER_EXPR_GAPFILL = (
     "aliasByNode(removeEmptySeries(interpolate(removeAboveValue("
     "aliasSub('*', '^', 'dc1.x.'), 40), 3), 89), 0, 2)"
@@ -4822,6 +4829,30 @@ def g_render_hwarea(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render(spark, sf_dir, RENDER_EXPR_HWAREA)
 
 
+def g_render_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-15 wave: the variable-arity product reducer —
+    multiplySeriesWithWildcards deletes the leading dot node and
+    left-folds the multiplySeries cent contract over each group in
+    ORIGINAL-label order (per-step flooring identical cross-engine;
+    the generic aggregateWithWildcards(s, 'multiply', i) desugars
+    here), then a 4-slot rolling sum rides the product series
+    (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_PRODUCT)
+
+
+def g_render_infstack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-15 wave: drawAsInfinite (the display directive made
+    data-shaped — 1 where known AND non-zero, NULL propagates) under
+    the GENERALIZED timeStack ('6h' unit string — sub-day stacking,
+    previously whole days only), legend-ordered by the root-only
+    sortByTotal rank (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_INFSTACK)
+
+
 def g_render_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-14 optional-argument parity wave end-to-end: series
     prefixed into a 3-node namespace, spikes nulled, gaps of at most
@@ -4964,6 +4995,8 @@ QUERIES = {
     "g_render_generic": g_render_generic,
     "g_render_xff": g_render_xff,
     "g_render_hwarea": g_render_hwarea,
+    "g_render_product": g_render_product,
+    "g_render_infstack": g_render_infstack,
     "g_render_gapfill": g_render_gapfill,
     "g_render_lists": g_render_lists,
     "g_render_apply": g_render_apply,
@@ -5128,6 +5161,8 @@ ORACLES = {
     "g_render_generic": _render_oracle(RENDER_EXPR_GENERIC),
     "g_render_xff": _render_oracle(RENDER_EXPR_XFF),
     "g_render_hwarea": _render_oracle(RENDER_EXPR_HWAREA),
+    "g_render_product": _render_oracle(RENDER_EXPR_PRODUCT),
+    "g_render_infstack": _render_oracle(RENDER_EXPR_INFSTACK),
     "g_render_gapfill": _render_oracle(RENDER_EXPR_GAPFILL),
     "g_render_lists": _render_oracle(RENDER_EXPR_LISTS),
     "g_render_apply": _render_oracle(RENDER_EXPR_APPLY),

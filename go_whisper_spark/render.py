@@ -23,7 +23,7 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (126 ops — the composable core; the ~111 fixed-form
+Operator registry (129 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
@@ -39,6 +39,9 @@ surface):
               squareRoot removeAboveValue removeBelowValue
               isNonNull scaleToSeconds(k) roundTo(k) — half-up at
               the 10^(2-k)-cent grid, k in 0..2
+              drawAsInfinite — 1 where known AND non-zero, 0 where
+              known zero, NULL propagates (the display directive
+              made data-shaped)
   windows     derivative nonNegativeDerivative(±maxValue counter
               wrap) perSecond movingSum
               movingAverage movingMin movingMax keepLastValue(±limit
@@ -89,6 +92,10 @@ surface):
               hitcount(h) — summarize-sum × slot width (rate→count)
               sumSeriesWithWildcards(i) averageSeriesWithWildcards(i)
               maxSeriesWithWildcards(i) minSeriesWithWildcards(i)
+              multiplySeriesWithWildcards(i) — left fold of the
+              multiplySeries cent contract in original-label order
+              (NULL member slots propagate; missing rows don't
+              contribute)
               — aggregate after deleting the i-th dot node
               (the generic aggregateWithWildcards(s, 'how', i)
               desugars here)
@@ -100,8 +107,10 @@ surface):
               substr(i, j) — keep dot nodes [i, j)
   selectors++ useSeriesAbove(t, 'search', 'replace') — keep series
               whose peak exceeds t AND regex-rename them
-  overlays    timeStack(d, a, b) — day-shifted copies b−a ≤ 8 on a
-              common axis, each under a '.s<k>' suffixed label
+  overlays    timeStack(d|'<n>h'|'<n>d', a, b) — shifted copies
+              b−a ≤ 8 on a common axis (integer d = days; the unit
+              string generalizes to sub-day stacking), each under a
+              '.s<k>' suffixed label
   tagged      seriesByTag('k=v', 'k!=v', 'k=~re', 'k!=~re', ...) —
               seed the TAGGED series universe (path =
               name;dc=..;host=.. — the g_tag_select encoding;
@@ -452,6 +461,7 @@ def _desugar(node: Node) -> Node:
             "avg": "averageSeriesWithWildcards",
             "max": "maxSeriesWithWildcards",
             "min": "minSeriesWithWildcards",
+            "multiply": "multiplySeriesWithWildcards",
         }.get(args[1].value)
         if target is None:
             raise RenderParseError(
@@ -468,6 +478,25 @@ def _desugar(node: Node) -> Node:
 # shapes cover the dashboard uses and stay ONE window).
 _APPLY_AGG = {"sumSeries": "sum", "averageSeries": "avg",
               "maxSeries": "max", "minSeries": "min"}
+
+
+def _timestack_shift(arg) -> int:
+    """timeStack's shift argument: an integer (DAYS — the original
+    spelling) or a Graphite unit string '<n>h'/'<n>d' (the round-15
+    generalization to sub-day stacking).  Returns SECONDS; both
+    visitors call this one parser so the engines cannot drift."""
+    if isinstance(arg, Num):
+        if arg.value < 1:
+            raise RenderParseError("timeStack needs d >= 1")
+        return 86400 * arg.value
+    if isinstance(arg, Str):
+        m = re.fullmatch(r"(\d+)([hd])", arg.value)
+        if not m or int(m.group(1)) < 1:
+            raise RenderParseError(
+                "timeStack unit must be '<n>h' or '<n>d' with n >= 1"
+            )
+        return int(m.group(1)) * (3600 if m.group(2) == "h" else 86400)
+    raise RenderParseError("timeStack shift must be a number or unit string")
 
 
 def _parse_apply_template(tpl: str):
@@ -753,7 +782,8 @@ def analyze(node: Node):
         return (True, True, _FIXED_LABEL[name])
     if name in ("groupByNode", "groupByNodes", "sumSeriesWithWildcards",
                 "averageSeriesWithWildcards", "maxSeriesWithWildcards",
-                "minSeriesWithWildcards", "groupByTags"):
+                "minSeriesWithWildcards", "multiplySeriesWithWildcards",
+                "groupByTags"):
         # relabel + aggregate: keys unique per (new label, interval),
         # label set data-dependent.
         return (False, True, None)
@@ -2053,6 +2083,19 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                     F.lit(100 * n.args[0].value).cast("long").alias("cents"),
                 )
             )
+        if name == "drawAsInfinite":
+            # Graphite's display directive made data-shaped: 1 where
+            # the slot is known AND non-zero (the vertical-line
+            # condition), 0 where known zero, NULL propagates —
+            # in cents: 100 / 0 / NULL (stateless value map).
+            _need(n, 1, (object,))
+            return ev(n.args[0]).withColumn(
+                "cents",
+                F.when(F.col("cents").isNull(), F.lit(None))
+                .when(F.col("cents") != 0, F.lit(100))
+                .otherwise(F.lit(0))
+                .cast("long"),
+            )
         if name == "isNonNull":
             # 1 where the slot is known, 0 where it is None — in
             # cents: 100 / 0 (stateless value map).
@@ -2236,7 +2279,8 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                 .cast("long").alias("cents"),
             )
         if name in ("sumSeriesWithWildcards", "averageSeriesWithWildcards",
-                    "maxSeriesWithWildcards", "minSeriesWithWildcards"):
+                    "maxSeriesWithWildcards", "minSeriesWithWildcards",
+                    "multiplySeriesWithWildcards"):
             # delete the i-th dot node from every label, then
             # aggregate series that now share a label — Graphite's
             # wildcard reducers (the max/min forms reach here via the
@@ -2258,14 +2302,42 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                     ),
                 ),
             )
-            agg = {
-                "sumSeriesWithWildcards": F.sum("cents"),
-                "maxSeriesWithWildcards": F.max("cents"),
-                "minSeriesWithWildcards": F.min("cents"),
-                "averageSeriesWithWildcards": F.floor(
-                    F.sum("cents").cast("double") / F.count("cents")
-                ).cast("long"),
-            }[name]
+            if name == "multiplySeriesWithWildcards":
+                # left fold of the multiplySeries cent contract over
+                # the group sorted by ORIGINAL label (both engines
+                # fold in the same order, so per-step flooring cannot
+                # drift — the relabel must NOT overwrite the sort key
+                # before the collect); a NULL member slot propagates
+                # NULL (the multiplySeries contract), a MISSING
+                # member row simply does not contribute (the
+                # sum-reducer missingness contract).
+                arr = F.array_sort(
+                    F.collect_list(F.struct("metric", "cents")))
+                fold = F.aggregate(
+                    F.slice(arr, 2,
+                            F.greatest(F.lit(0), F.size(arr) - 1)),
+                    F.element_at(arr, 1)["cents"],
+                    lambda acc, x: F.floor(
+                        (acc * x["cents"]).cast("double") / 100
+                    ).cast("long"),
+                )
+                return (
+                    ev(n.args[0])
+                    .withColumn("lab", relabel)
+                    .groupBy("lab", "interval")
+                    .agg(fold.alias("cents"))
+                    .select(F.col("lab").alias("metric"), "interval",
+                            "cents")
+                )
+            else:
+                agg = {
+                    "sumSeriesWithWildcards": F.sum("cents"),
+                    "maxSeriesWithWildcards": F.max("cents"),
+                    "minSeriesWithWildcards": F.min("cents"),
+                    "averageSeriesWithWildcards": F.floor(
+                        F.sum("cents").cast("double") / F.count("cents")
+                    ).cast("long"),
+                }[name]
             return (
                 ev(n.args[0])
                 .withColumn("metric", relabel)
@@ -2526,11 +2598,12 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
             # b−a day-shifted copies of each series on a common axis,
             # each under a '.s<k>' suffixed label (the g_timestack
             # overlay, labels kept distinct so keys stay unique).
-            _need(n, 4, (object, Num, Num, Num))
-            d, a2, b2 = (x.value for x in n.args[1:])
-            if d < 1 or not 0 <= a2 < b2 or b2 - a2 > 8:
+            _need(n, 4, (object, object, Num, Num))
+            shift = _timestack_shift(n.args[1])
+            a2, b2 = (x.value for x in n.args[2:])
+            if not 0 <= a2 < b2 or b2 - a2 > 8:
                 raise RenderParseError(
-                    "timeStack needs d >= 1 and 0 <= start < stop <= start+8"
+                    "timeStack needs 0 <= start < stop <= start+8"
                 )
             s = ev(n.args[0])
             copies = [
@@ -2538,7 +2611,7 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                     F.concat(F.col("metric"), F.lit(f".s{k}")).alias(
                         "metric"
                     ),
-                    (F.col("interval") + 86400 * d * k).alias("interval"),
+                    (F.col("interval") + shift * k).alias("interval"),
                     "cents",
                 )
                 for k in range(a2, b2)
@@ -3720,6 +3793,13 @@ def build_sql(node: Node) -> str:
                 f"CAST({k} AS BIGINT) AS cents "
                 f"FROM (SELECT DISTINCT interval FROM {seed('*')} z) t)"
             )
+        if name == "drawAsInfinite":
+            return (
+                "(SELECT metric, interval, CAST(CASE "
+                "WHEN cents IS NULL THEN NULL "
+                "WHEN cents != 0 THEN 100 ELSE 0 END AS BIGINT) AS cents "
+                f"FROM {ev(n.args[0])} s)"
+            )
         if name == "isNonNull":
             return (
                 "(SELECT metric, interval, CAST(CASE WHEN cents IS NOT NULL "
@@ -3817,7 +3897,8 @@ def build_sql(node: Node) -> str:
                 f") AS BIGINT) END AS cents FROM {ev(n.args[0])} s)"
             )
         if name in ("sumSeriesWithWildcards", "averageSeriesWithWildcards",
-                    "maxSeriesWithWildcards", "minSeriesWithWildcards"):
+                    "maxSeriesWithWildcards", "minSeriesWithWildcards",
+                    "multiplySeriesWithWildcards"):
             i = n.args[1].value
             # coalesce: DuckDB's array_to_string([]) is NULL where
             # Spark's concat_ws over an empty array is '' — a
@@ -3827,6 +3908,22 @@ def build_sql(node: Node) -> str:
                 f"str_split(metric, '.')[1:{i}], "
                 f"str_split(metric, '.')[{i + 2}:]), '.'), '')"
             )
+            if name == "multiplySeriesWithWildcards":
+                # left fold in ORIGINAL-label order (matches Spark's
+                # array_sort(collect_list(struct(metric, cents)))
+                # fold; list() KEEPS NULL cents so NULL propagates
+                # per step).  The inner subquery computes the new
+                # label BESIDE the original metric so the fold's
+                # ORDER BY cannot resolve to the relabeled alias.
+                return (
+                    f"(SELECT lab AS metric, interval, "
+                    f"list_reduce(list(cents ORDER BY metric), "
+                    f"(a, b) -> CAST(floor(CAST(a * b AS DOUBLE) / 100)"
+                    f" AS BIGINT)) AS cents "
+                    f"FROM (SELECT {relabel} AS lab, metric, interval, "
+                    f"cents FROM {ev(n.args[0])} s0) s "
+                    f"GROUP BY lab, interval)"
+                )
             agg = {
                 "sumSeriesWithWildcards": "CAST(sum(cents) AS BIGINT)",
                 "maxSeriesWithWildcards": "max(cents)",
@@ -3971,11 +4068,12 @@ def build_sql(node: Node) -> str:
                 f"HAVING max(cents) > {t}) w ON s.metric = w.metric)"
             )
         if name == "timeStack":
-            d, a2, b2 = (x.value for x in n.args[1:])
+            shift = _timestack_shift(n.args[1])
+            a2, b2 = (x.value for x in n.args[2:])
             inner = ev(n.args[0])
             parts = " UNION ALL ".join(
                 f"SELECT metric || '.s{k}' AS metric, "
-                f"interval + {86400 * d * k} AS interval, cents "
+                f"interval + {shift * k} AS interval, cents "
                 f"FROM {inner} t{k}"
                 for k in range(a2, b2)
             )

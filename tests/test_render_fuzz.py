@@ -3,7 +3,7 @@ the Spark composition vs the AST-emitted DuckDB SQL — must agree
 exactly (the cent discipline makes every composition integer-exact).
 
 Deterministic seed; bounded depth; covers every operator in the
-registry (126 ops as of round 14) including binary combiners, aggregate
+registry (129 ops as of round 15) including binary combiners, aggregate
 reducers, the selector family, the round-11 additions (waves 2-8),
 and the generic method-string spellings (aggregate / movingWindow /
 highest / lowest / filterSeries — desugared by the parser, so the
@@ -87,6 +87,7 @@ def _series(rng, depth):
             "highestCurrent", "lowestCurrent", "stdev",
             "aggregateLine", "removeBetweenPercentile",
             "sumSeriesWithWildcards", "averageSeriesWithWildcards",
+            "multiplySeriesWithWildcards", "drawAsInfinite",
             "substr", "fallbackSeries", "multiplySeries",
             "roundTo", "movingMedian", "exponentialMovingAverage",
             "weightedAverage", "randomWalk", "stacked", "useSeriesAbove",
@@ -187,10 +188,13 @@ def _series(rng, depth):
         return f"aggregateLine({_series(rng, depth - 1)}, '{how}')"
     if name == "removeBetweenPercentile":
         return f"removeBetweenPercentile({_series(rng, depth - 1)}, {rng.choice([10, 25, 40])})"
-    if name in ("sumSeriesWithWildcards", "averageSeriesWithWildcards"):
+    if name in ("sumSeriesWithWildcards", "averageSeriesWithWildcards",
+                "multiplySeriesWithWildcards"):
         return f"{name}({_series(rng, depth - 1)}, {rng.randint(0, 2)})"
+    if name == "drawAsInfinite":
+        return f"drawAsInfinite({_series(rng, depth - 1)})"
     if name == "aggregateWithWildcards":
-        how = rng.choice(["sum", "average", "max", "min"])
+        how = rng.choice(["sum", "average", "max", "min", "multiply"])
         return (f"aggregateWithWildcards({_series(rng, depth - 1)}, "
                 f"'{how}', {rng.randint(0, 2)})")
     if name == "substr":
@@ -219,7 +223,8 @@ def _series(rng, depth):
                 f"{rng.choice([-1, 40, 300])}, '^', 'hot.')")
     if name == "timeStack":
         a = rng.randint(0, 1)
-        return (f"timeStack({_series(rng, depth - 1)}, {rng.randint(1, 2)}, "
+        shift = rng.choice([str(rng.randint(1, 2)), "'6h'", "'12h'", "'1d'"])
+        return (f"timeStack({_series(rng, depth - 1)}, {shift}, "
                 f"{a}, {a + rng.randint(1, 3)})")
     if name == "nonNegativeDerivativeWrap":
         return (f"nonNegativeDerivative({_series(rng, depth - 1)}, "
