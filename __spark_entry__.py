@@ -420,10 +420,15 @@ _R14_DEFERRED: list = [
     "t_bytes_hdr",
 ]
 
-# The round-15 driver window, to be pre-materialized at the mid-round
-# freeze (first 50 of the rotated registry once the round's new
-# queries are registered).  Until frozen, test_registry's first-fifty
-# pin skips.  ROUND-16 TODO: once CORRECTNESS_r15.json exists, verify
+# The round-15 driver window, pre-materialized at the mid-round
+# freeze: first 50 of the rotated registry = the 7 new round-15
+# queries (truss decomposition to fixpoint, the probe-only triangle
+# serve form, positional deletion vectors, schema evolution, k-means
+# to convergence, and the two render wave-9 compositions) + the 3
+# never-checked _R14_DEFERRED entries + 40 of the r08 cohort (oldest
+# driver evidence; zero overlap with rounds 12-14 — test_registry
+# asserts list == first-50 so drift is caught before the driver
+# runs).  ROUND-16 TODO: once CORRECTNESS_r15.json exists, verify
 # its keys == this list, then (a) add _R15_WINDOW to `recent`, (b)
 # move the _R15_DEFERRED block to right after the new-queries clause
 # with an `and n not in recent` guard, (c) add `n not in r15` to any
@@ -432,7 +437,28 @@ _R14_DEFERRED: list = [
 # _R15_WINDOW's block at the END of the order (re-front any red rows
 # via a _R15_RED block, the _R12_RED pattern).  Queries added AFTER
 # the freeze go in _R15_DEFERRED, never in front of the window.
-_R15_WINDOW: list = []
+_R15_WINDOW: list = [
+    "w_truss_decomp", "w_triangles_serve", "w_lakehouse_mor_pos",
+    "w_lakehouse_evolve", "s_kmeans_train",
+    "g_render_product", "g_render_infstack", "st_triangles",
+    "w_pagerank_fixpoint", "t_bytes_hdr",
+    "g_time_shift_multi", "g_alias_by_tags", "g_threshold",
+    "g_is_non_null", "w_sessionize_30m",
+    "r_q12_priority", "d_exact_dedup", "d_lsh_pairs", "d_simhash",
+    "d_simhash_pairs",
+    "d_simhash_banded", "s_cosine_topk", "s_cosine_nearpairs",
+    "s_cosine_ann", "s_ann_recall",
+    "s_cosine_ann_mp", "s_ann_mp_recall", "s_cosine_sig",
+    "s_sig_recall", "s_vector_stats",
+    "d_embed_neardup_lsh", "t_token_stats", "t_lang_id", "t_quality",
+    "t_fingerprint",
+    "t_tfidf_top3", "t_word_freq", "m_decode_stats",
+    "m_feature_norms", "m_frame_sample",
+    "g_moving_avg_3", "g_nonneg_derivative", "g_sum_series",
+    "g_timeshift_1d", "g_as_percent",
+    "g_integral", "g_keep_last", "g_keep_last_limit",
+    "g_summarize_4h", "g_group_by_node",
+]
 
 # Queries added late in round 15, after the round-15 window freeze.
 _R15_DEFERRED: list = []
