@@ -461,7 +461,9 @@ _R15_WINDOW: list = [
 ]
 
 # Queries added late in round 15, after the round-15 window freeze.
-_R15_DEFERRED: list = []
+_R15_DEFERRED: list = [
+    "w_lakehouse_move",
+]
 
 # Added late in round 8, after the round-8 window composition (5 new
 # batch-1 queries + the round-4 cohort) was already settled.  Never

@@ -470,11 +470,12 @@ def merge_table(
     key_cols,
     part_col: str,
     base_version: Optional[int] = None,
+    allow_moves: bool = True,
 ) -> int:
     """Delta-style MERGE as copy-on-write upsert: WHEN MATCHED on
     ``key_cols`` THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT *.
 
-    Only the partitions the update batch touches are rewritten — each
+    Only the partitions the merge touches are rewritten — each
     becomes (existing rows whose key is NOT in the batch) ∪ (the
     batch's rows for that partition); untouched partitions keep their
     files byte-for-byte.  The swap publishes as ONE commit on top of
@@ -484,18 +485,32 @@ def merge_table(
     being silently overwritten — the caller re-reads and retries, the
     ``incremental_rollup_tx`` discipline.
 
-    Contract: ``part_col`` is a column of both the table and the
-    updates frame, and a matched key's partition value must not
-    change across the merge (the same assumption Delta/Iceberg make
-    when partition-pruning the match — a key that MOVES partitions
-    needs a delete+insert, not a merge).
+    PARTITION-MOVING KEYS (the gap ROADMAP carried since round 11,
+    closed round 15): with ``allow_moves=True`` (the default) a
+    matched key whose partition value CHANGES across the merge is
+    handled as the delete+insert it semantically is — the snapshot is
+    probed (one key-semi-join) for every partition that currently
+    holds an updated key, those SOURCE partitions join the rewrite
+    set, and the per-partition keep-side anti-joins against the
+    batch's FULL key set so the stale copy is removed from the old
+    partition in the same atomic commit that inserts the new one.
+    ``allow_moves=False`` is the fast path that skips the probe: the
+    touched set is exactly the batch's partition values and the
+    keep-side anti-join is per-partition — correct ONLY under the
+    old contract that matched keys never move (the same assumption
+    Delta/Iceberg make when partition-pruning the match); a key that
+    does move leaves its stale copy behind.
 
     Scale shape: the touched-partition list is a driver-side
-    ``collect`` over ``updates``'s distinct partition values —
-    O(touched partitions), control-plane only (the lakehouse
-    file-pruning step); the per-partition anti-join + union and every
-    write are distributed, and the anti-join's right side is the
-    batch's keys for that partition (small — AQE broadcasts it).
+    ``collect`` over distinct partition values — O(touched
+    partitions), control-plane only (the lakehouse file-pruning
+    step).  The move probe is the one full-snapshot pass (a key
+    semi-join that AQE broadcasts by the batch's key set — the cost
+    Delta's MERGE pays in its find-touched-files join); ``allow_moves
+    =False`` exists precisely so callers who KNOW keys are
+    partition-stable can skip it.  The per-partition anti-join +
+    union and every write are distributed, and the anti-join's right
+    side is the batch's key set (small — AQE broadcasts it).
     """
     from pyspark.sql import functions as F
 
@@ -512,11 +527,25 @@ def merge_table(
     # their schema through commit_partitions); a type conflict
     # against the registry raises here, before any rewrite
     _widened_schema(log.state()["schema"] or _schema_pairs(cur), updates)
+    all_keys = updates.select(*keys).distinct()
+    if allow_moves:
+        # every partition currently holding an updated key must also
+        # rewrite, or a key that moved partitions leaves a stale copy
+        src_parts = [
+            r[0] for r in cur.join(all_keys, keys, "left_semi")
+            .select(part_col).distinct().collect()
+        ]
+        known = set(parts)
+        parts = parts + [p for p in src_parts if p not in known]
     frames = {}
     for p in parts:
         old = cur.where(F.col(part_col) == p)
         new = updates.where(F.col(part_col) == p)
-        keep = old.join(new.select(*keys).distinct(), keys, "left_anti")
+        # under allow_moves the keep side sheds EVERY updated key
+        # (a moved key's old copy included); the fast path only
+        # needs this partition's batch keys
+        drop = all_keys if allow_moves else new.select(*keys).distinct()
+        keep = old.join(drop, keys, "left_anti")
         frames[f"{part_col}={p}"] = keep.unionByName(
             new, allowMissingColumns=True)
     # rewrites conflict with ANY interleaved merge-on-read key (see

@@ -4667,6 +4667,88 @@ def w_lakehouse_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_lakehouse_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-MOVING keys under the driver's oracle — the last
+    named MERGE gap (ROADMAP round 11): a matched key whose partition
+    value CHANGES across the merge is now a delete+insert inside the
+    same atomic commit, not a silent stale copy.  The silver
+    documents table is committed partitioned by b = doc_id % 4; the
+    merge batch updates every doc_id % 7 == 0 key with score+1000 AND
+    b' = (doc_id+1) % 4 — a value that ALWAYS differs from the old b,
+    so every matched key moves — plus genuinely-new keys
+    (doc_id + 1000000) exercising the insert arm beside the move arm.
+
+    The oracle pins the semantics by row MULTIPLICITY: each moved key
+    appears exactly ONCE, at its new partition value.  The pre-round-
+    15 contract (allow_moves=False, the documented fast path) would
+    leave the old copy behind and show every %7 key TWICE — exactly
+    the hash-fail this query exists to catch.
+
+    Scale shape: one key-semi-join snapshot probe finds the source
+    partitions (the find-touched-files join Delta's MERGE pays; AQE
+    broadcasts the batch's key set), then only touched partitions
+    rewrite — keep-side anti-join against the broadcast key set,
+    union with the batch's rows, ONE commit with the MoR conflict
+    guard.  [pins lakehouse.py: merge_table allow_moves]"""
+    import os
+    import tempfile
+
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        merge_table,
+        read_table,
+    )
+    from go_whisper_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("score"),
+        (F.col("doc_id") % 4).alias("b"),
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="gws_lakemove_"),
+                         "silver_docs")
+    commit_partitions(
+        spark, table,
+        {f"b={k}": base.where(F.col("b") == k) for k in range(4)},
+        base_version=0,
+    )
+    moved = base.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "lang",
+        (F.col("score") + 1000).alias("score"),
+        ((F.col("doc_id") + 1) % 4).alias("b"),
+    )
+    fresh = base.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        (F.col("score") * 2).alias("score"),
+        ((F.col("doc_id") + 1000000) % 4).alias("b"),
+    )
+    merge_table(
+        spark, table, moved.unionByName(fresh),
+        key_cols=["doc_id"], part_col="b",
+    )
+    return read_table(spark, table).select("doc_id", "lang", "score", "b")
+
+
+W_LAKEHOUSE_MOVE_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
+         doc_id % 4 AS b
+  FROM documents
+)
+SELECT doc_id, lang, score, b FROM base WHERE doc_id % 7 <> 0
+UNION ALL
+SELECT doc_id, lang, score + 1000 AS score, (doc_id + 1) % 4 AS b
+FROM base WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, lang, score * 2 AS score,
+       (doc_id + 1000000) % 4 AS b
+FROM base WHERE doc_id % 13 = 0
+"""
+
+
 W_LAKEHOUSE_EVOLVE_SQL = """
 WITH base AS (
   SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
@@ -4739,6 +4821,7 @@ QUERIES = {
     "w_triangles_serve": w_triangles_serve,
     "w_lakehouse_mor_pos": w_lakehouse_mor_pos,
     "w_lakehouse_evolve": w_lakehouse_evolve,
+    "w_lakehouse_move": w_lakehouse_move,
     "w_triangle_sample": w_triangle_sample,
     "w_pagerank_fixpoint": w_pagerank_fixpoint,
     "w_zorder_skipping": w_zorder_skipping,
@@ -4796,6 +4879,7 @@ ORACLES = {
     "w_triangles_serve": W_TRIANGLES_SQL,
     "w_lakehouse_mor_pos": W_LAKEHOUSE_MOR_POS_SQL,
     "w_lakehouse_evolve": W_LAKEHOUSE_EVOLVE_SQL,
+    "w_lakehouse_move": W_LAKEHOUSE_MOVE_SQL,
     "w_triangle_sample": W_TRIANGLE_SAMPLE_SQL,
     "w_pagerank_fixpoint": _w_pagerank_fixpoint_sql(),
     "w_zorder_skipping": _w_zorder_skipping_sql(),

@@ -498,6 +498,89 @@ def test_merge_table_conflict_and_disjoint(spark, tmp_path):
     assert {r.v for r in read_table(spark, table).where("k = 1").collect()} == {222}
 
 
+def test_merge_table_moving_keys(spark, tmp_path):
+    """A matched key whose partition value changes is a delete+insert
+    in ONE commit: exactly one copy survives, at the NEW partition;
+    the source partition rewrites (stale copy gone), a partition
+    holding no updated key keeps its directory byte-for-byte."""
+    from go_whisper_spark.lakehouse import commit_partitions, merge_table
+
+    table = str(tmp_path / "silver")
+    df = spark.createDataFrame(
+        [(i, i * 10, i % 3) for i in range(12)], "k long, v long, b long"
+    )
+    commit_partitions(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in (0, 1, 2)},
+        base_version=0,
+    )
+    before = CommitLog(table).state()["partitions"]
+    # k=3 lives in b=0 and MOVES to b=1; k=100 is a fresh insert to b=1
+    up = spark.createDataFrame(
+        [(3, 999, 1), (100, 5, 1)], "k long, v long, b long"
+    )
+    merge_table(spark, table, up, key_cols=["k"], part_col="b")
+    got = read_table(spark, table).where("k = 3").collect()
+    assert [(r.v, r.b) for r in got] == [(999, 1)]  # ONE copy, new b
+    rows = read_table(spark, table).collect()
+    assert len(rows) == 13
+    after = CommitLog(table).state()["partitions"]
+    assert after["b=0"] != before["b=0"]   # source partition rewrote
+    assert after["b=1"] != before["b=1"]   # target partition rewrote
+    assert after["b=2"] == before["b=2"]   # no updated key -> untouched
+
+
+def test_merge_move_race_on_source_partition(spark, tmp_path):
+    """The move probe puts the SOURCE partition in the conflict set: a
+    racer landing on the old partition after our snapshot makes the
+    move-merge raise instead of silently resurrecting/losing rows —
+    the race the allow_moves=False fast path cannot see."""
+    from go_whisper_spark.lakehouse import commit_partitions, merge_table
+
+    table = str(tmp_path / "silver")
+    df = spark.createDataFrame(
+        [(i, i * 10, i % 2) for i in range(10)], "k long, v long, b long"
+    )
+    commit_partitions(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in (0, 1)},
+        base_version=0,
+    )
+    snap = CommitLog(table).state()["version"]
+    racer = spark.createDataFrame([(0, 111, 0)], "k long, v long, b long")
+    merge_table(spark, table, racer, key_cols=["k"], part_col="b")
+    # our batch's TARGET partitions are only b=1, but k=2's source is
+    # b=0 — the racer's b=0 commit must conflict us
+    ours = spark.createDataFrame([(2, 999, 1)], "k long, v long, b long")
+    with pytest.raises(ConflictError):
+        merge_table(spark, table, ours, key_cols=["k"], part_col="b",
+                    base_version=snap)
+    assert {r.v for r in read_table(spark, table).where("k = 0").collect()} == {111}
+
+
+def test_merge_allow_moves_false_leaves_stale_copy(spark, tmp_path):
+    """The documented fast-path contract: allow_moves=False skips the
+    snapshot probe, so a key that moves partitions leaves its old
+    copy behind — correct only when keys are partition-stable."""
+    from go_whisper_spark.lakehouse import commit_partitions, merge_table
+
+    table = str(tmp_path / "silver")
+    df = spark.createDataFrame(
+        [(i, i * 10, i % 2) for i in range(4)], "k long, v long, b long"
+    )
+    commit_partitions(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in (0, 1)},
+        base_version=0,
+    )
+    up = spark.createDataFrame([(2, 999, 1)], "k long, v long, b long")
+    merge_table(spark, table, up, key_cols=["k"], part_col="b",
+                allow_moves=False)
+    got = sorted((r.v, r.b) for r in
+                 read_table(spark, table).where("k = 2").collect())
+    assert got == [(20, 0), (999, 1)]  # stale copy + new copy
+
+
 # --------------------------------------------------------- merge-on-read
 def _mor_table(spark, tmp_path):
     from go_whisper_spark.lakehouse import commit_partitions
