@@ -464,6 +464,7 @@ _R15_WINDOW: list = [
 _R15_DEFERRED: list = [
     "w_lakehouse_move",
     "w_kcore_decomp",
+    "w_link_cn",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -1660,6 +1660,107 @@ SELECT support, count(*) AS n_edges FROM led GROUP BY 1
 """
 
 
+def w_link_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-purchase graph: the top-20 NON-edge
+    pairs by common-neighbor count, with the Jaccard overlap carried
+    as EXACT integers — the classic candidate-generation pass
+    (Liben-Nowell & Kleinberg 2003, public) a recommendation/graph-
+    completion pipeline runs before any learned scorer.
+
+    Semantics: candidates are the 2-hop pairs (every unordered pair
+    sharing at least one neighbor z, generated by the wedge self-join
+    keyed on the CENTER); pairs that are already edges are anti-
+    joined away; cn = number of distinct common neighbors (each
+    center contributes exactly one (x1 < x2) row per pair, so a plain
+    map-combined count is the distinct count); the Jaccard numerator/
+    denominator ride along as integers (union_n = du + dv − cn) plus
+    the floored-ppm ratio — the repo-wide exactness discipline for
+    cross-engine floats.  Deterministic top-20 by (cn DESC, u, v).
+
+    Scale shape: ONE wedge self-join shuffle keyed on the center +
+    map-combined pair count + one anti-join against the edge list +
+    two broadcast joins of the O(nodes) degree relation + TakeOrdered
+    (partial top-k, no global sort).  The wedge fan-out is Σ deg(z)²
+    — for exact common-neighbor counts this is the OUTPUT's own lower
+    bound, not a plan artifact (every wedge is evidence for exactly
+    one pair), so the scale fences are the substrate ones: hub
+    centers cap/sample (the DOULION rung — sampling centers keeps the
+    count unbiased per pair), or restrict to the degree-ordered
+    orientation when only candidates (not exact counts) are needed.
+    Here the full graph runs exact; the fence is documented, not
+    silently applied."""
+    edges = _tri_edges(spark, sf_dir)
+    adj = edges.select(F.col("u").alias("z"), F.col("v").alias("x")).unionAll(
+        edges.select(F.col("v").alias("z"), F.col("u").alias("x"))
+    )
+    pairs = (
+        adj.alias("a")
+        .join(adj.alias("b"), "z")
+        .where(F.col("a.x") < F.col("b.x"))
+        .select(F.col("a.x").alias("u"), F.col("b.x").alias("v"))
+    )
+    cn = pairs.groupBy("u", "v").agg(F.count("*").alias("cn"))
+    cand = cn.join(edges, ["u", "v"], "left_anti")
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    scored = (
+        cand.join(F.broadcast(deg.select(F.col("node").alias("u"),
+                                         F.col("deg").alias("du"))), "u")
+        .join(F.broadcast(deg.select(F.col("node").alias("v"),
+                                     F.col("deg").alias("dv"))), "v")
+        .select(
+            "u", "v", "cn", "du", "dv",
+            (F.col("du") + F.col("dv") - F.col("cn")).alias("union_n"),
+            F.floor(F.lit(1000000) * F.col("cn") /
+                    (F.col("du") + F.col("dv") - F.col("cn")))
+            .cast("long").alias("jac_ppm"),
+        )
+    )
+    return scored.orderBy(F.desc("cn"), "u", "v").limit(20)
+
+
+W_LINK_CN_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+adj AS (
+  SELECT u AS z, v AS x FROM edges
+  UNION ALL SELECT v AS z, u AS x FROM edges
+),
+cn AS (
+  SELECT a.x AS u, b.x AS v, count(*) AS cn
+  FROM adj a JOIN adj b ON a.z = b.z AND a.x < b.x
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT c.* FROM cn c
+  LEFT JOIN edges e ON c.u = e.u AND c.v = e.v
+  WHERE e.u IS NULL
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY 1
+)
+SELECT c.u, c.v, c.cn, du.deg AS du, dv.deg AS dv,
+       du.deg + dv.deg - c.cn AS union_n,
+       CAST(FLOOR(1000000 * c.cn / (du.deg + dv.deg - c.cn)) AS BIGINT)
+         AS jac_ppm
+FROM cand c
+JOIN deg du ON c.u = du.node
+JOIN deg dv ON c.v = dv.node
+ORDER BY c.cn DESC, c.u, c.v
+LIMIT 20
+"""
+
+
 # --------------------------------------------------- w_truss_decomp
 def _flat_localCheckpoint(df: DataFrame) -> DataFrame:
     """localCheckpoint that also RESETS plan statistics — required by
@@ -5005,6 +5106,7 @@ QUERIES = {
     "w_truss_support": w_truss_support,
     "w_truss_decomp": w_truss_decomp,
     "w_kcore_decomp": w_kcore_decomp,
+    "w_link_cn": w_link_cn,
     "w_triangles_serve": w_triangles_serve,
     "w_lakehouse_mor_pos": w_lakehouse_mor_pos,
     "w_lakehouse_evolve": w_lakehouse_evolve,
@@ -5064,6 +5166,7 @@ ORACLES = {
     "w_truss_support": W_TRUSS_SUPPORT_SQL,
     "w_truss_decomp": _w_truss_decomp_sql(),
     "w_kcore_decomp": _w_kcore_decomp_sql(),
+    "w_link_cn": W_LINK_CN_SQL,
     "w_triangles_serve": W_TRIANGLES_SQL,
     "w_lakehouse_mor_pos": W_LAKEHOUSE_MOR_POS_SQL,
     "w_lakehouse_evolve": W_LAKEHOUSE_EVOLVE_SQL,

@@ -994,6 +994,48 @@ def test_kcore_decomp_matches_reference_peel(spark, sf_dir):
     assert max(got) == k - 1  # the last non-empty core level
 
 
+def test_link_cn_matches_bruteforce(spark, sf_dir):
+    """w_link_cn's top-20 must equal a brute-force Python scorer over
+    the collected edge list: common-neighbor counts via set
+    intersections on NON-edge 2-hop pairs, exact integer Jaccard,
+    same (cn DESC, u, v) order.  Also pins the wedge identity the
+    plan relies on: every center z contributes exactly C(deg(z), 2)
+    unordered pairs, so Σ cn over ALL 2-hop pairs (edges included)
+    equals Σ_z C(deg(z), 2)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from go_whisper_spark.operators.whisper_queries import (
+        _tri_edges,
+        w_link_cn,
+    )
+
+    rows = w_link_cn(spark, sf_dir).collect()
+    E = {(r.u, r.v) for r in _tri_edges(spark, sf_dir).collect()}
+    adj = defaultdict(set)
+    for u, v in E:
+        adj[u].add(v)
+        adj[v].add(u)
+
+    cn_all = defaultdict(int)
+    for z in adj:
+        for a, b in combinations(sorted(adj[z]), 2):
+            cn_all[(a, b)] += 1
+    assert sum(cn_all.values()) == sum(
+        len(adj[z]) * (len(adj[z]) - 1) // 2 for z in adj)
+
+    cand = [(u, v, c) for (u, v), c in cn_all.items() if (u, v) not in E]
+    cand.sort(key=lambda t: (-t[2], t[0], t[1]))
+    want = []
+    for u, v, c in cand[:20]:
+        du, dv = len(adj[u]), len(adj[v])
+        un = du + dv - c
+        want.append((u, v, c, du, dv, un, 1000000 * c // un))
+    got = [(r.u, r.v, r.cn, r.du, r.dv, r.union_n, r.jac_ppm)
+           for r in rows]
+    assert got == want, f"top-20 diverges: {got[:3]} vs {want[:3]}"
+
+
 def test_kmeans_train_convergence_ledger(spark, sf_dir):
     """The to-convergence trainer's ledger laws: rounds are contiguous
     from 1, inertia is monotonically non-increasing (the Lloyd

@@ -1144,6 +1144,15 @@ CHECKS = {
         require=["partial_count", "BroadcastNestedLoopJoin"],
         forbid=["CartesianProduct", "Window"],
     ),
+    # Link prediction: the top-20 must be a PARTIAL top-k
+    # (TakeOrderedAndProject — never a global sort), the wedge pair
+    # count a map-combined aggregate, and the degree join-backs
+    # broadcasts of the O(nodes) relation.
+    "w_link_cn": dict(
+        require=["TakeOrderedAndProject", "partial_count",
+                 "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
     # Truss-support read side: same checkpointed substrate as
     # w_triangles; the 3x edge charge is an explode + map-combined
     # count, the support join-back an equi-join, the histogram a
