@@ -219,6 +219,7 @@ class CommitLog:
         parts: Dict[str, str] = {}
         watermark: dict = {}
         schema: Dict[str, str] = {}
+        bloom: Dict[str, dict] = {}
         start = 0
         if at_version is not None and at_version not in self.versions():
             raise ValueError(
@@ -239,6 +240,7 @@ class CommitLog:
             watermark.update(snap["watermark"])
             for n, t in snap.get("schema", []):
                 schema[n] = t
+            bloom.update(snap.get("bloom", {}))
             start = cp_version + 1
         versions = [v for v in self.versions() if v >= start]
         if at_version is not None:
@@ -266,10 +268,16 @@ class CommitLog:
                         f"{schema[n]!r} and {t!r}"
                     )
                 schema[n] = t
+            # bloom stats are keyed by the immutable DATA DIRECTORY
+            # (a replaced partition's old dir simply stops being
+            # referenced, so its stats age out with it)
+            bloom.update(c.get("bloom", {}))
         last = versions[-1] if versions else (start - 1 if cps else -1)
+        live = set(parts.values())
         return {"version": last, "partitions": parts,
                 "watermark": watermark,
-                "schema": [[n, t] for n, t in schema.items()]}
+                "schema": [[n, t] for n, t in schema.items()],
+                "bloom": {d: b for d, b in bloom.items() if d in live}}
 
     def checkpoint(self) -> int:
         """Write a consolidated state snapshot at the current version so
@@ -286,7 +294,8 @@ class CommitLog:
         )
         data = json.dumps(
             {"partitions": st["partitions"], "watermark": st["watermark"],
-             "schema": st.get("schema", [])}
+             "schema": st.get("schema", []),
+             "bloom": st.get("bloom", {})}
         ).encode()
         # A lost claim means a racing checkpoint wrote the same snapshot.
         self.claimer.claim(path, data)
@@ -321,6 +330,7 @@ class CommitLog:
         remove: Optional[List[str]] = None,
         conflict_key_prefixes: tuple = (),
         schema: Optional[List[List[str]]] = None,
+        bloom: Optional[dict] = None,
     ) -> int:
         """Optimistically publish ``replace`` (and optional key
         ``remove``s — the compaction form) on top of ``base_version``.
@@ -350,6 +360,8 @@ class CommitLog:
             payload["watermark"] = watermark
         if schema:
             payload["schema"] = schema
+        if bloom:
+            payload["bloom"] = bloom
         ours = set(replace) | set(remove or ())
         attempt = base_version + 1
         for _ in range(max_retries):
@@ -436,18 +448,29 @@ def commit_partitions(
     watermark: Optional[dict] = None,
     base_version: Optional[int] = None,
     conflict_key_prefixes: tuple = (),
+    bloom_cols: Optional[List[str]] = None,
 ) -> int:
     """The general form of ``commit_rollup_days``: stage + publish one
     batch of {full partition key ("col=value") -> frame} swaps as ONE
     commit.  Same staging (pure additions to fresh dirs, abandoned
     invisibly on conflict) and the same base_version conflict
     contract.  ``conflict_key_prefixes`` passes through to
-    ``CommitLog.commit`` (the rewrite-vs-merge-on-read guard)."""
+    ``CommitLog.commit`` (the rewrite-vs-merge-on-read guard).
+
+    ``bloom_cols`` (round 15): compute a per-directory Bloom filter
+    over each named column and carry it IN the commit payload — the
+    Delta bloom-index / Iceberg metadata-skipping shape.  The filter
+    is the set of occupied bit positions (k=_BLOOM_K md5-derived
+    hashes into _BLOOM_BITS bits), computed from the parquet files
+    AS WRITTEN (never from the logical frame — the stats must
+    describe the bytes a reader will scan).  ``read_table_lookup``
+    prunes directories with it; no false negatives by construction."""
     log = CommitLog(table)
     if base_version is None:
         base_version = log.state()["version"]
     replace = {}
     schema = None
+    bloom: Dict[str, dict] = {}
     for key, frame in frames.items():
         d = stage_dir(table)
         frame.write.mode("overwrite").parquet(d)
@@ -456,10 +479,131 @@ def commit_partitions(
             # register the batch schema (first registration for a new
             # table; widening no-op thereafter — state() merges)
             schema = _schema_pairs(frame)
+        if bloom_cols:
+            bloom[d] = _bloom_stats(spark, d, bloom_cols)
     return log.commit(
         base_version, replace, watermark,
         conflict_key_prefixes=conflict_key_prefixes,
         schema=schema,
+        bloom=bloom or None,
+    )
+
+
+# ------------------------------------------------- bloom file skipping
+# Per-directory Bloom filters in the commit payload: the point-lookup
+# complement of min/max skipping (the w_zorder_skipping family) — a
+# reader probing a key consults O(partitions) metadata and scans only
+# the directories whose filter admits the key.  The hash is the
+# repo-standard md5 spelling (deterministic, identical in Spark /
+# DuckDB / Python), so the pruning decision itself is oracle-checkable.
+
+_BLOOM_BITS = 4096   # bits per (directory, column) filter
+_BLOOM_K = 4         # hash functions per value
+
+
+def _bloom_position_cols(col: str):
+    """The k Spark bit-position expressions for one value: position_i
+    = first-8-hex of md5("<i>:<value>") mod _BLOOM_BITS.  Spelled
+    identically in Python (`_bloom_positions_py`) and in oracle SQL
+    (CAST('0x' || substring(md5(i || ':' || v), 1, 8) AS BIGINT))."""
+    from pyspark.sql import functions as F
+
+    return [
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    ":", F.lit(str(i)), F.col(col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % _BLOOM_BITS
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_positions_py(value) -> set:
+    """Python twin of `_bloom_position_cols` for the metadata probe."""
+    import hashlib
+
+    return {
+        int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:8], 16)
+        % _BLOOM_BITS
+        for i in range(_BLOOM_K)
+    }
+
+
+def _bloom_stats(spark: SparkSession, datadir: str, cols) -> dict:
+    """{col: sorted occupied bit positions} for one written directory.
+    One distinct-aggregate per column over the files as written; the
+    result is ≤ _BLOOM_BITS ints per column — commit-payload-sized at
+    any row count (the point of a Bloom filter)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(datadir)
+    out = {}
+    for c in cols:
+        rows = (
+            df.select(F.explode(F.array(*_bloom_position_cols(c)))
+                      .alias("pos"))
+            .distinct()
+            .collect()
+        )
+        out[c] = sorted(r.pos for r in rows)
+    return out
+
+
+def read_table_lookup(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    values,
+    version: Optional[int] = None,
+) -> DataFrame:
+    """Point-lookup scan: resolve the manifest, consult each live
+    directory's Bloom filter for ``col``, and scan ONLY the
+    directories whose filter admits at least one probed value —
+    O(partitions) metadata work, then a scan sized by the true hit
+    set plus the filter's false positives.  Directories committed
+    WITHOUT a bloom for ``col`` are always scanned (conservative:
+    pruning is an optimization, never a correctness gate).  No false
+    negatives by construction: a value written to a directory set
+    every one of its bit positions in that directory's filter.
+
+    The returned frame is already filtered to ``col IN values``."""
+    from pyspark.sql import functions as F
+
+    state = CommitLog(table).state(at_version=version)
+    mor = [k for k in state["partitions"] if k.startswith(MOR_PREFIXES)]
+    if mor:
+        raise ValueError(
+            f"lake table {table} has {len(mor)} live merge-on-read "
+            "key(s): the bloom lookup would silently ignore them — "
+            "materialize with compact_mor first"
+        )
+    dirs = sorted(set(state["partitions"].values()))
+    if not dirs:
+        raise FileNotFoundError(f"lake table {table} has no committed data")
+    bloom = state.get("bloom", {})
+    probes = [_bloom_positions_py(v) for v in values]
+    keep = []
+    for d in dirs:
+        positions = bloom.get(d, {}).get(col)
+        if positions is None:
+            keep.append(d)          # no filter -> must scan
+            continue
+        pset = set(positions)
+        if any(p <= pset for p in probes):
+            keep.append(d)
+    if not keep:
+        # every directory pruned: correct (no false negatives) —
+        # return the empty frame in the table's schema
+        return (
+            spark.read.option("mergeSchema", "true").parquet(*dirs)
+            .where(F.lit(False))
+        )
+    return (
+        spark.read.option("mergeSchema", "true").parquet(*keep)
+        .where(F.col(col).isin(list(values)))
     )
 
 

@@ -5019,6 +5019,131 @@ def w_lakehouse_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, table).select("doc_id", "lang", "score", "b")
 
 
+_BLOOMSKIP_PROBES = tuple(37 * i for i in range(8)) + tuple(
+    10 ** 9 + i for i in range(4)
+)
+
+
+def w_lakehouse_bloomskip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER file skipping under the driver's oracle — the
+    point-lookup complement of the min/max ledgers (`w_zorder_
+    skipping` family): commit payloads carry a per-directory Bloom
+    filter (k=4 md5 hashes into 4096 bits) over `doc_id`, and
+    `read_table_lookup` prunes directories from METADATA alone — the
+    Delta bloom-index / Iceberg metadata-skipping shape.
+
+    The silver documents table is committed partitioned by lang (one
+    dir per language) with `bloom_cols=["doc_id"]`.  Twelve probes —
+    eight present at every SF, four impossible (doc_id ≥ 10⁹) — are
+    answered two ways: `bloom_dirs` from the commit-log filters alone
+    (zero data scanned), `true_dirs` from the pruned scan itself.
+    The oracle recomputes BOTH from the raw table with the identical
+    md5 bit-position spelling, so the pruning decision — including
+    every false positive — is cross-engine-exact, and the no-false-
+    negative law surfaces as bloom_dirs ≥ true_dirs on every row
+    (violations hash-fail).
+
+    Scale shape: the filter build is one distinct-aggregate per
+    (directory, column) folded to ≤ 4096 ints — commit-payload-sized
+    at ANY row count; the lookup is O(partitions) driver metadata
+    (the same control-plane class as the manifest read) + a scan of
+    only admitted directories.  At 100 TB with daily partitions the
+    metadata probe replaces a full-table scan per point lookup —
+    precisely Delta's bloom-index pitch.  [pins lakehouse.py:
+    _bloom_stats / read_table_lookup / CommitLog bloom payload]"""
+    import os
+    import tempfile
+
+    from go_whisper_spark.lakehouse import (
+        CommitLog,
+        _bloom_positions_py,
+        commit_partitions,
+        read_table_lookup,
+    )
+    from go_whisper_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    langs = [r[0] for r in docs.select("lang").distinct().collect()]
+    table = os.path.join(tempfile.mkdtemp(prefix="gws_lakebloom_"),
+                         "silver_docs")
+    commit_partitions(
+        spark, table,
+        {f"lang={lg}": docs.where(F.col("lang") == lg) for lg in langs},
+        base_version=0,
+        bloom_cols=["doc_id"],
+    )
+    st = CommitLog(table).state()
+    bloom, parts = st["bloom"], st["partitions"]
+    probes = list(_BLOOMSKIP_PROBES)
+    meta = spark.createDataFrame(
+        [
+            (
+                k,
+                sum(
+                    1 for d in parts.values()
+                    if _bloom_positions_py(k)
+                    <= set(bloom.get(d, {}).get("doc_id", ()))
+                ),
+            )
+            for k in probes
+        ],
+        "probe long, bloom_dirs long",
+    )
+    truth = (
+        read_table_lookup(spark, table, "doc_id", probes)
+        .groupBy(F.col("doc_id").alias("probe"))
+        .agg(F.countDistinct("lang").alias("true_dirs"))
+    )
+    return meta.join(truth, "probe", "left").select(
+        "probe", "bloom_dirs",
+        F.coalesce("true_dirs", F.lit(0).cast("long")).alias("true_dirs"),
+    )
+
+
+W_LAKEHOUSE_BLOOMSKIP_SQL = f"""
+WITH probes(probe) AS (
+  VALUES {", ".join(f"({p})" for p in _BLOOMSKIP_PROBES)}
+),
+ks(i) AS (VALUES (0), (1), (2), (3)),
+ppos AS (
+  SELECT DISTINCT probe,
+         CAST('0x' || substring(
+           md5(CAST(i AS VARCHAR) || ':' || CAST(probe AS VARCHAR)),
+           1, 8) AS BIGINT) % 4096 AS pos
+  FROM probes, ks
+),
+npp AS (SELECT probe, count(*) AS np FROM ppos GROUP BY 1),
+part_pos AS (
+  SELECT DISTINCT lang,
+         CAST('0x' || substring(
+           md5(CAST(i AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)),
+           1, 8) AS BIGINT) % 4096 AS pos
+  FROM documents, ks
+),
+hits AS (
+  SELECT p.probe, pl.lang, count(DISTINCT p.pos) AS m
+  FROM ppos p JOIN part_pos pl ON p.pos = pl.pos
+  GROUP BY 1, 2
+),
+bh AS (
+  SELECT h.probe, count(*) AS bloom_dirs
+  FROM hits h JOIN npp n ON h.probe = n.probe AND h.m = n.np
+  GROUP BY 1
+),
+th AS (
+  SELECT d.doc_id AS probe, count(DISTINCT d.lang) AS true_dirs
+  FROM documents d JOIN probes p ON d.doc_id = p.probe
+  GROUP BY 1
+)
+SELECT p.probe,
+       CAST(COALESCE(b.bloom_dirs, 0) AS BIGINT) AS bloom_dirs,
+       CAST(COALESCE(t.true_dirs, 0) AS BIGINT) AS true_dirs
+FROM probes p
+LEFT JOIN bh b ON p.probe = b.probe
+LEFT JOIN th t ON p.probe = t.probe
+"""
+
+
 W_LAKEHOUSE_MOVE_SQL = """
 WITH base AS (
   SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
@@ -5111,6 +5236,7 @@ QUERIES = {
     "w_lakehouse_mor_pos": w_lakehouse_mor_pos,
     "w_lakehouse_evolve": w_lakehouse_evolve,
     "w_lakehouse_move": w_lakehouse_move,
+    "w_lakehouse_bloomskip": w_lakehouse_bloomskip,
     "w_triangle_sample": w_triangle_sample,
     "w_pagerank_fixpoint": w_pagerank_fixpoint,
     "w_zorder_skipping": w_zorder_skipping,
@@ -5171,6 +5297,7 @@ ORACLES = {
     "w_lakehouse_mor_pos": W_LAKEHOUSE_MOR_POS_SQL,
     "w_lakehouse_evolve": W_LAKEHOUSE_EVOLVE_SQL,
     "w_lakehouse_move": W_LAKEHOUSE_MOVE_SQL,
+    "w_lakehouse_bloomskip": W_LAKEHOUSE_BLOOMSKIP_SQL,
     "w_triangle_sample": W_TRIANGLE_SAMPLE_SQL,
     "w_pagerank_fixpoint": _w_pagerank_fixpoint_sql(),
     "w_zorder_skipping": _w_zorder_skipping_sql(),

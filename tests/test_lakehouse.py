@@ -32,7 +32,7 @@ PTS_SCHEMA = "metric string, ts long, value double, write_seq long"
 def test_commit_log_replay(tmp_path):
     log = CommitLog(str(tmp_path / "t"))
     assert log.state() == {"version": -1, "partitions": {},
-                           "watermark": {}, "schema": []}
+                           "watermark": {}, "schema": [], "bloom": {}}
     v1 = log.commit(-1, {"day=2023-11-01": "/d/a"}, {"max_ts": 10})
     v2 = log.commit(v1, {"day=2023-11-02": "/d/b"}, {"max_ts": 20})
     v3 = log.commit(v2, {"day=2023-11-01": "/d/c"})  # supersedes /d/a
@@ -496,6 +496,91 @@ def test_merge_table_conflict_and_disjoint(spark, tmp_path):
                     base_version=snap)
     assert v == CommitLog(table).state()["version"]
     assert {r.v for r in read_table(spark, table).where("k = 1").collect()} == {222}
+
+
+def test_bloom_lookup_no_false_negatives_and_prunes(spark, tmp_path):
+    """Every committed key must be admitted by its directory's filter
+    (no false negatives — the correctness law), and a probe admits
+    far fewer directories than a full scan (the point of the
+    filter).  Directories committed WITHOUT a bloom are always
+    scanned (pruning is an optimization, never a gate)."""
+    from go_whisper_spark.lakehouse import (
+        _bloom_positions_py,
+        commit_partitions,
+        read_table_lookup,
+    )
+
+    table = str(tmp_path / "silver")
+    df = spark.createDataFrame(
+        [(i, i * 10, i % 8) for i in range(400)], "k long, v long, b long"
+    )
+    commit_partitions(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in range(8)},
+        base_version=0, bloom_cols=["k"],
+    )
+    st = CommitLog(table).state()
+    # no false negatives: every key's positions are set in its dir
+    for p in range(8):
+        d = st["partitions"][f"b={p}"]
+        pset = set(st["bloom"][d]["k"])
+        for k in range(p, 400, 8):
+            assert _bloom_positions_py(k) <= pset
+    # a point lookup returns exactly the true rows
+    got = read_table_lookup(spark, table, "k", [13, 200, 99999]).collect()
+    assert sorted((r.k, r.v) for r in got) == [(13, 130), (200, 2000)]
+    # and admits few dirs: k=13 lives in b=5 only; with 50 keys in
+    # 4096 bits the false-positive rate is ~0, so expect ~1 admitted
+    probe = _bloom_positions_py(13)
+    admitted = [
+        d for d in st["partitions"].values()
+        if probe <= set(st["bloom"][d]["k"])
+    ]
+    assert st["partitions"]["b=5"] in admitted and len(admitted) <= 2
+    # an impossible key prunes EVERY directory -> empty frame
+    assert read_table_lookup(spark, table, "k", [10 ** 9]).count() == 0
+
+
+def test_bloom_follows_rewrites_and_checkpoints(spark, tmp_path):
+    """Bloom stats are keyed by the immutable data directory: a
+    partition rewrite replaces its filter atomically (the old dir's
+    stats age out with the dir), a partition committed without a
+    filter is conservatively scanned, and a checkpointed state
+    replays the filters from the snapshot."""
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        read_table_lookup,
+    )
+
+    table = str(tmp_path / "silver")
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], "k long, b long"
+    )
+    commit_partitions(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in (0, 1)},
+        base_version=0, bloom_cols=["k"],
+    )
+    old_dir = CommitLog(table).state()["partitions"]["b=0"]
+    # rewrite b=0 with shifted keys (100..118 even) and a fresh filter
+    up = spark.createDataFrame([(100 + i, 0) for i in range(0, 20, 2)],
+                               "k long, b long")
+    commit_partitions(spark, table, {"b=0": up}, bloom_cols=["k"])
+    st = CommitLog(table).state()
+    assert old_dir not in st["bloom"]          # aged out with the dir
+    # the old key 0 is gone; the new key 100 is found
+    assert read_table_lookup(spark, table, "k", [0]).count() == 0
+    assert read_table_lookup(spark, table, "k", [100]).count() == 1
+    # a later filterless commit on b=1 is always scanned
+    up1 = spark.createDataFrame([(555, 1)], "k long, b long")
+    commit_partitions(spark, table, {"b=1": up1})
+    assert read_table_lookup(spark, table, "k", [555]).count() == 1
+    # checkpoint + replay preserves the filters
+    CommitLog(table).checkpoint()
+    st2 = CommitLog(table).state()
+    d0 = st2["partitions"]["b=0"]
+    assert st2["bloom"][d0]["k"] == st["bloom"][st["partitions"]["b=0"]]["k"]
+    assert read_table_lookup(spark, table, "k", [102]).count() == 1
 
 
 def test_merge_table_moving_keys(spark, tmp_path):

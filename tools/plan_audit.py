@@ -1126,6 +1126,13 @@ CHECKS = {
         forbid=["CartesianProduct", "SortMergeJoin",
                 "BroadcastNestedLoopJoin", "Window"],
     ),
+    # Bloom point-lookup ledger: the truth side is the PRUNED scan
+    # (isin pushed to the parquet source) joined to the 12-row
+    # metadata frame by broadcast — no shuffle join, no cartesian.
+    "w_lakehouse_bloomskip": dict(
+        require=["PushedFilters", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
     # Triangle read side (post-checkpoint): the wedge self-join and
     # the closing membership join are plain equi-joins over the
     # checkpointed oriented edges, the per-node participation count
