@@ -466,6 +466,7 @@ _R15_DEFERRED: list = [
     "w_kcore_decomp",
     "w_link_cn",
     "w_lakehouse_bloomskip",
+    "w_lakehouse_optimize",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -220,6 +220,7 @@ class CommitLog:
         watermark: dict = {}
         schema: Dict[str, str] = {}
         bloom: Dict[str, dict] = {}
+        stats: Dict[str, dict] = {}
         start = 0
         if at_version is not None and at_version not in self.versions():
             raise ValueError(
@@ -241,6 +242,7 @@ class CommitLog:
             for n, t in snap.get("schema", []):
                 schema[n] = t
             bloom.update(snap.get("bloom", {}))
+            stats.update(snap.get("stats", {}))
             start = cp_version + 1
         versions = [v for v in self.versions() if v >= start]
         if at_version is not None:
@@ -268,16 +270,18 @@ class CommitLog:
                         f"{schema[n]!r} and {t!r}"
                     )
                 schema[n] = t
-            # bloom stats are keyed by the immutable DATA DIRECTORY
-            # (a replaced partition's old dir simply stops being
-            # referenced, so its stats age out with it)
+            # bloom/min-max stats are keyed by the immutable DATA
+            # DIRECTORY (a replaced partition's old dir simply stops
+            # being referenced, so its stats age out with it)
             bloom.update(c.get("bloom", {}))
+            stats.update(c.get("stats", {}))
         last = versions[-1] if versions else (start - 1 if cps else -1)
         live = set(parts.values())
         return {"version": last, "partitions": parts,
                 "watermark": watermark,
                 "schema": [[n, t] for n, t in schema.items()],
-                "bloom": {d: b for d, b in bloom.items() if d in live}}
+                "bloom": {d: b for d, b in bloom.items() if d in live},
+                "stats": {d: s for d, s in stats.items() if d in live}}
 
     def checkpoint(self) -> int:
         """Write a consolidated state snapshot at the current version so
@@ -295,7 +299,8 @@ class CommitLog:
         data = json.dumps(
             {"partitions": st["partitions"], "watermark": st["watermark"],
              "schema": st.get("schema", []),
-             "bloom": st.get("bloom", {})}
+             "bloom": st.get("bloom", {}),
+             "stats": st.get("stats", {})}
         ).encode()
         # A lost claim means a racing checkpoint wrote the same snapshot.
         self.claimer.claim(path, data)
@@ -331,6 +336,7 @@ class CommitLog:
         conflict_key_prefixes: tuple = (),
         schema: Optional[List[List[str]]] = None,
         bloom: Optional[dict] = None,
+        stats: Optional[dict] = None,
     ) -> int:
         """Optimistically publish ``replace`` (and optional key
         ``remove``s — the compaction form) on top of ``base_version``.
@@ -362,6 +368,8 @@ class CommitLog:
             payload["schema"] = schema
         if bloom:
             payload["bloom"] = bloom
+        if stats:
+            payload["stats"] = stats
         ours = set(replace) | set(remove or ())
         attempt = base_version + 1
         for _ in range(max_retries):
@@ -449,6 +457,7 @@ def commit_partitions(
     base_version: Optional[int] = None,
     conflict_key_prefixes: tuple = (),
     bloom_cols: Optional[List[str]] = None,
+    minmax_cols: Optional[List[str]] = None,
 ) -> int:
     """The general form of ``commit_rollup_days``: stage + publish one
     batch of {full partition key ("col=value") -> frame} swaps as ONE
@@ -464,13 +473,19 @@ def commit_partitions(
     hashes into _BLOOM_BITS bits), computed from the parquet files
     AS WRITTEN (never from the logical frame — the stats must
     describe the bytes a reader will scan).  ``read_table_lookup``
-    prunes directories with it; no false negatives by construction."""
+    prunes directories with it; no false negatives by construction.
+
+    ``minmax_cols``: likewise carry per-directory zone-map stats
+    {col: [min, max]} — the Iceberg manifest / parquet-footer shape
+    lifted to the partition grain; ``read_table_range`` prunes with
+    them.  Both stat kinds are computed from the files AS WRITTEN."""
     log = CommitLog(table)
     if base_version is None:
         base_version = log.state()["version"]
     replace = {}
     schema = None
     bloom: Dict[str, dict] = {}
+    stats: Dict[str, dict] = {}
     for key, frame in frames.items():
         d = stage_dir(table)
         frame.write.mode("overwrite").parquet(d)
@@ -481,11 +496,14 @@ def commit_partitions(
             schema = _schema_pairs(frame)
         if bloom_cols:
             bloom[d] = _bloom_stats(spark, d, bloom_cols)
+        if minmax_cols:
+            stats[d] = _minmax_stats(spark, d, minmax_cols)
     return log.commit(
         base_version, replace, watermark,
         conflict_key_prefixes=conflict_key_prefixes,
         schema=schema,
         bloom=bloom or None,
+        stats=stats or None,
     )
 
 
@@ -550,6 +568,163 @@ def _bloom_stats(spark: SparkSession, datadir: str, cols) -> dict:
         )
         out[c] = sorted(r.pos for r in rows)
     return out
+
+
+def _minmax_stats(spark: SparkSession, datadir: str, cols) -> dict:
+    """{col: [min, max]} zone-map stats for one written directory —
+    ONE aggregate over the files as written; an all-NULL column
+    records [None, None] (range pruning then conservatively keeps
+    the directory)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(datadir)
+    row = df.agg(*(
+        [F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)]
+        + [F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)]
+    )).first()
+    return {c: [row[f"mn_{i}"], row[f"mx_{i}"]] for i, c in enumerate(cols)}
+
+
+def read_table_range(
+    spark: SparkSession,
+    table: str,
+    predicates: Dict[str, tuple],
+    version: Optional[int] = None,
+) -> DataFrame:
+    """Range scan with zone-map pruning: ``predicates`` maps column →
+    (lo, hi) inclusive bounds; a directory is pruned when ANY
+    predicate's range is disjoint from its recorded [min, max].
+    Directories without stats for a predicated column are always
+    scanned (pruning is an optimization, never a correctness gate);
+    an all-NULL recorded range likewise keeps the directory.  The
+    returned frame is already filtered to every predicate, so the
+    result is identical with or without the pruning — only the scan
+    size changes."""
+    from pyspark.sql import functions as F
+
+    state = CommitLog(table).state(at_version=version)
+    mor = [k for k in state["partitions"] if k.startswith(MOR_PREFIXES)]
+    if mor:
+        raise ValueError(
+            f"lake table {table} has {len(mor)} live merge-on-read "
+            "key(s): the range scan would silently ignore them — "
+            "materialize with compact_mor first"
+        )
+    dirs = sorted(set(state["partitions"].values()))
+    if not dirs:
+        raise FileNotFoundError(f"lake table {table} has no committed data")
+    stats = state.get("stats", {})
+    keep = [d for d in dirs
+            if not _range_pruned(stats.get(d, {}), predicates)]
+    cond = None
+    for c, (lo, hi) in predicates.items():
+        p = F.col(c).between(lo, hi)
+        cond = p if cond is None else (cond & p)
+    if not keep:
+        return (
+            spark.read.option("mergeSchema", "true").parquet(*dirs)
+            .where(F.lit(False))
+        )
+    out = spark.read.option("mergeSchema", "true").parquet(*keep)
+    return out.where(cond) if cond is not None else out
+
+
+def _range_pruned(dir_stats: dict, predicates: Dict[str, tuple]) -> bool:
+    """True when ANY predicate's range is provably disjoint from the
+    directory's recorded [min, max] for that column."""
+    for c, (lo, hi) in predicates.items():
+        rng = dir_stats.get(c)
+        if not rng or rng[0] is None or rng[1] is None:
+            continue                       # no/NULL stats -> must scan
+        if rng[1] < lo or rng[0] > hi:
+            return True
+    return False
+
+
+def optimize_table(
+    spark: SparkSession,
+    table: str,
+    zvalue,
+    z_domain: int,
+    n_buckets: int,
+    minmax_cols: Optional[List[str]] = None,
+    bloom_cols: Optional[List[str]] = None,
+    base_version: Optional[int] = None,
+) -> int:
+    """OPTIMIZE: rewrite the whole table clustered by ``zvalue`` (a
+    Column expression — typically the Morton interleave of quantized
+    dimensions, which the caller spells so the clustering key stays
+    oracle-replayable) into ``n_buckets`` value-range buckets, as ONE
+    atomic commit that removes every old partition key and adds the
+    ``zbucket=<i>`` keys — the Delta ``OPTIMIZE ZORDER BY`` shape on
+    this commit log.
+
+    Bucketing is BY VALUE — bucket = (z · n_buckets) div (z_domain)
+    for z in [0, z_domain) — so the assignment is a pure map
+    (deterministic, no global sort, no sampled range boundaries; the
+    trade is data-dependent bucket sizes, bounded by the quantized
+    grid's uniformity).  Each bucket is additionally sorted by z
+    within its directory so parquet row-group stats tighten too.
+    Fresh zone-map/bloom stats are recorded for the new directories;
+    after the rewrite, range probes that previously touched every
+    partition prune to the buckets whose z-range overlaps — the
+    measurable win ``w_lakehouse_optimize`` oracles.
+
+    Concurrency: the commit removes ALL old keys, so any interleaved
+    commit touching any partition raises ConflictError (an OPTIMIZE
+    is a whole-table rewrite — the coarsest possible conflict
+    footprint, same as public Delta's OPTIMIZE vs concurrent writes
+    to the same files), and the MoR prefix guard rejects interleaved
+    deletion vectors / delta appends the rewrite would shed."""
+    from pyspark.sql import functions as F
+
+    log = CommitLog(table)
+    if base_version is None:
+        base_version = log.state()["version"]
+    cur = read_table(spark, table, version=base_version)
+    old_keys = sorted(CommitLog(table).state(at_version=base_version)
+                      ["partitions"])
+    z = zvalue.cast("long")
+    bucketed = cur.withColumn(
+        "_opt_z", z
+    ).withColumn(
+        "_opt_bucket",
+        (F.col("_opt_z") * n_buckets / z_domain).cast("long"),
+    )
+    frames = {}
+    for i in range(n_buckets):
+        f = (
+            bucketed.where(F.col("_opt_bucket") == i)
+            .sortWithinPartitions("_opt_z")
+            .drop("_opt_z", "_opt_bucket")
+        )
+        frames[f"zbucket={i}"] = f
+    # stage + stat exactly like commit_partitions, but with removes;
+    # an EMPTY bucket is not registered at all — its stats would be
+    # [None, None], which range pruning must treat as "always scan"
+    # (the conservative contract), silently un-pruning every probe
+    replace, bloom, stats = {}, {}, {}
+    schema = None
+    for key, frame in frames.items():
+        d = stage_dir(table)
+        frame.write.mode("overwrite").parquet(d)
+        if spark.read.parquet(d).limit(1).count() == 0:
+            continue
+        replace[key] = d
+        if schema is None:
+            schema = _schema_pairs(frame)
+        if bloom_cols:
+            bloom[d] = _bloom_stats(spark, d, bloom_cols)
+        if minmax_cols:
+            stats[d] = _minmax_stats(spark, d, minmax_cols)
+    return log.commit(
+        base_version, replace,
+        remove=old_keys,
+        conflict_key_prefixes=MOR_PREFIXES,
+        schema=schema,
+        bloom=bloom or None,
+        stats=stats or None,
+    )
 
 
 def read_table_lookup(

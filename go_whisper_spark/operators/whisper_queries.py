@@ -5144,6 +5144,181 @@ LEFT JOIN th t ON p.probe = t.probe
 """
 
 
+_OPT_BUCKETS = 16
+
+
+def w_lakehouse_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER as a lakehouse VERB, its file-skipping WIN
+    oracle-checked — the `w_zorder_skipping` math graduated from a
+    simulated ledger to real committed directories: events are
+    quantized onto the 32×32 (user, hour) grid, committed in ingest
+    order (event_id % 8 — every directory spans the full grid, the
+    unclustered shape every ingest produces), then `optimize_table`
+    rewrites the WHOLE table into 16 Morton-value buckets as ONE
+    atomic remove+add commit with fresh zone-map stats.
+
+    The ledger answers the three standard boxes (user-slice,
+    time-slice, 2-D) from METADATA alone, before and after: dirs_pre
+    counts directories admitted by the ingest layout's min/max stats
+    (all 8, every box — the point), dirs_post the optimized layout's
+    (the z-range overlap only), n_rows the true matches.  The oracle
+    re-derives all three from the raw table with the identical
+    quantization + Morton + value-bucket spelling — so the VERB's
+    measurable benefit, not just its content preservation, is
+    cross-engine-pinned.
+
+    Scale shape: bucket assignment is a pure map (bucket = z·K div
+    |domain| — no global sort, no sampled boundaries; data-dependent
+    sizes bounded by grid uniformity), one shuffle to cluster, one
+    sortWithinPartitions so parquet row-group stats tighten too;
+    stats/pruning are O(partitions) metadata.  OPTIMIZE's conflict
+    footprint is the whole table (removes every old key) — the
+    public Delta contract.  [pins lakehouse.py: optimize_table /
+    read_table_range / _range_pruned / commit stats payload]"""
+    import os
+    import tempfile
+
+    from go_whisper_spark.lakehouse import (
+        CommitLog,
+        _range_pruned,
+        commit_partitions,
+        optimize_table,
+        read_table,
+    )
+    from go_whisper_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr("unix_timestamp(ts) div 3600").alias("hr"),
+    )
+    b = ev.agg(
+        F.max("user_id").alias("mu"),
+        F.min("hr").alias("h0"),
+        F.max("hr").alias("mh"),
+    )
+    q = ev.crossJoin(F.broadcast(b)).select(
+        "event_id",
+        F.expr(f"(user_id * {_Z_G}) div (mu + 1)").alias("qx"),
+        F.expr(f"((hr - h0) * {_Z_G}) div (mh - h0 + 1)").alias("qt"),
+    ).localCheckpoint()
+    table = os.path.join(tempfile.mkdtemp(prefix="gws_lakeopt_"),
+                         "silver_events")
+    commit_partitions(
+        spark, table,
+        {f"d={k}": q.where(F.col("event_id") % 8 == k) for k in range(8)},
+        base_version=0,
+        minmax_cols=["qx", "qt"],
+    )
+
+    def admitted(st):
+        return {
+            name: sum(
+                1 for d in st["partitions"].values()
+                if not _range_pruned(
+                    st["stats"].get(d, {}),
+                    {"qx": (xl, xh), "qt": (tl, th)},
+                )
+            )
+            for name, xl, xh, tl, th in _Z_BOXES
+        }
+
+    pre = admitted(CommitLog(table).state())
+    optimize_table(
+        spark, table,
+        zvalue=F.expr(_z_interleave(spark=True)),
+        z_domain=_Z_G * _Z_G,
+        n_buckets=_OPT_BUCKETS,
+        minmax_cols=["qx", "qt"],
+    )
+    post = admitted(CommitLog(table).state())
+    meta = spark.createDataFrame(
+        [(name, pre[name], post[name]) for name, *_ in _Z_BOXES],
+        "box string, dirs_pre long, dirs_post long",
+    )
+    boxes = spark.createDataFrame(
+        list(_Z_BOXES),
+        "box string, x_lo long, x_hi long, t_lo long, t_hi long",
+    )
+    truth = (
+        read_table(spark, table)
+        .crossJoin(F.broadcast(boxes))
+        .where(F.col("qx").between(F.col("x_lo"), F.col("x_hi"))
+               & F.col("qt").between(F.col("t_lo"), F.col("t_hi")))
+        .groupBy("box")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    return meta.join(F.broadcast(truth), "box", "left").select(
+        "box", "dirs_pre", "dirs_post",
+        F.coalesce("n_rows", F.lit(0).cast("long")).alias("n_rows"),
+    )
+
+
+W_LAKEHOUSE_OPTIMIZE_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id,
+         (epoch_ns(ts) // 1000000000) // 3600 AS hr
+  FROM events
+),
+b AS (SELECT max(user_id) AS mu, min(hr) AS h0, max(hr) AS mh FROM ev),
+q AS (
+  SELECT event_id,
+         (user_id * {_Z_G}) // (mu + 1) AS qx,
+         ((hr - h0) * {_Z_G}) // (mh - h0 + 1) AS qt
+  FROM ev, b
+),
+pre_stats AS (
+  SELECT event_id % 8 AS d,
+         min(qx) AS x_min, max(qx) AS x_max,
+         min(qt) AS t_min, max(qt) AS t_max
+  FROM q GROUP BY 1
+),
+zb AS (
+  SELECT qx, qt,
+         (({_z_interleave(spark=False)}) * {_OPT_BUCKETS})
+           // {_Z_G * _Z_G} AS bkt
+  FROM q
+),
+post_stats AS (
+  SELECT bkt,
+         min(qx) AS x_min, max(qx) AS x_max,
+         min(qt) AS t_min, max(qt) AS t_max
+  FROM zb GROUP BY 1
+),
+boxes(box, x_lo, x_hi, t_lo, t_hi) AS (
+  VALUES {", ".join(f"('{n}', {xl}, {xh}, {tl}, {th})"
+                    for n, xl, xh, tl, th in _Z_BOXES)}
+),
+pre AS (
+  SELECT box, count(*) AS dirs_pre
+  FROM boxes b JOIN pre_stats s
+    ON NOT (s.x_max < b.x_lo OR s.x_min > b.x_hi
+            OR s.t_max < b.t_lo OR s.t_min > b.t_hi)
+  GROUP BY 1
+),
+post AS (
+  SELECT box, count(*) AS dirs_post
+  FROM boxes b JOIN post_stats s
+    ON NOT (s.x_max < b.x_lo OR s.x_min > b.x_hi
+            OR s.t_max < b.t_lo OR s.t_min > b.t_hi)
+  GROUP BY 1
+),
+truth AS (
+  SELECT box, count(*) AS n_rows
+  FROM boxes b JOIN q
+    ON qx BETWEEN b.x_lo AND b.x_hi AND qt BETWEEN b.t_lo AND b.t_hi
+  GROUP BY 1
+)
+SELECT b.box,
+       CAST(COALESCE(pre.dirs_pre, 0) AS BIGINT) AS dirs_pre,
+       CAST(COALESCE(post.dirs_post, 0) AS BIGINT) AS dirs_post,
+       CAST(COALESCE(truth.n_rows, 0) AS BIGINT) AS n_rows
+FROM boxes b
+LEFT JOIN pre ON b.box = pre.box
+LEFT JOIN post ON b.box = post.box
+LEFT JOIN truth ON b.box = truth.box
+"""
+
+
 W_LAKEHOUSE_MOVE_SQL = """
 WITH base AS (
   SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
@@ -5237,6 +5412,7 @@ QUERIES = {
     "w_lakehouse_evolve": w_lakehouse_evolve,
     "w_lakehouse_move": w_lakehouse_move,
     "w_lakehouse_bloomskip": w_lakehouse_bloomskip,
+    "w_lakehouse_optimize": w_lakehouse_optimize,
     "w_triangle_sample": w_triangle_sample,
     "w_pagerank_fixpoint": w_pagerank_fixpoint,
     "w_zorder_skipping": w_zorder_skipping,
@@ -5298,6 +5474,7 @@ ORACLES = {
     "w_lakehouse_evolve": W_LAKEHOUSE_EVOLVE_SQL,
     "w_lakehouse_move": W_LAKEHOUSE_MOVE_SQL,
     "w_lakehouse_bloomskip": W_LAKEHOUSE_BLOOMSKIP_SQL,
+    "w_lakehouse_optimize": W_LAKEHOUSE_OPTIMIZE_SQL,
     "w_triangle_sample": W_TRIANGLE_SAMPLE_SQL,
     "w_pagerank_fixpoint": _w_pagerank_fixpoint_sql(),
     "w_zorder_skipping": _w_zorder_skipping_sql(),

@@ -32,7 +32,8 @@ PTS_SCHEMA = "metric string, ts long, value double, write_seq long"
 def test_commit_log_replay(tmp_path):
     log = CommitLog(str(tmp_path / "t"))
     assert log.state() == {"version": -1, "partitions": {},
-                           "watermark": {}, "schema": [], "bloom": {}}
+                           "watermark": {}, "schema": [], "bloom": {},
+                           "stats": {}}
     v1 = log.commit(-1, {"day=2023-11-01": "/d/a"}, {"max_ts": 10})
     v2 = log.commit(v1, {"day=2023-11-02": "/d/b"}, {"max_ts": 20})
     v3 = log.commit(v2, {"day=2023-11-01": "/d/c"})  # supersedes /d/a
@@ -581,6 +582,85 @@ def test_bloom_follows_rewrites_and_checkpoints(spark, tmp_path):
     d0 = st2["partitions"]["b=0"]
     assert st2["bloom"][d0]["k"] == st["bloom"][st["partitions"]["b=0"]]["k"]
     assert read_table_lookup(spark, table, "k", [102]).count() == 1
+
+
+def test_optimize_table_content_stats_and_conflicts(spark, tmp_path):
+    """optimize_table rewrites the whole table into value-range
+    z-buckets in ONE atomic commit: content is preserved exactly,
+    zone-map stats tighten (range probes prune to the overlapping
+    buckets), empty buckets are never registered, and the conflict
+    footprint is the whole table (any racing commit on the base
+    snapshot conflicts; live MoR keys are rejected up front)."""
+    from go_whisper_spark.lakehouse import (
+        _range_pruned,
+        commit_partitions,
+        delete_rows_mor,
+        optimize_table,
+        read_table,
+        read_table_range,
+    )
+
+    table = str(tmp_path / "silver")
+    df = spark.createDataFrame(
+        [(i, i % 32, (i * 7) % 32) for i in range(256)],
+        "k long, x long, y long",
+    )
+    commit_partitions(
+        spark, table,
+        {f"d={p}": df.where(F.col("k") % 4 == p) for p in range(4)},
+        base_version=0, minmax_cols=["x"],
+    )
+    before = sorted((r.k, r.x, r.y) for r in read_table(spark, table).collect())
+    st0 = CommitLog(table).state()
+    # ingest layout: every dir spans the full x range -> nothing prunes
+    assert all(not _range_pruned(st0["stats"][d], {"x": (0, 7)})
+               for d in st0["partitions"].values())
+    snap = st0["version"]
+    optimize_table(spark, table, zvalue=F.col("x"), z_domain=32,
+                   n_buckets=4, minmax_cols=["x"])
+    # content preserved exactly
+    after = sorted((r.k, r.x, r.y) for r in read_table(spark, table).collect())
+    assert after == before
+    st1 = CommitLog(table).state()
+    assert set(st1["partitions"]) == {f"zbucket={i}" for i in range(4)}
+    # stats tightened: the x<=7 probe now admits exactly ONE bucket
+    admitted = [d for d in st1["partitions"].values()
+                if not _range_pruned(st1["stats"][d], {"x": (0, 7)})]
+    assert len(admitted) == 1
+    got = read_table_range(spark, table, {"x": (0, 7)}).collect()
+    assert sorted((r.k, r.x, r.y) for r in got) == [
+        t for t in before if t[1] <= 7]
+    # a racing commit against the pre-optimize snapshot conflicts
+    up = spark.createDataFrame([(999, 1, 1)], "k long, x long, y long")
+    with pytest.raises(ConflictError):
+        commit_partitions(spark, table, {"d=1": up}, base_version=snap)
+    # a live MoR key rejects the rewrite up front
+    delete_rows_mor(spark, table, up.select("k"))
+    with pytest.raises(ValueError, match="merge-on-read"):
+        optimize_table(spark, table, zvalue=F.col("x"), z_domain=32,
+                       n_buckets=4)
+
+
+def test_optimize_table_skips_empty_buckets(spark, tmp_path):
+    """A bucket whose value range holds no rows is not registered at
+    all (an empty parquet dir cannot be schema-inferred — the
+    compact_mor emptied-partition lesson applied up front)."""
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        optimize_table,
+        read_table,
+    )
+
+    table = str(tmp_path / "silver")
+    # x only in [0, 8): buckets 1..3 of 4 over domain 32 stay empty
+    df = spark.createDataFrame([(i, i % 8) for i in range(64)],
+                               "k long, x long")
+    commit_partitions(spark, table, {"d=0": df}, base_version=0)
+    optimize_table(spark, table, zvalue=F.col("x"), z_domain=32,
+                   n_buckets=4)
+    st = CommitLog(table).state()
+    assert set(st["partitions"]) == {"zbucket=0"}
+    assert read_table(spark, table).count() == 64
 
 
 def test_merge_table_moving_keys(spark, tmp_path):

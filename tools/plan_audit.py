@@ -1133,6 +1133,14 @@ CHECKS = {
         require=["PushedFilters", "BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # OPTIMIZE ledger read side: the truth pass is the 3-row box
+    # frame broadcast over the optimized scan (intended
+    # crossJoin-then-filter, the timeSlice discipline) + a
+    # map-combined count; the metadata sides are driver literals.
+    "w_lakehouse_optimize": dict(
+        require=["partial_count", "BroadcastNestedLoopJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
     # Triangle read side (post-checkpoint): the wedge self-join and
     # the closing membership join are plain equi-joins over the
     # checkpointed oriented edges, the per-node participation count
