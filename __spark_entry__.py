@@ -467,6 +467,7 @@ _R15_DEFERRED: list = [
     "w_link_cn",
     "w_lakehouse_bloomskip",
     "w_lakehouse_optimize",
+    "s_kmeans_train_k12",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -3623,6 +3623,22 @@ def _kmt_hash(r: int) -> int:
 
 
 def s_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means run TO CONVERGENCE at the family default k=8 — see
+    `_kmeans_train` (the k-parametric trainer; `s_kmeans_train_k12`
+    is the k=12 registration closing ROADMAP's "k > 8 left undone")."""
+    return _kmeans_train(spark, sf_dir, _KMT_K)
+
+
+def s_kmeans_train_k12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k=12 trainer — same loop, same oracle generator with k
+    threaded through (seed draws r=1..11 reuse the md5(r) literals;
+    measured fixpoints 7/17/26 at sf0.001/0.01/0.1 — more clusters,
+    shorter rounds-to-stability on this corpus, well inside the
+    48-round unroll)."""
+    return _kmeans_train(spark, sf_dir, 12)
+
+
+def _kmeans_train(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """k-means run TO CONVERGENCE — the ROADMAP's to-convergence
     trainer over the pinned Lloyd primitives, completing the
     convergence-loop family (PageRank fixpoint, truss peel): km++
@@ -3683,7 +3699,7 @@ def s_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy("vec_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for r in range(1, _KMT_K):
+    for r in range(1, k):
         tot = cur.agg(F.sum("md").alias("tot"))
         thr = tot.select((F.lit(_kmt_hash(r)) % F.col("tot")).alias("thr"))
         pick = (
@@ -3694,7 +3710,7 @@ def s_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(r).alias("cid"), F.col("w.qv").alias("cv"))
         ).localCheckpoint()
         seeds = seeds.unionByName(pick)
-        if r < _KMT_K - 1:
+        if r < k - 1:
             cur = cur.crossJoin(F.broadcast(pick.select("cv"))).select(
                 "vec_id", "qv",
                 F.least(F.col("md"), dist_to(F.col("cv"))).alias("md"),
@@ -7516,6 +7532,7 @@ QUERIES = {
     "t_lang_confusion": t_lang_confusion,
     "s_kmeans_step": s_kmeans_step,
     "s_kmeans_train": s_kmeans_train,
+    "s_kmeans_train_k12": s_kmeans_train_k12,
     "s_kmeans_2step": s_kmeans_2step,
     "s_kmeans_seed": s_kmeans_seed,
     "d_cdc_neardup": d_cdc_neardup,
@@ -7602,6 +7619,7 @@ ORACLES = {
     "t_lang_confusion": T_LANG_CONFUSION_SQL,
     "s_kmeans_step": S_KMEANS_STEP_SQL,
     "s_kmeans_train": _s_kmeans_train_sql(),
+    "s_kmeans_train_k12": _s_kmeans_train_sql(k=12),
     "s_kmeans_2step": S_KMEANS_2STEP_SQL,
     "s_kmeans_seed": S_KMEANS_SEED_SQL,
     "d_cdc_neardup": D_CDC_NEARDUP_SQL,
