@@ -876,6 +876,50 @@ def merge_table(
     )
 
 
+def read_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: Optional[int] = None,
+) -> DataFrame:
+    """Change-data-feed read: the row-level difference between two
+    committed versions, as the table's columns plus ``_change_type``
+    ('insert' | 'delete') — the PRODUCING half of the CDC story
+    (``st_lakehouse_merge`` / ``st_lakehouse_mor`` are the consuming
+    half).  An UPDATE surfaces as its delete+insert pair (bag-diff
+    semantics — without stored pre/post-image change files there is
+    nothing that ties the two rows together; public Delta makes the
+    same reduction when CDF was not enabled at write time).
+
+    Semantics are BAG-exact: deletes = old ⊖ new and inserts = new ⊖
+    old under ``exceptAll`` (multiset difference), so duplicate rows
+    diff by multiplicity, not presence.  Both snapshots are the
+    eager reads — a version range with live merge-on-read keys
+    raises (``read_table``'s contract); compact first.
+
+    Scale shape: this is the compute-from-data path — two snapshot
+    scans + one bag anti-diff each (Spark plans exceptAll as a
+    hash-based left-anti over counted rows); correct at any size but
+    priced by the table, not the change set.  The O(changes) path —
+    reading dv/delta metadata keys directly when every commit in the
+    range is merge-on-read — is the documented next step
+    (ROADMAP); at 100 TB you enable it exactly like Delta enables
+    CDF, by paying a little at write time to avoid the diff at read
+    time."""
+    from pyspark.sql import functions as F
+
+    if to_version is None:
+        to_version = CommitLog(table).state()["version"]
+    old = read_table(spark, table, version=from_version)
+    new = read_table(spark, table, version=to_version)
+    old, new = old.select(sorted(old.columns)), new.select(sorted(new.columns))
+    deletes = old.exceptAll(new).withColumn("_change_type",
+                                            F.lit("delete"))
+    inserts = new.exceptAll(old).withColumn("_change_type",
+                                            F.lit("insert"))
+    return deletes.unionByName(inserts)
+
+
 def vacuum(table: str, min_age_seconds: int = 3600) -> List[str]:
     """Remove staged data directories no commit references, the garbage
     left by conflicted/crashed writers and by superseded partitions.

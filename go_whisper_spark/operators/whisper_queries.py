@@ -5019,6 +5019,100 @@ def w_lakehouse_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, table).select("doc_id", "lang", "score", "b")
 
 
+def w_lakehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED under the driver's oracle — the PRODUCING
+    half of the CDC story (`st_lakehouse_merge`/`st_lakehouse_mor`
+    consume CDC; this derives it): `read_changes(v1, v3)` is the
+    bag-exact row diff between two committed snapshots, every column
+    plus `_change_type` ('insert' | 'delete'; an UPDATE is its
+    delete+insert pair — the public-Delta reduction when no change
+    files were stored at write time).
+
+    The table takes two merges on top of its base commit: v2 updates
+    every doc_id % 7 == 0 (score+1000, partition-stable) and inserts
+    the doc_id+10⁶ keys for % 13; v3 updates every doc_id % 11 == 0
+    with score·3 AND a MOVED partition (b' = (doc_id+1) % 4 — this
+    round's allow_moves path), overwriting v2's +1000 on the %77
+    overlap.  The diff is bag-exact via exceptAll, so the oracle —
+    the same two EXCEPT ALLs over the base and final expressions —
+    pins multiplicity, the overlap overwrite, and the moved keys'
+    old-partition deletes in one hash.
+
+    Scale shape: compute-from-data CDF — two snapshot scans + one
+    hash-based bag anti-diff each; correct at any size, priced by
+    the table not the change set (the O(changes) MoR-metadata fast
+    path is the documented ROADMAP step, Delta's enable-CDF trade).
+    [pins lakehouse.py: read_changes]"""
+    import os
+    import tempfile
+
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        merge_table,
+        read_changes,
+    )
+    from go_whisper_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("score"),
+        (F.col("doc_id") % 4).alias("b"),
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="gws_lakecdf_"),
+                         "silver_docs")
+    commit_partitions(
+        spark, table,
+        {f"b={k}": base.where(F.col("b") == k) for k in range(4)},
+        base_version=0,
+    )
+    up2 = base.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "lang", (F.col("score") + 1000).alias("score"), "b",
+    ).unionByName(
+        base.where(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "lang",
+            (F.col("score") * 2).alias("score"),
+            ((F.col("doc_id") + 1000000) % 4).alias("b"),
+        )
+    )
+    merge_table(spark, table, up2, key_cols=["doc_id"], part_col="b")
+    up3 = base.where(F.col("doc_id") % 11 == 0).select(
+        "doc_id", "lang",
+        (F.col("score") * 3).alias("score"),
+        ((F.col("doc_id") + 1) % 4).alias("b"),
+    )
+    merge_table(spark, table, up3, key_cols=["doc_id"], part_col="b")
+    return read_changes(spark, table, from_version=1, to_version=3)
+
+
+W_LAKEHOUSE_CDF_SQL = """
+WITH base AS (
+  SELECT doc_id % 4 AS b, doc_id, lang, CAST(n_chars AS BIGINT) AS score
+  FROM documents
+),
+v3 AS (
+  SELECT b, doc_id, lang, score FROM base
+  WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+  UNION ALL
+  SELECT b, doc_id, lang, score + 1000 FROM base
+  WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+  UNION ALL
+  SELECT (doc_id + 1) % 4, doc_id, lang, score * 3 FROM base
+  WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT (doc_id + 1000000) % 4, doc_id + 1000000, lang, score * 2
+  FROM base WHERE doc_id % 13 = 0
+)
+SELECT *, 'delete' AS _change_type
+FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM v3)
+UNION ALL
+SELECT *, 'insert' AS _change_type
+FROM (SELECT * FROM v3 EXCEPT ALL SELECT * FROM base)
+"""
+
+
 _BLOOMSKIP_PROBES = tuple(37 * i for i in range(8)) + tuple(
     10 ** 9 + i for i in range(4)
 )
@@ -5413,6 +5507,7 @@ QUERIES = {
     "w_lakehouse_move": w_lakehouse_move,
     "w_lakehouse_bloomskip": w_lakehouse_bloomskip,
     "w_lakehouse_optimize": w_lakehouse_optimize,
+    "w_lakehouse_cdf": w_lakehouse_cdf,
     "w_triangle_sample": w_triangle_sample,
     "w_pagerank_fixpoint": w_pagerank_fixpoint,
     "w_zorder_skipping": w_zorder_skipping,
@@ -5475,6 +5570,7 @@ ORACLES = {
     "w_lakehouse_move": W_LAKEHOUSE_MOVE_SQL,
     "w_lakehouse_bloomskip": W_LAKEHOUSE_BLOOMSKIP_SQL,
     "w_lakehouse_optimize": W_LAKEHOUSE_OPTIMIZE_SQL,
+    "w_lakehouse_cdf": W_LAKEHOUSE_CDF_SQL,
     "w_triangle_sample": W_TRIANGLE_SAMPLE_SQL,
     "w_pagerank_fixpoint": _w_pagerank_fixpoint_sql(),
     "w_zorder_skipping": _w_zorder_skipping_sql(),

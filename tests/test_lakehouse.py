@@ -584,6 +584,44 @@ def test_bloom_follows_rewrites_and_checkpoints(spark, tmp_path):
     assert read_table_lookup(spark, table, "k", [102]).count() == 1
 
 
+def test_read_changes_bag_semantics(spark, tmp_path):
+    """read_changes is the BAG diff between two snapshots: an update
+    is its delete+insert pair, duplicate rows diff by multiplicity,
+    an untouched version range yields zero rows, and a moved key
+    shows its old-partition delete."""
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        merge_table,
+        read_changes,
+    )
+
+    table = str(tmp_path / "silver")
+    # k=5 committed TWICE (multiplicity 2) in b=1
+    rows = [(i, i * 10, i % 2) for i in range(10)] + [(5, 50, 1)]
+    df = spark.createDataFrame(rows, "k long, v long, b long")
+    commit_partitions(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in (0, 1)},
+        base_version=0,
+    )
+    # update k=2 (same partition), MOVE k=3 to b=0, dedup k=5 to one copy
+    up = spark.createDataFrame(
+        [(2, 999, 0), (3, 333, 0), (5, 50, 1)], "k long, v long, b long"
+    )
+    merge_table(spark, table, up, key_cols=["k"], part_col="b")
+    ch = read_changes(spark, table, from_version=1, to_version=2).collect()
+    got = sorted((r._change_type, r.k, r.v, r.b) for r in ch)
+    assert got == [
+        ("delete", 2, 20, 0),     # update pre-image
+        ("delete", 3, 30, 1),     # moved key's old-partition copy
+        ("delete", 5, 50, 1),     # ONE of the two duplicates (bag!)
+        ("insert", 2, 999, 0),
+        ("insert", 3, 333, 0),
+    ]
+    # an empty range is an empty feed
+    assert read_changes(spark, table, 2, 2).count() == 0
+
+
 def test_optimize_table_content_stats_and_conflicts(spark, tmp_path):
     """optimize_table rewrites the whole table into value-range
     z-buckets in ONE atomic commit: content is preserved exactly,

@@ -1133,6 +1133,13 @@ CHECKS = {
         require=["PushedFilters", "BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # CDF bag diff: two snapshot scans + Spark's exceptAll lowering
+    # (count-annotated aggregate + replicate) — equi-plans only, no
+    # cartesian/nested-loop anywhere.
+    "w_lakehouse_cdf": dict(
+        require=["HashAggregate"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # OPTIMIZE ledger read side: the truth pass is the 3-row box
     # frame broadcast over the optimized scan (intended
     # crossJoin-then-filter, the timeSlice discipline) + a
