@@ -469,6 +469,7 @@ _R15_DEFERRED: list = [
     "w_lakehouse_optimize",
     "s_kmeans_train_k12",
     "w_lakehouse_cdf",
+    "w_lakehouse_cdf_mor",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

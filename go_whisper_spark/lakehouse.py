@@ -920,6 +920,81 @@ def read_changes(
     return deletes.unionByName(inserts)
 
 
+def read_changes_mor(
+    spark: SparkSession,
+    table: str,
+    key_cols,
+    from_version: int,
+    to_version: Optional[int] = None,
+) -> DataFrame:
+    """The O(changes) change-data-feed fast path: when every commit in
+    (from_version, to_version] is equality merge-on-read (dv/delta
+    keys only), the CHANGED KEY SET is exactly the union of the
+    range's deletion-vector keys and delta rows' keys — read from the
+    METADATA dirs, never from the table.  The feed is then the bag
+    diff of the two endpoint snapshots RESTRICTED to those keys (a
+    key untouched by every commit in the range is identical at both
+    endpoints by construction), so the exceptAll runs over O(changed
+    rows) and the endpoint scans carry a key semi-join the source can
+    prune on (bloom/zone-map skipping compose here).  This is the
+    read side of Delta's enable-CDF trade: the write already paid
+    for the metadata; the read never diffs the table.
+
+    Interactions inside the range need no special cases — the diff
+    of ENDPOINT snapshots absorbs them: upsert-then-delete nets to
+    the pre-image delete, delete-then-re-add nets to the value diff,
+    and a value-identical re-upsert nets to NOTHING (bag
+    cancellation; all pytest-pinned).
+
+    Raises when the range contains a non-MoR commit (rewrites touch
+    unnamed rows — use ``read_changes``) or a positional-delete
+    commit (pdv changes are named by position, not key; the
+    equality-key argument does not cover them)."""
+    from pyspark.sql import functions as F
+
+    log = CommitLog(table)
+    if to_version is None:
+        to_version = log.state()["version"]
+    keys = list(key_cols)
+    change_dirs = []
+    for v in log.versions():
+        if not (from_version < v <= to_version):
+            continue
+        c = log.read_commit(v)
+        bad = [k for k in list(c.get("replace", {})) + list(c.get("remove", []))
+               if not k.startswith((DV_PREFIX, DELTA_PREFIX))]
+        if bad or c.get("remove"):
+            raise ValueError(
+                f"commit {v} of {table} touches non-equality-MoR keys "
+                f"{sorted(bad) or c.get('remove')}: the O(changes) fast "
+                "path only covers dv/delta ranges — use read_changes"
+            )
+        change_dirs.extend(c["replace"].values())
+    if not change_dirs:
+        # empty range -> empty feed, in the table's schema
+        base = read_table_mor(spark, table, keys, version=to_version)
+        return (
+            base.select(sorted(base.columns))
+            .withColumn("_change_type", F.lit("insert"))
+            .where(F.lit(False))
+        )
+    ck = None
+    for d in change_dirs:
+        f = spark.read.parquet(d).select(*keys)
+        ck = f if ck is None else ck.unionByName(f)
+    ck = ck.distinct()
+    old = read_table_mor(spark, table, keys, version=from_version)
+    new = read_table_mor(spark, table, keys, version=to_version)
+    old = old.join(F.broadcast(ck), keys, "left_semi")
+    new = new.join(F.broadcast(ck), keys, "left_semi")
+    old, new = old.select(sorted(old.columns)), new.select(sorted(new.columns))
+    deletes = old.exceptAll(new).withColumn("_change_type",
+                                            F.lit("delete"))
+    inserts = new.exceptAll(old).withColumn("_change_type",
+                                            F.lit("insert"))
+    return deletes.unionByName(inserts)
+
+
 def vacuum(table: str, min_age_seconds: int = 3600) -> List[str]:
     """Remove staged data directories no commit references, the garbage
     left by conflicted/crashed writers and by superseded partitions.

@@ -5113,6 +5113,85 @@ FROM (SELECT * FROM v3 EXCEPT ALL SELECT * FROM base)
 """
 
 
+def w_lakehouse_cdf_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(changes) CDF fast path under the driver's oracle — the
+    ROADMAP step named the same session `w_lakehouse_cdf` landed:
+    when every commit in the range is equality merge-on-read, the
+    changed-key set comes from the dv/delta METADATA dirs and the
+    feed diffs only those keys' endpoint rows — the table is never
+    diffed (Delta's enable-CDF read side).
+
+    Ops on the silver documents table: v2 = MoR upsert (score+1000
+    for doc_id % 7), v3 = MoR delete (doc_id % 5) — so the %35
+    overlap exercises upsert-then-delete netting to the pre-image
+    delete, with zero base rewrites anywhere.  `read_changes_mor(v1,
+    v3)` must equal the full bag diff the oracle computes from the
+    base and final expressions: deletes = original rows of (%7 ∪ %5)
+    keys minus the survivors, inserts = the %7-not-%5 post-images.
+
+    Scale shape: changed keys = O(changes) metadata reads; endpoint
+    scans carry a broadcast key semi-join (bloom/zone-map prunable);
+    the bag diff runs over O(changed rows).  [pins lakehouse.py:
+    read_changes_mor]"""
+    import os
+    import tempfile
+
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        delete_rows_mor,
+        read_changes_mor,
+        upsert_rows_mor,
+    )
+    from go_whisper_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("score"),
+        (F.col("doc_id") % 4).alias("b"),
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="gws_lakecdfm_"),
+                         "silver_docs")
+    commit_partitions(
+        spark, table,
+        {f"b={k}": base.where(F.col("b") == k) for k in range(4)},
+        base_version=0,
+    )
+    upsert_rows_mor(
+        spark, table,
+        base.where(F.col("doc_id") % 7 == 0).select(
+            "doc_id", "lang", (F.col("score") + 1000).alias("score"), "b",
+        ),
+        key_cols=["doc_id"],
+    )
+    delete_rows_mor(
+        spark, table, base.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    )
+    return read_changes_mor(spark, table, key_cols=["doc_id"],
+                            from_version=1, to_version=3)
+
+
+W_LAKEHOUSE_CDF_MOR_SQL = """
+WITH base AS (
+  SELECT doc_id % 4 AS b, doc_id, lang, CAST(n_chars AS BIGINT) AS score
+  FROM documents
+),
+v3 AS (
+  SELECT b, doc_id, lang, score FROM base
+  WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0
+  UNION ALL
+  SELECT b, doc_id, lang, score + 1000 FROM base
+  WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
+)
+SELECT *, 'delete' AS _change_type
+FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM v3)
+UNION ALL
+SELECT *, 'insert' AS _change_type
+FROM (SELECT * FROM v3 EXCEPT ALL SELECT * FROM base)
+"""
+
+
 _BLOOMSKIP_PROBES = tuple(37 * i for i in range(8)) + tuple(
     10 ** 9 + i for i in range(4)
 )
@@ -5508,6 +5587,7 @@ QUERIES = {
     "w_lakehouse_bloomskip": w_lakehouse_bloomskip,
     "w_lakehouse_optimize": w_lakehouse_optimize,
     "w_lakehouse_cdf": w_lakehouse_cdf,
+    "w_lakehouse_cdf_mor": w_lakehouse_cdf_mor,
     "w_triangle_sample": w_triangle_sample,
     "w_pagerank_fixpoint": w_pagerank_fixpoint,
     "w_zorder_skipping": w_zorder_skipping,
@@ -5571,6 +5651,7 @@ ORACLES = {
     "w_lakehouse_bloomskip": W_LAKEHOUSE_BLOOMSKIP_SQL,
     "w_lakehouse_optimize": W_LAKEHOUSE_OPTIMIZE_SQL,
     "w_lakehouse_cdf": W_LAKEHOUSE_CDF_SQL,
+    "w_lakehouse_cdf_mor": W_LAKEHOUSE_CDF_MOR_SQL,
     "w_triangle_sample": W_TRIANGLE_SAMPLE_SQL,
     "w_pagerank_fixpoint": _w_pagerank_fixpoint_sql(),
     "w_zorder_skipping": _w_zorder_skipping_sql(),

@@ -622,6 +622,64 @@ def test_read_changes_bag_semantics(spark, tmp_path):
     assert read_changes(spark, table, 2, 2).count() == 0
 
 
+def test_read_changes_mor_fast_path_semantics(spark, tmp_path):
+    """The O(changes) CDF fast path: range interactions are absorbed
+    by the endpoint diff — delete-then-re-add nets to the value
+    diff, a value-IDENTICAL re-upsert nets to NOTHING (bag
+    cancellation), and non-MoR / positional commits in the range
+    raise toward read_changes."""
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        commit_partitions_pos,
+        delete_rows_mor,
+        delete_rows_pos,
+        read_changes_mor,
+        read_table_pos,
+        upsert_rows_mor,
+    )
+
+    table = str(tmp_path / "silver")
+    df = spark.createDataFrame(
+        [(i, i * 10, i % 2) for i in range(8)], "k long, v long, b long"
+    )
+    commit_partitions(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in (0, 1)},
+        base_version=0,
+    )
+    # v2: delete k=2 and k=4; v3: re-add k=2 with a NEW value and k=4
+    # with its IDENTICAL old value
+    delete_rows_mor(spark, table,
+                    spark.createDataFrame([(2,), (4,)], "k long"))
+    upsert_rows_mor(
+        spark, table,
+        spark.createDataFrame([(2, 999, 0), (4, 40, 0)],
+                              "k long, v long, b long"),
+        key_cols=["k"],
+    )
+    ch = read_changes_mor(spark, table, ["k"], from_version=1,
+                          to_version=3).collect()
+    got = sorted((r._change_type, r.k, r.v) for r in ch)
+    # k=4 cancelled entirely; k=2 is the clean value diff
+    assert got == [("delete", 2, 20), ("insert", 2, 999)]
+    # empty range -> empty feed
+    assert read_changes_mor(spark, table, ["k"], 3, 3).count() == 0
+    # a rewrite commit in the range rejects the fast path
+    up = spark.createDataFrame([(99, 1, 1)], "k long, v long, b long")
+    commit_partitions(spark, table, {"b=1": up.where("k < 0")})
+    with pytest.raises(ValueError, match="read_changes"):
+        read_changes_mor(spark, table, ["k"], 1, 4)
+    # a positional-delete commit in the range rejects it too
+    table2 = str(tmp_path / "silver_pos")
+    commit_partitions_pos(spark, table2, {"b=0": df.where("b = 0")},
+                          base_version=0)
+    addr = (read_table_pos(spark, table2).where("k = 0")
+            .select("_dir", "_pos"))
+    delete_rows_pos(spark, table2, addr)
+    with pytest.raises(ValueError, match="read_changes"):
+        read_changes_mor(spark, table2, ["k"], 1, 2)
+
+
 def test_optimize_table_content_stats_and_conflicts(spark, tmp_path):
     """optimize_table rewrites the whole table into value-range
     z-buckets in ONE atomic commit: content is preserved exactly,

@@ -1140,6 +1140,14 @@ CHECKS = {
         require=["HashAggregate"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # CDF O(changes) fast path: the endpoint scans carry the
+    # broadcast changed-key semi-join (never a shuffle join); the
+    # diff is the same exceptAll lowering as w_lakehouse_cdf.
+    "w_lakehouse_cdf_mor": dict(
+        require=["BroadcastHashJoin LeftSemi", "HashAggregate"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin"],
+    ),
     # OPTIMIZE ledger read side: the truth pass is the 3-row box
     # frame broadcast over the optimized scan (intended
     # crossJoin-then-filter, the timeSlice discipline) + a
