@@ -550,16 +550,34 @@ def _bloom_positions_py(value) -> set:
     }
 
 
+_BLOOM_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+
+
 def _bloom_stats(spark: SparkSession, datadir: str, cols) -> dict:
     """{col: sorted occupied bit positions} for one written directory.
     One distinct-aggregate per column over the files as written; the
     result is ≤ _BLOOM_BITS ints per column — commit-payload-sized at
-    any row count (the point of a Bloom filter)."""
+    any row count (the point of a Bloom filter).
+
+    Column types are gated to integers and strings (REVIEW r15): the
+    filter hashes Spark's CAST(col AS STRING) while the probe hashes
+    Python's str(value), and only int/string render identically in
+    both — a boolean ('true' vs 'True') or double ('1.0E8' vs
+    '100000000.0') would produce FALSE NEGATIVES, silently violating
+    the lookup's core law.  Fail loud at build time instead."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(datadir)
+    types = dict(df.dtypes)
     out = {}
     for c in cols:
+        if types.get(c) not in _BLOOM_TYPES:
+            raise ValueError(
+                f"bloom_cols column {c!r} has type {types.get(c)!r}: "
+                "bloom filters support only integer/string columns "
+                "(the Spark-side CAST AS STRING and the Python-side "
+                "str(value) probe must render identically)"
+            )
         rows = (
             df.select(F.explode(F.array(*_bloom_position_cols(c)))
                       .alias("pos"))
@@ -570,14 +588,33 @@ def _bloom_stats(spark: SparkSession, datadir: str, cols) -> dict:
     return out
 
 
+_MINMAX_TYPES = ("tinyint", "smallint", "int", "bigint",
+                 "float", "double", "string", "boolean")
+
+
 def _minmax_stats(spark: SparkSession, datadir: str, cols) -> dict:
     """{col: [min, max]} zone-map stats for one written directory —
     ONE aggregate over the files as written; an all-NULL column
     records [None, None] (range pruning then conservatively keeps
-    the directory)."""
+    the directory).
+
+    Column types are gated to the JSON-native kinds (REVIEW r15): a
+    timestamp/date/decimal min would crash json.dumps inside
+    CommitLog.try_commit — AFTER every partition was already staged —
+    with an opaque serialization error; fail loud here instead (cast
+    such columns to epoch longs / strings before committing)."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(datadir)
+    types = dict(df.dtypes)
+    bad = [c for c in cols if types.get(c) not in _MINMAX_TYPES]
+    if bad:
+        raise ValueError(
+            f"minmax_cols columns {bad} have non-JSON-native types "
+            f"({[types.get(c) for c in bad]}): zone-map stats support "
+            "int/float/string/boolean — cast timestamps/dates/decimals "
+            "before committing"
+        )
     row = df.agg(*(
         [F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)]
         + [F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)]
@@ -602,17 +639,7 @@ def read_table_range(
     size changes."""
     from pyspark.sql import functions as F
 
-    state = CommitLog(table).state(at_version=version)
-    mor = [k for k in state["partitions"] if k.startswith(MOR_PREFIXES)]
-    if mor:
-        raise ValueError(
-            f"lake table {table} has {len(mor)} live merge-on-read "
-            "key(s): the range scan would silently ignore them — "
-            "materialize with compact_mor first"
-        )
-    dirs = sorted(set(state["partitions"].values()))
-    if not dirs:
-        raise FileNotFoundError(f"lake table {table} has no committed data")
+    state, dirs = _resolve_eager(table, version)
     stats = state.get("stats", {})
     keep = [d for d in dirs
             if not _range_pruned(stats.get(d, {}), predicates)]
@@ -685,11 +712,29 @@ def optimize_table(
     old_keys = sorted(CommitLog(table).state(at_version=base_version)
                       ["partitions"])
     z = zvalue.cast("long")
-    bucketed = cur.withColumn(
-        "_opt_z", z
-    ).withColumn(
+    bucketed = cur.withColumn("_opt_z", z)
+    # REVIEW r15: a NULL z (NULL dimension) or a z outside
+    # [0, z_domain) would match NO bucket frame while the commit still
+    # removes every old key — the row would silently vanish from a
+    # verb whose whole contract is content preservation.  Fail loud.
+    n_bad = bucketed.where(
+        F.col("_opt_z").isNull()
+        | (F.col("_opt_z") < 0)
+        | (F.col("_opt_z") >= z_domain)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"optimize_table: {n_bad} rows have a NULL or out-of-"
+            f"[0, {z_domain}) z-value — they would be dropped by the "
+            "remove-all/add-buckets commit; fix the zvalue expression "
+            "(coalesce NULL dimensions, widen z_domain)"
+        )
+    # integer div, not double `/` (REVIEW r15): past 2^53 the IEEE
+    # quotient rounds across bucket boundaries and diverges from the
+    # oracle's exact `//`
+    bucketed = bucketed.withColumn(
         "_opt_bucket",
-        (F.col("_opt_z") * n_buckets / z_domain).cast("long"),
+        F.expr(f"(_opt_z * {int(n_buckets)}) div {int(z_domain)}"),
     )
     frames = {}
     for i in range(n_buckets):
@@ -747,18 +792,11 @@ def read_table_lookup(
     The returned frame is already filtered to ``col IN values``."""
     from pyspark.sql import functions as F
 
-    state = CommitLog(table).state(at_version=version)
-    mor = [k for k in state["partitions"] if k.startswith(MOR_PREFIXES)]
-    if mor:
-        raise ValueError(
-            f"lake table {table} has {len(mor)} live merge-on-read "
-            "key(s): the bloom lookup would silently ignore them — "
-            "materialize with compact_mor first"
-        )
-    dirs = sorted(set(state["partitions"].values()))
-    if not dirs:
-        raise FileNotFoundError(f"lake table {table} has no committed data")
+    state, dirs = _resolve_eager(table, version)
     bloom = state.get("bloom", {})
+    values = list(values)   # REVIEW r15: a generator would be
+    #                         exhausted by the probe pass below, then
+    #                         isin([]) would silently return nothing
     probes = [_bloom_positions_py(v) for v in values]
     keep = []
     for d in dirs:
@@ -912,6 +950,11 @@ def read_changes(
         to_version = CommitLog(table).state()["version"]
     old = read_table(spark, table, version=from_version)
     new = read_table(spark, table, version=to_version)
+    # REVIEW r15: a pos-stamped table carries the internal _pos
+    # ordinal in its files — an ADDRESS, not data.  Left in the bag
+    # diff it would surface value-identical rewrites as changes and
+    # leak into the feed schema.
+    old, new = old.drop(POS_COL), new.drop(POS_COL)
     old, new = old.select(sorted(old.columns)), new.select(sorted(new.columns))
     deletes = old.exceptAll(new).withColumn("_change_type",
                                             F.lit("delete"))
@@ -972,7 +1015,8 @@ def read_changes_mor(
         change_dirs.extend(c["replace"].values())
     if not change_dirs:
         # empty range -> empty feed, in the table's schema
-        base = read_table_mor(spark, table, keys, version=to_version)
+        base = read_table_mor(spark, table, keys,
+                              version=to_version).drop(POS_COL)
         return (
             base.select(sorted(base.columns))
             .withColumn("_change_type", F.lit("insert"))
@@ -987,6 +1031,10 @@ def read_changes_mor(
     new = read_table_mor(spark, table, keys, version=to_version)
     old = old.join(F.broadcast(ck), keys, "left_semi")
     new = new.join(F.broadcast(ck), keys, "left_semi")
+    # the internal _pos ordinal is an address, not data (see
+    # read_changes) — upsert_rows_mor re-stamps it, so leaving it in
+    # would break the value-identical-re-upsert cancellation
+    old, new = old.drop(POS_COL), new.drop(POS_COL)
     old, new = old.select(sorted(old.columns)), new.select(sorted(new.columns))
     deletes = old.exceptAll(new).withColumn("_change_type",
                                             F.lit("delete"))
@@ -1038,6 +1086,18 @@ def read_table(
     a clear error naming the trade, not a mid-scan path error from
     the parquet reader (tested by
     test_time_travel_after_vacuum_fails_cleanly)."""
+    _, dirs = _resolve_eager(table, version)
+    return spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+
+def _resolve_eager(table: str, version: Optional[int]):
+    """The shared eager-read preamble (read_table / read_table_lookup
+    / read_table_range — REVIEW r15: was triplicated, and the two
+    stat readers had dropped the vacuum-reclaimed up-front check):
+    resolve the snapshot, refuse live merge-on-read keys, refuse an
+    empty table, and fail a pinned read cleanly when vacuum already
+    reclaimed a referenced directory.  Returns (state, sorted live
+    dirs)."""
     state = CommitLog(table).state(at_version=version)
     mor = [k for k in state["partitions"]
            if k.startswith(MOR_PREFIXES)]
@@ -1060,7 +1120,7 @@ def read_table(
                 f"(e.g. {gone[0]}) were reclaimed by vacuum — pinned reads "
                 "are only guaranteed inside the vacuum retention window"
             )
-    return spark.read.option("mergeSchema", "true").parquet(*dirs)
+    return state, dirs
 
 
 # -------------------------------------------------------- merge-on-read

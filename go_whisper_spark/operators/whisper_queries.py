@@ -4738,7 +4738,11 @@ def w_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("doc_id") + 1000000) % 4).alias("b"),
         )
     )
-    merge_table(spark, table, updates, key_cols=["doc_id"], part_col="b")
+    # b is a pure function of doc_id here — partition-stable keys, so
+    # the fast path that skips allow_moves' snapshot probe is correct
+    # (and keeps this benchmark-era query's original plan)
+    merge_table(spark, table, updates, key_cols=["doc_id"], part_col="b",
+                allow_moves=False)
     return read_table(spark, table).select("doc_id", "lang", "score", "src", "b")
 
 

@@ -584,6 +584,48 @@ def test_bloom_follows_rewrites_and_checkpoints(spark, tmp_path):
     assert read_table_lookup(spark, table, "k", [102]).count() == 1
 
 
+def test_stat_type_gates_and_optimize_null_guard(spark, tmp_path):
+    """REVIEW r15 regressions: bloom stats reject non-int/string
+    columns (Spark's CAST AS STRING and Python's str() render
+    booleans/doubles differently — silent false negatives
+    otherwise); zone-map stats reject non-JSON-native columns (a
+    timestamp min would crash json.dumps after staging); and
+    optimize_table refuses NULL / out-of-domain z-values instead of
+    silently dropping those rows; read_table_lookup accepts a
+    generator (it used to exhaust it and silently return nothing)."""
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        optimize_table,
+        read_table_lookup,
+    )
+
+    table = str(tmp_path / "silver")
+    df = spark.createDataFrame(
+        [(i, float(i), i % 2 == 0, i % 2) for i in range(8)],
+        "k long, x double, f boolean, b long",
+    )
+    with pytest.raises(ValueError, match="integer/string"):
+        commit_partitions(spark, table + "_a", {"b=0": df},
+                          base_version=0, bloom_cols=["f"])
+    ts = df.withColumn("t", F.current_timestamp())
+    with pytest.raises(ValueError, match="JSON-native"):
+        commit_partitions(spark, table + "_b", {"b=0": ts},
+                          base_version=0, minmax_cols=["t"])
+    commit_partitions(spark, table, {"b=0": df}, base_version=0,
+                      bloom_cols=["k"])
+    # generator argument returns the true rows (not silently empty)
+    got = read_table_lookup(spark, table, "k", (v for v in [3, 5]))
+    assert sorted(r.k for r in got.collect()) == [3, 5]
+    # NULL z refuses the rewrite (k==0 -> NULL via nullif)
+    with pytest.raises(ValueError, match="NULL or out-of-"):
+        optimize_table(spark, table, zvalue=F.expr("nullif(k, 0)"),
+                       z_domain=8, n_buckets=2)
+    # out-of-domain z refuses too
+    with pytest.raises(ValueError, match="NULL or out-of-"):
+        optimize_table(spark, table, zvalue=F.col("k"), z_domain=4,
+                       n_buckets=2)
+
+
 def test_read_changes_bag_semantics(spark, tmp_path):
     """read_changes is the BAG diff between two snapshots: an update
     is its delete+insert pair, duplicate rows diff by multiplicity,
