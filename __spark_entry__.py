@@ -470,6 +470,7 @@ _R15_DEFERRED: list = [
     "s_kmeans_train_k12",
     "w_lakehouse_cdf",
     "w_lakehouse_cdf_mor",
+    "st_lakehouse_cdf",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -840,6 +840,117 @@ def st_lakehouse_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_lakehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streamed CDC PRODUCER closing the loop: a change stream
+    lands micro-batch by micro-batch as metadata-only MoR commits
+    (the `st_lakehouse_mor` sink), and the RESULT is the CHANGE DATA
+    FEED derived afterwards by `read_changes_mor(v1, head)` — the
+    O(changes) fast path reading changed keys from the dv/delta
+    metadata the stream itself produced.  Produce and derive, both
+    streaming-native: what `st_lakehouse_merge`/`st_lakehouse_mor`
+    consume is now manufactured AND re-extracted under one oracle.
+
+    The pin: the FEED is invariant to micro-batch boundaries.  The
+    change set is key-disjoint (delete %5 ∪ upsert %7-not-%5, each
+    key touched once), so however the arrival passes slice it into
+    dv/delta commits, the endpoint snapshots — and therefore the bag
+    diff — are fixed; the oracle computes the feed from the base and
+    final expressions alone, no streaming in sight.
+
+    Scale shape: per batch O(changed keys) metadata writes; the feed
+    read is the audited `w_lakehouse_cdf_mor` plan (changed keys
+    from metadata, broadcast semi-join endpoint diff).  [pins
+    lakehouse.py: read_changes_mor over streamed commits]"""
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        delete_rows_mor,
+        read_changes_mor,
+        upsert_rows_mor,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("score"),
+        (F.col("doc_id") % 4).alias("b"),
+    )
+    table = os.path.join(_tmpdir(), "silver_docs_cdf")
+    commit_partitions(
+        spark, table,
+        {f"b={k}": base.where(F.col("b") == k) for k in range(4)},
+        base_version=0,
+    )
+    dels = base.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", "score", "b",
+        F.lit("d").alias("op"),
+        (F.col("doc_id") % 3).alias("arrive"),
+    )
+    ups = base.where(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0)
+    ).select(
+        "doc_id", "lang",
+        (F.col("score") + 1000).alias("score"),
+        "b",
+        F.lit("u").alias("op"),
+        (F.col("doc_id") % 3).alias("arrive"),
+    )
+    marked = dels.unionByName(ups)
+    feed = marked.drop("arrive")
+    root = _tmpdir()
+    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        d = batch.where(F.col("op") == "d").select("doc_id")
+        u = batch.where(F.col("op") == "u").drop("op")
+        if not d.isEmpty():
+            delete_rows_mor(spark, table, d)
+        if not u.isEmpty():
+            upsert_rows_mor(spark, table, u, key_cols=["doc_id"])
+
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            spark.readStream.schema(feed.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("streaming pass timed out")
+    return read_changes_mor(spark, table, key_cols=["doc_id"],
+                            from_version=1)
+
+
+ST_LAKEHOUSE_CDF_SQL = """
+WITH base AS (
+  SELECT doc_id % 4 AS b, doc_id, lang, CAST(n_chars AS BIGINT) AS score
+  FROM documents
+),
+v_final AS (
+  SELECT b, doc_id, lang, score FROM base
+  WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0
+  UNION ALL
+  SELECT b, doc_id, lang, score + 1000 FROM base
+  WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
+)
+SELECT *, 'delete' AS _change_type
+FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM v_final)
+UNION ALL
+SELECT *, 'insert' AS _change_type
+FROM (SELECT * FROM v_final EXCEPT ALL SELECT * FROM base)
+"""
+
+
 ST_LAKEHOUSE_MOR_SQL = """
 WITH base AS (
   SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
@@ -3049,6 +3160,7 @@ QUERIES = {
     "st_lakehouse_ingest": st_lakehouse_ingest,
     "st_lakehouse_merge": st_lakehouse_merge,
     "st_lakehouse_mor": st_lakehouse_mor,
+    "st_lakehouse_cdf": st_lakehouse_cdf,
     "st_distinct_hll": st_distinct_hll,
     "st_heavy_hitters_cms": st_heavy_hitters_cms,
     "st_late_ledger": st_late_ledger,
@@ -3087,6 +3199,7 @@ ORACLES = {
     "st_lakehouse_ingest": ST_LAKEHOUSE_INGEST_SQL,
     "st_lakehouse_merge": ST_LAKEHOUSE_MERGE_SQL,
     "st_lakehouse_mor": ST_LAKEHOUSE_MOR_SQL,
+    "st_lakehouse_cdf": ST_LAKEHOUSE_CDF_SQL,
     "st_distinct_hll": _W_DISTINCT_HLL_ORACLE,
     "st_heavy_hitters_cms": _W_CMS_ORACLE,
     "st_late_ledger": ST_LATE_LEDGER_SQL,
