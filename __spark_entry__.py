@@ -471,6 +471,8 @@ _R15_DEFERRED: list = [
     "w_lakehouse_cdf",
     "w_lakehouse_cdf_mor",
     "st_lakehouse_cdf",
+    "w_topk_mg",
+    "st_topk_mg",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -840,6 +840,116 @@ def st_lakehouse_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_topk_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra–Gries — the SIXTH streaming merge law, and the
+    first whose partials are NOT slicing-invariant: each micro-batch
+    folds to its own ≤ k-counter summary (count → (k+1)-th-largest
+    threshold → surviving deficits), the store accumulates one
+    summary + one threshold scalar per batch, and the final read is
+    the flat k-way merge (sum by key, re-threshold) — Agarwal et
+    al.'s mergeable-summaries law run over real micro-batches.
+
+    Honesty note the other five laws didn't need: counter-sum
+    sketches (CMS/HLL/KMV/HDR) give the SAME answer under any batch
+    slicing, so their oracles ignore the stream's shape.  An MG
+    summary depends on what shared a batch — so the slicing is made
+    deterministic (arrive = event_id % 3, one coalesced file per
+    pass, one availableNow batch per file) and the oracle is the
+    batch MG SQL with shards := batches, verbatim.  What the oracle
+    pins is the MERGE LAW and the one-sided bound (deficit ≤ Σ t_b +
+    T on every surviving row), not slicing-invariance, which MG
+    simply does not have.
+
+    Scale shape: per batch ONE map-combined count + a top-(k+1)
+    selection; the store grows ≤ k rows + 1 scalar per batch — the
+    summary IS the transmitted object, constant-size at any key
+    cardinality (the CM pairing: CM bounds from above, MG from
+    below)."""
+    from go_whisper_spark.operators.whisper_queries import _MG_K
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    marked = ev.withColumn("arrive", F.col("event_id") % N_PASSES)
+    feed = marked.drop("arrive")
+    root = _tmpdir()
+    src, ckpt, sum_store, t_store = (
+        os.path.join(root, "src"),
+        os.path.join(root, "ckpt"),
+        os.path.join(root, "summaries"),
+        os.path.join(root, "thresholds"),
+    )
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        counts = batch.groupBy("user_id").agg(F.count("*").alias("c"))
+        w = Window.orderBy(F.desc("c"), "user_id")
+        t_row = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == _MG_K + 1)
+            .select("c")
+            .collect()
+        )
+        t = t_row[0]["c"] if t_row else 0
+        (
+            counts.where(F.col("c") > t)
+            .select("user_id", (F.col("c") - F.lit(t)).alias("m"))
+            .write.mode("append").parquet(sum_store)
+        )
+        spark.createDataFrame([(t,)], "t long").write.mode(
+            "append").parquet(t_store)
+
+    for k in range(N_PASSES):
+        (
+            marked.where(F.col("arrive") == k)
+            .drop("arrive")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        q = (
+            spark.readStream.schema(feed.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("streaming pass timed out")
+
+    merged = (
+        spark.read.parquet(sum_store)
+        .groupBy("user_id")
+        .agg(F.sum("m").alias("m"))
+    )
+    w_all = Window.orderBy(F.desc("m"), "user_id")
+    big_t = (
+        merged.withColumn("rn", F.row_number().over(w_all))
+        .where(F.col("rn") == _MG_K + 1)
+        .select(F.col("m").alias("bt"))
+        .unionByName(spark.range(1).select(
+            F.lit(0).cast("long").alias("bt")))
+        .agg(F.max("bt").alias("bt"))
+    )
+    sum_t = spark.read.parquet(t_store).agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("st"))
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
+    return (
+        merged.crossJoin(F.broadcast(big_t))
+        .where(F.col("m") > F.col("bt"))
+        .select("user_id", (F.col("m") - F.col("bt")).alias("mg_est"),
+                "bt")
+        .join(exact, "user_id")
+        .crossJoin(F.broadcast(sum_t))
+        .select(
+            "user_id", "exact", "mg_est",
+            (F.col("exact") - F.col("mg_est")).alias("deficit"),
+            (F.col("st") + F.col("bt")).alias("bound"),
+        )
+    )
+
+
 def st_lakehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streamed CDC PRODUCER closing the loop: a change stream
     lands micro-batch by micro-batch as metadata-only MoR commits
@@ -3119,6 +3229,7 @@ GROUP BY l.arrive, w.wm
 # st_distinct_hll's oracle IS the batch HLL SQL verbatim — register-max
 # mergeability makes the streamed sketch equal the one-shot sketch.
 from go_whisper_spark.operators.whisper_queries import (  # noqa: E402
+    _topk_mg_sql,
     _w_zorder_skipping_sql,
     W_TRIANGLES_SQL as _W_TRIANGLES_ORACLE,
     W_DISTINCT_HLL_SQL as _W_DISTINCT_HLL_ORACLE,
@@ -3161,6 +3272,7 @@ QUERIES = {
     "st_lakehouse_merge": st_lakehouse_merge,
     "st_lakehouse_mor": st_lakehouse_mor,
     "st_lakehouse_cdf": st_lakehouse_cdf,
+    "st_topk_mg": st_topk_mg,
     "st_distinct_hll": st_distinct_hll,
     "st_heavy_hitters_cms": st_heavy_hitters_cms,
     "st_late_ledger": st_late_ledger,
@@ -3200,6 +3312,10 @@ ORACLES = {
     "st_lakehouse_merge": ST_LAKEHOUSE_MERGE_SQL,
     "st_lakehouse_mor": ST_LAKEHOUSE_MOR_SQL,
     "st_lakehouse_cdf": ST_LAKEHOUSE_CDF_SQL,
+    # the batch MG SQL with shards := micro-batches, verbatim — the
+    # merge law is the same relation either way (see st_topk_mg's
+    # slicing-honesty note)
+    "st_topk_mg": _topk_mg_sql(shards=N_PASSES),
     "st_distinct_hll": _W_DISTINCT_HLL_ORACLE,
     "st_heavy_hitters_cms": _W_CMS_ORACLE,
     "st_late_ledger": ST_LATE_LEDGER_SQL,

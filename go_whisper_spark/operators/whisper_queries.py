@@ -5023,6 +5023,145 @@ def w_lakehouse_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, table).select("doc_id", "lang", "score", "b")
 
 
+_MG_K = 12        # summary size (counters kept per summary)
+_MG_SHARDS = 4    # deterministic shards exercising the merge law
+
+
+def w_topk_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries top-k summaries with their MERGE LAW — the
+    UNDERESTIMATE-side frequency sketch completing the pair with
+    `w_heavy_hitters_cms` (CM is one-sided ABOVE, MG one-sided
+    BELOW; a pipeline brackets the truth between them).  Public
+    basis: Misra & Gries 1982; the mergeable-summaries form is
+    Agarwal et al., PODS'12.
+
+    Form: the ORDER-INVARIANT closed form of an MG sweep over counted
+    input — per shard, t = the (k+1)-th largest count (0 when ≤ k
+    keys) and the summary keeps c − t for every c > t; merging sums
+    surviving counters by key and re-thresholds with the merged
+    (k+1)-th largest T.  This is exactly what any arrival order's
+    decrement process converges to, which is why the law is
+    well-defined cross-engine.  Shards are event_id % 4 —
+    deterministic and INDEPENDENT of the key, so each key's mass
+    genuinely splits across summaries and the merge is exercised,
+    not bypassed.
+
+    Ledger: the surviving keys with exact count, merged estimate,
+    deficit = exact − est (≥ 0 — the one-sided law, opposite CM's),
+    and the provable bound Σ tₛ + T with deficit ≤ bound pinned by
+    the oracle hash (both columns ride every row).
+
+    Scale shape: per-shard counts are ONE map-combined aggregate
+    (the same shuffle exact wordcount pays ONCE); each threshold is
+    a top-(k+1) selection; everything after is O(shards·k) rows —
+    the summary, the thing actually transmitted, is constant-size
+    by construction, which is the whole point at 100 TB (per-batch
+    partials stay ≤ k counters no matter the key cardinality — the
+    streamed twin `st_topk_mg` runs the law over micro-batches)."""
+    from go_whisper_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.col("event_id") % _MG_SHARDS).alias("s")
+    )
+    counts = ev.groupBy("s", "user_id").agg(F.count("*").alias("c"))
+    w_rank = Window.partitionBy("s").orderBy(F.desc("c"), "user_id")
+    ranked = counts.withColumn("rn", F.row_number().over(w_rank))
+    thresh = (
+        ranked.where(F.col("rn") == _MG_K + 1)
+        .select("s", F.col("c").alias("t"))
+    )
+    summaries = (
+        counts.join(F.broadcast(thresh), "s", "left")
+        .withColumn("t", F.coalesce("t", F.lit(0).cast("long")))
+        .where(F.col("c") > F.col("t"))
+        .select("s", "user_id", (F.col("c") - F.col("t")).alias("m"), "t")
+    )
+    merged = summaries.groupBy("user_id").agg(F.sum("m").alias("m"))
+    w_all = Window.orderBy(F.desc("m"), "user_id")
+    big_t = (
+        merged.withColumn("rn", F.row_number().over(w_all))
+        .where(F.col("rn") == _MG_K + 1)
+        .select(F.col("m").alias("bt"))
+    )
+    sum_t = thresh.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("st"))
+    final = (
+        merged.crossJoin(F.broadcast(
+            big_t.unionByName(
+                merged.sparkSession.range(1).select(
+                    F.lit(0).cast("long").alias("bt"))
+            ).agg(F.max("bt").alias("bt"))
+        ))
+        .where(F.col("m") > F.col("bt"))
+        .select("user_id", (F.col("m") - F.col("bt")).alias("mg_est"),
+                "bt")
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
+    return (
+        final.join(exact, "user_id")
+        .crossJoin(F.broadcast(sum_t))
+        .select(
+            "user_id", "exact", "mg_est",
+            (F.col("exact") - F.col("mg_est")).alias("deficit"),
+            (F.col("st") + F.col("bt")).alias("bound"),
+        )
+        .orderBy(F.desc("mg_est"), "user_id")
+    )
+
+
+def _topk_mg_sql(shards: int = _MG_SHARDS, k: int = _MG_K) -> str:
+    """The MG summaries-and-merge oracle, parameterized on the shard
+    count so the streamed twin's oracle is THIS SQL with shards :=
+    micro-batches (the merge law is the same relation either way)."""
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id % {shards} AS s FROM events
+),
+counts AS (
+  SELECT s, user_id, count(*) AS c FROM ev GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s, user_id, c,
+         row_number() OVER (PARTITION BY s ORDER BY c DESC, user_id)
+           AS rn
+  FROM counts
+),
+thresh AS (
+  SELECT s, c AS t FROM ranked WHERE rn = {k + 1}
+),
+summaries AS (
+  SELECT co.s, co.user_id, co.c - COALESCE(th.t, 0) AS m
+  FROM counts co LEFT JOIN thresh th ON co.s = th.s
+  WHERE co.c > COALESCE(th.t, 0)
+),
+merged AS (
+  SELECT user_id, sum(m) AS m FROM summaries GROUP BY 1
+),
+bigt AS (
+  SELECT COALESCE((
+    SELECT m FROM merged ORDER BY m DESC, user_id
+    LIMIT 1 OFFSET {k}
+  ), 0) AS bt
+),
+sumt AS (SELECT CAST(COALESCE(sum(t), 0) AS BIGINT) AS st FROM thresh),
+exact AS (
+  SELECT user_id, count(*) AS exact FROM ev GROUP BY 1
+)
+SELECT m.user_id, e.exact,
+       CAST(m.m - b.bt AS BIGINT) AS mg_est,
+       CAST(e.exact - (m.m - b.bt) AS BIGINT) AS deficit,
+       CAST(s.st + b.bt AS BIGINT) AS bound
+FROM merged m
+JOIN exact e ON m.user_id = e.user_id
+CROSS JOIN bigt b
+CROSS JOIN sumt s
+WHERE m.m > b.bt
+"""
+
+
+W_TOPK_MG_SQL = _topk_mg_sql()
+
+
 def w_lakehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHANGE DATA FEED under the driver's oracle — the PRODUCING
     half of the CDC story (`st_lakehouse_merge`/`st_lakehouse_mor`
@@ -5592,6 +5731,7 @@ QUERIES = {
     "w_lakehouse_optimize": w_lakehouse_optimize,
     "w_lakehouse_cdf": w_lakehouse_cdf,
     "w_lakehouse_cdf_mor": w_lakehouse_cdf_mor,
+    "w_topk_mg": w_topk_mg,
     "w_triangle_sample": w_triangle_sample,
     "w_pagerank_fixpoint": w_pagerank_fixpoint,
     "w_zorder_skipping": w_zorder_skipping,
@@ -5656,6 +5796,7 @@ ORACLES = {
     "w_lakehouse_optimize": W_LAKEHOUSE_OPTIMIZE_SQL,
     "w_lakehouse_cdf": W_LAKEHOUSE_CDF_SQL,
     "w_lakehouse_cdf_mor": W_LAKEHOUSE_CDF_MOR_SQL,
+    "w_topk_mg": W_TOPK_MG_SQL,
     "w_triangle_sample": W_TRIANGLE_SAMPLE_SQL,
     "w_pagerank_fixpoint": _w_pagerank_fixpoint_sql(),
     "w_zorder_skipping": _w_zorder_skipping_sql(),

@@ -994,6 +994,50 @@ def test_kcore_decomp_matches_reference_peel(spark, sf_dir):
     assert max(got) == k - 1  # the last non-empty core level
 
 
+def test_topk_mg_one_sided_law(spark, sf_dir):
+    """The MG guarantees: every estimate UNDERCOUNTS (deficit ≥ 0 —
+    the one-sided law, opposite CM's), the deficit never exceeds the
+    provable bound Σ t_s + T, at most k keys survive, and every key
+    whose exact count exceeds the bound IS in the summary (the
+    heavy-hitter completeness guarantee)."""
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.operators.whisper_queries import (
+        _MG_K,
+        _MG_SHARDS,
+        w_topk_mg,
+    )
+    from go_whisper_spark.sources.tables import load_table
+
+    rows = w_topk_mg(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _MG_K
+    bound = rows[0].bound
+    for r in rows:
+        assert r.deficit >= 0, "MG overestimated — law violated"
+        assert r.deficit <= bound
+        assert r.bound == bound
+    # completeness: exact > bound -> key survives
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    exact = {r.user_id: r.exact
+             for r in ev.groupBy("user_id").count()
+             .withColumnRenamed("count", "exact").collect()}
+    survivors = {r.user_id for r in rows}
+    for u, c in exact.items():
+        if c > bound:
+            assert u in survivors, (
+                f"user {u} (exact {c} > bound {bound}) missing")
+    # shard split is real: no shard holds every event of a top key
+    top = max(exact, key=lambda u: (exact[u], -u))
+    per_shard = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") == top)
+        .groupBy((F.col("event_id") % _MG_SHARDS).alias("s"))
+        .count()
+        .collect()
+    )
+    assert len(per_shard) > 1, "sharding degenerated to one summary"
+
+
 def test_link_cn_matches_bruteforce(spark, sf_dir):
     """w_link_cn's top-20 must equal a brute-force Python scorer over
     the collected edge list: common-neighbor counts via set

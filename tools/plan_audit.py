@@ -1133,6 +1133,15 @@ CHECKS = {
         require=["PushedFilters", "BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # MG summaries + merge: map-combined counts (the one shuffle
+    # exact wordcount pays), top-(k+1) threshold windows over the
+    # O(keys)/O(shards·k) relations, broadcast threshold join-backs —
+    # no cartesian over data (the 1-row bound frames ride intended
+    # broadcast NL joins, the timeSlice discipline).
+    "w_topk_mg": dict(
+        require=["partial_count", "Window", "BroadcastNestedLoopJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    ),
     # CDF bag diff: two snapshot scans + Spark's exceptAll lowering
     # (count-annotated aggregate + replicate) — equi-plans only, no
     # cartesian/nested-loop anywhere.
