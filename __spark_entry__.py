@@ -473,6 +473,7 @@ _R15_DEFERRED: list = [
     "st_lakehouse_cdf",
     "w_topk_mg",
     "st_topk_mg",
+    "g_render_vline",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

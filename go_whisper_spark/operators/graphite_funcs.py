@@ -4568,6 +4568,10 @@ RENDER_EXPR_GAPFILL = (
     "aliasByNode(removeEmptySeries(interpolate(removeAboveValue("
     "aliasSub('*', '^', 'dc1.x.'), 40), 3), 89), 0, 2)"
 )
+RENDER_EXPR_VLINE = (
+    "group(verticalLine(12, 'deploy'), "
+    "integral(sumSeries(seriesByGlob('c*'))))"
+)
 RENDER_EXPR_LISTS = (
     "movingSum(aggregateSeriesLists(seriesByGlob('[ce]*'), "
     "seriesByGlob('[vs]*'), 'diff'), 4)"
@@ -4853,6 +4857,20 @@ def g_render_infstack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render(spark, sf_dir, RENDER_EXPR_INFSTACK)
 
 
+def g_render_vline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-15 wave continuation: verticalLine — Graphite's time
+    marker made data-shaped (one value-1 row at the slot 12 hours
+    past the frame's own start; the drawAsInfinite discipline) —
+    grouped beside a cross-series running total, the
+    deploy-marker-over-cumulative-traffic dashboard shape.  With
+    this op every Graphite render function is either composable or
+    principled-excluded (transcendental value maps; the events API /
+    aliasQuery re-query loop — docs/RENDER.md) (render.py)."""
+    from go_whisper_spark.render import render
+
+    return render(spark, sf_dir, RENDER_EXPR_VLINE)
+
+
 def g_render_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-14 optional-argument parity wave end-to-end: series
     prefixed into a 3-node namespace, spikes nulled, gaps of at most
@@ -4998,6 +5016,7 @@ QUERIES = {
     "g_render_product": g_render_product,
     "g_render_infstack": g_render_infstack,
     "g_render_gapfill": g_render_gapfill,
+    "g_render_vline": g_render_vline,
     "g_render_lists": g_render_lists,
     "g_render_apply": g_render_apply,
     "g_render_unique": g_render_unique,
@@ -5164,6 +5183,7 @@ ORACLES = {
     "g_render_product": _render_oracle(RENDER_EXPR_PRODUCT),
     "g_render_infstack": _render_oracle(RENDER_EXPR_INFSTACK),
     "g_render_gapfill": _render_oracle(RENDER_EXPR_GAPFILL),
+    "g_render_vline": _render_oracle(RENDER_EXPR_VLINE),
     "g_render_lists": _render_oracle(RENDER_EXPR_LISTS),
     "g_render_apply": _render_oracle(RENDER_EXPR_APPLY),
     "g_render_unique": _render_oracle(RENDER_EXPR_UNIQUE),

@@ -23,7 +23,7 @@ math in BOTH engines and the driver's typed hash cannot drift.
 Numeric operator arguments are therefore integers (Graphite's float
 args quantize to cents here; documented, not hidden).
 
-Operator registry (129 ops — the composable core; the ~111 fixed-form
+Operator registry (130 ops — the composable core; the ~111 fixed-form
 analogs in ``operators/graphite_funcs.py`` remain the coverage
 surface):
 
@@ -647,6 +647,18 @@ def analyze(node: Node):
     if name in ("constantLine", "threshold"):
         # data-free generators over the interval spine — one series.
         return (True, True, name)
+    if name == "verticalLine":
+        # marker generator: ONE row (or zero when the offset lands
+        # outside the spine) under its own label.
+        if (not node.args or not isinstance(node.args[0], Num)
+                or (len(node.args) > 1
+                    and not isinstance(node.args[1], Str))
+                or len(node.args) > 2):
+            raise RenderParseError(
+                "verticalLine takes (offset_hours[, 'label'])")
+        lbl = (node.args[1].value if len(node.args) > 1
+               else "verticalLine")
+        return (True, True, lbl)
     if name in ("randomWalk", "identity"):
         # data-free generators — one series under their own label.
         lbl = node.args[0].value if node.args else None
@@ -1294,6 +1306,26 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
                 F.lit("percentileOfSeries").alias("metric"),
                 "interval",
                 F.when(nn > 0, F.element_at("vs", pos)).alias("cents"),
+            )
+        if name == "verticalLine":
+            # marker generator (Graphite's time marker made
+            # data-shaped, the drawAsInfinite discipline): one row of
+            # value 1 at the slot offset_hours past the frame's own
+            # start (the timeSlice bounds convention); an offset
+            # outside the spine emits zero rows.
+            h = int(n.args[0].value)
+            lbl = (n.args[1].value if len(n.args) > 1
+                   else "verticalLine")
+            sp = seed("*").select("interval").distinct()
+            b = sp.agg(F.min("interval").alias("t0"))
+            return (
+                sp.crossJoin(F.broadcast(b))
+                .where(F.col("interval") == F.col("t0") + 3600 * h)
+                .select(
+                    F.lit(lbl).alias("metric"),
+                    "interval",
+                    F.lit(100).cast("long").alias("cents"),
+                )
             )
         if name == "constantLine":
             # data-free generator: the constant over the interval
@@ -3333,6 +3365,18 @@ def build_sql(node: Node) -> str:
                 "FROM (SELECT interval, "
                 "list_sort(list(cents) FILTER (WHERE cents IS NOT NULL)) "
                 f"AS vs FROM {ev(n.args[0])} s GROUP BY interval) t)"
+            )
+        if name == "verticalLine":
+            h = int(n.args[0].value)
+            lbl = (n.args[1].value if len(n.args) > 1
+                   else "verticalLine").replace("'", "''")
+            return (
+                f"(SELECT '{lbl}' AS metric, interval, "
+                "CAST(100 AS BIGINT) AS cents "
+                f"FROM (SELECT DISTINCT interval FROM {seed('*')} z) t "
+                "WHERE interval = (SELECT min(interval) + "
+                f"{3600 * h} FROM (SELECT DISTINCT interval "
+                f"FROM {seed('*')} z2) t2))"
             )
         if name == "constantLine":
             k = 100 * n.args[0].value

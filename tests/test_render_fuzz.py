@@ -3,7 +3,7 @@ the Spark composition vs the AST-emitted DuckDB SQL — must agree
 exactly (the cent discipline makes every composition integer-exact).
 
 Deterministic seed; bounded depth; covers every operator in the
-registry (129 ops as of round 15) including binary combiners, aggregate
+registry (130 ops as of round 15) including binary combiners, aggregate
 reducers, the selector family, the round-11 additions (waves 2-8),
 and the generic method-string spellings (aggregate / movingWindow /
 highest / lowest / filterSeries — desugared by the parser, so the
@@ -81,6 +81,7 @@ def _series(rng, depth):
             "alias", "aliasSub", "sumSeries", "averageSeries",
             "countSeries", "minSeries", "maxSeries", "rangeOfSeries",
             "stddevSeries", "percentileOfSeries", "constantLine",
+            "verticalLine",
             "summarize", "groupByNode",
             "diffSeries", "divideSeries", "asPercent", "group",
             "threshold", "hitcount", "scaleToSeconds",
@@ -170,6 +171,8 @@ def _series(rng, depth):
         return f"percentileOfSeries({_series(rng, depth - 1)}, {rng.choice([25, 50, 90])})"
     if name == "constantLine":
         return f"constantLine({rng.randint(-2, 5)})"
+    if name == "verticalLine":
+        return f"verticalLine({rng.randint(0, 30)}, 'vl{rng.randint(0, 3)}')"
     if name == "threshold":
         return f"threshold({rng.randint(-2, 5)})"
     if name == "groupByNode":
