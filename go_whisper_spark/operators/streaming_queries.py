@@ -127,6 +127,7 @@ def _replay(
     await_secs: int = 300,
     n_passes: int = N_PASSES,
     on_pass=None,
+    sink=None,
 ) -> str:
     """Write one file per arrival pass, run one availableNow pass per
     file over a shared checkpoint, foreachBatch-append every emitted
@@ -138,14 +139,19 @@ def _replay(
     ``on_pass(k, q)`` is called after pass ``k``'s query terminates —
     the hook ``st_late_ledger`` uses to read the pass's own
     StreamingQueryProgress (watermark trajectory + rows dropped by
-    the watermark), which each ``start()`` scopes to its pass."""
+    the watermark), which each ``start()`` scopes to its pass.
+    ``sink(batch, bid)`` (REVIEW r15) replaces the default
+    append-to-parquet foreachBatch — the lakehouse CDC sinks and the
+    sketch-store sinks had each hand-rolled this whole loop just to
+    swap the sink."""
     root = _tmpdir()
     src, out, ckpt = (os.path.join(root, n) for n in ("src", "out", "ckpt"))
     feed = marked.drop("arrive")
 
-    def sink(batch: DataFrame, _bid: int) -> None:
-        if not batch.isEmpty():
-            batch.write.mode("append").parquet(out)
+    if sink is None:
+        def sink(batch: DataFrame, _bid: int) -> None:
+            if not batch.isEmpty():
+                batch.write.mode("append").parquet(out)
 
     for k in range(n_passes):
         (
@@ -572,33 +578,12 @@ def st_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = SeriesConfig.from_defs("1h:2d", "average", 0.0)
     base = _tmpdir()
     marked = pts.withColumn("arrive", _arrive(t0))
-    feed = marked.drop("arrive")
-    root = _tmpdir()
-    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
 
     def sink(batch: DataFrame, _bid: int) -> None:
         if not batch.isEmpty():
             incremental_rollup_tx(spark, base, cfg, batch, now)
 
-    for k in range(N_PASSES):
-        (
-            marked.where(F.col("arrive") == k)
-            .drop("arrive")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        q = (
-            spark.readStream.schema(feed.schema)
-            .parquet(src)
-            .writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            raise RuntimeError("streaming pass timed out")
+    _replay(spark, marked, lambda stream: stream, sink=sink)
     return read_table(spark, table_path(base, 0)).select(
         "metric", "interval", "value"
     )
@@ -681,9 +666,6 @@ def st_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 3).alias("arrive"),
     )
     marked = upd.unionByName(ins)
-    feed = marked.drop("arrive")
-    root = _tmpdir()
-    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
 
     def sink(batch: DataFrame, _bid: int) -> None:
         if not batch.isEmpty():
@@ -693,25 +675,7 @@ def st_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge_table(spark, table, batch, key_cols=["doc_id"],
                         part_col="b", allow_moves=False)
 
-    for k in range(N_PASSES):
-        (
-            marked.where(F.col("arrive") == k)
-            .drop("arrive")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        q = (
-            spark.readStream.schema(feed.schema)
-            .parquet(src)
-            .writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            raise RuntimeError("streaming pass timed out")
+    _replay(spark, marked, lambda stream: stream, sink=sink)
     return read_table(spark, table).select(
         "doc_id", "lang", "score", "src", "b"
     )
@@ -804,9 +768,6 @@ def st_lakehouse_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 3).alias("arrive"),
     )
     marked = dels.unionByName(ups)
-    feed = marked.drop("arrive")
-    root = _tmpdir()
-    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
 
     def sink(batch: DataFrame, _bid: int) -> None:
         d = batch.where(F.col("op") == "d").select("doc_id")
@@ -816,25 +777,7 @@ def st_lakehouse_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not u.isEmpty():
             upsert_rows_mor(spark, table, u, key_cols=["doc_id"])
 
-    for k in range(N_PASSES):
-        (
-            marked.where(F.col("arrive") == k)
-            .drop("arrive")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        q = (
-            spark.readStream.schema(feed.schema)
-            .parquet(src)
-            .writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            raise RuntimeError("streaming pass timed out")
+    _replay(spark, marked, lambda stream: stream, sink=sink)
     return read_table_mor(spark, table, key_cols=["doc_id"]).select(
         "doc_id", "lang", "score", "src", "b"
     )
@@ -867,13 +810,12 @@ def st_topk_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     below)."""
     from go_whisper_spark.operators.whisper_queries import _MG_K
 
+    from go_whisper_spark.operators.whisper_queries import _mg_merge_ledger
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
     marked = ev.withColumn("arrive", F.col("event_id") % N_PASSES)
-    feed = marked.drop("arrive")
     root = _tmpdir()
-    src, ckpt, sum_store, t_store = (
-        os.path.join(root, "src"),
-        os.path.join(root, "ckpt"),
+    sum_store, t_store = (
         os.path.join(root, "summaries"),
         os.path.join(root, "thresholds"),
     )
@@ -898,55 +840,12 @@ def st_topk_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame([(t,)], "t long").write.mode(
             "append").parquet(t_store)
 
-    for k in range(N_PASSES):
-        (
-            marked.where(F.col("arrive") == k)
-            .drop("arrive")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        q = (
-            spark.readStream.schema(feed.schema)
-            .parquet(src)
-            .writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            raise RuntimeError("streaming pass timed out")
-
-    merged = (
-        spark.read.parquet(sum_store)
-        .groupBy("user_id")
-        .agg(F.sum("m").alias("m"))
-    )
-    w_all = Window.orderBy(F.desc("m"), "user_id")
-    big_t = (
-        merged.withColumn("rn", F.row_number().over(w_all))
-        .where(F.col("rn") == _MG_K + 1)
-        .select(F.col("m").alias("bt"))
-        .unionByName(spark.range(1).select(
-            F.lit(0).cast("long").alias("bt")))
-        .agg(F.max("bt").alias("bt"))
-    )
-    sum_t = spark.read.parquet(t_store).agg(
-        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("st"))
+    _replay(spark, marked, lambda s: s, sink=sink)
     exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
-    return (
-        merged.crossJoin(F.broadcast(big_t))
-        .where(F.col("m") > F.col("bt"))
-        .select("user_id", (F.col("m") - F.col("bt")).alias("mg_est"),
-                "bt")
-        .join(exact, "user_id")
-        .crossJoin(F.broadcast(sum_t))
-        .select(
-            "user_id", "exact", "mg_est",
-            (F.col("exact") - F.col("mg_est")).alias("deficit"),
-            (F.col("st") + F.col("bt")).alias("bound"),
-        )
+    return _mg_merge_ledger(
+        spark.read.parquet(sum_store),
+        spark.read.parquet(t_store).select(F.col("t")),
+        exact,
     )
 
 
@@ -1006,9 +905,6 @@ def st_lakehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 3).alias("arrive"),
     )
     marked = dels.unionByName(ups)
-    feed = marked.drop("arrive")
-    root = _tmpdir()
-    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
 
     def sink(batch: DataFrame, _bid: int) -> None:
         d = batch.where(F.col("op") == "d").select("doc_id")
@@ -1018,25 +914,7 @@ def st_lakehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not u.isEmpty():
             upsert_rows_mor(spark, table, u, key_cols=["doc_id"])
 
-    for k in range(N_PASSES):
-        (
-            marked.where(F.col("arrive") == k)
-            .drop("arrive")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        q = (
-            spark.readStream.schema(feed.schema)
-            .parquet(src)
-            .writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            raise RuntimeError("streaming pass timed out")
+    _replay(spark, marked, lambda s: s, sink=sink)
     return read_changes_mor(spark, table, key_cols=["doc_id"],
                             from_version=1)
 
@@ -1190,13 +1068,7 @@ def st_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(N_PASSES - 1),
     ).cast("long")
     marked = ev.withColumn("arrive", chunk).drop("ts")
-    feed = marked.drop("arrive")
-    root = _tmpdir()
-    src, ckpt, store = (
-        os.path.join(root, "src"),
-        os.path.join(root, "ckpt"),
-        os.path.join(root, "sketch"),
-    )
+    store = os.path.join(_tmpdir(), "sketch")
 
     hexc = F.md5(F.col("user_id").cast("string"))
     j = F.conv(F.substring(hexc, 1, 2), 16, 10).cast("long") % _HLL_M
@@ -1221,25 +1093,7 @@ def st_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         partial.write.mode("append").parquet(store)
 
-    for k in range(N_PASSES):
-        (
-            marked.where(F.col("arrive") == k)
-            .drop("arrive")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        q = (
-            spark.readStream.schema(feed.schema)
-            .parquet(src)
-            .writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            raise RuntimeError("streaming pass timed out")
+    _replay(spark, marked, lambda stream: stream, sink=sink)
 
     regs = (
         spark.read.parquet(store)
@@ -1301,13 +1155,7 @@ def st_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(N_PASSES - 1),
     ).cast("long")
     marked = ev.withColumn("arrive", chunk).drop("ts")
-    feed = marked.drop("arrive")
-    root = _tmpdir()
-    src, ckpt, store = (
-        os.path.join(root, "src"),
-        os.path.join(root, "ckpt"),
-        os.path.join(root, "sketch"),
-    )
+    store = os.path.join(_tmpdir(), "sketch")
 
     def bucket_col():
         return (
@@ -1346,25 +1194,7 @@ def st_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         partial.write.mode("append").parquet(store)
 
-    for k in range(N_PASSES):
-        (
-            marked.where(F.col("arrive") == k)
-            .drop("arrive")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        q = (
-            spark.readStream.schema(feed.schema)
-            .parquet(src)
-            .writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            raise RuntimeError("streaming pass timed out")
+    _replay(spark, marked, lambda stream: stream, sink=sink)
 
     sketch = (
         spark.read.parquet(store)
@@ -2753,13 +2583,7 @@ def st_kmv_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(N_PASSES - 1),
     ).cast("long")
     marked = ev.withColumn("arrive", chunk).drop("ts")
-    feed = marked.drop("arrive")
-    root = _tmpdir()
-    src, ckpt, store = (
-        os.path.join(root, "src"),
-        os.path.join(root, "ckpt"),
-        os.path.join(root, "sketch"),
-    )
+    store = os.path.join(_tmpdir(), "sketch")
     h40 = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 10), 16, 10
     ).cast("long")
@@ -2776,25 +2600,7 @@ def st_kmv_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         partial.write.mode("append").parquet(store)
 
-    for k in range(N_PASSES):
-        (
-            marked.where(F.col("arrive") == k)
-            .drop("arrive")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        q = (
-            spark.readStream.schema(feed.schema)
-            .parquet(src)
-            .writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            raise RuntimeError("streaming pass timed out")
+    _replay(spark, marked, lambda stream: stream, sink=sink)
 
     w = Window.partitionBy("metric").orderBy("h")
     return (
@@ -2852,13 +2658,7 @@ def st_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     marked = docs.withColumn("arrive", F.col("doc_id") % N_PASSES)
-    feed = marked.drop("arrive")
-    root = _tmpdir()
-    src, ckpt, store = (
-        os.path.join(root, "src"),
-        os.path.join(root, "ckpt"),
-        os.path.join(root, "sketch"),
-    )
+    store = os.path.join(_tmpdir(), "sketch")
     js = spark.range(1, _BLOOM_K + 1).select(F.col("id").alias("j"))
 
     def sink(batch: DataFrame, _bid: int) -> None:
@@ -2890,25 +2690,7 @@ def st_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         partial.write.mode("append").parquet(store)
 
-    for k in range(N_PASSES):
-        (
-            marked.where(F.col("arrive") == k)
-            .drop("arrive")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        q = (
-            spark.readStream.schema(feed.schema)
-            .parquet(src)
-            .writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            raise RuntimeError("streaming pass timed out")
+    _replay(spark, marked, lambda stream: stream, sink=sink)
 
     return (
         spark.read.parquet(store)
@@ -2986,13 +2768,7 @@ def st_quantile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(N_PASSES - 1),
     ).cast("long")
     marked = ev.withColumn("arrive", chunk).drop("ts")
-    feed = marked.drop("arrive")
-    root = _tmpdir()
-    src, ckpt, store = (
-        os.path.join(root, "src"),
-        os.path.join(root, "ckpt"),
-        os.path.join(root, "sketch"),
-    )
+    store = os.path.join(_tmpdir(), "sketch")
 
     def sink(batch: DataFrame, _bid: int) -> None:
         if batch.isEmpty():
@@ -3004,25 +2780,7 @@ def st_quantile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         partial.write.mode("append").parquet(store)
 
-    for k in range(N_PASSES):
-        (
-            marked.where(F.col("arrive") == k)
-            .drop("arrive")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        q = (
-            spark.readStream.schema(feed.schema)
-            .parquet(src)
-            .writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            raise RuntimeError("streaming pass timed out")
+    _replay(spark, marked, lambda stream: stream, sink=sink)
 
     sketch = (
         spark.read.parquet(store)

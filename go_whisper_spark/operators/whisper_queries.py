@@ -5076,29 +5076,42 @@ def w_topk_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c") > F.col("t"))
         .select("s", "user_id", (F.col("c") - F.col("t")).alias("m"), "t")
     )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
+    return _mg_merge_ledger(summaries, thresh.select("t"), exact)
+
+
+def _mg_merge_ledger(summaries: DataFrame, thresholds: DataFrame,
+                     exact: DataFrame) -> DataFrame:
+    """The MG k-way MERGE + one-sided-bound ledger, shared by the
+    batch (`w_topk_mg`, shards) and streamed (`st_topk_mg`,
+    micro-batches) twins so the law's spelling cannot desynchronize
+    (REVIEW r15): sum surviving counters by key, re-threshold with
+    the merged (k+1)-th largest T (0 when ≤ k keys survive), emit
+    (user_id, exact, mg_est, deficit, bound = Σt + T).
+
+    ``summaries``: (user_id, m) one row per key per summary;
+    ``thresholds``: (t) one row per summary; ``exact``: (user_id,
+    exact)."""
     merged = summaries.groupBy("user_id").agg(F.sum("m").alias("m"))
     w_all = Window.orderBy(F.desc("m"), "user_id")
     big_t = (
         merged.withColumn("rn", F.row_number().over(w_all))
         .where(F.col("rn") == _MG_K + 1)
         .select(F.col("m").alias("bt"))
+        .unionByName(
+            merged.sparkSession.range(1).select(
+                F.lit(0).cast("long").alias("bt"))
+        )
+        .agg(F.max("bt").alias("bt"))
     )
-    sum_t = thresh.agg(
+    sum_t = thresholds.agg(
         F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("st"))
-    final = (
-        merged.crossJoin(F.broadcast(
-            big_t.unionByName(
-                merged.sparkSession.range(1).select(
-                    F.lit(0).cast("long").alias("bt"))
-            ).agg(F.max("bt").alias("bt"))
-        ))
+    return (
+        merged.crossJoin(F.broadcast(big_t))
         .where(F.col("m") > F.col("bt"))
         .select("user_id", (F.col("m") - F.col("bt")).alias("mg_est"),
                 "bt")
-    )
-    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
-    return (
-        final.join(exact, "user_id")
+        .join(exact, "user_id")
         .crossJoin(F.broadcast(sum_t))
         .select(
             "user_id", "exact", "mg_est",
