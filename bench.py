@@ -178,16 +178,11 @@ HEADLINE = [
     "w_quantile_hdr",
     "w_funnel_cohort",
     "g_render_xff",
-    # round 13 late additions: the prefix-filter exact similarity
-    # join (the dedup scale path), fixed-point PageRank (per-round
-    # edge join + map-combined sums), the MMR diversified re-rank
-    # (pool rank window + k struct-max rounds), the Hilbert layout
-    # ledger, and the CM join-size estimator.
-    "d_prefix_join",
-    "w_event_pagerank",
-    "s_mmr_rerank",
-    "w_hilbert_skipping",
-    "w_join_cms_estimate",
+    # round 13 late additions RETIRED in round 15 (rotation policy:
+    # two consecutive driver records each — BENCH_r13 + BENCH_r14 —
+    # pin their perf history): d_prefix_join, w_event_pagerank,
+    # s_mmr_rerank, w_hilbert_skipping, w_join_cms_estimate.  All
+    # stay oracle-gated in the registry.
     # round 14 novelty tail (none of the r13 tail retires yet — each
     # has only ONE driver record): exact degree-ordered triangle
     # counting (bounded clique expansion + orientation + wedge join).
@@ -202,8 +197,16 @@ HEADLINE = [
     # round 15 novelty tail: truss decomposition to fixpoint (the
     # flattened peel loop — ~33 support recounts at sf0.1 over the
     # o%8 order-sampled graph; priced build-inclusive because the
-    # loop IS the operator).
+    # loop IS the operator) and the Misra-Gries summaries+merge
+    # ledger (the constant-size-summary sketch — cheap by design).
+    # NOT here by policy: w_kcore_decomp (~80 peel rounds at sf0.1 —
+    # w_truss_decomp already prices the peel-loop class),
+    # w_link_cn (~70 s/rep — the exact wedge fan-out IS the output
+    # lower bound; registry-gated like w_triangles' build form),
+    # w_lakehouse_* verbs (commit-log table builds per rep — the
+    # lakehouse costs are pinned by pytest + the driver gate).
     "w_truss_decomp",
+    "w_topk_mg",
 ]
 
 
