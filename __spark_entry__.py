@@ -474,6 +474,8 @@ _R15_DEFERRED: list = [
     "w_topk_mg",
     "st_topk_mg",
     "g_render_vline",
+    "w_link_cn_sample",
+    "w_bfs_layers",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -1761,6 +1761,243 @@ LIMIT 20
 """
 
 
+_BFS_SEED_MOD = 101    # deterministic multi-source seed set
+_BFS_MAX_ROUNDS = 64   # driver-loop safety cap
+_BFS_ORACLE_R = 12     # oracle unroll depth — strictly past the
+#                        measured fixpoints (see docstring); rounds
+#                        past the fixpoint expand an EMPTY frontier
+
+
+def w_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS to its exact fixpoint — distance-from-seed-set
+    labeling over the co-purchase graph, the CHEAPEST member of the
+    convergence family (PageRank on ranks, truss on edges, k-core on
+    nodes, this on frontiers): the crawl-depth / blast-radius pass a
+    pipeline runs to bound how far influence propagates from a seed
+    set (here every part with id ≡ 0 mod 101).
+
+    Loop: the frontier at distance r expands to its unvisited
+    neighbors (ONE equi-join + one anti-join against the visited
+    relation per round); the loop stops the round the frontier
+    empties — a decidable fixpoint whose round count the oracle
+    re-derives in SQL (min r with |frontier_r| = 0).  Output: the
+    (dist, n_nodes) histogram — O(diameter) rows at any graph size —
+    plus iters; unreached nodes are absent by definition (the
+    co-purchase graph is near-connected, which the conservation
+    pytest quantifies).  Measured fixpoints: 3 rounds at EVERY SF
+    (two occupied layers, then the empty-frontier stop) — the
+    co-purchase graph is a 2-hop small world from any ~1%-of-nodes
+    seed set at any scale, the densification that also shortens the
+    PageRank mixing times.
+
+    Scale shape: per round the frontier join is keyed on the node id
+    (never a cartesian), the visited relation is O(reached nodes)
+    and enters each round ONCE through the anti-join — linear
+    recursion, plain localCheckpoint suffices (contrast the truss
+    peel's multiplicative shape); ONE control-plane scalar per
+    round.  No collect of node data anywhere."""
+    edges = _tri_edges(spark, sf_dir)
+    adj = edges.select(F.col("u").alias("z"), F.col("v").alias("x")).unionAll(
+        edges.select(F.col("v").alias("z"), F.col("u").alias("x"))
+    ).localCheckpoint()
+    nodes = adj.select(F.col("z").alias("node")).distinct()
+    frontier = nodes.where(F.col("node") % _BFS_SEED_MOD == 0)
+    visited = frontier.withColumn("d", F.lit(0).cast("long"))
+    visited = visited.localCheckpoint()
+    frontier = frontier.localCheckpoint()
+    layers = [visited]
+    iters = 0
+    r = 0
+    while True:
+        iters += 1
+        if iters > _BFS_MAX_ROUNDS:
+            raise RuntimeError("BFS did not reach a fixpoint")
+        r += 1
+        nxt = (
+            frontier.select(F.col("node").alias("z"))
+            .join(adj, "z")
+            .select(F.col("x").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("d", F.lit(r).cast("long"))
+        ).localCheckpoint()
+        # ONE control-plane scalar per round — the stop test
+        n = nxt.count()
+        if n == 0:
+            break
+        layers.append(nxt)
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    if iters > _BFS_ORACLE_R:
+        raise RuntimeError(
+            f"BFS fixpoint at round {iters} > the oracle unroll depth "
+            f"_BFS_ORACLE_R={_BFS_ORACLE_R}; raise the unroll depth "
+            "so rounds past the fixpoint stay no-ops"
+        )
+    hist = layers[0]
+    for l_ in layers[1:]:
+        hist = hist.unionByName(l_)
+    return (
+        hist.groupBy("d")
+        .agg(F.count("*").alias("n_nodes"))
+        .select("d", "n_nodes", F.lit(iters).cast("long").alias("iters"))
+    )
+
+
+def _w_bfs_layers_sql(r_max: int = _BFS_ORACLE_R,
+                      seed_mod: int = _BFS_SEED_MOD) -> str:
+    """Generated oracle: the frontier expansion unrolled r_max rounds
+    (strictly past every measured fixpoint — later rounds expand an
+    EMPTY frontier, provably no-ops), plus the SQL derivation of the
+    round count (min r with |frontier_r| = 0).  Every per-round CTE
+    is MATERIALIZED (the PageRank-oracle lesson)."""
+    rounds = []
+    for r in range(1, r_max + 1):
+        p = r - 1
+        rounds.append(f"""f{r} AS MATERIALIZED (
+  SELECT DISTINCT a.x AS node
+  FROM f{p} f JOIN adj a ON f.node = a.z
+  WHERE a.x NOT IN (SELECT node FROM v{p})
+),
+v{r} AS MATERIALIZED (
+  SELECT node, d FROM v{p}
+  UNION ALL SELECT node, {r} AS d FROM f{r}
+)""")
+    cnts = "\n  UNION ALL ".join(
+        f"SELECT {r} AS r, (SELECT count(*) FROM f{r}) AS n"
+        for r in range(1, r_max + 1)
+    )
+    return f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+adj AS MATERIALIZED (
+  SELECT u AS z, v AS x FROM edges
+  UNION ALL SELECT v AS z, u AS x FROM edges
+),
+f0 AS MATERIALIZED (
+  SELECT DISTINCT z AS node FROM adj WHERE z % {seed_mod} = 0
+),
+v0 AS MATERIALIZED (
+  SELECT node, CAST(0 AS BIGINT) AS d FROM f0
+),
+{",".join(rounds)},
+cnts AS (
+  {cnts}
+),
+fix AS (SELECT CAST(min(r) AS BIGINT) AS iters FROM cnts WHERE n = 0)
+SELECT CAST(d AS BIGINT) AS d, count(*) AS n_nodes,
+       (SELECT iters FROM fix) AS iters
+FROM v{r_max}
+GROUP BY d
+"""
+
+
+_LINK_P = 3   # center-sampling modulus for the estimated rung
+
+
+def w_link_cn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAMPLED scale rung for link prediction — the DOULION
+    discipline applied to CENTERS: keep every wedge whose center z
+    has md5('z:'+z) ≡ 0 (mod 3) (deterministic, so both engines see
+    the SAME sample), estimate each pair's common-neighbor count as
+    3 · (sampled count) — unbiased under center sampling, since each
+    of a pair's common neighbors survives independently with
+    probability 1/3 — and price the estimate against the exact count
+    on the exact top-20 ledger (`w_link_cn`'s audit discipline; at
+    100 TB only the sampled wedge join runs, Σ deg(z)² cut ~3×, and
+    the exact column is the audit baseline this demo keeps).
+
+    Output: the exact top-20 non-edge pairs with cn_exact, cn_est
+    (3·sampled, 0 when no sampled center witnessed the pair), and
+    the signed error — all integers.
+
+    Scale shape: the sampled wedge join is the `w_link_cn` plan over
+    the ~1/3-of-centers adjacency (the quadratic term drops by the
+    sampling rate); the exact side is the audit baseline; one left
+    join aligns the two ledgers."""
+    edges = _tri_edges(spark, sf_dir)
+    adj = edges.select(F.col("u").alias("z"), F.col("v").alias("x")).unionAll(
+        edges.select(F.col("v").alias("z"), F.col("u").alias("x"))
+    )
+
+    def pairs_from(a: DataFrame) -> DataFrame:
+        return (
+            a.alias("a")
+            .join(a.alias("b"), "z")
+            .where(F.col("a.x") < F.col("b.x"))
+            .select(F.col("a.x").alias("u"), F.col("b.x").alias("v"))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("cn"))
+        )
+    exact = pairs_from(adj).join(edges, ["u", "v"], "left_anti")
+    top = (
+        exact.orderBy(F.desc("cn"), "u", "v").limit(20)
+        .withColumnRenamed("cn", "cn_exact")
+    )
+    zh = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("z"),
+                                      F.col("z").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    sampled = pairs_from(adj.where(zh % _LINK_P == 0))
+    return (
+        top.join(sampled, ["u", "v"], "left")
+        .select(
+            "u", "v", "cn_exact",
+            (F.lit(_LINK_P) * F.coalesce("cn", F.lit(0).cast("long")))
+            .alias("cn_est"),
+        )
+        .withColumn("err", F.col("cn_est") - F.col("cn_exact"))
+        .orderBy(F.desc("cn_exact"), "u", "v")
+    )
+
+
+W_LINK_CN_SAMPLE_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+adj AS (
+  SELECT u AS z, v AS x FROM edges
+  UNION ALL SELECT v AS z, u AS x FROM edges
+),
+exact AS (
+  SELECT a.x AS u, b.x AS v, count(*) AS cn
+  FROM adj a JOIN adj b ON a.z = b.z AND a.x < b.x
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT e.u, e.v, e.cn AS cn_exact FROM exact e
+  LEFT JOIN edges g ON e.u = g.u AND e.v = g.v
+  WHERE g.u IS NULL
+  ORDER BY e.cn DESC, e.u, e.v
+  LIMIT 20
+),
+sadj AS (
+  SELECT z, x FROM adj
+  WHERE CAST('0x' || substring(md5('z:' || CAST(z AS VARCHAR)), 1, 8)
+             AS BIGINT) % {_LINK_P} = 0
+),
+sampled AS (
+  SELECT a.x AS u, b.x AS v, count(*) AS cn
+  FROM sadj a JOIN sadj b ON a.z = b.z AND a.x < b.x
+  GROUP BY 1, 2
+)
+SELECT t.u, t.v, t.cn_exact,
+       {_LINK_P} * COALESCE(s.cn, 0) AS cn_est,
+       {_LINK_P} * COALESCE(s.cn, 0) - t.cn_exact AS err
+FROM top t LEFT JOIN sampled s ON t.u = s.u AND t.v = s.v
+"""
+
+
 # --------------------------------------------------- w_truss_decomp
 def _flat_localCheckpoint(df: DataFrame) -> DataFrame:
     """localCheckpoint that also RESETS plan statistics — required by
@@ -5736,6 +5973,8 @@ QUERIES = {
     "w_truss_decomp": w_truss_decomp,
     "w_kcore_decomp": w_kcore_decomp,
     "w_link_cn": w_link_cn,
+    "w_link_cn_sample": w_link_cn_sample,
+    "w_bfs_layers": w_bfs_layers,
     "w_triangles_serve": w_triangles_serve,
     "w_lakehouse_mor_pos": w_lakehouse_mor_pos,
     "w_lakehouse_evolve": w_lakehouse_evolve,
@@ -5801,6 +6040,8 @@ ORACLES = {
     "w_truss_decomp": _w_truss_decomp_sql(),
     "w_kcore_decomp": _w_kcore_decomp_sql(),
     "w_link_cn": W_LINK_CN_SQL,
+    "w_link_cn_sample": W_LINK_CN_SAMPLE_SQL,
+    "w_bfs_layers": _w_bfs_layers_sql(),
     "w_triangles_serve": W_TRIANGLES_SQL,
     "w_lakehouse_mor_pos": W_LAKEHOUSE_MOR_POS_SQL,
     "w_lakehouse_evolve": W_LAKEHOUSE_EVOLVE_SQL,

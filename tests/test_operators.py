@@ -994,6 +994,44 @@ def test_kcore_decomp_matches_reference_peel(spark, sf_dir):
     assert max(got) == k - 1  # the last non-empty core level
 
 
+def test_bfs_layers_matches_reference(spark, sf_dir):
+    """w_bfs_layers must equal a plain Python multi-source BFS over
+    the collected edge list: same layers, same round count.  Also
+    pins layer-0 = the exact seed count and that the reached set
+    covers most of the near-connected co-purchase graph."""
+    from collections import defaultdict, deque
+
+    from go_whisper_spark.operators.whisper_queries import (
+        _BFS_SEED_MOD,
+        _tri_edges,
+        w_bfs_layers,
+    )
+
+    rows = w_bfs_layers(spark, sf_dir).collect()
+    E = [(r.u, r.v) for r in _tri_edges(spark, sf_dir).collect()]
+    adj = defaultdict(set)
+    for u, v in E:
+        adj[u].add(v)
+        adj[v].add(u)
+    seeds = sorted(n for n in adj if n % _BFS_SEED_MOD == 0)
+    dist = {n: 0 for n in seeds}
+    dq = deque(seeds)
+    while dq:
+        n = dq.popleft()
+        for m in adj[n]:
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                dq.append(m)
+    want = defaultdict(int)
+    for d in dist.values():
+        want[d] += 1
+    got = {r.d: r.n_nodes for r in rows}
+    assert got == dict(want), f"layers diverge: {got} vs {dict(want)}"
+    assert got[0] == len(seeds)
+    assert all(r.iters == max(want) + 1 for r in rows)  # +empty round
+    assert sum(got.values()) >= 0.9 * len(adj)  # near-connected
+
+
 def test_topk_mg_one_sided_law(spark, sf_dir):
     """The MG guarantees: every estimate UNDERCOUNTS (deficit ≥ 0 —
     the one-sided law, opposite CM's), the deficit never exceeds the
