@@ -476,6 +476,7 @@ _R15_DEFERRED: list = [
     "g_render_vline",
     "w_link_cn_sample",
     "w_bfs_layers",
+    "s_coreset",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -3881,6 +3881,141 @@ WHERE round <= (SELECT f FROM fix)
 """
 
 
+_CORESET_K = 8   # selected centers
+
+
+def s_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CENTER CORESET selection — Gonzalez 1985's farthest-point
+    greedy (public; the 2-approximation for the k-center objective),
+    pointed at training-data curation: pick the k most MUTUALLY
+    DISTANT exemplars of the corpus, the diversity-selection pass a
+    pipeline runs before expensive per-exemplar work (contrast
+    `s_mmr_rerank`, which diversifies a QUERY's candidate pool, and
+    km++ seeding, which randomizes — this is the deterministic
+    worst-case-coverage pick).
+
+    Loop: seed with the lowest vec_id; each of the k−1 rounds picks
+    the vector FARTHEST from the selected set (exact integer squared
+    distance on the fixed-point grid; ties by lowest vec_id via the
+    struct ordering) and folds it into the running min-distance
+    column.  Output ledger: (k_idx, vec_id, r2 = the pick's distance
+    to the set at selection — nonincreasing for k_idx ≥ 1, the
+    Gonzalez law the pytest pins) plus final_r2 = max md after all k
+    picks, the 2-approximate k-center covering radius every row
+    carries.
+
+    Scale shape: per round ONE map-combined struct-max over the
+    O(n) distance column + a 1-row broadcast fold — the exact
+    `s_kmeans_train` seeding plan with argmax in place of the
+    inverse-CDF draw; k rounds total, no window, no join wider than
+    a 1-row broadcast."""
+    q = _km_quant(spark, sf_dir).localCheckpoint()
+
+    def dist_to(cv_col):
+        return F.aggregate(
+            F.zip_with("qv", cv_col, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    s0 = q.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("vid"), F.col("qv").alias("cv")
+    ).localCheckpoint()
+    cur = q.crossJoin(F.broadcast(s0.select("cv"))).select(
+        "vec_id", "qv", dist_to(F.col("cv")).alias("md")
+    ).localCheckpoint()
+    ledger = [s0.select(
+        F.lit(0).cast("long").alias("k_idx"),
+        F.col("vid").alias("vec_id"),
+        F.lit(0).cast("long").alias("r2"),
+    )]
+    for r in range(1, _CORESET_K):
+        pick = cur.agg(
+            F.max(F.struct(
+                F.col("md"),
+                (-F.col("vec_id")).alias("nid"),
+                F.col("vec_id").alias("vid"),
+                F.col("qv").alias("cv"),
+            )).alias("w")
+        ).select(
+            F.col("w.vid").alias("vid"),
+            F.col("w.cv").alias("cv"),
+            F.col("w.md").alias("r2"),
+        ).localCheckpoint()
+        ledger.append(pick.select(
+            F.lit(r).cast("long").alias("k_idx"),
+            F.col("vid").alias("vec_id"),
+            "r2",
+        ))
+        cur = cur.crossJoin(F.broadcast(pick.select("cv"))).select(
+            "vec_id", "qv",
+            F.least(F.col("md"), dist_to(F.col("cv"))).alias("md"),
+        ).localCheckpoint()
+    cover = cur.agg(F.max("md").alias("final_r2"))
+    out = ledger[0]
+    for l_ in ledger[1:]:
+        out = out.unionByName(l_)
+    return out.crossJoin(F.broadcast(cover)).select(
+        "k_idx", "vec_id", "r2", "final_r2"
+    )
+
+
+def _s_coreset_sql(k: int = _CORESET_K) -> str:
+    """Generated oracle: the k−1 farthest-point rounds unrolled, the
+    same struct ordering (md DESC, vec_id ASC via the negated id),
+    every round MATERIALIZED."""
+    def d2(a: str, b: str) -> str:
+        return ("CAST(list_sum(list_transform(generate_series(1, "
+                f"len({a}.qv)), i -> ({a}.qv[i] - {b}[i]) * "
+                f"({a}.qv[i] - {b}[i]))) AS BIGINT)")
+
+    parts = [
+        "m0 AS MATERIALIZED (\n"
+        f"  SELECT q.vec_id, q.qv, {d2('q', 's0.cv')} AS md\n"
+        "  FROM q, s0\n)"
+    ]
+    for r in range(1, k):
+        p = r - 1
+        parts.append(
+            f"p{r} AS MATERIALIZED (\n"
+            "  SELECT max(struct_pack(md := md, nid := -vec_id,"
+            " vid := vec_id, qv := qv)) AS w\n"
+            f"  FROM m{p}\n)"
+        )
+        parts.append(
+            f"m{r} AS MATERIALIZED (\n"
+            f"  SELECT m{p}.vec_id, m{p}.qv,\n"
+            f"         least(m{p}.md, {d2(f'm{p}', f'(p{r}.w).qv')})"
+            " AS md\n"
+            f"  FROM m{p}, p{r}\n)"
+        )
+    led = "\n  UNION ALL ".join(
+        ["SELECT CAST(0 AS BIGINT) AS k_idx, vid AS vec_id,"
+         " CAST(0 AS BIGINT) AS r2 FROM s0"]
+        + [f"SELECT {r}, (w).vid, (w).md FROM p{r}"
+           for r in range(1, k)]
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+s0 AS MATERIALIZED (
+  SELECT vec_id AS vid, qv AS cv FROM q ORDER BY vec_id LIMIT 1
+),
+{body},
+cover AS (SELECT CAST(max(md) AS BIGINT) AS final_r2 FROM m{k - 1}),
+ledger AS (
+  {led}
+)
+SELECT l.k_idx, l.vec_id, CAST(l.r2 AS BIGINT) AS r2, c.final_r2
+FROM ledger l CROSS JOIN cover c
+"""
+
+
 # ------------------------------------------------------ t_quality_filter
 _BHDR_SBITS = 4                    # same budget as w_quantile_hdr
 _BHDR_QBP = (5000, 9000, 9900)     # quantiles as exact basis points
@@ -7533,6 +7668,7 @@ QUERIES = {
     "s_kmeans_step": s_kmeans_step,
     "s_kmeans_train": s_kmeans_train,
     "s_kmeans_train_k12": s_kmeans_train_k12,
+    "s_coreset": s_coreset,
     "s_kmeans_2step": s_kmeans_2step,
     "s_kmeans_seed": s_kmeans_seed,
     "d_cdc_neardup": d_cdc_neardup,
@@ -7620,6 +7756,7 @@ ORACLES = {
     "s_kmeans_step": S_KMEANS_STEP_SQL,
     "s_kmeans_train": _s_kmeans_train_sql(),
     "s_kmeans_train_k12": _s_kmeans_train_sql(k=12),
+    "s_coreset": _s_coreset_sql(),
     "s_kmeans_2step": S_KMEANS_2STEP_SQL,
     "s_kmeans_seed": S_KMEANS_SEED_SQL,
     "d_cdc_neardup": D_CDC_NEARDUP_SQL,

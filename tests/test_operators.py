@@ -994,6 +994,44 @@ def test_kcore_decomp_matches_reference_peel(spark, sf_dir):
     assert max(got) == k - 1  # the last non-empty core level
 
 
+def test_coreset_gonzalez_laws(spark, sf_dir):
+    """Gonzalez selection laws: the pick-radius sequence r2 is
+    nonincreasing for k_idx ≥ 1 (each pick is the current farthest —
+    later picks cannot be farther), the final covering radius never
+    exceeds the last pick's r2, picks are distinct, and the whole
+    ledger matches a brute-force Python greedy over the collected
+    quantized vectors (same tie-break)."""
+    from go_whisper_spark.operators.llm_ops import (
+        _CORESET_K,
+        _km_quant,
+        s_coreset,
+    )
+
+    rows = sorted(s_coreset(spark, sf_dir).collect(),
+                  key=lambda r: r.k_idx)
+    assert len(rows) == _CORESET_K
+    r2s = [r.r2 for r in rows[1:]]
+    assert all(a >= b for a, b in zip(r2s, r2s[1:])), r2s
+    assert rows[0].final_r2 <= rows[-1].r2
+    assert len({r.vec_id for r in rows}) == _CORESET_K
+
+    vecs = {r.vec_id: r.qv for r in _km_quant(spark, sf_dir).collect()}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    sel = [min(vecs)]
+    md = {v: d2(vecs[v], vecs[sel[0]]) for v in vecs}
+    want = [(0, sel[0], 0)]
+    for r in range(1, _CORESET_K):
+        pick = max(vecs, key=lambda v: (md[v], -v))
+        want.append((r, pick, md[pick]))
+        for v in vecs:
+            md[v] = min(md[v], d2(vecs[v], vecs[pick]))
+    assert [(r.k_idx, r.vec_id, r.r2) for r in rows] == want
+    assert rows[0].final_r2 == max(md.values())
+
+
 def test_bfs_layers_matches_reference(spark, sf_dir):
     """w_bfs_layers must equal a plain Python multi-source BFS over
     the collected edge list: same layers, same round count.  Also
