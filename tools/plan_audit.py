@@ -1133,6 +1133,29 @@ CHECKS = {
         require=["PushedFilters", "BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # Sampled link prediction: same shape as w_link_cn (partial
+    # top-k, map-combined wedge counts) plus the estimate-vs-audit
+    # alignment join — still no cartesian/nested-loop over data.
+    "w_link_cn_sample": dict(
+        require=["TakeOrderedAndProject", "partial_count"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
+    # BFS layer histogram: the per-round frontier joins happened
+    # against checkpointed relations during the loop; the final plan
+    # is the map-combined layer count over the unioned checkpoints —
+    # no join of any kind survives into the read side.
+    "w_bfs_layers": dict(
+        require=["partial_count", "Union"],
+        forbid=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                "Window"],
+    ),
+    # Coreset ledger: the k picks are checkpointed 1-row frames; the
+    # read side is their union beside the 1-row covering-radius
+    # broadcast (intended NL join, the timeSlice discipline).
+    "s_coreset": dict(
+        require=["Union", "BroadcastNestedLoopJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
     # MG summaries + merge: map-combined counts (the one shuffle
     # exact wordcount pays), top-(k+1) threshold windows over the
     # O(keys)/O(shards·k) relations, broadcast threshold join-backs —
