@@ -874,6 +874,25 @@ def merge_table(
     log = CommitLog(table)
     if base_version is None:
         base_version = log.state()["version"]
+    # Partition-scheme guard (found by the round-15 MODEL TEST, not a
+    # reviewer): merge addresses partitions BY KEY ("<part_col>=<v>"),
+    # so on a table whose live keys follow a different scheme — e.g.
+    # the zbucket= layout an optimize_table rewrite leaves behind —
+    # the rewrite would ADD overlapping keys next to the existing
+    # ones and duplicate every matched row.  Row-level changes on a
+    # re-keyed table go through the layout-agnostic MoR verbs.
+    alien = sorted(
+        k for k in log.state(at_version=base_version)["partitions"]
+        if not k.startswith((f"{part_col}=",) + MOR_PREFIXES)
+    )
+    if alien:
+        raise ValueError(
+            f"lake table {table} has live partition keys {alien[:3]} "
+            f"outside the '{part_col}=' scheme (an OPTIMIZE rewrite "
+            "re-keys the table): a partition-addressed merge would "
+            "duplicate rows — use the key-addressed MoR verbs "
+            "(upsert_rows_mor/delete_rows_mor) instead"
+        )
     parts = [
         r[0] for r in updates.select(part_col).distinct().collect()
     ]
