@@ -477,6 +477,7 @@ _R15_DEFERRED: list = [
     "w_link_cn_sample",
     "w_bfs_layers",
     "s_coreset",
+    "m_vad_segments",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

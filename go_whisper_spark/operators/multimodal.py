@@ -39,7 +39,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 USE_REAL_CODECS = False  # flip when PIL/ffmpeg-style libs exist
@@ -385,6 +385,112 @@ def m_pcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style SEGMENTATION over the windowed-energy
+    stage — the silence-trim pass an audio pipeline runs between
+    decode and transcription: a window is ACTIVE when its energy
+    exceeds the corpus threshold (the floored global mean — one
+    exact integer division of exact longs, the one knob a real VAD
+    would expose), and consecutive active windows fold into
+    SEGMENTS via the gaps-and-islands difference (window_idx −
+    row_number is constant within a run).  Per audio media:
+    n_segments, the longest segment in windows, and the active
+    fraction in floored ppm.
+
+    The decode stays the deterministic byte-stat fake
+    (USE_REAL_CODECS) — what this pins is the Spark-side plumbing a
+    real VAD needs verbatim: the 1:N windowed Arrow stage, the 1-row
+    threshold broadcast, the per-media run-detection window, and the
+    three-way ledger join.
+
+    Scale shape: the energy stage is the narrow mapInPandas (no
+    shuffle); the run detection is ONE per-media window over the
+    O(windows) relation; threshold and ledger are map-combined
+    aggregates; ppm is floor(1e6·active/total) on exact longs."""
+    media = documents_as_media(spark, sf_dir)
+    wins = pcm_energy(media)
+    thr = wins.agg(
+        F.floor(F.sum("energy").cast("double") / F.count("*"))
+        .cast("long").alias("t")
+    )
+    w = Window.partitionBy("media_id").orderBy("window_idx")
+    seg = (
+        wins.crossJoin(F.broadcast(thr))
+        .where(F.col("energy") > F.col("t"))
+        .withColumn("grp",
+                    F.col("window_idx") - F.row_number().over(w))
+        .groupBy("media_id", "grp")
+        .agg(F.count("*").alias("seg_len"))
+    )
+    per_media = seg.groupBy("media_id").agg(
+        F.count("*").alias("n_segments"),
+        F.max("seg_len").alias("max_seg_len"),
+        F.sum("seg_len").alias("active_n"),
+    )
+    totals = wins.groupBy("media_id").agg(F.count("*").alias("total_n"))
+    return (
+        totals.join(per_media, "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce("n_segments", F.lit(0).cast("long"))
+            .alias("n_segments"),
+            F.coalesce("max_seg_len", F.lit(0).cast("long"))
+            .alias("max_seg_len"),
+            F.floor(F.lit(1000000)
+                    * F.coalesce("active_n", F.lit(0).cast("long"))
+                    / F.col("total_n")).cast("long").alias("active_ppm"),
+        )
+    )
+
+
+M_VAD_SEGMENTS_SQL = """
+WITH pos AS (
+  SELECT doc_id,
+         unnest(generate_series(1, strlen(text))) AS i,
+         text
+  FROM documents
+  WHERE doc_id % 3 = 1 AND strlen(text) > 0
+),
+win AS (
+  SELECT doc_id,
+         (i - 1) // 256 AS window_idx,
+         CAST(sum((unicode(text[i]) - 128) * (unicode(text[i]) - 128))
+              AS BIGINT) AS energy
+  FROM pos
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT CAST(floor(CAST(sum(energy) AS DOUBLE) / count(*))
+              AS BIGINT) AS t
+  FROM win
+),
+act AS (
+  SELECT doc_id, window_idx,
+         window_idx - row_number() OVER (
+           PARTITION BY doc_id ORDER BY window_idx) AS grp
+  FROM win, thr
+  WHERE energy > t
+),
+seg AS (
+  SELECT doc_id, grp, count(*) AS seg_len FROM act GROUP BY 1, 2
+),
+pm AS (
+  SELECT doc_id, count(*) AS n_segments, max(seg_len) AS max_seg_len,
+         sum(seg_len) AS active_n
+  FROM seg GROUP BY 1
+),
+tot AS (
+  SELECT doc_id, count(*) AS total_n FROM win GROUP BY 1
+)
+SELECT t.doc_id AS media_id,
+       CAST(COALESCE(p.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(p.max_seg_len, 0) AS BIGINT) AS max_seg_len,
+       CAST(floor(1000000 * CAST(COALESCE(p.active_n, 0) AS DOUBLE)
+                  / t.total_n) AS BIGINT) AS active_ppm
+FROM tot t LEFT JOIN pm p ON t.doc_id = p.doc_id
+"""
+
+
 def m_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressable chunk-dedup ledger over the binary
     payloads — the dedup primitive a blob store runs on image/video
@@ -512,6 +618,7 @@ QUERIES = {
     "m_frame_sample": m_frame_sample,
     "m_resize_stats": m_resize_stats,
     "m_pcm_energy": m_pcm_energy,
+    "m_vad_segments": m_vad_segments,
     "m_pcm_resample": m_pcm_resample,
     "m_chunk_dedup": m_chunk_dedup,
     "m_cdc_dedup": m_cdc_dedup,
@@ -767,6 +874,7 @@ ORACLES: dict = {
     "m_frame_sample": M_FRAME_SAMPLE_SQL,
     "m_resize_stats": M_RESIZE_STATS_SQL,
     "m_pcm_energy": M_PCM_ENERGY_SQL,
+    "m_vad_segments": M_VAD_SEGMENTS_SQL,
     "m_pcm_resample": M_PCM_RESAMPLE_SQL,
     "m_chunk_dedup": M_CHUNK_DEDUP_SQL,
     "m_cdc_dedup": M_CDC_DEDUP_SQL,
