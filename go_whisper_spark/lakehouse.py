@@ -872,8 +872,11 @@ def merge_table(
     from pyspark.sql import functions as F
 
     log = CommitLog(table)
+    # one log replay serves the version default, the scheme guard,
+    # and the schema-registry lookup (REVIEW r15: was three)
+    st = log.state(at_version=base_version)
     if base_version is None:
-        base_version = log.state()["version"]
+        base_version = st["version"]
     # Partition-scheme guard (found by the round-15 MODEL TEST, not a
     # reviewer): merge addresses partitions BY KEY ("<part_col>=<v>"),
     # so on a table whose live keys follow a different scheme — e.g.
@@ -882,7 +885,7 @@ def merge_table(
     # ones and duplicate every matched row.  Row-level changes on a
     # re-keyed table go through the layout-agnostic MoR verbs.
     alien = sorted(
-        k for k in log.state(at_version=base_version)["partitions"]
+        k for k in st["partitions"]
         if not k.startswith((f"{part_col}=",) + MOR_PREFIXES)
     )
     if alien:
@@ -902,7 +905,7 @@ def merge_table(
     # rows read the new column as NULL; the widened frames register
     # their schema through commit_partitions); a type conflict
     # against the registry raises here, before any rewrite
-    _widened_schema(log.state()["schema"] or _schema_pairs(cur), updates)
+    _widened_schema(st["schema"] or _schema_pairs(cur), updates)
     all_keys = updates.select(*keys).distinct()
     if allow_moves:
         # every partition currently holding an updated key must also

@@ -408,10 +408,11 @@ def m_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(windows) relation; threshold and ledger are map-combined
     aggregates; ppm is floor(1e6·active/total) on exact longs."""
     media = documents_as_media(spark, sf_dir)
-    wins = pcm_energy(media)
+    # three consumers (threshold, run detection, totals) — checkpoint
+    # so the Arrow energy stage runs once (the _tri_edges discipline)
+    wins = pcm_energy(media).localCheckpoint()
     thr = wins.agg(
-        F.floor(F.sum("energy").cast("double") / F.count("*"))
-        .cast("long").alias("t")
+        F.expr("sum(energy) div count(*)").alias("t")
     )
     w = Window.partitionBy("media_id").orderBy("window_idx")
     seg = (
@@ -460,8 +461,7 @@ win AS (
   GROUP BY 1, 2
 ),
 thr AS (
-  SELECT CAST(floor(CAST(sum(energy) AS DOUBLE) / count(*))
-              AS BIGINT) AS t
+  SELECT CAST(sum(energy) // count(*) AS BIGINT) AS t
   FROM win
 ),
 act AS (

@@ -1300,6 +1300,29 @@ def _tri_edges(spark: SparkSession, sf_dir: str,
     return edges.localCheckpoint() if materialize else edges
 
 
+def _graph_adj(edges: DataFrame) -> DataFrame:
+    """Undirected adjacency (z, x) — both directions of the (u < v)
+    edge list.  Shared by w_link_cn / w_link_cn_sample / w_bfs_layers
+    (REVIEW r15: was copy-pasted in all three)."""
+    return edges.select(
+        F.col("u").alias("z"), F.col("v").alias("x")
+    ).unionAll(edges.select(F.col("v").alias("z"), F.col("u").alias("x")))
+
+
+def _cn_pairs(adj: DataFrame) -> DataFrame:
+    """Common-neighbor counts over unordered 2-hop pairs: the wedge
+    self-join keyed on the center + map-combined count.  Shared by
+    the exact and center-sampled link-prediction rungs."""
+    return (
+        adj.alias("a")
+        .join(adj.alias("b"), "z")
+        .where(F.col("a.x") < F.col("b.x"))
+        .select(F.col("a.x").alias("u"), F.col("b.x").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+    )
+
+
 def _tri_orient(edges: DataFrame, materialize: bool = True):
     """Edge list → (deg, oriented): per-node degrees and each edge
     oriented from the endpoint EARLIER in the (degree, id) total
@@ -1690,16 +1713,8 @@ def w_link_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Here the full graph runs exact; the fence is documented, not
     silently applied."""
     edges = _tri_edges(spark, sf_dir)
-    adj = edges.select(F.col("u").alias("z"), F.col("v").alias("x")).unionAll(
-        edges.select(F.col("v").alias("z"), F.col("u").alias("x"))
-    )
-    pairs = (
-        adj.alias("a")
-        .join(adj.alias("b"), "z")
-        .where(F.col("a.x") < F.col("b.x"))
-        .select(F.col("a.x").alias("u"), F.col("b.x").alias("v"))
-    )
-    cn = pairs.groupBy("u", "v").agg(F.count("*").alias("cn"))
+    adj = _graph_adj(edges)
+    cn = _cn_pairs(adj)
     cand = cn.join(edges, ["u", "v"], "left_anti")
     deg = (
         edges.select(F.explode(F.array("u", "v")).alias("node"))
@@ -1797,9 +1812,7 @@ def w_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     peel's multiplicative shape); ONE control-plane scalar per
     round.  No collect of node data anywhere."""
     edges = _tri_edges(spark, sf_dir)
-    adj = edges.select(F.col("u").alias("z"), F.col("v").alias("x")).unionAll(
-        edges.select(F.col("v").alias("z"), F.col("u").alias("x"))
-    ).localCheckpoint()
+    adj = _graph_adj(edges).localCheckpoint()
     nodes = adj.select(F.col("z").alias("node")).distinct()
     frontier = nodes.where(F.col("node") % _BFS_SEED_MOD == 0)
     visited = frontier.withColumn("d", F.lit(0).cast("long"))
@@ -1921,20 +1934,8 @@ def w_link_cn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling rate); the exact side is the audit baseline; one left
     join aligns the two ledgers."""
     edges = _tri_edges(spark, sf_dir)
-    adj = edges.select(F.col("u").alias("z"), F.col("v").alias("x")).unionAll(
-        edges.select(F.col("v").alias("z"), F.col("u").alias("x"))
-    )
-
-    def pairs_from(a: DataFrame) -> DataFrame:
-        return (
-            a.alias("a")
-            .join(a.alias("b"), "z")
-            .where(F.col("a.x") < F.col("b.x"))
-            .select(F.col("a.x").alias("u"), F.col("b.x").alias("v"))
-            .groupBy("u", "v")
-            .agg(F.count("*").alias("cn"))
-        )
-    exact = pairs_from(adj).join(edges, ["u", "v"], "left_anti")
+    adj = _graph_adj(edges)
+    exact = _cn_pairs(adj).join(edges, ["u", "v"], "left_anti")
     top = (
         exact.orderBy(F.desc("cn"), "u", "v").limit(20)
         .withColumnRenamed("cn", "cn_exact")
@@ -1944,7 +1945,7 @@ def w_link_cn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       F.col("z").cast("string"))), 1, 8),
         16, 10,
     ).cast("long")
-    sampled = pairs_from(adj.where(zh % _LINK_P == 0))
+    sampled = _cn_pairs(adj.where(zh % _LINK_P == 0))
     return (
         top.join(sampled, ["u", "v"], "left")
         .select(
