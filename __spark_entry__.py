@@ -428,15 +428,12 @@ _R14_DEFERRED: list = [
 # never-checked _R14_DEFERRED entries + 40 of the r08 cohort (oldest
 # driver evidence; zero overlap with rounds 12-14 — test_registry
 # asserts list == first-50 so drift is caught before the driver
-# runs).  ROUND-16 TODO: once CORRECTNESS_r15.json exists, verify
-# its keys == this list, then (a) add _R15_WINDOW to `recent`, (b)
-# move the _R15_DEFERRED block to right after the new-queries clause
-# with an `and n not in recent` guard, (c) add `n not in r15` to any
-# older-window block this window reaches into (it will reach the
-# _R08_WINDOW cohort — the standing footgun), (d) append
-# _R15_WINDOW's block at the END of the order (re-front any red rows
-# via a _R15_RED block, the _R12_RED pattern).  Queries added AFTER
-# the freeze go in _R15_DEFERRED, never in front of the window.
+# runs).  Round-16 rotation EXECUTED: CORRECTNESS_r15.json keys ==
+# this list (50/50 green, zero red rows, so no _R15_RED block
+# exists), r15 joined `recent`, the _R15_DEFERRED block fronts the
+# round-16 window, `n not in r15` guards every older-window block
+# (the r15 window re-checked 40 of _R08_WINDOW), and this list's
+# block sits at the END of the order.
 _R15_WINDOW: list = [
     "w_truss_decomp", "w_triangles_serve", "w_lakehouse_mor_pos",
     "w_lakehouse_evolve", "s_kmeans_train",
@@ -479,6 +476,25 @@ _R15_DEFERRED: list = [
     "s_coreset",
     "m_vad_segments",
 ]
+
+# The round-16 driver window: frozen mid-round once round-16's new
+# queries have landed (first 50 of the rotated registry = new r16
+# queries + the 16 _R15_DEFERRED entries + the oldest remaining
+# driver evidence: the r08-window tail the r15 window didn't reach,
+# then the front of the r09 cohort).  Empty until the freeze —
+# test_r16_window_matches_first_fifty skips while empty.
+# ROUND-17 TODO: once CORRECTNESS_r16.json exists, verify its keys
+# == this list, then (a) add _R16_WINDOW to `recent`, (b) move the
+# _R16_DEFERRED block to right after the new-queries clause, (c) add
+# `n not in r16` to every older-window block this window reaches
+# into (it reaches the _R08_WINDOW tail and the _R09_WINDOW front —
+# the standing footgun), (d) append _R16_WINDOW's block at the END
+# (re-front any red rows via a _R16_RED block, the _R12_RED
+# pattern).  Queries added AFTER the freeze go in _R16_DEFERRED.
+_R16_WINDOW: list = []
+
+# Queries added late in round 16, after the round-16 window freeze.
+_R16_DEFERRED: list = []
 
 # Added late in round 8, after the round-8 window composition (5 new
 # batch-1 queries + the round-4 cohort) was already settled.  Never
@@ -613,19 +629,26 @@ def _registry():
     r12 = set(_R12_WINDOW)
     r13 = set(_R13_WINDOW)
     r14 = set(_R14_WINDOW)
-    recent = r07 | r08 | r09 | r10 | r11 | r12 | r13 | r14
+    r15 = set(_R15_WINDOW)
+    recent = r07 | r08 | r09 | r10 | r11 | r12 | r13 | r14 | r15
     seen = (set(_R6_DEFERRED) | set(_R04_CHECKED) | set(_R05_CHECKED)
             | set(_R06_CHECKED) | recent | set(_R08_DEFERRED)
             | set(_R09_DEFERRED) | set(_R10_DEFERRED)
             | set(_R11_DEFERRED) | set(_R12_DEFERRED)
             | set(_R13_DEFERRED) | set(_R14_DEFERRED)
-            | set(_R15_DEFERRED))
+            | set(_R15_DEFERRED) | set(_R16_DEFERRED))
     order = (
         [n for n in queries if n not in seen]
-        # Never-driver-checked round-14 late additions (streamed
-        # triangle store, PageRank integer fixpoint, byte-weighted
-        # HDR quantiles) front the round-15 window, right after any
-        # genuinely-new queries (the standing deferral rule).
+        # Never-driver-checked round-15 late additions (partition-
+        # moving MERGE, k-core decomposition, link prediction, Bloom
+        # skipping, zone maps + OPTIMIZE, the CDF trio, Misra-Gries
+        # top-k pair, vline render, DOULION sample, BFS layers,
+        # k-center coreset, VAD segmentation) front the round-16
+        # window, right after any genuinely-new queries (the
+        # standing deferral rule).
+        + [n for n in _R15_DEFERRED if n in queries and n not in recent]
+        # _R14_DEFERRED ⊂ _R15_WINDOW (checked green in round 15), so
+        # this block filters to empty; kept for the audit trail.
         + [n for n in _R14_DEFERRED if n in queries and n not in recent]
         # _R13_DEFERRED ⊂ _R14_WINDOW (checked green in round 14), so
         # this block filters to empty; kept for the audit trail.
@@ -645,38 +668,46 @@ def _registry():
         + [n for n in _R04_CHECKED if n in queries and n not in recent]
         + [n for n in _R05_CHECKED if n in queries and n not in recent]
         + [n for n in _R06_CHECKED if n in queries and n not in recent]
-        # The round-13 window reached INTO _R07_WINDOW (14 entries)
-        # and the round-14 window reached further (36 of r07 + 1 of
-        # r08), so every older-window block excludes BOTH r13 and r14
-        # members — their fresh spots at the end are authoritative.
-        # Without these filters the r15 window would re-check fresh
-        # greens (the rotation footgun, hit at r13→r14).
+        # The round-13 window reached INTO _R07_WINDOW (14 entries),
+        # the round-14 window reached further (36 of r07 + 1 of r08),
+        # and the round-15 window re-checked 40 of _R08_WINDOW — so
+        # every older-window block excludes r13, r14 AND r15 members:
+        # their fresh spots at the end are authoritative.  Without
+        # these filters the r16 window would re-check fresh greens
+        # (the rotation footgun, hit at r13→r14).
         + [n for n in _R07_WINDOW
-           if n in queries and n not in r13 and n not in r14]
+           if n in queries and n not in r13 and n not in r14
+           and n not in r15]
         + [n for n in _R08_WINDOW
-           if n in queries and n not in r13 and n not in r14]
+           if n in queries and n not in r13 and n not in r14
+           and n not in r15]
         + [n for n in _R09_WINDOW
-           if n in queries and n not in r13 and n not in r14]
+           if n in queries and n not in r13 and n not in r14
+           and n not in r15]
         + [n for n in _R10_WINDOW
-           if n in queries and n not in r13 and n not in r14]
+           if n in queries and n not in r13 and n not in r14
+           and n not in r15]
         + [n for n in _R11_WINDOW
-           if n in queries and n not in r13 and n not in r14]
+           if n in queries and n not in r13 and n not in r14
+           and n not in r15]
         # s_kmeans_step stays excluded here (it re-checked GREEN in
         # round 13, so its _R13_WINDOW spot below is authoritative and
         # the exclusion keeps the order list duplicate-free).
         + [n for n in _R12_WINDOW
            if n in queries and n not in _R12_RED and n not in r13
-           and n not in r14]
+           and n not in r14 and n not in r15]
         # r14's window absorbed 5 of _R13_DEFERRED but zero of
         # _R13_WINDOW; the filter keeps the order duplicate-free if
         # a future window ever reaches in.
-        + [n for n in _R13_WINDOW if n in queries and n not in r14]
+        + [n for n in _R13_WINDOW
+           if n in queries and n not in r14 and n not in r15]
+        + [n for n in _R14_WINDOW if n in queries and n not in r15]
         # Most recently checked, so last (50/50 green in
-        # CORRECTNESS_r14).
-        + [n for n in _R14_WINDOW if n in queries]
-        # Late round-15 additions: past the frozen window; the
-        # round-16 rotation re-fronts them via the standing rule.
-        + [n for n in _R15_DEFERRED if n in queries and n not in recent]
+        # CORRECTNESS_r15).
+        + [n for n in _R15_WINDOW if n in queries]
+        # Late round-16 additions: past the frozen window; the
+        # round-17 rotation re-fronts them via the standing rule.
+        + [n for n in _R16_DEFERRED if n in queries and n not in recent]
     )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}

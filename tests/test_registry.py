@@ -215,13 +215,12 @@ def test_r14_window_matches_driver_record():
 
 
 def test_round15_window_disjoint_from_r14():
-    """First 50 of the rotated registry must not re-check the rounds
-    12-14 greens (round 14 was fully green, so no red row re-fronts)
-    and must front every never-driver-checked round-14 deferral.
-    The r08 cohort IS expected in the window — it is the oldest
-    driver evidence and rotation exists to re-check it."""
-    queries, _ = entry._registry()
-    window = list(queries)[:50]
+    """The round-15 window (now the historical _R15_WINDOW list) did
+    not re-check the rounds 12-14 greens (round 14 was fully green,
+    so no red row re-fronted) and fronted every never-driver-checked
+    round-14 deferral.  The r08 cohort WAS expected in the window —
+    it was the oldest driver evidence at the time."""
+    window = entry._R15_WINDOW
     assert not set(window) & set(entry._R14_WINDOW), (
         "round-15 window re-checks round-14 greens")
     assert not set(window) & set(entry._R13_WINDOW)
@@ -230,17 +229,46 @@ def test_round15_window_disjoint_from_r14():
     assert not missing, f"never-checked deferrals missed the window: {missing}"
 
 
-def test_r15_window_matches_first_fifty():
-    """Once frozen mid-round, the pre-materialized round-15 window
-    list (the round-16 rotation seed) must stay equal to the
-    registry's actual first 50 — the drift failure mode enforced
-    every round since round 8.  Late round-15 additions belong in
-    _R15_DEFERRED, which this equality keeps OUT of the window."""
-    if not entry._R15_WINDOW:
-        pytest.skip("_R15_WINDOW not yet frozen this round")
-    queries, _ = entry._registry()
-    assert entry._R15_WINDOW == list(queries)[:50]
+def test_r15_window_matches_driver_record():
+    """_R15_WINDOW (the round-16 rotation seed) must equal the window
+    the driver actually hashed in round 15 (50/50 green — zero red
+    rows, so no _R15_RED block exists)."""
+    rec = _correctness(15)
+    assert len(entry._R15_WINDOW) == 50
     assert len(set(entry._R15_WINDOW)) == 50
+    assert set(entry._R15_WINDOW) == set(rec.keys())
+    red = {n for n, r in rec.items() if r.get("err") or not r.get("hash_match")}
+    assert not red, f"round-15 record has red rows with no _R15_RED block: {red}"
+
+
+def test_round16_window_disjoint_from_r15():
+    """First 50 of the rotated registry must not re-check the rounds
+    13-15 greens (round 15 was fully green, so no red row re-fronts)
+    and must front every never-driver-checked round-15 deferral.
+    The r08-window tail and the r09-cohort front ARE expected in the
+    window — they are the oldest driver evidence and rotation exists
+    to re-check them."""
+    queries, _ = entry._registry()
+    window = list(queries)[:50]
+    assert not set(window) & set(entry._R15_WINDOW), (
+        "round-16 window re-checks round-15 greens")
+    assert not set(window) & set(entry._R14_WINDOW)
+    assert not set(window) & set(entry._R13_WINDOW)
+    missing = [n for n in entry._R15_DEFERRED if n not in window]
+    assert not missing, f"never-checked deferrals missed the window: {missing}"
+
+
+def test_r16_window_matches_first_fifty():
+    """Once frozen mid-round, the pre-materialized round-16 window
+    list (the round-17 rotation seed) must stay equal to the
+    registry's actual first 50 — the drift failure mode enforced
+    every round since round 8.  Late round-16 additions belong in
+    _R16_DEFERRED, which this equality keeps OUT of the window."""
+    if not entry._R16_WINDOW:
+        pytest.skip("_R16_WINDOW not yet frozen this round")
+    queries, _ = entry._registry()
+    assert entry._R16_WINDOW == list(queries)[:50]
+    assert len(set(entry._R16_WINDOW)) == 50
 
 
 def test_checked_cohorts_are_registered():
@@ -255,6 +283,7 @@ def test_checked_cohorts_are_registered():
                 entry._R12_WINDOW, entry._R12_DEFERRED, entry._R12_RED,
                 entry._R13_WINDOW, entry._R13_DEFERRED,
                 entry._R14_WINDOW, entry._R14_DEFERRED,
-                entry._R15_WINDOW, entry._R15_DEFERRED):
+                entry._R15_WINDOW, entry._R15_DEFERRED,
+                entry._R16_WINDOW, entry._R16_DEFERRED):
         missing = [n for n in lst if n not in queries]
         assert not missing, f"cohort names not in registry: {missing}"
