@@ -552,6 +552,49 @@ def _bloom_positions_py(value) -> set:
 
 _BLOOM_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
 
+_BLOOM_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _normalize_probe(value, dtype: str):
+    """Coerce one lookup probe to the probed column's dtype before
+    hashing (ADVICE r15): the filter stored hashes of Spark's
+    CAST(col AS STRING), so a probe must render the SAME text.
+    Probing a bigint column with 13.0 or '13' would hash '0:13.0' /
+    '0:13' — the raw str() of the float prunes every directory even
+    though the final isin() would match via Spark's implicit cast, a
+    silent false negative.  Integer columns therefore accept int,
+    integral float, and int-parsable str (all coerced to int);
+    string columns accept str and int (str(int) renders
+    identically); anything else — bool (str→'True' vs Spark 'true'),
+    non-integral float, None — fails loud, mirroring the build-side
+    type gate in `_bloom_stats`."""
+    if dtype in _BLOOM_INT_TYPES:
+        if isinstance(value, bool) or value is None:
+            raise ValueError(
+                f"cannot probe {dtype} bloom column with {value!r}")
+        if isinstance(value, int):
+            return value
+        if isinstance(value, float) and value.is_integer():
+            return int(value)
+        if isinstance(value, str):
+            try:
+                return int(value)
+            except ValueError:
+                raise ValueError(
+                    f"cannot probe {dtype} bloom column with "
+                    f"non-integer string {value!r}") from None
+        raise ValueError(
+            f"cannot probe {dtype} bloom column with "
+            f"{type(value).__name__} {value!r}")
+    # string column
+    if isinstance(value, str):
+        return value
+    if isinstance(value, int) and not isinstance(value, bool):
+        return str(value)
+    raise ValueError(
+        f"cannot probe string bloom column with "
+        f"{type(value).__name__} {value!r}")
+
 
 def _bloom_stats(spark: SparkSession, datadir: str, cols) -> dict:
     """{col: sorted occupied bit positions} for one written directory.
@@ -797,6 +840,19 @@ def read_table_lookup(
     values = list(values)   # REVIEW r15: a generator would be
     #                         exhausted by the probe pass below, then
     #                         isin([]) would silently return nothing
+    # ADVICE r15: coerce probes to the column's registered dtype
+    # BEFORE hashing — a float/str probe of an int column renders
+    # different hash text than the build side's CAST AS STRING, which
+    # would prune directories the final isin() matches (a silent
+    # false negative).  Dtype comes from the committed schema, else
+    # from the parquet footers (metadata-only read).
+    dtype = dict(state.get("schema") or [])
+    if col not in dtype:
+        dtype = dict(spark.read.option("mergeSchema", "true")
+                     .parquet(*dirs).dtypes)
+    if col not in dtype:
+        raise ValueError(f"lake table {table} has no column {col!r}")
+    values = [_normalize_probe(v, dtype[col]) for v in values]
     probes = [_bloom_positions_py(v) for v in values]
     keep = []
     for d in dirs:
@@ -977,6 +1033,23 @@ def read_changes(
     # diff it would surface value-identical rewrites as changes and
     # leak into the feed schema.
     old, new = old.drop(POS_COL), new.drop(POS_COL)
+    # ADVICE r15: a schema-evolution boundary inside the range means
+    # the endpoints have different column sets, and exceptAll would
+    # die with a raw AnalysisException deep in the plan.  Fail loud
+    # and NAMED instead: CDF across an evolution boundary has no
+    # single answer (is every old row "changed" because a new column
+    # appeared as NULL?) — the caller picks a side by reading
+    # sub-ranges that stop at the boundary, or by diffing explicit
+    # projections of the common columns.
+    if set(old.columns) != set(new.columns):
+        evolved = sorted(set(old.columns) ^ set(new.columns))
+        raise ValueError(
+            f"read_changes({table!r}, v{from_version}->v{to_version}) "
+            f"crosses a schema-evolution boundary: column(s) "
+            f"{evolved} exist in only one endpoint snapshot. Read "
+            "sub-ranges that stop at the evolving commit, or diff "
+            "projections of the common columns explicitly."
+        )
     old, new = old.select(sorted(old.columns)), new.select(sorted(new.columns))
     deletes = old.exceptAll(new).withColumn("_change_type",
                                             F.lit("delete"))
@@ -1057,6 +1130,20 @@ def read_changes_mor(
     # read_changes) — upsert_rows_mor re-stamps it, so leaving it in
     # would break the value-identical-re-upsert cancellation
     old, new = old.drop(POS_COL), new.drop(POS_COL)
+    # Same evolution-boundary guard as read_changes (ADVICE r15): a
+    # delta-append commit can widen the schema mid-range, leaving the
+    # endpoints with different column sets and exceptAll a raw
+    # AnalysisException.  Fail loud and named.
+    if set(old.columns) != set(new.columns):
+        evolved = sorted(set(old.columns) ^ set(new.columns))
+        raise ValueError(
+            f"read_changes_mor({table!r}, v{from_version}->"
+            f"v{to_version}) crosses a schema-evolution boundary: "
+            f"column(s) {evolved} exist in only one endpoint "
+            "snapshot. Read sub-ranges that stop at the evolving "
+            "commit, or diff projections of the common columns "
+            "explicitly."
+        )
     old, new = old.select(sorted(old.columns)), new.select(sorted(new.columns))
     deletes = old.exceptAll(new).withColumn("_change_type",
                                             F.lit("delete"))

@@ -2269,8 +2269,9 @@ def w_kcore_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged — only the threshold moved).  No triangle join anywhere
     — each round is strictly cheaper than a truss round, which is why
     core peeling is the FIRST cleaning pass and truss the second.
-    Measured flattened fixpoints: 18/24/26 rounds at
-    sf0.001/0.01/0.1."""
+    Measured flattened fixpoints (re-measured for ADVICE r15 —
+    matches the _KCORE_ORACLE_R margin comment): 37/60/80 rounds at
+    sf0.001/0.01/0.1, against the 88-round oracle unroll."""
     edges = _tri_edges(spark, sf_dir, order_mod=_TRUSS_MOD)
     nodes = _flat_localCheckpoint(
         edges.select(F.explode(F.array("u", "v")).alias("node")).distinct()
@@ -5770,9 +5771,20 @@ def w_lakehouse_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     table = os.path.join(tempfile.mkdtemp(prefix="gws_lakeopt_"),
                          "silver_events")
+    # ADVICE r15: commit ONLY the non-empty ingest shards.  An empty
+    # shard would be registered with [None, None] stats, which
+    # _range_pruned conservatively admits — while the oracle's
+    # pre_stats GROUP BY simply has no row for it, an off-by-one in
+    # dirs_pre at any SF where some event_id % 8 class is absent
+    # (optimize_table already skips empty buckets for the same
+    # reason; the metadata-only distinct is 8 rows).
+    live = sorted(
+        r.d for r in
+        q.select((F.col("event_id") % 8).alias("d")).distinct().collect()
+    )
     commit_partitions(
         spark, table,
-        {f"d={k}": q.where(F.col("event_id") % 8 == k) for k in range(8)},
+        {f"d={k}": q.where(F.col("event_id") % 8 == k) for k in live},
         base_version=0,
         minmax_cols=["qx", "qt"],
     )

@@ -1352,3 +1352,81 @@ def test_schema_evolution_under_race(spark, tmp_path):
     assert row[1].stars == 5 and row[1].lang is None
     assert row[2].lang == "en" and row[2].stars is None
     assert row[5].stars is None and row[5].lang is None
+
+
+def test_bloom_probe_type_normalization(spark, tmp_path):
+    """ADVICE r15: the lookup coerces probes to the probed column's
+    dtype BEFORE hashing.  A float 13.0 or string '13' probe of a
+    bigint column must hit (previously both hashed to different text
+    than the build side's CAST AS STRING — a silent false negative
+    that pruned every directory); type-unrepresentable probes (bool,
+    non-integral float, non-numeric string) fail loud, mirroring the
+    build-side gate."""
+    import pytest as _pytest
+
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        read_table_lookup,
+    )
+
+    table = str(tmp_path / "silver")
+    df = spark.createDataFrame(
+        [(i, i * 10, i % 4) for i in range(100)], "k long, v long, b long"
+    )
+    commit_partitions(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in range(4)},
+        base_version=0, bloom_cols=["k"],
+    )
+    # integral float and int-parsable string probes hit the true row
+    for probe in (13.0, "13", 13):
+        got = read_table_lookup(spark, table, "k", [probe]).collect()
+        assert [(r.k, r.v) for r in got] == [(13, 130)], probe
+    # unrepresentable probes fail loud, not silently-empty
+    for bad in (True, 1.5, "x13", None):
+        with _pytest.raises(ValueError, match="bloom column"):
+            read_table_lookup(spark, table, "k", [bad])
+
+
+def test_read_changes_evolution_boundary_fails_loud(spark, tmp_path):
+    """ADVICE r15: a CDF range that crosses a schema-evolution
+    boundary raises a NAMED error listing the evolved column(s)
+    instead of exceptAll's raw AnalysisException; sub-ranges that
+    stop at the boundary still work."""
+    import pytest as _pytest
+
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        merge_table,
+        read_changes,
+    )
+
+    table = str(tmp_path / "m")
+    df = spark.createDataFrame(
+        [(k, k * 10, k % 2) for k in range(10)], "k long, v long, b long"
+    )
+    commit_partitions(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in (0, 1)},
+        base_version=0,
+    )
+    # v2 widens with `stars`
+    merge_table(
+        spark, table,
+        spark.createDataFrame([(2, 222, 0, 7)],
+                              "k long, v long, b long, stars long"),
+        key_cols=["k"], part_col="b",
+    )
+    # v3 plain-value update (no further evolution)
+    merge_table(
+        spark, table,
+        spark.createDataFrame([(3, 333, 1, None)],
+                              "k long, v long, b long, stars long"),
+        key_cols=["k"], part_col="b",
+    )
+    with _pytest.raises(ValueError, match=r"stars"):
+        read_changes(spark, table, from_version=1, to_version=2)
+    # the post-boundary sub-range diffs fine
+    ch = read_changes(spark, table, from_version=2, to_version=3)
+    got = sorted((r._change_type, r.k, r.v) for r in ch.collect())
+    assert got == [("delete", 3, 30), ("insert", 3, 333)]
