@@ -1177,3 +1177,45 @@ def test_kmeans_train_convergence_ledger(spark, sf_dir):
     assert all(r.n_moved > 0 for r in rows[1:-1]), (
         "an earlier stable round should have stopped the loop")
     assert inert[0] > inert[-1], "training did not reduce inertia"
+
+
+def test_flat_localCheckpoint_resets_plan_stats(spark):
+    """VERDICT r15 item 5: the stats-free rewrap inside
+    `_flat_localCheckpoint` must actually ENGAGE — if Spark-version
+    drift moves the private `internalCreateDataFrame` constructor,
+    the silent fallback branch would reintroduce the
+    double-exponential BigInteger stats blowup in every
+    multiplicative peel loop (truss/k-core).  The rewrapped plan's
+    sizeInBytes must equal the session's defaultSizeInBytes (a
+    LogicalRDD with no origin stats), while a PLAIN localCheckpoint
+    demonstrably preserves the origin's small estimate — both sides
+    asserted so the test also fails if Spark ever changes the
+    preservation behavior that motivates the helper."""
+    from go_whisper_spark.operators.whisper_queries import (
+        _flat_localCheckpoint,
+    )
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+
+    def size_of(frame):
+        return int(str(
+            frame._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes()
+        ))
+
+    default = int(str(
+        spark._jsparkSession.sessionState().conf().defaultSizeInBytes()
+    ))
+    plain = size_of(df.localCheckpoint())
+    flat_df = _flat_localCheckpoint(df)
+    flat = size_of(flat_df)
+    assert plain < default, (
+        "plain localCheckpoint no longer preserves origin stats — "
+        "re-evaluate whether _flat_localCheckpoint is still needed")
+    assert flat == default, (
+        f"stats rewrap did not engage (sizeInBytes={flat}, expected "
+        f"default {default}): the private-constructor fallback was "
+        "taken — fix the rewrap for this Spark version")
+    # the rewrap must not change the data
+    assert flat_df.count() == 1000
+    assert flat_df.schema == df.schema
