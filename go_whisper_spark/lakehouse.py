@@ -1084,31 +1084,35 @@ def read_changes_mor(
     and a value-identical re-upsert nets to NOTHING (bag
     cancellation; all pytest-pinned).
 
-    Raises when the range contains a non-MoR commit (rewrites touch
-    unnamed rows — use ``read_changes``) or a positional-delete
-    commit (pdv changes are named by position, not key; the
-    equality-key argument does not cover them)."""
+    Positional-delete commits (pdv) are covered too (VERDICT r15
+    item 2): a pdv names (directory, position) pairs, so its changed
+    KEYS are resolved by scanning ONLY the addressed directories —
+    a broadcast position semi-join per directory, O(addressed dirs)
+    not O(table) — and folded into the same changed-key set.  Still
+    raises when the range contains a REWRITE commit (a rewrite
+    touches unnamed rows — use ``read_changes``)."""
     from pyspark.sql import functions as F
 
     log = CommitLog(table)
     if to_version is None:
         to_version = log.state()["version"]
     keys = list(key_cols)
-    change_dirs = []
+    change_dirs, pdv_dirs = [], []
     for v in log.versions():
         if not (from_version < v <= to_version):
             continue
         c = log.read_commit(v)
         bad = [k for k in list(c.get("replace", {})) + list(c.get("remove", []))
-               if not k.startswith((DV_PREFIX, DELTA_PREFIX))]
+               if not k.startswith(MOR_PREFIXES)]
         if bad or c.get("remove"):
             raise ValueError(
-                f"commit {v} of {table} touches non-equality-MoR keys "
+                f"commit {v} of {table} touches non-MoR keys "
                 f"{sorted(bad) or c.get('remove')}: the O(changes) fast "
-                "path only covers dv/delta ranges — use read_changes"
+                "path only covers dv/delta/pdv ranges — use read_changes"
             )
-        change_dirs.extend(c["replace"].values())
-    if not change_dirs:
+        for k, d in c["replace"].items():
+            (pdv_dirs if k.startswith(PDV_PREFIX) else change_dirs).append(d)
+    if not change_dirs and not pdv_dirs:
         # empty range -> empty feed, in the table's schema
         base = read_table_mor(spark, table, keys,
                               version=to_version).drop(POS_COL)
@@ -1121,6 +1125,30 @@ def read_changes_mor(
     for d in change_dirs:
         f = spark.read.parquet(d).select(*keys)
         ck = f if ck is None else ck.unionByName(f)
+    if pdv_dirs:
+        # Resolve (dir, pos) tombstones to KEYS by scanning only the
+        # addressed data directories.  The distinct-dir collect is
+        # control-plane (bounded by the table's directory count); the
+        # per-directory probe is a broadcast position semi-join, so
+        # the scan cost is the addressed directories, never the
+        # table.  Joining per-directory (not on a global _pos) keeps
+        # positions from different directories from cross-matching —
+        # _pos is only unique WITHIN a directory.
+        pdv = None
+        for d in pdv_dirs:
+            f = spark.read.parquet(d)   # columns: _dir, _pos
+            pdv = f if pdv is None else pdv.unionByName(f)
+        addressed = sorted(
+            r._dir for r in pdv.select("_dir").distinct().collect()
+        )
+        for ad in addressed:
+            pos = pdv.where(F.col("_dir") == ad).select(POS_COL).distinct()
+            f = (
+                spark.read.parquet(ad)
+                .join(F.broadcast(pos), POS_COL, "left_semi")
+                .select(*keys)
+            )
+            ck = f if ck is None else ck.unionByName(f)
     ck = ck.distinct()
     old = read_table_mor(spark, table, keys, version=from_version)
     new = read_table_mor(spark, table, keys, version=to_version)

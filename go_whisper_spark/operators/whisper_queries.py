@@ -5587,6 +5587,77 @@ FROM (SELECT * FROM v3 EXCEPT ALL SELECT * FROM base)
 """
 
 
+def w_lakehouse_cdf_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(changes) CDF fast path over POSITIONAL commits (VERDICT
+    r15 item 2) — the same change set as `w_lakehouse_cdf_mor`
+    spelled in the OTHER deletion dialect: the %5 delete ships as a
+    positional deletion vector naming (directory, position) pairs
+    instead of an equality key vector, and `read_changes_mor`
+    resolves those tombstones to keys by scanning ONLY the addressed
+    directories (a broadcast position semi-join per directory).
+    Because the two dialects express the identical logical change,
+    the feed — and therefore the oracle — is `w_lakehouse_cdf_mor`'s
+    verbatim: equality vs positional is an ENCODING choice the CDF
+    must be invariant to.
+
+    Ops on the pos-stamped silver documents table: v1 =
+    `commit_partitions_pos` (4 buckets, `_pos` minted per row), v2 =
+    equality MoR upsert (score+1000 for doc_id % 7 — delta rows
+    inherit `_pos` stamps), v3 = positional delete of EVERY physical
+    row with doc_id % 5 == 0, addressed via `read_table_pos` across
+    base AND delta dirs (pdv applies to seq <= its own, so both are
+    named; the %35 base rows it names are already equality-shadowed
+    — redundant tombstones must be harmless).
+
+    Scale shape: changed keys = O(changes) metadata for dv/delta
+    plus O(addressed dirs) scans for pdv resolution; endpoint scans
+    carry the broadcast key semi-join; the bag diff runs over
+    O(changed rows).  [pins lakehouse.py: read_changes_mor pdv
+    branch / commit_partitions_pos / delete_rows_pos /
+    read_table_pos]"""
+    import os
+    import tempfile
+
+    from go_whisper_spark.lakehouse import (
+        commit_partitions_pos,
+        delete_rows_pos,
+        read_changes_mor,
+        read_table_pos,
+        upsert_rows_mor,
+    )
+    from go_whisper_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("score"),
+        (F.col("doc_id") % 4).alias("b"),
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="gws_lakecdfp_"),
+                         "silver_docs")
+    commit_partitions_pos(
+        spark, table,
+        {f"b={k}": base.where(F.col("b") == k) for k in range(4)},
+        base_version=0,
+    )
+    upsert_rows_mor(
+        spark, table,
+        base.where(F.col("doc_id") % 7 == 0).select(
+            "doc_id", "lang", (F.col("score") + 1000).alias("score"), "b",
+        ),
+        key_cols=["doc_id"],
+    )
+    addr = (
+        read_table_pos(spark, table)
+        .where(F.col("doc_id") % 5 == 0)
+        .select("_dir", "_pos")
+    )
+    delete_rows_pos(spark, table, addr)
+    return read_changes_mor(spark, table, key_cols=["doc_id"],
+                            from_version=1, to_version=3)
+
+
 _BLOOMSKIP_PROBES = tuple(37 * i for i in range(8)) + tuple(
     10 ** 9 + i for i in range(4)
 )
@@ -5996,6 +6067,7 @@ QUERIES = {
     "w_lakehouse_optimize": w_lakehouse_optimize,
     "w_lakehouse_cdf": w_lakehouse_cdf,
     "w_lakehouse_cdf_mor": w_lakehouse_cdf_mor,
+    "w_lakehouse_cdf_pos": w_lakehouse_cdf_pos,
     "w_topk_mg": w_topk_mg,
     "w_triangle_sample": w_triangle_sample,
     "w_pagerank_fixpoint": w_pagerank_fixpoint,
@@ -6063,6 +6135,7 @@ ORACLES = {
     "w_lakehouse_optimize": W_LAKEHOUSE_OPTIMIZE_SQL,
     "w_lakehouse_cdf": W_LAKEHOUSE_CDF_SQL,
     "w_lakehouse_cdf_mor": W_LAKEHOUSE_CDF_MOR_SQL,
+    "w_lakehouse_cdf_pos": W_LAKEHOUSE_CDF_MOR_SQL,
     "w_topk_mg": W_TOPK_MG_SQL,
     "w_triangle_sample": W_TRIANGLE_SAMPLE_SQL,
     "w_pagerank_fixpoint": _w_pagerank_fixpoint_sql(),

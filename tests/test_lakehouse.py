@@ -668,8 +668,9 @@ def test_read_changes_mor_fast_path_semantics(spark, tmp_path):
     """The O(changes) CDF fast path: range interactions are absorbed
     by the endpoint diff — delete-then-re-add nets to the value
     diff, a value-IDENTICAL re-upsert nets to NOTHING (bag
-    cancellation), and non-MoR / positional commits in the range
-    raise toward read_changes."""
+    cancellation), and REWRITE commits in the range raise toward
+    read_changes (positional commits are covered since VERDICT r15
+    item 2 — see test_read_changes_mor_covers_positional)."""
     from go_whisper_spark.lakehouse import (
         commit_partitions,
         commit_partitions_pos,
@@ -711,15 +712,77 @@ def test_read_changes_mor_fast_path_semantics(spark, tmp_path):
     commit_partitions(spark, table, {"b=1": up.where("k < 0")})
     with pytest.raises(ValueError, match="read_changes"):
         read_changes_mor(spark, table, ["k"], 1, 4)
-    # a positional-delete commit in the range rejects it too
+    # a positional-delete commit is now COVERED by the fast path:
+    # the pdv's (dir, pos) pairs resolve to keys by scanning only
+    # the addressed directory
     table2 = str(tmp_path / "silver_pos")
     commit_partitions_pos(spark, table2, {"b=0": df.where("b = 0")},
                           base_version=0)
     addr = (read_table_pos(spark, table2).where("k = 0")
             .select("_dir", "_pos"))
     delete_rows_pos(spark, table2, addr)
-    with pytest.raises(ValueError, match="read_changes"):
-        read_changes_mor(spark, table2, ["k"], 1, 2)
+    ch2 = read_changes_mor(spark, table2, ["k"], 1, 2).collect()
+    assert sorted((r._change_type, r.k, r.v) for r in ch2) == [
+        ("delete", 0, 0)]
+
+
+def test_read_changes_mor_covers_positional(spark, tmp_path):
+    """VERDICT r15 item 2: the O(changes) fast path over a range
+    mixing equality-MoR and POSITIONAL commits must equal the
+    general compute-from-data formulation on the same range verbatim
+    — the unrestricted bag diff of the two endpoint MoR snapshots
+    (what `read_changes` computes, spelled inline because its eager
+    reader refuses live MoR keys by contract).  The pdv here names
+    one of two content-IDENTICAL duplicate rows (the predicate no
+    equality vector can express), plus a row that was upserted
+    earlier in the range (netting across commit kinds)."""
+    from go_whisper_spark.lakehouse import (
+        commit_partitions_pos,
+        delete_rows_pos,
+        read_changes_mor,
+        read_table_mor,
+        read_table_pos,
+        upsert_rows_mor,
+    )
+
+    table = str(tmp_path / "silver")
+    # k=5 committed TWICE (content-identical duplicates) in b=1
+    rows = [(i, i * 10, i % 2) for i in range(8)] + [(5, 50, 1)]
+    df = spark.createDataFrame(rows, "k long, v long, b long")
+    commit_partitions_pos(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in (0, 1)},
+        base_version=0,
+    )
+    # v2: equality upsert k=2 -> 999
+    upsert_rows_mor(
+        spark, table,
+        spark.createDataFrame([(2, 999, 0)], "k long, v long, b long"),
+        key_cols=["k"],
+    )
+    # v3: positional delete of ONE k=5 duplicate and of the k=6 row
+    addr = read_table_pos(spark, table)
+    one_dup = (addr.where("k = 5").orderBy("_pos").limit(1)
+               .select("_dir", "_pos"))
+    k6 = addr.where("k = 6").select("_dir", "_pos")
+    delete_rows_pos(spark, table, one_dup.unionByName(k6))
+    fast = read_changes_mor(spark, table, ["k"], from_version=1,
+                            to_version=3)
+    old = read_table_mor(spark, table, ["k"], version=1).drop("_pos")
+    new = read_table_mor(spark, table, ["k"], version=3).drop("_pos")
+    general = [("delete", r.k, r.v, r.b)
+               for r in old.exceptAll(new).collect()]
+    general += [("insert", r.k, r.v, r.b)
+                for r in new.exceptAll(old).collect()]
+    got = sorted((r._change_type, r.k, r.v, r.b) for r in fast.collect())
+    want = sorted(general)
+    assert got == want
+    assert got == [
+        ("delete", 2, 20, 0),     # upsert pre-image
+        ("delete", 5, 50, 1),     # ONE duplicate (bag semantics)
+        ("delete", 6, 60, 0),     # positionally named row
+        ("insert", 2, 999, 0),
+    ]
 
 
 def test_optimize_table_content_stats_and_conflicts(spark, tmp_path):
@@ -1430,3 +1493,44 @@ def test_read_changes_evolution_boundary_fails_loud(spark, tmp_path):
     ch = read_changes(spark, table, from_version=2, to_version=3)
     got = sorted((r._change_type, r.k, r.v) for r in ch.collect())
     assert got == [("delete", 3, 30), ("insert", 3, 333)]
+
+
+def test_pos_cdf_commit_boundary_invariance(spark, tmp_path):
+    """VERDICT r15 item 2, streamed-producer half: the CDF over a
+    positional-delete range is invariant to COMMIT boundaries — the
+    same (dir, pos) tombstone set sliced into one pdv commit or
+    three (a streamed producer's micro-batches land one commit per
+    batch) yields the identical feed, because the endpoint snapshots
+    are fixed by the SET of applied tombstones, not their grouping."""
+    from go_whisper_spark.lakehouse import (
+        commit_partitions_pos,
+        delete_rows_pos,
+        read_changes_mor,
+        read_table_pos,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 10, i % 2) for i in range(12)], "k long, v long, b long"
+    )
+
+    def build(table, n_slices):
+        commit_partitions_pos(
+            spark, table,
+            {f"b={p}": df.where(F.col("b") == p) for p in (0, 1)},
+            base_version=0,
+        )
+        addr = (read_table_pos(spark, table)
+                .where("k % 3 = 0").select("_dir", "_pos", "k"))
+        for s in range(n_slices):
+            part = addr.where(F.col("k") % n_slices == s)
+            if part.count():
+                delete_rows_pos(spark, table,
+                                part.select("_dir", "_pos"))
+        feed = read_changes_mor(spark, table, ["k"], from_version=1)
+        return sorted((r._change_type, r.k, r.v)
+                      for r in feed.collect())
+
+    one = build(str(tmp_path / "one"), 1)
+    three = build(str(tmp_path / "three"), 3)
+    assert one == three
+    assert one == [("delete", k, k * 10) for k in (0, 3, 6, 9)]

@@ -1180,6 +1180,15 @@ CHECKS = {
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
                 "SortMergeJoin"],
     ),
+    # Same fast-path plan over POSITIONAL commits: pdv tombstones
+    # resolve via broadcast position semi-joins against only the
+    # addressed dirs, then the identical changed-key semi-join +
+    # exceptAll diff — still no shuffle join anywhere.
+    "w_lakehouse_cdf_pos": dict(
+        require=["BroadcastHashJoin LeftSemi", "HashAggregate"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin"],
+    ),
     # OPTIMIZE ledger read side: the truth pass is the 3-row box
     # frame broadcast over the optimized scan (intended
     # crossJoin-then-filter, the timeSlice discipline) + a
