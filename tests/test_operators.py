@@ -1219,3 +1219,77 @@ def test_flat_localCheckpoint_resets_plan_stats(spark):
     # the rewrap must not change the data
     assert flat_df.count() == 1000
     assert flat_df.schema == df.schema
+
+
+def test_tri_ledger_increment_laws(spark):
+    """VERDICT r15 item 3: the incremental triangle/degree ledger's
+    three laws, on a synthetic graph with all three new-triangle
+    classes — (1) TELESCOPING: folding per-batch increments over any
+    slicing of the edge set equals the batch ledger (1 slice vs 3
+    adversarial slices vs per-edge slices); (2) IDEMPOTENCY:
+    replaying an already-applied batch contributes zero increments
+    (the store anti-join empties Δ); (3) EXACTNESS of the class
+    decomposition: a batch that closes triangles with 1, 2, and 3
+    new edges at once counts each exactly once."""
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.operators.streaming_queries import (
+        _tri_ledger_fold,
+        _tri_ledger_increment,
+    )
+    from go_whisper_spark.operators.whisper_queries import (
+        _tri_node_ledger,
+        _tri_orient,
+    )
+
+    # K4 on 1-4, a pendant, and a second component triangle
+    all_edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (4, 5), (6, 7), (6, 8), (7, 8)]
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "u long, v long")
+
+    def run(slices):
+        store = None
+        incs = []
+        for s in slices:
+            delta = frame(s)
+            if store is not None:
+                delta = delta.join(store, ["u", "v"], "left_anti")
+            incs.append(_tri_ledger_increment(store, delta))
+            store = delta if store is None else store.unionByName(delta)
+            store = store.localCheckpoint()
+        inc = incs[0]
+        for i in incs[1:]:
+            inc = inc.unionByName(i)
+        return sorted(
+            (r.node, r.deg, r.tri_n, r.cc_ppm)
+            for r in _tri_ledger_fold(inc).collect()
+        )
+
+    edges = frame(all_edges)
+    deg, ori = _tri_orient(edges)
+    want = sorted((r.node, r.deg, r.tri_n, r.cc_ppm)
+                  for r in _tri_node_ledger(deg, ori).collect())
+
+    # law 1: telescoping under any slicing.  The 3-slice cut is
+    # adversarial: batch 2 closes class-1 (edge (2,3) over old
+    # wedges), class-2 ((2,4),(3,4) sharing 4 over old (2,3)? — no:
+    # over old (1,4)-style wedges) and batch 3 an all-new triangle.
+    assert run([all_edges]) == want
+    assert run([
+        all_edges[:3] + [(4, 5)],            # star at 1 + pendant
+        [(2, 3), (2, 4), (3, 4)],            # closes K4: classes 1+2
+        [(6, 7), (6, 8), (7, 8)],            # class 3: all-new
+    ]) == want
+    assert run([[e] for e in all_edges]) == want
+
+    # law 2: duplicate delivery is a no-op
+    store = frame(all_edges).localCheckpoint()
+    dup = frame(all_edges[:4]).join(store, ["u", "v"], "left_anti")
+    inc = _tri_ledger_increment(store, dup)
+    assert inc.count() == 0
+
+    # law 3 cross-check: total participations = 3 * 5 triangles
+    total = sum(t for _, _, t, _ in run([all_edges]))
+    assert total == 3 * 5

@@ -1518,6 +1518,29 @@ def _build_triangle_oriented(spark):
     return oriented
 
 
+def _build_tri_ledger_increment(spark):
+    # One micro-batch of st_triangles_ledger's incremental ledger
+    # maintenance: Δ (a deterministic 1/7 edge slice) against the
+    # pre-batch store (the other 6/7).  Every class join must stay an
+    # equi-join (wedge closures keyed on shared endpoints — never a
+    # cartesian/nested-loop), and both increment aggregates must be
+    # map-combined (partial_count) before any exchange.
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.operators.streaming_queries import (
+        _tri_ledger_increment,
+    )
+    from go_whisper_spark.operators.whisper_queries import _tri_edges
+
+    edges = _tri_edges(spark, SF_DIR, materialize=False)
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "u", "v")), 1, 8), 16, 10
+    ).cast("long")
+    old = edges.where(h % 7 != 0)
+    delta = edges.where(h % 7 == 0)
+    return _tri_ledger_increment(old, delta)
+
+
 def _build_truss_peel_round(spark):
     # ONE flattened peel round of w_truss_decomp (the loop is R copies
     # of this plan over a shrinking survivor set): the wedge self-join
@@ -1604,6 +1627,12 @@ BUILDERS = {
     "w_triangles_oriented": dict(
         build=_build_triangle_oriented,
         require=["BroadcastHashJoin", "partial_count"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
+    # See _build_tri_ledger_increment.
+    "st_tri_ledger_increment": dict(
+        build=_build_tri_ledger_increment,
+        require=["partial_count"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
     ),
     # See _build_truss_peel_round.
