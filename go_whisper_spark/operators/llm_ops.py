@@ -7601,6 +7601,169 @@ FROM per_src, totals
 """
 
 
+# ------------------------------------------------------------ s_labelprop
+_LP_MAX_ROUNDS = 64   # driver-loop safety cap
+_LP_ORACLE_K = 28     # oracle unroll depth — strictly past the
+#                       measured fixpoints (17/10/11 at
+#                       sf0.001/0.01/0.1; rounds past the fixpoint
+#                       propagate over an unchanged label table,
+#                       provably no-ops)
+
+
+def s_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels over the embedding near-duplicate graph by
+    integer-exact MIN-LABEL propagation run TO its exact fixpoint
+    (VERDICT r15 item 6) — the corpus-clustering convergence rung
+    (Raghavan et al. 2007's propagation schedule, made deterministic
+    by the min tie-break): every vector starts as its own label and
+    each round takes the min of its own and its neighbors' labels
+    over the cosine ≥ 0.35 graph (`s_cosine_nearpairs`' exact pair
+    relation).  The fixpoint labels are the connected components of
+    the near-dup graph — the cluster artifact a SemDeDup-style
+    pipeline (`s_semantic_dedup`) bounds its quadratic dedup by —
+    and because labels are integers that only ever DECREASE,
+    "converged" is a decidable predicate and the ledger carries the
+    iteration count.
+
+    Where `d_neardup_clusters` (text tier) checks its closure
+    against a recursive CTE, this rung follows the
+    `w_pagerank_fixpoint` discipline: the oracle UNROLLS
+    _LP_ORACLE_K (28) MATERIALIZED rounds — strictly past every
+    measured fixpoint (17/10/11) — and derives the SAME iteration
+    count in SQL (min k with max label-drop = 0), so the
+    loop-until-converged semantics are oracle-checked, not just the
+    final labeling.  Isolated vectors keep their own label
+    (singleton communities): the labeling is TOTAL over the corpus.
+
+    Scale shape: each round is one shuffle (the per-dst min over the
+    O(edges) neighbor-label join) + an O(nodes) LEAST merge; ONE
+    control-plane scalar per round (max label drop — the convergence
+    test); the label frame enters its round plan MULTIPLICATIVELY
+    (the neighbor join AND the LEAST merge), so rounds re-anchor via
+    `_flat_localCheckpoint` — the truss/k-core stats-reset
+    discipline.  The pair build is the all-pairs exact baseline
+    (correct at test scale); at 100 TB you swap in the LSH-bucketed
+    pair relation (`d_embed_neardup_lsh`) — the propagation loop is
+    agnostic to how edges were produced."""
+    from go_whisper_spark.operators.whisper_queries import (
+        _flat_localCheckpoint,
+    )
+
+    pairs = s_cosine_nearpairs(spark, sf_dir).select("ida", "idb")
+    edges = (
+        pairs.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("idb").alias("src"),
+                         F.col("ida").alias("dst")))
+    ).localCheckpoint()
+    lab = _flat_localCheckpoint(
+        _cos_frames(spark, sf_dir)
+        .select(F.col("vec_id").alias("node"))
+        .withColumn("comm", F.col("node"))
+    )
+    iters = 0
+    while True:
+        nbr = (
+            edges.join(
+                F.broadcast(lab.select(F.col("node").alias("src"),
+                                       "comm")), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("comm").alias("ml"))
+        )
+        new = _flat_localCheckpoint(
+            lab.join(F.broadcast(nbr), "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comm"),
+                        F.coalesce("ml", F.col("comm"))).alias("comm"),
+            )
+        )
+        iters += 1
+        # ONE control-plane scalar per round — labels only decrease,
+        # so max(prev - new) == 0 IS the fixpoint test
+        delta = (
+            new.join(lab.withColumnRenamed("comm", "prev"), "node")
+            .agg(F.max(F.col("prev") - F.col("comm")))
+            .first()[0]
+        )
+        lab = new
+        if delta == 0:
+            break
+        if iters >= _LP_MAX_ROUNDS:
+            raise RuntimeError("label propagation did not converge")
+    if iters >= _LP_ORACLE_K:
+        raise RuntimeError(
+            f"label-prop fixpoint at round {iters} >= the oracle "
+            f"unroll depth _LP_ORACLE_K={_LP_ORACLE_K}; raise the "
+            "unroll depth so rounds k.._LP_ORACLE_K stay provably "
+            "identical"
+        )
+    return lab.select(
+        F.col("node").alias("vec_id"),
+        "comm",
+        F.lit(iters).cast("long").alias("iters"),
+    )
+
+
+def _s_labelprop_sql(k: int = _LP_ORACLE_K) -> str:
+    """Generated oracle: k unrolled MATERIALIZED min-label rounds
+    (k strictly past every measured fixpoint) + the SQL derivation
+    of the round count (min t with max label-drop = 0 — identical
+    semantics to the driver loop's stop test)."""
+    its = []
+    for t in range(1, k + 1):
+        prev = f"l{t - 1}"
+        its.append(
+            f"l{t} AS MATERIALIZED (\n"
+            f"  SELECT p.node,\n"
+            f"         LEAST(p.comm, COALESCE(m.ml, p.comm)) AS comm\n"
+            f"  FROM {prev} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS node, min(p2.comm) AS ml\n"
+            f"    FROM ed e JOIN {prev} p2 ON e.src = p2.node\n"
+            f"    GROUP BY e.dst\n"
+            f"  ) m ON p.node = m.node\n"
+            f")"
+        )
+    diffs = "\n  UNION ALL ".join(
+        f"SELECT {t} AS t, max(a.comm - b.comm) AS d"
+        f" FROM l{t - 1} a JOIN l{t} b ON a.node = b.node"
+        for t in range(1, k + 1)
+    )
+    rounds = ",\n".join(its)
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+  FROM e
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS ida, b.vec_id AS idb
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(generate_series(1, 64),
+              i -> a.v[i] * b.v[i])) / (a.norm * b.norm), 6) >= 0.35
+),
+ed AS MATERIALIZED (
+  SELECT ida AS src, idb AS dst FROM pairs
+  UNION ALL SELECT idb, ida FROM pairs
+),
+l0 AS MATERIALIZED (
+  SELECT vec_id AS node, vec_id AS comm FROM e
+),
+{rounds},
+diffs AS MATERIALIZED (
+  {diffs}
+),
+fix AS (SELECT CAST(min(t) AS BIGINT) AS iters FROM diffs WHERE d = 0)
+SELECT node AS vec_id, comm, (SELECT iters FROM fix) AS iters
+FROM l{k}
+"""
+
+
 QUERIES = {
     "d_exact_dedup": d_exact_dedup,
     "d_neardup_clusters": d_neardup_clusters,
@@ -7685,6 +7848,7 @@ QUERIES = {
     "s_pq_search_mp": s_pq_search_mp,
     "s_pq_mp_recall": s_pq_mp_recall,
     "s_semantic_dedup": s_semantic_dedup,
+    "s_labelprop": s_labelprop,
 }
 
 ORACLES = {
@@ -7775,4 +7939,5 @@ ORACLES = {
     "s_pq_search_mp": _s_pq_search_sql(_PQ_SEARCH_CTES_MP),
     "s_pq_mp_recall": _s_pq_search_recall_sql(_PQ_SEARCH_CTES_MP),
     "s_semantic_dedup": _s_semantic_dedup_sql(),
+    "s_labelprop": _s_labelprop_sql(),
 }

@@ -1541,6 +1541,41 @@ def _build_tri_ledger_increment(spark):
     return _tri_ledger_increment(old, delta)
 
 
+def _build_labelprop_round(spark):
+    # ONE min-label propagation round of s_labelprop (the loop is R
+    # copies of this plan over a shrinking-entropy label table): the
+    # neighbor-label join must ride the BROADCAST of the O(nodes)
+    # label frame (never a shuffle join of the edge relation), the
+    # per-dst min must be map-combined (partial_min), and the LEAST
+    # merge is a second broadcast join — no cartesian/window anywhere.
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.operators.llm_ops import (
+        _cos_frames,
+        s_cosine_nearpairs,
+    )
+
+    pairs = s_cosine_nearpairs(spark, SF_DIR).select("ida", "idb")
+    edges = pairs.select(
+        F.col("ida").alias("src"), F.col("idb").alias("dst")
+    ).unionAll(pairs.select(
+        F.col("idb").alias("src"), F.col("ida").alias("dst")))
+    lab = (_cos_frames(spark, SF_DIR)
+           .select(F.col("vec_id").alias("node"))
+           .withColumn("comm", F.col("node")))
+    nbr = (
+        edges.join(F.broadcast(lab.select(F.col("node").alias("src"),
+                                          "comm")), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.min("comm").alias("ml"))
+    )
+    return lab.join(F.broadcast(nbr), "node", "left").select(
+        "node",
+        F.least(F.col("comm"),
+                F.coalesce("ml", F.col("comm"))).alias("comm"),
+    )
+
+
 def _build_truss_peel_round(spark):
     # ONE flattened peel round of w_truss_decomp (the loop is R copies
     # of this plan over a shrinking survivor set): the wedge self-join
@@ -1634,6 +1669,12 @@ BUILDERS = {
         build=_build_tri_ledger_increment,
         require=["partial_count"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
+    # See _build_labelprop_round.
+    "s_labelprop_round": dict(
+        build=_build_labelprop_round,
+        require=["BroadcastHashJoin", "partial_min"],
+        forbid=["CartesianProduct", "SortMergeJoin", "Window"],
     ),
     # See _build_truss_peel_round.
     "w_truss_peel_round": dict(
