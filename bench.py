@@ -205,8 +205,24 @@ HEADLINE = [
     # lower bound; registry-gated like w_triangles' build form),
     # w_lakehouse_* verbs (commit-log table builds per rep — the
     # lakehouse costs are pinned by pytest + the driver gate).
+    # RETIREMENT SCHEDULED (VERDICT r15 item 4): w_truss_decomp is
+    # ~16% of the headline total; BENCH_r15 is its FIRST driver
+    # record, so it rides round 16 for the second consecutive record
+    # the rotation policy requires, then retires from the tail in
+    # round 17 (perf history pinned by BENCH_r15+r16; stays
+    # oracle-gated in the registry; w_kcore_decomp remains the
+    # family's strictly-cheaper representative if one is wanted).
     "w_truss_decomp",
     "w_topk_mg",
+    # round 16: NOT added by policy — s_labelprop (~11 propagation
+    # rounds at sf0.1 dominated by the all-pairs pair build; the
+    # round plan is audited by s_labelprop_round and the quadratic
+    # build class is already priced by the s_cosine_*/d_*_pairs
+    # entries), st_triangles_ledger (streaming replay harness — the
+    # per-batch increment plan is audited by st_tri_ledger_increment;
+    # st_* replays never bench), w_lakehouse_cdf_pos (lakehouse verb
+    # — commit-log table build per rep, pinned by pytest + driver
+    # gate like the other w_lakehouse_* verbs).
 ]
 
 
