@@ -1189,6 +1189,19 @@ CHECKS = {
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
                 "SortMergeJoin"],
     ),
+    # Incremental MV refresh: the O(changes) feed (broadcast
+    # changed-key semi-join) folded to signed deltas (map-combined
+    # partial_sum), merged into the view by a FULL-OUTER join (new
+    # groups can appear, emptied groups must drop) — Spark cannot
+    # broadcast full-outer, so that one merge is a key-shuffled join
+    # of two GROUP-cardinality relations (O(langs), not O(rows)):
+    # the permitted SMJ here is the view merge, never a data-plane
+    # join.  The base table is never re-aggregated.
+    "w_lakehouse_mv": dict(
+        require=["BroadcastHashJoin LeftSemi", "partial_sum",
+                 "FullOuter"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # OPTIMIZE ledger read side: the truth pass is the 3-row box
     # frame broadcast over the optimized scan (intended
     # crossJoin-then-filter, the timeSlice discipline) + a
