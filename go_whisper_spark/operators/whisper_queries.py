@@ -6079,6 +6079,147 @@ LEFT JOIN truth ON b.box = truth.box
 """
 
 
+def w_lakehouse_partevolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION under the driver's oracle — Iceberg's
+    headline metadata feature: generation 1 of the silver documents
+    table is ingested under the OLD spec (4 doc_id-range buckets,
+    `rb=K`), generation 2 under the EVOLVED spec (one directory per
+    lang, `lang=L`) — and neither generation is ever rewritten.  The
+    layer needs no new machinery for this: partition keys are opaque
+    strings and zone-map stats are per-DIRECTORY, so the two specs
+    coexist in one manifest and `read_table_range` prunes each
+    generation by whatever its own stats can prove (the Iceberg
+    partition-spec-id story, expressed through stats alone).
+
+    The ledger answers three probes from METADATA, each showing a
+    different evolution lesson: `old_slice` (a doc_id range below
+    the split) prunes gen2 ENTIRELY via its doc_id stats and keeps
+    one gen1 range bucket — old-spec pruning still works; `lang_en`
+    prunes gen2 to exactly its lang=en directory while admitting
+    every gen1 directory whose [min,max] lang range covers 'en' —
+    the new key prunes new data sharply and old data only as far as
+    its accidental stats allow (the reason Iceberg does NOT require
+    rewriting history on spec change); `new_en` composes both
+    predicates.  The oracle re-derives the admitted-directory counts
+    AND the true row counts from the raw table with the identical
+    split/bucket/stat spelling, so the pruning decisions are
+    cross-engine-exact.
+
+    Scale shape: the split scalar and distinct-key lists are
+    control-plane; stats/pruning are O(partitions) metadata; the
+    truth pass is one stats-pruned scan per box.  [pins lakehouse.py:
+    commit_partitions heterogeneous-spec coexistence /
+    read_table_range / _range_pruned]"""
+    import os
+    import tempfile
+
+    from go_whisper_spark.lakehouse import (
+        CommitLog,
+        _range_pruned,
+        commit_partitions,
+        read_table_range,
+    )
+    from go_whisper_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    mx = int(d.agg(F.max("doc_id")).first()[0])
+    split = mx // 2
+    g1 = d.where(F.col("doc_id") < split).withColumn(
+        "rb", F.expr(f"(doc_id * 4) div {split}"))
+    g2 = d.where(F.col("doc_id") >= split)
+    table = os.path.join(tempfile.mkdtemp(prefix="gws_lakepe_"),
+                         "silver_docs")
+    # non-empty keys only (the w_lakehouse_optimize empty-shard rule)
+    rbs = sorted(r.rb for r in g1.select("rb").distinct().collect())
+    commit_partitions(
+        spark, table,
+        {f"rb={k}": g1.where(F.col("rb") == k).drop("rb") for k in rbs},
+        base_version=0,
+        minmax_cols=["doc_id", "lang"],
+    )
+    langs = sorted(r.lang for r in g2.select("lang").distinct().collect())
+    commit_partitions(
+        spark, table,
+        {f"lang={lg}": g2.where(F.col("lang") == lg) for lg in langs},
+        base_version=1,
+        minmax_cols=["doc_id", "lang"],
+    )
+    boxes = [
+        ("old_slice", 0, split // 4, None, None),
+        ("lang_en", None, None, "en", "en"),
+        ("new_en", split, mx, "en", "en"),
+    ]
+    st = CommitLog(table).state()
+    rows = []
+    for name, ilo, ihi, llo, lhi in boxes:
+        preds = {}
+        if ilo is not None:
+            preds["doc_id"] = (ilo, ihi)
+        if llo is not None:
+            preds["lang"] = (llo, lhi)
+        admitted = sum(
+            1 for dd in st["partitions"].values()
+            if not _range_pruned(st["stats"].get(dd, {}), preds)
+        )
+        n = read_table_range(spark, table, preds).count()
+        rows.append((name, admitted, n))
+    return spark.createDataFrame(
+        rows, "box string, dirs_admitted long, n_rows long")
+
+
+W_LAKEHOUSE_PARTEVOLVE_SQL = """
+WITH d AS (SELECT doc_id, lang FROM documents),
+sp AS (SELECT max(doc_id) // 2 AS split, max(doc_id) AS m FROM d),
+g1 AS (
+  SELECT 'rb=' || CAST((doc_id * 4) // split AS VARCHAR) AS k,
+         doc_id, lang
+  FROM d, sp WHERE doc_id < split
+),
+g2 AS (
+  SELECT 'lang=' || lang AS k, doc_id, lang
+  FROM d, sp WHERE doc_id >= split
+),
+stats AS MATERIALIZED (
+  SELECT k, min(doc_id) AS id_lo, max(doc_id) AS id_hi,
+         min(lang) AS la_lo, max(lang) AS la_hi
+  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+  GROUP BY k
+),
+boxes AS (
+  SELECT 'old_slice' AS box, 0 AS id_lo, split // 4 AS id_hi,
+         CAST(NULL AS VARCHAR) AS l_lo, CAST(NULL AS VARCHAR) AS l_hi
+  FROM sp
+  UNION ALL
+  SELECT 'lang_en', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         'en', 'en' FROM sp
+  UNION ALL
+  SELECT 'new_en', split, m, 'en', 'en' FROM sp
+),
+pre AS (
+  SELECT b.box, count(*) AS dirs_admitted
+  FROM boxes b JOIN stats s
+    ON NOT (b.id_lo IS NOT NULL
+            AND (s.id_hi < b.id_lo OR s.id_lo > b.id_hi))
+   AND NOT (b.l_lo IS NOT NULL
+            AND (s.la_hi < b.l_lo OR s.la_lo > b.l_hi))
+  GROUP BY 1
+),
+truth AS (
+  SELECT b.box, count(*) AS n_rows
+  FROM boxes b JOIN d
+    ON (b.id_lo IS NULL OR d.doc_id BETWEEN b.id_lo AND b.id_hi)
+   AND (b.l_lo IS NULL OR d.lang BETWEEN b.l_lo AND b.l_hi)
+  GROUP BY 1
+)
+SELECT b.box,
+       CAST(COALESCE(pre.dirs_admitted, 0) AS BIGINT) AS dirs_admitted,
+       CAST(COALESCE(truth.n_rows, 0) AS BIGINT) AS n_rows
+FROM boxes b
+LEFT JOIN pre ON b.box = pre.box
+LEFT JOIN truth ON b.box = truth.box
+"""
+
+
 W_LAKEHOUSE_MOVE_SQL = """
 WITH base AS (
   SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
@@ -6179,6 +6320,7 @@ QUERIES = {
     "w_lakehouse_cdf_mor": w_lakehouse_cdf_mor,
     "w_lakehouse_cdf_pos": w_lakehouse_cdf_pos,
     "w_lakehouse_mv": w_lakehouse_mv,
+    "w_lakehouse_partevolve": w_lakehouse_partevolve,
     "w_topk_mg": w_topk_mg,
     "w_triangle_sample": w_triangle_sample,
     "w_pagerank_fixpoint": w_pagerank_fixpoint,
@@ -6248,6 +6390,7 @@ ORACLES = {
     "w_lakehouse_cdf_mor": W_LAKEHOUSE_CDF_MOR_SQL,
     "w_lakehouse_cdf_pos": W_LAKEHOUSE_CDF_MOR_SQL,
     "w_lakehouse_mv": W_LAKEHOUSE_MV_SQL,
+    "w_lakehouse_partevolve": W_LAKEHOUSE_PARTEVOLVE_SQL,
     "w_topk_mg": W_TOPK_MG_SQL,
     "w_triangle_sample": W_TRIANGLE_SAMPLE_SQL,
     "w_pagerank_fixpoint": _w_pagerank_fixpoint_sql(),
