@@ -612,8 +612,188 @@ def m_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- m_ahash_neardup
+_AHASH_PX = 64        # fake-thumbnail pixel count (8x8)
+_AHASH_BANDS = 4      # 16-bit LSH bands over the 64-bit hash
+_AHASH_MAX_HAM = 10   # verification threshold (bits)
+
+
+def m_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AVERAGE-HASH near-duplicate detection for the image
+    modality — the multimodal twin of `d_simhash_banded`: decode each
+    image to an 8×8 grayscale thumbnail, hash = 64 bits of
+    pixel > mean, then LSH-band the hash (4 × 16-bit chunks; two
+    hashes within hamming 10 can differ in at most 10 bit positions,
+    but banding here is the standard recall/cost TRADE, not the
+    pigeonhole guarantee — with 4 bands the no-shared-band miss case
+    exists and the ledger prices it honestly as the candidate set)
+    and verify candidates by exact hamming distance ≤ 10.
+
+    The "decode" is the module's deterministic fake (real aHash
+    would decode + bilinear-resize; gated behind USE_REAL_CODECS
+    like every codec stage): pixel_i = byte at position
+    (i·n) div 64 — nearest-neighbor downsampling in byte space, the
+    same reduction `resize_media` ships — so DuckDB restates the
+    identical hash from the text bytes and the WHOLE pipeline
+    (thumbnail → threshold → bands → bucket join → hamming verify)
+    is cross-engine-exact.  Unlike the pair queries, the output is
+    the per-image LEDGER (media_id, ones, n_cand, min_ham): corpora
+    without image near-dups (sf0.01 has none under this hash) still
+    produce full-rank output, and min_ham stays NULL for isolated
+    images rather than dropping them.
+
+    Scale shape: hashing is a narrow codegen map (64 unrolled
+    byte-probe expressions — no Python, no shuffle); the candidate
+    join shuffles on the (band, chunk) key so work scales with
+    Σ bucket², not |images|²; verification joins the O(candidates)
+    pair set back to the O(images) hash ledger (broadcast).  [pins
+    the banded-LSH discipline on a second modality]"""
+    from go_whisper_spark.sources.tables import load_table
+
+    img = (
+        load_table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 3 == 0) & (F.length("text") > 0))
+        .select("doc_id", "text", F.length("text").alias("n"))
+    )
+    px = img.select(
+        "doc_id",
+        F.array(*[
+            F.expr(f"ascii(substr(text, CAST(({i} * n) DIV {_AHASH_PX} "
+                   f"AS INT) + 1, 1))")
+            for i in range(_AHASH_PX)
+        ]).alias("p"),
+    )
+    bits = px.select(
+        "doc_id",
+        F.expr(
+            f"transform(p, x -> CASE WHEN x > "
+            f"aggregate(p, 0, (acc, y) -> acc + y) div {_AHASH_PX} "
+            f"THEN 1 ELSE 0 END)"
+        ).alias("b"),
+    )
+    led = bits.select(
+        "doc_id",
+        "b",
+        F.expr("aggregate(b, 0, (acc, x) -> acc + x)")
+        .cast("long").alias("ones"),
+        *[
+            F.expr(
+                f"aggregate(transform(sequence(1, 16), "
+                f"k -> element_at(b, k + {16 * j}) * shiftleft(1, k - 1)), "
+                f"0, (acc, x) -> acc + x)"
+            ).alias(f"h{j}")
+            for j in range(_AHASH_BANDS)
+        ],
+    ).localCheckpoint()
+    banded = led.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band"), F.col(f"h{j}").alias("chunk"))
+            for j in range(_AHASH_BANDS)
+        ])).alias("bc"),
+    ).select("doc_id", "bc.band", "bc.chunk")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "chunk"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("ida"),
+                F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+    ham = (
+        cand
+        .join(F.broadcast(led.select(F.col("doc_id").alias("ida"),
+                                     F.col("b").alias("ba"))), "ida")
+        .join(F.broadcast(led.select(F.col("doc_id").alias("idb"),
+                                     F.col("b").alias("bb"))), "idb")
+        .select(
+            "ida", "idb",
+            F.expr("aggregate(zip_with(ba, bb, (x, y) -> abs(x - y)), "
+                   "0, (acc, x) -> acc + x)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= _AHASH_MAX_HAM)
+    )
+    perdoc = (
+        ham.select(F.col("ida").alias("doc_id"), "hamming")
+        .unionByName(ham.select(F.col("idb").alias("doc_id"), "hamming"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_cand"),
+             F.min("hamming").alias("min_ham"))
+    )
+    return (
+        led.join(F.broadcast(perdoc), "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("media_id"),
+            "ones",
+            F.coalesce("n_cand", F.lit(0).cast("long")).alias("n_cand"),
+            # -1 sentinel, not NULL: a nullable BIGINT oracle column
+            # round-trips as float64 through pandas and hash-fails on
+            # 10 vs 10.0 (exact-typed gate, this round)
+            F.coalesce(F.col("min_ham").cast("long"), F.lit(-1).cast("long"))
+            .alias("min_ham"),
+        )
+    )
+
+
+M_AHASH_NEARDUP_SQL = f"""
+WITH img AS (
+  SELECT doc_id, text, strlen(text) AS n FROM documents
+  WHERE doc_id % 3 = 0 AND strlen(text) > 0
+),
+px AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {_AHASH_PX - 1}),
+           i -> unicode(substring(text,
+                CAST((i * n) // {_AHASH_PX} + 1 AS INT), 1))) AS p
+  FROM img
+),
+bits AS (
+  SELECT doc_id,
+         list_transform(p, x -> CASE WHEN x > list_sum(p) // {_AHASH_PX}
+                                THEN 1 ELSE 0 END) AS b
+  FROM px
+),
+led AS MATERIALIZED (
+  SELECT doc_id, b, CAST(list_sum(b) AS BIGINT) AS ones,
+         list_sum(list_transform(generate_series(1, 16),
+                  k -> b[k] * (1 << (k - 1)))) AS h0,
+         list_sum(list_transform(generate_series(1, 16),
+                  k -> b[k + 16] * (1 << (k - 1)))) AS h1,
+         list_sum(list_transform(generate_series(1, 16),
+                  k -> b[k + 32] * (1 << (k - 1)))) AS h2,
+         list_sum(list_transform(generate_series(1, 16),
+                  k -> b[k + 48] * (1 << (k - 1)))) AS h3
+  FROM bits
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
+  FROM led a JOIN led c ON a.doc_id < c.doc_id
+   AND (a.h0 = c.h0 OR a.h1 = c.h1 OR a.h2 = c.h2 OR a.h3 = c.h3)
+),
+ham AS (
+  SELECT ida, idb,
+         list_sum(list_transform(generate_series(1, {_AHASH_PX}),
+                  i -> abs(a.b[i] - c.b[i]))) AS hamming
+  FROM cand JOIN led a ON cand.ida = a.doc_id
+            JOIN led c ON cand.idb = c.doc_id
+),
+hits AS (SELECT * FROM ham WHERE hamming <= {_AHASH_MAX_HAM}),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_cand, min(hamming) AS min_ham FROM (
+    SELECT ida AS doc_id, hamming FROM hits
+    UNION ALL SELECT idb, hamming FROM hits
+  ) GROUP BY 1
+)
+SELECT led.doc_id AS media_id, ones,
+       CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(COALESCE(min_ham, -1) AS BIGINT) AS min_ham
+FROM led LEFT JOIN perdoc ON led.doc_id = perdoc.doc_id
+"""
+
+
 QUERIES = {
     "m_decode_stats": m_decode_stats,
+    "m_ahash_neardup": m_ahash_neardup,
     "m_feature_norms": m_feature_norms,
     "m_frame_sample": m_frame_sample,
     "m_resize_stats": m_resize_stats,
@@ -869,6 +1049,7 @@ FROM per JOIN by_kind ON per.kind = by_kind.kind
 """
 
 ORACLES: dict = {
+    "m_ahash_neardup": M_AHASH_NEARDUP_SQL,
     "m_decode_stats": M_DECODE_STATS_SQL,
     "m_feature_norms": M_FEATURE_NORMS_SQL,
     "m_frame_sample": M_FRAME_SAMPLE_SQL,

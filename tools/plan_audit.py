@@ -1189,6 +1189,15 @@ CHECKS = {
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
                 "SortMergeJoin"],
     ),
+    # aHash banded near-dup: hashing is pre-checkpointed; the live
+    # plan is the (band, chunk) bucket explode (Generate) + equi-join
+    # (shuffled by design — work scales with bucket sizes), pair
+    # dedup, and two broadcast hash-ledger join-backs for the hamming
+    # verify.  Never a cartesian/nested-loop (the all-pairs shape).
+    "m_ahash_neardup": dict(
+        require=["Generate", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # Incremental MV refresh: the O(changes) feed (broadcast
     # changed-key semi-join) folded to signed deltas (map-combined
     # partial_sum), merged into the view by a FULL-OUTER join (new
