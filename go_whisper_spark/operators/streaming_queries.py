@@ -1374,6 +1374,105 @@ def st_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- st_kmv_jaccard
+def st_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV/Theta set-operation sketch — the SEVENTH merge
+    law, and the second IDEMPOTENT one (with `st_triangles`' set
+    union): each micro-batch ships its own bottom-k partial (the K
+    smallest 40-bit member hashes per set, one constant-size
+    window-rank per batch) to a sketch store, and the merged sketch
+    is the bottom-k of the DISTINCT union of partials.  The law:
+    every hash in the global bottom-k is also in its own batch's
+    bottom-k (fewer competitors), so the union of partials contains
+    the global bottom-k exactly — bottom-k ∘ union is associative,
+    commutative AND idempotent (hashes are a set; replaying a batch
+    re-ships identical hashes that the distinct absorbs), making
+    this sketch safe under at-least-once delivery where CMS/HDR
+    need exactly-once.
+
+    The sets: per event type, the distinct (user, hour) activity
+    pairs — streamable membership (no global statistic), measured
+    non-degenerate (pairwise Jaccards ≈ 0.007-0.010; the batch
+    form's above-average-hours sets need a global total, which is
+    exactly why the streamed rung swaps the set definition).  The
+    read side is `_kmv_pairs_ledger` VERBATIM (re-threshold at
+    min(θ), hash-keyed intersection, floor-truncated micro-units)
+    against the merged sketch, with the exact baseline from the
+    batch data — and the oracle is the same `_kmv_sql` tail over the
+    same member CTE, so merge law AND estimator are cross-engine-
+    pinned at once.
+
+    Scale shape: per batch one map-combined distinct + per-set
+    bottom-K rank (K·|sets| rows shipped — constant); the store
+    grows one tiny partial per batch; the fold is one distinct +
+    rank over O(batches·K·|sets|) sketch rows.  The exact columns
+    price the estimate, as everywhere in the sketch family."""
+    from go_whisper_spark.operators.whisper_queries import (
+        _H40,
+        _THETA_K,
+        _kmv_pairs_ledger,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric"),
+        (F.col("user_id") * 100000
+         + F.expr("unix_timestamp(ts) div 3600")).alias("mem"),
+        (F.col("user_id") % 3).alias("arrive"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("mem").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    root = _tmpdir()
+    store = os.path.join(root, "kmv_store")
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        mh = batch.select("metric", h.alias("h")).distinct()
+        w = Window.partitionBy("metric").orderBy("h")
+        partial = (
+            mh.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _THETA_K)
+            .select("metric", "h")
+        )
+        partial.write.mode("append").parquet(store)
+
+    _replay(spark, ev, lambda s: s, sink=sink)
+
+    merged = spark.read.parquet(store).distinct()
+    w = Window.partitionBy("metric").orderBy("h")
+    kept = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _THETA_K)
+        .select("metric", "h")
+        .localCheckpoint()
+    )
+    theta = kept.groupBy("metric").agg(
+        F.when(F.count("*") >= _THETA_K, F.max("h"))
+        .otherwise(F.lit(_H40)).alias("theta")
+    )
+    m_exact = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("metric"),
+            (F.col("user_id") * 100000
+             + F.expr("unix_timestamp(ts) div 3600")).alias("mem"),
+        )
+        .select("metric", h.alias("h"))
+        .distinct()
+    )
+    return _kmv_pairs_ledger(m_exact, kept, theta)
+
+
+_ST_KMV_MEMBER_CTES = """m AS (
+  SELECT DISTINCT event_type AS metric,
+         CAST('0x' || substring(md5(CAST(user_id * 100000
+              + epoch_ns(ts) // 1000000000 // 3600 AS VARCHAR)), 1, 10)
+              AS BIGINT) AS h
+  FROM events
+)"""
+
+
 # ------------------------------------------------ st_heavy_hitters_cms
 def st_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Count-Min — the ADDITIVE merge law next to
@@ -3241,6 +3340,7 @@ from go_whisper_spark.operators.whisper_queries import (  # noqa: E402
     _topk_mg_sql,
     _w_zorder_skipping_sql,
     W_TRIANGLES_SQL as _W_TRIANGLES_ORACLE,
+    _kmv_sql,
     W_DISTINCT_HLL_SQL as _W_DISTINCT_HLL_ORACLE,
     W_HEAVY_HITTERS_CMS_SQL as _W_CMS_ORACLE,
     W_QUANTILE_HDR_SQL as _W_QUANTILE_HDR_ORACLE,
@@ -3288,6 +3388,7 @@ QUERIES = {
     "st_late_ledger": st_late_ledger,
     "st_triangles": st_triangles,
     "st_triangles_ledger": st_triangles_ledger,
+    "st_kmv_jaccard": st_kmv_jaccard,
 }
 
 ORACLES = {
@@ -3335,4 +3436,5 @@ ORACLES = {
     # batch edge set — oracle is the batch triangle ledger verbatim
     "st_triangles": _W_TRIANGLES_ORACLE,
     "st_triangles_ledger": _W_TRIANGLES_ORACLE,
+    "st_kmv_jaccard": _kmv_sql(_ST_KMV_MEMBER_CTES),
 }

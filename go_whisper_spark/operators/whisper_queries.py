@@ -3569,6 +3569,17 @@ def w_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.count("*") >= _THETA_K, F.max("h"))
         .otherwise(F.lit(H40)).alias("theta")
     )
+    return _kmv_pairs_ledger(m, kept, theta)
+
+
+def _kmv_pairs_ledger(m: DataFrame, kept: DataFrame,
+                      theta: DataFrame) -> DataFrame:
+    """(member hashes, bottom-k sketch, per-set θ) → the pairwise
+    Theta-intersection ledger (ma, mb, k_inter, k_union, jacc_est,
+    jacc_exact).  Shared by the batch form (`w_kmv_jaccard`) and the
+    streamed sketch-store form (`st_kmv_jaccard`), so the estimator
+    algebra — re-threshold both sides at min(θ_a, θ_b), intersect by
+    hash, floor-truncated micro-unit ratios — is stated once."""
     # pair-level θ frame: |sets|² rows (tiny — one per metric pair),
     # th = min(θ_a, θ_b).  Everything downstream is an EQUI-join on
     # this frame or on the hash — no data-sized cross product
@@ -3642,8 +3653,7 @@ def w_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _w_kmv_jaccard_sql() -> str:
-    return f"""
-WITH per AS (
+    return _kmv_sql("""per AS (
   SELECT event_type AS metric,
          epoch_ns(ts) // 1000000000
            - epoch_ns(ts) // 1000000000 % 3600 AS hr,
@@ -3657,7 +3667,17 @@ m AS (
               AS BIGINT) AS h
   FROM per p JOIN tot ON p.metric = tot.metric
   WHERE p.c * tot.nh > tot.t
-),
+)""")
+
+
+def _kmv_sql(member_ctes: str) -> str:
+    """Generated KMV/Theta oracle over any member-hash CTE chain that
+    ends by defining ``m(metric, h)`` — the tail (bottom-k ranking,
+    θ, re-thresholded pair estimates, exact baseline) is the shared
+    algebra of `_kmv_pairs_ledger`, stated once for the batch and
+    streamed forms."""
+    return f"""
+WITH {member_ctes},
 ranked AS (
   SELECT metric, h,
          row_number() OVER (PARTITION BY metric ORDER BY h) AS rn

@@ -110,3 +110,38 @@ def test_streaming_xff_gate(spark, srcdir, tmp_path):
     got = {**got1, **got2}
     assert got[("a", BASE)] == (6.0, 3)
     assert ("b", BASE) not in got
+
+
+def test_kmv_bottomk_merge_law(spark):
+    """st_kmv_jaccard's merge law, stated directly: bottom-k of the
+    DISTINCT union of per-slice bottom-k partials equals bottom-k of
+    the whole member set, for ANY slicing — and replaying a slice
+    (at-least-once delivery) changes nothing, because hashes are a
+    set and the distinct absorbs duplicates.  Uses K=8 over 100
+    members sliced 3 ways, with slice 1 delivered twice."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    K = 8
+    rows = [("a", i) for i in range(100)] + [("b", i) for i in range(40, 140)]
+    m = spark.createDataFrame(rows, "metric string, mem long").select(
+        "metric",
+        F.conv(F.substring(F.md5(F.col("mem").cast("string")), 1, 10),
+               16, 10).cast("long").alias("h"),
+    )
+    w = Window.partitionBy("metric").orderBy("h")
+
+    def bottomk(df):
+        return (df.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= K).select("metric", "h"))
+
+    want = sorted((r.metric, r.h) for r in bottomk(m.distinct()).collect())
+    slices = [m.where(F.col("h") % 3 == s) for s in range(3)]
+    partials = [bottomk(s.distinct()) for s in slices]
+    partials.append(bottomk(slices[1].distinct()))   # replayed slice
+    union = partials[0]
+    for p in partials[1:]:
+        union = union.unionByName(p)
+    got = sorted((r.metric, r.h)
+                 for r in bottomk(union.distinct()).collect())
+    assert got == want
