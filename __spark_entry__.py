@@ -477,12 +477,16 @@ _R15_DEFERRED: list = [
     "m_vad_segments",
 ]
 
-# The round-16 driver window: frozen mid-round once round-16's new
-# queries have landed (first 50 of the rotated registry = new r16
-# queries + the 16 _R15_DEFERRED entries + the oldest remaining
-# driver evidence: the r08-window tail the r15 window didn't reach,
-# then the front of the r09 cohort).  Empty until the freeze —
-# test_r16_window_matches_first_fifty skips while empty.
+# The round-16 driver window, pre-materialized at the mid-round
+# freeze: first 50 of the rotated registry = the 8 new round-16
+# queries (positional-DV CDF + its streamed producer, incremental MV
+# maintenance, partition-spec evolution, min-label propagation to
+# fixpoint, image aHash near-dup, the incremental triangle ledger,
+# the streamed KMV sketch) + the 16 never-checked _R15_DEFERRED
+# entries + the oldest remaining driver evidence (the r08-window
+# tail the r15 window didn't reach, then the front of the r09
+# cohort).  test_r16_window_matches_first_fifty pins list ==
+# first-50 so drift is caught before the driver runs.
 # ROUND-17 TODO: once CORRECTNESS_r16.json exists, verify its keys
 # == this list, then (a) add _R16_WINDOW to `recent`, (b) move the
 # _R16_DEFERRED block to right after the new-queries clause, (c) add
@@ -491,7 +495,33 @@ _R15_DEFERRED: list = [
 # the standing footgun), (d) append _R16_WINDOW's block at the END
 # (re-front any red rows via a _R16_RED block, the _R12_RED
 # pattern).  Queries added AFTER the freeze go in _R16_DEFERRED.
-_R16_WINDOW: list = []
+_R16_WINDOW: list = [
+    'w_lakehouse_cdf_pos', 'w_lakehouse_mv',
+    'w_lakehouse_partevolve', 's_labelprop',
+    'm_ahash_neardup', 'st_lakehouse_cdf_pos',
+    'st_triangles_ledger', 'st_kmv_jaccard',
+    'w_lakehouse_move', 'w_kcore_decomp',
+    'w_link_cn', 'w_lakehouse_bloomskip',
+    'w_lakehouse_optimize', 's_kmeans_train_k12',
+    'w_lakehouse_cdf', 'w_lakehouse_cdf_mor',
+    'st_lakehouse_cdf', 'w_topk_mg',
+    'st_topk_mg', 'g_render_vline',
+    'w_link_cn_sample', 'w_bfs_layers',
+    's_coreset', 'm_vad_segments',
+    'g_highest_avg_3', 'g_stdev_1d',
+    'g_ewma', 'g_moving_median_5',
+    'g_transform_chain', 'g_linreg_1d',
+    'g_remove_above_pctile', 'g_moving_avg_time',
+    'w_lww_1h', 'w_resize',
+    't_span_dedup', 't_decontam',
+    't_bpe_merge', 's_pq_search',
+    's_pq_search_recall', 's_semantic_dedup',
+    'm_pcm_resample', 'g_avg_outside_pctile_vt',
+    'g_aggregate_series_lists', 'g_group_by_nodes',
+    'g_highest_max', 'g_sin_function',
+    'g_counter_wrap', 'g_as_percent_series',
+    'st_enrich', 't_seq_packing',
+]
 
 # Queries added late in round 16, after the round-16 window freeze.
 _R16_DEFERRED: list = []
