@@ -1149,6 +1149,19 @@ def read_changes_mor(
                 .select(*keys)
             )
             ck = f if ck is None else ck.unionByName(f)
+    if ck is None:
+        # REVIEW r16: a range whose only commits are pdvs with EMPTY
+        # tombstone sets (delete_rows_pos of a zero-row frame)
+        # resolves no keys — the feed is empty by the same argument
+        # as the empty range, and falling through would NPE on the
+        # distinct below.
+        base = read_table_mor(spark, table, keys,
+                              version=to_version).drop(POS_COL)
+        return (
+            base.select(sorted(base.columns))
+            .withColumn("_change_type", F.lit("insert"))
+            .where(F.lit(False))
+        )
     ck = ck.distinct()
     old = read_table_mor(spark, table, keys, version=from_version)
     new = read_table_mor(spark, table, keys, version=to_version)

@@ -1534,3 +1534,32 @@ def test_pos_cdf_commit_boundary_invariance(spark, tmp_path):
     three = build(str(tmp_path / "three"), 3)
     assert one == three
     assert one == [("delete", k, k * 10) for k in (0, 3, 6, 9)]
+
+
+def test_read_changes_mor_empty_pdv_range(spark, tmp_path):
+    """REVIEW r16: a range whose only commit is a pdv with an EMPTY
+    tombstone set yields an empty feed in the table's schema (the
+    pre-guard code NPE'd on ck.distinct() of None)."""
+    from go_whisper_spark.lakehouse import (
+        commit_partitions_pos,
+        delete_rows_pos,
+        read_changes_mor,
+        read_table_pos,
+    )
+
+    table = str(tmp_path / "silver")
+    df = spark.createDataFrame(
+        [(i, i * 10, i % 2) for i in range(6)], "k long, v long, b long"
+    )
+    commit_partitions_pos(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in (0, 1)},
+        base_version=0,
+    )
+    empty = (read_table_pos(spark, table).where("k < 0")
+             .select("_dir", "_pos"))
+    delete_rows_pos(spark, table, empty)
+    feed = read_changes_mor(spark, table, ["k"], from_version=1,
+                            to_version=2)
+    assert feed.count() == 0
+    assert "_change_type" in feed.columns
