@@ -1016,12 +1016,11 @@ def read_changes(
     Scale shape: this is the compute-from-data path — two snapshot
     scans + one bag anti-diff each (Spark plans exceptAll as a
     hash-based left-anti over counted rows); correct at any size but
-    priced by the table, not the change set.  The O(changes) path —
-    reading dv/delta metadata keys directly when every commit in the
-    range is merge-on-read — is the documented next step
-    (ROADMAP); at 100 TB you enable it exactly like Delta enables
-    CDF, by paying a little at write time to avoid the diff at read
-    time."""
+    priced by the table, not the change set.  The O(changes) path is
+    ``read_changes_mor`` — reading dv/delta/pdv metadata keys
+    directly when every commit in the range is merge-on-read; at
+    100 TB you enable it exactly like Delta enables CDF, by paying a
+    little at write time to avoid the diff at read time."""
     from pyspark.sql import functions as F
 
     if to_version is None:
