@@ -524,7 +524,9 @@ _R16_WINDOW: list = [
 ]
 
 # Queries added late in round 16, after the round-16 window freeze.
-_R16_DEFERRED: list = []
+_R16_DEFERRED: list = [
+    "d_dedup_matrix",
+]
 
 # Added late in round 8, after the round-8 window composition (5 new
 # batch-1 queries + the round-4 cohort) was already settled.  Never

@@ -7601,6 +7601,104 @@ FROM per_src, totals
 """
 
 
+# --------------------------------------------------------- d_dedup_matrix
+def d_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document DEDUP DECISION MATRIX — the three text tiers
+    of the dedup cost ladder composed into one auditable verdict per
+    doc: `exact` (a content-identical md5 twin exists), `simhash`
+    (any banded pair within hamming ≤ 8 — `d_simhash_banded`'s
+    relation verbatim), `jaccard` (any LSH-verified shingle pair at
+    ≥ 0.5 — `d_neardup_clusters`' edge threshold over
+    `d_lsh_pairs`), plus the STRICTEST-tier verdict (exact ≻
+    simhash ≻ jaccard ≻ unique).  This is the reporting artifact a
+    corpus-curation run actually reviews — which tier would have
+    caught each duplicate — and the cross-tier containment sanity
+    check (every exact dup should be caught by the fuzzy tiers too;
+    rows where it isn't are the interesting ones) falls out of the
+    matrix for free.
+
+    Scale shape: each tier is its own audited plan (hash groupBy /
+    banded chunk join / shingle inverted index); the matrix adds
+    only O(docs) flag joins on doc_id — broadcast-sized flag sets at
+    test scale, doc_id-keyed equi-joins at any scale.  Oracle: the
+    three tiers' oracle SQL bodies embedded as derived tables (each
+    pinned separately for years of rounds), folded with the same
+    flags."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ex = docs.select("doc_id", F.md5("text").alias("h"))
+    exd = (
+        ex.join(ex.groupBy("h").agg(F.count("*").alias("c")), "h")
+        .select("doc_id",
+                (F.col("c") > 1).cast("int").alias("exact_dup"))
+    )
+
+    def flagged(pairs: DataFrame, name: str) -> DataFrame:
+        ids = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        return ids.withColumn(name, F.lit(1))
+
+    sh = flagged(d_simhash_banded(spark, sf_dir), "simhash_dup")
+    ja = flagged(
+        d_lsh_pairs(spark, sf_dir).where(F.col("jaccard") >= 0.5),
+        "jaccard_dup",
+    )
+    out = (
+        exd.join(F.broadcast(sh), "doc_id", "left")
+        .join(F.broadcast(ja), "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce("simhash_dup", F.lit(0)).alias("simhash_dup"),
+            F.coalesce("jaccard_dup", F.lit(0)).alias("jaccard_dup"),
+        )
+    )
+    return out.withColumn(
+        "tier",
+        F.when(F.col("exact_dup") == 1, "exact")
+        .when(F.col("simhash_dup") == 1, "simhash")
+        .when(F.col("jaccard_dup") == 1, "jaccard")
+        .otherwise("unique"),
+    )
+
+
+def _d_dedup_matrix_sql() -> str:
+    return f"""
+WITH shp AS ({D_SIMHASH_PAIRS_SQL}),
+lshp AS ({D_LSH_SQL}),
+exd AS (
+  SELECT doc_id,
+         CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1
+              THEN 1 ELSE 0 END AS exact_dup
+  FROM documents
+),
+shf AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM shp UNION ALL SELECT doc_b FROM shp)
+),
+jaf AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM lshp WHERE jaccard >= 0.5
+    UNION ALL SELECT doc_b FROM lshp WHERE jaccard >= 0.5)
+)
+SELECT e.doc_id,
+       CAST(e.exact_dup AS INTEGER) AS exact_dup,
+       CAST(CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END
+            AS INTEGER) AS simhash_dup,
+       CAST(CASE WHEN j.doc_id IS NULL THEN 0 ELSE 1 END
+            AS INTEGER) AS jaccard_dup,
+       CASE WHEN e.exact_dup = 1 THEN 'exact'
+            WHEN s.doc_id IS NOT NULL THEN 'simhash'
+            WHEN j.doc_id IS NOT NULL THEN 'jaccard'
+            ELSE 'unique' END AS tier
+FROM exd e
+LEFT JOIN shf s ON e.doc_id = s.doc_id
+LEFT JOIN jaf j ON e.doc_id = j.doc_id
+"""
+
+
 # ------------------------------------------------------------ s_labelprop
 _LP_MAX_ROUNDS = 64   # driver-loop safety cap
 _LP_ORACLE_K = 28     # oracle unroll depth — strictly past the
@@ -7849,6 +7947,7 @@ QUERIES = {
     "s_pq_mp_recall": s_pq_mp_recall,
     "s_semantic_dedup": s_semantic_dedup,
     "s_labelprop": s_labelprop,
+    "d_dedup_matrix": d_dedup_matrix,
 }
 
 ORACLES = {
@@ -7940,4 +8039,5 @@ ORACLES = {
     "s_pq_mp_recall": _s_pq_search_recall_sql(_PQ_SEARCH_CTES_MP),
     "s_semantic_dedup": _s_semantic_dedup_sql(),
     "s_labelprop": _s_labelprop_sql(),
+    "d_dedup_matrix": _d_dedup_matrix_sql(),
 }

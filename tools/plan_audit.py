@@ -1189,6 +1189,14 @@ CHECKS = {
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
                 "SortMergeJoin"],
     ),
+    # Dedup decision matrix: the three tier relations (hash groupBy,
+    # banded chunk join, shingle inverted index) composed by O(docs)
+    # doc_id flag joins — broadcast-hinted; never a cartesian or
+    # nested-loop anywhere in the composition.
+    "d_dedup_matrix": dict(
+        require=["BroadcastHashJoin", "HashAggregate"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # aHash banded near-dup: hashing is pre-checkpointed; the live
     # plan is the (band, chunk) bucket explode (Generate) + equi-join
     # (shuffled by design — work scales with bucket sizes), pair
