@@ -852,7 +852,13 @@ def read_table_lookup(
                      .parquet(*dirs).dtypes)
     if col not in dtype:
         raise ValueError(f"lake table {table} has no column {col!r}")
-    values = [_normalize_probe(v, dtype[col]) for v in values]
+    # Only bloom-typed columns are normalized (REVIEW r16): a column
+    # outside _BLOOM_TYPES can never HAVE a filter (the build gate),
+    # so its probes go straight to the scan-all + isin path unchanged
+    # — normalizing them would reject e.g. a double-column lookup
+    # that has always worked.
+    if dtype[col] in _BLOOM_TYPES:
+        values = [_normalize_probe(v, dtype[col]) for v in values]
     probes = [_bloom_positions_py(v) for v in values]
     keep = []
     for d in dirs:
@@ -1032,19 +1038,29 @@ def read_changes(
     # diff it would surface value-identical rewrites as changes and
     # leak into the feed schema.
     old, new = old.drop(POS_COL), new.drop(POS_COL)
-    # ADVICE r15: a schema-evolution boundary inside the range means
-    # the endpoints have different column sets, and exceptAll would
-    # die with a raw AnalysisException deep in the plan.  Fail loud
-    # and NAMED instead: CDF across an evolution boundary has no
-    # single answer (is every old row "changed" because a new column
-    # appeared as NULL?) — the caller picks a side by reading
-    # sub-ranges that stop at the boundary, or by diffing explicit
-    # projections of the common columns.
+    return _bag_diff_feed(
+        old, new, f"read_changes({table!r}, v{from_version}->v{to_version})")
+
+
+def _bag_diff_feed(old: DataFrame, new: DataFrame, label: str) -> DataFrame:
+    """The shared CDF tail (REVIEW r16 — was duplicated verbatim in
+    read_changes and read_changes_mor): the evolution-boundary guard
+    + the sorted-column bag diff with ``_change_type``.
+
+    The guard (ADVICE r15): a schema-evolution boundary inside the
+    range means the endpoints have different column sets, and
+    exceptAll would die with a raw AnalysisException deep in the
+    plan.  Fail loud and NAMED instead — CDF across an evolution
+    boundary has no single answer (is every old row "changed"
+    because a new column appeared as NULL?), so the caller picks a
+    side by reading sub-ranges that stop at the boundary, or by
+    diffing explicit projections of the common columns."""
+    from pyspark.sql import functions as F
+
     if set(old.columns) != set(new.columns):
         evolved = sorted(set(old.columns) ^ set(new.columns))
         raise ValueError(
-            f"read_changes({table!r}, v{from_version}->v{to_version}) "
-            f"crosses a schema-evolution boundary: column(s) "
+            f"{label} crosses a schema-evolution boundary: column(s) "
             f"{evolved} exist in only one endpoint snapshot. Read "
             "sub-ranges that stop at the evolving commit, or diff "
             "projections of the common columns explicitly."
@@ -1111,15 +1127,6 @@ def read_changes_mor(
             )
         for k, d in c["replace"].items():
             (pdv_dirs if k.startswith(PDV_PREFIX) else change_dirs).append(d)
-    if not change_dirs and not pdv_dirs:
-        # empty range -> empty feed, in the table's schema
-        base = read_table_mor(spark, table, keys,
-                              version=to_version).drop(POS_COL)
-        return (
-            base.select(sorted(base.columns))
-            .withColumn("_change_type", F.lit("insert"))
-            .where(F.lit(False))
-        )
     ck = None
     for d in change_dirs:
         f = spark.read.parquet(d).select(*keys)
@@ -1149,11 +1156,11 @@ def read_changes_mor(
             )
             ck = f if ck is None else ck.unionByName(f)
     if ck is None:
-        # REVIEW r16: a range whose only commits are pdvs with EMPTY
-        # tombstone sets (delete_rows_pos of a zero-row frame)
-        # resolves no keys — the feed is empty by the same argument
-        # as the empty range, and falling through would NPE on the
-        # distinct below.
+        # No changed keys: the range is empty, OR its only commits
+        # are pdvs with EMPTY tombstone sets (delete_rows_pos of a
+        # zero-row frame) — either way the feed is empty in the
+        # table's schema (REVIEW r16: this guard subsumes what used
+        # to be a separate empty-range early return).
         base = read_table_mor(spark, table, keys,
                               version=to_version).drop(POS_COL)
         return (
@@ -1170,26 +1177,11 @@ def read_changes_mor(
     # read_changes) — upsert_rows_mor re-stamps it, so leaving it in
     # would break the value-identical-re-upsert cancellation
     old, new = old.drop(POS_COL), new.drop(POS_COL)
-    # Same evolution-boundary guard as read_changes (ADVICE r15): a
-    # delta-append commit can widen the schema mid-range, leaving the
-    # endpoints with different column sets and exceptAll a raw
-    # AnalysisException.  Fail loud and named.
-    if set(old.columns) != set(new.columns):
-        evolved = sorted(set(old.columns) ^ set(new.columns))
-        raise ValueError(
-            f"read_changes_mor({table!r}, v{from_version}->"
-            f"v{to_version}) crosses a schema-evolution boundary: "
-            f"column(s) {evolved} exist in only one endpoint "
-            "snapshot. Read sub-ranges that stop at the evolving "
-            "commit, or diff projections of the common columns "
-            "explicitly."
-        )
-    old, new = old.select(sorted(old.columns)), new.select(sorted(new.columns))
-    deletes = old.exceptAll(new).withColumn("_change_type",
-                                            F.lit("delete"))
-    inserts = new.exceptAll(old).withColumn("_change_type",
-                                            F.lit("insert"))
-    return deletes.unionByName(inserts)
+    # a delta-append commit can widen the schema mid-range — the
+    # shared tail fails loud on the boundary (ADVICE r15)
+    return _bag_diff_feed(
+        old, new,
+        f"read_changes_mor({table!r}, v{from_version}->v{to_version})")
 
 
 def vacuum(table: str, min_age_seconds: int = 3600) -> List[str]:

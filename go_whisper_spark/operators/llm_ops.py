@@ -7700,6 +7700,27 @@ LEFT JOIN jaf j ON e.doc_id = j.doc_id
 
 
 # ------------------------------------------------------------ s_labelprop
+def _labelprop_round(edges: DataFrame, lab: DataFrame) -> DataFrame:
+    """ONE min-label propagation round: the per-dst min over the
+    neighbor-label join (label frame broadcast — the O(nodes)
+    relation), merged by LEAST into the surviving labels.  Shared by
+    `s_labelprop`'s driver loop and the plan-audit builder
+    (`s_labelprop_round`), so the audited plan IS the shipped plan —
+    REVIEW r16, mirroring the `_tri_ledger_increment` pattern."""
+    nbr = (
+        edges.join(
+            F.broadcast(lab.select(F.col("node").alias("src"),
+                                   "comm")), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.min("comm").alias("ml"))
+    )
+    return lab.join(F.broadcast(nbr), "node", "left").select(
+        "node",
+        F.least(F.col("comm"),
+                F.coalesce("ml", F.col("comm"))).alias("comm"),
+    )
+
+
 _LP_MAX_ROUNDS = 64   # driver-loop safety cap
 _LP_ORACLE_K = 28     # oracle unroll depth — strictly past the
 #                       measured fixpoints (17/10/11 at
@@ -7761,21 +7782,7 @@ def s_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     iters = 0
     while True:
-        nbr = (
-            edges.join(
-                F.broadcast(lab.select(F.col("node").alias("src"),
-                                       "comm")), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("comm").alias("ml"))
-        )
-        new = _flat_localCheckpoint(
-            lab.join(F.broadcast(nbr), "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comm"),
-                        F.coalesce("ml", F.col("comm"))).alias("comm"),
-            )
-        )
+        new = _flat_localCheckpoint(_labelprop_round(edges, lab))
         iters += 1
         # ONE control-plane scalar per round — labels only decrease,
         # so max(prev - new) == 0 IS the fixpoint test

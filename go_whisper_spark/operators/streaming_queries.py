@@ -1234,11 +1234,8 @@ def st_triangles_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("p"),
         (F.col("l_orderkey") % 3).alias("arrive"),
     )
-    feed = li.drop("arrive")
     root = _tmpdir()
-    src, ckpt, store, ledger = (
-        os.path.join(root, n) for n in ("src", "ckpt", "edges", "ledger")
-    )
+    store, ledger = (os.path.join(root, n) for n in ("edges", "ledger"))
 
     def sink(batch: DataFrame, _bid: int) -> None:
         if batch.isEmpty():
@@ -1261,25 +1258,7 @@ def st_triangles_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc.write.mode("append").parquet(ledger)
         delta.write.mode("append").parquet(store)
 
-    for k in range(N_PASSES):
-        (
-            li.where(F.col("arrive") == k)
-            .drop("arrive")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        q = (
-            spark.readStream.schema(feed.schema)
-            .parquet(src)
-            .writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            raise RuntimeError("streaming pass timed out")
+    _replay(spark, li, lambda s: s, sink=sink)
     return _tri_ledger_fold(spark.read.parquet(ledger))
 
 

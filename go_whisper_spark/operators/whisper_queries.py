@@ -5687,8 +5687,11 @@ def w_lakehouse_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(sign).alias("d_n"),
              F.sum(sign * F.col("score")).alias("d_score"))
     )
+    # no broadcast hint: Spark cannot broadcast a FULL-OUTER join, so
+    # it plans as a key-shuffled merge of two GROUP-cardinality
+    # relations — O(langs), the permitted SMJ the plan spec documents
     return (
-        mv.join(F.broadcast(delta), "lang", "full_outer")
+        mv.join(delta, "lang", "full_outer")
         .select(
             "lang",
             (F.coalesce("n_docs", F.lit(0))

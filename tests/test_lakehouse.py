@@ -1449,6 +1449,16 @@ def test_bloom_probe_type_normalization(spark, tmp_path):
     for bad in (True, 1.5, "x13", None):
         with _pytest.raises(ValueError, match="bloom column"):
             read_table_lookup(spark, table, "k", [bad])
+    # REVIEW r16: a NON-bloom-typed column (double here — can never
+    # carry a filter) must keep its historical scan-all + isin path;
+    # normalizing its probes would wrongly reject a float lookup
+    tabled = str(tmp_path / "silver_d")
+    dfd = spark.createDataFrame(
+        [(i, i + 0.5) for i in range(10)], "k long, score double"
+    )
+    commit_partitions(spark, tabled, {"b=0": dfd}, base_version=0)
+    got = read_table_lookup(spark, tabled, "score", [3.5]).collect()
+    assert [(r.k, r.score) for r in got] == [(3, 3.5)]
 
 
 def test_read_changes_evolution_boundary_fails_loud(spark, tmp_path):

@@ -1572,16 +1572,18 @@ def _build_tri_ledger_increment(spark):
 
 
 def _build_labelprop_round(spark):
-    # ONE min-label propagation round of s_labelprop (the loop is R
-    # copies of this plan over a shrinking-entropy label table): the
-    # neighbor-label join must ride the BROADCAST of the O(nodes)
-    # label frame (never a shuffle join of the edge relation), the
-    # per-dst min must be map-combined (partial_min), and the LEAST
-    # merge is a second broadcast join — no cartesian/window anywhere.
+    # ONE min-label propagation round of s_labelprop — the SHIPPED
+    # round body (_labelprop_round; REVIEW r16 extracted it so the
+    # audited plan is the shipped plan): the neighbor-label join must
+    # ride the BROADCAST of the O(nodes) label frame (never a shuffle
+    # join of the edge relation), the per-dst min must be
+    # map-combined (partial_min), and the LEAST merge is a second
+    # broadcast join — no cartesian/window anywhere.
     from pyspark.sql import functions as F
 
     from go_whisper_spark.operators.llm_ops import (
         _cos_frames,
+        _labelprop_round,
         s_cosine_nearpairs,
     )
 
@@ -1593,17 +1595,7 @@ def _build_labelprop_round(spark):
     lab = (_cos_frames(spark, SF_DIR)
            .select(F.col("vec_id").alias("node"))
            .withColumn("comm", F.col("node")))
-    nbr = (
-        edges.join(F.broadcast(lab.select(F.col("node").alias("src"),
-                                          "comm")), "src")
-        .groupBy(F.col("dst").alias("node"))
-        .agg(F.min("comm").alias("ml"))
-    )
-    return lab.join(F.broadcast(nbr), "node", "left").select(
-        "node",
-        F.least(F.col("comm"),
-                F.coalesce("ml", F.col("comm"))).alias("comm"),
-    )
+    return _labelprop_round(edges, lab)
 
 
 def _build_truss_peel_round(spark):
