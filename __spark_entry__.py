@@ -526,6 +526,7 @@ _R16_WINDOW: list = [
 # Queries added late in round 16, after the round-16 window freeze.
 _R16_DEFERRED: list = [
     "d_dedup_matrix",
+    "st_labelprop",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

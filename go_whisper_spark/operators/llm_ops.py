@@ -7810,11 +7810,15 @@ def s_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _s_labelprop_sql(k: int = _LP_ORACLE_K) -> str:
+def _s_labelprop_sql(k: int = _LP_ORACLE_K, with_iters: bool = True) -> str:
     """Generated oracle: k unrolled MATERIALIZED min-label rounds
     (k strictly past every measured fixpoint) + the SQL derivation
     of the round count (min t with max label-drop = 0 — identical
-    semantics to the driver loop's stop test)."""
+    semantics to the driver loop's stop test).  ``with_iters=False``
+    drops the diffs/fix CTEs and the iters column — the streamed
+    warm-start form (`st_labelprop`) reaches the same fixpoint
+    LABELS but its round count depends on batch slicing, so only
+    the labels are oracle-comparable."""
     its = []
     for t in range(1, k + 1):
         prev = f"l{t - 1}"
@@ -7835,6 +7839,16 @@ def _s_labelprop_sql(k: int = _LP_ORACLE_K) -> str:
         for t in range(1, k + 1)
     )
     rounds = ",\n".join(its)
+    if with_iters:
+        tail = (
+            f",\ndiffs AS MATERIALIZED (\n  {diffs}\n),\n"
+            "fix AS (SELECT CAST(min(t) AS BIGINT) AS iters"
+            " FROM diffs WHERE d = 0)\n"
+            "SELECT node AS vec_id, comm, (SELECT iters FROM fix)"
+            f" AS iters\nFROM l{k}"
+        )
+    else:
+        tail = f"\nSELECT node AS vec_id, comm FROM l{k}"
     return f"""
 WITH e AS (
   SELECT vec_id,
@@ -7859,13 +7873,7 @@ ed AS MATERIALIZED (
 l0 AS MATERIALIZED (
   SELECT vec_id AS node, vec_id AS comm FROM e
 ),
-{rounds},
-diffs AS MATERIALIZED (
-  {diffs}
-),
-fix AS (SELECT CAST(min(t) AS BIGINT) AS iters FROM diffs WHERE d = 0)
-SELECT node AS vec_id, comm, (SELECT iters FROM fix) AS iters
-FROM l{k}
+{rounds}{tail}
 """
 
 

@@ -1353,6 +1353,119 @@ def st_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ st_labelprop
+def st_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus clustering — `s_labelprop`'s community
+    labels maintained as the embedding corpus STREAMS in: each
+    micro-batch scores its new vectors against the corpus-so-far
+    (the shard-vs-corpus shape of `d_incremental` — never
+    corpus-vs-corpus), appends the qualifying cosine ≥ 0.35 edges,
+    and re-propagates labels to the new fixpoint WARM-STARTED from
+    the previous batch's labels (new vectors enter as their own
+    label).
+
+    The warm-start is correct by the monotone-label argument (the
+    `st_triangles_ledger` discipline on labels instead of counters):
+    adding edges only LOWERS min-reachable labels, the previous
+    fixpoint is pointwise ≥ the new one, and every carried label is
+    the id of a node inside the (grown) component that now contains
+    it — so propagation from the carried labels converges to exactly
+    the cold-start fixpoint (pytest-pinned on an adversarial
+    slicing), in rounds ~ how far the NEW edges moved the frontier
+    rather than the full diameter.  The round count therefore
+    depends on batch boundaries and is NOT emitted; the fixpoint
+    LABELS are boundary-invariant and the oracle is the batch
+    28-round unrolled schedule SANS the iters derivation
+    (`_s_labelprop_sql(with_iters=False)`).
+
+    Scale shape: per batch O(|new| · |corpus|) pair scoring (the
+    unrolled codegen dot chain; at 100 TB the new×corpus probe rides
+    the LSH-bucketed candidate join instead — edge provenance is
+    irrelevant to the loop), one edge append, then warm-start rounds
+    of the audited `_labelprop_round` plan; the label store is
+    O(nodes), rewritten from a localCheckpoint per batch (the
+    artifact an incremental clustering run persists)."""
+    from go_whisper_spark.operators.llm_ops import (
+        _cos_frames,
+        _dot_expr,
+        _labelprop_round,
+    )
+    from go_whisper_spark.operators.whisper_queries import (
+        _flat_localCheckpoint,
+    )
+
+    feed = _cos_frames(spark, sf_dir).select(
+        "vec_id", "v", "norm", (F.col("vec_id") % 3).alias("arrive")
+    )
+    root = _tmpdir()
+    vstore, estore, lstore = (
+        os.path.join(root, n) for n in ("vecs", "edges", "labels")
+    )
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        newv = batch.select("vec_id", "v", "norm")
+        if os.path.isdir(vstore):
+            newv = newv.join(spark.read.parquet(vstore).select("vec_id"),
+                             "vec_id", "left_anti")
+        newv = newv.localCheckpoint()   # several consumers below
+        if newv.isEmpty():
+            return                      # replayed batch: a no-op
+        corpus = newv
+        if os.path.isdir(vstore):
+            corpus = spark.read.parquet(vstore).unionByName(newv)
+        a = newv.select(F.col("vec_id").alias("ida"),
+                        F.col("v").alias("va"),
+                        F.col("norm").alias("na"))
+        b = corpus.select(F.col("vec_id").alias("idb"),
+                          F.col("v").alias("vb"),
+                          F.col("norm").alias("nb"))
+        sim = F.round(_dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6)
+        pairs = (
+            a.join(b, F.col("ida") != F.col("idb"))
+            .where(sim >= 0.35)
+            .select(F.least("ida", "idb").alias("u"),
+                    F.greatest("ida", "idb").alias("v"))
+            .distinct()
+        )
+        pairs.write.mode("append").parquet(estore)
+        newv.write.mode("append").parquet(vstore)
+        # warm-started propagation over the grown edge store
+        lab = newv.select(F.col("vec_id").alias("node")).withColumn(
+            "comm", F.col("node"))
+        if os.path.isdir(lstore):
+            lab = spark.read.parquet(lstore).unionByName(lab)
+        lab = _flat_localCheckpoint(lab)
+        ed = spark.read.parquet(estore)
+        edges = ed.select(F.col("u").alias("src"), F.col("v").alias("dst")) \
+            .unionAll(ed.select(F.col("v").alias("src"),
+                                F.col("u").alias("dst")))
+        rounds = 0
+        while True:
+            new = _flat_localCheckpoint(_labelprop_round(edges, lab))
+            rounds += 1
+            delta = (
+                new.join(lab.withColumnRenamed("comm", "prev"), "node")
+                .agg(F.max(F.col("prev") - F.col("comm")))
+                .first()[0]
+            )
+            lab = new
+            if delta == 0:
+                break
+            if rounds >= 64:
+                raise RuntimeError("warm-start propagation diverged")
+        # lab is localCheckpoint-ed (materialized), so overwriting
+        # the store it was seeded from is safe
+        lab.write.mode("overwrite").parquet(lstore)
+
+    _replay(spark, feed, lambda s: s, sink=sink)
+    return (
+        spark.read.parquet(lstore)
+        .select(F.col("node").alias("vec_id"), "comm")
+    )
+
+
 # ---------------------------------------------------- st_kmv_jaccard
 def st_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KMV/Theta set-operation sketch — the SEVENTH merge
@@ -3368,7 +3481,13 @@ QUERIES = {
     "st_triangles": st_triangles,
     "st_triangles_ledger": st_triangles_ledger,
     "st_kmv_jaccard": st_kmv_jaccard,
+    "st_labelprop": st_labelprop,
 }
+
+def _labelprop_oracle_sql():
+    from go_whisper_spark.operators.llm_ops import _s_labelprop_sql
+    return _s_labelprop_sql(with_iters=False)
+
 
 ORACLES = {
     "st_rollup_lww_1h": ST_ROLLUP_LWW_1H_SQL,
@@ -3416,4 +3535,5 @@ ORACLES = {
     "st_triangles": _W_TRIANGLES_ORACLE,
     "st_triangles_ledger": _W_TRIANGLES_ORACLE,
     "st_kmv_jaccard": _kmv_sql(_ST_KMV_MEMBER_CTES),
+    "st_labelprop": _labelprop_oracle_sql(),
 }

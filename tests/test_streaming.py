@@ -145,3 +145,56 @@ def test_kmv_bottomk_merge_law(spark):
     got = sorted((r.metric, r.h)
                  for r in bottomk(union.distinct()).collect())
     assert got == want
+
+
+def test_labelprop_warm_start_law(spark):
+    """st_labelprop's correctness argument, stated directly: warm-
+    starting min-label propagation from the PREVIOUS fixpoint after
+    adding edges converges to exactly the cold-start fixpoint on the
+    grown graph.  Adversarial slicing: a chain built far-end first
+    (so early components have misleadingly high minima), then a
+    bridge edge that merges two large components whose carried
+    labels must both collapse to the global min."""
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.operators.llm_ops import _labelprop_round
+
+    def sym(pairs):
+        e = spark.createDataFrame(pairs, "u long, v long")
+        return e.select(F.col("u").alias("src"), F.col("v").alias("dst")) \
+            .unionAll(e.select(F.col("v").alias("src"),
+                               F.col("u").alias("dst"))).localCheckpoint()
+
+    def fix(edges, lab):
+        lab = lab.localCheckpoint()
+        for _ in range(64):
+            new = _labelprop_round(edges, lab).localCheckpoint()
+            d = (new.join(lab.withColumnRenamed("comm", "prev"), "node")
+                 .agg(F.max(F.col("prev") - F.col("comm"))).first()[0])
+            lab = new
+            if d == 0:
+                return lab
+        raise AssertionError("no fixpoint in 64 rounds")
+
+    def labels_of(nodes, prev=None):
+        lab = spark.createDataFrame([(n, n) for n in nodes],
+                                    "node long, comm long")
+        if prev is not None:
+            fresh = lab.join(prev.select("node"), "node", "left_anti")
+            lab = prev.unionByName(fresh)
+        return lab
+
+    # batch 1: chain 10-9-8-7-6 and pair 1-2 (two components)
+    e1 = [(9, 10), (8, 9), (7, 8), (6, 7), (1, 2)]
+    n1 = {1, 2, 6, 7, 8, 9, 10}
+    edges1 = sym(e1)
+    warm = fix(edges1, labels_of(n1))
+    # batch 2: bridge 2-6 merges everything with component min 1
+    e2 = e1 + [(2, 6)]
+    edges2 = sym(e2)
+    warm = fix(edges2, labels_of(n1, prev=warm))
+    cold = fix(edges2, labels_of(n1))
+    got = sorted((r.node, r.comm) for r in warm.collect())
+    want = sorted((r.node, r.comm) for r in cold.collect())
+    assert got == want
+    assert all(c == 1 for _, c in got)
