@@ -527,6 +527,7 @@ _R16_WINDOW: list = [
 _R16_DEFERRED: list = [
     "d_dedup_matrix",
     "st_labelprop",
+    "st_lakehouse_mv",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

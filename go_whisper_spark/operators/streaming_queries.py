@@ -1353,6 +1353,120 @@ def st_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- st_lakehouse_mv
+def st_lakehouse_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental view maintenance — the full CDC loop
+    running live: each micro-batch lands its changes as metadata-only
+    MoR commits (the `st_lakehouse_cdf` producer), then immediately
+    refreshes the downstream per-lang aggregate view from
+    `read_changes_mor(prev_head, new_head)` — the O(changes) feed of
+    exactly the commits that batch produced — as signed deltas merged
+    into the view store.  The base table is aggregated ONCE (the v1
+    materialization); every subsequent refresh costs the batch's
+    change rate.
+
+    The law: per-range signed deltas TELESCOPE — Σ over consecutive
+    ranges of (insert − delete) contributions equals the endpoint
+    diff's contribution, because the feed of (v_a, v_b] followed by
+    (v_b, v_c] bag-concatenates to a superset of the (v_a, v_c] feed
+    that differs only by pairs that CANCEL in the signed aggregate
+    (a row deleted at v_b and re-inserted identically later nets to
+    zero both ways).  So the maintained view is invariant to commit
+    boundaries AND to micro-batch boundaries, and the oracle
+    recomputes it from the final snapshot expression alone — the
+    strongest shape: streamed incremental vs batch recompute.
+
+    Scale shape: per batch O(changed keys) metadata writes + the
+    audited O(changes) feed read + an O(changed groups) signed
+    aggregate merged into the O(groups) view (localCheckpoint →
+    overwrite, the artifact a live MV run persists).  [pins
+    lakehouse.py: read_changes_mor as a PER-BATCH streaming feed]"""
+    from go_whisper_spark.lakehouse import (
+        CommitLog,
+        commit_partitions,
+        delete_rows_mor,
+        read_changes_mor,
+        read_table,
+        upsert_rows_mor,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("score"),
+        (F.col("doc_id") % 4).alias("b"),
+    )
+    table = os.path.join(_tmpdir(), "silver_docs_mv")
+    commit_partitions(
+        spark, table,
+        {f"b={k}": base.where(F.col("b") == k) for k in range(4)},
+        base_version=0,
+    )
+    mv_store = os.path.join(_tmpdir(), "mv")
+    (
+        read_table(spark, table, version=1)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("score").alias("sum_score"))
+        .write.mode("overwrite").parquet(mv_store)
+    )
+    dels = base.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", "score", "b",
+        F.lit("d").alias("op"),
+        (F.col("doc_id") % 3).alias("arrive"),
+    )
+    ups = base.where(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0)
+    ).select(
+        "doc_id", "lang",
+        (F.col("score") + 1000).alias("score"),
+        "b",
+        F.lit("u").alias("op"),
+        (F.col("doc_id") % 3).alias("arrive"),
+    )
+    marked = dels.unionByName(ups)
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        log = CommitLog(table)
+        prev = log.state()["version"]
+        d = batch.where(F.col("op") == "d").select("doc_id")
+        u = batch.where(F.col("op") == "u").drop("op")
+        if not d.isEmpty():
+            delete_rows_mor(spark, table, d)
+        if not u.isEmpty():
+            upsert_rows_mor(spark, table, u, key_cols=["doc_id"])
+        head = log.state()["version"]
+        if head == prev:
+            return                      # empty batch: nothing landed
+        feed = read_changes_mor(spark, table, key_cols=["doc_id"],
+                                from_version=prev, to_version=head)
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)) \
+                .otherwise(F.lit(-1))
+        delta = (
+            feed.groupBy("lang")
+            .agg(F.sum(sign).alias("d_n"),
+                 F.sum(sign * F.col("score")).alias("d_score"))
+        )
+        mv = (
+            spark.read.parquet(mv_store)
+            .join(delta, "lang", "full_outer")
+            .select(
+                "lang",
+                (F.coalesce("n_docs", F.lit(0))
+                 + F.coalesce("d_n", F.lit(0))).alias("n_docs"),
+                (F.coalesce("sum_score", F.lit(0))
+                 + F.coalesce("d_score", F.lit(0))).alias("sum_score"),
+            )
+            .where(F.col("n_docs") > 0)
+            .localCheckpoint()          # materialized before overwrite
+        )
+        mv.write.mode("overwrite").parquet(mv_store)
+
+    _replay(spark, marked, lambda s: s, sink=sink)
+    return spark.read.parquet(mv_store)
+
+
 # ------------------------------------------------------ st_labelprop
 def st_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL corpus clustering — `s_labelprop`'s community
@@ -3431,6 +3545,7 @@ GROUP BY l.arrive, w.wm
 from go_whisper_spark.operators.whisper_queries import (  # noqa: E402
     _topk_mg_sql,
     _w_zorder_skipping_sql,
+    W_LAKEHOUSE_MV_SQL as _W_LAKEHOUSE_MV_ORACLE,
     W_TRIANGLES_SQL as _W_TRIANGLES_ORACLE,
     _kmv_sql,
     W_DISTINCT_HLL_SQL as _W_DISTINCT_HLL_ORACLE,
@@ -3482,6 +3597,7 @@ QUERIES = {
     "st_triangles_ledger": st_triangles_ledger,
     "st_kmv_jaccard": st_kmv_jaccard,
     "st_labelprop": st_labelprop,
+    "st_lakehouse_mv": st_lakehouse_mv,
 }
 
 def _labelprop_oracle_sql():
@@ -3536,4 +3652,5 @@ ORACLES = {
     "st_triangles_ledger": _W_TRIANGLES_ORACLE,
     "st_kmv_jaccard": _kmv_sql(_ST_KMV_MEMBER_CTES),
     "st_labelprop": _labelprop_oracle_sql(),
+    "st_lakehouse_mv": _W_LAKEHOUSE_MV_ORACLE,
 }
