@@ -1573,3 +1573,80 @@ def test_read_changes_mor_empty_pdv_range(spark, tmp_path):
                             to_version=2)
     assert feed.count() == 0
     assert "_change_type" in feed.columns
+
+
+def test_mv_range_deltas_telescope(spark, tmp_path):
+    """st_lakehouse_mv's telescoping law, stated directly: refreshing
+    a count/sum view from the feeds of consecutive commit ranges
+    (v1,v2] then (v2,v3] yields the same view as one refresh from
+    the endpoint range (v1,v3] — including a key whose v2 delete is
+    later re-upserted with its IDENTICAL value (absent from the
+    endpoint feed entirely; its two signed contributions in the
+    per-range path must cancel)."""
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        delete_rows_mor,
+        read_changes_mor,
+        read_table,
+        upsert_rows_mor,
+    )
+
+    table = str(tmp_path / "silver")
+    df = spark.createDataFrame(
+        [(i, f"l{i % 2}", i * 10, i % 2) for i in range(10)],
+        "k long, lang string, score long, b long",
+    )
+    commit_partitions(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in (0, 1)},
+        base_version=0,
+    )
+    mv0 = (read_table(spark, table, version=1).groupBy("lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("score").alias("sum_score")).collect())
+    # v2: delete k=4 and k=7; v3: re-add k=4 IDENTICALLY, update k=3
+    delete_rows_mor(spark, table,
+                    spark.createDataFrame([(4,), (7,)], "k long"))
+    upsert_rows_mor(
+        spark, table,
+        spark.createDataFrame([(4, "l0", 40, 0), (3, "l1", 999, 1)],
+                              "k long, lang string, score long, b long"),
+        key_cols=["k"],
+    )
+
+    def refresh(view_rows, frm, to):
+        feed = read_changes_mor(spark, table, ["k"], frm, to)
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        delta = {r.lang: (r.dn, r.ds) for r in
+                 feed.groupBy("lang")
+                 .agg(F.sum(sign).alias("dn"),
+                      F.sum(sign * F.col("score")).alias("ds"))
+                 .collect()}
+        out = {}
+        langs = {r.lang for r in view_rows} | set(delta)
+        base = {r.lang: (r.n_docs, r.sum_score) for r in view_rows}
+        for lg in langs:
+            n0, s0 = base.get(lg, (0, 0))
+            dn, ds = delta.get(lg, (0, 0))
+            if n0 + dn > 0:
+                out[lg] = (n0 + dn, s0 + ds)
+        return out
+
+    class Row2:
+        def __init__(self, lang, n, s):
+            self.lang, self.n_docs, self.sum_score = lang, n, s
+
+    step = refresh(mv0, 1, 2)
+    step_rows = [Row2(lg, n, s) for lg, (n, s) in step.items()]
+    two_step = refresh(step_rows, 2, 3)
+    one_step = refresh(mv0, 1, 3)
+    assert two_step == one_step
+    # and both equal the recompute from the final snapshot
+    from go_whisper_spark.lakehouse import read_table_mor
+
+    want = {r.lang: (r.n_docs, r.sum_score) for r in
+            read_table_mor(spark, table, ["k"], version=3)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("score").alias("sum_score")).collect()}
+    assert two_step == want
