@@ -528,6 +528,7 @@ _R16_DEFERRED: list = [
     "d_dedup_matrix",
     "st_labelprop",
     "st_lakehouse_mv",
+    "d_lsh_tuning",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -572,6 +572,160 @@ JOIN sizes sb ON sb.doc_id = cand.doc_b
 """
 
 
+# ------------------------------------------------------------ d_lsh_tuning
+_LSH_TUNE_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+_LSH_TUNE_THRESH = 0.5
+
+
+def d_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH (bands × rows) KNOB SWEEP — the tuning ledger a
+    pipeline owner actually reviews before fixing b and r (the
+    `s_ann_recall` pricing discipline applied to the text tier): for
+    each banding of the SAME k=16 signature — (16,1), (8,2), (4,4)
+    the shipped default, (2,8) — the candidate-set size (the COST:
+    work scales with Σ bucket²) and the recall against the exact
+    jaccard ≥ 0.5 ground truth (the QUALITY: candidates found / true
+    pairs).  More rows per band sharpens the collision curve
+    (P[cand] = 1-(1-j^r)^b): (16,1) approaches all-pairs cost at
+    ~full recall, (2,8) prunes hardest and pays in recall — the sweep
+    makes the trade MEASURED, not asserted.
+
+    Ground truth is exact and complete: any pair at jaccard ≥ 0.5
+    shares at least one shingle, so the shingle inverted-index join
+    enumerates every true pair (no banding in the truth path).
+
+    Scale shape: the signature pass is the narrow Arrow kernel once
+    (localCheckpoint — 4 configs re-band the SAME signatures);
+    per config one (band, sig)-keyed bucket join + two control-plane
+    counts; the truth join is the d_lsh_pairs verification relation.
+    Counts land in a driver-built 4-row ledger (the
+    w_lakehouse_partevolve shape).  [Leskovec/Rajaraman/Ullman MMDS
+    ch.3 banding theory — public]"""
+    feats = _doc_features(spark, sf_dir, materialize=True).where(
+        F.col("n_sh") > 0)
+    sh = feats.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    truth = (
+        sa.join(sb, (F.col("sa.sh") == F.col("sb.sh"))
+                & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+            F.col("sa.n_sh").alias("na"),
+            F.col("sb.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("shared"))
+        .where(
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")), 6)
+            >= _LSH_TUNE_THRESH)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    n_true = truth.count()
+    sig = feats.select("doc_id", "minhash").localCheckpoint()
+    rows = []
+    for b, r in _LSH_TUNE_CONFIGS:
+        bands = F.array(*[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat_ws("-", *[
+                    F.element_at("minhash", j * r + i + 1).cast("string")
+                    for i in range(r)
+                ]).alias("sig"),
+            )
+            for j in range(b)
+        ])
+        banded = sig.select(
+            "doc_id", F.explode(bands).alias("bc")
+        ).select("doc_id", "bc.band", "bc.sig")
+        aa, bb2 = banded.alias("a"), banded.alias("b")
+        cand = (
+            aa.join(
+                bb2,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_cand = cand.count()
+        n_found = truth.join(cand, ["doc_a", "doc_b"], "left_semi").count()
+        recall = (n_found * 1_000_000) // n_true if n_true else 1_000_000
+        rows.append((b, r, n_cand, n_true, n_found, recall))
+    return spark.createDataFrame(
+        rows,
+        "bands long, rows_per_band long, n_cand long, n_true long, "
+        "n_found long, recall_ppm long",
+    )
+
+
+def _d_lsh_tuning_sql() -> str:
+    cfg_ctes, cfg_rows = [], []
+    for b, r in _LSH_TUNE_CONFIGS:
+        ors = " OR ".join(
+            "(" + " AND ".join(
+                f"a.h{j * r + i} = b.h{j * r + i}" for i in range(r)
+            ) + ")"
+            for j in range(b)
+        )
+        cfg_ctes.append(
+            f"cand_{b}_{r} AS MATERIALIZED (\n"
+            f"  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+            f"  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id\n"
+            f"   AND ({ors})\n"
+            f")"
+        )
+        cfg_rows.append(
+            f"SELECT {b} AS bands, {r} AS rows_per_band,\n"
+            f"  (SELECT count(*) FROM cand_{b}_{r}) AS n_cand,\n"
+            f"  (SELECT count(*) FROM truth) AS n_true,\n"
+            f"  (SELECT count(*) FROM truth t JOIN cand_{b}_{r} c\n"
+            f"     ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_found"
+        )
+        cfg_rows[-1] = cfg_rows[-1]
+    union = "\n  UNION ALL ".join(cfg_rows)
+    return f"""
+WITH {_SHINGLE_CTE},
+hashed AS (SELECT doc_id, {_X32_SQL} AS x32 FROM shingle),
+sigs AS MATERIALIZED (
+  SELECT doc_id,
+         {_minhash_sql_terms()}
+  FROM hashed GROUP BY doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY 1),
+truth AS MATERIALIZED (
+  SELECT sh2.doc_a, sh2.doc_b FROM (
+    SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS shared
+    FROM shingle sa JOIN shingle sb
+      ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+    GROUP BY 1, 2
+  ) sh2
+  JOIN sizes za ON za.doc_id = sh2.doc_a
+  JOIN sizes zb ON zb.doc_id = sh2.doc_b
+  WHERE round(CAST(sh2.shared AS DOUBLE)
+              / (za.n_sh + zb.n_sh - sh2.shared), 6)
+        >= {_LSH_TUNE_THRESH}
+),
+{",".join(cfg_ctes)},
+ledger AS (
+  {union}
+)
+SELECT bands, rows_per_band,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_found AS BIGINT) AS n_found,
+       CAST(CASE WHEN n_true = 0 THEN 1000000
+                 ELSE n_found * 1000000 // n_true END AS BIGINT)
+         AS recall_ppm
+FROM ledger
+"""
+
+
 # -------------------------------------------------------------- d_simhash
 def d_simhash(
     spark: SparkSession, sf_dir: str, materialize: bool = False
@@ -7963,6 +8117,7 @@ QUERIES = {
     "s_semantic_dedup": s_semantic_dedup,
     "s_labelprop": s_labelprop,
     "d_dedup_matrix": d_dedup_matrix,
+    "d_lsh_tuning": d_lsh_tuning,
 }
 
 ORACLES = {
@@ -8055,4 +8210,5 @@ ORACLES = {
     "s_semantic_dedup": _s_semantic_dedup_sql(),
     "s_labelprop": _s_labelprop_sql(),
     "d_dedup_matrix": _d_dedup_matrix_sql(),
+    "d_lsh_tuning": _d_lsh_tuning_sql(),
 }
