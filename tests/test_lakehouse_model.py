@@ -165,3 +165,98 @@ def test_lakehouse_verbs_match_dict_model(spark, tmp_path_factory,
         assert _scan(spark, table) == _model_rows(model), (
             f"diverged after {tag}({payload})"
         )
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(ops=st.lists(st.one_of(
+    st.tuples(st.just("upsert"),
+              st.lists(st.tuples(st.sampled_from(KEYS),
+                                 st.integers(0, 99)),
+                       min_size=1, max_size=4)),
+    st.tuples(st.just("delete"),
+              st.lists(st.sampled_from(KEYS), min_size=1, max_size=4)),
+    st.tuples(st.just("delete_pos"),
+              st.lists(st.sampled_from(KEYS), min_size=1, max_size=4)),
+), min_size=1, max_size=5),
+    seed=st.integers(0, 3))
+def test_cdf_matches_model_snapshot_diffs(spark, tmp_path_factory,
+                                          ops, seed):
+    """Model-based CDF (round 16): a random interleaving of equality
+    upserts, equality deletes and POSITIONAL deletes is replayed
+    against per-version dict snapshots, and for every adjacent
+    version pair plus the full range the O(changes) feed
+    (`read_changes_mor`) must equal the snapshot set-diff exactly —
+    deletes = old − new, inserts = new − old, by full row value.
+    This walks the state space the example tests can't: pdv-after-dv
+    interactions, re-adds after positional deletes, redundant
+    tombstones, and ranges whose net change cancels."""
+    from go_whisper_spark.lakehouse import (
+        commit_partitions_pos,
+        delete_rows_mor,
+        delete_rows_pos,
+        read_changes_mor,
+        read_table_pos,
+        upsert_rows_mor,
+    )
+
+    table = str(tmp_path_factory.mktemp("cdf") / "t")
+    base = [(k, 1000 + seed * 10 + k) for k in KEYS if (k + seed) % 2 == 0]
+    model = dict(base)
+    df = _rows_df(spark, base)
+    commit_partitions_pos(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in range(N_PART)},
+        base_version=0,
+    )
+    snaps = {1: dict(model)}
+    v = 1
+    for tag, payload in ops:
+        if tag == "upsert":
+            batch = dict(payload)
+            upsert_rows_mor(
+                spark, table,
+                _rows_df(spark, sorted(batch.items())),
+                key_cols=["k"],
+            )
+            model.update(batch)
+        elif tag == "delete":
+            ks = sorted(set(payload))
+            delete_rows_mor(
+                spark, table,
+                spark.createDataFrame([(k,) for k in ks], "k long"),
+            )
+            for k in ks:
+                model.pop(k, None)
+        else:  # delete_pos: address every current physical row of ks
+            ks = sorted(set(payload))
+            addr = (
+                read_table_pos(spark, table)
+                .where(F.col("k").isin(ks))
+                .select("_dir", "_pos")
+            )
+            delete_rows_pos(spark, table, addr)
+            for k in ks:
+                model.pop(k, None)
+        v += 1
+        snaps[v] = dict(model)
+
+    def rows(d):
+        return sorted((k, val, k % N_PART) for k, val in d.items())
+
+    def feed(a, b):
+        ch = read_changes_mor(spark, table, ["k"], a, b).collect()
+        dels = sorted((r.k, r.v, r.b) for r in ch
+                      if r._change_type == "delete")
+        ins = sorted((r.k, r.v, r.b) for r in ch
+                     if r._change_type == "insert")
+        return dels, ins
+
+    pairs = [(a, a + 1) for a in range(1, v)] + ([(1, v)] if v > 2 else [])
+    for a, b in pairs:
+        old, new = snaps[a], snaps[b]
+        want_del = sorted(r for r in rows(old) if r not in rows(new))
+        want_ins = sorted(r for r in rows(new) if r not in rows(old))
+        got_del, got_ins = feed(a, b)
+        assert got_del == want_del, (ops, seed, a, b)
+        assert got_ins == want_ins, (ops, seed, a, b)
