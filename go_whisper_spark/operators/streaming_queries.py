@@ -1582,19 +1582,18 @@ def st_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------- st_kmv_jaccard
 def st_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming KMV/Theta set-operation sketch — the SEVENTH merge
-    law, and the second IDEMPOTENT one (with `st_triangles`' set
-    union): each micro-batch ships its own bottom-k partial (the K
-    smallest 40-bit member hashes per set, one constant-size
-    window-rank per batch) to a sketch store, and the merged sketch
-    is the bottom-k of the DISTINCT union of partials.  The law:
-    every hash in the global bottom-k is also in its own batch's
-    bottom-k (fewer competitors), so the union of partials contains
-    the global bottom-k exactly — bottom-k ∘ union is associative,
-    commutative AND idempotent (hashes are a set; replaying a batch
-    re-ships identical hashes that the distinct absorbs), making
-    this sketch safe under at-least-once delivery where CMS/HDR
-    need exactly-once.
+    """Streaming KMV/Theta SET-OPERATION estimation — the pairwise
+    Theta-intersection read side running against STREAMED sketches:
+    each micro-batch ships its own bottom-k partial (the K smallest
+    40-bit member hashes per set, one constant-size window-rank per
+    batch) to a sketch store, and the merged sketch is the bottom-k
+    of the DISTINCT union of partials.  The merge law itself is
+    `st_kmv_bottomk`'s (the fourth: min-k ∘ union is associative,
+    commutative and idempotent — safe under at-least-once delivery
+    where CMS/HDR need exactly-once; re-pinned here directly in
+    tests/test_streaming.py with a replayed slice); what is NEW is
+    everything downstream of the merge: the pairwise set-operation
+    ledger over streamed sketches.
 
     The sets: per event type, the distinct (user, hour) activity
     pairs — streamable membership (no global statistic), measured
