@@ -260,3 +260,56 @@ def test_cdf_matches_model_snapshot_diffs(spark, tmp_path_factory,
         got_del, got_ins = feed(a, b)
         assert got_del == want_del, (ops, seed, a, b)
         assert got_ins == want_ins, (ops, seed, a, b)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(boxes=st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40),
+              st.sampled_from([None, "l0", "l1", "l2"])),
+    min_size=1, max_size=4))
+def test_mixed_spec_pruning_never_loses_rows(spark, tmp_path_factory,
+                                             boxes):
+    """Property net for partition-spec evolution (round 16): on a
+    table whose manifest mixes an id-range generation and a lang
+    generation (each with its own zone-map stats), a stats-pruned
+    range read must return EXACTLY the rows the unpruned filter
+    returns, for arbitrary (id-range × optional lang) probe boxes —
+    pruning is an optimization, never a correctness gate, including
+    boxes that are empty, inverted, or entirely inside one
+    generation."""
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        read_table,
+        read_table_range,
+    )
+
+    table = str(tmp_path_factory.mktemp("pe") / "t")
+    rows = [(k, f"l{k % 3}") for k in range(40)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    g1 = df.where("k < 20").withColumn("rb", F.expr("k div 5"))
+    g2 = df.where("k >= 20")
+    commit_partitions(
+        spark, table,
+        {f"rb={b}": g1.where(F.col("rb") == b).drop("rb")
+         for b in range(4)},
+        base_version=0, minmax_cols=["k", "lang"],
+    )
+    commit_partitions(
+        spark, table,
+        {f"lang=l{i}": g2.where(F.col("lang") == f"l{i}")
+         for i in range(3)},
+        base_version=1, minmax_cols=["k", "lang"],
+    )
+    full = read_table(spark, table)
+    for lo, hi, lang in boxes:
+        preds = {"k": (lo, hi)}
+        cond = F.col("k").between(lo, hi)
+        if lang is not None:
+            preds["lang"] = (lang, lang)
+            cond = cond & F.col("lang").between(lang, lang)
+        got = sorted((r.k, r.lang) for r in
+                     read_table_range(spark, table, preds).collect())
+        want = sorted((r.k, r.lang) for r in
+                      full.where(cond).collect())
+        assert got == want, (lo, hi, lang)
