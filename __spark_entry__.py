@@ -529,6 +529,7 @@ _R16_DEFERRED: list = [
     "st_labelprop",
     "st_lakehouse_mv",
     "d_lsh_tuning",
+    "w_lakehouse_clone",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

@@ -1214,6 +1214,42 @@ def vacuum(table: str, min_age_seconds: int = 3600) -> List[str]:
     return removed
 
 
+def clone_table(src: str, dst: str, version: Optional[int] = None) -> int:
+    """SHALLOW CLONE (public Delta's ``CREATE TABLE ... SHALLOW
+    CLONE``): mint ``dst`` as a new table whose v1 manifest references
+    ``src``'s live data directories — ZERO data copied, pure metadata,
+    O(partitions).  ``version`` clones a time-travel snapshot.  The
+    clone copies the full manifest payload (partition keys including
+    live MoR/pdv keys, schema registry, bloom filters, zone-map
+    stats), so every reader and every stat-pruned path works on the
+    clone unchanged; subsequent WRITES to either table stage fresh
+    directories under their own table root and diverge copy-on-write
+    — untouched partitions keep sharing bytes forever.
+
+    The shallow-clone trade is public Delta's verbatim: ``vacuum`` on
+    the SOURCE considers only the source's own manifest, so a source
+    rewrite followed by source vacuum can reclaim a directory the
+    clone still references — the clone's read then fails with the
+    standard vacuum-window error (loud, pytest-pinned).  Production
+    policy is the same as Delta documents: don't vacuum sources of
+    live shallow clones inside their retention window."""
+    st = CommitLog(src).state(at_version=version)
+    if not st["partitions"]:
+        raise FileNotFoundError(f"lake table {src} has no committed data")
+    log = CommitLog(dst)
+    if log.versions():
+        raise ValueError(
+            f"clone target {dst} already has commits — clone only "
+            "mints NEW tables (divergence happens via normal writes)"
+        )
+    return log.commit(
+        0, dict(st["partitions"]),
+        schema=st["schema"] or None,
+        bloom=st.get("bloom") or None,
+        stats=st.get("stats") or None,
+    )
+
+
 def read_table(
     spark: SparkSession, table: str, version: Optional[int] = None
 ) -> DataFrame:

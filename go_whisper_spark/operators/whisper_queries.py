@@ -6243,6 +6243,115 @@ LEFT JOIN truth ON b.box = truth.box
 """
 
 
+def w_lakehouse_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE under the driver's oracle — zero-copy table
+    forking (public Delta's ``SHALLOW CLONE``): the silver documents
+    table is cloned at v1 (pure metadata — the clone's manifest
+    references the source's directories), then BOTH tables diverge by
+    copy-on-write merges touching DIFFERENT partitions (src: +100 on
+    b=0 ∧ doc_id%9=0; clone: +200 on b=1 ∧ doc_id%11=0).  The ledger
+    pins the three clone laws at once: ISOLATION (each side's
+    per-lang aggregate reflects only its own merge — the oracle
+    recomputes both sides independently from the raw table),
+    ZERO-COPY (``shared_dirs`` counts the clone's directories that
+    are STILL the source-v1 directories byte-for-byte — 4 minus the
+    one partition the clone's merge rewrote; cross-checked in SQL as
+    4 − |buckets the clone-merge touches|), and full metadata
+    fidelity (the clone reads through the same manifest machinery
+    with the source's schema/stats payload — pytest covers the
+    stat-pruned path and the documented vacuum trade).
+
+    Scale shape: the clone is O(partitions) metadata — at 100 TB a
+    fork for an experiment costs a manifest write, and divergence
+    pays only for partitions actually rewritten.  [pins lakehouse.py:
+    clone_table / merge_table divergence]"""
+    import os
+    import tempfile
+
+    from go_whisper_spark.lakehouse import (
+        CommitLog,
+        clone_table,
+        commit_partitions,
+        merge_table,
+        read_table,
+    )
+    from go_whisper_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("score"),
+        (F.col("doc_id") % 4).alias("b"),
+    )
+    root = tempfile.mkdtemp(prefix="gws_lakeclone_")
+    src = os.path.join(root, "silver_docs")
+    dst = os.path.join(root, "silver_docs_fork")
+    commit_partitions(
+        spark, src,
+        {f"b={k}": base.where(F.col("b") == k) for k in range(4)},
+        base_version=0,
+    )
+    clone_table(src, dst)
+    v1_dirs = set(CommitLog(src).state(at_version=1)["partitions"].values())
+    merge_table(
+        spark, src,
+        base.where((F.col("b") == 0) & (F.col("doc_id") % 9 == 0))
+        .select("doc_id", "lang", (F.col("score") + 100).alias("score"),
+                "b"),
+        key_cols=["doc_id"], part_col="b",
+    )
+    merge_table(
+        spark, dst,
+        base.where((F.col("b") == 1) & (F.col("doc_id") % 11 == 0))
+        .select("doc_id", "lang", (F.col("score") + 200).alias("score"),
+                "b"),
+        key_cols=["doc_id"], part_col="b",
+    )
+    shared = len(
+        set(CommitLog(dst).state()["partitions"].values()) & v1_dirs)
+
+    def ledger(table: str, side: str) -> DataFrame:
+        return (
+            read_table(spark, table)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("score").alias("sum_score"))
+            .select(F.lit(side).alias("side"), "lang", "n_docs",
+                    "sum_score", F.lit(shared).cast("long")
+                    .alias("shared_dirs"))
+        )
+
+    return ledger(src, "src").unionByName(ledger(dst, "clone"))
+
+
+W_LAKEHOUSE_CLONE_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
+         doc_id % 4 AS b
+  FROM documents
+),
+sh AS (
+  SELECT 4 - count(DISTINCT b) AS shared_dirs
+  FROM base WHERE b = 1 AND doc_id % 11 = 0
+)
+SELECT 'src' AS side, lang,
+       count(*) AS n_docs,
+       CAST(sum(score + CASE WHEN b = 0 AND doc_id % 9 = 0
+                             THEN 100 ELSE 0 END) AS BIGINT)
+         AS sum_score,
+       CAST((SELECT shared_dirs FROM sh) AS BIGINT) AS shared_dirs
+FROM base GROUP BY lang
+UNION ALL
+SELECT 'clone', lang,
+       count(*),
+       CAST(sum(score + CASE WHEN b = 1 AND doc_id % 11 = 0
+                             THEN 200 ELSE 0 END) AS BIGINT),
+       CAST((SELECT shared_dirs FROM sh) AS BIGINT)
+FROM base GROUP BY lang
+"""
+
+
 W_LAKEHOUSE_MOVE_SQL = """
 WITH base AS (
   SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
@@ -6344,6 +6453,7 @@ QUERIES = {
     "w_lakehouse_cdf_pos": w_lakehouse_cdf_pos,
     "w_lakehouse_mv": w_lakehouse_mv,
     "w_lakehouse_partevolve": w_lakehouse_partevolve,
+    "w_lakehouse_clone": w_lakehouse_clone,
     "w_topk_mg": w_topk_mg,
     "w_triangle_sample": w_triangle_sample,
     "w_pagerank_fixpoint": w_pagerank_fixpoint,
@@ -6414,6 +6524,7 @@ ORACLES = {
     "w_lakehouse_cdf_pos": W_LAKEHOUSE_CDF_MOR_SQL,
     "w_lakehouse_mv": W_LAKEHOUSE_MV_SQL,
     "w_lakehouse_partevolve": W_LAKEHOUSE_PARTEVOLVE_SQL,
+    "w_lakehouse_clone": W_LAKEHOUSE_CLONE_SQL,
     "w_topk_mg": W_TOPK_MG_SQL,
     "w_triangle_sample": W_TRIANGLE_SAMPLE_SQL,
     "w_pagerank_fixpoint": _w_pagerank_fixpoint_sql(),

@@ -1650,3 +1650,72 @@ def test_mv_range_deltas_telescope(spark, tmp_path):
             .agg(F.count("*").alias("n_docs"),
                  F.sum("score").alias("sum_score")).collect()}
     assert two_step == want
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    """clone_table (round 16): the clone is metadata-only (its v1
+    manifest references the SOURCE's directories byte-for-byte),
+    reads identically including stat-pruned paths, diverges
+    copy-on-write (a merge into either side leaves the other
+    unchanged, untouched partitions keep sharing dirs), refuses an
+    existing target, and carries public Delta's vacuum trade: a
+    source rewrite + source vacuum reclaims a dir the clone still
+    references, and the clone's read fails LOUD with the standard
+    vacuum-window error."""
+    import os
+
+    from go_whisper_spark.lakehouse import (
+        CommitLog,
+        clone_table,
+        commit_partitions,
+        merge_table,
+        read_table,
+        read_table_range,
+        vacuum,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [(k, k * 10, k % 3) for k in range(12)], "k long, v long, b long"
+    )
+    commit_partitions(
+        spark, src,
+        {f"b={p}": df.where(F.col("b") == p) for p in range(3)},
+        base_version=0, minmax_cols=["k"],
+    )
+    clone_table(src, dst)
+    # zero copy: every dst dir IS a src dir; reads identical
+    src_dirs = set(CommitLog(src).state()["partitions"].values())
+    dst_dirs = set(CommitLog(dst).state()["partitions"].values())
+    assert dst_dirs == src_dirs
+    assert sorted((r.k, r.v) for r in read_table(spark, dst).collect()) \
+        == sorted((r.k, r.v) for r in read_table(spark, src).collect())
+    # stats came through: a pruned range read works on the clone
+    got = read_table_range(spark, dst, {"k": (0, 3)}).collect()
+    assert sorted(r.k for r in got) == [0, 1, 2, 3]
+    # divergence: merge into dst touches b=1 only; src unchanged
+    merge_table(
+        spark, dst,
+        spark.createDataFrame([(1, 999, 1)], "k long, v long, b long"),
+        key_cols=["k"], part_col="b",
+    )
+    assert {r.k: r.v for r in read_table(spark, dst).collect()}[1] == 999
+    assert {r.k: r.v for r in read_table(spark, src).collect()}[1] == 10
+    # untouched partitions still share bytes
+    dst_dirs2 = set(CommitLog(dst).state()["partitions"].values())
+    assert len(dst_dirs2 & src_dirs) == 2
+    # clone refuses an existing target
+    with pytest.raises(ValueError, match="already has commits"):
+        clone_table(src, dst)
+    # the vacuum trade: src rewrites b=0, src vacuum reclaims the old
+    # dir the CLONE still references -> loud vacuum-window error
+    merge_table(
+        spark, src,
+        spark.createDataFrame([(0, 111, 0)], "k long, v long, b long"),
+        key_cols=["k"], part_col="b",
+    )
+    removed = vacuum(src, min_age_seconds=0)
+    assert removed, "source vacuum reclaimed nothing"
+    with pytest.raises(Exception, match="vacuum|reclaim|exist"):
+        read_table(spark, dst).collect()
