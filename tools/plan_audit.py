@@ -1189,6 +1189,14 @@ CHECKS = {
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
                 "SortMergeJoin"],
     ),
+    # Shallow-clone ledger: both sides' per-lang aggregates are
+    # map-combined scans of their own manifests; the shared-dirs
+    # scalar is driver metadata (lit) — no join in the plan at all.
+    "w_lakehouse_clone": dict(
+        require=["partial_count", "Union"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "Window"],
+    ),
     # Dedup decision matrix: the three tier relations (hash groupBy,
     # banded chunk join, shingle inverted index) composed by O(docs)
     # doc_id flag joins — broadcast-hinted; never a cartesian or
