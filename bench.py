@@ -220,9 +220,12 @@ HEADLINE = [
     # build class is already priced by the s_cosine_*/d_*_pairs
     # entries), st_triangles_ledger (streaming replay harness — the
     # per-batch increment plan is audited by st_tri_ledger_increment;
-    # st_* replays never bench), w_lakehouse_cdf_pos (lakehouse verb
-    # — commit-log table build per rep, pinned by pytest + driver
-    # gate like the other w_lakehouse_* verbs).
+    # st_* replays never bench), w_lakehouse_cdf_pos / w_lakehouse_mv
+    # / w_lakehouse_partevolve / w_lakehouse_clone (lakehouse verbs
+    # — commit-log table builds per rep, pinned by pytest + driver
+    # gate like the other w_lakehouse_* verbs), d_lsh_tuning (a
+    # 4-config sweep whose per-config joins are the already-benched
+    # d_lsh_pairs class; its value is the ledger, not throughput).
 ]
 
 
