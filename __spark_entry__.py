@@ -530,6 +530,7 @@ _R16_DEFERRED: list = [
     "st_lakehouse_mv",
     "d_lsh_tuning",
     "w_lakehouse_clone",
+    "w_carbon_hashring",
 ]
 
 # Added late in round 8, after the round-8 window composition (5 new

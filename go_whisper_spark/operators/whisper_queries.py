@@ -4553,6 +4553,158 @@ def w_carbon_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RING_NODES_A = ("relay-a", "relay-b", "relay-c")
+_RING_NODES_B = _RING_NODES_A + ("relay-d",)
+_RING_REPLICAS = 16
+
+
+def _ring_positions(nodes) -> list:
+    """(node, position) ring entries: md5('node:replica') first 8 hex
+    as a 32-bit position — the carbon_ch consistent-hash ring shape
+    (Graphite's carbon-relay routing; public carbon_ch uses a 16-bit
+    md5 slice and 100 replicas — constants, not structure; 32 bits +
+    16 replicas keep the same ring semantics cross-engine-exact)."""
+    import hashlib
+
+    return [
+        (n, int(hashlib.md5(f"{n}:{i}".encode()).hexdigest()[:8], 16))
+        for n in nodes for i in range(_RING_REPLICAS)
+    ]
+
+
+def w_carbon_hashring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carbon-relay CONSISTENT-HASH routing + the rebalance law — the
+    shard-assignment half of the carbon ecosystem (`w_carbon_ingest`
+    is the wire half): every metric routes to the ring node whose
+    replica position is the smallest one ≥ the metric's own hash
+    position (wrapping to the globally smallest — the standard ring
+    walk), and the ledger measures what consistent hashing is FOR:
+    adding relay-d to a 3-node ring moves ONLY the keys that now
+    fall in relay-d's arcs (every moved key lands ON relay-d; no
+    key moves between surviving nodes — pinned as moved_in = 0 for
+    a/b/c rows via the hash check), ~1/4 of the keyspace instead of
+    a full reshuffle.
+
+    Output per ring-B node: metrics held before (n_before; 0 for the
+    new node), after (n_after), and moved_in (metrics that changed
+    assignment TO this node).  The oracle rebuilds both rings and
+    both assignments from the same md5 spelling — ring walk, wrap
+    rule, tie behavior all cross-engine-exact.
+
+    Scale shape: the ring is O(nodes·replicas) rows (64 here) and
+    rides a BROADCAST min-over-candidates join against the O(metrics)
+    relation — at 100 TB of metrics the assignment is one broadcast
+    join + a map-combined argmin, the exact shape a relay fleet
+    computes per incoming metric name.  [carbon_ch consistent
+    hashing: public graphite-project carbon source]"""
+    from go_whisper_spark.sources.tables import load_table
+
+    metrics = (
+        load_table(spark, sf_dir, "events")
+        .select(F.concat(F.lit("srv"),
+                         F.col("user_id").cast("string")).alias("metric"))
+        .distinct()
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5("metric"), 1, 8), 16, 10)
+            .cast("long"),
+        )
+    )
+
+    def assign(nodes, out: str) -> DataFrame:
+        ring = spark.createDataFrame(_ring_positions(nodes),
+                                     "node string, pos long")
+        cand = metrics.join(F.broadcast(ring),
+                            F.col("pos") >= F.col("h"), "left")
+        first = (
+            cand.groupBy("metric", "h")
+            .agg(F.min_by("node", "pos").alias("n1"),
+                 F.min("pos").alias("p1"))
+        )
+        wrap = spark.createDataFrame(
+            [min(_ring_positions(nodes), key=lambda t: t[1])],
+            "node string, pos long",
+        )
+        return first.crossJoin(F.broadcast(wrap)).select(
+            "metric",
+            F.coalesce("n1", F.col("node")).alias(out),
+        )
+
+    a = assign(_RING_NODES_A, "na")
+    b = assign(_RING_NODES_B, "nb")
+    both = a.join(b, "metric")
+    return (
+        both.groupBy(F.col("nb").alias("node"))
+        .agg(
+            F.sum(F.when(F.col("na") == F.col("nb"), 1).otherwise(0))
+            .alias("kept"),
+            F.count("*").alias("n_after"),
+            F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0))
+            .alias("moved_in"),
+        )
+        .join(
+            both.groupBy(F.col("na").alias("node"))
+            .agg(F.count("*").alias("n_before")),
+            "node", "full_outer",
+        )
+        .select(
+            "node",
+            F.coalesce("n_before", F.lit(0)).cast("long")
+            .alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.coalesce("moved_in", F.lit(0)).cast("long")
+            .alias("moved_in"),
+        )
+    )
+
+
+def _w_carbon_hashring_sql() -> str:
+    def ring_values(nodes):
+        return ", ".join(f"('{n}', {p})" for n, p in _ring_positions(nodes))
+
+    return f"""
+WITH metrics AS (
+  SELECT DISTINCT 'srv' || CAST(user_id AS VARCHAR) AS metric FROM events
+),
+mh AS (
+  SELECT metric,
+         CAST('0x' || substring(md5(metric), 1, 8) AS BIGINT) AS h
+  FROM metrics
+),
+ring_a(node, pos) AS (VALUES {ring_values(_RING_NODES_A)}),
+ring_b(node, pos) AS (VALUES {ring_values(_RING_NODES_B)}),
+asg_a AS (
+  SELECT mh.metric,
+         COALESCE(min_by(r.node, r.pos),
+                  (SELECT min_by(node, pos) FROM ring_a)) AS na
+  FROM mh LEFT JOIN ring_a r ON r.pos >= mh.h
+  GROUP BY mh.metric
+),
+asg_b AS (
+  SELECT mh.metric,
+         COALESCE(min_by(r.node, r.pos),
+                  (SELECT min_by(node, pos) FROM ring_b)) AS nb
+  FROM mh LEFT JOIN ring_b r ON r.pos >= mh.h
+  GROUP BY mh.metric
+),
+asg AS (SELECT a.metric, na, nb FROM asg_a a JOIN asg_b b
+        ON a.metric = b.metric),
+after AS (
+  SELECT nb AS node,
+         count(*) AS n_after,
+         CAST(sum(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT)
+           AS moved_in
+  FROM asg GROUP BY 1
+),
+pre AS (SELECT na AS node, count(*) AS n_before FROM asg GROUP BY 1)
+SELECT COALESCE(a.node, b.node) AS node,
+       CAST(COALESCE(b.n_before, 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+       CAST(COALESCE(a.moved_in, 0) AS BIGINT) AS moved_in
+FROM after a FULL OUTER JOIN pre b ON a.node = b.node
+"""
+
+
 W_CARBON_INGEST_SQL = f"""
 WITH {PTS_CTE}
 SELECT metric,
@@ -6467,6 +6619,7 @@ QUERIES = {
     "w_wsp_propagate": w_wsp_propagate,
     "w_wsp_export": w_wsp_export,
     "w_carbon_ingest": w_carbon_ingest,
+    "w_carbon_hashring": w_carbon_hashring,
     "w_lww_1h": w_lww_1h,
     "w_asof_join": w_asof_join,
     "w_range_join_binned": w_range_join_binned,
@@ -6538,6 +6691,7 @@ ORACLES = {
     "w_wsp_propagate": W_WSP_PROPAGATE_SQL,
     "w_wsp_export": W_WSP_PROPAGATE_SQL,
     "w_carbon_ingest": W_CARBON_INGEST_SQL,
+    "w_carbon_hashring": _w_carbon_hashring_sql(),
     "w_lww_1h": W_LWW_1H_SQL,
     "w_asof_join": W_ASOF_SQL,
     "w_range_join_binned": W_RANGE_JOIN_BINNED_SQL,
