@@ -1216,25 +1216,41 @@ def vacuum(table: str, min_age_seconds: int = 3600) -> List[str]:
 
 def clone_table(src: str, dst: str, version: Optional[int] = None) -> int:
     """SHALLOW CLONE (public Delta's ``CREATE TABLE ... SHALLOW
-    CLONE``): mint ``dst`` as a new table whose v1 manifest references
-    ``src``'s live data directories — ZERO data copied, pure metadata,
-    O(partitions).  ``version`` clones a time-travel snapshot.  The
-    clone copies the full manifest payload (partition keys including
-    live MoR/pdv keys, schema registry, bloom filters, zone-map
-    stats), so every reader and every stat-pruned path works on the
-    clone unchanged; subsequent WRITES to either table stage fresh
-    directories under their own table root and diverge copy-on-write
-    — untouched partitions keep sharing bytes forever.
+    CLONE``): mint ``dst`` by REPLAYING ``src``'s commit log —
+    metadata only, ZERO data copied; every commit references the
+    source's data directories.  ``version`` truncates the replay to a
+    time-travel snapshot.
 
-    The shallow-clone trade is public Delta's verbatim: ``vacuum`` on
-    the SOURCE considers only the source's own manifest, so a source
-    rewrite followed by source vacuum can reclaim a directory the
-    clone still references — the clone's read then fails with the
-    standard vacuum-window error (loud, pytest-pinned).  Production
-    policy is the same as Delta documents: don't vacuum sources of
-    live shallow clones inside their retention window."""
-    st = CommitLog(src).state(at_version=version)
-    if not st["partitions"]:
+    Replaying commits (REVIEW r16, found by the second review pass)
+    rather than flattening the resolved state into one v1 manifest is
+    load-bearing for merge-on-read fidelity: ``read_table_mor``
+    derives each key's SHADOWING SEQUENCE from its commit version, so
+    a flattened clone would collapse every sequence to 1 — equality
+    deletion vectors would stop shadowing anything and the clone
+    would silently resurrect deleted rows and duplicate upserted keys
+    (and the watermark payload restart-safe writers rely on would be
+    dropped).  The replay preserves version numbers exactly, so the
+    clone's MoR reads, watermarks AND time travel behave like the
+    source's, at O(versions) metadata cost — still no data moved.
+
+    Divergence is copy-on-write per side: subsequent writes stage
+    fresh directories under their own table root; untouched
+    partitions keep sharing bytes forever.  The shallow-clone trade
+    is public Delta's verbatim: ``vacuum`` on the SOURCE considers
+    only the source's own manifest, so a source rewrite followed by
+    source vacuum can reclaim a directory the clone still references
+    — the clone's read then fails with the standard vacuum-window
+    error (loud, pytest-pinned).  Production policy is the same as
+    Delta documents: don't vacuum sources of live shallow clones
+    inside their retention window."""
+    src_log = CommitLog(src)
+    versions = src_log.versions()
+    if version is not None:
+        if version not in versions:
+            raise ValueError(
+                f"version {version} does not exist in {src}")
+        versions = [v for v in versions if v <= version]
+    if not versions:
         raise FileNotFoundError(f"lake table {src} has no committed data")
     log = CommitLog(dst)
     if log.versions():
@@ -1242,12 +1258,19 @@ def clone_table(src: str, dst: str, version: Optional[int] = None) -> int:
             f"clone target {dst} already has commits — clone only "
             "mints NEW tables (divergence happens via normal writes)"
         )
-    return log.commit(
-        0, dict(st["partitions"]),
-        schema=st["schema"] or None,
-        bloom=st.get("bloom") or None,
-        stats=st.get("stats") or None,
-    )
+    head = 0
+    for v in versions:
+        c = src_log.read_commit(v)
+        head = log.commit(
+            v - 1,
+            c.get("replace", {}),
+            watermark=c.get("watermark"),
+            remove=c.get("remove"),
+            schema=c.get("schema"),
+            bloom=c.get("bloom"),
+            stats=c.get("stats"),
+        )
+    return head
 
 
 def read_table(

@@ -687,7 +687,6 @@ def _d_lsh_tuning_sql() -> str:
             f"  (SELECT count(*) FROM truth t JOIN cand_{b}_{r} c\n"
             f"     ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_found"
         )
-        cfg_rows[-1] = cfg_rows[-1]
     union = "\n  UNION ALL ".join(cfg_rows)
     return f"""
 WITH {_SHINGLE_CTE},

@@ -877,13 +877,7 @@ def st_lakehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert_rows_mor,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.col("n_chars").cast("long").alias("score"),
-        (F.col("doc_id") % 4).alias("b"),
-    )
+    base = _silver_docs_base(spark, sf_dir)
     table = os.path.join(_tmpdir(), "silver_docs_cdf")
     commit_partitions(
         spark, table,
@@ -952,13 +946,7 @@ def st_lakehouse_cdf_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert_rows_mor,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.col("n_chars").cast("long").alias("score"),
-        (F.col("doc_id") % 4).alias("b"),
-    )
+    base = _silver_docs_base(spark, sf_dir)
     table = os.path.join(_tmpdir(), "silver_docs_cdfp")
     commit_partitions_pos(
         spark, table,
@@ -1390,13 +1378,7 @@ def st_lakehouse_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert_rows_mor,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.col("n_chars").cast("long").alias("score"),
-        (F.col("doc_id") % 4).alias("b"),
-    )
+    base = _silver_docs_base(spark, sf_dir)
     table = os.path.join(_tmpdir(), "silver_docs_mv")
     commit_partitions(
         spark, table,
@@ -3545,6 +3527,7 @@ from go_whisper_spark.operators.whisper_queries import (  # noqa: E402
     _topk_mg_sql,
     _w_zorder_skipping_sql,
     W_LAKEHOUSE_MV_SQL as _W_LAKEHOUSE_MV_ORACLE,
+    _silver_docs_base,
     W_TRIANGLES_SQL as _W_TRIANGLES_ORACLE,
     _kmv_sql,
     W_DISTINCT_HLL_SQL as _W_DISTINCT_HLL_ORACLE,

@@ -4553,6 +4553,25 @@ def w_carbon_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _silver_docs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The silver documents BASE FRAME every lakehouse verb stages:
+    (doc_id, lang, score = n_chars, b = doc_id % 4).  Single-sourced
+    (REVIEW r16 — was spelled verbatim at 12+ call sites, each of
+    which had to stay in lockstep with its SQL oracle's `base` CTE);
+    the matching oracle spelling is the `base AS (SELECT doc_id %% 4
+    AS b, doc_id, lang, CAST(n_chars AS BIGINT) AS score FROM
+    documents)` CTE."""
+    from go_whisper_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("score"),
+        (F.col("doc_id") % 4).alias("b"),
+    )
+
+
 _RING_NODES_A = ("relay-a", "relay-b", "relay-c")
 _RING_NODES_B = _RING_NODES_A + ("relay-d",)
 _RING_REPLICAS = 16
@@ -4612,18 +4631,16 @@ def w_carbon_hashring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(nodes, out: str) -> DataFrame:
-        ring = spark.createDataFrame(_ring_positions(nodes),
-                                     "node string, pos long")
+        entries = _ring_positions(nodes)
+        ring = spark.createDataFrame(entries, "node string, pos long")
         cand = metrics.join(F.broadcast(ring),
                             F.col("pos") >= F.col("h"), "left")
         first = (
             cand.groupBy("metric", "h")
-            .agg(F.min_by("node", "pos").alias("n1"),
-                 F.min("pos").alias("p1"))
+            .agg(F.min_by("node", "pos").alias("n1"))
         )
         wrap = spark.createDataFrame(
-            [min(_ring_positions(nodes), key=lambda t: t[1])],
-            "node string, pos long",
+            [min(entries, key=lambda t: t[1])], "node string, pos long",
         )
         return first.crossJoin(F.broadcast(wrap)).select(
             "metric",
@@ -5337,15 +5354,7 @@ def w_lakehouse_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table_mor,
         upsert_rows_mor,
     )
-    from go_whisper_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.col("n_chars").cast("long").alias("score"),
-        (F.col("doc_id") % 4).alias("b"),
-    )
+    base = _silver_docs_base(spark, sf_dir)
     table = os.path.join(tempfile.mkdtemp(prefix="gws_lakeevo_"),
                          "silver_docs")
     commit_partitions(
@@ -5400,15 +5409,7 @@ def w_lakehouse_move(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_table,
         read_table,
     )
-    from go_whisper_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.col("n_chars").cast("long").alias("score"),
-        (F.col("doc_id") % 4).alias("b"),
-    )
+    base = _silver_docs_base(spark, sf_dir)
     table = os.path.join(tempfile.mkdtemp(prefix="gws_lakemove_"),
                          "silver_docs")
     commit_partitions(
@@ -5618,15 +5619,7 @@ def w_lakehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_table,
         read_changes,
     )
-    from go_whisper_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.col("n_chars").cast("long").alias("score"),
-        (F.col("doc_id") % 4).alias("b"),
-    )
+    base = _silver_docs_base(spark, sf_dir)
     table = os.path.join(tempfile.mkdtemp(prefix="gws_lakecdf_"),
                          "silver_docs")
     commit_partitions(
@@ -5709,15 +5702,7 @@ def w_lakehouse_cdf_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_changes_mor,
         upsert_rows_mor,
     )
-    from go_whisper_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.col("n_chars").cast("long").alias("score"),
-        (F.col("doc_id") % 4).alias("b"),
-    )
+    base = _silver_docs_base(spark, sf_dir)
     table = os.path.join(tempfile.mkdtemp(prefix="gws_lakecdfm_"),
                          "silver_docs")
     commit_partitions(
@@ -5796,15 +5781,7 @@ def w_lakehouse_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table,
         upsert_rows_mor,
     )
-    from go_whisper_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.col("n_chars").cast("long").alias("score"),
-        (F.col("doc_id") % 4).alias("b"),
-    )
+    base = _silver_docs_base(spark, sf_dir)
     table = os.path.join(tempfile.mkdtemp(prefix="gws_lakemv_"),
                          "silver_docs")
     commit_partitions(
@@ -5910,15 +5887,7 @@ def w_lakehouse_cdf_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table_pos,
         upsert_rows_mor,
     )
-    from go_whisper_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.col("n_chars").cast("long").alias("score"),
-        (F.col("doc_id") % 4).alias("b"),
-    )
+    base = _silver_docs_base(spark, sf_dir)
     table = os.path.join(tempfile.mkdtemp(prefix="gws_lakecdfp_"),
                          "silver_docs")
     commit_partitions_pos(
@@ -6427,15 +6396,7 @@ def w_lakehouse_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_table,
         read_table,
     )
-    from go_whisper_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.col("n_chars").cast("long").alias("score"),
-        (F.col("doc_id") % 4).alias("b"),
-    )
+    base = _silver_docs_base(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="gws_lakeclone_")
     src = os.path.join(root, "silver_docs")
     dst = os.path.join(root, "silver_docs_fork")

@@ -1719,3 +1719,56 @@ def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
     assert removed, "source vacuum reclaimed nothing"
     with pytest.raises(Exception, match="vacuum|reclaim|exist"):
         read_table(spark, dst).collect()
+
+
+def test_shallow_clone_preserves_mor_sequences(spark, tmp_path):
+    """REVIEW r16 (second pass): the clone must REPLAY the source's
+    commit log, not flatten it — a flattened clone collapses every
+    MoR sequence to 1, so equality deletion vectors stop shadowing
+    and deleted rows resurrect.  Pins: a clone of a table with LIVE
+    dv/delta keys reads identically via read_table_mor, time travel
+    works on the clone at the source's version numbers, and the
+    watermark payload survives."""
+    from go_whisper_spark.lakehouse import (
+        CommitLog,
+        clone_table,
+        commit_partitions,
+        delete_rows_mor,
+        read_table_mor,
+        upsert_rows_mor,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [(k, k * 10, k % 2) for k in range(8)], "k long, v long, b long"
+    )
+    commit_partitions(
+        spark, src,
+        {f"b={p}": df.where(F.col("b") == p) for p in (0, 1)},
+        base_version=0, watermark={"ingest_max": 111},
+    )
+    delete_rows_mor(spark, src,
+                    spark.createDataFrame([(2,), (5,)], "k long"))
+    upsert_rows_mor(
+        spark, src,
+        spark.createDataFrame([(3, 999, 1)], "k long, v long, b long"),
+        key_cols=["k"],
+    )
+    clone_table(src, dst)
+
+    def rows(table, version=None):
+        return sorted(
+            (r.k, r.v)
+            for r in read_table_mor(spark, table, ["k"],
+                                    version=version).collect())
+
+    assert rows(dst) == rows(src)
+    assert (2, 20) not in rows(dst), "deleted row resurrected in clone"
+    assert rows(dst).count((3, 999)) == 1
+    assert rows(dst, version=1) == rows(src, version=1)  # time travel
+    assert CommitLog(dst).state()["watermark"] == {"ingest_max": 111}
+    # truncated clone: only the base commit
+    dst2 = str(tmp_path / "dst2")
+    clone_table(src, dst2, version=1)
+    assert rows(dst2) == rows(src, version=1)
