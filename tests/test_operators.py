@@ -1293,3 +1293,41 @@ def test_tri_ledger_increment_laws(spark):
     # law 3 cross-check: total participations = 3 * 5 triangles
     total = sum(t for _, _, t, _ in run([all_edges]))
     assert total == 3 * 5
+
+
+def test_hashring_moved_keys_land_on_new_node():
+    """The consistent-hashing law behind w_carbon_hashring, pinned as
+    a pure property (no Spark): for ANY metric population and ANY
+    added node, every key whose assignment changes moves TO the new
+    node — survivors never trade keys among themselves — because
+    adding replicas only splits existing arcs.  Pure-python mirror of
+    the ring walk (smallest position >= hash, wrapping)."""
+    import hashlib
+
+    from go_whisper_spark.operators.whisper_queries import (
+        _ring_positions,
+    )
+
+    def assign(nodes, metric):
+        h = int(hashlib.md5(metric.encode()).hexdigest()[:8], 16)
+        entries = sorted(_ring_positions(nodes), key=lambda t: (t[1], t[0]))
+        for node, pos in entries:
+            if pos >= h:
+                return node
+        return entries[0][0]
+
+    metrics = [f"srv{i}" for i in range(500)]
+    for base_nodes, new in (
+        (("relay-a", "relay-b", "relay-c"), "relay-d"),
+        (("relay-a", "relay-b"), "relay-z"),
+        (("n1", "n2", "n3", "n4", "n5"), "n6"),
+    ):
+        grown = base_nodes + (new,)
+        moved = 0
+        for m in metrics:
+            a, b = assign(base_nodes, m), assign(grown, m)
+            if a != b:
+                assert b == new, (m, a, b)
+                moved += 1
+        # the new node takes a nontrivial share, far below a reshuffle
+        assert 0 < moved < len(metrics) // 2, (base_nodes, new, moved)
