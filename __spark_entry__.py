@@ -485,16 +485,15 @@ _R15_DEFERRED: list = [
 # the streamed KMV sketch) + the 16 never-checked _R15_DEFERRED
 # entries + the oldest remaining driver evidence (the r08-window
 # tail the r15 window didn't reach, then the front of the r09
-# cohort).  test_r16_window_matches_first_fifty pins list ==
-# first-50 so drift is caught before the driver runs.
-# ROUND-17 TODO: once CORRECTNESS_r16.json exists, verify its keys
-# == this list, then (a) add _R16_WINDOW to `recent`, (b) move the
-# _R16_DEFERRED block to right after the new-queries clause, (c) add
-# `n not in r16` to every older-window block this window reaches
-# into (it reaches the _R08_WINDOW tail and the _R09_WINDOW front —
-# the standing footgun), (d) append _R16_WINDOW's block at the END
-# (re-front any red rows via a _R16_RED block, the _R12_RED
-# pattern).  Queries added AFTER the freeze go in _R16_DEFERRED.
+# cohort).  test_r16_window_matches_driver_record pins list ==
+# CORRECTNESS_r16 keys (verified 50/50 hash-green).  ROUND-17
+# rotation APPLIED per VERDICT r16 item 1 — all four steps: (a)
+# _R16_WINDOW joined `recent`; (b) the _R16_DEFERRED block moved to
+# right after the new-queries clause; (c) `n not in r16` added to
+# every explicit older-window block (this window reached the
+# _R08_WINDOW tail and the _R09_WINDOW front — the standing
+# footgun); (d) _R16_WINDOW's block appended at the END (50/50
+# green, so no _R16_RED block exists).
 _R16_WINDOW: list = [
     'w_lakehouse_cdf_pos', 'w_lakehouse_mv',
     'w_lakehouse_partevolve', 's_labelprop',
@@ -667,7 +666,8 @@ def _registry():
     r13 = set(_R13_WINDOW)
     r14 = set(_R14_WINDOW)
     r15 = set(_R15_WINDOW)
-    recent = r07 | r08 | r09 | r10 | r11 | r12 | r13 | r14 | r15
+    r16 = set(_R16_WINDOW)
+    recent = r07 | r08 | r09 | r10 | r11 | r12 | r13 | r14 | r15 | r16
     seen = (set(_R6_DEFERRED) | set(_R04_CHECKED) | set(_R05_CHECKED)
             | set(_R06_CHECKED) | recent | set(_R08_DEFERRED)
             | set(_R09_DEFERRED) | set(_R10_DEFERRED)
@@ -676,13 +676,18 @@ def _registry():
             | set(_R15_DEFERRED) | set(_R16_DEFERRED))
     order = (
         [n for n in queries if n not in seen]
-        # Never-driver-checked round-15 late additions (partition-
-        # moving MERGE, k-core decomposition, link prediction, Bloom
-        # skipping, zone maps + OPTIMIZE, the CDF trio, Misra-Gries
-        # top-k pair, vline render, DOULION sample, BFS layers,
-        # k-center coreset, VAD segmentation) front the round-16
-        # window, right after any genuinely-new queries (the
-        # standing deferral rule).
+        # Never-driver-checked round-16 late additions (the per-doc
+        # dedup decision matrix, warm-start streaming label
+        # propagation, streamed incremental MV maintenance, the
+        # MinHash-LSH knob sweep, shallow clone, carbon hash-ring
+        # routing) front the round-17 window, right after any
+        # genuinely-new queries (the standing deferral rule).  All 6
+        # were verified green by the round-16 judge's exact-typed
+        # local gate but have never seen a driver row.
+        + [n for n in _R16_DEFERRED if n in queries and n not in recent]
+        # _R15_DEFERRED ⊂ _R16_WINDOW (all 16 checked green in round
+        # 16), so this block filters to empty; kept for the audit
+        # trail.
         + [n for n in _R15_DEFERRED if n in queries and n not in recent]
         # _R14_DEFERRED ⊂ _R15_WINDOW (checked green in round 15), so
         # this block filters to empty; kept for the audit trail.
@@ -707,44 +712,47 @@ def _registry():
         + [n for n in _R06_CHECKED if n in queries and n not in recent]
         # The round-13 window reached INTO _R07_WINDOW (14 entries),
         # the round-14 window reached further (36 of r07 + 1 of r08),
-        # and the round-15 window re-checked 40 of _R08_WINDOW — so
-        # every older-window block excludes r13, r14 AND r15 members:
-        # their fresh spots at the end are authoritative.  Without
-        # these filters the r16 window would re-check fresh greens
-        # (the rotation footgun, hit at r13→r14).
+        # the round-15 window re-checked 40 of _R08_WINDOW, and the
+        # round-16 window reached the _R08_WINDOW tail (9) and the
+        # _R09_WINDOW front (17) — so every older-window block
+        # excludes r13, r14, r15 AND r16 members: their fresh spots
+        # at the end are authoritative.  Without these filters the
+        # r17 window would re-check fresh greens (the rotation
+        # footgun, hit at r13→r14 and named by every verdict
+        # since).
         + [n for n in _R07_WINDOW
            if n in queries and n not in r13 and n not in r14
-           and n not in r15]
+           and n not in r15 and n not in r16]
         + [n for n in _R08_WINDOW
            if n in queries and n not in r13 and n not in r14
-           and n not in r15]
+           and n not in r15 and n not in r16]
         + [n for n in _R09_WINDOW
            if n in queries and n not in r13 and n not in r14
-           and n not in r15]
+           and n not in r15 and n not in r16]
         + [n for n in _R10_WINDOW
            if n in queries and n not in r13 and n not in r14
-           and n not in r15]
+           and n not in r15 and n not in r16]
         + [n for n in _R11_WINDOW
            if n in queries and n not in r13 and n not in r14
-           and n not in r15]
+           and n not in r15 and n not in r16]
         # s_kmeans_step stays excluded here (it re-checked GREEN in
         # round 13, so its _R13_WINDOW spot below is authoritative and
         # the exclusion keeps the order list duplicate-free).
         + [n for n in _R12_WINDOW
            if n in queries and n not in _R12_RED and n not in r13
-           and n not in r14 and n not in r15]
+           and n not in r14 and n not in r15 and n not in r16]
         # r14's window absorbed 5 of _R13_DEFERRED but zero of
         # _R13_WINDOW; the filter keeps the order duplicate-free if
         # a future window ever reaches in.
         + [n for n in _R13_WINDOW
-           if n in queries and n not in r14 and n not in r15]
-        + [n for n in _R14_WINDOW if n in queries and n not in r15]
+           if n in queries and n not in r14 and n not in r15
+           and n not in r16]
+        + [n for n in _R14_WINDOW if n in queries and n not in r15
+           and n not in r16]
+        + [n for n in _R15_WINDOW if n in queries and n not in r16]
         # Most recently checked, so last (50/50 green in
-        # CORRECTNESS_r15).
-        + [n for n in _R15_WINDOW if n in queries]
-        # Late round-16 additions: past the frozen window; the
-        # round-17 rotation re-fronts them via the standing rule.
-        + [n for n in _R16_DEFERRED if n in queries and n not in recent]
+        # CORRECTNESS_r16 — fourth consecutive fully-green window).
+        + [n for n in _R16_WINDOW if n in queries]
     )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}
