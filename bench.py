@@ -205,14 +205,16 @@ HEADLINE = [
     # lower bound; registry-gated like w_triangles' build form),
     # w_lakehouse_* verbs (commit-log table builds per rep — the
     # lakehouse costs are pinned by pytest + the driver gate).
-    # RETIREMENT SCHEDULED (VERDICT r15 item 4): w_truss_decomp is
-    # ~16% of the headline total; BENCH_r15 is its FIRST driver
-    # record, so it rides round 16 for the second consecutive record
-    # the rotation policy requires, then retires from the tail in
-    # round 17 (perf history pinned by BENCH_r15+r16; stays
-    # oracle-gated in the registry; w_kcore_decomp remains the
-    # family's strictly-cheaper representative if one is wanted).
-    "w_truss_decomp",
+    # w_truss_decomp RETIRED in round 17 (the round-15 schedule,
+    # executed on time): its two consecutive driver records exist
+    # (BENCH_r15 14.56 s, BENCH_r16 25.33 s — the r16 number rode the
+    # uniform +15% host inflation AND loop-overhead jitter across ~34
+    # scheduler rounds, 22% of the headline total), so its perf
+    # history is pinned and the peel-loop class needs no standing
+    # 14-25 s entry.  Stays oracle-gated in the registry
+    # (w_truss_decomp + the truss-increment pytest); w_kcore_decomp
+    # remains the family's strictly-cheaper representative if one is
+    # wanted.
     "w_topk_mg",
     # round 16: NOT added by policy — s_labelprop (~11 propagation
     # rounds at sf0.1 dominated by the all-pairs pair build; the

@@ -7772,8 +7772,12 @@ def d_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each tier is its own audited plan (hash groupBy /
     banded chunk join / shingle inverted index); the matrix adds
-    only O(docs) flag joins on doc_id — broadcast-sized flag sets at
-    test scale, doc_id-keyed equi-joins at any scale.  Oracle: the
+    only O(docs) flag joins on doc_id.  The flag joins carry NO
+    broadcast hint (VERDICT r16 watch item): the flagged-doc set is
+    data-dependent — a heavily-duplicated corpus flags O(docs) rows
+    and a forced broadcast would OOM — so AQE sizes the build side
+    at runtime (the d_incremental pattern); at test scale it still
+    chooses broadcast.  Oracle: the
     three tiers' oracle SQL bodies embedded as derived tables (each
     pinned separately for years of rounds), folded with the same
     flags."""
@@ -7799,8 +7803,8 @@ def d_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard_dup",
     )
     out = (
-        exd.join(F.broadcast(sh), "doc_id", "left")
-        .join(F.broadcast(ja), "doc_id", "left")
+        exd.join(sh, "doc_id", "left")
+        .join(ja, "doc_id", "left")
         .select(
             "doc_id",
             "exact_dup",
@@ -7855,19 +7859,27 @@ LEFT JOIN jaf j ON e.doc_id = j.doc_id
 # ------------------------------------------------------------ s_labelprop
 def _labelprop_round(edges: DataFrame, lab: DataFrame) -> DataFrame:
     """ONE min-label propagation round: the per-dst min over the
-    neighbor-label join (label frame broadcast — the O(nodes)
-    relation), merged by LEAST into the surviving labels.  Shared by
-    `s_labelprop`'s driver loop and the plan-audit builder
+    neighbor-label join, merged by LEAST into the surviving labels.
+    Shared by `s_labelprop`'s driver loop and the plan-audit builder
     (`s_labelprop_round`), so the audited plan IS the shipped plan —
-    REVIEW r16, mirroring the `_tri_ledger_increment` pattern."""
+    REVIEW r16, mirroring the `_tri_ledger_increment` pattern.
+
+    NO broadcast hints (VERDICT r16 item 3): the label frame is
+    O(nodes) — at 100 TB that is O(corpus vectors) and a FORCED
+    broadcast OOMs the executors.  Both joins are left unhinted so
+    AQE sizes them from the post-checkpoint runtime stats (the
+    round-10 policy, the `d_incremental` pattern): at test scale AQE
+    still CHOOSES broadcast — `s_labelprop_round`'s
+    require_executed pins that adaptive choice — and at cluster
+    scale the same code degrades to a shuffle join instead of an
+    OOM."""
     nbr = (
         edges.join(
-            F.broadcast(lab.select(F.col("node").alias("src"),
-                                   "comm")), "src")
+            lab.select(F.col("node").alias("src"), "comm"), "src")
         .groupBy(F.col("dst").alias("node"))
         .agg(F.min("comm").alias("ml"))
     )
-    return lab.join(F.broadcast(nbr), "node", "left").select(
+    return lab.join(nbr, "node", "left").select(
         "node",
         F.least(F.col("comm"),
                 F.coalesce("ml", F.col("comm"))).alias("comm"),

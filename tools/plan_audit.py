@@ -1199,10 +1199,13 @@ CHECKS = {
     ),
     # Dedup decision matrix: the three tier relations (hash groupBy,
     # banded chunk join, shingle inverted index) composed by O(docs)
-    # doc_id flag joins — broadcast-hinted; never a cartesian or
-    # nested-loop anywhere in the composition.
+    # doc_id flag joins — UN-hinted (VERDICT r16: the flagged-doc
+    # set is data-dependent); at test scale AQE must still choose
+    # broadcast at runtime (require_executed, the d_incremental
+    # pattern); never a cartesian or nested-loop anywhere.
     "d_dedup_matrix": dict(
-        require=["BroadcastHashJoin", "HashAggregate"],
+        require=["HashAggregate"],
+        require_executed=["BroadcastHashJoin"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     # aHash banded near-dup: hashing is pre-checkpointed; the live
@@ -1582,11 +1585,14 @@ def _build_tri_ledger_increment(spark):
 def _build_labelprop_round(spark):
     # ONE min-label propagation round of s_labelprop — the SHIPPED
     # round body (_labelprop_round; REVIEW r16 extracted it so the
-    # audited plan is the shipped plan): the neighbor-label join must
-    # ride the BROADCAST of the O(nodes) label frame (never a shuffle
-    # join of the edge relation), the per-dst min must be
-    # map-combined (partial_min), and the LEAST merge is a second
-    # broadcast join — no cartesian/window anywhere.
+    # audited plan is the shipped plan).  DE-HINTED per VERDICT r16
+    # item 3: the label frame is O(nodes), so neither join carries a
+    # broadcast hint — at test scale AQE must still CHOOSE broadcast
+    # from runtime stats (require_executed, the d_incremental
+    # pattern), the per-dst min must be map-combined (partial_min),
+    # and no cartesian/window anywhere.  The builder localCheckpoints
+    # its inputs exactly as the driver loop does, so AQE sees the
+    # same post-materialization stats the shipped loop sees.
     from pyspark.sql import functions as F
 
     from go_whisper_spark.operators.llm_ops import (
@@ -1595,14 +1601,20 @@ def _build_labelprop_round(spark):
         s_cosine_nearpairs,
     )
 
+    from go_whisper_spark.operators.whisper_queries import (
+        _flat_localCheckpoint,
+    )
+
     pairs = s_cosine_nearpairs(spark, SF_DIR).select("ida", "idb")
     edges = pairs.select(
         F.col("ida").alias("src"), F.col("idb").alias("dst")
     ).unionAll(pairs.select(
-        F.col("idb").alias("src"), F.col("ida").alias("dst")))
-    lab = (_cos_frames(spark, SF_DIR)
-           .select(F.col("vec_id").alias("node"))
-           .withColumn("comm", F.col("node")))
+        F.col("idb").alias("src"), F.col("ida").alias("dst"))
+    ).localCheckpoint()
+    lab = _flat_localCheckpoint(
+        _cos_frames(spark, SF_DIR)
+        .select(F.col("vec_id").alias("node"))
+        .withColumn("comm", F.col("node")))
     return _labelprop_round(edges, lab)
 
 
@@ -1703,8 +1715,10 @@ BUILDERS = {
     # See _build_labelprop_round.
     "s_labelprop_round": dict(
         build=_build_labelprop_round,
-        require=["BroadcastHashJoin", "partial_min"],
-        forbid=["CartesianProduct", "SortMergeJoin", "Window"],
+        require=["partial_min"],
+        require_executed=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "Window"],
     ),
     # See _build_truss_peel_round.
     "w_truss_peel_round": dict(
@@ -1868,6 +1882,16 @@ def main():
         for f in spec.get("forbid", []):
             if f in text:
                 problems.append(f"present: {f}")
+        if spec.get("require_executed") and not spec.get("streaming"):
+            # Same as the CHECKS loop: AQE-only shapes (runtime
+            # broadcast decisions from post-materialization stats)
+            # live in the EXECUTED adaptive plan.
+            from go_whisper_spark.plans.audit import final_plan
+
+            executed = final_plan(df)
+            for r in spec["require_executed"]:
+                if r not in executed:
+                    problems.append(f"missing in executed plan: {r}")
         status = "OK" if not problems else "ISSUES"
         print(f"{name}: {status}  codegen_spans={n_codegen}")
         for p in problems:
