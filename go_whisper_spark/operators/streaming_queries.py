@@ -1562,6 +1562,225 @@ def st_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- st_kcore
+_KCORE_PEEL_PERIOD = 2   # peel every 2nd micro-batch; read resolves the rest
+_KCORE_WARM_MAX_ROUNDS = 512  # safety cap only: interim-subgraph peel
+#                               schedules are NOT bounded by the final
+#                               graph's fixpoint (the 2/3-graph peel at
+#                               sf0.1 runs past w_kcore_decomp's 128)
+
+
+def _kcore_warm_peel(edges: DataFrame, lb, dirty, deg_full=None):
+    """Exact per-node coreness over ``edges``, WARM-STARTED from the
+    previous peel's coreness ledger ``lb`` (None for the cold first
+    peel) and the ``dirty`` node set touched since that peel.
+    Returns (the (node, coreness) frame, flattened round count).
+    Shared by `st_kcore`'s sink and the pytest laws so the tested
+    math IS the shipped math (the `_tri_ledger_increment` pattern).
+
+    Seeding law (the single-insert core-maintenance theorem —
+    Sariyuce et al. 2013; Li, Yu & Mao 2014 — applied per insert and
+    telescoped over the batch): under edge INSERTION coreness is
+    monotone non-decreasing, and each insert can only change nodes
+    whose CURRENT coreness equals the insert's min endpoint
+    coreness; current coreness never drops below the ledger value,
+    so every changed node has ledger coreness >= kmin := min over
+    the dirty nodes of their ledger coreness (new nodes enter at 0).
+    Hence (a) every node with lb < kmin keeps its ledger coreness
+    VERBATIM (carried — never re-peeled), and (b) the new kmin-core
+    is EXACTLY {lb >= kmin} (⊆ by monotonicity; ⊇ because a node
+    below kmin is unchanged by (a), so it cannot have climbed into
+    the kmin-core) — the peel therefore starts at threshold kmin+1
+    over the induced survivor subgraph instead of threshold 2 over
+    the whole graph.  With a stable node universe (the 100 TB
+    regime: a fixed catalog growing edges) kmin sits at the churn
+    level and the peel walks only the top of the hierarchy; when
+    genuinely-new nodes arrive kmin collapses to 0 and the schedule
+    degrades to the cold peel — never to a wrong answer.
+
+    ``deg_full`` — the incrementally-maintained degree ledger fold —
+    seeds the first round's degrees when kmin == 0 (survivors = the
+    whole graph), skipping the O(edges) recount the cold peel pays;
+    at kmin > 0 survivor degrees are induced-subgraph degrees, so
+    one recount over the (smaller) induced edges runs instead."""
+    from go_whisper_spark.operators.whisper_queries import (
+        _flat_localCheckpoint,
+    )
+
+    nodes = edges.select(F.explode(F.array("u", "v")).alias("node")).distinct()
+    if lb is None:
+        ann0 = nodes.withColumn("lb", F.lit(0).cast("long"))
+        kmin = 0
+    else:
+        ann0 = nodes.join(lb.withColumnRenamed("coreness", "lb"),
+                          "node", "left").select(
+            "node", F.coalesce("lb", F.lit(0).cast("long")).alias("lb"))
+        kmin = int(ann0.join(dirty, "node", "left_semi")
+                   .agg(F.min("lb")).first()[0])
+    ann0 = _flat_localCheckpoint(ann0)
+    carried = ann0.where(F.col("lb") < kmin).select(
+        "node", F.col("lb").alias("coreness"))
+    surv = ann0.where(F.col("lb") >= kmin).select("node")
+    if kmin == 0:
+        edges_s = edges
+        seed = deg_full
+    else:
+        edges_s = _flat_localCheckpoint(
+            edges.join(surv.select(F.col("node").alias("u")), "u",
+                       "left_semi")
+            .join(surv.select(F.col("node").alias("v")), "v", "left_semi"))
+        seed = None
+    nodes_c = surv
+    n_nodes = nodes_c.count()
+    k = max(kmin + 1, 2)
+    iters = 0
+    dropped = []
+    ann = None
+    recount = True
+    while n_nodes > 0:
+        iters += 1
+        if iters > _KCORE_WARM_MAX_ROUNDS:
+            raise RuntimeError("warm core peel did not reach a fixpoint")
+        if recount:
+            if iters == 1 and seed is not None:
+                deg = seed
+            else:
+                deg = (
+                    edges_s.select(
+                        F.explode(F.array("u", "v")).alias("node"))
+                    .groupBy("node")
+                    .agg(F.count("*").alias("deg"))
+                )
+            ann = _flat_localCheckpoint(
+                nodes_c.join(deg, "node", "left").select(
+                    "node",
+                    F.coalesce("deg", F.lit(0).cast("long")).alias("deg")))
+        # ONE control-plane scalar per round — the peel/stop test
+        n_bad = ann.where(F.col("deg") < k).count()
+        if n_bad == 0:
+            k += 1
+            # degrees over an unchanged survivor set are unchanged;
+            # only the threshold moved — skip the recount
+            recount = False
+            continue
+        bad = ann.where(F.col("deg") < k).select("node")
+        dropped.append(
+            bad.select("node", F.lit(k - 1).cast("long").alias("coreness")))
+        nodes_c = ann.where(F.col("deg") >= k).select("node")
+        edges_s = _flat_localCheckpoint(
+            edges_s.join(bad.select(F.col("node").alias("u")), "u",
+                         "left_anti")
+            .join(bad.select(F.col("node").alias("v")), "v", "left_anti")
+            .select("u", "v"))
+        n_nodes -= n_bad
+        recount = True
+    out = carried
+    for d in dropped:
+        out = out.unionByName(d)
+    return out, iters
+
+
+def st_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL k-core maintenance over the streamed co-purchase
+    graph (VERDICT r16 item 4) — where `w_kcore_decomp` cold-peels
+    the final graph once, this maintains per-node coreness as edges
+    STREAM in, with the merge-on-read discipline: every micro-batch
+    advances the cheap EXACT ledgers (the distinct edge store and
+    the per-node degree ledger — O(delta) appends, the
+    `st_triangles_ledger` pattern) and records its touched nodes as
+    dirt; the coreness ledger is an honest LOWER BOUND between peels
+    (coreness is monotone non-decreasing under insertion, so the
+    last peel's labels never overshoot); and the exact peel runs
+    PERIODICALLY (every _KCORE_PEEL_PERIOD micro-batches) plus once
+    at read time — resolve-on-read, the MoR compaction trade.
+    Per-batch cost stays O(delta); the amortized peel WARM-STARTS
+    from the ledger via `_kcore_warm_peel`'s seeding law (carried
+    sub-kmin labels + the {lb >= kmin} survivor seed + the
+    degree-ledger first-round seed) instead of from scratch.
+
+    Idempotency rides the edge store's set semantics (a replayed
+    batch dedups to an empty delta → zero increments, no dirt, and
+    the next peel is a no-op — pytest-pinned), and the final labels
+    are a pure function of the edge SET, so the oracle is the batch
+    peel SQL VERBATIM at node grain
+    (`_w_kcore_decomp_sql(node_level=True)`); the peel schedule is
+    slicing-dependent and not emitted (the `st_labelprop`
+    convention).  [pins whisper_queries.py: w_kcore_decomp]"""
+    from go_whisper_spark.operators.whisper_queries import _TRUSS_MOD
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % _TRUSS_MOD == 0)
+        .select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_partkey").alias("p"),
+            (F.col("l_orderkey") % 3).alias("arrive"),
+        )
+    )
+    root = _tmpdir()
+    store, degdir, dirtdir, core = (
+        os.path.join(root, n) for n in ("edges", "deg", "dirt", "core"))
+    state = {"batches": 0, "peeled_at": 0}
+
+    def peel() -> None:
+        if not os.path.isdir(dirtdir):
+            return
+        dirt = (
+            spark.read.parquet(dirtdir)
+            .where(F.col("b") > state["peeled_at"])
+            .select("node").distinct()
+        )
+        if dirt.isEmpty():
+            return                       # nothing stale: a no-op
+        edges = spark.read.parquet(store).localCheckpoint()
+        deg_full = (
+            spark.read.parquet(degdir)
+            .groupBy("node").agg(F.sum("d_deg").alias("deg"))
+        )
+        lb = spark.read.parquet(core) if os.path.isdir(core) else None
+        led, _ = _kcore_warm_peel(edges, lb, dirt.localCheckpoint(),
+                                  deg_full)
+        # materialized before overwriting the store it was seeded from
+        led.localCheckpoint().write.mode("overwrite").parquet(core)
+        state["peeled_at"] = state["batches"]
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        items = batch.select("o", "p").distinct()
+        delta = (
+            items.join(items.select("o", F.col("p").alias("q")), "o")
+            .where(F.col("p") < F.col("q"))
+            .select(F.col("p").alias("u"), F.col("q").alias("v"))
+            .distinct()
+        )
+        if os.path.isdir(store):
+            delta = delta.join(spark.read.parquet(store), ["u", "v"],
+                               "left_anti")
+        delta = delta.localCheckpoint()  # several consumers below
+        if delta.isEmpty():
+            return                       # replayed batch: a no-op
+        state["batches"] += 1
+        (
+            delta.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node").agg(F.count("*").alias("d_deg"))
+            .write.mode("append").parquet(degdir)
+        )
+        (
+            delta.select(F.explode(F.array("u", "v")).alias("node"))
+            .distinct()
+            .withColumn("b", F.lit(state["batches"]))
+            .write.mode("append").parquet(dirtdir)
+        )
+        delta.write.mode("append").parquet(store)
+        if state["batches"] % _KCORE_PEEL_PERIOD == 0:
+            peel()
+
+    _replay(spark, li, lambda s: s, sink=sink)
+    peel()                               # resolve-on-read
+    return spark.read.parquet(core).select("node", "coreness")
+
+
 # ---------------------------------------------------- st_kmv_jaccard
 def st_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KMV/Theta SET-OPERATION estimation — the pairwise
@@ -3579,12 +3798,20 @@ QUERIES = {
     "st_triangles_ledger": st_triangles_ledger,
     "st_kmv_jaccard": st_kmv_jaccard,
     "st_labelprop": st_labelprop,
+    "st_kcore": st_kcore,
     "st_lakehouse_mv": st_lakehouse_mv,
 }
 
 def _labelprop_oracle_sql():
     from go_whisper_spark.operators.llm_ops import _s_labelprop_sql
     return _s_labelprop_sql(with_iters=False)
+
+
+def _kcore_oracle_sql():
+    from go_whisper_spark.operators.whisper_queries import (
+        _w_kcore_decomp_sql,
+    )
+    return _w_kcore_decomp_sql(node_level=True)
 
 
 ORACLES = {
@@ -3634,5 +3861,6 @@ ORACLES = {
     "st_triangles_ledger": _W_TRIANGLES_ORACLE,
     "st_kmv_jaccard": _kmv_sql(_ST_KMV_MEMBER_CTES),
     "st_labelprop": _labelprop_oracle_sql(),
+    "st_kcore": _kcore_oracle_sql(),
     "st_lakehouse_mv": _W_LAKEHOUSE_MV_ORACLE,
 }

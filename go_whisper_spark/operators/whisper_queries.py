@@ -2341,14 +2341,21 @@ def w_kcore_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _w_kcore_decomp_sql(r_max: int = _KCORE_ORACLE_R,
-                        mod: int = _TRUSS_MOD) -> str:
+                        mod: int = _TRUSS_MOD,
+                        node_level: bool = False) -> str:
     """Generated oracle: the flattened node peel unrolled r_max rounds
     (strictly past every measured fixpoint — later rounds operate on
     an EMPTY node set, provably no-ops), plus the SQL derivation of
     the round count (min r with |nodes_r| = 0 — identical semantics
     to the driver loop's stop test).  Every per-round CTE is
     MATERIALIZED (plain CTEs inline and re-evaluate the whole chain
-    per reference — the O(k²) blowup the PageRank oracle pinned)."""
+    per reference — the O(k²) blowup the PageRank oracle pinned).
+    ``node_level=True`` emits the per-node (node, coreness) ledger
+    instead of the histogram, and drops the iters column — the
+    streamed warm-start form (`st_kcore`) reaches the same exact
+    coreness but its peel schedule depends on batch slicing, so only
+    the labeling is oracle-comparable (the `st_labelprop`
+    convention)."""
     rounds = []
     for r in range(1, r_max + 1):
         p = r - 1
@@ -2383,8 +2390,21 @@ edges{r} AS MATERIALIZED (
         for r in range(1, r_max + 1)
     )
     drps = "\n    UNION ALL ".join(
-        f"SELECT coreness FROM drp{r}" for r in range(1, r_max + 1)
+        f"SELECT node, coreness FROM drp{r}" for r in range(1, r_max + 1)
     )
+    if node_level:
+        final = f"""SELECT node, CAST(coreness AS BIGINT) AS coreness
+FROM (
+    {drps}
+)"""
+    else:
+        final = f"""SELECT CAST(coreness AS BIGINT) AS coreness,
+       count(*) AS n_nodes,
+       (SELECT iters FROM fix) AS iters
+FROM (
+    {drps}
+)
+GROUP BY coreness"""
     return f"""
 WITH items AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
@@ -2405,13 +2425,7 @@ cnts AS (
   {cnts}
 ),
 fix AS (SELECT CAST(min(r) AS BIGINT) AS iters FROM cnts WHERE n = 0)
-SELECT CAST(coreness AS BIGINT) AS coreness,
-       count(*) AS n_nodes,
-       (SELECT iters FROM fix) AS iters
-FROM (
-    {drps}
-)
-GROUP BY coreness
+{final}
 """
 
 

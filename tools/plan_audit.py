@@ -1693,11 +1693,49 @@ def _build_kcore_peel_round(spark):
     )
 
 
+def _build_kcore_warm_seed(spark):
+    # The warm peel's SEEDING stage (st_kcore / _kcore_warm_peel,
+    # round-17; the per-round peel shape is already audited by
+    # w_kcore_peel_round, which the warm loop shares): the coreness-
+    # ledger join-back is an equi-join, the survivor split is a plain
+    # predicate over it, and the induced-subgraph restriction is two
+    # equi-SEMI-joins of the edge store against the survivor set —
+    # never a cartesian/nested-loop/window, and no O(edges²) shape.
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.operators.whisper_queries import (
+        _TRUSS_MOD,
+        _tri_edges,
+    )
+
+    edges = _tri_edges(spark, SF_DIR, materialize=False,
+                       order_mod=_TRUSS_MOD)
+    nodes = edges.select(
+        F.explode(F.array("u", "v")).alias("node")).distinct()
+    # synthetic prior-peel ledger: shape-identical to the shipped one
+    lb = nodes.select("node", (F.col("node") % 4).alias("coreness"))
+    ann0 = nodes.join(lb.withColumnRenamed("coreness", "lb"),
+                      "node", "left").select(
+        "node", F.coalesce("lb", F.lit(0).cast("long")).alias("lb"))
+    surv = ann0.where(F.col("lb") >= 2).select("node")
+    return (
+        edges.join(surv.select(F.col("node").alias("u")), "u",
+                   "left_semi")
+        .join(surv.select(F.col("node").alias("v")), "v", "left_semi")
+    )
+
+
 BUILDERS = {
     # See _build_kcore_peel_round.
     "w_kcore_peel_round": dict(
         build=_build_kcore_peel_round,
         require=["partial_count"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
+    # See _build_kcore_warm_seed.
+    "st_kcore_warm_seed": dict(
+        build=_build_kcore_warm_seed,
+        require=["LeftSemi"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
     ),
     # See _build_triangle_oriented.
