@@ -7894,6 +7894,44 @@ _LP_ORACLE_K = 28     # oracle unroll depth — strictly past the
 #                       provably no-ops)
 
 
+def _labelprop_fixpoint(nodes: DataFrame, pairs: DataFrame):
+    """Min-label propagation run TO its exact fixpoint over the given
+    undirected pair relation; returns (labels frame, round count).
+    The loop body is `_labelprop_round` (the audited plan); shared by
+    `s_labelprop` (exact all-pairs edges) and `s_labelprop_lsh`
+    (LSH-bucketed edges) so both rungs run the SAME schedule and the
+    comparison between them isolates the EDGE RELATION as the only
+    variable."""
+    from go_whisper_spark.operators.whisper_queries import (
+        _flat_localCheckpoint,
+    )
+
+    edges = (
+        pairs.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("idb").alias("src"),
+                         F.col("ida").alias("dst")))
+    ).localCheckpoint()
+    lab = _flat_localCheckpoint(nodes.withColumn("comm", F.col("node")))
+    iters = 0
+    while True:
+        new = _flat_localCheckpoint(_labelprop_round(edges, lab))
+        iters += 1
+        # ONE control-plane scalar per round — labels only decrease,
+        # so max(prev - new) == 0 IS the fixpoint test
+        delta = (
+            new.join(lab.withColumnRenamed("comm", "prev"), "node")
+            .agg(F.max(F.col("prev") - F.col("comm")))
+            .first()[0]
+        )
+        lab = new
+        if delta == 0:
+            break
+        if iters >= _LP_MAX_ROUNDS:
+            raise RuntimeError("label propagation did not converge")
+    return lab, iters
+
+
 def s_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community labels over the embedding near-duplicate graph by
     integer-exact MIN-LABEL propagation run TO its exact fixpoint
@@ -7929,38 +7967,9 @@ def s_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     (correct at test scale); at 100 TB you swap in the LSH-bucketed
     pair relation (`d_embed_neardup_lsh`) — the propagation loop is
     agnostic to how edges were produced."""
-    from go_whisper_spark.operators.whisper_queries import (
-        _flat_localCheckpoint,
-    )
-
     pairs = s_cosine_nearpairs(spark, sf_dir).select("ida", "idb")
-    edges = (
-        pairs.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
-        .unionAll(
-            pairs.select(F.col("idb").alias("src"),
-                         F.col("ida").alias("dst")))
-    ).localCheckpoint()
-    lab = _flat_localCheckpoint(
-        _cos_frames(spark, sf_dir)
-        .select(F.col("vec_id").alias("node"))
-        .withColumn("comm", F.col("node"))
-    )
-    iters = 0
-    while True:
-        new = _flat_localCheckpoint(_labelprop_round(edges, lab))
-        iters += 1
-        # ONE control-plane scalar per round — labels only decrease,
-        # so max(prev - new) == 0 IS the fixpoint test
-        delta = (
-            new.join(lab.withColumnRenamed("comm", "prev"), "node")
-            .agg(F.max(F.col("prev") - F.col("comm")))
-            .first()[0]
-        )
-        lab = new
-        if delta == 0:
-            break
-        if iters >= _LP_MAX_ROUNDS:
-            raise RuntimeError("label propagation did not converge")
+    nodes = _cos_frames(spark, sf_dir).select(F.col("vec_id").alias("node"))
+    lab, iters = _labelprop_fixpoint(nodes, pairs)
     if iters >= _LP_ORACLE_K:
         raise RuntimeError(
             f"label-prop fixpoint at round {iters} >= the oracle "
@@ -8039,6 +8048,187 @@ l0 AS MATERIALIZED (
   SELECT vec_id AS node, vec_id AS comm FROM e
 ),
 {rounds}{tail}
+"""
+
+
+# ------------------------------------------------------ s_labelprop_lsh
+def s_labelprop_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-EDGE rung of label propagation (VERDICT r16 item 5) —
+    the `d_lsh_tuning` measured-trade discipline applied to
+    CLUSTERING: run the SAME fixpoint schedule (`_labelprop_fixpoint`
+    — the audited `_labelprop_round` body, shared verbatim with
+    `s_labelprop`) over `d_embed_neardup_lsh`'s bucketed pair
+    relation instead of the all-pairs exact one, and LEDGER the
+    cluster agreement against the exact fixpoint — turning the
+    standing "at 100 TB swap in the LSH edges" docstring claim into
+    a measured, oracle-checked row.
+
+    The comparison has a THEOREM in it: the LSH pairs are exact-
+    verified (sim >= 0.35) but enumerated only within hyperplane
+    buckets, so the LSH edge set is a SUBSET of the exact edge set —
+    LSH components REFINE exact components, every LSH cluster maps
+    into exactly one exact cluster, and `refinement_violations` is
+    pinned 0 cross-engine (a real recall bug in the bucketing would
+    break it loudly).  The cost of the trade is SPLITTING: exact
+    clusters shatter where all their internal edges straddle
+    hyperplanes.  `agree_ppm` prices it pair-wise — the fraction of
+    exact same-cluster pairs still co-clustered under LSH labels
+    (Σ C(joint group, 2) / Σ C(exact group, 2), exact floored ppm)
+    — computable from group SIZES alone, never enumerating pairs.
+
+    Scale shape: the LSH side is the production path (bucket-keyed
+    join, work ∝ Σ bucket²); the exact side is the fenced all-pairs
+    baseline this ledger exists to price against; the agreement
+    arithmetic is three map-combined counts + one 1-row crossJoin.
+    Measured fixpoints over the LSH edges: 3/3/11 rounds at
+    sf0.001/0.01/0.1 (vs 17/10/11 exact) — sparser graphs converge
+    FASTER because the surviving components are smaller.
+
+    THE MEASURED VERDICT (the reason this rung exists): a single
+    4-hyperplane table keeps only agree_ppm = 18,233 (sf0.01) /
+    1,060 (sf0.1) of exact intra-cluster pairs — 237 exact clusters
+    shatter to 455, 37 to 1,386.  Pair-level recall is tolerable
+    for DEDUP (each surviving pair still dedups its two members) but
+    catastrophic for CLUSTERING, where component connectivity needs
+    most edges, not a sample.  So the honest 100 TB guidance is NOT
+    "swap in these buckets" — it is the `d_simhash_banded` shape:
+    OR multiple independent tables / multi-probe so banding recall
+    compounds (1−(1−r)^b) before propagation runs.  This ledger is
+    the artifact that forces that decision with numbers instead of
+    a docstring claim."""
+    pairs_ex = s_cosine_nearpairs(spark, sf_dir).select("ida", "idb")
+    pairs_lsh = d_embed_neardup_lsh(spark, sf_dir).select("ida", "idb")
+    nodes = _cos_frames(spark, sf_dir).select(F.col("vec_id").alias("node"))
+    lab_ex, it_ex = _labelprop_fixpoint(nodes, pairs_ex)
+    lab_lsh, it_lsh = _labelprop_fixpoint(nodes, pairs_lsh)
+    for it, tag in ((it_ex, "exact"), (it_lsh, "lsh")):
+        if it >= _LP_ORACLE_K:
+            raise RuntimeError(
+                f"{tag} label-prop fixpoint at round {it} >= the "
+                f"oracle unroll depth _LP_ORACLE_K={_LP_ORACLE_K}; "
+                "raise the unroll depth so later rounds stay "
+                "provably no-ops"
+            )
+    joint = lab_ex.join(
+        lab_lsh.withColumnRenamed("comm", "comm_lsh"), "node")
+    c2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("long")  # noqa: E731
+    exs = (lab_ex.groupBy("comm").agg(F.count("*").alias("c"))
+           .agg(F.count("*").alias("exact_clusters"),
+                F.sum(c2("c")).alias("exact_intra_pairs")))
+    lss = (lab_lsh.groupBy("comm").agg(F.count("*").alias("c"))
+           .agg(F.count("*").alias("lsh_clusters")))
+    jnt = (joint.groupBy("comm", "comm_lsh").agg(F.count("*").alias("c"))
+           .agg(F.sum(c2("c")).alias("joint_intra_pairs")))
+    viol = (joint.select("comm", "comm_lsh").distinct()
+            .groupBy("comm_lsh").agg(F.count("*").alias("n_ex"))
+            .agg(F.sum((F.col("n_ex") > 1).cast("long"))
+                 .alias("refinement_violations")))
+    n = lab_ex.agg(F.count("*").alias("n_nodes"))
+    return (
+        n.crossJoin(exs).crossJoin(lss).crossJoin(jnt).crossJoin(viol)
+        .select(
+            "n_nodes", "exact_clusters", "lsh_clusters",
+            "exact_intra_pairs", "joint_intra_pairs",
+            F.expr("joint_intra_pairs * 1000000 div exact_intra_pairs")
+            .alias("agree_ppm"),
+            "refinement_violations",
+        )
+    )
+
+
+def _s_labelprop_lsh_sql(k: int = _LP_ORACLE_K) -> str:
+    """Generated oracle: TWO independent k-round unrolled MATERIALIZED
+    propagation schedules — one over the exact all-pairs edges, one
+    over the LSH-bucketed edges (both k=28, strictly past the
+    measured fixpoints 17/10/11 exact and 3/3/11 LSH) — folded into
+    the same size-arithmetic agreement ledger the Spark side
+    computes."""
+    from go_whisper_spark.operators.llm_ops import _bucket_expr_sql
+
+    def unroll(prefix: str, ed: str) -> str:
+        its = []
+        for t in range(1, k + 1):
+            prev = f"{prefix}{t - 1}"
+            its.append(
+                f"{prefix}{t} AS MATERIALIZED (\n"
+                f"  SELECT p.node,\n"
+                f"         LEAST(p.comm, COALESCE(m.ml, p.comm)) AS comm\n"
+                f"  FROM {prev} p LEFT JOIN (\n"
+                f"    SELECT e.dst AS node, min(p2.comm) AS ml\n"
+                f"    FROM {ed} e JOIN {prev} p2 ON e.src = p2.node\n"
+                f"    GROUP BY e.dst\n"
+                f"  ) m ON p.node = m.node\n"
+                f")"
+            )
+        return ",\n".join(its)
+
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+  FROM e
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS ida, b.vec_id AS idb
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(generate_series(1, 64),
+              i -> a.v[i] * b.v[i])) / (a.norm * b.norm), 6) >= 0.35
+),
+ed AS MATERIALIZED (
+  SELECT ida AS src, idb AS dst FROM pairs
+  UNION ALL SELECT idb, ida FROM pairs
+),
+bkt AS MATERIALIZED (
+  SELECT vec_id, v, norm, {_bucket_expr_sql()} AS bucket FROM n
+),
+pairsl AS MATERIALIZED (
+  SELECT a.vec_id AS ida, c.vec_id AS idb
+  FROM bkt a JOIN bkt c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE round(list_sum(list_transform(generate_series(1, 64),
+              i -> a.v[i] * c.v[i])) / (a.norm * c.norm), 6) >= 0.35
+),
+edl AS MATERIALIZED (
+  SELECT ida AS src, idb AS dst FROM pairsl
+  UNION ALL SELECT idb, ida FROM pairsl
+),
+l0 AS MATERIALIZED (
+  SELECT vec_id AS node, vec_id AS comm FROM e
+),
+m0 AS MATERIALIZED (
+  SELECT vec_id AS node, vec_id AS comm FROM e
+),
+{unroll('l', 'ed')},
+{unroll('m', 'edl')},
+exf AS MATERIALIZED (SELECT node, comm FROM l{k}),
+lsf AS MATERIALIZED (SELECT node, comm AS comm_lsh FROM m{k}),
+exs AS (SELECT comm, count(*) AS c FROM exf GROUP BY 1),
+jnt AS (
+  SELECT a.comm, b.comm_lsh, count(*) AS c
+  FROM exf a JOIN lsf b ON a.node = b.node
+  GROUP BY 1, 2
+)
+SELECT
+  (SELECT count(*) FROM exf) AS n_nodes,
+  (SELECT count(*) FROM exs) AS exact_clusters,
+  (SELECT CAST(count(DISTINCT comm_lsh) AS BIGINT) FROM lsf)
+    AS lsh_clusters,
+  (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM exs)
+    AS exact_intra_pairs,
+  (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM jnt)
+    AS joint_intra_pairs,
+  CAST((SELECT sum(c * (c - 1) // 2) FROM jnt) * 1000000
+       // (SELECT sum(c * (c - 1) // 2) FROM exs) AS BIGINT)
+    AS agree_ppm,
+  (SELECT CAST(sum(CASE WHEN n_ex > 1 THEN 1 ELSE 0 END) AS BIGINT)
+   FROM (SELECT comm_lsh, count(DISTINCT comm) AS n_ex
+         FROM jnt GROUP BY 1))
+    AS refinement_violations
+FROM (SELECT 1)
 """
 
 
@@ -8127,6 +8317,7 @@ QUERIES = {
     "s_pq_mp_recall": s_pq_mp_recall,
     "s_semantic_dedup": s_semantic_dedup,
     "s_labelprop": s_labelprop,
+    "s_labelprop_lsh": s_labelprop_lsh,
     "d_dedup_matrix": d_dedup_matrix,
     "d_lsh_tuning": d_lsh_tuning,
 }
@@ -8220,6 +8411,7 @@ ORACLES = {
     "s_pq_mp_recall": _s_pq_search_recall_sql(_PQ_SEARCH_CTES_MP),
     "s_semantic_dedup": _s_semantic_dedup_sql(),
     "s_labelprop": _s_labelprop_sql(),
+    "s_labelprop_lsh": _s_labelprop_lsh_sql(),
     "d_dedup_matrix": _d_dedup_matrix_sql(),
     "d_lsh_tuning": _d_lsh_tuning_sql(),
 }
