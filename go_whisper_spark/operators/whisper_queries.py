@@ -6378,6 +6378,142 @@ LEFT JOIN truth ON b.box = truth.box
 """
 
 
+def w_lakehouse_partevolve_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of partition-spec evolution (VERDICT r16 item 6)
+    — `w_lakehouse_partevolve` pinned reads over mixed-generation
+    layouts; this pins what a WRITER may do to one.  The table is the
+    same two-generation silver: gen1 under the old spec (4
+    doc_id-range buckets, `rb=K`), gen2 under the evolved spec
+    (`lang=L`), neither ever rewritten.  Then an upsert batch
+    (n_chars bump on doc_id % 7 == 0 — members of BOTH generations —
+    plus 20 brand-new `zz` rows) exercises both write paths:
+
+    * the PARTITION-ADDRESSED path (`merge_table(part_col='lang')`)
+      REFUSES — the scheme guard sees live `rb=` keys outside the
+      `lang=` scheme and raises instead of rewriting only the lang
+      generation (which would leave every gen1 match as a stale
+      duplicate).  `merge_refused` pins the refusal BEHAVIORALLY: if
+      the guard ever regressed, the merge would commit, the resolved
+      read would double the gen1 matches, and every count below
+      would go red cross-engine.
+    * the KEY-ADDRESSED MoR path (`upsert_rows_mor`) is the
+      layout-agnostic answer to "which generation do new rows land
+      in": NEITHER — the batch lands as its own delta+dv generation
+      at a fresh sequence, updates shadow their old versions in
+      whichever spec's directory holds them, and `dirs_unrewritten`
+      pins that every original directory of BOTH specs is still live
+      byte-for-byte (= n_rb_buckets + n_langs, re-derived in SQL).
+
+    The conflict contract across specs is pytest-pinned
+    (tests/test_lakehouse.py::test_partevolve_racing_writers): key
+    overlap conflicts regardless of which spec minted the key, MoR
+    racers coexist by sequence, and the refusal is spec-order-
+    independent.  Oracle: the resolved read re-derived relationally
+    (updates ∪ untouched ∪ inserts), per-lang.
+    [pins lakehouse.py: merge_table scheme guard / upsert_rows_mor /
+    read_table_mor across heterogeneous specs]"""
+    import os
+    import tempfile
+
+    from go_whisper_spark.lakehouse import (
+        CommitLog,
+        commit_partitions,
+        merge_table,
+        read_table_mor,
+        upsert_rows_mor,
+    )
+    from go_whisper_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    mx = int(d.agg(F.max("doc_id")).first()[0])
+    split = mx // 2
+    g1 = d.where(F.col("doc_id") < split).withColumn(
+        "rb", F.expr(f"(doc_id * 4) div {split}"))
+    g2 = d.where(F.col("doc_id") >= split)
+    table = os.path.join(tempfile.mkdtemp(prefix="gws_lakepem_"),
+                         "silver_docs")
+    rbs = sorted(r.rb for r in g1.select("rb").distinct().collect())
+    commit_partitions(
+        spark, table,
+        {f"rb={k}": g1.where(F.col("rb") == k).drop("rb") for k in rbs},
+        base_version=0,
+        minmax_cols=["doc_id", "lang"],
+    )
+    langs = sorted(r.lang for r in g2.select("lang").distinct().collect())
+    commit_partitions(
+        spark, table,
+        {f"lang={lg}": g2.where(F.col("lang") == lg) for lg in langs},
+        base_version=1,
+        minmax_cols=["doc_id", "lang"],
+    )
+    pre = dict(CommitLog(table).state()["partitions"])
+
+    chars_t = dict(d.dtypes)["n_chars"]
+    updates = (
+        d.where(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "lang",
+                (F.col("n_chars") + 1000).alias("n_chars"))
+        .unionByName(
+            spark.range(1, 21).select(
+                (F.lit(mx) + F.col("id")).alias("doc_id"),
+                F.lit("zz").alias("lang"),
+                (F.lit(100) + F.col("id")).cast(chars_t).alias("n_chars"),
+            ))
+    )
+    try:
+        merge_table(spark, table, updates, key_cols=["doc_id"],
+                    part_col="lang")
+        refused = 0
+    except ValueError:
+        refused = 1
+    upsert_rows_mor(spark, table, updates, key_cols=["doc_id"])
+    post = CommitLog(table).state()["partitions"]
+    unrewritten = sum(1 for k, dd in pre.items() if post.get(k) == dd)
+    return (
+        read_table_mor(spark, table, key_cols=["doc_id"])
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"))
+        .select(
+            "lang", "n_docs", "sum_chars",
+            F.lit(refused).cast("long").alias("merge_refused"),
+            F.lit(unrewritten).cast("long").alias("dirs_unrewritten"),
+        )
+    )
+
+
+W_LAKEHOUSE_PARTEVOLVE_MERGE_SQL = """
+WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+mx AS (SELECT max(doc_id) AS m FROM d),
+sp AS (SELECT m // 2 AS split FROM mx),
+upd AS (
+  SELECT doc_id, lang, n_chars + 1000 AS n_chars
+  FROM d WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT m + i, 'zz', 100 + i FROM mx, generate_series(1, 20) AS g(i)
+),
+fin AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT * FROM d WHERE doc_id % 7 <> 0
+),
+dirs AS (
+  SELECT (SELECT count(DISTINCT (doc_id * 4) // split)
+          FROM d, sp WHERE doc_id < split)
+       + (SELECT count(DISTINCT lang)
+          FROM d, sp WHERE doc_id >= split) AS n
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(1 AS BIGINT) AS merge_refused,
+       (SELECT CAST(n AS BIGINT) FROM dirs) AS dirs_unrewritten
+FROM fin
+GROUP BY lang
+"""
+
+
 def w_lakehouse_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHALLOW CLONE under the driver's oracle — zero-copy table
     forking (public Delta's ``SHALLOW CLONE``): the silver documents
@@ -6580,6 +6716,7 @@ QUERIES = {
     "w_lakehouse_cdf_pos": w_lakehouse_cdf_pos,
     "w_lakehouse_mv": w_lakehouse_mv,
     "w_lakehouse_partevolve": w_lakehouse_partevolve,
+    "w_lakehouse_partevolve_merge": w_lakehouse_partevolve_merge,
     "w_lakehouse_clone": w_lakehouse_clone,
     "w_topk_mg": w_topk_mg,
     "w_triangle_sample": w_triangle_sample,
@@ -6652,6 +6789,7 @@ ORACLES = {
     "w_lakehouse_cdf_pos": W_LAKEHOUSE_CDF_MOR_SQL,
     "w_lakehouse_mv": W_LAKEHOUSE_MV_SQL,
     "w_lakehouse_partevolve": W_LAKEHOUSE_PARTEVOLVE_SQL,
+    "w_lakehouse_partevolve_merge": W_LAKEHOUSE_PARTEVOLVE_MERGE_SQL,
     "w_lakehouse_clone": W_LAKEHOUSE_CLONE_SQL,
     "w_topk_mg": W_TOPK_MG_SQL,
     "w_triangle_sample": W_TRIANGLE_SAMPLE_SQL,

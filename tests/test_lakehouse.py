@@ -499,6 +499,93 @@ def test_merge_table_conflict_and_disjoint(spark, tmp_path):
     assert {r.v for r in read_table(spark, table).where("k = 1").collect()} == {222}
 
 
+def test_partevolve_racing_writers(spark, tmp_path):
+    """The conflict contract ACROSS partition-spec generations
+    (VERDICT r16 item 6, the write side of w_lakehouse_partevolve):
+    on a table whose live layout mixes an old-spec generation (rb=)
+    with an evolved one (lang=) —
+    (1) the partition-addressed merge REFUSES for EITHER spec
+        choice (each sees the other generation's keys as alien;
+        rewriting only one generation would strand stale matches);
+    (2) key-overlap conflicts are spec-blind: a racer replacing an
+        rb= directory after our snapshot raises ConflictError even
+        though lang= and MoR keys fill the log;
+    (3) racing MoR upserts from the SAME stale base both land
+        (fresh-uuid keys retry through disjoint interleavers) and
+        the resolved read settles a contested key by SEQUENCE —
+        the later commit wins, deterministically."""
+    from go_whisper_spark.lakehouse import (
+        commit_partitions,
+        merge_table,
+        read_table_mor,
+        upsert_rows_mor,
+    )
+
+    table = str(tmp_path / "silver")
+    df = spark.createDataFrame(
+        [(i, ["en", "fr", "de"][i % 3], i * 10) for i in range(40)],
+        "doc_id long, lang string, n_chars long",
+    )
+    g1 = df.where("doc_id < 20")
+    g2 = df.where("doc_id >= 20")
+    commit_partitions(
+        spark, table,
+        {f"rb={b}": g1.where(F.expr(f"doc_id div 10 = {b}"))
+         for b in (0, 1)},
+        base_version=0,
+    )
+    commit_partitions(
+        spark, table,
+        {f"lang={lg}": g2.where(F.col("lang") == lg)
+         for lg in ("de", "en", "fr")},
+        base_version=1,
+    )
+    snap = CommitLog(table).state()["version"]
+
+    # (1) refusal is spec-order-independent
+    upd = spark.createDataFrame(
+        [(3, "en", 999), (25, "fr", 999)],
+        "doc_id long, lang string, n_chars long",
+    ).withColumn("rb", F.expr("doc_id div 10"))
+    with pytest.raises(ValueError, match="outside the 'lang='"):
+        merge_table(spark, table, upd.drop("rb"), key_cols=["doc_id"],
+                    part_col="lang")
+    with pytest.raises(ValueError, match="outside the 'rb='"):
+        merge_table(spark, table, upd, key_cols=["doc_id"],
+                    part_col="rb")
+
+    # (2) key overlap conflicts across specs: a racer lands on rb=0,
+    # then our stale-snapshot replace of rb=0 must conflict
+    racer = g1.where("doc_id < 10").withColumn(
+        "n_chars", F.col("n_chars") + 1)
+    commit_partitions(spark, table, {"rb=0": racer},
+                      base_version=snap)
+    with pytest.raises(ConflictError):
+        commit_partitions(spark, table, {"rb=0": racer},
+                          base_version=snap)
+
+    # (3) racing MoR upserts from the same base both land; the
+    # contested key resolves by sequence (later commit wins)
+    base = CommitLog(table).state()["version"]
+    a = spark.createDataFrame([(5, "en", 111), (21, "en", 111)],
+                              "doc_id long, lang string, n_chars long")
+    b = spark.createDataFrame([(5, "en", 222)],
+                              "doc_id long, lang string, n_chars long")
+    va = upsert_rows_mor(spark, table, a, key_cols=["doc_id"],
+                         base_version=base)
+    vb = upsert_rows_mor(spark, table, b, key_cols=["doc_id"],
+                         base_version=base)
+    assert vb == va + 1                      # both committed, ordered
+    got = {r.doc_id: r.n_chars
+           for r in read_table_mor(spark, table, key_cols=["doc_id"])
+           .where(F.col("doc_id").isin(5, 21)).collect()}
+    assert got == {5: 222, 21: 111}          # seq settles the contest
+    # and neither original generation's directory was rewritten by
+    # the MoR traffic (rb=0 changed only via the racer's CoW commit)
+    parts = CommitLog(table).state()["partitions"]
+    assert {"rb=1", "lang=de", "lang=en", "lang=fr"} <= set(parts)
+
+
 def test_bloom_lookup_no_false_negatives_and_prunes(spark, tmp_path):
     """Every committed key must be admitted by its directory's filter
     (no false negatives — the correctness law), and a probe admits

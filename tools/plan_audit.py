@@ -1230,6 +1230,17 @@ CHECKS = {
                  "FullOuter"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # Write-side spec evolution (round 17): the returned ledger is a
+    # map-combined per-lang aggregate over the MoR-resolved scan —
+    # the per-directory union with its broadcast anti-join DV
+    # shadowing — plus two driver-literal metadata columns; never a
+    # cartesian/nested-loop, and no window anywhere.
+    "w_lakehouse_partevolve_merge": dict(
+        require=["partial_count", "partial_sum", "Union",
+                 "BroadcastHashJoin LeftAnti"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "Window"],
+    ),
     # OPTIMIZE ledger read side: the truth pass is the 3-row box
     # frame broadcast over the optimized scan (intended
     # crossJoin-then-filter, the timeSlice discipline) + a
