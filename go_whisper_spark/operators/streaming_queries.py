@@ -1101,20 +1101,16 @@ def st_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- st_triangles_ledger
-def _tri_ledger_increment(old, delta: DataFrame) -> DataFrame:
-    """(pre-batch store, deduped new edges) → the batch's exact
-    ledger increments (node, d_deg, d_tri), via the new-triangle
+def _tri_new_triangles(old, delta: DataFrame) -> DataFrame:
+    """(pre-batch store, deduped new edges) → the batch's NEW
+    triangles (u, v, w — each exactly once), via the new-triangle
     decomposition (see st_triangles_ledger): class 1 = one new edge
     closed by two old-adjacency edges, class 2 = a Δ-wedge closed by
     an old edge, class 3 = the canonical triangle join on Δ alone.
     ``old`` is None for the first batch (classes 1-2 vacuous).
-    Shared by the streaming sink and the pytest laws so the tested
-    math IS the shipped math."""
-    d_deg = (
-        delta.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("d_deg"))
-    )
+    Shared by the node ledger (`_tri_ledger_increment`), the edge
+    SUPPORT ledger (`_tri_support_increment`), and the pytest laws
+    so the tested math IS the shipped math."""
     tri_nodes = []
     if old is not None:
         adj_old = old.select(
@@ -1151,6 +1147,21 @@ def _tri_ledger_increment(old, delta: DataFrame) -> DataFrame:
     tri = tri_nodes[0]
     for t in tri_nodes[1:]:
         tri = tri.unionByName(t)
+    return tri
+
+
+def _tri_ledger_increment(old, delta: DataFrame) -> DataFrame:
+    """(pre-batch store, deduped new edges) → the batch's exact
+    ledger increments (node, d_deg, d_tri) over
+    `_tri_new_triangles`'s enumeration.  Shared by the streaming
+    sink and the pytest laws so the tested math IS the shipped
+    math."""
+    d_deg = (
+        delta.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d_deg"))
+    )
+    tri = _tri_new_triangles(old, delta)
     d_tri = (
         tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
@@ -1163,6 +1174,34 @@ def _tri_ledger_increment(old, delta: DataFrame) -> DataFrame:
             F.coalesce("d_deg", F.lit(0).cast("long")).alias("d_deg"),
             F.coalesce("d_tri", F.lit(0).cast("long")).alias("d_tri"),
         )
+    )
+
+
+def _tri_support_increment(old, delta: DataFrame) -> DataFrame:
+    """(pre-batch store, deduped new edges) → the batch's exact
+    per-EDGE support increments (cu, cv, d_sup): every triangle born
+    this batch (`_tri_new_triangles` — born exactly once, in the
+    batch its LAST edge arrives) charges +1 to each of its three
+    edges, OLD edges included (a new wedge closing over an old edge
+    raises that old edge's support).  Folding the increments over
+    any slicing therefore telescopes to the batch per-edge support
+    relation — the same monotone-ledger law as the node ledger, on
+    edge grain."""
+    tri = _tri_new_triangles(old, delta)
+    return (
+        tri.select(
+            F.explode(F.array(
+                F.struct(F.least("u", "v").alias("cu"),
+                         F.greatest("u", "v").alias("cv")),
+                F.struct(F.least("u", "w").alias("cu"),
+                         F.greatest("u", "w").alias("cv")),
+                F.struct(F.least("v", "w").alias("cu"),
+                         F.greatest("v", "w").alias("cv")),
+            )).alias("e")
+        )
+        .select("e.cu", "e.cv")
+        .groupBy("cu", "cv")
+        .agg(F.count("*").alias("d_sup"))
     )
 
 
@@ -1779,6 +1818,156 @@ def st_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     _replay(spark, li, lambda s: s, sink=sink)
     peel()                               # resolve-on-read
     return spark.read.parquet(core).select("node", "coreness")
+
+
+# ----------------------------------------------------------- st_truss
+def st_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truss decomposition over a STREAMED graph with INCREMENTALLY
+    maintained support — the edge-grain completion of the ledger
+    family (`st_triangles_ledger` maintains per-node counts,
+    `st_kcore` per-node coreness; this maintains per-EDGE triangle
+    support): each micro-batch appends O(Δ) support increments
+    (`_tri_support_increment` — every new triangle charges its 3
+    edges once, old edges included), and the read-time peel SEEDS
+    its first round from the folded ledger instead of running the
+    full-graph triangle join — which is the single most expensive
+    stage of the cold decomposition (the wedge join over ALL
+    surviving edges; later rounds re-count only shrinking
+    survivors).
+
+    The seeding is exact by the telescoping law (a triangle is born
+    exactly once, in the batch its last edge arrives, so the fold IS
+    the batch support relation), and it does not perturb the
+    schedule: the peel makes identical peel/advance decisions from
+    identical round-1 supports, so the flattened round count equals
+    the cold peel's and the oracle is `w_truss_decomp`'s unrolled
+    SQL VERBATIM — iteration count included, the strongest shape.
+    Replay idempotency rides the edge store's set semantics (a
+    replayed batch dedups to Δ = ∅ → zero increments).
+    [pins whisper_queries.py: w_truss_decomp / _tri_triangles]"""
+    from go_whisper_spark.operators.whisper_queries import (
+        _TRUSS_MAX_ROUNDS,
+        _TRUSS_MOD,
+        _TRUSS_ORACLE_R,
+        _flat_localCheckpoint,
+        _tri_orient,
+        _tri_triangles,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % _TRUSS_MOD == 0)
+        .select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_partkey").alias("p"),
+            (F.col("l_orderkey") % 3).alias("arrive"),
+        )
+    )
+    root = _tmpdir()
+    store, supdir = (os.path.join(root, n) for n in ("edges", "sup"))
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        items = batch.select("o", "p").distinct()
+        delta = (
+            items.join(items.select("o", F.col("p").alias("q")), "o")
+            .where(F.col("p") < F.col("q"))
+            .select(F.col("p").alias("u"), F.col("q").alias("v"))
+            .distinct()
+        )
+        old = None
+        if os.path.isdir(store):
+            old = spark.read.parquet(store)
+            delta = delta.join(old, ["u", "v"], "left_anti")
+        delta = delta.localCheckpoint()  # several consumers below
+        if delta.isEmpty():
+            return                       # replayed batch: a no-op
+        _tri_support_increment(old, delta).write.mode("append") \
+            .parquet(supdir)
+        delta.write.mode("append").parquet(store)
+
+    _replay(spark, li, lambda s: s, sink=sink)
+
+    edges = spark.read.parquet(store).localCheckpoint()
+    sup0 = (
+        spark.read.parquet(supdir)
+        .groupBy("cu", "cv").agg(F.sum("d_sup").alias("s"))
+    ) if os.path.isdir(supdir) else None
+    _, oriented = _tri_orient(edges)
+    cnt = oriented.count()
+    surv = oriented
+    k = 2
+    iters = 0
+    dropped = []
+    ann = None
+    recount = True
+    seeded = False
+    while cnt > 0:
+        iters += 1
+        if iters > _TRUSS_MAX_ROUNDS:
+            raise RuntimeError("truss peeling did not reach a fixpoint")
+        if recount:
+            if not seeded and sup0 is not None:
+                # round 1: the maintained ledger replaces the
+                # full-graph triangle join the cold peel pays here
+                sup = sup0
+                seeded = True
+            else:
+                tri = _tri_triangles(surv, n_edges=cnt)
+                sup = (
+                    tri.select(
+                        F.explode(F.array(
+                            F.struct(F.least("a", "v").alias("cu"),
+                                     F.greatest("a", "v").alias("cv")),
+                            F.struct(F.least("a", "w").alias("cu"),
+                                     F.greatest("a", "w").alias("cv")),
+                            F.struct(F.least("v", "w").alias("cu"),
+                                     F.greatest("v", "w").alias("cv")),
+                        )).alias("e")
+                    ).select("e.cu", "e.cv")
+                    .groupBy("cu", "cv").agg(F.count("*").alias("s"))
+                )
+            ann = _flat_localCheckpoint(
+                surv.withColumn("cu", F.least("src", "dst"))
+                .withColumn("cv", F.greatest("src", "dst"))
+                .join(sup, ["cu", "cv"], "left")
+                .select(
+                    "src", "dst", "dd",
+                    F.coalesce("s", F.lit(0).cast("long")).alias("sup"),
+                )
+            )
+        # ONE control-plane scalar per round — the peel/stop test
+        n_bad = ann.where(F.col("sup") < k - 2).count()
+        if n_bad == 0:
+            k += 1
+            recount = False
+            continue
+        dropped.append(
+            ann.where(F.col("sup") < k - 2)
+            .select(F.lit(k - 1).cast("long").alias("trussness"))
+        )
+        surv = ann.where(F.col("sup") >= k - 2).select("src", "dst", "dd")
+        cnt -= n_bad
+        recount = True
+    if iters > _TRUSS_ORACLE_R:
+        raise RuntimeError(
+            f"truss fixpoint at round {iters} > the oracle unroll "
+            f"depth _TRUSS_ORACLE_R={_TRUSS_ORACLE_R}; raise the "
+            "unroll depth so rounds past the fixpoint stay no-ops"
+        )
+    if not dropped:
+        return spark.createDataFrame(
+            [], "trussness long, n_edges long, iters long")
+    hist = dropped[0]
+    for d in dropped[1:]:
+        hist = hist.unionByName(d)
+    return (
+        hist.groupBy("trussness")
+        .agg(F.count("*").alias("n_edges"))
+        .select("trussness", "n_edges",
+                F.lit(iters).cast("long").alias("iters"))
+    )
 
 
 # ---------------------------------------------------- st_kmv_jaccard
@@ -3799,6 +3988,7 @@ QUERIES = {
     "st_kmv_jaccard": st_kmv_jaccard,
     "st_labelprop": st_labelprop,
     "st_kcore": st_kcore,
+    "st_truss": st_truss,
     "st_lakehouse_mv": st_lakehouse_mv,
 }
 
@@ -3812,6 +4002,16 @@ def _kcore_oracle_sql():
         _w_kcore_decomp_sql,
     )
     return _w_kcore_decomp_sql(node_level=True)
+
+
+def _truss_oracle_sql():
+    # the support-seeded peel makes the SAME schedule decisions as
+    # the cold peel, so the oracle is the batch SQL verbatim —
+    # iteration count included (the strongest shape)
+    from go_whisper_spark.operators.whisper_queries import (
+        _w_truss_decomp_sql,
+    )
+    return _w_truss_decomp_sql()
 
 
 ORACLES = {
@@ -3862,5 +4062,6 @@ ORACLES = {
     "st_kmv_jaccard": _kmv_sql(_ST_KMV_MEMBER_CTES),
     "st_labelprop": _labelprop_oracle_sql(),
     "st_kcore": _kcore_oracle_sql(),
+    "st_truss": _truss_oracle_sql(),
     "st_lakehouse_mv": _W_LAKEHOUSE_MV_ORACLE,
 }

@@ -1295,6 +1295,74 @@ def test_tri_ledger_increment_laws(spark):
     assert total == 3 * 5
 
 
+def test_tri_support_increment_laws(spark):
+    """The per-EDGE support ledger behind st_truss, on the node
+    ledger's synthetic graph (all three new-triangle classes): (1)
+    TELESCOPING — folding per-batch support increments over any
+    slicing equals the full graph's per-edge triangle support,
+    computed independently with plain Python sets; (2) IDEMPOTENCY —
+    a replayed batch dedups to an empty delta, zero increments; (3)
+    conservation — total support = 3 × the triangle count (each
+    triangle charges exactly its 3 edges).  Law 1 is also the
+    st_truss seeding guarantee: the folded ledger IS the cold peel's
+    round-1 support relation, so the seeded schedule is the cold
+    schedule."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.operators.streaming_queries import (
+        _tri_support_increment,
+    )
+
+    all_edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (4, 5), (6, 7), (6, 8), (7, 8)]
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "u long, v long")
+
+    def run(slices):
+        store, incs = None, []
+        for s in slices:
+            delta = frame(s)
+            if store is not None:
+                delta = delta.join(store, ["u", "v"], "left_anti")
+            incs.append(_tri_support_increment(store, delta))
+            store = delta if store is None else store.unionByName(delta)
+            store = store.localCheckpoint()
+        inc = incs[0]
+        for i in incs[1:]:
+            inc = inc.unionByName(i)
+        fold = inc.groupBy("cu", "cv").agg(F.sum("d_sup").alias("s"))
+        return sorted((r.cu, r.cv, r.s) for r in fold.collect())
+
+    # independent reference: per-edge triangle support via plain sets
+    E = set(all_edges)
+    tris = [t for t in combinations(sorted({n for e in E for n in e}), 3)
+            if {(t[0], t[1]), (t[0], t[2]), (t[1], t[2])} <= E]
+    want = {}
+    for a, b, c in tris:
+        for e in ((a, b), (a, c), (b, c)):
+            want[e] = want.get(e, 0) + 1
+    want = sorted((u, v, s) for (u, v), s in want.items())
+
+    assert run([all_edges]) == want
+    assert run([
+        all_edges[:3] + [(4, 5)],
+        [(2, 3), (2, 4), (3, 4)],
+        [(6, 7), (6, 8), (7, 8)],
+    ]) == want
+    assert run([[e] for e in all_edges]) == want
+
+    # idempotency: duplicate delivery contributes nothing
+    store = frame(all_edges).localCheckpoint()
+    dup = frame(all_edges[:4]).join(store, ["u", "v"], "left_anti")
+    assert _tri_support_increment(store, dup).count() == 0
+
+    # conservation: Σ support = 3 × |triangles| (5 here)
+    assert sum(s for _, _, s in run([all_edges])) == 3 * len(tris)
+
+
 def test_kcore_warm_peel_laws(spark):
     """VERDICT r16 item 4: the incremental k-core ledger's laws, on a
     crafted graph that exercises the kmin > 0 seeding path (the

@@ -1593,6 +1593,28 @@ def _build_tri_ledger_increment(spark):
     return _tri_ledger_increment(old, delta)
 
 
+def _build_tri_support_increment(spark):
+    # One micro-batch of st_truss's per-edge support maintenance —
+    # the same Δ-vs-store slicing and the same `_tri_new_triangles`
+    # class joins as the node ledger (equi-joins only), with the
+    # 3-edge charge exploded (Generate) and map-combined
+    # (partial_count) before the exchange.
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.operators.streaming_queries import (
+        _tri_support_increment,
+    )
+    from go_whisper_spark.operators.whisper_queries import _tri_edges
+
+    edges = _tri_edges(spark, SF_DIR, materialize=False)
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "u", "v")), 1, 8), 16, 10
+    ).cast("long")
+    old = edges.where(h % 7 != 0)
+    delta = edges.where(h % 7 == 0)
+    return _tri_support_increment(old, delta)
+
+
 def _build_labelprop_round(spark):
     # ONE min-label propagation round of s_labelprop — the SHIPPED
     # round body (_labelprop_round; REVIEW r16 extracted it so the
@@ -1759,6 +1781,12 @@ BUILDERS = {
     "st_tri_ledger_increment": dict(
         build=_build_tri_ledger_increment,
         require=["partial_count"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
+    # See _build_tri_support_increment.
+    "st_tri_support_increment": dict(
+        build=_build_tri_support_increment,
+        require=["partial_count", "Generate"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
     ),
     # See _build_labelprop_round.
