@@ -8258,6 +8258,141 @@ FROM (SELECT 1)
 """
 
 
+# ------------------------------------------------------------ t_pii_scrub
+# PII patterns chosen for cross-dialect identity: Java regex (Spark)
+# and RE2 (DuckDB) agree on character classes, bounded repetition and
+# \b word boundaries; no lookaround anywhere (RE2 has none).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the curation stage every released
+    corpus runs and the text-analysis family was missing: per-class
+    regex detection (email / IPv4 / phone) and placeholder
+    replacement, with the ledger a compliance review reads.  The
+    synthetic corpus contains no organic PII, so the fixture INJECTS
+    it deterministically from doc_id (emails on doc_id % 3 == 0,
+    IPv4s on % 5 == 0, phones on % 7 == 0 — overlapping classes by
+    CRT, so multi-class documents exist) — both engines apply the
+    identical augmentation, making every downstream number
+    full-rank.  What the cross-engine ledger then PINS is the scrub
+    machinery itself, per lang:
+
+      * per-class match counts (the detection side);
+      * `chars_removed` = Σ (len before − len after) — redaction is
+        measured, not asserted (placeholders are fixed strings, so
+        the delta is deterministic);
+      * `residual` = matches of ANY class remaining AFTER the scrub
+        — pinned 0 cross-engine, the completeness law (replacement
+        order bugs, overlapping-match bugs, or a dialect divergence
+        in `regexp_replace` semantics all break it loudly — DuckDB
+        replaces first-match-only without the 'g' flag, exactly the
+        class of bug this column exists to catch).
+
+    Scale shape: one narrow codegen'd map over the corpus (regex
+    count + chained replace — no shuffle until the per-lang
+    aggregate), then a map-combined groupBy.  Patterns are
+    RE2-compatible by construction (no lookaround), which is also
+    the production constraint: RE2-safe patterns run on any engine
+    and never backtrack-explode on adversarial documents."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(
+            F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit("."), (F.col("doc_id") % 100).cast("string"))
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(
+            F.lit(" call 555-"),
+            (100 + F.col("doc_id") % 900).cast("string"),
+            F.lit("-"),
+            (1000 + F.col("doc_id") % 9000).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    base = d.select("doc_id", "lang", aug.alias("aug"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), _PII_EMAIL, "[EMAIL]"),
+            _PII_IPV4, "[IP]"),
+        _PII_PHONE, "[PHONE]")
+    scr = base.select(
+        "lang",
+        F.regexp_count("aug", F.lit(_PII_EMAIL)).alias("em"),
+        F.regexp_count("aug", F.lit(_PII_IPV4)).alias("ip"),
+        F.regexp_count("aug", F.lit(_PII_PHONE)).alias("ph"),
+        (F.length("aug") - F.length(red)).alias("delta"),
+        (F.regexp_count(red, F.lit(_PII_EMAIL))
+         + F.regexp_count(red, F.lit(_PII_IPV4))
+         + F.regexp_count(red, F.lit(_PII_PHONE))).alias("res"),
+    )
+    return scr.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("em").cast("long").alias("emails"),
+        F.sum("ip").cast("long").alias("ipv4s"),
+        F.sum("ph").cast("long").alias("phones"),
+        F.sum("delta").cast("long").alias("chars_removed"),
+        F.sum("res").cast("long").alias("residual"),
+    )
+
+
+T_PII_SCRUB_SQL = rf"""
+WITH aug AS (
+  SELECT lang,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+                      || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 ELSE '' END AS aug
+  FROM documents
+),
+scr AS (
+  SELECT lang,
+         len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS em,
+         len(regexp_extract_all(aug, '{_PII_IPV4}')) AS ip,
+         len(regexp_extract_all(aug, '{_PII_PHONE}')) AS ph,
+         length(aug) - length(
+           regexp_replace(regexp_replace(regexp_replace(
+             aug, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+             '{_PII_IPV4}', '[IP]', 'g'),
+             '{_PII_PHONE}', '[PHONE]', 'g')) AS delta,
+         len(regexp_extract_all(regexp_replace(regexp_replace(
+             regexp_replace(aug, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+             '{_PII_IPV4}', '[IP]', 'g'),
+             '{_PII_PHONE}', '[PHONE]', 'g'), '{_PII_EMAIL}'))
+         + len(regexp_extract_all(regexp_replace(regexp_replace(
+             regexp_replace(aug, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+             '{_PII_IPV4}', '[IP]', 'g'),
+             '{_PII_PHONE}', '[PHONE]', 'g'), '{_PII_IPV4}'))
+         + len(regexp_extract_all(regexp_replace(regexp_replace(
+             regexp_replace(aug, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+             '{_PII_IPV4}', '[IP]', 'g'),
+             '{_PII_PHONE}', '[PHONE]', 'g'), '{_PII_PHONE}')) AS res
+  FROM aug
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(em) AS BIGINT) AS emails,
+       CAST(sum(ip) AS BIGINT) AS ipv4s,
+       CAST(sum(ph) AS BIGINT) AS phones,
+       CAST(sum(delta) AS BIGINT) AS chars_removed,
+       CAST(sum(res) AS BIGINT) AS residual
+FROM scr
+GROUP BY lang
+"""
+
+
 # -------------------------------------------------- s_labelprop_lsh_mt
 _MT_TABLES = 4
 _mt_prng = random.Random(0xB0B5CA1E)
@@ -8474,6 +8609,7 @@ QUERIES = {
     "s_labelprop": s_labelprop,
     "s_labelprop_lsh": s_labelprop_lsh,
     "s_labelprop_lsh_mt": s_labelprop_lsh_mt,
+    "t_pii_scrub": t_pii_scrub,
     "d_dedup_matrix": d_dedup_matrix,
     "d_lsh_tuning": d_lsh_tuning,
 }
@@ -8569,6 +8705,7 @@ ORACLES = {
     "s_labelprop": _s_labelprop_sql(),
     "s_labelprop_lsh": _s_labelprop_lsh_sql(),
     "s_labelprop_lsh_mt": _s_labelprop_lsh_mt_sql(),
+    "t_pii_scrub": T_PII_SCRUB_SQL,
     "d_dedup_matrix": _d_dedup_matrix_sql(),
     "d_lsh_tuning": _d_lsh_tuning_sql(),
 }

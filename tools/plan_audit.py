@@ -557,6 +557,17 @@ CHECKS = {
         require=["partial_count", "partial_sum"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # PII scrub (round 17): one narrow codegen'd map (regex count +
+    # chained replace — JVM-side, no Python) feeding a map-combined
+    # per-lang aggregate; no join, no shuffle before the groupBy, a
+    # 3-column pruned scan.
+    "t_pii_scrub": dict(
+        require=["partial_count", "partial_sum"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "Window", "BatchEvalPython",
+                "ArrowEvalPython"],
+        pruned=3,
+    ),
     # SemDeDup: intra-cell pair resolution is ONE Arrow kernel per
     # cell (grouped applyInPandas — work ∝ Σ|cell|² by design, the
     # cluster-bounded point on the dedup cost ladder); the dropped-set
