@@ -522,6 +522,57 @@ _R16_WINDOW: list = [
     'st_enrich', 't_seq_packing',
 ]
 
+# The round-17 driver window, pre-materialized at the mid-round
+# freeze: first 50 of the rotated registry = the 6 new round-17
+# queries (the write side of partition-spec evolution, the
+# single-table and OR'd multi-table LSH label-propagation rungs,
+# PII scrub, incremental k-core maintenance, the support-seeded
+# streamed truss decomposition) + the 6 never-checked _R16_DEFERRED
+# entries + the oldest remaining driver evidence (the r09-window
+# remainder the r16 window didn't reach, then the front of the r10
+# cohort).  test_r17_window_matches_first_fifty pins list ==
+# first-50 so drift is caught before the driver runs.
+# ROUND-18 TODO: once CORRECTNESS_r17.json exists, verify its keys
+# == this list, then (a) add _R17_WINDOW to `recent`, (b) move the
+# _R17_DEFERRED block to right after the new-queries clause, (c) add
+# `n not in r17` to every explicit older-window block this window
+# reaches into (it reaches the _R09_WINDOW tail and the _R10_WINDOW
+# front — the standing footgun), (d) append _R17_WINDOW's block at
+# the END (re-front any red rows via a _R17_RED block, the _R12_RED
+# pattern).  Queries added AFTER the freeze go in _R17_DEFERRED.
+_R17_WINDOW: list = [
+    'w_lakehouse_partevolve_merge', 's_labelprop_lsh',
+    's_labelprop_lsh_mt', 't_pii_scrub',
+    'st_kcore', 'st_truss',
+    'd_dedup_matrix', 'st_labelprop',
+    'st_lakehouse_mv', 'd_lsh_tuning',
+    'w_lakehouse_clone', 'w_carbon_hashring',
+    't_pipeline_e2e', 'd_split_hash',
+    't_contamination', 't_repetition',
+    't_mix_weights', 'st_join_1h',
+    'm_resize_stats', 't_dup_spans',
+    'w_retention_expand', 'g_remove_between_pctile',
+    'g_random_walk', 't_length_buckets',
+    'd_cc_stars', 't_stratified_sample',
+    'st_cascade_chained', 'w_lakehouse_rollup',
+    'm_pcm_energy', 't_bpe_pairs',
+    'd_incremental', 's_mrl_eval',
+    'st_lsh_prefilter', 't_unigram_logprob',
+    't_bigram_logprob', 's_pq_encode',
+    's_pq_recall', 'w_retention_reap',
+    'w_store_fetch', 'w_asof_join',
+    'w_session_window_native', 'w_wsp_propagate',
+    'w_sessionize_chunked', 's_cosine_ivf',
+    'st_rollup_lww_1h', 'w_range_join_binned',
+    't_span_dedup_l5', 't_span_dedup_l9',
+    't_bpe_train2', 't_bpe_train_vocab',
+]
+
+# Queries added late in round 17, after the round-17 window freeze.
+# Never driver-checked; they FRONT the round-18 window right after
+# any genuinely-new round-18 queries (the standing deferral rule).
+_R17_DEFERRED: list = []
+
 # Queries added late in round 16, after the round-16 window freeze.
 _R16_DEFERRED: list = [
     "d_dedup_matrix",
@@ -673,7 +724,8 @@ def _registry():
             | set(_R09_DEFERRED) | set(_R10_DEFERRED)
             | set(_R11_DEFERRED) | set(_R12_DEFERRED)
             | set(_R13_DEFERRED) | set(_R14_DEFERRED)
-            | set(_R15_DEFERRED) | set(_R16_DEFERRED))
+            | set(_R15_DEFERRED) | set(_R16_DEFERRED)
+            | set(_R17_DEFERRED))
     order = (
         [n for n in queries if n not in seen]
         # Never-driver-checked round-16 late additions (the per-doc
@@ -753,6 +805,9 @@ def _registry():
         # Most recently checked, so last (50/50 green in
         # CORRECTNESS_r16 — fourth consecutive fully-green window).
         + [n for n in _R16_WINDOW if n in queries]
+        # Late round-17 additions: past the frozen window; the
+        # round-18 rotation re-fronts them via the standing rule.
+        + [n for n in _R17_DEFERRED if n in queries and n not in recent]
     )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}
