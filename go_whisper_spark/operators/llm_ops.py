@@ -8121,7 +8121,10 @@ def _lsh_agreement_ledger(spark: SparkSession, sf_dir: str,
             )
     joint = lab_ex.join(
         lab_lsh.withColumnRenamed("comm", "comm_lsh"), "node")
-    c2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("long")  # noqa: E731
+    # integer `div`, not float `/`: c*(c-1) is always even, and the
+    # double round-trip would lose exactness past 2^53 intra-pairs —
+    # reachable at corpus scale even though test SFs never get close
+    c2 = lambda c: F.expr(f"({c} * ({c} - 1)) div 2")  # noqa: E731
     eed = pairs_ex.agg(F.count("*").alias("exact_edges"))
     led = pairs_lsh.agg(F.count("*").alias("lsh_edges"))
     exs = (lab_ex.groupBy("comm").agg(F.count("*").alias("c"))

@@ -1817,6 +1817,8 @@ def st_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _replay(spark, li, lambda s: s, sink=sink)
     peel()                               # resolve-on-read
+    if not os.path.isdir(core):          # edge-free stream: empty ledger
+        return spark.createDataFrame([], "node long, coreness long")
     return spark.read.parquet(core).select("node", "coreness")
 
 
