@@ -571,7 +571,9 @@ _R17_WINDOW: list = [
 # Queries added late in round 17, after the round-17 window freeze.
 # Never driver-checked; they FRONT the round-18 window right after
 # any genuinely-new round-18 queries (the standing deferral rule).
-_R17_DEFERRED: list = []
+_R17_DEFERRED: list = [
+    "m_shot_bounds",
+]
 
 # Queries added late in round 16, after the round-16 window freeze.
 _R16_DEFERRED: list = [

@@ -791,9 +791,128 @@ FROM led LEFT JOIN perdoc ON led.doc_id = perdoc.doc_id
 """
 
 
+# ------------------------------------------------------- m_shot_bounds
+_SHOT_FRAME = 64   # fake-frame width in payload bytes
+_SHOT_THRESH = 22  # boundary when the inter-frame hash jump exceeds
+#                    the corpus's ~p75 jitter (measured 9..26, median
+#                    19 at sf0.01) — on real video a cut is an outlier
+#                    jump; the synthetic corpus has no cuts, so the
+#                    threshold is set INSIDE the jitter range to keep
+#                    every ledger column full-rank while pinning the
+#                    machinery (hash, lag, threshold, shot count)
+
+
+def m_shot_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOT-BOUNDARY detection for the video modality — the classic
+    first pass of any video curation pipeline (keyframe selection,
+    scene dedup, clip segmentation all start from it): decode each
+    frame, perceptual-hash it (the `m_ahash_neardup` 64-bit
+    pixel > mean hash, on 64-byte fake frames — the module's
+    deterministic decode, gated behind USE_REAL_CODECS like every
+    codec stage), and declare a boundary wherever the hamming
+    distance to the PREVIOUS frame jumps past the threshold.  The
+    per-video ledger (n_frames, n_shots = 1 + boundaries, max_ham)
+    is what a segmentation stage publishes.
+
+    Scale shape: frame explode + hashing are one narrow codegen map
+    (substr/ascii probes — no Python); the ONLY shuffle is the
+    per-video window for `lag` (partitioned by media_id — state is
+    one frame hash per video, never global), then a map-combined
+    per-video aggregate.  The trailing partial frame is dropped
+    (hash width must be constant); videos shorter than 2 full frames
+    are excluded (no inter-frame distance exists).  DuckDB restates
+    the identical frames/hashes/lag, so thresholding and shot counts
+    are cross-engine-exact."""
+    from go_whisper_spark.sources.tables import load_table
+
+    vid = (
+        load_table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 3 == 2)
+               & (F.length("text") >= 2 * _SHOT_FRAME))
+        .select(F.col("doc_id").alias("media_id"), "text",
+                F.length("text").alias("n"))
+    )
+    fr = vid.select(
+        "media_id",
+        F.explode(F.expr(f"sequence(0, CAST(n div {_SHOT_FRAME} AS INT) - 1)"))
+        .alias("f"),
+        "text",
+    ).select(
+        "media_id", "f",
+        F.expr(f"substr(text, f * {_SHOT_FRAME} + 1, {_SHOT_FRAME})")
+        .alias("frame"),
+    )
+    bits = fr.select(
+        "media_id", "f",
+        F.expr(
+            f"transform(sequence(1, {_SHOT_FRAME}), "
+            f"k -> CASE WHEN ascii(substr(frame, k, 1)) > "
+            f"aggregate(transform(sequence(1, {_SHOT_FRAME}), "
+            f"j -> ascii(substr(frame, j, 1))), 0, (acc, x) -> acc + x) "
+            f"div {_SHOT_FRAME} THEN 1 ELSE 0 END)"
+        ).alias("b"),
+    )
+    w = Window.partitionBy("media_id").orderBy("f")
+    ham = bits.select(
+        "media_id", "f",
+        F.zip_with(
+            "b", F.lag("b").over(w),
+            lambda x, y: F.abs(x - y),
+        ).alias("d"),
+    ).select(
+        "media_id", "f",
+        F.expr("aggregate(d, 0, (acc, x) -> acc + x)").alias("h"),
+    )
+    return ham.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        (1 + F.sum((F.col("h") > _SHOT_THRESH).cast("long")))
+        .cast("long").alias("n_shots"),
+        F.max("h").cast("long").alias("max_ham"),
+    )
+
+
+M_SHOT_BOUNDS_SQL = f"""
+WITH vid AS (
+  SELECT doc_id AS media_id, text, strlen(text) AS n
+  FROM documents
+  WHERE doc_id % 3 = 2 AND strlen(text) >= {2 * _SHOT_FRAME}
+),
+fr AS (
+  SELECT media_id, f,
+         list_transform(generate_series(1, {_SHOT_FRAME}),
+           k -> unicode(substring(text,
+                CAST(f * {_SHOT_FRAME} + k AS INT), 1))) AS p
+  FROM vid, LATERAL (
+    SELECT unnest(generate_series(0,
+           CAST(n // {_SHOT_FRAME} - 1 AS INT))) AS f)
+),
+bits AS (
+  SELECT media_id, f,
+         list_transform(p, x -> CASE WHEN x > list_sum(p) // {_SHOT_FRAME}
+                                THEN 1 ELSE 0 END) AS b
+  FROM fr
+),
+ham AS (
+  SELECT media_id, f,
+         list_sum(list_transform(generate_series(1, {_SHOT_FRAME}),
+           k -> abs(b[k] - (lag(b) OVER
+                (PARTITION BY media_id ORDER BY f))[k]))) AS h
+  FROM bits
+)
+SELECT media_id,
+       count(*) AS n_frames,
+       CAST(1 + sum(CASE WHEN h > {_SHOT_THRESH} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shots,
+       CAST(max(h) AS BIGINT) AS max_ham
+FROM ham
+GROUP BY media_id
+"""
+
+
 QUERIES = {
     "m_decode_stats": m_decode_stats,
     "m_ahash_neardup": m_ahash_neardup,
+    "m_shot_bounds": m_shot_bounds,
     "m_feature_norms": m_feature_norms,
     "m_frame_sample": m_frame_sample,
     "m_resize_stats": m_resize_stats,
@@ -1050,6 +1169,7 @@ FROM per JOIN by_kind ON per.kind = by_kind.kind
 
 ORACLES: dict = {
     "m_ahash_neardup": M_AHASH_NEARDUP_SQL,
+    "m_shot_bounds": M_SHOT_BOUNDS_SQL,
     "m_decode_stats": M_DECODE_STATS_SQL,
     "m_feature_norms": M_FEATURE_NORMS_SQL,
     "m_frame_sample": M_FRAME_SAMPLE_SQL,

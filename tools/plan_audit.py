@@ -1228,6 +1228,16 @@ CHECKS = {
         require=["Generate", "BroadcastHashJoin"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # Shot-boundary detection (round 17): frame explode (Generate) +
+    # codegen'd hashing, ONE per-video window for the lag (the only
+    # shuffle key is media_id), then a map-combined per-video
+    # aggregate; no join anywhere, no Python eval.
+    "m_shot_bounds": dict(
+        require=["Generate", "Window", "partial_count"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "BroadcastHashJoin",
+                "BatchEvalPython", "ArrowEvalPython"],
+    ),
     # Incremental MV refresh: the O(changes) feed (broadcast
     # changed-key semi-join) folded to signed deltas (map-combined
     # partial_sum), merged into the view by a FULL-OUTER join (new
