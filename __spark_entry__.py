@@ -573,6 +573,7 @@ _R17_WINDOW: list = [
 # any genuinely-new round-18 queries (the standing deferral rule).
 _R17_DEFERRED: list = [
     "m_shot_bounds",
+    "w_lakehouse_mv_minmax",
 ]
 
 # Queries added late in round 16, after the round-16 window freeze.

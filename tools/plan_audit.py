@@ -1251,6 +1251,15 @@ CHECKS = {
                  "FullOuter"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # MIN/MAX view maintenance (round 17): the returned plan is the
+    # post-checkpoint refresh tail — the endangered-group fallback
+    # must be a LeftSemi-pruned recompute scan (never the whole
+    # table) with a map-combined max; the full-outer feed merge runs
+    # upstream of the checkpoint (the w_lakehouse_mv audited shape).
+    "w_lakehouse_mv_minmax": dict(
+        require=["LeftSemi", "partial_max"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # Write-side spec evolution (round 17): the returned ledger is a
     # map-combined per-lang aggregate over the MoR-resolved scan —
     # the per-directory union with its broadcast anti-join DV
