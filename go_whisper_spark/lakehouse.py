@@ -1168,7 +1168,25 @@ def read_changes_mor(
             .withColumn("_change_type", F.lit("insert"))
             .where(F.lit(False))
         )
-    ck = ck.distinct()
+    ck = ck.distinct().localCheckpoint()
+    # The changed-key set is FORCE-broadcast into both endpoint scans
+    # — correct for the CDF contract (O(changes) by definition), but
+    # a pathological range whose change set approaches table size
+    # would OOM the executors through this hint (VERDICT r16 watch
+    # item).  The guard makes the trade explicit: past the bound, the
+    # caller is in rewrite-scale territory and the honest path is the
+    # full-diff `read_changes` (the same loud-rejection contract as
+    # the rewrite-commit check above).  The count is control-plane
+    # (the set is checkpointed and reused by both semi-joins below).
+    n_ck = ck.count()
+    if n_ck > _MOR_CDF_MAX_KEYS:
+        raise ValueError(
+            f"read_changes_mor({table!r}, v{from_version}->"
+            f"v{to_version}): {n_ck} changed keys exceeds the "
+            f"broadcast bound ({_MOR_CDF_MAX_KEYS}) — a change set "
+            "this large is rewrite-scale; use read_changes (full "
+            "snapshot diff) instead"
+        )
     old = read_table_mor(spark, table, keys, version=from_version)
     new = read_table_mor(spark, table, keys, version=to_version)
     old = old.join(F.broadcast(ck), keys, "left_semi")
@@ -1341,6 +1359,13 @@ PDV_PREFIX = "pdv/"
 # every merge-on-read manifest-key family: equality deletion vectors,
 # delta appends, positional deletion vectors
 MOR_PREFIXES = (DV_PREFIX, DELTA_PREFIX, PDV_PREFIX)
+
+# read_changes_mor's broadcast bound: past this many changed keys a
+# "change data feed" is rewrite-scale and the forced key broadcast
+# would OOM executors — the read rejects loudly toward read_changes.
+# Sized to a few hundred MB of broadcast keys on a production
+# executor; trivially above anything the test SFs produce.
+_MOR_CDF_MAX_KEYS = 10_000_000
 
 
 def _mor_key_versions(

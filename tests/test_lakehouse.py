@@ -751,6 +751,37 @@ def test_read_changes_bag_semantics(spark, tmp_path):
     assert read_changes(spark, table, 2, 2).count() == 0
 
 
+def test_read_changes_mor_broadcast_bound(spark, tmp_path, monkeypatch):
+    """The changed-key set is force-broadcast into both endpoint
+    scans — correct while the feed is O(changes), an executor OOM if
+    a 'change set' approaches table scale (VERDICT r16 watch item).
+    Past _MOR_CDF_MAX_KEYS the read must reject LOUDLY toward
+    read_changes (the rewrite-commit contract), never broadcast."""
+    import go_whisper_spark.lakehouse as lh
+
+    table = str(tmp_path / "silver")
+    df = spark.createDataFrame(
+        [(i, i * 10, i % 2) for i in range(8)], "k long, v long, b long"
+    )
+    lh.commit_partitions(
+        spark, table,
+        {f"b={p}": df.where(F.col("b") == p) for p in (0, 1)},
+        base_version=0,
+    )
+    lh.upsert_rows_mor(
+        spark, table,
+        spark.createDataFrame([(2, 999, 0), (4, 444, 0), (6, 666, 0)],
+                              "k long, v long, b long"),
+        key_cols=["k"],
+    )
+    # under the real bound the feed reads fine
+    assert lh.read_changes_mor(spark, table, ["k"], 1, 2).count() == 6
+    # shrink the bound below the 3-key change set: loud rejection
+    monkeypatch.setattr(lh, "_MOR_CDF_MAX_KEYS", 2)
+    with pytest.raises(ValueError, match="rewrite-scale"):
+        lh.read_changes_mor(spark, table, ["k"], 1, 2)
+
+
 def test_read_changes_mor_fast_path_semantics(spark, tmp_path):
     """The O(changes) CDF fast path: range interactions are absorbed
     by the endpoint diff — delete-then-re-add nets to the value
