@@ -228,6 +228,21 @@ HEADLINE = [
     # gate like the other w_lakehouse_* verbs), d_lsh_tuning (a
     # 4-config sweep whose per-config joins are the already-benched
     # d_lsh_pairs class; its value is the ledger, not throughput).
+    # round 17: the two cheap curation maps — PII scrub (pure
+    # codegen regex pass, the per-corpus compliance stage) and
+    # shot-boundary detection (frame explode + hash + one per-video
+    # lag window) — priced so the new families carry a throughput
+    # number.  NOT added by policy: st_kcore/st_truss/st_labelprop
+    # (streaming replay harnesses never bench), s_labelprop_lsh[_mt]
+    # (the exact side embeds the fenced all-pairs baseline; the LSH
+    # side's join class is priced by d_embed_neardup_lsh),
+    # w_lakehouse_partevolve_merge / w_lakehouse_mv_minmax
+    # (lakehouse verbs — commit-log table builds per rep, pinned by
+    # pytest + the driver gate).
+    # NOTE for cross-round totals: the set went 64 → 63 in round 17
+    # (truss retired) → 65 here; compare common subsets.
+    "t_pii_scrub",
+    "m_shot_bounds",
 ]
 
 
