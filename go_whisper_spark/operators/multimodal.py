@@ -842,15 +842,25 @@ def m_shot_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"substr(text, f * {_SHOT_FRAME} + 1, {_SHOT_FRAME})")
         .alias("frame"),
     )
+    # hoist the byte array and its mean into their own columns: an
+    # aggregate referenced inside the per-bit lambda is NOT
+    # common-subexpression-eliminated by codegen, so the inline form
+    # recomputes the 64-probe sum per bit — 64x the work (measured
+    # 10.1 s -> ~1 s at sf0.1 for the hoisted form)
     bits = fr.select(
         "media_id", "f",
         F.expr(
             f"transform(sequence(1, {_SHOT_FRAME}), "
-            f"k -> CASE WHEN ascii(substr(frame, k, 1)) > "
-            f"aggregate(transform(sequence(1, {_SHOT_FRAME}), "
-            f"j -> ascii(substr(frame, j, 1))), 0, (acc, x) -> acc + x) "
-            f"div {_SHOT_FRAME} THEN 1 ELSE 0 END)"
-        ).alias("b"),
+            f"k -> ascii(substr(frame, k, 1)))"
+        ).alias("p"),
+    ).select(
+        "media_id", "f", "p",
+        F.expr(f"aggregate(p, 0, (acc, x) -> acc + x) div {_SHOT_FRAME}")
+        .alias("mean"),
+    ).select(
+        "media_id", "f",
+        F.expr("transform(p, x -> CASE WHEN x > mean "
+               "THEN 1 ELSE 0 END)").alias("b"),
     )
     w = Window.partitionBy("media_id").orderBy("f")
     ham = bits.select(
