@@ -1601,6 +1601,148 @@ def st_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------- st_mv_minmax
+def st_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING min/max view maintenance — `w_lakehouse_mv_minmax`'s
+    non-self-maintainable boundary running live, batch by batch: each
+    micro-batch lands its changes as MoR commits (the
+    `st_lakehouse_mv` producer), then refreshes the per-lang
+    (n_docs, max_score) view from THAT range's O(changes) feed by the
+    safe/endangered/vanished classification — safe groups fold
+    O(changes) (no deleted row ties the view max, so the extreme
+    provably survives), endangered groups recompute via a
+    LeftSemi-pruned scan of the NEW head, vanished groups drop.
+
+    The view is EXACT after every refresh by induction: the
+    classification consults the previous refresh's exact max and the
+    batch feed, and each path re-establishes exactness at the new
+    head — so the final view is a pure function of the final
+    snapshot and the oracle recomputes it directly
+    (`_w_lakehouse_mv_minmax_sql(with_flag=False)`).  The
+    safe/endangered SPLIT, unlike the view, depends on micro-batch
+    slicing (one big batch endangers where three small ones may
+    not), so the flag column is not emitted — the `st_labelprop`
+    convention, and the reason the batch rung keeps it.
+
+    Scale shape: per batch O(changed keys) metadata commits + the
+    audited O(changes) feed read + an O(changed groups)
+    classification merge; the fallback scan is semi-join-pruned to
+    endangered groups at the batch's head; the view store is
+    O(groups), rewritten from a localCheckpoint.  [pins lakehouse.py:
+    read_changes_mor feeding the Gupta-Mumick boundary per batch]"""
+    from go_whisper_spark.lakehouse import (
+        CommitLog,
+        commit_partitions,
+        delete_rows_mor,
+        read_changes_mor,
+        read_table,
+        read_table_mor,
+        upsert_rows_mor,
+    )
+
+    base = _silver_docs_base(spark, sf_dir)
+    table = os.path.join(_tmpdir(), "silver_docs_mvx")
+    commit_partitions(
+        spark, table,
+        {f"b={k}": base.where(F.col("b") == k) for k in range(4)},
+        base_version=0,
+    )
+    mv_store = os.path.join(_tmpdir(), "mvx")
+    (
+        read_table(spark, table, version=1)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.max("score").alias("max_score"))
+        .write.mode("overwrite").parquet(mv_store)
+    )
+    dels = base.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", "score", "b",
+        F.lit("d").alias("op"),
+        (F.col("doc_id") % 3).alias("arrive"),
+    )
+    ups = base.where(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0)
+    ).select(
+        "doc_id", "lang",
+        (F.col("score") + 1000).alias("score"),
+        "b",
+        F.lit("u").alias("op"),
+        (F.col("doc_id") % 3).alias("arrive"),
+    )
+    marked = dels.unionByName(ups)
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        log = CommitLog(table)
+        prev = log.state()["version"]
+        d = batch.where(F.col("op") == "d").select("doc_id")
+        u = batch.where(F.col("op") == "u").drop("op")
+        if not d.isEmpty():
+            delete_rows_mor(spark, table, d)
+        if not u.isEmpty():
+            upsert_rows_mor(spark, table, u, key_cols=["doc_id"])
+        head = log.state()["version"]
+        if head == prev:
+            return                      # empty batch: nothing landed
+        feed = read_changes_mor(spark, table, key_cols=["doc_id"],
+                                from_version=prev, to_version=head
+                                ).localCheckpoint()
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)) \
+                .otherwise(F.lit(-1))
+        d_n = feed.groupBy("lang").agg(F.sum(sign).alias("d_n"))
+        i_mx = (feed.where(F.col("_change_type") == "insert")
+                .groupBy("lang").agg(F.max("score").alias("i_max")))
+        d_mx = (feed.where(F.col("_change_type") == "delete")
+                .groupBy("lang").agg(F.max("score").alias("d_max")))
+        merged = (
+            spark.read.parquet(mv_store)
+            .join(d_n, "lang", "full_outer")
+            .join(i_mx, "lang", "left")
+            .join(d_mx, "lang", "left")
+            .select(
+                "lang",
+                (F.coalesce("n_docs", F.lit(0))
+                 + F.coalesce("d_n", F.lit(0))).alias("n_docs"),
+                "max_score", "i_max",
+                F.coalesce(
+                    (F.col("d_max") == F.col("max_score")).cast("long"),
+                    F.lit(0)).alias("endangered"),
+            )
+            .where(F.col("n_docs") > 0)
+            .localCheckpoint()
+        )
+        risky = merged.where(F.col("endangered") == 1).select("lang")
+        recomp = (
+            read_table_mor(spark, table, key_cols=["doc_id"],
+                           version=head)
+            .join(risky, "lang", "left_semi")
+            .groupBy("lang")
+            .agg(F.max("score").alias("r_max"))
+        )
+        mv = (
+            merged.join(recomp, "lang", "left")
+            .select(
+                "lang", "n_docs",
+                F.when(F.col("endangered") == 1, F.col("r_max"))
+                .otherwise(F.greatest(
+                    F.coalesce("max_score", F.col("i_max")),
+                    F.coalesce("i_max", F.col("max_score"))))
+                .alias("max_score"),
+            )
+            .localCheckpoint()          # materialized before overwrite
+        )
+        mv.write.mode("overwrite").parquet(mv_store)
+
+    _replay(spark, marked, lambda s: s, sink=sink)
+    return spark.read.parquet(mv_store)
+
+
+def _mv_minmax_oracle_sql():
+    from go_whisper_spark.operators.whisper_queries import (
+        _w_lakehouse_mv_minmax_sql,
+    )
+    return _w_lakehouse_mv_minmax_sql(with_flag=False)
+
+
 # ----------------------------------------------------------- st_kcore
 _KCORE_PEEL_PERIOD = 2   # peel every 2nd micro-batch; read resolves the rest
 _KCORE_WARM_MAX_ROUNDS = 512  # safety cap only: interim-subgraph peel
@@ -3992,6 +4134,7 @@ QUERIES = {
     "st_kcore": st_kcore,
     "st_truss": st_truss,
     "st_lakehouse_mv": st_lakehouse_mv,
+    "st_mv_minmax": st_mv_minmax,
 }
 
 def _labelprop_oracle_sql():
@@ -4063,6 +4206,7 @@ ORACLES = {
     "st_triangles_ledger": _W_TRIANGLES_ORACLE,
     "st_kmv_jaccard": _kmv_sql(_ST_KMV_MEMBER_CTES),
     "st_labelprop": _labelprop_oracle_sql(),
+    "st_mv_minmax": _mv_minmax_oracle_sql(),
     "st_kcore": _kcore_oracle_sql(),
     "st_truss": _truss_oracle_sql(),
     "st_lakehouse_mv": _W_LAKEHOUSE_MV_ORACLE,

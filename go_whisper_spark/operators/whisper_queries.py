@@ -5982,7 +5982,19 @@ def w_lakehouse_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-W_LAKEHOUSE_MV_MINMAX_SQL = """
+def _w_lakehouse_mv_minmax_sql(with_flag: bool = True) -> str:
+    """Oracle for the min/max view family.  ``with_flag=False`` drops
+    the `recomputed` column — the STREAMED form (`st_mv_minmax`)
+    reaches the same exact view but its safe/endangered split depends
+    on micro-batch slicing, so only the view itself is
+    oracle-comparable (the `st_labelprop` convention)."""
+    flag = (
+        """,
+       CAST(CASE WHEN d.dmax = m.m1 THEN 1 ELSE 0 END AS BIGINT)
+         AS recomputed"""
+        if with_flag else ""
+    )
+    return f"""
 WITH base AS (
   SELECT doc_id % 4 AS b, doc_id, lang, CAST(n_chars AS BIGINT) AS score
   FROM documents
@@ -6004,9 +6016,7 @@ v3 AS (
 )
 SELECT v.lang,
        count(*) AS n_docs,
-       CAST(max(v.score) AS BIGINT) AS max_score,
-       CAST(CASE WHEN d.dmax = m.m1 THEN 1 ELSE 0 END AS BIGINT)
-         AS recomputed
+       CAST(max(v.score) AS BIGINT) AS max_score{flag}
 FROM v3 v
 LEFT JOIN mx1 m ON v.lang = m.lang
 LEFT JOIN dels d ON v.lang = d.lang
@@ -6940,7 +6950,7 @@ ORACLES = {
     "w_lakehouse_cdf_mor": W_LAKEHOUSE_CDF_MOR_SQL,
     "w_lakehouse_cdf_pos": W_LAKEHOUSE_CDF_MOR_SQL,
     "w_lakehouse_mv": W_LAKEHOUSE_MV_SQL,
-    "w_lakehouse_mv_minmax": W_LAKEHOUSE_MV_MINMAX_SQL,
+    "w_lakehouse_mv_minmax": _w_lakehouse_mv_minmax_sql(),
     "w_lakehouse_partevolve": W_LAKEHOUSE_PARTEVOLVE_SQL,
     "w_lakehouse_partevolve_merge": W_LAKEHOUSE_PARTEVOLVE_MERGE_SQL,
     "w_lakehouse_clone": W_LAKEHOUSE_CLONE_SQL,
