@@ -663,13 +663,18 @@ def m_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_AHASH_PX)
         ]).alias("p"),
     )
+    # the mean is hoisted into its own column: codegen does not CSE
+    # an aggregate referenced inside a transform lambda, so the
+    # inline form recomputes the 64-element sum per bit — 64x the
+    # work (the m_shot_bounds lesson, round 17)
     bits = px.select(
+        "doc_id", "p",
+        F.expr(f"aggregate(p, 0, (acc, y) -> acc + y) div {_AHASH_PX}")
+        .alias("mean"),
+    ).select(
         "doc_id",
-        F.expr(
-            f"transform(p, x -> CASE WHEN x > "
-            f"aggregate(p, 0, (acc, y) -> acc + y) div {_AHASH_PX} "
-            f"THEN 1 ELSE 0 END)"
-        ).alias("b"),
+        F.expr("transform(p, x -> CASE WHEN x > mean "
+               "THEN 1 ELSE 0 END)").alias("b"),
     )
     led = bits.select(
         "doc_id",
