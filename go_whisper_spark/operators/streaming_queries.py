@@ -1639,6 +1639,9 @@ def st_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table_mor,
         upsert_rows_mor,
     )
+    from go_whisper_spark.operators.whisper_queries import (
+        _mv_minmax_refresh,
+    )
 
     base = _silver_docs_base(spark, sf_dir)
     table = os.path.join(_tmpdir(), "silver_docs_mvx")
@@ -1686,50 +1689,12 @@ def st_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = read_changes_mor(spark, table, key_cols=["doc_id"],
                                 from_version=prev, to_version=head
                                 ).localCheckpoint()
-        sign = F.when(F.col("_change_type") == "insert", F.lit(1)) \
-                .otherwise(F.lit(-1))
-        d_n = feed.groupBy("lang").agg(F.sum(sign).alias("d_n"))
-        i_mx = (feed.where(F.col("_change_type") == "insert")
-                .groupBy("lang").agg(F.max("score").alias("i_max")))
-        d_mx = (feed.where(F.col("_change_type") == "delete")
-                .groupBy("lang").agg(F.max("score").alias("d_max")))
-        merged = (
-            spark.read.parquet(mv_store)
-            .join(d_n, "lang", "full_outer")
-            .join(i_mx, "lang", "left")
-            .join(d_mx, "lang", "left")
-            .select(
-                "lang",
-                (F.coalesce("n_docs", F.lit(0))
-                 + F.coalesce("d_n", F.lit(0))).alias("n_docs"),
-                "max_score", "i_max",
-                F.coalesce(
-                    (F.col("d_max") == F.col("max_score")).cast("long"),
-                    F.lit(0)).alias("endangered"),
-            )
-            .where(F.col("n_docs") > 0)
-            .localCheckpoint()
-        )
-        risky = merged.where(F.col("endangered") == 1).select("lang")
-        recomp = (
+        mv = _mv_minmax_refresh(
+            spark.read.parquet(mv_store), feed,
             read_table_mor(spark, table, key_cols=["doc_id"],
-                           version=head)
-            .join(risky, "lang", "left_semi")
-            .groupBy("lang")
-            .agg(F.max("score").alias("r_max"))
-        )
-        mv = (
-            merged.join(recomp, "lang", "left")
-            .select(
-                "lang", "n_docs",
-                F.when(F.col("endangered") == 1, F.col("r_max"))
-                .otherwise(F.greatest(
-                    F.coalesce("max_score", F.col("i_max")),
-                    F.coalesce("i_max", F.col("max_score"))))
-                .alias("max_score"),
-            )
-            .localCheckpoint()          # materialized before overwrite
-        )
+                           version=head),
+            with_flag=False,            # slicing-dependent: not emitted
+        ).localCheckpoint()             # materialized before overwrite
         mv.write.mode("overwrite").parquet(mv_store)
 
     _replay(spark, marked, lambda s: s, sink=sink)

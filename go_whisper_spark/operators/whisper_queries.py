@@ -5863,6 +5863,68 @@ FROM v3 GROUP BY lang
 """
 
 
+def _mv_minmax_refresh(view: DataFrame, feed: DataFrame,
+                       snapshot: DataFrame,
+                       with_flag: bool = True) -> DataFrame:
+    """ONE min/max view refresh from a change feed — the
+    safe/endangered/vanished classification shared VERBATIM by
+    `w_lakehouse_mv_minmax` (batch, emits the `recomputed` flag) and
+    `st_mv_minmax` (per micro-batch, drops the slicing-dependent
+    flag), and pinned directly on crafted frames by
+    tests/test_lakehouse.py::test_mv_minmax_refresh_classification.
+
+    ``view``: (lang, n_docs, max_score) — exact at the feed's FROM
+    version.  ``feed``: `read_changes_mor` rows (needs _change_type,
+    lang, score).  ``snapshot``: the table at the feed's TO version
+    (consumed ONLY for endangered groups, via a LeftSemi prune)."""
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)) \
+            .otherwise(F.lit(-1))
+    d_n = feed.groupBy("lang").agg(F.sum(sign).alias("d_n"))
+    i_mx = (feed.where(F.col("_change_type") == "insert")
+            .groupBy("lang").agg(F.max("score").alias("i_max")))
+    d_mx = (feed.where(F.col("_change_type") == "delete")
+            .groupBy("lang").agg(F.max("score").alias("d_max")))
+    merged = (
+        view.join(d_n, "lang", "full_outer")
+        .join(i_mx, "lang", "left")
+        .join(d_mx, "lang", "left")
+        .select(
+            "lang",
+            (F.coalesce("n_docs", F.lit(0))
+             + F.coalesce("d_n", F.lit(0))).alias("n_docs"),
+            "max_score", "i_max",
+            # ENDANGERED iff a deleted row ties the group's current
+            # max — the view alone cannot prove the extreme survives.
+            # A group ABSENT from the view (all-new lang) is safe:
+            # its max is the batch-insert max by construction.
+            F.coalesce(
+                (F.col("d_max") == F.col("max_score")).cast("long"),
+                F.lit(0)).alias("recomputed"),
+        )
+        .where(F.col("n_docs") > 0)     # VANISHED groups drop
+        .localCheckpoint()
+    )
+    risky = merged.where(F.col("recomputed") == 1).select("lang")
+    recomp = (
+        snapshot.join(risky, "lang", "left_semi")
+        .groupBy("lang")
+        .agg(F.max("score").alias("r_max"))
+    )
+    out = (
+        merged.join(recomp, "lang", "left")
+        .select(
+            "lang", "n_docs",
+            F.when(F.col("recomputed") == 1, F.col("r_max"))
+            .otherwise(F.greatest(
+                F.coalesce("max_score", F.col("i_max")),
+                F.coalesce("i_max", F.col("max_score"))))
+            .alias("max_score"),
+            "recomputed",
+        )
+    )
+    return out if with_flag else out.drop("recomputed")
+
+
 def w_lakehouse_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance at its HONEST BOUNDARY — MAX is
     NOT self-maintainable under deletes (Gupta & Mumick's taxonomy:
@@ -5936,50 +5998,8 @@ def w_lakehouse_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feed = read_changes_mor(spark, table, key_cols=["doc_id"],
                             from_version=1, to_version=3).localCheckpoint()
-    ins = feed.where(F.col("_change_type") == "insert")
-    dels = feed.where(F.col("_change_type") == "delete")
-    sign = F.when(F.col("_change_type") == "insert", F.lit(1)) \
-            .otherwise(F.lit(-1))
-    d_n = feed.groupBy("lang").agg(F.sum(sign).alias("d_n"))
-    i_mx = ins.groupBy("lang").agg(F.max("score").alias("i_max"))
-    d_mx = dels.groupBy("lang").agg(F.max("score").alias("d_max"))
-    merged = (
-        mv.join(d_n, "lang", "full_outer")
-        .join(i_mx, "lang", "left")
-        .join(d_mx, "lang", "left")
-        .select(
-            "lang",
-            (F.coalesce("n_docs", F.lit(0))
-             + F.coalesce("d_n", F.lit(0))).alias("n_docs"),
-            "max_score", "i_max",
-            # ENDANGERED iff a deleted row ties the group's current
-            # max — the view alone cannot prove the extreme survives
-            (F.col("d_max") == F.col("max_score")).cast("long")
-            .alias("endangered"),
-        )
-        .where(F.col("n_docs") > 0)
-        .select("lang", "n_docs", "max_score", "i_max",
-                F.coalesce("endangered", F.lit(0)).alias("recomputed"))
-        .localCheckpoint()
-    )
-    risky = merged.where(F.col("recomputed") == 1).select("lang")
-    recomp = (
-        read_table_mor(spark, table, key_cols=["doc_id"])
-        .join(risky, "lang", "left_semi")
-        .groupBy("lang")
-        .agg(F.max("score").alias("r_max"))
-    )
-    return (
-        merged.join(recomp, "lang", "left")
-        .select(
-            "lang", "n_docs",
-            F.when(F.col("recomputed") == 1, F.col("r_max"))
-            .otherwise(F.greatest(
-                "max_score", F.coalesce("i_max", F.col("max_score"))))
-            .alias("max_score"),
-            "recomputed",
-        )
-    )
+    return _mv_minmax_refresh(
+        mv, feed, read_table_mor(spark, table, key_cols=["doc_id"]))
 
 
 def _w_lakehouse_mv_minmax_sql(with_flag: bool = True) -> str:

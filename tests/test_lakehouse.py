@@ -751,6 +751,52 @@ def test_read_changes_bag_semantics(spark, tmp_path):
     assert read_changes(spark, table, 2, 2).count() == 0
 
 
+def test_mv_minmax_refresh_classification(spark):
+    """The safe/endangered/vanished classification behind
+    w_lakehouse_mv_minmax / st_mv_minmax, pinned on crafted frames —
+    one group per edge case: (a) UNIQUE-MAX DELETE: the wrong "safe"
+    rule would keep the dead max, the recompute must find the
+    runner-up; (b) DUPLICATE-MAX DELETE: endangered by the tie rule
+    (conservative overapproximation — the OTHER max holder survives,
+    the recompute confirms the same value); (c) SAFE sub-max delete +
+    insert: folds O(changes), max = greatest(old, inserted); (d)
+    VANISHED: count folds to zero, the group drops; (e) ALL-NEW
+    group: absent from the view, safe by construction, max = the
+    batch-insert max."""
+    from go_whisper_spark.operators.whisper_queries import (
+        _mv_minmax_refresh,
+    )
+
+    view = spark.createDataFrame(
+        [("a", 2, 50), ("b", 3, 50), ("c", 2, 50), ("d", 1, 50)],
+        "lang string, n_docs long, max_score long",
+    )
+    # snapshot AFTER the changes below
+    snapshot = spark.createDataFrame(
+        [("a", 30), ("b", 50), ("b", 20), ("b", 7),
+         ("c", 50), ("c", 60), ("e", 11), ("e", 9)],
+        "lang string, score long",
+    )
+    feed = spark.createDataFrame(
+        [("delete", "a", 50),                      # (a) unique max dies
+         ("delete", "b", 50),                      # (b) one of two 50s
+         ("delete", "c", 10), ("insert", "c", 60),  # (c) safe
+         ("delete", "d", 50),                      # (d) vanishes
+         ("insert", "e", 11), ("insert", "e", 9),   # (e) all-new
+         ],
+        "_change_type string, lang string, score long",
+    )
+    got = {r.lang: (r.n_docs, r.max_score, r.recomputed)
+           for r in _mv_minmax_refresh(view, feed, snapshot).collect()}
+    assert got == {
+        "a": (1, 30, 1),   # recomputed -> runner-up, not the dead 50
+        "b": (2, 50, 1),   # recomputed -> surviving duplicate 50
+        "c": (2, 60, 0),   # safe fold: greatest(50, 60)
+        "e": (2, 11, 0),   # new group: batch-insert max
+    }
+    assert "d" not in got  # vanished
+
+
 def test_read_changes_mor_broadcast_bound(spark, tmp_path, monkeypatch):
     """The changed-key set is force-broadcast into both endpoint
     scans — correct while the feed is O(changes), an executor OOM if
