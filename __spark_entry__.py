@@ -575,6 +575,7 @@ _R17_DEFERRED: list = [
     "m_shot_bounds",
     "w_lakehouse_mv_minmax",
     "st_mv_minmax",
+    "m_ahash_tuning",
 ]
 
 # Queries added late in round 16, after the round-16 window freeze.

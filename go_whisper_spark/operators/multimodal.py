@@ -618,6 +618,40 @@ _AHASH_BANDS = 4      # 16-bit LSH bands over the 64-bit hash
 _AHASH_MAX_HAM = 10   # verification threshold (bits)
 
 
+def _ahash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, b) — the 64-bit average-hash bit array per image,
+    shared by `m_ahash_neardup` and the banding sweep
+    (`m_ahash_tuning`) so both price the SAME hash.  The mean is
+    hoisted into its own column: codegen does not CSE an aggregate
+    referenced inside a transform lambda, so the inline form
+    recomputes the 64-element sum per bit — 64x the work (the
+    m_shot_bounds lesson, round 17)."""
+    from go_whisper_spark.sources.tables import load_table
+
+    img = (
+        load_table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 3 == 0) & (F.length("text") > 0))
+        .select("doc_id", "text", F.length("text").alias("n"))
+    )
+    px = img.select(
+        "doc_id",
+        F.array(*[
+            F.expr(f"ascii(substr(text, CAST(({i} * n) DIV {_AHASH_PX} "
+                   f"AS INT) + 1, 1))")
+            for i in range(_AHASH_PX)
+        ]).alias("p"),
+    )
+    return px.select(
+        "doc_id", "p",
+        F.expr(f"aggregate(p, 0, (acc, y) -> acc + y) div {_AHASH_PX}")
+        .alias("mean"),
+    ).select(
+        "doc_id",
+        F.expr("transform(p, x -> CASE WHEN x > mean "
+               "THEN 1 ELSE 0 END)").alias("b"),
+    )
+
+
 def m_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual AVERAGE-HASH near-duplicate detection for the image
     modality — the multimodal twin of `d_simhash_banded`: decode each
@@ -626,7 +660,9 @@ def m_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes within hamming 10 can differ in at most 10 bit positions,
     but banding here is the standard recall/cost TRADE, not the
     pigeonhole guarantee — with 4 bands the no-shared-band miss case
-    exists and the ledger prices it honestly as the candidate set)
+    exists, and `m_ahash_tuning` MEASURES it: this 4×16 default
+    recalls 0/5 true pairs at sf0.01 and 17.3% at sf0.1 vs 8×8's
+    80%/95.6% — run the sweep before trusting the default)
     and verify candidates by exact hamming distance ≤ 10.
 
     The "decode" is the module's deterministic fake (real aHash
@@ -650,33 +686,7 @@ def m_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banded-LSH discipline on a second modality]"""
     from go_whisper_spark.sources.tables import load_table
 
-    img = (
-        load_table(spark, sf_dir, "documents")
-        .where((F.col("doc_id") % 3 == 0) & (F.length("text") > 0))
-        .select("doc_id", "text", F.length("text").alias("n"))
-    )
-    px = img.select(
-        "doc_id",
-        F.array(*[
-            F.expr(f"ascii(substr(text, CAST(({i} * n) DIV {_AHASH_PX} "
-                   f"AS INT) + 1, 1))")
-            for i in range(_AHASH_PX)
-        ]).alias("p"),
-    )
-    # the mean is hoisted into its own column: codegen does not CSE
-    # an aggregate referenced inside a transform lambda, so the
-    # inline form recomputes the 64-element sum per bit — 64x the
-    # work (the m_shot_bounds lesson, round 17)
-    bits = px.select(
-        "doc_id", "p",
-        F.expr(f"aggregate(p, 0, (acc, y) -> acc + y) div {_AHASH_PX}")
-        .alias("mean"),
-    ).select(
-        "doc_id",
-        F.expr("transform(p, x -> CASE WHEN x > mean "
-               "THEN 1 ELSE 0 END)").alias("b"),
-    )
-    led = bits.select(
+    led = _ahash_bits(spark, sf_dir).select(
         "doc_id",
         "b",
         F.expr("aggregate(b, 0, (acc, x) -> acc + x)")
@@ -793,6 +803,143 @@ SELECT led.doc_id AS media_id, ones,
        CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
        CAST(COALESCE(min_ham, -1) AS BIGINT) AS min_ham
 FROM led LEFT JOIN perdoc ON led.doc_id = perdoc.doc_id
+"""
+
+
+# ------------------------------------------------------- m_ahash_tuning
+_AHASH_SWEEP = ((8, 8), (4, 16), (2, 32))   # (bands, bits per band)
+
+
+def m_ahash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aHash BANDING KNOB SWEEP — `d_lsh_tuning`'s measured-trade
+    discipline on the image modality: `m_ahash_neardup`'s docstring
+    concedes its 4×16 banding is "the standard recall/cost trade,
+    not the pigeonhole guarantee"; this rung MEASURES that trade.
+    Three bandings of the SAME 64-bit hash (`_ahash_bits`, shared
+    verbatim) — (8×8), (4×16), (2×32) — each priced by its candidate
+    count against the exact hamming ≤ 10 ground truth (the fenced
+    all-pairs baseline, enumerated once).  More/narrower bands admit
+    more candidates and miss fewer true pairs: the collision curve a
+    production image-dedup pass tunes from, as a 3-row
+    oracle-checked ledger instead of a docstring caveat.
+
+    THE MEASURED VERDICT is damning for the shipped default: at
+    sf0.01 five true pairs exist and 4×16 finds NONE (8×8 finds 4 of
+    5); at sf0.1, 8×8 = 358k candidates @ 95.6% recall, the shipped
+    4×16 = 7.2k @ 17.3%, 2×32 = 5 @ 0.5%.  Pigeonhole guarantees a
+    shared band only for hamming < bands (≤ 7 diffs over 8 bands; ≤
+    3 over 4) — at the ≤ 10 verify threshold NO banding here is
+    lossless, and the 4×16 default sits far down the recall cliff.
+    A production pass at this threshold should run 8×8 (or OR
+    multiple tables, the `s_labelprop_lsh_mt` fix) and pay the
+    candidate volume; this ledger is what forces that call.
+
+    Scale shape: hashing is the shared codegen map; each config is
+    one (band, chunk)-keyed equi-join (work ∝ Σ bucket²); the truth
+    pass is the quadratic baseline this sweep exists to justify
+    avoiding; counts are control-plane scalars (the d_lsh_tuning
+    reporting shape)."""
+    led = _ahash_bits(spark, sf_dir).localCheckpoint()
+    a = led.select(F.col("doc_id").alias("ida"), F.col("b").alias("ba"))
+    bb = led.select(F.col("doc_id").alias("idb"), F.col("b").alias("bb"))
+    truth = (
+        a.join(bb, F.col("ida") < F.col("idb"))
+        .select(
+            "ida", "idb",
+            F.expr("aggregate(zip_with(ba, bb, (x, y) -> abs(x - y)), "
+                   "0, (acc, x) -> acc + x)").alias("h"))
+        .where(F.col("h") <= _AHASH_MAX_HAM)
+        .select("ida", "idb")
+        .localCheckpoint()
+    )
+    n_true = truth.count()
+    rows = []
+    for bands, width in _AHASH_SWEEP:
+        chunks = led.select(
+            "doc_id",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.expr(
+                        f"aggregate(transform(sequence(1, {width}), "
+                        f"k -> element_at(b, k + {width * j}) * "
+                        f"shiftleft(CAST(1 AS BIGINT), k - 1)), "
+                        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+                    ).alias("chunk"))
+                for j in range(bands)
+            ])).alias("bc"),
+        ).select("doc_id", "bc.band", "bc.chunk")
+        cand = (
+            chunks.alias("x").join(chunks.alias("y"), ["band", "chunk"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("ida"),
+                    F.col("y.doc_id").alias("idb"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_cand = cand.count()
+        n_hit = cand.join(truth, ["ida", "idb"], "left_semi").count()
+        rows.append((bands, width, n_cand, n_true,
+                     (n_hit * 1_000_000 // n_true) if n_true else 1_000_000))
+    return spark.createDataFrame(
+        rows, "bands long, width long, n_cand long, n_true long, "
+              "recall_ppm long")
+
+
+def _m_ahash_tuning_sql() -> str:
+    cfgs = []
+    for bands, width in _AHASH_SWEEP:
+        tag = f"c{bands}"
+        cfgs.append(f"""ch{tag} AS MATERIALIZED (
+  SELECT doc_id, j AS band,
+         list_sum(list_transform(generate_series(1, {width}),
+           k -> b[k + {width} * j] * (1::BIGINT << (k - 1)))) AS chunk
+  FROM led, generate_series(0, {bands - 1}) AS g(j)
+),
+cand{tag} AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+  FROM ch{tag} x JOIN ch{tag} y
+    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+)""")
+        # one row per config, assembled below
+    selects = []
+    for bands, width in _AHASH_SWEEP:
+        tag = f"c{bands}"
+        selects.append(f"""SELECT {bands} AS bands, {width} AS width,
+       (SELECT count(*) FROM cand{tag}) AS n_cand,
+       (SELECT count(*) FROM truth) AS n_true,
+       CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1000000
+            ELSE (SELECT count(*) FROM cand{tag} c
+                  JOIN truth t ON c.ida = t.ida AND c.idb = t.idb)
+                 * 1000000 // (SELECT count(*) FROM truth)
+            END AS BIGINT) AS recall_ppm""")
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH img AS (
+  SELECT doc_id, text, strlen(text) AS n FROM documents
+  WHERE doc_id % 3 = 0 AND strlen(text) > 0
+),
+px AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {_AHASH_PX - 1}),
+           i -> unicode(substring(text,
+                CAST((i * n) // {_AHASH_PX} + 1 AS INT), 1))) AS p
+  FROM img
+),
+led AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(p, x -> CASE WHEN x > list_sum(p) // {_AHASH_PX}
+                                THEN 1 ELSE 0 END) AS b
+  FROM px
+),
+truth AS MATERIALIZED (
+  SELECT a.doc_id AS ida, c.doc_id AS idb
+  FROM led a JOIN led c ON a.doc_id < c.doc_id
+  WHERE list_sum(list_transform(generate_series(1, {_AHASH_PX}),
+          k -> abs(a.b[k] - c.b[k]))) <= {_AHASH_MAX_HAM}
+),
+{",".join(cfgs)}
+{union}
 """
 
 
@@ -928,6 +1075,7 @@ QUERIES = {
     "m_decode_stats": m_decode_stats,
     "m_ahash_neardup": m_ahash_neardup,
     "m_shot_bounds": m_shot_bounds,
+    "m_ahash_tuning": m_ahash_tuning,
     "m_feature_norms": m_feature_norms,
     "m_frame_sample": m_frame_sample,
     "m_resize_stats": m_resize_stats,
@@ -1185,6 +1333,7 @@ FROM per JOIN by_kind ON per.kind = by_kind.kind
 ORACLES: dict = {
     "m_ahash_neardup": M_AHASH_NEARDUP_SQL,
     "m_shot_bounds": M_SHOT_BOUNDS_SQL,
+    "m_ahash_tuning": _m_ahash_tuning_sql(),
     "m_decode_stats": M_DECODE_STATS_SQL,
     "m_feature_norms": M_FEATURE_NORMS_SQL,
     "m_frame_sample": M_FRAME_SAMPLE_SQL,

@@ -1232,6 +1232,11 @@ CHECKS = {
     # codegen'd hashing, ONE per-video window for the lag (the only
     # shuffle key is media_id), then a map-combined per-video
     # aggregate; no join anywhere, no Python eval.
+    # m_ahash_tuning / d_lsh_tuning have NO query spec by design:
+    # their returned frame is the driver-assembled count ledger
+    # (LocalTableScan) — the per-config join work runs during the
+    # build and its shapes are the already-audited banded-join
+    # class.
     "m_shot_bounds": dict(
         require=["Generate", "Window", "partial_count"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
