@@ -614,7 +614,15 @@ def m_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- m_ahash_neardup
 _AHASH_PX = 64        # fake-thumbnail pixel count (8x8)
-_AHASH_BANDS = 4      # 16-bit LSH bands over the 64-bit hash
+_AHASH_BANDS = 8      # LSH bands over the 64-bit hash.  Round 16
+#                       shipped 4 x 16-bit bands; the round-17 knob
+#                       sweep (m_ahash_tuning) measured that default
+#                       at 0/5 true pairs (sf0.01) and 17.3% recall
+#                       (sf0.1) vs 8 x 8's 80%/95.6% at the hamming
+#                       <= 10 verify threshold — so the default now
+#                       ships the measured choice and pays the
+#                       candidate volume.
+_AHASH_BAND_BITS = _AHASH_PX // _AHASH_BANDS
 _AHASH_MAX_HAM = 10   # verification threshold (bits)
 
 
@@ -656,13 +664,12 @@ def m_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual AVERAGE-HASH near-duplicate detection for the image
     modality — the multimodal twin of `d_simhash_banded`: decode each
     image to an 8×8 grayscale thumbnail, hash = 64 bits of
-    pixel > mean, then LSH-band the hash (4 × 16-bit chunks; two
-    hashes within hamming 10 can differ in at most 10 bit positions,
-    but banding here is the standard recall/cost TRADE, not the
-    pigeonhole guarantee — with 4 bands the no-shared-band miss case
-    exists, and `m_ahash_tuning` MEASURES it: this 4×16 default
-    recalls 0/5 true pairs at sf0.01 and 17.3% at sf0.1 vs 8×8's
-    80%/95.6% — run the sweep before trusting the default)
+    pixel > mean, then LSH-band the hash (8 × 8-bit chunks — the
+    MEASURED choice: `m_ahash_tuning` priced the round-16 4×16
+    default at 0/5 true pairs (sf0.01) and 17.3% recall (sf0.1) vs
+    8×8's 80%/95.6%, so the default now ships what the sweep
+    justifies; banding remains a recall/cost TRADE, not the
+    pigeonhole guarantee — lossless only below hamming < bands)
     and verify candidates by exact hamming distance ≤ 10.
 
     The "decode" is the module's deterministic fake (real aHash
@@ -693,8 +700,9 @@ def m_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("ones"),
         *[
             F.expr(
-                f"aggregate(transform(sequence(1, 16), "
-                f"k -> element_at(b, k + {16 * j}) * shiftleft(1, k - 1)), "
+                f"aggregate(transform(sequence(1, {_AHASH_BAND_BITS}), "
+                f"k -> element_at(b, k + {_AHASH_BAND_BITS * j}) * "
+                f"shiftleft(1, k - 1)), "
                 f"0, (acc, x) -> acc + x)"
             ).alias(f"h{j}")
             for j in range(_AHASH_BANDS)
@@ -750,6 +758,16 @@ def m_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AHASH_HCOLS_SQL = ",\n".join(
+    f"         list_sum(list_transform(generate_series(1, "
+    f"{_AHASH_BAND_BITS}), k -> b[k + {_AHASH_BAND_BITS * j}] "
+    f"* (1 << (k - 1)))) AS h{j}"
+    for j in range(_AHASH_BANDS)
+)
+_AHASH_ORS_SQL = " OR ".join(
+    f"a.h{j} = c.h{j}" for j in range(_AHASH_BANDS)
+)
+
 M_AHASH_NEARDUP_SQL = f"""
 WITH img AS (
   SELECT doc_id, text, strlen(text) AS n FROM documents
@@ -770,20 +788,13 @@ bits AS (
 ),
 led AS MATERIALIZED (
   SELECT doc_id, b, CAST(list_sum(b) AS BIGINT) AS ones,
-         list_sum(list_transform(generate_series(1, 16),
-                  k -> b[k] * (1 << (k - 1)))) AS h0,
-         list_sum(list_transform(generate_series(1, 16),
-                  k -> b[k + 16] * (1 << (k - 1)))) AS h1,
-         list_sum(list_transform(generate_series(1, 16),
-                  k -> b[k + 32] * (1 << (k - 1)))) AS h2,
-         list_sum(list_transform(generate_series(1, 16),
-                  k -> b[k + 48] * (1 << (k - 1)))) AS h3
+{_AHASH_HCOLS_SQL}
   FROM bits
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
   FROM led a JOIN led c ON a.doc_id < c.doc_id
-   AND (a.h0 = c.h0 OR a.h1 = c.h1 OR a.h2 = c.h2 OR a.h3 = c.h3)
+   AND ({_AHASH_ORS_SQL})
 ),
 ham AS (
   SELECT ida, idb,
@@ -816,23 +827,23 @@ def m_ahash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     concedes its 4×16 banding is "the standard recall/cost trade,
     not the pigeonhole guarantee"; this rung MEASURES that trade.
     Three bandings of the SAME 64-bit hash (`_ahash_bits`, shared
-    verbatim) — (8×8), (4×16), (2×32) — each priced by its candidate
+    verbatim) — (8×8) [the default since this sweep ran], (4×16)
+    [the round-16 default], (2×32) — each priced by its candidate
     count against the exact hamming ≤ 10 ground truth (the fenced
     all-pairs baseline, enumerated once).  More/narrower bands admit
     more candidates and miss fewer true pairs: the collision curve a
     production image-dedup pass tunes from, as a 3-row
     oracle-checked ledger instead of a docstring caveat.
 
-    THE MEASURED VERDICT is damning for the shipped default: at
-    sf0.01 five true pairs exist and 4×16 finds NONE (8×8 finds 4 of
-    5); at sf0.1, 8×8 = 358k candidates @ 95.6% recall, the shipped
-    4×16 = 7.2k @ 17.3%, 2×32 = 5 @ 0.5%.  Pigeonhole guarantees a
-    shared band only for hamming < bands (≤ 7 diffs over 8 bands; ≤
-    3 over 4) — at the ≤ 10 verify threshold NO banding here is
-    lossless, and the 4×16 default sits far down the recall cliff.
-    A production pass at this threshold should run 8×8 (or OR
-    multiple tables, the `s_labelprop_lsh_mt` fix) and pay the
-    candidate volume; this ledger is what forces that call.
+    THE MEASURED VERDICT retired the round-16 default: at sf0.01
+    five true pairs exist and 4×16 finds NONE (8×8 finds 4 of 5); at
+    sf0.1, 8×8 = 358k candidates @ 95.6% recall, 4×16 = 7.2k @
+    17.3%, 2×32 = 5 @ 0.5%.  Pigeonhole guarantees a shared band
+    only for hamming < bands (≤ 7 diffs over 8 bands; ≤ 3 over 4) —
+    at the ≤ 10 verify threshold NO banding here is lossless, and
+    4×16 sat far down the recall cliff.  `m_ahash_neardup` now ships
+    8×8 and pays the candidate volume — the sweep is the artifact
+    that forced (and keeps justifying) that call.
 
     Scale shape: hashing is the shared codegen map; each config is
     one (band, chunk)-keyed equi-join (work ∝ Σ bucket²); the truth
