@@ -269,34 +269,45 @@ def test_r16_window_matches_driver_record():
     assert not red, f"round-16 record has red rows with no _R16_RED block: {red}"
 
 
-def test_round17_window_disjoint_from_r16():
+def test_r17_window_matches_driver_record():
+    """_R17_WINDOW (the round-18 rotation seed) must equal the window
+    the driver actually hashed in round 17 (50/50 green — zero red
+    rows, so no _R17_RED block exists)."""
+    rec = _correctness(17)
+    assert len(entry._R17_WINDOW) == 50
+    assert len(set(entry._R17_WINDOW)) == 50
+    assert set(entry._R17_WINDOW) == set(rec.keys())
+    red = {n for n, r in rec.items() if r.get("err") or not r.get("hash_match")}
+    assert not red, f"round-17 record has red rows with no _R17_RED block: {red}"
+
+
+def test_round18_window_disjoint_from_r17():
     """First 50 of the rotated registry must not re-check the rounds
-    14-16 greens (round 16 was fully green, so no red row re-fronts)
-    and must front every never-driver-checked round-16 deferral.
-    The r09-window remainder and the r10-cohort front ARE expected in
-    the window — they are the oldest driver evidence and rotation
-    exists to re-check them."""
+    15-17 greens (round 17 was fully green, so no red row re-fronts)
+    and must front every never-driver-checked round-17 deferral.
+    The r11-cohort-era remainder IS expected in the window — it is
+    the oldest driver evidence and rotation exists to re-check it."""
     queries, _ = entry._registry()
     window = list(queries)[:50]
-    assert not set(window) & set(entry._R16_WINDOW), (
-        "round-17 window re-checks round-16 greens")
+    assert not set(window) & set(entry._R17_WINDOW), (
+        "round-18 window re-checks round-17 greens")
+    assert not set(window) & set(entry._R16_WINDOW)
     assert not set(window) & set(entry._R15_WINDOW)
-    assert not set(window) & set(entry._R14_WINDOW)
-    missing = [n for n in entry._R16_DEFERRED if n not in window]
+    missing = [n for n in entry._R17_DEFERRED if n not in window]
     assert not missing, f"never-checked deferrals missed the window: {missing}"
 
 
-def test_r17_window_matches_first_fifty():
-    """Once frozen mid-round, the pre-materialized round-17 window
-    list (the round-18 rotation seed) must stay equal to the
+def test_r18_window_matches_first_fifty():
+    """Once frozen mid-round, the pre-materialized round-18 window
+    list (the round-19 rotation seed) must stay equal to the
     registry's actual first 50 — the drift failure mode enforced
-    every round since round 8.  Late round-17 additions belong in
-    _R17_DEFERRED, which this equality keeps OUT of the window."""
-    if not getattr(entry, "_R17_WINDOW", None):
-        pytest.skip("_R17_WINDOW not yet frozen this round")
+    every round since round 8.  Late round-18 additions belong in
+    _R18_DEFERRED, which this equality keeps OUT of the window."""
+    if not getattr(entry, "_R18_WINDOW", None):
+        pytest.skip("_R18_WINDOW not yet frozen this round")
     queries, _ = entry._registry()
-    assert entry._R17_WINDOW == list(queries)[:50]
-    assert len(set(entry._R17_WINDOW)) == 50
+    assert entry._R18_WINDOW == list(queries)[:50]
+    assert len(set(entry._R18_WINDOW)) == 50
 
 
 def test_checked_cohorts_are_registered():
