@@ -7925,7 +7925,9 @@ def _labelprop_fixpoint(nodes: DataFrame, pairs: DataFrame):
             .first()[0]
         )
         lab = new
-        if delta == 0:
+        # an empty node frame aggregates to NULL — that IS the (trivial)
+        # fixpoint, not a non-convergence
+        if delta is None or delta == 0:
             break
         if iters >= _LP_MAX_ROUNDS:
             raise RuntimeError("label propagation did not converge")
@@ -8146,7 +8148,13 @@ def _lsh_agreement_ledger(spark: SparkSession, sf_dir: str,
             "n_nodes", "exact_clusters", "lsh_clusters",
             "exact_edges", "lsh_edges",
             "exact_intra_pairs", "joint_intra_pairs",
-            F.expr("joint_intra_pairs * 1000000 div exact_intra_pairs")
+            # a corpus with no exact near-dup clusters has no pairs to
+            # agree on — emit the -1 sentinel instead of letting the
+            # two engines diverge (Spark `div` by 0 → NULL, DuckDB `//`
+            # by 0 → error); same CASE in the oracle
+            F.expr("CASE WHEN coalesce(exact_intra_pairs, 0) = 0 THEN -1 "
+                   "ELSE joint_intra_pairs * 1000000 div exact_intra_pairs "
+                   "END")
             .alias("agree_ppm"),
             "refinement_violations",
         )
@@ -8250,8 +8258,10 @@ SELECT
     AS exact_intra_pairs,
   (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM jnt)
     AS joint_intra_pairs,
-  CAST((SELECT sum(c * (c - 1) // 2) FROM jnt) * 1000000
-       // (SELECT sum(c * (c - 1) // 2) FROM exs) AS BIGINT)
+  CAST(CASE WHEN COALESCE((SELECT sum(c * (c - 1) // 2) FROM exs), 0) = 0
+            THEN -1
+            ELSE (SELECT sum(c * (c - 1) // 2) FROM jnt) * 1000000
+                 // (SELECT sum(c * (c - 1) // 2) FROM exs) END AS BIGINT)
     AS agree_ppm,
   (SELECT CAST(sum(CASE WHEN n_ex > 1 THEN 1 ELSE 0 END) AS BIGINT)
    FROM (SELECT comm_lsh, count(DISTINCT comm) AS n_ex

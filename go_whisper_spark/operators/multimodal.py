@@ -1009,7 +1009,7 @@ def m_shot_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate referenced inside the per-bit lambda is NOT
     # common-subexpression-eliminated by codegen, so the inline form
     # recomputes the 64-probe sum per bit — 64x the work (measured
-    # 10.1 s -> ~1 s at sf0.1 for the hoisted form)
+    # 10.1 s -> 2.4 s at sf0.1 for the hoisted form)
     bits = fr.select(
         "media_id", "f",
         F.expr(

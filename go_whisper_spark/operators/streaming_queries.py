@@ -1998,6 +1998,9 @@ def st_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _replay(spark, li, lambda s: s, sink=sink)
 
+    if not os.path.isdir(store):         # edge-free stream: empty ledger
+        return spark.createDataFrame(
+            [], "trussness long, n_edges long, iters long")
     edges = spark.read.parquet(store).localCheckpoint()
     sup0 = (
         spark.read.parquet(supdir)
