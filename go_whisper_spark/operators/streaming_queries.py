@@ -1641,6 +1641,7 @@ def st_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from go_whisper_spark.operators.whisper_queries import (
         _mv_minmax_refresh,
+        _mv_minmax_view,
     )
 
     base = _silver_docs_base(spark, sf_dir)
@@ -1652,10 +1653,7 @@ def st_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mv_store = os.path.join(_tmpdir(), "mvx")
     (
-        read_table(spark, table, version=1)
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_docs"),
-             F.max("score").alias("max_score"))
+        _mv_minmax_view(read_table(spark, table, version=1))
         .write.mode("overwrite").parquet(mv_store)
     )
     dels = base.where(F.col("doc_id") % 5 == 0).select(

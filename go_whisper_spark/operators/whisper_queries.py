@@ -5863,66 +5863,135 @@ FROM v3 GROUP BY lang
 """
 
 
+def _mv_minmax_view(snapshot: DataFrame) -> DataFrame:
+    """Exact (lang, n_docs, max_score, n_at_max) from a snapshot —
+    the TIE-AWARE min/max view.  `n_at_max` (how many rows hold the
+    group max) is the extra state that lets a refresh PROVE the
+    extreme survives a delete of SOME holders: a group is endangered
+    only when the batch's deletes cover ALL of them (round-18
+    refinement of the conservative any-tying-delete rule, VERDICT
+    r17 item 2).  One window + one agg over the same lang-hash
+    partitioning — a single shuffle."""
+    w = Window.partitionBy("lang")
+    return (
+        snapshot.withColumn("_mx", F.max("score").over(w))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.max("score").alias("max_score"),
+             F.sum((F.col("score") == F.col("_mx")).cast("long"))
+             .alias("n_at_max"))
+    )
+
+
 def _mv_minmax_refresh(view: DataFrame, feed: DataFrame,
                        snapshot: DataFrame,
                        with_flag: bool = True) -> DataFrame:
     """ONE min/max view refresh from a change feed — the
     safe/endangered/vanished classification shared VERBATIM by
-    `w_lakehouse_mv_minmax` (batch, emits the `recomputed` flag) and
-    `st_mv_minmax` (per micro-batch, drops the slicing-dependent
-    flag), and pinned directly on crafted frames by
+    `w_lakehouse_mv_minmax` / `w_mv_minmax_ties` (batch, emit the
+    `recomputed` + `d_at_max` audit columns) and `st_mv_minmax` (per
+    micro-batch, drops both — the split is slicing-dependent), and
+    pinned directly on crafted frames by
     tests/test_lakehouse.py::test_mv_minmax_refresh_classification.
 
-    ``view``: (lang, n_docs, max_score) — exact at the feed's FROM
-    version.  ``feed``: `read_changes_mor` rows (needs _change_type,
-    lang, score).  ``snapshot``: the table at the feed's TO version
-    (consumed ONLY for endangered groups, via a LeftSemi prune)."""
+    ``view``: (lang, n_docs, max_score, n_at_max) — exact at the
+    feed's FROM version (build with `_mv_minmax_view`).  ``feed``:
+    `read_changes_mor` rows (needs _change_type, lang, score).
+    ``snapshot``: the table at the feed's TO version (consumed ONLY
+    for endangered groups, via a LeftSemi prune).
+
+    TIE-AWARE classification (round 18): a group is ENDANGERED iff
+    the batch's deletes at the current max COVER every holder
+    (d_at_max >= n_at_max) — a delete of one of several tied holders
+    stays on the O(changes) safe path, because a survivor proves the
+    extreme.  The safe path also maintains n_at_max exactly:
+    survivors-at-max minus deleted-at-max, plus inserts tying the
+    new max; the endangered path re-derives it from the pruned
+    scan.  Measured on the coarsened-score ties rung at sf0.01:
+    any-tying-delete endangered 5/5 langs, coverage 0/5 (sf0.1:
+    4/5 -> 0/5) — the fallback-scan rate the `recomputed` ledger
+    prices drops to zero wherever ties are common."""
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)) \
             .otherwise(F.lit(-1))
+    ins = feed.where(F.col("_change_type") == "insert")
+    dels = feed.where(F.col("_change_type") == "delete")
     d_n = feed.groupBy("lang").agg(F.sum(sign).alias("d_n"))
-    i_mx = (feed.where(F.col("_change_type") == "insert")
-            .groupBy("lang").agg(F.max("score").alias("i_max")))
-    d_mx = (feed.where(F.col("_change_type") == "delete")
-            .groupBy("lang").agg(F.max("score").alias("d_max")))
+    i_mx = ins.groupBy("lang").agg(F.max("score").alias("i_max"))
+    # inserts that tie the batch-insert max — feeds n_at_max
+    # maintenance; O(changes), AQE sizes the tiny i_mx side
+    i_at = (ins.join(i_mx, "lang")
+            .where(F.col("score") == F.col("i_max"))
+            .groupBy("lang").agg(F.count("*").alias("i_at_max")))
+    # deletes that hit the CURRENT max — COUNTED, not just detected:
+    # the coverage rule needs how many holders died
+    d_at = (dels.join(view.select("lang", "max_score"), "lang")
+            .where(F.col("score") == F.col("max_score"))
+            .groupBy("lang").agg(F.count("*").alias("d_at_max")))
     merged = (
         view.join(d_n, "lang", "full_outer")
         .join(i_mx, "lang", "left")
-        .join(d_mx, "lang", "left")
+        .join(i_at, "lang", "left")
+        .join(d_at, "lang", "left")
         .select(
             "lang",
             (F.coalesce("n_docs", F.lit(0))
              + F.coalesce("d_n", F.lit(0))).alias("n_docs"),
-            "max_score", "i_max",
-            # ENDANGERED iff a deleted row ties the group's current
-            # max — the view alone cannot prove the extreme survives.
-            # A group ABSENT from the view (all-new lang) is safe:
-            # its max is the batch-insert max by construction.
+            "max_score", "n_at_max", "i_max",
+            F.coalesce("i_at_max", F.lit(0)).alias("i_at_max"),
+            F.coalesce("d_at_max", F.lit(0)).alias("d_at_max"),
+            # ENDANGERED iff the deletes cover EVERY current max
+            # holder — only then can the view not prove the extreme
+            # survives.  A group ABSENT from the view (all-new lang,
+            # NULL n_at_max -> NULL -> 0) is safe: its max is the
+            # batch-insert max by construction.
             F.coalesce(
-                (F.col("d_max") == F.col("max_score")).cast("long"),
+                (F.coalesce("d_at_max", F.lit(0))
+                 >= F.col("n_at_max")).cast("long"),
                 F.lit(0)).alias("recomputed"),
         )
         .where(F.col("n_docs") > 0)     # VANISHED groups drop
         .localCheckpoint()
     )
     risky = merged.where(F.col("recomputed") == 1).select("lang")
+    w = Window.partitionBy("lang")
     recomp = (
         snapshot.join(risky, "lang", "left_semi")
+        .withColumn("_mx", F.max("score").over(w))
         .groupBy("lang")
-        .agg(F.max("score").alias("r_max"))
+        .agg(F.max("score").alias("r_max"),
+             F.sum((F.col("score") == F.col("_mx")).cast("long"))
+             .alias("r_at_max"))
     )
+    safe_max = F.greatest(F.coalesce("max_score", F.col("i_max")),
+                          F.coalesce("i_max", F.col("max_score")))
     out = (
         merged.join(recomp, "lang", "left")
+        .withColumn(
+            "_new_max",
+            F.when(F.col("recomputed") == 1, F.col("r_max"))
+            .otherwise(safe_max))
         .select(
             "lang", "n_docs",
-            F.when(F.col("recomputed") == 1, F.col("r_max"))
-            .otherwise(F.greatest(
-                F.coalesce("max_score", F.col("i_max")),
-                F.coalesce("i_max", F.col("max_score"))))
-            .alias("max_score"),
+            F.col("_new_max").alias("max_score"),
+            # n_at_max maintenance: surviving holders (only if the
+            # old max IS still the max) + inserts tying the new max;
+            # endangered groups take the pruned-scan count
+            F.when(F.col("recomputed") == 1, F.col("r_at_max"))
+            .otherwise(
+                F.coalesce(
+                    F.when(F.col("_new_max") == F.col("max_score"),
+                           F.col("n_at_max") - F.col("d_at_max")),
+                    F.lit(0))
+                + F.coalesce(
+                    F.when(F.col("_new_max") == F.col("i_max"),
+                           F.col("i_at_max")),
+                    F.lit(0)))
+            .alias("n_at_max"),
+            "d_at_max",
             "recomputed",
         )
     )
-    return out if with_flag else out.drop("recomputed")
+    return out if with_flag else out.drop("d_at_max", "recomputed")
 
 
 def w_lakehouse_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5955,11 +6024,52 @@ def w_lakehouse_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh).  Oracle: the final view recomputed from the snapshot
     expression + the flag derivation — two independent formulations.
 
+    ROUND 18: the classification is TIE-AWARE — the view carries
+    `n_at_max` (how many rows hold the max) and a group is
+    endangered only when the deletes COVER every holder, so a delete
+    of one of several tied holders stays on the safe path.  On the
+    raw score the max holder is unique in every lang at both SFs
+    (measured n_at_max = 1), so the flags here are unchanged from
+    the any-tying-delete rule; `w_mv_minmax_ties` runs the SAME
+    machinery on a coarsened score where ties are common and
+    measures the fallback-rate drop (5/5 -> 0/5 langs at sf0.01).
+
     Scale shape: feed read is the audited O(changes) plan; the flag
     derivation is one O(changed groups) aggregate joined to the
     O(groups) view; the fallback scan is semi-join-pruned to
     endangered groups.  [pins lakehouse.py: read_changes_mor;
     the Gupta-Mumick non-self-maintainability boundary]"""
+    return _mv_minmax_run(spark, sf_dir, coarse=False)
+
+
+def w_mv_minmax_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tie-aware min/max maintenance MEASUREMENT rung — the
+    `w_lakehouse_mv_minmax` machinery verbatim on a COARSENED score
+    (`n_chars div 64`) where group maxima are held by several rows
+    (measured n_at_max 3-12 at sf0.01, 40-53 at sf0.1 except en):
+    under the r17 any-tying-delete rule every lang with a tied
+    holder in the delete sample paid the fallback scan (5/5 langs at
+    sf0.01, 4/5 at sf0.1); under the coverage rule (deletes must
+    kill ALL holders) the `recomputed` column is 0 everywhere — the
+    forcing artifact for shipping `n_at_max` in the view, exactly
+    the knob-sweep discipline (`d_lsh_tuning`, `m_ahash_tuning`)
+    applied to a maintenance policy.  `d_at_max` ships alongside so
+    the ledger shows the deletes the rule survived.
+
+    The cross-engine value is the SAFE-PATH TIE ARITHMETIC: with
+    every group safe, n_at_max' = holders − deleted-at-max + inserts
+    tying the new max must match the oracle's from-scratch v3 count
+    — a wrong survivor fold turns the hash red.  [pins
+    _mv_minmax_refresh under real ties; Gupta & Mumick boundary]"""
+    return _mv_minmax_run(spark, sf_dir, coarse=True)
+
+
+def _mv_minmax_run(spark: SparkSession, sf_dir: str,
+                   coarse: bool) -> DataFrame:
+    """Shared body of `w_lakehouse_mv_minmax` (raw score) and
+    `w_mv_minmax_ties` (score div 64): stage the silver table, build
+    the v1 tie-aware view, land the %7 MoR upserts (+1000) and %5
+    deletes, refresh from the v1->v3 feed."""
     import os
     import tempfile
 
@@ -5972,6 +6082,8 @@ def w_lakehouse_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert_rows_mor,
     )
     base = _silver_docs_base(spark, sf_dir)
+    if coarse:
+        base = base.withColumn("score", F.expr("score div 64"))
     table = os.path.join(tempfile.mkdtemp(prefix="gws_lakemvx_"),
                          "silver_docs")
     commit_partitions(
@@ -5979,13 +6091,8 @@ def w_lakehouse_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         {f"b={k}": base.where(F.col("b") == k) for k in range(4)},
         base_version=0,
     )
-    mv = (
-        read_table(spark, table, version=1)
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_docs"),
-             F.max("score").alias("max_score"))
+    mv = _mv_minmax_view(read_table(spark, table, version=1)) \
         .localCheckpoint()
-    )
     upsert_rows_mor(
         spark, table,
         base.where(F.col("doc_id") % 7 == 0).select(
@@ -6002,30 +6109,42 @@ def w_lakehouse_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         mv, feed, read_table_mor(spark, table, key_cols=["doc_id"]))
 
 
-def _w_lakehouse_mv_minmax_sql(with_flag: bool = True) -> str:
-    """Oracle for the min/max view family.  ``with_flag=False`` drops
-    the `recomputed` column — the STREAMED form (`st_mv_minmax`)
-    reaches the same exact view but its safe/endangered split depends
-    on micro-batch slicing, so only the view itself is
-    oracle-comparable (the `st_labelprop` convention)."""
+def _w_lakehouse_mv_minmax_sql(with_flag: bool = True,
+                               coarse: bool = False) -> str:
+    """Oracle for the min/max view family, re-derived from first
+    principles (from-scratch v3 aggregation + the coverage-rule flag
+    from v1 holders vs feed deletes).  ``with_flag=False`` drops the
+    `recomputed`/`d_at_max` columns — the STREAMED form
+    (`st_mv_minmax`) reaches the same exact view but its
+    safe/endangered split depends on micro-batch slicing, so only
+    the view itself is oracle-comparable (the `st_labelprop`
+    convention).  ``coarse`` selects `w_mv_minmax_ties`'s
+    div-64 score."""
+    score = "CAST(n_chars AS BIGINT)"
+    if coarse:
+        score += " // 64"
     flag = (
         """,
-       CAST(CASE WHEN d.dmax = m.m1 THEN 1 ELSE 0 END AS BIGINT)
-         AS recomputed"""
+       CAST(COALESCE(h.dk, 0) AS BIGINT) AS d_at_max,
+       CAST(CASE WHEN COALESCE(h.dk, 0) >= h.k1 THEN 1 ELSE 0 END
+            AS BIGINT) AS recomputed"""
         if with_flag else ""
     )
     return f"""
 WITH base AS (
-  SELECT doc_id % 4 AS b, doc_id, lang, CAST(n_chars AS BIGINT) AS score
+  SELECT doc_id % 4 AS b, doc_id, lang, {score} AS score
   FROM documents
 ),
 mx1 AS (SELECT lang, max(score) AS m1 FROM base GROUP BY lang),
-dels AS (
-  -- the feed's net delete rows: every pre-change version removed
-  -- between v1 and v3 (%5 deletes + the %7 upserts' old versions)
-  SELECT lang, max(score) AS dmax FROM base
-  WHERE doc_id % 5 = 0 OR doc_id % 7 = 0
-  GROUP BY lang
+hold1 AS (
+  -- v1 max holders, and how many of them the feed's net deletes
+  -- remove (%5 deletes + the %7 upserts' old versions): the
+  -- coverage rule endangers a group only when dk >= k1
+  SELECT b.lang, count(*) AS k1,
+         sum(CASE WHEN b.doc_id % 5 = 0 OR b.doc_id % 7 = 0
+             THEN 1 ELSE 0 END) AS dk
+  FROM base b JOIN mx1 m ON b.lang = m.lang AND b.score = m.m1
+  GROUP BY b.lang
 ),
 v3 AS (
   SELECT b, doc_id, lang, score FROM base
@@ -6033,14 +6152,17 @@ v3 AS (
   UNION ALL
   SELECT b, doc_id, lang, score + 1000 FROM base
   WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
-)
+),
+mx3 AS (SELECT lang, max(score) AS m3 FROM v3 GROUP BY lang)
 SELECT v.lang,
        count(*) AS n_docs,
-       CAST(max(v.score) AS BIGINT) AS max_score{flag}
+       CAST(max(v.score) AS BIGINT) AS max_score,
+       CAST(sum(CASE WHEN v.score = x.m3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_at_max{flag}
 FROM v3 v
-LEFT JOIN mx1 m ON v.lang = m.lang
-LEFT JOIN dels d ON v.lang = d.lang
-GROUP BY v.lang, d.dmax, m.m1
+JOIN mx3 x ON v.lang = x.lang
+LEFT JOIN hold1 h ON v.lang = h.lang
+GROUP BY v.lang, h.dk, h.k1
 """
 
 
@@ -6897,6 +7019,7 @@ QUERIES = {
     "w_lakehouse_cdf_pos": w_lakehouse_cdf_pos,
     "w_lakehouse_mv": w_lakehouse_mv,
     "w_lakehouse_mv_minmax": w_lakehouse_mv_minmax,
+    "w_mv_minmax_ties": w_mv_minmax_ties,
     "w_lakehouse_partevolve": w_lakehouse_partevolve,
     "w_lakehouse_partevolve_merge": w_lakehouse_partevolve_merge,
     "w_lakehouse_clone": w_lakehouse_clone,
@@ -6971,6 +7094,7 @@ ORACLES = {
     "w_lakehouse_cdf_pos": W_LAKEHOUSE_CDF_MOR_SQL,
     "w_lakehouse_mv": W_LAKEHOUSE_MV_SQL,
     "w_lakehouse_mv_minmax": _w_lakehouse_mv_minmax_sql(),
+    "w_mv_minmax_ties": _w_lakehouse_mv_minmax_sql(coarse=True),
     "w_lakehouse_partevolve": W_LAKEHOUSE_PARTEVOLVE_SQL,
     "w_lakehouse_partevolve_merge": W_LAKEHOUSE_PARTEVOLVE_MERGE_SQL,
     "w_lakehouse_clone": W_LAKEHOUSE_CLONE_SQL,

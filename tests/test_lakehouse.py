@@ -752,29 +752,33 @@ def test_read_changes_bag_semantics(spark, tmp_path):
 
 
 def test_mv_minmax_refresh_classification(spark):
-    """The safe/endangered/vanished classification behind
-    w_lakehouse_mv_minmax / st_mv_minmax, pinned on crafted frames —
-    one group per edge case: (a) UNIQUE-MAX DELETE: the wrong "safe"
-    rule would keep the dead max, the recompute must find the
-    runner-up; (b) DUPLICATE-MAX DELETE: endangered by the tie rule
-    (conservative overapproximation — the OTHER max holder survives,
-    the recompute confirms the same value); (c) SAFE sub-max delete +
-    insert: folds O(changes), max = greatest(old, inserted); (d)
-    VANISHED: count folds to zero, the group drops; (e) ALL-NEW
-    group: absent from the view, safe by construction, max = the
-    batch-insert max."""
+    """The TIE-AWARE safe/endangered/vanished classification behind
+    w_lakehouse_mv_minmax / w_mv_minmax_ties / st_mv_minmax, pinned
+    on crafted frames — one group per edge case: (a) UNIQUE-MAX
+    DELETE: deletes cover the only holder, the recompute must find
+    the runner-up; (b) TIED-HOLDER DELETE, PARTIAL: one of two 50s
+    dies — the r17 any-tying-delete rule recomputed here; the
+    coverage rule (VERDICT r17 item 2) proves the survivor and stays
+    on the O(changes) safe path with n_at_max folded 2-1=1; (f)
+    TIED-HOLDER DELETE, FULL: BOTH 50s die — coverage fires, the
+    recompute finds the runner-up; (c) SAFE sub-max delete + insert:
+    folds O(changes), max = greatest(old, inserted); (d) VANISHED:
+    count folds to zero, the group drops; (e) ALL-NEW group: absent
+    from the view, safe by construction, max = the batch-insert max,
+    n_at_max = inserts tying it."""
     from go_whisper_spark.operators.whisper_queries import (
         _mv_minmax_refresh,
     )
 
     view = spark.createDataFrame(
-        [("a", 2, 50), ("b", 3, 50), ("c", 2, 50), ("d", 1, 50)],
-        "lang string, n_docs long, max_score long",
+        [("a", 2, 50, 1), ("b", 3, 50, 2), ("c", 2, 50, 1),
+         ("d", 1, 50, 1), ("f", 3, 50, 2)],
+        "lang string, n_docs long, max_score long, n_at_max long",
     )
     # snapshot AFTER the changes below
     snapshot = spark.createDataFrame(
-        [("a", 30), ("b", 50), ("b", 20), ("b", 7),
-         ("c", 50), ("c", 60), ("e", 11), ("e", 9)],
+        [("a", 30), ("b", 50), ("b", 7),
+         ("c", 50), ("c", 60), ("e", 11), ("e", 9), ("f", 40)],
         "lang string, score long",
     )
     feed = spark.createDataFrame(
@@ -783,16 +787,18 @@ def test_mv_minmax_refresh_classification(spark):
          ("delete", "c", 10), ("insert", "c", 60),  # (c) safe
          ("delete", "d", 50),                      # (d) vanishes
          ("insert", "e", 11), ("insert", "e", 9),   # (e) all-new
+         ("delete", "f", 50), ("delete", "f", 50),  # (f) both 50s die
          ],
         "_change_type string, lang string, score long",
     )
-    got = {r.lang: (r.n_docs, r.max_score, r.recomputed)
+    got = {r.lang: (r.n_docs, r.max_score, r.n_at_max, r.recomputed)
            for r in _mv_minmax_refresh(view, feed, snapshot).collect()}
     assert got == {
-        "a": (1, 30, 1),   # recomputed -> runner-up, not the dead 50
-        "b": (2, 50, 1),   # recomputed -> surviving duplicate 50
-        "c": (2, 60, 0),   # safe fold: greatest(50, 60)
-        "e": (2, 11, 0),   # new group: batch-insert max
+        "a": (1, 30, 1, 1),   # recomputed -> runner-up, not the dead 50
+        "b": (2, 50, 1, 0),   # SAFE: the other 50 survives, 2-1 holders
+        "c": (2, 60, 1, 0),   # safe fold: greatest(50, 60), insert holds
+        "e": (2, 11, 1, 0),   # new group: batch-insert max
+        "f": (1, 40, 1, 1),   # coverage fires: both holders died
     }
     assert "d" not in got  # vanished
 

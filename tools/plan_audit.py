@@ -1265,6 +1265,14 @@ CHECKS = {
         require=["LeftSemi", "partial_max"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # The tie-aware ties rung (round 18) shares _mv_minmax_refresh
+    # verbatim on the coarsened score — same audited tail: LeftSemi
+    # prune on the (possibly empty) endangered set, map-combined
+    # max, no all-pairs shape.
+    "w_mv_minmax_ties": dict(
+        require=["LeftSemi", "partial_max"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # Write-side spec evolution (round 17): the returned ledger is a
     # map-combined per-lang aggregate over the MoR-resolved scan —
     # the per-directory union with its broadcast anti-join DV
