@@ -986,31 +986,63 @@ def m_shot_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     are excluded (no inter-frame distance exists).  DuckDB restates
     the identical frames/hashes/lag, so thresholding and shot counts
     are cross-engine-exact."""
+    bits = _shot_bit_frames(_shot_videos(spark, sf_dir))
+    w = Window.partitionBy("media_id").orderBy("f")
+    ham = bits.select(
+        "media_id", "f",
+        F.zip_with(
+            "b", F.lag("b").over(w),
+            lambda x, y: F.abs(x - y),
+        ).alias("d"),
+    ).select(
+        "media_id", "f",
+        F.expr("aggregate(d, 0, (acc, x) -> acc + x)").alias("h"),
+    )
+    return _shot_ledger(ham)
+
+
+def _shot_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video corpus both shot-bounds rungs stage: (media_id,
+    text, n) for every doc holding >= 2 full fake frames."""
     from go_whisper_spark.sources.tables import load_table
 
-    vid = (
+    return (
         load_table(spark, sf_dir, "documents")
         .where((F.col("doc_id") % 3 == 2)
                & (F.length("text") >= 2 * _SHOT_FRAME))
         .select(F.col("doc_id").alias("media_id"), "text",
                 F.length("text").alias("n"))
     )
-    fr = vid.select(
+
+
+def _shot_frames(vid: DataFrame) -> DataFrame:
+    """(media_id, f, frame, nf) — the frame explode.  `nf` (total
+    full frames in the video) rides along so the streaming twin can
+    derive an f-monotone arrival marking."""
+    return vid.select(
         "media_id",
+        F.expr(f"CAST(n div {_SHOT_FRAME} AS INT)").alias("nf"),
         F.explode(F.expr(f"sequence(0, CAST(n div {_SHOT_FRAME} AS INT) - 1)"))
         .alias("f"),
         "text",
     ).select(
-        "media_id", "f",
+        "media_id", "f", "nf",
         F.expr(f"substr(text, f * {_SHOT_FRAME} + 1, {_SHOT_FRAME})")
         .alias("frame"),
     )
+
+
+def _shot_hash(fr: DataFrame) -> DataFrame:
+    """(media_id, f, b: array<int>) — the 64-bit aHash as ONE narrow
+    codegen map over frame rows; streaming-legal, so it is shared
+    VERBATIM by `m_shot_bounds` (batch) and `st_shot_bounds` (on the
+    micro-batch): tested math IS shipped math."""
     # hoist the byte array and its mean into their own columns: an
     # aggregate referenced inside the per-bit lambda is NOT
     # common-subexpression-eliminated by codegen, so the inline form
     # recomputes the 64-probe sum per bit — 64x the work (measured
     # 10.1 s -> 2.4 s at sf0.1 for the hoisted form)
-    bits = fr.select(
+    return fr.select(
         "media_id", "f",
         F.expr(
             f"transform(sequence(1, {_SHOT_FRAME}), "
@@ -1025,17 +1057,16 @@ def m_shot_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(p, x -> CASE WHEN x > mean "
                "THEN 1 ELSE 0 END)").alias("b"),
     )
-    w = Window.partitionBy("media_id").orderBy("f")
-    ham = bits.select(
-        "media_id", "f",
-        F.zip_with(
-            "b", F.lag("b").over(w),
-            lambda x, y: F.abs(x - y),
-        ).alias("d"),
-    ).select(
-        "media_id", "f",
-        F.expr("aggregate(d, 0, (acc, x) -> acc + x)").alias("h"),
-    )
+
+
+def _shot_bit_frames(vid: DataFrame) -> DataFrame:
+    """Explode + hash composed — the batch rung's one narrow map."""
+    return _shot_hash(_shot_frames(vid))
+
+
+def _shot_ledger(ham: DataFrame) -> DataFrame:
+    """Fold per-frame hamming rows (media_id, f, h — h NULL on each
+    video's first frame) to the per-video segmentation ledger."""
     return ham.groupBy("media_id").agg(
         F.count("*").cast("long").alias("n_frames"),
         (1 + F.sum((F.col("h") > _SHOT_THRESH).cast("long")))

@@ -1706,6 +1706,58 @@ def _mv_minmax_oracle_sql():
     return _w_lakehouse_mv_minmax_sql(with_flag=False)
 
 
+def _shot_bounds_oracle_sql():
+    # slicing-invariant: the streamed ledger equals the batch rung's,
+    # so the oracle is M_SHOT_BOUNDS_SQL verbatim
+    from go_whisper_spark.operators.multimodal import M_SHOT_BOUNDS_SQL
+    return M_SHOT_BOUNDS_SQL
+
+
+# ----------------------------------------------------- st_shot_bounds
+def st_shot_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING shot-boundary detection — the video family's
+    streaming twin (VERDICT r17 item 3): frame rows arrive in
+    f-monotone passes (arrive = least(3·f div nf, 2) — each video's
+    frames split across the replay's 3 passes IN ORDER), the 64-bit
+    aHash runs as `_shot_hash`'s narrow codegen map ON each
+    micro-batch (the m_shot_bounds map verbatim — tested math IS
+    shipped math), and the hamming-to-previous-frame is the
+    `streaming_shot_hamming` ``applyInPandasWithState`` kernel:
+    state = ONE frame's bits per video (the `st_derivative` trailing
+    kernel shape), so adjacent frames straddling a batch boundary
+    pair exactly.
+
+    The per-pair hamming is slicing-INVARIANT (each h depends only
+    on frames f-1 and f, delivered in order), so the emitted rows
+    equal the batch lag window and the folded per-video ledger
+    matches `m_shot_bounds`' oracle VERBATIM — the strongest
+    streaming pin the convention allows (same SQL, not a weakened
+    variant); batch-vs-streamed row equality is additionally
+    pytest-pinned with a replayed slice.
+
+    Scale shape: per batch one narrow hash map (no Python until the
+    kernel) + the keyed state exchange (state: 64 longs per video,
+    scaling with video cardinality, never frame volume); the ledger
+    fold is a map-combined aggregate over the emitted rows.  [pins
+    streaming/stateful.py: streaming_shot_hamming; multimodal.py:
+    _shot_frames/_shot_hash shared with the batch rung]"""
+    from go_whisper_spark.operators.multimodal import (
+        _shot_frames,
+        _shot_hash,
+        _shot_ledger,
+        _shot_videos,
+    )
+    from go_whisper_spark.streaming.stateful import streaming_shot_hamming
+
+    marked = _shot_frames(_shot_videos(spark, sf_dir)).withColumn(
+        "arrive", F.least(F.lit(2), F.expr("3 * f div nf"))
+    )
+    out = _replay(
+        spark, marked, lambda s: streaming_shot_hamming(_shot_hash(s))
+    )
+    return _shot_ledger(spark.read.parquet(out))
+
+
 # ----------------------------------------------------------- st_kcore
 _KCORE_PEEL_PERIOD = 2   # peel every 2nd micro-batch; read resolves the rest
 _KCORE_WARM_MAX_ROUNDS = 512  # safety cap only: interim-subgraph peel
@@ -4101,6 +4153,7 @@ QUERIES = {
     "st_truss": st_truss,
     "st_lakehouse_mv": st_lakehouse_mv,
     "st_mv_minmax": st_mv_minmax,
+    "st_shot_bounds": st_shot_bounds,
 }
 
 def _labelprop_oracle_sql():
@@ -4173,6 +4226,7 @@ ORACLES = {
     "st_kmv_jaccard": _kmv_sql(_ST_KMV_MEMBER_CTES),
     "st_labelprop": _labelprop_oracle_sql(),
     "st_mv_minmax": _mv_minmax_oracle_sql(),
+    "st_shot_bounds": _shot_bounds_oracle_sql(),
     "st_kcore": _kcore_oracle_sql(),
     "st_truss": _truss_oracle_sql(),
     "st_lakehouse_mv": _W_LAKEHOUSE_MV_ORACLE,

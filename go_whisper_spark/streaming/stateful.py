@@ -315,3 +315,51 @@ def streaming_first_seen(rows: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------- streaming shot bounds
+# Shot-boundary hamming ON the stream: the batch form is ONE lag
+# window per video over the per-frame aHash bits (m_shot_bounds);
+# online, adjacent frames can straddle micro-batch boundaries, so the
+# kernel carries each video's LAST frame bits as state — a few dozen
+# bytes per video, exactly the per-file-header asymptotics of the
+# derivative kernel.  With frames delivered in f order across batches
+# (the arrive marking is monotone in f) and sorted by f within each
+# batch, the emitted per-pair hamming rows equal the batch lag
+# exactly, so the downstream ledger is slicing-invariant and the
+# oracle is the batch SQL verbatim.  Each video's FIRST frame emits
+# h NULL (no predecessor) — the row the ledger's n_frames counts and
+# its max/sum skip, matching the batch window's NULL lag.
+
+SHOT_OUTPUT_SCHEMA = "media_id long, f long, h long"
+SHOT_STATE_SCHEMA = "last_b array<long>"
+
+
+def _shot_hamming_fn(key, pdfs, state):
+    (media_id,) = key
+    last_b = list(state.get[0]) if state.exists else None
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values("f")
+    rows = []
+    for f, b in zip(pdf["f"], pdf["b"]):
+        b = [int(x) for x in b]
+        h = (None if last_b is None
+             else sum(abs(x - y) for x, y in zip(b, last_b)))
+        rows.append((int(media_id), int(f), h))
+        last_b = b
+    state.update(([int(x) for x in last_b],))
+    yield pd.DataFrame(rows, columns=["media_id", "f", "h"])
+
+
+def streaming_shot_hamming(frames: DataFrame) -> DataFrame:
+    """Streaming (media_id, f, b array<int>) frame → per-frame
+    hamming-to-previous rows with cross-batch single-frame state."""
+    return frames.groupBy("media_id").applyInPandasWithState(
+        _shot_hamming_fn,
+        outputStructType=SHOT_OUTPUT_SCHEMA,
+        stateStructType=SHOT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

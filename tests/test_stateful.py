@@ -139,3 +139,61 @@ def test_streaming_first_seen_arrival_semantics(spark, tmp_path):
         (r["user_id"], r["day"]) for r in spark.read.parquet(out).collect()
     )
     assert rows == [(1, 10), (2, 40), (3, 20)]
+
+
+SH_SCHEMA = "media_id long, f long, b array<int>"
+
+
+def test_streaming_shot_hamming_cross_batch(spark, tmp_path):
+    """Shot-hamming kernel: the trailing frame state must survive the
+    micro-batch boundary — a video's first frame in pass 2 pairs with
+    its last frame from pass 1, never re-emitting NULL."""
+    from go_whisper_spark.streaming.stateful import streaming_shot_hamming
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def run_pass(rows):
+        spark.createDataFrame(rows, SH_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        q = (
+            streaming_shot_hamming(
+                spark.readStream.schema(SH_SCHEMA).parquet(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {(r["media_id"], r["f"]): r["h"]
+                for r in spark.read.parquet(out).collect()}
+
+    # pass 1: video 1 frames 0-1 (ham 2), video 2 frame 0
+    got1 = run_pass([
+        (1, 0, [0, 0, 1, 1]), (1, 1, [1, 0, 1, 0]), (2, 0, [1, 1, 1, 1]),
+    ])
+    assert got1[(1, 0)] is None and got1[(1, 1)] == 2
+    assert got1[(2, 0)] is None
+    # pass 2: frames straddle the boundary — video 1's f=2 pairs with
+    # f=1 from pass-1 state, video 2's f=1 with its f=0
+    got2 = run_pass([(1, 2, [1, 0, 1, 1]), (2, 1, [1, 1, 1, 1])])
+    assert got2[(1, 2)] == 1
+    assert got2[(2, 1)] == 0
+
+
+def test_st_shot_bounds_equals_batch(spark, sf_dir):
+    """Slicing invariance end-to-end: the streamed per-video ledger
+    (frames replayed in 3 f-monotone passes, hamming across batch
+    boundaries from kernel state) equals the batch lag-window rung
+    row for row — the law that lets st_shot_bounds share
+    m_shot_bounds' oracle verbatim."""
+    from go_whisper_spark.operators.multimodal import m_shot_bounds
+    from go_whisper_spark.operators.streaming_queries import st_shot_bounds
+
+    batch = sorted(map(tuple, m_shot_bounds(spark, sf_dir).collect()))
+    streamed = sorted(map(tuple, st_shot_bounds(spark, sf_dir).collect()))
+    assert streamed == batch

@@ -1389,6 +1389,28 @@ def _build_wsp_export_write(spark):
     return sink
 
 
+def _build_st_shot_bounds(spark):
+    # The exact transformation st_shot_bounds replays, attached to a
+    # rate source so the STREAMING logical plan (the _shot_hash
+    # narrow map feeding the single stateful hamming kernel) is
+    # assertable without running a query.
+    from pyspark.sql import functions as F
+
+    from go_whisper_spark.operators.multimodal import _SHOT_FRAME, _shot_hash
+    from go_whisper_spark.streaming.stateful import streaming_shot_hamming
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            (F.col("value") % 5).alias("media_id"),
+            F.col("value").alias("f"),
+            F.expr(f"repeat(chr(65 + CAST(value % 26 AS INT)), "
+                   f"{_SHOT_FRAME})").alias("frame"),
+        )
+    )
+    return streaming_shot_hamming(_shot_hash(src))
+
+
 def _build_st_dedup_stream(spark):
     # The exact transformation st_dedup_1h replays, attached to a rate
     # source so the STREAMING logical plan (EventTimeWatermark feeding
@@ -1921,6 +1943,16 @@ BUILDERS = {
         # watermark/state/aggregate anywhere on the stream.
         require=["MapInPandas", "Join LeftOuter"],
         forbid=["EventTimeWatermark", "Aggregate", "Deduplicate"],
+        streaming=True,
+    ),
+    "st_shot_bounds_stream": dict(
+        build=_build_st_shot_bounds,
+        # The streamed shot-bounds plan: the narrow aHash codegen map
+        # feeding ONE stateful kernel (per-video trailing frame
+        # bits); no join/aggregate/watermark rides the stream — the
+        # ledger fold is the batch read side.
+        require=["FlatMapGroupsInPandasWithState"],
+        forbid=["Join", "Aggregate", "EventTimeWatermark"],
         streaming=True,
     ),
 }
