@@ -8103,21 +8103,26 @@ def s_labelprop_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_agreement_ledger(spark: SparkSession, sf_dir: str,
-                          pairs_lsh: DataFrame) -> DataFrame:
+                          pairs_lsh: DataFrame,
+                          oracle_k: int = _LP_ORACLE_K) -> DataFrame:
     """The exact-vs-LSH cluster-agreement ledger shared by
-    `s_labelprop_lsh` (one table) and `s_labelprop_lsh_mt` (OR'd
-    multi-table): both fixpoints, edge counts (the COST side of the
-    trade), size-arithmetic pair agreement (the RECALL side), and
-    the refinement-violation theorem column."""
+    `s_labelprop_lsh` (one table) and the `s_labelprop_lsh_mt*`
+    table-count curve: both fixpoints, edge counts (the COST side of
+    the trade), size-arithmetic pair agreement (the RECALL side),
+    and the refinement-violation theorem column.  ``oracle_k`` must
+    match the rung's oracle unroll depth — sparser edge relations
+    reach fixpoint LATER (the 2-table graph needs 35 rounds at sf0.1
+    where 4 tables need 20: surviving components have longer
+    internal paths), so the 2-table rung passes a deeper unroll."""
     pairs_ex = s_cosine_nearpairs(spark, sf_dir).select("ida", "idb")
     nodes = _cos_frames(spark, sf_dir).select(F.col("vec_id").alias("node"))
     lab_ex, it_ex = _labelprop_fixpoint(nodes, pairs_ex)
     lab_lsh, it_lsh = _labelprop_fixpoint(nodes, pairs_lsh)
     for it, tag in ((it_ex, "exact"), (it_lsh, "lsh")):
-        if it >= _LP_ORACLE_K:
+        if it >= oracle_k:
             raise RuntimeError(
                 f"{tag} label-prop fixpoint at round {it} >= the "
-                f"oracle unroll depth _LP_ORACLE_K={_LP_ORACLE_K}; "
+                f"oracle unroll depth {oracle_k}; "
                 "raise the unroll depth so later rounds stay "
                 "provably no-ops"
             )
@@ -8408,26 +8413,40 @@ GROUP BY lang
 
 # -------------------------------------------------- s_labelprop_lsh_mt
 _MT_TABLES = 4
+_MT_TABLES_MAX = 8   # the table-count knob sweep's largest rung
+_LP_ORACLE_K2 = 40   # the 2-table rung's unroll depth: its sparser
+#                      graph reaches fixpoint at round 35 at sf0.1
+#                      (the guard caught 35 >= 28 when the rung first
+#                      ran under the shared depth — measured, then
+#                      deepened, exactly what the loud guard is for)
 _mt_prng = random.Random(0xB0B5CA1E)
+# 8 tables from ONE sequential PRNG stream: the first 4 are bitwise
+# identical to the pre-curve MT_HYPERPLANES, so every T-table rung's
+# table set is a PREFIX of the next — which makes the curve's edge
+# sets nested (edges(T) ⊆ edges(T')) and agree_ppm provably monotone
+# in T (more edges only merge LSH clusters, which stay refinements
+# of the exact clustering).
 MT_HYPERPLANES = [
     [[round(_mt_prng.gauss(0.0, 1.0), 8) for _ in range(64)]
      for _ in range(N_PLANES)]
-    for _ in range(_MT_TABLES)
+    for _ in range(_MT_TABLES_MAX)
 ]
 
 
-def _mt_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OR'd multi-table LSH candidate pairs, exact-verified: 4
-    INDEPENDENT 4-hyperplane tables; a pair is a candidate if it
-    shares a bucket in ANY table (so miss probability compounds:
-    (1-p)^4 instead of 1-p), each candidate verified sim >= 0.35
-    before it becomes an edge.  One Arrow pass assigns all 4 buckets
-    (the per-table rows explode from the same vector batch); the
-    pair enumeration is the (t, bucket)-keyed kernel of
-    `d_embed_neardup_lsh` verbatim; the cross-table dedup is one
-    distinct on the pair key.  Cost: ~T× the single-table candidate
-    work — the priced trade `s_labelprop_lsh_mt`'s ledger records
-    next to the recall it buys."""
+def _mt_lsh_pairs(spark: SparkSession, sf_dir: str,
+                  n_tables: int = _MT_TABLES) -> DataFrame:
+    """OR'd multi-table LSH candidate pairs, exact-verified:
+    ``n_tables`` INDEPENDENT 4-hyperplane tables; a pair is a
+    candidate if it shares a bucket in ANY table (so miss
+    probability compounds: (1-p)^T instead of 1-p), each candidate
+    verified sim >= 0.35 before it becomes an edge.  One Arrow pass
+    assigns all T buckets (the per-table rows explode from the same
+    vector batch); the pair enumeration is the (t, bucket)-keyed
+    kernel of `d_embed_neardup_lsh` verbatim; the cross-table dedup
+    is one distinct on the pair key.  Cost: ~T× the single-table
+    candidate work — the priced trade the `s_labelprop_lsh_mt*`
+    ledgers record next to the recall it buys."""
+    tables = MT_HYPERPLANES[:n_tables]
     e = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -8440,7 +8459,7 @@ def _mt_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             V = np.stack(pdf["v"].values).astype(np.float64)
             norm = np.sqrt(_seq_dot(V, V))
             outs = []
-            for t, planes in enumerate(MT_HYPERPLANES):
+            for t, planes in enumerate(tables):
                 bucket = np.zeros(len(pdf), dtype=np.int64)
                 for i, plane in enumerate(planes):
                     P = np.broadcast_to(
@@ -8498,12 +8517,49 @@ def s_labelprop_lsh_mt(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1, 50.2% edge recall (2,076 of 4,137) yields 69.8% pair
     agreement, because giant components carry redundant edges and
     survive misses that shatter small ones.  Fixpoints over the
-    OR'd graph: 6/7/20 rounds (vs 17/10/11 exact)."""
+    OR'd graph: 6/7/20 rounds (vs 17/10/11 exact).  Round 18 turned
+    the two points into the measured CURVE: `s_labelprop_lsh_mt2` /
+    `_mt8` sit on the same prefix-nested table stream."""
     return _lsh_agreement_ledger(spark, sf_dir,
                                  _mt_lsh_pairs(spark, sf_dir))
 
 
-def _s_labelprop_lsh_mt_sql(k: int = _LP_ORACLE_K) -> str:
+def s_labelprop_lsh_mt2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-TABLE point on the (tables × agree_ppm × candidate-cost)
+    curve (VERDICT r17 item 4): same ledger, same fixpoint schedule,
+    table set = the FIRST TWO of the mt stream — a strict prefix of
+    `s_labelprop_lsh_mt`'s four, so edges(2) ⊆ edges(4) ⊆ edges(8)
+    and agreement is monotone in T by construction (pytest-pinned).
+    MEASURED: agree_ppm 50,053 (sf0.01) / 140,057 (sf0.1) at
+    lsh_edges 75 / 1,242 — vs 1 table's 18,233 / 1,060 and 4
+    tables' 148,730 / 698,131.  Its sparser surviving graph also
+    reaches fixpoint LATEST on the curve (35 rounds at sf0.1 vs 20
+    for 4 tables — longer internal paths), which the rung's deeper
+    oracle unroll (_LP_ORACLE_K2) carries."""
+    return _lsh_agreement_ledger(spark, sf_dir,
+                                 _mt_lsh_pairs(spark, sf_dir, 2),
+                                 oracle_k=_LP_ORACLE_K2)
+
+
+def s_labelprop_lsh_mt8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8-TABLE point — the top of the curve: miss probability
+    (1-p)^8 at ~8× single-table candidate cost.  MEASURED: agree_ppm
+    530,568 (sf0.01) / 922,133 (sf0.1) at lsh_edges 201 / 3,060 —
+    vs 4 tables' 148,730 / 698,131 at 122 / 2,076.  The full curve
+    (T = 1, 2, 4, 8): 18k → 50k → 149k → 531k ppm at sf0.01 and
+    1k → 140k → 698k → 922k at sf0.1 — agreement keeps climbing
+    through 8 tables (sf0.01's small shattered components mean every
+    recovered edge merges a pair; sf0.1's giant component saturates:
+    69.8% → 92.2% for the last doubling at ~1.5× edge cost), so the
+    default stays a WORKLOAD choice and the sweep is the data to
+    make it with.  Refinement theorem (LSH edges ⊆ exact edges)
+    pinned cross-engine on every rung of the curve."""
+    return _lsh_agreement_ledger(spark, sf_dir,
+                                 _mt_lsh_pairs(spark, sf_dir, 8))
+
+
+def _s_labelprop_lsh_mt_sql(k: int = _LP_ORACLE_K,
+                            n_tables: int = _MT_TABLES) -> str:
     def table_expr(planes):
         terms = []
         for i, plane in enumerate(planes):
@@ -8518,9 +8574,9 @@ def _s_labelprop_lsh_mt_sql(k: int = _LP_ORACLE_K) -> str:
 
     cols = ",\n         ".join(
         f"{table_expr(MT_HYPERPLANES[t])} AS b{t}"
-        for t in range(_MT_TABLES)
+        for t in range(n_tables)
     )
-    ors = " OR ".join(f"a.b{t} = c.b{t}" for t in range(_MT_TABLES))
+    ors = " OR ".join(f"a.b{t} = c.b{t}" for t in range(n_tables))
     extra = f"""bktm AS MATERIALIZED (
   SELECT vec_id, v, norm,
          {cols}
@@ -8622,6 +8678,8 @@ QUERIES = {
     "s_labelprop": s_labelprop,
     "s_labelprop_lsh": s_labelprop_lsh,
     "s_labelprop_lsh_mt": s_labelprop_lsh_mt,
+    "s_labelprop_lsh_mt2": s_labelprop_lsh_mt2,
+    "s_labelprop_lsh_mt8": s_labelprop_lsh_mt8,
     "t_pii_scrub": t_pii_scrub,
     "d_dedup_matrix": d_dedup_matrix,
     "d_lsh_tuning": d_lsh_tuning,
@@ -8718,6 +8776,9 @@ ORACLES = {
     "s_labelprop": _s_labelprop_sql(),
     "s_labelprop_lsh": _s_labelprop_lsh_sql(),
     "s_labelprop_lsh_mt": _s_labelprop_lsh_mt_sql(),
+    "s_labelprop_lsh_mt2": _s_labelprop_lsh_mt_sql(k=_LP_ORACLE_K2,
+                                                   n_tables=2),
+    "s_labelprop_lsh_mt8": _s_labelprop_lsh_mt_sql(n_tables=8),
     "t_pii_scrub": T_PII_SCRUB_SQL,
     "d_dedup_matrix": _d_dedup_matrix_sql(),
     "d_lsh_tuning": _d_lsh_tuning_sql(),
