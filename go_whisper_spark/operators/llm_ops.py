@@ -3078,6 +3078,32 @@ def t_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nb", F.length("text"))
         .join(dropped.withColumn("dup", F.lit(1)), "doc_id", "left")
     )
+    flagged = _curation_gate(d)
+    kept = (F.col("dup").isNull() & F.col("tail").isNull()).cast("long")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("dup").isNull().cast("long")).alias("n_after_dedup"),
+            F.sum(F.coalesce(F.col("scored"), F.lit(0))).alias("n_scored"),
+            F.sum(F.coalesce(F.col("tail"), F.lit(0))).alias("n_tail_dropped"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(F.when(kept == 1, F.col("nb")).otherwise(0)).alias(
+                "bytes_kept"
+            ),
+        )
+    )
+
+
+def _curation_gate(d: DataFrame) -> DataFrame:
+    """The dedup-then-LM-gate spine shared VERBATIM by
+    `t_curation_e2e` (raw text) and `t_curation_pii` (scrubbed
+    text): from a per-doc frame (doc_id, lang, tokens, nb, dup, ...)
+    train the stupid-backoff bigram LM on the survivors' 90% split,
+    score the held-out survivors, ntile the per-doc perplexities per
+    lang, and return the input frame with `scored`/`tail` flag
+    columns appended — the callers differ only in what `tokens`
+    tokenizes and which extra ledger columns they fold."""
     surv = d.where(F.col("dup").isNull())
     bucket = _split_bucket_col()
     train = surv.where(bucket < _SPLIT_TRAIN)
@@ -3138,7 +3164,7 @@ def t_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.ntile(3).over(w).alias("tercile")
     ).where(F.col("tercile") == 3).select("doc_id")
 
-    flagged = (
+    return (
         d.join(tail.withColumn("tail", F.lit(1)), "doc_id", "left")
         .join(
             per_doc.select("doc_id").withColumn("scored", F.lit(1)),
@@ -3146,18 +3172,80 @@ def t_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
     )
+
+
+def t_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone with the PII stage IN POLICY ORDER —
+    dedup → SCRUB → train (VERDICT r17 item 6): the perplexity
+    gate's LM must train on the text a release actually ships, i.e.
+    AFTER redaction, the way `t_curation_e2e` pinned that it trains
+    after dedup.  The chain:
+
+    1. **CDC dedup** on the raw corpus (`d_cdc_neardup`'s drop set,
+       unchanged — duplicates are dropped before anything is spent
+       on them);
+    2. **PII scrub** on the survivors: the `t_pii_scrub` injection +
+       chained redaction VERBATIM (`_pii_aug_col`/`_pii_red_col`),
+       so `[EMAIL]`/`[IP]`/`[PHONE]` become corpus tokens and the
+       injected addresses never reach the model;
+    3. **perplexity gate** on the SCRUBBED text: the shared
+       `_curation_gate` spine — the LM's vocabulary contains the
+       placeholders, its counts differ from the raw-text model, and
+       the tail MEMBERSHIP shifts (measured at sf0.01: 8 of the 19
+       tail docs differ between the scrubbed-LM and raw-LM gates —
+       pytest-pinned), so `bytes_kept` and the hash pin the stage
+       ORDER; the per-lang COUNTS alone cannot (ntile(3) sizes are
+       score-invariant — an honest limit of count ledgers).
+
+    Ledger per lang: the e2e's six columns (bytes now SCRUBBED
+    bytes — what ships) + the scrub audit over survivors
+    (pii_emails / pii_ipv4s / pii_phones / pii_chars_removed).
+
+    Scale shape: the e2e plan + one narrow regex map before
+    tokenize; nothing new shuffles."""
+    pairs = d_cdc_neardup(spark, sf_dir)
+    dropped = (
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        .localCheckpoint()
+    )
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", _pii_aug_col().alias("aug"))
+        .withColumn("scr", _pii_red_col(F.col("aug")))
+        .select(
+            "doc_id", "lang",
+            F.regexp_extract_all(F.lower("scr"), F.lit(TOKEN_RE), F.lit(0))
+            .alias("tokens"),
+            F.length("scr").alias("nb"),
+            F.regexp_count("aug", F.lit(_PII_EMAIL)).alias("em"),
+            F.regexp_count("aug", F.lit(_PII_IPV4)).alias("ip"),
+            F.regexp_count("aug", F.lit(_PII_PHONE)).alias("ph"),
+            (F.length("aug") - F.length("scr")).alias("delta"),
+        )
+        .join(dropped.withColumn("dup", F.lit(1)), "doc_id", "left")
+    )
+    flagged = _curation_gate(d)
     kept = (F.col("dup").isNull() & F.col("tail").isNull()).cast("long")
+    live = F.col("dup").isNull()
     return (
         flagged.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.col("dup").isNull().cast("long")).alias("n_after_dedup"),
+            F.sum(live.cast("long")).alias("n_after_dedup"),
             F.sum(F.coalesce(F.col("scored"), F.lit(0))).alias("n_scored"),
             F.sum(F.coalesce(F.col("tail"), F.lit(0))).alias("n_tail_dropped"),
             F.sum(kept).alias("n_kept"),
             F.sum(F.when(kept == 1, F.col("nb")).otherwise(0)).alias(
                 "bytes_kept"
             ),
+            F.sum(F.when(live, F.col("em")).otherwise(0))
+            .cast("long").alias("pii_emails"),
+            F.sum(F.when(live, F.col("ip")).otherwise(0))
+            .cast("long").alias("pii_ipv4s"),
+            F.sum(F.when(live, F.col("ph")).otherwise(0))
+            .cast("long").alias("pii_phones"),
+            F.sum(F.when(live, F.col("delta")).otherwise(0))
+            .cast("long").alias("pii_chars_removed"),
         )
     )
 
@@ -8285,6 +8373,60 @@ _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
 
 
+def _pii_aug_col():
+    """The deterministic CRT-overlapping PII injection (emails on
+    doc_id % 3, IPv4s on % 5, phones on % 7) — shared VERBATIM by
+    `t_pii_scrub` and `t_curation_pii`'s scrub stage; the oracle
+    twin is `_PII_AUG_EXPR_SQL`."""
+    return F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(
+            F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit("."), (F.col("doc_id") % 100).cast("string"))
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(
+            F.lit(" call 555-"),
+            (100 + F.col("doc_id") % 900).cast("string"),
+            F.lit("-"),
+            (1000 + F.col("doc_id") % 9000).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+
+
+def _pii_red_col(c):
+    """The chained 3-class redaction (order pinned by the zero-
+    residual law); oracle twin `_pii_scrub_expr_sql`."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, _PII_EMAIL, "[EMAIL]"),
+            _PII_IPV4, "[IP]"),
+        _PII_PHONE, "[PHONE]")
+
+
+_PII_AUG_EXPR_SQL = """text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+                      || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 ELSE '' END"""
+
+
+def _pii_scrub_expr_sql(col: str) -> str:
+    return (f"regexp_replace(regexp_replace(regexp_replace(\n"
+            f"             {col}, '{_PII_EMAIL}', '[EMAIL]', 'g'),\n"
+            f"             '{_PII_IPV4}', '[IP]', 'g'),\n"
+            f"             '{_PII_PHONE}', '[PHONE]', 'g')")
+
+
 def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction — the curation stage every released
     corpus runs and the text-analysis family was missing: per-class
@@ -8316,28 +8458,8 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production constraint: RE2-safe patterns run on any engine
     and never backtrack-explode on adversarial documents."""
     d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
-    aug = F.concat(
-        F.col("text"),
-        F.when(F.col("doc_id") % 3 == 0, F.concat(
-            F.lit(" contact user"), F.col("doc_id").cast("string"),
-            F.lit("@example.com"))).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 5 == 0, F.concat(
-            F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"),
-            F.lit("."), (F.col("doc_id") % 100).cast("string"))
-        ).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 7 == 0, F.concat(
-            F.lit(" call 555-"),
-            (100 + F.col("doc_id") % 900).cast("string"),
-            F.lit("-"),
-            (1000 + F.col("doc_id") % 9000).cast("string"))
-        ).otherwise(F.lit("")),
-    )
-    base = d.select("doc_id", "lang", aug.alias("aug"))
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("aug"), _PII_EMAIL, "[EMAIL]"),
-            _PII_IPV4, "[IP]"),
-        _PII_PHONE, "[PHONE]")
+    base = d.select("doc_id", "lang", _pii_aug_col().alias("aug"))
+    red = _pii_red_col(F.col("aug"))
     scr = base.select(
         "lang",
         F.regexp_count("aug", F.lit(_PII_EMAIL)).alias("em"),
@@ -8407,6 +8529,112 @@ SELECT lang,
        CAST(sum(delta) AS BIGINT) AS chars_removed,
        CAST(sum(res) AS BIGINT) AS residual
 FROM scr
+GROUP BY lang
+"""
+
+
+# The curation capstone in policy order dedup -> scrub -> train: the
+# e2e oracle with the survivors' text replaced by the scrubbed text
+# (so tokd/c2/c1/scored all run over placeholders) and the scrub
+# audit columns folded per lang over the post-dedup corpus.
+T_CURATION_PII_SQL = f"""
+WITH pairs AS ({D_CDC_NEARDUP_SQL}),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+aug0 AS (
+  SELECT doc_id, lang,
+         {_PII_AUG_EXPR_SQL} AS aug
+  FROM documents
+),
+base AS (
+  SELECT doc_id, lang, aug,
+         {_pii_scrub_expr_sql('aug')} AS scr,
+         {_SPLIT_BUCKET_SQL} AS bucket
+  FROM aug0
+),
+docs AS (
+  SELECT b.doc_id, b.lang, length(b.scr) AS nb, b.bucket, b.scr AS text,
+         len(regexp_extract_all(b.aug, '{_PII_EMAIL}')) AS em,
+         len(regexp_extract_all(b.aug, '{_PII_IPV4}')) AS ip,
+         len(regexp_extract_all(b.aug, '{_PII_PHONE}')) AS ph,
+         length(b.aug) - length(b.scr) AS delta,
+         CASE WHEN dr.doc_id IS NOT NULL THEN 1 END AS dup
+  FROM base b LEFT JOIN dropped dr ON b.doc_id = dr.doc_id
+),
+tokd AS (
+  SELECT doc_id, lang, bucket,
+         generate_subscripts({_TOKENS_SQL}, 1) AS pos,
+         unnest({_TOKENS_SQL}) AS w
+  FROM docs WHERE dup IS NULL
+),
+t_bi AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM tokd a JOIN tokd b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.bucket < {_SPLIT_TRAIN}
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM t_bi GROUP BY 1, 2),
+c1 AS (SELECT w, count(*) AS c1 FROM tokd WHERE bucket < {_SPLIT_TRAIN} GROUP BY 1),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS N FROM c1),
+sb AS (
+  SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2
+  FROM tokd a JOIN tokd b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.bucket >= {_SPLIT_TRAIN}
+),
+scored AS (
+  SELECT sb.doc_id, sb.lang,
+         CASE
+           WHEN c2.c2 IS NOT NULL THEN
+             CAST(floor(-ln(CAST(c2.c2 AS DOUBLE) / u1.c1) * 1000000.0) AS BIGINT)
+           WHEN u2.c1 IS NOT NULL THEN
+             CAST(floor(-ln(0.4 * u2.c1 / t.N) * 1000000.0) AS BIGINT)
+           ELSE
+             CAST(floor(-ln(0.4 / t.N) * 1000000.0) AS BIGINT)
+         END AS s_u6
+  FROM sb
+  LEFT JOIN c2 ON c2.w1 = sb.w1 AND c2.w2 = sb.w2
+  LEFT JOIN c1 u1 ON u1.w = sb.w1
+  LEFT JOIN c1 u2 ON u2.w = sb.w2
+  CROSS JOIN tot t
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(sum(s_u6) AS BIGINT) // count(*) AS ppl_u6
+  FROM scored GROUP BY doc_id, lang
+),
+tail AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ntile(3) OVER (PARTITION BY lang ORDER BY ppl_u6, doc_id)
+             AS tercile
+    FROM per_doc
+  ) WHERE tercile = 3
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN dup IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_dedup,
+       CAST(sum(CASE WHEN p.p_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_scored,
+       CAST(sum(CASE WHEN tl.t_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tail_dropped,
+       CAST(sum(CASE WHEN dup IS NULL AND tl.t_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN dup IS NULL AND tl.t_id IS NULL THEN nb ELSE 0 END)
+            AS BIGINT) AS bytes_kept,
+       CAST(sum(CASE WHEN dup IS NULL THEN em ELSE 0 END) AS BIGINT)
+         AS pii_emails,
+       CAST(sum(CASE WHEN dup IS NULL THEN ip ELSE 0 END) AS BIGINT)
+         AS pii_ipv4s,
+       CAST(sum(CASE WHEN dup IS NULL THEN ph ELSE 0 END) AS BIGINT)
+         AS pii_phones,
+       CAST(sum(CASE WHEN dup IS NULL THEN delta ELSE 0 END) AS BIGINT)
+         AS pii_chars_removed
+FROM docs
+LEFT JOIN (SELECT DISTINCT doc_id AS p_id FROM per_doc) p
+  ON docs.doc_id = p.p_id
+LEFT JOIN (SELECT doc_id AS t_id FROM tail) tl
+  ON docs.doc_id = tl.t_id
 GROUP BY lang
 """
 
@@ -8664,6 +8892,7 @@ QUERIES = {
     "d_cdc_neardup": d_cdc_neardup,
     "d_cdc_keepers": d_cdc_keepers,
     "t_curation_e2e": t_curation_e2e,
+    "t_curation_pii": t_curation_pii,
     "s_pq_encode": s_pq_encode,
     "s_pq_recall": s_pq_recall,
     "s_pq_search": s_pq_search,
@@ -8760,6 +8989,7 @@ ORACLES = {
     "d_cdc_neardup": D_CDC_NEARDUP_SQL,
     "d_cdc_keepers": D_CDC_KEEPERS_SQL,
     "t_curation_e2e": T_CURATION_E2E_SQL,
+    "t_curation_pii": T_CURATION_PII_SQL,
     "s_pq_encode": _s_pq_encode_sql(),
     "s_pq_recall": _s_pq_recall_sql(),
     "s_pq_search": _s_pq_search_sql(),

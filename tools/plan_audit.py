@@ -1015,6 +1015,14 @@ CHECKS = {
                  "BroadcastHashJoin"],
         forbid=["CartesianProduct"],
     ),
+    # The scrub-before-train capstone shares the gate spine verbatim
+    # — same audited shape plus one narrow regex map before
+    # tokenize; nothing new may shuffle.
+    "t_curation_pii": dict(
+        require=["partial_count", "partial_sum", "Window",
+                 "BroadcastHashJoin"],
+        forbid=["CartesianProduct"],
+    ),
     # Count-Min heavy hitters: sketch build and exact side are
     # map-side-combined counts; the estimate join broadcasts the
     # constant-size (d·w-row) sketch; top-20 is a partial top-k.
