@@ -568,9 +568,59 @@ _R17_WINDOW: list = [
     't_bpe_train2', 't_bpe_train_vocab',
 ]
 
+# The round-18 driver window, pre-materialized at the mid-round
+# freeze: first 50 of the rotated registry = the 5 new round-18
+# queries (the tie-aware min/max maintenance measurement rung, the
+# scrub-before-train curation capstone, the 2- and 8-table
+# label-propagation curve points, streaming shot-boundary detection)
+# + the 4 never-checked _R17_DEFERRED entries + the oldest remaining
+# driver evidence (the r10-window remainder the r17 window didn't
+# reach, then the front of the r11 cohort).
+# test_r18_window_matches_first_fifty pins list == first-50 so drift
+# is caught before the driver runs.
+# ROUND-19 TODO: once CORRECTNESS_r18.json exists, verify its keys
+# == this list, then (a) add _R18_WINDOW to `recent`, (b) move the
+# _R18_DEFERRED block to right after the new-queries clause, (c) add
+# `n not in r18` to every explicit older-window block this window
+# reaches into (it reaches the _R10_WINDOW tail and the _R11_WINDOW
+# front — the standing footgun), (d) append _R18_WINDOW's block at
+# the END (re-front any red rows via a _R18_RED block, the _R12_RED
+# pattern).  Queries added AFTER the freeze go in _R18_DEFERRED.
+_R18_WINDOW: list = [
+    'w_mv_minmax_ties', 't_curation_pii',
+    's_labelprop_lsh_mt2', 's_labelprop_lsh_mt8',
+    'st_shot_bounds', 'm_shot_bounds',
+    'w_lakehouse_mv_minmax', 'st_mv_minmax',
+    'm_ahash_tuning', 't_bpe_encode',
+    's_pq_search_serve', 's_pq_upsert',
+    'm_chunk_dedup', 'g_remove_below_pctile',
+    'g_maximum_below', 'st_join_1h_outer',
+    'st_pq_score', 'g_cacti_style',
+    'st_lakehouse_ingest', 'w_lakehouse_timetravel',
+    'st_sessions_30m', 'g_scale',
+    'g_offset', 'g_alias_by_node',
+    'g_hitcount', 'g_consolidate_by',
+    'g_remove_below_value', 'g_remove_above_value',
+    'g_average_above', 'g_current_above',
+    'g_integral_by_interval', 'g_sort_by_maxima',
+    'd_neardup_clusters', 'd_dedup_keepers',
+    'd_jaccard_pairs', 'd_minhash_sigs',
+    't_bigram_freq', 'w_xff_sensitivity',
+    'w_derivative_1h', 'w_sliding_1h_30m',
+    'w_percentiles_1d', 'w_rollup_6h',
+    'w_cascade_1d', 'w_agg_methods_1d',
+    'w_fetch_dense_3d', 'w_fetch_coarse_30d',
+    'w_retention_7d', 'w_diff_series',
+    'w_fill_merge', 'r_q1_pricing',
+]
+
+# Queries added late in round 18, after the round-18 window freeze.
+# Never driver-checked; they FRONT the round-19 window right after
+# any genuinely-new round-19 queries (the standing deferral rule).
+_R18_DEFERRED: list = []
+
 # Queries added late in round 17, after the round-17 window freeze.
-# Never driver-checked; they FRONT the round-18 window right after
-# any genuinely-new round-18 queries (the standing deferral rule).
+# All 4 driver-checked green in round 18's window (they front it).
 _R17_DEFERRED: list = [
     "m_shot_bounds",
     "w_lakehouse_mv_minmax",
@@ -732,7 +782,7 @@ def _registry():
             | set(_R11_DEFERRED) | set(_R12_DEFERRED)
             | set(_R13_DEFERRED) | set(_R14_DEFERRED)
             | set(_R15_DEFERRED) | set(_R16_DEFERRED)
-            | set(_R17_DEFERRED))
+            | set(_R17_DEFERRED) | set(_R18_DEFERRED))
     order = (
         [n for n in queries if n not in seen]
         # Never-driver-checked round-17 late additions (video
@@ -818,6 +868,9 @@ def _registry():
         # Most recently checked, so last (50/50 green in
         # CORRECTNESS_r17 — fifth consecutive fully-green window).
         + [n for n in _R17_WINDOW if n in queries]
+        # Late round-18 additions: past the frozen window; the
+        # round-19 rotation re-fronts them via the standing rule.
+        + [n for n in _R18_DEFERRED if n in queries and n not in recent]
     )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}
