@@ -617,7 +617,9 @@ _R18_WINDOW: list = [
 # Queries added late in round 18, after the round-18 window freeze.
 # Never driver-checked; they FRONT the round-19 window right after
 # any genuinely-new round-19 queries (the standing deferral rule).
-_R18_DEFERRED: list = []
+_R18_DEFERRED: list = [
+    "m_ahash_multiprobe",
+]
 
 # Queries added late in round 17, after the round-17 window freeze.
 # All 4 driver-checked green in round 18's window (they front it).

@@ -104,8 +104,15 @@ HEADLINE = [
     # (round-9 idle: common-36 = 25.8 s vs round-8-era 27.1 s;
     # s_pq_search's 6.6 s includes rebuilding the PQ-IVF index every
     # run — a one-time cost in any real deployment, kept in the query
-    # so the driver-contract function stays self-contained)
-    "s_pq_search",
+    # so the driver-contract function stays self-contained).
+    # s_pq_search RETIRED in round 18 (VERDICT r17 item 5, the
+    # w_truss_decomp precedent): its build-inclusive cost has NINE
+    # consecutive driver records (BENCH_r9-r17, 6.1-7.2 s — far past
+    # the two the rotation policy requires), and the read path a
+    # deployment actually serves is priced by its four standing
+    # splits (s_pq_search_serve / _filtered / _mp below + s_pq_upsert
+    # in the registry).  Stays oracle-gated in the registry; the
+    # train/encode build class keeps s_pq_encode's driver gate.
     "t_span_dedup",
     "s_semantic_dedup",
     "t_decontam",
@@ -240,7 +247,16 @@ HEADLINE = [
     # (lakehouse verbs — commit-log table builds per rep, pinned by
     # pytest + the driver gate).
     # NOTE for cross-round totals: the set went 64 → 63 in round 17
-    # (truss retired) → 65 here; compare common subsets.
+    # (truss retired) → 65 (pii + shot bounds) → 64 in round 18
+    # (s_pq_search retired, note above); compare common subsets.
+    # round 18: NOT added by policy — st_shot_bounds (streaming
+    # replay harnesses never bench; the batch twin m_shot_bounds
+    # carries the number), w_mv_minmax_ties / w_lakehouse_mv_minmax
+    # (lakehouse verbs — commit-log table builds per rep),
+    # s_labelprop_lsh_mt2/_mt8 (the exact side embeds the fenced
+    # all-pairs baseline, like the other curve rungs),
+    # t_curation_pii (t_curation_e2e prices the capstone class; the
+    # pii delta is one regex map, priced by t_pii_scrub).
     "t_pii_scrub",
     "m_shot_bounds",
 ]
