@@ -49,3 +49,16 @@ def test_mt_lsh_pairs_prefix_nested(spark, sf_dir):
     # recover extra verified pairs — if this ever regresses to
     # equality the curve rungs are measuring nothing
     assert len(sets[8]) > len(sets[2])
+
+
+def test_labelprop_fixpoint_empty_frames(spark):
+    """ADVICE r17: an empty node frame aggregates delta to NULL —
+    the loop must treat that as the (trivial) fixpoint, not spin
+    _LP_MAX_ROUNDS no-op rounds into a bogus non-convergence error."""
+    from go_whisper_spark.operators.llm_ops import _labelprop_fixpoint
+
+    nodes = spark.createDataFrame([], "node long")
+    pairs = spark.createDataFrame([], "ida long, idb long")
+    lab, iters = _labelprop_fixpoint(nodes, pairs)
+    assert lab.count() == 0
+    assert iters == 1
