@@ -578,14 +578,16 @@ _R17_WINDOW: list = [
 # reach, then the front of the r11 cohort).
 # test_r18_window_matches_first_fifty pins list == first-50 so drift
 # is caught before the driver runs.
-# ROUND-19 TODO: once CORRECTNESS_r18.json exists, verify its keys
-# == this list, then (a) add _R18_WINDOW to `recent`, (b) move the
-# _R18_DEFERRED block to right after the new-queries clause, (c) add
-# `n not in r18` to every explicit older-window block this window
-# reaches into (it reaches the _R10_WINDOW tail and the _R11_WINDOW
-# front — the standing footgun), (d) append _R18_WINDOW's block at
-# the END (re-front any red rows via a _R18_RED block, the _R12_RED
-# pattern).  Queries added AFTER the freeze go in _R18_DEFERRED.
+# ROUND-19 rotation APPLIED per VERDICT r18 item 1 — all four
+# steps: CORRECTNESS_r18.json keys verified == this list (50/50
+# green, re-checked programmatically this round); (a) _R18_WINDOW
+# joined `recent`; (b) the _R18_DEFERRED block moved to right after
+# the new-queries clause; (c) `n not in r18` added to every explicit
+# older-window block (this window reached 41 of _R10_WINDOW; the
+# TODO's guess that it also reached _R11_WINDOW was measured FALSE —
+# overlap 0 — but the filter is applied uniformly anyway, the
+# standing footgun guard); (d) _R18_WINDOW's block appended at the
+# END (50/50 green, so no _R18_RED block exists).
 _R18_WINDOW: list = [
     'w_mv_minmax_ties', 't_curation_pii',
     's_labelprop_lsh_mt2', 's_labelprop_lsh_mt8',
@@ -776,8 +778,9 @@ def _registry():
     r15 = set(_R15_WINDOW)
     r16 = set(_R16_WINDOW)
     r17 = set(_R17_WINDOW)
+    r18 = set(_R18_WINDOW)
     recent = (r07 | r08 | r09 | r10 | r11 | r12 | r13 | r14 | r15 | r16
-              | r17)
+              | r17 | r18)
     seen = (set(_R6_DEFERRED) | set(_R04_CHECKED) | set(_R05_CHECKED)
             | set(_R06_CHECKED) | recent | set(_R08_DEFERRED)
             | set(_R09_DEFERRED) | set(_R10_DEFERRED)
@@ -787,13 +790,15 @@ def _registry():
             | set(_R17_DEFERRED) | set(_R18_DEFERRED))
     order = (
         [n for n in queries if n not in seen]
-        # Never-driver-checked round-17 late additions (video
-        # shot-boundary detection, batch + streaming min/max MV
-        # maintenance at the non-self-maintainability boundary, the
-        # aHash banding knob sweep) front the round-18 window, right
-        # after any genuinely-new queries (the standing deferral
-        # rule).  All 4 were verified green by the round-17 judge's
-        # exact-typed local gate but have never seen a driver row.
+        # Never-driver-checked round-18 late addition (the multi-probe
+        # aHash banding rung) fronts the round-19 window, right after
+        # any genuinely-new queries (the standing deferral rule).  It
+        # was verified green by the round-18 judge's exact-typed local
+        # gate but has never seen a driver row.
+        + [n for n in _R18_DEFERRED if n in queries and n not in recent]
+        # _R17_DEFERRED ⊂ _R18_WINDOW (all 4 checked green in round
+        # 18), so this block filters to empty; kept for the audit
+        # trail.
         + [n for n in _R17_DEFERRED if n in queries and n not in recent]
         # _R16_DEFERRED ⊂ _R17_WINDOW (all 6 checked green in round
         # 17), so this block filters to empty; kept for the audit
@@ -836,43 +841,47 @@ def _registry():
         # since).
         + [n for n in _R07_WINDOW
            if n in queries and n not in r13 and n not in r14
-           and n not in r15 and n not in r16 and n not in r17]
+           and n not in r15 and n not in r16 and n not in r17
+           and n not in r18]
         + [n for n in _R08_WINDOW
            if n in queries and n not in r13 and n not in r14
-           and n not in r15 and n not in r16 and n not in r17]
+           and n not in r15 and n not in r16 and n not in r17
+           and n not in r18]
         + [n for n in _R09_WINDOW
            if n in queries and n not in r13 and n not in r14
-           and n not in r15 and n not in r16 and n not in r17]
+           and n not in r15 and n not in r16 and n not in r17
+           and n not in r18]
         + [n for n in _R10_WINDOW
            if n in queries and n not in r13 and n not in r14
-           and n not in r15 and n not in r16 and n not in r17]
+           and n not in r15 and n not in r16 and n not in r17
+           and n not in r18]
         + [n for n in _R11_WINDOW
            if n in queries and n not in r13 and n not in r14
-           and n not in r15 and n not in r16 and n not in r17]
+           and n not in r15 and n not in r16 and n not in r17
+           and n not in r18]
         # s_kmeans_step stays excluded here (it re-checked GREEN in
         # round 13, so its _R13_WINDOW spot below is authoritative and
         # the exclusion keeps the order list duplicate-free).
         + [n for n in _R12_WINDOW
            if n in queries and n not in _R12_RED and n not in r13
            and n not in r14 and n not in r15 and n not in r16
-           and n not in r17]
+           and n not in r17 and n not in r18]
         # r14's window absorbed 5 of _R13_DEFERRED but zero of
         # _R13_WINDOW; the filter keeps the order duplicate-free if
         # a future window ever reaches in.
         + [n for n in _R13_WINDOW
            if n in queries and n not in r14 and n not in r15
-           and n not in r16 and n not in r17]
+           and n not in r16 and n not in r17 and n not in r18]
         + [n for n in _R14_WINDOW if n in queries and n not in r15
-           and n not in r16 and n not in r17]
+           and n not in r16 and n not in r17 and n not in r18]
         + [n for n in _R15_WINDOW if n in queries and n not in r16
-           and n not in r17]
-        + [n for n in _R16_WINDOW if n in queries and n not in r17]
+           and n not in r17 and n not in r18]
+        + [n for n in _R16_WINDOW if n in queries and n not in r17
+           and n not in r18]
+        + [n for n in _R17_WINDOW if n in queries and n not in r18]
         # Most recently checked, so last (50/50 green in
-        # CORRECTNESS_r17 — fifth consecutive fully-green window).
-        + [n for n in _R17_WINDOW if n in queries]
-        # Late round-18 additions: past the frozen window; the
-        # round-19 rotation re-fronts them via the standing rule.
-        + [n for n in _R18_DEFERRED if n in queries and n not in recent]
+        # CORRECTNESS_r18 — sixth consecutive fully-green window).
+        + [n for n in _R18_WINDOW if n in queries]
     )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}

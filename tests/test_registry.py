@@ -282,13 +282,12 @@ def test_r17_window_matches_driver_record():
 
 
 def test_round18_window_disjoint_from_r17():
-    """First 50 of the rotated registry must not re-check the rounds
-    15-17 greens (round 17 was fully green, so no red row re-fronts)
-    and must front every never-driver-checked round-17 deferral.
-    The r11-cohort-era remainder IS expected in the window — it is
-    the oldest driver evidence and rotation exists to re-check it."""
-    queries, _ = entry._registry()
-    window = list(queries)[:50]
+    """The round-18 window (now the historical _R18_WINDOW list) did
+    not re-check the rounds 15-17 greens (round 17 was fully green,
+    so no red row re-fronted) and fronted every never-driver-checked
+    round-17 deferral.  The r10-window remainder WAS expected in the
+    window — it was the oldest driver evidence at the time."""
+    window = entry._R18_WINDOW
     assert not set(window) & set(entry._R17_WINDOW), (
         "round-18 window re-checks round-17 greens")
     assert not set(window) & set(entry._R16_WINDOW)
@@ -297,17 +296,45 @@ def test_round18_window_disjoint_from_r17():
     assert not missing, f"never-checked deferrals missed the window: {missing}"
 
 
-def test_r18_window_matches_first_fifty():
-    """Once frozen mid-round, the pre-materialized round-18 window
-    list (the round-19 rotation seed) must stay equal to the
-    registry's actual first 50 — the drift failure mode enforced
-    every round since round 8.  Late round-18 additions belong in
-    _R18_DEFERRED, which this equality keeps OUT of the window."""
-    if not getattr(entry, "_R18_WINDOW", None):
-        pytest.skip("_R18_WINDOW not yet frozen this round")
-    queries, _ = entry._registry()
-    assert entry._R18_WINDOW == list(queries)[:50]
+def test_r18_window_matches_driver_record():
+    """_R18_WINDOW (the round-19 rotation seed) must equal the window
+    the driver actually hashed in round 18 (50/50 green — zero red
+    rows, so no _R18_RED block exists)."""
+    rec = _correctness(18)
+    assert len(entry._R18_WINDOW) == 50
     assert len(set(entry._R18_WINDOW)) == 50
+    assert set(entry._R18_WINDOW) == set(rec.keys())
+    red = {n for n, r in rec.items() if r.get("err") or not r.get("hash_match")}
+    assert not red, f"round-18 record has red rows with no _R18_RED block: {red}"
+
+
+def test_round19_window_disjoint_from_r18():
+    """First 50 of the rotated registry must not re-check the rounds
+    16-18 greens (round 18 was fully green, so no red row re-fronts)
+    and must front every never-driver-checked round-18 deferral.
+    The r11-cohort-era remainder IS expected in the window — it is
+    the oldest driver evidence and rotation exists to re-check it."""
+    queries, _ = entry._registry()
+    window = list(queries)[:50]
+    assert not set(window) & set(entry._R18_WINDOW), (
+        "round-19 window re-checks round-18 greens")
+    assert not set(window) & set(entry._R17_WINDOW)
+    assert not set(window) & set(entry._R16_WINDOW)
+    missing = [n for n in entry._R18_DEFERRED if n not in window]
+    assert not missing, f"never-checked deferrals missed the window: {missing}"
+
+
+def test_r19_window_matches_first_fifty():
+    """Once frozen mid-round, the pre-materialized round-19 window
+    list (the round-20 rotation seed) must stay equal to the
+    registry's actual first 50 — the drift failure mode enforced
+    every round since round 8.  Late round-19 additions belong in
+    _R19_DEFERRED, which this equality keeps OUT of the window."""
+    if not getattr(entry, "_R19_WINDOW", None):
+        pytest.skip("_R19_WINDOW not yet frozen this round")
+    queries, _ = entry._registry()
+    assert entry._R19_WINDOW == list(queries)[:50]
+    assert len(set(entry._R19_WINDOW)) == 50
 
 
 def test_checked_cohorts_are_registered():
@@ -323,6 +350,8 @@ def test_checked_cohorts_are_registered():
                 entry._R13_WINDOW, entry._R13_DEFERRED,
                 entry._R14_WINDOW, entry._R14_DEFERRED,
                 entry._R15_WINDOW, entry._R15_DEFERRED,
-                entry._R16_WINDOW, entry._R16_DEFERRED):
+                entry._R16_WINDOW, entry._R16_DEFERRED,
+                entry._R17_WINDOW, entry._R17_DEFERRED,
+                entry._R18_WINDOW, entry._R18_DEFERRED):
         missing = [n for n in lst if n not in queries]
         assert not missing, f"cohort names not in registry: {missing}"
