@@ -8480,46 +8480,32 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Built from the SAME `_PII_AUG_EXPR_SQL` / `_pii_scrub_expr_sql`
+# helpers as T_CURATION_PII_SQL (ADVICE r18: two hand-inlined copies
+# of the injection + chained-redaction SQL can silently drift); the
+# redacted string is hoisted into its own CTE column so the 4x
+# repeated triple-regexp_replace collapses to one.
 T_PII_SCRUB_SQL = rf"""
-WITH aug AS (
+WITH aug0 AS (
   SELECT lang,
-         text
-         || CASE WHEN doc_id % 3 = 0
-                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
-                      || '@example.com' ELSE '' END
-         || CASE WHEN doc_id % 5 = 0
-                 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
-                      || '.' || CAST(doc_id % 100 AS VARCHAR)
-                 ELSE '' END
-         || CASE WHEN doc_id % 7 = 0
-                 THEN ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
-                      || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
-                 ELSE '' END AS aug
+         {_PII_AUG_EXPR_SQL} AS aug
   FROM documents
+),
+red AS (
+  SELECT lang, aug,
+         {_pii_scrub_expr_sql('aug')} AS scr
+  FROM aug0
 ),
 scr AS (
   SELECT lang,
          len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS em,
          len(regexp_extract_all(aug, '{_PII_IPV4}')) AS ip,
          len(regexp_extract_all(aug, '{_PII_PHONE}')) AS ph,
-         length(aug) - length(
-           regexp_replace(regexp_replace(regexp_replace(
-             aug, '{_PII_EMAIL}', '[EMAIL]', 'g'),
-             '{_PII_IPV4}', '[IP]', 'g'),
-             '{_PII_PHONE}', '[PHONE]', 'g')) AS delta,
-         len(regexp_extract_all(regexp_replace(regexp_replace(
-             regexp_replace(aug, '{_PII_EMAIL}', '[EMAIL]', 'g'),
-             '{_PII_IPV4}', '[IP]', 'g'),
-             '{_PII_PHONE}', '[PHONE]', 'g'), '{_PII_EMAIL}'))
-         + len(regexp_extract_all(regexp_replace(regexp_replace(
-             regexp_replace(aug, '{_PII_EMAIL}', '[EMAIL]', 'g'),
-             '{_PII_IPV4}', '[IP]', 'g'),
-             '{_PII_PHONE}', '[PHONE]', 'g'), '{_PII_IPV4}'))
-         + len(regexp_extract_all(regexp_replace(regexp_replace(
-             regexp_replace(aug, '{_PII_EMAIL}', '[EMAIL]', 'g'),
-             '{_PII_IPV4}', '[IP]', 'g'),
-             '{_PII_PHONE}', '[PHONE]', 'g'), '{_PII_PHONE}')) AS res
-  FROM aug
+         length(aug) - length(scr) AS delta,
+         len(regexp_extract_all(scr, '{_PII_EMAIL}'))
+         + len(regexp_extract_all(scr, '{_PII_IPV4}'))
+         + len(regexp_extract_all(scr, '{_PII_PHONE}')) AS res
+  FROM red
 )
 SELECT lang,
        count(*) AS n_docs,

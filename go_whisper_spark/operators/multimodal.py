@@ -988,27 +988,33 @@ def m_ahash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _m_ahash_multiprobe_sql() -> str:
+    # Chunk CTEs are keyed by BANDS only (ADVICE r18): the chunk
+    # relation depends on (bands, width) alone, so the radius-0 and
+    # radius-1 variants of a banding share ONE materialization
+    # instead of DuckDB computing byte-identical copies twice.
     cfgs = []
-    for bands, width, radius in _AHASH_MP_SWEEP:
-        tag = f"c{bands}r{radius}"
-        probe = f"""pr{tag} AS MATERIALIZED (
-  SELECT doc_id, band, chunk FROM ch{tag}
-)""" if radius == 0 else f"""pr{tag} AS MATERIALIZED (
-  SELECT doc_id, band, chunk FROM ch{tag}
-  UNION ALL
-  SELECT doc_id, band, xor(chunk, 1::BIGINT << (k - 1)) AS chunk
-  FROM ch{tag}, generate_series(1, {width}) AS gk(k)
-)"""
-        cfgs.append(f"""ch{tag} AS MATERIALIZED (
+    for bands, width in dict.fromkeys(
+            (b, w) for b, w, _ in _AHASH_MP_SWEEP):
+        cfgs.append(f"""ch_c{bands} AS MATERIALIZED (
   SELECT doc_id, j AS band,
          list_sum(list_transform(generate_series(1, {width}),
            k -> b[k + {width} * j] * (1::BIGINT << (k - 1)))) AS chunk
   FROM led, generate_series(0, {bands - 1}) AS g(j)
-),
-{probe},
+)""")
+    for bands, width, radius in _AHASH_MP_SWEEP:
+        tag = f"c{bands}r{radius}"
+        probe = f"""pr{tag} AS MATERIALIZED (
+  SELECT doc_id, band, chunk FROM ch_c{bands}
+)""" if radius == 0 else f"""pr{tag} AS MATERIALIZED (
+  SELECT doc_id, band, chunk FROM ch_c{bands}
+  UNION ALL
+  SELECT doc_id, band, xor(chunk, 1::BIGINT << (k - 1)) AS chunk
+  FROM ch_c{bands}, generate_series(1, {width}) AS gk(k)
+)"""
+        cfgs.append(f"""{probe},
 cand{tag} AS MATERIALIZED (
   SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
-  FROM pr{tag} x JOIN ch{tag} y
+  FROM pr{tag} x JOIN ch_c{bands} y
     ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
 )""")
     selects = []

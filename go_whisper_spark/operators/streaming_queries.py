@@ -1755,6 +1755,9 @@ def st_shot_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _replay(
         spark, marked, lambda s: streaming_shot_hamming(_shot_hash(s))
     )
+    if not os.path.isdir(out):           # frame-free stream: empty ledger
+        return spark.createDataFrame(
+            [], "media_id long, n_frames long, n_shots long, max_ham long")
     return _shot_ledger(spark.read.parquet(out))
 
 

@@ -197,3 +197,19 @@ def test_st_shot_bounds_equals_batch(spark, sf_dir):
     batch = sorted(map(tuple, m_shot_bounds(spark, sf_dir).collect()))
     streamed = sorted(map(tuple, st_shot_bounds(spark, sf_dir).collect()))
     assert streamed == batch
+
+
+def test_st_shot_bounds_frame_free_stream(spark, monkeypatch):
+    """A corpus with zero qualifying videos (no doc holds >= 2 full
+    frames) never materializes the replay sink, so the guard must
+    return an EMPTY frame with the ledger schema instead of raising
+    on the missing parquet path (ADVICE r18: the st_truss edge-free
+    guard, mirrored)."""
+    from go_whisper_spark.operators import multimodal
+    from go_whisper_spark.operators.streaming_queries import st_shot_bounds
+
+    empty = spark.createDataFrame([], "media_id long, text string, n int")
+    monkeypatch.setattr(multimodal, "_shot_videos", lambda *_: empty)
+    out = st_shot_bounds(spark, "unused")
+    assert out.columns == ["media_id", "n_frames", "n_shots", "max_ham"]
+    assert out.count() == 0
