@@ -1237,8 +1237,153 @@ def _shot_ledger(ham: DataFrame) -> DataFrame:
     )
 
 
-M_SHOT_BOUNDS_SQL = f"""
-WITH vid AS (
+_SCENE_DF_CAP = 64  # (band, chunk) document-frequency fence for the
+#                     scene-dedup candidate join — the
+#                     capped_posting_pairs discipline on the shot
+#                     modality.  MEASURED: a no-op at sf0.01 (max
+#                     bucket 40) and the boilerplate filter at sf0.1
+#                     (948,237 -> 61,152 candidates, 15.5x — the cut
+#                     pairs live in near-saturated chunks like
+#                     0b11101111 with df up to 481: low-information
+#                     shots whose hashes all look alike, the video
+#                     twin of stop-shingles)
+
+
+def m_scene_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOT-LEVEL scene deduplication — the consumer `m_shot_bounds`'
+    segmentation exists for (VERDICT r18 item 3; docs/SCALE.md names
+    keyframe selection / scene dedup / clip segmentation as the
+    downstream): per shot take the FIRST frame as the representative
+    keyframe (a boundary frame by construction — no second window
+    shuffle; the rep relation is the `h IS NULL OR h > thresh` filter
+    of the per-frame hamming the segmentation already computed), then
+    find cross-video near-duplicate shots with the SHIPPED 8x8 aHash
+    banding (`m_ahash_tuning`'s measured choice, chunks spelled
+    identically) + exact hamming <= 10 verification,
+    and fold to the per-video-PAIR ledger a curation stage consumes —
+    the way `d_dedup_keepers` turned pair evidence into a decision
+    for text.
+
+    The candidate join carries the `capped_posting_pairs` skew fence
+    on (band, chunk) postings (df <= 64): shot hashes are heavily
+    skewed toward near-saturated chunks (synthetic byte-text frames
+    are bright, so whole bands read 0b11101111 — hottest bucket df
+    481 of 2,006 reps at sf0.1), and MEASURED at sf0.1 the fence
+    cuts 948,237 candidates to 61,152 (15.5x) — what it drops are
+    boilerplate-shot matches (12,615 -> 2,338 verified shot pairs;
+    the cut pairs pass the hamming gate but pair low-information
+    keyframes every video contains), the exact video analogue of
+    stop-shingle removal in `d_jaccard_pairs`.  At sf0.01 the cap
+    does not bind (max bucket 40; 8,061 candidates, 131 verified
+    shot pairs -> 129 video pairs either way).
+
+    Ledger per video pair (ida < idb): verified shot-pair count, how
+    many DISTINCT shots of each side matched, each side's shot
+    count, the min hamming, and the curation flag `scene_dup` = a
+    majority of either video's shots have a near-dup in the other
+    (integer arithmetic, no float threshold — the `d_cdc_neardup`
+    gate discipline).
+
+    Scale shape: segmentation + hashing reuse the one-shuffle window
+    plan; banding is a codegen explode; the df fence bounds the
+    equi-join at cap-1 partners per posting row (work ∝ sum of df²
+    over df<=cap buckets, never |shots|²); verification broadcasts
+    the O(reps) bit
+    ledger; the pair fold is one aggregate over O(verified) rows.
+    [pins _shot_bit_frames/_shot_hash shared verbatim;
+    capped_posting_pairs: llm_ops.py]"""
+    bits = _shot_bit_frames(_shot_videos(spark, sf_dir))
+    w = Window.partitionBy("media_id").orderBy("f")
+    ham = bits.select(
+        "media_id", "f", "b",
+        F.zip_with("b", F.lag("b").over(w),
+                   lambda x, y: F.abs(x - y)).alias("d"),
+    ).select(
+        "media_id", "f", "b",
+        F.expr("aggregate(d, 0, (acc, x) -> acc + x)").alias("h"),
+    )
+    # first frame of each shot: f=0 (h NULL) or a boundary jump —
+    # same partitioning/order as the lag window, so no extra shuffle
+    rep = (
+        ham.where(F.col("h").isNull() | (F.col("h") > _SHOT_THRESH))
+        .select("media_id", (F.row_number().over(w) - 1).alias("shot"),
+                "b")
+        .localCheckpoint()
+    )
+    nshots = rep.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_shots"))
+    banded = rep.select(
+        "media_id", "shot",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.expr(
+                    f"aggregate(transform(sequence(1, {_AHASH_BAND_BITS}), "
+                    f"k -> element_at(b, k + {_AHASH_BAND_BITS * j}) * "
+                    f"shiftleft(1, k - 1)), 0, (acc, x) -> acc + x)"
+                ).alias("chunk"))
+            for j in range(_AHASH_BANDS)
+        ])).alias("bc"),
+    ).select("media_id", "shot", "bc.band", "bc.chunk")
+    freq = banded.groupBy("band", "chunk").agg(F.count("*").alias("df"))
+    live = banded.join(freq.where(F.col("df") <= _SCENE_DF_CAP),
+                       ["band", "chunk"])
+    cand = (
+        live.alias("a").join(live.alias("b"), ["band", "chunk"])
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .select(F.col("a.media_id").alias("ida"),
+                F.col("a.shot").alias("sa"),
+                F.col("b.media_id").alias("idb"),
+                F.col("b.shot").alias("sb"))
+        .distinct()
+    )
+    ver = (
+        cand
+        .join(F.broadcast(rep.select(F.col("media_id").alias("ida"),
+                                     F.col("shot").alias("sa"),
+                                     F.col("b").alias("ba"))),
+              ["ida", "sa"])
+        .join(F.broadcast(rep.select(F.col("media_id").alias("idb"),
+                                     F.col("shot").alias("sb"),
+                                     F.col("b").alias("bb"))),
+              ["idb", "sb"])
+        .select(
+            "ida", "sa", "idb", "sb",
+            F.expr("aggregate(zip_with(ba, bb, (x, y) -> abs(x - y)), "
+                   "0, (acc, x) -> acc + x)").alias("hm"),
+        )
+        .where(F.col("hm") <= _AHASH_MAX_HAM)
+    )
+    pairs = ver.groupBy("ida", "idb").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.countDistinct("sa").cast("long").alias("n_dup_a"),
+        F.countDistinct("sb").cast("long").alias("n_dup_b"),
+        F.min("hm").cast("long").alias("min_ham"),
+    )
+    return (
+        pairs
+        .join(F.broadcast(nshots.select(F.col("media_id").alias("ida"),
+                                        F.col("n_shots")
+                                        .alias("shots_a"))), "ida")
+        .join(F.broadcast(nshots.select(F.col("media_id").alias("idb"),
+                                        F.col("n_shots")
+                                        .alias("shots_b"))), "idb")
+        .select(
+            "ida", "idb", "shots_a", "shots_b",
+            "n_pairs", "n_dup_a", "n_dup_b", "min_ham",
+            ((2 * F.col("n_dup_a") >= F.col("shots_a"))
+             | (2 * F.col("n_dup_b") >= F.col("shots_b")))
+            .cast("long").alias("scene_dup"),
+        )
+    )
+
+
+# The vid -> frames -> bits -> per-frame-hamming CTE prefix, shared
+# by M_SHOT_BOUNDS_SQL (and via it st_shot_bounds' oracle) and the
+# scene-dedup oracle — one spelling of the frame hash/lag math, the
+# ADVICE-r18 shared-fragment discipline.  `ham` carries `b` so
+# downstream consumers can reach the rep frame's bits.
+_SHOT_HAM_CTES_SQL = f"""vid AS (
   SELECT doc_id AS media_id, text, strlen(text) AS n
   FROM documents
   WHERE doc_id % 3 = 2 AND strlen(text) >= {2 * _SHOT_FRAME}
@@ -1259,12 +1404,84 @@ bits AS (
   FROM fr
 ),
 ham AS (
-  SELECT media_id, f,
+  SELECT media_id, f, b,
          list_sum(list_transform(generate_series(1, {_SHOT_FRAME}),
            k -> abs(b[k] - (lag(b) OVER
                 (PARTITION BY media_id ORDER BY f))[k]))) AS h
   FROM bits
+)"""
+
+
+# Scene-dedup oracle: the shared shot CTE prefix, rep = boundary
+# frames numbered per video, the 8x8 banding with the df<=cap fence,
+# exact hamming verify, per-video-pair fold — each stage the SQL
+# restatement of the Spark stage above it.
+M_SCENE_DEDUP_SQL = f"""
+WITH {_SHOT_HAM_CTES_SQL},
+rep AS MATERIALIZED (
+  SELECT media_id,
+         row_number() OVER (PARTITION BY media_id ORDER BY f) - 1 AS shot,
+         b
+  FROM ham
+  WHERE h IS NULL OR h > {_SHOT_THRESH}
+),
+nshots AS (
+  SELECT media_id, count(*) AS n_shots FROM rep GROUP BY media_id
+),
+banded AS MATERIALIZED (
+  SELECT media_id, shot, j AS band,
+         list_sum(list_transform(generate_series(1, {_AHASH_BAND_BITS}),
+           k -> b[k + {_AHASH_BAND_BITS} * j]
+                * (1::BIGINT << (k - 1)))) AS chunk
+  FROM rep, generate_series(0, {_AHASH_BANDS - 1}) AS g(j)
+),
+live AS (
+  SELECT banded.* FROM banded
+  JOIN (SELECT band, chunk FROM banded GROUP BY band, chunk
+        HAVING count(*) <= {_SCENE_DF_CAP}) ok
+  USING (band, chunk)
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS ida, a.shot AS sa,
+                  b.media_id AS idb, b.shot AS sb
+  FROM live a JOIN live b
+    ON a.band = b.band AND a.chunk = b.chunk
+   AND a.media_id < b.media_id
+),
+ver AS (
+  SELECT c.ida, c.sa, c.idb, c.sb,
+         list_sum(list_transform(generate_series(1, {_SHOT_FRAME}),
+           k -> abs(ra.b[k] - rb.b[k]))) AS hm
+  FROM cand c
+  JOIN rep ra ON ra.media_id = c.ida AND ra.shot = c.sa
+  JOIN rep rb ON rb.media_id = c.idb AND rb.shot = c.sb
+  WHERE hm <= {_AHASH_MAX_HAM}
+),
+pairs AS (
+  SELECT ida, idb,
+         count(*) AS n_pairs,
+         count(DISTINCT sa) AS n_dup_a,
+         count(DISTINCT sb) AS n_dup_b,
+         min(hm) AS min_ham
+  FROM ver GROUP BY ida, idb
 )
+SELECT p.ida, p.idb,
+       na.n_shots AS shots_a, nb.n_shots AS shots_b,
+       CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       CAST(p.n_dup_a AS BIGINT) AS n_dup_a,
+       CAST(p.n_dup_b AS BIGINT) AS n_dup_b,
+       CAST(p.min_ham AS BIGINT) AS min_ham,
+       CAST(CASE WHEN 2 * p.n_dup_a >= na.n_shots
+                   OR 2 * p.n_dup_b >= nb.n_shots
+            THEN 1 ELSE 0 END AS BIGINT) AS scene_dup
+FROM pairs p
+JOIN nshots na ON na.media_id = p.ida
+JOIN nshots nb ON nb.media_id = p.idb
+"""
+
+
+M_SHOT_BOUNDS_SQL = f"""
+WITH {_SHOT_HAM_CTES_SQL}
 SELECT media_id,
        count(*) AS n_frames,
        CAST(1 + sum(CASE WHEN h > {_SHOT_THRESH} THEN 1 ELSE 0 END)
@@ -1279,6 +1496,7 @@ QUERIES = {
     "m_decode_stats": m_decode_stats,
     "m_ahash_neardup": m_ahash_neardup,
     "m_shot_bounds": m_shot_bounds,
+    "m_scene_dedup": m_scene_dedup,
     "m_ahash_tuning": m_ahash_tuning,
     "m_ahash_multiprobe": m_ahash_multiprobe,
     "m_feature_norms": m_feature_norms,
@@ -1538,6 +1756,7 @@ FROM per JOIN by_kind ON per.kind = by_kind.kind
 ORACLES: dict = {
     "m_ahash_neardup": M_AHASH_NEARDUP_SQL,
     "m_shot_bounds": M_SHOT_BOUNDS_SQL,
+    "m_scene_dedup": M_SCENE_DEDUP_SQL,
     "m_ahash_tuning": _m_ahash_tuning_sql(),
     "m_ahash_multiprobe": _m_ahash_multiprobe_sql(),
     "m_decode_stats": M_DECODE_STATS_SQL,

@@ -153,3 +153,35 @@ def test_cdc_boundaries_deterministic_and_cover(spark):
         assert sorted(set(r.ends)) == list(r.ends)
     one = [r for r in ends if r.media_id == 1][0]
     assert one.ends == [1]
+
+
+def test_scene_dedup_crafted_videos_and_df_fence(spark, monkeypatch):
+    """m_scene_dedup on crafted videos, pinning both the pair logic
+    and the df-cap skew fence: videos 1 and 2 are frame-identical
+    two-shot videos (frames P P Q Q — ham(P, Q) = 64 forces the
+    boundary), so BOTH their shots must pair at hamming 0 and the
+    scene_dup majority flag must fire; 70 single-frame videos all
+    share the boilerplate frame S, so every (band, chunk) bucket S
+    occupies has df = 70..72 > cap and the fence must drop ALL their
+    pairs (the test_skew_fence hot-key discipline on the shot
+    modality) — including the S-adjacent buckets P and Q also land
+    in, which is why the 1-2 row survives through its PRIVATE
+    buckets only."""
+    P = chr(200) * 32 + chr(10) * 32   # bits: 32 ones then 32 zeros
+    Q = chr(10) * 32 + chr(200) * 32   # the mirror: ham(P, Q) = 64
+    S = chr(200) * 8 + chr(10) * 56    # boilerplate: 8 ones, 56 zeros
+    rows = [(1, P + P + Q + Q), (2, P + P + Q + Q)]
+    rows += [(100 + i, S) for i in range(70)]
+    vid = spark.createDataFrame(
+        [(m, t, len(t)) for m, t in rows],
+        "media_id long, text string, n int",
+    )
+    monkeypatch.setattr(mm, "_shot_videos", lambda *_: vid)
+    got = mm.m_scene_dedup(spark, "unused").collect()
+    assert len(got) == 1, got
+    r = got[0]
+    assert (r.ida, r.idb) == (1, 2)
+    assert (r.shots_a, r.shots_b) == (2, 2)
+    assert (r.n_pairs, r.n_dup_a, r.n_dup_b) == (2, 2, 2)
+    assert r.min_ham == 0
+    assert r.scene_dup == 1

@@ -1251,6 +1251,19 @@ CHECKS = {
                 "SortMergeJoin", "BroadcastHashJoin",
                 "BatchEvalPython", "ArrowEvalPython"],
     ),
+    # Shot-level scene dedup (round 19): the rep relation is
+    # pre-checkpointed (segmentation window runs at build); the live
+    # plan is the banding explode (Generate), the df<=cap fence as a
+    # pre-join aggregate feeding the (band, chunk) equi-join
+    # (shuffled by design — the fence bounds bucket sizes), pair
+    # dedup, broadcast bit-ledger join-backs for the hamming verify,
+    # and broadcast shot-count join-backs for the pair ledger.
+    # Never a cartesian/nested-loop, never Python.
+    "m_scene_dedup": dict(
+        require=["Generate", "BroadcastHashJoin", "partial_min"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "BatchEvalPython", "ArrowEvalPython"],
+    ),
     # Incremental MV refresh: the O(changes) feed (broadcast
     # changed-key semi-join) folded to signed deltas (map-combined
     # partial_sum), merged into the view by a FULL-OUTER join (new
