@@ -8647,19 +8647,13 @@ MT_HYPERPLANES = [
 ]
 
 
-def _mt_lsh_pairs(spark: SparkSession, sf_dir: str,
-                  n_tables: int = _MT_TABLES) -> DataFrame:
-    """OR'd multi-table LSH candidate pairs, exact-verified:
-    ``n_tables`` INDEPENDENT 4-hyperplane tables; a pair is a
-    candidate if it shares a bucket in ANY table (so miss
-    probability compounds: (1-p)^T instead of 1-p), each candidate
-    verified sim >= 0.35 before it becomes an edge.  One Arrow pass
-    assigns all T buckets (the per-table rows explode from the same
-    vector batch); the pair enumeration is the (t, bucket)-keyed
-    kernel of `d_embed_neardup_lsh` verbatim; the cross-table dedup
-    is one distinct on the pair key.  Cost: ~T× the single-table
-    candidate work — the priced trade the `s_labelprop_lsh_mt*`
-    ledgers record next to the recall it buys."""
+def _mt_bucket_assign(spark: SparkSession, sf_dir: str,
+                      n_tables: int) -> DataFrame:
+    """(vec_id, v, norm, t, bucket) for the first ``n_tables`` of the
+    prefix-nested hyperplane stream — ONE Arrow pass assigns all T
+    buckets (the per-table rows explode from the same vector batch).
+    Shared by `_mt_lsh_pairs` (the mt curve's edge builder) and the
+    `s_lsh_multiprobe` sweep so every rung prices the SAME buckets."""
     tables = MT_HYPERPLANES[:n_tables]
     e = _emb(spark, sf_dir).select(
         "vec_id",
@@ -8686,9 +8680,25 @@ def _mt_lsh_pairs(spark: SparkSession, sf_dir: str,
                 outs.append(out)
             yield pd.concat(outs)
 
-    bkt = e.mapInPandas(
+    return e.mapInPandas(
         assign, "vec_id long, v array<double>, norm double, "
                 "t long, bucket long")
+
+
+def _mt_lsh_pairs(spark: SparkSession, sf_dir: str,
+                  n_tables: int = _MT_TABLES) -> DataFrame:
+    """OR'd multi-table LSH candidate pairs, exact-verified:
+    ``n_tables`` INDEPENDENT 4-hyperplane tables; a pair is a
+    candidate if it shares a bucket in ANY table (so miss
+    probability compounds: (1-p)^T instead of 1-p), each candidate
+    verified sim >= 0.35 before it becomes an edge.  One Arrow pass
+    assigns all T buckets (`_mt_bucket_assign`); the pair
+    enumeration is the (t, bucket)-keyed kernel of
+    `d_embed_neardup_lsh` verbatim; the cross-table dedup
+    is one distinct on the pair key.  Cost: ~T× the single-table
+    candidate work — the priced trade the `s_labelprop_lsh_mt*`
+    ledgers record next to the recall it buys."""
+    bkt = _mt_bucket_assign(spark, sf_dir, n_tables)
 
     def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
         n = len(pdf)
@@ -8728,7 +8738,9 @@ def s_labelprop_lsh_mt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     THE MEASURED RECOVERY: 4 OR'd tables lift agree_ppm from
     18,233 → 148,730 (sf0.01) and 1,060 → 698,131 (sf0.1) — at
-    sf0.1, 50.2% edge recall (2,076 of 4,137) yields 69.8% pair
+    sf0.1, 50.2% edge recall (2,076 of 4,137; sf0.01: 137 of 271 —
+    the round-19 sweep corrected this rung's earlier 122 note, the
+    ledger itself always said 137) yields 69.8% pair
     agreement, because giant components carry redundant edges and
     survive misses that shatter small ones.  Fixpoints over the
     OR'd graph: 6/7/20 rounds (vs 17/10/11 exact).  Round 18 turned
@@ -8746,7 +8758,7 @@ def s_labelprop_lsh_mt2(spark: SparkSession, sf_dir: str) -> DataFrame:
     and agreement is monotone in T by construction (pytest-pinned).
     MEASURED: agree_ppm 50,053 (sf0.01) / 140,057 (sf0.1) at
     lsh_edges 75 / 1,242 — vs 1 table's 18,233 / 1,060 and 4
-    tables' 148,730 / 698,131.  Its sparser surviving graph also
+    tables' 148,730 / 698,131 at 137 / 2,076.  Its sparser surviving graph also
     reaches fixpoint LATEST on the curve (35 rounds at sf0.1 vs 20
     for 4 tables — longer internal paths), which the rung's deeper
     oracle unroll (_LP_ORACLE_K2) carries."""
@@ -8759,7 +8771,7 @@ def s_labelprop_lsh_mt8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 8-TABLE point — the top of the curve: miss probability
     (1-p)^8 at ~8× single-table candidate cost.  MEASURED: agree_ppm
     530,568 (sf0.01) / 922,133 (sf0.1) at lsh_edges 201 / 3,060 —
-    vs 4 tables' 148,730 / 698,131 at 122 / 2,076.  The full curve
+    vs 4 tables' 148,730 / 698,131 at 137 / 2,076.  The full curve
     (T = 1, 2, 4, 8): 18k → 50k → 149k → 531k ppm at sf0.01 and
     1k → 140k → 698k → 922k at sf0.1 — agreement keeps climbing
     through 8 tables (sf0.01's small shattered components mean every
@@ -8772,22 +8784,26 @@ def s_labelprop_lsh_mt8(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  _mt_lsh_pairs(spark, sf_dir, 8))
 
 
+def _mt_table_expr_sql(planes) -> str:
+    """The 4-bit hyperplane bucket of one table as a DuckDB integer
+    expression — shared by the mt-curve oracles and the multiprobe
+    sweep oracle (one spelling of the bucket math)."""
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(c)) for c in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform("
+            f"generate_series(1, 64), "
+            f"i -> v[i] * ({lit}::DOUBLE[])[i])) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 def _s_labelprop_lsh_mt_sql(k: int = _LP_ORACLE_K,
                             n_tables: int = _MT_TABLES) -> str:
-    def table_expr(planes):
-        terms = []
-        for i, plane in enumerate(planes):
-            lit = "[" + ", ".join(repr(float(c)) for c in plane) + "]"
-            terms.append(
-                f"(CASE WHEN list_sum(list_transform("
-                f"generate_series(1, 64), "
-                f"i -> v[i] * ({lit}::DOUBLE[])[i])) > 0 "
-                f"THEN {1 << i} ELSE 0 END)"
-            )
-        return " + ".join(terms)
-
     cols = ",\n         ".join(
-        f"{table_expr(MT_HYPERPLANES[t])} AS b{t}"
+        f"{_mt_table_expr_sql(MT_HYPERPLANES[t])} AS b{t}"
         for t in range(n_tables)
     )
     ors = " OR ".join(f"a.b{t} = c.b{t}" for t in range(n_tables))
@@ -8803,6 +8819,156 @@ def _s_labelprop_lsh_mt_sql(k: int = _LP_ORACLE_K,
   WHERE round(list_sum(list_transform(generate_series(1, 64),
               i -> a.v[i] * c.v[i])) / (a.norm * c.norm), 6) >= 0.35"""
     return _s_labelprop_lsh_sql(k, pairsl_body=body, extra_ctes=extra)
+
+
+# (tables, probe radius) sweep grid for `s_lsh_multiprobe` — radius-0
+# rows replicate the mt curve's edge counts (the m_ahash_multiprobe
+# cross-rung consistency pin); radius-1 on 4-bit buckets is 4
+# neighbor probes per (vec, table), Lv et al.'s knob on the
+# hyperplane family.
+_MP_LSH_SWEEP = ((1, 0), (1, 1), (2, 0), (2, 1), (4, 0), (4, 1))
+
+
+def s_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE on the hyperplane LSH family — the probe-radius
+    axis the (tables x agree_ppm x cost) curve still lacked (VERDICT
+    r18 item 4; the aHash family got its radius axis in
+    `m_ahash_multiprobe`): instead of more tables, probe each
+    table's 1-BIT NEIGHBOR buckets too (bucket XOR 2^i for each of
+    the 4 hyperplane bits), so a pair is a candidate when its
+    buckets differ by <= radius bits in ANY of the first T tables —
+    4 extra probe rows per (vec, table) exploding into the SAME
+    (t, bucket) equi-join, measured against the exact sim >= 0.35
+    edge set like every rung of the curve.
+
+    MEASURED (sf0.01 / sf0.1 edge recall): radius-1 at ONE table
+    MATCHES radius-0 at FOUR tables (T=1 r=1 recovers 509,225 /
+    524,292 ppm of exact edges vs T=4 r=0's 505,535 / 501,812)
+    while storing ONE index instead of four, at ~1.34x their
+    candidates (n_cand 39,672 / 633,890 vs 29,801 / 471,934) —
+    flipping one hyperplane bit probes a neighbor halfspace of the
+    SAME partition, so the probe set buys what three more
+    independent tables buy.  T=2 r=1 reaches 793,357 / 769,639 ppm.
+    At T=4 r=1 the 4-bit bucket space SATURATES — 77% of ALL pairs
+    become candidates (96,431 / 1,542,273 of 124,750 / 1,999,000)
+    for 940,959 / 950,688 ppm — the measured warning that
+    multi-probe composes with table count only while the per-table
+    admit probability (5/16 at r=1) stays small: 1-(11/16)^4 = 0.78
+    is the saturation arithmetic itself.  Radius-0 rows replicate
+    `_mt_lsh_pairs`' verified edge counts exactly (44 / 75 / 137 at
+    sf0.01, 702 / 1,242 / 2,076 at sf0.1 — the T=4 row also
+    corrected a stale 122 in the mt4 docstring; the ledgers agree
+    at 137) — the cross-rung pin.
+
+    Scale shape: ONE Arrow assignment pass at T=4 shared by all six
+    configs (`_mt_bucket_assign`, localCheckpointed); per config the
+    probe explode is codegen (no Python), the candidate join is
+    (t, bucket)-keyed, verification joins the broadcast O(vectors)
+    ledger with the codegen dot product; counts are control-plane
+    scalars.  The truth pass is the fenced quadratic
+    `s_cosine_nearpairs` this family always prices against.  [pins
+    Lv et al. multi-probe LSH on the hyperplane table stream]"""
+    base = (_mt_bucket_assign(spark, sf_dir, 4)
+            .select("vec_id", "t", "bucket").localCheckpoint())
+    e = (_cos_frames(spark, sf_dir)
+         .select("vec_id", "v", "norm").localCheckpoint())
+    exact = (s_cosine_nearpairs(spark, sf_dir)
+             .select("ida", "idb").localCheckpoint())
+    n_true = exact.count()
+    rows = []
+    for n_tables, radius in _MP_LSH_SWEEP:
+        sub = base.where(F.col("t") < n_tables)
+        if radius == 0:
+            probes = sub
+        else:
+            probes = sub.select(
+                "vec_id", "t",
+                F.explode(F.expr(
+                    "array(bucket, bucket ^ 1, bucket ^ 2, "
+                    "bucket ^ 4, bucket ^ 8)")).alias("bucket"),
+            )
+        cand = (
+            probes.alias("a").join(sub.alias("b"), ["t", "bucket"])
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("ida"),
+                    F.col("b.vec_id").alias("idb"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_cand = cand.count()
+        ver = (
+            cand
+            .join(F.broadcast(e.select(F.col("vec_id").alias("ida"),
+                                       F.col("v").alias("va"),
+                                       F.col("norm").alias("na"))), "ida")
+            .join(F.broadcast(e.select(F.col("vec_id").alias("idb"),
+                                       F.col("v").alias("vb"),
+                                       F.col("norm").alias("nb"))), "idb")
+            .where(F.round(_dot_expr("va", "vb")
+                           / (F.col("na") * F.col("nb")), 6) >= 0.35)
+        )
+        lsh_edges = ver.count()
+        rows.append((n_tables, radius, n_cand, lsh_edges, n_true,
+                     (lsh_edges * 1_000_000 // n_true) if n_true else -1))
+    return spark.createDataFrame(
+        rows, "tables long, radius long, n_cand long, lsh_edges long, "
+              "exact_edges long, recall_ppm long")
+
+
+def _s_lsh_multiprobe_sql() -> str:
+    """Oracle: ONE materialized all-pairs pass carrying the verified
+    flag and each table's bucket XOR hamming, then each sweep row is
+    an aggregate over it — probe-set membership restated as
+    bit_count(xor(bucket_a, bucket_b)) <= radius, which is exactly
+    what the Spark side's neighbor-probe explode admits."""
+    cols = ",\n         ".join(
+        f"{_mt_table_expr_sql(MT_HYPERPLANES[t])} AS b{t}"
+        for t in range(4)
+    )
+    selects = []
+    for n_tables, radius in _MP_LSH_SWEEP:
+        hmin = ("h0" if n_tables == 1 else
+                "least(" + ", ".join(f"h{t}" for t in range(n_tables)) + ")")
+        selects.append(f"""SELECT {n_tables} AS tables, {radius} AS radius,
+       CAST(sum(CASE WHEN {hmin} <= {radius} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cand,
+       CAST(sum(CASE WHEN {hmin} <= {radius} AND ok = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS lsh_edges,
+       CAST(sum(ok) AS BIGINT) AS exact_edges,
+       CAST(CASE WHEN sum(ok) = 0 THEN -1
+            ELSE sum(CASE WHEN {hmin} <= {radius} AND ok = 1
+                     THEN 1 ELSE 0 END) * 1000000 // sum(ok)
+            END AS BIGINT) AS recall_ppm
+FROM pr""")
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+  FROM e
+),
+bktm AS MATERIALIZED (
+  SELECT vec_id, v, norm,
+         {cols}
+  FROM n
+),
+pr AS MATERIALIZED (
+  SELECT a.vec_id AS ida, c.vec_id AS idb,
+         CASE WHEN round(list_sum(list_transform(generate_series(1, 64),
+              i -> a.v[i] * c.v[i])) / (a.norm * c.norm), 6) >= 0.35
+              THEN 1 ELSE 0 END AS ok,
+         bit_count(xor(a.b0, c.b0)) AS h0,
+         bit_count(xor(a.b1, c.b1)) AS h1,
+         bit_count(xor(a.b2, c.b2)) AS h2,
+         bit_count(xor(a.b3, c.b3)) AS h3
+  FROM bktm a JOIN bktm c ON a.vec_id < c.vec_id
+)
+{union}
+"""
 
 
 QUERIES = {
@@ -8895,6 +9061,7 @@ QUERIES = {
     "s_labelprop_lsh_mt": s_labelprop_lsh_mt,
     "s_labelprop_lsh_mt2": s_labelprop_lsh_mt2,
     "s_labelprop_lsh_mt8": s_labelprop_lsh_mt8,
+    "s_lsh_multiprobe": s_lsh_multiprobe,
     "t_pii_scrub": t_pii_scrub,
     "d_dedup_matrix": d_dedup_matrix,
     "d_lsh_tuning": d_lsh_tuning,
@@ -8995,6 +9162,7 @@ ORACLES = {
     "s_labelprop_lsh_mt2": _s_labelprop_lsh_mt_sql(k=_LP_ORACLE_K2,
                                                    n_tables=2),
     "s_labelprop_lsh_mt8": _s_labelprop_lsh_mt_sql(n_tables=8),
+    "s_lsh_multiprobe": _s_lsh_multiprobe_sql(),
     "t_pii_scrub": T_PII_SCRUB_SQL,
     "d_dedup_matrix": _d_dedup_matrix_sql(),
     "d_lsh_tuning": _d_lsh_tuning_sql(),

@@ -62,3 +62,27 @@ def test_labelprop_fixpoint_empty_frames(spark):
     lab, iters = _labelprop_fixpoint(nodes, pairs)
     assert lab.count() == 0
     assert iters == 1
+
+
+def test_multiprobe_sweep_monotone_and_pins_mt_curve(spark, sf_dir):
+    """s_lsh_multiprobe's two axes are monotone by construction —
+    radius-1 candidates contain radius-0's (the probe array's first
+    element IS the native bucket) and T tables' contain T-1's (the
+    OR over a prefix) — so n_cand / lsh_edges / recall_ppm must be
+    non-decreasing along each axis; and its radius-0 rows must count
+    EXACTLY the `_mt_lsh_pairs` verified edge sets (the
+    m_ahash_multiprobe cross-rung consistency pin, which caught the
+    mt4 docstring's stale sf0.01 edge count)."""
+    from go_whisper_spark.operators.llm_ops import s_lsh_multiprobe
+
+    rows = {(r["tables"], r["radius"]): r
+            for r in s_lsh_multiprobe(spark, sf_dir).collect()}
+    for col in ("n_cand", "lsh_edges", "recall_ppm"):
+        for t in (1, 2, 4):
+            assert rows[(t, 0)][col] <= rows[(t, 1)][col]
+        for r in (0, 1):
+            assert (rows[(1, r)][col] <= rows[(2, r)][col]
+                    <= rows[(4, r)][col])
+    for t in (2, 4):
+        assert rows[(t, 0)]["lsh_edges"] == \
+            _mt_lsh_pairs(spark, sf_dir, t).count()
