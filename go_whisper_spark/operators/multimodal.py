@@ -670,7 +670,14 @@ def m_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     8×8's 80%/95.6%, so the default now ships what the sweep
     justifies; banding remains a recall/cost TRADE, not the
     pigeonhole guarantee — lossless only below hamming < bands)
-    and verify candidates by exact hamming distance ≤ 10.
+    WITH radius-1 multi-probing (each band also probes its 8 one-bit
+    neighbor chunks — ROUND 19, VERDICT r18 item 5: the
+    `m_ahash_multiprobe` sweep measured 8×8 radius-1 at 100% recall
+    at BOTH SFs vs radius-0's 80%/95.6%, for ~3.2× the candidates;
+    a dedup pipeline's misses are silent training-data pollution, so
+    the default ships the measured full-recall point and the sweep
+    rung remains the artifact pricing the choice), and verify
+    candidates by exact hamming distance ≤ 10.
 
     The "decode" is the module's deterministic fake (real aHash
     would decode + bilinear-resize; gated behind USE_REAL_CODECS
@@ -715,8 +722,17 @@ def m_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_AHASH_BANDS)
         ])).alias("bc"),
     ).select("doc_id", "bc.band", "bc.chunk")
+    # radius-1 probe set: the native chunk + its 8 one-bit neighbors
+    # (a codegen explode into the SAME equi-join — pairs differing by
+    # <= 1 bit in SOME band become candidates; one probe direction
+    # suffices because bucket hamming is symmetric)
+    neigh = ", ".join(f"chunk ^ {1 << k}" for k in range(_AHASH_BAND_BITS))
+    probes = banded.select(
+        "doc_id", "band",
+        F.explode(F.expr(f"array(chunk, {neigh})")).alias("chunk"),
+    )
     cand = (
-        banded.alias("a")
+        probes.alias("a")
         .join(banded.alias("b"), ["band", "chunk"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("ida"),
@@ -764,8 +780,10 @@ _AHASH_HCOLS_SQL = ",\n".join(
     f"* (1 << (k - 1)))) AS h{j}"
     for j in range(_AHASH_BANDS)
 )
+# radius-1 band match (round 19): buckets within one flipped bit —
+# exactly what the Spark side's neighbor-probe explode admits
 _AHASH_ORS_SQL = " OR ".join(
-    f"a.h{j} = c.h{j}" for j in range(_AHASH_BANDS)
+    f"bit_count(xor(a.h{j}, c.h{j})) <= 1" for j in range(_AHASH_BANDS)
 )
 
 M_AHASH_NEARDUP_SQL = f"""
