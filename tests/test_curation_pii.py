@@ -55,3 +55,31 @@ def test_scrubbed_lm_gate_differs_from_raw(spark, sf_dir):
     # ...but training on scrubbed text must move the MEMBERSHIP —
     # the observable that makes the stage order auditable
     assert t_raw != t_scr
+
+
+def test_luhn_gate_redacts_valid_keeps_near_miss(spark, monkeypatch):
+    """The checksum gate's behavioral pin (VERDICT r18 item 7): in a
+    SINGLE crafted document holding a Luhn-VALID card
+    (4539-1488-0343-6467, the classic test number) and its +1
+    NEAR-MISS (…6468), the scrub must redact exactly the valid one
+    and leave the near-miss verbatim — the difference between a
+    regex detector and a checksum-gated one.  A doc with no
+    candidates exercises the sequence(1, 0) descending guard."""
+    from go_whisper_spark.operators import llm_ops as lo
+
+    crafted = spark.createDataFrame(
+        [(1, "en", "pay 4539-1488-0343-6467 not 4539-1488-0343-6468 ok"),
+         (2, "en", "no cards here"),
+         (3, "de", "fail 1234-5678-9012-3456 only")],
+        "doc_id long, lang string, text string",
+    )
+    monkeypatch.setattr(lo, "_docs", lambda *_: crafted)
+    got = {r.lang: r for r in lo.t_pii_luhn(spark, "unused").collect()}
+    en, de = got["en"], got["de"]
+    assert (en.cards_found, en.cards_valid) == (2, 1)
+    assert en.near_miss_kept == 1 and en.residual_valid == 0
+    # '[CARD]' (6) replaces a 19-char match exactly once
+    assert en.chars_removed == 19 - 6
+    # 1234-5678-9012-3456 fails Luhn: found but untouched
+    assert (de.cards_found, de.cards_valid) == (1, 0)
+    assert de.near_miss_kept == 1 and de.chars_removed == 0
