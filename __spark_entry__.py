@@ -623,6 +623,52 @@ _R18_DEFERRED: list = [
     "m_ahash_multiprobe",
 ]
 
+# The round-19 driver window, pre-materialized at the mid-round
+# freeze: first 50 of the rotated registry = the 3 new round-19
+# queries (the hyperplane multi-probe sweep, the Luhn-checksum-gated
+# PII class, shot-level scene dedup) + the 1 never-checked
+# _R18_DEFERRED entry (multi-probe aHash banding) + the oldest
+# remaining driver evidence (the r11-cohort remainder: the render
+# compositions and the TPC-H relational block).
+# test_r19_window_matches_first_fifty pins list == first-50 so drift
+# is caught before the driver runs.
+# ROUND-20 TODO: once CORRECTNESS_r19.json exists, verify its keys
+# == this list, then (a) add _R19_WINDOW to `recent`, (b) move the
+# _R19_DEFERRED block (if any queries land post-freeze) to right
+# after the new-queries clause, (c) add `n not in r19` to every
+# explicit older-window block this window reaches into — MEASURE the
+# overlap per block, don't trust a guess (the r18 TODO guessed
+# _R11_WINDOW and was wrong), (d) append _R19_WINDOW's block at the
+# END (re-front any red rows via a _R19_RED block, the _R12_RED
+# pattern).  Queries added AFTER the freeze go in _R19_DEFERRED.
+_R19_WINDOW: list = [
+    's_lsh_multiprobe', 't_pii_luhn',
+    'm_scene_dedup', 'm_ahash_multiprobe',
+    'r_corr_scalar_sub', 'r_q14_promo',
+    'r_q16_supplier_cnt', 'r_q19_disjunct',
+    's_pq_search_upserted', 's_pq_upserted_recall',
+    'g_render_topavg', 'g_render_nodes',
+    'g_render_deep', 'st_render_6h',
+    'w_lakehouse_compact', 'g_render_pipeline',
+    'g_render_sum_deriv', 'g_render_select_alias',
+    'g_render_cumcount', 'g_render_ratio',
+    'g_render_smooth', 'g_render_group',
+    'g_render_counters', 'g_render_summarize',
+    'r_q7_nation_volume', 'r_q2_min_cost',
+    'r_unpivot', 'r_lateral_top2',
+    'r_q22_acctbal', 'r_cube_orders',
+    'r_pivot', 'r_q3_revenue',
+    'r_q5_nation_rev', 'r_topk_orders',
+    'r_window_topk_cust', 'r_q6_forecast',
+    'r_q4_order_exists', 'r_q8_mkt_share',
+    'r_q9_profit', 'r_q10_returns',
+    'r_q11_top_value', 'r_q13_cust_dist',
+    'r_q15_top_supplier', 'r_q17_small_qty',
+    'r_q18_large_volume', 'r_q20_part_promo',
+    'r_q21_waiting', 's_quantize_int8',
+    'g_grep', 'g_maximum_above',
+]
+
 # Queries added late in round 17, after the round-17 window freeze.
 # All 4 driver-checked green in round 18's window (they front it).
 _R17_DEFERRED: list = [
