@@ -259,6 +259,22 @@ HEADLINE = [
     # pii delta is one regex map, priced by t_pii_scrub).
     "t_pii_scrub",
     "m_shot_bounds",
+    # round 19: shot-level scene dedup (the df-fenced keyframe-banded
+    # cross-video join — a new join class the fence makes
+    # bench-shaped) and the Luhn-gated card scrub (regex extract +
+    # split/interleave rebuild + a 16-term integer fold per
+    # candidate — a different kernel than t_pii_scrub's chained
+    # replace).  NOT added by policy: s_lsh_multiprobe /
+    # m_ahash_multiprobe (sweep ledgers embedding the fenced
+    # all-pairs truth baseline, the m_ahash_tuning/d_lsh_tuning
+    # class), the min-side MV extension (lakehouse verbs never
+    # bench).  NOTE: m_ahash_neardup is not in the headline, but its
+    # round-19 radius-1 default ~3.2x'es its candidate volume —
+    # priced by the sweep rungs' ledgers, not wall-clock.
+    # NOTE for cross-round totals: the set went 64 → 66 in round 19;
+    # compare common subsets.
+    "m_scene_dedup",
+    "t_pii_luhn",
 ]
 
 
