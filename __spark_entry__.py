@@ -623,6 +623,14 @@ _R18_DEFERRED: list = [
     "m_ahash_multiprobe",
 ]
 
+# Queries added late in round 19, after the round-19 window freeze.
+# Never driver-checked (local exact-typed gate green at both SFs);
+# they FRONT the round-20 window right after any genuinely-new
+# round-20 queries (the standing deferral rule).
+_R19_DEFERRED: list = [
+    "m_scene_keepers",
+]
+
 # The round-19 driver window, pre-materialized at the mid-round
 # freeze: first 50 of the rotated registry = the 3 new round-19
 # queries (the hyperplane multi-probe sweep, the Luhn-checksum-gated
@@ -833,7 +841,8 @@ def _registry():
             | set(_R11_DEFERRED) | set(_R12_DEFERRED)
             | set(_R13_DEFERRED) | set(_R14_DEFERRED)
             | set(_R15_DEFERRED) | set(_R16_DEFERRED)
-            | set(_R17_DEFERRED) | set(_R18_DEFERRED))
+            | set(_R17_DEFERRED) | set(_R18_DEFERRED)
+            | set(_R19_DEFERRED))
     order = (
         [n for n in queries if n not in seen]
         # Never-driver-checked round-18 late addition (the multi-probe
@@ -928,6 +937,9 @@ def _registry():
         # Most recently checked, so last (50/50 green in
         # CORRECTNESS_r18 — sixth consecutive fully-green window).
         + [n for n in _R18_WINDOW if n in queries]
+        # Late round-19 additions: past the frozen window; the
+        # round-20 rotation re-fronts them via the standing rule.
+        + [n for n in _R19_DEFERRED if n in queries and n not in recent]
     )
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order if n in oracles}

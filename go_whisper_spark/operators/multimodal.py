@@ -1310,6 +1310,15 @@ def m_scene_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ledger; the pair fold is one aggregate over O(verified) rows.
     [pins _shot_bit_frames/_shot_hash shared verbatim;
     capped_posting_pairs: llm_ops.py]"""
+    return _scene_dedup_parts(spark, sf_dir)[0]
+
+
+def _scene_dedup_parts(spark: SparkSession,
+                       sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(pair ledger, per-video shot counts) — the scene-dedup body,
+    shared by `m_scene_dedup` (returns the ledger) and
+    `m_scene_keepers` (clusters the scene_dup pairs and needs
+    `nshots` for the pairless videos too)."""
     bits = _shot_bit_frames(_shot_videos(spark, sf_dir))
     w = Window.partitionBy("media_id").orderBy("f")
     ham = bits.select(
@@ -1378,7 +1387,7 @@ def m_scene_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("sb").cast("long").alias("n_dup_b"),
         F.min("hm").cast("long").alias("min_ham"),
     )
-    return (
+    ledger = (
         pairs
         .join(F.broadcast(nshots.select(F.col("media_id").alias("ida"),
                                         F.col("n_shots")
@@ -1393,6 +1402,51 @@ def m_scene_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              | (2 * F.col("n_dup_b") >= F.col("shots_b")))
             .cast("long").alias("scene_dup"),
         )
+    )
+    return ledger, nshots
+
+
+def m_scene_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video curation DECISION — scene-dup clusters and one
+    keeper per cluster, completing for video what `d_dedup_keepers`
+    + `d_neardup_clusters` are for text: connected components over
+    the `scene_dup` pair graph (large-star/small-star contraction,
+    `_star_contract` shared verbatim with `d_cc_stars` — O(log² n)
+    rounds on any graph shape), each video labeled with its
+    component minimum, keeper = the label holder.  Pairless videos
+    are their own singleton clusters, so the output is the FULL
+    per-video ledger (media_id, n_shots, cluster_id, cluster_size,
+    keep) — a release pipeline drops every keep = 0 row.
+
+    Scale shape: the pair build is `_scene_dedup_parts` (the
+    df-fenced banded join); the contraction is one small-edge-set
+    loop with O(1) driver scalars per round (count + xxhash64
+    fingerprint); the singleton fill is a left join of the O(videos)
+    shot ledger against the O(clustered) labels.  Oracle: the
+    recursive-CTE transitive closure (the D_CLUSTERS_SQL spelling)
+    over the shared scene CTE chain.  [pins _star_contract:
+    llm_ops.py; Kiveris et al. SoCC'14]"""
+    from go_whisper_spark.operators.llm_ops import _star_contract
+
+    ledger, nshots = _scene_dedup_parts(spark, sf_dir)
+    dup = (ledger.where(F.col("scene_dup") == 1)
+           .select(F.col("ida").alias("u"), F.col("idb").alias("v"))
+           .localCheckpoint())
+    labels, _ = _star_contract(dup)
+    out = (
+        nshots.join(labels.withColumnRenamed("doc_id", "media_id"),
+                    "media_id", "left")
+        .select(
+            "media_id", "n_shots",
+            F.coalesce("label", "media_id").alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        out.withColumn("cluster_size", F.count("*").over(w))
+        .withColumn(
+            "keep",
+            (F.col("media_id") == F.col("cluster_id")).cast("long"))
     )
 
 
@@ -1434,9 +1488,10 @@ ham AS (
 # frames numbered per video, the 8x8 banding with the df<=cap fence,
 # exact hamming verify, per-video-pair fold — each stage the SQL
 # restatement of the Spark stage above it.
-M_SCENE_DEDUP_SQL = f"""
-WITH {_SHOT_HAM_CTES_SQL},
-rep AS MATERIALIZED (
+# The scene chain rep -> nshots -> banded/live -> cand -> ver ->
+# pairs, shared by the dedup-ledger oracle and the keepers oracle
+# (one spelling of the keyframe/banding/fence/verify math).
+_SCENE_CTES_SQL = f"""rep AS MATERIALIZED (
   SELECT media_id,
          row_number() OVER (PARTITION BY media_id ORDER BY f) - 1 AS shot,
          b
@@ -1482,7 +1537,12 @@ pairs AS (
          count(DISTINCT sb) AS n_dup_b,
          min(hm) AS min_ham
   FROM ver GROUP BY ida, idb
-)
+)"""
+
+
+M_SCENE_DEDUP_SQL = f"""
+WITH {_SHOT_HAM_CTES_SQL},
+{_SCENE_CTES_SQL}
 SELECT p.ida, p.idb,
        na.n_shots AS shots_a, nb.n_shots AS shots_b,
        CAST(p.n_pairs AS BIGINT) AS n_pairs,
@@ -1495,6 +1555,47 @@ SELECT p.ida, p.idb,
 FROM pairs p
 JOIN nshots na ON na.media_id = p.ida
 JOIN nshots nb ON nb.media_id = p.idb
+"""
+
+
+# Keepers oracle: the shared scene chain, the scene_dup edge set,
+# the recursive-CTE transitive closure (the D_CLUSTERS_SQL spelling),
+# component-min labels, and the singleton fill from nshots.
+M_SCENE_KEEPERS_SQL = f"""
+WITH RECURSIVE {_SHOT_HAM_CTES_SQL},
+{_SCENE_CTES_SQL},
+sdp AS (
+  SELECT p.ida, p.idb
+  FROM pairs p
+  JOIN nshots na ON na.media_id = p.ida
+  JOIN nshots nb ON nb.media_id = p.idb
+  WHERE 2 * p.n_dup_a >= na.n_shots OR 2 * p.n_dup_b >= nb.n_shots
+),
+cedges AS (
+  SELECT ida AS src, idb AS dst FROM sdp
+  UNION
+  SELECT idb, ida FROM sdp
+  UNION
+  SELECT ida, ida FROM sdp
+  UNION
+  SELECT idb, idb FROM sdp
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM cedges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN cedges e ON r.dst = e.src
+),
+lab AS (
+  SELECT src AS media_id, min(dst) AS label FROM reach GROUP BY src
+)
+SELECT n.media_id, n.n_shots,
+       COALESCE(l.label, n.media_id) AS cluster_id,
+       count(*) OVER (PARTITION BY COALESCE(l.label, n.media_id))
+         AS cluster_size,
+       CAST(CASE WHEN n.media_id = COALESCE(l.label, n.media_id)
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM nshots n
+LEFT JOIN lab l ON l.media_id = n.media_id
 """
 
 
@@ -1515,6 +1616,7 @@ QUERIES = {
     "m_ahash_neardup": m_ahash_neardup,
     "m_shot_bounds": m_shot_bounds,
     "m_scene_dedup": m_scene_dedup,
+    "m_scene_keepers": m_scene_keepers,
     "m_ahash_tuning": m_ahash_tuning,
     "m_ahash_multiprobe": m_ahash_multiprobe,
     "m_feature_norms": m_feature_norms,
@@ -1775,6 +1877,7 @@ ORACLES: dict = {
     "m_ahash_neardup": M_AHASH_NEARDUP_SQL,
     "m_shot_bounds": M_SHOT_BOUNDS_SQL,
     "m_scene_dedup": M_SCENE_DEDUP_SQL,
+    "m_scene_keepers": M_SCENE_KEEPERS_SQL,
     "m_ahash_tuning": _m_ahash_tuning_sql(),
     "m_ahash_multiprobe": _m_ahash_multiprobe_sql(),
     "m_decode_stats": M_DECODE_STATS_SQL,

@@ -185,3 +185,32 @@ def test_scene_dedup_crafted_videos_and_df_fence(spark, monkeypatch):
     assert (r.n_pairs, r.n_dup_a, r.n_dup_b) == (2, 2, 2)
     assert r.min_ham == 0
     assert r.scene_dup == 1
+
+
+def test_scene_keepers_one_per_cluster(spark, monkeypatch):
+    """The keeper law on the crafted corpus: exactly one keep per
+    cluster, the keeper is the component minimum, and pairless
+    videos are their own singleton keepers — videos 1/2 are
+    frame-identical (one scene-dup pair), the 70 boilerplate
+    singles are fenced out of pairing entirely, so every video
+    except 2 survives."""
+    P = chr(200) * 32 + chr(10) * 32
+    Q = chr(10) * 32 + chr(200) * 32
+    S = chr(200) * 8 + chr(10) * 56
+    rows = [(1, P + P + Q + Q), (2, P + P + Q + Q)]
+    rows += [(100 + i, S) for i in range(70)]
+    vid = spark.createDataFrame(
+        [(m, t, len(t)) for m, t in rows],
+        "media_id long, text string, n int",
+    )
+    monkeypatch.setattr(mm, "_shot_videos", lambda *_: vid)
+    got = {r.media_id: r for r in mm.m_scene_keepers(spark, "unused").collect()}
+    assert len(got) == 72
+    assert (got[1].cluster_id, got[1].keep, got[1].cluster_size) == (1, 1, 2)
+    assert (got[2].cluster_id, got[2].keep, got[2].cluster_size) == (1, 0, 2)
+    singles = [r for m, r in got.items() if m >= 100]
+    assert all(r.keep == 1 and r.cluster_size == 1
+               and r.cluster_id == r.media_id for r in singles)
+    # the global law: one keeper per cluster
+    clusters = {r.cluster_id for r in got.values()}
+    assert sum(r.keep for r in got.values()) == len(clusters)

@@ -1264,6 +1264,17 @@ CHECKS = {
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
                 "BatchEvalPython", "ArrowEvalPython"],
     ),
+    # Scene-dedup keepers (round 19): the returned plan is the
+    # singleton fill + cluster window over the checkpointed
+    # contraction labels (the star loop's per-round plans are the
+    # audited d_cc_stars class); one left join of the O(videos) shot
+    # ledger against O(clustered) labels, one cluster-keyed window,
+    # no Python, no all-pairs shape.
+    "m_scene_keepers": dict(
+        require=["Window"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "BatchEvalPython", "ArrowEvalPython"],
+    ),
     # Incremental MV refresh: the O(changes) feed (broadcast
     # changed-key semi-join) folded to signed deltas (map-combined
     # partial_sum), merged into the view by a FULL-OUTER join (new
