@@ -1466,18 +1466,45 @@ _TRI_SUBSTRATE_CACHE: dict = {}
 
 
 def tri_substrate_cached(spark: SparkSession, sf_dir: str):
-    """``_tri_oriented`` built at most once per (session, corpus).
-    Keyed by applicationId, not id(spark) — CPython reuses id() after
+    """``_tri_oriented`` built at most once per (session, corpus),
+    returned as ``(edges, deg, oriented, n_edges)``.  Keyed by
+    applicationId, not id(spark) — CPython reuses id() after
     GC, so a fresh session could hit a stale entry holding frames
     bound to a STOPPED SparkContext (the pq_ivf_index_cached
-    lesson); entries for dead contexts are dropped here."""
+    lesson); entries for dead contexts are dropped here.
+
+    r19 optimization (guide §2.4 "remove shuffles outright" /
+    bucketed-layout analogue): the served ``oriented`` relation is
+    persisted REPARTITIONED BY ``src`` (defaultParallelism
+    partitions) and sorted within partitions, so the wedge self-join
+    — the serve plan's one heavy stage, emitting ~34x the edges —
+    starts from co-partitioned, pre-sorted cached partitions:
+    Catalyst plans it with ZERO Exchange and ZERO Sort (plan diff:
+    2 Exchange + 2 Sort → 0 under the join), and the 41M-row wedge
+    stream runs at full core parallelism instead of the static
+    shuffle-partition count.  This is exactly what a production
+    graph store does by writing the oriented edge list bucketed by
+    src; the localCheckpointed form (UnknownPartitioning) forced a
+    re-shuffle every query.  ``n_edges`` rides the cache so the
+    broadcast-probe size gate (``_TRI_BCAST_MAX_EDGES``) costs no
+    per-query count job."""
     app_id = spark.sparkContext.applicationId
     for k in [k for k in _TRI_SUBSTRATE_CACHE if k[0] != app_id]:
         del _TRI_SUBSTRATE_CACHE[k]
     key = (app_id, sf_dir)
     hit = _TRI_SUBSTRATE_CACHE.get(key)
     if hit is None:
-        hit = _tri_oriented(spark, sf_dir)
+        edges, deg, oriented = _tri_oriented(spark, sf_dir)
+        oriented = (
+            oriented.repartition(
+                spark.sparkContext.defaultParallelism, "src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
+        n_edges = oriented.count()
+        deg = deg.persist()
+        deg.count()
+        hit = (edges, deg, oriented, n_edges)
         _TRI_SUBSTRATE_CACHE[key] = hit
     return hit
 
@@ -1490,18 +1517,23 @@ def w_triangles_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest and answers triangle/motif queries from it; the in-query
     substrate rebuild that dominates ``w_triangles``' bench entry is
     a one-time cost).  First call per (session, corpus) builds and
-    checkpoints the substrate; every subsequent call — and every
-    bench rep after the warm-up — reuses it.  Results are identical
-    to ``w_triangles`` (same frames), so it shares the oracle."""
-    _, deg, oriented = tri_substrate_cached(spark, sf_dir)
-    return _tri_node_ledger(deg, oriented)
+    persists the substrate partitioned by ``src`` (see
+    ``tri_substrate_cached`` — the wedge join then needs no exchange
+    and no sort); every subsequent call — and every bench rep after
+    the warm-up — reuses it.  Results are identical to
+    ``w_triangles`` (same frames), so it shares the oracle."""
+    _, deg, oriented, n_edges = tri_substrate_cached(spark, sf_dir)
+    return _tri_node_ledger(deg, oriented, n_edges=n_edges)
 
 
-def _tri_node_ledger(deg: DataFrame, oriented: DataFrame) -> DataFrame:
+def _tri_node_ledger(deg: DataFrame, oriented: DataFrame,
+                     n_edges: int | None = None) -> DataFrame:
     """(deg, oriented) → the per-node (node, deg, tri_n, cc_ppm)
     ledger — shared by the batch form and the streamed-edge-set form
-    (``st_triangles``), so a fix lands in both."""
-    tri = _tri_triangles(oriented)
+    (``st_triangles``), so a fix lands in both.  ``n_edges`` (when
+    the caller already knows it, e.g. from the serve substrate cache)
+    skips the broadcast-gate count job."""
+    tri = _tri_triangles(oriented, n_edges=n_edges)
     part = (
         tri.select(F.explode(F.array("a", "v", "w")).alias("node"))
         .groupBy("node")
