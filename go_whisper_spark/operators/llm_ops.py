@@ -2970,6 +2970,9 @@ def d_cdc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents_as_media(spark, sf_dir)
         .select(F.col("media_id").alias("doc_id"), "payload")
         .where(F.length("payload") > 0)
+        # spread the O(L)-md5 boundary scan off the single-row-group
+        # scan task (r19 optimization, guide §2.5; no-op at scale)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     chunks = (
         media.withColumn("ends", F.expr(_CDC_ENDS))
@@ -5112,10 +5115,15 @@ def t_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus' span lengths exercise.
     """
     d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
-    toks = d.select(
+    # the token/shingle explodes (~1M output rows) otherwise run in
+    # the single-row-group scan's one task (r19 optimization, guide
+    # §2.5; cores-derived, no-op at scale).  `base` below stays on
+    # the plain scan — its per-row work is a size() only.
+    dr = d.repartition(spark.sparkContext.defaultParallelism)
+    toks = dr.select(
         "doc_id", F.posexplode("tokens").alias("tpos0", "tok")
     ).select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "tok")
-    pos = d.select(
+    pos = dr.select(
         "doc_id", F.posexplode(F.expr(_SHINGLES_EXPR)).alias("p0", "sh")
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "sh")
     first = pos.groupBy("sh").agg(F.min(F.struct("doc_id", "pos")).alias("f"))
@@ -7475,7 +7483,18 @@ def t_bpe_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-plus consumers (a round's pair count + its merge; the final
     # count), so leaving lineage re-runs the whole prior chain per
     # consumer — measured 11.4 s → 5.2 s at sf0.1 from these
-    # localCheckpoints alone.
+    # localCheckpoints alone.  (r19 optimization round: dropping the
+    # LAST round's checkpoint was tried and measured SLOWER — 4.9 →
+    # 5.6 s median A/B — the filter(size>=2) + pair-explode both
+    # re-evaluate the inlined merge-string expression when it is not
+    # materialized; the checkpoint is load-bearing, keep it.)
+    # The seed is REPARTITIONED before materializing (r19
+    # optimization, guide §2.5 "unsplittable input — repartition
+    # immediately after the read"): the single-row-group corpus scan
+    # leaves the 270k-row symbol seed in ONE partition, and because
+    # every merge round inherits the seed's layout, all pair counts
+    # and string merges ran single-task.  Cores-derived, a no-op at
+    # scale where the scan arrives in many splits.
     toks = (
         d.select(F.explode("tokens").alias("t"))
         .select(
@@ -7483,6 +7502,7 @@ def t_bpe_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(sequence(1, length(t)), i -> substr(t, i, 1))"
             ).alias("syms")
         )
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
     for _ in range(2):
@@ -7519,12 +7539,18 @@ def t_bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(sequence(1, length(t)), i -> substr(t, i, 1))"
             ).alias("syms")
         )
-        .localCheckpoint()  # same fan-out rule as t_bpe_train2
+        # same fan-out + seed-repartition rules as t_bpe_train2
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
     )
     out = None
     for rnd in range(1, 4):
         toks, best = bpe_merge_round(toks, with_best=True)
-        toks = toks.localCheckpoint()
+        if rnd < 3:
+            # the LAST round's merged corpus has no consumer (only its
+            # best-pair row ships) — checkpointing it was a wasted
+            # materialization job (r19 optimization)
+            toks = toks.localCheckpoint()
         row = best.select(
             F.lit(rnd).alias("merge_round"),
             F.concat_ws("+", "l", "r").alias("pair"),
@@ -7556,7 +7582,9 @@ def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(sequence(1, length(t)), i -> substr(t, i, 1))"
             ).alias("syms"),
         )
-        .localCheckpoint()  # same fan-out rule as t_bpe_train2
+        # same fan-out + seed-repartition rules as t_bpe_train2
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
     )
     for _ in range(2):
         toks = bpe_merge_round(toks).localCheckpoint()

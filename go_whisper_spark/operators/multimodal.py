@@ -585,7 +585,14 @@ def m_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the distinct-hash + per-kind aggregates (map-side combined)
     plus one 3-row kind-stats broadcast join."""
     media = documents_as_media(spark, sf_dir).select("kind", "payload")
-    live = media.where(F.length("payload") > 0)
+    # Repartition before the O(L)-md5 boundary scan (r19 optimization,
+    # guide §2.5 "unsplittable input — repartition after the read"):
+    # the single-row-group corpus scan otherwise runs the whole
+    # rolling-hash expression in ONE task.  Cores-derived; a no-op at
+    # scale where the scan arrives in many splits.
+    live = media.where(F.length("payload") > 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     chunks = (
         live.withColumn("ends", F.expr(_CDC_ENDS))
         .select("kind", F.explode(F.expr(_CDC_HASHES)).alias("h"))
@@ -1192,6 +1199,10 @@ def _shot_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.length("text") >= 2 * _SHOT_FRAME))
         .select(F.col("doc_id").alias("media_id"), "text",
                 F.length("text").alias("n"))
+        # spread the frame explode + 64-probe aHash map off the
+        # single-row-group scan task (r19 optimization, guide §2.5;
+        # no-op at scale where the scan arrives in many splits)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 

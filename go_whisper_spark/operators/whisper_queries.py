@@ -4260,7 +4260,13 @@ def w_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "write_seq",
         F.explode(F.array(b - 1, b, b + 1)).alias("bin"),
     )
-    build = pts.select(
+    # The probe side of the bin equi-join broadcasts, so the stream
+    # side's scan → hash-probe → partial-aggregate pipeline runs in
+    # the SCAN stage — one task on the single-row-group local file
+    # (event-log measured: 2.1 s of the query's 3.1 s in that one
+    # task).  Repartition it first (r19 optimization, guide §2.5;
+    # cores-derived, a no-op at scale where the scan is many splits).
+    build = pts.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("metric").alias("r_metric"),
         F.col("ts").alias("r_ts"),
         _cents().alias("r_cents"),
