@@ -2974,10 +2974,17 @@ def d_cdc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scan task (r19 optimization, guide §2.5; no-op at scale)
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    # materialize the distinct chunk postings ONCE (r19 optimization):
+    # they feed FOUR separately-planned consumers (the df fence's freq
+    # count, both sides of the capped self-join, and the sizes
+    # aggregate), and the before-plan shows the whole O(L)-md5
+    # boundary scan + distinct re-executed for each — the
+    # t_curation_e2e drop-set lesson one level down.
     chunks = (
         media.withColumn("ends", F.expr(_CDC_ENDS))
         .select("doc_id", F.explode(F.expr(_CDC_HASHES)).alias("h"))
         .distinct()
+        .localCheckpoint()
     )
     sizes = chunks.groupBy("doc_id").agg(F.count("*").alias("n_ch"))
     shared = capped_posting_pairs(chunks, "h", "doc_id", 50)
@@ -3075,11 +3082,20 @@ def t_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         .localCheckpoint()
     )
+    # materialize the tokenized + dedup-flagged per-doc frame ONCE
+    # (r19 optimization): the gate spine consumes it from FOUR
+    # separately-planned branches (train bigrams, train unigrams,
+    # held bigrams, the final flag join), and the before-plan shows
+    # the docs scan + tokenize + drop-set SortMergeJoin re-executed
+    # in each; the repartition spreads the tokenize off the
+    # single-row-group scan task first (guide §2.5, no-op at scale).
     d = (
         _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("tokens", _tokens_col())
         .withColumn("nb", F.length("text"))
         .join(dropped.withColumn("dup", F.lit(1)), "doc_id", "left")
+        .localCheckpoint()
     )
     flagged = _curation_gate(d)
     kept = (F.col("dup").isNull() & F.col("tail").isNull()).cast("long")
@@ -3213,6 +3229,9 @@ def t_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = (
         _docs(spark, sf_dir)
+        # spread the regex scrub off the single-row-group scan task
+        # (guide §2.5, no-op at scale)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", "lang", _pii_aug_col().alias("aug"))
         .withColumn("scr", _pii_red_col(F.col("aug")))
         .select(
@@ -3226,6 +3245,10 @@ def t_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("aug") - F.length("scr")).alias("delta"),
         )
         .join(dropped.withColumn("dup", F.lit(1)), "doc_id", "left")
+        # materialized once for the gate's four branches — the
+        # t_curation_e2e rationale; the regex scrub + audit counts
+        # make the per-doc map here even heavier
+        .localCheckpoint()
     )
     flagged = _curation_gate(d)
     kept = (F.col("dup").isNull() & F.col("tail").isNull()).cast("long")
@@ -6082,8 +6105,19 @@ def _pq_read_path(
     # corpus size, so it broadcasts into the narrow base-vector scan
     # (the keyed point-fetch a production store does here); the query
     # vectors rejoin from the |Q|-row frame, also broadcast.
+    #
+    # r19 optimization (guide §4 — don't run a Python kernel twice):
+    # qvecs was `routes.select("qid", "qv", "qn").dropDuplicates()`,
+    # which re-executed the ROUTE KernEL a second time per query (the
+    # before-plan shows two MapInPandas route nodes) just to recover
+    # (qid, qv, qn) — values the JVM-side `_cos_frames` already
+    # carries bit-identically (the _seq_dot ≡ expression-fold
+    # exactness invariant).  Derive them from the base frame instead:
+    # one route-kernel execution and one dedup aggregate removed.
     base = _cos_frames(spark, sf_dir).select("vec_id", "v", "norm")
-    qvecs = routes.select("qid", "qv", "qn").dropDuplicates(["qid"])
+    qvecs = base.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("norm").alias("qn"))
     rr = (
         base.join(F.broadcast(topc), "vec_id")
         .join(F.broadcast(qvecs), "qid")
