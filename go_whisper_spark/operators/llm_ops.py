@@ -1965,27 +1965,62 @@ IVF_K = 8  # coarse cells
 IVF_Q = 1_000_000  # centroid quantization scale (see determinism note)
 
 
-def _ivf_assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+def _lit_d(x: float) -> str:
+    """Exact double literal for Spark SQL.  ``repr(float)`` is the
+    shortest round-tripping decimal and string→double casts are
+    correctly rounded, so the parsed value is bit-identical to ``x``;
+    the cast is constant-folded at plan time (zero runtime cost)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _ivf_assign(vectors: DataFrame, cent_rows,
+                out=("vec_id", "v", "norm")) -> DataFrame:
     """Nearest-centroid (max rounded cosine, ties → lowest cell id)
-    assignment.  ``cents``: (cid, cv array<double>, cnorm).  The
-    centroid side is K=8 rows — broadcast, so assignment is a narrow
-    map at any scale; argmax is a JVM-side ``max_by`` over a (sim,
-    -cid) struct, no window shuffle."""
-    sim = F.round(
-        _dot_expr("v", "cv") / (F.col("norm") * F.col("cnorm")), 6
-    ).alias("sim")
-    return (
-        vectors.join(F.broadcast(cents))
-        .select("vec_id", "v", "norm", "cid", sim)
-        .groupBy("vec_id")
-        .agg(
-            F.first("v").alias("v"),
-            F.first("norm").alias("norm"),
-            F.max_by(
-                "cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
-            ).alias("cell"),
+    assignment as a NARROW literal-codegen map.  ``cent_rows``: the
+    COLLECTED centroid table (control-plane by construction of the
+    coarse quantizer — K=8 rows, the same pattern ``pq_route_frame``
+    uses).  Each centroid becomes an unrolled literal dot chain
+    (identical add order to ``_dot_expr``, so values are bit-exact)
+    and the argmax is a when-chain over the K sim columns — ascending
+    cid with strict ``>`` reproduces ``max_by`` over (sim, -cid).
+    The former shape (explode ×K through a broadcast join, then a
+    ``max_by`` groupBy) re-shuffled every vector's 64-double array K
+    times; this is a pure projection — zero Exchange at any scale."""
+    rows = sorted(cent_rows, key=lambda r: r["cid"])
+    sims = [
+        F.expr(
+            "round(("
+            + " + ".join(f"v[{i}] * {_lit_d(r['cv'][i])}" for i in range(DIM))
+            + f") / (norm * {_lit_d(r['cnorm'])}), 6)"
+        ).alias(f"_ivf_s{k}")
+        for k, r in enumerate(rows)
+    ]
+    withs = vectors.select("*", *sims)
+    if len(rows) == 1:
+        return withs.select(
+            *out, F.lit(rows[0]["cid"]).cast("long").alias("cell")
         )
+    # argmax = greatest() + a FLAT first-match CASE scanning cid
+    # ascending (== max_by over (sim, -cid): max sim, ties → lowest
+    # cid).  A nested when-chain here expands to a 2^K-node tree that
+    # blows the 64 KB codegen method limit (measured: janino fallback
+    # to interpreted on s_cosine_ivf) — the flat form stays tiny.
+    best = F.greatest(*[F.col(f"_ivf_s{k}") for k in range(len(rows))])
+    withs = withs.withColumn("_ivf_best", best)
+    cell = F.when(
+        F.col("_ivf_s0") == F.col("_ivf_best"),
+        F.lit(rows[0]["cid"]).cast("long"),
     )
+    for k in range(1, len(rows) - 1):
+        cell = cell.when(
+            F.col(f"_ivf_s{k}") == F.col("_ivf_best"),
+            F.lit(rows[k]["cid"]).cast("long"),
+        )
+    cell = cell.otherwise(F.lit(rows[-1]["cid"]).cast("long"))
+    return withs.select(*out, cell.alias("cell"))
+
+
+_CENTS_SCHEMA = "cid long, cv array<double>, cnorm double"
 
 
 def _ivf_cells(spark: SparkSession, sf_dir: str, train_where=None):
@@ -1995,19 +2030,36 @@ def _ivf_cells(spark: SparkSession, sf_dir: str, train_where=None):
     (vec_id, v, norm, cell) and ``cents`` = (cid, cv, cnorm).
     Determinism contract documented on ``s_cosine_ivf``.
 
+    Both assignment passes run as literal narrow maps (see
+    ``_ivf_assign``): the K-row seed/centroid tables are collected
+    (two control-plane jobs) and folded into codegen, which removes
+    the two vec_id re-aggregation Exchanges that previously carried
+    every vector's array ×K through the shuffle.  ``cents`` is
+    returned as a LOCAL relation, so consumers that reuse it
+    (routing, the PQ index build) never re-derive the Lloyd lineage.
+
     ``train_where``: optional Column predicate restricting the Lloyd
     TRAINING pass (seeds stay the 8 lowest vec_ids, which any base
     split must contain); the final assignment always covers the whole
     corpus — the frozen-quantizer shape ``s_pq_search_upserted``
     serves from."""
     e = _cos_frames(spark, sf_dir).select("vec_id", "v", "norm")
-    seeds = e.where(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").cast("long").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("norm").alias("cnorm"),
+    seed_rows = (
+        e.where(F.col("vec_id") < IVF_K)
+        .select(
+            F.col("vec_id").cast("long").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
+        .collect()
     )
+    if not seed_rows:
+        return (
+            e.where(F.lit(False)).withColumn("cell", F.lit(None).cast("long")),
+            spark.createDataFrame([], _CENTS_SCHEMA),
+        )
     train = e.where(train_where) if train_where is not None else e
-    assign0 = _ivf_assign(train, seeds)
+    assign0 = _ivf_assign(train, seed_rows)
 
     # One Lloyd step in exact quantized-integer arithmetic.
     comp = (
@@ -2019,7 +2071,7 @@ def _ivf_cells(spark: SparkSession, sf_dir: str, train_where=None):
             F.floor(F.sum("col").cast("double") / F.count("col")).alias("c")
         )
     )
-    cents = (
+    cent_rows = (
         comp.groupBy("cell")
         .agg(
             F.transform(
@@ -2032,8 +2084,10 @@ def _ivf_cells(spark: SparkSession, sf_dir: str, train_where=None):
             "cv",
             F.sqrt(_dot_expr("cv", "cv")).alias("cnorm"),
         )
+        .collect()
     )
-    return _ivf_assign(e, cents), cents
+    cents = spark.createDataFrame(cent_rows, _CENTS_SCHEMA)
+    return _ivf_assign(e, cent_rows), cents
 
 
 def s_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2061,6 +2115,13 @@ def s_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     data.
     """
     cells, _ = _ivf_cells(spark, sf_dir)
+    # cells feeds BOTH join sides (queries and corpus); materialize the
+    # assignment once so the literal-codegen sim projection (see
+    # _ivf_assign) runs a single pass — and so the window sort's
+    # codegen span does not fuse the 8×64-term projection into
+    # sort_addToSorter (measured: janino "Code grows beyond 64 KB" →
+    # whole-stage interpreted fallback without this barrier).
+    cells = cells.localCheckpoint()
 
     q = cells.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
@@ -5876,15 +5937,16 @@ LEFT JOIN hits h ON h.qid = q.qid
 def pq_ivf_index(spark: SparkSession, sf_dir: str, train_where=None):
     """The persisted artifacts of a PQ-IVF index build:
     ``(index, cents)`` where ``index`` = (vec_id, cell, rv, rnorm)
-    and ``cents`` = the 8-row Lloyd-stepped centroid frame
-    (checkpointed — it feeds both the corpus assignment and every
-    reader's routing, and re-deriving the Lloyd lineage per reuse
-    measured 22 s → 12 s at sf0.1 from this checkpoint alone).
+    and ``cents`` = the 8-row Lloyd-stepped centroid frame (a LOCAL
+    relation out of ``_ivf_cells`` — it feeds both the corpus
+    assignment and every reader's routing without re-deriving the
+    Lloyd lineage; that re-derivation measured 22 s → 12 s at sf0.1
+    when it was first cut).
 
-    The single-relation index is built with broadcast-only joins and
-    two chained vec_id groupBys (the second reuses the first's hash
-    partitioning — no extra exchange, and crucially no
-    vector-vs-vector shuffle join).  The original vector is
+    The single-relation index is built with ONE vec_id groupBy (the
+    sub-block reassembly) followed by a literal narrow-map cell
+    assignment (``_ivf_assign`` — no vector-vs-vector shuffle join,
+    no ×K explode).  The original vector is
     reassembled EXACTLY from the sub-block slices carried through the
     code assignment (flatten of sv by block == v bit-for-bit), so the
     cell assignment is identical to s_cosine_ivf's without joining
@@ -5894,7 +5956,7 @@ def pq_ivf_index(spark: SparkSession, sf_dir: str, train_where=None):
     Lloyd step and PQ codebooks) to a base split while the index
     still covers every vector — the post-upsert index shape."""
     _, cents = _ivf_cells(spark, sf_dir, train_where=train_where)
-    cents = cents.localCheckpoint()
+    cent_rows = cents.collect()  # local relation — no recompute
     _, books, enc = _pq_frames(spark, sf_dir, train_where=train_where)
     bb = books.select(
         F.col("block").alias("b2"), F.col("cid").alias("cid2"), "cv"
@@ -5922,21 +5984,7 @@ def pq_ivf_index(spark: SparkSession, sf_dir: str, train_where=None):
         .withColumn("rnorm", F.sqrt(_dot_expr("rv", "rv")))
         .withColumn("norm", F.sqrt(_dot_expr("v", "v")))
     )
-    isim = F.round(
-        _dot_expr("v", "cv") / (F.col("norm") * F.col("cnorm")), 6
-    ).alias("isim")
-    index = (
-        per_vec.join(F.broadcast(cents))
-        .select("vec_id", "rv", "rnorm", "cid", isim)
-        .groupBy("vec_id")
-        .agg(
-            F.first("rv").alias("rv"),
-            F.first("rnorm").alias("rnorm"),
-            F.max_by(
-                "cid", F.struct(F.col("isim"), (-F.col("cid")).alias("nc"))
-            ).alias("cell"),
-        )
-    )
+    index = _ivf_assign(per_vec, cent_rows, out=("vec_id", "rv", "rnorm"))
     return index, cents
 
 

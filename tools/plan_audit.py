@@ -83,13 +83,15 @@ CHECKS = {
         require=["Window", "BroadcastNestedLoopJoin", "BroadcastHashJoin"],
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
-    # IVF: both centroid-assignment passes broadcast the K=8 centroid
-    # side (BroadcastNestedLoopJoin over a broadcast hint — 8 rows, not
-    # a data-sized cartesian); the cell search is an equi-join on the
-    # cell id; top-3 is the only Window.
+    # IVF (r19 shape): both centroid-assignment passes are literal
+    # narrow maps (_ivf_assign folds the collected K=8 centroids into
+    # codegen) — the former ×K broadcast-nested-loop + max_by groupBy
+    # is gone; the cell search is a broadcast equi-join on the cell
+    # id; top-3 is the only Window.
     "s_cosine_ivf": dict(
-        require=["Window", "BroadcastNestedLoopJoin", "partial_max_by"],
-        forbid=["CartesianProduct", "SortMergeJoin"],
+        require=["Window", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin", "max_by"],
     ),
     # Round-6 TPC-H batch: every dim side must broadcast; the only
     # sort-merge allowed is a fact-fact join on its natural key.
@@ -895,19 +897,21 @@ CHECKS = {
     # (8 distinct cell ids — shuffling on the cell key would funnel
     # through 8 reducers); codebook/centroid joins broadcast; ADC
     # top-C and the exact rerank top-3 are per-qid rank windows.  No
-    # cartesian, no sort-merge anywhere in the path.
+    # cartesian, no sort-merge anywhere in the path.  r19: the
+    # build-side cell assignment is a literal narrow map
+    # (_ivf_assign) — the former ×K broadcast-nested-loop is gone.
     "s_pq_search": dict(
-        require=["MapInPandas", "Window", "BroadcastHashJoin",
-                 "BroadcastNestedLoopJoin"],
-        forbid=["CartesianProduct", "SortMergeJoin"],
+        require=["MapInPandas", "Window", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
     ),
     # Post-upsert serve: identical read-path shape to s_pq_search —
     # the base-split training filter is a narrow predicate on the
     # Lloyd passes and MUST NOT change the serving plan.
     "s_pq_search_upserted": dict(
-        require=["MapInPandas", "Window", "BroadcastHashJoin",
-                 "BroadcastNestedLoopJoin"],
-        forbid=["CartesianProduct", "SortMergeJoin"],
+        require=["MapInPandas", "Window", "BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin",
+                "BroadcastNestedLoopJoin"],
     ),
     # Multi-probe serve rung: identical read-path shape to the cached
     # serve path (broadcast hash joins + Arrow kernels + rank
