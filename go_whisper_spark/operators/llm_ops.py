@@ -1965,59 +1965,55 @@ IVF_K = 8  # coarse cells
 IVF_Q = 1_000_000  # centroid quantization scale (see determinism note)
 
 
-def _lit_d(x: float) -> str:
-    """Exact double literal for Spark SQL.  ``repr(float)`` is the
-    shortest round-tripping decimal and string→double casts are
-    correctly rounded, so the parsed value is bit-identical to ``x``;
-    the cast is constant-folded at plan time (zero runtime cost)."""
-    return f"CAST('{x!r}' AS DOUBLE)"
-
-
 def _ivf_assign(vectors: DataFrame, cent_rows,
                 out=("vec_id", "v", "norm")) -> DataFrame:
     """Nearest-centroid (max rounded cosine, ties → lowest cell id)
-    assignment as a NARROW literal-codegen map.  ``cent_rows``: the
+    assignment as ONE narrow Arrow kernel.  ``cent_rows``: the
     COLLECTED centroid table (control-plane by construction of the
     coarse quantizer — K=8 rows, the same pattern ``pq_route_frame``
-    uses).  Each centroid becomes an unrolled literal dot chain
-    (identical add order to ``_dot_expr``, so values are bit-exact)
-    and the argmax is a when-chain over the K sim columns — ascending
-    cid with strict ``>`` reproduces ``max_by`` over (sim, -cid).
-    The former shape (explode ×K through a broadcast join, then a
-    ``max_by`` groupBy) re-shuffled every vector's 64-double array K
-    times; this is a pure projection — zero Exchange at any scale."""
+    uses), folded into the kernel closure.
+
+    Exactness: per centroid the dot accumulates SEQUENTIALLY over the
+    dimension index (``_seq_dot`` — bit-identical to the unrolled
+    ``_dot_expr`` Add chain and DuckDB's list_sum fold); division and
+    6-decimal round as everywhere else (np.round half-even vs HALF_UP
+    is the module's verified non-event, see the invariant above
+    ``_seq_dot``); ``np.argmax`` returns the FIRST max, which over
+    cid-ascending columns reproduces ``max_by`` over (sim, -cid).
+
+    Shape history (r19 optimization round): the original form
+    (explode ×K through a broadcast join + a ``max_by`` groupBy)
+    re-shuffled every vector's 64-double array K times; the first
+    rewrite unrolled the collected centroids into 8×64-term literal
+    codegen projections — zero Exchange, but Catalyst spent ~1.5 s
+    PER INVOCATION analyzing the 512-term trees (event-log: 62% of
+    s_semantic_dedup's wall was between jobs).  The kernel keeps the
+    zero-Exchange narrow-map shape with an O(1)-size plan; the Python
+    boundary ships only (out ∪ {v, norm}) columns (guide §4.1)."""
     rows = sorted(cent_rows, key=lambda r: r["cid"])
-    sims = [
-        F.expr(
-            "round(("
-            + " + ".join(f"v[{i}] * {_lit_d(r['cv'][i])}" for i in range(DIM))
-            + f") / (norm * {_lit_d(r['cnorm'])}), 6)"
-        ).alias(f"_ivf_s{k}")
-        for k, r in enumerate(rows)
-    ]
-    withs = vectors.select("*", *sims)
-    if len(rows) == 1:
-        return withs.select(
-            *out, F.lit(rows[0]["cid"]).cast("long").alias("cell")
-        )
-    # argmax = greatest() + a FLAT first-match CASE scanning cid
-    # ascending (== max_by over (sim, -cid): max sim, ties → lowest
-    # cid).  A nested when-chain here expands to a 2^K-node tree that
-    # blows the 64 KB codegen method limit (measured: janino fallback
-    # to interpreted on s_cosine_ivf) — the flat form stays tiny.
-    best = F.greatest(*[F.col(f"_ivf_s{k}") for k in range(len(rows))])
-    withs = withs.withColumn("_ivf_best", best)
-    cell = F.when(
-        F.col("_ivf_s0") == F.col("_ivf_best"),
-        F.lit(rows[0]["cid"]).cast("long"),
-    )
-    for k in range(1, len(rows) - 1):
-        cell = cell.when(
-            F.col(f"_ivf_s{k}") == F.col("_ivf_best"),
-            F.lit(rows[k]["cid"]).cast("long"),
-        )
-    cell = cell.otherwise(F.lit(rows[-1]["cid"]).cast("long"))
-    return withs.select(*out, cell.alias("cell"))
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
+    cn = np.array([r["cnorm"] for r in rows], dtype=np.float64)
+    need = list(out) + [c for c in ("v", "norm") if c not in out]
+    types = {f.name: f.dataType.simpleString() for f in vectors.schema.fields}
+    schema = ", ".join(f"{c} {types[c]}" for c in out) + ", cell long"
+    out_cols = list(out)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].values).astype(np.float64)
+            norm = pdf["norm"].to_numpy(dtype=np.float64)
+            sims = np.empty((len(pdf), len(cids)), dtype=np.float64)
+            for k in range(len(cids)):
+                Ck = np.broadcast_to(C[k], V.shape)
+                sims[:, k] = np.round(_seq_dot(V, Ck) / (norm * cn[k]), 6)
+            res = pdf[out_cols].copy()
+            res["cell"] = cids[np.argmax(sims, axis=1)]
+            yield res
+
+    return vectors.select(*need).mapInPandas(assign, schema)
 
 
 _CENTS_SCHEMA = "cid long, cv array<double>, cnorm double"
@@ -2030,9 +2026,9 @@ def _ivf_cells(spark: SparkSession, sf_dir: str, train_where=None):
     (vec_id, v, norm, cell) and ``cents`` = (cid, cv, cnorm).
     Determinism contract documented on ``s_cosine_ivf``.
 
-    Both assignment passes run as literal narrow maps (see
+    Both assignment passes run as narrow Arrow kernels (see
     ``_ivf_assign``): the K-row seed/centroid tables are collected
-    (two control-plane jobs) and folded into codegen, which removes
+    (two control-plane jobs) and folded into the kernel, which removes
     the two vec_id re-aggregation Exchanges that previously carried
     every vector's array ×K through the shuffle.  ``cents`` is
     returned as a LOCAL relation, so consumers that reuse it
@@ -2043,6 +2039,14 @@ def _ivf_cells(spark: SparkSession, sf_dir: str, train_where=None):
     split must contain); the final assignment always covers the whole
     corpus — the frozen-quantizer shape ``s_pq_search_upserted``
     serves from."""
+    # (r19 optimization, tried and REJECTED: a cores-derived
+    # repartition here — to spread the norm chain + kernels off the
+    # single-row-group scan task — measured s_semantic_dedup
+    # 2.6 → 3.4 s and s_cosine_ivf 1.8 → 2.5 s median: the full-corpus
+    # round-robin exchange of the 64-double arrays, plus its
+    # sort-before-repartition, costs more than the 0.2-0.9 s of
+    # single-task stages it parallelizes.  At real scale the scan
+    # arrives in many splits and no spread is needed anyway.)
     e = _cos_frames(spark, sf_dir).select("vec_id", "v", "norm")
     seed_rows = (
         e.where(F.col("vec_id") < IVF_K)
@@ -2116,11 +2120,8 @@ def s_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cells, _ = _ivf_cells(spark, sf_dir)
     # cells feeds BOTH join sides (queries and corpus); materialize the
-    # assignment once so the literal-codegen sim projection (see
-    # _ivf_assign) runs a single pass — and so the window sort's
-    # codegen span does not fuse the 8×64-term projection into
-    # sort_addToSorter (measured: janino "Code grows beyond 64 KB" →
-    # whole-stage interpreted fallback without this barrier).
+    # assignment once so the Arrow assignment kernel (see _ivf_assign)
+    # runs a single pass instead of once per join side.
     cells = cells.localCheckpoint()
 
     q = cells.where(F.col("vec_id") < 20).select(
@@ -5944,7 +5945,7 @@ def pq_ivf_index(spark: SparkSession, sf_dir: str, train_where=None):
     when it was first cut).
 
     The single-relation index is built with ONE vec_id groupBy (the
-    sub-block reassembly) followed by a literal narrow-map cell
+    sub-block reassembly) followed by a narrow Arrow-kernel cell
     assignment (``_ivf_assign`` — no vector-vs-vector shuffle join,
     no ×K explode).  The original vector is
     reassembled EXACTLY from the sub-block slices carried through the
@@ -6579,8 +6580,16 @@ def s_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dropped = np.unique(j[sims >= SEMDEDUP_THRESHOLD])
         return pd.DataFrame({"vec_id": ids[dropped]})
 
+    # Pin the pair-kernel stage's width with an explicit keyed
+    # repartition (r19 optimization): the 8-cell shuffle is BYTE-small
+    # so AQE coalesced it to ONE task and every cell's O(|cell|²)
+    # kernel ran sequentially (event-log: 888 ms of the query's
+    # 3.1 s in that task).  A user-specified partition count is
+    # exempt from AQE coalescing, and the groupBy reuses the same
+    # hash partitioning — no extra Exchange (plan-verified).
     dropped = (
         cells.select("cell", "vec_id", "v", "norm")
+        .repartition(spark.sparkContext.defaultParallelism, "cell")
         .groupBy("cell")
         .applyInPandas(dedup_cell, "vec_id long")
         .withColumn("dup", F.lit(1))
@@ -7560,7 +7569,6 @@ def t_bpe_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
     restriction, see ``bpe_merge_round``).  Output: the round-3
     candidate pair table (top 20, count desc / pair asc, symbols
     joined with '+') over the twice-merged corpus."""
-    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
     # Seed AND per-round outputs are materialized: every stage feeds
     # two-plus consumers (a round's pair count + its merge; the final
     # count), so leaving lineage re-runs the whole prior chain per
@@ -7570,21 +7578,26 @@ def t_bpe_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5.6 s median A/B — the filter(size>=2) + pair-explode both
     # re-evaluate the inlined merge-string expression when it is not
     # materialized; the checkpoint is load-bearing, keep it.)
-    # The seed is REPARTITIONED before materializing (r19
+    # The seed is REPARTITIONED before it is even TOKENIZED (r19
     # optimization, guide §2.5 "unsplittable input — repartition
     # immediately after the read"): the single-row-group corpus scan
-    # leaves the 270k-row symbol seed in ONE partition, and because
-    # every merge round inherits the seed's layout, all pair counts
-    # and string merges ran single-task.  Cores-derived, a no-op at
-    # scale where the scan arrives in many splits.
+    # leaves everything upstream of the exchange in ONE task, so with
+    # the repartition placed after the explode that task still paid
+    # the regex tokenize + explode + char split + exchange write of
+    # the 270k exploded symbol rows (event-log: 762 ms of the query's
+    # 3.0 s).  Shipping the RAW text rows (2k, narrow) and running
+    # tokenize/explode/split post-exchange puts the heavy map on all
+    # cores.  Cores-derived, a no-op at scale.
     toks = (
-        d.select(F.explode("tokens").alias("t"))
+        _docs(spark, sf_dir)
+        .select("text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(_tokens_col()).alias("t"))
         .select(
             F.expr(
                 "transform(sequence(1, length(t)), i -> substr(t, i, 1))"
             ).alias("syms")
         )
-        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
     for _ in range(2):
@@ -7613,16 +7626,18 @@ def t_bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     count.  This table, broadcast, is what a tokenizer-apply stage
     replays to encode new text; ``t_bpe_train2`` prices the corpus
     side of the same loop."""
-    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
     toks = (
-        d.select(F.explode("tokens").alias("t"))
+        _docs(spark, sf_dir)
+        .select("text")
+        # same fan-out + repartition-before-tokenize rules as
+        # t_bpe_train2 (the raw text rows cross the exchange)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(_tokens_col()).alias("t"))
         .select(
             F.expr(
                 "transform(sequence(1, length(t)), i -> substr(t, i, 1))"
             ).alias("syms")
         )
-        # same fan-out + seed-repartition rules as t_bpe_train2
-        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
     out = None
@@ -7657,15 +7672,18 @@ def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ledger is one doc-keyed partial aggregate."""
     d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
     toks = (
-        d.select("doc_id", F.explode("tokens").alias("t"))
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        # same fan-out + repartition-before-tokenize rules as
+        # t_bpe_train2 (the raw text rows cross the exchange)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(_tokens_col()).alias("t"))
         .select(
             "doc_id",
             F.expr(
                 "transform(sequence(1, length(t)), i -> substr(t, i, 1))"
             ).alias("syms"),
         )
-        # same fan-out + seed-repartition rules as t_bpe_train2
-        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
     for _ in range(2):

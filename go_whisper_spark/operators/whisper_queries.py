@@ -4248,7 +4248,8 @@ def w_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard 100 TB range-join layout (Spark has no native IEJoin;
     DuckDB does, which makes the oracle an INDEPENDENT direct
     inequality-join formulation, not a restatement).  Zero-neighbor
-    points are preserved through the final left join-back.
+    points survive through their own self-match row (see the
+    conditional-aggregate note below) — no join-back needed.
     """
     W = 900
     B = 2 * W
@@ -4272,24 +4273,40 @@ def w_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents().alias("r_cents"),
         b.alias("bin"),
     )
-    near = (
+    # Zero-neighbor preservation WITHOUT the join-back (r19
+    # optimization, guide §2.4 "remove shuffles outright"): every
+    # probe row matches its OWN build row (same bin, Δt = 0 — only
+    # the same-metric filter would drop it), so keeping same-metric
+    # matches in the join and moving the metric/Δt predicates into
+    # CONDITIONAL aggregates leaves every (metric, ts, write_seq)
+    # group non-empty.  The former shape re-scanned pts and left-
+    # joined the aggregate back (one more Exchange + scan) purely to
+    # resurrect zero-neighbor points.
+    is_near = (F.col("r_metric") != F.col("metric")) & (
+        F.abs(F.col("r_ts") - F.col("ts")) <= W
+    )
+    return (
         probe.join(build, "bin")
         .where(
-            (F.col("r_metric") != F.col("metric"))
-            & (F.abs(F.col("r_ts") - F.col("ts")) <= W)
+            is_near
+            | (
+                (F.col("r_metric") == F.col("metric"))
+                & (F.col("r_ts") == F.col("ts"))
+            )
         )
         .groupBy("metric", "ts", "write_seq")
         .agg(
-            F.count("*").alias("n_near"),
-            F.sum("r_cents").alias("near_cents"),
+            F.sum(is_near.cast("long")).alias("n_near"),
+            F.sum(F.when(is_near, F.col("r_cents")).otherwise(F.lit(0)))
+            .alias("near_cents"),
         )
-    )
-    return pts.join(near, ["metric", "ts", "write_seq"], "left").select(
-        "metric",
-        "ts",
-        "write_seq",
-        F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
-        F.coalesce("near_cents", F.lit(0)).cast("long").alias("near_cents"),
+        .select(
+            "metric",
+            "ts",
+            "write_seq",
+            F.col("n_near").cast("long").alias("n_near"),
+            F.coalesce("near_cents", F.lit(0)).cast("long").alias("near_cents"),
+        )
     )
 
 

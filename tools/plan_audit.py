@@ -819,8 +819,10 @@ CHECKS = {
     # an EQUI-join on the bin id (+ post-join filter) — the
     # nested-loop cross product Catalyst would pick for a raw
     # inequality join is the exact shape this query exists to avoid.
+    # r19: zero-neighbor points survive via their own self-match row
+    # and CONDITIONAL sums (no join-back, no plain count aggregate).
     "w_range_join_binned": dict(
-        require=["partial_count", "partial_sum"],
+        require=["partial_sum"],
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     # Two-round BPE trainer: per round, a map-side-combined pair count
