@@ -1467,8 +1467,8 @@ _TRI_SUBSTRATE_CACHE: dict = {}
 
 def tri_substrate_cached(spark: SparkSession, sf_dir: str):
     """``_tri_oriented`` built at most once per (session, corpus),
-    returned as ``(edges, deg, oriented, n_edges)``.  Keyed by
-    applicationId, not id(spark) — CPython reuses id() after
+    returned as ``(edges, deg, oriented, n_edges, packed_bc)``.
+    Keyed by applicationId, not id(spark) — CPython reuses id() after
     GC, so a fresh session could hit a stale entry holding frames
     bound to a STOPPED SparkContext (the pq_ivf_index_cached
     lesson); entries for dead contexts are dropped here.
@@ -1487,7 +1487,17 @@ def tri_substrate_cached(spark: SparkSession, sf_dir: str):
     src; the localCheckpointed form (UnknownPartitioning) forced a
     re-shuffle every query.  ``n_edges`` rides the cache so the
     broadcast-probe size gate (``_TRI_BCAST_MAX_EDGES``) costs no
-    per-query count job."""
+    per-query count job.
+
+    ``packed_bc`` (r19 optimization, second pass): the oriented edge
+    list additionally persists as a SORTED packed-int64 numpy array
+    ((src << 32) | dst) in a Python broadcast — the probe-side index
+    the serve path's Arrow wedge kernel binary-searches (see
+    ``_tri_part_counts_kernel``).  Built only while the edge count is
+    ≤ ``_TRI_KERNEL_MAX_EDGES`` AND every node id fits 31 bits (the
+    packing precondition); past either bound it is None and the serve
+    path falls back to the identical-results join plan — the same
+    laddered degradation the JVM broadcast gate already implements."""
     app_id = spark.sparkContext.applicationId
     for k in [k for k in _TRI_SUBSTRATE_CACHE if k[0] != app_id]:
         del _TRI_SUBSTRATE_CACHE[k]
@@ -1504,26 +1514,124 @@ def tri_substrate_cached(spark: SparkSession, sf_dir: str):
         n_edges = oriented.count()
         deg = deg.persist()
         deg.count()
-        hit = (edges, deg, oriented, n_edges)
+        packed_bc = None
+        if 0 < n_edges <= _TRI_KERNEL_MAX_EDGES:
+            import numpy as np
+
+            pdf = oriented.select("src", "dst").toPandas()
+            src = pdf["src"].to_numpy(dtype="int64")
+            dst = pdf["dst"].to_numpy(dtype="int64")
+            hi = max(int(src.max()), int(dst.max()))
+            if hi < (1 << 31):
+                packed = np.sort((src << 32) | dst)
+                packed_bc = spark.sparkContext.broadcast(packed)
+        hit = (edges, deg, oriented, n_edges, packed_bc)
         _TRI_SUBSTRATE_CACHE[key] = hit
     return hit
 
 
+_TRI_KERNEL_MAX_EDGES = 16_000_000  # packed-array ceiling, 8 B/edge
+
+
+def _tri_part_counts_kernel(oriented: DataFrame, packed_bc) -> DataFrame:
+    """Per-partition triangle PARTICIPATION partials (node, tri_n)
+    from the src-partitioned, src-sorted serve substrate — the wedge
+    generation + closing probe as ONE Arrow kernel (guide §4.2).
+
+    Why: the SMJ wedge pipeline is correct and codegen'd but pays
+    per-ROW costs on ~2× the wedge count (the src self-join emits d²
+    pairs per group, the order filter then halves them) — measured
+    142 s of CPU across the stage at sf0.1.  The kernel generates
+    only the C(d, 2) ORDERED pairs per src (adjacency sorted by
+    (dd, dst) — the same (degree, id) total order, so the pair set is
+    identical), probes the closing edge by binary search in the
+    packed sorted edge array, and pre-aggregates participation counts
+    per task.  Same asymptotics, vectorized constant: work is still
+    Σ C(outdeg, 2) with the √m orientation bound, the probe index is
+    still O(edges) per executor — the JVM broadcast hash relation
+    traded for a numpy array at 8 B/edge.
+
+    Exactness: integer set membership and integer counts — no FP
+    anywhere; the emitted partials sum to exactly the join plan's
+    per-node counts (pytest-pinned serve == build equality)."""
+
+    def count_parts(batches):
+        import numpy as np
+        import pandas as pd
+
+        ew = packed_bc.value
+        # a src group can straddle Arrow batch boundaries — buffer the
+        # whole partition (the substrate partitions are ~|E|/cores
+        # rows of 3 longs; buffering is MBs, not the wedge fan-out)
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        src = pdf["src"].to_numpy(dtype="int64")
+        dd = pdf["dd"].to_numpy(dtype="int64")
+        dst = pdf["dst"].to_numpy(dtype="int64")
+        # adjacency in (src, (dd, dst)) order == the (degree, id)
+        # total order the wedge filter applies
+        order = np.lexsort((dst, dd, src))
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        ends = np.r_[starts[1:], len(src)]
+        iu_cache: dict = {}
+        a_l, v_l, w_l = [], [], []
+        for s, e in zip(starts, ends):
+            d = e - s
+            if d < 2:
+                continue
+            pair = iu_cache.get(d)
+            if pair is None:
+                pair = np.triu_indices(d, 1)
+                iu_cache[d] = pair
+            iu, ju = pair
+            a_l.append(np.full(len(iu), src[s]))
+            v_l.append(dst[s + iu])
+            w_l.append(dst[s + ju])
+        if not a_l:
+            return
+        a = np.concatenate(a_l)
+        v = np.concatenate(v_l)
+        w = np.concatenate(w_l)
+        keys = (v << 32) | w
+        pos = np.searchsorted(ew, keys)
+        pos[pos == len(ew)] = 0  # clamp; mismatch check below
+        hit = ew[pos] == keys
+        nodes = np.concatenate([a[hit], v[hit], w[hit]])
+        u, c = np.unique(nodes, return_counts=True)
+        yield pd.DataFrame({"node": u, "tri_n": c})
+
+    return oriented.select("src", "dst", "dd").mapInPandas(
+        count_parts, "node long, tri_n long"
+    )
+
+
 def w_triangles_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``w_triangles``' probe path against the pre-built substrate:
-    the wedge join + broadcast closing probe + participation ledger
+    the wedge generation + closing probe + participation ledger
     alone, which is the recurring cost at 100 TB (a production graph
     store builds the deduped, degree-oriented edge list once per
     ingest and answers triangle/motif queries from it; the in-query
     substrate rebuild that dominates ``w_triangles``' bench entry is
     a one-time cost).  First call per (session, corpus) builds and
     persists the substrate partitioned by ``src`` (see
-    ``tri_substrate_cached`` — the wedge join then needs no exchange
-    and no sort); every subsequent call — and every bench rep after
-    the warm-up — reuses it.  Results are identical to
+    ``tri_substrate_cached``); every subsequent call — and every
+    bench rep after the warm-up — reuses it.  While the packed probe
+    index fits (see the substrate cache), the wedge stage runs as
+    the Arrow kernel ``_tri_part_counts_kernel``; past the gate the
+    identical-results join plan serves.  Results are identical to
     ``w_triangles`` (same frames), so it shares the oracle."""
-    _, deg, oriented, n_edges = tri_substrate_cached(spark, sf_dir)
-    return _tri_node_ledger(deg, oriented, n_edges=n_edges)
+    _, deg, oriented, n_edges, packed_bc = tri_substrate_cached(spark, sf_dir)
+    if packed_bc is None:
+        return _tri_node_ledger(deg, oriented, n_edges=n_edges)
+    part = (
+        _tri_part_counts_kernel(oriented, packed_bc)
+        .groupBy("node")
+        .agg(F.sum("tri_n").alias("tri_n"))
+    )
+    return _tri_part_ledger(deg, part)
 
 
 def _tri_node_ledger(deg: DataFrame, oriented: DataFrame,
@@ -1539,6 +1647,13 @@ def _tri_node_ledger(deg: DataFrame, oriented: DataFrame,
         .groupBy("node")
         .agg(F.count("*").alias("tri_n"))
     )
+    return _tri_part_ledger(deg, part)
+
+
+def _tri_part_ledger(deg: DataFrame, part: DataFrame) -> DataFrame:
+    """(deg, per-node participation counts) → the final (node, deg,
+    tri_n, cc_ppm) ledger — the assembly shared by the join plan and
+    the serve path's Arrow kernel."""
     return (
         deg.join(part, "node", "left")
         .select(

@@ -531,6 +531,35 @@ def test_triangles_orientation_and_laws(spark, sf_dir):
             f"node {r.node}: more triangles than wedge pairs")
 
 
+def test_triangles_serve_kernel_matches_join_plan(spark, sf_dir):
+    """The serve path's Arrow wedge kernel (r19 optimization —
+    C(d,2) ordered pair generation + packed-int64 binary-search
+    probe, ``_tri_part_counts_kernel``) must emit the EXACT ledger
+    the join plan computes, including with Arrow batches far smaller
+    than a src group (the kernel buffers its whole partition, so a
+    group straddling batch boundaries must not split)."""
+    from go_whisper_spark.operators.whisper_queries import (
+        tri_substrate_cached,
+        w_triangles,
+        w_triangles_serve,
+    )
+
+    _, _, _, _, packed_bc = tri_substrate_cached(spark, sf_dir)
+    assert packed_bc is not None, (
+        "test corpus under the kernel gate should build the packed index")
+    want = sorted(map(tuple, w_triangles(spark, sf_dir).collect()))
+    got = sorted(map(tuple, w_triangles_serve(spark, sf_dir).collect()))
+    assert got == want
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        tiny = sorted(map(tuple, w_triangles_serve(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert tiny == want, "kernel output changed under tiny Arrow batches"
+
+
 def test_truss_support_charge_law(spark, sf_dir):
     """The edge-support histogram's conservation laws: (1) the total
     charge Σ support·n_edges equals exactly 3× the triangle count
