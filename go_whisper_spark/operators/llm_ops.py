@@ -4865,7 +4865,16 @@ def t_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact in both engines (hex-slice mod M, 1<<(p%32),
     bit_or), so the sketch itself is oracle-checkable, not just its
     accuracy."""
-    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    # repartition-before-tokenize (guide §2.5, the t_bpe_train2
+    # lesson): BOTH consumers of ``sh`` (test bitmap build, train
+    # probe) re-ran tokenize + shingle explode + 3×md5 in the
+    # single-row-group scan task
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("tokens", _tokens_col())
+    )
     sh = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(_SHINGLES_EXPR))).alias("sh"),
@@ -5199,12 +5208,20 @@ def t_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same transform at k=3 granularity, which is what the synthetic
     corpus' span lengths exercise.
     """
-    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
-    # the token/shingle explodes (~1M output rows) otherwise run in
-    # the single-row-group scan's one task (r19 optimization, guide
-    # §2.5; cores-derived, no-op at scale).  `base` below stays on
-    # the plain scan — its per-row work is a size() only.
-    dr = d.repartition(spark.sparkContext.defaultParallelism)
+    # Repartition the RAW text rows, tokenize AFTER the exchange (r19
+    # optimization, guide §2.5 — the t_bpe_train2 lesson): with the
+    # repartition placed after ``withColumn(tokens)``, each of the
+    # THREE consumer branches re-ran the regex tokenize in the
+    # single-row-group scan task before its exchange (event-log:
+    # 3 × ~300 ms single-task stages).  ``base`` reads the same
+    # spread frame so its size() pass parallelizes too.
+    dr = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("tokens", _tokens_col())
+    )
+    d = dr
     toks = dr.select(
         "doc_id", F.posexplode("tokens").alias("tpos0", "tok")
     ).select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "tok")
@@ -5308,7 +5325,13 @@ def _t_span_dedup_min_len(
     merges positions into runs.  Runs are disjoint by construction,
     so the coverage explode needs no de-dup, one shuffle fewer than
     the fixed-k form."""
-    d = _docs(spark, sf_dir).withColumn("tokens", _tokens_col())
+    # repartition-before-tokenize, as in t_span_dedup (guide §2.5)
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("tokens", _tokens_col())
+    )
     toks = d.select(
         "doc_id", F.posexplode("tokens").alias("tpos0", "tok")
     ).select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "tok")
@@ -8585,7 +8608,14 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     RE2-compatible by construction (no lookaround), which is also
     the production constraint: RE2-safe patterns run on any engine
     and never backtrack-explode on adversarial documents."""
-    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    # repartition-before-the-regex-map (guide §2.5; measured −18%
+    # median — the chained scrub regexes otherwise run in the
+    # single-row-group scan task; no-op at scale)
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     base = d.select("doc_id", "lang", _pii_aug_col().alias("aug"))
     red = _pii_red_col(F.col("aug"))
     scr = base.select(
