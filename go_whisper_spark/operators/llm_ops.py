@@ -995,35 +995,56 @@ _EMPTY_PAIRS = pd.DataFrame(
 def _brute_topk(spark: SparkSession, sf_dir: str, qmax: int, k: int) -> DataFrame:
     """Exact cosine top-k for query vectors ``vec_id < qmax`` —
     the parameterized core of ``s_cosine_topk`` (and the ground truth
-    side of ``s_ann_recall``)."""
+    side of ``s_ann_recall``).
+
+    r19 optimization (guide §4.1 "control how many columns cross the
+    boundary" / §8 "decide with small rows"): the former shape
+    crossJoined the broadcast query frame against the corpus JVM-side
+    and shipped |Q|·|C| PAIRED rows — BOTH 64-double arrays per row —
+    through Arrow (~2 GB at sf0.1; event-log: a 21.7 s-CPU kernel
+    stage under s_hybrid_rrf).  The query side is control-plane
+    (≤ qmax rows), so COLLECT it and fold the Q matrix into the
+    kernel closure: the corpus crosses the boundary ONCE, and each
+    batch computes sims against all queries.  Per-(q, cand) values
+    are bit-identical (`_seq_dot` per query row keeps the sequential
+    add order); the self-pair filter moves inside the kernel."""
     e = _cos_frames(spark, sf_dir)
-    q = e.where(F.col("vec_id") < qmax).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    q_rows = sorted(
+        e.where(F.col("vec_id") < qmax)
+        .select(F.col("vec_id").alias("qid"), "v", "norm")
+        .collect(),
+        key=lambda r: r["qid"],
     )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "qid long, neighbor long, sim double, rank int"
+        )
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r["v"]) for r in q_rows], dtype=np.float64)
+    qn = np.array([r["norm"] for r in q_rows], dtype=np.float64)
     # The streamed corpus side carries the |Q|x|C| Arrow sims pass —
     # spread the single-file scan so it isn't one task (no-op at scale
     # where the scan is already many splits).
     cand = e.select("vec_id", "v", "norm").repartition(
         spark.sparkContext.defaultParallelism
     )
-    pairs = F.broadcast(q).crossJoin(cand).where(
-        F.col("vec_id") != F.col("qid")
-    )
 
     def sims(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = np.stack(pdf["qv"].values).astype(np.float64)
-            B = np.stack(pdf["v"].values).astype(np.float64)
-            sim = np.round(
-                _seq_dot(A, B) / (pdf["qn"].to_numpy() * pdf["norm"].to_numpy()), 6
-            )
-            yield pd.DataFrame(
-                {"qid": pdf["qid"], "neighbor": pdf["vec_id"], "sim": sim}
-            )
+            V = np.stack(pdf["v"].values).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            norm = pdf["norm"].to_numpy(dtype=np.float64)
+            for i in range(len(qids)):
+                Qi = np.broadcast_to(Q[i], V.shape)
+                sim = np.round(_seq_dot(V, Qi) / (norm * qn[i]), 6)
+                m = ids != qids[i]
+                yield pd.DataFrame(
+                    {"qid": qids[i], "neighbor": ids[m], "sim": sim[m]}
+                )
 
-    simdf = pairs.mapInPandas(sims, "qid long, neighbor long, sim double")
+    simdf = cand.mapInPandas(sims, "qid long, neighbor long, sim double")
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("neighbor"))
     return (
         simdf.withColumn("rank", F.row_number().over(w))
@@ -6660,26 +6681,34 @@ def _trunc_topk(spark: SparkSession, sf_dir: str, qmax: int, k: int, dim: int) -
     e = _emb(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    q = e.where(F.col("vec_id") < qmax).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    # collected-query kernel closure, as in _brute_topk (guide §4.1 —
+    # the corpus crosses the Python boundary once, not ×|Q|)
+    q_rows = sorted(
+        e.where(F.col("vec_id") < qmax).collect(), key=lambda r: r["vec_id"]
     )
+    if not q_rows:
+        return spark.createDataFrame([], "qid long, neighbor long")
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r["v"]) for r in q_rows], dtype=np.float64)[:, :dim]
+    qn = np.sqrt(_seq_dot(Q, Q))
     cand = e.repartition(spark.sparkContext.defaultParallelism)
-    pairs = F.broadcast(q).crossJoin(cand).where(F.col("vec_id") != F.col("qid"))
 
     def sims(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = np.stack(pdf["qv"].values).astype(np.float64)[:, :dim]
             B = np.stack(pdf["v"].values).astype(np.float64)[:, :dim]
-            na = np.sqrt(_seq_dot(A, A))
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             nb = np.sqrt(_seq_dot(B, B))
-            sim = np.round(_seq_dot(A, B) / (na * nb), 6)
-            yield pd.DataFrame(
-                {"qid": pdf["qid"], "neighbor": pdf["vec_id"], "sim": sim}
-            )
+            for i in range(len(qids)):
+                Qi = np.broadcast_to(Q[i], B.shape)
+                sim = np.round(_seq_dot(B, Qi) / (qn[i] * nb), 6)
+                m = ids != qids[i]
+                yield pd.DataFrame(
+                    {"qid": qids[i], "neighbor": ids[m], "sim": sim[m]}
+                )
 
-    simdf = pairs.mapInPandas(sims, "qid long, neighbor long, sim double")
+    simdf = cand.mapInPandas(sims, "qid long, neighbor long, sim double")
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("neighbor"))
     return (
         simdf.withColumn("rank", F.row_number().over(w))
