@@ -3157,14 +3157,13 @@ def t_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc ledger, and a 5-key final aggregate; nothing new
     shuffles."""
     pairs = d_cdc_neardup(spark, sf_dir)
-    # materialize the tiny drop set ONCE: three consumers (train
-    # tokenize, held tokenize, the final ledger) would otherwise each
-    # re-run the whole CDC postings join — measured 9.4 → 5.2 s at
-    # sf0.1 (the m_cdc_dedup ends-materialization lesson, one level up)
-    dropped = (
-        pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-        .localCheckpoint()
-    )
+    # The drop set's OWN checkpoint (r18: three consumers re-ran the
+    # CDC join) became redundant when the r19 session checkpointed
+    # the joined per-doc frame `d` below — `dropped` now has exactly
+    # ONE consumer (that join), so its lineage runs once inside d's
+    # materialization either way; the extra checkpoint was one more
+    # sequential job + driver gap (guide §1.2: delete whole jobs).
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     # materialize the tokenized + dedup-flagged per-doc frame ONCE
     # (r19 optimization): the gate spine consumes it from FOUR
     # separately-planned branches (train bigrams, train unigrams,
@@ -3220,7 +3219,13 @@ def _curation_gate(d: DataFrame) -> DataFrame:
         .select(F.explode(bigrams).alias("b"))
         .select("b.w1", "b.w2")
     )
-    c2 = t_bi.groupBy("w1", "w2").agg(F.count("*").alias("c2")).localCheckpoint()
+    # c2 has ONE consumer (its broadcast below) and reads off the
+    # caller's checkpointed per-doc frame, so the broadcast build
+    # runs the lineage exactly once either way — a checkpoint here
+    # was one more sequential job (guide §1.2: delete whole jobs).
+    # c1 keeps its checkpoint: THREE consumers (two broadcasts +
+    # totals).
+    c2 = t_bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = (
         train.select(F.explode("tokens").alias("w"))
         .groupBy("w")
@@ -3306,10 +3311,9 @@ def t_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the e2e plan + one narrow regex map before
     tokenize; nothing new shuffles."""
     pairs = d_cdc_neardup(spark, sf_dir)
-    dropped = (
-        pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-        .localCheckpoint()
-    )
+    # single consumer (the join into the checkpointed d) — no own
+    # checkpoint needed; see the t_curation_e2e note
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     d = (
         _docs(spark, sf_dir)
         # spread the regex scrub off the single-row-group scan task
