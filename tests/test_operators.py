@@ -532,32 +532,66 @@ def test_triangles_orientation_and_laws(spark, sf_dir):
 
 
 def test_triangles_serve_kernel_matches_join_plan(spark, sf_dir):
-    """The serve path's Arrow wedge kernel (r19 optimization —
-    C(d,2) ordered pair generation + packed-int64 binary-search
-    probe, ``_tri_part_counts_kernel``) must emit the EXACT ledger
-    the join plan computes, including with Arrow batches far smaller
-    than a src group (the kernel buffers its whole partition, so a
-    group straddling batch boundaries must not split)."""
+    """The serve path's Arrow wedge kernel (r19 optimization, r20:
+    OPT-IN via SPARK_GRAFT_TRI_KERNEL=1 — the driver host measured
+    the join plan ahead, so the kernel is a per-deployment choice)
+    must emit the EXACT ledger the join plan computes, including
+    with Arrow batches far smaller than a src group (the kernel
+    buffers its whole partition, so a group straddling batch
+    boundaries must not split) and with the chunked probe forced to
+    flush many times (the r20 wedge-memory bound: per-chunk probe +
+    per-node reduction must fold to the same counts)."""
+    import os
+
+    import go_whisper_spark.operators.whisper_queries as wq
     from go_whisper_spark.operators.whisper_queries import (
         tri_substrate_cached,
         w_triangles,
         w_triangles_serve,
     )
 
-    _, _, _, _, packed_bc = tri_substrate_cached(spark, sf_dir)
-    assert packed_bc is not None, (
-        "test corpus under the kernel gate should build the packed index")
+    # default (knob off): the serve path is the join plan — no packed
+    # index is built, no driver-side edge transfer happens
+    wq._TRI_SUBSTRATE_CACHE.clear()
+    os.environ.pop("SPARK_GRAFT_TRI_KERNEL", None)
+    _, _, _, _, packed_off = tri_substrate_cached(spark, sf_dir)
+    assert packed_off is None, (
+        "kernel index must not build without the opt-in knob")
     want = sorted(map(tuple, w_triangles(spark, sf_dir).collect()))
-    got = sorted(map(tuple, w_triangles_serve(spark, sf_dir).collect()))
-    assert got == want
+    join_serve = sorted(
+        map(tuple, w_triangles_serve(spark, sf_dir).collect()))
+    assert join_serve == want
 
-    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    os.environ["SPARK_GRAFT_TRI_KERNEL"] = "1"
+    wq._TRI_SUBSTRATE_CACHE.clear()
     try:
-        tiny = sorted(map(tuple, w_triangles_serve(spark, sf_dir).collect()))
+        _, _, _, _, packed_bc = tri_substrate_cached(spark, sf_dir)
+        assert packed_bc is not None, (
+            "test corpus under the kernel gate should build the packed index")
+        got = sorted(map(tuple, w_triangles_serve(spark, sf_dir).collect()))
+        assert got == want
+
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        try:
+            tiny = sorted(
+                map(tuple, w_triangles_serve(spark, sf_dir).collect()))
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        assert tiny == want, "kernel output changed under tiny Arrow batches"
+
+        # force the chunked probe to flush on (nearly) every group
+        old_chunk = wq._TRI_KERNEL_WEDGE_CHUNK
+        wq._TRI_KERNEL_WEDGE_CHUNK = 1
+        try:
+            chunked = sorted(
+                map(tuple, w_triangles_serve(spark, sf_dir).collect()))
+        finally:
+            wq._TRI_KERNEL_WEDGE_CHUNK = old_chunk
+        assert chunked == want, "chunked probe changed the ledger"
     finally:
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
-    assert tiny == want, "kernel output changed under tiny Arrow batches"
+        os.environ.pop("SPARK_GRAFT_TRI_KERNEL", None)
+        wq._TRI_SUBSTRATE_CACHE.clear()
 
 
 def test_truss_support_charge_law(spark, sf_dir):

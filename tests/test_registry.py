@@ -309,13 +309,12 @@ def test_r18_window_matches_driver_record():
 
 
 def test_round19_window_disjoint_from_r18():
-    """First 50 of the rotated registry must not re-check the rounds
-    16-18 greens (round 18 was fully green, so no red row re-fronts)
-    and must front every never-driver-checked round-18 deferral.
-    The r11-cohort-era remainder IS expected in the window — it is
-    the oldest driver evidence and rotation exists to re-check it."""
-    queries, _ = entry._registry()
-    window = list(queries)[:50]
+    """The round-19 window (now the historical _R19_WINDOW list) did
+    not re-check the rounds 16-18 greens (round 18 was fully green,
+    so no red row re-fronted) and fronted every never-driver-checked
+    round-18 deferral.  The r11-cohort-era remainder WAS expected in
+    the window — it was the oldest driver evidence at the time."""
+    window = entry._R19_WINDOW
     assert not set(window) & set(entry._R18_WINDOW), (
         "round-19 window re-checks round-18 greens")
     assert not set(window) & set(entry._R17_WINDOW)
@@ -324,17 +323,50 @@ def test_round19_window_disjoint_from_r18():
     assert not missing, f"never-checked deferrals missed the window: {missing}"
 
 
-def test_r19_window_matches_first_fifty():
-    """Once frozen mid-round, the pre-materialized round-19 window
-    list (the round-20 rotation seed) must stay equal to the
-    registry's actual first 50 — the drift failure mode enforced
-    every round since round 8.  Late round-19 additions belong in
-    _R19_DEFERRED, which this equality keeps OUT of the window."""
-    if not getattr(entry, "_R19_WINDOW", None):
-        pytest.skip("_R19_WINDOW not yet frozen this round")
-    queries, _ = entry._registry()
-    assert entry._R19_WINDOW == list(queries)[:50]
+def test_r19_window_matches_driver_record():
+    """_R19_WINDOW (the round-20 rotation seed) must equal the window
+    the driver actually hashed in round 19 (50/50 green — zero red
+    rows, so no _R19_RED block exists)."""
+    rec = _correctness(19)
+    assert len(entry._R19_WINDOW) == 50
     assert len(set(entry._R19_WINDOW)) == 50
+    assert set(entry._R19_WINDOW) == set(rec.keys())
+    red = {n for n, r in rec.items() if r.get("err") or not r.get("hash_match")}
+    assert not red, f"round-19 record has red rows with no _R19_RED block: {red}"
+
+
+def test_round20_window_disjoint_from_r19():
+    """First 50 of the rotated registry must not re-check the rounds
+    17-19 greens EXCEPT the _R20_PRIORITY block — VERDICT r19 item 6
+    explicitly fronts the r19-optimized query paths (their driver
+    evidence predates the optimization), overriding the
+    oldest-evidence rule for exactly those ten — and must front every
+    never-driver-checked round-19 deferral."""
+    queries, _ = entry._registry()
+    window = list(queries)[:50]
+    prio = set(entry._R20_PRIORITY)
+    assert not (set(window) - prio) & set(entry._R19_WINDOW), (
+        "round-20 window re-checks round-19 greens outside the priority block")
+    assert not (set(window) - prio) & set(entry._R18_WINDOW)
+    assert not (set(window) - prio) & set(entry._R17_WINDOW)
+    missing = [n for n in entry._R19_DEFERRED if n not in window]
+    assert not missing, f"never-checked deferrals missed the window: {missing}"
+    missing_prio = [n for n in entry._R20_PRIORITY if n not in window]
+    assert not missing_prio, (
+        f"priority re-checks missed the window: {missing_prio}")
+
+
+def test_r20_window_matches_first_fifty():
+    """Once frozen mid-round, the pre-materialized round-20 window
+    list (the round-21 rotation seed) must stay equal to the
+    registry's actual first 50 — the drift failure mode enforced
+    every round since round 8.  Late round-20 additions belong in
+    _R20_DEFERRED, which this equality keeps OUT of the window."""
+    if not getattr(entry, "_R20_WINDOW", None):
+        pytest.skip("_R20_WINDOW not yet frozen this round")
+    queries, _ = entry._registry()
+    assert entry._R20_WINDOW == list(queries)[:50]
+    assert len(set(entry._R20_WINDOW)) == 50
 
 
 def test_checked_cohorts_are_registered():

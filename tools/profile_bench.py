@@ -1,7 +1,7 @@
 """Per-query profiling harness for the optimization rounds.
 
 For each named headline query: capture ``explain("formatted")`` to
-``plans/r19/<name>_<tag>.txt``, then time REPS noop-sink runs after a
+``plans/r20/<name>_<tag>.txt``, then time REPS noop-sink runs after a
 warm-up (the bench.py methodology, minus the other 60 queries) and
 print build-time (DataFrame construction + analysis) next to the
 execution medians, so planning-bound queries are distinguishable from
@@ -26,7 +26,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--tag", default=None,
-                    help="write plans/r19/<q>_<tag>.txt (omit to skip)")
+                    help="write plans/r20/<q>_<tag>.txt (omit to skip)")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -41,7 +41,7 @@ def main() -> int:
     spark.range(1000).count()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plan_dir = os.path.join(here, "plans", "r19")
+    plan_dir = os.path.join(here, "plans", "r20")
     os.makedirs(plan_dir, exist_ok=True)
 
     for name in args.queries:
