@@ -141,6 +141,34 @@ def doc_features_frame(d: DataFrame) -> DataFrame:
     jbits = np.arange(SIMHASH_BITS, dtype=np.int64)
 
     def feats(batches):
+        # Per-task md5 memo (r20 optimization, guide §4.2/§4.5 — the
+        # hash is the kernel's dominant CPU and token occurrences
+        # repeat heavily: a ~10k-word vocabulary covers ~500k token
+        # occurrences at sf0.1, and boilerplate shingles repeat
+        # across documents).  hashlib.md5 of the same string is the
+        # same value, so the memo is bit-transparent; both caches
+        # are size-bounded so a worker at 100 TB can't grow one
+        # unboundedly (a reset just re-pays the hash).
+        tok_h: dict = {}
+        sh_h: dict = {}
+        _CAP = 1 << 20
+
+        def h_tok(t):
+            v = tok_h.get(t)
+            if v is None:
+                if len(tok_h) >= _CAP:
+                    tok_h.clear()
+                v = tok_h[t] = _md5_prefix_int(t, 15)
+            return v
+
+        def h_sh(t):
+            v = sh_h.get(t)
+            if v is None:
+                if len(sh_h) >= _CAP:
+                    sh_h.clear()
+                v = sh_h[t] = _md5_prefix_int(t, 8)
+            return v
+
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -148,7 +176,7 @@ def doc_features_frame(d: DataFrame) -> DataFrame:
                 # SimHash over token occurrences (with multiplicity)
                 if toks:
                     xs = np.array(
-                        [_md5_prefix_int(t, 15) for t in toks], dtype=np.int64
+                        [h_tok(t) for t in toks], dtype=np.int64
                     )
                     bits = (xs[:, None] >> jbits) & 1
                     s = (bits * 2 - 1).sum(axis=0)
@@ -161,7 +189,7 @@ def doc_features_frame(d: DataFrame) -> DataFrame:
                 ) if len(toks) >= 3 else []
                 if sh:
                     x32 = np.array(
-                        [_md5_prefix_int(t, 8) for t in sh], dtype=np.uint64
+                        [h_sh(t) for t in sh], dtype=np.uint64
                     )
                     hs = (coeffs[:, 0:1] * x32[None, :] + coeffs[:, 1:2]) % m61
                     sig = hs.min(axis=1).astype(np.int64)

@@ -3092,11 +3092,36 @@ def build_frame(spark: SparkSession, sf_dir: str, node: Node) -> DataFrame:
     return ev(node)
 
 
+# Per-process memo of BUILT render DataFrames, keyed by
+# (applicationId, corpus, target) — r20 optimization (VERDICT r19
+# item 4, guide §3.3 "planning time itself can become the
+# bottleneck"): a composed render target's DataFrame construction —
+# parse + a few hundred py4j column/window calls + Catalyst's eager
+# ANALYSIS of the depth-6 chains — measured 0.6-3.5 s PER
+# INVOCATION on the deep targets (g_render_hw build 3.5 s vs 3.2 s
+# execution), and the built plan is a pure function of (session,
+# corpus, target).  DataFrames are immutable plans, NOT results:
+# every action on the memoized frame still scans the parquet inputs
+# and computes from scratch (nothing here is persisted/cached data —
+# the _DOT_CACHE precedent one level up).  Keyed by applicationId so
+# a fresh session never reuses a plan bound to a stopped context.
+_RENDER_FRAME_CACHE: dict = {}
+
+
 def render(spark: SparkSession, sf_dir: str, target: str) -> DataFrame:
     """Evaluate one Graphite render target over the 1h LWW series
     frame; output (metric, interval, value) with the single final
     cents→value projection — plus series_rank when the root is an
-    ordering-only op (sortByTotal/sortByMaxima/sortByName)."""
+    ordering-only op (sortByTotal/sortByMaxima/sortByName).  The
+    built plan is memoized per (session, corpus, target) — see
+    ``_RENDER_FRAME_CACHE``."""
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _RENDER_FRAME_CACHE if k[0] != app_id]:
+        del _RENDER_FRAME_CACHE[k]
+    key = (app_id, sf_dir, target)
+    hit = _RENDER_FRAME_CACHE.get(key)
+    if hit is not None:
+        return hit
     frame = build_frame(spark, sf_dir, validate_target(parse_target(target)))
     cols = [
         F.col("metric"),
@@ -3105,7 +3130,11 @@ def render(spark: SparkSession, sf_dir: str, target: str) -> DataFrame:
     ]
     if "series_rank" in frame.columns:
         cols.append(F.col("series_rank"))
-    return frame.select(*cols)
+    out = frame.select(*cols)
+    if len(_RENDER_FRAME_CACHE) >= 256:  # fuzz-test/bulk-caller bound
+        _RENDER_FRAME_CACHE.clear()
+    _RENDER_FRAME_CACHE[key] = out
+    return out
 
 
 # ------------------------------------------------------- oracle visitor
